@@ -1,13 +1,528 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Partitioning
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Chunker, Dedup, Search, Sessionize, SimilaritySearch}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator of the rebuild (SURVEY.md §2 /
+  * the training-data-pipeline additions); each `oracleSql` entry is the
+  * ANSI-SQL twin the driver runs in DuckDB on the same parquet tables.
+  *
+  * Float-parity rules used throughout (so value hashes match DuckDB):
+  *  - sums of doubles go through DECIMAL (exact, associative), then one
+  *    cast to double;
+  *  - all remaining double math uses the *same* operation order on both
+  *    sides and is rounded to 6 dp at the output boundary;
+  *  - ranks/counts are integers wherever possible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- shared SQL fragments for the DuckDB oracles ----
+  private val stopSql = TextFunctions.stopwordsSqlList
+  /** BM25 token list (DuckDB) — twin of TextFunctions.bm25Tokens. */
+  private val toksSql =
+    s"list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 2 AND t NOT IN ($stopSql))"
+  /** All tokens (DuckDB) — twin of TextFunctions.allTokens. */
+  private val allToksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+  /** Distinct 3-gram shingles (DuckDB) — twin of TextFunctions.shingles. */
+  private val shinglesSql =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
+
+  private val bm25QueryTerms = Seq("spark", "query", "filter", "join", "data")
+
+  // ------------------------------------------------------------------
+  // Query implementations
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary (reference §2.7 aggregations). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(36,12))").as("sum_disc_price"),
+        expr("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Top-k scan: orders by total price (sorts/limits, §2.7). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** Revenue per nation: broadcast dim joins + agg (§2.7 joins). */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val ord = t(s, dir, "orders")
+    ord
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("revenue"))
+  }
+
+  /** Top-3 orders per customer — window ranking (§2.7 windows). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Event stats by type (state/type counts, §2.7). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Tumbling 1-hour event windows (streaming-agg twin, §2.8). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Exact latency-style percentiles (search perf stats, §2.6). */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** Sessionization: 30-min inactivity gap per user (§2.8 tier). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", 30)
+
+  /** BM25 tokenizer → term frequencies (two_tier_chunker.py:69-77). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Search.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Fixed-window chunking + deterministic chunk ids (chunker.py:92-113,
+    * two_tier_chunker.py:377-389). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Chunker.fixed(t(s, dir, "documents"), "text", 200, 50)
+      .select(col("doc_id"), col("chunk_index"),
+        Chunker.chunkId(col("doc_id"), "fixed", col("chunk_index")).as("chunk_id"),
+        col("chunk_text"))
+
+  /** Sentence chunking with greedy packing (chunker.py:114-156). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Chunker.sentence(t(s, dir, "documents"), "text", 400)
+      .select(col("doc_id"), col("chunk_index"), col("chunk_text"))
+
+  /** Documents with the token array materialized once (cost note in
+    * TextFunctions.shingles) and the stage spread across cores. */
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("_toks", TextFunctions.allTokens(col("text")))
+
+  /** Per-doc token statistics (token counting tier). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("_toks")
+    docsWithTokens(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      when(size(toks) > 0,
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double")
+          / size(toks).cast("double")).otherwise(lit(0.0)).as("mean_token_len"))
+  }
+
+  /** Quality scoring (length/stopword/token-shape heuristic). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    docsWithTokens(s, dir).select(col("doc_id"),
+      TextFunctions.qualityScoreOfTokens(col("_toks")).as("quality"))
+
+  /** Language ID by marker-lexicon voting. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    docsWithTokens(s, dir).select(col("doc_id"),
+      TextFunctions.langIdOfTokens(col("_toks")).as("lang_pred"))
+
+  /** Exact dedup on normalized-content fingerprint
+    * (notion_connector.py:624-634 / row_indexer.rs:506-589). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  /** Shingle stats per doc (MinHash tier 0). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("_toks", TextFunctions.bm25Tokens(col("text")))
+      .select(col("doc_id"),
+        size(TextFunctions.shinglesOfTokens(col("_toks"), 3)).as("n_shingles"))
+
+  /** N-gram Jaccard near-dup pairs via inverted shingle index. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+
+  /** MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", 3, 16, 4)
+
+  /** 64-bit SimHash per document. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** Embedding-cosine near-dup pairs (exact baseline). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+  /** Brute-force cosine top-k ANN (search_service.py:56-117 shape):
+    * query = embedding of vec_id 0, scored over the rest. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("score"), 6).as("score"))
+      .limit(10)
+  }
+
+  /** Distributed kNN join: 10 probe vectors × corpus, top-3 each. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimilaritySearch.knnJoin(
+      emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3)
+  }
+
+  /** BM25 search: fixed query, top-20 (search_service.py:287-368). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Search.bm25(t(s, dir, "documents"), "doc_id", "text", bm25QueryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .limit(20)
+
+  /** Hybrid search: BM25 ⊕ vector via RRF k=60
+    * (search_service.py:370-423). Doc i's embedding = vec_id i. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val vec = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
+    Search.rrf(Seq(lex, vec), "doc_id", "score", 60, 10)
+  }
+
+  /** 2-hop graph traversal via joins (neo4j_service.py:429-489 shape):
+    * region ←1-hop→ nation ←2-hop→ customer. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region")
+    val nat = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_acctbal"))
+  }
+
+  /** Random-hyperplane LSH bucket candidates over embeddings
+    * (ANN scale path). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.lshCosineCandidates(
+      t(s, dir, "embeddings"), "vec_id", "embedding", 64, 6)
+
+  // ------------------------------------------------------------------
+
+  /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q24(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01 _,
+    "q02_top_orders" -> q02 _,
+    "q03_revenue_by_nation" -> q03 _,
+    "q04_window_top_orders" -> q04 _,
+    "q05_events_by_type" -> q05 _,
+    "q06_hourly_events" -> q06 _,
+    "q07_percentiles" -> q07 _,
+    "q08_sessionize" -> q08 _,
+    "q09_bm25_tokens" -> q09 _,
+    "q10_chunk_fixed" -> q10 _,
+    "q11_chunk_sentence" -> q11 _,
+    "q12_token_stats" -> q12 _,
+    "q13_quality_score" -> q13 _,
+    "q14_langid" -> q14 _,
+    "q15_dedup_exact" -> q15 _,
+    "q16_shingle_stats" -> q16 _,
+    "q17_jaccard_pairs" -> q17 _,
+    "q18_minhash_lsh" -> q18 _,
+    "q19_simhash" -> q19 _,
+    "q20_embed_near_dup" -> q20 _,
+    "q21_ann_topk" -> q21 _,
+    "q22_knn_join" -> q22 _,
+    "q23_bm25_search" -> q23 _,
+    "q24_hybrid_rrf" -> q24 _,
+    "q25_graph_2hop" -> q25 _,
+    "q26_lsh_buckets" -> q26 _)
+
+  /** Headline subset for Bench. */
+  def benchQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
+    "q09_bm25_tokens", "q17_jaccard_pairs", "q18_minhash_lsh",
+    "q21_ann_topk", "q23_bm25_search", "q24_hybrid_rrf")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(36,12)) AS sum_disc_price,
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q05_events_by_type" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q06_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q07_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS p50,
+        |round(quantile_cont(value, 0.9), 6) AS p90,
+        |round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q08_sessionize" ->
+      """WITH g AS (
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |r AS (SELECT user_id, ts_us,
+        |SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_index
+        |FROM g)
+        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index, COUNT(*) AS n_events,
+        |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM r GROUP BY user_id, session_index""".stripMargin,
+    "q09_bm25_tokens" ->
+      s"""SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY doc_id, token""".stripMargin,
+    "q10_chunk_fixed" ->
+      """SELECT doc_id, i AS chunk_index,
+        |md5(concat_ws('_', CAST(doc_id AS VARCHAR), 'fixed', CAST(i AS VARCHAR))) AS chunk_id,
+        |substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        |FROM (SELECT doc_id, text,
+        |unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / 150) AS BIGINT) + 1)) AS i
+        |FROM documents)""".stripMargin,
+    "q12_token_stats" ->
+      s"""SELECT doc_id, len($allToksSql) AS n_tokens,
+         |len(list_distinct($allToksSql)) AS n_distinct,
+         |CASE WHEN len($allToksSql) > 0 THEN
+         |CAST(list_sum(list_transform($allToksSql, t -> len(t))) AS DOUBLE)
+         |  / CAST(len($allToksSql) AS DOUBLE)
+         |ELSE 0.0 END AS mean_token_len
+         |FROM documents""".stripMargin,
+    "q13_quality_score" ->
+      s"""SELECT doc_id,
+         |0.5 * least(CAST(len($allToksSql) AS DOUBLE) / 100.0, 1.0)
+         |+ 0.3 * (1.0 - (CASE WHEN len($allToksSql) > 0 THEN
+         |    CAST(len(list_filter($allToksSql, t -> t IN ($stopSql))) AS DOUBLE)
+         |    / CAST(len($allToksSql) AS DOUBLE) ELSE 0.0 END))
+         |+ 0.2 * least((CASE WHEN len($allToksSql) > 0 THEN
+         |    CAST(list_sum(list_transform($allToksSql, t -> len(t))) AS DOUBLE)
+         |    / CAST(len($allToksSql) AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0) AS quality
+         |FROM documents""".stripMargin,
+    "q14_langid" -> langIdOracleSql,
+    "q19_simhash" -> simhashOracleSql,
+    "q22_knn_join" ->
+      """WITH q AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        | * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |FROM embeddings e CROSS JOIN q WHERE probe_id <> e.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, cos,
+        |ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk FROM c)
+        |SELECT probe_id, neighbor_id, round(cos, 6) AS score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q16_shingle_stats" ->
+      s"""SELECT doc_id, len($shinglesSql) AS n_shingles FROM documents""".stripMargin,
+    "q17_jaccard_pairs" ->
+      s"""WITH s AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, n_common,
+         |round(CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+         |FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin,
+    "q18_minhash_lsh" ->
+      s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
+         |h AS (SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || g)) AS mh
+         |      FROM e CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
+         |b AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
+         |      md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY k)) AS bucket
+         |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
+         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin,
+    "q20_embed_near_dup" ->
+      """WITH c AS (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        | * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.4""".stripMargin,
+    "q21_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |list_sum(list_transform(generate_series(1, len(embedding)),
+        |  i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |/ (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        | * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(cos, 6) AS score FROM c
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q23_bm25_search" -> bm25OracleSql(20),
+    "q24_hybrid_rrf" -> rrfOracleSql,
+    "q25_graph_2hop" ->
+      """SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations, COUNT(*) AS n_customers,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)
+
+  /** Language-ID oracle generated from TextFunctions.langMarkers so the
+    * lexicons can never drift between Spark and DuckDB. */
+  private def langIdOracleSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($allToksSql, t -> t IN ($lst))) AS s_$lang"
+    }.mkString(",\n")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN best > 0 AND s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+       |$scores
+       |FROM documents),
+       |b AS (SELECT doc_id, s.*, $best AS best FROM s)
+       |SELECT doc_id, CASE $cases ELSE 'unk' END AS lang_pred FROM b""".stripMargin
+  }
+
+  /** SimHash oracle: same md5-hex bit extraction and ±1 voting as
+    * Dedup.simhash (all-integer math → exact parity). */
+  private def simhashOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |bits AS (SELECT doc_id, i,
+       |  SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef',
+       |      substr(md5(t), CAST(floor(i / 4) AS INT) + 1, 1)) - 1)
+       |      / power(2.0, i % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN generate_series(0, 63) g(i) GROUP BY doc_id, i),
+       |nib AS (SELECT doc_id, CAST(floor(i / 4) AS INT) AS ni,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN CAST(power(2.0, i % 4) AS INT) ELSE 0 END) AS INT) AS nibval
+       |  FROM bits GROUP BY doc_id, CAST(floor(i / 4) AS INT)),
+       |hx AS (SELECT doc_id,
+       |  string_agg(substr('0123456789abcdef', nibval + 1, 1), '' ORDER BY ni) AS sh
+       |  FROM nib GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(hx.sh, '0000000000000000') AS simhash
+       |FROM documents d LEFT JOIN hx ON d.doc_id = hx.doc_id""".stripMargin
+
+  /** BM25 oracle: identical formula/op-order as Search.bm25. */
+  private def bm25OracleSql(limit: Int): String = {
+    val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents) GROUP BY doc_id, token),
+       |dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |m AS (SELECT * FROM idx WHERE token IN ($terms)),
+       |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY token),
+       |scored AS (SELECT m.doc_id,
+       |  ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * (m.tf * (1.2 + 1)) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / stats.avgdl)) AS term_score
+       |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, round(SUM(term_score), 6) AS score FROM scored
+       |GROUP BY doc_id ORDER BY SUM(term_score) DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  /** RRF oracle: BM25 ranks ⊕ cosine ranks, 1/(60+rank), top 10. */
+  private def rrfOracleSql: String = {
+    val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents) GROUP BY doc_id, token),
+       |dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |m AS (SELECT * FROM idx WHERE token IN ($terms)),
+       |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY token),
+       |lex AS (SELECT m.doc_id, SUM(
+       |  ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * (m.tf * (1.2 + 1)) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS score
+       |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats GROUP BY m.doc_id),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |vec AS (SELECT vec_id AS doc_id,
+       |  list_sum(list_transform(generate_series(1, len(embedding)),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+       |  FROM embeddings, q),
+       |ranked AS (
+       |  SELECT doc_id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM lex
+       |  UNION ALL
+       |  SELECT doc_id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM vec)
+       |SELECT doc_id, round(SUM(contrib), 6) AS rrf FROM ranked
+       |GROUP BY doc_id ORDER BY SUM(contrib) DESC, doc_id LIMIT 10""".stripMargin
+  }
 }

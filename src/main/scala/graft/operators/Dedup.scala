@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Partitioning
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * Exact dedup mirrors the reference's content-hash change detection
+  * (notion_connector.py:624-634, row_indexer.rs:506-589); the near-dup
+  * family (shingle Jaccard, MinHash+LSH, SimHash, embedding cosine) is
+  * the standard scale path those hashes gate into.
+  *
+  * Scale notes (100 TB):
+  *  - exact: one shuffle on a 32-char key; map-side combine applies.
+  *  - jaccard: candidate pairs ONLY via the inverted shingle index
+  *    (explode → self-join on shingle) — never a cross join. At scale,
+  *    swap the exact index for MinHash bands (same pair-generation
+  *    shape, bounded candidates per bucket).
+  *  - minhashLsh: k permutations via min(md5(seed‖shingle)) — a string
+  *    min is a cheap map-side-combinable agg; band buckets shuffle on
+  *    the band hash, so skew = duplicate clusters, which is the signal.
+  *  - simhash: per-row bit-vote, no shuffle until the final bucket agg.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized-content fingerprint: one row per
+    * distinct fingerprint with the kept (minimum) id and the group size.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
+
+  /** Exploded inverted index: one row per (id, shingle).
+    * Tokens materialized as a column (single interpreted eval per row)
+    * and the stage spread across partitions — shingling cost dwarfs
+    * scan cost, so input-split parallelism is the wrong parallelism.
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
+      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks"), n))
+      .select(col(idCol), explode(col("_sh")).as("shingle"))
+
+  /** Candidate pairs (a < b) sharing >= 1 shingle, with exact Jaccard
+    * similarity over the distinct-shingle sets, filtered to >= minSim.
+    *
+    * |A ∩ B| comes from the inverted-index self-join (group count);
+    * |A| and |B| from a per-doc shingle-count aggregate (broadcast-able
+    * when the doc count is modest; at 100 TB it's a shuffle join on id,
+    * co-partitioned with the pair table).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minSim: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n).cache()
+    val counts = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val a = idx.select(col(idCol).as("id_a"), col("shingle"))
+    val b = idx.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), col("n_common"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature as array<string>: element k = min over shingles
+    * of md5(k ‖ ":" ‖ shingle). (String-min over md5 hex == a uniform
+    * random permutation min for dedup purposes, and is reproducible in
+    * any SQL engine — the oracle repeats it verbatim.)
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), k =>
+      array_min(transform(shingleArr,
+        s => md5(concat(k.cast("string"), lit(":"), s)))))
+
+  /** LSH band buckets: signature split into `bands` bands of
+    * numHashes/bands rows each; bucket key = md5(band_index ‖ band
+    * slice). Output: (id, band, bucket).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    // each intermediate is a real column: element_at over an attribute
+    // is cheap, whereas inlining would re-run the whole minhash per
+    // band element (16x tokenizer+md5 blowup, interpreted)
+    val sig = Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
+      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks"), n))
+      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+    val buckets = transform(sequence(lit(0), lit(bands - 1)), b => {
+      val parts = b.cast("string") +: (0 until rows).map(r =>
+        element_at(col("_sig"), (b * rows + r + 1).cast("int")))
+      struct(b.as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    })
+    sig.select(col(idCol), explode(buckets).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Near-dup candidate pairs from LSH: ids sharing any band bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bk = lshBuckets(df, idCol, textCol, n, numHashes, bands)
+    val a = bk.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 64-bit SimHash over BM25 tokens. Each token contributes ±1 votes
+    * on 64 bit positions taken from its md5 (hex digit d, bit j:
+    * bit = (digit >> j) & 1). simhash bit i = 1 iff vote sum > 0.
+    * Returned as a 16-char lowercase hex string.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.bm25Tokens(text)
+    val hashes = transform(toks, t => md5(t))
+    // votes: array of 64 ints; fold over tokens adding ±1 per bit
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, i) => {
+        val hexDigit = substring(h, (floor(i / 4) + 1).cast("int"), lit(1))
+        val digitVal = instr(lit("0123456789abcdef"), hexDigit) - 1
+        val bit = floor(digitVal / pow(lit(2.0), (i % 4).cast("double"))).cast("int") % 2
+        v + when(bit === 1, 1).otherwise(-1)
+      }))
+    val bits = transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
+    // assemble hex: 16 nibbles, nibble i from bits [4i, 4i+4)
+    val nibbles = transform(sequence(lit(0), lit(15)), i =>
+      substring(lit("0123456789abcdef"),
+        (element_at(bits, (i * 4 + 1).cast("int"))
+          + element_at(bits, (i * 4 + 2).cast("int")) * 2
+          + element_at(bits, (i * 4 + 3).cast("int")) * 4
+          + element_at(bits, (i * 4 + 4).cast("int")) * 8 + 1).cast("int"), lit(1)))
+    concat_ws("", nibbles)
+  }
+
+  /** Embedding near-dup pairs: all (a < b) with cosine >= minSim.
+    * Exact O(n²) comparison — correctness baseline; the scale path is
+    * [[SimilaritySearch.lshCosineCandidates]] (random-hyperplane LSH).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Partitioning
+import graft.functions.TextFunctions
+
+/** Lexical (BM25) search and hybrid reciprocal-rank fusion.
+  *
+  * Reference semantics:
+  *  - BM25 k1=1.2 b=0.75, idf over the candidate corpus, doc-length
+  *    norm vs average: app/services/search_service.py:287-368.
+  *  - RRF fusion score = Σ_sources 1/(60 + rank): search_service.py:370-423.
+  *
+  * Spark-first shape: the inverted index (doc, term, tf) is a
+  * precomputed DataFrame (one explode + groupBy at ingest — amortized);
+  * a query is then `terms ⋈ index` (query terms broadcast — tiny) +
+  * one groupBy(doc). Corpus stats (N, avgdl) are scalar aggregates the
+  * optimizer evaluates once. No per-query full-text scan at 100 TB.
+  */
+object Search {
+
+  /** Inverted index: (id, token, tf) from a text column. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(TextFunctions.bm25Tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token length (BM25 |d|). */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        size(TextFunctions.bm25Tokens(col(textCol))).as("dl"))
+
+  /** BM25 scores of `queryTerms` over the corpus; one row per matching
+    * doc: (id, score). k1=1.2, b=0.75,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idx = invertedIndex(df, idCol, textCol)
+    val dls = docLengths(df, idCol, textCol)
+    // scalar corpus stats as a 1-row broadcast DF — keeps the whole
+    // query one lazy Catalyst plan (no driver-side .count())
+    val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qt = queryTerms.distinct
+    val matched = idx.where(col("token").isin(qt: _*))
+    val dfreq = matched.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    matched
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion over N score DataFrames, each (id, score).
+    * Per source: rank = row_number by (score desc, id asc);
+    * fused = Σ 1/(rrfK + rank). Output: (id, rrf) top `limit`.
+    */
+  def rrf(sources: Seq[DataFrame], idCol: String, scoreCol: String,
+      rrfK: Int = 60, limitN: Int = 10): DataFrame = {
+    val ranked = sources.zipWithIndex.map { case (s, i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      s.select(col(idCol), col(scoreCol))
+        .withColumn("rank", row_number().over(w))
+        .select(col(idCol), (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col(idCol).asc)
+      .select(col(idCol), round(col("rrf_raw"), 6).as("rrf"))
+      .limit(limitN)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate / exact nearest-neighbor search over an embedding
+  * column (reference: vector search, search_service.py:56-117 +
+  * qdrant_service.py:235-302 — Qdrant replaced by Spark-native scans).
+  *
+  * Scale design:
+  *  - [[topK]]: the query vector is a literal → broadcast to every
+  *    task; one narrow scan + TakeOrderedAndProject. No shuffle of the
+  *    corpus. This is the ≤1M-vector tier.
+  *  - [[knnJoin]]: small probe set × big corpus — probe side broadcast,
+  *    per-corpus-partition local scoring, then per-probe top-k via
+  *    window. 100 TB tier: corpus stays partitioned, probes broadcast.
+  *  - [[lshCosineCandidates]]: random-hyperplane signatures bucket the
+  *    corpus so candidate generation is an equi-join, not a cross join.
+  */
+object SimilaritySearch {
+
+  /** Literal array<float> column from a query embedding. */
+  def vecLit(v: Seq[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Exact top-k by cosine against a single query vector. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Column, k: Int): DataFrame =
+    corpus
+      .withColumn("score", VectorFunctions.cosine(col(vecCol), query))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+      .limit(k)
+
+  /** For every probe row, the top-k nearest corpus rows by cosine.
+    * Probe side should be small (broadcast); corpus arbitrary size.
+    */
+  def knnJoin(probes: DataFrame, probeId: String, probeVec: String,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("nvec"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(if (excludeSelf) col("probe_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("score", VectorFunctions.cosine(col("probe_vec"), col("nvec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+
+  /** Random-hyperplane LSH bucket key: sign-bit string of the vector
+    * against `planes` (deterministic pseudo-planes derived from the
+    * dimension index — stand-in for seeded gaussians, good enough to
+    * bucket and fully reproducible). nBits chars of '0'/'1'.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    // plane b, dim d weight: cos((b*dim + d) * 1.0) — deterministic,
+    // zero-mean-ish; replaced by seeded gaussians when precision matters
+    val bits = (0 until nBits).map { b =>
+      val w = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x.cast("double") * cos((lit(b * dim) + d).cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(w >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Candidate near-dup pairs whose LSH signatures match exactly
+    * (all nBits sign bits equal) — equi-join on the signature.
+    */
+  def lshCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol),
+      hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+    val a = sig.select(col(idCol).as("id_a"), col("sig"))
+    val b = sig.select(col(idCol).as("id_b"), col("sig"))
+    a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+}

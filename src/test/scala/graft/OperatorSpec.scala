@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import graft.functions.TextFunctions
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("bm25Tokens drops stopwords and short tokens, keeps duplicates") {
+    val got = Seq("The quick fox AND the quick dog ox")
+      .toDF("text")
+      .select(TextFunctions.bm25Tokens(col("text")))
+      .as[Seq[String]].head()
+    assert(got === Seq("quick", "fox", "quick", "dog"))
+  }
+
+  test("allTokens keeps stopwords, splits on non-alphanumerics") {
+    val got = Seq("A b-c, d!").toDF("text")
+      .select(TextFunctions.allTokens(col("text"))).as[Seq[String]].head()
+    assert(got === Seq("a", "b", "c", "d"))
+  }
+
+  test("shingles are distinct full 3-grams") {
+    val got = Seq("one two three four one two three four")
+      .toDF("text").select(TextFunctions.shingles(col("text"), 3))
+      .as[Seq[String]].head()
+    assert(got.toSet === Set(
+      "one two three", "two three four", "three four one", "four one two"))
+    assert(got.length === 4) // dedup applied
+  }
+
+  test("shingles empty for docs shorter than n tokens") {
+    val got = Seq("one two").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(got.isEmpty)
+  }
+
+  test("langId votes by marker lexicon with alphabetical tie-break") {
+    val df = Seq("der hund und die katze", "xyzzy", "el la le les").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got(0) === "de")
+    assert(got(1) === "unk")
+    // es hits: el,la (2); fr hits: le,les (2) -> tie -> "es" first
+    assert(got(2) === "es")
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "other"))
+      .toDF("id", "text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}
+
+class ChunkerSpec extends AnyFunSuite {
+  import graft.operators.Chunker
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("fixed chunks cover text with overlap; boundaries exact") {
+    val text = "abcdefghij" * 35 // 350 chars
+    val out = Chunker.fixed(Seq((1L, text)).toDF("doc_id", "text"), "text", 200, 50)
+      .select($"chunk_index", $"chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    // step=150: chunks at 0,150,300 -> 3 chunks
+    assert(out.length === 3)
+    assert(out(0)._2 === text.substring(0, 200))
+    assert(out(1)._2 === text.substring(150, 350))
+    assert(out(2)._2 === text.substring(300, 350))
+    // overlap region identical
+    assert(out(0)._2.takeRight(50) === out(1)._2.take(50))
+  }
+
+  test("fixed chunking of short text yields one chunk") {
+    val out = Chunker.fixed(Seq((1L, "short")).toDF("doc_id", "text"), "text", 200, 50)
+      .select($"chunk_text").as[String].collect()
+    assert(out.toSeq === Seq("short"))
+  }
+
+  test("sentence chunks pack greedily up to maxChars") {
+    val text = "One one one. Two two two. Three three three three three."
+    val out = Chunker.sentence(Seq((1L, text)).toDF("doc_id", "text"), "text", 30)
+      .select($"chunk_index", $"chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === "One one one. Two two two.")
+    assert(out(1)._2 === "Three three three three three.")
+  }
+
+  test("chunkId is deterministic md5 scheme") {
+    val got = Seq(1).toDF("x")
+      .select(Chunker.chunkId(lit("42"), "fixed", lit(7))).as[String].head()
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("42_fixed_7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === exp)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import graft.operators.Dedup
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("exact dedup groups normalized duplicates") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "unique doc here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .select($"kept_id", $"n_dups").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds near-duplicates, not unrelated docs") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota" // 1 token differs
+    val c = "completely different words entirely unrelated content here now"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("minhash LSH catches exact-shingle duplicates") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val c = "completely different words entirely unrelated content here now"
+    val df = Seq((1L, a), (2L, a), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash identical for identical docs, 16 hex chars") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally other words")).toDF("doc_id", "text")
+    val hs = df.select(Dedup.simhash($"text")).as[String].collect()
+    assert(hs(0) === hs(1))
+    assert(hs(0).length === 16)
+    assert(hs(0) !== hs(2))
+  }
+}
+
+class SearchSpec extends AnyFunSuite {
+  import graft.operators.{Search, SimilaritySearch}
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("cosine topK ranks by similarity") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
+      .toDF("id", "vec")
+    val got = SimilaritySearch.topK(corpus, "id", "vec",
+      SimilaritySearch.vecLit(Seq(1f, 0f)), 2)
+      .select($"id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("bm25 scores rarer terms higher") {
+    val df = Seq(
+      (1L, "spark spark spark common"), (2L, "common words here"),
+      (3L, "common spark words"), (4L, "nothing relevant")).toDF("doc_id", "text")
+    val got = Search.bm25(df, "doc_id", "text", Seq("spark", "common"))
+      .orderBy(desc("score")).select($"doc_id").as[Long].collect()
+    // doc1 has tf=3 of the rarer term
+    assert(got.head === 1L)
+    assert(got.length === 3) // doc4 matches nothing
+  }
+
+  test("rrf fusion matches hand-computed 1/(60+rank) sums") {
+    val s1 = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "score")
+    val s2 = Seq((20L, 9.0), (10L, 1.0)).toDF("id", "score")
+    val got = Search.rrf(Seq(s1, s2), "id", "score", 60, 10)
+      .as[(Long, Double)].collect().toMap
+    val exp10 = BigDecimal(1.0 / 61 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp20 = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) === exp10)
+    assert(got(20L) === exp20)
+    assert(got(30L) === BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  import graft.operators.Sessionize
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("sessions split on gaps > 30 min") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(10)), (3L, 100L, ts(90)),
+      (4L, 200L, ts(0)))
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessionize.sessions(df, "user_id", "ts", "event_id", 30)
+      .select($"user_id", $"session_index", $"n_events")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L)))
+  }
+}
+
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q11 greedy packing + q26 libm-cos signatures are intentionally
+    // rows-only (not reproducible in DuckDB SQL with exact fp parity)
+    assert(noOracle === Set("q11_chunk_sentence", "q26_lsh_buckets"))
+  }
+}

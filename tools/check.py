@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from <verifyOutDir>/oracle_sql.json in
+DuckDB with the sf tables registered as views, and compares:
+row count, column names, and a hash over rows sorted by all columns
+(columns ordered by name) — approximating the driver's compare.
+"""
+import sys, os, json, glob
+import duckdb
+
+def canon(rows):
+    def c(v):
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    return sorted([tuple(c(v) for v in r) for r in rows])
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_noor = 0
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if not os.path.isdir(full):
+            continue
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{full}/*.parquet')")
+        got_cols = sorted(got_rel.columns)
+        got = con.sql(
+            f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall()
+        if d not in oracle:
+            print(f"[noorcl] {d:24s} rows={len(got)}")
+            n_noor += 1
+            continue
+        try:
+            exp_rel = con.sql(oracle[d])
+            exp_cols = sorted(exp_rel.columns)
+            exp = con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM ({oracle[d]})").fetchall()
+        except Exception as e:
+            print(f"[ORCERR] {d:24s} {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"[COLS  ] {d:24s} got={got_cols} exp={exp_cols}")
+            n_fail += 1
+            continue
+        cg, ce = canon(got), canon(exp)
+        if len(cg) != len(ce):
+            print(f"[ROWS  ] {d:24s} got={len(cg)} exp={len(ce)}")
+            n_fail += 1
+            continue
+        if cg == ce:
+            print(f"[ok    ] {d:24s} rows={len(cg)}")
+            n_pass += 1
+        else:
+            diffs = [(a, b) for a, b in zip(cg, ce) if a != b]
+            print(f"[VALUES] {d:24s} rows={len(cg)} mismatched={len(diffs)}")
+            for a, b in diffs[:3]:
+                print(f"     got {a}\n     exp {b}")
+            n_fail += 1
+    print(f"\npass={n_pass} fail={n_fail} no_oracle={n_noor}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
