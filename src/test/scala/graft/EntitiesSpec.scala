@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Entities
+
+class EntitiesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("normalizeType: synonyms remap, whitelist enforced, case/punct cleaned") {
+    val got = Seq("org", "Tech!", "person", "widget", "LOC")
+      .toDF("t").select(Entities.normalizeType($"t")).as[String].collect()
+    assert(got.toSeq === Seq(
+      "ORGANIZATION", "TECHNOLOGY", "PERSON", "OTHER", "LOCATION"))
+  }
+
+  test("normalizeConfidence clamps strings, percents, out-of-range") {
+    val got = Seq(("0.7"), ("85"), ("150"), ("-3"), (null: String), ("abc"))
+      .toDF("c").select(Entities.normalizeConfidence($"c")).as[Double].collect()
+    assert(got.toSeq === Seq(0.7, 0.85, 1.0, 0.0, 0.5, 0.5))
+  }
+
+  test("qualityFilter drops short/generic/digit mentions, keeps acronyms") {
+    val df = Seq("ok", "PCB", "123", "thing", "temperature sensor", "")
+      .toDF("m")
+    val kept = Entities.qualityFilter(df, "m").as[String].collect()
+    assert(kept.toSeq === Seq("PCB", "temperature sensor"))
+  }
+
+  test("normalizeName strips articles, punctuation, extra whitespace") {
+    val got = Seq("The  NC-2056 Sensor!", "an apple", "plain")
+      .toDF("n").select(Entities.normalizeName($"n")).as[String].collect()
+    assert(got.toSeq === Seq("nc 2056 sensor", "apple", "plain"))
+  }
+
+  test("fuzzyPairs finds variants within a block, skips distant names") {
+    val df = Seq("sensor alpha", "sensor alphax", "sensor omega", "zzz")
+      .toDF("name")
+    val pairs = Entities.fuzzyPairs(df, "name", 0.8)
+      .select($"name_a", $"name_b").as[(String, String)].collect()
+    assert(pairs.toSeq === Seq(("sensor alpha", "sensor alphax")))
+  }
+
+  test("nHop computes minimal hop counts on a path graph") {
+    // a-b, b-c, c-d: from a: b@1, c@2 (d beyond 2 hops)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val got = Entities.nHop(edges, "s", "d", 2)
+      .where($"src" === "a")
+      .select($"dst", $"hops").as[(String, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("b", 1), ("c", 2)))
+  }
+
+  test("validateRelationships keeps only taxonomy triples, dedups by max conf") {
+    val rels = Seq(
+      ("p1", "PERSON", "WORKS_FOR", "o1", "ORGANIZATION", 0.4),
+      ("p1", "PERSON", "WORKS_FOR", "o1", "ORGANIZATION", 0.9),
+      ("p1", "PERSON", "WORKS_FOR", "l1", "LOCATION", 0.8))
+      .toDF("src", "src_t", "rel", "tgt", "tgt_t", "conf")
+    val got = Entities.validateRelationships(
+      rels, "src_t", "rel", "tgt_t", "src", "tgt", "conf")
+      .select($"src", $"tgt", $"rel", $"confidence")
+      .as[(String, String, String, Double)].collect()
+    assert(got.toSeq === Seq(("p1", "o1", "WORKS_FOR", 0.9)))
+  }
+
+  test("extractMentions finds rare terms with offsets") {
+    val df = Seq(
+      (1L, "common common rareterm common"),
+      (2L, "common words only here"),
+      (3L, "common common words words")).toDF("doc_id", "text")
+    val got = Entities.extractMentions(df, "doc_id", "text", 1)
+      .select($"doc_id", $"mention_text", $"start_offset")
+      .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got.contains((1L, "rareterm", 15)))
+    assert(!got.exists(_._2 == "common"))
+  }
+}
