@@ -328,6 +328,51 @@ object SparkEntry {
       "tgt_type", "src", "tgt", "conf")
   }
 
+  /** Sessionization via flatMapGroupsWithState (custom stateful
+    * operator, streaming-capable) — same oracle as q08. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StatefulSessionize.sessionsBatch(
+      t(s, dir, "events"), "user_id", "ts", "event_id", 30)
+
+  /** Two-tier chunking: page token-windows + child chunks with
+    * deterministic parent/child ids (two_tier_chunker.py:46-557). */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    operators.TwoTier.chunk(t(s, dir, "documents"), "doc_id", "text", 100, 20, 25)
+      .select(col("doc_id"), col("page_index"), col("child_index"),
+        col("page_id"), col("chunk_id"), col("chunk_text"), col("n_tokens"))
+
+  /** Contextual-retrieval pass through the LlmClient mapPartitions
+    * plumbing (stub client — deterministic, oracle-checkable). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    operators.TwoTier.withContext(
+      operators.TwoTier.pages(t(s, dir, "documents"), "doc_id", "text", 100, 20),
+      () => operators.StubLlm(8))
+      .toDF()
+      .select(col("doc_id"), col("page_index"), col("page_id"),
+        col("contextual_summary"), col("contextualized_text"))
+
+  /** Multimodal plumbing: binary payload column → once-per-partition
+    * "decode+embed" (stubbed) → feature vector; output checkable
+    * scalars (image_intelligence_service.py shape). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromText(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    graft.multimodal.Multimodal.extractFeatures(media, 16)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        size(col("features")).as("dim"))
+  }
+
+  /** JSON property extraction over the events stream
+    * (ParseJson tier, parse_json.rs:31-106). */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -366,13 +411,19 @@ object SparkEntry {
     "q29_fuzzy_pairs" -> q29 _,
     "q30_cooccurrence" -> q30 _,
     "q31_entity_2hop" -> q31 _,
-    "q32_validate_rels" -> q32 _)
+    "q32_validate_rels" -> q32 _,
+    "q33_stateful_sessions" -> q33 _,
+    "q34_two_tier_chunks" -> q34 _,
+    "q35_contextualized" -> q35 _,
+    "q36_multimodal_features" -> q36 _,
+    "q37_json_extract" -> q37 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
     "q09_bm25_tokens", "q17_jaccard_pairs", "q18_minhash_lsh",
-    "q21_ann_topk", "q23_bm25_search", "q24_hybrid_rrf")
+    "q21_ann_topk", "q23_bm25_search", "q24_hybrid_rrf",
+    "q33_stateful_sessions", "q34_two_tier_chunks")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -414,19 +465,9 @@ object SparkEntry {
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
-    "q08_sessionize" ->
-      """WITH g AS (
-        |SELECT user_id, epoch_us(ts) AS ts_us,
-        |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |r AS (SELECT user_id, ts_us,
-        |SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_index
-        |FROM g)
-        |SELECT user_id, CAST(session_index AS BIGINT) AS session_index, COUNT(*) AS n_events,
-        |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-        |MAX(ts_us) - MIN(ts_us) AS duration_us
-        |FROM r GROUP BY user_id, session_index""".stripMargin,
+    "q08_sessionize" -> sessionizeOracleSql,
+    "q33_stateful_sessions" -> sessionizeOracleSql,
+
     "q09_bm25_tokens" ->
       s"""SELECT doc_id, token, COUNT(*) AS tf FROM (
          |SELECT doc_id, unnest($toksSql) AS token FROM documents)
@@ -520,7 +561,24 @@ object SparkEntry {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin) ++ entityOracles
+        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles
+
+  /** Sessionization oracle — shared by the window-based (q08) and the
+    * flatMapGroupsWithState-based (q33) implementations: two different
+    * physical strategies, one semantic contract. */
+  private val sessionizeOracleSql: String =
+    """WITH g AS (
+      |SELECT user_id, epoch_us(ts) AS ts_us,
+      |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (SELECT user_id, ts_us,
+      |SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_index
+      |FROM g)
+      |SELECT user_id, CAST(session_index AS BIGINT) AS session_index, COUNT(*) AS n_events,
+      |MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM r GROUP BY user_id, session_index""".stripMargin
 
   // ---- entity-pipeline oracle fragments (generated from the Scala
   //      Seqs in Entities so the two sides cannot drift) ----
@@ -611,6 +669,61 @@ object SparkEntry {
          |  ('ORGANIZATION', 'LOCATED_IN', 'LOCATION'), ('PRODUCT', 'MADE_BY', 'ORGANIZATION'),
          |  ('COMPONENT', 'PART_OF', 'PRODUCT'), ('CONCEPT', 'RELATED_TO', 'CONCEPT'))
          |GROUP BY src, tgt, relationship_type""".stripMargin)
+
+  /** hex→int of the first `n` hex chars of md5(x) (DuckDB fragment —
+    * twin of Multimodal.decodeStub's leading-bytes extraction). */
+  private def md5HexValSql(x: String, n: Int): String = {
+    val terms = (0 until n).map { i =>
+      val p = n - 1 - i
+      s"(strpos('0123456789abcdef', substr(md5($x), ${i + 1}, 1)) - 1) * ${math.pow(16, p).toLong}"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  private def twoTierOracles: Map[String, String] = Map(
+    "q34_two_tier_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS page_index,
+         |      list_slice(toks, i*80+1, i*80+100) AS ptoks
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(toks),1)-1)/80) AS INT))) AS i
+         |            FROM d)),
+         |c AS (SELECT doc_id, page_index, j AS child_index,
+         |      list_slice(ptoks, j*25+1, j*25+25) AS ctoks
+         |      FROM (SELECT doc_id, page_index, ptoks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(ptoks),1)-1)/25) AS INT))) AS j
+         |            FROM p))
+         |SELECT doc_id, page_index, child_index,
+         |md5(concat_ws('_', CAST(doc_id AS VARCHAR), 'page', CAST(page_index AS VARCHAR))) AS page_id,
+         |md5(concat_ws('_',
+         |  md5(concat_ws('_', CAST(doc_id AS VARCHAR), 'page', CAST(page_index AS VARCHAR))),
+         |  'child', CAST(child_index AS VARCHAR))) AS chunk_id,
+         |array_to_string(ctoks, ' ') AS chunk_text, len(ctoks) AS n_tokens
+         |FROM c""".stripMargin,
+    "q35_contextualized" ->
+      s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS page_index,
+         |      list_slice(toks, i*80+1, i*80+100) AS ptoks
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(toks),1)-1)/80) AS INT))) AS i
+         |            FROM d))
+         |SELECT doc_id, page_index,
+         |md5(concat_ws('_', CAST(doc_id AS VARCHAR), 'page', CAST(page_index AS VARCHAR))) AS page_id,
+         |'CTX: ' || array_to_string(list_slice(ptoks, 1, 8), ' ') AS contextual_summary,
+         |'CTX: ' || array_to_string(list_slice(ptoks, 1, 8), ' ') || ' | ' || array_to_string(ptoks, ' ') AS contextualized_text
+         |FROM p""".stripMargin,
+    "q36_multimodal_features" ->
+      s"""SELECT doc_id AS media_id, 'image' AS kind,
+         |strlen(text) AS n_bytes,
+         |CAST(${md5HexValSql("text || chr(0)", 6)} AS DOUBLE) / 16777216.0 AS f0,
+         |16 AS dim
+         |FROM documents""".stripMargin,
+    "q37_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the
     * lexicons can never drift between Spark and DuckDB. */

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (reference: document_images with OCR /
+  * caption / visual vectors, image_intelligence_service.py:98-539;
+  * ColPali multi-vector embeds, functions.py:168-233).
+  *
+  * Media are opaque `binary` columns with typed metadata. The
+  * Spark-side machinery — schema, partition spreading, once-per-
+  * partition model init, batched feature extraction, multi-vector
+  * output — is real and tested; the actual image/audio DECODE is
+  * stubbed deterministically (no codec libraries in this environment):
+  * `decodeStub` hashes the payload into a fixed-dim feature vector, so
+  * ranks and norms are reproducible (and SQL-checkable).
+  *
+  * At 100 TB: payloads stay distributed (never collected); feature
+  * extraction is a narrow mapPartitions stage sized by
+  * `spark.sql.files.maxPartitionBytes`; downstream ANN reuses
+  * graft.operators.SimilaritySearch.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      metadata: String)
+  case class FeatureRow(media_id: Long, kind: String, n_bytes: Int,
+      features: Array[Float])
+
+  /** Wrap a text column as a binary media table (stand-in ingest: in
+    * production the payload comes from binaryFile sources).
+    */
+  def mediaFromText(df: DataFrame, idCol: String, textCol: String,
+      kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      to_json(struct(length(col(textCol)).as("n_chars"))).as("metadata"))
+
+  /** Deterministic "decode + embed" stub: md5 chains over the payload
+    * seed a dim-length [0,1) feature vector. Replaces the model
+    * forward pass; byte-identical across engines/runs.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      md.reset()
+      md.update(payload)
+      md.update(k.toByte)
+      val d = md.digest()
+      // first 3 bytes -> 24-bit uint -> [0,1)
+      val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      out(k) = (v.toDouble / (1 << 24)).toFloat
+      k += 1
+    }
+    out
+  }
+
+  /** Batched feature extraction: model "loaded" once per partition
+    * (GPU-executor reuse semantics, op.py:309-362), rows mapped in
+    * place. Returns (media_id, kind, n_bytes, features[dim]).
+    */
+  def extractFeatures(media: DataFrame, dim: Int): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // model init happens HERE once per partition in production
+        it.map { case (id, kind, payload) =>
+          FeatureRow(id, kind, payload.length, decodeStub(payload, dim))
+        }
+      }
+  }
+
+  /** Multi-vector (ColPali-style) stub: one vector per fixed-size
+    * payload patch — `Vector[Vector[f32]]` shape (functions.py:168-233).
+    */
+  def extractMultiVector(media: DataFrame, dim: Int, patchBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val patches = payload.grouped(patchBytes).map(p => decodeStub(p, dim)).toArray
+          (id, patches)
+        }
+      }
+      .toDF("media_id", "patch_vectors")
+  }
+
+  /** Late-interaction MaxSim score (ColPali query scoring,
+    * functions.py:236-298): sum over query vectors of the max dot
+    * product against any patch vector.
+    */
+  def maxSim(queryVecs: Array[Array[Float]])(docVecs: Seq[Seq[Float]]): Double =
+    queryVecs.map { q =>
+      docVecs.map(d => q.zip(d).map { case (a, b) => a.toDouble * b.toDouble }.sum).max
+    }.sum
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.Partitioning
+import graft.functions.TextFunctions
+
+/** LLM client boundary (reference: llm provider clients, llm/mod.rs;
+  * contextual-summary prompts two_tier_chunker.py:321-376). Real
+  * deployments implement this with a batched HTTP client initialized
+  * once per partition; tests and oracles use [[StubLlm]], which is
+  * pure and deterministic.
+  */
+trait LlmClient extends Serializable {
+  def complete(prompt: String): String
+}
+
+/** Deterministic stand-in: "summary" = first `n` whitespace tokens of
+  * the text after the last "\n\n" prompt separator, prefixed "CTX:".
+  */
+final case class StubLlm(n: Int = 8) extends LlmClient {
+  def complete(prompt: String): String = {
+    val text = prompt.split("\n\n").last
+    "CTX: " + text.split(" ").filter(_.nonEmpty).take(n).mkString(" ")
+  }
+}
+
+/** Two-tier chunking (two_tier_chunker.py:46-557): parent "page"
+  * chunks (token windows with overlap) + child chunks inside each
+  * page; deterministic md5 chunk ids (:377-389); contextual-retrieval
+  * columns (contextualized_text = LLM situating summary + chunk text,
+  * document_tasks.py:428-476).
+  *
+  * Shape: one narrow stage builds the nested page/child arrays per
+  * document inside codegen; two `posexplode`s flatten. The LLM pass is
+  * a `mapPartitions` over page chunks — client constructed once per
+  * partition, rows batched (embedding_service.py:125 pattern).
+  */
+object TwoTier {
+
+  /** Page + child chunks. Output per CHILD chunk:
+    * doc_id, page_index, page_id, page_text, child_index (=position_in_parent),
+    * chunk_id, chunk_text, n_tokens.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      pageTokens: Int = 100, pageOverlap: Int = 20,
+      childTokens: Int = 25): DataFrame = {
+    require(pageOverlap < pageTokens)
+    val step = pageTokens - pageOverlap
+    val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .withColumn("_toks", TextFunctions.allTokens(col(textCol)))
+    val nPages = floor((greatest(size(col("_toks")), lit(1)) - 1) / step).cast("int")
+    val pages = transform(sequence(lit(0), nPages),
+      i => slice(col("_toks"), (i * step + 1).cast("int"), lit(pageTokens)))
+    val paged = base
+      .select(col(idCol), posexplode(pages).as(Seq("page_index", "_ptoks")))
+      .withColumn("page_id",
+        Chunker.chunkId(col(idCol), "page", col("page_index")))
+      .withColumn("page_text", concat_ws(" ", col("_ptoks")))
+    val nChildren = floor((greatest(size(col("_ptoks")), lit(1)) - 1) / childTokens).cast("int")
+    val children = transform(sequence(lit(0), nChildren),
+      j => slice(col("_ptoks"), (j * childTokens + 1).cast("int"), lit(childTokens)))
+    paged
+      .select(col(idCol), col("page_index"), col("page_id"), col("page_text"),
+        posexplode(children).as(Seq("child_index", "_ctoks")))
+      .withColumn("chunk_id",
+        md5(concat_ws("_", col("page_id"), lit("child"), col("child_index").cast("string"))))
+      .withColumn("chunk_text", concat_ws(" ", col("_ctoks")))
+      .withColumn("n_tokens", size(col("_ctoks")))
+      .drop("_ctoks")
+  }
+
+  /** Page-level chunks only (the parent tier). */
+  def pages(df: DataFrame, idCol: String, textCol: String,
+      pageTokens: Int = 100, pageOverlap: Int = 20): DataFrame =
+    chunk(df, idCol, textCol, pageTokens, pageOverlap, childTokens = Int.MaxValue)
+      .where(col("child_index") === 0)
+      .select(col(idCol), col("page_index"), col("page_id"), col("page_text"))
+
+  case class PageRow(doc_id: Long, page_index: Int, page_id: String, page_text: String)
+  case class ContextualRow(doc_id: Long, page_index: Int, page_id: String,
+      page_text: String, contextual_summary: String, contextualized_text: String)
+
+  /** Contextual-retrieval pass (two_tier_chunker.py:390-495): per-page
+    * LLM summary + `contextualized_text = summary | text`. The client
+    * is constructed once per partition — the real-API shape — and the
+    * stub keeps it reproducible for the oracle.
+    */
+  def withContext(pagesDf: DataFrame, mkClient: () => LlmClient): Dataset[ContextualRow] = {
+    val spark = pagesDf.sparkSession
+    import spark.implicits._
+    pagesDf.select(
+        col("doc_id").cast("long"), col("page_index").cast("int"),
+        col("page_id"), col("page_text"))
+      .as[PageRow]
+      .mapPartitions { it =>
+        val client = mkClient() // once per partition (op.py:309-362 prepare-once)
+        it.map { p =>
+          val ctx = client.complete("Situate this chunk.\n\n" + p.page_text)
+          ContextualRow(p.doc_id, p.page_index, p.page_id, p.page_text,
+            ctx, ctx + " | " + p.page_text)
+        }
+      }
+  }
+}

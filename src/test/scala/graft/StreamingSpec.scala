@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sessionize
+import graft.streaming.{LiveUpdater, StatefulSessionize}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("stateful sessionize (batch mode) matches window-based sessionize") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val a = Sessionize.sessions(events, "user_id", "ts", "event_id", 30)
+      .collect().map(_.toSeq).toSet
+    val b = StatefulSessionize.sessionsBatch(events, "user_id", "ts", "event_id", 30)
+      .select("user_id", "session_index", "n_events", "start_us", "end_us", "duration_us")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("live updater applies change batches through the incremental guards") {
+    val tmp = Files.createTempDirectory("live").toString
+    val in = s"$tmp/in"
+    val (sink, track, ckpt) = (s"$tmp/sink", s"$tmp/track", s"$tmp/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    def batch(rows: (String, Long, String)*): DataFrame =
+      rows.toSeq.toDF("source_key", "ordinal", "content")
+        .withColumn("content_hash", sha2(col("content"), 256))
+
+    def process(delta: DataFrame): DataFrame =
+      operators.Chunker.fixed(delta, "content", 10, 2)
+        .select(col("source_key"),
+          concat_ws("#", col("source_key"), col("chunk_index")).as("target_key"),
+          col("chunk_text"))
+
+    val schema = batch(("x", 1L, "y")).schema
+    // S0 lands
+    batch(("a", 100L, "first version here"), ("b", 100L, "bbbb"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = LiveUpdater.start(spark, in, schema, process, "v1", sink, track, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(sink).count() === 3 + 1) // 18 chars -> 3, 4 -> 1
+
+    // S1 lands: edit a (fewer chunks -> stale key deletion), stale
+    // write for b (older ordinal must be ignored)
+    batch(("a", 200L, "short"), ("b", 50L, "stale!!!"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = LiveUpdater.start(spark, in, schema, process, "v1", sink, track, ckpt)
+    q2.awaitTermination()
+
+    val out = spark.read.parquet(sink)
+    val keys = out.select($"target_key").as[String].collect().toSet
+    assert(keys === Set("a#0", "b#0"))
+    assert(out.where($"target_key" === "a#0")
+      .select($"chunk_text").as[String].head() === "short")
+    assert(out.where($"target_key" === "b#0")
+      .select($"chunk_text").as[String].head() === "bbbb")
+  }
+}
