@@ -373,6 +373,81 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Metadata extraction: regex brand number + tag assembly with
+    * dedup (metadata_extraction_service.py:22-185 shape). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+      array_join(array_sort(array_distinct(
+        concat(split(col("p_name"), " "), array(lower(col("p_type")))))), ",")
+        .as("tags"))
+
+  /** Legacy weighted merge: 0.7·vector + 0.3·normalized-BM25
+    * (search_service.py:502-542). */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val vec = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
+    val lex = Search.bm25(t(s, dir, "documents"), "doc_id", "text", bm25QueryTerms)
+    Search.weightedMerge(vec, lex, "doc_id", 0.7)
+      .orderBy(col("blended").desc, col("doc_id").asc)
+      .select(col("doc_id"), round(col("blended"), 6).as("blended"))
+      .limit(10)
+  }
+
+  /** Multi-vector text/visual fusion: 0.6·text + 0.4·visual
+    * (qdrant_service.py:306-389). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q0 = emb.where(col("vec_id") === 0).select(col("embedding").as("qt"))
+    val q1 = emb.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q0)).crossJoin(broadcast(q1))
+      .select(col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qt")).as("text_score"),
+        VectorFunctions.cosine(col("embedding"), col("qv")).as("visual_score"))
+    scored
+      .withColumn("fused", Search.multiVectorFuse(scored, "text_score", "visual_score", 0.6))
+      .orderBy(col("fused").desc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("fused"), 6).as("fused"))
+      .limit(10)
+  }
+
+  /** Prefix suggestions (api/search.py:211-293). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_name")).distinct()
+      .where(col("p_name").startsWith("sm"))
+      .orderBy(col("p_name").asc)
+      .limit(10)
+
+  /** Rerank fallback: lexical-overlap boost over BM25 top-20
+    * (search_service.py:544-567). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val top = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+    val withToks = top.join(
+      Partitioning.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextFunctions.bm25Tokens(col("text")).as("toks")),
+      Seq("doc_id"))
+    Search.rerankLexicalBoost(withToks, "doc_id", "score", "toks", bm25QueryTerms)
+      .orderBy(col("boosted").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("overlap"), round(col("boosted"), 6).as("boosted"))
+      .limit(10)
+  }
+
+  /** Text embedding through the batched Embedder boundary (stub
+    * hash-projection — embed_text.rs / embedding_service.py shape). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val emb = operators.EmbedText.embed(
+      t(s, dir, "documents"), "doc_id", "text", () => operators.StubEmbedder(8))
+    emb.select(col("id").as("doc_id"),
+      element_at(col("embedding"), 1).cast("double").as("e0"),
+      VectorFunctions.l2Norm(col("embedding")).as("norm"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -416,7 +491,13 @@ object SparkEntry {
     "q34_two_tier_chunks" -> q34 _,
     "q35_contextualized" -> q35 _,
     "q36_multimodal_features" -> q36 _,
-    "q37_json_extract" -> q37 _)
+    "q37_json_extract" -> q37 _,
+    "q38_metadata_tags" -> q38 _,
+    "q39_weighted_merge" -> q39 _,
+    "q40_multivector_fusion" -> q40 _,
+    "q41_suggestions" -> q41 _,
+    "q42_rerank_boost" -> q42 _,
+    "q43_embed_stub" -> q43 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -561,7 +642,7 @@ object SparkEntry {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles
+        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles
 
   /** Sessionization oracle — shared by the window-based (q08) and the
     * flatMapGroupsWithState-based (q33) implementations: two different
@@ -715,7 +796,7 @@ object SparkEntry {
     "q36_multimodal_features" ->
       s"""SELECT doc_id AS media_id, 'image' AS kind,
          |strlen(text) AS n_bytes,
-         |CAST(${md5HexValSql("text || chr(0)", 6)} AS DOUBLE) / 16777216.0 AS f0,
+         |CAST(${md5HexValSql("text || chr(48)", 6)} AS DOUBLE) / 16777216.0 AS f0,
          |16 AS dim
          |FROM documents""".stripMargin,
     "q37_json_extract" ->
@@ -724,6 +805,81 @@ object SparkEntry {
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin)
+
+  /** DuckDB cosine fragment (same op order as VectorFunctions.cosine):
+    * dot(a,b) / (||a|| * ||b||). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       | * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  /** BM25 scored-docs CTE body (shared by q39/q42 oracles). */
+  private def bm25CteSql: String = {
+    val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents) GROUP BY doc_id, token),
+       |dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |m AS (SELECT * FROM idx WHERE token IN ($terms)),
+       |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY token),
+       |lex AS (SELECT m.doc_id, SUM(
+       |  ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * (m.tf * (1.2 + 1)) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS score
+       |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats GROUP BY m.doc_id)""".stripMargin
+  }
+
+  /** Embedding-stub component k (DuckDB) — twin of StubEmbedder. */
+  private def stubEmbSql(k: Int): String =
+    s"(CAST(${md5HexValSql(s"text || chr(${48 + k})", 6)} AS DOUBLE) / 16777216.0)"
+
+  private def searchOracles: Map[String, String] = {
+    val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
+    Map(
+      "q38_metadata_tags" ->
+        """SELECT p_partkey,
+          |CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+          |array_to_string(list_sort(list_distinct(
+          |  list_concat(string_split(p_name, ' '), [lower(p_type)]))), ',') AS tags
+          |FROM part""".stripMargin,
+      "q39_weighted_merge" ->
+        s"""WITH $bm25CteSql,
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |vec AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "qv")} AS score
+           |        FROM embeddings, q),
+           |lmax AS (SELECT MAX(score) AS m FROM lex),
+           |merged AS (SELECT coalesce(vec.doc_id, lex.doc_id) AS doc_id,
+           |  0.7 * coalesce(vec.score, 0.0) + 0.3 * (coalesce(lex.score, 0.0) / lmax.m) AS blended
+           |  FROM vec FULL OUTER JOIN lex ON vec.doc_id = lex.doc_id CROSS JOIN lmax)
+           |SELECT doc_id, round(blended, 6) AS blended FROM merged
+           |ORDER BY merged.blended DESC, doc_id LIMIT 10""".stripMargin,
+      "q40_multivector_fusion" ->
+        s"""WITH q0 AS (SELECT embedding AS qt FROM embeddings WHERE vec_id = 0),
+           |q1 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+           |sc AS (SELECT vec_id,
+           |  ${cosSql("embedding", "qt")} AS ts, ${cosSql("embedding", "qv")} AS vs
+           |  FROM embeddings, q0, q1),
+           |f AS (SELECT vec_id, 0.6 * ts + 0.4 * vs AS fused FROM sc)
+           |SELECT vec_id, round(fused, 6) AS fused FROM f
+           |ORDER BY f.fused DESC, vec_id LIMIT 10""".stripMargin,
+      "q41_suggestions" ->
+        """SELECT DISTINCT p_name FROM part WHERE p_name LIKE 'sm%'
+          |ORDER BY p_name LIMIT 10""".stripMargin,
+      "q42_rerank_boost" ->
+        s"""WITH $bm25CteSql,
+           |top20 AS (SELECT doc_id, score FROM lex ORDER BY score DESC, doc_id LIMIT 20),
+           |wt AS (SELECT t.doc_id, t.score,
+           |  len(list_filter(list_distinct($toksSql), x -> x IN ($terms))) AS overlap
+           |  FROM top20 t JOIN documents USING (doc_id)),
+           |b AS (SELECT doc_id, overlap,
+           |  score * (1.0 + 0.1 * CAST(overlap AS DOUBLE)) AS boosted FROM wt)
+           |SELECT doc_id, overlap, round(boosted, 6) AS boosted FROM b
+           |ORDER BY b.boosted DESC, doc_id LIMIT 10""".stripMargin,
+      "q43_embed_stub" ->
+        s"""SELECT doc_id, ${stubEmbSql(0)} AS e0,
+           |sqrt(${(0 until 8).map(k => s"${stubEmbSql(k)} * ${stubEmbSql(k)}").mkString(" + ")}) AS norm
+           |FROM documents""".stripMargin)
+  }
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the
     * lexicons can never drift between Spark and DuckDB. */

@@ -51,7 +51,7 @@ object Multimodal {
     while (k < dim) {
       md.reset()
       md.update(payload)
-      md.update(k.toByte)
+      md.update((48 + k).toByte) // ascii '0'+k: reproducible as chr() in SQL
       val d = md.digest()
       // first 3 bytes -> 24-bit uint -> [0,1)
       val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)

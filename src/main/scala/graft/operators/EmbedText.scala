@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Text-embedding boundary (EmbedText, embed_text.rs:9-104 /
+  * embedding_service.py:44-196): batched calls through an [[Embedder]]
+  * initialized once per partition; the reference batches 100 texts per
+  * API call (embedding_service.py:125) — same shape here.
+  *
+  * [[StubEmbedder]] is the deterministic hash-projection used by tests
+  * and oracles (FIXTURES.md §2: "stub embedder = seeded hash-projection
+  * so cosine ranks are deterministic").
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  /** Embed a batch of texts (one call = one provider request). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Deterministic embedder: component k = first-24-bits of
+  * md5(utf8(text) ‖ byte(k)) / 2^24 ∈ [0,1). Matches
+  * graft.multimodal.Multimodal.decodeStub over the utf8 payload.
+  */
+final case class StubEmbedder(dim: Int) extends Embedder {
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      graft.multimodal.Multimodal.decodeStub(t.getBytes("UTF-8"), dim)
+    }
+}
+
+object EmbedText {
+
+  case class Embedded(id: Long, embedding: Array[Float])
+
+  /** Embed a text column: (id, embedding[dim]). Batches of `batchSize`
+    * rows per embedder call, embedder constructed once per partition.
+    */
+  def embed(df: DataFrame, idCol: String, textCol: String,
+      mkEmbedder: () => Embedder, batchSize: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Partitioning.spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val embedder = mkEmbedder() // once per partition
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = embedder.embedBatch(batch.map(_._2))
+          batch.map(_._1).zip(vecs).map { case (id, v) => Embedded(id, v) }
+        }
+      }
+      .toDF("id", "embedding")
+  }
+}

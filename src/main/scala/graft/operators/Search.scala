@@ -65,6 +65,38 @@ object Search {
       .agg(sum(col("term_score")).as("score"))
   }
 
+  /** Legacy weighted merge (search_service.py:502-542): blended =
+    * w·vector + (1-w)·(lexical/max_lexical), missing scores as 0,
+    * over the full outer union of both result sets.
+    */
+  def weightedMerge(vec: DataFrame, lex: DataFrame, idCol: String,
+      vecWeight: Double): DataFrame = {
+    val v = vec.select(col(idCol), col("score").as("_v"))
+    val l = lex.select(col(idCol), col("score").as("_l"))
+    val maxLex = broadcast(l.agg(max(col("_l")).as("_lmax")))
+    v.join(l, Seq(idCol), "full_outer")
+      .crossJoin(maxLex)
+      .withColumn("blended",
+        lit(vecWeight) * coalesce(col("_v"), lit(0.0)) +
+          lit(1.0 - vecWeight) * (coalesce(col("_l"), lit(0.0)) / col("_lmax")))
+      .select(col(idCol), col("blended"))
+  }
+
+  /** Multi-vector (text/visual) linear fusion
+    * (qdrant_service.py:306-389): w·text + (1-w)·visual. */
+  def multiVectorFuse(scores: DataFrame, textCol: String, visualCol: String,
+      w: Double): org.apache.spark.sql.Column =
+    lit(w) * col(textCol) + lit(1.0 - w) * col(visualCol)
+
+  /** Rerank fallback (search_service.py:544-567): boost =
+    * score · (1 + 0.1 · |query_terms ∩ doc_tokens|). */
+  def rerankLexicalBoost(results: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, terms: Seq[String]): DataFrame =
+    results.withColumn("overlap",
+        size(filter(array_distinct(col(tokensCol)), t => t.isin(terms: _*))))
+      .withColumn("boosted",
+        col(scoreCol) * (lit(1.0) + lit(0.1) * col("overlap").cast("double")))
+
   /** Reciprocal-rank fusion over N score DataFrames, each (id, score).
     * Per source: rank = row_number by (score desc, id asc);
     * fused = Σ 1/(rrfK + rank). Output: (id, rrf) top `limit`.
