@@ -176,7 +176,7 @@ object SparkEntry {
     Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .withColumn("_toks", TextFunctions.bm25Tokens(col("text")))
       .select(col("doc_id"),
-        size(TextFunctions.shinglesOfTokens(col("_toks"), 3)).as("n_shingles"))
+        size(graft.functions.NativeText.shinglesOf(col("_toks"), 3)).as("n_shingles"))
 
   /** N-gram Jaccard near-dup pairs via inverted shingle index. */
   private def q17(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * The HOF formulation (transform/filter/aggregate lambdas) is
+  * semantically identical but runs interpreted with a full expression-
+  * tree walk per element; for shingling + MinHash that interpretation
+  * overhead dominates md5 cost by >10x. These expressions compute the
+  * SAME values in one tight imperative pass per row (verified against
+  * the DuckDB oracles, which still describe the HOF semantics).
+  *
+  * CodegenFallback is fine here: each is one eval call per row doing
+  * substantial work — there is no per-element expression dispatch left
+  * to eliminate, so wholestage codegen would buy little.
+  */
+object NativeText {
+
+  /** Column API: distinct word n-gram shingles of a token array —
+    * exact twin of [[TextFunctions.shinglesOfTokens]]. */
+  def shinglesOf(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShinglesExpr(GraftColumnBridge.expression(tokens), n))
+
+  /** Column API: MinHash signature of a token array's n-gram shingle
+    * set — exact twin of Dedup.minhashSignature(shinglesOfTokens(t,n), k):
+    * element k = min over shingles of md5hex(k ‖ ":" ‖ shingle);
+    * null/empty shingle sets yield an array of nulls (matching
+    * array_min over an empty array).
+    */
+  def minhashOf(tokens: Column, n: Int, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashExpr(GraftColumnBridge.expression(tokens), n, numHashes))
+
+  private[functions] def buildShingles(arr: ArrayData, n: Int,
+      distinct: Boolean): Array[UTF8String] = {
+    val num = arr.numElements()
+    if (num < n) return Array.empty
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= num - n) {
+      var s = arr.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, SPACE, arr.getUTF8String(i + j))
+        j += 1
+      }
+      if (distinct) out.add(s)
+      else out.add(s) // LinkedHashSet both ways: min unaffected by dups
+      i += 1
+    }
+    out.toArray(new Array[UTF8String](0))
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+}
+
+/** Distinct n-gram shingles (first-occurrence order — identical to
+  * array_distinct over the HOF-built gram array). */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any): Any =
+    new GenericArrayData(
+      NativeText.buildShingles(toks.asInstanceOf[ArrayData], n, distinct = true)
+        .asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr = copy(child = c)
+  override def prettyName: String = "shingles"
+}
+
+/** MinHash signature over n-gram shingles: array of numHashes hex-md5
+  * minima. Unsigned-byte digest comparison == hex-string comparison,
+  * so the min is taken on raw digests and hex-encoded once at the end.
+  */
+case class MinHashExpr(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    (0 until numHashes).map(k => s"$k:".getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(toks: Any): Any = {
+    val shingles = NativeText.buildShingles(
+      toks.asInstanceOf[ArrayData], n, distinct = false)
+    val out = new Array[Any](numHashes)
+    if (shingles.isEmpty) return new GenericArrayData(out) // all nulls
+    val md = MessageDigest.getInstance("MD5")
+    var k = 0
+    while (k < numHashes) {
+      var best: Array[Byte] = null
+      var i = 0
+      while (i < shingles.length) {
+        md.reset()
+        md.update(prefixes(k))
+        md.update(shingles(i).getBytes)
+        val d = md.digest()
+        if (best == null || unsignedLess(d, best)) best = d
+        i += 1
+      }
+      out(k) = UTF8String.fromString(hex(best))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashExpr = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}

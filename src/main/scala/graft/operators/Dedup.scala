@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Partitioning
-import graft.functions.TextFunctions
-import graft.functions.VectorFunctions
+import graft.functions.{NativeText, TextFunctions, VectorFunctions}
 
 /** Deduplication suite for large-scale training-data pipelines.
   *
@@ -43,8 +42,7 @@ object Dedup {
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
-      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks"), n))
-      .select(col(idCol), explode(col("_sh")).as("shingle"))
+      .select(col(idCol), explode(NativeText.shinglesOf(col("_toks"), n)).as("shingle"))
 
   /** Candidate pairs (a < b) sharing >= 1 shingle, with exact Jaccard
     * similarity over the distinct-shingle sets, filtered to >= minSim.
@@ -96,8 +94,7 @@ object Dedup {
     // band element (16x tokenizer+md5 blowup, interpreted)
     val sig = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
-      .withColumn("_sh", TextFunctions.shinglesOfTokens(col("_toks"), n))
-      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+      .withColumn("_sig", NativeText.minhashOf(col("_toks"), n, numHashes))
     val buckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val parts = b.cast("string") +: (0 until rows).map(r =>
         element_at(col("_sig"), (b * rows + r + 1).cast("int")))

@@ -42,8 +42,19 @@ object Search {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val idx = invertedIndex(df, idCol, textCol)
-    val dls = docLengths(df, idCol, textCol)
+    // one tokenization pass feeds BOTH the inverted index and the
+    // doc-length table (persisted: the two branches would otherwise
+    // each re-scan and re-tokenize the corpus). In production these
+    // are ingest-time artifacts; here they build per query.
+    val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = base
+      .select(col(idCol), explode(col("_toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dls = base.select(col(idCol), col("dl"))
     // scalar corpus stats as a 1-row broadcast DF — keeps the whole
     // query one lazy Catalyst plan (no driver-side .count())
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -72,7 +83,9 @@ object Search {
   def weightedMerge(vec: DataFrame, lex: DataFrame, idCol: String,
       vecWeight: Double): DataFrame = {
     val v = vec.select(col(idCol), col("score").as("_v"))
-    val l = lex.select(col(idCol), col("score").as("_l"))
+    // cached: the max() normalization branch would otherwise re-run
+    // the whole lexical scoring subtree a second time
+    val l = lex.select(col(idCol), col("score").as("_l")).cache()
     val maxLex = broadcast(l.agg(max(col("_l")).as("_lmax")))
     v.join(l, Seq(idCol), "full_outer")
       .crossJoin(maxLex)
