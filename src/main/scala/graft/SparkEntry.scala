@@ -448,6 +448,40 @@ object SparkEntry {
       VectorFunctions.l2Norm(col("embedding")).as("norm"))
   }
 
+  /** Semantic chunking: stub-embedded pseudo-sentences, boundary at
+    * cosine drop (semantic_chunker.py:61-264). */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    operators.SemanticChunker.chunks(
+      t(s, dir, "documents"), "doc_id", "text",
+      sentTokens = 10, () => operators.StubEmbedder(4), threshold = 0.85)
+
+  /** Multi-collection fan-out: one query over three labeled
+    * collections (search_service.py:207-237). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .where(instr(lower(col("text")), "small") > 0)
+      .select(lit("documents").as("source"), col("doc_id").as("id"))
+    val parts = t(s, dir, "part")
+      .where(instr(lower(col("p_name")), "small") > 0)
+      .select(lit("part").as("source"), col("p_partkey").as("id"))
+    val supp = t(s, dir, "supplier")
+      .where(instr(lower(col("s_name")), "small") > 0)
+      .select(lit("supplier").as("source"), col("s_suppkey").as("id"))
+    docs.unionByName(parts).unionByName(supp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hits"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  /** Duplicate grouping: connected components over fuzzy-pair edges
+    * (entity_deduplication.py:274-369). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Entities.fuzzyPairs(
+      t(s, dir, "part").select(Entities.normalizeName(col("p_name")).as("name")),
+      "name", 0.5)
+    operators.ConnectedComponents.run(pairs, "name_a", "name_b")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -497,7 +531,10 @@ object SparkEntry {
     "q40_multivector_fusion" -> q40 _,
     "q41_suggestions" -> q41 _,
     "q42_rerank_boost" -> q42 _,
-    "q43_embed_stub" -> q43 _)
+    "q43_embed_stub" -> q43 _,
+    "q44_semantic_chunks" -> q44 _,
+    "q45_fanout" -> q45 _,
+    "q46_dedup_groups" -> q46 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -642,7 +679,7 @@ object SparkEntry {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles
+        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles
 
   /** Sessionization oracle — shared by the window-based (q08) and the
     * flatMapGroupsWithState-based (q33) implementations: two different
@@ -879,6 +916,72 @@ object SparkEntry {
         s"""SELECT doc_id, ${stubEmbSql(0)} AS e0,
            |sqrt(${(0 until 8).map(k => s"${stubEmbSql(k)} * ${stubEmbSql(k)}").mkString(" + ")}) AS norm
            |FROM documents""".stripMargin)
+  }
+
+  /** Stub-embedding component k over an arbitrary SQL text expr. */
+  private def stubEmbSqlFor(x: String, k: Int): String =
+    s"(CAST(${md5HexValSql(s"$x || chr(${48 + k})", 6)} AS DOUBLE) / 16777216.0)"
+
+  private def semanticOracles: Map[String, String] = {
+    // dim-4 stub embeddings of the pseudo-sentence text; cosine with
+    // the previous sentence in EXACTLY VectorFunctions.cosine op order
+    def dot(p: String, c: String) =
+      (0 until 4).map(k => s"${p}$k * ${c}$k").mkString("0.0 + ", " + ", "")
+    def norm(v: String) =
+      "sqrt(" + (0 until 4).map(k => s"${v}$k * ${v}$k").mkString("0.0 + ", " + ", "") + ")"
+    val embCols = (0 until 4).map(k => s"${stubEmbSqlFor("stext", k)} AS c$k").mkString(",\n")
+    val lagCols = (0 until 4).map(k => s"lag(c$k) OVER w AS p$k").mkString(", ")
+    Map(
+      "q44_semantic_chunks" ->
+        s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
+           |sn AS (SELECT doc_id, i AS sent_index,
+           |  array_to_string(list_slice(toks, i*10+1, i*10+10), ' ') AS stext
+           |  FROM (SELECT doc_id, toks,
+           |        unnest(generate_series(0, CAST(floor((greatest(len(toks),1)-1)/10) AS INT))) AS i
+           |        FROM d)),
+           |e AS (SELECT doc_id, sent_index, stext,
+           |$embCols
+           |FROM sn),
+           |l AS (SELECT doc_id, sent_index, stext, c0, c1, c2, c3, $lagCols
+           |      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY sent_index)),
+           |b AS (SELECT doc_id, sent_index, stext,
+           |  CASE WHEN p0 IS NULL THEN 1
+           |       WHEN (CASE WHEN ${norm("p")} > 0 AND ${norm("c")} > 0
+           |             THEN (${dot("p", "c")}) / (${norm("p")} * ${norm("c")})
+           |             ELSE 0.0 END) < 0.85 THEN 1 ELSE 0 END AS boundary
+           |  FROM l),
+           |r AS (SELECT doc_id, sent_index, stext,
+           |  SUM(boundary) OVER (PARTITION BY doc_id ORDER BY sent_index
+           |                      ROWS UNBOUNDED PRECEDING) AS chunk_index
+           |  FROM b)
+           |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+           |string_agg(stext, ' ' ORDER BY sent_index) AS chunk_text,
+           |COUNT(*) AS n_sentences
+           |FROM r GROUP BY doc_id, chunk_index""".stripMargin,
+      "q45_fanout" ->
+        """SELECT source, COUNT(*) AS n_hits, MIN(id) AS min_id, MAX(id) AS max_id FROM (
+          |SELECT 'documents' AS source, doc_id AS id FROM documents
+          |  WHERE strpos(lower(text), 'small') > 0
+          |UNION ALL
+          |SELECT 'part', p_partkey FROM part WHERE strpos(lower(p_name), 'small') > 0
+          |UNION ALL
+          |SELECT 'supplier', s_suppkey FROM supplier WHERE strpos(lower(s_name), 'small') > 0)
+          |GROUP BY source""".stripMargin,
+      "q46_dedup_groups" ->
+        s"""WITH RECURSIVE
+           |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
+           |p AS (SELECT a.name AS name_a, b.name AS name_b
+           |      FROM n a JOIN n b
+           |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name
+           |      WHERE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+           |            / CAST(greatest(len(a.name), len(b.name)) AS DOUBLE) >= 0.5),
+           |e AS (SELECT name_a AS s, name_b AS d FROM p
+           |      UNION SELECT name_b, name_a FROM p),
+           |reach(node, r) AS (
+           |  SELECT s, s FROM e
+           |  UNION
+           |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s)
+           |SELECT node, MIN(r) AS comp FROM reach GROUP BY node""".stripMargin)
   }
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ConnectedComponents, Embedder, SemanticChunker}
+
+/** Embedder with planted topic shift: sentences containing "zzz" embed
+  * orthogonally to the rest. Top-level so closures don't capture the
+  * (non-serializable) suite instance. */
+case class TopicEmbedder() extends Embedder {
+  val dim = 2
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(t => if (t.contains("zzz")) Array(0f, 1f) else Array(1f, 0f))
+}
+
+class SemanticChunkerSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("boundary lands exactly at the topic shift") {
+    // 4 pseudo-sentences of 2 tokens: [aa bb] [cc dd] [zzz1 zzz2] [zzz3 zzz4]
+    val df = Seq((1L, "aa bb cc dd zzz1 zzz2 zzz3 zzz4")).toDF("doc_id", "text")
+    val got = SemanticChunker.chunks(df, "doc_id", "text",
+        sentTokens = 2, () => TopicEmbedder(), threshold = 0.5)
+      .orderBy($"chunk_index")
+      .select($"chunk_index", $"chunk_text", $"n_sentences")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq(
+      (1L, "aa bb cc dd", 2L),
+      (2L, "zzz1 zzz2 zzz3 zzz4", 2L)))
+  }
+
+  test("uniform embeddings yield a single chunk per doc") {
+    val df = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = SemanticChunker.chunks(df, "doc_id", "text",
+        sentTokens = 5, () => TopicEmbedder(), threshold = 0.5)
+    assert(got.count() === 1)
+    assert(got.select($"n_sentences").as[Long].head() === 4L)
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("two chains and an isolated pair resolve to min-label components") {
+    val edges = Seq(
+      ("b", "a"), ("b", "c"), ("c", "d"), // comp a
+      ("x", "y"),                         // comp x
+      ("m", "n"), ("n", "o"))             // comp m
+      .toDF("s", "d")
+    val got = ConnectedComponents.run(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x",
+      "m" -> "m", "n" -> "m", "o" -> "m"))
+  }
+
+  test("long path converges within iteration budget") {
+    val n = 12
+    val edges = (1 until n).map(i => (s"n%02d".format(i), s"n%02d".format(i + 1)))
+      .toDF("s", "d")
+    val comps = ConnectedComponents.run(edges, "s", "d")
+      .select($"comp").distinct().as[String].collect()
+    assert(comps.toSeq === Seq("n01"))
+  }
+}
