@@ -189,7 +189,9 @@ object SparkEntry {
   /** 64-bit SimHash per document. */
   private def q19(s: SparkSession, dir: String): DataFrame =
     Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .withColumn("_toks", TextFunctions.bm25Tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.NativeText.simhashOf(col("_toks")).as("simhash"))
 
   /** Embedding-cosine near-dup pairs (exact baseline). */
   private def q20(s: SparkSession, dir: String): DataFrame =
@@ -300,7 +302,18 @@ object SparkEntry {
     * (neo4j_service.py:429-489 shape): per-entity 1-hop and 2-hop
     * neighbor counts. */
   private def q31(s: SparkSession, dir: String): DataFrame = {
-    val edges = q30(s, dir).where(col("n_docs") >= 20)
+    // scale-invariant edge selection: each node keeps its top-3
+    // co-occurrence partners (a fixed count threshold degenerates as
+    // corpus co-occurrence counts grow with SF)
+    val cooc = q30(s, dir)
+    val directed = cooc.select(col("entity_a").as("u"), col("entity_b").as("v"), col("n_docs"))
+      .unionByName(cooc.select(col("entity_b").as("u"), col("entity_a").as("v"), col("n_docs")))
+    val w = Window.partitionBy(col("u")).orderBy(col("n_docs").desc, col("v").asc)
+    val edges = directed.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(least(col("u"), col("v")).as("entity_a"),
+        greatest(col("u"), col("v")).as("entity_b"))
+      .distinct()
     Entities.nHop(edges, "entity_a", "entity_b", 2)
       .groupBy(col("src").as("entity"))
       .agg(count(when(col("hops") === 1, 1)).as("n_1hop"),
@@ -482,6 +495,42 @@ object SparkEntry {
     operators.ConnectedComponents.run(pairs, "name_a", "name_b")
   }
 
+  /** Recursive structure-aware splitting with offset/line/column
+    * fidelity (split_recursively.rs:22-1042, regex tier). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.RecursiveSplit.split_recursively(col("text"), 200, 50, 20))
+        .as(Seq("chunk_index", "c")))
+      .select(col("doc_id"), col("chunk_index"),
+        col("c.start").as("start"), col("c.end").as("end"),
+        col("c.line").as("start_line"), col("c.column").as("start_column"),
+        col("c.text").as("chunk_text"))
+
+  /** IVF-style ANN: probe the 2 nearest label partitions (representative
+    * = min-vec_id member), then exact top-10 within probed partitions —
+    * the partition-pruning scale path for vector search. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val reps = emb.withColumn("rn",
+        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("label"), col("embedding").as("rep"))
+    val probed = reps.crossJoin(broadcast(q))
+      .withColumn("rep_score", VectorFunctions.cosine(col("rep"), col("qvec")))
+      .orderBy(col("rep_score").desc, col("label").asc)
+      .limit(2)
+      .select(col("label"))
+    emb.join(broadcast(probed), Seq("label"))
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .limit(10)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -534,7 +583,9 @@ object SparkEntry {
     "q43_embed_stub" -> q43 _,
     "q44_semantic_chunks" -> q44 _,
     "q45_fanout" -> q45 _,
-    "q46_dedup_groups" -> q46 _)
+    "q46_dedup_groups" -> q46 _,
+    "q47_recursive_split" -> q47 _,
+    "q48_ivf_ann" -> q48 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -758,7 +809,13 @@ object SparkEntry {
     "q30_cooccurrence" -> coocSql,
     "q31_entity_2hop" ->
       s"""WITH cooc AS ($coocSql),
-         |e AS (SELECT entity_a, entity_b FROM cooc WHERE n_docs >= 20),
+         |directed AS (SELECT entity_a AS u, entity_b AS v, n_docs FROM cooc
+         |             UNION ALL SELECT entity_b, entity_a, n_docs FROM cooc),
+         |ranked AS (SELECT u, v,
+         |           ROW_NUMBER() OVER (PARTITION BY u ORDER BY n_docs DESC, v) AS rnk
+         |           FROM directed),
+         |e AS (SELECT DISTINCT least(u, v) AS entity_a, greatest(u, v) AS entity_b
+         |      FROM ranked WHERE rnk <= 3),
          |und AS (SELECT entity_a AS s, entity_b AS d FROM e
          |        UNION SELECT entity_b, entity_a FROM e),
          |h2 AS (SELECT DISTINCT a.s, b.d FROM und a JOIN und b
@@ -967,6 +1024,19 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'supplier', s_suppkey FROM supplier WHERE strpos(lower(s_name), 'small') > 0)
           |GROUP BY source""".stripMargin,
+      "q48_ivf_ann" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |reps AS (SELECT label, embedding AS rep FROM (
+           |  SELECT label, embedding,
+           |  ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+           |  FROM embeddings) WHERE rn = 1),
+           |ps AS (SELECT label, ${cosSql("rep", "qv")} AS rep_score FROM reps, q),
+           |probed AS (SELECT label FROM ps ORDER BY rep_score DESC, label LIMIT 2),
+           |c AS (SELECT e.vec_id, e.label, ${cosSql("e.embedding", "qv")} AS cos
+           |      FROM embeddings e JOIN probed USING (label) CROSS JOIN q
+           |      WHERE e.vec_id <> 0)
+           |SELECT vec_id, label, round(cos, 6) AS score FROM c
+           |ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
       "q46_dedup_groups" ->
         s"""WITH RECURSIVE
            |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),

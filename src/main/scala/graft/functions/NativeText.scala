@@ -61,6 +61,58 @@ object NativeText {
   }
 
   private val SPACE = UTF8String.fromString(" ")
+
+  /** Column API: 64-bit SimHash hex over a token array — exact twin of
+    * graft.operators.Dedup.simhash's HOF formulation. */
+  def simhashOf(tokens: Column): Column =
+    GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(tokens)))
+}
+
+/** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =
+  * (hex-digit i/4 >> (i%4)) & 1), result bit = vote > 0, packed into
+  * 16 hex nibbles (weights 1,2,4,8 within the nibble).
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(toks: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < arr.numElements()) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < 64) {
+        val hexIdx = i >> 2
+        val byte = d(hexIdx >> 1) & 0xff
+        val digit = if ((hexIdx & 1) == 0) byte >> 4 else byte & 0xf
+        val bit = (digit >> (i & 3)) & 1
+        votes(i) += (if (bit == 1) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var ni = 0
+    while (ni < 16) {
+      var v = 0
+      var b = 0
+      while (b < 4) {
+        if (votes(ni * 4 + b) > 0) v += (1 << b)
+        b += 1
+      }
+      sb.append(Character.forDigit(v, 16))
+      ni += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+  override def prettyName: String = "simhash"
 }
 
 /** Distinct n-gram shingles (first-occurrence order — identical to

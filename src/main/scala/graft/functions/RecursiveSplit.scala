@@ -1,0 +1,163 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Recursive structure-aware splitting — the Spark re-expression of
+  * the reference's SplitRecursively (split_recursively.rs:22-1042):
+  *
+  *  - separator hierarchy (regex tier, :46-54): paragraph (`\n\n+`) →
+  *    line (`\n`) → whitespace (`\s+`); a piece longer than
+  *    `chunkSize` is re-split at the next level (tree-sitter grammars
+  *    are the reference's syntax tier above this — out of scope here,
+  *    the regex tier is the universal fallback).
+  *  - bottom-up merge (:597-743): adjacent atoms pack greedily into
+  *    chunks of at most `chunkSize` chars; a chunk is not closed
+  *    before `minChunkSize` unless input is exhausted.
+  *  - overlap: the next chunk re-includes the largest whole-atom
+  *    suffix of the previous chunk totalling <= `overlap` chars.
+  *  - offset fidelity (:818-866): each chunk carries (start, end) char
+  *    offsets into the ORIGINAL text plus 1-based line/column of the
+  *    start — `text.substring(start, end) == chunk` always holds.
+  *
+  * Imperative expression (CodegenFallback — one substantial eval per
+  * row, nothing left for wholestage codegen to fuse).
+  */
+object RecursiveSplit {
+
+  val chunkType: StructType = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("line", IntegerType, nullable = false),
+    StructField("column", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  def split_recursively(text: Column, chunkSize: Int,
+      minChunkSize: Int = 1, overlap: Int = 0): Column =
+    GraftColumnBridge.column(RecursiveSplitExpr(
+      GraftColumnBridge.expression(text), chunkSize, minChunkSize, overlap))
+
+  private[functions] val separators: Array[Regex] =
+    Array("\n{2,}".r, "\n".r, "\\s+".r)
+
+  /** Recursively split [s,e) of `text` into atoms of <= chunkSize
+    * where separators allow; an unsplittable oversize piece stays one
+    * atom (reference keeps oversize leaves intact).
+    */
+  private def atomize(text: String, s: Int, e: Int, level: Int,
+      chunkSize: Int, out: ArrayBuffer[(Int, Int)]): Unit = {
+    if (e - s <= chunkSize) {
+      emitTrimmed(text, s, e, out)
+      return
+    }
+    if (level >= separators.length) {
+      emitTrimmed(text, s, e, out) // oversize unsplittable leaf stays intact
+      return
+    }
+    val seg = text.substring(s, e)
+    val pieces = new ArrayBuffer[(Int, Int)]() // seg-relative content spans
+    var last = 0
+    for (m <- separators(level).findAllMatchIn(seg)) {
+      if (m.start > last) pieces += ((last, m.start))
+      last = m.end
+    }
+    if (last < seg.length) pieces += ((last, seg.length))
+    if (pieces.length == 1 && pieces(0) == ((0, seg.length))) {
+      atomize(text, s, e, level + 1, chunkSize, out) // no split here: next tier
+    } else {
+      // a piece holds no separator of this level, so recursion on it
+      // either emits it (fits) or descends a tier
+      for ((ps, pe) <- pieces) atomize(text, s + ps, s + pe, level, chunkSize, out)
+    }
+  }
+
+  /** Emit a span with surrounding whitespace stripped (content-only
+    * atoms — whitespace lives between chunks, never inside offsets'
+    * edges). */
+  private def emitTrimmed(text: String, s0: Int, e0: Int,
+      out: ArrayBuffer[(Int, Int)]): Unit = {
+    var s = s0
+    var e = e0
+    while (s < e && Character.isWhitespace(text.charAt(s))) s += 1
+    while (e > s && Character.isWhitespace(text.charAt(e - 1))) e -= 1
+    if (e > s) out += ((s, e))
+  }
+
+  /** Pack atoms into chunks; returns (start, end) offsets. */
+  private[functions] def chunkOffsets(text: String, chunkSize: Int,
+      minChunkSize: Int, overlap: Int): Seq[(Int, Int)] = {
+    val atoms = new ArrayBuffer[(Int, Int)]()
+    atomize(text, 0, text.length, 0, chunkSize, atoms)
+    if (atoms.isEmpty) return Seq.empty
+    val chunks = new ArrayBuffer[(Int, Int)]()
+    var i = 0
+    var curStart = atoms(0)._1
+    var curEnd = atoms(0)._2
+    i = 1
+    while (i < atoms.length) {
+      val (as, ae) = atoms(i)
+      if (ae - curStart <= chunkSize) {
+        curEnd = ae
+      } else {
+        chunks += ((curStart, curEnd))
+        // overlap: largest whole-atom suffix of the closed chunk
+        // totalling <= overlap chars
+        var j = i - 1
+        var newStart = as
+        while (j >= 0 && atoms(j)._1 >= curStart &&
+            curEnd - atoms(j)._1 <= overlap) {
+          newStart = atoms(j)._1
+          j -= 1
+        }
+        curStart = newStart
+        curEnd = ae
+      }
+      i += 1
+    }
+    if (curEnd > curStart) chunks += ((curStart, curEnd))
+    chunks.toSeq
+  }
+}
+
+case class RecursiveSplitExpr(child: Expression, chunkSize: Int,
+    minChunkSize: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(chunkSize > 0 && overlap < chunkSize)
+
+  override def dataType: DataType =
+    ArrayType(RecursiveSplit.chunkType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val offsets = RecursiveSplit.chunkOffsets(text, chunkSize, minChunkSize, overlap)
+    // line/column of each chunk start via one newline scan
+    val rows = new Array[Any](offsets.length)
+    var k = 0
+    while (k < offsets.length) {
+      val (s, e) = offsets(k)
+      var line = 1
+      var lastNl = -1
+      var p = 0
+      while (p < s) {
+        if (text.charAt(p) == '\n') { line += 1; lastNl = p }
+        p += 1
+      }
+      rows(k) = InternalRow(s, e, line, s - lastNl,
+        UTF8String.fromString(text.substring(s, e)))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RecursiveSplitExpr =
+    copy(child = c)
+  override def prettyName: String = "split_recursively"
+}

@@ -221,8 +221,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q11 greedy packing + q26 libm-cos signatures are intentionally
+    // q11/q47 greedy packing + q26 libm-cos signatures are intentionally
     // rows-only (not reproducible in DuckDB SQL with exact fp parity)
-    assert(noOracle === Set("q11_chunk_sentence", "q26_lsh_buckets"))
+    assert(noOracle === Set("q11_chunk_sentence", "q26_lsh_buckets",
+      "q47_recursive_split"))
   }
 }

@@ -34,7 +34,8 @@ def main():
         got_rel = con.sql(f"SELECT * FROM read_parquet('{full}/*.parquet')")
         got_cols = sorted(got_rel.columns)
         got = con.sql(
-            f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall()
+            "SELECT " + ", ".join(f'"{x}"' for x in got_cols)
+            + " FROM got_rel").fetchall()
         if d not in oracle:
             print(f"[noorcl] {d:24s} rows={len(got)}")
             n_noor += 1
@@ -43,7 +44,8 @@ def main():
             exp_rel = con.sql(oracle[d])
             exp_cols = sorted(exp_rel.columns)
             exp = con.sql(
-                f"SELECT {', '.join(exp_cols)} FROM ({oracle[d]})").fetchall()
+                "SELECT " + ", ".join(f'"{x}"' for x in exp_cols)
+                + f" FROM ({oracle[d]})").fetchall()
         except Exception as e:
             print(f"[ORCERR] {d:24s} {e}")
             n_fail += 1
