@@ -507,20 +507,27 @@ object SparkEntry {
         col("c.line").as("start_line"), col("c.column").as("start_column"),
         col("c.text").as("chunk_text"))
 
-  /** IVF-style ANN: probe the 2 nearest label partitions (representative
-    * = min-vec_id member), then exact top-10 within probed partitions —
-    * the partition-pruning scale path for vector search. */
+  /** IVF-style ANN: probe the nearest label partitions by TRUE mean
+    * centroid, then exact top-10 within probed partitions — the
+    * partition-pruning scale path for vector search.
+    *
+    * Exactness: stub/testdata components are 24-bit dyadics, so double
+    * sums are exact regardless of aggregation order — centroids are
+    * engine-independent without decimal tricks. */
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    val reps = emb.withColumn("rn",
-        row_number().over(Window.partitionBy(col("label")).orderBy(col("vec_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("label"), col("embedding").as("rep"))
-    val probed = reps.crossJoin(broadcast(q))
-      .withColumn("rep_score", VectorFunctions.cosine(col("rep"), col("qvec")))
+    val comps = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("c"))
+    val cents = comps.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("rep_score", VectorFunctions.cosine(col("centroid"), col("qvec")))
       .orderBy(col("rep_score").desc, col("label").asc)
-      .limit(2)
+      .limit(4)
       .select(col("label"))
     emb.join(broadcast(probed), Seq("label"))
       .where(col("vec_id") =!= 0)
@@ -528,6 +535,21 @@ object SparkEntry {
       .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      .limit(10)
+  }
+
+  /** Cross-encoder rerank of BM25 top-20 through the RerankClient
+    * boundary (stub = query-term coverage; reranker_service.py:17-63). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val top = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    operators.Rerank.rerank(top, "doc_id", "text",
+        bm25QueryTerms.mkString(" "), () => operators.StubReranker())
+      .toDF()
+      .orderBy(col("rerank_score").desc, col("id").asc)
+      .select(col("id").as("doc_id"), col("rerank_score"))
       .limit(10)
   }
 
@@ -585,7 +607,8 @@ object SparkEntry {
     "q45_fanout" -> q45 _,
     "q46_dedup_groups" -> q46 _,
     "q47_recursive_split" -> q47 _,
-    "q48_ivf_ann" -> q48 _)
+    "q48_ivf_ann" -> q48 _,
+    "q49_rerank_client" -> q49 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1026,17 +1049,33 @@ object SparkEntry {
           |GROUP BY source""".stripMargin,
       "q48_ivf_ann" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-           |reps AS (SELECT label, embedding AS rep FROM (
-           |  SELECT label, embedding,
-           |  ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-           |  FROM embeddings) WHERE rn = 1),
-           |ps AS (SELECT label, ${cosSql("rep", "qv")} AS rep_score FROM reps, q),
-           |probed AS (SELECT label FROM ps ORDER BY rep_score DESC, label LIMIT 2),
+           |comps AS (SELECT label, dim, avg(v) AS c FROM (
+           |          SELECT label,
+           |          unnest(generate_series(1, len(embedding))) AS dim,
+           |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+           |          FROM embeddings) GROUP BY label, dim),
+           |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+           |          FROM comps GROUP BY label),
+           |ps AS (SELECT label, ${cosSql("centroid", "qv")} AS rep_score FROM cents, q),
+           |probed AS (SELECT label FROM ps ORDER BY rep_score DESC, label LIMIT 4),
            |c AS (SELECT e.vec_id, e.label, ${cosSql("e.embedding", "qv")} AS cos
            |      FROM embeddings e JOIN probed USING (label) CROSS JOIN q
            |      WHERE e.vec_id <> 0)
            |SELECT vec_id, label, round(cos, 6) AS score FROM c
            |ORDER BY c.cos DESC, vec_id LIMIT 10""".stripMargin,
+      "q49_rerank_client" -> {
+        val qts = bm25QueryTerms.distinct
+        val qlist = qts.map(t => s"'$t'").mkString(", ")
+        s"""WITH $bm25CteSql,
+           |top20 AS (SELECT doc_id FROM lex ORDER BY score DESC, doc_id LIMIT 20),
+           |scored AS (SELECT t.doc_id,
+           |  CAST(len(list_filter([$qlist],
+           |    x -> list_contains(string_split_regex(lower(d.text), '\\s+'), x))) AS DOUBLE)
+           |  / ${qts.length}.0 AS rerank_score
+           |  FROM top20 t JOIN documents d USING (doc_id))
+           |SELECT doc_id, rerank_score FROM scored
+           |ORDER BY rerank_score DESC, doc_id LIMIT 10""".stripMargin
+      },
       "q46_dedup_groups" ->
         s"""WITH RECURSIVE
            |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
