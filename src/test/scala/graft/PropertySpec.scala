@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{RecursiveSplit, TextFunctions}
+import graft.operators.Chunker
+import graft.types.SchemaMapping
+
+/** Property tests (SURVEY §5: codec roundtrips mirroring
+  * test_convert.py, plus operator invariants under random inputs).
+  * Driver-side generation, one Spark job per sampled batch.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Deterministic sampling (scalacheck Gen, fixed seeds) — property
+    * checks without the scalatest-plus bridge (offline dep set). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.const("the"),
+      Gen.const("日本語"), Gen.const("🙂")))
+    seps <- Gen.listOfN(40, Gen.oneOf(" ", " ", "\n", "\n\n", ". "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("recursive split always reconstructs from offsets (random unicode text)") {
+    val texts = samples(textGen, 60)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", $"text", explode(
+        RecursiveSplit.split_recursively($"text", 30, 5, 8)).as("c"))
+      .select($"text", $"c.start", $"c.end", $"c.text".as("chunk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (text, s, e, chunk) =
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3))
+      assert(text.substring(s, e) === chunk)
+      assert(chunk.nonEmpty)
+      assert(!Character.isWhitespace(chunk.head) && !Character.isWhitespace(chunk.last))
+    }
+  }
+
+  test("fixed chunks cover the whole text in order") {
+    val texts = samples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 40)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = Chunker.fixed(rows, "text", 20, 5)
+      .groupBy($"id").agg(
+        max(length($"text")).as("len"),
+        max($"chunk_index").as("last"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(out.length === texts.length)
+    out.foreach { r =>
+      val (len, last, n) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(n === last + 1) // indexes contiguous from 0
+      // last chunk starts before the end of text (step=15)
+      assert(last * 15 < math.max(len, 1))
+    }
+  }
+
+  test("bm25 tokens never contain stopwords or short tokens") {
+    val toks = samples(textGen, 60).toDF("text")
+      .select(explode(TextFunctions.bm25Tokens($"text")).as("t"))
+      .as[String].collect()
+    assert(toks.nonEmpty)
+    toks.foreach { t =>
+      assert(t.length > 2)
+      assert(!TextFunctions.stopwords.contains(t))
+      assert(t.matches("[a-z0-9]+"))
+    }
+  }
+
+  test("type-table roundtrip: values survive Row encoding per SchemaMapping") {
+    val schema = StructType(Seq(
+      SchemaMapping.field("b", SchemaMapping.scalar("Bytes"), nullable = true),
+      SchemaMapping.field("s", SchemaMapping.scalar("Str"), nullable = true),
+      SchemaMapping.field("i", SchemaMapping.scalar("Int64"), nullable = true),
+      SchemaMapping.field("f", SchemaMapping.scalar("Float64"), nullable = true),
+      SchemaMapping.field("r", SchemaMapping.scalar("Range"), nullable = true),
+      SchemaMapping.field("d", SchemaMapping.scalar("Date"), nullable = true),
+      SchemaMapping.field("v", SchemaMapping.vector(FloatType, Some(3))._1,
+        nullable = true)))
+    val rows = Seq(
+      Row("xyz".getBytes, "text", 42L, 2.5, Row(3L, 9L),
+        java.sql.Date.valueOf("2024-02-29"), Seq(1f, 2f, 3f)),
+      Row(null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row)), schema)
+    val back = df.collect()
+    assert(back(0).getAs[Array[Byte]]("b").toSeq === "xyz".getBytes.toSeq)
+    assert(back(0).getAs[Row]("r") === Row(3L, 9L))
+    assert(back(0).getAs[Seq[Float]]("v") === Seq(1f, 2f, 3f))
+    assert(back(1).toSeq.forall(_ == null))
+    // round-trip through parquet too (export path)
+    val tmp = java.nio.file.Files.createTempDirectory("types").toString
+    df.write.mode("overwrite").parquet(s"$tmp/t")
+    val rt = spark.read.parquet(s"$tmp/t")
+    // parquet widens struct-field nullability; compare field names/types
+    val rtRange = rt.schema("r").dataType.asInstanceOf[StructType]
+    val expRange = SchemaMapping.scalar("Range").asInstanceOf[StructType]
+    assert(rtRange.fields.map(f => (f.name, f.dataType)).toSeq ===
+      expRange.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(rt.count() === 2)
+  }
+
+  test("union encoding keeps exactly one active variant") {
+    val u = SchemaMapping.union(Seq("as_int" -> LongType, "as_str" -> StringType))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Row("as_int", 7L, null)), Row(Row("as_str", null, "seven")))),
+      StructType(Seq(StructField("u", u))))
+    val got = df.select($"u._tag", $"u.as_int", $"u.as_str").collect()
+    assert(got(0).toSeq === Seq("as_int", 7L, null))
+    assert(got(1).toSeq === Seq("as_str", null, "seven"))
+  }
+}
