@@ -36,16 +36,17 @@ object Search {
       .select(col(idCol),
         size(TextFunctions.bm25Tokens(col(textCol))).as("dl"))
 
-  /** BM25 scores of `queryTerms` over the corpus; one row per matching
-    * doc: (id, score). k1=1.2, b=0.75,
-    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
-    */
-  def bm25(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // one tokenization pass feeds BOTH the inverted index and the
-    // doc-length table (persisted: the two branches would otherwise
-    // each re-scan and re-tokenize the corpus). In production these
-    // are ingest-time artifacts; here they build per query.
+  /** Precomputed lexical index — the ingest-time artifact
+    * (contextual_retrieval_schema.sql:33 bm25_statistics analogue).
+    * Build once per corpus version, score many queries against it:
+    * a query is then `terms ⋈ idx` + one groupBy — never a corpus
+    * scan. */
+  final case class Bm25Index(idx: DataFrame, dls: DataFrame, stats: DataFrame,
+      idCol: String)
+
+  /** Build the reusable index (one tokenization pass; persist or
+    * export the three frames at ingest). */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
@@ -55,26 +56,38 @@ object Search {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dls = base.select(col(idCol), col("dl"))
-    // scalar corpus stats as a 1-row broadcast DF — keeps the whole
-    // query one lazy Catalyst plan (no driver-side .count())
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    Bm25Index(idx, dls, stats, idCol)
+  }
+
+  /** Score a query against a prebuilt index. */
+  def scoreWith(index: Bm25Index, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qt = queryTerms.distinct
-    val matched = idx.where(col("token").isin(qt: _*))
+    val matched = index.idx.where(col("token").isin(qt: _*))
     val dfreq = matched.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(countDistinct(col(index.idCol)).as("df"))
     matched
       .join(broadcast(dfreq), Seq("token"))
-      .join(dls, Seq(idCol))
-      .crossJoin(broadcast(stats))
+      .join(index.dls, Seq(index.idCol))
+      .crossJoin(broadcast(index.stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("term_score",
         col("idf") * (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col(idCol))
+      .groupBy(col(index.idCol))
       .agg(sum(col("term_score")).as("score"))
   }
+
+  /** BM25 scores of `queryTerms` over the corpus; one row per matching
+    * doc: (id, score). k1=1.2, b=0.75,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreWith(buildIndex(df, idCol, textCol), queryTerms, k1, b)
 
   /** Legacy weighted merge (search_service.py:502-542): blended =
     * w·vector + (1-w)·(lexical/max_lexical), missing scores as 0,

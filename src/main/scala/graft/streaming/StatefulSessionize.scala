@@ -92,14 +92,17 @@ object StatefulSessionize {
       .withColumnRenamed("session_index", "session_index")
   }
 
-  /** Streaming entry point: open sessions finalized after
-    * `timeoutMs` of processing-time silence. */
+  /** Streaming entry point: open sessions carried across micro-batches
+    * and closed by later events; with `timeoutMs > 0` they are also
+    * finalized after that much processing-time silence. */
   def sessionsStream(events: Dataset[Event], gapUs: Long,
       timeoutMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         statefulFn(gapUs, timeoutMs, emitOpen = false))
   }
 }
