@@ -553,6 +553,25 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Graph/entity statistics: node counts by type, edge counts by
+    * relationship type, degree stats (neo4j_service.py:682-717,
+    * state_manager.py:268-287). */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val typed = t(s, dir, "part")
+      .select(Entities.normalizeName(col("p_name")).as("name"),
+        Entities.normalizeType(rawPartType).as("etype"))
+      .distinct()
+    val edges = q30(s, dir)
+    val degrees = edges.select(col("entity_a").as("name"))
+      .unionByName(edges.select(col("entity_b").as("name")))
+      .groupBy(col("name")).agg(count(lit(1)).as("deg"))
+    typed.join(degrees, Seq("name"), "left")
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("total_degree"),
+        max(coalesce(col("deg"), lit(0L))).as("max_degree"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -608,7 +627,8 @@ object SparkEntry {
     "q46_dedup_groups" -> q46 _,
     "q47_recursive_split" -> q47 _,
     "q48_ivf_ann" -> q48 _,
-    "q49_rerank_client" -> q49 _)
+    "q49_rerank_client" -> q49 _,
+    "q50_graph_stats" -> q50 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1076,6 +1096,18 @@ object SparkEntry {
            |SELECT doc_id, rerank_score FROM scored
            |ORDER BY rerank_score DESC, doc_id LIMIT 10""".stripMargin
       },
+      "q50_graph_stats" ->
+        s"""WITH cooc AS ($coocSql),
+           |typed AS (SELECT DISTINCT ${normNameSql("p_name")} AS name,
+           |          ${normTypeSql(rawPartTypeSql)} AS etype FROM part),
+           |deg AS (SELECT name, COUNT(*) AS deg FROM (
+           |  SELECT entity_a AS name FROM cooc
+           |  UNION ALL SELECT entity_b FROM cooc) GROUP BY name)
+           |SELECT etype, COUNT(*) AS n_nodes,
+           |CAST(coalesce(SUM(deg), 0) AS BIGINT) AS total_degree,
+           |CAST(MAX(coalesce(deg, 0)) AS BIGINT) AS max_degree
+           |FROM typed LEFT JOIN deg USING (name)
+           |GROUP BY etype""".stripMargin,
       "q46_dedup_groups" ->
         s"""WITH RECURSIVE
            |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
