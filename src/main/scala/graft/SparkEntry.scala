@@ -50,9 +50,13 @@ object SparkEntry {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_qty"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_base_price"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(36,12))").as("sum_disc_price"),
+        // Money columns are 2dp doubles: DECIMAL(_,2) is lossless and the
+        // scaled sum stays < 2^53, so decimal->double is ONE identical
+        // IEEE rounding in both Spark and DuckDB (DECIMAL output columns
+        // themselves hash-mismatch in the driver's compare).
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)").as("sum_disc_price"),
         expr("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)").as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -75,7 +79,7 @@ object SparkEntry {
       .agg(
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"),
-        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("revenue"))
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)").as("revenue"))
   }
 
   /** Top-3 orders per customer — window ranking (§2.7 windows). */
@@ -251,7 +255,7 @@ object SparkEntry {
       .groupBy(col("r_name"))
       .agg(countDistinct(col("n_nationkey")).as("n_nations"),
         count(lit(1)).as("n_customers"),
-        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6))").as("sum_acctbal"))
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)").as("sum_acctbal"))
   }
 
   /** Random-hyperplane LSH bucket candidates over embeddings
@@ -640,9 +644,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_base_price,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(36,12)) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
         |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -652,7 +656,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q03_revenue_by_nation" ->
       """SELECT n_name, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS revenue
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -770,7 +774,7 @@ object SparkEntry {
     "q24_hybrid_rrf" -> rrfOracleSql,
     "q25_graph_2hop" ->
       """SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations, COUNT(*) AS n_customers,
-        |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DECIMAL(30,6)) AS sum_acctbal
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles

@@ -33,6 +33,16 @@ def main():
             continue
         got_rel = con.sql(f"SELECT * FROM read_parquet('{full}/*.parquet')")
         got_cols = sorted(got_rel.columns)
+        # The driver reads the two sides through different decimal paths
+        # (pyarrow object-Decimal vs duckdb float64) — DECIMAL output
+        # columns hash-mismatch there even when values are equal. Never
+        # emit them (CORRECTNESS_r02: q01/q03/q25).
+        dec_cols = [c for c, t in zip(got_rel.columns, got_rel.types)
+                    if "DECIMAL" in str(t).upper()]
+        if dec_cols:
+            print(f"[DECIML] {d:24s} decimal output cols={dec_cols}")
+            n_fail += 1
+            continue
         got = con.sql(
             "SELECT " + ", ".join(f'"{x}"' for x in got_cols)
             + " FROM got_rel").fetchall()
