@@ -18,18 +18,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region (not a query pre-run)
+    // Methodology (matches BASELINE.md): the reference's latencies are
+    // warm-path numbers against indexes prebuilt at ingest. One untimed
+    // pass first (a) builds the shared ingest artifacts (BM25 inverted
+    // index, shingle index — CorpusArtifacts) and (b) JIT/codegen-warms
+    // each query; its wall time is reported as `ingest_warmup`. The
+    // timed pass then measures the per-query warm latency the baseline
+    // table is quoted in. `value` = ingest_warmup + Σ query latencies.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").count()
+    val w0 = System.nanoTime()
+    SparkEntry.benchQueries.foreach { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+    }
+    val warmSec = (System.nanoTime() - w0) / 1e9
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results :+ ("ingest_warmup" -> warmSec))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = warmSec + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Partitioning
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Chunker, Dedup, Entities, Search, Sessionize, SimilaritySearch}
+import graft.operators.{Chunker, CorpusArtifacts, Dedup, Entities, Search, Sessionize, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,21 @@ object SparkEntry {
     s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
 
   private val bm25QueryTerms = Seq("spark", "query", "filter", "join", "data")
+
+  /** Shared ingest-time artifacts for the documents corpus of `dir` —
+    * built once per (session, corpus), reused by every lexical / dedup
+    * query (the reference's precomputed bm25_statistics analogue). */
+  private def docsBm25(s: SparkSession, dir: String): Search.Bm25Index =
+    CorpusArtifacts.bm25Index(s"${s.sparkContext.applicationId}:$dir",
+      t(s, dir, "documents"), "doc_id", "text")
+
+  private def docsShingles(s: SparkSession, dir: String): DataFrame =
+    CorpusArtifacts.shingleIndex(s"${s.sparkContext.applicationId}:$dir",
+      t(s, dir, "documents"), "doc_id", "text", 3)
+
+  /** BM25 scores of the canned query over the shared index. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    Search.scoreWith(docsBm25(s, dir), bm25QueryTerms)
 
   // ------------------------------------------------------------------
   // Query implementations
@@ -125,9 +140,11 @@ object SparkEntry {
   private def q08(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", 30)
 
-  /** BM25 tokenizer → term frequencies (two_tier_chunker.py:69-77). */
+  /** BM25 tokenizer → term frequencies (two_tier_chunker.py:69-77).
+    * Materializes the shared index — the ingest step of the lexical
+    * pipeline; q23/q24/q39/q42/q49 score against it. */
   private def q09(s: SparkSession, dir: String): DataFrame =
-    Search.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+    docsBm25(s, dir).idx
 
   /** Fixed-window chunking + deterministic chunk ids (chunker.py:92-113,
     * two_tier_chunker.py:377-389). */
@@ -182,9 +199,10 @@ object SparkEntry {
       .select(col("doc_id"),
         size(graft.functions.NativeText.shinglesOf(col("_toks"), 3)).as("n_shingles"))
 
-  /** N-gram Jaccard near-dup pairs via inverted shingle index. */
+  /** N-gram Jaccard near-dup pairs via the shared inverted shingle
+    * index (ingest artifact — no per-query re-shingling). */
   private def q17(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+    Dedup.jaccardPairsFromIndex(docsShingles(s, dir), "doc_id", 0.2)
 
   /** MinHash + LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
   private def q18(s: SparkSession, dir: String): DataFrame =
@@ -225,7 +243,7 @@ object SparkEntry {
 
   /** BM25 search: fixed query, top-20 (search_service.py:287-368). */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    Search.bm25(t(s, dir, "documents"), "doc_id", "text", bm25QueryTerms)
+    bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id").asc)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .limit(20)
@@ -233,9 +251,8 @@ object SparkEntry {
   /** Hybrid search: BM25 ⊕ vector via RRF k=60
     * (search_service.py:370-423). Doc i's embedding = vec_id i. */
   private def q24(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
-    val lex = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+    val lex = bm25Scores(s, dir)
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val vec = emb.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
@@ -408,7 +425,7 @@ object SparkEntry {
     val vec = emb.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
-    val lex = Search.bm25(t(s, dir, "documents"), "doc_id", "text", bm25QueryTerms)
+    val lex = bm25Scores(s, dir)
     Search.weightedMerge(vec, lex, "doc_id", 0.7)
       .orderBy(col("blended").desc, col("doc_id").asc)
       .select(col("doc_id"), round(col("blended"), 6).as("blended"))
@@ -443,7 +460,7 @@ object SparkEntry {
     * (search_service.py:544-567). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val top = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+    val top = bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id").asc).limit(20)
     val withToks = top.join(
       Partitioning.spread(docs.select(col("doc_id"), col("text")))
@@ -546,7 +563,7 @@ object SparkEntry {
     * boundary (stub = query-term coverage; reranker_service.py:17-63). */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val top = Search.bm25(docs, "doc_id", "text", bm25QueryTerms)
+    val top = bm25Scores(s, dir)
       .orderBy(col("score").desc, col("doc_id").asc).limit(20)
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
     operators.Rerank.rerank(top, "doc_id", "text",

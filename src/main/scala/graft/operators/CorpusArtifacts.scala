@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Ingest-time artifacts, memoized per corpus.
+  *
+  * The reference precomputes its lexical statistics at ingest
+  * (contextual_retrieval_schema.sql:33 `bm25_statistics`; chunk tables
+  * carry `bm25_tokens`) and every query reuses them — queries never
+  * re-tokenize the corpus. This object is the Spark analogue: the
+  * first caller of an artifact for a given corpus key builds and
+  * persists it; later queries (BM25 scoring, hybrid RRF, Jaccard /
+  * MinHash dedup) reuse the same persisted frames.
+  *
+  * At cluster scale these frames are written once as parquet/Delta by
+  * the ingest job; the in-session memo is the local[n] stand-in with
+  * identical dataflow shape. Keyed memoization also fixes the re-cache
+  * leak of building a fresh `.cache()` plan per query invocation.
+  */
+object CorpusArtifacts {
+
+  private val bm25Cache = new ConcurrentHashMap[String, Search.Bm25Index]()
+  private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** BM25 index (inverted index, doc lengths, corpus stats), persisted.
+    * `key` identifies the corpus version — at cluster scale the ingest
+    * run id; here the sf directory. */
+  def bm25Index(key: String, df: => DataFrame, idCol: String,
+      textCol: String): Search.Bm25Index =
+    bm25Cache.computeIfAbsent(key, _ =>
+      Search.buildIndex(df, idCol, textCol, eager = true))
+
+  /** Exploded (id, shingle) inverted index, persisted. */
+  def shingleIndex(key: String, df: => DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    shingleCache.computeIfAbsent(s"$key#$n", _ =>
+      Dedup.shingleIndex(df, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop every memoized artifact (tests / corpus reload). */
+  def reset(): Unit = {
+    bm25Cache.values.forEach { ix =>
+      ix.idx.unpersist(); ix.dls.unpersist(); ix.stats.unpersist()
+    }
+    shingleCache.values.forEach(_.unpersist())
+    bm25Cache.clear(); shingleCache.clear()
+  }
+}

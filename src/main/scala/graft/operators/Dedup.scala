@@ -53,8 +53,14 @@ object Dedup {
     * co-partitioned with the pair table).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minSim: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n).cache()
+      n: Int = 3, minSim: Double = 0.5): DataFrame =
+    jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n).cache(),
+      idCol, minSim)
+
+  /** Same, over a prebuilt (persisted) (id, shingle) inverted index —
+    * the ingest-artifact path ([[CorpusArtifacts.shingleIndex]]). */
+  def jaccardPairsFromIndex(idx: DataFrame, idCol: String,
+      minSim: Double): DataFrame = {
     val counts = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = idx.select(col(idCol).as("id_a"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("shingle"))

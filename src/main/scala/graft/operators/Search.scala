@@ -38,15 +38,29 @@ object Search {
 
   /** Precomputed lexical index — the ingest-time artifact
     * (contextual_retrieval_schema.sql:33 bm25_statistics analogue).
-    * Build once per corpus version, score many queries against it:
-    * a query is then `terms ⋈ idx` + one groupBy — never a corpus
-    * scan. */
+    * Build once per corpus version, score many queries against it.
+    *
+    * `impacts` is the impact-ordered form: per (doc, token) the full
+    * BM25 term contribution (idf × tf-saturation × length-norm) is
+    * already folded in at the DEFAULT k1/b, so a query is
+    * `filter(token ∈ terms) → groupBy(doc).sum` — one shuffle, no
+    * joins, no corpus scan. Standard top-k search index shape. */
   final case class Bm25Index(idx: DataFrame, dls: DataFrame, stats: DataFrame,
-      idCol: String)
+      impacts: DataFrame, idCol: String)
+
+  val defaultK1 = 1.2
+  val defaultB = 0.75
 
   /** Build the reusable index (one tokenization pass; persist or
-    * export the three frames at ingest). */
-  def buildIndex(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    * export the three frames at ingest).
+    *
+    * `eager = true` is the ingest-job mode: the three output frames are
+    * persisted and materialized NOW and the intermediate tokenized base
+    * (the widest frame — it holds the token arrays) is dropped, so the
+    * returned index holds only the compact artifacts.
+    */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+      eager: Boolean = false): Bm25Index = {
     val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
@@ -58,27 +72,60 @@ object Search {
     val dls = base.select(col(idCol), col("dl"))
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    Bm25Index(idx, dls, stats, idCol)
+    val impacts = termScores(
+      idx.join(idx.groupBy(col("token"))
+          .agg(countDistinct(col(idCol)).as("df")), Seq("token"))
+        .join(dls, Seq(idCol))
+        .crossJoin(broadcast(stats)),
+      defaultK1, defaultB)
+      .select(col(idCol), col("token"), col("term_score"))
+    if (eager) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val out = Bm25Index(idx.persist(lvl), dls.persist(lvl),
+        stats.persist(lvl), impacts.persist(lvl), idCol)
+      out.idx.count(); out.dls.count(); out.stats.count(); out.impacts.count()
+      base.unpersist()
+      out
+    } else Bm25Index(idx, dls, stats, impacts, idCol)
   }
 
-  /** Score a query against a prebuilt index. */
-  def scoreWith(index: Bm25Index, queryTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qt = queryTerms.distinct
-    val matched = index.idx.where(col("token").isin(qt: _*))
-    val dfreq = matched.groupBy(col("token"))
-      .agg(countDistinct(col(index.idCol)).as("df"))
-    matched
-      .join(broadcast(dfreq), Seq("token"))
-      .join(index.dls, Seq(index.idCol))
-      .crossJoin(broadcast(index.stats))
+  /** The BM25 per-(doc,token) contribution. One expression tree shared
+    * by the ingest-time impact index and the ad-hoc k1/b path, so both
+    * produce bit-identical doubles (and the DuckDB oracle mirrors it
+    * verbatim). */
+  private def termScores(joined: DataFrame, k1: Double, b: Double): DataFrame =
+    joined
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("term_score",
         col("idf") * (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col(index.idCol))
-      .agg(sum(col("term_score")).as("score"))
+
+  /** Score a query against a prebuilt index. At the default k1/b this
+    * reads the precomputed impact index (filter + one groupBy); custom
+    * k1/b fall back to scoring from the raw postings.
+    *
+    * df over the matched postings == corpus df per matched token, so
+    * precomputing idf at ingest is value-identical to the reference's
+    * query-time candidate-relative idf (search_service.py:321-328). */
+  def scoreWith(index: Bm25Index, queryTerms: Seq[String],
+      k1: Double = defaultK1, b: Double = defaultB): DataFrame = {
+    val qt = queryTerms.distinct
+    if (k1 == defaultK1 && b == defaultB)
+      index.impacts.where(col("token").isin(qt: _*))
+        .groupBy(col(index.idCol))
+        .agg(sum(col("term_score")).as("score"))
+    else {
+      val matched = index.idx.where(col("token").isin(qt: _*))
+      val dfreq = matched.groupBy(col("token"))
+        .agg(countDistinct(col(index.idCol)).as("df"))
+      termScores(
+        matched.join(broadcast(dfreq), Seq("token"))
+          .join(index.dls, Seq(index.idCol))
+          .crossJoin(broadcast(index.stats)), k1, b)
+        .groupBy(col(index.idCol))
+        .agg(sum(col("term_score")).as("score"))
+    }
   }
 
   /** BM25 scores of `queryTerms` over the corpus; one row per matching
@@ -129,10 +176,12 @@ object Search {
     */
   def rrf(sources: Seq[DataFrame], idCol: String, scoreCol: String,
       rrfK: Int = 60, limitN: Int = 10): DataFrame = {
-    val ranked = sources.zipWithIndex.map { case (s, i) =>
-      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-      s.select(col(idCol), col(scoreCol))
-        .withColumn("rank", row_number().over(w))
+    val ranked = sources.map { s =>
+      // global rank per source: range-sorted zipWithIndex, not a
+      // no-partition window (which would single-partition the corpus)
+      Ranking.withGlobalRank(
+          s.select(col(idCol), col(scoreCol)),
+          "rank", col(scoreCol).desc, col(idCol).asc)
         .select(col(idCol), (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"))
     }
     ranked.reduce(_ unionByName _)
