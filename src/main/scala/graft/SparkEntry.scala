@@ -574,6 +574,91 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** 116 chars → two 64-byte query patches (late-interaction query). */
+  private val maxSimQueryText = "spark query filter join data " * 4
+
+  /** ColPali-style late-interaction scoring (functions.py:236-298 +
+    * qdrant multi-vector MaxSim): doc patch multi-vectors vs a query
+    * multi-vector; score = Σ_q max_p ⟨q,p⟩; top-10. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromText(
+      t(s, dir, "documents"), "doc_id", "text", "image")
+    val mv = Multimodal.extractMultiVector(media, 4, 64)
+    val qVecs = maxSimQueryText.getBytes("UTF-8").grouped(64)
+      .map(p => Multimodal.decodeStub(p, 4)).toArray
+    val score = udf(Multimodal.maxSim(qVecs) _)
+    mv.select(col("media_id").as("doc_id"),
+        size(col("patch_vectors")).as("n_patches"),
+        score(col("patch_vectors")).as("raw"))
+      .orderBy(col("raw").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("n_patches"), round(col("raw"), 6).as("maxsim"))
+      .limit(10)
+  }
+
+  /** Semantic search composition (search_service.py:425-461):
+    * context-prefixed query → vector top-(2·k) over-fetch → cross-
+    * encoder rerank → top-k, rerank ties broken by vector score. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val docs = t(s, dir, "documents")
+    val ctxQuery = "context: " + bm25QueryTerms.mkString(" ")
+    val qv = SimilaritySearch.vecLit(
+      Multimodal.decodeStub(ctxQuery.getBytes("UTF-8"), 8).toIndexedSeq)
+    val candidates = operators.EmbedText.embed(
+        docs, "doc_id", "text", () => operators.StubEmbedder(8))
+      .withColumn("vscore", VectorFunctions.cosine(col("embedding"), qv))
+      .orderBy(col("vscore").desc, col("id").asc).limit(20)
+      .join(docs.select(col("doc_id"), col("text")),
+        col("id") === col("doc_id"))
+    val rr = operators.Rerank.rerank(candidates, "id", "text", ctxQuery,
+      () => operators.StubReranker()).toDF()
+    rr.join(candidates.select(col("id"), col("vscore")), Seq("id"))
+      .orderBy(col("rerank_score").desc, col("vscore").desc, col("id").asc)
+      .select(col("id").as("doc_id"), round(col("vscore"), 6).as("vscore"),
+        col("rerank_score"))
+      .limit(10)
+  }
+
+  /** Typed schema-constrained extraction through the LLM-client
+    * boundary (extract_by_llm.rs:11-297; stub client). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.ExtractByLlm.extract(
+      t(s, dir, "documents"), "doc_id", "text",
+      () => operators.ExtractByLlm.StubFactsExtractor()).toDF()
+  }
+
+  /** Notion-connector page assembly (notion_connector.py:220-340,
+    * 624-634): typed blocks (heading/paragraph/bullet/quote/table)
+    * rendered to markdown + content hash for change detection. Blocks
+    * here are synthesized deterministically from the document text —
+    * the rendering and hashing are the operator under test. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.NotionBlocks
+    val cellsT = "array<array<string>>"
+    def blk(tpe: String, text: Column, level: Column, cells: Column) =
+      struct(lit(tpe).as("block_type"), text.as("text"),
+        level.as("level"), cells.as("cells"))
+    val noCells = lit(null).cast(cellsT)
+    val noLevel = lit(null).cast("int")
+    val words = split(col("text"), "\\s+")
+    val first3 = array_join(slice(words, 1, 3), " ")
+    val blocksJson = to_json(array(
+      blk("heading", first3, lit(2), noCells),
+      blk("paragraph", col("text"), noLevel, noCells),
+      blk("bulleted_list_item", first3, noLevel, noCells),
+      blk("quote", element_at(words, 1), noLevel, noCells),
+      blk("table", lit(null).cast("string"), noLevel, array(
+        array(lit("doc"), col("doc_id").cast("string")),
+        array(lit("chars"), length(col("text")).cast("string"))))))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        NotionBlocks.blocksToMarkdown(blocksJson).as("markdown"))
+      .select(col("doc_id"), col("markdown"),
+        NotionBlocks.contentHash(col("markdown")).as("content_hash"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -649,7 +734,11 @@ object SparkEntry {
     "q47_recursive_split" -> q47 _,
     "q48_ivf_ann" -> q48 _,
     "q49_rerank_client" -> q49 _,
-    "q50_graph_stats" -> q50 _)
+    "q50_graph_stats" -> q50 _,
+    "q51_maxsim" -> q51 _,
+    "q52_semantic_search" -> q52 _,
+    "q53_extract_typed" -> q53 _,
+    "q54_notion_markdown" -> q54 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -794,7 +883,91 @@ object SparkEntry {
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles
+        |GROUP BY r_name""".stripMargin,
+    "q26_lsh_buckets" ->
+      """WITH proj AS (SELECT vec_id, b,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> CAST(embedding[d] AS DOUBLE) *
+        |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+        |        / 1024.0)) AS s
+        |  FROM embeddings CROSS JOIN generate_series(0, 5) t(b)),
+        |sig AS (SELECT vec_id,
+        |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+        |  FROM proj GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM sig a JOIN sig b USING (sig) WHERE a.vec_id < b.vec_id""".stripMargin,
+    "q51_maxsim" -> maxSimOracleSql,
+    "q52_semantic_search" -> semanticSearchOracleSql,
+    "q53_extract_typed" ->
+      """SELECT doc_id,
+        |coalesce(list_filter(string_split_regex(text, '\s+'), w -> w <> '')[1], '') AS headword,
+        |coalesce(TRY_CAST(substr(regexp_extract(text, '[0-9]+'), 1, 18) AS BIGINT), -1) AS first_num,
+        |CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT) AS n_words
+        |FROM documents""".stripMargin,
+    "q54_notion_markdown" ->
+      """WITH b AS (SELECT doc_id,
+        |  array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 3), ' ') AS f3,
+        |  string_split_regex(text, '\s+')[1] AS fw, text FROM documents),
+        |m AS (SELECT doc_id,
+        |  '## ' || f3 || chr(10) || chr(10) ||
+        |  text || chr(10) || chr(10) ||
+        |  '- ' || f3 || chr(10) || chr(10) ||
+        |  '> ' || fw || chr(10) || chr(10) ||
+        |  '| doc | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
+        |  '| chars | ' || CAST(length(text) AS VARCHAR) || ' |' AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown, md5(markdown) AS content_hash FROM m""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles
+
+  /** Semantic-search oracle: dim-8 stub embeddings, cosine in
+    * VectorFunctions op order, StubReranker = query-term coverage. */
+  private def semanticSearchOracleSql: String = {
+    val ctxQuery = "context: " + bm25QueryTerms.mkString(" ")
+    val rrTerms = ctxQuery.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val rlist = rrTerms.map(t => s"'$t'").mkString(", ")
+    def emb(x: String, pfx: String): String =
+      (0 until 8).map(k => s"${stubEmbSqlFor(x, k)} AS $pfx$k").mkString(", ")
+    val dot = (0 until 8).map(k => s"e$k * q$k").mkString("0.0 + ", " + ", "")
+    def norm(p: String): String =
+      "sqrt(" + (0 until 8).map(k => s"$p$k * $p$k").mkString("0.0 + ", " + ", "") + ")"
+    s"""WITH de AS (SELECT doc_id, text, ${emb("text", "e")} FROM documents),
+       |qv AS (SELECT ${emb(s"'$ctxQuery'", "q")}),
+       |sc AS (SELECT doc_id, text,
+       |  ($dot) / (${norm("e")} * ${norm("q")}) AS vscore FROM de, qv),
+       |top AS (SELECT * FROM sc ORDER BY vscore DESC, doc_id LIMIT 20),
+       |rr AS (SELECT doc_id, vscore,
+       |  CAST(len(list_filter([$rlist],
+       |    x -> list_contains(string_split_regex(lower(text), '\\s+'), x))) AS DOUBLE)
+       |  / ${rrTerms.length}.0 AS rerank_score FROM top)
+       |SELECT doc_id, round(vscore, 6) AS vscore, rerank_score FROM rr
+       |ORDER BY rr.rerank_score DESC, rr.vscore DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** MaxSim oracle: same 64-char patching, same dim-4 md5 stub
+    * embedding, dot products in the exact op order of
+    * Multimodal.maxSim (0.0-seeded left fold). */
+  private def maxSimOracleSql: String = {
+    val q = maxSimQueryText
+    def emb(x: String, pfx: String): String =
+      (0 until 4).map(k => s"${stubEmbSqlFor(x, k)} AS $pfx$k").mkString(", ")
+    val dot = (0 until 4).map(k => s"q$k * p$k").mkString("0.0 + ", " + ", "")
+    s"""WITH pat AS (SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS ptext
+       |  FROM (SELECT doc_id, text,
+       |        unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+       |        FROM documents)),
+       |pe AS (SELECT doc_id, i, ${emb("ptext", "p")} FROM pat),
+       |qp AS (SELECT qi, CASE qi WHEN 0 THEN substr('$q', 1, 64)
+       |                  ELSE substr('$q', 65, 64) END AS qtext
+       |       FROM (SELECT unnest([0, 1]) AS qi)),
+       |qe AS (SELECT qi, ${emb("qtext", "q")} FROM qp),
+       |mx AS (SELECT doc_id, qi, MAX($dot) AS m
+       |       FROM pe CROSS JOIN qe GROUP BY doc_id, qi),
+       |sc AS (SELECT doc_id, SUM(m) AS raw FROM mx GROUP BY doc_id),
+       |np AS (SELECT doc_id, COUNT(*) AS n_patches FROM pat GROUP BY doc_id)
+       |SELECT sc.doc_id, CAST(np.n_patches AS INT) AS n_patches,
+       |round(sc.raw, 6) AS maxsim
+       |FROM sc JOIN np USING (doc_id)
+       |ORDER BY sc.raw DESC, sc.doc_id LIMIT 10""".stripMargin
+  }
 
   /** Sessionization oracle — shared by the window-based (q08) and the
     * flatMapGroupsWithState-based (q33) implementations: two different

@@ -100,7 +100,8 @@ object Multimodal {
     * product against any patch vector.
     */
   def maxSim(queryVecs: Array[Array[Float]])(docVecs: Seq[Seq[Float]]): Double =
-    queryVecs.map { q =>
+    if (docVecs.isEmpty) 0.0
+    else queryVecs.map { q =>
       docVecs.map(d => q.zip(d).map { case (a, b) => a.toDouble * b.toDouble }.sum).max
     }.sum
 }

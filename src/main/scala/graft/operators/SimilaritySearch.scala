@@ -55,17 +55,24 @@ object SimilaritySearch {
   }
 
   /** Random-hyperplane LSH bucket key: sign-bit string of the vector
-    * against `planes` (deterministic pseudo-planes derived from the
-    * dimension index — stand-in for seeded gaussians, good enough to
-    * bucket and fully reproducible). nBits chars of '0'/'1'.
+    * against `nBits` deterministic pseudo-random planes. nBits chars of
+    * '0'/'1'.
+    *
+    * Plane weights are exact dyadic rationals from an integer LCG:
+    * `w(b,d) = (lcg(b·dim+d) mod 2001 − 1000) / 1024`, so each product
+    * with a float32 component is exact in double, and the projection is
+    * a sequential left fold — the same evaluation order DuckDB's
+    * list_sum uses. Bit-stable across engines (unlike the libm
+    * `cos`-weight planes this replaces, whose last-ulp differences made
+    * the signature engine-dependent and un-oracle-able).
     */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    // plane b, dim d weight: cos((b*dim + d) * 1.0) — deterministic,
-    // zero-mean-ish; replaced by seeded gaussians when precision matters
     val bits = (0 until nBits).map { b =>
       val w = aggregate(
         zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * cos((lit(b * dim) + d).cast("double"))),
+          (x, d) => x.cast("double") *
+            (((lit(1103515245L) * (lit(b.toLong * dim) + d.cast("long")) + lit(12345L))
+              % lit(2147483648L)) % lit(2001L) - lit(1000L)).cast("double") / lit(1024.0)),
         lit(0.0), (acc, v) => acc + v)
       when(w >= 0, lit("1")).otherwise(lit("0"))
     }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ExtractByLlm, Ranking}
+import graft.sources.NotionBlocks
+import graft.multimodal.Multimodal
+
+class NotionBlocksSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def render(json: String): String =
+    Seq(json).toDF("b")
+      .select(NotionBlocks.blocksToMarkdown(col("b"))).as[String].head()
+
+  test("renders heading levels, lists, code, quote, fallback") {
+    val json =
+      """[{"block_type":"heading","text":"Title","level":3},
+        |{"block_type":"bulleted_list_item","text":"item"},
+        |{"block_type":"numbered_list_item","text":"step"},
+        |{"block_type":"code","text":"x = 1"},
+        |{"block_type":"quote","text":"said"},
+        |{"block_type":"mystery","text":"raw"}]""".stripMargin.replace("\n", "")
+    assert(render(json) ===
+      "### Title\n\n- item\n\n1. step\n\n```\nx = 1\n```\n\n> said\n\nraw")
+  }
+
+  test("renders tables row by row") {
+    val json = """[{"block_type":"table","cells":[["a","b"],["c","d"]]}]"""
+    assert(render(json) === "| a | b |\n| c | d |")
+  }
+
+  test("content hash changes with content") {
+    val hashes = Seq("# a", "# b").toDF("md")
+      .select(NotionBlocks.contentHash(col("md"))).as[String].collect()
+    assert(hashes.distinct.length === 2)
+  }
+}
+
+class ExtractByLlmSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("typed extraction through the client boundary") {
+    val df = Seq((1L, "alpha beta 42 gamma"), (2L, "  no numbers here"))
+      .toDF("id", "text")
+    val got = ExtractByLlm.extract(df, "id", "text",
+        () => ExtractByLlm.StubFactsExtractor())
+      .collect().sortBy(_.doc_id)
+    assert(got(0) === ExtractByLlm.DocFacts(1L, "alpha", 42L, 4))
+    assert(got(1) === ExtractByLlm.DocFacts(2L, "no", -1L, 3))
+  }
+}
+
+class MaxSimSpec extends AnyFunSuite {
+  test("maxSim sums per-query-vector max dot products") {
+    val q = Array(Array(1f, 0f), Array(0f, 1f))
+    val docs = Seq(Seq(0.5f, 0f), Seq(0f, 0.25f))
+    // q0 best against doc patch 0 (0.5), q1 best against patch 1 (0.25)
+    assert(Multimodal.maxSim(q)(docs) === 0.75)
+    assert(Multimodal.maxSim(q)(Seq.empty) === 0.0)
+  }
+}
+
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("global rank matches a single-partition window row_number") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toDouble))
+      .toDF("id", "score").repartition(7)
+    val got = Ranking.withGlobalRank(df, "rank",
+        col("score").desc, col("id").asc)
+      .select(col("id"), col("rank")).as[(Long, Long)].collect().toMap
+    val expected = df.orderBy(col("score").desc, col("id").asc)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+  }
+}
