@@ -904,6 +904,29 @@ object SparkEntry {
         |coalesce(TRY_CAST(substr(regexp_extract(text, '[0-9]+'), 1, 18) AS BIGINT), -1) AS first_num,
         |CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT) AS n_words
         |FROM documents""".stripMargin,
+    // Greedy sequential packing IS expressible in set-based SQL — as a
+    // recursive CTE stepping one sentence at a time per doc; the final
+    // text of each chunk is the accumulator at its last step. RE2 has
+    // no lookbehind, so the Spark side's `(?<=[.!?])\s+` split becomes
+    // marker-replace + split.
+    "q11_chunk_sentence" ->
+      """WITH RECURSIVE sarr AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)),
+        |    x -> trim(x)), x -> len(x) > 0) AS arr FROM documents),
+        |sents AS (SELECT doc_id, i, arr[i] AS s
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM sarr)),
+        |pack AS (
+        |  SELECT doc_id, 1 AS i, 0 AS chunk_idx, s AS cur FROM sents WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.doc_id, p.i + 1,
+        |    CASE WHEN len(p.cur || ' ' || s.s) <= 400 THEN p.chunk_idx ELSE p.chunk_idx + 1 END,
+        |    CASE WHEN len(p.cur || ' ' || s.s) <= 400 THEN p.cur || ' ' || s.s ELSE s.s END
+        |  FROM pack p JOIN sents s ON s.doc_id = p.doc_id AND s.i = p.i + 1)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_index, cur AS chunk_text
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx ORDER BY i DESC) AS rn
+        |      FROM pack)
+        |WHERE rn = 1""".stripMargin,
     "q54_notion_markdown" ->
       """WITH b AS (SELECT doc_id,
         |  array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 3), ' ') AS f3,

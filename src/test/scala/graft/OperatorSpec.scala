@@ -221,8 +221,8 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q11/q47 greedy packing is intentionally rows-only (sequential
-    // fill state isn't reproducible in set-based DuckDB SQL)
-    assert(noOracle === Set("q11_chunk_sentence", "q47_recursive_split"))
+    // q47's recursive splitter (hierarchy descent + cost-based merge +
+    // offset bookkeeping) is the one op still rows-only in DuckDB SQL
+    assert(noOracle === Set("q47_recursive_split"))
   }
 }

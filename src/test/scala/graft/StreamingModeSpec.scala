@@ -44,6 +44,33 @@ class StreamingModeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("processing-time timeout finalizes a silent open session") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StatefulSessionize.{OpenSession, Session}
+    // timed-out invocation: no new events, hasTimedOut = true — the
+    // open session must be emitted as closed and the state removed
+    val timedOut = TestGroupState.create[OpenSession](
+      Optional.of(OpenSession(1L, 0L, 5 * MIN, 2L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out = StatefulSessionize.statefulFn(30 * MIN, 300L, emitOpen = false)(
+      9L, Iterator.empty, timedOut).toSeq
+    assert(out === Seq(Session(9L, 1L, 2L, 0L, 5 * MIN, 5 * MIN)))
+    assert(timedOut.isRemoved)
+
+    // live invocation with an open tail: state kept + timeout armed
+    val live = TestGroupState.create[OpenSession](
+      Optional.empty[OpenSession](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out2 = StatefulSessionize.statefulFn(30 * MIN, 300L, emitOpen = false)(
+      9L, Iterator(Event(9L, 0L, 1L), Event(9L, 5 * MIN, 2L)), live).toSeq
+    assert(out2.isEmpty)
+    assert(live.exists && live.get === OpenSession(1L, 0L, 5 * MIN, 2L))
+    assert(live.getTimeoutTimestampMs.isPresent) // armed for finalization
+  }
+
   test("watermarked tumbling window aggregates a stream like the batch twin") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
