@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The HOF formulation (`aggregate(zip_with(...))`) is interpreted and
+  * allocates an intermediate array per row; over an ANN corpus the
+  * per-element expression dispatch dominates the multiply-adds. These
+  * run the identical left-to-right double arithmetic in one imperative
+  * pass — bit-identical results (the DuckDB oracles still describe the
+  * HOF semantics), including the HOF null behavior: mismatched lengths
+  * → null; a null element → null sum (cosine maps both per its
+  * `when(...).otherwise(0.0)` wrapper).
+  */
+object NativeVector {
+
+  def dotOf(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def cosineOf(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  private[functions] def elemReader(dt: DataType): (ArrayData, Int) => Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (arr, i) => arr.getFloat(i).toDouble
+      case DoubleType => (arr, i) => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"NativeVector expects array<float|double>, got array<$other>")
+    }
+
+  private[functions] def hasNullElement(arr: ArrayData): Boolean = {
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Σ aᵢ·bᵢ left-to-right in double — twin of VectorFunctions.dot. */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    // zip_with pads the shorter side with null → null product → null sum
+    if (x.numElements() != y.numElements() ||
+        NativeVector.hasNullElement(x) || NativeVector.hasNullElement(y)) {
+      null
+    } else {
+      val getX = NativeVector.elemReader(left.dataType)
+      val getY = NativeVector.elemReader(right.dataType)
+      var acc = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        acc += getX(x, i) * getY(y, i)
+        i += 1
+      }
+      acc
+    }
+  }
+}
+
+/** Cosine similarity — twin of VectorFunctions.cosine: dot/(‖a‖·‖b‖),
+  * all three folds left-to-right in double; 0.0 whenever the HOF
+  * version's `when(na > 0 && nb > 0)` guard is not (or cannot be
+  * proven) true: zero norms, null elements, or null inputs. The one
+  * null-producing case is a pure length mismatch (guard true, dot
+  * null).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return 0.0
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (NativeVector.hasNullElement(x) || NativeVector.hasNullElement(y))
+      return 0.0
+    val getX = NativeVector.elemReader(left.dataType)
+    val getY = NativeVector.elemReader(right.dataType)
+    var na = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = getX(x, i); na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) { val v = getY(y, i); nb += v * v; i += 1 }
+    if (!(math.sqrt(na) > 0 && math.sqrt(nb) > 0)) return 0.0
+    if (x.numElements() != y.numElements()) return null // guard true, dot null
+    var d = 0.0
+    i = 0
+    while (i < x.numElements()) { d += getX(x, i) * getY(y, i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

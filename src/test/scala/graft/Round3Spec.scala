@@ -64,6 +64,43 @@ class MaxSimSpec extends AnyFunSuite {
   }
 }
 
+class NativeVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def hofCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(d(a, a)); val nb = sqrt(d(b, b))
+    when(na > 0 && nb > 0, d(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+
+  test("native cosine/dot are bit-identical to the HOF formulation") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = df.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = df.crossJoin(broadcast(q)).select(
+      graft.functions.VectorFunctions.cosine(col("embedding"), col("qv")).as("native"),
+      hofCosine(col("embedding"), col("qv")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() === 0)
+    assert(both.where(col("native").isNull =!= col("hof").isNull).count() === 0)
+  }
+
+  test("native cosine edge cases match HOF null semantics") {
+    val df = Seq(
+      (Seq(1f, 2f), Seq(1f, 2f)),      // equal → 1.0
+      (Seq(0f, 0f), Seq(1f, 2f)),      // zero norm → 0.0
+      (Seq(1f), Seq(1f, 2f))           // length mismatch → null
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("n"),
+      hofCosine(col("a"), col("b")).as("h"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    got.foreach { case (n, h) => assert(n === h) }
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
