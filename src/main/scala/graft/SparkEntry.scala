@@ -659,6 +659,26 @@ object SparkEntry {
         NotionBlocks.contentHash(col("markdown")).as("content_hash"))
   }
 
+  /** Semantic focus: short topic label per page chunk through the LLM
+    * boundary (two_tier_chunker.py:357-376; stub client). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    operators.TwoTier.withFocus(
+      operators.TwoTier.pages(t(s, dir, "documents"), "doc_id", "text", 100, 20),
+      () => operators.StubLlm(4))
+      .toDF()
+      .select(col("doc_id"), col("page_index"), col("page_id"),
+        col("semantic_focus"))
+
+  /** Canonical entity descriptions through the LLM boundary
+    * (canonical_description_service.py; stub client). */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val canonical = Entities.canonicalize(
+      t(s, dir, "part").withColumn("etype", Entities.normalizeType(rawPartType)),
+      "p_partkey", "p_name", "etype")
+    Entities.canonicalDescriptions(canonical, "canonical_name", "entity_type",
+      () => operators.StubLlm(8))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -738,7 +758,9 @@ object SparkEntry {
     "q51_maxsim" -> q51 _,
     "q52_semantic_search" -> q52 _,
     "q53_extract_typed" -> q53 _,
-    "q54_notion_markdown" -> q54 _)
+    "q54_notion_markdown" -> q54 _,
+    "q55_semantic_focus" -> q55 _,
+    "q56_canonical_desc" -> q56 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1049,6 +1071,14 @@ object SparkEntry {
       |GROUP BY a.entity, b.entity""".stripMargin
 
   private def entityOracles: Map[String, String] = Map(
+    "q56_canonical_desc" ->
+      s"""WITH c AS (SELECT DISTINCT ${normNameSql("p_name")} AS canonical_name,
+         |${normTypeSql(rawPartTypeSql)} AS entity_type FROM part)
+         |SELECT canonical_name, entity_type,
+         |'CTX: ' || array_to_string(list_slice(list_filter(
+         |  string_split(canonical_name || ' (' || lower(entity_type) || ')', ' '),
+         |  w -> w <> ''), 1, 8), ' ') AS description
+         |FROM c""".stripMargin,
     "q27_entity_normalize" ->
       s"""SELECT p_partkey, ${normNameSql("p_name")} AS canonical_name,
          |${normTypeSql(rawPartTypeSql)} AS entity_type FROM part""".stripMargin,
@@ -1159,7 +1189,18 @@ object SparkEntry {
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q55_semantic_focus" ->
+      s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS page_index,
+         |      list_slice(toks, i*80+1, i*80+100) AS ptoks
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(toks),1)-1)/80) AS INT))) AS i
+         |            FROM d))
+         |SELECT doc_id, page_index,
+         |md5(concat_ws('_', CAST(doc_id AS VARCHAR), 'page', CAST(page_index AS VARCHAR))) AS page_id,
+         |'CTX: ' || array_to_string(list_slice(ptoks, 1, 4), ' ') AS semantic_focus
+         |FROM p""".stripMargin)
 
   /** DuckDB cosine fragment (same op order as VectorFunctions.cosine):
     * dot(a,b) / (||a|| * ||b||). */

@@ -41,41 +41,69 @@ object RecursiveSplit {
     StructField("text", StringType, nullable = false)))
 
   def split_recursively(text: Column, chunkSize: Int,
-      minChunkSize: Int = 1, overlap: Int = 0): Column =
+      minChunkSize: Int = 1, overlap: Int = 0,
+      language: String = "plain"): Column =
     GraftColumnBridge.column(RecursiveSplitExpr(
-      GraftColumnBridge.expression(text), chunkSize, minChunkSize, overlap))
+      GraftColumnBridge.expression(text), chunkSize, minChunkSize, overlap,
+      language))
 
   private[functions] val separators: Array[Regex] =
     Array("\n{2,}".r, "\n".r, "\\s+".r)
+
+  /** Language tier (split_recursively.rs:96-247 uses tree-sitter
+    * grammars per language; here each language contributes regex
+    * BOUNDARY tiers above the universal paragraph/line/space fallback
+    * — the boundaries the grammars would find: headings and fences for
+    * markdown, top-level definition starts for code). Lookahead
+    * patterns split BEFORE the construct while consuming only the
+    * newline, so chunk texts keep the definition header.
+    */
+  private[functions] def separatorsFor(language: String): Array[Regex] = {
+    val tiers: Seq[String] = language.toLowerCase match {
+      case "markdown" | "md" =>
+        Seq("\n(?=#{1,6} )", "\n(?=```)")
+      case "python" | "py" =>
+        Seq("\n(?=(?:class|def|async def) )", "\n(?=    (?:def|async def) )")
+      case "scala" | "java" | "kotlin" =>
+        Seq("\n(?=\\s*(?:(?:public|private|protected|final|abstract|case|sealed|implicit|override|static)\\s+)*(?:class|object|trait|interface|enum|def)\\b)")
+      case "js" | "javascript" | "ts" | "typescript" | "rust" | "go" | "c" | "cpp" =>
+        Seq("\n(?=\\s*(?:(?:export|pub|static|async|unsafe)\\s+)*(?:function|fn|func|struct|impl|class|const|var|let)\\b)")
+      case "sql" =>
+        Seq("(?i)\n(?=(?:create|alter|drop|insert|select|with|update|delete)\\b)", ";\\s*\n")
+      case _ => Seq.empty
+    }
+    (tiers.map(_.r) ++ separators).toArray
+  }
 
   /** Recursively split [s,e) of `text` into atoms of <= chunkSize
     * where separators allow; an unsplittable oversize piece stays one
     * atom (reference keeps oversize leaves intact).
     */
   private def atomize(text: String, s: Int, e: Int, level: Int,
-      chunkSize: Int, out: ArrayBuffer[(Int, Int)]): Unit = {
+      chunkSize: Int, seps: Array[Regex], out: ArrayBuffer[(Int, Int)]): Unit = {
     if (e - s <= chunkSize) {
       emitTrimmed(text, s, e, out)
       return
     }
-    if (level >= separators.length) {
+    if (level >= seps.length) {
       emitTrimmed(text, s, e, out) // oversize unsplittable leaf stays intact
       return
     }
     val seg = text.substring(s, e)
     val pieces = new ArrayBuffer[(Int, Int)]() // seg-relative content spans
     var last = 0
-    for (m <- separators(level).findAllMatchIn(seg)) {
+    for (m <- seps(level).findAllMatchIn(seg)) {
       if (m.start > last) pieces += ((last, m.start))
-      last = m.end
+      last = math.max(last, m.end)
     }
     if (last < seg.length) pieces += ((last, seg.length))
     if (pieces.length == 1 && pieces(0) == ((0, seg.length))) {
-      atomize(text, s, e, level + 1, chunkSize, out) // no split here: next tier
+      atomize(text, s, e, level + 1, chunkSize, seps, out) // no split: next tier
     } else {
       // a piece holds no separator of this level, so recursion on it
       // either emits it (fits) or descends a tier
-      for ((ps, pe) <- pieces) atomize(text, s + ps, s + pe, level, chunkSize, out)
+      for ((ps, pe) <- pieces)
+        atomize(text, s + ps, s + pe, level, chunkSize, seps, out)
     }
   }
 
@@ -93,9 +121,10 @@ object RecursiveSplit {
 
   /** Pack atoms into chunks; returns (start, end) offsets. */
   private[functions] def chunkOffsets(text: String, chunkSize: Int,
-      minChunkSize: Int, overlap: Int): Seq[(Int, Int)] = {
+      minChunkSize: Int, overlap: Int,
+      language: String = "plain"): Seq[(Int, Int)] = {
     val atoms = new ArrayBuffer[(Int, Int)]()
-    atomize(text, 0, text.length, 0, chunkSize, atoms)
+    atomize(text, 0, text.length, 0, chunkSize, separatorsFor(language), atoms)
     if (atoms.isEmpty) return Seq.empty
     val chunks = new ArrayBuffer[(Int, Int)]()
     var i = 0
@@ -128,7 +157,7 @@ object RecursiveSplit {
 }
 
 case class RecursiveSplitExpr(child: Expression, chunkSize: Int,
-    minChunkSize: Int, overlap: Int)
+    minChunkSize: Int, overlap: Int, language: String = "plain")
     extends UnaryExpression with CodegenFallback {
   require(chunkSize > 0 && overlap < chunkSize)
 
@@ -137,7 +166,8 @@ case class RecursiveSplitExpr(child: Expression, chunkSize: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val offsets = RecursiveSplit.chunkOffsets(text, chunkSize, minChunkSize, overlap)
+    val offsets = RecursiveSplit.chunkOffsets(text, chunkSize, minChunkSize,
+      overlap, language)
     // line/column of each chunk start via one newline scan
     val rows = new Array[Any](offsets.length)
     var k = 0

@@ -125,6 +125,26 @@ object Entities {
       .groupBy(col("canonical_name"), col("entity_type"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_mentions"))
 
+  /** Canonical entity descriptions (canonical_description_service.py):
+    * an LLM definition per canonical (name, type) through the same
+    * once-per-partition client boundary as TwoTier.withContext.
+    * Output: (canonical_name, entity_type, description). */
+  def canonicalDescriptions(canonical: DataFrame, nameCol: String,
+      typeCol: String, mkClient: () => LlmClient): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    canonical.select(col(nameCol).cast("string"), col(typeCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val client = mkClient()
+        it.map { case (name, etype) =>
+          (name, etype,
+            client.complete(s"Define the entity.\n\n$name (${etype.toLowerCase})"))
+        }
+      }
+      .toDF("canonical_name", "entity_type", "description")
+  }
+
   /** Fuzzy near-duplicate candidate pairs over canonical names with
     * prefix blocking: only names sharing a first-2-char block are
     * compared (keeps the self-join linear-ish under skew control),

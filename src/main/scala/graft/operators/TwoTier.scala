@@ -82,6 +82,28 @@ object TwoTier {
   case class ContextualRow(doc_id: Long, page_index: Int, page_id: String,
       page_text: String, contextual_summary: String, contextualized_text: String)
 
+  case class FocusRow(doc_id: Long, page_index: Int, page_id: String,
+      semantic_focus: String)
+
+  /** Semantic focus (two_tier_chunker.py:357-376): a short topic label
+    * per chunk from the LLM boundary — same mapPartitions shape as
+    * [[withContext]], different prompt. */
+  def withFocus(pagesDf: DataFrame, mkClient: () => LlmClient): Dataset[FocusRow] = {
+    val spark = pagesDf.sparkSession
+    import spark.implicits._
+    pagesDf.select(
+        col("doc_id").cast("long"), col("page_index").cast("int"),
+        col("page_id"), col("page_text"))
+      .as[PageRow]
+      .mapPartitions { it =>
+        val client = mkClient()
+        it.map { p =>
+          FocusRow(p.doc_id, p.page_index, p.page_id,
+            client.complete("Topic label, 2-5 words.\n\n" + p.page_text))
+        }
+      }
+  }
+
   /** Contextual-retrieval pass (two_tier_chunker.py:390-495): per-page
     * LLM summary + `contextualized_text = summary | text`. The client
     * is constructed once per partition — the real-API shape — and the

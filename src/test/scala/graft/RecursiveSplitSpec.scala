@@ -79,4 +79,37 @@ class RecursiveSplitSpec extends AnyFunSuite {
     assert(chunksOf("", 10).isEmpty)
     assert(chunksOf("   \n\n  ", 10).isEmpty)
   }
+
+  private def langChunks(text: String, size: Int, lang: String): Seq[String] =
+    Seq(text).toDF("t")
+      .select(explode(split_recursively($"t", size, 1, 0, lang)).as("c"))
+      .select($"c.text").as[String].collect().toSeq
+
+  test("markdown tier splits at heading boundaries before paragraphs") {
+    val md = "# One\nalpha beta gamma.\n# Two\ndelta epsilon zeta.\n# Three\neta theta."
+    val cs = langChunks(md, 40, "markdown")
+    assert(cs.length === 3)
+    assert(cs.forall(_.startsWith("# ")))
+    // plain tier has no heading boundary: single-newline tier splits lines
+    val plain = langChunks(md, 40, "plain")
+    assert(plain !== cs)
+  }
+
+  test("python tier keeps def headers with their bodies") {
+    val py = "def alpha():\n    return 1\ndef beta():\n    return 2\ndef gamma():\n    return 3"
+    val cs = langChunks(py, 40, "python")
+    assert(cs.length === 3)
+    assert(cs.forall(_.startsWith("def ")))
+  }
+
+  test("sql tier splits on statement starts") {
+    val sql = "CREATE TABLE t (a INT);\nINSERT INTO t VALUES (1);\nSELECT * FROM t WHERE a > 0"
+    val cs = langChunks(sql, 40, "sql")
+    assert(cs.length === 3)
+  }
+
+  test("unknown language falls back to the universal tiers") {
+    val text = "para one here.\n\npara two is longer text."
+    assert(langChunks(text, 30, "klingon") === langChunks(text, 30, "plain"))
+  }
 }
