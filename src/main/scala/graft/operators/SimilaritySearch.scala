@@ -91,4 +91,76 @@ object SimilaritySearch {
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
   }
+
+  /** IVF index built by spherical Lloyd k-means (the real IVF training
+    * step, vs. q48's label-partition shortcut): deterministic seeding
+    * (the k lowest-id vectors), fixed iteration count, assignment by
+    * max cosine. Centroids are k×dim — driver-held and broadcast each
+    * iteration, exactly how MLlib's KMeans distributes; the corpus
+    * never leaves its partitions. Returns (assigned corpus with a
+    * `cluster` column, centroid array indexed by cluster id).
+    */
+  def kmeansIvf(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), col(vecCol))
+    var cents: Array[Array[Double]] = base.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf { (v: Seq[Float]) =>
+        var best = 0; var bestScore = Double.MinValue
+        var c = 0
+        while (c < bc.value.length) {
+          val cent = bc.value(c)
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < cent.length && i < v.length) {
+            val x = v(i).toDouble
+            d += x * cent(i); na += x * x; nb += cent(i) * cent(i)
+            i += 1
+          }
+          val score = if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+          if (score > bestScore) { bestScore = score; best = c }
+          c += 1
+        }
+        best
+      }
+      assigned = base.withColumn("cluster", assign(col(vecCol)))
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+    }
+    (assigned, cents)
+  }
+
+  /** ANN over a k-means IVF index: score the query against centroids,
+    * keep the `probes` best clusters, exact top-k inside them. */
+  def ivfSearch(assigned: DataFrame, cents: Array[Array[Double]],
+      idCol: String, vecCol: String, query: Column, probes: Int,
+      k: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val centRows = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    import spark.implicits._
+    val centDf = centRows.toSeq.toDF("cluster", "centroid")
+    val probed = centDf
+      .withColumn("rep_score", VectorFunctions.cosine(col("centroid"), query))
+      .orderBy(col("rep_score").desc, col("cluster").asc)
+      .limit(probes)
+      .select(col("cluster"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .withColumn("score", VectorFunctions.cosine(col(vecCol), query))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(col(idCol), col("cluster"), round(col("score"), 6).as("score"))
+      .limit(k)
+  }
 }

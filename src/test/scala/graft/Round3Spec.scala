@@ -101,6 +101,36 @@ class NativeVectorSpec extends AnyFunSuite {
   }
 }
 
+class KmeansIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.operators.SimilaritySearch
+
+  test("k-means IVF: full probe equals brute force; few probes keep recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      .collect().head.getSeq[Float](0)
+    val qCol = SimilaritySearch.vecLit(q)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val brute = SimilaritySearch.topK(corpus, "vec_id", "embedding", qCol, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val (assigned, cents) = SimilaritySearch.kmeansIvf(corpus, "vec_id", "embedding", 8, 5)
+    // probing every cluster must reproduce brute force exactly
+    val full = SimilaritySearch.ivfSearch(assigned, cents, "vec_id", "embedding",
+      qCol, probes = 8, k = 10).select("vec_id").as[Long].collect().toSet
+    assert(full === brute)
+    // 2 of 8 probes: the partition-pruned path keeps most of the top-10
+    val pruned = SimilaritySearch.ivfSearch(assigned, cents, "vec_id", "embedding",
+      qCol, probes = 2, k = 10).select("vec_id").as[Long].collect().toSet
+    val recall = (pruned & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall@10 = $recall")
+    // determinism: same data, same seeding, same result
+    val (assigned2, cents2) = SimilaritySearch.kmeansIvf(corpus, "vec_id", "embedding", 8, 5)
+    assert(cents2.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+  }
+}
+
 class RankingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
