@@ -679,6 +679,61 @@ object SparkEntry {
       () => operators.StubLlm(8))
   }
 
+  /** Graph search (search_service.py:119-179 + neo4j_service.py:490):
+    * name-CONTAINS match over the entity graph, connected entities
+    * collected per hit. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val cooc = q30(s, dir)
+    val directed = cooc.select(col("entity_a").as("entity"), col("entity_b").as("neighbor"))
+      .unionByName(cooc.select(col("entity_b").as("entity"), col("entity_a").as("neighbor")))
+    directed
+      .where(instr(col("entity"), "bolt") > 0)
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_connected"),
+        array_join(array_sort(collect_list(col("neighbor"))), "|").as("connected"))
+  }
+
+  /** RAG retrieval assembly (api/query.py:60-171): metadata filter →
+    * vector top-5 → one prompt-context row with `[doc:ID]` citations. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("lang") === "en")
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val top = docs
+      .join(emb, docs("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(5)
+      .select(col("doc_id"), col("text"), col("score"))
+    // deterministic citation order without a second sort: sort the
+    // collected structs by (-score, doc_id)
+    top.agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct((-col("score")).as("ns"),
+            col("doc_id").as("id"), col("text").as("tx")))),
+          e => concat(lit("[doc:"), e.getField("id").cast("string"), lit("] "),
+            substring(e.getField("tx"), 1, 120))), "\n\n").as("context"))
+  }
+
+  /** Metadata-filtered vector search (qdrant MatchValue/MatchAny
+    * filters, qdrant_service.py:235-302 + api/query.py:38-47):
+    * lang equality + source set membership, then cosine top-10. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .where(col("lang") === "en" && col("source").isin("src1", "src2", "src3"))
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"))
+      .limit(10)
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -760,7 +815,10 @@ object SparkEntry {
     "q53_extract_typed" -> q53 _,
     "q54_notion_markdown" -> q54 _,
     "q55_semantic_focus" -> q55 _,
-    "q56_canonical_desc" -> q56 _)
+    "q56_canonical_desc" -> q56 _,
+    "q57_graph_search" -> q57 _,
+    "q58_rag_context" -> q58 _,
+    "q59_filtered_vector" -> q59 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1071,6 +1129,30 @@ object SparkEntry {
       |GROUP BY a.entity, b.entity""".stripMargin
 
   private def entityOracles: Map[String, String] = Map(
+    "q57_graph_search" ->
+      s"""WITH cooc AS ($coocSql),
+         |d AS (SELECT entity_a AS entity, entity_b AS neighbor FROM cooc
+         |      UNION ALL SELECT entity_b, entity_a FROM cooc)
+         |SELECT entity, COUNT(*) AS n_connected,
+         |array_to_string(list_sort(list(neighbor)), '|') AS connected
+         |FROM d WHERE strpos(entity, 'bolt') > 0 GROUP BY entity""".stripMargin,
+    "q58_rag_context" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT doc_id, text, ${cosSql("embedding", "qv")} AS s
+         |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
+         |  WHERE lang = 'en'),
+         |top AS (SELECT * FROM sc ORDER BY sc.s DESC, doc_id LIMIT 5)
+         |SELECT COUNT(*) AS n_docs, SUM(length(text)) AS n_chars,
+         |string_agg('[doc:' || CAST(doc_id AS VARCHAR) || '] ' || substr(text, 1, 120),
+         |  chr(10) || chr(10) ORDER BY top.s DESC, doc_id) AS context
+         |FROM top""".stripMargin,
+    "q59_filtered_vector" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT doc_id, source, ${cosSql("embedding", "qv")} AS s
+         |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
+         |  WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3'))
+         |SELECT doc_id, source, round(sc.s, 6) AS score FROM sc
+         |ORDER BY sc.s DESC, doc_id LIMIT 10""".stripMargin,
     "q56_canonical_desc" ->
       s"""WITH c AS (SELECT DISTINCT ${normNameSql("p_name")} AS canonical_name,
          |${normTypeSql(rawPartTypeSql)} AS entity_type FROM part)
