@@ -734,6 +734,29 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Property-graph export through the real sink (publish_approved_
+    * document → Neo4j path, document_tasks.py:1597-1737): full nodes
+    * for one entity type, co-occurrence rels, rel-implied endpoint
+    * stubs; the checked output is the resulting graph census. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.PropertyGraph
+    val tmp = java.nio.file.Files.createTempDirectory("q60graph").toString + "/g"
+    val full = PropertyGraph.nodeRows(
+      t(s, dir, "part").where(col("p_name").rlike("widget|gizmo")),
+      "Entity", Seq("p_name"), Seq("p_type"))
+    val rels = PropertyGraph.relRows(
+      q30(s, dir).select(col("entity_a"), col("entity_b")),
+      "CO_OCCURS", "Entity", Seq("entity_a"), "Entity", Seq("entity_b"))
+    PropertyGraph.upsert(s, tmp, full, rels)
+    val nodes = PropertyGraph.nodes(s, tmp).get
+    val relCount = PropertyGraph.rels(s, tmp).get
+      .agg(count(lit(1)).as("n_rels"))
+    nodes.agg(
+        sum(when(!col("stub"), 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("stub"), 1L).otherwise(0L)).as("n_stub"))
+      .crossJoin(broadcast(relCount))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -818,7 +841,8 @@ object SparkEntry {
     "q56_canonical_desc" -> q56 _,
     "q57_graph_search" -> q57 _,
     "q58_rag_context" -> q58 _,
-    "q59_filtered_vector" -> q59 _)
+    "q59_filtered_vector" -> q59 _,
+    "q60_graph_export" -> q60 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1129,6 +1153,14 @@ object SparkEntry {
       |GROUP BY a.entity, b.entity""".stripMargin
 
   private def entityOracles: Map[String, String] = Map(
+    "q60_graph_export" ->
+      s"""WITH cooc AS ($coocSql),
+         |f AS (SELECT DISTINCT p_name FROM part WHERE regexp_matches(p_name, 'widget|gizmo')),
+         |ep AS (SELECT DISTINCT entity FROM (
+         |  SELECT entity_a AS entity FROM cooc UNION SELECT entity_b AS entity FROM cooc))
+         |SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_full,
+         |CAST((SELECT COUNT(*) FROM ep WHERE entity NOT IN (SELECT p_name FROM f)) AS BIGINT) AS n_stub,
+         |CAST((SELECT COUNT(*) FROM cooc) AS BIGINT) AS n_rels""".stripMargin,
     "q57_graph_search" ->
       s"""WITH cooc AS ($coocSql),
          |d AS (SELECT entity_a AS entity, entity_b AS neighbor FROM cooc
