@@ -757,6 +757,19 @@ object SparkEntry {
       .crossJoin(broadcast(relCount))
   }
 
+  /** Winnowing document fingerprints (MOSS rolling-hash scheme; the
+    * scale tier of content fingerprinting above q15's exact md5):
+    * k=8 char grams, window w=4, distinct sorted minima per doc. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.functions.NativeText.winnowOf(col("text"), 8, 4)
+    Partitioning.spread(
+        t(s, dir, "documents").where(length(col("text")) >= 8))
+      .withColumn("_fps", fps)
+      .select(col("doc_id"), size(col("_fps")).as("n_fp"),
+        md5(array_join(transform(col("_fps"), x => x.cast("string")), "|"))
+          .as("fp_digest"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -842,7 +855,8 @@ object SparkEntry {
     "q57_graph_search" -> q57 _,
     "q58_rag_context" -> q58 _,
     "q59_filtered_vector" -> q59 _,
-    "q60_graph_export" -> q60 _)
+    "q60_graph_export" -> q60 _,
+    "q61_winnow_fingerprints" -> q61 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1009,6 +1023,7 @@ object SparkEntry {
         |coalesce(TRY_CAST(substr(regexp_extract(text, '[0-9]+'), 1, 18) AS BIGINT), -1) AS first_num,
         |CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT) AS n_words
         |FROM documents""".stripMargin,
+    "q61_winnow_fingerprints" -> winnowOracleSql,
     // Greedy sequential packing IS expressible in set-based SQL — as a
     // recursive CTE stepping one sentence at a time per doc; the final
     // text of each chunk is the accumulator at its last step. RE2 has
@@ -1095,6 +1110,30 @@ object SparkEntry {
        |round(sc.raw, 6) AS maxsim
        |FROM sc JOIN np USING (doc_id)
        |ORDER BY sc.raw DESC, sc.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Winnowing oracle: same base-257 mod-2^31 gram hashes (powers
+    * precomputed here so both sides share them), MIN per w-window,
+    * distinct sorted. k=8, w=4, ASCII docs (char == byte). */
+  private def winnowOracleSql: String = {
+    val Mod = 1L << 31
+    val pows = Array.iterate(1L, 8)(p => (p * 257L) % Mod).reverse // 257^7..257^0
+    val hashSum = pows.zipWithIndex
+      .map { case (p, j) =>
+        s"CAST(ord(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${p}" }
+      .mkString("(", " + ", s") % ${Mod}")
+    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng
+       |  FROM documents WHERE length(text) >= 8),
+       |g AS (SELECT doc_id, i, $hashSum AS h
+       |  FROM (SELECT doc_id, text, unnest(range(1, ng + 1)) AS i FROM d)),
+       |s AS (SELECT doc_id, ng, unnest(range(1, greatest(ng - 4, 0) + 2)) AS s FROM d),
+       |m AS (SELECT s.doc_id, s.s, MIN(g.h) AS m FROM s
+       |  JOIN g ON g.doc_id = s.doc_id AND g.i BETWEEN s.s AND least(s.s + 3, s.ng)
+       |  GROUP BY s.doc_id, s.s),
+       |fp AS (SELECT doc_id, list_sort(list(DISTINCT m)) AS fps FROM m GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+       |md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '|')) AS fp_digest
+       |FROM fp""".stripMargin
   }
 
   /** Sessionization oracle — shared by the window-based (q08) and the

@@ -66,6 +66,11 @@ object NativeText {
     * graft.operators.Dedup.simhash's HOF formulation. */
   def simhashOf(tokens: Column): Column =
     GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(tokens)))
+
+  /** Column API: sorted distinct winnowing fingerprints (array<long>)
+    * of a text column — see [[WinnowExpr]]. */
+  def winnowOf(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowExpr(GraftColumnBridge.expression(text), k, w))
 }
 
 /** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =
@@ -187,4 +192,70 @@ case class MinHashExpr(child: Expression, n: Int, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashExpr = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken MOSS
+  * algorithm): polynomial rolling hash of every k-char gram (base 257
+  * mod 2^31, over UTF-8 bytes), then the distinct set of per-window
+  * minima over windows of `w` consecutive gram hashes (rightmost
+  * minimum per window), sorted ascending. Guarantees any shared
+  * substring of length >= k + w - 1 contributes a shared fingerprint —
+  * the standard near-dup / plagiarism detection primitive.
+  *
+  * Integer-only arithmetic so a SQL oracle reproduces it exactly.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private val Mod = 1L << 31
+
+  override def nullSafeEval(text: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // gram hashes h(i) = sum_j bytes(i+j) * 257^(k-1-j) mod 2^31
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L // 257^(k-1) mod 2^31
+    var j = 1
+    while (j < k) { pow = (pow * 257L) % Mod; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 257L + (bytes(i) & 0xffL)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - ((bytes(i - 1) & 0xffL) * pow) % Mod + Mod) % Mod
+      h = (h * 257L + (bytes(i + k - 1) & 0xffL)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each w-window, distinct
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val lastWin = math.max(nGrams - w, 0)
+    var s = 0
+    while (s <= lastWin) {
+      val e = math.min(s + w, nGrams)
+      var best = hashes(s)
+      var p = s + 1
+      while (p < e) {
+        if (hashes(p) <= best) best = hashes(p) // rightmost min
+        p += 1
+      }
+      out.add(best)
+      s += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var q = 0
+    while (it.hasNext) { arr(q) = it.next().longValue(); q += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
 }

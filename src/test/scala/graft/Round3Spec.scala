@@ -101,6 +101,36 @@ class NativeVectorSpec extends AnyFunSuite {
   }
 }
 
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.functions.NativeText
+
+  private def fps(text: String, k: Int = 8, w: Int = 4): Seq[Long] =
+    Seq(text).toDF("t").select(NativeText.winnowOf(col("t"), k, w))
+      .as[Seq[Long]].head()
+
+  test("identical text yields identical fingerprints; short text none") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(fps(t) === fps(t))
+    assert(fps("short") === Seq.empty)
+    assert(fps(t).toSeq === fps(t).sorted) // sorted ascending
+  }
+
+  test("a shared substring of length >= k+w-1 shares a fingerprint") {
+    val shared = "abcdefghijklmnop" // 16 >= 8+4-1
+    val a = fps("XXXX " + shared + " YYYY")
+    val b = fps("QQQQQQ " + shared + " ZZZZ")
+    assert((a.toSet & b.toSet).nonEmpty)
+  }
+
+  test("disjoint alphabets share nothing") {
+    val a = fps("aaaa bbbb cccc dddd eeee ffff")
+    val b = fps("1111 2222 3333 4444 5555 6666")
+    assert((a.toSet & b.toSet).isEmpty)
+  }
+}
+
 class KmeansIvfSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
