@@ -53,4 +53,24 @@ object EmbedText {
       }
       .toDF("id", "embedding")
   }
+
+  /** Async variant: up to `maxConcurrent` embed batches in flight per
+    * partition (Throttle — the reference's max_inflight/concurrency-
+    * controller semantics), output order preserved. */
+  def embedAsync(df: DataFrame, idCol: String, textCol: String,
+      mkEmbedder: () => Embedder, batchSize: Int = 100,
+      maxConcurrent: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Partitioning.spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val embedder = mkEmbedder()
+        Throttle.batchedAsync(it, batchSize, maxConcurrent) { batch =>
+          val vecs = embedder.embedBatch(batch.map(_._2))
+          batch.map(_._1).zip(vecs).map { case (id, v) => Embedded(id, v) }
+        }
+      }
+      .toDF("id", "embedding")
+  }
 }

@@ -101,6 +101,56 @@ class NativeVectorSpec extends AnyFunSuite {
   }
 }
 
+object ConcurrencyProbe {
+  import java.util.concurrent.atomic.AtomicInteger
+  val current = new AtomicInteger(0)
+  val peak = new AtomicInteger(0)
+  def reset(): Unit = { current.set(0); peak.set(0) }
+}
+
+/** Embedder that records in-flight call concurrency (driver-side
+  * singleton — run on a 1-partition local dataset only). */
+final case class ProbeEmbedder(dim: Int) extends graft.operators.Embedder {
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val c = ConcurrencyProbe.current.incrementAndGet()
+    ConcurrencyProbe.peak.accumulateAndGet(c, math.max)
+    Thread.sleep(15)
+    ConcurrencyProbe.current.decrementAndGet()
+    graft.operators.StubEmbedder(dim).embedBatch(texts)
+  }
+}
+
+class ThrottleSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.operators.{EmbedText, StubEmbedder, Throttle}
+
+  test("batchedAsync bounds in-flight batches and preserves order") {
+    ConcurrencyProbe.reset()
+    val out = Throttle.batchedAsync((1 to 100).iterator, 5, 3) { batch =>
+      val c = ConcurrencyProbe.current.incrementAndGet()
+      ConcurrencyProbe.peak.accumulateAndGet(c, math.max)
+      Thread.sleep(10)
+      ConcurrencyProbe.current.decrementAndGet()
+      batch.map(_ * 2)
+    }.toSeq
+    assert(out === (1 to 100).map(_ * 2))
+    assert(ConcurrencyProbe.peak.get() <= 3)
+    assert(ConcurrencyProbe.peak.get() >= 2) // actually overlapped
+  }
+
+  test("embedAsync matches the sequential embedder output") {
+    ConcurrencyProbe.reset()
+    val df = (1L to 40L).map(i => (i, s"doc number $i words")).toDF("id", "text")
+      .coalesce(1)
+    val seqR = EmbedText.embed(df, "id", "text", () => StubEmbedder(4), 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val asyncR = EmbedText.embedAsync(df, "id", "text", () => ProbeEmbedder(4), 5, 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(asyncR === seqR)
+  }
+}
+
 class WinnowSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
