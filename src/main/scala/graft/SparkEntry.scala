@@ -770,6 +770,31 @@ object SparkEntry {
           .as("fp_digest"))
   }
 
+  /** Ingestion-pipeline composition (the reference's Celery chain
+    * parse → chunk → embed → extract_entities → finalize,
+    * document_tasks.py:168-174): per document, two-tier chunk counts,
+    * summed stub-embedding first components over chunks, and rare-token
+    * mention counts — the per-doc "processing finished" census. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunks = operators.TwoTier.chunk(docs, "doc_id", "text", 100, 20, 25)
+    // stub-embed component 0 of each chunk text (exact dyadic — sums
+    // are order-independent); the Embedder boundary itself is q43
+    val e0 = expr(
+      "CAST(CONV(SUBSTRING(md5(CONCAT(chunk_text, CHAR(48))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0")
+    val chunkAgg = chunks
+      .withColumn("_e0", e0)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("page_index")).as("n_pages"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("_e0")).as("sum_e0"))
+    val mentions = Entities.extractMentions(docs, "doc_id", "text", 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_mentions"))
+    chunkAgg.join(mentions, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pages"), col("n_chunks"), col("sum_e0"),
+        coalesce(col("n_mentions"), lit(0L)).as("n_mentions"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -856,7 +881,8 @@ object SparkEntry {
     "q58_rag_context" -> q58 _,
     "q59_filtered_vector" -> q59 _,
     "q60_graph_export" -> q60 _,
-    "q61_winnow_fingerprints" -> q61 _)
+    "q61_winnow_fingerprints" -> q61 _,
+    "q62_ingest_pipeline" -> q62 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1300,6 +1326,31 @@ object SparkEntry {
   }
 
   private def twoTierOracles: Map[String, String] = Map(
+    "q62_ingest_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, i AS page_index,
+         |      list_slice(toks, i*80+1, i*80+100) AS ptoks
+         |      FROM (SELECT doc_id, toks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(toks),1)-1)/80) AS INT))) AS i
+         |            FROM d)),
+         |c AS (SELECT doc_id, page_index,
+         |      array_to_string(list_slice(ptoks, j*25+1, j*25+25), ' ') AS chunk_text
+         |      FROM (SELECT doc_id, page_index, ptoks,
+         |            unnest(generate_series(0, CAST(floor((greatest(len(ptoks),1)-1)/25) AS INT))) AS j
+         |            FROM p)),
+         |ca AS (SELECT doc_id, COUNT(DISTINCT page_index) AS n_pages, COUNT(*) AS n_chunks,
+         |       SUM(${stubEmbSqlFor("chunk_text", 0)}) AS sum_e0
+         |       FROM c GROUP BY doc_id),
+         |idx AS (SELECT doc_id, token FROM (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |rare AS (SELECT token FROM (SELECT token, COUNT(DISTINCT doc_id) AS df
+         |  FROM idx GROUP BY token) WHERE df <= 2),
+         |m AS (SELECT doc_id, COUNT(*) AS n_mentions FROM idx JOIN rare USING (token)
+         |  GROUP BY doc_id)
+         |SELECT ca.doc_id, ca.n_pages, ca.n_chunks, ca.sum_e0,
+         |coalesce(m.n_mentions, 0) AS n_mentions
+         |FROM ca LEFT JOIN m ON ca.doc_id = m.doc_id""".stripMargin,
     "q34_two_tier_chunks" ->
       s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
          |p AS (SELECT doc_id, i AS page_index,
