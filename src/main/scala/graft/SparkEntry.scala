@@ -795,6 +795,40 @@ object SparkEntry {
         coalesce(col("n_mentions"), lit(0L)).as("n_mentions"))
   }
 
+  /** Incremental-diff semantics in the gate (§2.8, row_indexer.rs:
+    * 110-178 + 506-589): a synthetic tracking state derived from the
+    * corpus puts every branch on display — new keys and changed
+    * content evaluate, ordinal-only rows skip, stale writes drop,
+    * vanished keys delete. Output: the delta census. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Incremental
+    val docs = t(s, dir, "documents")
+    val m4 = col("doc_id") % 4
+    val m8 = col("doc_id") % 8
+    val src = docs.select(
+      col("doc_id").cast("string").as("source_key"),
+      col("n_chars").cast("long").as("ordinal"),
+      md5(col("text")).as("content_hash"))
+    val tracked = docs.where(m4 =!= 3).select(
+        col("doc_id").cast("string").as("source_key"),
+        when(m4 === 1, col("n_chars") - 1)
+          .when(m8 === 2, col("n_chars") + 1)
+          .otherwise(col("n_chars")).cast("long").as("ordinal"),
+        when(m8 === 2 || m8 === 6, lit("stale-hash"))
+          .otherwise(md5(col("text"))).as("content_hash"),
+        lit("fp1").as("logic_fp"),
+        array(col("doc_id").cast("string")).as("target_keys"))
+      .unionByName(s.range(1, 6).select(
+        concat(lit("gone:"), col("id")).as("source_key"),
+        lit(0L).as("ordinal"), lit("x").as("content_hash"),
+        lit("fp1").as("logic_fp"),
+        array(lit("gone")).as("target_keys")))
+    val d = Incremental.diff(src, tracked, "fp1")
+    d.toEvaluate.agg(count(lit(1)).as("n_evaluate"))
+      .crossJoin(d.ordinalOnly.agg(count(lit(1)).as("n_ordinal_only")))
+      .crossJoin(d.toDelete.agg(count(lit(1)).as("n_delete")))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -882,7 +916,8 @@ object SparkEntry {
     "q59_filtered_vector" -> q59 _,
     "q60_graph_export" -> q60 _,
     "q61_winnow_fingerprints" -> q61 _,
-    "q62_ingest_pipeline" -> q62 _)
+    "q62_ingest_pipeline" -> q62 _,
+    "q63_incremental_diff" -> q63 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1051,6 +1086,12 @@ object SparkEntry {
         |CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT) AS n_words
         |FROM documents""".stripMargin,
     "q61_winnow_fingerprints" -> winnowOracleSql,
+    "q63_incremental_diff" ->
+      """SELECT
+        |CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 3 OR doc_id % 8 = 6) AS BIGINT) AS n_evaluate,
+        |CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 1) AS BIGINT) AS n_ordinal_only,
+        |CAST(5 AS BIGINT) AS n_delete
+        |FROM documents""".stripMargin,
     // Greedy sequential packing IS expressible in set-based SQL — as a
     // recursive CTE stepping one sentence at a time per doc; the final
     // text of each chunk is the accumulator at its last step. RE2 has
