@@ -829,6 +829,44 @@ object SparkEntry {
       .crossJoin(d.toDelete.agg(count(lit(1)).as("n_delete")))
   }
 
+  /** Document state machine in the gate (document_state.py:11-54 +
+    * state_manager.py:139-213): deterministic current states and
+    * transition requests derived from the corpus; guarded bulk apply;
+    * census of before/after/rejected per state. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import operators.StateMachine
+    val docs = t(s, dir, "documents")
+    val stArr = array(StateMachine.states.map(lit): _*)
+    val cur = docs.select(col("doc_id").as("id"),
+      element_at(stArr, (col("doc_id") % 7 + 1).cast("int")).as("status"))
+    val req = docs.select(col("doc_id").as("id"),
+      element_at(stArr, (col("doc_id") % 5 + 1).cast("int")).as("to_status"))
+    val r = StateMachine.applyTransitions(cur, req)
+    val before = cur.groupBy(col("status")).agg(count(lit(1)).as("n_before"))
+    val after = r.updated.groupBy(col("status")).agg(count(lit(1)).as("n_after"))
+    val rejected = r.rejectedRequests
+      .groupBy(col("from_status").as("status"))
+      .agg(count(lit(1)).as("n_rejected"))
+    before.join(after, Seq("status"), "full_outer")
+      .join(rejected, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_rejected"), lit(0L)).as("n_rejected"))
+  }
+
+  /** Entity suggester (api/search.py:211-293, entity tier next to
+    * q41's prefix tier): canonical entities whose name starts with the
+    * prefix, ranked by mention count. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Entities.canonicalize(
+        t(s, dir, "part").withColumn("etype", Entities.normalizeType(rawPartType)),
+        "p_partkey", "p_name", "etype")
+      .where(col("canonical_name").startsWith("s"))
+      .orderBy(col("n_mentions").desc, col("canonical_name").asc)
+      .select(col("canonical_name"), col("entity_type"), col("n_mentions"))
+      .limit(10)
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -917,7 +955,9 @@ object SparkEntry {
     "q60_graph_export" -> q60 _,
     "q61_winnow_fingerprints" -> q61 _,
     "q62_ingest_pipeline" -> q62 _,
-    "q63_incremental_diff" -> q63 _)
+    "q63_incremental_diff" -> q63 _,
+    "q64_state_machine" -> q64 _,
+    "q65_entity_suggest" -> q65 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1260,6 +1300,34 @@ object SparkEntry {
       |GROUP BY a.entity, b.entity""".stripMargin
 
   private def entityOracles: Map[String, String] = Map(
+    "q64_state_machine" -> {
+      // generated from StateMachine.allowed/states so the sides can't drift
+      val statesArr = "['" + operators.StateMachine.states.mkString("','") + "']"
+      val validSql = operators.StateMachine.allowed
+        .map { case (f, to) => s"(status = '$f' AND to_status = '$to')" }
+        .mkString("(", " OR ", ")")
+      s"""WITH d AS (SELECT doc_id,
+         |  $statesArr[CAST(doc_id % 7 AS INT) + 1] AS status,
+         |  $statesArr[CAST(doc_id % 5 AS INT) + 1] AS to_status FROM documents),
+         |j AS (SELECT *, $validSql AS valid FROM d),
+         |b AS (SELECT status, COUNT(*) AS n_before FROM d GROUP BY status),
+         |a AS (SELECT CASE WHEN valid THEN to_status ELSE status END AS status,
+         |      COUNT(*) AS n_after FROM j GROUP BY 1),
+         |rj AS (SELECT status, COUNT(*) AS n_rejected FROM j WHERE NOT valid GROUP BY status)
+         |SELECT coalesce(b.status, a.status, rj.status) AS status,
+         |coalesce(b.n_before, 0) AS n_before,
+         |coalesce(a.n_after, 0) AS n_after,
+         |coalesce(rj.n_rejected, 0) AS n_rejected
+         |FROM b FULL JOIN a ON b.status = a.status
+         |FULL JOIN rj ON coalesce(b.status, a.status) = rj.status""".stripMargin
+    },
+    "q65_entity_suggest" ->
+      s"""WITH c AS (SELECT ${normNameSql("p_name")} AS canonical_name,
+         |${normTypeSql(rawPartTypeSql)} AS entity_type, COUNT(*) AS n_mentions
+         |FROM part GROUP BY 1, 2)
+         |SELECT canonical_name, entity_type, n_mentions FROM c
+         |WHERE canonical_name LIKE 's%'
+         |ORDER BY n_mentions DESC, canonical_name LIMIT 10""".stripMargin,
     "q60_graph_export" ->
       s"""WITH cooc AS ($coocSql),
          |f AS (SELECT DISTINCT p_name FROM part WHERE regexp_matches(p_name, 'widget|gizmo')),
