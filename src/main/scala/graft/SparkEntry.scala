@@ -1126,6 +1126,45 @@ object SparkEntry {
         |CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT) AS n_words
         |FROM documents""".stripMargin,
     "q61_winnow_fingerprints" -> winnowOracleSql,
+    // The recursive splitter's regex tiers degenerate on this corpus's
+    // single-line single-space texts to: whole-doc atom when <= 200
+    // chars, else word atoms (offsets = running sums) — and the greedy
+    // pack + whole-atom overlap is a recursive CTE like q11's. Layered
+    // separator descent with arbitrary whitespace stays spec-tested
+    // (RecursiveSplitSpec); this oracle pins the packing, offsets, and
+    // overlap math end-to-end.
+    "q47_recursive_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |wrd AS (SELECT doc_id, i, parts[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts,
+        |        unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |        FROM d WHERE n > 200)),
+        |watoms AS (SELECT doc_id, i,
+        |  CAST(coalesce(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+        |  CAST(coalesce(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(w) AS BIGINT) AS e
+        |  FROM wrd),
+        |atoms AS (
+        |  SELECT doc_id, 1 AS i, CAST(0 AS BIGINT) AS s, CAST(n AS BIGINT) AS e
+        |  FROM d WHERE n <= 200
+        |  UNION ALL SELECT doc_id, i, s, e FROM watoms),
+        |pack AS (
+        |  SELECT doc_id, 1 AS i, 0 AS ci, s AS cs, e AS ce FROM atoms WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.doc_id, p.i + 1,
+        |    CASE WHEN a.e - p.cs <= 200 THEN p.ci ELSE p.ci + 1 END,
+        |    CASE WHEN a.e - p.cs <= 200 THEN p.cs ELSE coalesce(
+        |      (SELECT MIN(a2.s) FROM atoms a2 WHERE a2.doc_id = p.doc_id
+        |         AND a2.s >= p.cs AND p.ce - a2.s <= 20), a.s) END,
+        |    a.e
+        |  FROM pack p JOIN atoms a ON a.doc_id = p.doc_id AND a.i = p.i + 1)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_index, CAST(cs AS INT) AS start,
+        |  CAST(ce AS INT) AS "end", 1 AS start_line, CAST(cs + 1 AS INT) AS start_column,
+        |  substr(text, CAST(cs + 1 AS INT), CAST(ce - cs AS INT)) AS chunk_text
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, ci ORDER BY i DESC) AS rn
+        |      FROM pack)
+        |JOIN d USING (doc_id) WHERE rn = 1""".stripMargin,
     "q63_incremental_diff" ->
       """SELECT
         |CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 3 OR doc_id % 8 = 6) AS BIGINT) AS n_evaluate,

@@ -221,8 +221,6 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query has either an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q47's recursive splitter (hierarchy descent + cost-based merge +
-    // offset bookkeeping) is the one op still rows-only in DuckDB SQL
-    assert(noOracle === Set("q47_recursive_split"))
+    assert(noOracle === Set.empty[String]) // every query is value-checked
   }
 }
