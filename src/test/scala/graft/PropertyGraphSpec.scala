@@ -7,6 +7,49 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sinks.PropertyGraph
 
+class SetupDriverSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.types._
+  import graft.incremental.SetupDriver
+  import graft.incremental.SetupDriver._
+
+  private def s(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  test("classify: identical / additive / type-conflict") {
+    val base = s("id" -> LongType, "name" -> StringType)
+    assert(classify(base, s("name" -> StringType, "id" -> LongType)) === Compatible)
+    assert(classify(base, s("id" -> LongType, "name" -> StringType,
+      "score" -> DoubleType)) === PartialCompatible)
+    assert(classify(base, s("id" -> LongType)) === PartialCompatible)
+    assert(classify(base, s("id" -> StringType, "name" -> StringType)) === NotCompatible)
+  }
+
+  test("applySetup creates, evolves in place preserving data, guards recreate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("setup").toString + "/t"
+    val v1 = s("id" -> LongType, "name" -> StringType)
+    assert(SetupDriver.applySetup(spark, dir, v1).action === "created")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(dir)
+    // additive evolution keeps rows, backfills null
+    val v2 = s("id" -> LongType, "name" -> StringType, "score" -> DoubleType)
+    assert(SetupDriver.applySetup(spark, dir, v2).action === "evolved")
+    val rows = spark.read.parquet(dir).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(2)))
+    assert(SetupDriver.applySetup(spark, dir, v2).action === "noop")
+    // incompatible requires explicit opt-in
+    val bad = s("id" -> StringType, "name" -> StringType, "score" -> DoubleType)
+    intercept[IllegalStateException] {
+      SetupDriver.applySetup(spark, dir, bad)
+    }
+    assert(SetupDriver.applySetup(spark, dir, bad, allowRecreate = true)
+      .action === "recreated")
+    assert(spark.read.parquet(dir).count() === 0)
+  }
+}
+
 class PropertyGraphSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
