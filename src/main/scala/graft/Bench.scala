@@ -19,14 +19,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Methodology (matches BASELINE.md): the reference's latencies are
-    // warm-path numbers against indexes prebuilt at ingest. One untimed
-    // pass first (a) builds the shared ingest artifacts (BM25 inverted
-    // index, shingle index — CorpusArtifacts) and (b) JIT/codegen-warms
-    // each query; its wall time is reported as `ingest_warmup`. The
-    // timed pass then measures the per-query warm latency the baseline
-    // table is quoted in. `value` = ingest_warmup + Σ query latencies.
+    // warm-path numbers against indexes prebuilt at ingest. Two
+    // preparatory phases, each reported as its own entry:
+    //   ingest_artifacts — building the shared ingest artifacts (BM25
+    //     impact index, shingle index — CorpusArtifacts);
+    //   jit_warmup — one untimed pass over the queries (codegen/JIT).
+    // The timed pass then measures the per-query warm latency the
+    // baseline table is quoted in. `value` = both phases + Σ latencies.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").count()
+    val a0 = System.nanoTime()
+    SparkEntry.prepareArtifacts(spark, sfDir)
+    val artifactSec = (System.nanoTime() - a0) / 1e9
     val w0 = System.nanoTime()
     SparkEntry.benchQueries.foreach { name =>
       try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -39,10 +43,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results :+ ("ingest_warmup" -> warmSec))
+    val qs = (results ++ Seq("ingest_artifacts" -> artifactSec,
+        "jit_warmup" -> warmSec))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = warmSec + results.map(_._2).sum
+    val total = artifactSec + warmSec + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

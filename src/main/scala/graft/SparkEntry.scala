@@ -55,6 +55,13 @@ object SparkEntry {
   private def bm25Scores(s: SparkSession, dir: String): DataFrame =
     Search.scoreWith(docsBm25(s, dir), bm25QueryTerms)
 
+  /** Eagerly build every shared ingest artifact for `dir` (Bench's
+    * explicit ingest phase; queries then run against warm artifacts). */
+  def prepareArtifacts(s: SparkSession, dir: String): Unit = {
+    docsBm25(s, dir)
+    docsShingles(s, dir).count()
+  }
+
   // ------------------------------------------------------------------
   // Query implementations
   // ------------------------------------------------------------------
