@@ -874,6 +874,26 @@ object SparkEntry {
       .select(col("canonical_name"), col("entity_type"), col("n_mentions"))
       .limit(10)
 
+  /** BPE-ish token counting (training-data tier next to q12's
+    * whitespace counts): GPT-style pre-tokenizer units (letter runs,
+    * digit runs, punctuation runs — RE2-safe, identical in both
+    * engines), then fixed-width subword pieces of ≤4 chars per unit
+    * (the closed-form stand-in for a merge-table BPE). */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val units = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")
+    Partitioning.spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("_units", units)
+      .select(col("doc_id"),
+        size(col("_units")).as("n_units"),
+        aggregate(col("_units"), lit(0L),
+          (acc, u) => acc + ceil(length(u).cast("double") / 4.0).cast("long"))
+          .as("n_subwords"),
+        when(size(col("_units")) > 0,
+          aggregate(col("_units"), lit(0L), (acc, u) => acc + length(u))
+            .cast("double") / size(col("_units")).cast("double"))
+          .otherwise(lit(0.0)).as("mean_unit_len"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -964,7 +984,8 @@ object SparkEntry {
     "q62_ingest_pipeline" -> q62 _,
     "q63_incremental_diff" -> q63 _,
     "q64_state_machine" -> q64 _,
-    "q65_entity_suggest" -> q65 _)
+    "q65_entity_suggest" -> q65 _,
+    "q66_subword_stats" -> q66 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1172,6 +1193,16 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, ci ORDER BY i DESC) AS rn
         |      FROM pack)
         |JOIN d USING (doc_id) WHERE rn = 1""".stripMargin,
+    "q66_subword_stats" ->
+      """WITH u AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS units
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(units) AS INT) AS n_units,
+        |CAST(list_sum(list_transform(units, x -> CAST(ceil(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |CASE WHEN len(units) > 0 THEN
+        |  CAST(list_sum(list_transform(units, x -> length(x))) AS DOUBLE)
+        |  / CAST(len(units) AS DOUBLE) ELSE 0.0 END AS mean_unit_len
+        |FROM u""".stripMargin,
     "q63_incremental_diff" ->
       """SELECT
         |CAST(COUNT(*) FILTER (WHERE doc_id % 4 = 3 OR doc_id % 8 = 6) AS BIGINT) AS n_evaluate,
