@@ -64,6 +64,57 @@ class MaxSimSpec extends AnyFunSuite {
   }
 }
 
+class GraftExtensionsSpec extends AnyFunSuite {
+  // Extensions are applied at session BUILD time, and getOrCreate
+  // returns the shared TestSession otherwise: temporarily clear the
+  // default so a sibling session (same SparkContext, own sessionState
+  // with the injected functions) is built, then restore.
+  lazy val spark = {
+    import org.apache.spark.sql.SparkSession
+    val shared = TestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("SQL surface matches the Column API for every injected function") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT
+        |graft_simhash(split(text, ' ')) AS sh,
+        |size(graft_shingles(split(text, ' '), 3)) AS nsh,
+        |graft_minhash(split(text, ' '), 3, 4)[0] AS mh0,
+        |size(graft_winnow(text, 8, 4)) AS nfp,
+        |graft_cosine(array(1.0F, 2.0F), array(2.0F, 4.0F)) AS cos,
+        |graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |size(graft_split_recursively(text, 20, 1, 0, 'plain')) AS nchunks
+        |FROM docs_ext""".stripMargin).collect().head
+    val viaCols = df.select(
+      graft.functions.NativeText.simhashOf(split($"text", " ")).as("sh"),
+      size(graft.functions.NativeText.shinglesOf(split($"text", " "), 3)).as("nsh"),
+      size(graft.functions.NativeText.winnowOf($"text", 8, 4)).as("nfp"),
+      size(graft.functions.RecursiveSplit.split_recursively($"text", 20, 1, 0)).as("nchunks"))
+      .collect().head
+    assert(viaSql.getString(0) === viaCols.getString(0))
+    assert(viaSql.getInt(1) === viaCols.getInt(1))
+    assert(viaSql.getString(2).length === 32) // md5 hex
+    assert(viaSql.getInt(3) === viaCols.getInt(2))
+    assert(math.abs(viaSql.getDouble(4) - 1.0) < 1e-12)
+    assert(viaSql.getDouble(5) === 11.0)
+    assert(viaSql.getInt(6) === viaCols.getInt(3))
+  }
+}
+
 class NativeVectorSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
