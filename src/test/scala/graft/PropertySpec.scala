@@ -49,6 +49,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow: random docs sharing a >= k+w-1 substring share a fingerprint") {
+    import graft.functions.NativeText
+    val ctxGen = Gen.listOfN(6, Gen.alphaLowerStr.map(_.take(5))).map(_.mkString(" "))
+    val coreGen = Gen.alphaNumStr.map(_.take(30)).suchThat(_.length >= 11)
+    val cases = samples(Gen.zip(coreGen, ctxGen, ctxGen), 40)
+    val df = cases.zipWithIndex.map { case ((core, p1, p2), i) =>
+      (i.toLong, p1 + " " + core + " " + p2, core)
+    }.toDF("id", "doc", "core")
+    val rows = df.select(
+        NativeText.winnowOf($"doc", 8, 4).as("fdoc"),
+        NativeText.winnowOf($"core", 8, 4).as("fcore"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (fdoc, fcore) =>
+      assert((fdoc.toSet & fcore.toSet).nonEmpty)
+      assert(fdoc.toSeq === fdoc.sorted)
+    }
+  }
+
   test("fixed chunks cover the whole text in order") {
     val texts = samples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 40)
     val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
