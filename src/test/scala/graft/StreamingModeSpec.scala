@@ -93,6 +93,31 @@ class StreamingModeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-row text operators run unchanged on a continuous stream") {
+    import graft.functions.TextFunctions
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog."),
+      (2L, "le chat est sur la table et il dort bien"),
+      (3L, "numbers 12345 and symbols !!! only here"))
+    val sel = (df: org.apache.spark.sql.DataFrame) => df.select(
+      $"doc_id",
+      size(TextFunctions.bm25Tokens($"text")).as("n_toks"),
+      TextFunctions.qualityScoreOfTokens(TextFunctions.allTokens($"text")).as("q"),
+      TextFunctions.langIdOfTokens(TextFunctions.allTokens($"text")).as("lang"))
+    val batch = sel(docs.toDF("doc_id", "text")).collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = sel(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("textops_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      assert(spark.table("textops_out").collect().toSet === batch)
+    } finally q.stop()
+  }
+
   test("prebuilt BM25 index scores identically to the one-shot path") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = Seq("spark", "query", "filter")
