@@ -13,8 +13,14 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
   /** Repartition up to the session's parallelism if the plan currently
     * has fewer partitions; no-op (no shuffle) otherwise.
+    *
+    * Streaming plans cannot be inspected via `.rdd` (and micro-batch
+    * partitioning is source-driven anyway) — spread is an identity
+    * there, so every operator built on it runs unchanged on
+    * `readStream` inputs.
     */
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = math.max(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,

@@ -118,6 +118,27 @@ class StreamingModeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two-tier chunking runs unchanged on a continuous stream") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, ("alpha beta gamma delta " * 20).trim),
+      (2L, "short doc"))
+    val chunk = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.TwoTier.chunk(df, "doc_id", "text", 10, 2, 4)
+        .select($"doc_id", $"page_index", $"child_index", $"chunk_id", $"chunk_text")
+    val batch = chunk(docs.toDF("doc_id", "text")).collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = chunk(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      assert(spark.table("chunk_stream_out").collect().toSet === batch)
+    } finally q.stop()
+  }
+
   test("prebuilt BM25 index scores identically to the one-shot path") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val terms = Seq("spark", "query", "filter")
