@@ -894,6 +894,19 @@ object SparkEntry {
           .otherwise(lit(0.0)).as("mean_unit_len"))
   }
 
+  /** Multimodal frame sampling (video-tier plumbing): overlapping
+    * fixed-stride payload windows, per-frame stub features. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromText(
+      t(s, dir, "documents"), "doc_id", "text", "video")
+    Multimodal.sampleFrames(media, 64, 48, 4)
+      .toDF()
+      .select(col("media_id"), col("frame_index"), col("offset"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("double").as("f0"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -985,7 +998,8 @@ object SparkEntry {
     "q63_incremental_diff" -> q63 _,
     "q64_state_machine" -> q64 _,
     "q65_entity_suggest" -> q65 _,
-    "q66_subword_stats" -> q66 _)
+    "q66_subword_stats" -> q66 _,
+    "q67_frame_sample" -> q67 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1513,6 +1527,17 @@ object SparkEntry {
   }
 
   private def twoTierOracles: Map[String, String] = Map(
+    "q67_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
+         |  CAST(i * 48 AS INT) AS "offset",
+         |  substr(text, CAST(i * 48 + 1 AS INT), 64) AS ftext
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(0, CAST(ceil(length(text) / 48.0) AS BIGINT))) AS i
+         |        FROM documents))
+         |SELECT media_id, frame_index, "offset",
+         |CAST(length(ftext) AS INT) AS n_bytes,
+         |${stubEmbSqlFor("ftext", 0)} AS f0
+         |FROM f""".stripMargin,
     "q62_ingest_pipeline" ->
       s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
          |p AS (SELECT doc_id, i AS page_index,

@@ -95,6 +95,34 @@ object Multimodal {
       .toDF("media_id", "patch_vectors")
   }
 
+  case class FrameRow(media_id: Long, frame_index: Int, offset: Int,
+      n_bytes: Int, features: Array[Float])
+
+  /** Frame sampling (video-style tier): fixed-stride byte windows of
+    * the payload, each decoded (stub) to a feature vector. `stride` <
+    * `frameBytes` gives overlapping frames. A resize is the same
+    * pipeline at a different `dim` — the decode stub is the only stage
+    * a real codec would replace (in PySpark the identical batch shape
+    * runs as a pandas_udf over mapInPandas).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int,
+      dim: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Iterator.from(0).map(_ * stride).takeWhile(_ < payload.length)
+            .zipWithIndex.map { case (off, idx) =>
+              val frame = payload.slice(off, math.min(off + frameBytes, payload.length))
+              FrameRow(id, idx, off, frame.length, decodeStub(frame, dim))
+            }
+        }
+      }
+  }
+
   /** Late-interaction MaxSim score (ColPali query scoring,
     * functions.py:236-298): sum over query vectors of the max dot
     * product against any patch vector.
