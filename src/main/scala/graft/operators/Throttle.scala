@@ -23,6 +23,10 @@ object Throttle {
       f: Seq[T] => Seq[R]): Iterator[R] = {
     require(batchSize > 0 && maxConcurrent > 0)
     val pool: ExecutorService = Executors.newFixedThreadPool(maxConcurrent)
+    // a downstream limit() can abandon the iterator mid-partition —
+    // tie pool shutdown to task completion so threads never leak
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
     val batches = it.grouped(batchSize)
     val inFlight = mutable.Queue.empty[JFuture[Seq[R]]]
 
