@@ -907,6 +907,27 @@ object SparkEntry {
         element_at(col("features"), 1).cast("double").as("f0"))
   }
 
+  /** As-of join (training-data point-in-time correctness): each click
+    * enriched with the user's latest view at or before it. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val dedupe = Window.partitionBy(col("user_id"), col("ts_us"))
+      .orderBy(col("view_event_id").desc)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+      .withColumn("_rn", row_number().over(dedupe))
+      .where(col("_rn") === 1).drop("_rn")
+    operators.AsOfJoin.asOf(clicks, views, "user_id", "ts_us", "ts_us",
+        Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us").as("view_ts_us"),
+        col("asof_view_event_id").as("view_event_id"),
+        col("asof_view_value").as("view_value"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -999,7 +1020,8 @@ object SparkEntry {
     "q64_state_machine" -> q64 _,
     "q65_entity_suggest" -> q65 _,
     "q66_subword_stats" -> q66 _,
-    "q67_frame_sample" -> q67 _)
+    "q67_frame_sample" -> q67 _,
+    "q68_asof_join" -> q68 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1052,6 +1074,19 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q08_sessionize" -> sessionizeOracleSql,
     "q33_stateful_sessions" -> sessionizeOracleSql,
+    // DuckDB's native ASOF JOIN is the oracle for our union-and-carry
+    // formulation — two entirely different algorithms, one contract.
+    "q68_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |v0 AS (SELECT user_id, ts_us, event_id AS view_event_id, value AS view_value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts_us, view_event_id, view_value FROM v0 WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |v.ts_us AS view_ts_us, v.view_event_id, v.view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin,
 
     "q09_bm25_tokens" ->
       s"""SELECT doc_id, token, COUNT(*) AS tf FROM (

@@ -202,6 +202,40 @@ class ThrottleSpec extends AnyFunSuite {
   }
 }
 
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  test("latest-prior match, tie inclusion, and null when no prior") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 900.0))
+      .toDF("k", "rts", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("v"))
+      .select($"tag", $"asof_rts", $"asof_v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    assert(got === Set(
+      ("a", Some(10L), Some(100.0)), // tie: right at equal ts matches
+      ("b", Some(15L), Some(150.0)), // latest prior, not first
+      ("c", None, None)))            // right row is in the future
+  }
+
+  test("carried payload is atomic even when a field is null") {
+    val left = Seq((1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some(1.0), Some("x")), (1L, 20L, None, Some("y")))
+      .toDF("k", "rts", "v", "s")
+    val r = AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("v", "s"))
+      .select($"asof_rts", $"asof_v", $"asof_s").collect().head
+    // the whole latest row carries — v must be null (row ts=20), never
+    // backfilled from the older row
+    assert(r.getLong(0) === 20L)
+    assert(r.isNullAt(1))
+    assert(r.getString(2) === "y")
+  }
+}
+
 class WinnowSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
