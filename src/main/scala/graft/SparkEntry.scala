@@ -928,6 +928,32 @@ object SparkEntry {
         col("asof_view_value").as("view_value"))
   }
 
+  /** Range join: events banded into overlapping value intervals via
+    * the bucketed interval join (equi-join on domain buckets +
+    * residual filter — never a nested-loop range join). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bands = t(s, dir, "nation").select(
+      col("n_nationkey").as("band"),
+      (col("n_nationkey").cast("double") * 18.0).as("lo"),
+      (col("n_nationkey").cast("double") * 18.0 + 25.0).as("hi"))
+    operators.RangeJoin.intervalJoin(ev, "value", bands, "lo", "hi", 25.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** KMV distinct-count sketch vs exact (custom mergeable Aggregator,
+    * §2.9): per-event-type distinct-user estimate, k=64. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.Sketch.kmvDistinct(
+          col("user_id").cast("string"), 64).as("kmv_estimate"))
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1021,7 +1047,9 @@ object SparkEntry {
     "q65_entity_suggest" -> q65 _,
     "q66_subword_stats" -> q66 _,
     "q67_frame_sample" -> q67 _,
-    "q68_asof_join" -> q68 _)
+    "q68_asof_join" -> q68 _,
+    "q69_range_join" -> q69 _,
+    "q70_kmv_sketch" -> q70 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1087,6 +1115,27 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts_us,
         |v.ts_us AS view_ts_us, v.view_event_id, v.view_value
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us >= v.ts_us""".stripMargin,
+    "q70_kmv_sketch" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ${md5HexValSql("CAST(user_id AS VARCHAR)", 12)} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |  COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+         |k AS (SELECT event_type,
+         |  CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+         |  ELSE 63.0 / (CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE) / 281474976710656.0)
+         |  END AS kmv_estimate
+         |  FROM r WHERE rn <= 64 GROUP BY event_type),
+         |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.n_exact, k.kmv_estimate
+         |FROM x JOIN k ON x.event_type = k.event_type""".stripMargin,
+    "q69_range_join" ->
+      """WITH b AS (SELECT n_nationkey AS band,
+        |  CAST(n_nationkey AS DOUBLE) * 18.0 AS lo,
+        |  CAST(n_nationkey AS DOUBLE) * 18.0 + 25.0 AS hi FROM nation)
+        |SELECT band, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN b ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
 
     "q09_bm25_tokens" ->
       s"""SELECT doc_id, token, COUNT(*) AS tf FROM (

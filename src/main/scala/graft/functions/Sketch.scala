@@ -1,0 +1,63 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (K-Minimum-Values) distinct-count sketch as a typed
+  * [[Aggregator]] — the custom-UDAF tier (SURVEY §2.9: the reference
+  * has no UDAF surface; our training-data additions need mergeable
+  * sketches for corpus-scale cardinalities).
+  *
+  * Items hash to 48-bit uniform values (first 12 md5 hex digits);
+  * the buffer keeps the k smallest DISTINCT hashes and is mergeable
+  * (map-side partial aggregation works — the whole point of a sketch
+  * at 100 TB: fixed-size state per group, one shuffle of k longs).
+  * Estimate: exact count while < k distinct hashes seen, else
+  * (k−1) / (h_k / 2^48). Deterministic md5 hashing makes the estimate
+  * engine-reproducible — the DuckDB oracle recomputes it exactly,
+  * unlike an HLL whose register layout is implementation-defined.
+  */
+object Sketch {
+
+  private val TwoPow48 = 281474976710656.0 // 2^48, exact in double
+
+  private[functions] def hash48(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 6 bytes == first 12 hex digits
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  final case class KmvDistinct(k: Int) extends Aggregator[String, Seq[Long], Double] {
+    require(k > 1)
+    override def zero: Seq[Long] = Seq.empty
+
+    private def insert(buf: Seq[Long], h: Long): Seq[Long] =
+      if (buf.contains(h)) buf
+      else if (buf.size < k) (buf :+ h).sorted
+      else if (h < buf.last) (buf.init :+ h).sorted
+      else buf
+
+    override def reduce(buf: Seq[Long], item: String): Seq[Long] =
+      insert(buf, hash48(item))
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(buf: Seq[Long]): Double =
+      if (buf.size < k) buf.size.toDouble
+      else (k - 1).toDouble / (buf.last.toDouble / TwoPow48)
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column aggregate: KMV distinct estimate of a string column. */
+  def kmvDistinct(c: Column, k: Int): Column =
+    udaf(KmvDistinct(k), Encoders.STRING).apply(c)
+}

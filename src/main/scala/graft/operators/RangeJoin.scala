@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: match each point row to interval rows with
+  * `lo <= point < hi`.
+  *
+  * Spark plans a raw range predicate as BroadcastNestedLoop /
+  * cartesian — O(|P|·|I|). The scalable formulation buckets the value
+  * domain: every interval is replicated to each bucket it covers,
+  * points map to exactly one bucket, and the join becomes an
+  * equi-join on the bucket id plus a residual range filter. Cost is
+  * O(|P| + |I|·avg_span/bucketWidth) with an honest shuffle key —
+  * the standard interval-join design (Flink/KDB style) on DataFrames.
+  */
+object RangeJoin {
+
+  /** @param points      rows carrying `valueCol`
+    * @param intervals   rows carrying [`loCol`, `hiCol`) — half-open
+    * @param bucketWidth domain bucket size: ≈ median interval span is
+    *                    a good default (too small replicates, too
+    *                    large degrades to per-bucket cartesian)
+    */
+  def intervalJoin(points: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val p = points.withColumn("_bucket",
+      floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
+    val i = intervals
+      .withColumn("_blo", floor(col(loCol).cast("double") / bucketWidth).cast("long"))
+      // hi is exclusive: the hi-boundary bucket is included only when
+      // the interval actually reaches into it
+      .withColumn("_bhi",
+        floor((col(hiCol).cast("double") - 1e-12) / bucketWidth).cast("long"))
+      .withColumn("_bucket", explode(sequence(col("_blo"), greatest(col("_blo"), col("_bhi")))))
+      .drop("_blo", "_bhi")
+    p.join(i, Seq("_bucket"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bucket")
+  }
+}

@@ -202,6 +202,33 @@ class ThrottleSpec extends AnyFunSuite {
   }
 }
 
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.functions.Sketch
+
+  test("KMV is exact below k and within theory error above") {
+    val small = (1 to 40).map(i => s"u$i").toDF("u")
+      .agg(Sketch.kmvDistinct(col("u"), 64)).as[Double].head()
+    assert(small === 40.0)
+
+    val n = 20000
+    val big = (1 to n).map(i => s"user-$i").toDF("u").repartition(8)
+      .agg(Sketch.kmvDistinct(col("u"), 64)).as[Double].head()
+    // KMV relative std error ~ 1/sqrt(k-2) ≈ 0.127; allow 4 sigma
+    assert(math.abs(big - n) / n < 0.51, s"estimate $big for $n")
+  }
+
+  test("KMV merge is order-insensitive (partition count invariant)") {
+    val items = (1 to 5000).map(i => s"x$i")
+    val a = items.toDF("u").repartition(1)
+      .agg(Sketch.kmvDistinct(col("u"), 32)).as[Double].head()
+    val b = items.reverse.toDF("u").repartition(13)
+      .agg(Sketch.kmvDistinct(col("u"), 32)).as[Double].head()
+    assert(a === b)
+  }
+}
+
 class AsOfJoinSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
