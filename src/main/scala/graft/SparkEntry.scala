@@ -1058,7 +1058,8 @@ object SparkEntry {
     "q18_minhash_lsh", "q21_ann_topk", "q23_bm25_search",
     "q24_hybrid_rrf", "q33_stateful_sessions", "q34_two_tier_chunks",
     "q48_ivf_ann", "q51_maxsim", "q52_semantic_search",
-    "q61_winnow_fingerprints", "q62_ingest_pipeline")
+    "q61_winnow_fingerprints", "q62_ingest_pipeline",
+    "q68_asof_join", "q69_range_join", "q70_kmv_sketch")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
