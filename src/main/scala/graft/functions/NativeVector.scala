@@ -56,6 +56,9 @@ case class DotExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)
 
+  @transient private lazy val getX = NativeVector.elemReader(left.dataType)
+  @transient private lazy val getY = NativeVector.elemReader(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -64,8 +67,6 @@ case class DotExpr(left: Expression, right: Expression)
         NativeVector.hasNullElement(x) || NativeVector.hasNullElement(y)) {
       null
     } else {
-      val getX = NativeVector.elemReader(left.dataType)
-      val getY = NativeVector.elemReader(right.dataType)
       var acc = 0.0
       var i = 0
       while (i < x.numElements()) {
@@ -93,6 +94,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 
+  @transient private lazy val getX = NativeVector.elemReader(left.dataType)
+  @transient private lazy val getY = NativeVector.elemReader(right.dataType)
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val a = left.eval(input)
     val b = right.eval(input)
@@ -101,8 +105,6 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     if (NativeVector.hasNullElement(x) || NativeVector.hasNullElement(y))
       return 0.0
-    val getX = NativeVector.elemReader(left.dataType)
-    val getY = NativeVector.elemReader(right.dataType)
     var na = 0.0
     var i = 0
     while (i < x.numElements()) { val v = getX(x, i); na += v * v; i += 1 }

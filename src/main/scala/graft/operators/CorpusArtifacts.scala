@@ -44,6 +44,7 @@ object CorpusArtifacts {
   def reset(): Unit = {
     bm25Cache.values.forEach { ix =>
       ix.idx.unpersist(); ix.dls.unpersist(); ix.stats.unpersist()
+      ix.impacts.unpersist()
     }
     shingleCache.values.forEach(_.unpersist())
     bm25Cache.clear(); shingleCache.clear()

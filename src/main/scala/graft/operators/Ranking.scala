@@ -19,7 +19,10 @@ object Ranking {
     * order `sort` (the caller must make it deterministic: break ties
     * down to a unique key). */
   def withGlobalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
-    val sorted = df.orderBy(sort: _*)
+    // localCheckpoint: zipWithIndex runs a count job over the sorted
+    // plan and downstream consumption would otherwise re-run the
+    // reduce-side sort a second time
+    val sorted = df.orderBy(sort: _*).localCheckpoint(true)
     val out = sorted.schema.add(rankCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

@@ -108,7 +108,11 @@ object SimilaritySearch {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
+    // iters update passes + ONE final assignment pass, so the returned
+    // bucketing is consistent with the returned centroids (ivfSearch
+    // probes by the final centroids — a mismatch silently costs recall)
+    for (it <- 0 to iters) {
+      val lastPass = it == iters
       val bc = spark.sparkContext.broadcast(cents)
       val assign = udf { (v: Seq[Float]) =>
         var best = 0; var bestScore = Double.MinValue
@@ -129,16 +133,18 @@ object SimilaritySearch {
         best
       }
       assigned = base.withColumn("cluster", assign(col(vecCol)))
-      val means = assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+      if (!lastPass) {
+        val means = assigned
+          .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(avg(col("v").cast("double")).as("m"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            x => x.getField("m")).as("centroid"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+      }
     }
     (assigned, cents)
   }
