@@ -71,6 +71,17 @@ object NativeText {
     * of a text column — see [[WinnowExpr]]. */
   def winnowOf(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowExpr(GraftColumnBridge.expression(text), k, w))
+
+  /** Column API: BM25 tokens (len > 2, stopwords dropped, duplicates
+    * kept) — exact twin of the `filter(split(lower, …))` HOF chain. */
+  def bm25TokensOf(text: Column): Column =
+    GraftColumnBridge.column(
+      TokenizeExpr(GraftColumnBridge.expression(text), 3, dropStopwords = true))
+
+  /** Column API: all non-empty lowercase tokens, stopwords kept. */
+  def allTokensOf(text: Column): Column =
+    GraftColumnBridge.column(
+      TokenizeExpr(GraftColumnBridge.expression(text), 1, dropStopwords = false))
 }
 
 /** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =
@@ -258,4 +269,49 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): WinnowExpr =
     copy(child = c)
   override def prettyName: String = "winnow_fingerprints"
+}
+
+/** Tokenizer: maximal runs of [a-z0-9] in the UTF8String-lowercased
+  * text — exactly `filter(split(lower(text), '[^a-z0-9]+'), ...)`
+  * (the same `UTF8String.toLowerCase` primitive Spark's `lower` uses,
+  * so non-ASCII case mapping matches), with a minimum token length
+  * and optional stopword removal folded into the single pass.
+  */
+case class TokenizeExpr(child: Expression, minLen: Int, dropStopwords: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = text.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        if (j - i >= minLen) {
+          val tok = text.substring(i, j)
+          if (!dropStopwords || !stopSet.contains(tok))
+            out += UTF8String.fromString(tok)
+        }
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenizeExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_tokenize"
 }

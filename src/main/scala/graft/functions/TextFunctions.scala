@@ -32,16 +32,25 @@ object TextFunctions {
   def stopwordsSqlList: String = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Lowercase word tokens, length > 2, stopwords removed; duplicates
-    * KEPT (term frequency matters downstream). Pure `filter` HOF — no
-    * `array_except` (which would dedup).
+    * KEPT (term frequency matters downstream). Backed by the native
+    * single-pass [[NativeText.bm25TokensOf]] — value-identical to the
+    * HOF chain `filter(split(lower(text), "[^a-z0-9]+"), …)`, which is
+    * what the DuckDB oracles still describe (the HOF runs interpreted
+    * per element and dominates the ingest tokenization cost).
     */
-  def bm25Tokens(text: Column): Column = {
+  def bm25Tokens(text: Column): Column = NativeText.bm25TokensOf(text)
+
+  /** HOF formulation of [[bm25Tokens]] (bit-identity reference). */
+  def bm25TokensHof(text: Column): Column = {
     val raw = split(lower(text), "[^a-z0-9]+")
     filter(raw, t => length(t) > 2 && !t.isin(stopwords: _*))
   }
 
   /** All word tokens (lowercased, non-empty), stopwords kept. */
-  def allTokens(text: Column): Column =
+  def allTokens(text: Column): Column = NativeText.allTokensOf(text)
+
+  /** HOF formulation of [[allTokens]] (bit-identity reference). */
+  def allTokensHof(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Whitespace-ish token count (training-data token budgeting tier 0). */

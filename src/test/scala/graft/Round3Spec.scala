@@ -202,6 +202,32 @@ class ThrottleSpec extends AnyFunSuite {
   }
 }
 
+class TokenizeExprSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("native tokenizers are identical to the HOF formulation") {
+    val texts = Seq(
+      "The quick brown fox, and the lazy dog!",
+      "  ...leading separators 123abc x yz",
+      "ALLCAPS MiXeD 42 a bb ccc dddd",
+      "unicode: ÉCOLE Straße 日本語 🙂 KELVINK end",
+      "", "   ", "a-b-c")
+    val df = texts.toDF("text")
+    val cmp = df.select(
+      TextFunctions.bm25Tokens($"text").as("n_bm25"),
+      TextFunctions.bm25TokensHof($"text").as("h_bm25"),
+      TextFunctions.allTokens($"text").as("n_all"),
+      TextFunctions.allTokensHof($"text").as("h_all"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    cmp.foreach { case (nb, hb, na, ha) =>
+      assert(nb === hb)
+      assert(na === ha)
+    }
+  }
+}
+
 class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
