@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -17,6 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * HOF semantics), including the HOF null behavior: mismatched lengths
   * → null; a null element → null sum (cosine maps both per its
   * `when(...).otherwise(0.0)` wrapper).
+  *
+  * Both expressions implement `doGenCode`, so the per-vector loop is
+  * emitted INSIDE whole-stage codegen — no fallback boundary, no row
+  * boxing between the parquet scan and the similarity arithmetic.
   */
 object NativeVector {
 
@@ -36,6 +41,15 @@ object NativeVector {
         s"NativeVector expects array<float|double>, got array<$other>")
     }
 
+  /** Java accessor snippet for the codegen path. */
+  private[functions] def javaGetter(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other => throw new IllegalArgumentException(
+        s"NativeVector expects array<float|double>, got array<$other>")
+    }
+
   private[functions] def hasNullElement(arr: ArrayData): Boolean = {
     var i = 0
     while (i < arr.numElements()) {
@@ -44,11 +58,20 @@ object NativeVector {
     }
     false
   }
+
+  private[functions] def javaHasNull(ctx: CodegenContext): String =
+    ctx.addNewFunction("graftHasNullElem",
+      s"""private boolean graftHasNullElem(org.apache.spark.sql.catalyst.util.ArrayData a) {
+         |  for (int i = 0; i < a.numElements(); i++) {
+         |    if (a.isNullAt(i)) return true;
+         |  }
+         |  return false;
+         |}""".stripMargin)
 }
 
 /** Σ aᵢ·bᵢ left-to-right in double — twin of VectorFunctions.dot. */
 case class DotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -76,6 +99,25 @@ case class DotExpr(left: Expression, right: Expression)
       acc
     }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hasNull = NativeVector.javaHasNull(ctx)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""if ($x.numElements() != $y.numElements() ||
+         |    $hasNull($x) || $hasNull($y)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    $acc += ${NativeVector.javaGetter(left.dataType, x, i)} *
+         |            ${NativeVector.javaGetter(right.dataType, y, i)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}""".stripMargin
+    })
+  }
 }
 
 /** Cosine similarity — twin of VectorFunctions.cosine: dot/(‖a‖·‖b‖),
@@ -86,7 +128,7 @@ case class DotExpr(left: Expression, right: Expression)
   * null).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -117,5 +159,52 @@ case class CosineSimExpr(left: Expression, right: Expression)
     i = 0
     while (i < x.numElements()) { d += getX(x, i) * getY(y, i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hasNull = NativeVector.javaHasNull(ctx)
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val x = ctx.freshName("xArr")
+    val y = ctx.freshName("yArr")
+    val i = ctx.freshName("i")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val d = ctx.freshName("d")
+    val v = ctx.freshName("v")
+    val code =
+      code"""${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = false;
+         |double ${ev.value} = 0.0;
+         |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $x = ${leftGen.value};
+         |  org.apache.spark.sql.catalyst.util.ArrayData $y = ${rightGen.value};
+         |  if (!$hasNull($x) && !$hasNull($y)) {
+         |    double $na = 0.0;
+         |    for (int $i = 0; $i < $x.numElements(); $i++) {
+         |      double $v = ${NativeVector.javaGetter(left.dataType, x, i)};
+         |      $na += $v * $v;
+         |    }
+         |    double $nb = 0.0;
+         |    for (int $i = 0; $i < $y.numElements(); $i++) {
+         |      double $v = ${NativeVector.javaGetter(right.dataType, y, i)};
+         |      $nb += $v * $v;
+         |    }
+         |    if (Math.sqrt($na) > 0 && Math.sqrt($nb) > 0) {
+         |      if ($x.numElements() != $y.numElements()) {
+         |        ${ev.isNull} = true;
+         |      } else {
+         |        double $d = 0.0;
+         |        for (int $i = 0; $i < $x.numElements(); $i++) {
+         |          $d += ${NativeVector.javaGetter(left.dataType, x, i)} *
+         |                ${NativeVector.javaGetter(right.dataType, y, i)};
+         |        }
+         |        ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb));
+         |      }
+         |    }
+         |  }
+         |}""".stripMargin
+    ev.copy(code = code)
   }
 }

@@ -138,6 +138,28 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(both.where(col("native").isNull =!= col("hof").isNull).count() === 0)
   }
 
+  test("doGenCode compiles and evaluates (no silent interpreter fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(FloatType)
+    val exprs = Seq(
+      graft.functions.CosineSimExpr(
+        BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true)),
+      graft.functions.DotExpr(
+        BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true)))
+    // generate() throws on janino compile errors — no fallback possible here
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = InternalRow(
+      new GenericArrayData(Array(1.0f, 2.0f)),
+      new GenericArrayData(Array(2.0f, 4.0f)))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12) // cosine of parallel vecs
+    assert(out.getDouble(1) === 10.0)                // dot
+  }
+
   test("native cosine edge cases match HOF null semantics") {
     val df = Seq(
       (Seq(1f, 2f), Seq(1f, 2f)),      // equal → 1.0
