@@ -1055,7 +1055,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
     "q09_bm25_tokens", "q15_dedup_exact", "q17_jaccard_pairs",
-    "q18_minhash_lsh", "q21_ann_topk", "q23_bm25_search",
+    "q18_minhash_lsh", "q20_embed_near_dup", "q21_ann_topk", "q23_bm25_search",
     "q24_hybrid_rrf", "q33_stateful_sessions", "q34_two_tier_chunks",
     "q48_ivf_ann", "q51_maxsim", "q52_semantic_search",
     "q61_winnow_fingerprints", "q62_ingest_pipeline",
