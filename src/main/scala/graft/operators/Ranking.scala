@@ -17,12 +17,17 @@ object Ranking {
 
   /** Appends `rankCol` = 1-based position of each row under the total
     * order `sort` (the caller must make it deterministic: break ties
-    * down to a unique key). */
+    * down to a unique key).
+    *
+    * Stateless by design: zipWithIndex's offset job plus downstream
+    * consumption evaluate the sorted plan twice. Callers ranking an
+    * EXPENSIVE input should persist it themselves (and own the
+    * unpersist) — hiding a cache in here would leak storage blocks
+    * until driver GC on every invocation. The internal users rank
+    * small aggregated frames where the recompute is noise.
+    */
   def withGlobalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
-    // localCheckpoint: zipWithIndex runs a count job over the sorted
-    // plan and downstream consumption would otherwise re-run the
-    // reduce-side sort a second time
-    val sorted = df.orderBy(sort: _*).localCheckpoint(true)
+    val sorted = df.orderBy(sort: _*)
     val out = sorted.schema.add(rankCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
