@@ -92,10 +92,13 @@ case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
 
+  // per-task instance (expressions are deserialized per task, tasks are
+  // single-threaded) — avoids a MessageDigest allocation per row
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(toks: Any): Any = {
     val arr = toks.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
     var t = 0
     while (t < arr.numElements()) {
       md.reset()
@@ -155,12 +158,13 @@ case class MinHashExpr(child: Expression, n: Int, numHashes: Int)
   @transient private lazy val prefixes: Array[Array[Byte]] =
     (0 until numHashes).map(k => s"$k:".getBytes("UTF-8")).toArray
 
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(toks: Any): Any = {
     val shingles = NativeText.buildShingles(
       toks.asInstanceOf[ArrayData], n, distinct = false)
     val out = new Array[Any](numHashes)
     if (shingles.isEmpty) return new GenericArrayData(out) // all nulls
-    val md = MessageDigest.getInstance("MD5")
     var k = 0
     while (k < numHashes) {
       var best: Array[Byte] = null

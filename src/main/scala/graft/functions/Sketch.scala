@@ -24,8 +24,12 @@ object Sketch {
 
   private val TwoPow48 = 281474976710656.0 // 2^48, exact in double
 
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   private[functions] def hash48(s: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     // first 6 bytes == first 12 hex digits
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |

@@ -44,8 +44,11 @@ object Multimodal {
     * seed a dim-length [0,1) feature vector. Replaces the model
     * forward pass; byte-identical across engines/runs.
     */
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val out = new Array[Float](dim)
     var k = 0
     while (k < dim) {
