@@ -47,4 +47,39 @@ object FileSource {
     binary(spark, dir, includeGlob, excludeRegex)
       .withColumn("content", decode(col("content"), "UTF-8"))
       .withColumn("content_hash", sha2(col("content"), 256))
+
+  /** JSON-lines document source (the SupabaseDocumentSource shape,
+    * app/flows/sources.py:138-217, re-expressed as a landed export):
+    * one document per line, keyed by `idCol`, ordinal from
+    * `updatedAtCol` (epoch micros of a timestamp column — the
+    * incremental predicate column), content-hashed on the whole row's
+    * canonical JSON so ANY field change reprocesses. */
+  def jsonl(spark: SparkSession, path: String, idCol: String,
+      updatedAtCol: String): DataFrame = {
+    val df = spark.read.json(path)
+    df.select(
+      col(idCol).cast("string").as("source_key"),
+      unix_micros(col(updatedAtCol).cast("timestamp")).as("ordinal"),
+      to_json(struct(df.columns.sorted.map(col): _*)).as("content"),
+      col("*"))
+      .withColumn("content_hash", sha2(col("content"), 256))
+  }
+
+  /** CSV source with the same KTable contract; header + explicit
+    * schema inference off by default at scale (pass a DDL string). */
+  def csv(spark: SparkSession, path: String, idCol: String,
+      updatedAtCol: String, schemaDdl: Option[String] = None): DataFrame = {
+    var reader = spark.read.option("header", "true")
+    schemaDdl match {
+      case Some(ddl) => reader = reader.schema(ddl)
+      case None => reader = reader.option("inferSchema", "true")
+    }
+    val df = reader.csv(path)
+    df.select(
+      col(idCol).cast("string").as("source_key"),
+      unix_micros(col(updatedAtCol).cast("timestamp")).as("ordinal"),
+      to_json(struct(df.columns.sorted.map(col): _*)).as("content"),
+      col("*"))
+      .withColumn("content_hash", sha2(col("content"), 256))
+  }
 }

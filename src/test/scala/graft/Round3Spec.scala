@@ -224,6 +224,34 @@ class ThrottleSpec extends AnyFunSuite {
   }
 }
 
+class JsonlCsvSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import graft.sources.FileSource
+
+  test("jsonl and csv sources emit the KTable contract") {
+    val dir = java.nio.file.Files.createTempDirectory("src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id": 1, "updated_at": "2024-01-01 10:00:00", "body": "alpha"}
+        |{"id": 2, "updated_at": "2024-01-02 11:30:00", "body": "beta"}""".stripMargin)
+    val j = FileSource.jsonl(spark, s"$dir/docs.jsonl", "id", "updated_at")
+    val jrows = j.orderBy("source_key").collect()
+    assert(jrows.map(_.getAs[String]("source_key")).toSeq === Seq("1", "2"))
+    assert(jrows.forall(_.getAs[Long]("ordinal") > 0))
+    assert(jrows.map(_.getAs[String]("content_hash")).distinct.length === 2)
+    assert(jrows.head.getAs[String]("body") === "alpha") // payload carried
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/docs.csv"),
+      "id,updated_at,body\n1,2024-01-01 10:00:00,alpha\n2,2024-01-02 11:30:00,beta\n")
+    val c = FileSource.csv(spark, s"$dir/docs.csv", "id", "updated_at",
+      Some("id BIGINT, updated_at TIMESTAMP, body STRING"))
+    val crows = c.orderBy("source_key").collect()
+    assert(crows.map(_.getAs[String]("source_key")).toSeq === Seq("1", "2"))
+    assert(crows.map(_.getAs[String]("content_hash")).distinct.length === 2)
+    assert(crows.map(_.getAs[Long]("ordinal")).toSeq ===
+      jrows.map(_.getAs[Long]("ordinal")).toSeq) // ordinals agree across formats
+  }
+}
+
 class TokenizeExprSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
