@@ -1525,7 +1525,7 @@ object SparkEntry {
          |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
          |  WHERE lang = 'en'),
          |top AS (SELECT * FROM sc ORDER BY sc.s DESC, doc_id LIMIT 5)
-         |SELECT COUNT(*) AS n_docs, SUM(length(text)) AS n_chars,
+         |SELECT COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars,
          |string_agg('[doc:' || CAST(doc_id AS VARCHAR) || '] ' || substr(text, 1, 120),
          |  chr(10) || chr(10) ORDER BY top.s DESC, doc_id) AS context
          |FROM top""".stripMargin,

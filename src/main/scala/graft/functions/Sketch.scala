@@ -46,8 +46,9 @@ object Sketch {
       else if (h < buf.last) (buf.init :+ h).sorted
       else buf
 
+    // null skipped to match SQL COUNT(DISTINCT ...) semantics
     override def reduce(buf: Seq[Long], item: String): Seq[Long] =
-      insert(buf, hash48(item))
+      if (item == null) buf else insert(buf, hash48(item))
 
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       (a ++ b).distinct.sorted.take(k)

@@ -60,6 +60,17 @@ def main():
             print(f"[ORCERR] {d:24s} {e}")
             n_fail += 1
             continue
+        # Same decimal-path hazard on the ORACLE side: DuckDB returns
+        # HUGEINT for SUM(int)/length sums and DECIMAL for some aggs;
+        # the driver hashes those via the object path and mismatches a
+        # value-identical Spark LONG/DOUBLE (CORRECTNESS_r03: q58).
+        # Wrap the oracle expr in CAST(... AS BIGINT/DOUBLE).
+        exp_bad = [c for c, t in zip(exp_rel.columns, exp_rel.types)
+                   if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()]
+        if exp_bad:
+            print(f"[ORCTYP] {d:24s} oracle HUGEINT/DECIMAL cols={exp_bad}")
+            n_fail += 1
+            continue
         if got_cols != exp_cols:
             print(f"[COLS  ] {d:24s} got={got_cols} exp={exp_cols}")
             n_fail += 1
