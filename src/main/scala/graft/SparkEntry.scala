@@ -783,7 +783,21 @@ object SparkEntry {
     * summed stub-embedding first components over chunks, and rare-token
     * mention counts — the per-doc "processing finished" census. */
   private def q62(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // the chain starts at the Parse boundary (the reference front door,
+    // document_tasks.py:290-304): every doc passes the llamaparse route
+    // through the client (stub = markdown passthrough, so the downstream
+    // census is unchanged and stays oracle-checkable)
+    val raw = t(s, dir, "documents")
+    val parsed = operators.Parse.parse(
+      raw.select(col("doc_id"),
+        concat(lit("doc_"), col("doc_id"), lit(".pdf")).as("name"),
+        concat(lit("s3://corpus/"), col("doc_id")).as("url"),
+        col("text").as("content"),
+        lit(operators.Parse.TierBalanced).as("tier")),
+      "doc_id", "name", "url", "content", "tier",
+      () => operators.StubParserClient())
+    val docs = parsed.select(col("id").as("doc_id"),
+      col("parsed_text").as("text"))
     val chunks = operators.TwoTier.chunk(docs, "doc_id", "text", 100, 20, 25)
     // stub-embed component 0 of each chunk text (exact dyadic — sums
     // are order-independent); the Embedder boundary itself is q43
@@ -954,6 +968,32 @@ object SparkEntry {
         graft.functions.Sketch.kmvDistinct(
           col("user_id").cast("string"), 64).as("kmv_estimate"))
 
+  /** Parse boundary census (§2.5 Parse — the pipeline front door,
+    * parser.py:18-244 + document_tasks.py:253-287): every routing
+    * branch on display — inline fast path (doc_id%7==3 has no URL),
+    * simple reader (.txt/.md names), LlamaParse tiers round-robin —
+    * with content repeated up to 16× so the >1000/>5000 confidence
+    * bumps and the agentic_plus 1.0 cap all fire. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import operators.{Parse, StubParserClient}
+    val docs = t(s, dir, "documents")
+    val exts = array(lit(".txt"), lit(".md"), lit(".pdf"), lit(".docx"), lit(".html"))
+    val tiers = array(lit(Parse.TierBalanced), lit(Parse.TierAgentic), lit(Parse.TierAgenticPlus))
+    val src = docs.select(
+      col("doc_id"),
+      concat(lit("doc_"), col("doc_id"),
+        element_at(exts, (col("doc_id") % 5 + 1).cast("int"))).as("name"),
+      when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("s3://corpus/"), col("doc_id"))).as("source_url"),
+      expr("repeat(text, CAST(doc_id % 16 + 1 AS INT))").as("content"),
+      element_at(tiers, (col("doc_id") % 3 + 1).cast("int")).as("tier"))
+    Parse.parse(src, "doc_id", "name", "source_url", "content", "tier",
+        () => StubParserClient())
+      .select(col("id").as("doc_id"), col("parser"),
+        coalesce(col("parse_tier"), lit("")).as("parse_tier"),
+        col("parse_confidence"), col("parsed_text_length"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1049,7 +1089,8 @@ object SparkEntry {
     "q67_frame_sample" -> q67 _,
     "q68_asof_join" -> q68 _,
     "q69_range_join" -> q69 _,
-    "q70_kmv_sketch" -> q70 _)
+    "q70_kmv_sketch" -> q70 _,
+    "q71_parse_confidence" -> q71 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1130,6 +1171,31 @@ object SparkEntry {
          |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
          |SELECT x.event_type, x.n_exact, k.kmv_estimate
          |FROM x JOIN k ON x.event_type = k.event_type""".stripMargin,
+    "q71_parse_confidence" ->
+      """WITH src AS (SELECT doc_id,
+        |  ['.txt','.md','.pdf','.docx','.html'][CAST(doc_id % 5 + 1 AS INT)] AS ext,
+        |  (doc_id % 7 = 3) AS no_url,
+        |  repeat(text, CAST(doc_id % 16 + 1 AS INT)) AS content,
+        |  ['balanced','agentic','agentic_plus'][CAST(doc_id % 3 + 1 AS INT)] AS tier
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN no_url THEN 'inline_content'
+        |       WHEN ext IN ('.txt', '.md') THEN 'simple'
+        |       ELSE 'llamaparse' END AS parser,
+        |  content, tier FROM src)
+        |SELECT doc_id, parser,
+        |  CASE WHEN parser = 'llamaparse' THEN tier ELSE '' END AS parse_tier,
+        |  CASE WHEN parser = 'inline_content' THEN CAST(0.9 AS DOUBLE)
+        |       WHEN parser = 'simple' THEN CAST(1.0 AS DOUBLE)
+        |       ELSE least(
+        |         (CASE WHEN tier = 'agentic_plus' THEN CAST(0.95 AS DOUBLE)
+        |               WHEN tier = 'agentic' THEN CAST(0.85 AS DOUBLE)
+        |               ELSE CAST(0.7 AS DOUBLE) END)
+        |         + (CASE WHEN length(content) > 1000 THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |         + (CASE WHEN length(content) > 5000 THEN CAST(0.05 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+        |         CAST(1.0 AS DOUBLE)) END AS parse_confidence,
+        |  CAST(length(content) AS BIGINT) AS parsed_text_length
+        |FROM r""".stripMargin,
     "q69_range_join" ->
       """WITH b AS (SELECT n_nationkey AS band,
         |  CAST(n_nationkey AS DOUBLE) * 18.0 AS lo,
