@@ -282,6 +282,13 @@ object SparkEntry {
         expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)").as("sum_acctbal"))
   }
 
+  /** Scale-safe embedding near-dup: banded hyperplane-LSH candidates
+    * (3 bits × 12 bands) → exact cosine verify on candidates only.
+    * Same contract as q20's exact baseline, non-cartesian plan. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      64, 0.4, 3, 12)
+
   /** Random-hyperplane LSH bucket candidates over embeddings
     * (ANN scale path). */
   private def q26(s: SparkSession, dir: String): DataFrame =
@@ -1090,13 +1097,14 @@ object SparkEntry {
     "q68_asof_join" -> q68 _,
     "q69_range_join" -> q69 _,
     "q70_kmv_sketch" -> q70 _,
-    "q71_parse_confidence" -> q71 _)
+    "q71_parse_confidence" -> q71 _,
+    "q72_embed_dedup_lsh" -> q72 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
     "q09_bm25_tokens", "q15_dedup_exact", "q17_jaccard_pairs",
-    "q18_minhash_lsh", "q20_embed_near_dup", "q21_ann_topk", "q23_bm25_search",
+    "q18_minhash_lsh", "q72_embed_dedup_lsh", "q21_ann_topk", "q23_bm25_search",
     "q24_hybrid_rrf", "q33_stateful_sessions", "q34_two_tier_chunks",
     "q48_ivf_ann", "q51_maxsim", "q52_semantic_search",
     "q61_winnow_fingerprints", "q62_ingest_pipeline",
@@ -1310,6 +1318,27 @@ object SparkEntry {
         |  FROM proj GROUP BY vec_id)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM sig a JOIN sig b USING (sig) WHERE a.vec_id < b.vec_id""".stripMargin,
+    "q72_embed_dedup_lsh" ->
+      """WITH proj AS (SELECT vec_id, b,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> CAST(embedding[d] AS DOUBLE) *
+        |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+        |        / 1024.0)) AS s
+        |  FROM embeddings CROSS JOIN generate_series(0, 35) t(b)),
+        |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
+        |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+        |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
+        |  WHERE a.vec_id < b2.vec_id),
+        |c AS (SELECT id_a, id_b,
+        |  list_sum(list_transform(generate_series(1, len(ea.embedding)),
+        |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+        |            JOIN embeddings eb ON cand.id_b = eb.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.4""".stripMargin,
     "q51_maxsim" -> maxSimOracleSql,
     "q52_semantic_search" -> semanticSearchOracleSql,
     "q53_extract_typed" ->
