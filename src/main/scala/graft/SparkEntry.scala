@@ -323,6 +323,14 @@ object SparkEntry {
       t(s, dir, "part").select(Entities.normalizeName(col("p_name")).as("name")),
       "name", 0.5)
 
+  /** Fuzzy dedup with the FULL reference tier stack (q29 carries the
+    * Levenshtein tier alone): plural 0.98, abbreviation 0.95, variant
+    * 0.9, substring 0.85 floors over the blocked pairs
+    * (entity_deduplication.py:87-162). */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Entities.fuzzyPairsTiered(
+      t(s, dir, "part").select(col("p_name").as("name")), "name", 0.5)
+
   /** Entity co-occurrence edges: part names sharing an order
     * (relationship_extractor.py:147-218 rule tier). */
   private def q30(s: SparkSession, dir: String): DataFrame = {
@@ -1098,7 +1106,8 @@ object SparkEntry {
     "q69_range_join" -> q69 _,
     "q70_kmv_sketch" -> q70 _,
     "q71_parse_confidence" -> q71 _,
-    "q72_embed_dedup_lsh" -> q72 _)
+    "q72_embed_dedup_lsh" -> q72 _,
+    "q73_fuzzy_tiers" -> q73 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1560,6 +1569,38 @@ object SparkEntry {
       s"WHEN TRY_CAST($x AS DOUBLE) > 1 AND TRY_CAST($x AS DOUBLE) <= 100 THEN TRY_CAST($x AS DOUBLE) / 100.0 " +
       s"WHEN TRY_CAST($x AS DOUBLE) > 100 THEN 1.0 ELSE TRY_CAST($x AS DOUBLE) END)"
 
+  /** DuckDB twin of Entities.normalizeForMatch(x). */
+  private def normMatchSql(x: String): String =
+    s"regexp_replace(regexp_replace(trim(regexp_replace(regexp_replace(" +
+      s"lower(trim($x)), '[^a-z0-9_\\s-]', ' ', 'g'), '\\s+', ' ', 'g')), " +
+      s"'^(the|a|an)\\s+', ''), '\\s+(the|a|an)$$', '')"
+
+  /** DuckDB twin of Entities.expandAbbreviations(x) — generated from
+    * the same table so the sides cannot drift. */
+  private def expandAbbrSql(x: String): String = {
+    val cases = Entities.abbreviations
+      .map { case (k, v) => s"WHEN w = '$k' THEN '$v'" }.mkString(" ")
+    s"array_to_string(list_transform(string_split($x, ' '), " +
+      s"w -> CASE $cases ELSE w END), ' ')"
+  }
+
+  /** DuckDB twin of Entities.pluralEq(a, b); `wa`/`wb` are word-array
+    * columns (string_split of a/b) materialized in the calling CTE. */
+  private def pluralEqSql(a: String, b: String, wa: String, wb: String): String = {
+    val sPair = s"($wa[i] || 's' = $wb[i] OR $wb[i] || 's' = $wa[i] " +
+      s"OR $wa[i] || 'es' = $wb[i] OR $wb[i] || 'es' = $wa[i])"
+    s"(($a || 's' = $b) OR ($b || 's' = $a) OR ($a || 'es' = $b) OR ($b || 'es' = $a)" +
+      s" OR ($a LIKE '%y' AND substr($a, 1, len($a) - 1) || 'ies' = $b)" +
+      s" OR ($b LIKE '%y' AND substr($b, 1, len($b) - 1) || 'ies' = $a)" +
+      s" OR (len($wa) = len($wb) AND len($wa) > 1" +
+      s" AND list_sum(list_transform(generate_series(1, len($wa)), i -> CASE WHEN $wa[i] <> $wb[i] THEN 1 ELSE 0 END)) = 1" +
+      s" AND list_sum(list_transform(generate_series(1, len($wa)), i -> CASE WHEN $wa[i] <> $wb[i] AND NOT $sPair THEN 1 ELSE 0 END)) = 0))"
+  }
+
+  /** DuckDB twin of Entities.tieredSim's levenshtein ratio. */
+  private def levRatioSql(a: String, b: String): String =
+    s"(1.0 - CAST(levenshtein($a, $b) AS DOUBLE) / CAST(greatest(len($a), len($b)) AS DOUBLE))"
+
   /** Shared co-occurrence CTE body (q30/q31/q32). */
   private val coocSql =
     """SELECT a.entity AS entity_a, b.entity AS entity_b, COUNT(*) AS n_docs
@@ -1647,6 +1688,28 @@ object SparkEntry {
          |${normTypeSql(rawPartTypeSql)} AS entity_type,
          |MIN(p_partkey) AS canonical_id, COUNT(*) AS n_mentions
          |FROM part GROUP BY 1, 2""".stripMargin,
+    "q73_fuzzy_tiers" ->
+      s"""WITH n0 AS (SELECT DISTINCT ${normMatchSql("p_name")} AS name FROM part),
+         |n AS (SELECT name, ${expandAbbrSql("name")} AS exp
+         |      FROM n0 WHERE len(name) > 0),
+         |p AS (SELECT a.name AS name_a, b.name AS name_b,
+         |      a.exp AS exp_a, b.exp AS exp_b,
+         |      string_split(a.name, ' ') AS wa, string_split(b.name, ' ') AS wb
+         |      FROM n a JOIN n b
+         |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name),
+         |s AS (SELECT name_a, name_b,
+         |  CASE WHEN name_a = name_b THEN CAST(1.0 AS DOUBLE)
+         |       WHEN ${pluralEqSql("name_a", "name_b", "wa", "wb")} THEN CAST(0.98 AS DOUBLE)
+         |       WHEN exp_a = exp_b THEN CAST(0.95 AS DOUBLE)
+         |       ELSE greatest(
+         |         greatest(${levRatioSql("name_a", "name_b")}, ${levRatioSql("exp_a", "exp_b")},
+         |                  ${levRatioSql("name_a", "exp_b")}, ${levRatioSql("exp_a", "name_b")}),
+         |         CASE WHEN strpos(name_b, name_a) > 0 OR strpos(name_a, name_b) > 0
+         |              THEN CAST(0.85 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+         |         CASE WHEN regexp_replace(name_a, '[^a-z0-9]', '', 'g') = regexp_replace(name_b, '[^a-z0-9]', '', 'g')
+         |              THEN CAST(0.9 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |  END AS sim FROM p)
+         |SELECT name_a, name_b, sim FROM s WHERE sim >= 0.5""".stripMargin,
     "q29_fuzzy_pairs" ->
       s"""WITH n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
          |p AS (SELECT a.name AS name_a, b.name AS name_b,

@@ -168,6 +168,120 @@ object Entities {
       .select(col("name_a"), col("name_b"), col("lev"), col("sim"))
   }
 
+  // ---- tiered fuzzy similarity (entity_deduplication.py:18-236) ----
+
+  /** Abbreviation → expansion table (entity_deduplication.py:18-55,
+    * verbatim; 'nc' maps to itself to protect model numbers). */
+  val abbreviations: Seq[(String, String)] = Seq(
+    "ipa" -> "isopropyl alcohol", "nc" -> "nc",
+    "lcd" -> "liquid crystal display", "led" -> "light emitting diode",
+    "pcb" -> "printed circuit board", "cpu" -> "central processing unit",
+    "gpu" -> "graphics processing unit", "ram" -> "random access memory",
+    "rom" -> "read only memory", "ac" -> "alternating current",
+    "dc" -> "direct current", "psi" -> "pounds per square inch",
+    "rpm" -> "revolutions per minute", "temp" -> "temperature",
+    "config" -> "configuration", "spec" -> "specification",
+    "mfg" -> "manufacturing", "mfr" -> "manufacturer",
+    "qty" -> "quantity", "req" -> "required", "min" -> "minimum",
+    "max" -> "maximum", "avg" -> "average", "std" -> "standard",
+    "ref" -> "reference", "ver" -> "version", "rev" -> "revision",
+    "dept" -> "department", "mgmt" -> "management",
+    "admin" -> "administration", "eng" -> "engineering",
+    "maint" -> "maintenance", "ops" -> "operations",
+    "qa" -> "quality assurance", "qc" -> "quality control")
+
+  /** Match-normalization (entity_deduplication.py:57-86) — unlike
+    * [[normalizeName]] it KEEPS hyphens/underscores and strips
+    * trailing as well as leading articles. */
+  def normalizeForMatch(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        trim(regexp_replace(
+          regexp_replace(lower(trim(c)), "[^a-z0-9_\\s-]", " "),
+          "\\s+", " ")),
+        "^(the|a|an)\\s+", ""),
+      "\\s+(the|a|an)$", "")
+
+  /** Word-wise abbreviation expansion (entity_deduplication.py:87-107). */
+  def expandAbbreviations(c: Column): Column = {
+    val m = map(abbreviations.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    array_join(transform(split(c, " "), w => coalesce(element_at(m, w), w)), " ")
+  }
+
+  /** Singular/plural tier (entity_deduplication.py:163-203):
+    * whole-string +s/+es and y↔ies rules, plus the compound rule —
+    * same word count > 1 with EXACTLY one word pair differing, and
+    * that pair differing only by +s/+es. */
+  def pluralEq(a: Column, b: Column): Column = {
+    def dropLast(c: Column, n: Int) = c.substr(lit(1), length(c) - n)
+    val whole =
+      (concat(a, lit("s")) === b) || (concat(b, lit("s")) === a) ||
+      (concat(a, lit("es")) === b) || (concat(b, lit("es")) === a) ||
+      (a.endsWith("y") && concat(dropLast(a, 1), lit("ies")) === b) ||
+      (b.endsWith("y") && concat(dropLast(b, 1), lit("ies")) === a)
+    val wa = split(a, " ")
+    val wb = split(b, " ")
+    val pairStats = zip_with(wa, wb, (x, y) => {
+      val sPair = concat(x, lit("s")) === y || concat(y, lit("s")) === x ||
+        concat(x, lit("es")) === y || concat(y, lit("es")) === x
+      struct(
+        when(x =!= y, 1).otherwise(0).as("d"),
+        when(x =!= y && !sPair, 1).otherwise(0).as("bad"))
+    })
+    val nDiff = aggregate(pairStats, lit(0), (acc, p) => acc + p.getField("d"))
+    val nBad = aggregate(pairStats, lit(0), (acc, p) => acc + p.getField("bad"))
+    val compound = size(wa) === size(wb) && size(wa) > 1 &&
+      nDiff === 1 && nBad === 0
+    whole || compound
+  }
+
+  /** Variant tier (entity_deduplication.py:205-236): equal after
+    * stripping every non-alphanumeric (NC2056 ≈ NC-2056; the model-
+    * number regex branch is subsumed — same prefix and same number
+    * means the cleaned strings are equal). */
+  def variantEq(a: Column, b: Column): Column =
+    regexp_replace(a, "[^a-z0-9]", "") === regexp_replace(b, "[^a-z0-9]", "")
+
+  /** Tiered similarity over pre-normalized names + their expansions
+    * (entity_deduplication.py:109-162): exact 1.0 → plural 0.98 →
+    * abbreviation 0.95 → max(levenshtein ratio over the 4
+    * norm/expanded combos, substring 0.85, variant 0.9).
+    * (Base ratio uses normalized Levenshtein in place of Python's
+    * SequenceMatcher — the one documented divergence, chosen because
+    * it is expressible in any SQL engine.) */
+  def tieredSim(na: Column, nb: Column, ea: Column, eb: Column): Column = {
+    def ratio(x: Column, y: Column): Column =
+      lit(1.0) - levenshtein(x, y).cast("double") /
+        greatest(length(x), length(y)).cast("double")
+    val base = greatest(ratio(na, nb), ratio(ea, eb), ratio(na, eb), ratio(ea, nb))
+    when(na === nb, lit(1.0))
+      .when(pluralEq(na, nb), lit(0.98))
+      .when(ea === eb, lit(0.95))
+      .otherwise(greatest(base,
+        when(instr(nb, na) > 0 || instr(na, nb) > 0, lit(0.85)).otherwise(lit(0.0)),
+        when(variantEq(na, nb), lit(0.9)).otherwise(lit(0.0))))
+  }
+
+  /** Fuzzy candidate pairs under the full reference tier stack:
+    * prefix blocking (first 2 chars of the match-normalized name),
+    * expansion precomputed once per distinct name, tiered score
+    * filtered to >= minSim. Output (name_a, name_b, sim). */
+  def fuzzyPairsTiered(names: DataFrame, nameCol: String,
+      minSim: Double): DataFrame = {
+    val n = names.select(normalizeForMatch(col(nameCol)).as("name"))
+      .where(length(col("name")) > 0).distinct()
+      .withColumn("exp", expandAbbreviations(col("name")))
+      .withColumn("blk", substring(col("name"), 1, 2))
+    val a = n.select(col("name").as("name_a"), col("exp").as("exp_a"), col("blk"))
+    val b = n.select(col("name").as("name_b"), col("exp").as("exp_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("sim", tieredSim(col("name_a"), col("name_b"),
+        col("exp_a"), col("exp_b")))
+      .where(col("sim") >= minSim)
+      .select(col("name_a"), col("name_b"), col("sim"))
+  }
+
   /** Relationship taxonomy: allowed (source_type, rel_type, target_type)
     * triples — subset of the reference's 14-type taxonomy
     * (relationships.py:11-198).

@@ -35,6 +35,41 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("nc 2056 sensor", "apple", "plain"))
   }
 
+  test("normalizeForMatch keeps hyphens, strips trailing articles") {
+    val got = Seq("The NC-2056 Sensor!", "sensor array the", "a  b ")
+      .toDF("n").select(Entities.normalizeForMatch($"n")).as[String].collect()
+    assert(got.toSeq === Seq("nc-2056 sensor", "sensor array", "b"))
+  }
+
+  test("tiered sim: plural 0.98, abbreviation 0.95, variant 0.9, substring 0.85") {
+    def sim(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b").select(Entities.tieredSim(
+        Entities.normalizeForMatch($"a"), Entities.normalizeForMatch($"b"),
+        Entities.expandAbbreviations(Entities.normalizeForMatch($"a")),
+        Entities.expandAbbreviations(Entities.normalizeForMatch($"b"))))
+        .as[Double].head()
+    assert(sim("sensor", "sensors") === 0.98)
+    assert(sim("berry", "berries") === 0.98)
+    assert(sim("pressure sensor", "pressure sensors") === 0.98) // compound
+    assert(sim("pcb", "printed circuit board") === 0.95)
+    assert(sim("NC2056", "NC-2056") === 0.9)
+    assert(sim("sensor", "sensor calibration unit x") === 0.85)
+    assert(sim("sensor", "sensor") === 1.0)
+    // two words differing (not plural) must NOT take the compound tier
+    assert(sim("alpha sensor", "beta sensors") < 0.98)
+  }
+
+  test("fuzzyPairsTiered scores blocked pairs with the tier stack") {
+    val df = Seq("pressure sensor", "pressure sensors", "pcb", "printed circuit board")
+      .toDF("name")
+    val got = Entities.fuzzyPairsTiered(df, "name", 0.9)
+      .select($"name_a", $"name_b", $"sim").as[(String, String, Double)]
+      .collect().toSeq.sortBy(_._1)
+    // pcb/printed... are in different 2-char blocks, so only the plural
+    // pair survives blocking — the abbreviation tier is exercised above
+    assert(got === Seq(("pressure sensor", "pressure sensors", 0.98)))
+  }
+
   test("fuzzyPairs finds variants within a block, skips distant names") {
     val df = Seq("sensor alpha", "sensor alphax", "sensor omega", "zzz")
       .toDF("name")
