@@ -366,20 +366,32 @@ object SparkEntry {
   /** Relationship validation against the type taxonomy + UNIQUE
     * (source, target, type) dedup keeping max confidence
     * (relationships.py:213-218, relationship_extractor.py:533-556). */
+  /** Deterministic entity-type vocabulary for the q32 census — spans
+    * the 14-type taxonomy's endpoint lists incl. types that FAIL some
+    * relationships, so validation filters real rows. */
+  private val q32Types = Seq("Component", "Product", "Document", "Feature",
+    "System", "Issue", "Customer", "Software")
+
+  /** Relationship validation over the FULL 14-type taxonomy
+    * (relationships.py:11-198): co-occurrence edges typed and labeled
+    * deterministically across all 14 labels (incl. the RELATES_TO Any
+    * wildcard), endpoint-validated, deduped by max confidence. */
   private def q32(s: SparkSession, dir: String): DataFrame = {
-    val typed = t(s, dir, "part")
-      .select(col("p_name"), Entities.normalizeType(rawPartType).as("etype"))
-      .distinct()
+    val typesArr = array(q32Types.map(lit): _*)
+    val labelsArr = array(Entities.relTaxonomy.map(t => lit(t._1)): _*)
     val cooc = q30(s, dir)
     val rels = cooc.select(col("entity_a").as("src"), col("entity_b").as("tgt"),
         col("n_docs"))
       .unionByName(cooc.select(col("entity_b").as("src"), col("entity_a").as("tgt"),
         col("n_docs")))
-      .join(typed.select(col("p_name").as("src"), col("etype").as("src_type")), Seq("src"))
-      .join(typed.select(col("p_name").as("tgt"), col("etype").as("tgt_type")), Seq("tgt"))
-      .withColumn("relationship_type", lit("PART_OF"))
-      .withColumn("conf_raw", col("n_docs"))
-      .withColumn("conf", Entities.normalizeConfidence(col("conf_raw")))
+      .withColumn("src_type",
+        element_at(typesArr, (length(col("src")) % 8 + 1).cast("int")))
+      .withColumn("tgt_type",
+        element_at(typesArr, (length(col("tgt")) % 8 + 1).cast("int")))
+      .withColumn("relationship_type", element_at(labelsArr,
+        ((length(col("src")) * 7 + length(col("tgt")) * 13 + col("n_docs")) % 14 + 1)
+          .cast("int")))
+      .withColumn("conf", Entities.normalizeConfidence(col("n_docs")))
     Entities.validateRelationships(rels, "src_type", "relationship_type",
       "tgt_type", "src", "tgt", "conf")
   }
@@ -1741,23 +1753,32 @@ object SparkEntry {
          |CAST(COUNT(*) FILTER (h = 1) AS BIGINT) AS n_1hop,
          |CAST(COUNT(*) FILTER (h = 2) AS BIGINT) AS n_2hop
          |FROM mh GROUP BY s""".stripMargin,
-    "q32_validate_rels" ->
+    "q32_validate_rels" -> {
+      // generated from Entities.relTaxonomy so the sides cannot drift
+      val typesSql = "['" + q32Types.mkString("','") + "']"
+      val labelsSql = "['" + Entities.relTaxonomy.map(_._1).mkString("','") + "']"
+      val validCase = Entities.relTaxonomy.map { case (l, ss, ts) =>
+        def cond(c: String, allowed: Seq[String]) =
+          if (allowed == Seq("Any")) "TRUE"
+          else s"$c IN (${allowed.map(t => s"'$t'").mkString(", ")})"
+        s"WHEN relationship_type = '$l' THEN (${cond("src_type", ss)}) AND (${cond("tgt_type", ts)})"
+      }.mkString(" ")
       s"""WITH cooc AS ($coocSql),
-         |typed AS (SELECT DISTINCT p_name, ${normTypeSql(rawPartTypeSql)} AS etype FROM part),
          |rels AS (
          |  SELECT entity_a AS src, entity_b AS tgt, n_docs FROM cooc
          |  UNION ALL
          |  SELECT entity_b AS src, entity_a AS tgt, n_docs FROM cooc),
-         |typed_rels AS (SELECT r.src, r.tgt, ts.etype AS src_type, tt.etype AS tgt_type,
-         |  'PART_OF' AS relationship_type, ${normConfSql("r.n_docs")} AS conf
-         |  FROM rels r JOIN typed ts ON r.src = ts.p_name JOIN typed tt ON r.tgt = tt.p_name)
+         |typed AS (SELECT src, tgt, n_docs,
+         |  $typesSql[CAST(len(src) % 8 + 1 AS INT)] AS src_type,
+         |  $typesSql[CAST(len(tgt) % 8 + 1 AS INT)] AS tgt_type,
+         |  $labelsSql[CAST((len(src) * 7 + len(tgt) * 13 + n_docs) % 14 + 1 AS INT)] AS relationship_type,
+         |  ${normConfSql("n_docs")} AS conf
+         |  FROM rels)
          |SELECT src, tgt, relationship_type, MAX(conf) AS confidence
-         |FROM typed_rels
-         |WHERE (src_type, relationship_type, tgt_type) IN (
-         |  ('PERSON', 'WORKS_FOR', 'ORGANIZATION'), ('PERSON', 'LOCATED_IN', 'LOCATION'),
-         |  ('ORGANIZATION', 'LOCATED_IN', 'LOCATION'), ('PRODUCT', 'MADE_BY', 'ORGANIZATION'),
-         |  ('COMPONENT', 'PART_OF', 'PRODUCT'), ('CONCEPT', 'RELATED_TO', 'CONCEPT'))
-         |GROUP BY src, tgt, relationship_type""".stripMargin)
+         |FROM typed
+         |WHERE CASE $validCase ELSE FALSE END
+         |GROUP BY src, tgt, relationship_type""".stripMargin
+    })
 
   /** hex→int of the first `n` hex chars of md5(x) (DuckDB fragment —
     * twin of Multimodal.decodeStub's leading-bytes extraction). */

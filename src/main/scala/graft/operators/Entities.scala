@@ -282,30 +282,61 @@ object Entities {
       .select(col("name_a"), col("name_b"), col("sim"))
   }
 
-  /** Relationship taxonomy: allowed (source_type, rel_type, target_type)
-    * triples — subset of the reference's 14-type taxonomy
-    * (relationships.py:11-198).
+  /** Full 14-type relationship taxonomy (relationships.py:11-198):
+    * label → (allowed source types, allowed target types). "Any" is
+    * the wildcard (RELATES_TO connects any entity types).
     */
-  val relTaxonomy: Seq[(String, String, String)] = Seq(
-    ("PERSON", "WORKS_FOR", "ORGANIZATION"),
-    ("PERSON", "LOCATED_IN", "LOCATION"),
-    ("ORGANIZATION", "LOCATED_IN", "LOCATION"),
-    ("PRODUCT", "MADE_BY", "ORGANIZATION"),
-    ("COMPONENT", "PART_OF", "PRODUCT"),
-    ("CONCEPT", "RELATED_TO", "CONCEPT"))
+  val relTaxonomy: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("COMPONENT_OF", Seq("Component", "Feature", "Module"),
+      Seq("Product", "System", "Component")),
+    ("CONNECTS_TO", Seq("Product", "Component", "System", "Software"),
+      Seq("Product", "Component", "System", "Platform")),
+    ("DEPENDS_ON", Seq("Product", "Component", "Feature", "Process", "Software"),
+      Seq("Component", "Service", "Resource", "Infrastructure")),
+    ("REPLACES", Seq("Product", "Component", "Software", "Document"),
+      Seq("Product", "Component", "Software", "Document")),
+    ("TROUBLESHOOTS", Seq("Document", "Procedure", "Guide"),
+      Seq("Issue", "Error", "Problem", "Component")),
+    ("DEFINES", Seq("Document", "Specification", "Standard"),
+      Seq("Concept", "Process", "Standard", "Value", "Term")),
+    ("DOCUMENTS", Seq("Document", "Guide", "Manual"),
+      Seq("Product", "Process", "Feature", "System")),
+    ("REFERENCES", Seq("Document", "Specification", "Report"),
+      Seq("Document", "Standard", "Source", "Study")),
+    ("TARGETS", Seq("Document", "Campaign", "Feature", "Product"),
+      Seq("Segment", "Department", "UserType", "Market")),
+    ("RESPONSIBLE_FOR", Seq("Department", "Team", "Person", "Role"),
+      Seq("Product", "Process", "Component", "Customer", "Document")),
+    ("SERVES", Seq("Product", "Feature", "Service", "Department"),
+      Seq("Customer", "Market", "Segment", "Region")),
+    ("IMPACTS", Seq("Issue", "Change", "Feature", "Decision"),
+      Seq("Product", "Customer", "Process", "Component")),
+    ("RELATES_TO", Seq("Any"), Seq("Any")),
+    ("COMPATIBLE_WITH", Seq("Product", "Component", "Software", "Accessory"),
+      Seq("Product", "Component", "Software", "Standard")))
 
-  /** Validate + dedup relationships: keep rows whose type triple is in
-    * the taxonomy, then UNIQUE(source, target, type) keeping max
-    * confidence. (relationship_extractor.py:533-556,
-    * relationships.py:213-218.)
+  /** Validate + dedup relationships against the 14-type taxonomy:
+    * keep rows whose rel type exists and whose endpoint types are in
+    * the type's allowed lists ("Any" wildcards pass everything —
+    * relationships.py:213-218 validate_entities), then
+    * UNIQUE(source, target, type) keeping max confidence
+    * (relationship_extractor.py:533-556).
+    *
+    * The taxonomy is 14 rows — broadcast; membership is an
+    * array_contains on the broadcast side, so the plan is one
+    * broadcast hash join + one aggregate.
     */
   def validateRelationships(rels: DataFrame, srcType: String, relType: String,
       tgtType: String, srcId: String, tgtId: String, confCol: String): DataFrame = {
-    val taxonomy = rels.sparkSession.createDataFrame(relTaxonomy)
-      .toDF("_tax_src", "_tax_rel", "_tax_tgt")
-    rels.join(broadcast(taxonomy),
-        col(srcType) === col("_tax_src") && col(relType) === col("_tax_rel") &&
-          col(tgtType) === col("_tax_tgt"))
+    val spark = rels.sparkSession
+    import spark.implicits._
+    val taxonomy = relTaxonomy.toDF("_tax_rel", "_tax_srcs", "_tax_tgts")
+    rels.join(broadcast(taxonomy), col(relType) === col("_tax_rel"))
+      .where(
+        (array_contains(col("_tax_srcs"), lit("Any")) ||
+          array_contains(col("_tax_srcs"), col(srcType))) &&
+        (array_contains(col("_tax_tgts"), lit("Any")) ||
+          array_contains(col("_tax_tgts"), col(tgtType))))
       .groupBy(col(srcId), col(tgtId), col(relType))
       .agg(max(col(confCol)).as("confidence"))
   }

@@ -87,17 +87,28 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("b", 1), ("c", 2)))
   }
 
-  test("validateRelationships keeps only taxonomy triples, dedups by max conf") {
+  test("validateRelationships enforces 14-type endpoints, Any wildcard, max-conf dedup") {
     val rels = Seq(
-      ("p1", "PERSON", "WORKS_FOR", "o1", "ORGANIZATION", 0.4),
-      ("p1", "PERSON", "WORKS_FOR", "o1", "ORGANIZATION", 0.9),
-      ("p1", "PERSON", "WORKS_FOR", "l1", "LOCATION", 0.8))
+      // valid: Component COMPONENT_OF Product — twice, max conf kept
+      ("c1", "Component", "COMPONENT_OF", "p1", "Product", 0.4),
+      ("c1", "Component", "COMPONENT_OF", "p1", "Product", 0.9),
+      // invalid source type for COMPONENT_OF
+      ("x1", "Customer", "COMPONENT_OF", "p1", "Product", 0.8),
+      // invalid target type for TROUBLESHOOTS
+      ("d1", "Document", "TROUBLESHOOTS", "m1", "Market", 0.8),
+      // RELATES_TO accepts any endpoint types
+      ("a1", "Weird", "RELATES_TO", "b1", "Weirder", 0.6),
+      // unknown relationship label drops
+      ("a1", "Product", "MADE_UP", "b1", "Product", 0.6))
       .toDF("src", "src_t", "rel", "tgt", "tgt_t", "conf")
     val got = Entities.validateRelationships(
       rels, "src_t", "rel", "tgt_t", "src", "tgt", "conf")
       .select($"src", $"tgt", $"rel", $"confidence")
-      .as[(String, String, String, Double)].collect()
-    assert(got.toSeq === Seq(("p1", "o1", "WORKS_FOR", 0.9)))
+      .as[(String, String, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a1", "b1", "RELATES_TO", 0.6),
+      ("c1", "p1", "COMPONENT_OF", 0.9)))
+    assert(Entities.relTaxonomy.size === 14)
   }
 
   test("extractMentions finds rare terms with offsets") {
