@@ -1021,6 +1021,39 @@ object SparkEntry {
         col("parse_confidence"), col("parsed_text_length"))
   }
 
+  /** Six-mime listing fixture vocabulary for the q74 census. */
+  private val q74Mimes = Seq(
+    "application/vnd.google-apps.document",
+    "application/vnd.google-apps.spreadsheet",
+    "application/vnd.google-apps.presentation",
+    "application/pdf", "text/plain",
+    "application/vnd.google-apps.drawing")
+
+  /** GoogleDrive source semantics in the gate (§2.2,
+    * google_drive.rs:22-232): export-type routing over a listing frame
+    * derived from the corpus, the recent-updates poll filter, and the
+    * 1s-buffered next-cutoff rule. (The recursive client walk itself —
+    * pagination, trashed/dup skip — is GoogleDriveSpec's fixture
+    * territory; this pins the frame-level semantics to the oracle.) */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import sources.GoogleDrive
+    val docs = t(s, dir, "documents")
+    val mimes = array(q74Mimes.map(lit): _*)
+    val listing = docs.select(
+        concat(lit("f"), col("doc_id")).as("file_id"),
+        element_at(mimes, (col("doc_id") % 6 + 1).cast("int")).as("mime_type"),
+        (col("n_chars") * 1000000L).as("ordinal"))
+      .withColumn("export_mime", GoogleDrive.exportMimeFor(col("mime_type")))
+    val base = listing.groupBy(col("export_mime"))
+      .agg(count(lit(1)).as("n_files"))
+    val ch = GoogleDrive.recentChanges(listing, 300000000L)
+      .groupBy(col("export_mime")).agg(count(lit(1)).as("n_changed"))
+    base.join(ch, Seq("export_mime"), "left")
+      .crossJoin(GoogleDrive.nextCutoff(listing, 600000000L))
+      .select(col("export_mime"), col("n_files"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"), col("new_cutoff"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1119,7 +1152,8 @@ object SparkEntry {
     "q70_kmv_sketch" -> q70 _,
     "q71_parse_confidence" -> q71 _,
     "q72_embed_dedup_lsh" -> q72 _,
-    "q73_fuzzy_tiers" -> q73 _)
+    "q73_fuzzy_tiers" -> q73 _,
+    "q74_gdrive_listing" -> q74 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1200,6 +1234,25 @@ object SparkEntry {
          |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
          |SELECT x.event_type, x.n_exact, k.kmv_estimate
          |FROM x JOIN k ON x.event_type = k.event_type""".stripMargin,
+    "q74_gdrive_listing" -> {
+      // export routing generated from GoogleDrive.exportMimeTypes so
+      // the sides cannot drift
+      val mimesSql = "['" + q74Mimes.mkString("','") + "']"
+      val exportCase = sources.GoogleDrive.exportMimeTypes
+        .map { case (g, (t, _)) => s"WHEN mime_type = '$g' THEN '$t'" }
+        .mkString(" ")
+      s"""WITH l AS (SELECT doc_id,
+         |  $mimesSql[CAST(doc_id % 6 + 1 AS INT)] AS mime_type,
+         |  n_chars * 1000000 AS ordinal FROM documents),
+         |r AS (SELECT mime_type, ordinal,
+         |  CASE $exportCase ELSE mime_type END AS export_mime FROM l),
+         |c AS (SELECT least(coalesce(max(ordinal), 9223372036854775807),
+         |  600000000 - 1000000) AS new_cutoff FROM r)
+         |SELECT export_mime, COUNT(*) AS n_files,
+         |CAST(COUNT(*) FILTER (ordinal > 300000000) AS BIGINT) AS n_changed,
+         |(SELECT new_cutoff FROM c) AS new_cutoff
+         |FROM r GROUP BY export_mime""".stripMargin
+    },
     "q71_parse_confidence" ->
       """WITH src AS (SELECT doc_id,
         |  ['.txt','.md','.pdf','.docx','.html'][CAST(doc_id % 5 + 1 AS INT)] AS ext,
