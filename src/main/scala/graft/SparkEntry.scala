@@ -1054,6 +1054,42 @@ object SparkEntry {
         coalesce(col("n_changed"), lit(0L)).as("n_changed"), col("new_cutoff"))
   }
 
+  /** Security-level vocabulary for the q75 census ('unknown' exercises
+    * the default-4 branch). */
+  private val q75Levels = Seq("public", "client", "partner", "employee",
+    "management", "unknown")
+
+  /** Notion connector tier in the gate (§2.2,
+    * notion_connector.py:635-708): security tagging + content-hash
+    * change detection census. (The paginated block-fetch boundary is
+    * NotionConnectorSpec fixture territory.) Stored hashes simulate a
+    * previous scan: doc_id%3==0 never scanned (missing ⇒ changed),
+    * odd doc_ids stored stale (changed), the rest current (skip). */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import sources.{NotionBlocks, NotionConnector}
+    val docs = t(s, dir, "documents")
+    val levels = array(q75Levels.map(lit): _*)
+    val cur = docs.select(
+        col("doc_id").as("page_id"),
+        element_at(levels, (col("doc_id") % 6 + 1).cast("int")).as("security_level"),
+        NotionBlocks.contentHash(col("text")).as("content_hash"))
+      .withColumn("access_level",
+        NotionConnector.accessLevelFor(col("security_level")))
+    val stored = docs.where(col("doc_id") % 3 =!= 0).select(
+      col("doc_id").as("page_id"),
+      when(col("doc_id") % 2 === 0, md5(col("text")))
+        .otherwise(lit("stale")).as("stored_hash"))
+    val changes = NotionConnector.detectChanges(
+      cur, "page_id", "content_hash", stored, "page_id", "stored_hash")
+    val base = cur.groupBy(col("security_level"), col("access_level"))
+      .agg(count(lit(1)).as("n_pages"))
+    val ch = changes.groupBy(col("security_level"))
+      .agg(count(lit(1)).as("n_changed"))
+    base.join(ch, Seq("security_level"), "left")
+      .select(col("security_level"), col("access_level"), col("n_pages"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1153,7 +1189,8 @@ object SparkEntry {
     "q71_parse_confidence" -> q71 _,
     "q72_embed_dedup_lsh" -> q72 _,
     "q73_fuzzy_tiers" -> q73 _,
-    "q74_gdrive_listing" -> q74 _)
+    "q74_gdrive_listing" -> q74 _,
+    "q75_notion_changes" -> q75 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1234,6 +1271,30 @@ object SparkEntry {
          |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type)
          |SELECT x.event_type, x.n_exact, k.kmv_estimate
          |FROM x JOIN k ON x.event_type = k.event_type""".stripMargin,
+    "q75_notion_changes" -> {
+      // access CASE generated from NotionConnector.accessLevels
+      val levelsSql = "['" + q75Levels.mkString("','") + "']"
+      val accCase = sources.NotionConnector.accessLevels
+        .map { case (n, l) => s"WHEN security_level = '$n' THEN $l" }
+        .mkString(" ")
+      s"""WITH cur AS (SELECT doc_id AS page_id,
+         |  $levelsSql[CAST(doc_id % 6 + 1 AS INT)] AS security_level,
+         |  md5(text) AS content_hash FROM documents),
+         |acc AS (SELECT *, CASE $accCase
+         |  ELSE ${sources.NotionConnector.DefaultAccessLevel} END AS access_level FROM cur),
+         |stored AS (SELECT doc_id AS page_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN md5(text) ELSE 'stale' END AS stored_hash
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |ch AS (SELECT a.security_level, COUNT(*) AS n_changed
+         |  FROM acc a LEFT JOIN stored s USING (page_id)
+         |  WHERE s.stored_hash IS NULL OR a.content_hash <> s.stored_hash
+         |  GROUP BY a.security_level),
+         |base AS (SELECT security_level, access_level, COUNT(*) AS n_pages
+         |  FROM acc GROUP BY security_level, access_level)
+         |SELECT base.security_level, base.access_level, base.n_pages,
+         |coalesce(ch.n_changed, 0) AS n_changed
+         |FROM base LEFT JOIN ch ON base.security_level = ch.security_level""".stripMargin
+    },
     "q74_gdrive_listing" -> {
       // export routing generated from GoogleDrive.exportMimeTypes so
       // the sides cannot drift
