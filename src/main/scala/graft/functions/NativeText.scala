@@ -62,8 +62,8 @@ object NativeText {
 
   private val SPACE = UTF8String.fromString(" ")
 
-  /** Column API: 64-bit SimHash hex over a token array — exact twin of
-    * graft.operators.Dedup.simhash's HOF formulation. */
+  /** Column API: 64-bit SimHash hex over a token array — bit-identity
+    * proven against the test-only HOF twin (OperatorSpec.hofSimhash). */
   def simhashOf(tokens: Column): Column =
     GraftColumnBridge.column(SimHashExpr(GraftColumnBridge.expression(tokens)))
 

@@ -34,6 +34,12 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_ts", "_side", "_rp", "_asof") ++
+      (rightTs +: rightCols).map(c => s"asof_$c")
+    val clash = (leftCols ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"asOf reserves working/output columns ${reserved.mkString(", ")}; " +
+        s"rename input columns ${clash.mkString(", ")}")
     val carried = rightTs +: rightCols
     val payload = struct(carried.map(col): _*)
     val r = right.select(col(keyCol), col(rightTs).as("_ts"),

@@ -121,34 +121,10 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** 64-bit SimHash over BM25 tokens. Each token contributes ±1 votes
-    * on 64 bit positions taken from its md5 (hex digit d, bit j:
-    * bit = (digit >> j) & 1). simhash bit i = 1 iff vote sum > 0.
-    * Returned as a 16-char lowercase hex string.
-    */
-  def simhash(text: Column): Column = {
-    val toks = TextFunctions.bm25Tokens(text)
-    val hashes = transform(toks, t => md5(t))
-    // votes: array of 64 ints; fold over tokens adding ±1 per bit
-    val votes = aggregate(
-      hashes,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, i) => {
-        val hexDigit = substring(h, (floor(i / 4) + 1).cast("int"), lit(1))
-        val digitVal = instr(lit("0123456789abcdef"), hexDigit) - 1
-        val bit = floor(digitVal / pow(lit(2.0), (i % 4).cast("double"))).cast("int") % 2
-        v + when(bit === 1, 1).otherwise(-1)
-      }))
-    val bits = transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
-    // assemble hex: 16 nibbles, nibble i from bits [4i, 4i+4)
-    val nibbles = transform(sequence(lit(0), lit(15)), i =>
-      substring(lit("0123456789abcdef"),
-        (element_at(bits, (i * 4 + 1).cast("int"))
-          + element_at(bits, (i * 4 + 2).cast("int")) * 2
-          + element_at(bits, (i * 4 + 3).cast("int")) * 4
-          + element_at(bits, (i * 4 + 4).cast("int")) * 8 + 1).cast("int"), lit(1)))
-    concat_ws("", nibbles)
-  }
+  /** 64-bit SimHash lives in [[graft.functions.NativeText.simhashOf]]
+    * (single-pass native expression); its HOF twin — the independent
+    * formulation the bit-identity spec checks against — is test-only
+    * (OperatorSpec.hofSimhash). */
 
   /** Embedding near-dup pairs: all (a < b) with cosine >= minSim.
     * Exact O(n²) comparison — correctness baseline ONLY (the plan is a

@@ -22,7 +22,16 @@ object Throttle {
   def batchedAsync[T, R](it: Iterator[T], batchSize: Int, maxConcurrent: Int)(
       f: Seq[T] => Seq[R]): Iterator[R] = {
     require(batchSize > 0 && maxConcurrent > 0)
-    val pool: ExecutorService = Executors.newFixedThreadPool(maxConcurrent)
+    // daemon threads: a caller outside a Spark task (driver-side or
+    // plain unit use) that abandons the iterator mid-stream has no
+    // completion hook — daemon workers keep an abandoned pool from
+    // pinning the JVM either way
+    val pool: ExecutorService = Executors.newFixedThreadPool(maxConcurrent,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-throttle")
+        t.setDaemon(true)
+        t
+      })
     // a downstream limit() can abandon the iterator mid-partition —
     // tie pool shutdown to task completion so threads never leak
     Option(org.apache.spark.TaskContext.get())

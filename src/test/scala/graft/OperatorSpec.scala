@@ -144,13 +144,52 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  // HOF twin of NativeText.simhashOf — the independent formulation the
+  // bit-identity test checks the native expression against. Test-only:
+  // main carries one simhash implementation (the native one).
+  private def hofSimhash(text: org.apache.spark.sql.Column) = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.bm25Tokens(text)
+    val hashes = transform(toks, t => md5(t))
+    // votes: array of 64 ints; fold over tokens adding ±1 per bit
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, i) => {
+        val hexDigit = substring(h, (floor(i / 4) + 1).cast("int"), lit(1))
+        val digitVal = instr(lit("0123456789abcdef"), hexDigit) - 1
+        val bit = floor(digitVal / pow(lit(2.0), (i % 4).cast("double"))).cast("int") % 2
+        v + when(bit === 1, 1).otherwise(-1)
+      }))
+    val bits = transform(votes, v => when(v > 0, lit(1)).otherwise(lit(0)))
+    // assemble hex: 16 nibbles, nibble i from bits [4i, 4i+4)
+    val nibbles = transform(sequence(lit(0), lit(15)), i =>
+      substring(lit("0123456789abcdef"),
+        (element_at(bits, (i * 4 + 1).cast("int"))
+          + element_at(bits, (i * 4 + 2).cast("int")) * 2
+          + element_at(bits, (i * 4 + 3).cast("int")) * 4
+          + element_at(bits, (i * 4 + 4).cast("int")) * 8 + 1).cast("int"), lit(1)))
+    concat_ws("", nibbles)
+  }
+
   test("simhash identical for identical docs, 16 hex chars") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words")).toDF("doc_id", "text")
-    val hs = df.select(Dedup.simhash($"text")).as[String].collect()
+    val hs = df.select(hofSimhash($"text")).as[String].collect()
     assert(hs(0) === hs(1))
     assert(hs(0).length === 16)
     assert(hs(0) !== hs(2))
+  }
+
+  test("native simhash is bit-identical to the HOF twin") {
+    import graft.functions.{NativeText, TextFunctions}
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "the quick brown fox jumps over lazy dogs repeatedly"),
+      (3L, ""), (4L, "one")).toDF("doc_id", "text")
+    val both = df.select(
+      NativeText.simhashOf(TextFunctions.bm25Tokens($"text")).as("native"),
+      hofSimhash($"text").as("hof"))
+    assert(both.where($"native" =!= $"hof").count() === 0)
   }
 }
 

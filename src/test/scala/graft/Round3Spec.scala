@@ -212,6 +212,19 @@ class ThrottleSpec extends AnyFunSuite {
     assert(ConcurrencyProbe.peak.get() >= 2) // actually overlapped
   }
 
+  test("abandoned driver-side iterator leaves only daemon threads") {
+    // no TaskContext here: consume part of the stream, abandon the
+    // iterator — the pool has no completion hook, so the workers must
+    // be daemons or they'd pin the JVM forever
+    val it = Throttle.batchedAsync((1 to 100).iterator, 5, 3) { b =>
+      Thread.sleep(5); b
+    }
+    assert(it.take(7).toSeq === (1 to 7))
+    val workers = Thread.getAllStackTraces.keySet.toArray(Array.empty[Thread])
+      .filter(_.getName == "graft-throttle")
+    assert(workers.nonEmpty && workers.forall(_.isDaemon))
+  }
+
   test("embedAsync matches the sequential embedder output") {
     ConcurrencyProbe.reset()
     val df = (1L to 40L).map(i => (i, s"doc number $i words")).toDF("id", "text")
@@ -336,6 +349,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.getLong(0) === 20L)
     assert(r.isNullAt(1))
     assert(r.getString(2) === "y")
+  }
+
+  test("reserved working/output column names are rejected up front") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "_side")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("_side"))
+    // output-name collision (asof_v already present on the left)
+    val left2 = Seq((1L, 10L, 0.0)).toDF("k", "ts", "asof_v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left2, right, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("asof_v"))
   }
 }
 
