@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
   */
 final class Flow(val spark: SparkSession) {
   private val collectors = mutable.LinkedHashMap[String, mutable.ListBuffer[DataFrame]]()
+  private val declared = mutable.ListBuffer[graft.incremental.SetupDriver.Declaration]()
 
   /** Import a keyed source (Import op). */
   def importSource(df: DataFrame, keyCol: String): Scope = {
@@ -58,6 +59,24 @@ final class Flow(val spark: SparkSession) {
     graft.incremental.ParquetSink.merge(
       spark, path, collector(name), primaryKey,
       deletes = None)
+
+  /** Declaration op (spec.rs:524 `declarations`): register a
+    * target-side artifact — a label/table plus primary key and index
+    * metadata — owned by the flow rather than any single export.
+    */
+  def declare(d: graft.incremental.SetupDriver.Declaration): Flow = {
+    declared += d; this
+  }
+
+  def declarations: Seq[graft.incremental.SetupDriver.Declaration] =
+    declared.toSeq
+
+  /** Converge the setup state at `statePath` to this flow's
+    * declarations (create/update/drop — SetupDriver diff semantics).
+    */
+  def applyDeclarations(statePath: String)
+      : Seq[graft.incremental.SetupDriver.DeclarationAction] =
+    graft.incremental.SetupDriver.applyDeclarations(spark, statePath, declared.toSeq)
 }
 
 object Flow {

@@ -82,4 +82,63 @@ object SetupDriver {
         }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Declarations (reference spec.rs:524 `FlowInstanceSpec.declarations`;
+  // python/cocoindex/targets.py:103-127 Neo4jDeclaration/KuzuDeclaration)
+  // ------------------------------------------------------------------
+
+  /** A target-side artifact declared by the flow but not owned by any
+    * single export op — e.g. a graph node label with its primary key
+    * and vector indexes. At Spark tier an "index" is layout metadata
+    * (the physical analogue is a bucketed/sorted write or an IVF
+    * centroid artifact); the declaration records the desired state the
+    * setup driver converges the sink to.
+    */
+  final case class Declaration(kind: String, name: String,
+      primaryKey: Seq[String], indexes: Seq[String] = Nil) {
+    def key: String = s"$kind/$name"
+  }
+
+  final case class DeclarationAction(key: String, action: String)
+
+  private val declSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("name", StringType),
+    StructField("primary_key", ArrayType(StringType)),
+    StructField("indexes", ArrayType(StringType))))
+
+  /** Declarations currently tracked in the setup state at `statePath`. */
+  def declaredState(spark: SparkSession, statePath: String): Seq[Declaration] =
+    ParquetSink.read(spark, statePath).toSeq.flatMap(_.collect().map { r =>
+      Declaration(r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getSeq[String](3))
+    })
+
+  /** Converge tracked state to `desired` (reference setup/driver.rs
+    * component diff): new key → created; same key with changed
+    * primary key / indexes → updated; unchanged → noop; tracked key
+    * absent from `desired` → dropped. Idempotent — a second apply of
+    * the same `desired` is all-noop. The state itself is tiny
+    * metadata; `collect()` here is setup-time, never per-row.
+    */
+  def applyDeclarations(spark: SparkSession, statePath: String,
+      desired: Seq[Declaration]): Seq[DeclarationAction] = {
+    require(desired.map(_.key).distinct.size == desired.size,
+      "duplicate declaration keys")
+    val existing = declaredState(spark, statePath).map(d => d.key -> d).toMap
+    val actions = desired.map { d =>
+      existing.get(d.key) match {
+        case None => DeclarationAction(d.key, "created")
+        case Some(e) if e == d => DeclarationAction(d.key, "noop")
+        case Some(_) => DeclarationAction(d.key, "updated")
+      }
+    } ++ existing.keys.filterNot(desired.map(_.key).toSet)
+      .map(DeclarationAction(_, "dropped"))
+    import scala.jdk.CollectionConverters._
+    val rows = desired.map(d => org.apache.spark.sql.Row(
+      d.kind, d.name, d.primaryKey, d.indexes))
+    ParquetSink.swapWrite(spark,
+      statePath, spark.createDataFrame(rows.asJava, declSchema))
+    actions
+  }
 }
