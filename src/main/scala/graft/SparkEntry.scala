@@ -1090,6 +1090,27 @@ object SparkEntry {
         coalesce(col("n_changed"), lit(0L)).as("n_changed"))
   }
 
+  /** Document security/access levels in the gate (document.py:76-77,
+    * SECURITY_LEVELS.md): tag every document with a security level,
+    * then census what each user level 1..5 can see — the hierarchy
+    * rule `access_level <= user_level` ("higher levels see everything
+    * below"). The five user levels are a broadcast 5-row frame; the
+    * corpus never shuffles. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import operators.Security
+    val levels = array(q75Levels.map(lit): _*)
+    val tagged = Security.tag(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        element_at(levels, (col("doc_id") % 6 + 1).cast("int")).as("security_level")),
+      "security_level")
+    val users = s.range(1, 6).select(col("id").cast("int").as("user_level"))
+    Security.accessibleTo(tagged.crossJoin(broadcast(users)), col("user_level"))
+      .groupBy(col("user_level"))
+      .agg(count(lit(1)).as("n_visible"),
+        sum(col("n_chars")).cast("long").as("n_visible_chars"),
+        countDistinct(col("security_level")).as("n_levels"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1190,7 +1211,8 @@ object SparkEntry {
     "q72_embed_dedup_lsh" -> q72 _,
     "q73_fuzzy_tiers" -> q73 _,
     "q74_gdrive_listing" -> q74 _,
-    "q75_notion_changes" -> q75 _)
+    "q75_notion_changes" -> q75 _,
+    "q76_security_filter" -> q76 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1294,6 +1316,25 @@ object SparkEntry {
          |SELECT base.security_level, base.access_level, base.n_pages,
          |coalesce(ch.n_changed, 0) AS n_changed
          |FROM base LEFT JOIN ch ON base.security_level = ch.security_level""".stripMargin
+    },
+    "q76_security_filter" -> {
+      // access CASE generated from Security.accessLevels so the sides
+      // cannot drift
+      val levelsSql = "['" + q75Levels.mkString("','") + "']"
+      val accCase = operators.Security.accessLevels
+        .map { case (n, l) => s"WHEN security_level = '$n' THEN $l" }
+        .mkString(" ")
+      s"""WITH tagged AS (SELECT doc_id, n_chars,
+         |  $levelsSql[CAST(doc_id % 6 + 1 AS INT)] AS security_level
+         |  FROM documents),
+         |acc AS (SELECT *, CASE $accCase
+         |  ELSE ${operators.Security.DefaultAccessLevel} END AS access_level FROM tagged),
+         |u AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5)) AS t(user_level))
+         |SELECT u.user_level, COUNT(*) AS n_visible,
+         |CAST(SUM(a.n_chars) AS BIGINT) AS n_visible_chars,
+         |COUNT(DISTINCT a.security_level) AS n_levels
+         |FROM u JOIN acc a ON a.access_level <= u.user_level
+         |GROUP BY u.user_level""".stripMargin
     },
     "q74_gdrive_listing" -> {
       // export routing generated from GoogleDrive.exportMimeTypes so

@@ -29,17 +29,14 @@ trait NotionClient extends Serializable {
 object NotionConnector {
 
   /** security level → numeric access level
-    * (notion_connector.py:660-676); unknown levels default to 4. */
-  val accessLevels: Seq[(String, Int)] = Seq(
-    "public" -> 1, "client" -> 2, "partner" -> 3,
-    "employee" -> 4, "management" -> 5)
-  val DefaultAccessLevel = 4
+    * (notion_connector.py:660-676); canonical map lives in
+    * [[graft.operators.Security]] — document-level security is wider
+    * than the Notion tier. */
+  val accessLevels: Seq[(String, Int)] = graft.operators.Security.accessLevels
+  val DefaultAccessLevel: Int = graft.operators.Security.DefaultAccessLevel
 
   def accessLevelFor(securityLevel: Column): Column =
-    accessLevels.foldRight(lit(DefaultAccessLevel): Column) {
-      case ((name, lvl), acc) =>
-        when(securityLevel === name, lit(lvl)).otherwise(acc)
-    }
+    graft.operators.Security.accessLevelFor(securityLevel)
 
   /** Paginated block fetch: for each page row, loop the cursor until
     * has_more is false, concatenating block objects into one JSON

@@ -46,6 +46,35 @@ class DeclarationSpec extends AnyFunSuite {
     }
   }
 
+  test("security access filter reaches the parquet scan as a pushed filter") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Security
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sec").toString + "/docs"
+    val docs = Seq((1L, "public"), (2L, "client"), (3L, "employee"),
+      (4L, "management"), (5L, "mystery")).toDF("doc_id", "security_level")
+    Security.tag(docs, "security_level").write.parquet(dir)
+    val visible = Security.accessibleTo(
+      spark.read.parquet(dir).select(col("doc_id"), col("access_level")), 3)
+    // hierarchy: level-3 user sees public+client+partner, default(4) hidden
+    assert(visible.select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    // the filter must reach the scan (row-group pruning at scale)
+    val plan = visible.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.replaceAll("\\s", "").contains("LessThanOrEqual(access_level,3)"),
+      s"access filter not pushed:\n$plan")
+  }
+
+  test("unknown security level fails closed to employee, never public") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Security
+    import spark.implicits._
+    val lvl = Seq("nonsense").toDF("security_level")
+      .select(Security.accessLevelFor(col("security_level")))
+      .as[Int].head()
+    assert(lvl === Security.DefaultAccessLevel && lvl > 1)
+  }
+
   test("flow accumulates declarations and applies them") {
     import graft.dataflow.Flow
     val path = tmp()
