@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -32,6 +32,10 @@ object NativeVector {
   def cosineOf(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def hyperplaneSigOf(vec: Column, dim: Int, nBits: Int): Column =
+    GraftColumnBridge.column(HyperplaneSigExpr(
+      GraftColumnBridge.expression(vec), dim, nBits))
 
   private[functions] def elemReader(dt: DataType): (ArrayData, Int) => Double =
     dt.asInstanceOf[ArrayType].elementType match {
@@ -206,5 +210,66 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |  }
          |}""".stripMargin
     ev.copy(code = code)
+  }
+}
+
+/** Hyperplane LSH signature — twin of the HOF formulation kept in
+  * Round6Spec.hofHyperplaneSignature (and mirrored by the q26/q72
+  * DuckDB oracles): bit b is the sign of the projection onto the
+  * integer-LCG dyadic-rational plane
+  * `w(b,d) = (lcg(b·dim+d) mod 2001 − 1000) / 1024`. Every product
+  * with a float32 component is exact in double (24+11 mantissa bits),
+  * so only the sequential left-fold sum order matters — preserved
+  * here. HOF null semantics: a null vector, length mismatch, or null
+  * element nulls the projection, and `when(w >= 0,...).otherwise`
+  * turns a null projection into bit '0' — i.e. the all-zeros
+  * signature, never SQL null.
+  *
+  * Interpreted (CodegenFallback): weights are precomputed once per
+  * expression instance and the loop is one tight imperative pass —
+  * replacing nBits interpreted aggregate(zip_with(...)) chains per
+  * row, which dominated q72's runtime.
+  */
+case class HyperplaneSigExpr(child: Expression, dim: Int, nBits: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+
+  @transient private lazy val getX = NativeVector.elemReader(child.dataType)
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](nBits * dim)
+    var i = 0
+    while (i < w.length) {
+      w(i) = (((1103515245L * i + 12345L) % 2147483648L) % 2001L - 1000L) / 1024.0
+      i += 1
+    }
+    w
+  }
+  @transient private lazy val zeros =
+    org.apache.spark.unsafe.types.UTF8String.fromString("0" * nBits)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return zeros
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim || NativeVector.hasNullElement(x)) return zeros
+    val out = new Array[Byte](nBits)
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var d = 0
+      val off = b * dim
+      while (d < dim) {
+        acc += getX(x, d) * weights(off + d)
+        d += 1
+      }
+      out(b) = if (acc >= 0) '1' else '0'
+      b += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
   }
 }

@@ -157,6 +157,14 @@ object Dedup {
     * p = 1 - arccos(s)/π — at the defaults (3×12) ≈ 0.97 for s=0.4,
     * →1 as s→1. Precision is exact (candidates are verified).
     * Output contract matches [[embeddingNearDup]].
+    *
+    * Sizing at scale: expected random collisions are
+    * bands·n²/2^bandBits, so bandBits must grow with ln(n); that is
+    * affordable exactly when the threshold is high (near-dup practice:
+    * s ≥ 0.9 ⇒ p ≈ 0.86 lets bandBits=8, bands=12 keep recall ≈ 0.99
+    * at 2^8× fewer collisions). The 3×12 default serves the gate's
+    * deliberately low 0.4 threshold — a 100 TB run at 0.9 should pass
+    * (8, 12).
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minSim: Double, bandBits: Int = 3, bands: Int = 12): DataFrame = {

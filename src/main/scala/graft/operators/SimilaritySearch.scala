@@ -66,18 +66,11 @@ object SimilaritySearch {
     * `cos`-weight planes this replaces, whose last-ulp differences made
     * the signature engine-dependent and un-oracle-able).
     */
-  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      val w = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") *
-            (((lit(1103515245L) * (lit(b.toLong * dim) + d.cast("long")) + lit(12345L))
-              % lit(2147483648L)) % lit(2001L) - lit(1000L)).cast("double") / lit(1024.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(w >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column =
+    graft.functions.NativeVector.hyperplaneSigOf(vec, dim, nBits)
+    // single-pass native expression; its HOF twin (nBits interpreted
+    // aggregate(zip_with(...)) chains — the formulation the oracles
+    // mirror) lives in Round6Spec and is bit-identity checked
 
   /** Candidate near-dup pairs whose LSH signatures match exactly
     * (all nBits sign bits equal) — equi-join on the signature.

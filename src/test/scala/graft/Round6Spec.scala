@@ -7,6 +7,56 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
+class HyperplaneSigSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // HOF twin of NativeVector.hyperplaneSigOf — the formulation the
+  // q26/q72 DuckDB oracles mirror (dyadic-rational LCG planes,
+  // sequential left fold). Test-only since the native expression
+  // replaced it on the hot path.
+  private def hofHyperplaneSignature(vec: org.apache.spark.sql.Column,
+      dim: Int, nBits: Int) = {
+    val bits = (0 until nBits).map { b =>
+      val w = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x.cast("double") *
+            (((lit(1103515245L) * (lit(b.toLong * dim) + d.cast("long")) + lit(12345L))
+              % lit(2147483648L)) % lit(2001L) - lit(1000L)).cast("double") / lit(1024.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(w >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  test("native signature is bit-identical to the HOF twin") {
+    import graft.functions.NativeVector
+    // deterministic pseudo-random float vectors, plus edge cases the
+    // HOF maps to the all-zeros signature: short vector, long vector,
+    // null element, null vector
+    val vecs: Seq[(Long, Option[Seq[Option[Float]]])] =
+      (1L to 50L).map { i =>
+        i -> Option((0 until 8).map(d =>
+          Option(((i * 31 + d * 17) % 23 - 11).toFloat / 7f)))
+      } ++ Seq(
+        100L -> Option(Seq(Option(1f), Option(2f))),
+        101L -> Option((0 until 12).map(d => Option(d.toFloat))),
+        102L -> Option(Seq(Option(1f), None) ++ (2 until 8).map(d => Option(d.toFloat))),
+        103L -> None)
+    val df = vecs.toDF("id", "vec")
+    val both = df.select(
+      NativeVector.hyperplaneSigOf($"vec", 8, 12).as("native"),
+      hofHyperplaneSignature($"vec", 8, 12).as("hof"))
+    assert(both.where($"native" =!= $"hof" ||
+      $"native".isNull =!= $"hof".isNull).count() === 0)
+    // degenerate inputs really take the all-zeros branch
+    val z = df.where($"id" >= 100L)
+      .select(NativeVector.hyperplaneSigOf($"vec", 8, 12)).as[String].collect()
+    assert(z.forall(_ === "0" * 12))
+  }
+}
+
 class DeclarationSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
