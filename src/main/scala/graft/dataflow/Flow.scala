@@ -60,6 +60,15 @@ final class Flow(val spark: SparkSession) {
       spark, path, collector(name), primaryKey,
       deletes = None)
 
+  /** Export a collector through a registered target connector
+    * (interface.rs:238-316 dispatch-by-kind — the custom-target
+    * extension point: any [[graft.sinks.TargetConnector]] plugs in).
+    */
+  def exportTo(name: String, kind: String, target: String,
+      primaryKey: Seq[String]): Unit =
+    graft.sinks.TargetRegistry(kind)
+      .applyMutation(spark, target, collector(name), primaryKey, deletes = None)
+
   /** Declaration op (spec.rs:524 `declarations`): register a
     * target-side artifact — a label/table plus primary key and index
     * metadata — owned by the flow rather than any single export.

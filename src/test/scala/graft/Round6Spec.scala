@@ -7,6 +7,96 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
+class TargetConnectorSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+  import graft.sinks.{JdbcConnector, TargetConnector, TargetRegistry}
+  import graft.incremental.SetupDriver
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+  private val url = s"jdbc:derby:memory:graftconn${System.nanoTime()};create=true"
+
+  /** A user-defined store: rows live in a driver-side map — exactly
+    * the shape of a custom connector plugging a bespoke service into
+    * the export path. */
+  object MemoryConnector extends TargetConnector {
+    val store = scala.collection.concurrent.TrieMap
+      .empty[String, Map[Seq[Any], Seq[Any]]]
+    override def kind = "memory"
+    override def applySetup(s: org.apache.spark.sql.SparkSession, target: String,
+        desired: StructType, allowRecreate: Boolean) = {
+      store.putIfAbsent(target, Map.empty)
+      SetupDriver.SetupResult(SetupDriver.Compatible, "created")
+    }
+    override def applyMutation(s: org.apache.spark.sql.SparkSession,
+        target: String, rows: org.apache.spark.sql.DataFrame,
+        primaryKey: Seq[String], deletes: Option[org.apache.spark.sql.DataFrame]) = {
+      val ki = primaryKey.map(rows.schema.fieldIndex)
+      val up = rows.collect().map(r => ki.map(r.get) -> r.toSeq).toMap
+      val dels = deletes.toSeq.flatMap(_.collect().map(_.toSeq))
+      store(target) = (store.getOrElse(target, Map.empty) ++ up) -- dels
+    }
+    override def read(s: org.apache.spark.sql.SparkSession, target: String) = None
+  }
+
+  test("a custom connector registers and receives flow exports") {
+    TargetRegistry.register(MemoryConnector)
+    assert(TargetRegistry.registered.contains("memory"))
+    val flow = graft.dataflow.Flow(spark)
+    flow.importSource(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+      .collect("out", Seq("id" -> col("id"), "v" -> col("v")))
+    flow.exportTo("out", "memory", "t1", Seq("id"))
+    assert(MemoryConnector.store("t1") === Map(
+      Seq(1L) -> Seq(1L, "a"), Seq(2L) -> Seq(2L, "b")))
+    // upsert semantics on re-export
+    MemoryConnector.applyMutation(spark, "t1",
+      Seq((2L, "b2")).toDF("id", "v"), Seq("id"),
+      Some(Seq(Tuple1(1L)).toDF("id")))
+    assert(MemoryConnector.store("t1") === Map(Seq(2L) -> Seq(2L, "b2")))
+    intercept[IllegalArgumentException] { TargetRegistry("no-such-kind") }
+  }
+
+  test("jdbc connector: setup create/noop/evolve/recreate against live metadata") {
+    val conn = JdbcConnector(url)
+    val v1 = StructType(Seq(StructField("id", LongType),
+      StructField("payload", StringType)))
+    assert(conn.applySetup(spark, "conn_t", v1).action === "created")
+    assert(conn.applySetup(spark, "conn_t", v1).action === "noop")
+    // add a column, keep data
+    conn.applyMutation(spark, "conn_t",
+      Seq((1L, "a")).toDF("id", "payload"), Seq("id"), None)
+    val v2 = StructType(v1.fields :+ StructField("score", DoubleType))
+    assert(conn.applySetup(spark, "conn_t", v2).action === "evolved")
+    val rows = conn.read(spark, "conn_t").get.collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+    assert(conn.read(spark, "conn_t").get.schema.fieldNames.map(_.toLowerCase)
+      .contains("score"))
+    // type change: refused without allowRecreate, applied with it
+    val v3 = StructType(Seq(StructField("id", LongType),
+      StructField("payload", LongType), StructField("score", DoubleType)))
+    intercept[IllegalStateException] { conn.applySetup(spark, "conn_t", v3) }
+    assert(conn.applySetup(spark, "conn_t", v3, allowRecreate = true)
+      .action === "recreated")
+    assert(conn.read(spark, "conn_t").get.count() === 0)
+  }
+
+  test("parquet connector round-trips through the shared contract") {
+    val dir = Files.createTempDirectory("conn").toString + "/t"
+    val c = TargetRegistry("parquet")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    assert(c.applySetup(spark, dir, schema).action === "created")
+    c.applyMutation(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      Seq("id"), None)
+    c.applyMutation(spark, dir, Seq((2L, "b2")).toDF("id", "v"),
+      Seq("id"), Some(Seq(Tuple1(1L)).toDF("id")))
+    val got = c.read(spark, dir).get.as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "b2")))
+  }
+}
+
 class HyperplaneSigSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import org.apache.spark.sql.functions._
