@@ -1972,9 +1972,7 @@ object SparkEntry {
          |ca AS (SELECT doc_id, COUNT(DISTINCT page_index) AS n_pages, COUNT(*) AS n_chunks,
          |       SUM(${stubEmbSqlFor("chunk_text", 0)}) AS sum_e0
          |       FROM c GROUP BY doc_id),
-         |idx AS (SELECT doc_id, token FROM (
-         |  SELECT doc_id, unnest($toksSql) AS token FROM documents)
-         |  GROUP BY doc_id, token),
+         |idx AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |rare AS (SELECT token FROM (SELECT token, COUNT(DISTINCT doc_id) AS df
          |  FROM idx GROUP BY token) WHERE df <= 2),
          |m AS (SELECT doc_id, COUNT(*) AS n_mentions FROM idx JOIN rare USING (token)

@@ -82,6 +82,13 @@ object NativeText {
   def allTokensOf(text: Column): Column =
     GraftColumnBridge.column(
       TokenizeExpr(GraftColumnBridge.expression(text), 1, dropStopwords = false))
+
+  /** Column API: BM25 tokens with per-occurrence character offsets —
+    * array<struct<token, start_offset, end_offset>>; same token
+    * stream as [[bm25TokensOf]]. */
+  def bm25TokenOffsetsOf(text: Column): Column =
+    GraftColumnBridge.column(
+      TokenOffsetsExpr(GraftColumnBridge.expression(text), 3, dropStopwords = true))
 }
 
 /** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =
@@ -318,4 +325,57 @@ case class TokenizeExpr(child: Expression, minLen: Int, dropStopwords: Boolean)
   override protected def withNewChildInternal(c: Expression): TokenizeExpr =
     copy(child = c)
   override def prettyName: String = "graft_tokenize"
+}
+
+/** [[TokenizeExpr]]'s token stream plus per-occurrence character
+  * offsets (the reference's EntityMention start_offset/end_offset
+  * contract, entity_v2.py:23-40): 1-based start, exclusive end,
+  * measured on the LOWERCASED text (identical to the original for
+  * the 1:1 case mappings of this corpus). One struct per occurrence —
+  * a token appearing k times yields k entries.
+  */
+case class TokenOffsetsExpr(child: Expression, minLen: Int, dropStopwords: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("start_offset", IntegerType, nullable = false),
+    StructField("end_offset", IntegerType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = text.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        if (j - i >= minLen) {
+          val tok = text.substring(i, j)
+          if (!dropStopwords || !stopSet.contains(tok))
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(tok), i + 1, j + 1)
+        }
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenOffsetsExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_token_offsets"
 }

@@ -30,11 +30,13 @@ import graft.Partitioning
   */
 object Entities {
 
-  /** Mention extraction, deterministic tier: a mention is an occurrence
-    * of a corpus-rare token (document frequency <= maxDf). Stands in
-    * for the LLM extractor with identical output shape:
-    * (doc_id, mention_text, start_offset, confidence).
-    * start_offset = position of first occurrence (1-based, as instr).
+  /** Mention extraction, deterministic tier: a mention is an
+    * occurrence of a corpus-rare token (document frequency <= maxDf).
+    * Stands in for the LLM extractor with the reference's
+    * PER-OCCURRENCE contract (entity_v2.py:23-40): one row per
+    * occurrence with its own start_offset/end_offset (1-based start,
+    * exclusive end, on the lowercased text). tf/df ride along as the
+    * confidence basis of the stub tier.
     */
   def extractMentions(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int): DataFrame = {
@@ -42,13 +44,18 @@ object Entities {
     val dfreq = toks.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") <= maxDf)
-    toks.join(dfreq, Seq("token"))
-      .join(Partitioning.spread(df.select(col(idCol), col(textCol))), Seq(idCol))
+    val occurrences = Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(graft.functions.NativeText.bm25TokenOffsetsOf(col(textCol))).as("m"))
+      .select(col(idCol), col("m.token").as("token"),
+        col("m.start_offset").as("start_offset"),
+        col("m.end_offset").as("end_offset"))
+    occurrences
+      .join(toks.join(dfreq, Seq("token")), Seq(idCol, "token"))
       .select(col(idCol),
         col("token").as("mention_text"),
-        instr(lower(col(textCol)), col("token")).as("start_offset"),
-        col("tf"),
-        col("df"))
+        col("start_offset"), col("end_offset"),
+        col("tf"), col("df"))
   }
 
   /** Entity-type normalization: uppercase, non-alnum → underscore,

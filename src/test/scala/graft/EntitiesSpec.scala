@@ -111,15 +111,20 @@ class EntitiesSpec extends AnyFunSuite {
     assert(Entities.relTaxonomy.size === 14)
   }
 
-  test("extractMentions finds rare terms with offsets") {
+  test("extractMentions emits one row per occurrence with exact offsets") {
     val df = Seq(
-      (1L, "common common rareterm common"),
+      (1L, "common common rareterm common Rareterm"),
       (2L, "common words only here"),
       (3L, "common common words words")).toDF("doc_id", "text")
     val got = Entities.extractMentions(df, "doc_id", "text", 1)
-      .select($"doc_id", $"mention_text", $"start_offset")
-      .as[(Long, String, Int)].collect().sortBy(r => (r._1, r._2))
-    assert(got.contains((1L, "rareterm", 15)))
+      .select($"doc_id", $"mention_text", $"start_offset", $"end_offset")
+      .as[(Long, String, Int, Int)].collect().sortBy(r => (r._1, r._3))
+    // per-occurrence: both occurrences, each with its own offsets
+    // (offsets on the lowercased text; end exclusive)
+    assert(got.filter(_._2 == "rareterm").toSeq === Seq(
+      (1L, "rareterm", 15, 23), (1L, "rareterm", 31, 39)))
     assert(!got.exists(_._2 == "common"))
+    // the occurrence count matches the inverted-index tf
+    assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
 }
