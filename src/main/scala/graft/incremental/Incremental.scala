@@ -90,7 +90,18 @@ object Incremental {
   def syncSource(spark: SparkSession, source: DataFrame,
       process: DataFrame => DataFrame, logicFp: String,
       sinkPath: String, trackingPath: String): Long =
-    sync(spark, source, process, logicFp, sinkPath, trackingPath,
+    syncSourceTo(spark, source, process, logicFp,
+      graft.sinks.ParquetConnector, sinkPath, trackingPath)
+
+  /** [[syncSource]] against any registered target connector — the sink
+    * side of the sync is the connector's mutation contract, so JDBC /
+    * property-graph / custom stores get identical incremental
+    * semantics. */
+  def syncSourceTo(spark: SparkSession, source: DataFrame,
+      process: DataFrame => DataFrame, logicFp: String,
+      connector: graft.sinks.TargetConnector, target: String,
+      trackingPath: String): Long =
+    sync(spark, source, process, logicFp, connector, target, trackingPath,
       fullSnapshot = true)
 
   /** Change-stream variant (live_updater.rs:23-424 consumption path):
@@ -100,12 +111,21 @@ object Incremental {
   def applyChanges(spark: SparkSession, batch: DataFrame,
       process: DataFrame => DataFrame, logicFp: String,
       sinkPath: String, trackingPath: String): Long =
-    sync(spark, batch, process, logicFp, sinkPath, trackingPath,
+    applyChangesTo(spark, batch, process, logicFp,
+      graft.sinks.ParquetConnector, sinkPath, trackingPath)
+
+  /** [[applyChanges]] against any registered target connector. */
+  def applyChangesTo(spark: SparkSession, batch: DataFrame,
+      process: DataFrame => DataFrame, logicFp: String,
+      connector: graft.sinks.TargetConnector, target: String,
+      trackingPath: String): Long =
+    sync(spark, batch, process, logicFp, connector, target, trackingPath,
       fullSnapshot = false)
 
   private def sync(spark: SparkSession, source: DataFrame,
       process: DataFrame => DataFrame, logicFp: String,
-      sinkPath: String, trackingPath: String, fullSnapshot: Boolean): Long = {
+      connector: graft.sinks.TargetConnector, target: String,
+      trackingPath: String, fullSnapshot: Boolean): Long = {
     val tracking = readTracking(spark, trackingPath)
     val delta0 = diff(source, tracking, logicFp)
     val delta =
@@ -138,7 +158,7 @@ object Incremental {
       .join(outputs.select("target_key"), Seq("target_key"), "left_anti")
       .distinct()
 
-    ParquetSink.merge(spark, sinkPath,
+    connector.applyMutation(spark, target,
       outputs.drop("source_key"), Seq("target_key"), Some(staleKeys))
 
     // commit tracking: unchanged rows + ordinal bumps + evaluated rows,

@@ -32,6 +32,19 @@ object LiveUpdater {
       process: DataFrame => DataFrame, logicFp: String,
       sinkPath: String, trackingPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startTo(spark, inputDir, schema, process, logicFp,
+      graft.sinks.ParquetConnector, sinkPath, trackingPath, checkpoint, trigger)
+
+  /** [[start]] against any target connector: the stream lands in a
+    * JDBC table / property graph / custom store with the same
+    * incremental guards — `foreachBatch` + connector mutation is the
+    * Spark shape of the reference's per-target export pipeline.
+    */
+  def startTo(spark: SparkSession, inputDir: String, schema: StructType,
+      process: DataFrame => DataFrame, logicFp: String,
+      connector: graft.sinks.TargetConnector, target: String,
+      trackingPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(inputDir)
@@ -39,8 +52,9 @@ object LiveUpdater {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Incremental.applyChanges(
-          batch.sparkSession, batch, process, logicFp, sinkPath, trackingPath)
+        Incremental.applyChangesTo(
+          batch.sparkSession, batch, process, logicFp, connector, target,
+          trackingPath)
         ()
       }
       .start()

@@ -62,4 +62,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.where($"target_key" === "b#0")
       .select($"chunk_text").as[String].head() === "bbbb")
   }
+
+  test("live updater streams into a JDBC store through the connector tier") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("livej").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = s"jdbc:derby:memory:graftlive${System.nanoTime()};create=true"
+    val conn = graft.sinks.JdbcConnector(url)
+    conn.applySetup(spark, "live_t", StructType(Seq(
+      StructField("target_key", StringType), StructField("chunk_text", StringType))))
+
+    def batch(rows: (String, Long, String)*): DataFrame =
+      rows.toSeq.toDF("source_key", "ordinal", "content")
+        .withColumn("content_hash", sha2(col("content"), 256))
+    def process(delta: DataFrame): DataFrame =
+      operators.Chunker.fixed(delta, "content", 10, 2)
+        .select(col("source_key"),
+          concat_ws("#", col("source_key"), col("chunk_index")).as("target_key"),
+          col("chunk_text"))
+
+    val schema = batch(("x", 1L, "y")).schema
+    batch(("a", 100L, "first version here"), ("b", 100L, "bbbb"))
+      .coalesce(1).write.mode("append").parquet(in)
+    LiveUpdater.startTo(spark, in, schema, process, "v1", conn, "live_t",
+      s"$tmp/track", s"$tmp/ckpt").awaitTermination()
+    assert(conn.read(spark, "live_t").get.count() === 4)
+
+    // edit a (stale-key delete via the connector), stale write for b
+    batch(("a", 200L, "short"), ("b", 50L, "stale!!!"))
+      .coalesce(1).write.mode("append").parquet(in)
+    LiveUpdater.startTo(spark, in, schema, process, "v1", conn, "live_t",
+      s"$tmp/track", s"$tmp/ckpt").awaitTermination()
+
+    val out = conn.read(spark, "live_t").get
+    val got = out.select($"target_key", $"chunk_text").as[(String, String)]
+      .collect().toMap
+    assert(got === Map("a#0" -> "short", "b#0" -> "bbbb"))
+  }
 }
