@@ -108,6 +108,15 @@ class LayoutSpec extends AnyFunSuite {
     val salted = Layout.saltedJoin(left, right, "key", 8)
       .select($"key", $"lv", $"rv").collect().map(_.toSeq).toSet
     assert(salted === plain)
+    // the deterministic salt really spreads the hot key across reducers
+    val spread = left.where($"key" === "hot")
+      .withColumn("_s", Layout.saltCol(left, 8))
+      .select("_s").distinct().count()
+    assert(spread >= 5)
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Layout.saltedJoin(left.withColumnRenamed("lv", "_salt"), right, "key", 4)
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {

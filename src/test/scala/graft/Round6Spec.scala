@@ -7,48 +7,6 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
-class BucketingSpec extends AnyFunSuite {
-  lazy val spark = TestSession.spark
-  import org.apache.spark.sql.functions._
-  import spark.implicits._
-
-  test("join of co-bucketed tables plans with zero shuffles") {
-    val docs = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "title")
-    val chunks = (1L to 200L).flatMap(i =>
-      (0 until 3).map(c => (i, c, s"chunk$i-$c"))).toDF("doc_id", "n", "text")
-    Bucketing.writeBucketed(docs, "b_docs", Seq("doc_id"), 4)
-    Bucketing.writeBucketed(chunks, "b_chunks", Seq("doc_id"), 4)
-    val joined = spark.table("b_chunks").join(spark.table("b_docs"), "doc_id")
-    // disable broadcast so the co-located sort-merge path is what's planned
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"co-bucketed join must not shuffle:\n$plan")
-      assert(joined.count() === 600)
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-  }
-
-  test("salted join is row-identical to the plain join") {
-    // one hot key (90% of rows) + a long tail
-    val left = ((1 to 900).map(_ => 1L) ++ (2L to 101L))
-      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
-    val right = (1L to 101L).map(k => (k, s"dim$k")).toDF("k", "name")
-    val plain = left.join(right, Seq("k"))
-    val salted = Skew.saltedJoin(left, right, Seq("k"), 8)
-    assert(salted.columns.toSeq === plain.columns.toSeq)
-    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
-    // the salt really spreads the hot key across reducers
-    val spread = left.withColumn("_s", Skew.saltCol(left, 8))
-      .where($"k" === 1L).select("_s").distinct().count()
-    assert(spread >= 6)
-    // reserved-name guard
-    intercept[IllegalArgumentException] {
-      Skew.saltedJoin(left.withColumnRenamed("payload", "_salt"), right, Seq("k"), 4)
-    }
-  }
-}
-
 class TargetConnectorSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import org.apache.spark.sql.functions._
