@@ -7,6 +7,45 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
+class ProgressTrackerSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("listener records start, per-batch progress, and termination") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ProgressTracker
+    val tracker = ProgressTracker.attach(spark)
+    try {
+      val dir = Files.createTempDirectory("prog")
+      val in = dir.toString + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      import spark.implicits._
+      Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.mode("append").parquet(in)
+      val q = spark.readStream.schema("v LONG").parquet(in)
+        .withColumn("v2", col("v") * 2)
+        .writeStream.format("noop").queryName("graft_progress_probe")
+        .option("checkpointLocation", dir.toString + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener events are asynchronous; wait for the terminal row
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!tracker.snapshot.exists(_.state == "finished") &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val states = tracker.snapshot.filter(p =>
+        p.queryId == q.id.toString).map(_.state)
+      assert(states.contains("started"))
+      assert(states.contains("finished"))
+      val running = tracker.snapshot.filter(p =>
+        p.queryId == q.id.toString && p.state == "running")
+      assert(running.map(_.numInputRows).sum === 3L)
+      assert(running.forall(_.name == "graft_progress_probe"))
+      // the processing_jobs analogue is a queryable frame
+      assert(tracker.progressFrame(spark).where(col("state") === "running")
+        .count() >= 1)
+    } finally ProgressTracker.detach(spark, tracker)
+  }
+}
+
 class TargetConnectorSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import org.apache.spark.sql.functions._
