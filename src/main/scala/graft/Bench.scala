@@ -22,8 +22,9 @@ import org.apache.spark.sql.SparkSession
   *     compilation, harness-only overhead). The pass runs CONCURRENTLY
   *     (janino/C2 compile fine in parallel; local[32] has the cores),
   *     which cuts its wall-clock ~4x without touching timed numbers.
-  * Queries that throw are reported as -1 with their name in `errors`
-  * so a breaking query can never masquerade as a fast one.
+  * Queries that throw are reported as -1 with their name in `errors`,
+  * and any error forces `value` to -1 — a breaking query can never
+  * masquerade as a fast one or as a lower total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,7 +62,11 @@ object Bench {
     }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // a broken query must be LOUD at the headline too: dropping it from
+    // the sum would report a breakage as a speedup
+    val total =
+      if (errors.nonEmpty) -1.0
+      else results.map(_._2).sum
     val prep = obj(Seq("ingest_artifacts" -> artifactSec, "jit_warmup" -> warmSec))
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +

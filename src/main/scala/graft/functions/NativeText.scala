@@ -89,6 +89,35 @@ object NativeText {
   def bm25TokenOffsetsOf(text: Column): Column =
     GraftColumnBridge.column(
       TokenOffsetsExpr(GraftColumnBridge.expression(text), 3, dropStopwords = true))
+
+  /** THE tokenizer scan — single definition so the token stream of
+    * [[TokenizeExpr]] and [[TokenOffsetsExpr]] cannot drift: maximal
+    * [a-z0-9] runs over the lowercased text, minLen / stopword
+    * filtered; emits (token, startIdx, endIdx) with 0-based [start,
+    * end) on the lowercased string. */
+  private[functions] def scanTokens(input: UTF8String, minLen: Int,
+      dropStopwords: Boolean, stopSet: java.util.HashSet[String])(
+      emit: (String, Int, Int) => Unit): Unit = {
+    val text = input.toLowerCase.toString
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = text.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        if (j - i >= minLen) {
+          val tok = text.substring(i, j)
+          if (!dropStopwords || !stopSet.contains(tok))
+            emit(tok, i, j)
+        }
+        i = j
+      } else i += 1
+    }
+  }
 }
 
 /** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =
@@ -299,25 +328,10 @@ case class TokenizeExpr(child: Expression, minLen: Int, dropStopwords: Boolean)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        var j = i + 1
-        while (j < n && {
-          val d = text.charAt(j)
-          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) j += 1
-        if (j - i >= minLen) {
-          val tok = text.substring(i, j)
-          if (!dropStopwords || !stopSet.contains(tok))
-            out += UTF8String.fromString(tok)
-        }
-        i = j
-      } else i += 1
+    NativeText.scanTokens(input.asInstanceOf[UTF8String], minLen,
+      dropStopwords, stopSet) { (tok, _, _) =>
+      out += UTF8String.fromString(tok)
     }
     new GenericArrayData(out.toArray)
   }
@@ -351,26 +365,11 @@ case class TokenOffsetsExpr(child: Expression, minLen: Int, dropStopwords: Boole
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        var j = i + 1
-        while (j < n && {
-          val d = text.charAt(j)
-          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) j += 1
-        if (j - i >= minLen) {
-          val tok = text.substring(i, j)
-          if (!dropStopwords || !stopSet.contains(tok))
-            out += org.apache.spark.sql.catalyst.InternalRow(
-              UTF8String.fromString(tok), i + 1, j + 1)
-        }
-        i = j
-      } else i += 1
+    NativeText.scanTokens(input.asInstanceOf[UTF8String], minLen,
+      dropStopwords, stopSet) { (tok, i, j) =>
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(tok), i + 1, j + 1)
     }
     new GenericArrayData(out.toArray)
   }

@@ -267,7 +267,10 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, nBits: Int)
         acc += getX(x, d) * weights(off + d)
         d += 1
       }
-      out(b) = if (acc >= 0) '1' else '0'
+      // SQL ordering ranks NaN above every number (Spark and DuckDB
+      // alike), so the HOF's `w >= 0` is TRUE for a NaN projection —
+      // Java's `>=` is false for NaN and would flip the bit
+      out(b) = if (acc >= 0 || java.lang.Double.isNaN(acc)) '1' else '0'
       b += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromBytes(out)

@@ -40,16 +40,20 @@ object Entities {
     */
   def extractMentions(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int): DataFrame = {
-    val toks = Search.invertedIndex(df, idCol, textCol) // (id, token, tf)
-    val dfreq = toks.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
-      .where(col("df") <= maxDf)
+    // ONE tokenize pass: tf and df both derive from the occurrence
+    // stream itself (tf = per-(doc, token) count, df = distinct docs
+    // per token) — no second scan through the inverted index
     val occurrences = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(graft.functions.NativeText.bm25TokenOffsetsOf(col(textCol))).as("m"))
       .select(col(idCol), col("m.token").as("token"),
         col("m.start_offset").as("start_offset"),
         col("m.end_offset").as("end_offset"))
+    val toks = occurrences.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") <= maxDf)
     occurrences
       .join(toks.join(dfreq, Seq("token")), Seq(idCol, "token"))
       .select(col(idCol),

@@ -21,29 +21,34 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
-  /** A stable salt in [0, n) derived from `cols` (all columns of the
-    * row when empty). Deterministic — never rand(): retried tasks and
-    * incremental reruns reproduce identical partitioning regardless of
-    * partition layout (a seeded rand only repeats per partition
-    * index). */
+  /** A content-stable salt in [0, n) derived from `cols` (all columns
+    * of the row when empty). Use for salted AGGREGATION (two-stage
+    * partial → final), where grouping duplicate contents together is
+    * exactly right. For joins use [[saltedJoin]], whose salt must be
+    * row-unique — duplicate rows of one hot key would otherwise share
+    * a salt and re-concentrate on one reducer. */
   def saltCol(df: DataFrame, n: Int, cols: Seq[String] = Nil): org.apache.spark.sql.Column = {
     val basis = (if (cols.nonEmpty) cols else df.columns.toSeq).map(col)
     pmod(hash(basis: _*), lit(n))
   }
 
-  /** Salted join for skewed LEFT keys: the left side gets a stable
-    * salt in [0, n); the right side is replicated n times, one row per
-    * salt value — so one hot key fans out over n reducers. This is the
-    * plan-level tool for skew AQE can't rewrite (aggregation upstream,
-    * or a single key overflowing one split). Equi-join results are
-    * identical to the unsalted join (spec-checked).
+  /** Salted join for skewed LEFT keys: each left ROW gets a salt in
+    * [0, n) (position-derived — unique even across byte-identical
+    * duplicate rows, where a content hash would collapse to one salt
+    * and a seeded rand() would depend on partition layout); the right
+    * side is replicated n times, one row per salt value — so one hot
+    * key fans out over n reducers. This is the plan-level tool for
+    * skew AQE can't rewrite (aggregation upstream, or a single key
+    * overflowing one split). Any salt value in [0, n) yields the same
+    * join output, so the salt choice never affects results — identical
+    * to the unsalted join (spec-checked).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       n: Int): DataFrame = {
     require(n > 0)
     require(!(left.columns ++ right.columns).contains("_salt"),
       "saltedJoin reserves the _salt column")
-    val saltedL = left.withColumn("_salt", saltCol(left, n))
+    val saltedL = left.withColumn("_salt", joinSaltCol(n))
     val saltedR = right.withColumn("_salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedL.join(saltedR, keys :+ "_salt").drop("_salt")
@@ -51,4 +56,8 @@ object Layout {
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       n: Int): DataFrame = saltedJoin(left, right, Seq(key), n)
+
+  /** Row-unique join salt (spec-visible for spread assertions). */
+  private[graft] def joinSaltCol(n: Int): org.apache.spark.sql.Column =
+    pmod(hash(monotonically_increasing_id()), lit(n))
 }

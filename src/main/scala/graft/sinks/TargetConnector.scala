@@ -98,7 +98,7 @@ final case class JdbcConnector(url: String) extends TargetConnector {
       s"JdbcConnector cannot map $other to a portable SQL type")
   }
 
-  private def sparkType(jdbc: Int): DataType = jdbc match {
+  private def sparkType(jdbc: Int, name: String): DataType = jdbc match {
     case Types.VARCHAR | Types.LONGVARCHAR | Types.CHAR | Types.CLOB => StringType
     case Types.INTEGER => IntegerType
     case Types.BIGINT => LongType
@@ -106,18 +106,33 @@ final case class JdbcConnector(url: String) extends TargetConnector {
     case Types.REAL => FloatType
     case Types.BOOLEAN => BooleanType
     case Types.TIMESTAMP => TimestampType
-    case other => StringType
+    // fail loud: a silent StringType here would misclassify a live
+    // compatible table as NotCompatible and steer callers toward a
+    // destructive recreate
+    case other => throw new IllegalArgumentException(
+      s"jdbc column $name has unmapped JDBC type $other; " +
+        "extend JdbcConnector.sparkType before managing this table")
   }
 
-  /** Live schema via JDBC metadata; None when the table is absent. */
+  /** Live schema via JDBC metadata; None when the table is absent.
+    * The lookup pattern follows the store's declared identifier
+    * folding (Derby/H2 fold unquoted names upper, Postgres lower), so
+    * the same unquoted DDL round-trips everywhere. */
   private def liveSchema(target: String): Option[StructType] = {
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getColumns(null, null, target.toUpperCase, null)
+      val meta = conn.getMetaData
+      val pattern =
+        if (meta.storesUpperCaseIdentifiers) target.toUpperCase
+        else if (meta.storesLowerCaseIdentifiers) target.toLowerCase
+        else target
+      val rs = meta.getColumns(null, null, pattern, null)
       val fields = Iterator.continually(rs)
         .takeWhile(_.next())
-        .map(r => StructField(r.getString("COLUMN_NAME").toLowerCase,
-          sparkType(r.getInt("DATA_TYPE"))))
+        .map { r =>
+          val name = r.getString("COLUMN_NAME").toLowerCase
+          StructField(name, sparkType(r.getInt("DATA_TYPE"), name))
+        }
         .toArray
       if (fields.isEmpty) None else Some(StructType(fields))
     } finally conn.close()
@@ -136,7 +151,13 @@ final case class JdbcConnector(url: String) extends TargetConnector {
       desired.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ") + ")"
 
   override def applySetup(spark: SparkSession, target: String,
-      desired: StructType, allowRecreate: Boolean): SetupDriver.SetupResult =
+      desired: StructType, allowRecreate: Boolean): SetupDriver.SetupResult = {
+    // unquoted identifiers case-fold per store; lowercase names are the
+    // engine convention and the only spelling that round-trips through
+    // metadata on every store
+    val mixed = desired.fieldNames.filter(n => n != n.toLowerCase)
+    require(mixed.isEmpty,
+      s"jdbc-managed columns must be lowercase (case-folding stores): ${mixed.mkString(", ")}")
     liveSchema(target) match {
       case None =>
         execute(createSql(target, desired))
@@ -161,6 +182,7 @@ final case class JdbcConnector(url: String) extends TargetConnector {
               s"jdbc table $target: incompatible schema change requires allowRecreate")
         }
     }
+  }
 
   override def applyMutation(spark: SparkSession, target: String,
       rows: DataFrame, primaryKey: Seq[String],

@@ -15,24 +15,38 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * stream `progressFrame` (or its changes) the way api/sse.py streams
   * job rows; analytics never read this table.
   */
-final class ProgressTracker extends StreamingQueryListener {
+final class ProgressTracker(maxRows: Int = ProgressTracker.DefaultMaxRows)
+    extends StreamingQueryListener {
   import ProgressTracker.Progress
 
+  // bounded ring: a continuous stream emits one row per micro-batch
+  // forever — keep the newest maxRows instead of leaking driver heap
+  // (the reference persists processing_jobs externally; this shim is
+  // in-memory by design)
   private val rows = new ConcurrentLinkedQueue[Progress]()
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def append(p: Progress): Unit = {
+    rows.add(p)
+    if (size.incrementAndGet() > maxRows) {
+      rows.poll()
+      size.decrementAndGet()
+    }
+  }
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-    rows.add(Progress(e.id.toString, e.runId.toString,
+    append(Progress(e.id.toString, e.runId.toString,
       Option(e.name).getOrElse(""), -1L, 0L, e.timestamp, "started"))
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    rows.add(Progress(p.id.toString, p.runId.toString,
+    append(Progress(p.id.toString, p.runId.toString,
       Option(p.name).getOrElse(""), p.batchId, p.numInputRows,
       p.timestamp, "running"))
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    rows.add(Progress(e.id.toString, e.runId.toString, "", -1L, 0L, "",
+    append(Progress(e.id.toString, e.runId.toString, "", -1L, 0L, "",
       e.exception.map(_ => "failed").getOrElse("finished")))
 
   def snapshot: Seq[Progress] = {
@@ -48,6 +62,8 @@ final class ProgressTracker extends StreamingQueryListener {
 }
 
 object ProgressTracker {
+
+  val DefaultMaxRows = 10000
 
   /** One processing_jobs-shaped progress row. */
   final case class Progress(queryId: String, runId: String, name: String,

@@ -108,11 +108,12 @@ class LayoutSpec extends AnyFunSuite {
     val salted = Layout.saltedJoin(left, right, "key", 8)
       .select($"key", $"lv", $"rv").collect().map(_.toSeq).toSet
     assert(salted === plain)
-    // the deterministic salt really spreads the hot key across reducers
-    val spread = left.where($"key" === "hot")
-      .withColumn("_s", Layout.saltCol(left, 8))
+    // the join salt spreads even byte-identical duplicate rows of one
+    // hot key (a content hash would collapse them onto one reducer)
+    val dupes = Seq.fill(400)(("hot", 1)).toDF("key", "lv")
+    val spread = dupes.withColumn("_s", Layout.joinSaltCol(8))
       .select("_s").distinct().count()
-    assert(spread >= 5)
+    assert(spread === 8)
     // reserved-name guard
     intercept[IllegalArgumentException] {
       Layout.saltedJoin(left.withColumnRenamed("lv", "_salt"), right, "key", 4)

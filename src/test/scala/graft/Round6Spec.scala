@@ -44,6 +44,19 @@ class ProgressTrackerSpec extends AnyFunSuite {
         .count() >= 1)
     } finally ProgressTracker.detach(spark, tracker)
   }
+
+  test("progress ring is bounded: oldest rows drop past maxRows") {
+    import graft.streaming.ProgressTracker
+    val t = new ProgressTracker(maxRows = 5)
+    val ev = (1 to 12).map { i =>
+      new org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent(
+        java.util.UUID.randomUUID(), java.util.UUID.randomUUID(), None)
+    }
+    ev.foreach(t.onQueryTerminated)
+    val snap = t.snapshot
+    assert(snap.size === 5)
+    assert(snap.map(_.queryId) === ev.takeRight(5).map(_.id.toString))
+  }
 }
 
 class TargetConnectorSpec extends AnyFunSuite {
@@ -172,7 +185,10 @@ class HyperplaneSigSpec extends AnyFunSuite {
         100L -> Option(Seq(Option(1f), Option(2f))),
         101L -> Option((0 until 12).map(d => Option(d.toFloat))),
         102L -> Option(Seq(Option(1f), None) ++ (2 until 8).map(d => Option(d.toFloat))),
-        103L -> None)
+        103L -> None,
+        // NaN projection: SQL NaN ordering makes `w >= 0` true → all-ones
+        104L -> Option(Option(Float.NaN) +: (1 until 8).map(d => Option(d.toFloat))),
+        105L -> Option(Option(Float.PositiveInfinity) +: (1 until 8).map(d => Option(d.toFloat))))
     val df = vecs.toDF("id", "vec")
     val both = df.select(
       NativeVector.hyperplaneSigOf($"vec", 8, 12).as("native"),
@@ -180,9 +196,13 @@ class HyperplaneSigSpec extends AnyFunSuite {
     assert(both.where($"native" =!= $"hof" ||
       $"native".isNull =!= $"hof".isNull).count() === 0)
     // degenerate inputs really take the all-zeros branch
-    val z = df.where($"id" >= 100L)
+    val z = df.where($"id".between(100L, 103L))
       .select(NativeVector.hyperplaneSigOf($"vec", 8, 12)).as[String].collect()
     assert(z.forall(_ === "0" * 12))
+    // NaN really takes the all-ones branch on both sides
+    val nan = df.where($"id" === 104L)
+      .select(NativeVector.hyperplaneSigOf($"vec", 8, 12)).as[String].head()
+    assert(nan === "1" * 12)
   }
 }
 
