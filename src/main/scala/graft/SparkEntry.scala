@@ -754,10 +754,13 @@ object SparkEntry {
 
   /** Metadata-filtered vector search (qdrant MatchValue/MatchAny
     * filters, qdrant_service.py:235-302 + api/query.py:38-47):
-    * lang equality + source set membership, then cosine top-10. */
+    * lang equality + source set membership through the typed
+    * Filters model, then cosine top-10. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .where(col("lang") === "en" && col("source").isin("src1", "src2", "src3"))
+    import operators.Filters
+    val docs = Filters(t(s, dir, "documents"), Seq(
+      Filters.MatchValue("lang", "en"),
+      Filters.MatchAny("source", Seq("src1", "src2", "src3"))))
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
     docs.join(emb, docs("doc_id") === emb("vec_id"))

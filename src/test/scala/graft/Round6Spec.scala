@@ -7,6 +7,55 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
+class FiltersSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.functions._
+  import graft.operators.Filters
+  import graft.operators.Filters.{MatchAny, MatchValue}
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "en", "src1", """{"category":"manual","level":2}"""),
+    (2L, "en", "src2", """{"category":"faq","level":1}"""),
+    (3L, "de", "src1", """{"category":"manual","level":2}"""),
+    (4L, "en", "src9", """{"category":"manual","level":3}"""))
+    .toDF("id", "lang", "source", "payload")
+
+  test("MatchValue + MatchAny AND-compose like qdrant must filters") {
+    val got = Filters(df, Seq(
+      MatchValue("lang", "en"), MatchAny("source", Seq("src1", "src2"))))
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("dot-notation keys reach into a JSON payload column") {
+    val got = Filters(df, Seq(
+      MatchValue("payload.category", "manual"),
+      MatchAny("payload.level", Seq(2, 3))))
+      .select($"id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("dot-notation keys resolve into nested struct columns") {
+    val nested = df.select($"id",
+      struct($"lang", $"source").as("meta"))
+    val got = Filters(nested, Seq(MatchValue("meta.lang", "de")))
+      .select($"id").as[Long].collect()
+    assert(got.toSeq === Seq(3L))
+  }
+
+  test("empty filter list keeps every row; struct filters push down") {
+    assert(Filters(df, Nil).count() === 4)
+    val dir = Files.createTempDirectory("flt").toString + "/t"
+    df.write.parquet(dir)
+    val filtered = Filters(spark.read.parquet(dir),
+      Seq(MatchValue("lang", "en")))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"filter not pushed:\n$plan")
+  }
+}
+
 class ProgressTrackerSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
