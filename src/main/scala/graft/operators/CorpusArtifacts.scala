@@ -25,20 +25,42 @@ object CorpusArtifacts {
   private val bm25Cache = new ConcurrentHashMap[String, Search.Bm25Index]()
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Build BOTH artifacts for a corpus from ONE persisted tokenization
+    * pass (tokenizing dominates both builds; at 100 TB this halves the
+    * ingest scans). Idempotent per key; synchronized — artifact build
+    * is a once-per-corpus event. */
+  private def ensureBuilt(key: String, df: => DataFrame, idCol: String,
+      textCol: String, n: Int): Unit = synchronized {
+    val shKey = s"$key#$n"
+    if (bm25Cache.containsKey(key) && shingleCache.containsKey(shKey)) return
+    val base = Search.tokenBase(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!bm25Cache.containsKey(key))
+      bm25Cache.put(key, Search.buildIndexFromTokens(base, idCol, eager = true))
+    if (!shingleCache.containsKey(shKey)) {
+      val sh = Dedup.shingleIndexFromTokens(base, idCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      shingleCache.put(shKey, sh)
+    }
+    base.unpersist()
+  }
+
   /** BM25 index (inverted index, doc lengths, corpus stats), persisted.
     * `key` identifies the corpus version — at cluster scale the ingest
     * run id; here the sf directory. */
   def bm25Index(key: String, df: => DataFrame, idCol: String,
-      textCol: String): Search.Bm25Index =
-    bm25Cache.computeIfAbsent(key, _ =>
-      Search.buildIndex(df, idCol, textCol, eager = true))
+      textCol: String): Search.Bm25Index = {
+    ensureBuilt(key, df, idCol, textCol, 3)
+    bm25Cache.get(key)
+  }
 
   /** Exploded (id, shingle) inverted index, persisted. */
   def shingleIndex(key: String, df: => DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame =
-    shingleCache.computeIfAbsent(s"$key#$n", _ =>
-      Dedup.shingleIndex(df, idCol, textCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      textCol: String, n: Int): DataFrame = {
+    ensureBuilt(key, df, idCol, textCol, n)
+    shingleCache.get(s"$key#$n")
+  }
 
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {

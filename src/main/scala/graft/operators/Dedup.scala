@@ -40,9 +40,16 @@ object Dedup {
     * scan cost, so input-split parallelism is the wrong parallelism.
     */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
-      .select(col(idCol), explode(NativeText.shinglesOf(col("_toks"), n)).as("shingle"))
+    shingleIndexFromTokens(
+      Partitioning.spread(df.select(col(idCol), col(textCol)))
+        .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol))),
+      idCol, n)
+
+  /** Shingle index from an existing (id, ..., _toks) token frame —
+    * lets CorpusArtifacts derive BM25 + shingle indexes from ONE
+    * tokenization pass over the corpus. */
+  def shingleIndexFromTokens(base: DataFrame, idCol: String, n: Int = 3): DataFrame =
+    base.select(col(idCol), explode(NativeText.shinglesOf(col("_toks"), n)).as("shingle"))
 
   /** Candidate pairs (a < b) sharing >= 1 shingle, with exact Jaccard
     * similarity over the distinct-shingle sets, filtered to >= minSim.

@@ -61,10 +61,25 @@ object Search {
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
       eager: Boolean = false): Bm25Index = {
-    val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
+    val base = tokenBase(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = buildIndexFromTokens(base, idCol, eager)
+    if (eager) base.unpersist()
+    out
+  }
+
+  /** The shared (id, dl, _toks) token frame — ONE tokenization pass
+    * that both the BM25 index and the shingle index derive from
+    * (CorpusArtifacts builds it once per corpus). */
+  def tokenBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
       .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Build the index from an existing (persisted) [[tokenBase]] frame;
+    * the caller owns the base's lifecycle. */
+  def buildIndexFromTokens(base: DataFrame, idCol: String,
+      eager: Boolean = false): Bm25Index = {
     val idx = base
       .select(col(idCol), explode(col("_toks")).as("token"))
       .groupBy(col(idCol), col("token"))
@@ -84,7 +99,6 @@ object Search {
       val out = Bm25Index(idx.persist(lvl), dls.persist(lvl),
         stats.persist(lvl), impacts.persist(lvl), idCol)
       out.idx.count(); out.dls.count(); out.stats.count(); out.impacts.count()
-      base.unpersist()
       out
     } else Bm25Index(idx, dls, stats, impacts, idCol)
   }
