@@ -75,5 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length > 2) intLit(args(2), "minChunkSize") else 1,
         if (args.length > 3) intLit(args(3), "overlap") else 0,
         if (args.length > 4) strLit(args(4), "language") else "plain")))
+
+    ext.injectFunction((FunctionIdentifier("graft_token_offsets"),
+      info("graft_token_offsets",
+        "_FUNC_(text) - BM25 tokens with per-occurrence 1-based [start, end) offsets"),
+      (args: Seq[Expression]) =>
+        graft.functions.TokenOffsetsExpr(args.head, 3, dropStopwords = true)))
+
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig",
+        "_FUNC_(vec, dim, nBits) - dyadic-LCG hyperplane LSH signature bits"),
+      (args: Seq[Expression]) =>
+        graft.functions.HyperplaneSigExpr(args(0),
+          intLit(args(1), "dim"), intLit(args(2), "nBits"))))
   }
 }

@@ -141,4 +141,31 @@ class PropertySpec extends AnyFunSuite {
     assert(got(0).toSeq === Seq("as_int", 7L, null))
     assert(got(1).toSeq === Seq("as_str", null, "seven"))
   }
+
+  test("token offsets slice back to their token (random unicode text)") {
+    import graft.functions.NativeText
+    val texts = samples(textGen, 60)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"text", explode(NativeText.bm25TokenOffsetsOf($"text")).as("m"))
+      .select($"text", $"m.token", $"m.start_offset", $"m.end_offset")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (text, tok, s, e) =
+        (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      val lower = text.toLowerCase
+      // 1-based [start, end): the slice of the lowercased text IS the token
+      assert(s >= 1 && e > s && e <= lower.length + 1)
+      assert(lower.substring(s - 1, e - 1) === tok)
+      assert(tok.length >= 3 && !TextFunctions.stopwords.contains(tok))
+    }
+    // stream identity with the offset-less tokenizer
+    val both = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(
+        transform(NativeText.bm25TokenOffsetsOf($"text"), m => m.getField("token")).as("a"),
+        NativeText.bm25TokensOf($"text").as("b"))
+    assert(both.where(not($"a" <=> $"b")).count() === 0)
+  }
 }

@@ -113,6 +113,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getDouble(5) === 11.0)
     assert(viaSql.getInt(6) === viaCols.getInt(3))
   }
+
+  test("token offsets and hyperplane signature are SQL-reachable too") {
+    val row = spark.sql(
+      """SELECT
+        |graft_token_offsets('Rare rare word') AS offs,
+        |graft_hyperplane_sig(array(1.0F, -2.0F), 2, 6) AS sig""".stripMargin)
+      .collect().head
+    val offs = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(offs.map(r => (r.getString(0), r.getInt(1), r.getInt(2))) ===
+      Seq(("rare", 1, 5), ("rare", 6, 10), ("word", 11, 15)))
+    assert(row.getString(1).length === 6 &&
+      row.getString(1).forall(c => c == '0' || c == '1'))
+  }
 }
 
 class NativeVectorSpec extends AnyFunSuite {
