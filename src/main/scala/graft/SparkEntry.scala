@@ -1114,6 +1114,28 @@ object SparkEntry {
         countDistinct(col("security_level")).as("n_levels"))
   }
 
+  /** Heading-block split in the gate (two_tier_chunker.py:94-133):
+    * three deterministic markdown shapes per doc — no headings,
+    * heading + trailing section, preamble + heading — censused by
+    * block/heading counts and a content digest over (heading, body)
+    * pairs, so the preamble-merge and trim semantics are value-checked.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeadingBlocks.headingBlocksOf
+    val md = when(col("doc_id") % 3 === 0, col("text"))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("# Title\n"), col("text"), lit("\n## More\ndetails here")))
+      .otherwise(concat(lit("preamble intro\n# Top\n"), col("text")))
+    Partitioning.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), headingBlocksOf(md).as("b"))
+      .select(col("doc_id"),
+        size(col("b")).as("n_blocks"),
+        size(filter(col("b"), x => x.getField("heading").isNotNull)).as("n_headed"),
+        md5(concat_ws("|", transform(col("b"), x =>
+          concat(coalesce(x.getField("heading"), lit("")), lit(">"),
+            x.getField("body"))))).as("digest"))
+  }
+
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
@@ -1215,7 +1237,8 @@ object SparkEntry {
     "q73_fuzzy_tiers" -> q73 _,
     "q74_gdrive_listing" -> q74 _,
     "q75_notion_changes" -> q75 _,
-    "q76_security_filter" -> q76 _)
+    "q76_security_filter" -> q76 _,
+    "q77_heading_blocks" -> q77 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1339,6 +1362,26 @@ object SparkEntry {
          |FROM u JOIN acc a ON a.access_level <= u.user_level
          |GROUP BY u.user_level""".stripMargin
     },
+    "q77_heading_blocks" ->
+      // the three markdown shapes are constructed per doc_id%3, so the
+      // expected blocks are stated analytically (corpus texts are
+      // single-line and never start with '#'): trim mirrors the
+      // operator's whitespace strip
+      """WITH t AS (SELECT doc_id,
+        |  trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS tx FROM documents)
+        |SELECT doc_id,
+        |CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN tx = '' THEN 0 ELSE 1 END)
+        |     WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS n_blocks,
+        |CASE WHEN doc_id % 3 = 0 THEN 0
+        |     WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS n_headed,
+        |CASE WHEN doc_id % 3 = 0 THEN
+        |       (CASE WHEN tx = '' THEN md5('') ELSE md5('>' || tx) END)
+        |     WHEN doc_id % 3 = 1 THEN
+        |       md5('# Title>' || tx || '|## More>details here')
+        |     ELSE md5('# Top>preamble intro' ||
+        |       (CASE WHEN tx = '' THEN '' ELSE chr(10) || chr(10) || tx END))
+        |END AS digest
+        |FROM t""".stripMargin,
     "q74_gdrive_listing" -> {
       // export routing generated from GoogleDrive.exportMimeTypes so
       // the sides cannot drift

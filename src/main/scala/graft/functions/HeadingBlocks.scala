@@ -1,0 +1,82 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Markdown heading-block split — the two-tier chunker's structural
+  * pre-pass (reference two_tier_chunker.py:94-133
+  * `_split_into_heading_blocks`), semantics carried exactly:
+  *
+  *  - blocks are delimited by `^#{1,6}\s+...` heading lines
+  *    (multiline);
+  *  - each block is (heading line, body-until-next-heading), both
+  *    trimmed;
+  *  - text before the first heading (the preamble) is merged into the
+  *    FIRST heading block's body as `preamble \n\n body` so a
+  *    document's intro stays attached to its first section;
+  *  - no headings at all → one (null, trimmed text) block; blank text
+  *    → empty array.
+  */
+object HeadingBlocks {
+
+  def headingBlocksOf(text: Column): Column =
+    GraftColumnBridge.column(
+      HeadingBlocksExpr(GraftColumnBridge.expression(text)))
+}
+
+case class HeadingBlocksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("heading", StringType, nullable = true),
+    StructField("body", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val headingPattern =
+    Pattern.compile("^(#{1,6})\\s+.*$", Pattern.MULTILINE)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = headingPattern.matcher(text)
+    val starts = Iterator.continually(m)
+      .takeWhile(_.find()).map(_.start()).toArray
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    def block(h: String, b: String): InternalRow = InternalRow(
+      if (h == null) null else UTF8String.fromString(h),
+      UTF8String.fromString(b))
+    if (starts.isEmpty) {
+      val t = text.trim
+      if (t.nonEmpty) out += block(null, t)
+    } else {
+      val preamble = text.substring(0, starts(0)).trim
+      var i = 0
+      while (i < starts.length) {
+        val end = if (i < starts.length - 1) starts(i + 1) else text.length
+        val blockText = text.substring(starts(i), end).trim
+        val nl = blockText.indexOf('\n')
+        val headingLine = (if (nl < 0) blockText else blockText.substring(0, nl)).trim
+        val body = (if (nl < 0) "" else blockText.substring(nl + 1)).trim
+        val merged =
+          if (i == 0 && preamble.nonEmpty)
+            preamble + (if (body.nonEmpty) "\n\n" + body else "")
+          else body
+        out += block(headingLine, merged)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HeadingBlocksExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_heading_blocks"
+}

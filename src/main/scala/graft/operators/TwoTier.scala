@@ -78,6 +78,32 @@ object TwoTier {
       .where(col("child_index") === 0)
       .select(col(idCol), col("page_index"), col("page_id"), col("page_text"))
 
+  /** Heading-aware variant (two_tier_chunker.py:94-133): markdown is
+    * first split into heading blocks (preamble merged into the first
+    * section), then each block is two-tier chunked independently so a
+    * page never straddles a section boundary; every chunk carries its
+    * block's `heading` and `block_index`. Output: heading-block
+    * columns + the [[chunk]] columns keyed by (idCol, block_index).
+    */
+  def chunkHeadingAware(df: DataFrame, idCol: String, textCol: String,
+      pageTokens: Int = 100, pageOverlap: Int = 20,
+      childTokens: Int = 25): DataFrame = {
+    val blocks = Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(
+          graft.functions.HeadingBlocks.headingBlocksOf(col(textCol)))
+        .as(Seq("block_index", "_blk")))
+      .select(col(idCol), col("block_index"),
+        col("_blk.heading").as("heading"),
+        col("_blk.body").as("block_text"))
+      // block identity for the chunker: deterministic, content-free
+      .withColumn("_block_key",
+        concat_ws("#", col(idCol).cast("string"), col("block_index").cast("string")))
+    chunk(blocks.select(col("_block_key"), col("block_text")),
+        "_block_key", "block_text", pageTokens, pageOverlap, childTokens)
+      .join(blocks, Seq("_block_key"))
+      .drop("_block_key")
+  }
+
   case class PageRow(doc_id: Long, page_index: Int, page_id: String, page_text: String)
   case class ContextualRow(doc_id: Long, page_index: Int, page_id: String,
       page_text: String, contextual_summary: String, contextualized_text: String)

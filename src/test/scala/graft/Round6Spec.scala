@@ -7,6 +7,59 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SetupDriver
 import graft.incremental.SetupDriver.{Declaration, DeclarationAction}
 
+class HeadingBlocksSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import org.apache.spark.sql.Row
+  import graft.functions.HeadingBlocks.headingBlocksOf
+  import spark.implicits._
+
+  private def blocks(text: String): Seq[(Option[String], String)] =
+    Seq(text).toDF("t").select(headingBlocksOf($"t").as("b"))
+      .collect().head.getSeq[Row](0)
+      .map(r => (Option(r.getString(0)), r.getString(1)))
+
+  test("preamble merges into the first heading block") {
+    assert(blocks("pre\n# A\nbody1\n## B\nbody2") === Seq(
+      (Some("# A"), "pre\n\nbody1"), (Some("## B"), "body2")))
+    // preamble with an empty first body stands alone as the body
+    assert(blocks("pre only\n# H") === Seq((Some("# H"), "pre only")))
+  }
+
+  test("no headings, blank text, heading-only, over-deep hashes") {
+    assert(blocks("no headings here") === Seq((None, "no headings here")))
+    assert(blocks("   \n  ") === Seq.empty)
+    assert(blocks("# only heading") === Seq((Some("# only heading"), "")))
+    // 7+ hashes is not a markdown heading (reference regex #{1,6})
+    assert(blocks("####### seven\nbody") ===
+      Seq((None, "####### seven\nbody")))
+  }
+
+  test("heading line is trimmed and body runs to the next heading") {
+    assert(blocks("# A  \nline1\nline2\n###### deep\nend") === Seq(
+      (Some("# A"), "line1\nline2"), (Some("###### deep"), "end")))
+  }
+
+  test("heading-aware two-tier chunks never straddle a section") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TwoTier
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val md = s"intro words\n# Alpha\n$words\n## Beta\nshort section"
+    val df = Seq((7L, md)).toDF("doc_id", "text")
+    val got = TwoTier.chunkHeadingAware(df, "doc_id", "text",
+      pageTokens = 20, pageOverlap = 5, childTokens = 10)
+    val byBlock = got.select($"block_index", $"heading", $"chunk_text")
+      .collect().groupBy(_.getInt(0))
+    // two blocks, each chunked independently with its heading carried
+    assert(byBlock.keySet === Set(0, 1))
+    assert(byBlock(0).forall(_.getString(1) == "# Alpha"))
+    assert(byBlock(1).forall(_.getString(1) == "## Beta"))
+    // the preamble landed in block 0's first chunk, not a block of its own
+    assert(byBlock(0).map(_.getString(2)).exists(_.startsWith("intro words")))
+    // block 1 is short: exactly one chunk, no Alpha tokens leaked in
+    assert(byBlock(1).map(_.getString(2)).toSeq === Seq("short section"))
+  }
+}
+
 class FiltersSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import org.apache.spark.sql.functions._
