@@ -124,6 +124,23 @@ object Entities {
         "[^a-z0-9\\s]", " "),
       "\\s+", " "))
 
+  /** ±`width`-char context window around each mention occurrence
+    * (document_tasks.py:838-871: canonical entities carry the text
+    * surrounding the mention). Slices the lowercased text — the frame
+    * the per-occurrence offsets are measured on. Input `mentions`
+    * must carry start_offset/end_offset ([[extractMentions]] output);
+    * adds `context`.
+    */
+  def mentionContext(mentions: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, width: Int = 160): DataFrame = {
+    val lowered = docs.select(col(idCol), lower(col(textCol)).as("_lt"))
+    mentions.join(lowered, Seq(idCol))
+      .withColumn("_cs", greatest(col("start_offset") - width, lit(1)))
+      .withColumn("context",
+        col("_lt").substr(col("_cs"), col("end_offset") + width - col("_cs")))
+      .drop("_lt", "_cs")
+  }
+
   /** Canonicalization: unique entities by (normalized name, type);
     * keeps the minimum id as canonical and counts members.
     * (entity_extraction_flow_v2.py:63-75.)

@@ -127,4 +127,20 @@ class EntitiesSpec extends AnyFunSuite {
     // the occurrence count matches the inverted-index tf
     assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
+
+  test("mentionContext slices the ±width window around each occurrence") {
+    val docs = Seq((1L, "aaa bbb rareterm ccc ddd eee")).toDF("doc_id", "text")
+    val ctx = Entities.mentionContext(
+      Entities.extractMentions(docs, "doc_id", "text", 1), docs,
+      "doc_id", "text", width = 4)
+      .select($"mention_text", $"context").as[(String, String)].collect().toMap
+    // mention [9, 17): window [5, 21) of the lowercased text
+    assert(ctx("rareterm") === "bbb rareterm ccc")
+    // window clamps at the document edges
+    val wide = Entities.mentionContext(
+      Entities.extractMentions(docs, "doc_id", "text", 1), docs,
+      "doc_id", "text", width = 1000)
+      .select($"context").as[String].head()
+    assert(wide === "aaa bbb rareterm ccc ddd eee")
+  }
 }
