@@ -28,11 +28,21 @@ object SimilaritySearch {
   /** Exact top-k by cosine against a single query vector. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
       query: Column, k: Int): DataFrame =
-    corpus
+    topK(corpus, idCol, vecCol, query, k, scoreThreshold = None)
+
+  /** With the reference's `score_threshold` (search_service.py:56-117:
+    * results below the floor are cut BEFORE the top-k limit). The
+    * threshold filter sits under TakeOrderedAndProject, so it prunes
+    * rows map-side — cheaper than post-filtering the top-k. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Column, k: Int, scoreThreshold: Option[Double]): DataFrame = {
+    val scored = corpus
       .withColumn("score", VectorFunctions.cosine(col(vecCol), query))
+    scoreThreshold.fold(scored)(t => scored.where(col("score") >= t))
       .orderBy(col("score").desc, col(idCol).asc)
       .select(col(idCol), round(col("score"), 6).as("score"))
       .limit(k)
+  }
 
   /** For every probe row, the top-k nearest corpus rows by cosine.
     * Probe side should be small (broadcast); corpus arbitrary size.

@@ -210,6 +210,16 @@ class SearchSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("topK score_threshold cuts low scores before the limit") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
+      .toDF("id", "vec")
+    val got = SimilaritySearch.topK(corpus, "id", "vec",
+      SimilaritySearch.vecLit(Seq(1f, 0f)), 3, scoreThreshold = Some(0.5))
+      .select($"id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L)) // id 3 scores 0.0, below the floor
+  }
+
   test("bm25 scores rarer terms higher") {
     val df = Seq(
       (1L, "spark spark spark common"), (2L, "common words here"),
