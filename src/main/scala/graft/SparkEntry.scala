@@ -56,9 +56,11 @@ object SparkEntry {
     Search.scoreWith(docsBm25(s, dir), bm25QueryTerms)
 
   /** Eagerly build every shared ingest artifact for `dir` (Bench's
-    * explicit ingest phase; queries then run against warm artifacts). */
+    * explicit ingest phase; queries then run against warm artifacts).
+    * buildAll derives both indexes from one tokenization pass. */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
-    docsBm25(s, dir)
+    CorpusArtifacts.buildAll(s"${s.sparkContext.applicationId}:$dir",
+      t(s, dir, "documents"), "doc_id", "text", 3)
     docsShingles(s, dir).count()
   }
 

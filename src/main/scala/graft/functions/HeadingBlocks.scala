@@ -44,6 +44,18 @@ case class HeadingBlocksExpr(child: Expression)
   @transient private lazy val headingPattern =
     Pattern.compile("^(#{1,6})\\s+.*$", Pattern.MULTILINE)
 
+  // strip set pinned to exactly space/tab/LF/CR so the DuckDB oracle's
+  // trim(x, ' '||chr(9)||chr(10)||chr(13)) is character-identical
+  // (Java trim strips every char <= U+0020, which SQL trim can't say)
+  private def strip(s: String): String = {
+    var a = 0
+    var b = s.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val m = headingPattern.matcher(text)
@@ -54,17 +66,17 @@ case class HeadingBlocksExpr(child: Expression)
       if (h == null) null else UTF8String.fromString(h),
       UTF8String.fromString(b))
     if (starts.isEmpty) {
-      val t = text.trim
+      val t = strip(text)
       if (t.nonEmpty) out += block(null, t)
     } else {
-      val preamble = text.substring(0, starts(0)).trim
+      val preamble = strip(text.substring(0, starts(0)))
       var i = 0
       while (i < starts.length) {
         val end = if (i < starts.length - 1) starts(i + 1) else text.length
-        val blockText = text.substring(starts(i), end).trim
+        val blockText = strip(text.substring(starts(i), end))
         val nl = blockText.indexOf('\n')
-        val headingLine = (if (nl < 0) blockText else blockText.substring(0, nl)).trim
-        val body = (if (nl < 0) "" else blockText.substring(nl + 1)).trim
+        val headingLine = strip(if (nl < 0) blockText else blockText.substring(0, nl))
+        val body = strip(if (nl < 0) "" else blockText.substring(nl + 1))
         val merged =
           if (i == 0 && preamble.nonEmpty)
             preamble + (if (body.nonEmpty) "\n\n" + body else "")

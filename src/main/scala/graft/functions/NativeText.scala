@@ -94,12 +94,16 @@ object NativeText {
     * [[TokenizeExpr]] and [[TokenOffsetsExpr]] cannot drift: maximal
     * [a-z0-9] runs over the lowercased text, minLen / stopword
     * filtered; emits (token, startIdx, endIdx) with 0-based [start,
-    * end) on the lowercased string. */
+    * end) offsets in CODE POINTS on the lowercased string — the unit
+    * Spark's `substr` and DuckDB's `substring` slice by (a UTF-16
+    * char index would shift the window after any astral character).
+    */
   private[functions] def scanTokens(input: UTF8String, minLen: Int,
       dropStopwords: Boolean, stopSet: java.util.HashSet[String])(
       emit: (String, Int, Int) => Unit): Unit = {
     val text = input.toLowerCase.toString
     var i = 0
+    var cp = 0 // code points consumed up to char index i
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
@@ -109,13 +113,18 @@ object NativeText {
           val d = text.charAt(j)
           (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
         }) j += 1
+        // token chars are ASCII: code-point length == char length
         if (j - i >= minLen) {
           val tok = text.substring(i, j)
           if (!dropStopwords || !stopSet.contains(tok))
-            emit(tok, i, j)
+            emit(tok, cp, cp + (j - i))
         }
+        cp += j - i
         i = j
-      } else i += 1
+      } else {
+        if (!Character.isLowSurrogate(text.charAt(i))) cp += 1
+        i += 1
+      }
     }
   }
 }

@@ -25,42 +25,43 @@ object CorpusArtifacts {
   private val bm25Cache = new ConcurrentHashMap[String, Search.Bm25Index]()
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
 
-  /** Build BOTH artifacts for a corpus from ONE persisted tokenization
-    * pass (tokenizing dominates both builds; at 100 TB this halves the
-    * ingest scans). Idempotent per key; synchronized — artifact build
-    * is a once-per-corpus event. */
-  private def ensureBuilt(key: String, df: => DataFrame, idCol: String,
-      textCol: String, n: Int): Unit = synchronized {
+  /** Explicit ingest-phase entry: build BOTH artifacts for a corpus
+    * from ONE persisted tokenization pass (tokenizing dominates both
+    * builds; at 100 TB this halves the ingest scans). Lazy per-artifact
+    * entries below stay independent — a BM25-only workload never pays
+    * for a shingle index it didn't ask for. */
+  def buildAll(key: String, df: => DataFrame, idCol: String,
+      textCol: String, n: Int): Unit = {
     val shKey = s"$key#$n"
     if (bm25Cache.containsKey(key) && shingleCache.containsKey(shKey)) return
     val base = Search.tokenBase(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (!bm25Cache.containsKey(key))
-      bm25Cache.put(key, Search.buildIndexFromTokens(base, idCol, eager = true))
-    if (!shingleCache.containsKey(shKey)) {
+    bm25Cache.computeIfAbsent(key, _ =>
+      Search.buildIndexFromTokens(base, idCol, eager = true))
+    shingleCache.computeIfAbsent(shKey, _ => {
       val sh = Dedup.shingleIndexFromTokens(base, idCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK)
       sh.count()
-      shingleCache.put(shKey, sh)
-    }
+      sh
+    })
     base.unpersist()
   }
 
   /** BM25 index (inverted index, doc lengths, corpus stats), persisted.
     * `key` identifies the corpus version — at cluster scale the ingest
-    * run id; here the sf directory. */
+    * run id; here the sf directory. Per-key computeIfAbsent: cache hits
+    * never block behind another corpus's build. */
   def bm25Index(key: String, df: => DataFrame, idCol: String,
-      textCol: String): Search.Bm25Index = {
-    ensureBuilt(key, df, idCol, textCol, 3)
-    bm25Cache.get(key)
-  }
+      textCol: String): Search.Bm25Index =
+    bm25Cache.computeIfAbsent(key, _ =>
+      Search.buildIndex(df, idCol, textCol, eager = true))
 
   /** Exploded (id, shingle) inverted index, persisted. */
   def shingleIndex(key: String, df: => DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    ensureBuilt(key, df, idCol, textCol, n)
-    shingleCache.get(s"$key#$n")
-  }
+      textCol: String, n: Int): DataFrame =
+    shingleCache.computeIfAbsent(s"$key#$n", _ =>
+      Dedup.shingleIndex(df, idCol, textCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {

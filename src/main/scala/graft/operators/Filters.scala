@@ -26,13 +26,18 @@ object Filters {
   final case class MatchAny(key: String, values: Seq[Any]) extends MetaFilter
 
   /** (resolved column, isJsonPayload): JSON-payload values surface as
-    * strings, so comparisons on that branch are stringified. */
+    * strings, so comparisons on that branch are stringified. Root
+    * lookup is case-insensitive, matching Spark's default resolver —
+    * a differently-cased key must take the same branch the resolver
+    * would. */
   private def resolve(df: DataFrame, key: String): (Column, Boolean) = {
     val root = key.takeWhile(_ != '.')
+    val rootField = df.schema.fields.find(_.name.equalsIgnoreCase(root))
     val isJsonPayload = root != key &&
-      df.schema.fields.exists(f => f.name == root && f.dataType == StringType)
+      rootField.exists(_.dataType == StringType)
     if (isJsonPayload)
-      (get_json_object(col(root), "$." + key.drop(root.length + 1)), true)
+      (get_json_object(col(rootField.get.name),
+        "$." + key.drop(root.length + 1)), true)
     else (col(key), false)
   }
 

@@ -45,16 +45,18 @@ object TwoTier {
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       pageTokens: Int = 100, pageOverlap: Int = 20,
-      childTokens: Int = 25): DataFrame = {
+      childTokens: Int = 25, carryCols: Seq[String] = Nil): DataFrame = {
     require(pageOverlap < pageTokens)
     val step = pageTokens - pageOverlap
-    val base = Partitioning.spread(df.select(col(idCol), col(textCol)))
+    val carried = carryCols.map(col)
+    val base = Partitioning.spread(
+        df.select(col(idCol) +: col(textCol) +: carried: _*))
       .withColumn("_toks", TextFunctions.allTokens(col(textCol)))
     val nPages = floor((greatest(size(col("_toks")), lit(1)) - 1) / step).cast("int")
     val pages = transform(sequence(lit(0), nPages),
       i => slice(col("_toks"), (i * step + 1).cast("int"), lit(pageTokens)))
     val paged = base
-      .select(col(idCol), posexplode(pages).as(Seq("page_index", "_ptoks")))
+      .select(col(idCol) +: carried :+ posexplode(pages).as(Seq("page_index", "_ptoks")): _*)
       .withColumn("page_id",
         Chunker.chunkId(col(idCol), "page", col("page_index")))
       .withColumn("page_text", concat_ws(" ", col("_ptoks")))
@@ -62,8 +64,8 @@ object TwoTier {
     val children = transform(sequence(lit(0), nChildren),
       j => slice(col("_ptoks"), (j * childTokens + 1).cast("int"), lit(childTokens)))
     paged
-      .select(col(idCol), col("page_index"), col("page_id"), col("page_text"),
-        posexplode(children).as(Seq("child_index", "_ctoks")))
+      .select(col(idCol) +: carried ++: Seq(col("page_index"), col("page_id"),
+          col("page_text"), posexplode(children).as(Seq("child_index", "_ctoks"))): _*)
       .withColumn("chunk_id",
         md5(concat_ws("_", col("page_id"), lit("child"), col("child_index").cast("string"))))
       .withColumn("chunk_text", concat_ws(" ", col("_ctoks")))
@@ -98,9 +100,10 @@ object TwoTier {
       // block identity for the chunker: deterministic, content-free
       .withColumn("_block_key",
         concat_ws("#", col(idCol).cast("string"), col("block_index").cast("string")))
-    chunk(blocks.select(col("_block_key"), col("block_text")),
-        "_block_key", "block_text", pageTokens, pageOverlap, childTokens)
-      .join(blocks, Seq("_block_key"))
+    // one pass: the real id/heading ride through as carry columns —
+    // no recompute of the heading split and no reattachment join
+    chunk(blocks, "_block_key", "block_text", pageTokens, pageOverlap,
+        childTokens, carryCols = Seq(idCol, "block_index", "heading"))
       .drop("_block_key")
   }
 

@@ -155,9 +155,12 @@ class PropertySpec extends AnyFunSuite {
       val (text, tok, s, e) =
         (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
       val lower = text.toLowerCase
-      // 1-based [start, end): the slice of the lowercased text IS the token
-      assert(s >= 1 && e > s && e <= lower.length + 1)
-      assert(lower.substring(s - 1, e - 1) === tok)
+      // 1-based [start, end) in CODE POINTS (the unit SQL substring
+      // slices by — textGen includes astral 🙂 chars to pin this):
+      // the slice of the lowercased text IS the token
+      val cps = lower.codePoints.toArray
+      assert(s >= 1 && e > s && e <= cps.length + 1)
+      assert(new String(cps, s - 1, e - s) === tok)
       assert(tok.length >= 3 && !TextFunctions.stopwords.contains(tok))
     }
     // stream identity with the offset-less tokenizer

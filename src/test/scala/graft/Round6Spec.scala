@@ -89,6 +89,12 @@ class FiltersSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 3L, 4L))
   }
 
+  test("payload root resolves case-insensitively, like Spark's resolver") {
+    val got = Filters(df, Seq(MatchValue("Payload.category", "faq")))
+      .select($"id").as[Long].collect()
+    assert(got.toSeq === Seq(2L))
+  }
+
   test("dot-notation keys resolve into nested struct columns") {
     val nested = df.select($"id",
       struct($"lang", $"source").as("meta"))
