@@ -953,6 +953,21 @@ object SparkEntry {
         element_at(col("features"), 1).cast("double").as("f0"))
   }
 
+  /** Audio tier in the gate: time-windowed PCM segmentation (8 kHz
+    * u8 stand-in → 8 ms windows, 6 ms hop = the q67 byte geometry) —
+    * segment times, sizes, and the stub-decode first component are
+    * value-checked; rms is spec territory (SQL can't do byte math). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromText(
+      t(s, dir, "documents"), "doc_id", "text", "audio")
+    Multimodal.segmentAudio(media, 8000, 1, 8, 6, 4)
+      .toDF()
+      .select(col("media_id"), col("segment_index"),
+        col("start_ms"), col("end_ms"), col("n_bytes"),
+        element_at(col("features"), 1).cast("double").as("f0"))
+  }
+
   /** As-of join (training-data point-in-time correctness): each click
     * enriched with the user's latest view at or before it. */
   private def q68(s: SparkSession, dir: String): DataFrame = {
@@ -1240,7 +1255,8 @@ object SparkEntry {
     "q74_gdrive_listing" -> q74 _,
     "q75_notion_changes" -> q75 _,
     "q76_security_filter" -> q76 _,
-    "q77_heading_blocks" -> q77 _)
+    "q77_heading_blocks" -> q77 _,
+    "q78_audio_segments" -> q78 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2005,6 +2021,19 @@ object SparkEntry {
          |CAST(length(ftext) AS INT) AS n_bytes,
          |${stubEmbSqlFor("ftext", 0)} AS f0
          |FROM f""".stripMargin,
+    "q78_audio_segments" ->
+      s"""WITH s AS (SELECT doc_id AS media_id, CAST(i AS INT) AS segment_index,
+         |  CAST(i * 48 AS BIGINT) AS so,
+         |  substr(text, CAST(i * 48 + 1 AS INT), 64) AS stext
+         |  FROM (SELECT doc_id, text,
+         |        unnest(range(0, CAST(ceil(length(text) / 48.0) AS BIGINT))) AS i
+         |        FROM documents))
+         |SELECT media_id, segment_index,
+         |CAST((so * 1000) // 8000 AS BIGINT) AS start_ms,
+         |CAST(((so + length(stext)) * 1000) // 8000 AS BIGINT) AS end_ms,
+         |CAST(length(stext) AS INT) AS n_bytes,
+         |${stubEmbSqlFor("stext", 0)} AS f0
+         |FROM s""".stripMargin,
     "q62_ingest_pipeline" ->
       s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
          |p AS (SELECT doc_id, i AS page_index,

@@ -135,4 +135,56 @@ object Multimodal {
     else queryVecs.map { q =>
       docVecs.map(d => q.zip(d).map { case (a, b) => a.toDouble * b.toDouble }.sum).max
     }.sum
+
+  case class AudioSegmentRow(media_id: Long, segment_index: Int,
+      start_ms: Long, end_ms: Long, n_bytes: Int, rms: Double,
+      features: Array[Float])
+
+  /** Audio tier: time-windowed segmentation of an opaque PCM payload —
+    * the audio analogue of [[sampleFrames]]. Segments are hopMs-spaced
+    * windowMs windows over the sample stream; per segment the stub
+    * decode stands in for the codec/model pass and `rms` is the
+    * deterministic loudness proxy a VAD / silence-trim stage would
+    * threshold on. PCM layouts: 1 byte/sample unsigned (centered at
+    * 128) or 2 bytes/sample little-endian signed. The tail segment is
+    * truncated, matching frame sampling.
+    */
+  def segmentAudio(media: DataFrame, sampleRate: Int, bytesPerSample: Int,
+      windowMs: Int, hopMs: Int, dim: Int): Dataset[AudioSegmentRow] = {
+    require(sampleRate > 0 && windowMs > 0 && hopMs > 0)
+    require(bytesPerSample == 1 || bytesPerSample == 2,
+      "PCM layouts: 1 (u8) or 2 (s16le) bytes per sample")
+    val winSamples = sampleRate * windowMs / 1000
+    val hopSamples = sampleRate * hopMs / 1000
+    require(winSamples > 0 && hopSamples > 0,
+      "window/hop shorter than one sample at this rate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val totalSamples = payload.length / bytesPerSample
+          Iterator.from(0).map(_.toLong * hopSamples)
+            .takeWhile(_ < totalSamples).zipWithIndex.map { case (sOff, idx) =>
+              val n = math.min(winSamples.toLong, totalSamples - sOff).toInt
+              val bytes = payload.slice((sOff * bytesPerSample).toInt,
+                ((sOff + n) * bytesPerSample).toInt)
+              var sq = 0.0
+              var k = 0
+              while (k < n) {
+                val v =
+                  if (bytesPerSample == 1) ((bytes(k) & 0xff) - 128).toDouble
+                  else ((bytes(2 * k) & 0xff) | (bytes(2 * k + 1) << 8)).toShort.toDouble
+                sq += v * v
+                k += 1
+              }
+              AudioSegmentRow(id, idx,
+                sOff * 1000L / sampleRate, (sOff + n) * 1000L / sampleRate,
+                bytes.length, if (n == 0) 0.0 else math.sqrt(sq / n),
+                decodeStub(bytes, dim))
+            }
+        }
+      }
+  }
 }

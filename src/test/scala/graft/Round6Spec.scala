@@ -60,6 +60,41 @@ class HeadingBlocksSpec extends AnyFunSuite {
   }
 }
 
+class AudioSegmentSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import graft.multimodal.Multimodal
+  import spark.implicits._
+
+  test("u8 PCM: hop-spaced windows, truncated tail, centered rms") {
+    // 10 samples at 1000 Hz: window 4 ms (4 samples), hop 3 ms
+    val payload: Array[Byte] = Array(128, 128, 128, 128, 130, 126, 130, 126,
+      129, 127).map(_.toByte)
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val segs = Multimodal.segmentAudio(media, 1000, 1, 4, 3, 2)
+      .collect().sortBy(_.segment_index)
+    assert(segs.map(s => (s.segment_index, s.start_ms, s.end_ms, s.n_bytes)).toSeq
+      === Seq((0, 0L, 4L, 4), (1, 3L, 7L, 4), (2, 6L, 10L, 4), (3, 9L, 10L, 1)))
+    assert(segs(0).rms === 0.0) // silence: all samples at the 128 center
+    assert(segs(1).rms === math.sqrt(3.0)) // samples 128,130,126,130 → 0,±2
+    assert(segs.forall(_.features.length == 2))
+  }
+
+  test("s16le PCM interprets two-byte samples") {
+    // two samples: +256, -256 (little-endian)
+    val payload: Array[Byte] = Array(0x00, 0x01, 0x00, 0xFF).map(_.toByte)
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val segs = Multimodal.segmentAudio(media, 1000, 2, 2, 2, 2).collect()
+    assert(segs.length === 1)
+    assert(segs.head.n_bytes === 4)
+    assert(segs.head.rms === 256.0)
+  }
+
+  test("empty payload yields no segments") {
+    val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "payload")
+    assert(Multimodal.segmentAudio(media, 8000, 1, 8, 6, 4).count() === 0)
+  }
+}
+
 class FiltersSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import org.apache.spark.sql.functions._
