@@ -34,6 +34,22 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming face of exact dedup: first-seen row per normalized
+    * fingerprint survives, repeats — within a batch or across
+    * micro-batches — drop against the keyed dedup state. With
+    * `withinWatermark` the caller has set a watermark and state ages
+    * out with it (`dropDuplicatesWithinWatermark` — the production
+    * setting at 100 TB/day); otherwise state is unbounded (tests /
+    * finite backfills).
+    */
+  def exactStreaming(df: DataFrame, textCol: String,
+      withinWatermark: Boolean = false): DataFrame = {
+    val fp = df.withColumn("fingerprint",
+      TextFunctions.fingerprint(col(textCol)))
+    if (withinWatermark) fp.dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
+
   /** Exploded inverted index: one row per (id, shingle).
     * Tokens materialized as a column (single interpreted eval per row)
     * and the stage spread across partitions — shingling cost dwarfs

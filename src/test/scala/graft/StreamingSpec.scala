@@ -63,6 +63,34 @@ class StreamingSpec extends AnyFunSuite {
       .select($"chunk_text").as[String].head() === "bbbb")
   }
 
+  test("streaming exact dedup drops repeats across micro-batches") {
+    val tmp = Files.createTempDirectory("sdedup").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def run(): Unit = {
+      val q = graft.operators.Dedup.exactStreaming(
+          spark.readStream.schema("id LONG, text STRING").parquet(in), "text")
+        .select(col("id"), col("fingerprint"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "Dup  Text"), (2L, "other words")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    // batch 2: id 3 duplicates id 1 AFTER normalization (case/spacing);
+    // the dedup state must survive the restart via the checkpoint
+    Seq((3L, "dup text"), (4L, "fresh content")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    val ids = spark.read.parquet(s"$tmp/out").select($"id").as[Long]
+      .collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("live updater streams into a JDBC store through the connector tier") {
     import org.apache.spark.sql.types._
     val tmp = Files.createTempDirectory("livej").toString
