@@ -95,6 +95,30 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Multi-probe variant: the probe side additionally visits every
+    * signature at Hamming distance 1 (each bit flipped once), so a
+    * near-neighbor pair split by ONE marginal hyperplane still meets —
+    * the standard recall/cost lever: nBits+1 probe rows per vector
+    * instead of more tables, the storage side stays one row per
+    * vector. Strict superset of [[lshCosineCandidates]] (spec-proven).
+    */
+  def lshCosineCandidatesMultiProbe(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nBits: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol),
+      hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+    val flips = transform(sequence(lit(0), lit(nBits - 1)), i =>
+      concat(
+        col("sig").substr(lit(1), i),
+        when(col("sig").substr(i + lit(1), lit(1)) === "1", lit("0"))
+          .otherwise(lit("1")),
+        col("sig").substr(i + lit(2), lit(nBits))))
+    val probes = sig.select(col(idCol).as("id_a"),
+        explode(array_union(array(col("sig")), flips)).as("sig"))
+    probes.join(sig.select(col(idCol).as("id_b"), col("sig")), Seq("sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** IVF index built by spherical Lloyd k-means (the real IVF training
     * step, vs. q48's label-partition shortcut): deterministic seeding
     * (the k lowest-id vectors), fixed iteration count, assignment by

@@ -60,6 +60,31 @@ class HeadingBlocksSpec extends AnyFunSuite {
   }
 }
 
+class MultiProbeLshSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import graft.operators.SimilaritySearch
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe is a superset of exact-bucket candidates with better recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = pairs(SimilaritySearch.lshCosineCandidates(
+      emb, "vec_id", "embedding", 64, 8))
+    val probed = pairs(SimilaritySearch.lshCosineCandidatesMultiProbe(
+      emb, "vec_id", "embedding", 64, 8))
+    assert(exact.subsetOf(probed))
+    assert(probed.size > exact.size) // distance-1 probes really add pairs
+    // recall against the true near-dup set (cosine >= 0.4)
+    val truth = pairs(graft.operators.Dedup.embeddingNearDup(
+      emb, "vec_id", "embedding", 0.4).select("id_a", "id_b"))
+    val rExact = truth.intersect(exact).size.toDouble / truth.size
+    val rProbed = truth.intersect(probed).size.toDouble / truth.size
+    assert(rProbed > rExact)
+  }
+}
+
 class AudioSegmentSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import graft.multimodal.Multimodal
