@@ -552,6 +552,16 @@ object SparkEntry {
     operators.ConnectedComponents.run(pairs, "name_a", "name_b")
   }
 
+  /** Duplicate-group merge in the gate (entity_deduplication.py:
+    * 370-456): q46's connected components get a deterministic
+    * confidence, then each group collapses to its highest-confidence
+    * canonical with sorted aliases. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val members = q46(s, dir).withColumn("confidence",
+      (length(col("node")) % 7).cast("double") / 10 + 0.3)
+    Entities.mergeDuplicateGroups(members, "comp", "node", "confidence")
+  }
+
   /** Recursive structure-aware splitting with offset/line/column
     * fidelity (split_recursively.rs:22-1042, regex tier). */
   private def q47(s: SparkSession, dir: String): DataFrame =
@@ -1256,7 +1266,8 @@ object SparkEntry {
     "q75_notion_changes" -> q75 _,
     "q76_security_filter" -> q76 _,
     "q77_heading_blocks" -> q77 _,
-    "q78_audio_segments" -> q78 _)
+    "q78_audio_segments" -> q78 _,
+    "q79_dedup_merge" -> q79 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2291,7 +2302,34 @@ object SparkEntry {
            |  SELECT s, s FROM e
            |  UNION
            |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s)
-           |SELECT node, MIN(r) AS comp FROM reach GROUP BY node""".stripMargin)
+           |SELECT node, MIN(r) AS comp FROM reach GROUP BY node""".stripMargin,
+      "q79_dedup_merge" ->
+        s"""WITH RECURSIVE
+           |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
+           |p AS (SELECT a.name AS name_a, b.name AS name_b
+           |      FROM n a JOIN n b
+           |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name
+           |      WHERE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+           |            / CAST(greatest(len(a.name), len(b.name)) AS DOUBLE) >= 0.5),
+           |e AS (SELECT name_a AS s, name_b AS d FROM p
+           |      UNION SELECT name_b, name_a FROM p),
+           |reach(node, r) AS (
+           |  SELECT s, s FROM e
+           |  UNION
+           |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s),
+           |m AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+           |c AS (SELECT node, comp,
+           |      CAST(length(node) % 7 AS DOUBLE) / 10 + 0.3 AS confidence FROM m),
+           |rk AS (SELECT *, row_number() OVER (
+           |        PARTITION BY comp ORDER BY confidence DESC, node ASC) AS rn
+           |      FROM c)
+           |SELECT comp,
+           |MAX(CASE WHEN rn = 1 THEN node END) AS canonical_name,
+           |MAX(confidence) AS confidence,
+           |COUNT(*) AS n_members,
+           |coalesce(string_agg(node, '|' ORDER BY node)
+           |  FILTER (WHERE rn > 1), '') AS aliases
+           |FROM rk GROUP BY comp""".stripMargin)
   }
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the

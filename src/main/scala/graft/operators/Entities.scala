@@ -141,6 +141,27 @@ object Entities {
       .drop("_lt", "_cs")
   }
 
+  /** Merge each duplicate group keeping the highest-confidence member
+    * (entity_deduplication.py:370-456): canonical = argmax confidence
+    * with the lexicographically-smallest name as the deterministic
+    * tiebreak; the other members become sorted aliases. One shuffle on
+    * the group key, all aggregates map-side combinable (the argmax is
+    * a struct-min over (-confidence, name)).
+    */
+  def mergeDuplicateGroups(members: DataFrame, groupCol: String,
+      nameCol: String, confCol: String): DataFrame =
+    members.groupBy(col(groupCol))
+      .agg(
+        min(struct((-col(confCol)).as("_nc"), col(nameCol).as("_n"))).as("_best"),
+        max(col(confCol)).as("confidence"),
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(col(nameCol))).as("_all"))
+      .select(col(groupCol),
+        col("_best._n").as("canonical_name"),
+        col("confidence"),
+        col("n_members"),
+        array_join(array_remove(col("_all"), col("_best._n")), "|").as("aliases"))
+
   /** Canonicalization: unique entities by (normalized name, type);
     * keeps the minimum id as canonical and counts members.
     * (entity_extraction_flow_v2.py:63-75.)

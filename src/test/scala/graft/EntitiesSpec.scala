@@ -128,6 +128,19 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
 
+  test("mergeDuplicateGroups keeps the max-confidence member, min name on ties") {
+    val members = Seq(
+      ("g1", "beta", 0.9), ("g1", "alpha", 0.7), ("g1", "gamma", 0.9),
+      ("g2", "solo", 0.5)).toDF("comp", "node", "confidence")
+    val got = Entities.mergeDuplicateGroups(members, "comp", "node", "confidence")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got === Set(
+      // tie at 0.9: beta < gamma lexicographically
+      ("g1", "beta", 0.9, 3L, "alpha|gamma"),
+      ("g2", "solo", 0.5, 1L, "")))
+  }
+
   test("mentionContext slices the ±width window around each occurrence") {
     val docs = Seq((1L, "aaa bbb rareterm ccc ddd eee")).toDF("doc_id", "text")
     val ctx = Entities.mentionContext(
