@@ -144,6 +144,9 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      // the reference's sub-200ms latency-target flag
+      // (search_service.py:569-597), as INT for oracle hash parity
+      .withColumn("meets_target", (col("p99") < 200).cast("int"))
 
   /** Sessionization: 30-min inactivity gap per user (§2.8 tier). */
   private def q08(s: SparkSession, dir: String): DataFrame =
@@ -1317,7 +1320,8 @@ object SparkEntry {
       """SELECT event_type,
         |round(quantile_cont(value, 0.5), 6) AS p50,
         |round(quantile_cont(value, 0.9), 6) AS p90,
-        |round(quantile_cont(value, 0.99), 6) AS p99
+        |round(quantile_cont(value, 0.99), 6) AS p99,
+        |CAST(round(quantile_cont(value, 0.99), 6) < 200 AS INT) AS meets_target
         |FROM events GROUP BY event_type""".stripMargin,
     "q08_sessionize" -> sessionizeOracleSql,
     "q33_stateful_sessions" -> sessionizeOracleSql,
