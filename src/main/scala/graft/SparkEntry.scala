@@ -1169,6 +1169,23 @@ object SparkEntry {
   /** Graph/entity statistics: node counts by type, edge counts by
     * relationship type, degree stats (neo4j_service.py:682-717,
     * state_manager.py:268-287). */
+  /** Shared fuzzy-grouping CTE chain (blocking prefix + 0.5 similarity
+    * + undirected reachability) — ONE definition for the q46 and q79
+    * oracles so the threshold can never de-sync between them. */
+  private def fuzzyGroupsCteSql: String =
+    s"""n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
+       |p AS (SELECT a.name AS name_a, b.name AS name_b
+       |      FROM n a JOIN n b
+       |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name
+       |      WHERE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+       |            / CAST(greatest(len(a.name), len(b.name)) AS DOUBLE) >= 0.5),
+       |e AS (SELECT name_a AS s, name_b AS d FROM p
+       |      UNION SELECT name_b, name_a FROM p),
+       |reach(node, r) AS (
+       |  SELECT s, s FROM e
+       |  UNION
+       |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s)""".stripMargin
+
   private def q50(s: SparkSession, dir: String): DataFrame = {
     val typed = t(s, dir, "part")
       .select(Entities.normalizeName(col("p_name")).as("name"),
@@ -2293,34 +2310,10 @@ object SparkEntry {
            |FROM typed LEFT JOIN deg USING (name)
            |GROUP BY etype""".stripMargin,
       "q46_dedup_groups" ->
-        s"""WITH RECURSIVE
-           |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
-           |p AS (SELECT a.name AS name_a, b.name AS name_b
-           |      FROM n a JOIN n b
-           |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name
-           |      WHERE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
-           |            / CAST(greatest(len(a.name), len(b.name)) AS DOUBLE) >= 0.5),
-           |e AS (SELECT name_a AS s, name_b AS d FROM p
-           |      UNION SELECT name_b, name_a FROM p),
-           |reach(node, r) AS (
-           |  SELECT s, s FROM e
-           |  UNION
-           |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s)
+        s"""WITH RECURSIVE $fuzzyGroupsCteSql
            |SELECT node, MIN(r) AS comp FROM reach GROUP BY node""".stripMargin,
       "q79_dedup_merge" ->
-        s"""WITH RECURSIVE
-           |n AS (SELECT DISTINCT ${normNameSql("p_name")} AS name FROM part),
-           |p AS (SELECT a.name AS name_a, b.name AS name_b
-           |      FROM n a JOIN n b
-           |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name
-           |      WHERE 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
-           |            / CAST(greatest(len(a.name), len(b.name)) AS DOUBLE) >= 0.5),
-           |e AS (SELECT name_a AS s, name_b AS d FROM p
-           |      UNION SELECT name_b, name_a FROM p),
-           |reach(node, r) AS (
-           |  SELECT s, s FROM e
-           |  UNION
-           |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s),
+        s"""WITH RECURSIVE $fuzzyGroupsCteSql,
            |m AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
            |c AS (SELECT node, comp,
            |      CAST(length(node) % 7 AS DOUBLE) / 10 + 0.3 AS confidence FROM m),

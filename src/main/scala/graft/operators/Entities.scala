@@ -160,7 +160,15 @@ object Entities {
         col("_best._n").as("canonical_name"),
         col("confidence"),
         col("n_members"),
-        array_join(array_remove(col("_all"), col("_best._n")), "|").as("aliases"))
+        // drop exactly ONE occurrence of the canonical (array_remove
+        // would delete same-named non-canonical members too, making
+        // aliases inconsistent with n_members)
+        array_join(concat(
+          slice(col("_all"), lit(1),
+            (array_position(col("_all"), col("_best._n")) - 1).cast("int")),
+          slice(col("_all"),
+            (array_position(col("_all"), col("_best._n")) + 1).cast("int"),
+            size(col("_all")))), "|").as("aliases"))
 
   /** Canonicalization: unique entities by (normalized name, type);
     * keeps the minimum id as canonical and counts members.

@@ -114,9 +114,12 @@ object SimilaritySearch {
         col("sig").substr(i + lit(2), lit(nBits))))
     val probes = sig.select(col(idCol).as("id_a"),
         explode(array_union(array(col("sig")), flips)).as("sig"))
+    // no distinct needed: a vector's nBits+1 probe signatures are
+    // pairwise distinct and the storage side has ONE row per vector,
+    // so each (id_a, id_b) pair meets at most once
     probes.join(sig.select(col(idCol).as("id_b"), col("sig")), Seq("sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
   }
 
   /** IVF index built by spherical Lloyd k-means (the real IVF training

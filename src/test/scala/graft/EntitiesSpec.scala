@@ -139,6 +139,14 @@ class EntitiesSpec extends AnyFunSuite {
       // tie at 0.9: beta < gamma lexicographically
       ("g1", "beta", 0.9, 3L, "alpha|gamma"),
       ("g2", "solo", 0.5, 1L, "")))
+    // a NON-canonical member sharing the canonical's name stays an
+    // alias (only one occurrence is removed)
+    val dup = Seq(("g", "acme", 0.9), ("g", "acme", 0.5), ("g", "acme inc", 0.4))
+      .toDF("comp", "node", "confidence")
+    val row = Entities.mergeDuplicateGroups(dup, "comp", "node", "confidence")
+      .collect().head
+    assert(row.getString(1) === "acme" && row.getLong(3) === 3L)
+    assert(row.getString(4) === "acme|acme inc")
   }
 
   test("mentionContext slices the ±width window around each occurrence") {
