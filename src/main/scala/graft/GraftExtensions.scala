@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.HyperplaneSigExpr(args(0),
           intLit(args(1), "dim"), intLit(args(2), "nBits"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_heading_blocks"),
+      info("graft_heading_blocks",
+        "_FUNC_(markdown) - array<struct<heading, body>> heading blocks, preamble merged"),
+      (args: Seq[Expression]) =>
+        graft.functions.HeadingBlocksExpr(args.head)))
   }
 }

@@ -125,6 +125,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(("rare", 1, 5), ("rare", 6, 10), ("word", 11, 15)))
     assert(row.getString(1).length === 6 &&
       row.getString(1).forall(c => c == '0' || c == '1'))
+    val blocks = spark.sql(
+      "SELECT graft_heading_blocks('pre\n# A\nbody') AS b").collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(blocks.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("# A", "pre\n\nbody")))
   }
 }
 
