@@ -981,6 +981,30 @@ object SparkEntry {
         element_at(col("features"), 1).cast("double").as("f0"))
   }
 
+  /** Bloom semi-join prefilter census (§2.9 UDAF tier #2): per event
+    * type, aggregate user ids into a mergeable Bloom bit set, then
+    * probe with a disjoint synthetic key set — bits set and false
+    * positives are value-checked (deterministic md5 positions make
+    * membership engine-reproducible). The production shape: broadcast
+    * the one-row-per-group bit sets, prune the big side map-side
+    * before any join. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Sketch
+    val (m, k) = (4096, 3)
+    val blooms = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(Sketch.bloomBits(col("user_id").cast("string"), m, k).as("bits"))
+    val probes = (1 to 200)
+      .map(i => (s"probe:$i", Sketch.bloomPositions(s"probe:$i", m, k)))
+      .toDF("probe", "pp")
+    blooms.crossJoin(broadcast(probes))
+      .withColumn("hit", forall(col("pp"), x => array_contains(col("bits"), x)))
+      .groupBy(col("event_type"))
+      .agg(max(size(col("bits"))).as("n_bits"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_fp"))
+  }
+
   /** As-of join (training-data point-in-time correctness): each click
     * enriched with the user's latest view at or before it. */
   private def q68(s: SparkSession, dir: String): DataFrame = {
@@ -1287,7 +1311,8 @@ object SparkEntry {
     "q76_security_filter" -> q76 _,
     "q77_heading_blocks" -> q77 _,
     "q78_audio_segments" -> q78 _,
-    "q79_dedup_merge" -> q79 _)
+    "q79_dedup_merge" -> q79 _,
+    "q80_bloom_prefilter" -> q80 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2053,6 +2078,25 @@ object SparkEntry {
          |CAST(length(ftext) AS INT) AS n_bytes,
          |${stubEmbSqlFor("ftext", 0)} AS f0
          |FROM f""".stripMargin,
+    "q80_bloom_prefilter" -> {
+      def posExpr(i: Int, itemSql: String) =
+        s"(${md5HexValSql(s"'$i:' || $itemSql", 12)}) % 4096"
+      val u = "CAST(user_id AS VARCHAR)"
+      s"""WITH pos AS (SELECT event_type,
+         |  unnest([${posExpr(0, u)}, ${posExpr(1, u)}, ${posExpr(2, u)}]) AS p
+         |  FROM events),
+         |b AS (SELECT event_type, list(DISTINCT p) AS bl,
+         |  COUNT(DISTINCT p) AS n_bits FROM pos GROUP BY event_type),
+         |pp AS (SELECT [${posExpr(0, "pr")}, ${posExpr(1, "pr")},
+         |  ${posExpr(2, "pr")}] AS plist
+         |  FROM (SELECT 'probe:' || CAST(x AS VARCHAR) AS pr
+         |        FROM range(1, 201) AS t(x))),
+         |f AS (SELECT event_type, COUNT(*) AS n_fp FROM b CROSS JOIN pp
+         |  WHERE list_has_all(b.bl, pp.plist) GROUP BY event_type)
+         |SELECT b.event_type, CAST(b.n_bits AS INT) AS n_bits,
+         |coalesce(f.n_fp, 0) AS n_fp
+         |FROM b LEFT JOIN f USING (event_type)""".stripMargin
+    },
     "q78_audio_segments" ->
       s"""WITH s AS (SELECT doc_id AS media_id, CAST(i AS INT) AS segment_index,
          |  CAST(i * 48 AS BIGINT) AS so,

@@ -65,4 +65,39 @@ object Sketch {
   /** Column aggregate: KMV distinct estimate of a string column. */
   def kmvDistinct(c: Column, k: Int): Column =
     udaf(KmvDistinct(k), Encoders.STRING).apply(c)
+
+  /** Deterministic Bloom bit position `i` of an item: md5 of
+    * "i:item" folded to 48 bits, mod m — engine-reproducible, so a
+    * DuckDB oracle recomputes membership exactly. */
+  def bloomPositions(item: String, m: Int, k: Int): Seq[Int] =
+    (0 until k).map(i => (hash48(s"$i:$item") % m).toInt)
+
+  /** Mergeable Bloom filter as a typed [[Aggregator]]: the buffer is
+    * the sorted distinct set of SET BIT POSITIONS (bounded by m; the
+    * dense-bitset encoding is an optimization this tier doesn't need —
+    * positions stay directly queryable with `array_contains`). The
+    * standard shuffle-free semi-join prune at 100 TB: aggregate the
+    * small side's keys into one Bloom row, broadcast it, and filter
+    * the big side map-side with [[bloomPositions]] membership before
+    * any join. Nulls are skipped (SQL distinct semantics, like KMV).
+    */
+  final case class BloomAgg(m: Int, k: Int)
+      extends Aggregator[String, Seq[Int], Seq[Int]] {
+    require(m > 0 && k > 0)
+    override def zero: Seq[Int] = Vector.empty
+    override def reduce(buf: Seq[Int], item: String): Seq[Int] =
+      if (item == null) buf
+      else (buf ++ bloomPositions(item, m, k)).distinct
+    override def merge(a: Seq[Int], b: Seq[Int]): Seq[Int] =
+      (a ++ b).distinct
+    override def finish(buf: Seq[Int]): Seq[Int] = buf.sorted
+    override def bufferEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+    override def outputEncoder: Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Column aggregate: Bloom bit-position set of a string column. */
+  def bloomBits(c: Column, m: Int, k: Int): Column =
+    udaf(BloomAgg(m, k), Encoders.STRING).apply(c)
 }

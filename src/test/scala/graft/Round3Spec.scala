@@ -334,6 +334,23 @@ class SketchSpec extends AnyFunSuite {
       .agg(Sketch.kmvDistinct(col("u"), 32)).as[Double].head()
     assert(a === b)
   }
+
+  test("Bloom bits: membership exact for inserted keys, merge invariant") {
+    val items = (1 to 500).map(i => s"key$i")
+    def bits(parts: Int, xs: Seq[String]): Seq[Int] =
+      xs.toDF("u").repartition(parts)
+        .agg(Sketch.bloomBits(col("u"), 4096, 3)).as[Seq[Int]].head()
+    val a = bits(1, items)
+    val b = bits(11, items.reverse)
+    assert(a === b) // mergeable: partitioning/order can't change the set
+    // zero false negatives (the Bloom guarantee)
+    assert(items.forall(it =>
+      Sketch.bloomPositions(it, 4096, 3).forall(a.contains)))
+    // nulls skipped
+    val withNull = (items.map(Option(_)) :+ None).toDF("u")
+      .agg(Sketch.bloomBits(col("u"), 4096, 3)).as[Seq[Int]].head()
+    assert(withNull === a)
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
