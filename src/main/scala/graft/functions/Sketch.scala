@@ -100,4 +100,25 @@ object Sketch {
   /** Column aggregate: Bloom bit-position set of a string column. */
   def bloomBits(c: Column, m: Int, k: Int): Column =
     udaf(BloomAgg(m, k), Encoders.STRING).apply(c)
+
+  /** Column API: the sketch tier's 48-bit md5 hash of a string —
+    * per-row membership probes against [[bloomBits]] sets. */
+  def hash48Of(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Hash48Expr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+}
+
+/** hash48 as a native expression (one md5 + fold per row). */
+case class Hash48Expr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullSafeEval(s: Any): Any =
+    Sketch.hash48(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): Hash48Expr =
+    copy(child = c)
+  override def prettyName: String = "graft_hash48"
 }

@@ -60,4 +60,29 @@ object Layout {
   /** Row-unique join salt (spec-visible for spread assertions). */
   private[graft] def joinSaltCol(n: Int): org.apache.spark.sql.Column =
     pmod(hash(monotonically_increasing_id()), lit(n))
+
+  /** Bloom-pruned equi-join: aggregate the SMALL side's keys into one
+    * Bloom bit-set row, broadcast it, and drop big-side rows that
+    * can't match BEFORE the join shuffle — the classic semi-join
+    * prune. Bloom has no false negatives, so results are identical to
+    * `big.join(small, key)` (spec-checked); false positives only cost
+    * a few extra rows entering the join. At 100 TB this turns a
+    * full-corpus shuffle into a shuffle of the matching fraction for
+    * the price of one broadcast bit set.
+    */
+  def bloomPruneJoin(big: DataFrame, small: DataFrame, key: String,
+      m: Int = 1 << 20, k: Int = 3): DataFrame = {
+    import graft.functions.Sketch
+    require(!big.columns.contains("_bloom_bits"),
+      "bloomPruneJoin reserves the _bloom_bits column")
+    val bloom = small.agg(
+      Sketch.bloomBits(col(key).cast("string"), m, k).as("_bloom_bits"))
+    val probes = (0 until k).map(i =>
+      pmod(graft.functions.Sketch.hash48Of(
+        concat(lit(s"$i:"), col(key).cast("string"))), lit(m.toLong)).cast("int"))
+    val pruned = big.crossJoin(broadcast(bloom))
+      .where(probes.map(p => array_contains(col("_bloom_bits"), p)).reduce(_ && _))
+      .drop("_bloom_bits")
+    pruned.join(small, key)
+  }
 }

@@ -120,6 +120,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-pruned join is row-identical and prunes before the join") {
+    val big = (1 to 2000).map(i => (i.toLong, s"payload$i")).toDF("k", "v")
+    val small = Seq((5L, "a"), (17L, "b"), (1999L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .select($"k", $"v", $"name").collect().map(_.toSeq).toSet
+    val pruned = Layout.bloomPruneJoin(big, small, "k")
+    assert(pruned.select($"k", $"v", $"name").collect().map(_.toSeq).toSet
+      === plain)
+    // the membership filter must sit under the join in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("array_contains"), s"no bloom filter in plan:\n$plan")
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Layout.bloomPruneJoin(big.withColumnRenamed("v", "_bloom_bits"), small, "k")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // bucketing needs the session catalog; use unique table names
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "av")
