@@ -413,6 +413,27 @@ object Entities {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** [[cooccurrence]] with a per-document entity cap — the scale
+    * guard for pathological documents: a doc mentioning d entities
+    * fans out d²/2 pairs, so one 10k-entity doc emits 50M rows. Here
+    * only each document's `maxPerDoc` most-mentioned entities (ties:
+    * lexicographic, deterministic) pair up, bounding the per-doc
+    * fan-out at maxPerDoc²/2. The window partitions by document —
+    * parallelism scales with the corpus, never a global sort.
+    */
+  def cooccurrenceCapped(mentions: DataFrame, docCol: String,
+      entityCol: String, maxPerDoc: Int): DataFrame = {
+    require(maxPerDoc > 0)
+    val w = Window.partitionBy(col(docCol))
+      .orderBy(col("_tf").desc, col(entityCol).asc)
+    val top = mentions.groupBy(col(docCol), col(entityCol))
+      .agg(count(lit(1)).as("_tf"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxPerDoc)
+      .select(col(docCol), col(entityCol))
+    cooccurrence(top, docCol, entityCol)
+  }
+
   /** n-hop neighborhood over an undirected edge list via iterated
     * equi-joins (depth <= 2 in the reference; the frontier join
     * broadcast-s when small). Returns (node, neighbor, hops) with the

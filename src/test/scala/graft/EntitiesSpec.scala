@@ -128,6 +128,21 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
 
+  test("capped co-occurrence bounds per-doc fan-out, keeps top entities") {
+    // doc 1 mentions e1 3x, e2 2x, e3 1x, e4 1x
+    val mentions = (Seq.fill(3)((1L, "e1")) ++ Seq.fill(2)((1L, "e2")) ++
+      Seq((1L, "e3"), (1L, "e4"), (2L, "x"), (2L, "y")))
+      .toDF("doc_id", "entity")
+    val capped = Entities.cooccurrenceCapped(mentions, "doc_id", "entity", 2)
+      .select($"entity_a", $"entity_b").as[(String, String)].collect().toSet
+    // doc 1 keeps only e1,e2 (top tf); doc 2 keeps both (under cap)
+    assert(capped === Set(("e1", "e2"), ("x", "y")))
+    // subset of the uncapped pairs
+    val full = Entities.cooccurrence(mentions, "doc_id", "entity")
+      .select($"entity_a", $"entity_b").as[(String, String)].collect().toSet
+    assert(capped.subsetOf(full))
+  }
+
   test("mergeDuplicateGroups keeps the max-confidence member, min name on ties") {
     val members = Seq(
       ("g1", "beta", 0.9), ("g1", "alpha", 0.7), ("g1", "gamma", 0.9),
