@@ -142,6 +142,81 @@ class PropertySpec extends AnyFunSuite {
     assert(got(1).toSeq === Seq("as_str", null, "seven"))
   }
 
+  test("as-of join matches brute force on random key/timestamp data") {
+    import graft.operators.AsOfJoin
+    val gen = for {
+      lk <- Gen.listOfN(60, Gen.choose(1, 5))
+      lt <- Gen.listOfN(60, Gen.choose(0L, 50L))
+      rk <- Gen.listOfN(25, Gen.choose(1, 5))
+      rt <- Gen.listOfN(25, Gen.choose(0L, 50L))
+    } yield (lk.zip(lt), rk.zip(rt).distinct)
+    val (leftRows, rightRows0) = samples(gen, 1).head
+    // at most one right row per (key, ts): contract precondition
+    val rightRows = rightRows0.groupBy(identity).keys.toSeq
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+    val left = leftRows.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "ts")
+    val right = rightRows.toDF("k", "rts", "v")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("v"))
+      .select($"lid", $"asof_rts", $"asof_v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    // brute force: for every left row, the latest right at or before ts
+    leftRows.zipWithIndex.foreach { case ((k, t), i) =>
+      val expected = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(r => (r._2, r._3))
+      assert(got(i.toLong) === expected, s"left row $i (k=$k, ts=$t)")
+    }
+  }
+
+  test("incremental sync agrees with an in-memory model over random change sequences") {
+    import graft.incremental.{Incremental, ParquetSink}
+    val tmp = java.nio.file.Files.createTempDirectory("incprop").toString
+    val (sink, track) = (s"$tmp/sink", s"$tmp/track")
+    // model: source_key -> (ordinal, content); target = processed rows
+    var model = Map.empty[String, (Long, String)]
+    def process(delta: org.apache.spark.sql.DataFrame) =
+      delta.select(col("source_key"),
+        concat(col("source_key"), lit("#"), col("content")).as("target_key"),
+        upper(col("content")).as("out"))
+    val keyPool = ('a' to 'f').map(_.toString)
+    val contentGen = Gen.oneOf("x", "y", "z")
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { step =>
+      // random snapshot: subset of keys, each with a random content and
+      // a MONOTONIC ordinal (the source contract); occasionally a
+      // stale ordinal that must be ignored for known keys
+      val snapshot = keyPool.filter(_ => rnd.nextBoolean()).map { k =>
+        val content = contentGen.pureApply(Gen.Parameters.default,
+          Seed(step * 100L + k.hashCode))
+        val stale = model.contains(k) && rnd.nextInt(5) == 0
+        val ord = if (stale) model(k)._1 - 1 else step.toLong
+        (k, ord, content)
+      }
+      val src = snapshot.toDF("source_key", "ordinal", "content")
+        .withColumn("content_hash", sha2(col("content"), 256))
+      Incremental.syncSource(spark, src, process, "fp", sink, track)
+      // evolve the model with the same semantics: stale rows ignored
+      // entirely (they neither update nor protect from deletion —
+      // their key IS present in the snapshot so it's not deleted)
+      val present = snapshot.map(_._1).toSet
+      model = model.filter { case (k, _) => present.contains(k) }
+      snapshot.foreach { case (k, ord, content) =>
+        model.get(k) match {
+          case Some((prevOrd, _)) if ord < prevOrd => // stale: drop
+          case _ => model += (k -> (ord, content))
+        }
+      }
+      val expected = model.map { case (k, (_, content)) =>
+        (s"$k#$content", content.toUpperCase)
+      }.toSet
+      val got = ParquetSink.read(spark, sink).get
+        .select($"target_key", $"out").as[(String, String)].collect().toSet
+      assert(got === expected, s"divergence at step $step")
+    }
+  }
+
   test("token offsets slice back to their token (random unicode text)") {
     import graft.functions.NativeText
     val texts = samples(textGen, 60)
