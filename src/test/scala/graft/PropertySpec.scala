@@ -170,6 +170,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval join matches brute force on random points/intervals") {
+    import graft.operators.RangeJoin
+    val gen = for {
+      pts <- Gen.listOfN(80, Gen.choose(0, 100))
+      los <- Gen.listOfN(30, Gen.choose(0, 95))
+      spans <- Gen.listOfN(30, Gen.choose(1, 20))
+    } yield (pts, los.zip(spans).map { case (l, s) => (l, l + s) })
+    val (pts, ivs) = samples(gen, 1).head
+    val points = pts.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      .toDF("pid", "v")
+    val intervals = ivs.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo.toDouble, hi.toDouble) }
+      .toDF("iid", "lo", "hi")
+    for (width <- Seq(1.0, 7.0, 50.0)) {
+      val got = RangeJoin.intervalJoin(points, "v", intervals, "lo", "hi", width)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (v, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if v >= lo && v < hi
+      } yield (pi.toLong, ii.toLong)).toSet
+      assert(got === expected, s"bucketWidth=$width")
+    }
+  }
+
+  test("heading blocks agree with an independent reimplementation") {
+    import graft.functions.HeadingBlocks.headingBlocksOf
+    import org.apache.spark.sql.Row
+    // independent model: regex-split reimplementation of
+    // two_tier_chunker.py:94-133 (vs the operator's index-walk)
+    def model(text: String): Seq[(Option[String], String)] = {
+      def strip(s: String) = s.dropWhile(" \t\n\r".contains(_))
+        .reverse.dropWhile(" \t\n\r".contains(_)).reverse
+      val hm = "(?m)^(#{1,6})\\s+.*$".r
+      val ms = hm.findAllMatchIn(text).map(_.start).toList
+      if (ms.isEmpty) {
+        val t = strip(text)
+        if (t.isEmpty) Nil else Seq((None, t))
+      } else {
+        val pre = strip(text.take(ms.head))
+        ms.zip(ms.tail :+ text.length).zipWithIndex.map {
+          case ((s0, e0), i) =>
+            val block = strip(text.substring(s0, e0))
+            val (h, b) = block.indexOf('\n') match {
+              case -1 => (block, "")
+              case nl => (strip(block.take(nl)), strip(block.drop(nl + 1)))
+            }
+            val body = if (i == 0 && pre.nonEmpty)
+              pre + (if (b.nonEmpty) "\n\n" + b else "") else b
+            (Option(h), body)
+        }
+      }
+    }
+    val mdGen = for {
+      parts <- Gen.listOfN(12, Gen.oneOf(
+        Gen.const("# Head"), Gen.const("## Sub x"), Gen.const("####### seven"),
+        Gen.alphaLowerStr.map(_.take(8)), Gen.const("  "), Gen.const("#nospace")))
+    } yield parts.mkString("\n")
+    val texts = samples(mdGen, 40)
+    val got = texts.toDF("t")
+      .select($"t", headingBlocksOf($"t").as("b")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Row](1)
+        .map(x => (Option(x.getString(0)), x.getString(1)))).toMap
+    texts.foreach { t =>
+      assert(got(t) === model(t), s"text:\n$t")
+    }
+  }
+
   test("incremental sync agrees with an in-memory model over random change sequences") {
     import graft.incremental.{Incremental, ParquetSink}
     val tmp = java.nio.file.Files.createTempDirectory("incprop").toString
