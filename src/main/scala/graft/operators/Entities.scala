@@ -84,6 +84,25 @@ object Entities {
     when(remapped.isin(allowedTypes: _*), remapped).otherwise(lit("OTHER"))
   }
 
+  /** Lexical type-bias tier (entity_extraction_runner_v2.py:954-961):
+    * cloth/towel/pad/wipe terms in the mention NAME override a
+    * non-MATERIAL type unless a strong tool counter-signal appears —
+    * the keyword lists are the reference's, verbatim. */
+  private val materialBiasWords = Seq("cloth", "towel", "paper towel",
+    "shop towel", "microfiber", "micro-fiber", "micro fibre", "wipe",
+    "wipes", "wiping", "pad", "pads", "lint-free", "lint free")
+  private val materialCounterWords = Seq("applicator tool",
+    "applicator-tip", "applicator tip", "specialized tool", "equipment")
+
+  def lexicalTypeBias(name: Column, etype: Column): Column = {
+    val lx = lower(name)
+    def containsAny(ws: Seq[String]) =
+      ws.map(w => lx.contains(w)).reduce(_ || _)
+    when(etype =!= "MATERIAL" && containsAny(materialBiasWords) &&
+        !containsAny(materialCounterWords), lit("MATERIAL"))
+      .otherwise(etype)
+  }
+
   /** Clamp heterogeneous confidence values to [0,1]: percents (>1)
     * divided by 100, negatives → 0, nulls → 0.5 default.
     * (entity_extraction_runner_v2.py:793-848.)

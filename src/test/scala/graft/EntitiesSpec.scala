@@ -128,6 +128,23 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
 
+  test("lexical bias forces cloth/wipe terms to MATERIAL, tools resist") {
+    val rows = Seq(
+      ("cleaning cloth", "PRODUCT"),     // biased
+      ("Microfiber Pad", "TOOL"),        // biased (case-insensitive)
+      ("applicator tool pad", "TOOL"),   // counter-signal: stays
+      ("pressure sensor", "COMPONENT"),  // no keyword: stays
+      ("shop towel", "MATERIAL"))        // already MATERIAL: unchanged
+      .toDF("name", "etype")
+    val got = rows.select($"name",
+        Entities.lexicalTypeBias($"name", $"etype").as("t"))
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "cleaning cloth" -> "MATERIAL", "Microfiber Pad" -> "MATERIAL",
+      "applicator tool pad" -> "TOOL", "pressure sensor" -> "COMPONENT",
+      "shop towel" -> "MATERIAL"))
+  }
+
   test("capped co-occurrence bounds per-doc fan-out, keeps top entities") {
     // doc 1 mentions e1 3x, e2 2x, e3 1x, e4 1x
     val mentions = (Seq.fill(3)((1L, "e1")) ++ Seq.fill(2)((1L, "e2")) ++
