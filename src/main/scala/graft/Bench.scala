@@ -22,9 +22,21 @@ import org.apache.spark.sql.SparkSession
   *     compilation, harness-only overhead). The pass runs CONCURRENTLY
   *     (janino/C2 compile fine in parallel; local[32] has the cores),
   *     which cuts its wall-clock ~4x without touching timed numbers.
+  * Warm measurement: each query is timed over TWO back-to-back runs
+  * and the MIN is recorded. The concurrent warmup's Futures complete
+  * when the queries return, not when HotSpot's background C2 queue
+  * drains, so the first few timed queries in run order can still pay
+  * residual compilation on their first run (the r6 3-4x first-in-order
+  * inflation); the second run is steady-state, and min-of-two is the
+  * number BASELINE.md's warm-path latencies are comparable to.
   * Queries that throw are reported as -1 with their name in `errors`,
   * and any error forces `value` to -1 — a breaking query can never
   * masquerade as a fast one or as a lower total.
+  *
+  * JSON contract (bench_schema 2): `value` is the warm-query sum (as
+  * in r6); `value_inclusive` is prep + warm sum (the r5 `value`
+  * semantics), emitted alongside so round-over-round comparisons can
+  * use either without a silent metric redefinition.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,10 +64,13 @@ object Bench {
     var errors = List.empty[String]
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case _: Throwable => errors ::= name; name -> -1.0
       }
@@ -68,8 +83,10 @@ object Bench {
       if (errors.nonEmpty) -1.0
       else results.map(_._2).sum
     val prep = obj(Seq("ingest_artifacts" -> artifactSec, "jit_warmup" -> warmSec))
+    val inclusive = if (total < 0) -1.0 else total + artifactSec + warmSec
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_inclusive":$inclusive,"bench_schema":2,""" +
       s""""queries":${obj(results)},"prep":$prep,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
