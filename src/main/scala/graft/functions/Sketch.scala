@@ -73,26 +73,54 @@ object Sketch {
     (0 until k).map(i => (hash48(s"$i:$item") % m).toInt)
 
   /** Mergeable Bloom filter as a typed [[Aggregator]]: the buffer is
-    * the sorted distinct set of SET BIT POSITIONS (bounded by m; the
-    * dense-bitset encoding is an optimization this tier doesn't need —
-    * positions stay directly queryable with `array_contains`). The
+    * a FIXED-SIZE dense bitset (`Array[Long]` of ceil(m/64) words) —
+    * O(k) bit-sets per row, word-wise OR on merge, so cost is
+    * O(rows·k + m), independent of distinct-key count. (`udaf` wraps
+    * Aggregators as TypedImperativeAggregate: the buffer lives as one
+    * mutable object per group and only serializes at the partial/final
+    * boundary, so in-place mutation is the intended fast path.) The
+    * OUTPUT is still the sorted set-bit position list, directly
+    * queryable with `array_contains` — contract unchanged. The
     * standard shuffle-free semi-join prune at 100 TB: aggregate the
     * small side's keys into one Bloom row, broadcast it, and filter
     * the big side map-side with [[bloomPositions]] membership before
     * any join. Nulls are skipped (SQL distinct semantics, like KMV).
     */
   final case class BloomAgg(m: Int, k: Int)
-      extends Aggregator[String, Seq[Int], Seq[Int]] {
+      extends Aggregator[String, Array[Long], Seq[Int]] {
     require(m > 0 && k > 0)
-    override def zero: Seq[Int] = Vector.empty
-    override def reduce(buf: Seq[Int], item: String): Seq[Int] =
-      if (item == null) buf
-      else (buf ++ bloomPositions(item, m, k)).distinct
-    override def merge(a: Seq[Int], b: Seq[Int]): Seq[Int] =
-      (a ++ b).distinct
-    override def finish(buf: Seq[Int]): Seq[Int] = buf.sorted
-    override def bufferEncoder: Encoder[Seq[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+    override def zero: Array[Long] = new Array[Long]((m + 63) >>> 6)
+    override def reduce(buf: Array[Long], item: String): Array[Long] = {
+      if (item != null) {
+        var i = 0
+        while (i < k) {
+          val pos = (hash48(s"$i:$item") % m).toInt // same bits as bloomPositions
+          buf(pos >>> 6) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Int] = {
+      val out = Vector.newBuilder[Int]
+      var w = 0
+      while (w < buf.length) {
+        var bits = buf(w)
+        while (bits != 0L) {
+          out += (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      out.result()
+    }
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Int]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
   }

@@ -351,6 +351,23 @@ class SketchSpec extends AnyFunSuite {
       .agg(Sketch.bloomBits(col("u"), 4096, 3)).as[Seq[Int]].head()
     assert(withNull === a)
   }
+
+  test("Bloom bits: 200k keys at m=1<<20 aggregate in seconds (bitset buffer)") {
+    // The r6 Seq-buffer encoding was O(rows x set-bits) — ~10^12 ops at
+    // this size; the fixed Array[Long] bitset makes it O(rows·k + m).
+    val n = 200000
+    val t0 = System.nanoTime()
+    val bits = spark.range(n).selectExpr("concat('key', id) as u")
+      .repartition(8)
+      .agg(Sketch.bloomBits(col("u"), 1 << 20, 3)).as[Seq[Int]].head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"bloom agg of $n keys took ${sec}s")
+    assert(bits.nonEmpty && bits === bits.sorted && bits.distinct === bits)
+    // spot-check zero false negatives on a sample
+    assert((0 until 1000).forall(i =>
+      Sketch.bloomPositions(s"key$i", 1 << 20, 3).forall(p =>
+        java.util.Arrays.binarySearch(bits.toArray, p) >= 0)))
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
