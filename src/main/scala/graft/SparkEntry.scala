@@ -337,14 +337,23 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_name").as("name")), "name", 0.5)
 
   /** Entity co-occurrence edges: part names sharing an order
-    * (relationship_extractor.py:147-218 rule tier). */
+    * (relationship_extractor.py:147-218 rule tier), routed through the
+    * CAPPED path — each document pairs only its `coocCap`
+    * most-mentioned entities, bounding per-doc fan-out at cap²/2 (the
+    * 100 TB guard: one 10k-entity doc would otherwise emit 50M pairs).
+    * The uncapped [[Entities.cooccurrence]] stays spec-covered only. */
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val part = t(s, dir, "part")
     val mentions = li.join(part, li("l_partkey") === part("p_partkey"))
       .select(col("l_orderkey").as("doc"), col("p_name").as("entity"))
-    Entities.cooccurrence(mentions, "doc", "entity")
+    Entities.cooccurrenceCapped(mentions, "doc", "entity", coocCap)
   }
+
+  /** Per-document entity cap for the q30 co-occurrence gate — TPC-H
+    * orders carry up to 7 lineitems, so 5 genuinely truncates some
+    * documents (the oracle mirrors the same top-5-by-tf rule). */
+  private val coocCap = 5
 
   /** 2-hop graph traversal over the co-occurrence graph
     * (neo4j_service.py:429-489 shape): per-entity 1-hop and 2-hop
@@ -522,11 +531,14 @@ object SparkEntry {
   }
 
   /** Semantic chunking: stub-embedded pseudo-sentences, boundary at
-    * cosine drop (semantic_chunker.py:61-264). */
+    * cosine drop, then the merge-short-chunks pass — sub-15-token
+    * chunks merge into their next neighbor when mean cross-chunk
+    * cosine >= 0.8·threshold (semantic_chunker.py:61-264). */
   private def q44(s: SparkSession, dir: String): DataFrame =
     operators.SemanticChunker.chunks(
       t(s, dir, "documents"), "doc_id", "text",
-      sentTokens = 10, () => operators.StubEmbedder(4), threshold = 0.85)
+      sentTokens = 10, () => operators.StubEmbedder(4), threshold = 0.85,
+      minChunkSize = 15)
 
   /** Multi-collection fan-out: one query over three labeled
     * collections (search_service.py:207-237). */
@@ -1889,15 +1901,25 @@ object SparkEntry {
   private def levRatioSql(a: String, b: String): String =
     s"(1.0 - CAST(levenshtein($a, $b) AS DOUBLE) / CAST(greatest(len($a), len($b)) AS DOUBLE))"
 
-  /** Shared co-occurrence CTE body (q30/q31/q32). */
+  /** DuckDB twin of the CAPPED per-doc mention selection feeding the
+    * co-occurrence pairs: top-`coocCap` entities per doc by mention
+    * count (ties: lexicographic — cooccurrenceCapped's window). */
+  private val coocTopSql =
+    s"""SELECT doc, entity FROM (
+       |  SELECT l_orderkey AS doc, p_name AS entity,
+       |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+       |           ORDER BY COUNT(*) DESC, p_name) AS rn
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY l_orderkey, p_name) WHERE rn <= $coocCap""".stripMargin
+
+  /** Shared co-occurrence CTE body (q30/q31/q32) — capped, mirroring
+    * Entities.cooccurrenceCapped. */
   private val coocSql =
-    """SELECT a.entity AS entity_a, b.entity AS entity_b, COUNT(*) AS n_docs
-      |FROM (SELECT DISTINCT l_orderkey AS doc, p_name AS entity
-      |      FROM lineitem JOIN part ON l_partkey = p_partkey) a
-      |JOIN (SELECT DISTINCT l_orderkey AS doc, p_name AS entity
-      |      FROM lineitem JOIN part ON l_partkey = p_partkey) b
-      |  ON a.doc = b.doc AND a.entity < b.entity
-      |GROUP BY a.entity, b.entity""".stripMargin
+    s"""SELECT a.entity AS entity_a, b.entity AS entity_b, COUNT(*) AS n_docs
+       |FROM ($coocTopSql) a
+       |JOIN ($coocTopSql) b
+       |  ON a.doc = b.doc AND a.entity < b.entity
+       |GROUP BY a.entity, b.entity""".stripMargin
 
   private def entityOracles: Map[String, String] = Map(
     "q64_state_machine" -> {
@@ -1978,13 +2000,16 @@ object SparkEntry {
          |FROM part GROUP BY 1, 2""".stripMargin,
     "q73_fuzzy_tiers" ->
       s"""WITH n0 AS (SELECT DISTINCT ${normMatchSql("p_name")} AS name FROM part),
-         |n AS (SELECT name, ${expandAbbrSql("name")} AS exp
+         |n1 AS (SELECT name, ${expandAbbrSql("name")} AS exp
          |      FROM n0 WHERE len(name) > 0),
-         |p AS (SELECT a.name AS name_a, b.name AS name_b,
+         |n AS (SELECT name, exp,
+         |      unnest(list_distinct([substr(name, 1, 2), substr(exp, 1, 2)])) AS blk
+         |      FROM n1),
+         |p AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
          |      a.exp AS exp_a, b.exp AS exp_b,
          |      string_split(a.name, ' ') AS wa, string_split(b.name, ' ') AS wb
          |      FROM n a JOIN n b
-         |        ON substr(a.name, 1, 2) = substr(b.name, 1, 2) AND a.name < b.name),
+         |        ON a.blk = b.blk AND a.name < b.name),
          |s AS (SELECT name_a, name_b,
          |  CASE WHEN name_a = name_b THEN CAST(1.0 AS DOUBLE)
          |       WHEN ${pluralEqSql("name_a", "name_b", "wa", "wb")} THEN CAST(0.98 AS DOUBLE)
@@ -2276,6 +2301,11 @@ object SparkEntry {
       "sqrt(" + (0 until 4).map(k => s"${v}$k * ${v}$k").mkString("0.0 + ", " + ", "") + ")"
     val embCols = (0 until 4).map(k => s"${stubEmbSqlFor("stext", k)} AS c$k").mkString(",\n")
     val lagCols = (0 until 4).map(k => s"lag(c$k) OVER w AS p$k").mkString(", ")
+    // table-qualified twins of dot/norm for the adjacent-chunk
+    // cross join in the merge pass
+    def normAB(t: String) =
+      "sqrt(" + (0 until 4).map(k => s"$t.c$k * $t.c$k").mkString("0.0 + ", " + ", "") + ")"
+    val dotXY = (0 until 4).map(k => s"x.c$k * y.c$k").mkString("0.0 + ", " + ", "")
     Map(
       "q44_semantic_chunks" ->
         s"""WITH d AS (SELECT doc_id, $allToksSql AS toks FROM documents),
@@ -2289,20 +2319,54 @@ object SparkEntry {
            |FROM sn),
            |l AS (SELECT doc_id, sent_index, stext, c0, c1, c2, c3, $lagCols
            |      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY sent_index)),
-           |b AS (SELECT doc_id, sent_index, stext,
+           |b AS (SELECT doc_id, sent_index, stext, c0, c1, c2, c3,
            |  CASE WHEN p0 IS NULL THEN 1
            |       WHEN (CASE WHEN ${norm("p")} > 0 AND ${norm("c")} > 0
            |             THEN (${dot("p", "c")}) / (${norm("p")} * ${norm("c")})
            |             ELSE 0.0 END) < 0.85 THEN 1 ELSE 0 END AS boundary
            |  FROM l),
-           |r AS (SELECT doc_id, sent_index, stext,
+           |r AS (SELECT doc_id, sent_index, stext, c0, c1, c2, c3,
            |  SUM(boundary) OVER (PARTITION BY doc_id ORDER BY sent_index
            |                      ROWS UNBOUNDED PRECEDING) AS chunk_index
-           |  FROM b)
-           |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
-           |string_agg(stext, ' ' ORDER BY sent_index) AS chunk_text,
-           |COUNT(*) AS n_sentences
-           |FROM r GROUP BY doc_id, chunk_index""".stripMargin,
+           |  FROM b),
+           |ck AS (SELECT doc_id, chunk_index,
+           |  string_agg(stext, ' ' ORDER BY sent_index) AS ctext,
+           |  COUNT(*) AS n_sent,
+           |  SUM(len(list_filter(string_split(stext, ' '), x -> x <> ''))) AS tokens
+           |  FROM r GROUP BY doc_id, chunk_index),
+           |-- mean pairwise cosine between adjacent chunks' sentences
+           |-- (semantic_chunker.py:128-130 similarity-matrix block mean)
+           |xs AS (SELECT x.doc_id, x.chunk_index,
+           |  AVG(CASE WHEN ${normAB("x")} > 0 AND ${normAB("y")} > 0
+           |      THEN ($dotXY) / (${normAB("x")} * ${normAB("y")})
+           |      ELSE 0.0 END) AS nxt_sim
+           |  FROM r x JOIN r y
+           |    ON x.doc_id = y.doc_id AND y.chunk_index = x.chunk_index + 1
+           |  GROUP BY x.doc_id, x.chunk_index),
+           |-- merge_short_chunks (semantic_chunker.py:105-141): a chunk
+           |-- under 15 tokens merges into its next neighbor when
+           |-- nxt_sim >= 0.8*0.85; the sequential scan = merges at even
+           |-- offsets within each run of consecutive eligible chunks
+           |el AS (SELECT ck.doc_id, ck.chunk_index, ck.ctext, ck.n_sent,
+           |  CASE WHEN xs.nxt_sim IS NOT NULL AND ck.tokens < 15
+           |            AND xs.nxt_sim >= 0.85 * 0.8 THEN 1 ELSE 0 END AS elig
+           |  FROM ck LEFT JOIN xs USING (doc_id, chunk_index)),
+           |sg AS (SELECT *, SUM(1 - elig) OVER (PARTITION BY doc_id
+           |  ORDER BY chunk_index ROWS UNBOUNDED PRECEDING) AS seg FROM el),
+           |mg AS (SELECT *, CASE WHEN elig = 1 AND (chunk_index -
+           |    MIN(CASE WHEN elig = 1 THEN chunk_index END)
+           |      OVER (PARTITION BY doc_id, seg)) % 2 = 0
+           |  THEN 1 ELSE 0 END AS merge_at FROM sg),
+           |cs AS (SELECT *, COALESCE(LAG(merge_at)
+           |  OVER (PARTITION BY doc_id ORDER BY chunk_index), 0) AS consumed FROM mg),
+           |f AS (SELECT doc_id, chunk_index - consumed AS grp,
+           |  string_agg(ctext, ' ' ORDER BY chunk_index) AS chunk_text,
+           |  SUM(n_sent) AS n_sentences
+           |  FROM cs GROUP BY doc_id, chunk_index - consumed)
+           |SELECT doc_id,
+           |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY grp) AS BIGINT) AS chunk_index,
+           |chunk_text, CAST(n_sentences AS BIGINT) AS n_sentences
+           |FROM f""".stripMargin,
       "q45_fanout" ->
         """SELECT source, COUNT(*) AS n_hits, MIN(id) AS min_id, MAX(id) AS max_id FROM (
           |SELECT 'documents' AS source, doc_id AS id FROM documents

@@ -339,19 +339,35 @@ object Entities {
   }
 
   /** Fuzzy candidate pairs under the full reference tier stack:
-    * prefix blocking (first 2 chars of the match-normalized name),
-    * expansion precomputed once per distinct name, tiered score
-    * filtered to >= minSim. Output (name_a, name_b, sim). */
+    * two-key prefix blocking, expansion precomputed once per distinct
+    * name, tiered score filtered to >= minSim. Output
+    * (name_a, name_b, sim).
+    *
+    * Blocking uses the UNION of the first-2-char prefixes of the
+    * match-normalized name AND of its abbreviation expansion: the
+    * 0.95 abbreviation tier fires on expanded(a) == expanded(b), and
+    * an abbreviation rarely shares a name prefix with its expansion
+    * ("ipa" blocks on "ip", "isopropyl alcohol" on "is" — name-prefix
+    * blocking alone would never generate exactly the pairs the tier
+    * exists for). The expansion prefix puts "ipa" and "isopropyl
+    * alcohol" in the same "is" block. Pairs matched by both keys are
+    * deduped before scoring. The reference compares within candidate
+    * groups without blocking (entity_deduplication.py:274-369);
+    * blocking is our scale substitution and must not cost the tier.
+    */
   def fuzzyPairsTiered(names: DataFrame, nameCol: String,
       minSim: Double): DataFrame = {
     val n = names.select(normalizeForMatch(col(nameCol)).as("name"))
       .where(length(col("name")) > 0).distinct()
       .withColumn("exp", expandAbbreviations(col("name")))
-      .withColumn("blk", substring(col("name"), 1, 2))
+      .withColumn("blk", explode(array_distinct(array(
+        substring(col("name"), 1, 2), substring(col("exp"), 1, 2)))))
     val a = n.select(col("name").as("name_a"), col("exp").as("exp_a"), col("blk"))
     val b = n.select(col("name").as("name_b"), col("exp").as("exp_b"), col("blk"))
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("exp_a"), col("exp_b"))
+      .distinct() // a pair can match on both block keys
       .withColumn("sim", tieredSim(col("name_a"), col("name_b"),
         col("exp_a"), col("exp_b")))
       .where(col("sim") >= minSim)

@@ -65,9 +65,25 @@ class EntitiesSpec extends AnyFunSuite {
     val got = Entities.fuzzyPairsTiered(df, "name", 0.9)
       .select($"name_a", $"name_b", $"sim").as[(String, String, Double)]
       .collect().toSeq.sortBy(_._1)
-    // pcb/printed... are in different 2-char blocks, so only the plural
-    // pair survives blocking — the abbreviation tier is exercised above
-    assert(got === Seq(("pressure sensor", "pressure sensors", 0.98)))
+    // two-key blocking: "pcb" ("pc") also blocks on its expansion's
+    // prefix ("pr"), landing in the same block as "printed circuit
+    // board" — the abbreviation tier fires where name-prefix blocking
+    // alone would never have generated the pair
+    assert(got === Seq(
+      ("pcb", "printed circuit board", 0.95),
+      ("pressure sensor", "pressure sensors", 0.98)))
+  }
+
+  test("fuzzyPairsTiered pairs an abbreviation with its expansion (ipa)") {
+    // entity_deduplication.py:87-109 contract: "ipa" expands to
+    // "isopropyl alcohol"; the pair must be generated (blocks "ip" vs
+    // "is" differ — only the expansion block key finds it) and score
+    // exactly the 0.95 abbreviation tier, once (both keys dedup).
+    val df = Seq("ipa", "isopropyl alcohol", "unrelated widget").toDF("name")
+    val got = Entities.fuzzyPairsTiered(df, "name", 0.9)
+      .select($"name_a", $"name_b", $"sim").as[(String, String, Double)]
+      .collect().toSeq
+    assert(got === Seq(("ipa", "isopropyl alcohol", 0.95)))
   }
 
   test("fuzzyPairs finds variants within a block, skips distant names") {

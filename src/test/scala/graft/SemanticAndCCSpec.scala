@@ -14,6 +14,20 @@ case class TopicEmbedder() extends Embedder {
     texts.map(t => if (t.contains("zzz")) Array(0f, 1f) else Array(1f, 0f))
 }
 
+/** Embedder for merge-pass fixtures: a sentence starting with "c<k>"
+  * embeds on the unit ray at angle k·acos(0.8), so CONSECUTIVE rays
+  * have cosine exactly 0.8 — below a 0.9 boundary threshold (every
+  * sentence is its own chunk) yet above the 0.72 merge threshold. */
+case class RayEmbedder() extends Embedder {
+  val dim = 2
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      val k = t.takeWhile(_ != ' ').drop(1).toInt
+      val a = k * math.acos(0.8)
+      Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+}
+
 class SemanticChunkerSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
@@ -37,6 +51,40 @@ class SemanticChunkerSpec extends AnyFunSuite {
         sentTokens = 5, () => TopicEmbedder(), threshold = 0.5)
     assert(got.count() === 1)
     assert(got.select($"n_sentences").as[Long].head() === 4L)
+  }
+
+  test("merge pass: short chunk joins its next neighbor when similar enough") {
+    // 4 single-sentence chunks (consecutive cosine 0.8 < 0.9 boundary
+    // threshold), all under minChunkSize; every non-last chunk is
+    // merge-eligible (0.8 >= 0.9*0.8), so the sequential scan merges
+    // (1,2) then — skipping the merged result — (3,4).
+    val df = Seq((1L, "c0 w c1 w c2 w c3 w")).toDF("doc_id", "text")
+    val got = SemanticChunker.chunks(df, "doc_id", "text",
+        sentTokens = 2, () => RayEmbedder(), threshold = 0.9, minChunkSize = 5)
+      .orderBy($"chunk_index")
+      .select($"chunk_index", $"chunk_text", $"n_sentences")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq((1L, "c0 w c1 w", 2L), (2L, "c2 w c3 w", 2L)))
+  }
+
+  test("merge pass: low cross-chunk similarity blocks the merge") {
+    // topic flip gives cross-chunk cosine 0 < merge threshold: the
+    // short chunks stay separate even though they are under min size
+    val df = Seq((1L, "aa bb zzz1 zzz2")).toDF("doc_id", "text")
+    val got = SemanticChunker.chunks(df, "doc_id", "text",
+        sentTokens = 2, () => TopicEmbedder(), threshold = 0.5, minChunkSize = 5)
+      .orderBy($"chunk_index")
+      .select($"chunk_text", $"n_sentences").as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("aa bb", 1L), ("zzz1 zzz2", 1L)))
+  }
+
+  test("merge pass changes chunk counts only when enabled (low-coherence fixture)") {
+    val df = Seq((1L, "c0 w c1 w c2 w c3 w"), (2L, "c0 w c4 w c8 w")).toDF("doc_id", "text")
+    def count(minSize: Int): Long = SemanticChunker.chunks(df, "doc_id", "text",
+      sentTokens = 2, () => RayEmbedder(), threshold = 0.9, minChunkSize = minSize).count()
+    // doc 2's consecutive rays are 4 steps apart (cosine < 0.72): never merges
+    assert(count(0) === 7L)  // unmerged: 4 + 3 chunks
+    assert(count(5) === 5L)  // merged: doc 1 collapses 4 -> 2
   }
 }
 
