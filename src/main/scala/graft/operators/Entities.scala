@@ -324,7 +324,11 @@ object Entities {
     * norm/expanded combos, substring 0.85, variant 0.9).
     * (Base ratio uses normalized Levenshtein in place of Python's
     * SequenceMatcher — the one documented divergence, chosen because
-    * it is expressible in any SQL engine.) */
+    * it is expressible in any SQL engine, and MEASURED benign:
+    * SequenceMatcherParitySpec compares both bases over every pair of
+    * normalized part names — max |diff| 0.375, mean 0.101, and ZERO
+    * pairs grouping differently at the reference's 0.85 threshold,
+    * because the divergence concentrates far below it.) */
   def tieredSim(na: Column, nb: Column, ea: Column, eb: Column): Column = {
     def ratio(x: Column, y: Column): Column =
       lit(1.0) - levenshtein(x, y).cast("double") /
