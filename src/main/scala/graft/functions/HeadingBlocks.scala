@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    document's intro stays attached to its first section;
   *  - no headings at all → one (null, trimmed text) block; blank text
   *    → empty array.
+  *
+  * Line endings: input is normalized to LF first (\r\n, lone \r, NEL,
+  * LS, PS → \n — the union of Python splitlines() terminators and
+  * Java's MULTILINE `^` set), so a \r-only heading line separates from
+  * its body and CRLF bodies re-join with \n, matching the reference's
+  * splitlines()/'\n'.join round-trip. Python's \v and \f splitlines
+  * terminators are deliberately NOT treated as line breaks (neither
+  * engine's `^` matches after them; they never delimit headings).
   */
 object HeadingBlocks {
 
@@ -56,8 +64,18 @@ case class HeadingBlocksExpr(child: Expression)
     s.substring(a, b)
   }
 
+  // \r\n then the remaining single-char terminators → \n; keeps the
+  // regex split and the strip set line-ending-agnostic
+  private def normalizeNewlines(s: String): String = {
+    val noCrlf = if (s.indexOf('\r') >= 0) s.replace("\r\n", "\n") else s
+    noCrlf.map {
+      case '\r' | '\u0085' | '\u2028' | '\u2029' => '\n'
+      case c => c
+    }
+  }
+
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+    val text = normalizeNewlines(input.asInstanceOf[UTF8String].toString)
     val m = headingPattern.matcher(text)
     val starts = Iterator.continually(m)
       .takeWhile(_.find()).map(_.start()).toArray

@@ -59,6 +59,9 @@ object TargetRegistry {
   }
 
   register(ParquetConnector)
+  // statement-generation tier by default; a deployment re-registers
+  // with a Bolt-backed CypherSession factory
+  register(Neo4jConnector(() => RecordingCypherSession("neo4j-default")))
 }
 
 /** Path-addressed parquet target: the engine's default sink
@@ -170,9 +173,19 @@ final case class JdbcConnector(url: String) extends TargetConnector {
             val have = existing.fieldNames.toSet
             desired.fields.filterNot(f => have.contains(f.name)).foreach(f =>
               execute(s"ALTER TABLE $target ADD COLUMN ${f.name} ${sqlType(f.dataType)}"))
-            existing.fieldNames.filterNot(desired.fieldNames.contains).foreach(c =>
-              execute(s"ALTER TABLE $target DROP COLUMN $c"))
-            SetupDriver.SetupResult(SetupDriver.PartialCompatible, "evolved")
+            // DROP COLUMN destroys live data, so it is gated exactly
+            // like recreate; ungated setup only ADDS columns and keeps
+            // (reports) the extras — "never drops data silently"
+            val extras = existing.fieldNames.filterNot(desired.fieldNames.contains)
+            val action =
+              if (extras.isEmpty) "evolved"
+              else if (allowRecreate) {
+                extras.foreach(c => execute(s"ALTER TABLE $target DROP COLUMN $c"))
+                s"evolved (dropped columns: ${extras.mkString(", ")})"
+              } else
+                s"evolved (kept extra columns: ${extras.mkString(", ")}; " +
+                  "dropping requires allowRecreate)"
+            SetupDriver.SetupResult(SetupDriver.PartialCompatible, action)
           case SetupDriver.NotCompatible if allowRecreate =>
             execute(s"DROP TABLE $target")
             execute(createSql(target, desired))

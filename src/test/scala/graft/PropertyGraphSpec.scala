@@ -115,3 +115,92 @@ class PropertyGraphSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("properties").contains("NEW"))
   }
 }
+
+class Neo4jCypherSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import graft.sinks.{CypherStatement, Neo4jConnector, Neo4jCypher, RecordingCypherSession}
+  import graft.sinks.Neo4jCypher.{NodeMapping, RelMapping}
+
+  test("node insert/delete templates match the reference shapes") {
+    val m = NodeMapping("Document", Seq("doc_id"), Seq("title", "status"))
+    assert(m.insertCypher ===
+      """MERGE (new_node:Document {doc_id: $key_0})
+        |SET new_node.__self_contained = TRUE, new_node += $props
+        |FINISH""".stripMargin)
+    assert(m.deleteCypher ===
+      """OPTIONAL MATCH (old_node:Document {doc_id: $key_0})
+        |WITH old_node
+        |SET old_node.__self_contained = NULL
+        |WITH old_node
+        |WHERE NOT (old_node)--()
+        |DELETE old_node
+        |FINISH""".stripMargin)
+    // key-only mapping omits the props clause (neo4j.rs optional_set_props)
+    assert(NodeMapping("Tag", Seq("name")).insertCypher ===
+      """MERGE (new_node:Tag {name: $key_0})
+        |SET new_node.__self_contained = TRUE
+        |FINISH""".stripMargin)
+  }
+
+  test("relationship insert merges endpoints first; delete cleans orphans") {
+    val m = RelMapping("MENTIONS", Seq("mention_id"), Seq("confidence"),
+      "Document", Seq("doc_id"), "Entity", Seq("name", "etype"))
+    assert(m.insertCypher ===
+      """MERGE (new_src:Document {doc_id: $source_key_0})
+        |
+        |MERGE (new_tgt:Entity {name: $target_key_0, etype: $target_key_1})
+        |
+        |MERGE (new_src)-[new_rel:MENTIONS {mention_id: $key_0}]->(new_tgt)
+        |SET new_rel += $props
+        |
+        |FINISH""".stripMargin)
+    assert(m.deleteCypher.contains("DELETE old_rel"))
+    assert(m.deleteCypher.contains("WHERE NOT COALESCE(node.__self_contained, FALSE)"))
+    assert(m.deleteCypher.contains("AND COUNT{ (node)--() } = 0"))
+    assert(m.deleteCypher.contains(
+      "OPTIONAL MATCH (old_src)-[old_rel:MENTIONS {mention_id: $key_0}]->(old_tgt)"))
+  }
+
+  test("a nodes+rels mutation batch renders one params row per input row") {
+    val nodes = Seq((1L, "spec"), (2L, "guide")).toDF("doc_id", "title")
+    val rels = Seq((10L, 1L, "sensor", 0.9), (11L, 2L, "bolt", 0.7))
+      .toDF("mention_id", "doc_id", "name", "confidence")
+    val nm = NodeMapping("Document", Seq("doc_id"), Seq("title"))
+    val rm = RelMapping("MENTIONS", Seq("mention_id"), Seq("confidence"),
+      "Document", Seq("doc_id"), "Entity", Seq("name"))
+    val up = Neo4jCypher.renderNodeUpserts(nodes, nm)
+      .as[(String, String)].collect().toSeq.sortBy(_._2)
+    assert(up.size === 2)
+    assert(up.forall(_._1 === nm.insertCypher))
+    assert(up.head._2 === """{"key_0":1,"props":{"title":"spec"}}""")
+    val rup = Neo4jCypher.renderRelUpserts(rels, rm)
+      .as[(String, String)].collect().toSeq.sortBy(_._2)
+    assert(rup.forall(_._1 === rm.insertCypher))
+    assert(rup.head._2 ===
+      """{"source_key_0":1,"target_key_0":"sensor","key_0":10,"props":{"confidence":0.9}}""")
+    val del = Neo4jCypher.renderRelDeletes(rels.select($"mention_id"), rm)
+      .as[(String, String)].collect().toSeq
+    assert(del.forall(_._1 === rm.deleteCypher))
+    assert(del.map(_._2).sorted === Seq("""{"key_0":10}""", """{"key_0":11}"""))
+  }
+
+  test("Neo4jConnector drives constraint + upserts + deletes through the session") {
+    import graft.sinks.TargetRegistry
+    assert(TargetRegistry.registered.contains("neo4j"))
+    val logId = "neo4j-spec-" + System.nanoTime()
+    val c = Neo4jConnector(() => RecordingCypherSession(logId))
+    val rows = Seq((1L, "keep"), (2L, "gone")).toDF("doc_id", "title")
+    val dels = Seq(Tuple1(2L)).toDF("doc_id")
+    c.applyMutation(spark, "Document", rows, Seq("doc_id"), Some(dels))
+    val got = RecordingCypherSession.statements(logId)
+    assert(got.head === CypherStatement(
+      "CREATE CONSTRAINT IF NOT EXISTS FOR (e:Document) REQUIRE (e.doc_id) IS UNIQUE", "{}"))
+    val nm = NodeMapping("Document", Seq("doc_id"), Seq("title"))
+    // delete wins over the same-batch upsert for doc 2
+    assert(got.collect { case CypherStatement(c2, p) if c2 == nm.insertCypher => p }
+      === Seq("""{"key_0":1,"props":{"title":"keep"}}"""))
+    assert(got.collect { case CypherStatement(c2, p) if c2 == nm.deleteCypher => p }
+      === Seq("""{"key_0":2}"""))
+  }
+}
