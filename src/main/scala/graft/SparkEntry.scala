@@ -1159,6 +1159,42 @@ object SparkEntry {
         coalesce(col("n_changed"), lit(0L)).as("n_changed"))
   }
 
+  /** S3 event-queue change stream in the gate (§2.2,
+    * amazon_s3.rs:180-300): synthesize S3 event-notification JSON
+    * bodies from the corpus (round-robin event names, a wrong-bucket
+    * slice, a wrong-prefix slice), run them through the REAL
+    * notification parse + filter chain (from_json → explode → bucket/
+    * prefix/event gates → url_decode), and census the surviving events.
+    * The oracle recomputes the census directly from the synthesis
+    * arithmetic, so any parse/filter drift fails the hash. (The queue
+    * ack protocol and the re-fetch sync are S3EventQueueSpec fixture
+    * territory.) */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import sources.S3EventQueue
+    val docs = t(s, dir, "documents")
+    val events = array(lit("ObjectCreated:Put"), lit("ObjectRemoved:Delete"),
+      lit("ObjectCreated:Copy"), lit("ObjectAccessed:Get"))
+    val src = docs.select(
+      col("doc_id"),
+      element_at(events, (col("doc_id") % 4 + 1).cast("int")).as("event"),
+      when(col("doc_id") % 5 === 0, lit("other-bucket"))
+        .otherwise(lit("corpus")).as("bucket"),
+      concat(
+        when(col("doc_id") % 7 === 2, lit("tmp/")).otherwise(lit("inbox/")),
+        lit("doc"), col("doc_id"), lit(".txt")).as("key"))
+    val bodies = src.select(to_json(struct(array(struct(
+      col("event").as("eventName"),
+      struct(
+        struct(col("bucket").as("name")).as("bucket"),
+        struct(col("key").as("key")).as("object")).as("s3"))).as("Records")))
+      .as("body"))
+    S3EventQueue.parseNotifications(bodies, "body", "corpus", Some("inbox/"))
+      .groupBy(col("event_name"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("key")).as("n_keys"),
+        min(col("key")).as("first_key"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1324,7 +1360,8 @@ object SparkEntry {
     "q77_heading_blocks" -> q77 _,
     "q78_audio_segments" -> q78 _,
     "q79_dedup_merge" -> q79 _,
-    "q80_bloom_prefilter" -> q80 _)
+    "q80_bloom_prefilter" -> q80 _,
+    "q81_s3_events" -> q81 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1469,6 +1506,23 @@ object SparkEntry {
         |       (CASE WHEN tx = '' THEN '' ELSE chr(10) || chr(10) || tx END))
         |END AS digest
         |FROM t""".stripMargin,
+    "q81_s3_events" ->
+      // the oracle recomputes the census from the synthesis arithmetic
+      // (no JSON round-trip): Spark must parse + filter the generated
+      // notifications back to exactly this truth
+      """WITH src AS (SELECT doc_id,
+        |  ['ObjectCreated:Put','ObjectRemoved:Delete','ObjectCreated:Copy',
+        |   'ObjectAccessed:Get'][CAST(doc_id % 4 + 1 AS INT)] AS event_name,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'other-bucket' ELSE 'corpus' END AS bucket,
+        |  (CASE WHEN doc_id % 7 = 2 THEN 'tmp/' ELSE 'inbox/' END)
+        |    || 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS key
+        |  FROM documents)
+        |SELECT event_name, COUNT(*) AS n_events,
+        |CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys, MIN(key) AS first_key
+        |FROM src
+        |WHERE (event_name LIKE 'ObjectCreated:%' OR event_name LIKE 'ObjectRemoved:%')
+        |  AND bucket = 'corpus' AND key LIKE 'inbox/%'
+        |GROUP BY event_name""".stripMargin,
     "q74_gdrive_listing" -> {
       // export routing generated from GoogleDrive.exportMimeTypes so
       // the sides cannot drift

@@ -122,15 +122,32 @@ object Incremental {
     sync(spark, batch, process, logicFp, connector, target, trackingPath,
       fullSnapshot = false)
 
+  /** Change-stream variant WITH explicit removals — the event-queue
+    * consumption path (amazon_s3.rs ObjectRemoved events): the batch
+    * carries upserts exactly like [[applyChangesTo]], while
+    * `deletedKeys` (a `source_key` frame) are synced as deletions, so
+    * their previously exported target keys are cleaned exactly. */
+  def applyChangeStreamTo(spark: SparkSession, batch: DataFrame,
+      deletedKeys: DataFrame, process: DataFrame => DataFrame,
+      logicFp: String, connector: graft.sinks.TargetConnector,
+      target: String, trackingPath: String): Long =
+    sync(spark, batch, process, logicFp, connector, target, trackingPath,
+      fullSnapshot = false, deletedSourceKeys = Some(deletedKeys))
+
   private def sync(spark: SparkSession, source: DataFrame,
       process: DataFrame => DataFrame, logicFp: String,
       connector: graft.sinks.TargetConnector, target: String,
-      trackingPath: String, fullSnapshot: Boolean): Long = {
+      trackingPath: String, fullSnapshot: Boolean,
+      deletedSourceKeys: Option[DataFrame] = None): Long = {
     val tracking = readTracking(spark, trackingPath)
     val delta0 = diff(source, tracking, logicFp)
     val delta =
       if (fullSnapshot) delta0
-      else delta0.copy(toDelete = emptyTracking(spark))
+      else delta0.copy(toDelete = deletedSourceKeys match {
+        case Some(keys) =>
+          tracking.join(keys.select(col("source_key")), Seq("source_key"), "left_semi")
+        case None => emptyTracking(spark)
+      })
 
     val evaluated = delta.toEvaluate.cache()
     val nEvaluated = evaluated.count()

@@ -69,3 +69,106 @@ class HeadingBlocksCrlfSpec extends AnyFunSuite {
     assert(want.forall { case (h, b) => !h.contains('\r') && !b.contains('\r') })
   }
 }
+
+/** In-memory SQS twin: receive is non-destructive (at-least-once);
+  * only delete removes a message. */
+final class FixtureSqsQueue extends graft.sources.SqsQueueClient {
+  private val q = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  def enqueue(body: String): Unit = {
+    val r = s"r${n.incrementAndGet()}"
+    q.put(r, body); order.add(r)
+  }
+  override def receive(maxMessages: Int): Seq[graft.sources.SqsMessage] = {
+    import scala.jdk.CollectionConverters._
+    order.asScala.filter(q.containsKey).take(maxMessages)
+      .map(r => graft.sources.SqsMessage(r, q.get(r))).toSeq
+  }
+  override def delete(receiptHandle: String): Unit = q.remove(receiptHandle)
+  def size: Int = q.size
+}
+
+/** In-memory object store keyed through a static map so executor
+  * threads in local mode see test mutations. */
+object FixtureS3Store {
+  val objects = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+}
+final case class FixtureS3Store() extends graft.sources.S3ObjectStore {
+  override def get(key: String): Option[(Long, String)] =
+    Option(FixtureS3Store.objects.get(key))
+}
+
+class S3EventQueueSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.sources.S3EventQueue
+
+  private def body(events: (String, String, String)*): String =
+    """{"Records":[""" + events.map { case (name, bucket, key) =>
+      s"""{"eventName":"$name","s3":{"bucket":{"name":"$bucket"},"object":{"key":"$key"}}}"""
+    }.mkString(",") + "]}"
+
+  test("poll filters bucket/prefix/event, decodes form-encoded keys, acks per relevance") {
+    val q = new FixtureSqsQueue
+    q.enqueue(body(("ObjectCreated:Put", "corpus", "inbox/a+b%2Bc.txt"),
+      ("ObjectRemoved:Delete", "corpus", "inbox/old.txt"),
+      ("ObjectCreated:Put", "elsewhere", "inbox/skip-bucket.txt"),
+      ("ObjectCreated:Put", "corpus", "tmp/skip-prefix.txt"),
+      ("ObjectAccessed:Get", "corpus", "inbox/skip-event.txt")))
+    q.enqueue(body(("ObjectAccessed:Get", "corpus", "inbox/only-irrelevant.txt")))
+    q.enqueue("""{"Event":"s3:TestEvent"}""") // no Records at all
+    val batches = S3EventQueue.poll(spark, q, "corpus", Some("inbox/"))
+    // messages 2 and 3 had nothing relevant: acked immediately
+    assert(q.size === 1)
+    assert(batches.size === 1)
+    // + and %2B decode per form-url rules; filtered keys never surface
+    assert(batches.head.changes === Seq("inbox/a b+c.txt", "inbox/old.txt"))
+    batches.head.ack()
+    assert(q.size === 0)
+  }
+
+  test("consume reprocesses exactly the queued keys; removals clean target keys") {
+    import graft.incremental.Incremental
+    import graft.sinks.ParquetConnector
+    val tmp = java.nio.file.Files.createTempDirectory("sqs").toString
+    val (sink, track) = (s"$tmp/out", s"$tmp/tracking")
+    def process(delta: DataFrame): DataFrame =
+      delta.select(col("source_key"),
+        concat_ws("#", col("source_key"), lit("t")).as("target_key"),
+        upper(col("content")).as("content"))
+
+    // seed the store + initial full sync of 4 keys
+    FixtureS3Store.objects.clear()
+    Seq("inbox/a" -> "alpha", "inbox/b" -> "bravo",
+      "inbox/c" -> "charlie", "inbox/d" -> "delta")
+      .foreach { case (k, v) => FixtureS3Store.objects.put(k, (100L, v)) }
+    val s0 = S3EventQueue.refetch(spark,
+      Seq("inbox/a", "inbox/b", "inbox/c", "inbox/d"), () => FixtureS3Store())
+    Incremental.syncSource(spark, s0, process, "v1", sink, track)
+    assert(spark.read.parquet(sink).count() === 4)
+
+    // a edited, b removed, c touched with UNCHANGED content, d silent
+    FixtureS3Store.objects.put("inbox/a", (200L, "alpha2"))
+    FixtureS3Store.objects.remove("inbox/b")
+    FixtureS3Store.objects.put("inbox/c", (200L, "charlie"))
+    val q = new FixtureSqsQueue
+    q.enqueue(body(("ObjectCreated:Put", "corpus", "inbox/a"),
+      ("ObjectRemoved:Delete", "corpus", "inbox/b"),
+      ("ObjectCreated:Put", "corpus", "inbox/c")))
+    val n = S3EventQueue.consume(spark, q, "corpus", Some("inbox/"),
+      () => FixtureS3Store(), process, "v1", ParquetConnector, sink, track)
+    assert(n === 1) // only a re-evaluated: c skipped by content hash, d untouched
+    assert(q.size === 0) // acked after processing
+    val out = spark.read.parquet(sink)
+      .select($"target_key", $"content").as[(String, String)].collect().toMap
+    assert(out === Map("inbox/a#t" -> "ALPHA2", "inbox/c#t" -> "CHARLIE",
+      "inbox/d#t" -> "DELTA")) // b's target key removed
+    val tracking = spark.read.parquet(track)
+    assert(tracking.where($"source_key" === "inbox/b").count() === 0)
+    assert(tracking.where($"source_key" === "inbox/c")
+      .select($"ordinal").as[Long].head() === 200L) // touch bumped ordinal
+  }
+}
