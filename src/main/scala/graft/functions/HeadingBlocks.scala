@@ -67,8 +67,19 @@ case class HeadingBlocksExpr(child: Expression)
   // \r\n then the remaining single-char terminators → \n; keeps the
   // regex split and the strip set line-ending-agnostic
   private def normalizeNewlines(s: String): String = {
-    val noCrlf = if (s.indexOf('\r') >= 0) s.replace("\r\n", "\n") else s
-    noCrlf.map {
+    def needsWork(str: String): Boolean = {
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029') return true
+        i += 1
+      }
+      false
+    }
+    // LF-only text (the overwhelming case) returns the SAME instance —
+    // no per-document copy on the hot path
+    if (!needsWork(s)) s
+    else s.replace("\r\n", "\n").map {
       case '\r' | '\u0085' | '\u2028' | '\u2029' => '\n'
       case c => c
     }

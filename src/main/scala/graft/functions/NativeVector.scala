@@ -37,6 +37,11 @@ object NativeVector {
     GraftColumnBridge.column(HyperplaneSigExpr(
       GraftColumnBridge.expression(vec), dim, nBits))
 
+  def argmaxCosineOf(vec: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(ArgmaxCosineExpr(
+      GraftColumnBridge.expression(vec),
+      cents.map(_.toIndexedSeq).toIndexedSeq))
+
   private[functions] def elemReader(dt: DataType): (ArrayData, Int) => Double =
     dt.asInstanceOf[ArrayType].elementType match {
       case FloatType => (arr, i) => arr.getFloat(i).toDouble
@@ -275,4 +280,61 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, nBits: Int)
     }
     org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
   }
+}
+
+/** Index of the max-cosine centroid for a vector — the k-means / IVF
+  * assignment step as one native pass over the embedded centroid
+  * table, replacing a boxed per-row UDF (Seq[Float] conversion per
+  * vector per iteration). Centroids ship inside the serialized
+  * expression, the plan-literal equivalent of broadcasting the
+  * driver-held array. Arithmetic is kept IDENTICAL to the UDF it
+  * replaces (per-centroid single pass over min(len) elements, score
+  * −2.0 on a zero norm, strict `>` keeps the first best) so
+  * assignments are bit-for-bit unchanged; the UDF twin lives in the
+  * test suite as the parity oracle.
+  *
+  * Centroids are a Seq-of-Seq so the case class keeps STRUCTURAL
+  * equals/hashCode — Catalyst's semantic-equality machinery (common
+  * subexpression elimination, exchange reuse) compares expressions by
+  * value, and an Array field would compare by reference and render
+  * unreadably in explain output; the hot loop reads a flat Array
+  * prebuilt once per instance.
+  */
+case class ArgmaxCosineExpr(child: Expression, cents: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): ArgmaxCosineExpr =
+    copy(child = newChild)
+
+  @transient private lazy val getX = NativeVector.elemReader(child.dataType)
+  @transient private lazy val centArrays: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cs = centArrays
+    var best = 0
+    var bestScore = Double.MinValue
+    var c = 0
+    while (c < cs.length) {
+      val cent = cs(c)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(cent.length, arr.numElements())
+      var i = 0
+      while (i < n) {
+        val x = getX(arr, i)
+        d += x * cent(i); na += x * x; nb += cent(i) * cent(i)
+        i += 1
+      }
+      val score = if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def prettyName: String = "graft_argmax_cosine"
 }

@@ -125,14 +125,17 @@ object SimilaritySearch {
   /** IVF index built by spherical Lloyd k-means (the real IVF training
     * step, vs. q48's label-partition shortcut): deterministic seeding
     * (the k lowest-id vectors), fixed iteration count, assignment by
-    * max cosine. Centroids are k×dim — driver-held and broadcast each
-    * iteration, exactly how MLlib's KMeans distributes; the corpus
-    * never leaves its partitions. Returns (assigned corpus with a
-    * `cluster` column, centroid array indexed by cluster id).
+    * max cosine. Centroids are k×dim — driver-held and shipped inside
+    * the native argmax-cosine expression each iteration (the
+    * plan-literal form of MLlib's broadcast-centroids pattern); the
+    * corpus never leaves its partitions, and the assignment pass stays
+    * unboxed (NativeVector.ArgmaxCosineExpr — no per-row Seq[Float]
+    * conversion; the old UDF formulation survives test-side as the
+    * parity twin). Returns (assigned corpus with a `cluster` column,
+    * centroid array indexed by cluster id).
     */
   def kmeansIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
-    val spark = df.sparkSession
     val base = df.select(col(idCol), col(vecCol))
     var cents: Array[Array[Double]] = base.orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
@@ -143,26 +146,8 @@ object SimilaritySearch {
     // probes by the final centroids — a mismatch silently costs recall)
     for (it <- 0 to iters) {
       val lastPass = it == iters
-      val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf { (v: Seq[Float]) =>
-        var best = 0; var bestScore = Double.MinValue
-        var c = 0
-        while (c < bc.value.length) {
-          val cent = bc.value(c)
-          var d = 0.0; var na = 0.0; var nb = 0.0
-          var i = 0
-          while (i < cent.length && i < v.length) {
-            val x = v(i).toDouble
-            d += x * cent(i); na += x * x; nb += cent(i) * cent(i)
-            i += 1
-          }
-          val score = if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else -2.0
-          if (score > bestScore) { bestScore = score; best = c }
-          c += 1
-        }
-        best
-      }
-      assigned = base.withColumn("cluster", assign(col(vecCol)))
+      assigned = base.withColumn("cluster",
+        graft.functions.NativeVector.argmaxCosineOf(col(vecCol), cents))
       if (!lastPass) {
         val means = assigned
           .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))

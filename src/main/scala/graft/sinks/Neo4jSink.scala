@@ -163,21 +163,50 @@ trait CypherSession extends Serializable {
 }
 
 /** Deterministic recording session: statements land in a named
-  * in-process log (test- and local-mode visible). */
+  * in-process BOUNDED log (test- and local-mode visible; oldest
+  * entries drop past `maxStatements`, with the drop count kept, so a
+  * long-lived process can never grow the log unboundedly). SINGLE-JVM
+  * ONLY by design: on a real cluster the per-partition sessions run in
+  * executor JVMs where a static log is invisible to the driver — a
+  * deployment must register a Bolt-backed [[CypherSession]] instead.
+  */
 final case class RecordingCypherSession(logId: String) extends CypherSession {
   override def run(st: CypherStatement): Unit =
-    RecordingCypherSession.log(logId).add(st)
+    RecordingCypherSession.append(logId, st)
 }
 
 object RecordingCypherSession {
-  private val logs = new ConcurrentHashMap[String, ConcurrentLinkedQueue[CypherStatement]]()
-  def log(id: String): ConcurrentLinkedQueue[CypherStatement] =
-    logs.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[CypherStatement]())
+  /** Bound on retained statements per log (drop-oldest past it). */
+  val maxStatements = 10000
+
+  private final class BoundedLog {
+    val q = new ConcurrentLinkedQueue[CypherStatement]()
+    val size = new java.util.concurrent.atomic.AtomicInteger(0)
+    val droppedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+  private val logs = new ConcurrentHashMap[String, BoundedLog]()
+  private def log(id: String): BoundedLog =
+    logs.computeIfAbsent(id, _ => new BoundedLog)
+
+  private[sinks] def append(id: String, st: CypherStatement): Unit = {
+    val l = log(id)
+    l.q.add(st)
+    if (l.size.incrementAndGet() > maxStatements && l.q.poll() != null) {
+      l.size.decrementAndGet()
+      l.droppedCount.incrementAndGet()
+    }
+  }
+
   def statements(id: String): Seq[CypherStatement] = {
     import scala.jdk.CollectionConverters._
-    log(id).asScala.toSeq
+    log(id).q.asScala.toSeq
   }
-  def clear(id: String): Unit = log(id).clear()
+  /** Statements evicted by the bound since the last clear. */
+  def dropped(id: String): Long = log(id).droppedCount.get()
+  def clear(id: String): Unit = {
+    val l = log(id)
+    l.q.clear(); l.size.set(0); l.droppedCount.set(0L)
+  }
 }
 
 /** Neo4j [[TargetConnector]]: `target` addresses a node label;

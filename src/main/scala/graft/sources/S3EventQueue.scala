@@ -80,16 +80,32 @@ object S3EventQueue {
 
   /** One queue poll (amazon_s3.rs:236-300): receive up to
     * `maxMessages`, parse + filter, group relevant keys per message.
-    * Messages with nothing relevant are deleted on the spot; the rest
-    * carry their ack for the caller to invoke after processing. */
+    * Messages that parse to nothing relevant (wrong bucket/prefix,
+    * non-change events, the s3:TestEvent setup ping) are deleted on
+    * the spot; messages whose body is NOT valid notification JSON are
+    * left on the queue for redelivery — the reference surfaces a parse
+    * failure as a stream error without acking, and deleting would
+    * silently drop the underlying change forever. The rest carry their
+    * ack for the caller to invoke after processing. */
   def poll(spark: SparkSession, client: SqsQueueClient, bucketName: String,
       prefix: Option[String], maxMessages: Int = 10): Seq[ChangeBatch] = {
     import spark.implicits._
     val msgs = client.receive(maxMessages)
     if (msgs.isEmpty) return Seq.empty
-    val parsed = parseNotifications(
-      msgs.map(m => (m.receiptHandle, m.body)).toDF("receipt", "body"),
-      "body", bucketName, prefix)
+    val bodies = msgs.map(m => (m.receiptHandle, m.body)).toDF("receipt", "body")
+    // malformed = the body is not parseable JSON at all (valid JSON
+    // with no Records field still parses → benign). PERMISSIVE
+    // from_json yields a struct of nulls either way, so detection
+    // goes through the corrupt-record column.
+    val corruptSchema = StructType(Seq(
+      StructField("Records", recordsSchema),
+      StructField("_corrupt_record", StringType)))
+    val malformed = bodies
+      .where(from_json(col("body"), corruptSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .getField("_corrupt_record").isNotNull)
+      .select(col("receipt")).as[String].collect().toSet
+    val parsed = parseNotifications(bodies, "body", bucketName, prefix)
       .select(col("receipt"), col("key"))
       .as[(String, String)].collect()
     val byReceipt = parsed.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).toSeq }
@@ -97,6 +113,8 @@ object S3EventQueue {
       byReceipt.get(m.receiptHandle) match {
         case Some(keys) =>
           Some(ChangeBatch(keys, () => client.delete(m.receiptHandle)))
+        case None if malformed.contains(m.receiptHandle) =>
+          None // leave unacked: visibility timeout redelivers
         case None =>
           client.delete(m.receiptHandle) // nothing relevant: ack now
           None

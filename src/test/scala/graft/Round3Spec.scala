@@ -477,6 +477,39 @@ class KmeansIvfSpec extends AnyFunSuite {
     val (assigned2, cents2) = SimilaritySearch.kmeansIvf(corpus, "vec_id", "embedding", 8, 5)
     assert(cents2.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
   }
+
+  test("native argmax-cosine assignment matches the boxed UDF twin bit-for-bit") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(6)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    // the UDF formulation kmeansIvf used before the native expression —
+    // kept here as the parity oracle (identical loop/accumulation)
+    val twin = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < bc.value.length) {
+        val cent = bc.value(c)
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < cent.length && i < v.length) {
+          val x = v(i).toDouble
+          d += x * cent(i); na += x * x; nb += cent(i) * cent(i)
+          i += 1
+        }
+        val score = if (na > 0 && nb > 0) d / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    }
+    val mismatches = emb.select(
+        graft.functions.NativeVector.argmaxCosineOf(col("embedding"), cents).as("n"),
+        twin(col("embedding")).as("u"))
+      .where(col("n") =!= col("u")).count()
+    assert(mismatches === 0)
+  }
 }
 
 class RankingSpec extends AnyFunSuite {

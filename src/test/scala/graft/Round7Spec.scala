@@ -119,15 +119,18 @@ class S3EventQueueSpec extends AnyFunSuite {
       ("ObjectCreated:Put", "corpus", "tmp/skip-prefix.txt"),
       ("ObjectAccessed:Get", "corpus", "inbox/skip-event.txt")))
     q.enqueue(body(("ObjectAccessed:Get", "corpus", "inbox/only-irrelevant.txt")))
-    q.enqueue("""{"Event":"s3:TestEvent"}""") // no Records at all
+    q.enqueue("""{"Event":"s3:TestEvent"}""") // valid JSON, no Records: benign
+    q.enqueue("""{"Records":[{"eventName":""") // NOT valid JSON
     val batches = S3EventQueue.poll(spark, q, "corpus", Some("inbox/"))
-    // messages 2 and 3 had nothing relevant: acked immediately
-    assert(q.size === 1)
+    // messages 2 and 3 had nothing relevant: acked immediately; the
+    // malformed message 4 is NOT acked (left for redelivery, never
+    // silently dropped) and yields no batch
+    assert(q.size === 2)
     assert(batches.size === 1)
     // + and %2B decode per form-url rules; filtered keys never surface
     assert(batches.head.changes === Seq("inbox/a b+c.txt", "inbox/old.txt"))
     batches.head.ack()
-    assert(q.size === 0)
+    assert(q.size === 1) // only the malformed message remains visible
   }
 
   test("consume reprocesses exactly the queued keys; removals clean target keys") {
