@@ -59,9 +59,11 @@ object TargetRegistry {
   }
 
   register(ParquetConnector)
-  // statement-generation tier by default; a deployment re-registers
-  // with a Bolt-backed CypherSession factory
+  // statement/request-generation tier by default; a deployment
+  // re-registers with a Bolt-backed CypherSession / HTTP QdrantApi
+  // (and, for qdrant, its named-vector declarations)
   register(Neo4jConnector(() => RecordingCypherSession("neo4j-default")))
+  register(QdrantConnector(() => RecordingQdrantApi("qdrant-default"), Nil))
 }
 
 /** Path-addressed parquet target: the engine's default sink

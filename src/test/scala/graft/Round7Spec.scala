@@ -175,3 +175,62 @@ class S3EventQueueSpec extends AnyFunSuite {
       .select($"ordinal").as[Long].head() === 200L) // touch bumped ordinal
   }
 }
+
+class QdrantSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.sinks.{QdrantConnector, QdrantPoints, QdrantRequest, RecordingQdrantApi}
+  import graft.sinks.QdrantPoints.VectorField
+
+  test("collection setup renders named vector params") {
+    val req = QdrantPoints.createCollectionRequest("chunks",
+      Seq(VectorField("emb", 4), VectorField("colpali", 2, "Dot")))
+    assert(req === QdrantRequest("PUT", "/collections/chunks",
+      """{"vectors":{"emb":{"size":4,"distance":"Cosine"},"colpali":{"size":2,"distance":"Dot"}}}"""))
+    assert(QdrantPoints.deleteCollectionRequest("chunks") ===
+      QdrantRequest("DELETE", "/collections/chunks", ""))
+  }
+
+  test("points render typed ids, named vectors, and payload; nulls drop") {
+    val rows = Seq(
+      (7L, Some(Seq(1.0f, 2.0f)), Some("alpha"), Some(0.5)),
+      (8L, None, None, Some(1.0)))
+      .toDF("chunk_id", "emb", "text", "score")
+    val pts = QdrantPoints.renderPoints(rows, "chunk_id", Seq("emb"))
+      .as[String].collect().toSeq.sorted
+    // integer id stays a number; null vector/payload fields drop like
+    // the reference's is_null skip
+    assert(pts === Seq(
+      """{"id":7,"vector":{"emb":[1.0,2.0]},"payload":{"text":"alpha","score":0.5}}""",
+      """{"id":8,"vector":{},"payload":{"score":1.0}}""").sorted)
+    val strPts = QdrantPoints.renderPoints(
+      Seq(("k1", 1.5)).toDF("key", "v"), "key", Nil).as[String].collect()
+    assert(strPts.toSeq === Seq("""{"id":"k1","payload":{"v":1.5}}"""))
+  }
+
+  test("connector drives setup + batched upserts + deletes through the API") {
+    import graft.sinks.TargetRegistry
+    assert(TargetRegistry.registered.contains("qdrant"))
+    val logId = "qdrant-spec-" + System.nanoTime()
+    val c = QdrantConnector(() => RecordingQdrantApi(logId), Seq(VectorField("emb", 2)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val setup = c.applySetup(spark, "chunks", schema)
+    assert(setup.action === "created collection with vectors: emb[2], Cosine")
+    val rows = Seq((1L, Seq(1.0f, 0.0f), "keep"), (2L, Seq(0.0f, 1.0f), "gone"))
+      .toDF("chunk_id", "emb", "text")
+    c.applyMutation(spark, "chunks", rows, Seq("chunk_id"),
+      Some(Seq(Tuple1(2L)).toDF("chunk_id")))
+    val got = RecordingQdrantApi.requests(logId)
+    assert(got.head.path === "/collections/chunks")
+    val upserts = got.filter(_.path == "/collections/chunks/points?wait=true")
+    assert(upserts.map(_.body).mkString === // delete won over the same-batch upsert
+      """{"points":[{"id":1,"vector":{"emb":[1.0,0.0]},"payload":{"text":"keep"}}]}""")
+    val dels = got.filter(_.path == "/collections/chunks/points/delete?wait=true")
+    assert(dels.map(_.body) === Seq("""{"points":[2]}"""))
+  }
+}
