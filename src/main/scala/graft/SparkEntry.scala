@@ -1195,6 +1195,77 @@ object SparkEntry {
         min(col("key")).as("first_key"))
   }
 
+  /** Chunk review tier in the gate (supabase_schema.sql:64-67
+    * is_edited/original_text): fixed chunks, a deterministic edit set
+    * (first chunk of every doc_id%4==1 document), Review.applyEdits,
+    * then an edit census — edited chunks carry the new text AND the
+    * preserved original. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import operators.{Chunker, Review}
+    val chunks = Chunker.fixed(t(s, dir, "documents"), "text", 200, 50)
+      .select(col("doc_id"), col("chunk_index"), col("chunk_text"))
+    val edits = chunks
+      .where(col("chunk_index") === 0 && col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("chunk_index"),
+        concat(lit("EDITED: "), upper(substring(col("chunk_text"), 1, 40)))
+          .as("edited_text"))
+    Review.applyEdits(chunks, Seq("doc_id", "chunk_index"), "chunk_text",
+        edits, "edited_text")
+      .groupBy(col("is_edited"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("chunk_text"))).cast("long").as("n_chars"),
+        sum(coalesce(length(col("original_text")), lit(0))).cast("long")
+          .as("n_original_chars"))
+  }
+
+  /** Document version chains in the gate (supabase_schema.sql:37-39
+    * version/parent_document_id): chains of 4 synthesized by modular
+    * arithmetic (roots at doc_id%4==0, each next id the revision of
+    * the previous), resolved by Review.versionChains' iterated climb,
+    * censused by (version, is_latest). The oracle computes the same
+    * truth in closed form, so the join walk is checked end-to-end. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import operators.Review
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 =!= 0, col("doc_id") - 1)
+        .otherwise(lit(null).cast("long")).as("parent_document_id"))
+    Review.versionChains(docs, "doc_id", "parent_document_id")
+      .groupBy(col("version"), col("is_latest"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root_document_id")).as("n_roots"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  /** Multi-model comparison selection in the gate
+    * (supabase_schema.sql:169-196 llm_comparisons): three stub model
+    * outputs with md5-derived confidences per document,
+    * Review.selectByConfidence picks the max-confidence model (ties:
+    * name ascending), censused by (comparison_type, selected_model).
+    * min/max of the selected confidence keep the aggregate order-free
+    * (float-parity rules). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import operators.Review
+    val types = array(lit("metadata"), lit("entities"), lit("summary"), lit("keywords"))
+    def confOf(model: String) =
+      conv(substring(md5(concat(col("text"), lit(model))), 1, 6), 16, 10)
+        .cast("double") / 16777216.0
+    val cmp = t(s, dir, "documents").select(
+      col("doc_id"),
+      element_at(types, (col("doc_id") % 4 + 1).cast("int")).as("comparison_type"),
+      concat(lit("claude: "), substring(col("text"), 1, 20)).as("claude_output"),
+      confOf("claude").as("claude_confidence"),
+      concat(lit("gemini: "), substring(col("text"), 1, 20)).as("gemini_output"),
+      confOf("gemini").as("gemini_confidence"),
+      concat(lit("gpt4: "), substring(col("text"), 1, 20)).as("gpt4_output"),
+      confOf("gpt4").as("gpt4_confidence"))
+    Review.selectByConfidence(cmp, Seq("claude", "gemini", "gpt4"))
+      .groupBy(col("comparison_type"), col("selected_model"))
+      .agg(count(lit(1)).as("n"),
+        min(round(col("selected_confidence"), 6)).as("min_conf"),
+        max(round(col("selected_confidence"), 6)).as("max_conf"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1361,7 +1432,10 @@ object SparkEntry {
     "q78_audio_segments" -> q78 _,
     "q79_dedup_merge" -> q79 _,
     "q80_bloom_prefilter" -> q80 _,
-    "q81_s3_events" -> q81 _)
+    "q81_s3_events" -> q81 _,
+    "q82_chunk_review" -> q82 _,
+    "q83_version_chains" -> q83 _,
+    "q84_llm_select" -> q84 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1801,7 +1875,62 @@ object SparkEntry {
         |  '| doc | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
         |  '| chars | ' || CAST(length(text) AS VARCHAR) || ' |' AS markdown
         |  FROM b)
-        |SELECT doc_id, markdown, md5(markdown) AS content_hash FROM m""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles
+        |SELECT doc_id, markdown, md5(markdown) AS content_hash FROM m""".stripMargin) ++ entityOracles ++ twoTierOracles ++ searchOracles ++ semanticOracles ++ reviewOracles
+
+  /** Review/versioning tier oracles (q82-q84). */
+  private def reviewOracles: Map[String, String] = Map(
+    "q82_chunk_review" ->
+      """WITH c AS (SELECT doc_id, i AS chunk_index,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        |  FROM (SELECT doc_id, text,
+        |        unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / 150) AS BIGINT) + 1)) AS i
+        |        FROM documents)),
+        |e AS (SELECT doc_id, chunk_index,
+        |  'EDITED: ' || upper(substr(chunk_text, 1, 40)) AS edited_text
+        |  FROM c WHERE chunk_index = 0 AND doc_id % 4 = 1),
+        |r AS (SELECT c.doc_id,
+        |  CASE WHEN e.edited_text IS NOT NULL THEN e.edited_text ELSE c.chunk_text END AS chunk_text,
+        |  CASE WHEN e.edited_text IS NOT NULL THEN c.chunk_text END AS original_text,
+        |  (e.edited_text IS NOT NULL) AS is_edited
+        |  FROM c LEFT JOIN e USING (doc_id, chunk_index))
+        |SELECT is_edited, COUNT(*) AS n_chunks,
+        |CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(SUM(length(chunk_text)) AS BIGINT) AS n_chars,
+        |CAST(SUM(CASE WHEN original_text IS NULL THEN 0 ELSE length(original_text) END) AS BIGINT) AS n_original_chars
+        |FROM r GROUP BY is_edited""".stripMargin,
+    "q83_version_chains" ->
+      // closed-form truth of the synthesized chains: version =
+      // doc_id%4 + 1, root = doc_id - doc_id%4, latest = end of chain
+      // or end of corpus
+      """WITH v AS (SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS INT) AS version,
+        |  doc_id - doc_id % 4 AS root_document_id,
+        |  (doc_id % 4 = 3 OR doc_id = (SELECT max(doc_id) FROM documents)) AS is_latest
+        |  FROM documents)
+        |SELECT version, is_latest, COUNT(*) AS n_docs,
+        |CAST(COUNT(DISTINCT root_document_id) AS BIGINT) AS n_roots,
+        |MIN(doc_id) AS min_doc
+        |FROM v GROUP BY version, is_latest""".stripMargin,
+    "q84_llm_select" -> {
+      val models = Seq("claude", "gemini", "gpt4")
+      val branches = models.map { m =>
+        s"""SELECT doc_id, '$m' AS model,
+           |CAST(${md5HexValSql(s"text || '$m'", 6)} AS DOUBLE) / 16777216.0 AS confidence
+           |FROM documents""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH confs AS ($branches),
+         |ranked AS (SELECT doc_id, model, confidence,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY confidence DESC, model) AS rnk FROM confs),
+         |sel AS (SELECT d.doc_id,
+         |  ['metadata','entities','summary','keywords'][CAST(d.doc_id % 4 + 1 AS INT)] AS comparison_type,
+         |  r.model AS selected_model, r.confidence AS selected_confidence
+         |  FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rnk = 1)
+         |SELECT comparison_type, selected_model, COUNT(*) AS n,
+         |MIN(round(selected_confidence, 6)) AS min_conf,
+         |MAX(round(selected_confidence, 6)) AS max_conf
+         |FROM sel GROUP BY comparison_type, selected_model""".stripMargin
+    })
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -234,3 +234,63 @@ class QdrantSinkSpec extends AnyFunSuite {
     assert(dels.map(_.body) === Seq("""{"points":[2]}"""))
   }
 }
+
+class ReviewSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Review
+
+  test("applyEdits stores the FIRST original; re-edit never overwrites it") {
+    val chunks = Seq((1L, 0, "one"), (1L, 1, "two"), (2L, 0, "three"))
+      .toDF("doc_id", "chunk_index", "chunk_text")
+    val e1 = Seq((1L, 0, "one-v2")).toDF("doc_id", "chunk_index", "edited_text")
+    val r1 = Review.applyEdits(chunks, Seq("doc_id", "chunk_index"), "chunk_text",
+      e1, "edited_text")
+    val row1 = r1.where($"doc_id" === 1 && $"chunk_index" === 0)
+      .select($"chunk_text", $"original_text", $"is_edited")
+      .as[(String, String, Boolean)].head()
+    assert(row1 === (("one-v2", "one", true)))
+    // untouched chunks: not edited, no original
+    assert(r1.where(!$"is_edited").count() === 2)
+    assert(r1.where(!$"is_edited" && $"original_text".isNotNull).count() === 0)
+    // second edit on the already-edited frame: text moves on, original stays "one"
+    val e2 = Seq((1L, 0, "one-v3")).toDF("doc_id", "chunk_index", "edited_text")
+    val r2 = Review.applyEdits(r1, Seq("doc_id", "chunk_index"), "chunk_text",
+      e2, "edited_text")
+    val row2 = r2.where($"doc_id" === 1 && $"chunk_index" === 0)
+      .select($"chunk_text", $"original_text", $"is_edited")
+      .as[(String, String, Boolean)].head()
+    assert(row2 === (("one-v3", "one", true)))
+  }
+
+  test("versionChains resolves roots, versions, and latest heads") {
+    // chain 10 -> 11 -> 12 (parent points to the previous version),
+    // plus a lone root 20
+    val docs = Seq(
+      (10L, None), (11L, Some(10L)), (12L, Some(11L)), (20L, None))
+      .toDF("doc_id", "parent_document_id")
+    val got = Review.versionChains(docs, "doc_id", "parent_document_id")
+      .select($"doc_id", $"root_document_id", $"version", $"is_latest")
+      .as[(Long, Long, Int, Boolean)].collect().toSet
+    assert(got === Set(
+      (10L, 10L, 1, false),
+      (11L, 10L, 2, false),
+      (12L, 10L, 3, true),
+      (20L, 20L, 1, true)))
+  }
+
+  test("selectByConfidence picks max confidence, ties break on model name") {
+    val df = Seq(
+      (1L, "a1", Some(0.9), "b1", 0.7, "c1", Some(0.9)), // tie alpha/gamma -> name
+      (2L, "a2", Some(0.1), "b2", 0.8, "c2", None))      // null conf ranks last
+      .toDF("id", "alpha_output", "alpha_confidence", "beta_output",
+        "beta_confidence", "gamma_output", "gamma_confidence")
+    val got = Review.selectByConfidence(df, Seq("alpha", "beta", "gamma"))
+      .select($"id", $"selected_model", $"selected_output", $"selected_confidence")
+      .as[(Long, String, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === (("alpha", "a1", 0.9)))
+    assert(got(2L) === (("beta", "b2", 0.8))) // null confidence ranks last
+  }
+}
