@@ -82,7 +82,17 @@ object Bench {
     val total =
       if (errors.nonEmpty) -1.0
       else results.map(_._2).sum
-    val prep = obj(Seq("ingest_artifacts" -> artifactSec, "jit_warmup" -> warmSec))
+    // the smallest possible Spark job, min of 5 — the per-job launch
+    // latency every warm query pays at local[32]. Sub-second queries
+    // (vector/BM25 search) sit on this floor, so it belongs in the
+    // record next to them: `warm - job_floor` is the engine's own time.
+    val floorSec = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val prep = obj(Seq("ingest_artifacts" -> artifactSec, "jit_warmup" -> warmSec,
+      "job_floor" -> floorSec))
     val inclusive = if (total < 0) -1.0 else total + artifactSec + warmSec
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +

@@ -70,6 +70,27 @@ object RecursiveSplit {
         Seq("\n(?=\\s*(?:(?:export|pub|static|async|unsafe)\\s+)*(?:function|fn|func|struct|impl|class|const|var|let)\\b)")
       case "sql" =>
         Seq("(?i)\n(?=(?:create|alter|drop|insert|select|with|update|delete)\\b)", ";\\s*\n")
+      case "csharp" | "cs" | "php" | "swift" =>
+        Seq("\n(?=\\s*(?:(?:public|private|protected|internal|static|final|abstract|open|sealed)\\s+)*(?:namespace|class|struct|interface|enum|func|function)\\b)")
+      case "ruby" | "rb" =>
+        Seq("\n(?=(?:class|module|def) )", "\n(?=  def )")
+      case "r" =>
+        Seq("\n(?=[A-Za-z_.][A-Za-z0-9_.]*\\s*(?:<-|=)\\s*function)")
+      case "html" | "xml" =>
+        Seq("\n(?=\\s*<(?:h[1-6]|div|section|article|table|head|body|ul|ol)\\b)",
+          "\n(?=\\s*<[A-Za-z])")
+      case "css" =>
+        Seq("\\}\\s*\n")
+      case "json" =>
+        Seq("\n(?=\\s{0,2}[\"{\\[])")
+      case "toml" | "ini" =>
+        Seq("\n(?=\\[)")
+      case "yaml" | "yml" =>
+        Seq("\n(?=[A-Za-z_][^:\n]*:)", "\n(?=- )")
+      case "fortran" =>
+        Seq("(?i)\n(?=\\s*(?:subroutine|function|module|program)\\b)")
+      case "pascal" =>
+        Seq("(?i)\n(?=\\s*(?:procedure|function|unit|program|begin)\\b)")
       case _ => Seq.empty
     }
     (tiers.map(_.r) ++ separators).toArray

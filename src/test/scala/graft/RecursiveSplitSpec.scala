@@ -112,4 +112,29 @@ class RecursiveSplitSpec extends AnyFunSuite {
     val text = "para one here.\n\npara two is longer text."
     assert(langChunks(text, 30, "klingon") === langChunks(text, 30, "plain"))
   }
+
+  test("ruby tier splits at def/class; html at block tags; yaml at top keys") {
+    val rb = "def alpha\n  1\nend\ndef beta\n  2\nend\ndef gamma\n  3\nend"
+    val rcs = langChunks(rb, 25, "ruby")
+    assert(rcs.length === 3 && rcs.forall(_.startsWith("def ")))
+
+    val html = "<div>\n  <p>alpha</p>\n</div>\n<div>\n  <p>beta</p>\n</div>\n<div>\n  <p>gamma</p>\n</div>"
+    val hcs = langChunks(html, 30, "html")
+    assert(hcs.length === 3 && hcs.forall(_.startsWith("<div>")))
+
+    val yaml = "alpha:\n  x: 1\n  y: 2\nbeta:\n  z: 3\ngamma:\n  w: 4"
+    val ycs = langChunks(yaml, 22, "yaml")
+    assert(ycs.length === 3)
+    assert(ycs.map(_.takeWhile(_ != ':')) === Seq("alpha", "beta", "gamma"))
+  }
+
+  test("toml tier splits at table headers; css after rule close") {
+    val toml = "[server]\nhost = \"a\"\nport = 1\n[client]\nhost = \"b\"\n[misc]\nflag = true"
+    val tcs = langChunks(toml, 30, "toml")
+    assert(tcs.length === 3 && tcs.forall(_.startsWith("[")))
+
+    val css = ".a {\n  color: red;\n}\n.b {\n  color: blue;\n}\n.c {\n  color: green;\n}"
+    val ccs = langChunks(css, 25, "css")
+    assert(ccs.length === 3 && ccs.forall(_.contains("color")))
+  }
 }
