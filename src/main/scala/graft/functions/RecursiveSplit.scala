@@ -80,7 +80,9 @@ object RecursiveSplit {
         Seq("\n(?=\\s*<(?:h[1-6]|div|section|article|table|head|body|ul|ol)\\b)",
           "\n(?=\\s*<[A-Za-z])")
       case "css" =>
-        Seq("\\}\\s*\n")
+        // lookbehind keeps the closing brace with its rule; only the
+        // newline is consumed (the class contract for language tiers)
+        Seq("(?<=\\})\n")
       case "json" =>
         Seq("\n(?=\\s{0,2}[\"{\\[])")
       case "toml" | "ini" =>

@@ -25,13 +25,21 @@ object Review {
   def applyEdits(chunks: DataFrame, keyCols: Seq[String], textCol: String,
       edits: DataFrame, editTextCol: String): DataFrame = {
     require(keyCols.nonEmpty)
-    val base =
+    // initialize each review column independently — a frame carrying
+    // one but not the other must neither crash nor null out preserved
+    // originals
+    val withFlag =
       if (chunks.columns.contains("is_edited")) chunks
-      else chunks
-        .withColumn("is_edited", lit(false))
-        .withColumn("original_text", lit(null).cast("string"))
-    val e = edits.select(
-      keyCols.map(col) :+ col(editTextCol).as("_edit_text"): _*)
+      else chunks.withColumn("is_edited", lit(false))
+    val base =
+      if (withFlag.columns.contains("original_text")) withFlag
+      else withFlag.withColumn("original_text", lit(null).cast("string"))
+    // duplicate edits for one key would fan out chunk rows through the
+    // join; collapse deterministically (max text wins — order-free)
+    val e = edits
+      .select(keyCols.map(col) :+ col(editTextCol).as("_edit_text"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_edit_text")).as("_edit_text"))
     base.join(e, keyCols, "left")
       .withColumn("original_text",
         when(col("_edit_text").isNotNull && !col("is_edited"), col(textCol))

@@ -179,34 +179,14 @@ object RecordingCypherSession {
   /** Bound on retained statements per log (drop-oldest past it). */
   val maxStatements = 10000
 
-  private final class BoundedLog {
-    val q = new ConcurrentLinkedQueue[CypherStatement]()
-    val size = new java.util.concurrent.atomic.AtomicInteger(0)
-    val droppedCount = new java.util.concurrent.atomic.AtomicLong(0L)
-  }
-  private val logs = new ConcurrentHashMap[String, BoundedLog]()
-  private def log(id: String): BoundedLog =
-    logs.computeIfAbsent(id, _ => new BoundedLog)
+  private val log = BoundedRecordingLog.registry[CypherStatement](maxStatements)
 
-  private[sinks] def append(id: String, st: CypherStatement): Unit = {
-    val l = log(id)
-    l.q.add(st)
-    if (l.size.incrementAndGet() > maxStatements && l.q.poll() != null) {
-      l.size.decrementAndGet()
-      l.droppedCount.incrementAndGet()
-    }
-  }
-
-  def statements(id: String): Seq[CypherStatement] = {
-    import scala.jdk.CollectionConverters._
-    log(id).q.asScala.toSeq
-  }
+  private[sinks] def append(id: String, st: CypherStatement): Unit =
+    log(id).add(st)
+  def statements(id: String): Seq[CypherStatement] = log(id).items
   /** Statements evicted by the bound since the last clear. */
-  def dropped(id: String): Long = log(id).droppedCount.get()
-  def clear(id: String): Unit = {
-    val l = log(id)
-    l.q.clear(); l.size.set(0); l.droppedCount.set(0L)
-  }
+  def dropped(id: String): Long = log(id).dropped
+  def clear(id: String): Unit = log(id).clear()
 }
 
 /** Neo4j [[TargetConnector]]: `target` addresses a node label;

@@ -26,31 +26,12 @@ final case class RecordingQdrantApi(logId: String) extends QdrantApi {
 
 object RecordingQdrantApi {
   val maxRequests = 10000
-  private final class Log {
-    val q = new java.util.concurrent.ConcurrentLinkedQueue[QdrantRequest]()
-    val size = new java.util.concurrent.atomic.AtomicInteger(0)
-    val droppedCount = new java.util.concurrent.atomic.AtomicLong(0L)
-  }
-  private val logs =
-    new java.util.concurrent.ConcurrentHashMap[String, Log]()
-  private def log(id: String): Log =
-    logs.computeIfAbsent(id, _ => new Log)
-  private[sinks] def append(id: String, req: QdrantRequest): Unit = {
-    val l = log(id)
-    l.q.add(req)
-    if (l.size.incrementAndGet() > maxRequests && l.q.poll() != null) {
-      l.size.decrementAndGet()
-      l.droppedCount.incrementAndGet()
-    }
-  }
-  def requests(id: String): Seq[QdrantRequest] = {
-    import scala.jdk.CollectionConverters._
-    log(id).q.asScala.toSeq
-  }
-  def dropped(id: String): Long = log(id).droppedCount.get()
-  def clear(id: String): Unit = {
-    val l = log(id); l.q.clear(); l.size.set(0); l.droppedCount.set(0L)
-  }
+  private val log = BoundedRecordingLog.registry[QdrantRequest](maxRequests)
+  private[sinks] def append(id: String, req: QdrantRequest): Unit =
+    log(id).add(req)
+  def requests(id: String): Seq[QdrantRequest] = log(id).items
+  def dropped(id: String): Long = log(id).dropped
+  def clear(id: String): Unit = log(id).clear()
 }
 
 /** Qdrant-shaped export — renders collection setup and point
@@ -101,11 +82,18 @@ object QdrantPoints {
       vectorCols: Seq[String]): DataFrame = {
     val payloadCols = rows.columns.toSeq
       .filterNot(c => c == keyCol || vectorCols.contains(c))
-    val fields = Seq(col(keyCol).as("id")) ++
+    val fields = Seq(requiredId(rows, keyCol)) ++
       (if (vectorCols.nonEmpty) Seq(struct(vectorCols.map(col): _*).as("vector")) else Nil) ++
       (if (payloadCols.nonEmpty) Seq(struct(payloadCols.map(col): _*).as("payload")) else Nil)
     rows.select(to_json(struct(fields: _*)).as("point"))
   }
+
+  // a null key would render an id-less point (to_json drops nulls) or
+  // a malformed delete body — fail the job loudly instead
+  private def requiredId(rows: DataFrame, keyCol: String): org.apache.spark.sql.Column =
+    when(col(keyCol).isNotNull, col(keyCol))
+      .otherwise(raise_error(lit(s"qdrant point id ($keyCol) must not be null")))
+      .as("id")
 
   /** Wrap rendered points into upsert request bodies, `batchSize`
     * points per call, one API client per partition. */
@@ -127,7 +115,7 @@ object QdrantPoints {
       mkApi: () => QdrantApi, batchSize: Int = 256): Unit = {
     val spark = keys.sparkSession
     import spark.implicits._
-    val ids = keys.select(to_json(struct(col(keyCol).as("id"))).as("j"))
+    val ids = keys.select(to_json(struct(requiredId(keys, keyCol))).as("j"))
       .select(expr("substr(j, 7, length(j) - 7)").as("id")) // strip {"id": and }
     ids.as[String].foreachPartition { it: Iterator[String] =>
       val api = mkApi()
@@ -149,14 +137,24 @@ final case class QdrantConnector(mkApi: () => QdrantApi,
     vectors: Seq[QdrantPoints.VectorField]) extends TargetConnector {
   override def kind: String = "qdrant"
 
+  /** A stateless request renderer cannot inspect the live store, so
+    * setup EMITS the converge sequence rather than diffing: with
+    * allowRecreate a DELETE precedes the create (the gated destructive
+    * converge — dim/metric changes need it); without it only the
+    * create goes out, and a live Qdrant rejecting that PUT for an
+    * existing incompatible collection surfaces the NotCompatible case
+    * to the caller instead of being masked here. */
   override def applySetup(spark: SparkSession, target: String,
       desired: StructType, allowRecreate: Boolean): SetupDriver.SetupResult = {
     val declared = vectors.filter(v => desired.fieldNames.contains(v.name))
-    mkApi().send(QdrantPoints.createCollectionRequest(target, declared))
+    val api = mkApi()
+    if (allowRecreate) api.send(QdrantPoints.deleteCollectionRequest(target))
+    api.send(QdrantPoints.createCollectionRequest(target, declared))
     val desc = declared.map(v => s"${v.name}[${v.size}], ${v.metric}")
       .mkString("; ")
+    val verb = if (allowRecreate) "recreated collection" else "created collection"
     SetupDriver.SetupResult(SetupDriver.Compatible,
-      if (desc.isEmpty) "created collection" else s"created collection with vectors: $desc")
+      if (desc.isEmpty) verb else s"$verb with vectors: $desc")
   }
 
   override def applyMutation(spark: SparkSession, target: String,
@@ -165,13 +163,16 @@ final case class QdrantConnector(mkApi: () => QdrantApi,
     require(primaryKey.size == 1,
       "qdrant point ids are scalar: exactly one primary-key column")
     val key = primaryKey.head
+    // only declared vectors the batch actually carries (applySetup
+    // filters by schema the same way — partial frames must not crash)
+    val vecCols = vectors.map(_.name).filter(rows.columns.contains)
     // deletes win over same-batch upserts (connector contract)
     val toUpsert = deletes match {
       case Some(d) => rows.join(d.select(col(key)), Seq(key), "left_anti")
       case None => rows
     }
     QdrantPoints.sendUpserts(
-      QdrantPoints.renderPoints(toUpsert, key, vectors.map(_.name)),
+      QdrantPoints.renderPoints(toUpsert, key, vecCols),
       target, mkApi)
     deletes.foreach(d =>
       QdrantPoints.sendDeletes(d.select(col(key)), target, key, mkApi))

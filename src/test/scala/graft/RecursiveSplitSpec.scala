@@ -136,5 +136,7 @@ class RecursiveSplitSpec extends AnyFunSuite {
     val css = ".a {\n  color: red;\n}\n.b {\n  color: blue;\n}\n.c {\n  color: green;\n}"
     val ccs = langChunks(css, 25, "css")
     assert(ccs.length === 3 && ccs.forall(_.contains("color")))
+    // the lookbehind separator must keep every rule's closing brace
+    assert(ccs.forall(_.endsWith("}")))
   }
 }

@@ -264,6 +264,16 @@ class ReviewSpec extends AnyFunSuite {
     assert(row2 === (("one-v3", "one", true)))
   }
 
+  test("duplicate edits for one key collapse instead of fanning out rows") {
+    val chunks = Seq((1L, 0, "one")).toDF("doc_id", "chunk_index", "chunk_text")
+    val dup = Seq((1L, 0, "edit-a"), (1L, 0, "edit-b"))
+      .toDF("doc_id", "chunk_index", "edited_text")
+    val r = Review.applyEdits(chunks, Seq("doc_id", "chunk_index"), "chunk_text",
+      dup, "edited_text")
+    assert(r.count() === 1) // no join fan-out
+    assert(r.select($"chunk_text").as[String].head() === "edit-b") // deterministic max
+  }
+
   test("versionChains resolves roots, versions, and latest heads") {
     // chain 10 -> 11 -> 12 (parent points to the previous version),
     // plus a lone root 20
