@@ -63,19 +63,29 @@ object Review {
       maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 1)
     val parents = docs.select(col(idCol).as("_pid"), col(parentCol).as("_pparent"))
-    var cur = docs
+    // only the ACTIVE frontier joins each hop: documents whose chain is
+    // already resolved (null climb pointer — version 1 of most corpora)
+    // leave the loop immediately and never re-shuffle; at scale the
+    // frontier shrinks geometrically while the resolved union is a
+    // no-shuffle concatenation
+    var active = docs
       .withColumn("root_document_id", col(idCol))
       .withColumn("version", lit(1))
       .withColumn("_climb", col(parentCol))
+    var resolved: DataFrame = null
     for (_ <- 1 to maxDepth) {
-      cur = cur.join(parents, cur("_climb") === parents("_pid"), "left")
-        .withColumn("version",
-          when(col("_climb").isNotNull, col("version") + 1).otherwise(col("version")))
-        .withColumn("root_document_id",
-          when(col("_climb").isNotNull, col("_climb")).otherwise(col("root_document_id")))
+      val finished = active.where(col("_climb").isNull)
+      resolved =
+        if (resolved == null) finished else resolved.unionByName(finished)
+      active = active.where(col("_climb").isNotNull)
+        .join(parents, col("_climb") === col("_pid"), "left")
+        .withColumn("version", col("version") + 1)
+        .withColumn("root_document_id", col("_climb"))
         .withColumn("_climb", col("_pparent"))
         .drop("_pid", "_pparent")
     }
+    // chains deeper than maxDepth keep their partial resolution
+    val cur = resolved.unionByName(active)
     val hasChild = docs.select(col(parentCol).as("_cid"))
       .where(col("_cid").isNotNull).distinct()
     cur.drop("_climb")

@@ -87,9 +87,12 @@ object Search {
     val dls = base.select(col(idCol), col("dl"))
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    // df per token as a count window over the postings — (id, token)
+    // rows are unique after the tf groupBy, so count(*) per token IS
+    // the document frequency; one shuffle by token replaces the old
+    // groupBy(token) + re-join of the whole postings frame
     val impacts = termScores(
-      idx.join(idx.groupBy(col("token"))
-          .agg(countDistinct(col(idCol)).as("df")), Seq("token"))
+      idx.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
         .join(dls, Seq(idCol))
         .crossJoin(broadcast(stats)),
       defaultK1, defaultB)
