@@ -138,6 +138,62 @@ object S3EventQueue {
       .withColumn("content_hash", sha2(col("content"), 256))
   }
 
+  /** Handle on a running [[S3EventQueue.startPolling]] loop. */
+  final class PollingHandle private[sources] (
+      thread: Thread,
+      stopFlag: java.util.concurrent.atomic.AtomicBoolean,
+      roundsDone: java.util.concurrent.atomic.AtomicLong,
+      lastError: java.util.concurrent.atomic.AtomicReference[Throwable]) {
+    /** Signal the loop to end and wait for the thread to exit. */
+    def stop(): Unit = {
+      stopFlag.set(true)
+      thread.interrupt()
+      thread.join(30000)
+    }
+    /** Completed consume rounds (error rounds excluded). */
+    def rounds: Long = roundsDone.get()
+    /** Most recent round failure, if any (the loop keeps going). */
+    def error: Option[Throwable] = Option(lastError.get())
+  }
+
+  /** The reference's change_stream loop (amazon_s3.rs:180-203): poll
+    * the queue forever on a daemon thread, one [[consume]] round per
+    * `intervalMillis`. A failed round records the error and KEEPS
+    * polling — the stream yields Err without dying, and unacked
+    * messages redeliver — so transient store/queue failures self-heal.
+    * Stop via the returned handle. */
+  def startPolling(spark: SparkSession, client: SqsQueueClient,
+      bucketName: String, prefix: Option[String],
+      mkStore: () => S3ObjectStore,
+      process: DataFrame => DataFrame, logicFp: String,
+      connector: graft.sinks.TargetConnector, target: String,
+      trackingPath: String, intervalMillis: Long = 1000,
+      maxMessages: Int = 10): PollingHandle = {
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val roundsDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lastError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      SparkSession.setActiveSession(spark)
+      while (!stopFlag.get()) {
+        try {
+          consume(spark, client, bucketName, prefix, mkStore, process,
+            logicFp, connector, target, trackingPath, maxMessages)
+          roundsDone.incrementAndGet()
+        } catch {
+          case _: InterruptedException => ()
+          case e: Throwable => lastError.set(e)
+        }
+        if (!stopFlag.get()) {
+          try Thread.sleep(intervalMillis)
+          catch { case _: InterruptedException => () }
+        }
+      }
+    }, "graft-s3-event-poll")
+    t.setDaemon(true)
+    t.start()
+    new PollingHandle(t, stopFlag, roundsDone, lastError)
+  }
+
   /** One change-stream consumption round (the reference's
     * change_stream loop body + executor re-fetch): poll, re-fetch,
     * sync upserts + removals, then ack every processed message.

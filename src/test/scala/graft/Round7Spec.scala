@@ -304,3 +304,62 @@ class ReviewSpec extends AnyFunSuite {
     assert(got(2L) === (("beta", "b2", 0.8))) // null confidence ranks last
   }
 }
+
+class S3PollingLoopSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.incremental.Incremental
+  import graft.sinks.ParquetConnector
+  import graft.sources.S3EventQueue
+
+  private def awaitUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(100)
+    }
+    cond
+  }
+
+  test("polling loop applies queued changes and survives a failing round") {
+    val tmp = java.nio.file.Files.createTempDirectory("sqspoll").toString
+    val (sink, track) = (s"$tmp/out", s"$tmp/tracking")
+    def process(delta: DataFrame): DataFrame =
+      delta.select(col("source_key"),
+        concat_ws("#", col("source_key"), lit("t")).as("target_key"),
+        upper(col("content")).as("content"))
+
+    FixtureS3Store.objects.clear()
+    FixtureS3Store.objects.put("poll/a", (100L, "alpha"))
+    val s0 = S3EventQueue.refetch(spark, Seq("poll/a"), () => FixtureS3Store())
+    Incremental.syncSource(spark, s0, process, "v1", sink, track)
+
+    val q = new FixtureSqsQueue
+    val handle = S3EventQueue.startPolling(spark, q, "corpus", Some("poll/"),
+      () => FixtureS3Store(), process, "v1", ParquetConnector, sink, track,
+      intervalMillis = 100)
+    try {
+      // an edit lands on the queue -> the loop picks it up
+      FixtureS3Store.objects.put("poll/a", (200L, "alpha2"))
+      q.enqueue("""{"Records":[{"eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"corpus"},"object":{"key":"poll/a"}}}]}""")
+      assert(awaitUntil(30000) {
+        spark.read.parquet(sink).where($"target_key" === "poll/a#t")
+          .select($"content").as[String].collect().headOption.contains("ALPHA2")
+      })
+      // the sink write lands mid-round; the round counter ticks when
+      // consume returns, so await it rather than asserting instantly
+      assert(awaitUntil(10000)(handle.rounds >= 1L))
+      assert(awaitUntil(10000)(q.size === 0)) // acked after processing
+      // malformed message: the loop neither dies nor acks it
+      q.enqueue("""{"Records":[{"eventName":""")
+      assert(awaitUntil(10000)(handle.rounds >= 3L)) // keeps polling
+      assert(q.size === 1)
+    } finally handle.stop()
+    // stopped: no further rounds accumulate
+    val after = handle.rounds
+    Thread.sleep(500)
+    assert(handle.rounds === after)
+  }
+}
