@@ -64,6 +64,7 @@ object TargetRegistry {
   // (and, for qdrant, its named-vector declarations)
   register(Neo4jConnector(() => RecordingCypherSession("neo4j-default")))
   register(QdrantConnector(() => RecordingQdrantApi("qdrant-default"), Nil))
+  register(KuzuConnector(() => RecordingCypherSession("kuzu-default")))
 }
 
 /** Path-addressed parquet target: the engine's default sink

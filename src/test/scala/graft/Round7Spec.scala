@@ -363,3 +363,58 @@ class S3PollingLoopSpec extends AnyFunSuite {
     assert(handle.rounds === after)
   }
 }
+
+class KuzuSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
+  import graft.sinks.{CypherStatement, KuzuConnector, KuzuDdl, RecordingCypherSession}
+
+  test("DDL renders schema-ful node/rel tables with the ownership tag") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("title", StringType),
+      StructField("emb", ArrayType(FloatType))))
+    assert(KuzuDdl.createNodeTable("Document", schema, Seq("doc_id")) ===
+      "CREATE NODE TABLE IF NOT EXISTS Document (doc_id INT64, title STRING, " +
+        "emb FLOAT[], __self_contained BOOL, PRIMARY KEY (doc_id));")
+    assert(KuzuDdl.createRelTable("MENTIONS", "Document", "Entity",
+      StructType(Seq(StructField("confidence", org.apache.spark.sql.types.DoubleType)))) ===
+      "CREATE REL TABLE IF NOT EXISTS MENTIONS (FROM Document TO Entity, confidence DOUBLE);")
+    assert(KuzuDdl.deleteOrphanedNodes("Entity") ===
+      "MATCH (n:Entity) WITH n WHERE NOT (n)--() DELETE n;")
+  }
+
+  test("upserts inline typed literals with escaping; deletes untag then sweep") {
+    val rows = Seq((7L, "it's \"quoted\"", Seq(1.5f, 2.0f)))
+      .toDF("doc_id", "title", "emb")
+    val up = KuzuDdl.renderNodeUpserts(rows, "Document", Seq("doc_id"))
+      .as[String].collect()
+    assert(up.toSeq === Seq(
+      """MERGE (n:Document {doc_id: 7}) SET n.__self_contained = true, """ +
+        """n.title = 'it\'s "quoted"', n.emb = [1.5, 2.0];"""))
+    val del = KuzuDdl.renderNodeDeletes(
+      Seq(Tuple1(7L)).toDF("doc_id"), "Document", Seq("doc_id"))
+      .as[String].collect()
+    assert(del.toSeq === Seq(
+      "MATCH (n:Document {doc_id: 7}) SET n.__self_contained = NULL " +
+        "WITH n WHERE NOT (n)--() DELETE n;"))
+  }
+
+  test("connector drives DDL + upserts + deletes + orphan sweep") {
+    import graft.sinks.TargetRegistry
+    assert(TargetRegistry.registered.contains("kuzu"))
+    val logId = "kuzu-spec-" + System.nanoTime()
+    val c = KuzuConnector(() => RecordingCypherSession(logId), Seq("doc_id"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("title", StringType)))
+    assert(c.applySetup(spark, "Document", schema).action === "created table")
+    c.applyMutation(spark, "Document",
+      Seq((1L, "keep"), (2L, "gone")).toDF("doc_id", "title"),
+      Seq("doc_id"), Some(Seq(Tuple1(2L)).toDF("doc_id")))
+    val got = RecordingCypherSession.statements(logId).map(_.cypher)
+    assert(got.head.startsWith("CREATE NODE TABLE IF NOT EXISTS Document"))
+    assert(got.count(_.startsWith("MERGE (n:Document")) === 1) // delete won
+    assert(got.exists(_.startsWith("MATCH (n:Document {doc_id: 2})")))
+    assert(got.last === "MATCH (n:Document) WITH n WHERE NOT (n)--() DELETE n;")
+  }
+}
