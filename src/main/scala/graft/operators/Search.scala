@@ -87,12 +87,18 @@ object Search {
     val dls = base.select(col(idCol), col("dl"))
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // df per token as a count window over the postings — (id, token)
-    // rows are unique after the tf groupBy, so count(*) per token IS
-    // the document frequency; one shuffle by token replaces the old
-    // groupBy(token) + re-join of the whole postings frame
+    // df per token: (id, token) rows are unique after the tf groupBy,
+    // so count(1) per token IS the document frequency — a map-side-
+    // combinable aggregate (only vocab-sized partials shuffle, unlike
+    // the old countDistinct's Expand + double shuffle) joined back to
+    // the postings. Deliberately NOT a count().over(partitionBy(token))
+    // window: that shuffles the FULL postings frame by token and
+    // buffers each token's rows in one unsplittable window partition —
+    // a stopword token at corpus scale becomes a straggler AQE cannot
+    // split (it can for joins, not windows).
     val impacts = termScores(
-      idx.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      idx.join(idx.groupBy(col("token")).agg(count(lit(1)).as("df")),
+          Seq("token"))
         .join(dls, Seq(idCol))
         .crossJoin(broadcast(stats)),
       defaultK1, defaultB)

@@ -160,6 +160,24 @@ final case class CypherStatement(cypher: String, params: String)
   * factory), mirroring how JdbcSink opens per-partition connections. */
 trait CypherSession extends Serializable {
   def run(st: CypherStatement): Unit
+
+  /** Schema introspection for schema-ful stores (Kuzu answers
+    * `CALL table_info(...)` over the same API that takes statements;
+    * Neo4j is schemaless and leaves the default). [[CypherSession.Unknown]]
+    * = this session cannot answer (write-only seam) — setup then falls
+    * back to idempotent `IF NOT EXISTS` DDL with no convergence check. */
+  def tableInfo(table: String): CypherSession.TableInfo = CypherSession.Unknown
+}
+
+object CypherSession {
+  /** What a session knows about a table's live schema. */
+  sealed trait TableInfo
+  /** The seam cannot introspect (write-only deployment). */
+  case object Unknown extends TableInfo
+  /** The store answered: no such table. */
+  case object Missing extends TableInfo
+  /** The store answered: these (column, type) pairs, in DDL order. */
+  final case class Columns(cols: Seq[(String, String)]) extends TableInfo
 }
 
 /** Deterministic recording session: statements land in a named
@@ -173,6 +191,11 @@ trait CypherSession extends Serializable {
 final case class RecordingCypherSession(logId: String) extends CypherSession {
   override def run(st: CypherStatement): Unit =
     RecordingCypherSession.append(logId, st)
+
+  /** The recording fixture IS the store, so it answers introspection
+    * from the DDL it has executed (tracked per log). */
+  override def tableInfo(table: String): CypherSession.TableInfo =
+    RecordingCypherSession.tableInfo(logId, table)
 }
 
 object RecordingCypherSession {
@@ -181,12 +204,49 @@ object RecordingCypherSession {
 
   private val log = BoundedRecordingLog.registry[CypherStatement](maxStatements)
 
-  private[sinks] def append(id: String, st: CypherStatement): Unit =
+  // Live node-table schemas per (logId, table), maintained by applying
+  // the canonical DDL forms KuzuDdl renders — the deterministic twin of
+  // a schema-ful store's catalog. Statements that match no form (all of
+  // Neo4j's, Kuzu MERGE/MATCH, rel tables) leave the catalog untouched.
+  private val tables =
+    new ConcurrentHashMap[(String, String), Seq[(String, String)]]()
+  private val CreateNode =
+    """(?s)CREATE NODE TABLE IF NOT EXISTS (\w+) \((.*), PRIMARY KEY \([^)]*\)\);\s*""".r
+  private val DropTable = """DROP TABLE IF EXISTS (\w+);\s*""".r
+  private val AlterDrop = """ALTER TABLE (\w+) DROP IF EXISTS (\w+);\s*""".r
+  private val AlterAdd = """ALTER TABLE (\w+) ADD (\w+) (\S+);\s*""".r
+
+  private def applyDdl(id: String, cypher: String): Unit = cypher match {
+    case CreateNode(t, cols) =>
+      // IF NOT EXISTS: an existing table is left untouched
+      tables.putIfAbsent((id, t), cols.split(", ").toSeq.map { c =>
+        val i = c.indexOf(' '); (c.substring(0, i), c.substring(i + 1))
+      })
+    case DropTable(t) => tables.remove((id, t))
+    case AlterDrop(t, c) =>
+      tables.computeIfPresent((id, t), (_, cols) => cols.filterNot(_._1 == c))
+    case AlterAdd(t, c, ty) =>
+      tables.computeIfPresent((id, t), (_, cols) =>
+        cols.filterNot(_._1 == c) :+ (c, ty))
+    case _ => ()
+  }
+
+  private[sinks] def tableInfo(id: String, table: String): CypherSession.TableInfo =
+    Option(tables.get((id, table)))
+      .map(CypherSession.Columns.apply)
+      .getOrElse(CypherSession.Missing)
+
+  private[sinks] def append(id: String, st: CypherStatement): Unit = {
     log(id).add(st)
+    applyDdl(id, st.cypher)
+  }
   def statements(id: String): Seq[CypherStatement] = log(id).items
   /** Statements evicted by the bound since the last clear. */
   def dropped(id: String): Long = log(id).dropped
-  def clear(id: String): Unit = log(id).clear()
+  def clear(id: String): Unit = {
+    log(id).clear()
+    tables.keySet.removeIf(_._1 == id)
+  }
 }
 
 /** Neo4j [[TargetConnector]]: `target` addresses a node label;

@@ -152,7 +152,8 @@ object S3EventQueue {
     }
     /** Completed consume rounds (error rounds excluded). */
     def rounds: Long = roundsDone.get()
-    /** Most recent round failure, if any (the loop keeps going). */
+    /** Failure of the most recent round, if it failed; cleared once a
+      * later round succeeds (the loop keeps going either way). */
     def error: Option[Throwable] = Option(lastError.get())
   }
 
@@ -179,6 +180,7 @@ object S3EventQueue {
           consume(spark, client, bucketName, prefix, mkStore, process,
             logicFp, connector, target, trackingPath, maxMessages)
           roundsDone.incrementAndGet()
+          lastError.set(null) // self-healed: don't report a stale failure
         } catch {
           case _: InterruptedException => ()
           case e: Throwable => lastError.set(e)

@@ -314,13 +314,17 @@ class S3PollingLoopSpec extends AnyFunSuite {
   import graft.sinks.ParquetConnector
   import graft.sources.S3EventQueue
 
+  // The poll thread swap-rewrites the sink parquet concurrently with
+  // the predicate's reads, so a read landing in the delete/move window
+  // throws — treat that as "not yet" and retry, don't fail the test.
   private def awaitUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    def check: Boolean = try cond catch { case _: Exception => false }
     val deadline = System.currentTimeMillis() + timeoutMs
     while (System.currentTimeMillis() < deadline) {
-      if (cond) return true
+      if (check) return true
       Thread.sleep(100)
     }
-    cond
+    check
   }
 
   test("polling loop applies queued changes and survives a failing round") {
@@ -384,23 +388,47 @@ class KuzuSinkSpec extends AnyFunSuite {
       "MATCH (n:Entity) WITH n WHERE NOT (n)--() DELETE n;")
   }
 
-  test("upserts inline typed literals with escaping; deletes untag then sweep") {
+  test("upserts inline typed literals with escaping; deletes untag then conditionally delete") {
     val rows = Seq((7L, "it's \"quoted\"", Seq(1.5f, 2.0f)))
       .toDF("doc_id", "title", "emb")
     val up = KuzuDdl.renderNodeUpserts(rows, "Document", Seq("doc_id"))
       .as[String].collect()
+    // strings double-quote with escapes (kuzu.rs:292-313); floats bare
     assert(up.toSeq === Seq(
       """MERGE (n:Document {doc_id: 7}) SET n.__self_contained = true, """ +
-        """n.title = 'it\'s "quoted"', n.emb = [1.5, 2.0];"""))
+        """n.title = "it's \"quoted\"", n.emb = [1.5, 2.0];"""))
     val del = KuzuDdl.renderNodeDeletes(
       Seq(Tuple1(7L)).toDF("doc_id"), "Document", Seq("doc_id"))
       .as[String].collect()
+    // the per-key delete carries its own disconnected check; NO
+    // table-wide sweep follows (that is setup-tier, rel drops only —
+    // on a node-only export it would delete every node)
     assert(del.toSeq === Seq(
       "MATCH (n:Document {doc_id: 7}) SET n.__self_contained = NULL " +
         "WITH n WHERE NOT (n)--() DELETE n;"))
   }
 
-  test("connector drives DDL + upserts + deletes + orphan sweep") {
+  test("string array elements quote and escape; null elements render NULL") {
+    val rows = Seq((1L, Seq(Some("alpha"), Some("be\"ta"), None)))
+      .toDF("doc_id", "tags")
+    val up = KuzuDdl.renderNodeUpserts(rows, "Document", Seq("doc_id"))
+      .as[String].collect()
+    assert(up.toSeq === Seq(
+      """MERGE (n:Document {doc_id: 1}) SET n.__self_contained = true, """ +
+        """n.tags = ["alpha", "be\"ta", NULL];"""))
+  }
+
+  test("timestamps render as TIMESTAMP literals") {
+    val rows = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("doc_id", "ts")
+    val up = KuzuDdl.renderNodeUpserts(rows, "Document", Seq("doc_id"))
+      .as[String].collect()
+    assert(up.toSeq === Seq(
+      """MERGE (n:Document {doc_id: 1}) SET n.__self_contained = true, """ +
+        """n.ts = TIMESTAMP("2024-01-01 12:00:00");"""))
+  }
+
+  test("connector drives DDL + upserts + per-key deletes; no table sweep") {
     import graft.sinks.TargetRegistry
     assert(TargetRegistry.registered.contains("kuzu"))
     val logId = "kuzu-spec-" + System.nanoTime()
@@ -414,7 +442,55 @@ class KuzuSinkSpec extends AnyFunSuite {
     val got = RecordingCypherSession.statements(logId).map(_.cypher)
     assert(got.head.startsWith("CREATE NODE TABLE IF NOT EXISTS Document"))
     assert(got.count(_.startsWith("MERGE (n:Document")) === 1) // delete won
-    assert(got.exists(_.startsWith("MATCH (n:Document {doc_id: 2})")))
-    assert(got.last === "MATCH (n:Document) WITH n WHERE NOT (n)--() DELETE n;")
+    assert(got.last.startsWith("MATCH (n:Document {doc_id: 2})"))
+    // a disconnected-but-live node 1 must survive the delete of node 2
+    assert(!got.exists(_ === KuzuDdl.deleteOrphanedNodes("Document")))
+  }
+
+  test("setup converges drift: noop, column evolve, gated drops, gated key recreate") {
+    val logId = "kuzu-setup-" + System.nanoTime()
+    val c = KuzuConnector(() => RecordingCypherSession(logId), Seq("doc_id"))
+    val v1 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("title", StringType), StructField("extra", StringType)))
+    assert(c.applySetup(spark, "Doc", v1).action === "created table")
+    // identical re-setup: nothing to do, nothing rendered
+    val before = RecordingCypherSession.statements(logId).size
+    assert(c.applySetup(spark, "Doc", v1).action === "noop")
+    assert(RecordingCypherSession.statements(logId).size === before)
+
+    // value column retyped + narrowed schema: retype converges via
+    // DROP IF EXISTS + ADD (kuzu.rs:268-282); the removed column is
+    // KEPT without allowRecreate (data-loss gate, like JDBC)
+    val v2 = StructType(Seq(StructField("doc_id", LongType),
+      StructField("title", LongType)))
+    val evolved = c.applySetup(spark, "Doc", v2)
+    assert(evolved.action ===
+      "evolved (upserted columns: title; kept extra columns: extra " +
+        "(dropping requires allowRecreate))")
+    val stmts = RecordingCypherSession.statements(logId).map(_.cypher)
+    assert(stmts.contains("ALTER TABLE Doc DROP IF EXISTS title;"))
+    assert(stmts.contains("ALTER TABLE Doc ADD title INT64;"))
+    assert(!stmts.contains("ALTER TABLE Doc DROP IF EXISTS extra;"))
+    // gated: the extra column drops
+    assert(c.applySetup(spark, "Doc", v2, allowRecreate = true).action ===
+      "evolved (dropped columns: extra)")
+    assert(RecordingCypherSession.statements(logId).map(_.cypher)
+      .contains("ALTER TABLE Doc DROP IF EXISTS extra;"))
+
+    // key column retype: recreate, and only under allowRecreate
+    val v3 = StructType(Seq(StructField("doc_id", StringType),
+      StructField("title", LongType)))
+    intercept[IllegalStateException](c.applySetup(spark, "Doc", v3))
+    assert(c.applySetup(spark, "Doc", v3, allowRecreate = true).action ===
+      "recreated table")
+    val after = RecordingCypherSession.statements(logId).map(_.cypher)
+    assert(after.contains("DROP TABLE IF EXISTS Doc;"))
+    assert(after.last.startsWith("CREATE NODE TABLE IF NOT EXISTS Doc (doc_id STRING"))
+
+    // key columns must exist in the exported schema — no silent
+    // first-field fallback
+    intercept[IllegalArgumentException](c.applySetup(spark, "Doc",
+      StructType(Seq(StructField("title", StringType)))))
+    RecordingCypherSession.clear(logId)
   }
 }
