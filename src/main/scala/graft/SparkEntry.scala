@@ -1266,6 +1266,49 @@ object SparkEntry {
         max(round(col("selected_confidence"), 6)).as("max_conf"))
   }
 
+  /** Metadata tag merge in the gate
+    * (metadata_extraction_service.py:88-117): part rows become
+    * documents whose content carries a synthesized product code and a
+    * component/issue phrase; "LLM" tags are shaped from part columns
+    * (mixed case + padding to exercise normalization). The merge —
+    * regex product models, component/issue scans, first-wins dedup,
+    * taxonomy-class sort, cap 15 — is Metadata.mergeTags. The oracle
+    * replays the same contract in DuckDB list lambdas; exact-distinct
+    * stands in for first-wins dedup there because every colliding
+    * pair in this data normalizes to the identical kept form. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import operators.Metadata
+    val part = t(s, dir, "part")
+    val content = concat(
+      col("p_name"), lit(" NC"),
+      lpad((col("p_partkey") % 100).cast("string"), 4, "0"),
+      when(col("p_size") > 25, lit(" screen flickering on the display panel"))
+        .otherwise(lit(" battery drain after a charging issue")))
+    val llm = array(lit(" Troubleshooting "),
+      upper(substring(col("p_type"), 1, 5)), lit("Battery"))
+    part.select(col("p_partkey"),
+      array_join(Metadata.mergeTags(llm, content), ",").as("tags"))
+  }
+
+  /** Document-category taxonomy in the gate
+    * (metadata_taxonomy.py:8-64): every document is assigned one of
+    * the 20 categories (plus an out-of-taxonomy value on a sparse
+    * residue to exercise the display-name fallback + validity check),
+    * censused by (category, display_name, is_valid). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import operators.Metadata
+    val cats = array(Metadata.documentCategories.map(c => lit(c._1)): _*)
+    t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, lit("legacy_spec"))
+          .otherwise(element_at(cats, (col("doc_id") % 20 + 1).cast("int")))
+          .as("category"))
+      .select(col("category"),
+        Metadata.categoryDisplayName(col("category")).as("display_name"),
+        Metadata.isValidCategory(col("category")).as("is_valid"))
+      .groupBy(col("category"), col("display_name"), col("is_valid"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1435,7 +1478,9 @@ object SparkEntry {
     "q81_s3_events" -> q81 _,
     "q82_chunk_review" -> q82 _,
     "q83_version_chains" -> q83 _,
-    "q84_llm_select" -> q84 _)
+    "q84_llm_select" -> q84 _,
+    "q85_tag_merge" -> q85 _,
+    "q86_doc_category" -> q86 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -1930,6 +1975,52 @@ object SparkEntry {
          |MIN(round(selected_confidence, 6)) AS min_conf,
          |MAX(round(selected_confidence, 6)) AS max_conf
          |FROM sel GROUP BY comparison_type, selected_model""".stripMargin
+    },
+    "q85_tag_merge" -> {
+      import operators.Metadata
+      val compList = Metadata.components.map(c => s"'$c'").mkString(", ")
+      val issList = Metadata.issues.map(i => s"'$i'").mkString(", ")
+      s"""WITH base AS (SELECT p_partkey,
+         |  p_name || ' NC' || lpad(CAST(p_partkey % 100 AS VARCHAR), 4, '0') ||
+         |  CASE WHEN p_size > 25 THEN ' screen flickering on the display panel'
+         |       ELSE ' battery drain after a charging issue' END AS content,
+         |  [' Troubleshooting ', upper(substr(p_type, 1, 5)), 'Battery'] AS llm
+         |  FROM part),
+         |ext AS (SELECT p_partkey, list_concat(list_concat(list_concat(llm,
+         |  list_distinct(regexp_extract_all(content,
+         |    '\\bNC\\d{4}\\b|\\bPC\\d{4}\\b|\\bSM\\d{3}\\b'))),
+         |  list_filter([$compList],
+         |    c -> regexp_matches(lower(content), '\\b' || c || '\\b'))),
+         |  list_filter([$issList],
+         |    i -> regexp_matches(lower(content), '\\b(' || i || '|' ||
+         |      replace(i, '-', ' ') || '|' || replace(i, '-', '') || ')\\b'))) AS tags
+         |  FROM base),
+         |normed AS (SELECT p_partkey,
+         |  list_distinct(list_filter(list_transform(tags,
+         |    t -> CASE WHEN regexp_matches(t, '^[A-Z]+[0-9]') THEN t
+         |              ELSE lower(trim(t)) END),
+         |    t -> len(t) > 0)) AS tags FROM ext)
+         |SELECT p_partkey, array_to_string(list_transform(list_slice(list_sort(
+         |  list_transform(tags, t -> CASE
+         |    WHEN regexp_matches(t, '^[A-Z]+[0-9]') THEN '0|'
+         |    WHEN list_contains([$compList], t) THEN '1|'
+         |    WHEN list_contains([$issList], t) THEN '2|'
+         |    ELSE '3|' END || t)), 1, 15), x -> substr(x, 3)), ',') AS tags
+         |FROM normed""".stripMargin
+    },
+    "q86_doc_category" -> {
+      import operators.Metadata
+      val rows = Metadata.documentCategories.zipWithIndex
+        .map { case ((c, d), i) => s"($i, '$c', '$d')" }.mkString(",\n|  ")
+      s"""WITH cats(idx, category, display_name) AS (VALUES
+         |  $rows),
+         |assigned AS (SELECT CASE WHEN doc_id % 97 = 0 THEN 'legacy_spec'
+         |  ELSE (SELECT category FROM cats WHERE idx = doc_id % 20) END AS category
+         |  FROM documents)
+         |SELECT a.category, coalesce(c.display_name, 'Legacy Spec') AS display_name,
+         |  (c.category IS NOT NULL) AS is_valid, COUNT(*) AS n_docs
+         |FROM assigned a LEFT JOIN cats c ON a.category = c.category
+         |GROUP BY 1, 2, 3""".stripMargin
     })
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
