@@ -1309,6 +1309,34 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Entity-quality validator in the gate (entity_quality.py:94-268):
+    * ten fixture names chosen to hit every contract branch (acronym
+    * short-circuit incl. "it"→"IT", verb/question phrases, the
+    * generic-term-vs-domain-exception asymmetry where "process"
+    * passes validity but takes the ×0.3 score penalty, pure numbers),
+    * crossed with part-derived confidence / relationship counts /
+    * types. Scores travel as micro-units (floor(score·1e6 + 0.5)) so
+    * the sum is integer-exact; the oracle replays the closed-form
+    * per-name factor chains in the same multiplication order. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityQuality
+    val names = array(Seq("API", "pump seal assembly", "was broken",
+      "the main controller", "it", "what happened", "today", "process",
+      "123", "NC2050 display panel").map(lit): _*)
+    val types = array(Seq("component", "concept", "person", "other").map(lit): _*)
+    t(s, dir, "part").select(
+        element_at(names, (col("p_partkey") % 10 + 1).cast("int")).as("entity_name"),
+        element_at(types, (col("p_partkey") % 4 + 1).cast("int")).as("entity_type"),
+        ((col("p_partkey") % 100).cast("double") / 100.0).as("confidence"),
+        (col("p_partkey") % 7).as("rel_count"))
+      .withColumn("_sk", EntityQuality.shouldKeep(col("entity_name"),
+        col("entity_type"), col("confidence"), col("rel_count")))
+      .select(col("_sk.reason").as("reason"), col("_sk.keep").as("keep"),
+        floor(col("_sk.quality_score") * 1000000.0 + 0.5).cast("long").as("m"))
+      .groupBy(col("reason"), col("keep"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sum_score_micro"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1480,7 +1508,8 @@ object SparkEntry {
     "q83_version_chains" -> q83 _,
     "q84_llm_select" -> q84 _,
     "q85_tag_merge" -> q85 _,
-    "q86_doc_category" -> q86 _)
+    "q86_doc_category" -> q86 _,
+    "q87_entity_quality" -> q87 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2021,7 +2050,46 @@ object SparkEntry {
          |  (c.category IS NOT NULL) AS is_valid, COUNT(*) AS n_docs
          |FROM assigned a LEFT JOIN cats c ON a.category = c.category
          |GROUP BY 1, 2, 3""".stripMargin
-    })
+    },
+    "q87_entity_quality" ->
+      // closed-form truth of the ten fixture names: validity reason by
+      // residue, score = per-name factor chain (same multiplication
+      // order as the Scala expression chain) x rel-bonus x type factor
+      """WITH base AS (SELECT p_partkey,
+        |  p_partkey % 10 AS ni,
+        |  CAST(p_partkey % 100 AS DOUBLE) / 100.0 AS conf,
+        |  p_partkey % 7 AS rel,
+        |  ['component','concept','person','other'][CAST(p_partkey % 4 AS INT) + 1] AS etype
+        |  FROM part),
+        |f AS (SELECT *,
+        |  CASE WHEN ni = 2 THEN 'verb_phrase' WHEN ni = 5 THEN 'question_phrase'
+        |       WHEN ni = 6 THEN 'generic_term' WHEN ni = 8 THEN 'pure_number' END AS invalid,
+        |  (CASE WHEN rel > 0 THEN 1 + least(rel * 0.1, 0.5) ELSE 1.0 END) AS relf,
+        |  (CASE WHEN etype IN ('component', 'person') THEN 1.2 ELSE 0.8 END) AS typef
+        |  FROM base),
+        |scored AS (SELECT *,
+        |  greatest(0.0, least(1.0,
+        |    (CASE WHEN ni = 0 THEN ((conf * 1.5) * 0.7)
+        |          WHEN ni = 4 THEN (((conf * 1.5) * 0.7) * 0.3)
+        |          WHEN ni = 7 THEN (conf * 0.3)
+        |          ELSE (conf * 1.2) END * relf) * typef)) AS score
+        |  FROM f),
+        |sel AS (SELECT *,
+        |  CASE WHEN invalid IS NOT NULL THEN rel >= 5
+        |       ELSE score >= 0.4 OR rel >= 3 END AS keep,
+        |  CASE WHEN invalid IS NOT NULL THEN
+        |    CASE WHEN rel >= 5 THEN 'kept_despite_' || invalid || '_due_to_relationships'
+        |         ELSE invalid END
+        |  ELSE CASE WHEN score >= 0.4 THEN 'good_quality'
+        |            WHEN rel >= 3 THEN 'kept_for_relationships'
+        |            ELSE 'low_quality' END END AS reason,
+        |  CASE WHEN invalid IS NOT NULL THEN
+        |    CASE WHEN rel >= 5 THEN 0.5 ELSE 0.0 END ELSE score END AS qscore
+        |  FROM scored)
+        |SELECT reason, keep, COUNT(*) AS n,
+        |CAST(SUM(CAST(floor(qscore * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |  AS sum_score_micro
+        |FROM sel GROUP BY 1, 2""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
