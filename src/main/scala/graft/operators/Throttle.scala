@@ -62,4 +62,36 @@ object Throttle {
       }
     }.flatten
   }
+
+  /** Exponential-backoff retry for external-service calls
+    * (app/utils/retry.py:24-114: tenacity-style decorator + the
+    * explicit async wrapper, backoff_factor 2.0 from initial_wait,
+    * capped at max_wait). Non-retryable failures (per `retryable`)
+    * and the final attempt's failure propagate unchanged. `sleep` is
+    * injectable so specs can record the schedule instead of waiting.
+    *
+    * Compose with [[batchedAsync]] by wrapping the batch fn:
+    * `batchedAsync(it, bs, mc)(b => withRetry()(client.call(b)))` —
+    * retries then happen per batch inside the concurrency window,
+    * which is where the reference's embed/LLM clients retry. */
+  def withRetry[R](maxAttempts: Int = 3, initialWaitMillis: Long = 1000,
+      backoffFactor: Double = 2.0, maxWaitMillis: Long = 60000,
+      retryable: Throwable => Boolean = _ => true,
+      sleep: Long => Unit = Thread.sleep)(f: => R): R = {
+    require(maxAttempts >= 1)
+    var attempt = 1
+    var wait = initialWaitMillis.toDouble
+    var done = false
+    var result: R = null.asInstanceOf[R] // done-flag guards the read
+    while (!done) {
+      try { result = f; done = true }
+      catch {
+        case e: Throwable if retryable(e) && attempt < maxAttempts =>
+          sleep(math.min(wait, maxWaitMillis.toDouble).toLong)
+          wait *= backoffFactor
+          attempt += 1
+      }
+    }
+    result
+  }
 }
