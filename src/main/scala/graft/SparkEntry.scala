@@ -1337,6 +1337,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("m")).as("sum_score_micro"))
   }
 
+  /** Three-source hybrid in the gate (search_service.py:370-423):
+    * the q24 RRF fusion UNLIMITED (the reference fuses every vec/bm25
+    * id before ranking), then a deterministic graph stand-in whose
+    * ids half-overlap the corpus — present ids keep their fused
+    * entry (the anti-join skip), absent ids append with their raw
+    * graph score, and the union re-ranks to 10. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lex = bm25Scores(s, dir)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val vec = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
+    val fused = Search.rrf(Seq(lex, vec), "doc_id", "score", 60, Int.MaxValue)
+      .select(col("doc_id"), col("rrf").as("score"))
+    val graph = t(s, dir, "documents").where(col("doc_id") % 7 === 0)
+      .select(explode(array(col("doc_id"), col("doc_id") + 1000000)).as("doc_id"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(10.0) + (col("doc_id") % 50).cast("double"))).as("score"))
+    Search.fuseWithGraph(fused, graph, "doc_id", "score", 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1509,7 +1532,8 @@ object SparkEntry {
     "q84_llm_select" -> q84 _,
     "q85_tag_merge" -> q85 _,
     "q86_doc_category" -> q86 _,
-    "q87_entity_quality" -> q87 _)
+    "q87_entity_quality" -> q87 _,
+    "q88_hybrid_graph" -> q88 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2089,7 +2113,8 @@ object SparkEntry {
         |SELECT reason, keep, COUNT(*) AS n,
         |CAST(SUM(CAST(floor(qscore * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |  AS sum_score_micro
-        |FROM sel GROUP BY 1, 2""".stripMargin)
+        |FROM sel GROUP BY 1, 2""".stripMargin,
+    "q88_hybrid_graph" -> hybridGraphOracleSql)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
@@ -2832,9 +2857,11 @@ object SparkEntry {
   }
 
   /** RRF oracle: BM25 ranks ⊕ cosine ranks, 1/(60+rank), top 10. */
-  private def rrfOracleSql: String = {
+  /** Shared lex+vec RRF CTE chain (through `ranked`) for the q24 and
+    * q88 oracles. */
+  private def rrfCoreSql: String = {
     val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
-    s"""WITH idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+    s"""idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
        |  SELECT doc_id, unnest($toksSql) AS token FROM documents) GROUP BY doc_id, token),
        |dls AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
@@ -2854,8 +2881,28 @@ object SparkEntry {
        |ranked AS (
        |  SELECT doc_id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM lex
        |  UNION ALL
-       |  SELECT doc_id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM vec)
+       |  SELECT doc_id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)) AS contrib FROM vec)""".stripMargin
+  }
+
+  private def rrfOracleSql: String =
+    s"""WITH $rrfCoreSql
        |SELECT doc_id, round(SUM(contrib), 6) AS rrf FROM ranked
        |GROUP BY doc_id ORDER BY SUM(contrib) DESC, doc_id LIMIT 10""".stripMargin
-  }
+
+  /** q88: the full three-source hybrid (search_service.py:370-423) —
+    * the q24 fusion unlimited, then graph-only hits appended with
+    * their raw scores, re-ranked to 10. */
+  private def hybridGraphOracleSql: String =
+    s"""WITH $rrfCoreSql,
+       |fused AS (SELECT doc_id, round(SUM(contrib), 6) AS score
+       |  FROM ranked GROUP BY doc_id),
+       |graph AS (SELECT u AS doc_id, 1.0 / (10.0 + CAST(u % 50 AS DOUBLE)) AS score
+       |  FROM (SELECT unnest([doc_id, doc_id + 1000000]) AS u
+       |        FROM documents WHERE doc_id % 7 = 0)),
+       |sel AS (SELECT doc_id, score FROM fused
+       |  UNION ALL
+       |  SELECT g.doc_id, g.score FROM graph g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM fused))
+       |SELECT doc_id, round(score, 6) AS score FROM sel
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -54,20 +54,25 @@ final class Flow(val spark: SparkSession) {
 
   def collectorNames: Seq[String] = collectors.keys.toSeq
 
-  /** Export a collector to a parquet path, merging on primary key. */
-  def export(name: String, path: String, primaryKey: Seq[String]): Unit =
+  /** Export a collector to a parquet path, merging on primary key.
+    * The export name follows the identifier rules (flow.py:396). */
+  def export(name: String, path: String, primaryKey: Seq[String]): Unit = {
+    Naming.validateTargetName(name)
     graft.incremental.ParquetSink.merge(
       spark, path, collector(name), primaryKey,
       deletes = None)
+  }
 
   /** Export a collector through a registered target connector
     * (interface.rs:238-316 dispatch-by-kind — the custom-target
     * extension point: any [[graft.sinks.TargetConnector]] plugs in).
     */
   def exportTo(name: String, kind: String, target: String,
-      primaryKey: Seq[String]): Unit =
+      primaryKey: Seq[String]): Unit = {
+    Naming.validateTargetName(name)
     graft.sinks.TargetRegistry(kind)
       .applyMutation(spark, target, collector(name), primaryKey, deletes = None)
+  }
 
   /** Declaration op (spec.rs:524 `declarations`): register a
     * target-side artifact — a label/table plus primary key and index
@@ -109,8 +114,10 @@ object Flow {
 final class Scope private[dataflow] (
     flow: Flow, val df: DataFrame, val keyCols: Seq[String]) {
 
-  /** Transform op: define one NEW field (write-once enforced). */
+  /** Transform op: define one NEW field (write-once enforced; name
+    * checked against the identifier rules, flow.py:311-313). */
   def transform(field: String, value: Column): Scope = {
+    Naming.validateFieldName(field)
     require(!df.columns.contains(field),
       s"field '$field' already defined in scope (fields are write-once)")
     new Scope(flow, df.withColumn(field, value), keyCols)

@@ -214,4 +214,21 @@ object Search {
       .select(col(idCol), round(col("rrf_raw"), 6).as("rrf"))
       .limit(limitN)
   }
+
+  /** Blend graph hits into an RRF-fused set
+    * (search_service.py:416-423): graph results whose id is ABSENT
+    * from the fused set append with their own raw score (the
+    * reference's documented simplification — no rescaling); ids
+    * already fused keep their fused entry. The whole set then
+    * re-ranks to `limitN`. The append is a left-anti join on id —
+    * no shuffle of the corpus, only of the two result sets. */
+  def fuseWithGraph(fused: DataFrame, graph: DataFrame, idCol: String,
+      scoreCol: String, limitN: Int = 10): DataFrame = {
+    val extra = graph.select(col(idCol), col(scoreCol))
+      .join(fused.select(col(idCol)), Seq(idCol), "left_anti")
+    fused.select(col(idCol), col(scoreCol))
+      .unionByName(extra)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .limit(limitN)
+  }
 }

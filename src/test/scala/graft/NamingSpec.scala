@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dataflow.{Flow, Naming, NamingException}
+
+/** Identifier naming rules (python/cocoindex/validation.py:12-105). */
+class NamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("identifier rules: empty, length, reserved prefix, charset") {
+    assert(Naming.validateIdentifier("chunks") === None)
+    assert(Naming.validateIdentifier("_private") === None)
+    assert(Naming.validateIdentifier("A1_b2") === None)
+    assert(Naming.validateIdentifier("").get ===
+      "identifier name cannot be empty")
+    assert(Naming.validateIdentifier("x" * 65).get.contains(
+      "exceeds maximum length of 64"))
+    assert(Naming.validateIdentifier("__internal").get.contains(
+      "reserved for internal usage"))
+    assert(Naming.validateIdentifier("1leading").get.contains(
+      "must start with a letter or underscore"))
+    assert(Naming.validateIdentifier("has-dash").get.contains(
+      "letters, digits, and underscores"))
+    // dots only for full flow names
+    assert(Naming.validateIdentifier("ns.flow").isDefined)
+    assert(Naming.validateIdentifier("ns.flow", allowDots = true) === None)
+    assert(Naming.validateFullFlowName("app.ingest") === "app.ingest")
+    intercept[NamingException](Naming.validateFlowName("app.ingest"))
+  }
+
+  test("flow enforces field and target names at build time") {
+    val flow = Flow(spark)
+    val scope = flow.importSource(
+      Seq((1L, "a")).toDF("id", "text"), "id")
+    // valid name passes through; invalid throws before any plan builds
+    scope.transform("n_chars", length(col("text")))
+    intercept[NamingException](
+      scope.transform("bad-name", length(col("text"))))
+    intercept[NamingException](
+      scope.transform("__reserved", length(col("text"))))
+    scope.collect("rows", Seq("id" -> col("id")))
+    intercept[NamingException](
+      flow.export("not/a/name", "/tmp/never-used", Seq("id")))
+  }
+}

@@ -242,6 +242,17 @@ class SearchSpec extends AnyFunSuite {
     assert(got(20L) === exp20)
     assert(got(30L) === BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("graph blend: present ids keep their fused entry, absent ids append raw") {
+    val fused = Seq((10L, 0.03), (20L, 0.02)).toDF("id", "score")
+    // id 10 is already fused: its HIGHER graph score must NOT replace
+    // the fused entry; id 99 is graph-only: appends with its raw score
+    val graph = Seq((10L, 0.9), (99L, 0.025)).toDF("id", "score")
+    val got = graft.operators.Search
+      .fuseWithGraph(fused, graph, "id", "score", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 0.03), (99L, 0.025), (20L, 0.02)))
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
