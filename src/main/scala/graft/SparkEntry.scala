@@ -1352,10 +1352,15 @@ object SparkEntry {
         VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
     val fused = Search.rrf(Seq(lex, vec), "doc_id", "score", 60, Int.MaxValue)
       .select(col("doc_id"), col("rrf").as("score"))
+    // graph scores pre-round to 6 dp like the fused rrf values, so
+    // both engines rank the union on identical doubles (an unrounded
+    // graph score could tie a fused score only after rounding and
+    // flip the cut at position 10)
     val graph = t(s, dir, "documents").where(col("doc_id") % 7 === 0)
       .select(explode(array(col("doc_id"), col("doc_id") + 1000000)).as("doc_id"))
       .select(col("doc_id"),
-        (lit(1.0) / (lit(10.0) + (col("doc_id") % 50).cast("double"))).as("score"))
+        round(lit(1.0) / (lit(10.0) + (col("doc_id") % 50).cast("double")), 6)
+          .as("score"))
     Search.fuseWithGraph(fused, graph, "doc_id", "score", 10)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
@@ -2896,7 +2901,8 @@ object SparkEntry {
     s"""WITH $rrfCoreSql,
        |fused AS (SELECT doc_id, round(SUM(contrib), 6) AS score
        |  FROM ranked GROUP BY doc_id),
-       |graph AS (SELECT u AS doc_id, 1.0 / (10.0 + CAST(u % 50 AS DOUBLE)) AS score
+       |graph AS (SELECT u AS doc_id,
+       |  round(1.0 / (10.0 + CAST(u % 50 AS DOUBLE)), 6) AS score
        |  FROM (SELECT unnest([doc_id, doc_id + 1000000]) AS u
        |        FROM documents WHERE doc_id % 7 = 0)),
        |sel AS (SELECT doc_id, score FROM fused

@@ -34,7 +34,9 @@ object Naming {
         if (allowDots) (identifierWithDots,
           "letters, digits, underscores, and dots")
         else (identifier, "letters, digits, and underscores")
-      if (pattern.findFirstIn(name).isEmpty)
+      // full-string match, not findFirstIn: Java's $ would accept a
+      // trailing newline, leaking it into column/target identifiers
+      if (!pattern.matches(name))
         Some(s"$identifierType name '$name' must start with a letter or " +
           s"underscore and contain only $allowed")
       else None

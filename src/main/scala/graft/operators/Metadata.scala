@@ -129,12 +129,16 @@ object Metadata {
   def productModelTags(content: Column): Column =
     array_distinct(regexp_extract_all(content, lit(productPattern), lit(0)))
 
-  // One longest-first alternation per taxonomy scan replaces the
-  // reference's per-entry re.search loop: same match set (no taxonomy
-  // entry is a boundary-ended prefix of another, and longest-first
-  // ordering guards regardless), one regex pass per row instead of ~40.
+  // One longest-first LOOKAHEAD alternation per taxonomy scan replaces
+  // the reference's per-entry re.search loop in a single regex pass.
+  // The zero-width wrapper matters: a plain alternation CONSUMES its
+  // match, so overlapping entries vanish ("no-power cycling" would
+  // match "no-power" and skip past the "power cycling" that starts
+  // inside it); the lookahead matches at every start position like
+  // the reference's independent searches. Longest-first ordering
+  // resolves same-position alternatives.
   private def alternation(terms: Seq[String]): String =
-    "\\b(" + terms.sortBy(-_.length).mkString("|") + ")\\b"
+    "(?=\\b(" + terms.sortBy(-_.length).mkString("|") + ")\\b)"
 
   private val componentAlt = alternation(components)
 

@@ -86,7 +86,10 @@ object Throttle {
     while (!done) {
       try { result = f; done = true }
       catch {
-        case e: Throwable if retryable(e) && attempt < maxAttempts =>
+        // NonFatal first: OOM / InterruptedException / LinkageError
+        // must propagate immediately, never sleep-and-retry
+        case scala.util.control.NonFatal(e)
+            if retryable(e) && attempt < maxAttempts =>
           sleep(math.min(wait, maxWaitMillis.toDouble).toLong)
           wait *= backoffFactor
           attempt += 1

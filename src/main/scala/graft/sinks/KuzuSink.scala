@@ -58,11 +58,12 @@ object KuzuDdl {
   def createNodeTable(label: String, schema: StructType,
       keyCols: Seq[String]): String = {
     require(keyCols.nonEmpty)
-    val cols = schema.fields
-      .map(f => s"${f.name} ${kuzuType(f.dataType)}")
+    // rendered from nodeColumns so the DDL and applySetup's
+    // convergence diff can never drift apart
+    val cols = nodeColumns(schema)
+      .map { case (n, t) => s"$n $t" }
       .mkString(", ")
     s"CREATE NODE TABLE IF NOT EXISTS $label ($cols, " +
-      s"${Neo4jCypher.SelfContainedTag} BOOL, " +
       s"PRIMARY KEY (${keyCols.mkString(", ")}));"
   }
 
@@ -179,6 +180,13 @@ final case class KuzuConnector(mkSession: () => CypherSession,
     def create(): Unit = session.run(CypherStatement(
       KuzuDdl.createNodeTable(target, desired, keyCols), "{}"))
     session.tableInfo(target) match {
+      case CypherSession.Unknown if allowRecreate =>
+        // caller explicitly authorized destruction and the seam can't
+        // diff — DROP+CREATE is the only way drift converges here
+        session.run(CypherStatement(s"DROP TABLE IF EXISTS $target;", "{}"))
+        create()
+        SetupDriver.SetupResult(SetupDriver.NotCompatible,
+          "recreated table (write-only session: drift undetectable)")
       case CypherSession.Unknown =>
         create()
         SetupDriver.SetupResult(SetupDriver.Compatible,

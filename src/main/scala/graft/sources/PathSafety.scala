@@ -22,6 +22,10 @@ final class PathSecurityException(msg: String)
   */
 object PathSafety {
 
+  // Scanned against the RESOLVED path, exactly like the reference
+  // (path_validator.py:70-87 lowercases str(resolved_path)) — so the
+  // traversal entries ("/../", "\..\") are belt-and-braces that
+  // normalization has already removed; containment is `baseDir`'s job.
   private val suspiciousPatterns = Seq(
     "/etc/passwd", "/etc/shadow",
     "c:\\windows\\system32", "c:\\windows\\system",
@@ -101,7 +105,9 @@ object PathSafety {
         throw new PathSecurityException(
           s"Filename contains forbidden character: '$c'")
     }
-    if (reservedNames.contains(name.split('.')(0).toUpperCase))
+    // stem = text before the first '.' — NOT split('.')(0), which
+    // throws on all-dot names like ".." (Java strips trailing empties)
+    if (reservedNames.contains(name.takeWhile(_ != '.').toUpperCase))
       throw new PathSecurityException(s"Filename is a reserved name: $name")
     if (name.length > 255)
       throw new PathSecurityException(

@@ -46,6 +46,14 @@ class MetadataSpec extends AnyFunSuite {
     assert(merged(Nil, "battery-drain confirmed") === Seq("battery", "battery-drain"))
   }
 
+  test("overlapping mentions both tag (zero-width scan, like per-entry search)") {
+    // "power cycling" starts INSIDE the "no-power" match — a consuming
+    // alternation would drop it; the reference's per-issue re.search
+    // finds both ('-' is a word boundary before "power")
+    assert(merged(Nil, "no-power cycling detected") ===
+      Seq("no-power", "power-cycling"))
+  }
+
   test("empties drop, null llm is fine, cap binds at 15 after the sort") {
     assert(merged(Seq("", "  "), "nothing taxonomic here") === Nil)
     val many = (1 to 20).map(i => f"tag$i%02d")

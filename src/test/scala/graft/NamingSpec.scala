@@ -24,6 +24,8 @@ class NamingSpec extends AnyFunSuite {
       "must start with a letter or underscore"))
     assert(Naming.validateIdentifier("has-dash").get.contains(
       "letters, digits, and underscores"))
+    // trailing newline must NOT slip past the anchors ($ would allow it)
+    assert(Naming.validateIdentifier("chunks\n").isDefined)
     // dots only for full flow names
     assert(Naming.validateIdentifier("ns.flow").isDefined)
     assert(Naming.validateIdentifier("ns.flow", allowDots = true) === None)

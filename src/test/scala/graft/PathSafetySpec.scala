@@ -58,6 +58,9 @@ class PathSafetySpec extends AnyFunSuite {
       .contains("reserved name"))
     assert(deny(PathSafety.validateFilename(".hidden"))
       .contains("Hidden files"))
+    // all-dot names reject cleanly (no crash on the empty stem)
+    assert(deny(PathSafety.validateFilename(".")).contains("Hidden files"))
+    assert(deny(PathSafety.validateFilename("..")).contains("Hidden files"))
     assert(deny(PathSafety.validateFilename("x" * 256))
       .contains("too long"))
     assert(deny(PathSafety.validateFilename("")) === "Empty filename provided")

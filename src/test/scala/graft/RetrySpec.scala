@@ -54,4 +54,14 @@ class RetrySpec extends AnyFunSuite {
     assert(Throttle.withRetry[Int](sleep = _ => slept = true)(42) === 42)
     assert(!slept)
   }
+
+  test("fatal throwables propagate without a retry even when 'retryable'") {
+    var calls = 0
+    intercept[InterruptedException](
+      Throttle.withRetry[Unit](maxAttempts = 5, sleep = _ => ()) {
+        calls += 1
+        throw new InterruptedException("cancelled")
+      })
+    assert(calls === 1) // NonFatal guard: cancellation is not retried
+  }
 }

@@ -493,4 +493,22 @@ class KuzuSinkSpec extends AnyFunSuite {
       StructType(Seq(StructField("title", StringType)))))
     RecordingCypherSession.clear(logId)
   }
+
+  test("write-only session: ensure by default, drop+create only under allowRecreate") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    // no tableInfo override: the trait default (Unknown) — the seam
+    // cannot diff, so allowRecreate is the caller's explicit authority
+    val session = new graft.sinks.CypherSession {
+      override def run(st: CypherStatement): Unit = seen += st.cypher
+    }
+    val c = KuzuConnector(() => session, Seq("doc_id"))
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    assert(c.applySetup(spark, "Blind", schema).action ===
+      "ensured table (write-only session: IF NOT EXISTS, drift undetectable)")
+    assert(seen.toSeq.count(_.startsWith("DROP TABLE")) === 0)
+    assert(c.applySetup(spark, "Blind", schema, allowRecreate = true).action ===
+      "recreated table (write-only session: drift undetectable)")
+    assert(seen.toSeq.takeRight(2).map(_.takeWhile(_ != ' ')) ===
+      Seq("DROP", "CREATE"))
+  }
 }
