@@ -1350,8 +1350,8 @@ object SparkEntry {
     val vec = emb.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         VectorFunctions.cosine(col("embedding"), col("qvec")).as("score"))
-    val fused = Search.rrf(Seq(lex, vec), "doc_id", "score", 60, Int.MaxValue)
-      .select(col("doc_id"), col("rrf").as("score"))
+    val fused = Search.rrfRaw(Seq(lex, vec), "doc_id", "score", 60)
+      .select(col("doc_id"), round(col("rrf_raw"), 6).as("score"))
     // graph scores pre-round to 6 dp like the fused rrf values, so
     // both engines rank the union on identical doubles (an unrounded
     // graph score could tie a fused score only after rounding and

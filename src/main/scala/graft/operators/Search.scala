@@ -198,7 +198,19 @@ object Search {
     * fused = Σ 1/(rrfK + rank). Output: (id, rrf) top `limit`.
     */
   def rrf(sources: Seq[DataFrame], idCol: String, scoreCol: String,
-      rrfK: Int = 60, limitN: Int = 10): DataFrame = {
+      rrfK: Int = 60, limitN: Int = 10): DataFrame =
+    rrfRaw(sources, idCol, scoreCol, rrfK)
+      .orderBy(col("rrf_raw").desc, col(idCol).asc)
+      .select(col(idCol), round(col("rrf_raw"), 6).as("rrf"))
+      .limit(limitN)
+
+  /** The fused (id, rrf_raw) set with NO global sort or limit — for
+    * callers that feed the whole fused set into a further blend
+    * (e.g. [[fuseWithGraph]], which re-ranks after appending): a
+    * top-k cut here would be wasted work, and a huge `limit` would
+    * plan as TakeOrderedAndProject pulling the corpus to the driver. */
+  def rrfRaw(sources: Seq[DataFrame], idCol: String, scoreCol: String,
+      rrfK: Int = 60): DataFrame = {
     val ranked = sources.map { s =>
       // global rank per source: range-sorted zipWithIndex, not a
       // no-partition window (which would single-partition the corpus)
@@ -210,9 +222,6 @@ object Search {
     ranked.reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(sum(col("contrib")).as("rrf_raw"))
-      .orderBy(col("rrf_raw").desc, col(idCol).asc)
-      .select(col(idCol), round(col("rrf_raw"), 6).as("rrf"))
-      .limit(limitN)
   }
 
   /** Blend graph hits into an RRF-fused set
