@@ -1365,6 +1365,33 @@ object SparkEntry {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
+  /** Incremental BM25 maintenance in the gate: sync the corpus into a
+    * token-base artifact, then apply a second delta sync (docs on the
+    * %10 residue get query terms appended; the %13 residue deletes —
+    * only the delta re-tokenizes), and score through the maintained
+    * index. The oracle computes BM25 directly over the FINAL corpus
+    * state — equality proves the incremental path converges to the
+    * from-scratch truth. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalIndex
+    val docs = t(s, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-incidx")
+      .toString + "/tokenbase"
+    IncrementalIndex.syncTokenBase(s, base,
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val edited = docs
+      .where(col("doc_id") % 10 === 0 && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" spark filter appended")).as("text"))
+    val deleted = docs.where(col("doc_id") % 13 === 0).select(col("doc_id"))
+    IncrementalIndex.syncTokenBase(s, base, edited, "doc_id", "text",
+      deletedIds = Some(deleted))
+    Search.scoreWith(IncrementalIndex.index(s, base, "doc_id"), bm25QueryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .limit(20)
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1538,7 +1565,8 @@ object SparkEntry {
     "q85_tag_merge" -> q85 _,
     "q86_doc_category" -> q86 _,
     "q87_entity_quality" -> q87 _,
-    "q88_hybrid_graph" -> q88 _)
+    "q88_hybrid_graph" -> q88 _,
+    "q89_incremental_bm25" -> q89 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2119,7 +2147,28 @@ object SparkEntry {
         |CAST(SUM(CAST(floor(qscore * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |  AS sum_score_micro
         |FROM sel GROUP BY 1, 2""".stripMargin,
-    "q88_hybrid_graph" -> hybridGraphOracleSql)
+    "q88_hybrid_graph" -> hybridGraphOracleSql,
+    "q89_incremental_bm25" -> {
+      // BM25 over the FINAL corpus state (edits applied, deletions
+      // gone) — the closed-form truth the incremental index must match
+      val terms = bm25QueryTerms.map(q => s"'$q'").mkString(", ")
+      s"""WITH docs AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 THEN text || ' spark filter appended'
+         |       ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |idx AS (SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM docs) GROUP BY doc_id, token),
+         |dls AS (SELECT doc_id, len($toksSql) AS dl FROM docs),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+         |m AS (SELECT * FROM idx WHERE token IN ($terms)),
+         |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY token),
+         |lex AS (SELECT m.doc_id, SUM(
+         |  ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |    * (m.tf * (1.2 + 1)) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS score
+         |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats GROUP BY m.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM lex
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    })
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -231,5 +231,5 @@ object Memo {
   /** Fingerprint of logic + input values (fingerprint.rs:34-143 role:
     * any change in the op spec or inputs changes the key). */
   def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
-    sha2(concat_ws(" ", lit(logic) +: cols.map(_.cast("string")): _*), 256)
+    sha2(concat_ws("\u0000", lit(logic) +: cols.map(_.cast("string")): _*), 256)
 }
