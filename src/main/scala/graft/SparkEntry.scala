@@ -1392,6 +1392,42 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** LLM response handling in the gate (llm_service.py:396-512):
+    * four response shapes per residue — ```json-fenced object, bare-
+    * fenced object, unfenced object, non-JSON rambling — through
+    * fence-strip + graded parse fallbacks, plus the cost estimate
+    * over the pricing table (with an unknown-model residue priced
+    * 0). */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LlmResponse
+    val docs = t(s, dir, "documents")
+    val c4 = col("doc_id") % 4
+    val content = when(c4 === 0, concat(
+        lit("```json\n{\"title\": \"T"), col("doc_id"),
+        lit("\", \"confidence\": 0.9}\n```")))
+      .when(c4 === 1, concat(
+        lit("```\n{\"summary\": \"S"), col("doc_id"), lit("\"}\n```")))
+      .when(c4 === 2, lit("{\"title\": \"plain\", \"tags\": [\"a\", \"b\"]}"))
+      .otherwise(concat(lit("model said: "), substring(col("text"), 1, 40)))
+    val provider = when(col("doc_id") % 2 === 0, lit("openai"))
+      .otherwise(lit("gemini"))
+    val model = when(col("doc_id") % 11 === 0, lit("mystery"))
+      .when(col("doc_id") % 2 === 0, lit("gpt-4o-mini"))
+      .otherwise(lit("gemini-2.5-flash"))
+    // integer micro-units: Spark round() goes through the decimal
+    // string (HALF_UP) where DuckDB rounds the binary double — exact
+    // 5e-7 ties diverge, floor(x*1e6 + 0.5) cannot
+    docs.select(col("doc_id"), col("n_chars"),
+        LlmResponse.parseMetadata(content).as("m"),
+        floor(LlmResponse.estimateCostRaw(provider, model, col("n_chars"),
+          col("doc_id") % 500) * 1000000.0 + 0.5).cast("long")
+          .as("cost_micro"))
+      .select(col("doc_id"), col("m.title").as("title"),
+        col("m.summary").as("summary"),
+        col("m.confidence").as("confidence"),
+        size(col("m.tags")).as("n_tags"), col("cost_micro"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1566,7 +1602,8 @@ object SparkEntry {
     "q86_doc_category" -> q86 _,
     "q87_entity_quality" -> q87 _,
     "q88_hybrid_graph" -> q88 _,
-    "q89_incremental_bm25" -> q89 _)
+    "q89_incremental_bm25" -> q89 _,
+    "q90_llm_response" -> q90 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2168,7 +2205,49 @@ object SparkEntry {
          |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats GROUP BY m.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM lex
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    })
+    },
+    "q90_llm_response" ->
+      """WITH c AS (SELECT doc_id, n_chars, text,
+        |  CASE WHEN doc_id % 4 = 0 THEN '```json' || chr(10) ||
+        |         '{"title": "T' || doc_id || '", "confidence": 0.9}' || chr(10) || '```'
+        |       WHEN doc_id % 4 = 1 THEN '```' || chr(10) ||
+        |         '{"summary": "S' || doc_id || '"}' || chr(10) || '```'
+        |       WHEN doc_id % 4 = 2 THEN '{"title": "plain", "tags": ["a", "b"]}'
+        |       ELSE 'model said: ' || substr(text, 1, 40) END AS content
+        |  FROM documents),
+        |s AS (SELECT *, trim(content, ' ' || chr(9) || chr(10) || chr(13)) AS t FROM c),
+        |f AS (SELECT *, CASE
+        |  WHEN t LIKE '```json%' THEN trim(CASE
+        |    WHEN substr(t, 8) LIKE '%```' AND len(substr(t, 8)) >= 3
+        |      THEN substr(substr(t, 8), 1, len(substr(t, 8)) - 3)
+        |    ELSE substr(t, 8) END, ' ' || chr(9) || chr(10) || chr(13))
+        |  WHEN t LIKE '```%' THEN trim(CASE
+        |    WHEN substr(t, 4) LIKE '%```' AND len(substr(t, 4)) >= 3
+        |      THEN substr(substr(t, 4), 1, len(substr(t, 4)) - 3)
+        |    ELSE substr(t, 4) END, ' ' || chr(9) || chr(10) || chr(13))
+        |  ELSE t END AS cleaned FROM s),
+        |p AS (SELECT *, json_valid(cleaned) AS ok FROM f),
+        |parsed AS (SELECT doc_id, n_chars,
+        |  CASE WHEN ok AND cleaned LIKE '{%'
+        |       THEN json_extract_string(cleaned, '$.title') END AS title,
+        |  CASE WHEN ok AND cleaned LIKE '{%'
+        |       THEN json_extract_string(cleaned, '$.summary')
+        |       WHEN NOT ok THEN substr(content, 1, 200) END AS summary,
+        |  CASE WHEN ok AND cleaned LIKE '{%' THEN
+        |    coalesce(TRY_CAST(json_extract(cleaned, '$.confidence') AS DOUBLE), 0.5)
+        |       WHEN NOT ok THEN 0.3 ELSE 0.0 END AS confidence,
+        |  CAST(CASE WHEN ok AND cleaned LIKE '{%'
+        |       THEN coalesce(json_array_length(cleaned, '$.tags'), 0)
+        |       ELSE 0 END AS INT) AS n_tags
+        |  FROM p)
+        |SELECT doc_id, title, summary, confidence, n_tags,
+        |  CAST(floor(CASE WHEN doc_id % 11 = 0 THEN 0.0
+        |       WHEN doc_id % 2 = 0 THEN
+        |         (n_chars / 1000.0) * 0.00015 + ((doc_id % 500) / 1000.0) * 0.0006
+        |       ELSE
+        |         (n_chars / 1000.0) * 0.00035 + ((doc_id % 500) / 1000.0) * 0.00105
+        |  END * 1000000.0 + 0.5) AS BIGINT) AS cost_micro
+        |FROM parsed""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
