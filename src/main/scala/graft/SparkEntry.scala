@@ -1428,6 +1428,33 @@ object SparkEntry {
         size(col("m.tags")).as("n_tags"), col("cost_micro"))
   }
 
+  /** Markdown section extraction + text preprocessing in the gate
+    * (document_processor.py:204-252): synthesized markdown per
+    * document (preamble on the even residue — dropped; a level-2
+    * header with a trailing-space title on %3; a level-6 tail on %5),
+    * sectioned, then title+content pushed through preprocessText
+    * (whitespace collapse + special-char drop) as `clean`. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sections
+    val docs = t(s, dir, "documents")
+    val md = concat(
+      when(col("doc_id") % 2 === 0, lit("preamble dropped\n")).otherwise(lit("")),
+      lit("# Doc "), col("doc_id"), lit("\n"),
+      lit("alpha "), substring(col("text"), 1, 20), lit("\n"),
+      lit("beta line\n"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("## Sub "), col("doc_id") % 7, lit("  \nsub body\n")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("###### Deep\ntail line"))
+        .otherwise(lit("closing")))
+    Sections.sections(docs.select(col("doc_id"), md.as("text")),
+        "doc_id", "text")
+      .withColumn("clean", Sections.preprocessText(
+        concat(lit("["), col("title"), lit("] ** "), col("content"))))
+      .withColumn("section_index", col("section_index").cast("int"))
+      .withColumn("level", col("level").cast("int"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1603,7 +1630,8 @@ object SparkEntry {
     "q87_entity_quality" -> q87 _,
     "q88_hybrid_graph" -> q88 _,
     "q89_incremental_bm25" -> q89 _,
-    "q90_llm_response" -> q90 _)
+    "q90_llm_response" -> q90 _,
+    "q91_md_sections" -> q91 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2247,7 +2275,39 @@ object SparkEntry {
         |       ELSE
         |         (n_chars / 1000.0) * 0.00035 + ((doc_id % 500) / 1000.0) * 0.00105
         |  END * 1000000.0 + 0.5) AS BIGINT) AS cost_micro
-        |FROM parsed""".stripMargin)
+        |FROM parsed""".stripMargin,
+    "q91_md_sections" ->
+      """WITH md AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'preamble dropped' || chr(10) ELSE '' END) ||
+        |  '# Doc ' || doc_id || chr(10) ||
+        |  'alpha ' || substr(text, 1, 20) || chr(10) ||
+        |  'beta line' || chr(10) ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |        THEN '## Sub ' || (doc_id % 7) || '  ' || chr(10) || 'sub body' || chr(10)
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '######' || ' Deep' || chr(10) || 'tail line'
+        |        ELSE 'closing' END) AS t
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM md),
+        |lines AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+        |  unnest(ls) AS line FROM parts),
+        |hdr AS (SELECT *,
+        |  regexp_extract(line, '^(#{1,6})\s+(.+)$', 1) AS hashes,
+        |  regexp_extract(line, '^(#{1,6})\s+(.+)$', 2) AS htitle FROM lines),
+        |sec AS (SELECT *, SUM(CASE WHEN len(hashes) > 0 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY doc_id ORDER BY pos) AS section_index FROM hdr),
+        |grouped AS (SELECT doc_id, CAST(section_index AS INT) AS section_index,
+        |  max(CASE WHEN len(hashes) > 0 THEN htitle END) AS title,
+        |  CAST(max(CASE WHEN len(hashes) > 0 THEN len(hashes) END) AS INT) AS level,
+        |  coalesce(trim(string_agg(CASE WHEN len(hashes) = 0 THEN line END,
+        |      chr(10) ORDER BY pos),
+        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12)), '') AS content
+        |  FROM sec WHERE section_index > 0 GROUP BY doc_id, section_index)
+        |SELECT doc_id, section_index, title, level, content,
+        |  trim(regexp_replace(regexp_replace(
+        |    '[' || title || '] ** ' || content, '\s+', ' ', 'g'),
+        |    '[^\w\s.,;:!?\-()"''/]', '', 'g')) AS clean
+        |FROM grouped""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
