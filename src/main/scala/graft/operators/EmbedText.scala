@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Text-embedding boundary (EmbedText, embed_text.rs:9-104 /
@@ -72,5 +72,29 @@ object EmbedText {
         }
       }
       .toDF("id", "embedding")
+  }
+
+  /** Embedding model table — (model, dimensions, price per 1K tokens)
+    * (embedding_service.py:29-42; unknown models are a loud error in
+    * the reference's constructor, so [[embedCost]] mirrors that with
+    * null rather than a silent 0). */
+  val models: Seq[(String, Int, Double)] = Seq(
+    ("text-embedding-3-small", 1536, 0.00002),
+    ("text-embedding-3-large", 3072, 0.00013),
+    ("text-embedding-ada-002", 1536, 0.00010))
+
+  /** The reference's token estimate: whitespace word count × 1.3
+    * (embedding_service.py:163). */
+  def estimatedTokens(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0)).cast("double") * 1.3
+
+  /** Estimated USD cost of embedding `text` with `model`
+    * (embedding_service.py:162-165: estimated tokens / 1000 × the
+    * model's rate); null for models outside the table. */
+  def embedCost(model: Column, text: Column): Column = {
+    val rate = element_at(
+      map(models.flatMap { case (m, _, p) => Seq(lit(m), lit(p)) }: _*),
+      model)
+    (estimatedTokens(text) / 1000.0) * rate
   }
 }

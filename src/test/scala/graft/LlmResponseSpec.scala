@@ -62,4 +62,18 @@ class LlmResponseSpec extends AnyFunSuite {
     assert(got(2) === 0.0056) // 10*0.00035 + 2*0.00105
     assert(got(3) === 0.0)
   }
+
+  test("embedding cost: word-count x 1.3 token estimate times the model rate") {
+    import graft.operators.EmbedText
+    val got = Seq(
+      ("text-embedding-3-small", "ten words here padding out to exactly ten words total"),
+      ("text-embedding-3-large", "  two   words  "),
+      ("no-such-model", "whatever"))
+      .toDF("m", "t")
+      .select(EmbedText.embedCost(col("m"), col("t")).as("c"))
+      .as[Option[Double]].collect().toSeq
+    assert(math.abs(got(0).get - (10 * 1.3 / 1000.0) * 0.00002) < 1e-15)
+    assert(math.abs(got(1).get - (2 * 1.3 / 1000.0) * 0.00013) < 1e-15)
+    assert(got(2) === None) // unknown model: null, not a silent 0
+  }
 }
