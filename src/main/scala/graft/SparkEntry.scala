@@ -2232,7 +2232,7 @@ object SparkEntry {
          |    * (m.tf * (1.2 + 1)) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / stats.avgdl))) AS score
          |  FROM m JOIN dfreq USING (token) JOIN dls USING (doc_id) CROSS JOIN stats GROUP BY m.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM lex
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY lex.score DESC, doc_id LIMIT 20""".stripMargin
     },
     "q90_llm_response" ->
       """WITH c AS (SELECT doc_id, n_chars, text,

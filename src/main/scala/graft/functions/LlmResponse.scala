@@ -48,8 +48,29 @@ object LlmResponse {
     */
   def parseMetadata(raw: Column): Column = {
     val cleaned = stripFence(raw)
-    val parseable = get_json_object(cleaned, "$").isNotNull
-    val isObject = parseable && cleaned.startsWith("{")
+    // Validity has to be stricter than get_json_object alone: that
+    // parser reads the FIRST JSON value and ignores trailing garbage,
+    // while json.loads raises Extra-data (the 0.3 arm). A corrupt-
+    // record probe catches malformed objects, and the closing-brace /
+    // bracket guards catch well-formed prefixes with trailing text.
+    // Residual leniency (documented): a bare scalar with trailing
+    // garbage still classifies as the 0.0 arm, not 0.3.
+    val objProbe = from_json(cleaned,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType))),
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    val isObject = cleaned.startsWith("{") && cleaned.endsWith("}") &&
+      objProbe.isNotNull && objProbe.getField("_corrupt").isNull
+    val shapeOk =
+      when(cleaned.startsWith("{"), cleaned.endsWith("}"))
+        .when(cleaned.startsWith("["), cleaned.endsWith("]"))
+        .otherwise(lit(true))
+    // JSON `null` parses (then fails the reference's .get — 0.0 arm)
+    // but get_json_object cannot distinguish it from a parse failure
+    val parseable = shapeOk &&
+      (cleaned === "null" || get_json_object(cleaned, "$").isNotNull ||
+        isObject)
     def field(name: String) = get_json_object(cleaned, s"$$.$name")
     def listField(name: String) = coalesce(
       from_json(field(name), org.apache.spark.sql.types.ArrayType(
@@ -113,10 +134,7 @@ object LlmResponse {
     * except on exact 5e-7 ties. */
   def estimateCost(provider: Column, model: Column,
       promptTokens: Column, completionTokens: Column): Column =
-    when(estimateCostRaw(provider, model, promptTokens,
-      completionTokens) === 0.0, lit(0.0))
-      .otherwise(round(estimateCostRaw(provider, model, promptTokens,
-        completionTokens), 6))
+    round(estimateCostRaw(provider, model, promptTokens, completionTokens), 6)
 
   /** [[estimateCost]] before its 6-dp rounding — for callers that
     * re-encode the value themselves (integer micro-units in the gate,

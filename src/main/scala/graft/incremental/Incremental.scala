@@ -229,7 +229,15 @@ object Memo {
   }
 
   /** Fingerprint of logic + input values (fingerprint.rs:34-143 role:
-    * any change in the op spec or inputs changes the key). */
-  def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
-    sha2(concat_ws("\u0000", lit(logic) +: cols.map(_.cast("string")): _*), 256)
+    * any change in the op spec or inputs changes the key). Each value
+    * carries a null-flag prefix because concat_ws SKIPS null columns —
+    * without it (null, "x") and ("x", null) would collide on one key
+    * and serve each other's cached results. */
+  def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    val tagged = cols.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("0")).otherwise(concat(lit("1"), s))
+    }
+    sha2(concat_ws("\u0000", lit(logic) +: tagged: _*), 256)
+  }
 }

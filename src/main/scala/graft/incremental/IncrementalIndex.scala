@@ -32,10 +32,15 @@ object IncrementalIndex {
   def syncTokenBase(spark: SparkSession, basePath: String,
       changedDocs: DataFrame, idCol: String, textCol: String,
       deletedIds: Option[DataFrame] = None): Long = {
+    // persist the delta: the count and the merge share one
+    // tokenization pass instead of re-evaluating the upstream lineage
     val delta = Search.tokenBase(changedDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = delta.count()
     ParquetSink.merge(spark, basePath, delta, Seq(idCol),
       deletedIds.map(_.select(idCol)))
-    changedDocs.count()
+    delta.unpersist()
+    n
   }
 
   /** The queryable index over the maintained base: vocab-sized

@@ -27,10 +27,14 @@ object Sections {
     * then trim. */
   def preprocessText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(c, "\\s+", " "),
+      // (?U) on the collapse too: Python's \s is unicode (NBSP etc.)
+      regexp_replace(c, "(?U)\\s+", " "),
       "(?U)[^\\w\\s.,;:!?\\-()\"'/]", ""))
 
-  private val headerPattern = "^(#{1,6})\\s+(.+)$"
+  // (?d) pins Java to Python's line semantics: `.` excludes only \n
+  // and `$` matches before a final \n — so a CRLF line's title keeps
+  // its trailing \r exactly like re.match (and RE2 in the oracle)
+  private val headerPattern = "(?d)^(#{1,6})\\s+(.+)$"
 
   /** Extract markdown sections: one row per section of each document,
     * (idCol, section_index, title, level, content). Preamble lines

@@ -45,6 +45,16 @@ class LlmResponseSpec extends AnyFunSuite {
     // valid JSON but not an object (the .get AttributeError arm): 0.0
     assert(parse("[1, 2, 3]") === ((null, null, 0.0, 0)))
     assert(parse("\"just a string\"") === ((null, null, 0.0, 0)))
+    // JSON null parses but is not an object: 0.0, not the 0.3 arm
+    assert(parse("null") === ((null, null, 0.0, 0)))
+    // trailing garbage after a well-formed object = json.loads
+    // Extra-data: the 0.3 degrade arm, NOT a successful parse
+    val trailing = "{\"title\": \"X\"}\nLet me know if you need more"
+    assert(parse(trailing) === ((null, trailing.take(200), 0.3, 0)))
+    // malformed object body: 0.3 arm
+    assert(parse("{\"title\": }") === ((null, "{\"title\": }", 0.3, 0)))
+    // malformed array: 0.3 arm (shape guard)
+    assert(parse("[1, 2") === ((null, "[1, 2", 0.3, 0)))
   }
 
   test("cost estimation matches the pricing table; unknown models are free") {

@@ -22,6 +22,8 @@ class SectionsSpec extends AnyFunSuite {
     assert(pre("  padded  ") === "padded")
     // Python \w is unicode-aware: letters with diacritics survive
     assert(pre("café résumé") === "café résumé")
+    // Python \s is unicode-aware too: NBSP collapses like a space
+    assert(pre("a  b") === "a b")
   }
 
   private def secs(md: String): Seq[(Int, String, Int, String)] =
@@ -54,5 +56,15 @@ class SectionsSpec extends AnyFunSuite {
   test("sections: no headers means no rows; header-only docs have empty content") {
     assert(secs("just text\nno headers") === Nil)
     assert(secs("# Lonely") === Seq((1, "Lonely", 1, "")))
+  }
+
+  test("CRLF lines keep the trailing \\r in titles (Python re semantics)") {
+    // split('\n') on CRLF text leaves '\r' on each line; re.match's
+    // `.` includes \r and `$` only yields before a final \n, so the
+    // title captures 'Title\r' — (?d) pins Java to the same
+    val got = secs("# Title\r\nbody\r\n# Next\r\nmore")
+    assert(got.map(_._2) === Seq("Title\r", "Next\r"))
+    // content lines keep their \r except where strip removes edges
+    assert(got.map(_._4) === Seq("body", "more"))
   }
 }
