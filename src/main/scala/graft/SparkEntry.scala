@@ -1433,7 +1433,12 @@ object SparkEntry {
     * document (preamble on the even residue — dropped; a level-2
     * header with a trailing-space title on %3; a level-6 tail on %5),
     * sectioned, then title+content pushed through preprocessText
-    * (whitespace collapse + special-char drop) as `clean`. */
+    * (whitespace collapse + special-char drop) as `clean`.
+    *
+    * Oracle scope: DuckDB's RE2 `\w`/`\s` are ASCII while the library
+    * follows Python's unicode classes (SectionsSpec covers the
+    * unicode side) — parity holds here because the corpus and the
+    * synthesized markdown are ASCII by construction. */
   private def q91(s: SparkSession, dir: String): DataFrame = {
     import operators.Sections
     val docs = t(s, dir, "documents")
