@@ -1460,6 +1460,30 @@ object SparkEntry {
       .withColumn("level", col("level").cast("int"))
   }
 
+  /** SSE status-event diff in the gate (api/sse.py:81-165): previous
+    * and current status snapshots derived from corpus residues (the
+    * %13 residue is absent from the previous snapshot — first
+    * sighting; the %3 == 0 residue keeps its status — suppressed),
+    * diffed and censused by event type. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import streaming.StatusEvents
+    val docs = t(s, dir, "documents")
+    val sts = array(Seq("processing", "complete", "failed",
+      "pending_review", "uploaded", "chunking", "embedding").map(lit): _*)
+    val prev = docs.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        element_at(sts, (col("doc_id") % 7 + 1).cast("int")).as("status"))
+    val cur = docs.select(col("doc_id"),
+      element_at(sts, ((col("doc_id") % 7 + col("doc_id") % 3) % 7 + 1)
+        .cast("int")).as("status"))
+    StatusEvents.changes(cur, prev, "doc_id", "status")
+      .select(StatusEvents.eventType(col("status")).as("event_type"),
+        col("doc_id"), col("status"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        countDistinct(col("status")).as("n_statuses"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1636,7 +1660,8 @@ object SparkEntry {
     "q88_hybrid_graph" -> q88 _,
     "q89_incremental_bm25" -> q89 _,
     "q90_llm_response" -> q90 _,
-    "q91_md_sections" -> q91 _)
+    "q91_md_sections" -> q91 _,
+    "q92_status_events" -> q92 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2312,7 +2337,27 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(
         |    '[' || title || '] ** ' || content, '\s+', ' ', 'g'),
         |    '[^\w\s.,;:!?\-()"''/]', '', 'g')) AS clean
-        |FROM grouped""".stripMargin)
+        |FROM grouped""".stripMargin,
+    "q92_status_events" ->
+      // closed-form diff: emit when first-sighted (%13) or moved
+      // (%3 != 0 shifts the status index); event type from the final
+      // status
+      """WITH sts AS (SELECT ['processing', 'complete', 'failed',
+        |  'pending_review', 'uploaded', 'chunking', 'embedding'] AS a),
+        |cur AS (SELECT doc_id,
+        |  a[CAST((doc_id % 7 + doc_id % 3) % 7 AS INT) + 1] AS status
+        |  FROM documents, sts
+        |  WHERE doc_id % 13 = 0 OR doc_id % 3 <> 0),
+        |typed AS (SELECT doc_id, status,
+        |  CASE status WHEN 'processing' THEN 'processing_started'
+        |              WHEN 'complete' THEN 'processing_complete'
+        |              WHEN 'failed' THEN 'processing_failed'
+        |              WHEN 'pending_review' THEN 'review_required'
+        |              ELSE 'status_update' END AS event_type
+        |  FROM cur)
+        |SELECT event_type, COUNT(*) AS n, MIN(doc_id) AS min_doc,
+        |COUNT(DISTINCT status) AS n_statuses
+        |FROM typed GROUP BY event_type""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
