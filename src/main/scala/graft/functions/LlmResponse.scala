@@ -18,8 +18,10 @@ object LlmResponse {
     * reference's branch order (the ```json tier wins, and unfenced
     * content passes through already-trimmed). */
   // Python str.strip() removes ALL whitespace; Spark's default trim
-  // removes only spaces — trim the full ASCII whitespace set
-  private val ws = " \t\n\r\f"
+  // removes only spaces — trim the ASCII whitespace set incl the
+  // vertical tab (Python also strips the \u001C-\u001F separators;
+  // excluded here as they never occur in model output)
+  private val ws = " \t\n\r\f\u000B"
   private def wsTrim(c: Column): Column = trim(c, ws)
 
   def stripFence(c: Column): Column = {
@@ -67,10 +69,12 @@ object LlmResponse {
         .when(cleaned.startsWith("["), cleaned.endsWith("]"))
         .otherwise(lit(true))
     // JSON `null` parses (then fails the reference's .get — 0.0 arm)
-    // but get_json_object cannot distinguish it from a parse failure
+    // but get_json_object cannot distinguish it from a parse failure;
+    // same for the non-standard literals json.loads accepts by default
+    val jsonScalarLiterals = Seq("null", "NaN", "Infinity", "-Infinity")
     val parseable = shapeOk &&
-      (cleaned === "null" || get_json_object(cleaned, "$").isNotNull ||
-        isObject)
+      (cleaned.isInCollection(jsonScalarLiterals) ||
+        get_json_object(cleaned, "$").isNotNull || isObject)
     def field(name: String) = get_json_object(cleaned, s"$$.$name")
     def listField(name: String) = coalesce(
       from_json(field(name), org.apache.spark.sql.types.ArrayType(

@@ -33,8 +33,10 @@ object Sections {
 
   // (?d) pins Java to Python's line semantics: `.` excludes only \n
   // and `$` matches before a final \n — so a CRLF line's title keeps
-  // its trailing \r exactly like re.match (and RE2 in the oracle)
-  private val headerPattern = "(?d)^(#{1,6})\\s+(.+)$"
+  // its trailing \r exactly like re.match (and RE2 in the oracle);
+  // (?U) makes \s unicode like Python's (an NBSP after the hashes
+  // still delimits a header)
+  private val headerPattern = "(?dU)^(#{1,6})\\s+(.+)$"
 
   /** Extract markdown sections: one row per section of each document,
     * (idCol, section_index, title, level, content). Preamble lines

@@ -29,20 +29,29 @@ object StatusEvents {
 
   /** The poll-loop diff (sse.py:117-147): rows of `cur` whose id is
     * absent from `prev` (first sighting emits, like a missing
-    * last_states entry) or whose status moved. Documents present only
-    * in `prev` emit nothing — the reference iterates the CURRENT
-    * snapshot only. */
+    * last_states entry) or whose status moved — with Python `!=`
+    * null semantics (a null status is a VALUE: null→"x" and x→null
+    * emit, null→null suppresses), carried by a presence marker plus
+    * a null-safe compare. Documents present only in `prev` emit
+    * nothing — the reference iterates the CURRENT snapshot only. */
   def changes(cur: DataFrame, prev: DataFrame, idCol: String,
-      statusCol: String): DataFrame =
-    cur.join(prev.select(col(idCol), col(statusCol).as("_prev")),
-        Seq(idCol), "left")
-      .where(col("_prev").isNull || col("_prev") =!= col(statusCol))
-      .drop("_prev")
+      statusCol: String): DataFrame = {
+    val (p, seen) = ("_graft_prev_status", "_graft_prev_seen")
+    require(!cur.columns.contains(p) && !cur.columns.contains(seen),
+      s"changes(): input may not carry reserved columns $p/$seen")
+    cur.join(prev.select(col(idCol), col(statusCol).as(p),
+        lit(true).as(seen)), Seq(idCol), "left")
+      .where(col(seen).isNull || !(col(p) <=> col(statusCol)))
+      .drop(p, seen)
+  }
 
   /** One SSE frame (sse.py:52-76): `data: {"type": ..., "document":
-    * ..., ...extra}\n\n`. `document` is any struct column. */
+    * ..., ...extra}\n\n`. `document` is any struct column; null
+    * fields serialize as JSON null like json.dumps (to_json drops
+    * them by default). */
   def frame(eventType: Column, document: Column): Column =
     concat(lit("data: "),
-      to_json(struct(eventType.as("type"), document.as("document"))),
+      to_json(struct(eventType.as("type"), document.as("document")),
+        Map("ignoreNullFields" -> "false")),
       lit("\n\n"))
 }

@@ -38,6 +38,9 @@ object PyLlmResponse {
 
   private val mapper = new ObjectMapper()
     .configure(DeserializationFeature.FAIL_ON_TRAILING_TOKENS, true)
+    // json.loads accepts NaN/Infinity/-Infinity by default
+    .configure(com.fasterxml.jackson.core.JsonParser.Feature
+      .ALLOW_NON_NUMERIC_NUMBERS, true)
 
   /** (title, summary, confidence, n_tags) — the three arms. */
   def parse(raw: String): (Option[String], Option[String], Double, Int) = {
@@ -80,6 +83,7 @@ class LlmResponseParitySpec extends AnyFunSuite {
     """{"broken": }""",
     """{"unclosed": "v" """,
     "[1, 2]", "[1, 2", "null", "\"str\"", "42", "true",
+    "NaN", "Infinity", "-Infinity",
     "the model rambled on without any json at all",
     "```json\n[1, 2]\n```",
     "```json\n{\"title\": \"F\", \"confidence\": 0.25}\n```",
@@ -89,10 +93,11 @@ class LlmResponseParitySpec extends AnyFunSuite {
 
   private def gen(): String = {
     val s = shapes(rng.nextInt(shapes.size))
-    rng.nextInt(3) match {
+    rng.nextInt(4) match {
       case 0 => s
       case 1 => "  " + s + "\n"
       case 2 => "\t" + s + "  "
+      case 3 => "" + s + "\f" // \v padding: Python strips it too
     }
   }
 

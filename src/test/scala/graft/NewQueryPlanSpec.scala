@@ -15,7 +15,7 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("q91 sections shuffles only once (doc-partitioned window + partial agg)") {
+  test("q91 sections shuffles at most twice (doc-keyed window + agg), never globally") {
     val plan = SparkEntry.queries("q91_md_sections")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

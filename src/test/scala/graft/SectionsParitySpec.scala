@@ -22,9 +22,10 @@ object PySections {
   }
 
   // extract_sections: sequential scan, preamble dropped, '\n' join,
-  // Python strip on content; UNIX_LINES = Python's `.`/`$` semantics
-  private val header =
-    Pattern.compile("^(#{1,6})\\s+(.+)$", Pattern.UNIX_LINES)
+  // Python strip on content; UNIX_LINES = Python's `.`/`$` semantics,
+  // UNICODE_CHARACTER_CLASS = Python's unicode \s (NBSP delimits)
+  private val header = Pattern.compile("^(#{1,6})\\s+(.+)$",
+    Pattern.UNIX_LINES | Pattern.UNICODE_CHARACTER_CLASS)
 
   def sections(content: String): Seq[(String, Int, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
@@ -55,7 +56,8 @@ class SectionsParitySpec extends AnyFunSuite {
     "plain body line", "", "   ", "# Top", "## Second  ", "### Third",
     "###### Deep", "####### seven hashes", "#nospace", "#", "# ",
     "body with # inline", "\ttab lead", "trail  ", "# Dup", "## Dup",
-    "mixed CASE Body", "a # b # c", "#### Four four", "##### Five")
+    "mixed CASE Body", "a # b # c", "#### Four four", "##### Five",
+    "## NBSP header") // unicode \s after the hashes still delimits
 
   private def genDoc(): String =
     Seq.fill(1 + rng.nextInt(14))(

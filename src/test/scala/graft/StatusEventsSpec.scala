@@ -38,7 +38,20 @@ class StatusEventsSpec extends AnyFunSuite {
     assert(got === Map(2L -> "complete", 3L -> "failed"))
   }
 
-  test("frame renders the data:-prefixed json envelope") {
+  test("changes: null statuses behave like Python values, not SQL unknowns") {
+    val prev = Seq((1L, Some("processing")), (2L, None), (3L, None))
+      .toDF("id", "status")
+    val cur = Seq(
+      (1L, None),               // value -> null: emits (None != "processing")
+      (2L, Some("processing")), // null -> value: emits
+      (3L, None))               // null -> null: suppressed (None == None)
+      .toDF("id", "status")
+    val got = StatusEvents.changes(cur, prev, "id", "status")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some("processing")))
+  }
+
+  test("frame renders the data:-prefixed json envelope; nulls serialize like json.dumps") {
     val f = Seq((7L, "failed")).toDF("id", "status")
       .select(StatusEvents.frame(
         StatusEvents.eventType(col("status")),
@@ -46,5 +59,12 @@ class StatusEventsSpec extends AnyFunSuite {
       .as[String].head()
     assert(f ===
       """data: {"type":"processing_failed","document":{"id":7,"status":"failed"}}""" + "\n\n")
+    // a null document field stays in the payload as JSON null
+    val g = Seq((8L, Option.empty[String])).toDF("id", "title")
+      .select(StatusEvents.frame(lit("status_update"),
+        struct(col("id"), col("title"))).as("f"))
+      .as[String].head()
+    assert(g ===
+      """data: {"type":"status_update","document":{"id":8,"title":null}}""" + "\n\n")
   }
 }
