@@ -132,23 +132,31 @@ object EntityQuality {
     val nameLower = lower(trim(name))
     val ws = words(nameLower)
     val isAcr = upper(name).isInCollection(knownAcronyms)
-    val s0 = confidence
-    val s1 = when(isAcr, s0 * 1.5).otherwise(s0)
-    val s2 = when(length(name) < 3 && !isAcr, s1 * 0.3)
-      .when(length(name) < 5, s1 * 0.7).otherwise(s1)
-    val s3 = when(nameLower.isInCollection(genericStopwords), s2 * 0.3).otherwise(s2)
-    val s4 = when(element_at(ws, 1).isInCollection(verbIndicators), s3 * 0.2).otherwise(s3)
-    val s5 = when(anyIn(ws, questionIndicators), s4 * 0.1).otherwise(s4)
-    val s6 = when(size(ws).between(2, 3), s5 * 1.2).otherwise(s5)
-    val s7 = when(size(ws) > 5, s6 * 0.2).otherwise(s6)
-    val s8 = when(relationshipCount > 0,
-      s7 * (lit(1.0) + least(relationshipCount * 0.1, lit(0.5)))).otherwise(s7)
+    // a product of independent factors, NOT a when(prev*f, prev) chain:
+    // that shape duplicates the whole prior tree in both branches and
+    // grows the expression EXPONENTIALLY in the factor count (q87 went
+    // from 30 s to sub-second on this rewrite). Multiplying by the
+    // 1.0 no-op is IEEE-exact (x*1.0 == x bitwise), and the
+    // left-associated order matches the reference's conditional
+    // multiply sequence, so float results are unchanged.
+    def f(cond: Column, factor: Double): Column =
+      when(cond, lit(factor)).otherwise(lit(1.0))
+    val lenF = when(length(name) < 3 && !isAcr, lit(0.3))
+      .when(length(name) < 5, lit(0.7)).otherwise(lit(1.0))
+    val relF = when(relationshipCount > 0,
+      lit(1.0) + least(relationshipCount * 0.1, lit(0.5))).otherwise(lit(1.0))
     val tl = lower(entityType)
-    val s9 = when(tl.isInCollection(Seq("component", "procedure",
-      "specification", "organization", "person")), s8 * 1.2).otherwise(s8)
-    val s10 = when(tl.isInCollection(Seq("concept", "other", "state")),
-      s9 * 0.8).otherwise(s9)
-    greatest(lit(0.0), least(lit(1.0), s10))
+    val score = confidence *
+      f(isAcr, 1.5) * lenF *
+      f(nameLower.isInCollection(genericStopwords), 0.3) *
+      f(element_at(ws, 1).isInCollection(verbIndicators), 0.2) *
+      f(anyIn(ws, questionIndicators), 0.1) *
+      f(size(ws).between(2, 3), 1.2) *
+      f(size(ws) > 5, 0.2) * relF *
+      f(tl.isInCollection(Seq("component", "procedure", "specification",
+        "organization", "person")), 1.2) *
+      f(tl.isInCollection(Seq("concept", "other", "state")), 0.8)
+    greatest(lit(0.0), least(lit(1.0), score))
   }
 
   /** The keep decision (should_keep_entity, entity_quality.py:226-268)
