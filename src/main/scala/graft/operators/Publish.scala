@@ -45,10 +45,16 @@ object Publish {
     val n = missing.count()
     if (n == 0) (chunks, 0L)
     else {
+      // persist + materialize the fresh vectors NOW: the filled frame
+      // is acted on more than once downstream (store upsert, counts),
+      // and every re-evaluation of an unpersisted embed lineage would
+      // call the PAID embedder again for the same chunks
       val fresh = EmbedText.embed(missing, idCol, textCol, mkEmbedder,
           batchSize)
         .withColumnRenamed("id", idCol)
         .withColumnRenamed("embedding", "_backfilled")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fresh.count()
       val filled = chunks.join(fresh, Seq(idCol), "left")
         .withColumn(embedCol, coalesce(col(embedCol), col("_backfilled")))
         .drop("_backfilled")

@@ -69,6 +69,10 @@ class PublishSpec extends AnyFunSuite {
         rels, Seq("id"))),
       priorAttempts = 2)
     assert(got === Publish.PublishResult("published", 4L, 2L, 1L, 2L, 3L, None))
+    // the upsert and the point count both act on the filled frame —
+    // the persisted backfill must keep the paid embedder at ONE call
+    // per missing chunk
+    assert(CountingEmbedder.calls.get() === 2)
     // the vector store saw every chunk, with backfilled vectors present
     val bodies = RecordingQdrantApi.requests(qid)
       .filter(_.path.contains("/points?")).map(_.body).mkString
