@@ -1484,6 +1484,31 @@ object SparkEntry {
         countDistinct(col("status")).as("n_statuses"))
   }
 
+  /** RAG prompt assembly in the gate (api/query.py:60-76): the q58
+    * top-5 retrieval feeds the exact _build_prompt scaffold — fixed
+    * preamble, `[i] (doc:ID) snippet` context lines in score order,
+    * question/answer tail, newline-joined. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("lang") === "en")
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val top = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(5)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("content"),
+        col("score"))
+    val ctx = transform(
+      array_sort(collect_list(struct((-col("score")).as("ns"),
+        col("doc_id").as("document_id"), col("content").as("content")))),
+      e => struct(e.getField("document_id").as("document_id"),
+        e.getField("content").as("content")))
+    top.agg(count(lit(1)).as("n_docs"),
+      Search.ragPrompt(lit("what is spark data processing"), ctx)
+        .as("prompt"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1661,7 +1686,8 @@ object SparkEntry {
     "q89_incremental_bm25" -> q89 _,
     "q90_llm_response" -> q90 _,
     "q91_md_sections" -> q91 _,
-    "q92_status_events" -> q92 _)
+    "q92_status_events" -> q92 _,
+    "q93_rag_prompt" -> q93 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2357,7 +2383,29 @@ object SparkEntry {
         |  FROM cur)
         |SELECT event_type, COUNT(*) AS n, MIN(doc_id) AS min_doc,
         |COUNT(DISTINCT status) AS n_statuses
-        |FROM typed GROUP BY event_type""".stripMargin)
+        |FROM typed GROUP BY event_type""".stripMargin,
+    "q93_rag_prompt" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT doc_id, substr(text, 1, 80) AS content,
+         |  ${cosSql("embedding", "qv")} AS s
+         |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
+         |  WHERE lang = 'en'),
+         |top AS (SELECT * FROM sc ORDER BY sc.s DESC, doc_id LIMIT 5),
+         |numbered AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn
+         |  FROM top),
+         |ctx AS (SELECT COUNT(*) AS n_docs,
+         |  string_agg('[' || rn || '] (doc:' || CAST(doc_id AS VARCHAR) || ') ' ||
+         |    content, chr(10) ORDER BY rn) AS lines
+         |  FROM numbered)
+         |SELECT n_docs,
+         |'You are a helpful assistant answering using the provided context.' || chr(10) ||
+         |'If the answer is not in the context, say you don''t have enough information.' || chr(10) ||
+         |'Cite the document ids inline like [doc:ID] where relevant.' || chr(10) ||
+         |chr(10) || 'Context:' || chr(10) || lines || chr(10) ||
+         |chr(10) || 'User question:' || chr(10) ||
+         |'what is spark data processing' || chr(10) ||
+         |chr(10) || 'Answer:' AS prompt
+         |FROM ctx""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -240,4 +240,23 @@ object Search {
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .limit(limitN)
   }
+
+  /** The RAG answer prompt (api/query.py:60-76 _build_prompt): fixed
+    * preamble lines, contexts numbered `[i] (doc:ID) snippet` in
+    * array order (null ids render "None" like Python's f-string, null
+    * snippets render empty), question/answer scaffold, '\n'-joined.
+    * `contexts` is an ordered array<struct<document_id, content>>. */
+  def ragPrompt(userQuery: Column, contexts: Column): Column = {
+    val head = array(
+      lit("You are a helpful assistant answering using the provided context."),
+      lit("If the answer is not in the context, say you don't have enough information."),
+      lit("Cite the document ids inline like [doc:ID] where relevant."),
+      lit("\nContext:"))
+    val ctxLines = transform(contexts, (c, i) =>
+      concat(lit("["), (i + 1).cast("string"), lit("] (doc:"),
+        coalesce(c.getField("document_id").cast("string"), lit("None")),
+        lit(") "), coalesce(c.getField("content"), lit(""))))
+    val tail = array(lit("\nUser question:"), userQuery, lit("\nAnswer:"))
+    array_join(concat(head, ctxLines, tail), "\n")
+  }
 }

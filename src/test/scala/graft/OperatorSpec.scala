@@ -243,6 +243,26 @@ class SearchSpec extends AnyFunSuite {
     assert(got(30L) === BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("rag prompt: exact scaffold, 1-based numbering, Python-ish nulls") {
+    val ctx = Seq((Seq((Some(7L), Some("first snippet")),
+      (Option.empty[Long], Option.empty[String])), "why?"))
+      .toDF("ctx", "q")
+      .select(graft.operators.Search.ragPrompt(col("q"),
+        expr("transform(ctx, c -> struct(c._1 as document_id, c._2 as content))"))
+        .as("p"))
+      .as[String].head()
+    assert(ctx === Seq(
+      "You are a helpful assistant answering using the provided context.",
+      "If the answer is not in the context, say you don't have enough information.",
+      "Cite the document ids inline like [doc:ID] where relevant.",
+      "\nContext:",
+      "[1] (doc:7) first snippet",
+      "[2] (doc:None) ", // null id renders None, null snippet empty
+      "\nUser question:",
+      "why?",
+      "\nAnswer:").mkString("\n"))
+  }
+
   test("graph blend: present ids keep their fused entry, absent ids append raw") {
     val fused = Seq((10L, 0.03), (20L, 0.02)).toDF("id", "score")
     // id 10 is already fused: its HIGHER graph score must NOT replace
