@@ -22,13 +22,22 @@ import org.apache.spark.sql.SparkSession
   *     compilation, harness-only overhead). The pass runs CONCURRENTLY
   *     (janino/C2 compile fine in parallel; local[32] has the cores),
   *     which cuts its wall-clock ~4x without touching timed numbers.
-  * Warm measurement: each query is timed over TWO back-to-back runs
-  * and the MIN is recorded. The concurrent warmup's Futures complete
-  * when the queries return, not when HotSpot's background C2 queue
-  * drains, so the first few timed queries in run order can still pay
-  * residual compilation on their first run (the r6 3-4x first-in-order
-  * inflation); the second run is steady-state, and min-of-two is the
-  * number BASELINE.md's warm-path latencies are comparable to.
+  * Warm measurement: the concurrent warmup's Futures complete when
+  * the queries return, not when HotSpot's background C2 queue drains,
+  * so the first few timed queries in run order historically paid
+  * residual compilation (the r6 3-4x first-in-order inflation; r7's
+  * min-of-two halved it but both runs could still land inside the C2
+  * drain window). Two measures drain it fully:
+  *   1. a SETTLE pass — one untimed sequential re-run of the first
+  *      six queries in run order after the warmup pool shuts down,
+  *      giving the background compiler queue wall-clock time to drain
+  *      while the exact hot paths it is compiling stay hot;
+  *   2. min-of-THREE with run 1 DISCARDED — each query is timed over
+  *      three back-to-back runs and the min of runs 2-3 is recorded,
+  *      so even a query whose first timed run still catches a compile
+  *      reports its steady state.
+  * The recorded number is the one BASELINE.md's warm-path latencies
+  * are comparable to.
   * Queries that throw are reported as -1 with their name in `errors`,
   * and any error forces `value` to -1 — a breaking query can never
   * masquerade as a fast one or as a lower total.
@@ -60,17 +69,25 @@ object Bench {
     }
     warmups.foreach(Await.ready(_, Duration.Inf))
     warmPool.shutdown()
+    // settle pass: sequential, untimed, first six in run order — lets
+    // HotSpot's background C2 queue drain while those paths stay hot
+    SparkEntry.benchQueries.take(6).foreach { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+    }
     val warmSec = (System.nanoTime() - w0) / 1e9
     var errors = List.empty[String]
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        // discard run 1 (may still catch a background compile); min of
+        // runs 2-3 is the steady state
+        name -> times.drop(1).min
       } catch {
         case _: Throwable => errors ::= name; name -> -1.0
       }

@@ -2357,7 +2357,7 @@ object SparkEntry {
         |  CAST(max(CASE WHEN len(hashes) > 0 THEN len(hashes) END) AS INT) AS level,
         |  coalesce(trim(string_agg(CASE WHEN len(hashes) = 0 THEN line END,
         |      chr(10) ORDER BY pos),
-        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12)), '') AS content
+        |    ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '') AS content
         |  FROM sec WHERE section_index > 0 GROUP BY doc_id, section_index)
         |SELECT doc_id, section_index, title, level, content,
         |  trim(regexp_replace(regexp_replace(

@@ -1,7 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import com.fasterxml.jackson.core.JsonParser
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic handling of LLM response content
   * (app/services/llm_service.py:396-512): markdown-fence stripping,
@@ -17,11 +23,16 @@ object LlmResponse {
     * drops when present, and the remainder trims — exactly the
     * reference's branch order (the ```json tier wins, and unfenced
     * content passes through already-trimmed). */
-  // Python str.strip() removes ALL whitespace; Spark's default trim
-  // removes only spaces — trim the ASCII whitespace set incl the
-  // vertical tab (Python also strips the \u001C-\u001F separators;
-  // excluded here as they never occur in model output)
-  private val ws = " \t\n\r\f\u000B"
+  // Python str.strip() removes ALL unicode whitespace; Spark's
+  // default trim removes only spaces — trim the full set that
+  // str.isspace() covers: the ASCII whitespace (incl vertical tab),
+  // the \u001C-\u001F separators, and the unicode spaces (NEL, NBSP,
+  // ogham, the en/em quads, LS/PS, narrow NBSP, math space,
+  // ideographic space), so a fence preceded by an NBSP is detected
+  // exactly as the reference's json.loads-side .strip() would be
+  private val ws = " \t\n\r\f\u000B\u001C\u001D\u001E\u001F" +
+    "\u0085\u00A0\u1680\u2000\u2001\u2002\u2003\u2004\u2005" +
+    "\u2006\u2007\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
   private def wsTrim(c: Column): Column = trim(c, ws)
 
   def stripFence(c: Column): Column = {
@@ -50,31 +61,18 @@ object LlmResponse {
     */
   def parseMetadata(raw: Column): Column = {
     val cleaned = stripFence(raw)
-    // Validity has to be stricter than get_json_object alone: that
-    // parser reads the FIRST JSON value and ignores trailing garbage,
-    // while json.loads raises Extra-data (the 0.3 arm). A corrupt-
-    // record probe catches malformed objects, and the closing-brace /
-    // bracket guards catch well-formed prefixes with trailing text.
-    // Residual leniency (documented): a bare scalar with trailing
-    // garbage still classifies as the 0.0 arm, not 0.3.
-    val objProbe = from_json(cleaned,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_corrupt",
-          org.apache.spark.sql.types.StringType))),
-      Map("columnNameOfCorruptRecord" -> "_corrupt"))
-    val isObject = cleaned.startsWith("{") && cleaned.endsWith("}") &&
-      objProbe.isNotNull && objProbe.getField("_corrupt").isNull
-    val shapeOk =
-      when(cleaned.startsWith("{"), cleaned.endsWith("}"))
-        .when(cleaned.startsWith("["), cleaned.endsWith("]"))
-        .otherwise(lit(true))
-    // JSON `null` parses (then fails the reference's .get — 0.0 arm)
-    // but get_json_object cannot distinguish it from a parse failure;
-    // same for the non-standard literals json.loads accepts by default
-    val jsonScalarLiterals = Seq("null", "NaN", "Infinity", "-Infinity")
-    val parseable = shapeOk &&
-      (cleaned.isInCollection(jsonScalarLiterals) ||
-        get_json_object(cleaned, "$").isNotNull || isObject)
+    // Validity has to be exactly json.loads, which is STRICTER than
+    // every built-in probe Spark offers: get_json_object, from_json
+    // and try_parse_json all read the FIRST JSON value and ignore
+    // trailing garbage, while json.loads raises Extra-data (the 0.3
+    // arm) on {"a":1}{"b":2} and its scalar/array analogs. JsonKind
+    // runs the same Jackson core in whole-value mode, so the three
+    // arms classify identically to the reference with no residual
+    // leniency.
+    val kind = GraftColumnBridge.column(
+      JsonKindExpr(GraftColumnBridge.expression(cleaned)))
+    val isObject = kind === lit(JsonKindExpr.KindObject)
+    val parseable = kind =!= lit(JsonKindExpr.KindInvalid)
     def field(name: String) = get_json_object(cleaned, s"$$.$name")
     def listField(name: String) = coalesce(
       from_json(field(name), org.apache.spark.sql.types.ArrayType(
@@ -153,4 +151,54 @@ object LlmResponse {
       (promptTokens.cast("double") / 1000.0) * in +
         (completionTokens.cast("double") / 1000.0) * out)
   }
+}
+
+/** Strict whole-value JSON classifier — the `json.loads` acceptance
+  * envelope that llm_service.py:488-512's graded fallbacks branch on.
+  * Returns [[JsonKindExpr.KindObject]] for a JSON object,
+  * [[JsonKindExpr.KindValue]] for valid JSON that is not an object
+  * (the reference's `.get` AttributeError arm), and
+  * [[JsonKindExpr.KindInvalid]] for anything json.loads would raise
+  * on — including a valid value followed by trailing data, which
+  * every built-in Spark probe (get_json_object / from_json /
+  * try_parse_json) silently accepts by reading only the first value.
+  * Jackson with FAIL_ON_TRAILING_TOKENS + ALLOW_NON_NUMERIC_NUMBERS
+  * is json.loads' exact envelope over model output (both reject
+  * comments, single quotes and unquoted keys; both accept
+  * NaN/Infinity and duplicate keys).
+  *
+  * Per-row classification, no shuffle; CodegenFallback keeps it out
+  * of whole-stage codegen but the parse is the cost, not the call.
+  */
+case class JsonKindExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) JsonKindExpr.KindInvalid // json.loads('') raises
+    else try {
+      val node = JsonKindExpr.mapper.readTree(s)
+      if (node == null || node.isMissingNode) JsonKindExpr.KindInvalid
+      else if (node.isObject) JsonKindExpr.KindObject
+      else JsonKindExpr.KindValue
+    } catch {
+      case scala.util.control.NonFatal(_) => JsonKindExpr.KindInvalid
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonKindExpr =
+    copy(child = newChild)
+}
+
+object JsonKindExpr {
+  val KindInvalid = 0
+  val KindObject = 1
+  val KindValue = 2
+
+  // ObjectMapper is thread-safe once configured; one instance serves
+  // every task in the executor JVM
+  private[functions] lazy val mapper: ObjectMapper = new ObjectMapper()
+    .configure(DeserializationFeature.FAIL_ON_TRAILING_TOKENS, true)
+    .configure(JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
 }

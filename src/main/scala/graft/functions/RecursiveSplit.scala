@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Recursive structure-aware splitting — the Spark re-expression of
   * the reference's SplitRecursively (split_recursively.rs:22-1042):
   *
+  *  - syntax tier (:96-247, :313-374): Python/JS/TS/Rust split at
+  *    top-level item boundaries via the lexer-accurate scanners in
+  *    [[SyntaxSplit]] (the tree-sitter stand-in); other languages
+  *    contribute regex boundary tiers ([[separatorsFor]]).
   *  - separator hierarchy (regex tier, :46-54): paragraph (`\n\n+`) →
   *    line (`\n`) → whitespace (`\s+`); a piece longer than
-  *    `chunkSize` is re-split at the next level (tree-sitter grammars
-  *    are the reference's syntax tier above this — out of scope here,
-  *    the regex tier is the universal fallback).
+  *    `chunkSize` is re-split at the next level — the universal
+  *    fallback below both syntax and language-regex tiers.
   *  - bottom-up merge (:597-743): adjacent atoms pack greedily into
   *    chunks of at most `chunkSize` chars; a chunk is not closed
   *    before `minChunkSize` unless input is exhausted.
@@ -57,6 +60,11 @@ object RecursiveSplit {
     * markdown, top-level definition starts for code). Lookahead
     * patterns split BEFORE the construct while consuming only the
     * newline, so chunk texts keep the definition header.
+    *
+    * Python, the JS/TS family and Rust never reach these tiers — the
+    * [[SyntaxSplit]] scanners intercept them in [[chunkOffsets]] (a
+    * regex cannot know that a `def` sits inside a docstring); their
+    * entries below serve only callers that disable the syntax tier.
     */
   private[functions] def separatorsFor(language: String): Array[Regex] = {
     val tiers: Seq[String] = language.toLowerCase match {
@@ -142,12 +150,45 @@ object RecursiveSplit {
     if (e > s) out += ((s, e))
   }
 
+  /** Syntax tier (split_recursively.rs:313-374): top-level items of
+    * the span become atoms; an oversized single item opens like the
+    * reference's cursor walk — header tokens, the body split one
+    * level in, closing tokens — and a span no syntax rule can split
+    * falls back to the DEFAULT paragraph/line/space config, exactly
+    * the reference's gap behavior (fill_gap uses
+    * DEFAULT_LANGUAGE_CONFIG, not the language's own regex tiers). */
+  private def syntaxAtomize(text: String, s: Int, e: Int, chunkSize: Int,
+      language: String, out: ArrayBuffer[(Int, Int)]): Unit = {
+    if (e - s <= chunkSize) {
+      emitTrimmed(text, s, e, out)
+      return
+    }
+    val items = SyntaxSplit.items(language, text, s, e)
+    if (items.length > 1) {
+      for ((is, ie) <- items) syntaxAtomize(text, is, ie, chunkSize, language, out)
+    } else {
+      // one item (or none): descend into its body
+      val (is, ie) = if (items.isEmpty) (s, e) else items(0)
+      SyntaxSplit.descend(language, text, is, ie) match {
+        case Some((bs, be)) if bs > is || be < ie =>
+          atomize(text, is, bs, 0, chunkSize, separators, out) // header tokens
+          syntaxAtomize(text, bs, be, chunkSize, language, out)
+          atomize(text, be, ie, 0, chunkSize, separators, out) // closing tokens
+        case _ =>
+          atomize(text, is, ie, 0, chunkSize, separators, out)
+      }
+    }
+  }
+
   /** Pack atoms into chunks; returns (start, end) offsets. */
   private[functions] def chunkOffsets(text: String, chunkSize: Int,
       minChunkSize: Int, overlap: Int,
       language: String = "plain"): Seq[(Int, Int)] = {
     val atoms = new ArrayBuffer[(Int, Int)]()
-    atomize(text, 0, text.length, 0, chunkSize, separatorsFor(language), atoms)
+    if (SyntaxSplit.supports(language))
+      syntaxAtomize(text, 0, text.length, chunkSize, language, atoms)
+    else
+      atomize(text, 0, text.length, 0, chunkSize, separatorsFor(language), atoms)
     if (atoms.isEmpty) return Seq.empty
     val chunks = new ArrayBuffer[(Int, Int)]()
     var i = 0

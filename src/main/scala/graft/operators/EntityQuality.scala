@@ -89,6 +89,12 @@ object EntityQuality {
   private val temporalWords =
     Seq("yesterday", "today", "tomorrow", "now", "then", "later", "earlier")
 
+  // Python str.strip() removes all whitespace; Spark's default trim
+  // removes only spaces — a name like "\tab" is empty_name/too_short
+  // in the reference and must be here too
+  private val pyWs = " \t\n\r\f\u000B"
+  private def pyTrim(c: Column): Column = trim(c, pyWs)
+
   private def words(nameLower: Column): Column =
     filter(split(nameLower, "\\s+"), w => length(w) > 0)
 
@@ -99,9 +105,9 @@ object EntityQuality {
     * check precedence of is_valid_entity (entity_quality.py:94-152).
     * Known acronyms short-circuit every later check. */
   def invalidReason(name: Column): Column = {
-    val nameLower = lower(trim(name))
+    val nameLower = lower(pyTrim(name))
     val ws = words(nameLower)
-    when(name.isNull || length(trim(name)) === 0, lit("empty_name"))
+    when(name.isNull || length(pyTrim(name)) === 0, lit("empty_name"))
       .when(upper(name).isInCollection(knownAcronyms), lit(null).cast("string"))
       .when(length(nameLower) < 3, lit("too_short"))
       .when(nameLower.isInCollection(pronouns), lit("pronoun"))
@@ -129,7 +135,7 @@ object EntityQuality {
     * ×1.2 specific type; ×0.8 generic type; clamp [0,1]. */
   def qualityScore(name: Column, entityType: Column, confidence: Column,
       relationshipCount: Column): Column = {
-    val nameLower = lower(trim(name))
+    val nameLower = lower(pyTrim(name))
     val ws = words(nameLower)
     val isAcr = upper(name).isInCollection(knownAcronyms)
     // a product of independent factors, NOT a when(prev*f, prev) chain:

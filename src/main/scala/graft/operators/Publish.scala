@@ -40,10 +40,25 @@ object Publish {
       textCol: String, embedCol: String,
       mkEmbedder: () => graft.operators.Embedder,
       batchSize: Int = 100): (DataFrame, Long) = {
+    val (filled, n, _) =
+      backfillWithHandle(chunks, idCol, textCol, embedCol, mkEmbedder,
+        batchSize)
+    (filled, n)
+  }
+
+  /** [[backfillEmbeddings]] plus the persisted fresh-embeddings frame
+    * (when any backfill happened) so the caller can unpersist it once
+    * the filled frame has been fully consumed — without this, a
+    * long-lived session publishing many documents accumulates one
+    * MEMORY_AND_DISK cache per publish until eviction. */
+  private[graft] def backfillWithHandle(chunks: DataFrame, idCol: String,
+      textCol: String, embedCol: String,
+      mkEmbedder: () => graft.operators.Embedder,
+      batchSize: Int = 100): (DataFrame, Long, Option[DataFrame]) = {
     val missing = chunks.where(col(embedCol).isNull)
       .select(col(idCol), col(textCol))
     val n = missing.count()
-    if (n == 0) (chunks, 0L)
+    if (n == 0) (chunks, 0L, None)
     else {
       // persist + materialize the fresh vectors NOW: the filled frame
       // is acted on more than once downstream (store upsert, counts),
@@ -58,7 +73,7 @@ object Publish {
       val filled = chunks.join(fresh, Seq(idCol), "left")
         .withColumn(embedCol, coalesce(col(embedCol), col("_backfilled")))
         .drop("_backfilled")
-      (filled, n)
+      (filled, n, Some(fresh))
     }
   }
 
@@ -75,9 +90,16 @@ object Publish {
       graphRelationships: Option[StoreBatch],
       priorAttempts: Long = 0): PublishResult = {
     val attempts = priorAttempts + 1
+    // the backfill cache exists only to keep the paid embedder at one
+    // call per missing chunk across the store writes below; by the
+    // time this method returns the counts are taken, so release it —
+    // success or failure — rather than letting a long-lived session
+    // accumulate one cached embed frame per publish
+    var cache: Option[DataFrame] = None
     try {
-      val (filled, nEmb) =
-        backfillEmbeddings(chunks, idCol, textCol, embedCol, mkEmbedder)
+      val (filled, nEmb, handle) =
+        backfillWithHandle(chunks, idCol, textCol, embedCol, mkEmbedder)
+      cache = handle
       val points = vectorStore.map { case (c, target) =>
         c.applyMutation(spark, target, filled, Seq(idCol), None)
         filled.count()
@@ -93,6 +115,8 @@ object Publish {
       case scala.util.control.NonFatal(e) =>
         PublishResult("publish_failed", 0L, 0L, 0L, 0L, attempts,
           Some(e.toString))
+    } finally {
+      cache.foreach(_.unpersist(blocking = false))
     }
   }
 }

@@ -63,6 +63,6 @@ object Sections {
         trim(concat_ws("\n", transform(
           array_sort(collect_list(
             when(!col("_is_hdr"), struct(col("pos"), col("line"))))),
-          x => x.getField("line"))), " \t\n\r\f").as("content"))
+          x => x.getField("line"))), " \t\n\r\f\u000B").as("content"))
   }
 }

@@ -39,6 +39,12 @@ trait S3ObjectStore extends Serializable {
   */
 object S3EventQueue {
 
+  /** Hard ceiling on messages collected to the driver in one [[poll]]
+    * round. SQS itself caps a receive at 10; 10k leaves three orders
+    * of headroom for fan-in wrappers while still bounding the
+    * driver-side receipt/key collect to kilobytes. */
+  val MaxPollBatch: Int = 10000
+
   /** Relevant changes of one SQS message + its deferred ack
     * (amazon_s3.rs SourceChangeMessage/ack_fn). */
   final case class ChangeBatch(changes: Seq[String], ack: () => Unit)
@@ -86,11 +92,27 @@ object S3EventQueue {
     * left on the queue for redelivery — the reference surfaces a parse
     * failure as a stream error without acking, and deleting would
     * silently drop the underlying change forever. The rest carry their
-    * ack for the caller to invoke after processing. */
+    * ack for the caller to invoke after processing.
+    *
+    * Driver-memory bound (deliberate): receipt handles and (receipt,
+    * key) pairs collect to the driver each round. That is the
+    * reference's own execution model — SQS caps a receive at 10
+    * messages and a poll round is one receive — so the collected set
+    * is SQS-batch-sized, kilobytes not gigabytes. The [[MaxPollBatch]]
+    * cap makes the assumption LOUD: a client that hands back an
+    * unbounded backlog in one call (someone pointing this at a
+    * firehose replay) fails fast instead of silently ballooning the
+    * driver heap. Drain a deep queue by calling poll repeatedly. */
   def poll(spark: SparkSession, client: SqsQueueClient, bucketName: String,
       prefix: Option[String], maxMessages: Int = 10): Seq[ChangeBatch] = {
     import spark.implicits._
+    require(maxMessages > 0 && maxMessages <= MaxPollBatch,
+      s"maxMessages must be in 1..$MaxPollBatch (poll collects " +
+        "receipts to the driver; drain deep queues with repeated polls)")
     val msgs = client.receive(maxMessages)
+    require(msgs.size <= maxMessages,
+      s"queue client returned ${msgs.size} messages for a receive of " +
+        s"$maxMessages — refusing to collect an unbounded batch to the driver")
     if (msgs.isEmpty) return Seq.empty
     val bodies = msgs.map(m => (m.receiptHandle, m.body)).toDF("receipt", "body")
     // malformed = the body is not parseable JSON at all (valid JSON

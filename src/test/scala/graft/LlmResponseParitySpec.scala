@@ -12,11 +12,18 @@ import graft.functions.LlmResponse
   * parsing is stood in by Jackson with FAIL_ON_TRAILING_TOKENS. */
 object PyLlmResponse {
 
+  // Python str.strip() semantics: str.isspace() is Java isWhitespace
+  // PLUS the no-break spaces (NBSP, figure space, narrow NBSP) and
+  // NEL, which Java classifies as non-space
+  private def isPySpace(ch: Char): Boolean =
+    Character.isWhitespace(ch) || ch == '\u00A0' || ch == '\u2007' ||
+      ch == '\u202F' || ch == '\u0085'
+
   private def pyStrip(s: String): String = {
     var a = 0
     var b = s.length
-    while (a < b && Character.isWhitespace(s.charAt(a))) a += 1
-    while (b > a && Character.isWhitespace(s.charAt(b - 1))) b -= 1
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
     s.substring(a, b)
   }
 
@@ -80,6 +87,8 @@ class LlmResponseParitySpec extends AnyFunSuite {
     """{}""",
     """{"tags": []}""",
     """{"title": "X"} trailing prose after the object""",
+    """{"a": 1}{"b": 2}""", // object + }-suffixed garbage: 0.3 arm
+    """{"a": 1} {"b": 2} {"c": 3}""",
     """{"broken": }""",
     """{"unclosed": "v" """,
     "[1, 2]", "[1, 2", "null", "\"str\"", "42", "true",
@@ -93,11 +102,12 @@ class LlmResponseParitySpec extends AnyFunSuite {
 
   private def gen(): String = {
     val s = shapes(rng.nextInt(shapes.size))
-    rng.nextInt(4) match {
+    rng.nextInt(5) match {
       case 0 => s
       case 1 => "  " + s + "\n"
       case 2 => "\t" + s + "  "
-      case 3 => "" + s + "\f" // \v padding: Python strips it too
+      case 3 => "\u000B" + s + "\f" // \v padding: Python strips it too
+      case 4 => "\u00A0" + s + "\u0085" // NBSP/NEL: unicode whitespace
     }
   }
 

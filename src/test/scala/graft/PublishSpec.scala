@@ -112,4 +112,18 @@ class PublishSpec extends AnyFunSuite {
     assert(skipped.status === "published")
     assert((skipped.vectorPoints, skipped.graphEntities) === ((0L, 0L)))
   }
+
+  test("publish releases the backfill cache once the counts are taken") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Publish.publishApproved(spark, chunksDf, "chunk_id",
+      "chunk_text", "embedding", () => CountingEmbedder(2),
+      None, None, None)
+    assert(got.status === "published")
+    assert(got.embeddingsGenerated === 2L)
+    // the MEMORY_AND_DISK backfill frame must not outlive the publish:
+    // a long-lived session publishing many documents would otherwise
+    // accumulate one cached embed frame per call until eviction
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
 }

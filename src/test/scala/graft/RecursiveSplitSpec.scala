@@ -128,6 +128,156 @@ class RecursiveSplitSpec extends AnyFunSuite {
     assert(ycs.map(_.takeWhile(_ != ':')) === Seq("alpha", "beta", "gamma"))
   }
 
+  // ---- syntax tier (the tree-sitter stand-in, SyntaxSplit) ----
+  // every case here is one a regex boundary tier CANNOT pass: the
+  // boundary-shaped text sits inside a string/comment, or the item
+  // needs nesting/continuation awareness
+
+  test("python: a def inside a docstring never becomes a boundary") {
+    val py =
+      "def alpha():\n" +
+        "    \"\"\"doc line\n" +
+        "def fake_boundary(y):\n" +
+        "    \"\"\"\n" +
+        "    return 1\n" +
+        "def beta():\n" +
+        "    return 2\n" +
+        "def gamma():\n" +
+        "    return 3\n"
+    val cs = langChunks(py, 75, "python")
+    // alpha (with its trap docstring) stays whole; no chunk starts at
+    // the fake def
+    assert(cs.exists(_.contains("def fake_boundary")))
+    assert(!cs.exists(_.startsWith("def fake_boundary")))
+    // alpha (71 chars, docstring intact) is one chunk; beta + gamma
+    // (50 chars together) pack into the next
+    assert(cs === Seq(
+      py.substring(0, py.indexOf("def beta")).trim,
+      py.substring(py.indexOf("def beta")).trim))
+  }
+
+  test("python: decorators attach to the definition they decorate") {
+    val py =
+      "@first\n@second(arg='x')\ndef alpha():\n    return 1\n\n" +
+        "def beta():\n    return 2\n\n" +
+        "@third\ndef gamma():\n    return 3\n"
+    val cs = langChunks(py, 45, "python")
+    assert(cs.length === 3)
+    assert(cs(0).startsWith("@first\n@second(arg='x')\ndef alpha"))
+    assert(cs(2).startsWith("@third\ndef gamma"))
+  }
+
+  test("python: an oversized class opens at its methods, header first") {
+    val py =
+      "class Gamma:\n" +
+        "    def m1(self):\n        return 'one one one one'\n" +
+        "    def m2(self):\n        return 'two two two two'\n" +
+        "    def m3(self):\n        return 'three three three'\n"
+    val cs = langChunks(py, 70, "python")
+    assert(cs.head.startsWith("class Gamma:"))
+    // methods are the atoms one level in: chunks after the first
+    // start at method boundaries, never mid-statement
+    assert(cs.tail.forall(_.startsWith("def m")))
+  }
+
+  test("python: bracket continuation keeps one statement together") {
+    val py =
+      "xs = [\n    1, 2, 3,\n    4, 5, 6,\n]\n" +
+        "ys = 'def not_a_def(z):'\n" +
+        "def real():\n    return xs\n"
+    val cs = langChunks(py, 42, "python")
+    // the list literal spans lines but is ONE atom; the string trap
+    // never starts a chunk
+    assert(cs.exists(_.startsWith("xs = [")))
+    assert(cs.find(_.startsWith("xs")).get.contains("]"))
+    assert(!cs.exists(_.startsWith("def not_a_def")))
+    assert(cs.exists(_.startsWith("def real")))
+  }
+
+  test("js: braces in strings, template literals and regexes don't split") {
+    val js =
+      "function alpha(x) {\n  const s = \"} not a close {\";\n  return s + x;\n}\n" +
+        "function beta(y) {\n  const t = `tpl ${y} with } brace`;\n  return t;\n}\n" +
+        "function gamma(z) {\n  const re = /}{/g;\n  return re.test(z);\n}\n"
+    val cs = langChunks(js, 80, "js")
+    assert(cs.length === 3)
+    assert(cs.forall(_.startsWith("function ")))
+    assert(cs.forall(_.endsWith("}")))
+  }
+
+  test("js: if/else and try/catch stay one item; semicolon items split") {
+    val js =
+      "if (a) {\n  one();\n} else {\n  two();\n}\n" +
+        "try {\n  three();\n} catch (e) {\n  four();\n}\n" +
+        "const x = { a: 1, b: 2 };\n"
+    val cs = langChunks(js, 45, "js")
+    assert(cs.length === 3)
+    assert(cs(0).contains("else"))
+    assert(cs(1).contains("catch"))
+    assert(cs(2).startsWith("const x"))
+  }
+
+  test("js: an oversized class opens at its methods") {
+    val js =
+      "class Gamma {\n" +
+        "  m1() { return 'one one one one one'; }\n" +
+        "  m2() { return 'two two two two two'; }\n" +
+        "  m3() { return 'three three three'; }\n" +
+        "}\n"
+    val cs = langChunks(js, 80, "js")
+    assert(cs.head.startsWith("class Gamma {"))
+    assert(cs.tail.exists(c => c.startsWith("m2") || c.startsWith("m3")))
+  }
+
+  test("rust: raw strings, nested comments and lifetimes don't split") {
+    val rs =
+      "fn alpha() -> String {\n    let s = r#\"} fn fake() { \"#;\n    s.to_string()\n}\n" +
+        "/* outer /* nested } */ still comment */\n" +
+        "fn beta<'a>(x: &'a str) -> &'a str {\n    x\n}\n" +
+        "fn gamma() -> char {\n    '}'\n}\n"
+    val cs = langChunks(rs, 78, "rust")
+    // alpha keeps its raw-string trap whole; no boundary inside it
+    assert(cs.exists(c => c.startsWith("fn alpha") && c.contains("fn fake")))
+    assert(!cs.exists(_.startsWith("fn fake")))
+    // beta + gamma pack into one 76-char chunk at size 78 (the merge
+    // is the point: atoms are the three fns, never fragments)
+    assert(cs.exists(_.startsWith("fn beta")))
+    assert(cs.exists(_.contains("fn gamma")))
+    assert(cs.filter(_.startsWith("fn ")).forall(_.endsWith("}")))
+  }
+
+  test("rust: attributes and doc comments pack with their item") {
+    val rs =
+      "#[derive(Debug, Clone)]\nstruct Alpha { x: i64 }\n" +
+        "/// beta doc\nfn beta() -> i64 { 42 }\n" +
+        "const GAMMA: &str = \"fn trap() {\";\n"
+    val cs = langChunks(rs, 50, "rust")
+    assert(cs.exists(c => c.startsWith("#[derive") && c.contains("struct Alpha")))
+    assert(cs.exists(c => c.startsWith("/// beta doc") && c.contains("fn beta")))
+    assert(!cs.exists(_.startsWith("fn trap")))
+  }
+
+  test("rust: an oversized impl opens at its fns") {
+    val rs =
+      "impl Gamma {\n" +
+        "    fn m1(&self) -> &str { \"one one one one\" }\n" +
+        "    fn m2(&self) -> &str { \"two two two two\" }\n" +
+        "    fn m3(&self) -> &str { \"three three three\" }\n" +
+        "}\n"
+    val cs = langChunks(rs, 95, "rust")
+    assert(cs.head.startsWith("impl Gamma {"))
+    assert(cs.tail.exists(_.startsWith("fn m")))
+  }
+
+  test("syntax tier: offsets still reconstruct the original text") {
+    val py = "def a():\n    return '}'\n\ndef b():\n    return \"def c():\"\n"
+    val rows = Seq(py).toDF("t")
+      .select(explode(split_recursively($"t", 30, 1, 0, "python")).as("c"))
+      .select($"c.start", $"c.end", $"c.text")
+      .as[(Int, Int, String)].collect()
+    rows.foreach { case (s, e, txt) => assert(py.substring(s, e) === txt) }
+  }
+
   test("toml tier splits at table headers; css after rule close") {
     val toml = "[server]\nhost = \"a\"\nport = 1\n[client]\nhost = \"b\"\n[misc]\nflag = true"
     val tcs = langChunks(toml, 30, "toml")

@@ -133,6 +133,29 @@ class S3EventQueueSpec extends AnyFunSuite {
     assert(q.size === 1) // only the malformed message remains visible
   }
 
+  test("poll refuses unbounded batches instead of ballooning the driver") {
+    // a maxMessages beyond the documented cap fails before any receive
+    val q = new FixtureSqsQueue
+    val tooBig = intercept[IllegalArgumentException] {
+      S3EventQueue.poll(spark, q, "corpus", None,
+        maxMessages = S3EventQueue.MaxPollBatch + 1)
+    }
+    assert(tooBig.getMessage.contains("maxMessages"))
+    // a client that hands back MORE than asked (firehose replay shape)
+    // fails loudly instead of silently collecting it all
+    val firehose = new graft.sources.SqsQueueClient {
+      override def receive(maxMessages: Int) =
+        (1 to maxMessages + 5).map(i =>
+          graft.sources.SqsMessage(s"r$i", body(
+            ("ObjectCreated:Put", "corpus", s"inbox/f$i.txt"))))
+      override def delete(receiptHandle: String): Unit = ()
+    }
+    val overCap = intercept[IllegalArgumentException] {
+      S3EventQueue.poll(spark, firehose, "corpus", None)
+    }
+    assert(overCap.getMessage.contains("refusing to collect"))
+  }
+
   test("consume reprocesses exactly the queued keys; removals clean target keys") {
     import graft.incremental.Incremental
     import graft.sinks.ParquetConnector
