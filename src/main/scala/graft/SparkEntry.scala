@@ -1509,6 +1509,40 @@ object SparkEntry {
         .as("prompt"))
   }
 
+  /** Syntax-aware code splitting in the gate
+    * (split_recursively.rs:96-247 tree-sitter tier, via the
+    * SyntaxSplit scanners): per document, a fixed-shape Python module
+    * — a comment, an import, a function whose DOCSTRING contains a
+    * fake `def ` at column 0 (the boundary trap no regex tier can
+    * pass), a decorated function, and a class big enough to force the
+    * descend-into-methods path. The doc id is zero-padded to 6 so
+    * every module has identical geometry: chunk offsets are CLOSED
+    * FORM and the oracle cross-joins the corpus with the expected
+    * (index, start, end, line, column) constants, reconstructing each
+    * chunk text by substr on the same module string. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RecursiveSplit
+    val docs = t(s, dir, "documents")
+    val d = lpad(col("doc_id").cast("string"), 6, "0")
+    val code = concat(
+      lit("# module "), d, lit("\n\nimport os\n\n"),
+      lit("def alpha_"), d, lit("(x):\n"),
+      lit("    \"\"\"doc\ndef trap(y):\n    \"\"\"\n"),
+      lit("    s = \"alpha "), d, lit("\"\n"),
+      lit("    return len(s) + x\n\n"),
+      lit("@wrap\ndef beta_"), d, lit("(x):\n    return x * 2\n\n"),
+      lit("class Gamma_"), d, lit(":\n"),
+      lit("    def m1(self):\n        return \""), d, lit("\"\n"),
+      lit("    def m2(self):\n        return 'def '\n"))
+    docs.select(col("doc_id"), code.as("code"))
+      .select(col("doc_id"), posexplode(
+        RecursiveSplit.split_recursively(col("code"), 100, 1, 0, "python")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_index"),
+        col("col.start").as("c_start"), col("col.end").as("c_end"),
+        col("col.line").as("c_line"), col("col.column").as("c_col"),
+        col("col.text").as("chunk_text"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1687,7 +1721,8 @@ object SparkEntry {
     "q90_llm_response" -> q90 _,
     "q91_md_sections" -> q91 _,
     "q92_status_events" -> q92 _,
-    "q93_rag_prompt" -> q93 _)
+    "q93_rag_prompt" -> q93 _,
+    "q94_code_split" -> q94 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2405,7 +2440,42 @@ object SparkEntry {
          |chr(10) || 'User question:' || chr(10) ||
          |'what is spark data processing' || chr(10) ||
          |chr(10) || 'Answer:' AS prompt
-         |FROM ctx""".stripMargin)
+         |FROM ctx""".stripMargin,
+    "q94_code_split" ->
+      // every module shares the same geometry (the id is zero-padded
+      // to 6), so the expected chunk offsets are constants verified
+      // against the syntax-tier semantics: comment+import pack,
+      // alpha keeps its docstring trap whole, the decorator attaches
+      // to beta (the class header then packs in), and the oversized
+      // class opens at its methods
+      """WITH d AS (SELECT doc_id,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS p FROM documents),
+        |code AS (SELECT doc_id,
+        |  '# module ' || p || chr(10) || chr(10) ||
+        |  'import os' || chr(10) || chr(10) ||
+        |  'def alpha_' || p || '(x):' || chr(10) ||
+        |  '    ""' || '"doc' || chr(10) ||
+        |  'def trap(y):' || chr(10) ||
+        |  '    ""' || '"' || chr(10) ||
+        |  '    s = "alpha ' || p || '"' || chr(10) ||
+        |  '    return len(s) + x' || chr(10) || chr(10) ||
+        |  '@wrap' || chr(10) ||
+        |  'def beta_' || p || '(x):' || chr(10) ||
+        |  '    return x * 2' || chr(10) || chr(10) ||
+        |  'class Gamma_' || p || ':' || chr(10) ||
+        |  '    def m1(self):' || chr(10) ||
+        |  '        return "' || p || '"' || chr(10) ||
+        |  '    def m2(self):' || chr(10) ||
+        |  '        return ''def ''' || chr(10) AS c
+        |  FROM d),
+        |exp(chunk_index, c_start, c_end, c_line, c_col) AS (VALUES
+        |  (0, 0, 26, 1, 1), (1, 28, 125, 5, 1),
+        |  (2, 127, 190, 12, 1), (3, 195, 272, 17, 5))
+        |SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+        |  CAST(c_start AS INT) AS c_start, CAST(c_end AS INT) AS c_end,
+        |  CAST(c_line AS INT) AS c_line, CAST(c_col AS INT) AS c_col,
+        |  substr(c, c_start + 1, c_end - c_start) AS chunk_text
+        |FROM code CROSS JOIN exp""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
