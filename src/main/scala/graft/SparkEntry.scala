@@ -1543,6 +1543,39 @@ object SparkEntry {
         col("col.text").as("chunk_text"))
   }
 
+  /** OpenAI request rendering in the gate (llm_service.py:188-262 via
+    * OpenAiWire.renderChat): one chat request per document — model,
+    * system prompt, max_tokens, temperature and reasoning_effort all
+    * varied by residue, the %7==0 residue exercising the gpt-5
+    * responses-API branch. Prompts sanitize to [A-Za-z0-9 ] so the
+    * rendered JSON is byte-reconstructable by concatenation in the
+    * oracle (escaping behavior is spec territory: OpenAiWireSpec).
+    * Rendering is a distributed per-row map — the renderer itself
+    * runs on executors, so the gate covers the exact production
+    * code path. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.OpenAiWire
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
+          .as("p"))
+      .as[(Long, String)]
+      .map { case (id, p) =>
+        val r = id % 7
+        val model = if (r == 0) "gpt-5"
+          else if (r % 2 == 0) "gpt-4o" else "gpt-4o-mini"
+        val req = OpenAiWire.renderChat(model, "Extract metadata: " + p,
+          systemPrompt =
+            if (id % 2 == 0) Some("extract metadata as json") else None,
+          maxTokens = 1000 + (id % 5).toInt * 100,
+          temperature = if (r == 3) None else Some(0.7),
+          reasoningEffort = if (r == 5) Some("low") else None)
+        (id, req.path, req.body)
+      }
+      .toDF("doc_id", "path", "body")
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1722,7 +1755,8 @@ object SparkEntry {
     "q91_md_sections" -> q91 _,
     "q92_status_events" -> q92 _,
     "q93_rag_prompt" -> q93 _,
-    "q94_code_split" -> q94 _)
+    "q94_code_split" -> q94 _,
+    "q95_chat_requests" -> q95 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2475,7 +2509,40 @@ object SparkEntry {
         |  CAST(c_start AS INT) AS c_start, CAST(c_end AS INT) AS c_end,
         |  CAST(c_line AS INT) AS c_line, CAST(c_col AS INT) AS c_col,
         |  substr(c, c_start + 1, c_end - c_start) AS chunk_text
-        |FROM code CROSS JOIN exp""".stripMargin)
+        |FROM code CROSS JOIN exp""".stripMargin,
+    "q95_chat_requests" ->
+      // bodies reconstruct by concatenation: prompts are sanitized to
+      // [A-Za-z0-9 ] so no JSON escaping can fire; the gpt-5 residue
+      // renders the responses-API shape
+      """WITH base AS (SELECT doc_id,
+        |  'Extract metadata: ' ||
+        |    regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
+        |  doc_id % 7 AS r,
+        |  CAST(1000 + (doc_id % 5) * 100 AS BIGINT) AS mt,
+        |  doc_id % 2 = 0 AS has_sys
+        |  FROM documents),
+        |m AS (SELECT *,
+        |  CASE WHEN r = 0 THEN 'gpt-5'
+        |       WHEN r % 2 = 0 THEN 'gpt-4o' ELSE 'gpt-4o-mini' END AS model
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN r = 0 THEN '/v1/responses'
+        |       ELSE '/v1/chat/completions' END AS path,
+        |  CASE WHEN r = 0 THEN
+        |    '{"model":"gpt-5","input":[' ||
+        |    CASE WHEN has_sys THEN '{"role":"system","content":[{"type":"input_text","text":"extract metadata as json"}]},'
+        |         ELSE '' END ||
+        |    '{"role":"user","content":[{"type":"input_text","text":"' || p ||
+        |    '"}]}],"max_output_tokens":' || mt || ',"reasoning":{"effort":"minimal"}}'
+        |  ELSE
+        |    '{"model":"' || model || '","messages":[' ||
+        |    CASE WHEN has_sys THEN '{"role":"system","content":"extract metadata as json"},'
+        |         ELSE '' END ||
+        |    '{"role":"user","content":"' || p || '"}],"max_tokens":' || mt ||
+        |    CASE WHEN r = 3 THEN '' ELSE ',"temperature":0.7' END ||
+        |    CASE WHEN r = 5 THEN ',"reasoning_effort":"low"' ELSE '' END || '}'
+        |  END AS body
+        |FROM m""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
