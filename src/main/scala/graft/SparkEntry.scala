@@ -1576,6 +1576,34 @@ object SparkEntry {
       .toDF("doc_id", "path", "body")
   }
 
+  /** extraction_runs audit bookkeeping in the gate (entity_v2.py:8-19,
+    * supabase_service.py:284-309, document_tasks.py:818/1527): runs
+    * start `running` for every document, complete with per-document
+    * mention/canonical/relationship counters joined back (absent docs
+    * count zero), the %13 residue failing with zeroed counters;
+    * censused by status like q64. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import operators.ExtractionRuns
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 97).as("ord"))
+    val mentions = docs.select(col("doc_id"),
+      explode(array_repeat(lit(1), (col("doc_id") % 5).cast("int"))))
+    val canonical = docs.where(col("doc_id") % 3 =!= 0)
+    val rels = docs.select(col("doc_id"),
+      explode(array_repeat(lit(1), (col("doc_id") % 7).cast("int"))))
+    val failed = docs.where(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("document_id"))
+    val runs = ExtractionRuns.start(docs, "doc_id", "ord")
+    ExtractionRuns.complete(runs, mentions, "doc_id", canonical, "doc_id",
+        rels, "doc_id", completedAt = 1234L, failedDocs = Some(failed))
+      .groupBy(col("status"), col("pipeline_version"), col("model"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mentions_extracted")).cast("long").as("sum_mentions"),
+        sum(col("entities_canonicalized")).cast("long").as("sum_canonical"),
+        sum(col("relationships_inferred")).cast("long").as("sum_rels"),
+        countDistinct(col("run_id")).as("n_runs"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1756,7 +1784,8 @@ object SparkEntry {
     "q92_status_events" -> q92 _,
     "q93_rag_prompt" -> q93 _,
     "q94_code_split" -> q94 _,
-    "q95_chat_requests" -> q95 _)
+    "q95_chat_requests" -> q95 _,
+    "q96_extraction_runs" -> q96 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2542,7 +2571,24 @@ object SparkEntry {
         |    CASE WHEN r = 3 THEN '' ELSE ',"temperature":0.7' END ||
         |    CASE WHEN r = 5 THEN ',"reasoning_effort":"low"' ELSE '' END || '}'
         |  END AS body
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "q96_extraction_runs" ->
+      // closed-form counters by residue; the %13 residue fails with
+      // zeroed counters
+      """WITH per AS (SELECT doc_id, doc_id % 13 = 0 AS failed,
+        |  CASE WHEN doc_id % 13 = 0 THEN 0 ELSE doc_id % 5 END AS m,
+        |  CASE WHEN doc_id % 13 = 0 THEN 0
+        |       WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS e,
+        |  CASE WHEN doc_id % 13 = 0 THEN 0 ELSE doc_id % 7 END AS r
+        |  FROM documents)
+        |SELECT CASE WHEN failed THEN 'failed' ELSE 'completed' END AS status,
+        |  'v2' AS pipeline_version, 'gpt-4o-mini' AS model,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(m) AS BIGINT) AS sum_mentions,
+        |  CAST(SUM(e) AS BIGINT) AS sum_canonical,
+        |  CAST(SUM(r) AS BIGINT) AS sum_rels,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_runs
+        |FROM per GROUP BY 1, 2, 3""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
