@@ -101,6 +101,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The 100 TB form of [[jaccardPairsFromIndex]]: frequent shingles
+    * (document frequency > `maxDf`) are dropped from CANDIDATE
+    * generation — they are the boilerplate n-grams whose posting
+    * lists make the self-join quadratic in corpus size (join mass =
+    * Σ df·(df−1)/2, dominated by the df tail) — and candidates then
+    * verify with an EXACT Jaccard over the full per-document shingle
+    * sets (array_intersect on collect_set arrays, O(|a|+|b|) per
+    * candidate).
+    *
+    * Precision is exact. Recall: a pair at jaccard ≥ s shares at
+    * least s/(1+s)·(|a|+|b|) shingles, so it is missed only when
+    * EVERY ONE of those is boilerplate (df > maxDf) — i.e. the
+    * documents consist of nothing but corpus-frequent n-grams.
+    * Size maxDf so the near-dup mass you care about keeps at least
+    * one sub-cap shingle; the measured knee on the synthetic corpus
+    * is in SCALING.md. */
+  def jaccardPairsCappedFromIndex(idx: DataFrame, idCol: String,
+      minSim: Double, maxDf: Long): DataFrame = {
+    val dfc = idx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf)
+      .select(col("shingle"))
+    // shingle->keep is vocabulary-sized (small next to the postings);
+    // broadcast so capping never reshuffles the index
+    val kept = idx.join(broadcast(dfc), Seq("shingle"))
+    val cand = kept.select(col(idCol).as("id_a"), col("shingle"))
+      .join(kept.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = idx.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("_sh"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("_sh_a")) + size(col("_sh_b")) - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signature as array<string>: element k = min over shingles
     * of md5(k ‖ ":" ‖ shingle). (String-min over md5 hex == a uniform
     * random permutation min for dedup purposes, and is reproducible in

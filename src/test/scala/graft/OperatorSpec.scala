@@ -137,6 +137,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("capped jaccard: exact parity when the cap doesn't bind; only boilerplate-only pairs drop") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota"
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    // docs 4..9 are exact copies of the boilerplate: every shingle
+    // they hold has df >= 6
+    val df = (Seq((1L, a), (2L, b), (3L, "unrelated other words entirely here today now friend")) ++
+      (4L to 9L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(df, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // a generous cap: nothing drops, and n_common/jaccard are
+    // bit-identical to the exact plan (verification is exact)
+    val unbound = Dedup.jaccardPairsCappedFromIndex(idx, "doc_id", 0.2, 100L)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(unbound === exact)
+    // cap 3: the boilerplate shingles (df 6) leave candidate
+    // generation, so the boilerplate-only pairs drop; the (1,2) pair
+    // survives on its sub-cap shingles with its EXACT jaccard
+    val capped = Dedup.jaccardPairsCappedFromIndex(idx, "doc_id", 0.2, 3L)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(capped === exact.filter(p => p._1 <= 2 && p._2 <= 2))
+  }
+
   test("minhash LSH catches exact-shingle duplicates") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val c = "completely different words entirely unrelated content here now"
