@@ -73,9 +73,16 @@ object ScaleUp {
     write("embeddings")(replicated("embeddings") { (df, i) =>
       val shifted = shiftKeys(df, i, "vec_id")
       if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 1000000),
-          slice(col("embedding"), 1, i)))
+      else {
+        // rotation in [1, dim-1]: a multiple of dim would be the
+        // identity and replica i would duplicate replica 0 exactly —
+        // the cross-replica near-dup pollution this perturbation is
+        // here to prevent
+        val rot = pmod(lit(i - 1), size(col("embedding")) - 1) + 1
+        shifted.withColumn("embedding",
+          concat(slice(col("embedding"), rot + 1, lit(Int.MaxValue)),
+            slice(col("embedding"), lit(1), rot)))
+      }
     })
 
     write("events")(replicated("events")(

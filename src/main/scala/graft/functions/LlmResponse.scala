@@ -30,7 +30,7 @@ object LlmResponse {
   // ogham, the en/em quads, LS/PS, narrow NBSP, math space,
   // ideographic space), so a fence preceded by an NBSP is detected
   // exactly as the reference's json.loads-side .strip() would be
-  private val ws = " \t\n\r\f\u000B\u001C\u001D\u001E\u001F" +
+  private[graft] val ws = " \t\n\r\f\u000B\u001C\u001D\u001E\u001F" +
     "\u0085\u00A0\u1680\u2000\u2001\u2002\u2003\u2004\u2005" +
     "\u2006\u2007\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
   private def wsTrim(c: Column): Column = trim(c, ws)
@@ -180,6 +180,15 @@ case class JsonKindExpr(child: Expression)
     else try {
       val node = JsonKindExpr.mapper.readTree(s)
       if (node == null || node.isMissingNode) JsonKindExpr.KindInvalid
+      // Jackson's non-numeric token set is wider than Python's scanner
+      // (it also takes INF/+INF/+Infinity); a top-level non-finite is
+      // json.loads-valid only as the three exact literals. Residual
+      // (documented): the same wider tokens NESTED inside an
+      // object/array still parse here but raise in json.loads.
+      else if (node.isNumber && node.isDouble &&
+        (node.doubleValue.isNaN || node.doubleValue.isInfinite) &&
+        s != "NaN" && s != "Infinity" && s != "-Infinity")
+        JsonKindExpr.KindInvalid
       else if (node.isObject) JsonKindExpr.KindObject
       else JsonKindExpr.KindValue
     } catch {

@@ -61,20 +61,18 @@ object RecursiveSplit {
     * patterns split BEFORE the construct while consuming only the
     * newline, so chunk texts keep the definition header.
     *
-    * Python, the JS/TS family and Rust never reach these tiers — the
+    * Python, the JS/TS family and Rust have NO entries here — the
     * [[SyntaxSplit]] scanners intercept them in [[chunkOffsets]] (a
-    * regex cannot know that a `def` sits inside a docstring); their
-    * entries below serve only callers that disable the syntax tier.
+    * regex cannot know that a `def` sits inside a docstring), so a
+    * regex tier for them would be unreachable code.
     */
   private[functions] def separatorsFor(language: String): Array[Regex] = {
     val tiers: Seq[String] = language.toLowerCase match {
       case "markdown" | "md" =>
         Seq("\n(?=#{1,6} )", "\n(?=```)")
-      case "python" | "py" =>
-        Seq("\n(?=(?:class|def|async def) )", "\n(?=    (?:def|async def) )")
       case "scala" | "java" | "kotlin" =>
         Seq("\n(?=\\s*(?:(?:public|private|protected|final|abstract|case|sealed|implicit|override|static)\\s+)*(?:class|object|trait|interface|enum|def)\\b)")
-      case "js" | "javascript" | "ts" | "typescript" | "rust" | "go" | "c" | "cpp" =>
+      case "go" | "c" | "cpp" =>
         Seq("\n(?=\\s*(?:(?:export|pub|static|async|unsafe)\\s+)*(?:function|fn|func|struct|impl|class|const|var|let)\\b)")
       case "sql" =>
         Seq("(?i)\n(?=(?:create|alter|drop|insert|select|with|update|delete)\\b)", ";\\s*\n")

@@ -189,6 +189,21 @@ object SyntaxSplit {
           }
           cur = attachedEnd
           decorated = isDecorator // a decorator line binds to what follows
+          if (decorated) {
+            // blank and comment lines between a decorator and its
+            // definition sit INSIDE the decorated_definition node's
+            // span — consume them so the def stays attached
+            var gap = true
+            while (gap && cur < e) {
+              var j2 = cur
+              while (j2 < e && (text.charAt(j2) == ' ' || text.charAt(j2) == '\t'))
+                j2 += 1
+              if (indentOf(text, cur, e) < 0 ||
+                (j2 < e && text.charAt(j2) == '#'))
+                cur = lineEnd(text, cur, e) + 1
+              else gap = false
+            }
+          }
         }
         out += ((start, math.min(cur, e)))
         ls = cur
@@ -228,16 +243,35 @@ object SyntaxSplit {
     case _ => true
   }
 
+  /** JS positions where a `/` after an identifier still starts a
+    * regex: the identifier is a keyword that cannot end a value. */
+  private val regexKeywords = Set("return", "typeof", "case", "in", "of",
+    "delete", "void", "instanceof", "new", "do", "else", "yield", "await",
+    "throw")
+
+  private def isWordChar(ch: Char): Boolean =
+    Character.isLetterOrDigit(ch) || ch == '_' || ch == '$'
+
+  /** Does the identifier ending just before position `j` (skipping
+    * whitespace) belong to [[regexKeywords]]? Backward-scan twin of
+    * braceItems' rolling word, for the single-probe braceBody path. */
+  private def kwBefore(text: String, s: Int, j0: Int): Boolean = {
+    var j = j0
+    while (j > s && Character.isWhitespace(text.charAt(j - 1))) j -= 1
+    val end = j
+    while (j > s && isWordChar(text.charAt(j - 1))) j -= 1
+    j < end && regexKeywords.contains(text.substring(j, end))
+  }
+
   /** One pass over `[s, e)` emitting top-level item spans. */
   private def braceItems(text: String, s: Int, e: Int,
       rust: Boolean): IndexedSeq[(Int, Int)] = {
     val out = new ArrayBuffer[(Int, Int)]()
     var i = s
-    var depth = 0
+    var depth = 0 // braces
+    var pdepth = 0 // parens + square brackets: a ';' inside is never a boundary
     var itemStart = -1
     var prevSig: Char = 0
-    // template-literal nesting: stack entry true = inside `${ }`
-    var tmplDepth = List.empty[Boolean]
 
     def closeItem(endExcl: Int): Unit = {
       if (itemStart >= 0 && endExcl > itemStart) out += ((itemStart, endExcl))
@@ -307,8 +341,17 @@ object SyntaxSplit {
       def kw(w: String): Boolean =
         text.regionMatches(j, w, 0, w.length) &&
           (j + w.length >= e || !Character.isLetterOrDigit(text.charAt(j + w.length)))
-      kw("else") || kw("catch") || kw("finally") || kw("while")
+      // do-while / catch / finally are JS-only continuations; Rust has
+      // no do-while, so a `while` after `}` starts a NEW statement
+      kw("else") || (!rust && (kw("catch") || kw("finally") || kw("while")))
     }
+    // rolling identifier ending at prevSig, for regex-vs-division: a
+    // `/` after `return`/`typeof`/... starts a regex even though the
+    // last significant CHAR is a letter
+    val word = new java.lang.StringBuilder
+    def regexStartOk: Boolean =
+      if (isWordChar(prevSig)) regexKeywords.contains(word.toString)
+      else regexCanFollow(prevSig)
 
     while (i < e) {
       val c = text.charAt(i)
@@ -362,7 +405,7 @@ object SyntaxSplit {
             i + 1 < e && (text.charAt(i + 1) == '"' || text.charAt(i + 1) == '#') =>
             skipRawString()
             prevSig = '"'
-          case '/' if !rust && regexCanFollow(prevSig) =>
+          case '/' if !rust && regexStartOk =>
             skipRegex()
             prevSig = '/'
           case '{' =>
@@ -370,16 +413,33 @@ object SyntaxSplit {
             prevSig = '{'
           case '}' =>
             if (depth > 0) depth -= 1
-            if (depth == 0 && !(rust && itemStartsWith(text, itemStart, "#")) &&
+            if (depth == 0 && pdepth == 0 &&
+              !(rust && itemStartsWith(text, itemStart, "#")) &&
               !continuesAfterBrace(i + 1))
               closeItem(i + 1)
             else prevSig = '}'
-          case ';' if depth == 0 =>
+          case '(' | '[' =>
+            pdepth += 1
+            prevSig = c
+          case ')' | ']' =>
+            if (pdepth > 0) pdepth -= 1
+            prevSig = c
+          case ';' if depth == 0 && pdepth == 0 =>
+            // a ';' inside parens/brackets (for-headers, [T; N]) never
+            // ends an item
             closeItem(i + 1)
           case '\n' => () // unreachable (whitespace)
           case _ =>
             prevSig = c
         }
+        // prevSig == c exactly when the char flowed through the
+        // default arm (strings/comments/regexes set prevSig to their
+        // delimiter instead); a whitespace gap starts a new word
+        if (isWordChar(c) && prevSig == c) {
+          if (word.length > 0 && i > s && !isWordChar(text.charAt(i - 1)))
+            word.setLength(0)
+          word.append(c)
+        } else if (!Character.isWhitespace(c)) word.setLength(0)
         // Rust attribute / JS decorator lines end at EOL at depth 0
         if (itemStart >= 0 && depth == 0 && (c == ']' || c == ')')) {
           if (rust && itemStartsWith(text, itemStart, "#") &&
@@ -442,7 +502,32 @@ object SyntaxSplit {
             i += 1
           }
         }
-      } else if (!rust && c == '/' && regexCanFollow(prevSig)) {
+      } else if (!rust && c == '`') {
+        // template literal: a '{' inside it must not open a fake body
+        i += 1
+        while (i < e && text.charAt(i) != '`') {
+          if (text.charAt(i) == '\\' && i + 1 < e) i += 1
+          i += 1
+        }
+      } else if (rust && c == 'r' && !isWordChar(prevSig) && i + 1 < e &&
+        (text.charAt(i + 1) == '"' || text.charAt(i + 1) == '#')) {
+        // raw string: same reason
+        i += 1
+        var hashes = 0
+        while (i < e && text.charAt(i) == '#') { hashes += 1; i += 1 }
+        if (i < e && text.charAt(i) == '"') {
+          i += 1
+          var closed = false
+          while (i < e && !closed) {
+            if (text.charAt(i) == '"') {
+              var h = 0
+              while (h < hashes && i + 1 + h < e && text.charAt(i + 1 + h) == '#') h += 1
+              if (h == hashes) { i += hashes; closed = true }
+            }
+            if (!closed) i += 1
+          }
+        } else i -= 1
+      } else if (!rust && c == '/' && (regexCanFollow(prevSig) || kwBefore(text, s, i))) {
         i += 1
         var inClass = false
         while (i < e && (inClass || text.charAt(i) != '/') && text.charAt(i) != '\n') {

@@ -119,9 +119,13 @@ object Dedup {
     * is in SCALING.md. */
   def jaccardPairsCappedFromIndex(idx: DataFrame, idCol: String,
       minSim: Double, maxDf: Long): DataFrame = {
+    // df == 1 shingles can never pair (the self-join discards the
+    // only row via id_a < id_b) — dropping them shrinks the broadcast
+    // and the join input by the single largest df class on realistic
+    // corpora, where unique shingles dominate the vocabulary
     val dfc = idx.groupBy(col("shingle"))
       .agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf)
+      .where(col("_df") > 1 && col("_df") <= maxDf)
       .select(col("shingle"))
     // shingle->keep is vocabulary-sized (small next to the postings);
     // broadcast so capping never reshuffles the index

@@ -89,10 +89,11 @@ object EntityQuality {
   private val temporalWords =
     Seq("yesterday", "today", "tomorrow", "now", "then", "later", "earlier")
 
-  // Python str.strip() removes all whitespace; Spark's default trim
-  // removes only spaces — a name like "\tab" is empty_name/too_short
-  // in the reference and must be here too
-  private val pyWs = " \t\n\r\f\u000B"
+  // Python str.strip() removes all unicode whitespace; Spark's default
+  // trim removes only spaces — a name like "\tab" or "\u00A0AI\u00A0"
+  // must reach the empty/length/acronym checks stripped exactly as the
+  // reference strips it (the same set LlmResponse uses)
+  private val pyWs = graft.functions.LlmResponse.ws
   private def pyTrim(c: Column): Column = trim(c, pyWs)
 
   private def words(nameLower: Column): Column =

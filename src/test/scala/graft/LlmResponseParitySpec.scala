@@ -61,6 +61,13 @@ object PyLlmResponse {
       catch { case _: Exception =>
         return (None, Some(raw.take(200)), 0.3, 0) // JSONDecodeError arm
       }
+    // json.loads' scanner special-cases exactly NaN/Infinity/-Infinity;
+    // Jackson's ALLOW_NON_NUMERIC_NUMBERS also takes INF/+INF/+Infinity,
+    // which json.loads raises on (the 0.3 arm)
+    if (node != null && node.isNumber && node.isDouble &&
+      (node.doubleValue.isNaN || node.doubleValue.isInfinite) &&
+      cleaned != "NaN" && cleaned != "Infinity" && cleaned != "-Infinity")
+      return (None, Some(raw.take(200)), 0.3, 0)
     if (node == null || !node.isObject)
       return (None, None, 0.0, 0) // .get AttributeError arm
     val title = Option(node.get("title")).filter(_.isTextual).map(_.asText)
@@ -93,6 +100,9 @@ class LlmResponseParitySpec extends AnyFunSuite {
     """{"unclosed": "v" """,
     "[1, 2]", "[1, 2", "null", "\"str\"", "42", "true",
     "NaN", "Infinity", "-Infinity",
+    // Jackson-only non-numeric tokens: json.loads raises on all of
+    // these (its scanner special-cases only the three above)
+    "+Infinity", "INF", "+INF", "-INF",
     "the model rambled on without any json at all",
     "```json\n[1, 2]\n```",
     "```json\n{\"title\": \"F\", \"confidence\": 0.25}\n```",

@@ -229,6 +229,60 @@ class RecursiveSplitSpec extends AnyFunSuite {
     assert(cs.tail.exists(c => c.startsWith("m2") || c.startsWith("m3")))
   }
 
+  test("js: for-header semicolons and keyword-prefixed regexes don't split items") {
+    val js =
+      "function alpha(n) {\n  for (let i = 0; i < n; i++) { work(i); }\n  return n;\n}\n" +
+        "function beta(s) {\n  return /[}]/.test(s);\n}\n" +
+        "function gamma(x) {\n  return x + 1;\n}\n"
+    val cs = langChunks(js, 90, "js")
+    // the for-header ';' at brace depth 0 of the descended body, and
+    // the '}' inside the regex class after `return`, are not
+    // boundaries: every chunk starts at a function
+    assert(cs.forall(_.startsWith("function ")))
+    assert(cs.exists(c => c.startsWith("function alpha") && c.contains("i++")))
+    assert(cs.exists(c => c.startsWith("function beta") && c.endsWith("}")))
+  }
+
+  test("rust: array types with ';' and a while after a block stay intact") {
+    val rs =
+      "static TABLE: [u8; 4] = [1, 2, 3, 4];\n" +
+        "fn alpha(n: u64) -> u64 {\n    if n > 2 { init(); }\n    while check() { tick(); }\n    n\n}\n" +
+        "fn beta() -> u64 { 7 }\n"
+    val cs = langChunks(rs, 60, "rust")
+    // '[u8; 4]' never splits; the static is one item
+    assert(cs.exists(_.startsWith("static TABLE: [u8; 4]")))
+    // rust has no do-while: the while inside alpha's descended body is
+    // its own atom, not glued to the if-block
+    assert(cs.exists(_.startsWith("while check")))
+    assert(!cs.exists(c => c.contains("if n > 2") && c.contains("while check")))
+    assert(cs.exists(_.contains("fn beta")))
+  }
+
+  test("js: an oversized item with a braced template literal descends sanely") {
+    val js = "function alpha() {\n" +
+      "  const q = `select { a, b } from ${table} where x`;\n" +
+      "  const r = `another { braced } template literal body`;\n" +
+      "  return q + r;\n}\n"
+    val cs = langChunks(js, 60, "js")
+    // body atoms are the three statements; no chunk starts inside a
+    // template literal's braces
+    assert(cs.head.startsWith("function alpha() {"))
+    assert(!cs.exists(_.startsWith("a, b")))
+    assert(!cs.exists(_.startsWith("braced")))
+    assert(cs.exists(_.startsWith("const q")))
+  }
+
+  test("python: comments and blank lines between decorator and def stay attached") {
+    val py =
+      "@wrap\n# disabled until r9\n\ndef alpha():\n    return 1\n\n" +
+        "def beta():\n    return 2\n"
+    val cs = langChunks(py, 55, "python")
+    assert(cs.length === 2)
+    assert(cs(0).startsWith("@wrap"))
+    assert(cs(0).contains("def alpha"))
+    assert(cs(1).startsWith("def beta"))
+  }
+
   test("rust: raw strings, nested comments and lifetimes don't split") {
     val rs =
       "fn alpha() -> String {\n    let s = r#\"} fn fake() { \"#;\n    s.to_string()\n}\n" +
