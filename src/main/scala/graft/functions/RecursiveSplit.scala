@@ -61,22 +61,19 @@ object RecursiveSplit {
     * patterns split BEFORE the construct while consuming only the
     * newline, so chunk texts keep the definition header.
     *
-    * Python, the JS/TS family and Rust have NO entries here — the
-    * [[SyntaxSplit]] scanners intercept them in [[chunkOffsets]] (a
-    * regex cannot know that a `def` sits inside a docstring), so a
-    * regex tier for them would be unreachable code.
+    * Languages with a [[SyntaxSplit]] scanner (Python, JS/TS, Rust,
+    * Go, C/C++/Java/C#, Scala/Kotlin/Swift) have NO entries here —
+    * the scanners intercept them in [[chunkOffsets]] (a regex cannot
+    * know that a `def` sits inside a docstring), so a regex tier for
+    * them would be unreachable code.
     */
   private[functions] def separatorsFor(language: String): Array[Regex] = {
     val tiers: Seq[String] = language.toLowerCase match {
       case "markdown" | "md" =>
         Seq("\n(?=#{1,6} )", "\n(?=```)")
-      case "scala" | "java" | "kotlin" =>
-        Seq("\n(?=\\s*(?:(?:public|private|protected|final|abstract|case|sealed|implicit|override|static)\\s+)*(?:class|object|trait|interface|enum|def)\\b)")
-      case "go" | "c" | "cpp" =>
-        Seq("\n(?=\\s*(?:(?:export|pub|static|async|unsafe)\\s+)*(?:function|fn|func|struct|impl|class|const|var|let)\\b)")
       case "sql" =>
         Seq("(?i)\n(?=(?:create|alter|drop|insert|select|with|update|delete)\\b)", ";\\s*\n")
-      case "csharp" | "cs" | "php" | "swift" =>
+      case "php" =>
         Seq("\n(?=\\s*(?:(?:public|private|protected|internal|static|final|abstract|open|sealed)\\s+)*(?:namespace|class|struct|interface|enum|func|function)\\b)")
       case "ruby" | "rb" =>
         Seq("\n(?=(?:class|module|def) )", "\n(?=  def )")

@@ -33,6 +33,15 @@ import scala.collection.mutable.ArrayBuffer
   *    understands nested block comments, raw strings `r#".."#`,
   *    lifetimes vs char literals, and attribute lines (their own
   *    `attribute_item`/`line_comment` nodes, as in the grammar).
+  *  - Go / Scala / Kotlin / Swift: the same brace rules plus newline
+  *    statement termination (a newline at depth 0 ends a complete
+  *    statement — Go's semicolon insertion, Scala/Kotlin/Swift line
+  *    syntax); annotations (`@...`) attach forward like decorators.
+  *    Go adds backtick raw strings; Scala/Kotlin/Swift nest block
+  *    comments.
+  *  - C / C++ / Java / C#: plain brace rules (`;`-terminated), with
+  *    preprocessor `#...` lines as their own EOL-terminated items
+  *    (backslash-continued), like the grammar's preproc nodes.
   *
   * Descending into an oversized item mirrors the reference's cursor
   * walk into the node's children: the header tokens before the body
@@ -46,42 +55,63 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SyntaxSplit {
 
-  /** Languages with a syntax tier (aliases per
-    * split_recursively.rs:96-247's alias lists). */
-  def supports(language: String): Boolean = language.toLowerCase match {
-    case "python" | "py" | ".py" => true
-    case "javascript" | "js" | ".js" | "typescript" | "ts" | ".ts" |
-        "tsx" | ".tsx" => true
-    case "rust" | "rs" | ".rs" => true
-    case _ => false
-  }
+  /** Per-language lexer/item-rule flags for the brace scanner. */
+  private final case class BraceStyle(
+      js: Boolean = false, // template literals + regex literals
+      rust: Boolean = false, // raw strings, lifetimes, #[attr] items
+      goRaw: Boolean = false, // backtick raw strings
+      asi: Boolean = false, // newline ends a complete statement
+      hashLine: Boolean = false, // preprocessor '#...' EOL items
+      nestedComments: Boolean = false)
 
-  private def family(language: String): Int = language.toLowerCase match {
-    case "python" | "py" | ".py" => 0
-    case "rust" | "rs" | ".rs" => 2
-    case _ => 1 // the JS/TS family
-  }
+  private val JsStyle = BraceStyle(js = true)
+  private val RustStyle = BraceStyle(rust = true, nestedComments = true)
+  private val GoStyle = BraceStyle(goRaw = true, asi = true)
+  private val ScalaStyle = BraceStyle(asi = true, nestedComments = true)
+  private val CStyle = BraceStyle(hashLine = true)
+
+  /** Style by language name/alias (aliases per
+    * split_recursively.rs:96-247's alias lists); None = no syntax
+    * tier (regex tiers apply). */
+  private def styleFor(language: String): Option[BraceStyle] =
+    language.toLowerCase match {
+      case "javascript" | "js" | ".js" | "typescript" | "ts" | ".ts" |
+          "tsx" | ".tsx" => Some(JsStyle)
+      case "rust" | "rs" | ".rs" => Some(RustStyle)
+      case "go" | ".go" | "golang" => Some(GoStyle)
+      case "scala" | ".scala" | "kotlin" | ".kt" | ".kts" | "kt" |
+          "swift" | ".swift" => Some(ScalaStyle)
+      case "c" | ".c" | "c++" | "cpp" | ".cpp" | ".cc" | ".cxx" | ".h" |
+          ".hpp" | "java" | ".java" | "c#" | "cs" | ".cs" | "csharp" =>
+        Some(CStyle)
+      case _ => None
+    }
+
+  private def isPython(language: String): Boolean =
+    language.toLowerCase match {
+      case "python" | "py" | ".py" => true
+      case _ => false
+    }
+
+  /** Languages with a syntax tier. */
+  def supports(language: String): Boolean =
+    isPython(language) || styleFor(language).isDefined
 
   /** Top-level item spans covering the significant content of
     * `[s, e)`; whitespace between items is not covered (the chunker
     * trims atoms anyway). Returns a single span (or none) when the
     * span holds one item — callers then [[descend]]. */
   def items(language: String, text: String, s: Int, e: Int): IndexedSeq[(Int, Int)] =
-    family(language) match {
-      case 0 => pythonItems(text, s, e)
-      case 1 => braceItems(text, s, e, rust = false)
-      case 2 => braceItems(text, s, e, rust = true)
-    }
+    if (isPython(language)) pythonItems(text, s, e)
+    else braceItems(text, s, e, styleFor(language).getOrElse(JsStyle))
 
   /** The body span of a single block item, for recursion one level in:
     * Python returns the indented suite after the (last) header line;
-    * JS/Rust return the interior of the item's outermost brace block.
-    * None when the item has no splittable body. */
+    * brace languages return the interior of the item's outermost
+    * brace block. None when the item has no splittable body. */
   def descend(language: String, text: String, s: Int, e: Int): Option[(Int, Int)] =
-    family(language) match {
-      case 0 => pythonBody(text, s, e)
-      case _ => braceBody(text, s, e, rust = family(language) == 2)
-    }
+    if (isPython(language)) pythonBody(text, s, e)
+    else braceBody(text, s, e, styleFor(language).getOrElse(JsStyle))
 
   // ---------------------------------------------------------------
   // Python
@@ -265,7 +295,8 @@ object SyntaxSplit {
 
   /** One pass over `[s, e)` emitting top-level item spans. */
   private def braceItems(text: String, s: Int, e: Int,
-      rust: Boolean): IndexedSeq[(Int, Int)] = {
+      style: BraceStyle): IndexedSeq[(Int, Int)] = {
+    val rust = style.rust
     val out = new ArrayBuffer[(Int, Int)]()
     var i = s
     var depth = 0 // braces
@@ -280,11 +311,11 @@ object SyntaxSplit {
     }
     def skipLineComment(): Unit = { i = lineEnd(text, i, e) }
     def skipBlockComment(): Unit = {
-      // Rust block comments nest
+      // Rust/Scala/Kotlin/Swift block comments nest
       var d = 1
       i += 2
       while (i < e && d > 0) {
-        if (rust && i + 1 < e && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
+        if (style.nestedComments && i + 1 < e && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
           d += 1; i += 2
         } else if (i + 1 < e && text.charAt(i) == '*' && text.charAt(i + 1) == '/') {
           d -= 1; i += 2
@@ -353,9 +384,28 @@ object SyntaxSplit {
       if (isWordChar(prevSig)) regexKeywords.contains(word.toString)
       else regexCanFollow(prevSig)
 
+    def asiCloses(ch: Char): Boolean =
+      Character.isLetterOrDigit(ch) || ch == ')' || ch == ']' ||
+        ch == '"' || ch == '\'' || ch == '`'
+
     while (i < e) {
       val c = text.charAt(i)
-      if (c == '/' && i + 1 < e && text.charAt(i + 1) == '/') {
+      if (c == '\n' && itemStart >= 0 && depth == 0 && pdepth == 0 &&
+        (style.asi || style.hashLine)) {
+        if (style.hashLine) {
+          // preprocessor lines are their own items, ending at an
+          // uncontinued EOL; everything else in C-family needs ';'/'}'
+          if (itemStartsWith(text, itemStart, "#") &&
+            i > s && text.charAt(i - 1) != '\\') closeItem(i)
+        } else if (asiCloses(prevSig) &&
+          !itemStartsWith(text, itemStart, "@") &&
+          !continuesAfterBrace(i + 1))
+          // newline statement termination (Go semicolon insertion,
+          // Scala/Kotlin/Swift line syntax): a complete statement
+          // ends unless the next line continues it (else/./operator)
+          // or this item is an annotation awaiting its definition
+          closeItem(i)
+      } else if (c == '/' && i + 1 < e && text.charAt(i + 1) == '/') {
         if (itemStart < 0) { // a standalone comment line is its own item
           itemStart = i
           skipLineComment()
@@ -376,7 +426,12 @@ object SyntaxSplit {
               // lifetime: consume the tick only
             } else skipString(c)
             prevSig = c
-          case '`' if !rust =>
+          case '`' if style.goRaw =>
+            // Go raw string: no escapes, runs to the next backtick
+            i += 1
+            while (i < e && text.charAt(i) != '`') i += 1
+            prevSig = '`'
+          case '`' if style.js =>
             // template literal; ${ } re-enters code
             i += 1
             var open = true
@@ -405,7 +460,7 @@ object SyntaxSplit {
             i + 1 < e && (text.charAt(i + 1) == '"' || text.charAt(i + 1) == '#') =>
             skipRawString()
             prevSig = '"'
-          case '/' if !rust && regexStartOk =>
+          case '/' if style.js && regexStartOk =>
             skipRegex()
             prevSig = '/'
           case '{' =>
@@ -473,7 +528,8 @@ object SyntaxSplit {
     * matching `}`. The lexer rules match [[braceItems]] so a `{` in a
     * string or comment can't open a body. */
   private def braceBody(text: String, s: Int, e: Int,
-      rust: Boolean): Option[(Int, Int)] = {
+      style: BraceStyle): Option[(Int, Int)] = {
+    val rust = style.rust
     var i = s
     var open = -1
     var depth = 0
@@ -485,7 +541,7 @@ object SyntaxSplit {
         var d = 1
         i += 2
         while (i < e && d > 0) {
-          if (rust && i + 1 < e && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
+          if (style.nestedComments && i + 1 < e && text.charAt(i) == '/' && text.charAt(i + 1) == '*') {
             d += 1; i += 2
           } else if (i + 1 < e && text.charAt(i) == '*' && text.charAt(i + 1) == '/') {
             d -= 1; i += 2
@@ -502,11 +558,13 @@ object SyntaxSplit {
             i += 1
           }
         }
-      } else if (!rust && c == '`') {
-        // template literal: a '{' inside it must not open a fake body
+      } else if ((style.js || style.goRaw) && c == '`') {
+        // template literal / Go raw string: a '{' inside must not open
+        // a fake body; Go raw strings have NO escapes (a trailing
+        // backslash is literal), JS templates do
         i += 1
         while (i < e && text.charAt(i) != '`') {
-          if (text.charAt(i) == '\\' && i + 1 < e) i += 1
+          if (style.js && text.charAt(i) == '\\' && i + 1 < e) i += 1
           i += 1
         }
       } else if (rust && c == 'r' && !isWordChar(prevSig) && i + 1 < e &&
@@ -527,7 +585,7 @@ object SyntaxSplit {
             if (!closed) i += 1
           }
         } else i -= 1
-      } else if (!rust && c == '/' && (regexCanFollow(prevSig) || kwBefore(text, s, i))) {
+      } else if (style.js && c == '/' && (regexCanFollow(prevSig) || kwBefore(text, s, i))) {
         i += 1
         var inClass = false
         while (i < e && (inClass || text.charAt(i) != '/') && text.charAt(i) != '\n') {

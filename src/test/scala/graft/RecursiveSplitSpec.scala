@@ -323,6 +323,67 @@ class RecursiveSplitSpec extends AnyFunSuite {
     assert(cs.tail.exists(_.startsWith("fn m")))
   }
 
+  test("go: newline termination, raw strings, func items") {
+    val go =
+      "package main\n\n" +
+        "var table = `raw { braced } func fake() {`\n\n" +
+        "func alpha(n int) int {\n\tif n > 2 {\n\t\treturn n\n\t}\n\treturn 0\n}\n\n" +
+        "func beta() string {\n\treturn \"x\"\n}\n"
+    val cs = langChunks(go, 60, "go")
+    // newline ends package/var statements (no semicolons in Go); the
+    // raw string's braces and fake func never split
+    assert(cs.exists(_.startsWith("package main")))
+    assert(!cs.exists(_.startsWith("func fake")))
+    assert(cs.exists(_.startsWith("func alpha")))
+    assert(cs.exists(c => c.contains("func beta") && c.endsWith("}")))
+  }
+
+  test("scala: newline termination, annotations attach, chains continue") {
+    val sc =
+      "val alpha = 1\n" +
+        "val beta = items\n  .map(x => x + 1)\n  .filter(_ > 0)\n\n" +
+        "@tailrec\ndef gamma(n: Int): Int =\n  if (n <= 0) 0 else gamma(n - 1)\n\n" +
+        "def delta(): String = \"def fake() {\"\n"
+    val cs = langChunks(sc, 60, "scala")
+    // the builder chain is ONE item (leading-dot lines continue);
+    // @tailrec stays with gamma; the string trap never splits
+    assert(cs.exists(c => c.startsWith("val beta") && c.contains(".filter")))
+    assert(cs.exists(c => c.startsWith("@tailrec") && c.contains("def gamma")))
+    assert(!cs.exists(_.startsWith("def fake")))
+  }
+
+  test("c: preprocessor lines are their own items; semicolon rules hold") {
+    val c =
+      "#include <stdio.h>\n#define MAX 10\n\n" +
+        "int alpha(int n) {\n    for (int i = 0; i < n; i++) { work(i); }\n    return n;\n}\n\n" +
+        "static const char *s = \"} int fake() {\";\n"
+    val cs = langChunks(c, 60, "c")
+    // the EOL-terminated preproc atoms pack with alpha's header; the
+    // descended body keeps the for-header (its ';'s are not
+    // boundaries) and closes its own brace
+    assert(cs.head.startsWith("#include") && cs.head.endsWith("int alpha(int n) {"))
+    assert(cs.exists(c0 => c0.startsWith("for (int i = 0;") &&
+      c0.contains("i++") && c0.endsWith("}")))
+    assert(!cs.exists(_.startsWith("int fake")))
+    assert(cs.exists(_.startsWith("static const char")))
+  }
+
+  test("java: annotations attach and methods split inside an oversized class") {
+    val j =
+      "public class Alpha {\n" +
+        "    @Override\n    public int m1() { return 11111; }\n" +
+        "    public int m2() { return 22222; }\n" +
+        "    public int m3() { return 33333; }\n" +
+        "}\n"
+    val cs = langChunks(j, 75, "java")
+    // the class header packs with the annotated m1 (annotation and
+    // method are one atom); m2/m3 start the next chunk at a method
+    // boundary
+    assert(cs.head.startsWith("public class Alpha {"))
+    assert(cs.head.contains("@Override\n    public int m1"))
+    assert(cs.tail.exists(_.startsWith("public int m2")))
+  }
+
   test("syntax tier: offsets still reconstruct the original text") {
     val py = "def a():\n    return '}'\n\ndef b():\n    return \"def c():\"\n"
     val rows = Seq(py).toDF("t")
