@@ -244,6 +244,13 @@ object OpenAiWire {
           vec.foreach(emb.add)
         }
         OpenAiResponse(200, None, mapper.writeValueAsString(data))
+      } else if (req.path.endsWith(":generateContent")) {
+        val root = mapper.createObjectNode()
+        val cand = root.putArray("candidates").addObject()
+        cand.putObject("content").putArray("parts")
+          .addObject().put("text", "{}")
+        cand.put("finishReason", "STOP")
+        OpenAiResponse(200, None, mapper.writeValueAsString(root))
       } else {
         val root = mapper.createObjectNode()
         val choices = root.putArray("choices")
