@@ -1604,6 +1604,122 @@ object SparkEntry {
         countDistinct(col("run_id")).as("n_runs"))
   }
 
+  /** Bridge chunk listing in the gate (bridge.py:25-122): fixed
+    * 200/50 chunks of every 5th document (a batch of the endpoint's
+    * per-document calls) through Bridge.documentChunks — the
+    * endpoint's renames, the derived chunk_size, and the offset
+    * columns, value-checked against a closed-form chunking. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunker.fixed(
+        t(s, dir, "documents").where(col("doc_id") % 5 === 2)
+          .select(col("doc_id"), col("text")),
+        "text", 200, 50)
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_number"),
+        col("chunk_text"),
+        (col("chunk_index").cast("long") * 150L).as("start_position"),
+        (col("chunk_index").cast("long") * 150L + length(col("chunk_text")))
+          .as("end_position"))
+    operators.Bridge.documentChunks(chunks, "doc_id", "chunk_number",
+      "chunk_text", "start_position", "end_position")
+  }
+
+  /** Bridge entity listing in the gate (bridge.py:126-199): synthetic
+    * document→entity edges (orders mention their parts, q30's frame)
+    * with every nullable cell exercised by modular arithmetic, through
+    * Bridge.documentEntities — renames plus the endpoint's 'Unknown' /
+    * 0.0 / 'MENTIONS' record.get defaults. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_orderkey") % 37 === 3)
+    val part = t(s, dir, "part")
+    val keySum = col("l_orderkey") + col("p_partkey")
+    val edges = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey"), col("p_partkey"), col("p_name"),
+        when(col("p_partkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(Entities.normalizeType(rawPartType)).as("etype"),
+        when(col("p_partkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise((col("p_partkey") % 16).cast("double") / 16.0 + 0.5)
+          .as("conf"),
+        element_at(
+          array(lit("MENTIONS"), lit("HAS_ENTITY"), lit("REFERENCES")),
+          (keySum % 3 + 1).cast("int")).as("rel_type"),
+        when(keySum % 13 === 0, lit(null).cast("double"))
+          .otherwise((keySum % 8).cast("double") / 8.0).as("rel_conf"))
+      .distinct()
+    operators.Bridge.documentEntities(edges, "l_orderkey", "p_partkey",
+      "p_name", "etype", "conf", "rel_type", "rel_conf")
+  }
+
+  /** Bridge relationship neighborhood in the gate (bridge.py:202-247):
+    * synthetic mentions (orders → part canonical ids, some null) and a
+    * synthetic canonical_relationships table keyed off part, through
+    * Bridge.documentRelationships — the either-end match as two
+    * equi-joins, the per-document id dedup, and the
+    * `float(confidence_score or 0.0)` mapping. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val mentions = t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 41 === 5)
+      .select(col("l_orderkey").as("document_id"),
+        when((col("l_orderkey") + col("l_partkey")) % 17 === 0,
+          lit(null).cast("long"))
+          .otherwise(col("l_partkey")).as("canonical_entity_id"))
+    val relTypes = array(Seq("PART_OF", "CONNECTS_TO", "USES", "CAUSES",
+      "RELATED_TO").map(lit): _*)
+    val rels = t(s, dir, "part").select(
+      concat(lit("rel_"), col("p_partkey").cast("string")).as("rel_id"),
+      col("p_partkey").as("src"),
+      (col("p_partkey") + 3L).as("dst"),
+      element_at(relTypes, (col("p_partkey") % 5 + 1).cast("int"))
+        .as("rel_type"),
+      when(col("p_partkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise((col("p_partkey") % 32).cast("double") / 32.0)
+        .as("confidence_score"),
+      concat(lit("2024-"),
+        lpad((col("p_partkey") % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad((col("p_partkey") % 28 + 1).cast("string"), 2, "0"))
+        .as("created_ts"))
+    operators.Bridge.documentRelationships(mentions, rels,
+      "document_id", "canonical_entity_id", "rel_id", "src", "dst",
+      "rel_type", "confidence_score", "created_ts")
+  }
+
+  /** Query-stream request glue in the gate (api/query.py:38-57,
+    * 104-119): a request batch synthesized from the corpus — model ids
+    * covering both provider prefixes plus the default arm,
+    * multi-select filters covering present / present-but-EMPTY (the
+    * Python `or` falsy fallback) / absent, deprecated single-selects —
+    * routed and filter-derived in one pass, with the 200-char stream
+    * fallback pinned by (n_frames, last_frame_len). */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import operators.QueryStream
+    val models = array(lit("gpt-4o-mini"), lit("GPT-5"),
+      lit("gemini-2.5-pro"), lit("claude-3"))
+    val req = t(s, dir, "documents").select(
+      col("doc_id").as("request_id"), col("text"),
+      element_at(models, (col("doc_id") % 4 + 1).cast("int")).as("model"),
+      when(col("doc_id") % 3 === 0, array(col("source")))
+        .when(col("doc_id") % 3 === 1, array().cast("array<string>"))
+        .as("departments"),
+      when(col("doc_id") % 4 === 1, col("lang")).as("department"),
+      when(col("doc_id") % 5 === 0, array(lit("internal"), lit("public")))
+        .as("security_tiers"),
+      when(col("doc_id") % 5 === 2, lit("confidential")).as("security_tier"))
+    val frames = QueryStream.streamFrames(col("text"))
+    req.select(col("request_id"),
+        QueryStream.providerFromModel(col("model")).as("provider"),
+        explode_outer(QueryStream.filterEntries(col("departments"),
+          col("department"), col("security_tiers"), col("security_tier")))
+          .as("f"),
+        size(frames).cast("long").as("n_frames"),
+        when(size(frames) > 0,
+          length(element_at(frames, size(frames))).cast("long"))
+          .as("last_frame_len"))
+      .select(col("request_id"), col("provider"),
+        col("f.filter_key").as("filter_key"),
+        col("f.filter_value").as("filter_value"),
+        col("n_frames"), col("last_frame_len"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1785,7 +1901,11 @@ object SparkEntry {
     "q93_rag_prompt" -> q93 _,
     "q94_code_split" -> q94 _,
     "q95_chat_requests" -> q95 _,
-    "q96_extraction_runs" -> q96 _)
+    "q96_extraction_runs" -> q96 _,
+    "q97_bridge_chunks" -> q97 _,
+    "q98_bridge_entities" -> q98 _,
+    "q99_bridge_relationships" -> q99 _,
+    "q100_query_stream" -> q100 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2588,7 +2708,94 @@ object SparkEntry {
         |  CAST(SUM(e) AS BIGINT) AS sum_canonical,
         |  CAST(SUM(r) AS BIGINT) AS sum_rels,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_runs
-        |FROM per GROUP BY 1, 2, 3""".stripMargin)
+        |FROM per GROUP BY 1, 2, 3""".stripMargin,
+    "q97_bridge_chunks" ->
+      // q82's fixed-200/50 chunk mirror, plus the endpoint's derived
+      // chunk_size and offset columns
+      """WITH c AS (SELECT doc_id, i AS chunk_number,
+        |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+        |  FROM (SELECT doc_id, text,
+        |        unnest(range(0, CAST(floor((greatest(length(text), 1) - 1) / 150) AS BIGINT) + 1)) AS i
+        |        FROM documents WHERE doc_id % 5 = 2))
+        |SELECT doc_id AS document_id, chunk_number, chunk_text,
+        |  CAST(length(chunk_text) AS INT) AS chunk_size,
+        |  chunk_number * 150 AS start_position,
+        |  chunk_number * 150 + length(chunk_text) AS end_position
+        |FROM c""".stripMargin,
+    "q98_bridge_entities" ->
+      s"""WITH e AS (SELECT DISTINCT l_orderkey, p_partkey, p_name,
+         |  CASE WHEN p_partkey % 11 = 0 THEN NULL
+         |       ELSE ${normTypeSql(rawPartTypeSql)} END AS etype,
+         |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+         |       ELSE CAST(p_partkey % 16 AS DOUBLE) / 16.0 + 0.5 END AS conf,
+         |  list_extract(['MENTIONS', 'HAS_ENTITY', 'REFERENCES'],
+         |    CAST((l_orderkey + p_partkey) % 3 AS INT) + 1) AS rel_type,
+         |  CASE WHEN (l_orderkey + p_partkey) % 13 = 0 THEN NULL
+         |       ELSE CAST((l_orderkey + p_partkey) % 8 AS DOUBLE) / 8.0 END AS rel_conf
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_orderkey % 37 = 3)
+         |SELECT p_partkey AS id, COALESCE(p_name, '') AS entity_name,
+         |  COALESCE(etype, 'Unknown') AS entity_type,
+         |  l_orderkey AS document_id, COALESCE(conf, 0.0) AS confidence,
+         |  COALESCE(rel_type, 'MENTIONS') AS relationship_type,
+         |  COALESCE(rel_conf, 0.0) AS relationship_confidence
+         |FROM e""".stripMargin,
+    "q99_bridge_relationships" ->
+      // either-end membership as one OR-join (the oracle can afford
+      // it); DISTINCT mirrors the seen_ids dedup
+      """WITH m AS (SELECT DISTINCT l_orderkey AS document_id, l_partkey AS cid
+        |  FROM lineitem
+        |  WHERE l_orderkey % 41 = 5 AND (l_orderkey + l_partkey) % 17 <> 0),
+        |r AS (SELECT 'rel_' || CAST(p_partkey AS VARCHAR) AS id,
+        |  p_partkey AS source_entity_id, p_partkey + 3 AS target_entity_id,
+        |  list_extract(['PART_OF', 'CONNECTS_TO', 'USES', 'CAUSES', 'RELATED_TO'],
+        |    CAST(p_partkey % 5 AS INT) + 1) AS relationship_type,
+        |  CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |       ELSE CAST(p_partkey % 32 AS DOUBLE) / 32.0 END AS confidence_score,
+        |  '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+        |    || '-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS created_at
+        |  FROM part)
+        |SELECT DISTINCT m.document_id, r.id, r.source_entity_id,
+        |  r.target_entity_id, r.relationship_type,
+        |  COALESCE(r.confidence_score, 0.0) AS confidence, r.created_at
+        |FROM r JOIN m ON r.source_entity_id = m.cid OR r.target_entity_id = m.cid""".stripMargin,
+    "q100_query_stream" ->
+      // filters resolve with Python-or truthiness (empty multi falls
+      // back to the deprecated single); a request with no filters
+      // keeps one null-keyed row (the LEFT JOIN / explode_outer twin)
+      """WITH req AS (SELECT doc_id AS request_id, text,
+        |  list_extract(['gpt-4o-mini', 'GPT-5', 'gemini-2.5-pro', 'claude-3'],
+        |    CAST(doc_id % 4 AS INT) + 1) AS model,
+        |  CASE WHEN doc_id % 3 = 0 THEN [source]
+        |       WHEN doc_id % 3 = 1 THEN CAST([] AS VARCHAR[]) END AS departments,
+        |  CASE WHEN doc_id % 4 = 1 THEN lang END AS department,
+        |  CASE WHEN doc_id % 5 = 0 THEN ['internal', 'public'] END AS security_tiers,
+        |  CASE WHEN doc_id % 5 = 2 THEN 'confidential' END AS security_tier
+        |  FROM documents),
+        |res AS (SELECT request_id,
+        |  CASE WHEN lower(model) LIKE 'gpt%' THEN 'OPENAI'
+        |       WHEN lower(model) LIKE 'gemini%' THEN 'GEMINI'
+        |       ELSE 'OPENAI' END AS provider,
+        |  CASE WHEN departments IS NOT NULL AND len(departments) > 0 THEN departments
+        |       WHEN department IS NOT NULL THEN [department]
+        |       ELSE CAST([] AS VARCHAR[]) END AS deps,
+        |  CASE WHEN security_tiers IS NOT NULL AND len(security_tiers) > 0 THEN security_tiers
+        |       WHEN security_tier IS NOT NULL THEN [security_tier]
+        |       ELSE CAST([] AS VARCHAR[]) END AS trs,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 200.0) AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN length(text) = 0 THEN NULL
+        |            WHEN length(text) % 200 = 0 THEN 200
+        |            ELSE length(text) % 200 END AS BIGINT) AS last_frame_len
+        |  FROM req),
+        |ents AS (
+        |  SELECT request_id, 'metadata.department' AS filter_key,
+        |         unnest(deps) AS filter_value FROM res
+        |  UNION ALL
+        |  SELECT request_id, 'metadata.security_level' AS filter_key,
+        |         unnest(trs) AS filter_value FROM res)
+        |SELECT res.request_id, res.provider, e.filter_key, e.filter_value,
+        |  res.n_frames, res.last_frame_len
+        |FROM res LEFT JOIN ents e USING (request_id)""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

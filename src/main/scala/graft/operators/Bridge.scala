@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's API-bridge fetch tier (app/api/bridge.py): the UI
+  * never queries the optimized stores directly — bridge endpoints
+  * project store rows into the exact JSON shapes the frontend binds
+  * to. Re-expressed as frame transforms: each endpoint is a
+  * projection/join over the pipeline's output frames, so the same
+  * shapes are available at corpus scale (all documents at once)
+  * instead of one path-parameter document per HTTP call.
+  */
+object Bridge {
+
+  /** `GET /documents/{id}/chunks` (bridge.py:25-122): the Qdrant
+    * scroll listing, with the endpoint's renames and derived fields —
+    * `chunk_text` (renamed from the payload's `text`), `chunk_size` =
+    * len(text) (added by the endpoint, not stored), and the final
+    * sort by `chunk_number`. Embeddings are excluded by construction
+    * (`with_vectors=False`) — callers pass a frame without the vector
+    * column.
+    */
+  def documentChunks(chunks: DataFrame, docCol: String, numberCol: String,
+      textCol: String, startCol: String, endCol: String): DataFrame =
+    chunks.select(
+      col(docCol).as("document_id"),
+      col(numberCol).as("chunk_number"),
+      col(textCol).as("chunk_text"),
+      length(col(textCol)).as("chunk_size"),
+      col(startCol).as("start_position"),
+      col(endCol).as("end_position"))
+      .orderBy(col("document_id"), col("chunk_number"))
+
+  /** `GET /documents/{id}/entities-neo4j` (bridge.py:126-199): the
+    * document→entity edge listing with the endpoint's renames
+    * (`name`→`entity_name`, `type`→`entity_type`) and its null
+    * defaults — record.get(..) defaults of "Unknown" type, 0.0
+    * confidences, "MENTIONS" relationship — ordered by
+    * (entity_type, entity_name) as the Cypher ORDER BY does.
+    *
+    * `edges` carries one row per (document, relationship, entity):
+    * (docCol, idCol, nameCol, typeCol, confCol, relTypeCol,
+    * relConfCol); nullable cells take the endpoint defaults here.
+    */
+  def documentEntities(edges: DataFrame, docCol: String, idCol: String,
+      nameCol: String, typeCol: String, confCol: String,
+      relTypeCol: String, relConfCol: String): DataFrame =
+    edges.select(
+      col(idCol).as("id"),
+      coalesce(col(nameCol), lit("")).as("entity_name"),
+      coalesce(col(typeCol), lit("Unknown")).as("entity_type"),
+      col(docCol).as("document_id"),
+      coalesce(col(confCol).cast("double"), lit(0.0)).as("confidence"),
+      coalesce(col(relTypeCol), lit("MENTIONS")).as("relationship_type"),
+      coalesce(col(relConfCol).cast("double"), lit(0.0))
+        .as("relationship_confidence"))
+      .orderBy(col("document_id"), col("entity_type"), col("entity_name"))
+
+  /** `GET /documents/{id}/relationships` (bridge.py:202-247): the
+    * document's canonical relationship neighborhood — the distinct
+    * non-null canonical ids mentioned in the document, then every
+    * canonical relationship with EITHER end in that set, deduplicated
+    * by relationship id, `confidence` mapped from the stored
+    * `confidence_score` (0.0 when null — the `float(.. or 0.0)`
+    * arm), sorted by `created_at`.
+    *
+    * The reference's two `.in_()` fetches + `seen_ids` loop become
+    * two equi-joins and a key dedup — the scalable form of an OR-join
+    * (an `ON source=id OR target=id` predicate would reject the
+    * hash-join strategy and fall back to nested loops at 100 TB).
+    *
+    * `mentions`: (docCol, canonicalCol nullable). `rels`: (relIdCol,
+    * srcCol, dstCol, relTypeCol, scoreCol nullable, createdCol).
+    */
+  def documentRelationships(mentions: DataFrame, rels: DataFrame,
+      docCol: String, canonicalCol: String, relIdCol: String,
+      srcCol: String, dstCol: String, relTypeCol: String,
+      scoreCol: String, createdCol: String): DataFrame = {
+    val ids = mentions
+      .where(col(canonicalCol).isNotNull)
+      .select(col(docCol).as("document_id"), col(canonicalCol).as("_cid"))
+      .distinct()
+    val base = rels.select(col(relIdCol).as("id"), col(srcCol).as("_src"),
+      col(dstCol).as("_dst"), col(relTypeCol).as("relationship_type"),
+      col(scoreCol).as("_score"), col(createdCol).as("created_at"))
+    val bySrc = base.join(ids, base("_src") === ids("_cid"))
+    val byDst = base.join(ids, base("_dst") === ids("_cid"))
+    bySrc.unionByName(byDst)
+      .dropDuplicates("document_id", "id")
+      .select(col("document_id"), col("id"),
+        col("_src").as("source_entity_id"),
+        col("_dst").as("target_entity_id"),
+        col("relationship_type"),
+        coalesce(col("_score").cast("double"), lit(0.0)).as("confidence"),
+        col("created_at"))
+      .orderBy(col("document_id"), col("created_at"), col("id"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bridge
+
+/** API-bridge fetch projections (app/api/bridge.py). */
+class BridgeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("documentChunks renames, derives chunk_size, sorts by chunk_number") {
+    val chunks = Seq(
+      ("d1", 1L, "second", 150L, 156L),
+      ("d1", 0L, "first chunk", 0L, 11L),
+      ("d2", 0L, "", 0L, 0L))
+      .toDF("doc", "idx", "txt", "s", "e")
+    val got = Bridge.documentChunks(chunks, "doc", "idx", "txt", "s", "e")
+    assert(got.columns.toSeq === Seq("document_id", "chunk_number",
+      "chunk_text", "chunk_size", "start_position", "end_position"))
+    val rows = got.as[(String, Long, String, Int, Long, Long)].collect()
+    // sorted by (document_id, chunk_number); chunk_size = len(text)
+    assert(rows.toSeq === Seq(
+      ("d1", 0L, "first chunk", 11, 0L, 11L),
+      ("d1", 1L, "second", 6, 150L, 156L),
+      ("d2", 0L, "", 0, 0L, 0L)))
+  }
+
+  test("documentEntities applies the endpoint's record.get defaults") {
+    val edges = Seq(
+      ("d1", 10L, Some("Pump"), Some("COMPONENT"), Some(0.9),
+        Some("HAS_ENTITY"), Some(0.8)),
+      ("d1", 11L, None, None, None, None, None))
+      .toDF("doc", "eid", "name", "etype", "conf", "rtype", "rconf")
+    val got = Bridge.documentEntities(edges, "doc", "eid", "name", "etype",
+        "conf", "rtype", "rconf")
+      .as[(Long, String, String, String, Double, String, Double)]
+      .collect().toSeq
+    // null name -> "", type -> Unknown, confidences -> 0.0,
+    // relationship -> MENTIONS (bridge.py:159-166)
+    assert(got.contains((11L, "", "Unknown", "d1", 0.0, "MENTIONS", 0.0)))
+    assert(got.contains((10L, "Pump", "COMPONENT", "d1", 0.9, "HAS_ENTITY", 0.8)))
+    // ORDER BY entity_type, entity_name puts COMPONENT before Unknown
+    assert(got.map(_._1) === Seq(10L, 11L))
+  }
+
+  test("documentRelationships: either-end match, id dedup, score default") {
+    val mentions = Seq(
+      ("d1", Some(1L)), ("d1", Some(2L)), ("d1", Some(1L)), // dup id
+      ("d1", None),                                         // null skipped
+      ("d2", Some(9L)))
+      .toDF("doc", "cid")
+    val rels = Seq(
+      // both ends mentioned in d1 -> must appear ONCE for d1
+      ("r1", 1L, 2L, "USES", Some(0.7), "2024-01-02"),
+      // only target mentioned
+      ("r2", 5L, 1L, "PART_OF", None, "2024-01-01"),
+      // matches nothing
+      ("r3", 7L, 8L, "CAUSES", Some(0.5), "2024-01-03"))
+      .toDF("rid", "src", "dst", "rtype", "score", "created")
+    val got = Bridge.documentRelationships(mentions, rels, "doc", "cid",
+        "rid", "src", "dst", "rtype", "score", "created")
+      .as[(String, String, Long, Long, String, Double, String)]
+      .collect().toSeq
+    // d1 sees r1 once (not twice) and r2 with the 0.0 null-score arm,
+    // sorted by created_at; d2's id 9 matches nothing
+    assert(got === Seq(
+      ("d1", "r2", 5L, 1L, "PART_OF", 0.0, "2024-01-01"),
+      ("d1", "r1", 1L, 2L, "USES", 0.7, "2024-01-02")))
+  }
+}
