@@ -1720,6 +1720,139 @@ object SparkEntry {
         col("n_frames"), col("last_frame_len"))
   }
 
+  /** Shared roster for the entity-curation gates (q101/q102): ten
+    * entities per document with constant names chosen to exercise
+    * every grouping tier — plural (0,1), abbreviation + exact (2,3,4),
+    * compound containment (5,6), variant/SequenceMatcher (7,8), and a
+    * singleton (9). Confidence for ord 1 varies by doc_id residue so
+    * the merged max is residue-dependent; contexts/chunk_ids dot the
+    * roster so the merge bookkeeping arms fire. */
+  private def curationRoster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val roster = Seq(
+      (0, "Pressure Sensor", "component", 85, "ctx0", null: String),
+      (1, "pressure sensors", "concept", -1, null: String, null: String),
+      (2, "PCB", "component", 80, null: String, "ch0"),
+      (3, "printed circuit board", "other", 70, null: String, "ch1"),
+      (4, "The Printed Circuit Board!", "component", 50, "ctx4", "ch0"),
+      (5, "unit calibration", "procedure", 75, null: String, null: String),
+      (6, "sensor calibration unit", "system", 65, null: String, null: String),
+      (7, "NC-2056", "product", 85, null: String, null: String),
+      (8, "nc2056", "component", 55, null: String, null: String),
+      (9, "hydraulic pump", "component", 95, null: String, null: String))
+      .toDF("ord", "entity_name", "entity_type", "base_conf",
+        "context", "chunk_id")
+    t(s, dir, "documents").select(col("doc_id"))
+      .crossJoin(broadcast(roster))
+      .select(col("doc_id").as("document_id"), col("ord"),
+        col("ord").cast("string").as("entity_id"),
+        col("entity_name"), col("entity_type"),
+        when(col("base_conf") < 0,
+          (lit(70) + lit(10) * (col("doc_id") % 3)).cast("double") / 100.0)
+          .otherwise(col("base_conf").cast("double") / 100.0)
+          .as("confidence"),
+        col("context"), col("chunk_id"))
+  }
+
+  /** Entity-curation duplicate groups in the gate
+    * (POST /entities/find-duplicates, entities.py:374-507 over
+    * entity_deduplication.py's greedy grouping): per-document greedy
+    * groups with mean pairwise SequenceMatcher-based similarity and
+    * the endpoint's avg>=0.95 auto-merge flag. Names are constant per
+    * document, so the expected groups are closed-form constants —
+    * generated by running the reference module under CPython. One
+    * shuffle on document_id; the greedy loop is per-document state,
+    * the reference's own scoping. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCuration
+    EntityCuration.duplicateGroups(curationRoster(s, dir))
+      .select(col("document_id").as("doc_id"), col("group_id"),
+        col("member_pos"), col("entity_ord"), col("entity_name"),
+        col("entity_type"), round(col("avg_sim"), 4).as("avg_sim_r"),
+        col("is_auto"))
+  }
+
+  /** Entity-curation auto-merge in the gate (entities.py:404-450 +
+    * merge_entity_data, entity_deduplication.py:370-456): the >=0.95
+    * groups collapse under the 18-entry type-priority ladder —
+    * canonical = best (priority, -confidence), confidence = group
+    * max (residue-dependent via ord 1), original_names sorted,
+    * contexts in fetch order, chunk_ids deduped. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCuration
+    EntityCuration.autoMerged(curationRoster(s, dir))
+      .select(col("document_id").as("doc_id"), col("group_id"),
+        col("canonical_ord"), col("entity_id"), col("entity_name"),
+        col("entity_type"), col("confidence"), col("merge_count"),
+        array_join(col("original_names"), "|").as("original_names"),
+        array_join(col("all_contexts"), "|").as("all_contexts"),
+        array_join(col("chunk_ids"), "|").as("chunk_ids"),
+        col("normalized_name"))
+  }
+
+  /** Shared four-chunk frame for the chunk-curation gates (q103/q104):
+    * constant texts with contiguous offsets, ids namespaced per
+    * document ("d<doc>:c<n>"). */
+  private def curationChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Seq(
+      (0, "alpha beta", 0L, 10L),
+      (1, "gamma delta epsilon", 10L, 29L),
+      (2, "zeta", 29L, 33L),
+      (3, "eta theta", 33L, 42L))
+      .toDF("cnum", "ctext", "cstart", "cend")
+    t(s, dir, "documents").select(col("doc_id"))
+      .crossJoin(broadcast(base))
+      .select(
+        concat(lit("d"), col("doc_id"), lit(":c"), col("cnum"))
+          .as("chunk_id"),
+        col("doc_id").as("document_id"),
+        col("cnum").as("chunk_number"),
+        col("ctext").as("chunk_text"),
+        length(col("ctext")).as("chunk_size"),
+        col("cstart").as("start_position"),
+        col("cend").as("end_position"))
+  }
+
+  /** Chunk split in the gate (POST /chunks/{id}/split,
+    * chunks.py:351-434 via ChunkCuration.splitChunks): even documents
+    * split their second chunk at position 6 (both halves recompute
+    * size/offsets, the tail renumbers up); odd documents request an
+    * out-of-range split (position 6 of a 4-char chunk — the
+    * endpoint's 400) and pass through untouched. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val splits = t(s, dir, "documents").select(
+      concat(lit("d"), col("doc_id"), lit(":c"),
+        when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(2)))
+        .as("chunk_id"),
+      lit(6).as("split_position"))
+    ChunkCuration.splitChunks(curationChunks(s, dir), splits)
+      .select(col("document_id").as("doc_id"), col("chunk_id"),
+        col("chunk_number"), col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"), col("split_from"))
+  }
+
+  /** Chunk merge in the gate (POST /chunks/merge, chunks.py:434-516
+    * via ChunkCuration.mergeChunks): even documents merge their first
+    * two chunks (contiguous — the tail shifts down); odd documents
+    * merge chunks 1 and 3 (non-contiguous — the reference renumbers
+    * only past the LAST member, so the chunk between them keeps its
+    * number and the merged text jumps the gap with a single space). */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val groups = t(s, dir, "documents").select(col("doc_id"),
+        explode(when(col("doc_id") % 2 === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(1), lit(3)))).as("m"))
+      .select(
+        concat(lit("d"), col("doc_id"), lit(":c"), col("m")).as("chunk_id"),
+        concat(lit("d"), col("doc_id"), lit(":g")).as("group_key"))
+    ChunkCuration.mergeChunks(curationChunks(s, dir), groups)
+      .select(col("document_id").as("doc_id"), col("chunk_id"),
+        col("chunk_number"), col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"), col("merged_from"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -1905,7 +2038,11 @@ object SparkEntry {
     "q97_bridge_chunks" -> q97 _,
     "q98_bridge_entities" -> q98 _,
     "q99_bridge_relationships" -> q99 _,
-    "q100_query_stream" -> q100 _)
+    "q100_query_stream" -> q100 _,
+    "q101_entity_dup_groups" -> q101 _,
+    "q102_entity_auto_merge" -> q102 _,
+    "q103_chunk_split" -> q103 _,
+    "q104_chunk_merge" -> q104 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -2795,7 +2932,103 @@ object SparkEntry {
         |         unnest(trs) AS filter_value FROM res)
         |SELECT res.request_id, res.provider, e.filter_key, e.filter_value,
         |  res.n_frames, res.last_frame_len
-        |FROM res LEFT JOIN ents e USING (request_id)""".stripMargin)
+        |FROM res LEFT JOIN ents e USING (request_id)""".stripMargin,
+    "q101_entity_dup_groups" ->
+      // the roster's names are constant per document, so the greedy
+      // groups and their mean pairwise similarities are constants —
+      // generated by running the reference's entity_deduplication.py
+      // under CPython 3 (difflib is the similarity); singleton ord 9
+      // never appears
+      """SELECT d.doc_id, v.group_id, v.member_pos, v.entity_ord,
+        |  v.entity_name, v.entity_type,
+        |  CAST(v.avg_sim_r AS DOUBLE) AS avg_sim_r, v.is_auto
+        |FROM documents d CROSS JOIN (VALUES
+        |  (0, 0, 0, 'Pressure Sensor', 'component', 0.98, true),
+        |  (0, 1, 1, 'pressure sensors', 'concept', 0.98, true),
+        |  (1, 0, 2, 'PCB', 'component', 0.9667, true),
+        |  (1, 1, 3, 'printed circuit board', 'other', 0.9667, true),
+        |  (1, 2, 4, 'The Printed Circuit Board!', 'component', 0.9667, true),
+        |  (2, 0, 5, 'unit calibration', 'procedure', 0.6667, false),
+        |  (2, 1, 6, 'sensor calibration unit', 'system', 0.6667, false),
+        |  (3, 0, 7, 'NC-2056', 'product', 0.9231, false),
+        |  (3, 1, 8, 'nc2056', 'component', 0.9231, false)
+        |) v(group_id, member_pos, entity_ord, entity_name, entity_type,
+        |    avg_sim_r, is_auto)""".stripMargin,
+    "q102_entity_auto_merge" ->
+      // only the two avg>=0.95 groups merge; the canonical slot goes
+      // to the best (type priority, -confidence) member — ord 0 and
+      // ord 2 — and the merged confidence is the group max, which for
+      // group 0 depends on the doc_id%3-varied ord-1 confidence
+      """SELECT d.doc_id, v.group_id, v.canonical_ord, v.entity_id,
+        |  v.entity_name, v.entity_type,
+        |  CASE WHEN v.group_id = 0 THEN greatest(
+        |    CAST(85 AS DOUBLE) / 100.0,
+        |    CAST(70 + 10 * (d.doc_id % 3) AS DOUBLE) / 100.0)
+        |  ELSE CAST(80 AS DOUBLE) / 100.0 END AS confidence,
+        |  v.merge_count, v.original_names, v.all_contexts, v.chunk_ids,
+        |  v.normalized_name
+        |FROM documents d CROSS JOIN (VALUES
+        |  (0, 0, '0', 'Pressure Sensor', 'component', 2,
+        |   'Pressure Sensor|pressure sensors', 'ctx0', '',
+        |   'pressure sensor'),
+        |  (1, 2, '2', 'PCB', 'component', 3,
+        |   'PCB|The Printed Circuit Board!|printed circuit board', 'ctx4',
+        |   'ch0|ch1', 'pcb')
+        |) v(group_id, canonical_ord, entity_id, entity_name, entity_type,
+        |    merge_count, original_names, all_contexts, chunk_ids,
+        |    normalized_name)""".stripMargin,
+    "q103_chunk_split" ->
+      // even docs: c1 splits at 6, both halves recompute offsets and
+      // the tail renumbers; odd docs: position 6 of 4-char c2 is the
+      // endpoint's 400 — untouched passthrough
+      """WITH ve(cid, num, txt, sz, st, en, sf) AS (VALUES
+        |  ('c0', 0, 'alpha beta', 10, 0, 10, NULL),
+        |  ('c1', 1, 'gamma ', 6, 10, 16, NULL),
+        |  ('c1:s', 2, 'delta epsilon', 13, 16, 29, 'c1'),
+        |  ('c2', 3, 'zeta', 4, 29, 33, NULL),
+        |  ('c3', 4, 'eta theta', 9, 33, 42, NULL)),
+        |vo(cid, num, txt, sz, st, en, sf) AS (VALUES
+        |  ('c0', 0, 'alpha beta', 10, 0, 10, NULL),
+        |  ('c1', 1, 'gamma delta epsilon', 19, 10, 29, NULL),
+        |  ('c2', 2, 'zeta', 4, 29, 33, NULL),
+        |  ('c3', 3, 'eta theta', 9, 33, 42, NULL))
+        |SELECT d.doc_id, 'd' || d.doc_id || ':' || v.cid AS chunk_id,
+        |  v.num AS chunk_number, v.txt AS chunk_text, v.sz AS chunk_size,
+        |  CAST(v.st AS BIGINT) AS start_position,
+        |  CAST(v.en AS BIGINT) AS end_position,
+        |  CASE WHEN v.sf IS NULL THEN NULL
+        |       ELSE 'd' || d.doc_id || ':' || v.sf END AS split_from
+        |FROM documents d JOIN ve v ON d.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT d.doc_id, 'd' || d.doc_id || ':' || v.cid,
+        |  v.num, v.txt, v.sz, CAST(v.st AS BIGINT), CAST(v.en AS BIGINT),
+        |  CAST(NULL AS VARCHAR)
+        |FROM documents d JOIN vo v ON d.doc_id % 2 = 1""".stripMargin,
+    "q104_chunk_merge" ->
+      // even docs merge contiguous (c0,c1): tail shifts down; odd docs
+      // merge non-contiguous (c1,c3): c2 keeps its number, merged text
+      // jumps the gap with one space, end = c3's end
+      """WITH ve(cid, num, txt, sz, st, en, mf) AS (VALUES
+        |  ('c0', 0, 'alpha beta gamma delta epsilon', 30, 0, 29, 'c1'),
+        |  ('c2', 1, 'zeta', 4, 29, 33, NULL),
+        |  ('c3', 2, 'eta theta', 9, 33, 42, NULL)),
+        |vo(cid, num, txt, sz, st, en, mf) AS (VALUES
+        |  ('c0', 0, 'alpha beta', 10, 0, 10, NULL),
+        |  ('c1', 1, 'gamma delta epsilon eta theta', 29, 10, 42, 'c3'),
+        |  ('c2', 2, 'zeta', 4, 29, 33, NULL))
+        |SELECT d.doc_id, 'd' || d.doc_id || ':' || v.cid AS chunk_id,
+        |  v.num AS chunk_number, v.txt AS chunk_text, v.sz AS chunk_size,
+        |  CAST(v.st AS BIGINT) AS start_position,
+        |  CAST(v.en AS BIGINT) AS end_position,
+        |  CASE WHEN v.mf IS NULL THEN NULL
+        |       ELSE 'd' || d.doc_id || ':' || v.mf END AS merged_from
+        |FROM documents d JOIN ve v ON d.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT d.doc_id, 'd' || d.doc_id || ':' || v.cid,
+        |  v.num, v.txt, v.sz, CAST(v.st AS BIGINT), CAST(v.en AS BIGINT),
+        |  CASE WHEN v.mf IS NULL THEN NULL
+        |       ELSE 'd' || d.doc_id || ':' || v.mf END
+        |FROM documents d JOIN vo v ON d.doc_id % 2 = 1""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

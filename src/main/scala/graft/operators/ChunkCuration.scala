@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The chunk-curation tier: the review UI's split / merge endpoints
+  * (app/api/chunks.py:351-434 split, :434-516 merge) as distributed
+  * batch transforms over the chunks frame.
+  *
+  * The reference mutates one chunk per HTTP call; the batch forms here
+  * are defined as "equivalent to applying the endpoint calls in
+  * ascending chunk_number order within each document", which the
+  * window-sum renumbering reproduces exactly for the reference's own
+  * single-call case and composes for many calls at once.
+  *
+  * Faithful quirks preserved:
+  *   - split discards the original end_position: the second half ends
+  *     at start + len(text), not at the stored end (chunks.py:374-397
+  *     recomputes both halves from the first's updated end);
+  *   - merge joins texts with a single space regardless of the gap
+  *     between members (chunks.py:459);
+  *   - merge does NOT require contiguous members: chunks numbered
+  *     between two merged members keep their numbers, and only chunks
+  *     past the LAST member shift down (chunks.py:478-487) — merging
+  *     (1, 3) leaves 2 where it was;
+  *   - an out-of-range split position is a 400 in the reference; the
+  *     batch form passes the chunk through untouched (see
+  *     [[invalidSplits]] for the reject census).
+  *
+  * Scale: one window per document for renumbering (single shuffle on
+  * document_id); the split/merge request frames are curation-sized
+  * (human review actions) and broadcast.
+  */
+object ChunkCuration {
+
+  private val chunkCols = Seq("chunk_id", "document_id", "chunk_number",
+    "chunk_text", "chunk_size", "start_position", "end_position")
+
+  /** Split requests that the endpoint would 400: position outside
+    * (0, len(chunk_text)) — detail string mirrors chunks.py:366-370. */
+  def invalidSplits(chunks: DataFrame, splits: DataFrame): DataFrame =
+    chunks.join(splits.select(col("chunk_id"),
+        col("split_position").cast("int")), Seq("chunk_id"))
+      .where(col("split_position") <= 0 ||
+        col("split_position") >= length(col("chunk_text")))
+      .select(col("chunk_id"), col("split_position"),
+        concat(lit("Invalid split position. Must be between 1 and "),
+          length(col("chunk_text")) - 1).as("detail"))
+
+  /** POST /chunks/{id}/split (chunks.py:351-434), batched: each valid
+    * (chunk_id, split_position) request halves its chunk — the first
+    * half keeps the id and number, the second gets id + ":s", number
+    * + 1, and `split_from` = the original id — and every chunk after
+    * a split point in the same document shifts up by the number of
+    * preceding splits. */
+  def splitChunks(chunks: DataFrame, splits: DataFrame): DataFrame = {
+    val sp = splits.select(col("chunk_id"), col("split_position").cast("int"))
+    val j = chunks.join(broadcast(sp), Seq("chunk_id"), "left")
+      .withColumn("_valid", col("split_position").isNotNull &&
+        col("split_position") > 0 &&
+        col("split_position") < length(col("chunk_text")))
+    // renumber shift: splits strictly before this chunk in number order
+    val w = Window.partitionBy(col("document_id")).orderBy(col("chunk_number"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shifted = j.withColumn("_shift",
+      coalesce(sum(when(col("_valid"), 1).otherwise(0)).over(w), lit(0))
+        .cast("int"))
+    val parts = shifted.withColumn("_part",
+      explode(when(col("_valid"), array(lit(0), lit(1)))
+        .otherwise(array(lit(0)))))
+    val pos = col("split_position")
+    val text = col("chunk_text")
+    val newText = when(!col("_valid"), text)
+      .when(col("_part") === 0, text.substr(lit(1), pos))
+      .otherwise(text.substr(pos + 1, length(text) - pos))
+    parts.select(
+      when(col("_part") === 1, concat(col("chunk_id"), lit(":s")))
+        .otherwise(col("chunk_id")).as("chunk_id"),
+      col("document_id"),
+      (col("chunk_number") + col("_shift") + col("_part"))
+        .as("chunk_number"),
+      newText.as("chunk_text"),
+      length(newText).as("chunk_size"),
+      when(!col("_valid"), col("start_position"))
+        .when(col("_part") === 0, col("start_position"))
+        .otherwise(col("start_position") + pos).as("start_position"),
+      when(!col("_valid"), col("end_position"))
+        .when(col("_part") === 0, col("start_position") + pos)
+        .otherwise(col("start_position") + length(text)).as("end_position"),
+      when(col("_part") === 1, col("chunk_id")).as("split_from"))
+  }
+
+  /** POST /chunks/merge (chunks.py:434-516), batched: `groups` maps
+    * chunk_id -> group_key; each valid group (>= 2 members, one
+    * document) collapses into its lowest-numbered member — text joined
+    * with " ", end = last member's end, `merged_from` = the other ids
+    * in number order — and chunks past the group's last member shift
+    * down by (members - 1). Cross-document groups are the endpoint's
+    * 400: their members pass through untouched. */
+  def mergeChunks(chunks: DataFrame, groups: DataFrame): DataFrame = {
+    val g = broadcast(groups.select(col("chunk_id"), col("group_key")))
+    val members = chunks.join(g, Seq("chunk_id"))
+    val gstats = members.groupBy(col("group_key")).agg(
+      countDistinct(col("document_id")).as("_ndocs"),
+      count(lit(1)).cast("int").as("_k"),
+      first(col("document_id")).as("document_id"),
+      array_sort(collect_list(struct(col("chunk_number"), col("chunk_id"),
+        col("chunk_text"), col("start_position")))).as("_mems"),
+      max(struct(col("chunk_number"), col("end_position"))).as("_last"))
+      .withColumn("_valid", col("_ndocs") === 1 && col("_k") >= 2)
+    val validStats = gstats.where(col("_valid"))
+    val mergedText =
+      array_join(col("_mems").getField("chunk_text"), " ")
+    val merged = validStats.select(
+      element_at(col("_mems"), 1).getField("chunk_id").as("chunk_id"),
+      col("document_id"),
+      element_at(col("_mems"), 1).getField("chunk_number")
+        .as("chunk_number"),
+      mergedText.as("chunk_text"),
+      length(mergedText).as("chunk_size"),
+      element_at(col("_mems"), 1).getField("start_position")
+        .as("start_position"),
+      col("_last.end_position").as("end_position"),
+      array_join(slice(col("_mems").getField("chunk_id"), lit(2),
+        size(col("_mems")) - 1), "|").as("merged_from"),
+      col("_last.chunk_number").as("_group_last"))
+    // members of invalid (cross-document / singleton) groups survive
+    val invalidMembers = members.join(
+      validStats.select(col("group_key")), Seq("group_key"), "left_anti")
+      .select(chunkCols.map(col): _*)
+    val nonMembers = chunks.join(g.select(col("chunk_id")),
+      Seq("chunk_id"), "left_anti")
+    val surviving = nonMembers.unionByName(invalidMembers)
+      .withColumn("merged_from", lit(null: String))
+      .withColumn("_group_last", lit(null).cast("long"))
+      .unionByName(merged.withColumn("_self", lit(true)),
+        allowMissingColumns = true)
+    // shift: (k-1) for every valid group fully before this chunk; a
+    // merged row never counts its own group (last >= its number)
+    val perDoc = validStats.groupBy(col("document_id"))
+      .agg(collect_list(struct(col("_last.chunk_number").as("last"),
+        col("_k").as("k"))).as("_groups"))
+    surviving.join(broadcast(perDoc), Seq("document_id"), "left")
+      .withColumn("_shift", coalesce(aggregate(
+        filter(col("_groups"), gr => gr.getField("last") < col("chunk_number")),
+        lit(0), (acc, gr) => acc + gr.getField("k") - 1), lit(0)))
+      .select(col("chunk_id"), col("document_id"),
+        (col("chunk_number") - col("_shift")).as("chunk_number"),
+        col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"), col("merged_from"))
+  }
+}

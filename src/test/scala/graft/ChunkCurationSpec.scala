@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChunkCuration
+
+/** Pins the split/merge endpoint semantics (chunks.py:351-516),
+  * including the reference's faithful quirks: discarded original
+  * end_position on split, space-joined non-contiguous merges, and
+  * renumbering only past the group's LAST member. */
+class ChunkCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  // doc 1: "alpha beta" / "gamma delta epsilon" / "zeta" / "eta theta"
+  private def chunksDf = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      ("c0", 1L, 0, "alpha beta", 10, 0L, 10L),
+      ("c1", 1L, 1, "gamma delta epsilon", 19, 10L, 29L),
+      ("c2", 1L, 2, "zeta", 4, 29L, 33L),
+      ("c3", 1L, 3, "eta theta", 9, 33L, 42L),
+      ("d0", 2L, 0, "iota kappa", 10, 0L, 10L),
+      ("d1", 2L, 1, "lambda", 6, 10L, 16L))
+      .toDF("chunk_id", "document_id", "chunk_number", "chunk_text",
+        "chunk_size", "start_position", "end_position")
+  }
+
+  test("split halves the chunk, renumbers the tail, keeps other docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val splits = Seq(("c1", 6)).toDF("chunk_id", "split_position")
+    val out = ChunkCuration.splitChunks(chunksDf, splits)
+      .orderBy("document_id", "chunk_number")
+      .as[(String, Long, Int, String, Int, Long, Long, Option[String])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("c0", 1L, 0, "alpha beta", 10, 0L, 10L, None),
+      ("c1", 1L, 1, "gamma ", 6, 10L, 16L, None),
+      ("c1:s", 1L, 2, "delta epsilon", 13, 16L, 29L, Some("c1")),
+      ("c2", 1L, 3, "zeta", 4, 29L, 33L, None),
+      ("c3", 1L, 4, "eta theta", 9, 33L, 42L, None),
+      ("d0", 2L, 0, "iota kappa", 10, 0L, 10L, None),
+      ("d1", 2L, 1, "lambda", 6, 10L, 16L, None)))
+  }
+
+  test("two splits in one document compose their shifts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val splits = Seq(("c0", 5), ("c2", 2)).toDF("chunk_id", "split_position")
+    val out = ChunkCuration.splitChunks(chunksDf, splits)
+      .where(col("document_id") === 1)
+      .orderBy("chunk_number")
+      .select("chunk_id", "chunk_number", "chunk_text")
+      .as[(String, Int, String)].collect().toSeq
+    assert(out === Seq(
+      ("c0", 0, "alpha"), ("c0:s", 1, " beta"),
+      ("c1", 2, "gamma delta epsilon"),
+      ("c2", 3, "ze"), ("c2:s", 4, "ta"),
+      ("c3", 5, "eta theta")))
+  }
+
+  test("out-of-range positions pass through and are censused") {
+    val spark2 = spark
+    import spark2.implicits._
+    val splits = Seq(("c2", 6), ("c0", 0)).toDF("chunk_id", "split_position")
+    val out = ChunkCuration.splitChunks(chunksDf, splits)
+    assert(out.count() === 6) // nothing split
+    assert(out.where(col("chunk_id") === "c2")
+      .select("chunk_text").as[String].head() === "zeta")
+    val bad = ChunkCuration.invalidSplits(chunksDf, splits)
+      .orderBy("chunk_id")
+      .select("chunk_id", "detail").as[(String, String)].collect().toSeq
+    assert(bad === Seq(
+      ("c0", "Invalid split position. Must be between 1 and 9"),
+      ("c2", "Invalid split position. Must be between 1 and 3")))
+  }
+
+  test("merge collapses contiguous members and shifts the tail down") {
+    val spark2 = spark
+    import spark2.implicits._
+    val groups = Seq(("c0", "g1"), ("c1", "g1")).toDF("chunk_id", "group_key")
+    val out = ChunkCuration.mergeChunks(chunksDf, groups)
+      .where(col("document_id") === 1)
+      .orderBy("chunk_number")
+      .as[(String, Long, Int, String, Int, Long, Long, Option[String])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("c0", 1L, 0, "alpha beta gamma delta epsilon", 30, 0L, 29L, Some("c1")),
+      ("c2", 1L, 1, "zeta", 4, 29L, 33L, None),
+      ("c3", 1L, 2, "eta theta", 9, 33L, 42L, None)))
+  }
+
+  test("non-contiguous merge leaves the middle chunk's number alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val groups = Seq(("c1", "g1"), ("c3", "g1")).toDF("chunk_id", "group_key")
+    val out = ChunkCuration.mergeChunks(chunksDf, groups)
+      .where(col("document_id") === 1)
+      .orderBy("chunk_number", "chunk_id")
+      .select("chunk_id", "chunk_number", "chunk_text", "end_position")
+      .as[(String, Int, String, Long)].collect().toSeq
+    // chunks.py:478-487 renumbers only number > LAST member (3): c2
+    // keeps 2, the merged chunk sits at c1's number with c3's end
+    assert(out === Seq(
+      ("c0", 0, "alpha beta", 10L),
+      ("c1", 1, "gamma delta epsilon eta theta", 42L),
+      ("c2", 2, "zeta", 33L)))
+  }
+
+  test("cross-document groups are the endpoint's 400: members untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val groups = Seq(("c0", "bad"), ("d0", "bad")).toDF("chunk_id", "group_key")
+    val out = ChunkCuration.mergeChunks(chunksDf, groups)
+    assert(out.count() === 6)
+    assert(out.where(col("merged_from").isNotNull).count() === 0)
+  }
+}
