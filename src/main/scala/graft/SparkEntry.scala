@@ -1853,6 +1853,42 @@ object SparkEntry {
         col("start_position"), col("end_position"), col("merged_from"))
   }
 
+  /** Relationship proposals in the gate
+    * (GET /documents/{id}/relationship-proposals, documents.py:536-583
+    * via Bridge.relationshipProposals): canonical ids 1,2 are
+    * mentioned everywhere, id 3 only in even documents, so proposal
+    * r1 (1→3) appears only there; r3 is validated and r4's target is
+    * mentioned nowhere. Two filter configs are unioned: 'all' (the
+    * endpoint defaults — min_conf=0.0 is FALSY in Python, so the
+    * null-confidence r2 survives) and 'uses07' (case-insensitive type
+    * + min_conf=0.7, which drops the 0.6 r1). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.Bridge
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val mentions = docs.select(col("doc_id"), explode(
+      when(col("doc_id") % 2 === 0,
+        array(lit(1L), lit(2L), lit(3L), lit(null).cast("long")))
+        .otherwise(array(lit(1L), lit(2L), lit(null).cast("long"))))
+      .as("cid"))
+    val rels = Seq(
+      ("r0", 1L, 2L, Some("USES"), Some(0.8), false),
+      ("r1", 1L, 3L, Some("USES"), Some(0.6), false),
+      ("r2", 2L, 1L, None: Option[String], None: Option[Double], false),
+      ("r3", 1L, 2L, Some("USES"), Some(0.9), true),
+      ("r4", 1L, 9L, Some("USES"), Some(0.95), false))
+      .toDF("rid", "src", "dst", "rtype", "score", "validated")
+    def run(cfg: String, tf: Option[String], mc: Double) =
+      Bridge.relationshipProposals(mentions, rels, "doc_id", "cid",
+        "rid", "src", "dst", "rtype", "score", "validated", tf, mc)
+        .withColumn("cfg", lit(cfg))
+    run("all", None, 0.0)
+      .unionByName(run("uses07", Some("uses"), 0.7))
+      .select(col("document_id").as("doc_id"), col("cfg"), col("id"),
+        col("source_entity_id"), col("target_entity_id"),
+        col("relationship_type"), col("confidence_score"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2042,7 +2078,8 @@ object SparkEntry {
     "q101_entity_dup_groups" -> q101 _,
     "q102_entity_auto_merge" -> q102 _,
     "q103_chunk_split" -> q103 _,
-    "q104_chunk_merge" -> q104 _)
+    "q104_chunk_merge" -> q104 _,
+    "q105_rel_proposals" -> q105 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3028,7 +3065,26 @@ object SparkEntry {
         |  v.num, v.txt, v.sz, CAST(v.st AS BIGINT), CAST(v.en AS BIGINT),
         |  CASE WHEN v.mf IS NULL THEN NULL
         |       ELSE 'd' || d.doc_id || ':' || v.mf END
-        |FROM documents d JOIN vo v ON d.doc_id % 2 = 1""".stripMargin)
+        |FROM documents d JOIN vo v ON d.doc_id % 2 = 1""".stripMargin,
+    "q105_rel_proposals" ->
+      // 'all' keeps the null-typed, null-scored r2 (min_conf=0.0 is
+      // falsy -> no filter) and r1 only where entity 3 is mentioned
+      // (even docs); 'uses07' keeps just r0 (r1 is 0.6 < 0.7, r2 is
+      // not USES); r3 (validated) and r4 (unmentioned end) never show
+      """WITH va(id, src, dst, rtype, score, evenonly) AS (VALUES
+        |  ('r0', 1, 2, 'USES', 0.8, FALSE),
+        |  ('r1', 1, 3, 'USES', 0.6, TRUE),
+        |  ('r2', 2, 1, NULL, NULL, FALSE))
+        |SELECT d.doc_id, 'all' AS cfg, v.id,
+        |  CAST(v.src AS BIGINT) AS source_entity_id,
+        |  CAST(v.dst AS BIGINT) AS target_entity_id,
+        |  v.rtype AS relationship_type,
+        |  CAST(v.score AS DOUBLE) AS confidence_score
+        |FROM documents d JOIN va v ON (NOT v.evenonly) OR d.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT d.doc_id, 'uses07', 'r0', CAST(1 AS BIGINT),
+        |  CAST(2 AS BIGINT), 'USES', CAST(0.8 AS DOUBLE)
+        |FROM documents d""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -96,4 +96,64 @@ object Bridge {
         col("created_at"))
       .orderBy(col("document_id"), col("created_at"), col("id"))
   }
+
+  /** `GET /documents/{id}/relationship-proposals`
+    * (documents.py:536-583): unverified canonical relationships with
+    * BOTH ends mentioned in the document, with the endpoint's two
+    * optional filters and their Python quirks preserved:
+    *
+    *   - `type`: case-insensitive equality against
+    *     `str(r.get("relationship_type", "")).upper()` — a stored
+    *     NULL stringifies to "None", so filtering for type "none"
+    *     matches null-typed rows exactly as the reference does;
+    *   - `min_conf`: guarded by `if min_conf:` — 0.0 is FALSY in
+    *     Python, so the default threshold applies NO filter and
+    *     null-confidence rows survive; any positive threshold
+    *     compares against `float(confidence_score or 0.0)`.
+    *
+    * Both-ends membership is an equi-join on the source id plus a
+    * LEFT SEMI join on the target id (set containment without row
+    * duplication — no OR predicate, so hash strategies survive).
+    * Output keeps the raw row shape (`select("*")` in the
+    * reference): confidence_score stays nullable, unlike the
+    * neighborhood endpoint's 0.0 coalesce.
+    */
+  def relationshipProposals(mentions: DataFrame, rels: DataFrame,
+      docCol: String, canonicalCol: String, relIdCol: String,
+      srcCol: String, dstCol: String, relTypeCol: String,
+      scoreCol: String, validatedCol: String,
+      typeFilter: Option[String] = None,
+      minConf: Double = 0.0): DataFrame = {
+    val ids = mentions
+      .where(col(canonicalCol).isNotNull)
+      .select(col(docCol).as("document_id"), col(canonicalCol).as("_cid"))
+      .distinct()
+    val srcIds = ids.select(col("document_id"), col("_cid").as("_sid"))
+    val dstIds = ids.select(col("document_id").as("_ddoc"),
+      col("_cid").as("_did"))
+    val base = rels.select(col(relIdCol).as("id"),
+      col(srcCol).as("source_entity_id"),
+      col(dstCol).as("target_entity_id"),
+      col(relTypeCol).as("relationship_type"),
+      col(scoreCol).cast("double").as("confidence_score"),
+      col(validatedCol).as("_validated"))
+      .where(!col("_validated"))
+    val both = base
+      .join(srcIds, base("source_entity_id") === srcIds("_sid"))
+      .join(dstIds, col("target_entity_id") === col("_did") &&
+        col("document_id") === col("_ddoc"), "left_semi")
+    val typed = typeFilter match {
+      case Some(t) => both.where(
+        upper(coalesce(col("relationship_type"), lit("None"))) ===
+          t.toUpperCase(java.util.Locale.ROOT))
+      case None => both
+    }
+    val conf =
+      if (minConf == 0.0) typed // Python `if min_conf:` — 0.0 is falsy
+      else typed.where(
+        coalesce(col("confidence_score"), lit(0.0)) >= minConf)
+    conf.select(col("document_id"), col("id"), col("source_entity_id"),
+      col("target_entity_id"), col("relationship_type"),
+      col("confidence_score"))
+  }
 }

@@ -69,4 +69,57 @@ class BridgeSpec extends AnyFunSuite {
       ("d1", "r2", 5L, 1L, "PART_OF", 0.0, "2024-01-01"),
       ("d1", "r1", 1L, 2L, "USES", 0.7, "2024-01-02")))
   }
+
+  private def proposalFixtures = {
+    val mentions = Seq(
+      ("d1", Some(1L)), ("d1", Some(2L)), ("d1", None),
+      ("d2", Some(1L)), ("d2", Some(2L)), ("d2", Some(3L)))
+      .toDF("doc", "cid")
+    val rels = Seq(
+      ("r0", 1L, 2L, Some("USES"), Some(0.8), false),
+      ("r1", 1L, 3L, Some("USES"), Some(0.6), false), // e3 only in d2
+      ("r2", 2L, 1L, None: Option[String], None: Option[Double], false),
+      ("r3", 1L, 2L, Some("USES"), Some(0.9), true), // validated
+      ("r4", 1L, 9L, Some("USES"), Some(0.95), false)) // e9 nowhere
+      .toDF("rid", "src", "dst", "rtype", "score", "validated")
+    (mentions, rels)
+  }
+
+  test("relationshipProposals: both ends in doc, unvalidated, min_conf=0 falsy") {
+    val (mentions, rels) = proposalFixtures
+    val got = Bridge.relationshipProposals(mentions, rels, "doc", "cid",
+        "rid", "src", "dst", "rtype", "score", "validated")
+      .orderBy("document_id", "id")
+      .as[(String, String, Long, Long, Option[String], Option[Double])]
+      .collect().toSeq
+    // d1: r0 + the null-typed null-scored r2 (min_conf=0.0 applies NO
+    // filter — Python `if min_conf:`); r1 needs e3, r3 is validated,
+    // r4's target is mentioned nowhere. d2 adds r1.
+    assert(got === Seq(
+      ("d1", "r0", 1L, 2L, Some("USES"), Some(0.8)),
+      ("d1", "r2", 2L, 1L, None, None),
+      ("d2", "r0", 1L, 2L, Some("USES"), Some(0.8)),
+      ("d2", "r1", 1L, 3L, Some("USES"), Some(0.6)),
+      ("d2", "r2", 2L, 1L, None, None)))
+  }
+
+  test("relationshipProposals: type filter is case-insensitive, null is 'None'") {
+    val (mentions, rels) = proposalFixtures
+    val uses = Bridge.relationshipProposals(mentions, rels, "doc", "cid",
+        "rid", "src", "dst", "rtype", "score", "validated",
+        typeFilter = Some("uses"), minConf = 0.7)
+      .orderBy("document_id", "id")
+      .as[(String, String, Long, Long, Option[String], Option[Double])]
+      .collect().toSeq
+    // min_conf=0.7 drops r1 (0.6); the type filter drops r2
+    assert(uses === Seq(
+      ("d1", "r0", 1L, 2L, Some("USES"), Some(0.8)),
+      ("d2", "r0", 1L, 2L, Some("USES"), Some(0.8))))
+    val noneTyped = Bridge.relationshipProposals(mentions, rels, "doc",
+        "cid", "rid", "src", "dst", "rtype", "score", "validated",
+        typeFilter = Some("none"))
+      .select("id").distinct().as[String].collect().toSeq
+    // str(None).upper() == "NONE": the stored-null rows match "none"
+    assert(noneTyped === Seq("r2"))
+  }
 }
