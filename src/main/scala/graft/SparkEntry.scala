@@ -1853,6 +1853,22 @@ object SparkEntry {
         col("start_position"), col("end_position"), col("merged_from"))
   }
 
+  /** deduplicate_entities in the gate
+    * (entity_deduplication.py:458-530 via
+    * EntityCuration.dedupWithReview): the full three-arm output over
+    * the q101 roster — the singleton is kept, the two avg>=0.95
+    * groups merge (group-max confidence, type-priority canonical),
+    * and the sub-threshold groups pass through flagged for review
+    * with their group mean similarity. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCuration
+    EntityCuration.dedupWithReview(curationRoster(s, dir))
+      .select(col("document_id").as("doc_id"), col("arm"),
+        col("entity_id"), col("entity_name"), col("entity_type"),
+        col("confidence"), col("merge_count"),
+        round(col("avg_sim"), 4).as("avg_sim_r"))
+  }
+
   /** Relationship proposals in the gate
     * (GET /documents/{id}/relationship-proposals, documents.py:536-583
     * via Bridge.relationshipProposals): canonical ids 1,2 are
@@ -2079,7 +2095,8 @@ object SparkEntry {
     "q102_entity_auto_merge" -> q102 _,
     "q103_chunk_split" -> q103 _,
     "q104_chunk_merge" -> q104 _,
-    "q105_rel_proposals" -> q105 _)
+    "q105_rel_proposals" -> q105 _,
+    "q106_entity_dedup_census" -> q106 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3084,7 +3101,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT d.doc_id, 'uses07', 'r0', CAST(1 AS BIGINT),
         |  CAST(2 AS BIGINT), 'USES', CAST(0.8 AS DOUBLE)
-        |FROM documents d""".stripMargin)
+        |FROM documents d""".stripMargin,
+    "q106_entity_dedup_census" ->
+      // three arms per document: the singleton keeps, the two
+      // avg>=0.95 groups merge (canonical ids 0 and 2, group-max
+      // confidence — residue-dependent for group 0), the two
+      // sub-threshold groups flag for review at their group mean
+      """SELECT d.doc_id, v.arm, v.entity_id, v.entity_name,
+        |  v.entity_type,
+        |  CASE WHEN v.arm = 'merged' AND v.entity_id = '0' THEN greatest(
+        |    CAST(85 AS DOUBLE) / 100.0,
+        |    CAST(70 + 10 * (d.doc_id % 3) AS DOUBLE) / 100.0)
+        |  ELSE CAST(v.conf100 AS DOUBLE) / 100.0 END AS confidence,
+        |  v.merge_count, CAST(v.avg_sim_r AS DOUBLE) AS avg_sim_r
+        |FROM documents d CROSS JOIN (VALUES
+        |  ('kept', '9', 'hydraulic pump', 'component', 95, 1, 0.0),
+        |  ('merged', '0', 'Pressure Sensor', 'component', -1, 2, 0.98),
+        |  ('merged', '2', 'PCB', 'component', 80, 3, 0.9667),
+        |  ('review', '5', 'unit calibration', 'procedure', 75, 1, 0.6667),
+        |  ('review', '6', 'sensor calibration unit', 'system', 65, 1, 0.6667),
+        |  ('review', '7', 'NC-2056', 'product', 85, 1, 0.9231),
+        |  ('review', '8', 'nc2056', 'component', 55, 1, 0.9231)
+        |) v(arm, entity_id, entity_name, entity_type, conf100,
+        |    merge_count, avg_sim_r)""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

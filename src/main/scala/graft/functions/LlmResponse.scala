@@ -35,6 +35,13 @@ object LlmResponse {
     "\u2006\u2007\u2008\u2009\u200A\u2028\u2029\u202F\u205F\u3000"
   private def wsTrim(c: Column): Column = trim(c, ws)
 
+  /** Python str.split() — unicode whitespace runs, no empty tokens.
+    * The shared row-level twin of the `ws` trim set, for every tier
+    * that mirrors a `text.split()` (word counts, token estimates,
+    * name normalization). */
+  private[graft] def pySplit(s: String): Array[String] =
+    s.split("(?U)\\s+").filter(_.nonEmpty)
+
   def stripFence(c: Column): Column = {
     val t = wsTrim(c)
     def dropAround(prefixLen: Int): Column = {

@@ -62,13 +62,16 @@ object SyntaxSplit {
       goRaw: Boolean = false, // backtick raw strings
       asi: Boolean = false, // newline ends a complete statement
       hashLine: Boolean = false, // preprocessor '#...' EOL items
-      nestedComments: Boolean = false)
+      nestedComments: Boolean = false,
+      tripleQ: Boolean = false, // \"\"\"...\"\"\" raw/multiline strings
+      verbatim: Boolean = false) // C# @"..." ("" = quote, \ literal)
 
   private val JsStyle = BraceStyle(js = true)
   private val RustStyle = BraceStyle(rust = true, nestedComments = true)
   private val GoStyle = BraceStyle(goRaw = true, asi = true)
-  private val ScalaStyle = BraceStyle(asi = true, nestedComments = true)
-  private val CStyle = BraceStyle(hashLine = true)
+  private val ScalaStyle =
+    BraceStyle(asi = true, nestedComments = true, tripleQ = true)
+  private val CStyle = BraceStyle(hashLine = true, verbatim = true)
 
   /** Style by language name/alias (aliases per
     * split_recursively.rs:96-247's alias lists); None = no syntax
@@ -309,7 +312,6 @@ object SyntaxSplit {
       itemStart = -1
       prevSig = 0
     }
-    def skipLineComment(): Unit = { i = lineEnd(text, i, e) }
     def skipBlockComment(): Unit = {
       // Rust/Scala/Kotlin/Swift block comments nest
       var d = 1
@@ -328,6 +330,28 @@ object SyntaxSplit {
       while (i < e && text.charAt(i) != q) {
         if (text.charAt(i) == '\\' && i + 1 < e) i += 1
         i += 1
+      }
+    }
+    /** At the first quote of a `"""` literal: scan to the closing
+      * `"""` with no escape processing (Scala/Kotlin raw semantics;
+      * Swift multiline is close enough for boundary purposes). Leaves
+      * i at the last closing quote. */
+    def skipTripleString(): Unit = {
+      i += 3
+      while (i + 2 < e && !(text.charAt(i) == '"' &&
+        text.charAt(i + 1) == '"' && text.charAt(i + 2) == '"')) i += 1
+      i = math.min(i + 2, e - 1)
+    }
+    /** At the quote of a C# `@"..."`: backslash is literal, `""` is an
+      * escaped quote. Leaves i at the closing quote. */
+    def skipVerbatimString(): Unit = {
+      i += 1
+      var closed = false
+      while (i < e && !closed) {
+        if (text.charAt(i) == '"') {
+          if (i + 1 < e && text.charAt(i + 1) == '"') i += 2
+          else closed = true
+        } else i += 1
       }
     }
     def skipRawString(): Unit = {
@@ -359,9 +383,13 @@ object SyntaxSplit {
         i += 1
       }
     }
-    /** After a depth-0 `}`: does the statement continue (else/catch/
-      * finally/do-while, or an operator/call chain)? */
-    def continuesAfterBrace(j0: Int): Boolean = {
+    /** After a depth-0 `}` (afterBrace) or at a newline (ASI): does
+      * the statement continue (else/catch/finally/do-while, or an
+      * operator/call chain)? The catch/finally/do-while keywords are
+      * continuations ONLY directly after a closing brace — from the
+      * newline check a line starting with `while` is a new while
+      * loop, not the tail of a do-while. */
+    def continuesAfterBrace(j0: Int, afterBrace: Boolean = true): Boolean = {
       var j = j0
       while (j < e && Character.isWhitespace(text.charAt(j))) j += 1
       if (j >= e) return false
@@ -374,7 +402,8 @@ object SyntaxSplit {
           (j + w.length >= e || !Character.isLetterOrDigit(text.charAt(j + w.length)))
       // do-while / catch / finally are JS-only continuations; Rust has
       // no do-while, so a `while` after `}` starts a NEW statement
-      kw("else") || (!rust && (kw("catch") || kw("finally") || kw("while")))
+      kw("else") ||
+        (afterBrace && !rust && (kw("catch") || kw("finally") || kw("while")))
     }
     // rolling identifier ending at prevSig, for regex-vs-division: a
     // `/` after `return`/`typeof`/... starts a regex even though the
@@ -398,19 +427,26 @@ object SyntaxSplit {
           if (itemStartsWith(text, itemStart, "#") &&
             i > s && text.charAt(i - 1) != '\\') closeItem(i)
         } else if (asiCloses(prevSig) &&
-          !itemStartsWith(text, itemStart, "@") &&
-          !continuesAfterBrace(i + 1))
+          !annotationOnlyLine(text,
+            math.max(itemStart, text.lastIndexOf('\n', i - 1) + 1), i) &&
+          !continuesAfterBrace(i + 1, afterBrace = false))
           // newline statement termination (Go semicolon insertion,
           // Scala/Kotlin/Swift line syntax): a complete statement
           // ends unless the next line continues it (else/./operator)
-          // or this item is an annotation awaiting its definition
+          // or the CURRENT line is only annotations awaiting their
+          // definition (`@tailrec\ndef f...` stays one item, while a
+          // decorated one-liner `@volatile var x = 0` still closes)
           closeItem(i)
       } else if (c == '/' && i + 1 < e && text.charAt(i + 1) == '/') {
+        val nl = lineEnd(text, i, e) // index of '\n', or e
         if (itemStart < 0) { // a standalone comment line is its own item
           itemStart = i
-          skipLineComment()
-          if (depth == 0) closeItem(i) else prevSig = '/'
-        } else skipLineComment()
+          if (depth == 0) closeItem(nl) else prevSig = '/'
+          i = nl
+        } else
+          // trailing comment: leave the '\n' for the main loop so the
+          // ASI/preproc newline termination still sees it
+          i = if (nl < e) nl - 1 else nl
       } else if (c == '/' && i + 1 < e && text.charAt(i + 1) == '*') {
         val st = i
         skipBlockComment()
@@ -424,6 +460,12 @@ object SyntaxSplit {
               (Character.isLetter(text.charAt(i + 1)) || text.charAt(i + 1) == '_') &&
               text.charAt(i + 2) != '\'') {
               // lifetime: consume the tick only
+            } else if (style.tripleQ && c == '"' && i + 2 < e &&
+              text.charAt(i + 1) == '"' && text.charAt(i + 2) == '"') {
+              skipTripleString()
+            } else if (style.verbatim && c == '"' && i > s &&
+              text.charAt(i - 1) == '@') {
+              skipVerbatimString()
             } else skipString(c)
             prevSig = c
           case '`' if style.goRaw =>
@@ -511,6 +553,36 @@ object SyntaxSplit {
   private def itemStartsWith(text: String, itemStart: Int, p: String): Boolean =
     itemStart >= 0 && text.regionMatches(itemStart, p, 0, p.length)
 
+  /** Is `[ls, i)` nothing but annotations (`@Word` / `@Word(...)`
+    * groups)? Such a line awaits the definition it decorates, so the
+    * newline must not terminate the item — but a line with content
+    * after its annotations (`@volatile var x = 0`) terminates
+    * normally. */
+  private def annotationOnlyLine(text: String, ls: Int, i: Int): Boolean = {
+    var j = ls
+    def skipWs(): Unit =
+      while (j < i && Character.isWhitespace(text.charAt(j))) j += 1
+    skipWs()
+    if (j >= i || text.charAt(j) != '@') return false
+    while (j < i && text.charAt(j) == '@') {
+      j += 1
+      while (j < i && (Character.isLetterOrDigit(text.charAt(j)) ||
+        text.charAt(j) == '_' || text.charAt(j) == '.')) j += 1
+      if (j < i && text.charAt(j) == '(') {
+        var d = 0
+        var go = true
+        while (j < i && go) {
+          val c = text.charAt(j)
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) go = false }
+          j += 1
+        }
+      }
+      skipWs()
+    }
+    j >= i
+  }
+
   private def bracketBalancedLine(text: String, s: Int, e: Int): Boolean = {
     var d = 0
     var i = s
@@ -549,7 +621,25 @@ object SyntaxSplit {
         }
         i -= 1
       } else if (c == '"' || c == '\'') {
-        if (!(rust && c == '\'' && i + 2 < e &&
+        if (style.tripleQ && c == '"' && i + 2 < e &&
+          text.charAt(i + 1) == '"' && text.charAt(i + 2) == '"') {
+          // """...""": no escapes; a '{' inside must not open a body
+          i += 3
+          while (i + 2 < e && !(text.charAt(i) == '"' &&
+            text.charAt(i + 1) == '"' && text.charAt(i + 2) == '"')) i += 1
+          i = math.min(i + 2, e - 1)
+        } else if (style.verbatim && c == '"' && i > s &&
+          text.charAt(i - 1) == '@') {
+          // C# @"...": backslash literal, "" = escaped quote
+          i += 1
+          var closed = false
+          while (i < e && !closed) {
+            if (text.charAt(i) == '"') {
+              if (i + 1 < e && text.charAt(i + 1) == '"') i += 2
+              else closed = true
+            } else i += 1
+          }
+        } else if (!(rust && c == '\'' && i + 2 < e &&
           (Character.isLetter(text.charAt(i + 1)) || text.charAt(i + 1) == '_') &&
           text.charAt(i + 2) != '\'')) {
           i += 1

@@ -123,8 +123,7 @@ object ChunkCuration {
         .as("start_position"),
       col("_last.end_position").as("end_position"),
       array_join(slice(col("_mems").getField("chunk_id"), lit(2),
-        size(col("_mems")) - 1), "|").as("merged_from"),
-      col("_last.chunk_number").as("_group_last"))
+        size(col("_mems")) - 1), "|").as("merged_from"))
     // members of invalid (cross-document / singleton) groups survive
     val invalidMembers = members.join(
       validStats.select(col("group_key")), Seq("group_key"), "left_anti")
@@ -133,9 +132,7 @@ object ChunkCuration {
       Seq("chunk_id"), "left_anti")
     val surviving = nonMembers.unionByName(invalidMembers)
       .withColumn("merged_from", lit(null: String))
-      .withColumn("_group_last", lit(null).cast("long"))
-      .unionByName(merged.withColumn("_self", lit(true)),
-        allowMissingColumns = true)
+      .unionByName(merged)
     // shift: (k-1) for every valid group fully before this chunk; a
     // merged row never counts its own group (last >= its number)
     val perDoc = validStats.groupBy(col("document_id"))

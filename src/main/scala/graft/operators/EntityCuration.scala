@@ -69,8 +69,7 @@ object EntityCuration {
   }
 
   /** Python str.split() — whitespace runs, no empty tokens. */
-  private def pySplit(s: String): Array[String] =
-    s.split("(?U)\\s+").filter(_.nonEmpty)
+  private def pySplit(s: String): Array[String] = LlmResponse.pySplit(s)
 
   /** normalize_name (entity_deduplication.py:57-86): lowercase+strip,
     * non-[\w\s-] → space, whitespace collapse, one leading and one

@@ -103,9 +103,11 @@ object GeminiWire {
 
   /** The reference's usage estimate (no exact counts from Gemini):
     * whitespace words × 1.3 truncated to int, for prompt and
-    * completion alike. */
+    * completion alike. Word count is Python str.split() — unicode
+    * whitespace, so NBSP-joined words count as one, like the
+    * reference's len(text.split()). */
   def estimateTokens(s: String): Int =
-    (s.split("\\s+").count(_.nonEmpty) * 1.3).toInt
+    (graft.functions.LlmResponse.pySplit(s).length * 1.3).toInt
 
   /** Chat client over the Gemini wire shape, sharing [[OpenAiWire]]'s
     * transport and retry contract — `(text, promptTokens,

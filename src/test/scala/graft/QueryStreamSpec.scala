@@ -41,6 +41,12 @@ class QueryStreamSpec extends AnyFunSuite {
         ("metadata.security_level", "internal")))
     // nothing set: no entries (explode_outer keeps one null row)
     assert(run(None, None, None, None) === Seq((null, null)))
+    // an EMPTY-STRING single-select still emits its entry: the
+    // reference's truthiness test is on the fallback LIST ([""] is
+    // truthy), not the string (query.py:41-45) — pinned so nobody
+    // "fixes" this into a string-truthiness check
+    assert(run(None, Some(""), None, None) ===
+      Seq(("metadata.department", "")))
   }
 
   test("streamFrames: 200-char frames, exact multiples, empty yields none") {

@@ -384,6 +384,56 @@ class RecursiveSplitSpec extends AnyFunSuite {
     assert(cs.tail.exists(_.startsWith("public int m2")))
   }
 
+  test("go/c: a trailing line comment does not swallow the newline boundary") {
+    // the comment skip used to jump past '\n', so the ASI/preproc
+    // newline-termination check never fired on commented lines
+    val go = "x := 1 // note\ny := 2\n"
+    val gcs = langChunks(go, 15, "go")
+    assert(gcs.exists(_.startsWith("x := 1")) && gcs.exists(_.startsWith("y := 2")))
+    assert(!gcs.exists(c => c.contains("x := 1") && c.contains("y := 2")))
+    val c = "#define MAX 10 // limit\nint alpha;\n"
+    val ccs = langChunks(c, 25, "c")
+    assert(ccs.exists(_.startsWith("#define")) &&
+      ccs.exists(_.startsWith("int alpha")))
+    assert(!ccs.exists(x => x.contains("#define") && x.contains("int alpha")))
+  }
+
+  test("scala: triple-quoted strings hide quotes and braces from the lexer") {
+    val sc = "val s = \"\"\"a \" b { c\"\"\"\nval t = 1\nval u = 2\n"
+    val cs = langChunks(sc, 24, "scala")
+    // the triple-quoted item closes at its newline (the embedded
+    // quote no longer flips string parity, the '{' no longer corrupts
+    // depth); val t / val u pack into the next chunk
+    assert(cs.exists(_.startsWith("val t")))
+    assert(!cs.exists(c => c.contains("val s") && c.contains("val u")))
+  }
+
+  test("csharp: verbatim strings treat backslash as literal") {
+    val cs0 = "string p = @\"C:\\dir\\\";\nint alpha = 1;\n"
+    val cs = langChunks(cs0, 24, "csharp")
+    assert(cs.exists(_.startsWith("string p")))
+    assert(cs.exists(_.startsWith("int alpha")))
+    assert(!cs.exists(c => c.contains("string p") && c.contains("int alpha")))
+  }
+
+  test("scala: an annotated one-liner still newline-terminates") {
+    // only an annotation-ONLY line awaits its definition; the @-guard
+    // used to disable ASI for the whole item forever
+    val sc = "@volatile var counter = 0\nval a = 1\nval b = 2\n"
+    val cs = langChunks(sc, 28, "scala")
+    assert(cs.exists(_.startsWith("@volatile var counter")))
+    assert(cs.exists(_.startsWith("val a")))
+    assert(!cs.exists(c => c.contains("counter") && c.contains("val a")))
+  }
+
+  test("scala: a standalone while loop is not a do-while continuation") {
+    val sc = "var i = 0\nwhile (i < 10) { i += 1 }\nval z = 5\n"
+    val cs = langChunks(sc, 26, "scala")
+    assert(cs.exists(_.startsWith("var i = 0")))
+    assert(cs.exists(_.startsWith("while (i < 10)")))
+    assert(!cs.exists(c => c.contains("var i = 0") && c.contains("while")))
+  }
+
   test("syntax tier: offsets still reconstruct the original text") {
     val py = "def a():\n    return '}'\n\ndef b():\n    return \"def c():\"\n"
     val rows = Seq(py).toDF("t")
