@@ -124,9 +124,11 @@ object ChunkCuration {
       col("_last.end_position").as("end_position"),
       array_join(slice(col("_mems").getField("chunk_id"), lit(2),
         size(col("_mems")) - 1), "|").as("merged_from"))
-    // members of invalid (cross-document / singleton) groups survive
+    // members of invalid (cross-document / singleton) groups survive;
+    // validStats is curation-sized — broadcast the anti-join side
     val invalidMembers = members.join(
-      validStats.select(col("group_key")), Seq("group_key"), "left_anti")
+      broadcast(validStats.select(col("group_key"))),
+      Seq("group_key"), "left_anti")
       .select(chunkCols.map(col): _*)
     val nonMembers = chunks.join(g.select(col("chunk_id")),
       Seq("chunk_id"), "left_anti")

@@ -22,4 +22,46 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q101/q106 entity curation: broadcast roster, ONE doc-keyed shuffle") {
+    for (q <- Seq("q101_entity_dup_groups", "q106_entity_dedup_census")) {
+      val plan = planOf(q)
+      // the 10-row roster broadcasts onto the documents scan; the only
+      // shuffle is the groupByKey(document_id) feeding the per-doc
+      // greedy loop
+      assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"$q: expected 1 exchange, got $exchanges")
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
+  test("q103 chunk split: broadcast split requests, one window shuffle") {
+    val plan = planOf("q103_chunk_split")
+    assert(plan.contains("BroadcastHashJoin"), plan) // splits side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange (window), got $exchanges")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q104 chunk merge: every join broadcast, shuffles only on group stats") {
+    val plan = planOf("q104_chunk_merge")
+    // group/member joins all broadcast (the groups frame is
+    // curation-sized); the remaining exchanges are the group-key /
+    // per-doc aggregations, never a global repartition
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q105 relationship proposals: both-end membership via hash joins") {
+    val plan = planOf("q105_rel_proposals")
+    // the LEFT SEMI target-end check must stay a hash join (the
+    // OR-join alternative would be a nested loop over the corpus)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
