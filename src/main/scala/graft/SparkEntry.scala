@@ -1905,6 +1905,45 @@ object SparkEntry {
         col("relationship_type"), col("confidence_score"))
   }
 
+  /** Document listing in the gate (GET /documents,
+    * documents.py:56-148 via Bridge.documentListing): synthetic
+    * status/source/metadata/created_at columns by residue, fan-out
+    * chunk and mention tables by residue counts. Exercises the
+    * endpoint's quirky operation order — status filter, TOP-100 by
+    * created_at desc, THEN the source filter (post-limit), then
+    * offset 7 — plus the zero-count LEFT-join arm (doc_id%7==0 has no
+    * chunks) and the three metadata-incompleteness arms (empty
+    * string, whitespace-only, NULL). */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import operators.Bridge
+    val d = t(s, dir, "documents")
+    val docs = d.select(
+      col("doc_id").as("id"),
+      concat(lit("doc-"), col("doc_id")).as("name"),
+      concat(lit("st"), col("doc_id") % 4).as("source_type"),
+      when(col("doc_id") % 3 === 0, lit("approved"))
+        .when(col("doc_id") % 3 === 1, lit("pending_review"))
+        .otherwise(lit("failed")).as("status"),
+      col("doc_id").as("created_at"),
+      when(col("doc_id") % 5 === 0, lit(""))
+        .otherwise(concat(lit("T"), col("doc_id"))).as("m_title"),
+      when(col("doc_id") % 7 === 0, lit("  ")).otherwise(lit("A"))
+        .as("m_author"),
+      when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(lit("S")).as("m_summary"),
+      lit("k").as("m_topics"))
+    def fanout(m: Int) = d.select(col("doc_id").as("document_id"),
+      explode(when(col("doc_id") % m > 0,
+        sequence(lit(1), (col("doc_id") % m).cast("int")))
+        .otherwise(array().cast("array<int>"))).as("_i"))
+    Bridge.documentListing(docs, fanout(7), fanout(5),
+      Seq("m_title", "m_author", "m_summary", "m_topics"),
+      statusFilter = Some("approved"), sourceFilter = Some("st1"),
+      limit = 100, offset = 7)
+      // bool -> int for oracle hash parity (q07 precedent)
+      .withColumn("metadata_complete", col("metadata_complete").cast("int"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2096,7 +2135,8 @@ object SparkEntry {
     "q103_chunk_split" -> q103 _,
     "q104_chunk_merge" -> q104 _,
     "q105_rel_proposals" -> q105 _,
-    "q106_entity_dedup_census" -> q106 _)
+    "q106_entity_dedup_census" -> q106 _,
+    "q107_document_listing" -> q107 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3123,7 +3163,29 @@ object SparkEntry {
         |  ('review', '7', 'NC-2056', 'product', 85, 1, 0.9231),
         |  ('review', '8', 'nc2056', 'component', 55, 1, 0.9231)
         |) v(arm, entity_id, entity_name, entity_type, conf100,
-        |    merge_count, avg_sim_r)""".stripMargin)
+        |    merge_count, avg_sim_r)""".stripMargin,
+    "q107_document_listing" ->
+      // the endpoint's quirky op ORDER: status filter, top-100 by
+      // created_at desc, THEN the source filter (post-limit), then
+      // offset 7; counts are the fanout cardinalities (doc_id%7,
+      // doc_id%5 -> 0 for the zero-count LEFT-join arm), and
+      // metadata_complete ANDs the three incompleteness arms (empty
+      // title %5, whitespace author %7, NULL summary %11)
+      """WITH docs AS (
+        |  SELECT doc_id AS id, 'doc-' || doc_id AS name,
+        |         'st' || (doc_id % 4) AS source_type,
+        |         doc_id AS created_at
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |top AS (SELECT * FROM docs ORDER BY created_at DESC LIMIT 100),
+        |sourced AS (SELECT *, row_number() OVER (ORDER BY created_at DESC) AS rn
+        |            FROM top WHERE source_type = 'st1')
+        |SELECT id, name AS title, name, source_type,
+        |  'approved' AS status,
+        |  CAST(id % 5 <> 0 AND id % 7 <> 0 AND id % 11 <> 0 AS INT)
+        |    AS metadata_complete,
+        |  CAST(id % 7 AS BIGINT) AS chunk_count,
+        |  CAST(id % 5 AS BIGINT) AS entity_count
+        |FROM sourced WHERE rn > 7""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

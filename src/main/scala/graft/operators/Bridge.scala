@@ -156,4 +156,63 @@ object Bridge {
       col("target_entity_id"), col("relationship_type"),
       col("confidence_score"))
   }
+
+  /** `GET /documents` (documents.py:56-148 over
+    * supabase_service.list_documents): the listing projection with
+    * the endpoint's exact (and quirky) operation ORDER — status
+    * filter, then created_at-desc LIMIT, then the source filter
+    * (applied AFTER the limit, so it can shrink a full page), then
+    * the manual offset — plus the derived fields: `title` = name,
+    * chunk_count (count of the chunks table), entity_count (count of
+    * ALL entity mentions, canonicalized or not), and
+    * metadata_complete = every required metadata field present,
+    * truthy, and non-whitespace (`field in m and m[f] and
+    * str(m[f]).strip()`; list-valued fields narrow to their string
+    * rendering here).
+    *
+    * Scale: the global order-by-desc + LIMIT plans as a top-K
+    * (TakeOrderedAndProject), the page (<= 500 rows by the
+    * endpoint's Query bound) broadcasts into LEFT SEMI prunes of the
+    * chunks/mentions tables so the counts aggregate only the page's
+    * documents, and the offset window runs on the bounded page, not
+    * the corpus.
+    *
+    * `docs` needs (id, name, source_type, status, created_at) +
+    * `metaCols`; `chunks`/`mentions` need document_id.
+    */
+  def documentListing(docs: DataFrame, chunks: DataFrame,
+      mentions: DataFrame, metaCols: Seq[String],
+      statusFilter: Option[String] = None,
+      sourceFilter: Option[String] = None,
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    val statusFiltered = statusFilter
+      .map(s => docs.where(col("status") === lit(s))).getOrElse(docs)
+    val top = statusFiltered.orderBy(col("created_at").desc).limit(limit)
+    val sourced = sourceFilter
+      .map(s => top.where(col("source_type") === lit(s))).getOrElse(top)
+    val paged = if (offset > 0) {
+      // unpartitioned window is safe: input is bounded by `limit`
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("created_at").desc)
+      sourced.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") > offset).drop("_rn")
+    } else sourced
+    val ids = paged.select(col("id").as("_lid"))
+    def countOf(t: DataFrame, outCol: String): DataFrame =
+      t.join(broadcast(ids), t("document_id") === col("_lid"), "left_semi")
+        .groupBy(col("document_id")).agg(count(lit(1)).as(outCol))
+        .withColumnRenamed("document_id", "_cid")
+    val complete = metaCols.map(f => col(f).isNotNull && col(f) =!= "" &&
+      trim(col(f), graft.functions.LlmResponse.ws) =!= "").reduce(_ && _)
+    paged
+      .join(countOf(chunks, "chunk_count"),
+        col("id") === col("_cid"), "left").drop("_cid")
+      .join(countOf(mentions, "entity_count"),
+        col("id") === col("_cid"), "left").drop("_cid")
+      .select(col("id"), col("name").as("title"), col("name"),
+        col("source_type"), col("status"),
+        complete.as("metadata_complete"),
+        coalesce(col("chunk_count"), lit(0L)).as("chunk_count"),
+        coalesce(col("entity_count"), lit(0L)).as("entity_count"))
+  }
 }

@@ -122,4 +122,28 @@ class BridgeSpec extends AnyFunSuite {
     // str(None).upper() == "NONE": the stored-null rows match "none"
     assert(noneTyped === Seq("r2"))
   }
+
+  test("documentListing: filter order, post-limit source filter, offset, counts") {
+    val docs = (1 to 10).map { i =>
+      (i.toLong, s"n$i", if (Set(4, 6, 10)(i)) "s1" else "s2",
+        if (i % 2 == 0) "ok" else "no", i.toLong,
+        if (i == 4) "  " else "t", if (i == 6) "a" else "a")
+    }.toDF("id", "name", "source_type", "status", "created_at", "mt", "ma")
+    val chunks = Seq.fill(3)(6L).toDF("document_id")
+    val mentions = Seq(6L, 4L, 4L).toDF("document_id")
+    val got = Bridge.documentListing(docs, chunks, mentions,
+        Seq("mt", "ma"), statusFilter = Some("ok"),
+        sourceFilter = Some("s1"), limit = 4, offset = 1)
+      .orderBy(col("id").desc)
+      .as[(Long, String, String, String, String, Boolean, Long, Long)]
+      .collect().toSeq
+    // status 'ok' keeps evens; top-4 by created_at desc = {10,8,6,4};
+    // the source filter runs AFTER the limit so it shrinks the page
+    // to {10,6,4} (8 drops; 2 was never in the page); offset 1 drops
+    // 10. id=4 has no chunks (zero-count LEFT arm) and a
+    // whitespace-only mt (incomplete).
+    assert(got === Seq(
+      (6L, "n6", "n6", "s1", "ok", true, 3L, 1L),
+      (4L, "n4", "n4", "s1", "ok", false, 0L, 2L)))
+  }
 }
