@@ -64,4 +64,15 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("q107 document listing: top-K scan, broadcast page onto the count tables") {
+    val plan = planOf("q107_document_listing")
+    // the global created_at-desc LIMIT must plan as a top-K, never a
+    // full sort; the <=100-row page broadcasts into the semi prunes
+    // and count joins, so the corpus-sized chunk/mention tables are
+    // never shuffled on the join key
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
