@@ -1944,6 +1944,73 @@ object SparkEntry {
       .withColumn("metadata_complete", col("metadata_complete").cast("int"))
   }
 
+  /** Relationship curation in the gate (relationships.py:49-257 via
+    * RelationshipCuration): a synthetic canonical_relationships table
+    * (5 per document, residue-coded metadata/verification), then the
+    * full mutation pipeline — bulk-approve r0+r1 with a rationale,
+    * bulk-reject r2 (plus r1 on doc%3==0: the approve-then-reject
+    * overlap, which must keep the T1 verified_at), create one manual
+    * relationship per document (empty document_id on %4==2 skips
+    * document_context; caller manual=false is overwritten), an
+    * update with approved=false (type changes, verified_at survives),
+    * and one delete. Metadata keys project to columns for the oracle
+    * hash. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import operators.RelationshipCuration
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def rid(k: Int) = concat(lit("d"), col("doc_id"), lit(s"-r$k"))
+    val base = d.select(col("doc_id"), explode(sequence(lit(0), lit(4))).as("k"))
+      .select(
+        concat(lit("d"), col("doc_id"), lit("-r"), col("k")).as("id"),
+        concat(lit("e"), col("k")).as("source_entity_id"),
+        concat(lit("e"), col("k") + 1).as("target_entity_id"),
+        when(col("k") % 2 === 0, lit("USES")).otherwise(lit("PART_OF"))
+          .as("relationship_type"),
+        (lit(0.5) + lit(0.1) * col("k")).as("confidence_score"),
+        (col("k") === 3).as("is_verified"),
+        when(col("k") === 3, lit("T0")).as("verified_at"),
+        when(col("k") === 1,
+            map(lit("review_rationale"), lit("old"), lit("x"), lit("1")))
+          .when(col("k") === 4, lit(null).cast("map<string,string>"))
+          .otherwise(map().cast("map<string,string>")).as("metadata"),
+        lit("T0").as("created_at"))
+    val approveIds = d.select(explode(array(rid(0), rid(1))).as("id"))
+    val rejectIds = d.select(explode(
+      when(col("doc_id") % 3 === 0, array(rid(2), rid(1)))
+        .otherwise(array(rid(2)))).as("id"))
+    val reqs = d.select(
+      concat(lit("d"), col("doc_id"), lit("-n")).as("id"),
+      when(col("doc_id") % 4 === 2, lit(""))
+        .otherwise(concat(lit("doc"), col("doc_id"))).as("document_id"),
+      lit("e9").as("source_entity_id"), lit("e0").as("target_entity_id"),
+      lit("RELATES_TO").as("relationship_type"),
+      when(col("doc_id") % 2 === 0, lit(null).cast("double"))
+        .otherwise(lit(0.4)).as("confidence_score"),
+      when(col("doc_id") % 5 === 0, map(lit("note"), lit("k")))
+        .when(col("doc_id") % 7 === 0, map(lit("manual"), lit("false")))
+        .otherwise(lit(null).cast("map<string,string>")).as("metadata"))
+    val afterBulk = RelationshipCuration.bulkReject(
+      RelationshipCuration.bulkApprove(base, approveIds, Some("ok"), "T1"),
+      rejectIds, None)
+    val created = RelationshipCuration.create(afterBulk, reqs, "T2")
+    val updated = RelationshipCuration.update(created, "d2-r3",
+      relationshipType = Some("CONNECTS_TO"), approved = Some(false))
+    RelationshipCuration.delete(updated, "d3-r0")
+      .select(
+        regexp_extract(col("id"), "^d(\\d+)-", 1).cast("bigint").as("doc_id"),
+        col("id").as("rid"), col("relationship_type"),
+        col("confidence_score"),
+        col("is_verified").cast("int").as("is_verified"),
+        col("verified_at"), col("created_at"),
+        element_at(col("metadata"), "manual").as("m_manual"),
+        element_at(col("metadata"), "created_via").as("m_created_via"),
+        element_at(col("metadata"), "document_context").as("m_document_context"),
+        element_at(col("metadata"), "review_rationale").as("m_review_rationale"),
+        element_at(col("metadata"), "proposal_rejected").as("m_proposal_rejected"),
+        element_at(col("metadata"), "x").as("m_x"),
+        element_at(col("metadata"), "note").as("m_note"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2136,7 +2203,8 @@ object SparkEntry {
     "q104_chunk_merge" -> q104 _,
     "q105_rel_proposals" -> q105 _,
     "q106_entity_dedup_census" -> q106 _,
-    "q107_document_listing" -> q107 _)
+    "q107_document_listing" -> q107 _,
+    "q108_rel_curation" -> q108 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3185,7 +3253,41 @@ object SparkEntry {
         |    AS metadata_complete,
         |  CAST(id % 7 AS BIGINT) AS chunk_count,
         |  CAST(id % 5 AS BIGINT) AS entity_count
-        |FROM sourced WHERE rn > 7""".stripMargin)
+        |FROM sourced WHERE rn > 7""".stripMargin,
+    "q108_rel_curation" ->
+      // closed-form final state: k=0..4 are the base rows (doc 3's r0
+      // deleted), k=5 the created manual row; residues code the
+      // approve/reject/update arms. Doubles go through ::DOUBLE so
+      // DuckDB never produces DECIMAL.
+      """WITH ks AS (SELECT unnest(range(0, 6)) AS k),
+        |base AS (SELECT d.doc_id, ks.k FROM documents d CROSS JOIN ks
+        |         WHERE NOT (d.doc_id = 3 AND ks.k = 0))
+        |SELECT doc_id,
+        |  'd' || doc_id || (CASE WHEN k = 5 THEN '-n' ELSE '-r' || k END) AS rid,
+        |  CASE WHEN k = 5 THEN 'RELATES_TO'
+        |       WHEN k = 3 AND doc_id = 2 THEN 'CONNECTS_TO'
+        |       WHEN k % 2 = 0 THEN 'USES' ELSE 'PART_OF' END
+        |    AS relationship_type,
+        |  CASE WHEN k = 5 THEN
+        |         (CASE WHEN doc_id % 2 = 0 THEN 1.0::DOUBLE ELSE 0.4::DOUBLE END)
+        |       ELSE 0.5::DOUBLE + 0.1::DOUBLE * k END AS confidence_score,
+        |  CASE WHEN k = 0 THEN 1
+        |       WHEN k = 1 THEN (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+        |       WHEN k = 3 THEN (CASE WHEN doc_id = 2 THEN 0 ELSE 1 END)
+        |       WHEN k = 5 THEN 1 ELSE 0 END AS is_verified,
+        |  CASE WHEN k IN (0, 1) THEN 'T1' WHEN k = 3 THEN 'T0'
+        |       WHEN k = 5 THEN 'T2' END AS verified_at,
+        |  CASE WHEN k = 5 THEN 'T2' ELSE 'T0' END AS created_at,
+        |  CASE WHEN k = 5 THEN 'true' END AS m_manual,
+        |  CASE WHEN k = 5 THEN 'api' END AS m_created_via,
+        |  CASE WHEN k = 5 AND doc_id % 4 <> 2 THEN 'doc' || doc_id END
+        |    AS m_document_context,
+        |  CASE WHEN k IN (0, 1) THEN 'ok' END AS m_review_rationale,
+        |  CASE WHEN k = 2 OR (k = 1 AND doc_id % 3 = 0) THEN 'true' END
+        |    AS m_proposal_rejected,
+        |  CASE WHEN k = 1 THEN '1' END AS m_x,
+        |  CASE WHEN k = 5 AND doc_id % 5 = 0 THEN 'k' END AS m_note
+        |FROM base""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
