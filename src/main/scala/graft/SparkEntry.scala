@@ -2011,6 +2011,60 @@ object SparkEntry {
         element_at(col("metadata"), "note").as("m_note"))
   }
 
+  /** Document-detail entity enrichment in the gate
+    * (documents.py:399-448 via DocumentCuration.enrichEntities): five
+    * mentions per document coding every precedence arm — empty
+    * entity_name falls to name, canonical truthy-type wins over the
+    * mention chain, empty canonical type falls through entity_type to
+    * the legacy type column, confidence_score > legacy confidence >
+    * 1.0, attributes hoist only when the metadata key is absent, a
+    * truthy-but-unmatched canonical id reports with null canonical
+    * columns, and an empty-string canonical id is falsy (no join). */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import operators.DocumentCuration
+    import s.implicits._
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val m = d.select(col("doc_id"), explode(sequence(lit(0), lit(4))).as("k"))
+      .select(
+        concat(lit("d"), col("doc_id"), lit("-m"), col("k")).as("id"),
+        when(col("k") === 0, lit(""))
+          .when(col("k") === 2,
+            when(col("doc_id") % 2 === 0, lit("EN2")).otherwise(lit("")))
+          .when(col("k") === 4, lit(null))
+          .otherwise(concat(lit("EN"), col("k"))).as("entity_name"),
+        concat(lit("N"), col("k")).as("name"),
+        when(col("k") === 1, lit("")).when(col("k") === 2, lit("mtype"))
+          .as("entity_type"),
+        when(col("k") === 1, lit("legacy")).when(col("k") === 3, lit("ltype"))
+          .as("type"),
+        when(col("k") === 2, lit(0.9)).otherwise(lit(null).cast("double"))
+          .as("confidence_score"),
+        when(col("k") === 1, lit(0.4)).otherwise(lit(null).cast("double"))
+          .as("confidence"),
+        when(col("k") === 0,
+            map(lit("attributes"), lit("kept"), lit("z"), lit("1")))
+          .when(col("k") === 1, map(lit("z"), lit("2")))
+          .otherwise(lit(null).cast("map<string,string>")).as("metadata"),
+        when(col("k") === 0, lit("attr0")).when(col("k") === 1, lit("attr1"))
+          .when(col("k") === 3, lit("")).as("attributes"),
+        when(col("k") === 0, lit("c1")).when(col("k") === 1, lit("c2"))
+          .when(col("k") === 2, lit("")).when(col("k") === 3, lit("cX"))
+          .as("canonical_entity_id"))
+    val canonicals = Seq(
+      ("c1", "Pump Alpha", "COMPONENT", Map("cm" -> "1")),
+      ("c2", "Valve Canon", "", Map.empty[String, String]))
+      .toDF("id", "name", "type", "metadata")
+    DocumentCuration.enrichEntities(m, canonicals)
+      .select(
+        regexp_extract(col("id"), "^d(\\d+)-", 1).cast("bigint").as("doc_id"),
+        col("id").as("mid"), col("entity_name"), col("entity_type"),
+        col("confidence_score"), col("canonical_entity_id"),
+        col("canonical_name"), col("canonical_type"),
+        element_at(col("metadata"), "z").as("m_z"),
+        element_at(col("metadata"), "attributes").as("m_attributes"),
+        element_at(col("canonical_metadata"), "cm").as("cm_cm"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2204,7 +2258,8 @@ object SparkEntry {
     "q105_rel_proposals" -> q105 _,
     "q106_entity_dedup_census" -> q106 _,
     "q107_document_listing" -> q107 _,
-    "q108_rel_curation" -> q108 _)
+    "q108_rel_curation" -> q108 _,
+    "q109_doc_detail_entities" -> q109 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3287,7 +3342,34 @@ object SparkEntry {
         |    AS m_proposal_rejected,
         |  CASE WHEN k = 1 THEN '1' END AS m_x,
         |  CASE WHEN k = 5 AND doc_id % 5 = 0 THEN 'k' END AS m_note
-        |FROM base""".stripMargin)
+        |FROM base""".stripMargin,
+    "q109_doc_detail_entities" ->
+      // closed-form per k: each mention arm's precedence outcome is
+      // constant except k=2's entity_name (doc parity)
+      """WITH ks AS (SELECT unnest(range(0, 5)) AS k)
+        |SELECT d.doc_id,
+        |  'd' || d.doc_id || '-m' || k AS mid,
+        |  CASE WHEN k = 0 THEN 'N0'
+        |       WHEN k = 2 THEN
+        |         (CASE WHEN d.doc_id % 2 = 0 THEN 'EN2' ELSE 'N2' END)
+        |       WHEN k = 4 THEN 'N4'
+        |       ELSE 'EN' || k END AS entity_name,
+        |  CASE WHEN k = 0 THEN 'COMPONENT' WHEN k = 1 THEN 'legacy'
+        |       WHEN k = 2 THEN 'mtype' WHEN k = 3 THEN 'ltype' END
+        |    AS entity_type,
+        |  CASE WHEN k = 1 THEN 0.4::DOUBLE WHEN k = 2 THEN 0.9::DOUBLE
+        |       ELSE 1.0::DOUBLE END AS confidence_score,
+        |  CASE WHEN k = 0 THEN 'c1' WHEN k = 1 THEN 'c2'
+        |       WHEN k = 3 THEN 'cX' END AS canonical_entity_id,
+        |  CASE WHEN k = 0 THEN 'Pump Alpha' WHEN k = 1 THEN 'Valve Canon' END
+        |    AS canonical_name,
+        |  CASE WHEN k = 0 THEN 'COMPONENT' WHEN k = 1 THEN '' END
+        |    AS canonical_type,
+        |  CASE WHEN k = 0 THEN '1' WHEN k = 1 THEN '2' END AS m_z,
+        |  CASE WHEN k = 0 THEN 'kept' WHEN k = 1 THEN 'attr1' END
+        |    AS m_attributes,
+        |  CASE WHEN k = 0 THEN '1' END AS cm_cm
+        |FROM documents d CROSS JOIN ks""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

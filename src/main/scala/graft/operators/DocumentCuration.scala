@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The document-curation tier: the single-document mutations and the
+  * detail-fetch enrichment of app/api/documents.py — update
+  * (documents.py:812-885), soft/hard delete (:680-722), and the
+  * GET /{id} entity enrichment (:335-455).
+  *
+  * update_document's quirks, ported exactly:
+  *   - an incoming metadata dict first has its SPECIAL keys popped to
+  *     top-level columns (author, mime_type, security_level,
+  *     access_level — documents.py:838-846), and only the remainder
+  *     merges over the existing metadata;
+  *   - direct payload fields then overwrite, so a payload author beats
+  *     a metadata-popped author (the Python dict-assignment order);
+  *   - title maps to name only when the payload has no name of its own
+  *     (:857-858);
+  *   - any security_level update cascades access_level through the
+  *     5-level ladder with DEFAULT 1 for unknown names (:861-869),
+  *     clobbering even an explicitly-supplied access_level;
+  *   - updated_at always stamps.
+  * Narrowing: the reference's `exclude_unset` lets a payload set a
+  * field to literal null; the Option surface here models only
+  * set-vs-unset (a None is unset, never a null write).
+  *
+  * Scale posture: every mutation is a narrow projection (the updates
+  * map is driver-side scalar logic — only the metadata merge is
+  * column work); hard delete filters the three tables by the same
+  * predicate with no join; enrichEntities is one hash join keyed on
+  * canonical_entity_id (broadcast when the canonical roster is small).
+  */
+object DocumentCuration {
+
+  /** documents.py:862-868 — and .get(level, 1): unknown names map to 1. */
+  val securityMapping: Map[String, Int] =
+    Map("public" -> 1, "client" -> 2, "partner" -> 3,
+      "employee" -> 4, "management" -> 5)
+
+  /** PUT /{id} payload (DocumentUpdateRequest), None = unset. */
+  final case class DocUpdate(
+      title: Option[String] = None, name: Option[String] = None,
+      author: Option[String] = None, mimeType: Option[String] = None,
+      status: Option[String] = None, securityLevel: Option[String] = None,
+      accessLevel: Option[Int] = None,
+      metadata: Option[Map[String, String]] = None)
+
+  private val emptyMap: Column = map().cast("map<string,string>")
+
+  /** PUT /{id} (documents.py:812-885). `docs` needs (id, name, author,
+    * mime_type, status, security_level, access_level,
+    * metadata: map<string,string>, updated_at). */
+  def updateDocument(docs: DataFrame, documentId: String, u: DocUpdate,
+      now: String): DataFrame = {
+    val hit = col("id") === lit(documentId)
+    // the Python updates dict, replayed in assignment order;
+    // insertion order never matters (distinct keys), overwrite does
+    val updates = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    u.metadata.foreach { m =>
+      m.get("author").foreach(v => updates("author") = lit(v))
+      m.get("mime_type").foreach(v => updates("mime_type") = lit(v))
+      m.get("security_level").foreach(v => updates("security_level") = lit(v))
+      m.get("access_level").foreach(v => updates("access_level") = lit(v).cast("int"))
+      val remaining = m -- Seq("author", "mime_type", "security_level", "access_level")
+      // {**existing, **new}: new keys overwrite
+      updates("metadata") =
+        if (remaining.isEmpty) coalesce(col("metadata"), emptyMap)
+        else map_concat(
+          map_filter(coalesce(col("metadata"), emptyMap),
+            (k, _) => !k.isInCollection(remaining.keys.toSeq)),
+          map(remaining.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    }
+    u.title.foreach(v => updates("title") = lit(v))
+    u.name.foreach(v => updates("name") = lit(v))
+    u.author.foreach(v => updates("author") = lit(v))
+    u.mimeType.foreach(v => updates("mime_type") = lit(v))
+    u.status.foreach(v => updates("status") = lit(v))
+    u.securityLevel.foreach(v => updates("security_level") = lit(v))
+    u.accessLevel.foreach(v => updates("access_level") = lit(v))
+    if (u.title.isDefined && !updates.contains("name"))
+      updates("name") = lit(u.title.get)
+    // cascade: any security_level write recomputes access_level —
+    // the level string is always a driver-side literal here (popped
+    // or direct), so the ladder lookup is too
+    val secLit: Option[String] =
+      u.securityLevel.orElse(u.metadata.flatMap(_.get("security_level")))
+    if (updates.contains("security_level"))
+      updates("access_level") = lit(securityMapping.getOrElse(secLit.get, 1))
+    updates("updated_at") = lit(now)
+    // the reference writes a title column too (:854); keep it only
+    // when the caller's frame models one — title always maps to name
+    if (!docs.columns.contains("title")) updates.remove("title")
+    updates.foldLeft(docs) { case (df, (f, v)) =>
+      df.withColumn(f, when(hit, v).otherwise(col(f)))
+    }
+  }
+
+  /** DELETE /{id} soft arm (documents.py:707-717): status=rejected
+    * (DocumentState.REJECTED — DELETED trips a constraint), stamp
+    * updated_at, keep everything else. */
+  def softDelete(docs: DataFrame, documentId: String, now: String): DataFrame = {
+    val hit = col("id") === lit(documentId)
+    docs
+      .withColumn("status", when(hit, lit("rejected")).otherwise(col("status")))
+      .withColumn("updated_at", when(hit, lit(now)).otherwise(col("updated_at")))
+  }
+
+  /** DELETE /{id}?hard_delete=true (documents.py:698-706): cascade —
+    * chunks and mentions first, then the document row. */
+  def hardDelete(docs: DataFrame, chunks: DataFrame, mentions: DataFrame,
+      documentId: String): (DataFrame, DataFrame, DataFrame) = (
+    docs.where(col("id") =!= lit(documentId)),
+    chunks.where(col("document_id") =!= lit(documentId)),
+    mentions.where(col("document_id") =!= lit(documentId)))
+
+  /** GET /{id} entity enrichment (documents.py:399-448): every mention
+    * LEFT-joins its canonical entity; the response's precedence chains
+    * are Python `or` (falsy = null OR empty string):
+    *   - entity_name: mention.entity_name or mention.name
+    *   - entity_type: canonical.type if truthy, else
+    *     mention.entity_type or mention.type
+    *   - confidence_score: confidence_score, else legacy confidence,
+    *     else 1.0
+    *   - attributes hoist into metadata only when truthy and the key
+    *     is absent (:421-424)
+    *   - canonical_entity_id: only when truthy; the canonical_*
+    *     columns ride the join hit.
+    *
+    * `mentions` needs (id, entity_name, name, entity_type, type,
+    * confidence_score, confidence, metadata: map, attributes,
+    * canonical_entity_id); `canonicals` needs (id, name, type,
+    * metadata: map). */
+  def enrichEntities(mentions: DataFrame, canonicals: DataFrame): DataFrame = {
+    def truthy(c: Column): Column = c.isNotNull && c =!= ""
+    val canon = canonicals.select(
+      col("id").as("_cid"), col("name").as("canonical_name"),
+      col("type").as("_ctype"), col("metadata").as("canonical_metadata"))
+    val cid = when(truthy(col("canonical_entity_id")),
+      col("canonical_entity_id"))
+    val attrs = when(truthy(col("attributes")), col("attributes"))
+      .otherwise(element_at(coalesce(col("metadata"), emptyMap),
+        "attributes"))
+    val hoisted = when(truthy(attrs) &&
+        !map_contains_key(coalesce(col("metadata"), emptyMap), "attributes"),
+      map_concat(coalesce(col("metadata"), emptyMap),
+        map(lit("attributes"), attrs)))
+      .otherwise(coalesce(col("metadata"), emptyMap))
+    mentions
+      .join(canon, cid === col("_cid"), "left")
+      .select(
+        col("id"),
+        when(truthy(col("entity_name")), col("entity_name"))
+          .otherwise(col("name")).as("entity_name"),
+        when(truthy(col("_ctype")), col("_ctype"))
+          .otherwise(when(truthy(col("entity_type")), col("entity_type"))
+            .otherwise(col("type"))).as("entity_type"),
+        coalesce(col("confidence_score"), col("confidence"), lit(1.0))
+          .as("confidence_score"),
+        hoisted.as("metadata"),
+        cid.as("canonical_entity_id"),
+        col("canonical_name"),
+        // raw joined value: the truthy filter is only for the
+        // entity_type precedence, canonical_type reports as stored
+        col("_ctype").as("canonical_type"),
+        col("canonical_metadata"))
+  }
+}

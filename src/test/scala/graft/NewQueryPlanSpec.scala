@@ -75,4 +75,18 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q108/q109 curation: rosters broadcast, the corpus side never shuffles") {
+    for (q <- Seq("q108_rel_curation", "q109_doc_detail_entities")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+      // the only permitted shuffle is the roster-dedup inside bulkHit
+      // (keyed _rid) — the corpus-sized rels/mentions side must never
+      // hash-partition
+      val badExchanges = "Exchange hashpartitioning\\((\\w+)#".r
+        .findAllMatchIn(plan).map(_.group(1)).filterNot(_ == "_rid").toSeq
+      assert(badExchanges.isEmpty, s"$q shuffles on $badExchanges:\n$plan")
+    }
+  }
 }
