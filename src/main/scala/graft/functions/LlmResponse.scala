@@ -38,9 +38,23 @@ object LlmResponse {
   /** Python str.split() — unicode whitespace runs, no empty tokens.
     * The shared row-level twin of the `ws` trim set, for every tier
     * that mirrors a `text.split()` (word counts, token estimates,
-    * name normalization). */
+    * name normalization). Java's (?U)\s is the Unicode White_Space
+    * property, which EXCLUDES the U+001C-U+001F file/group/record/
+    * unit separators that Py_UNICODE_ISSPACE includes — add them
+    * explicitly so splits match CPython on those control chars. */
   private[graft] def pySplit(s: String): Array[String] =
-    s.split("(?U)\\s+").filter(_.nonEmpty)
+    s.split("(?U)[\\s\\x1c-\\x1f]+").filter(_.nonEmpty)
+
+  private val wsSet: Set[Char] = ws.toSet
+
+  /** Python str.strip() — the row-level twin of `wsTrim`, sharing the
+    * same `ws` character set so the two can't drift. */
+  private[graft] def pyStrip(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && wsSet(s(i))) i += 1
+    while (j > i && wsSet(s(j - 1))) j -= 1
+    s.substring(i, j)
+  }
 
   def stripFence(c: Column): Column = {
     val t = wsTrim(c)

@@ -121,7 +121,13 @@ object DocumentCuration {
     *   - entity_type: canonical.type if truthy, else
     *     mention.entity_type or mention.type
     *   - confidence_score: confidence_score, else legacy confidence,
-    *     else 1.0
+    *     else 1.0. NARROWING: the reference's
+    *     entity.get('confidence_score', entity.get('confidence', 1.0))
+    *     (documents.py:443) falls back only on a MISSING dict key, so
+    *     a supabase row carrying an explicit null passes None through;
+    *     a columnar frame can't distinguish null-key from absent-key,
+    *     so coalesce treats null as absent (same narrowing as
+    *     DocUpdate's exclude_unset note)
     *   - attributes hoist into metadata only when truthy and the key
     *     is absent (:421-424)
     *   - canonical_entity_id: only when truthy; the canonical_*

@@ -58,15 +58,8 @@ object EntityCuration {
 
   // ---- row-level ports (entity_deduplication.py) ----
 
-  private val wsSet: Set[Char] = LlmResponse.ws.toSet
-
-  /** Python str.strip() — full unicode whitespace set. */
-  private def pyStrip(s: String): String = {
-    var i = 0; var j = s.length
-    while (i < j && wsSet(s(i))) i += 1
-    while (j > i && wsSet(s(j - 1))) j -= 1
-    s.substring(i, j)
-  }
+  /** Python str.strip() — shared canonical impl (one ws source). */
+  private def pyStrip(s: String): String = LlmResponse.pyStrip(s)
 
   /** Python str.split() — whitespace runs, no empty tokens. */
   private def pySplit(s: String): Array[String] = LlmResponse.pySplit(s)

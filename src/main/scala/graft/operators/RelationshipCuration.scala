@@ -55,14 +55,15 @@ object RelationshipCuration {
     * utcnow isoformat — a parameter so results stay deterministic. */
   def create(rels: DataFrame, requests: DataFrame, now: String): DataFrame = {
     // Python truthiness on document_id: null AND "" both skip the
-    // document_context key
+    // document_context key — and a caller-supplied document_context
+    // then SURVIVES (relationships.py:59-61 only assigns the key
+    // inside the truthy branch; manual/created_via are unconditional)
     val docIdTruthy = col("document_id").isNotNull && col("document_id") =!= ""
-    val base = map_filter(coalesce(col("metadata"), emptyMap),
-      (k, _) => !k.isin("manual", "created_via", "document_context"))
-    val stamped = map_concat(base,
-      map(lit("manual"), lit("true"), lit("created_via"), lit("api")),
-      when(docIdTruthy, map(lit("document_context"), col("document_id")))
-        .otherwise(emptyMap))
+    val withStamps = setKey(setKey(coalesce(col("metadata"), emptyMap),
+      "manual", lit("true")), "created_via", lit("api"))
+    val stamped = when(docIdTruthy,
+      setKey(withStamps, "document_context", col("document_id")))
+      .otherwise(withStamps)
     val rows = requests.select(
       col("id"),
       col("source_entity_id"), col("target_entity_id"),

@@ -57,6 +57,17 @@ class LlmResponseSpec extends AnyFunSuite {
     assert(parse("[1, 2") === ((null, "[1, 2", 0.3, 0)))
   }
 
+  test("pySplit/pyStrip cover the U+001C-U+001F separators like CPython") {
+    // Py_UNICODE_ISSPACE includes FS/GS/RS/US, which Java's (?U)\s
+    // (Unicode White_Space) does not — they must still split/strip
+    assert(LlmResponse.pySplit("ab cd").toSeq ===
+      Seq("a", "b", "c", "d"))
+    assert(LlmResponse.pyStrip("  x y ") === "x y")
+    // and no empty tokens on leading/trailing runs
+    assert(LlmResponse.pySplit(" lead trail ").toSeq ===
+      Seq("lead", "trail"))
+  }
+
   test("cost estimation matches the pricing table; unknown models are free") {
     val got = Seq(
       ("openai", "gpt-4o-mini", 2000L, 1000L),

@@ -47,6 +47,29 @@ class RelationshipCurationSpec extends AnyFunSuite {
         Map("manual" -> "true", "created_via" -> "api"), "T1")))
   }
 
+  test("create: caller document_context survives a falsy document_id") {
+    // relationships.py:59-61 assigns metadata['document_context'] only
+    // inside the `if request.document_id:` branch — a caller-supplied
+    // key with no document_id is left intact (ADVICE r8).
+    val reqs = Seq(
+      ("n3", null.asInstanceOf[String], "e1", "e2", "USES", Some(0.9),
+        Map("document_context" -> "caller-kept")),
+      ("n4", "d7", "e2", "e3", "USES", Some(0.9),
+        Map("document_context" -> "caller-lost")))
+      .toDF("id", "document_id", "source_entity_id", "target_entity_id",
+        "relationship_type", "confidence_score", "metadata")
+    val out = RelationshipCuration.create(rels, reqs, "T1")
+      .where(col("id").startsWith("n")).orderBy("id")
+      .select("id", "metadata")
+      .as[(String, Map[String, String])].collect().toSeq
+    assert(out === Seq(
+      ("n3", Map("document_context" -> "caller-kept",
+        "manual" -> "true", "created_via" -> "api")),
+      // truthy document_id overwrites, exactly like dict assignment
+      ("n4", Map("document_context" -> "d7",
+        "manual" -> "true", "created_via" -> "api"))))
+  }
+
   test("update: partial fields; approved=false leaves verified_at; metadata replaces") {
     val afterFalse = RelationshipCuration.update(rels, "r2",
         relationshipType = Some("CONNECTS_TO"), approved = Some(false))
