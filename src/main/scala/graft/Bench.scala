@@ -28,10 +28,12 @@ import org.apache.spark.sql.SparkSession
   * residual compilation (the r6 3-4x first-in-order inflation; r7's
   * min-of-two halved it but both runs could still land inside the C2
   * drain window). Two measures drain it fully:
-  *   1. a SETTLE pass — one untimed sequential re-run of the first
-  *      six queries in run order after the warmup pool shuts down,
-  *      giving the background compiler queue wall-clock time to drain
-  *      while the exact hot paths it is compiling stay hot;
+  *   1. a SETTLE pass — one untimed sequential re-run of ALL bench
+  *      queries in run order after the warmup pool shuts down, giving
+  *      the background compiler queue wall-clock time to drain while
+  *      the exact hot paths it is compiling stay hot (r8 settled only
+  *      the first six; q23, outside the window, caught a compile on
+  *      both timed runs — the full pass is the noise guard);
   *   2. min-of-THREE with run 1 DISCARDED — each query is timed over
   *      three back-to-back runs and the min of runs 2-3 is recorded,
   *      so even a query whose first timed run still catches a compile
@@ -69,9 +71,14 @@ object Bench {
     }
     warmups.foreach(Await.ready(_, Duration.Inf))
     warmPool.shutdown()
-    // settle pass: sequential, untimed, first six in run order — lets
-    // HotSpot's background C2 queue drain while those paths stay hot
-    SparkEntry.benchQueries.take(6).foreach { name =>
+    // settle pass: sequential, untimed, EVERY bench query in run
+    // order — lets HotSpot's background C2 queue drain while the
+    // paths stay hot. r8 settled only the first six and a query
+    // outside the window (q23, 10th in order) caught a background
+    // compile on both timed runs, recording 0.79 s where the steady
+    // state is 0.15-0.18 s; the full pass costs ~8 s of untimed prep
+    // and closes that hole.
+    SparkEntry.benchQueries.foreach { name =>
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }

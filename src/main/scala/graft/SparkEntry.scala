@@ -2065,6 +2065,41 @@ object SparkEntry {
         element_at(col("canonical_metadata"), "cm").as("cm_cm"))
   }
 
+  /** GPT-4V vision-message rendering in the gate
+    * (image_intelligence_service.py:239-362 via
+    * OpenAiWire.renderVisionChat): one caption request per document
+    * across all four ladder arms (%4 residue picks the model), the
+    * context line present on even docs (and dropped when the
+    * sanitized prefix is empty — the `if context:` truthiness), the
+    * OCR line on %3 docs, and a deterministic jpeg payload
+    * (base64 of "img<id>"); value-checks the exact rendered JSON
+    * including the gpt-5 kwargs vs the gpt-4o fallback arm. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.OpenAiWire
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 60), "[^A-Za-z0-9 ]", "")
+          .as("c"))
+      .as[(Long, String)]
+      .map { case (id, c) =>
+        val model = (id % 4) match {
+          case 0 => "gpt-5"
+          case 1 => "gpt-5-mini"
+          case 2 => "gpt-5-nano"
+          case _ => "gpt-4o"
+        }
+        val prompt = OpenAiWire.visionPrompt(
+          context = if (id % 2 == 0) Some(c) else Some(""),
+          ocrText = if (id % 3 == 0) Some(s"scan $id") else None)
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(s"img$id".getBytes("UTF-8"))
+        val req = OpenAiWire.renderVisionChat(model, prompt, b64)
+        (id, req.path, req.body)
+      }
+      .toDF("doc_id", "path", "body")
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2259,7 +2294,8 @@ object SparkEntry {
     "q106_entity_dedup_census" -> q106 _,
     "q107_document_listing" -> q107 _,
     "q108_rel_curation" -> q108 _,
-    "q109_doc_detail_entities" -> q109 _)
+    "q109_doc_detail_entities" -> q109 _,
+    "q110_vision_requests" -> q110 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3369,7 +3405,43 @@ object SparkEntry {
         |  CASE WHEN k = 0 THEN 'kept' WHEN k = 1 THEN 'attr1' END
         |    AS m_attributes,
         |  CASE WHEN k = 0 THEN '1' END AS cm_cm
-        |FROM documents d CROSS JOIN ks""".stripMargin)
+        |FROM documents d CROSS JOIN ks""".stripMargin,
+    "q110_vision_requests" ->
+      // bodies reconstruct by concatenation (q95 precedent): the
+      // sanitized context can't need JSON escaping, '\n' in a DuckDB
+      // plain literal IS backslash-n (the JSON escape), and base64 of
+      // 'img'||doc_id matches java.util.Base64
+      """WITH base AS (SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 60), '[^A-Za-z0-9 ]', '', 'g') AS c,
+        |  base64(encode('img' || doc_id)) AS b64,
+        |  doc_id % 4 AS r
+        |  FROM documents),
+        |m AS (SELECT *,
+        |  CASE WHEN r = 0 THEN 'gpt-5' WHEN r = 1 THEN 'gpt-5-mini'
+        |       WHEN r = 2 THEN 'gpt-5-nano' ELSE 'gpt-4o' END AS model,
+        |  'Analyze this image and provide a detailed, searchable description.' ||
+        |  CASE WHEN doc_id % 2 = 0 AND c <> ''
+        |       THEN '\nDocument context: ' || c ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '\nOCR detected text: scan ' || doc_id ELSE '' END ||
+        |  '\nFocus on:' ||
+        |  '\n1. What the image shows (diagrams, charts, photos, illustrations)' ||
+        |  '\n2. Key information conveyed' ||
+        |  '\n3. Relevant technical details' ||
+        |  '\n4. How it relates to the document context' ||
+        |  '\nKeep the description concise but comprehensive for search purposes.'
+        |    AS p
+        |  FROM base)
+        |SELECT doc_id, '/v1/chat/completions' AS path,
+        |  '{"model":"' || model ||
+        |  '","messages":[{"role":"user","content":[{"type":"text","text":"' ||
+        |  p || '"},{"type":"image_url","image_url":{"url":"data:image/jpeg;base64,' ||
+        |  b64 || '","detail":"high"}}]}],' ||
+        |  CASE WHEN r = 3 THEN '"max_tokens":2000}'
+        |       ELSE '"max_completion_tokens":' ||
+        |            (CASE WHEN r = 2 THEN 300 ELSE 2000 END) ||
+        |            ',"temperature":1.0,"reasoning_effort":"minimal"}' END AS body
+        |FROM m""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -216,6 +216,113 @@ object OpenAiWire {
   }
 
   // -----------------------------------------------------------------
+  // Vision (image caption ladder)
+  // -----------------------------------------------------------------
+
+  /** The caption prompt (image_intelligence_service.py:242-262):
+    * fixed lead, optional `Document context:` (truthy, capped 500)
+    * and `OCR detected text:` (truthy, capped 200) lines, fixed
+    * focus tail, newline-joined. */
+  def visionPrompt(context: Option[String] = None,
+      ocrText: Option[String] = None): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "Analyze this image and provide a detailed, searchable description."
+    context.filter(_.nonEmpty).foreach(c =>
+      parts += s"Document context: ${c.take(500)}")
+    ocrText.filter(_.nonEmpty).foreach(o =>
+      parts += s"OCR detected text: ${o.take(200)}")
+    parts += "Focus on:"
+    parts += "1. What the image shows (diagrams, charts, photos, illustrations)"
+    parts += "2. Key information conveyed"
+    parts += "3. Relevant technical details"
+    parts += "4. How it relates to the document context"
+    parts += "Keep the description concise but comprehensive for search purposes."
+    parts.result().mkString("\n")
+  }
+
+  /** The caption fallback ladder (image_intelligence_service.py:
+    * 264-363): gpt-5 and gpt-5-mini with `max_completion_tokens`
+    * 2000, gpt-5-nano with 300, then the gpt-4o arm. */
+  val VisionLadder: Seq[(String, Int)] =
+    Seq("gpt-5" -> 2000, "gpt-5-mini" -> 2000, "gpt-5-nano" -> 300)
+
+  /** Per-arm caption confidence (image_intelligence_service.py:
+    * 367-373); unknown models score 0.7. */
+  val VisionConfidence: Map[String, Double] = Map(
+    "gpt-5" -> 0.98, "gpt-5-mini" -> 0.95, "gpt-5-nano" -> 0.93,
+    "gpt-4o-fallback" -> 0.85)
+
+  /** Vision chat-completions body: the user message is a CONTENT
+    * ARRAY — a text block plus an `image_url` block whose url is the
+    * jpeg data-URL with `"detail": "high"`. Unlike [[renderChat]],
+    * gpt-5 models stay on `/v1/chat/completions` (the reference
+    * calls `chat.completions.create` for vision with the
+    * `reasoning_effort` kwarg, image_intelligence_service.py:266-286,
+    * not the responses API) and carry `max_completion_tokens`,
+    * `temperature` 1.0 and `reasoning_effort` "minimal"; the gpt-4o
+    * fallback sends plain `max_tokens` 2000 and nothing else
+    * (:344-362). */
+  def renderVisionChat(model: String, prompt: String,
+      base64Image: String): OpenAiRequest = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val content = root.putArray("messages").addObject()
+      .put("role", "user").putArray("content")
+    val text = content.addObject()
+    text.put("type", "text")
+    text.put("text", prompt)
+    val img = content.addObject()
+    img.put("type", "image_url")
+    val url = img.putObject("image_url")
+    url.put("url", s"data:image/jpeg;base64,$base64Image")
+    url.put("detail", "high")
+    if (model.startsWith("gpt-5")) {
+      root.put("max_completion_tokens",
+        VisionLadder.toMap.getOrElse(model, 2000))
+      root.put("temperature", 1.0)
+      root.put("reasoning_effort", "minimal")
+    } else {
+      root.put("max_tokens", 2000)
+    }
+    OpenAiRequest("/v1/chat/completions", mapper.writeValueAsString(root))
+  }
+
+  /** One caption outcome: text (stripped), ladder confidence, the
+    * model arm that answered. */
+  final case class VisionCaption(caption: String, confidence: Double,
+      model: String)
+
+  /** Run the caption ladder: each arm posts ONCE (the reference's
+    * per-arm `try` has no retry — a failed create falls straight to
+    * the next model, :323/:343); the first 2xx answer wins with its
+    * arm's confidence; the gpt-4o arm reports as "gpt-4o-fallback";
+    * total failure returns the empty caption with confidence 0.0 and
+    * model "none" (:383-388). */
+  def captionImage(api: OpenAiHttp, base64Image: String,
+      context: Option[String] = None, ocrText: Option[String] = None)
+      : VisionCaption = {
+    val prompt = visionPrompt(context, ocrText)
+    val arms = VisionLadder.map(_._1) :+ "gpt-4o"
+    arms.foreach { model =>
+      val answered =
+        try {
+          val resp = api.post(renderVisionChat(model, prompt, base64Image))
+          if (resp.status / 100 == 2)
+            Some(parseChatResponse(resp.body).strip())
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      answered match {
+        case Some(caption) =>
+          val used = if (model == "gpt-4o") "gpt-4o-fallback" else model
+          return VisionCaption(caption, VisionConfidence.getOrElse(used, 0.7),
+            used)
+        case None => ()
+      }
+    }
+    VisionCaption("", 0.0, "none")
+  }
+
+  // -----------------------------------------------------------------
   // Recording transport (the offline default)
   // -----------------------------------------------------------------
 

@@ -116,6 +116,63 @@ class OpenAiWireSpec extends AnyFunSuite {
     RecordingOpenAiApi.clear(id)
   }
 
+  test("vision prompt: truthy context/ocr arms with their caps") {
+    assert(visionPrompt() ===
+      Seq("Analyze this image and provide a detailed, searchable description.",
+        "Focus on:",
+        "1. What the image shows (diagrams, charts, photos, illustrations)",
+        "2. Key information conveyed",
+        "3. Relevant technical details",
+        "4. How it relates to the document context",
+        "Keep the description concise but comprehensive for search purposes.")
+        .mkString("\n"))
+    // empty strings are falsy (`if context:`), present values cap at
+    // 500 / 200 chars
+    assert(visionPrompt(Some(""), Some("")) === visionPrompt())
+    val long = "c" * 600
+    val p = visionPrompt(Some(long), Some("OCRTEXT" * 40))
+    assert(p.contains("Document context: " + "c" * 500))
+    assert(!p.contains("c" * 501))
+    assert(p.contains("OCR detected text: " + ("OCRTEXT" * 40).take(200)))
+  }
+
+  test("vision chat render: gpt-5 arm vs gpt-4o fallback arm") {
+    val five = renderVisionChat("gpt-5-nano", "look", "QUJD")
+    // gpt-5 vision stays on chat/completions (NOT the responses API)
+    assert(five.path === "/v1/chat/completions")
+    assert(five.body ===
+      """{"model":"gpt-5-nano","messages":[{"role":"user","content":[{"type":"text","text":"look"},{"type":"image_url","image_url":{"url":"data:image/jpeg;base64,QUJD","detail":"high"}}]}],"max_completion_tokens":300,"temperature":1.0,"reasoning_effort":"minimal"}""")
+    val four = renderVisionChat("gpt-4o", "look", "QUJD")
+    assert(four.body ===
+      """{"model":"gpt-4o","messages":[{"role":"user","content":[{"type":"text","text":"look"},{"type":"image_url","image_url":{"url":"data:image/jpeg;base64,QUJD","detail":"high"}}]}],"max_tokens":2000}""")
+  }
+
+  test("vision ladder: arms fall through once each, confidence map") {
+    // first two arms fail (429) -> gpt-5-nano answers
+    val id = "oai-" + System.nanoTime()
+    val got = captionImage(RecordingOpenAiApi(id, failFirst = 2), "QUJD")
+    assert(got === VisionCaption("{}", 0.93, "gpt-5-nano"))
+    val sent = RecordingOpenAiApi.requests(id)
+    assert(sent.map(b => mapperModel(b.body)) ===
+      Seq("gpt-5", "gpt-5-mini", "gpt-5-nano"))
+    RecordingOpenAiApi.clear(id)
+    // all gpt-5 arms fail -> gpt-4o answers as "gpt-4o-fallback"
+    val id2 = "oai-" + System.nanoTime()
+    val fb = captionImage(RecordingOpenAiApi(id2, failFirst = 3), "QUJD")
+    assert(fb === VisionCaption("{}", 0.85, "gpt-4o-fallback"))
+    assert(RecordingOpenAiApi.requests(id2).size === 4)
+    RecordingOpenAiApi.clear(id2)
+    // every arm fails -> empty caption, zero confidence, model "none"
+    val id3 = "oai-" + System.nanoTime()
+    val none = captionImage(RecordingOpenAiApi(id3, failFirst = 4), "QUJD")
+    assert(none === VisionCaption("", 0.0, "none"))
+    RecordingOpenAiApi.clear(id3)
+  }
+
+  private def mapperModel(body: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(body).get("model").asText()
+
   test("EmbedText.embed over the wire tier equals the stub path") {
     import spark.implicits._
     val id = "oai-" + System.nanoTime()
