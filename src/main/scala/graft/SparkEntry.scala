@@ -2100,6 +2100,41 @@ object SparkEntry {
       .toDF("doc_id", "path", "body")
   }
 
+  /** Review-status report in the gate (documents_review.py:154-200
+    * via ReviewStatus.statusReport): the 7 states by residue (every
+    * gate triple exercised), chunk/entity fanouts with a parity-coded
+    * is_verified (the %3 entity is NULL — counts unverified), %3 docs
+    * carrying reviewed_at/review_action and %5 docs a
+    * metadata-embedded rejection_reason; bools cast to int for oracle
+    * hash parity (q07 precedent). */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import operators.{ReviewStatus, StateMachine}
+    val d = t(s, dir, "documents")
+    val states = array(StateMachine.states.map(lit): _*)
+    val docs = d.select(col("doc_id").as("document_id"),
+      element_at(states, (col("doc_id") % 7 + 1).cast("int")).as("status"),
+      when(col("doc_id") % 3 === 0, concat(lit("T"), col("doc_id")))
+        .as("reviewed_at"),
+      when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0, lit("approved"))
+          .otherwise(lit("rejected"))).as("review_action"),
+      when(col("doc_id") % 5 === 0,
+          map(lit("rejection_reason"), lit("low quality")))
+        .otherwise(map().cast("map<string,string>")).as("metadata"))
+    def fanout(m: Int) = d.select(col("doc_id").as("document_id"),
+      explode(when(col("doc_id") % m > 0,
+        sequence(lit(1), (col("doc_id") % m).cast("int")))
+        .otherwise(array().cast("array<int>"))).as("_i"))
+    val chunks = fanout(6).drop("_i")
+    val entities = fanout(4).withColumn("is_verified",
+      when(col("_i") % 3 === 0, lit(null).cast("boolean"))
+        .otherwise(col("_i") % 2 === 0)).drop("_i")
+    ReviewStatus.statusReport(docs, chunks, entities)
+      .withColumn("can_approve", col("can_approve").cast("int"))
+      .withColumn("can_reject", col("can_reject").cast("int"))
+      .withColumn("can_reprocess", col("can_reprocess").cast("int"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2295,7 +2330,8 @@ object SparkEntry {
     "q107_document_listing" -> q107 _,
     "q108_rel_curation" -> q108 _,
     "q109_doc_detail_entities" -> q109 _,
-    "q110_vision_requests" -> q110 _)
+    "q110_vision_requests" -> q110 _,
+    "q111_review_status" -> q111 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3441,7 +3477,33 @@ object SparkEntry {
         |       ELSE '"max_completion_tokens":' ||
         |            (CASE WHEN r = 2 THEN 300 ELSE 2000 END) ||
         |            ',"temperature":1.0,"reasoning_effort":"minimal"}' END AS body
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "q111_review_status" ->
+      // closed-form gates/counts by residue: fanout m yields doc_id%m
+      // rows; the entity parity pattern verifies exactly one entity
+      // when total >= 2 (i=2; i=3 is the NULL arm, unverified)
+      """WITH base AS (SELECT doc_id,
+        |  (['discovered','processing','pending_review','approved',
+        |    'published','rejected','failed'])[CAST(doc_id % 7 AS INT) + 1]
+        |    AS status
+        |  FROM documents)
+        |SELECT doc_id AS document_id, status,
+        |  CASE WHEN status = 'pending_review' THEN 1 ELSE 0 END AS can_approve,
+        |  CASE WHEN status = 'pending_review' THEN 1 ELSE 0 END AS can_reject,
+        |  CASE WHEN status IN ('rejected', 'failed') THEN 1 ELSE 0 END
+        |    AS can_reprocess,
+        |  CAST(doc_id % 6 AS BIGINT) AS chunks_count,
+        |  CAST(doc_id % 4 AS BIGINT) AS entities_total,
+        |  CAST(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS entities_verified,
+        |  CAST(doc_id % 4 - CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS entities_unverified,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'T' || doc_id END AS reviewed_at,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 'approved' ELSE 'rejected' END END
+        |    AS review_action,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'low quality' END AS rejection_reason
+        |FROM base""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
