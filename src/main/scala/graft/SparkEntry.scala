@@ -2135,6 +2135,71 @@ object SparkEntry {
       .withColumn("can_reprocess", col("can_reprocess").cast("int"))
   }
 
+  /** Shared jobs fixture for q112/q113 (job_tracker.py lifecycle):
+    * one job per document (type by %3 residue, the %3==2 arm is the
+    * unknown type), created at a width-padded per-row timestamp so
+    * created_at order is doc order, then an update batch covering
+    * every status arm (%5 residue; %5==0 stays queued/untouched)
+    * with clamp-exercising progress values on %3 docs. */
+  private def jobsFixture(s: SparkSession, dir: String): DataFrame = {
+    import operators.Jobs
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val reqs = d.select(
+      concat(lit("j"), col("doc_id")).as("id"),
+      element_at(array(lit("notion_scan"), lit("gdrive_scan"),
+        lit("embed_rebuild")), (col("doc_id") % 3 + 1).cast("int")).as("type"),
+      when(col("doc_id") % 4 === 0,
+          map(lit("workspace_id"), concat(lit("w"), col("doc_id") % 7)))
+        .otherwise(lit(null).cast("map<string,string>")).as("metadata"),
+      concat(lit("T"), lpad(col("doc_id").cast("string"), 6, "0")).as("_ts"))
+    val jobs = Jobs.create(reqs, col("_ts"))
+    val updates = d.where(col("doc_id") % 5 =!= 0).select(
+      concat(lit("j"), col("doc_id")).as("id"),
+      element_at(array(lit("running"), lit("completed"), lit("failed"),
+        lit("cancelled")), (col("doc_id") % 5).cast("int")).as("to_status"),
+      when(col("doc_id") % 2 === 0, concat(lit("m"), col("doc_id")))
+        .otherwise(lit(null).cast("string")).as("message"),
+      when(col("doc_id") % 3 === 0,
+          (col("doc_id") % 11 * 15 - 10).cast("int"))
+        .otherwise(lit(null).cast("int")).as("progress"),
+      when(col("doc_id") % 5 === 3, lit("boom"))
+        .otherwise(lit(null).cast("string")).as("error"))
+    Jobs.applyUpdates(jobs, updates, lit("T1"))
+  }
+
+  /** Jobs lifecycle + retry census in the gate (job_tracker.py:29-81,
+    * processing.py:384-443 via Jobs): the fixture's post-update frame
+    * retried for every completed (%5==2 → not_failed 400) and failed
+    * (%5==3) job plus a missing id; the unknown-type arm (%3==2)
+    * answers 400 but is left queued — the update-before-dispatch
+    * quirk, value-checked per job via the full-outer outcome join. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import operators.Jobs
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val updated = jobsFixture(s, dir)
+    val retryIds = d.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3)
+      .select(concat(lit("j"), col("doc_id")).as("id"))
+      .unionByName(s.range(1).select(lit("missing-1").as("id")))
+    val (after, outcomes) = Jobs.retry(updated, retryIds, lit("T2"))
+    after.join(outcomes, Seq("id"), "full_outer")
+      .select(col("id"), col("type"), col("status"), col("progress"),
+        col("message"), col("error"), col("completed_at"),
+        col("updated_at"), col("outcome"), col("http_status"))
+  }
+
+  /** Jobs listing in the gate (job_tracker.py:87-110 via
+    * Jobs.listJobs): both filters (running + gdrive_scan → the
+    * doc_id ≡ 1 (mod 15) stripe) BEFORE the created_at-descending
+    * sort and the offset page — the order that distinguishes this
+    * endpoint from the document listing's post-limit source filter. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import operators.Jobs
+    Jobs.listJobs(jobsFixture(s, dir), status = Some("running"),
+      jobType = Some("gdrive_scan"), limit = 20, offset = 5)
+      .select(col("id"), col("type"), col("status"), col("progress"),
+        col("message"), col("created_at"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2331,7 +2396,9 @@ object SparkEntry {
     "q108_rel_curation" -> q108 _,
     "q109_doc_detail_entities" -> q109 _,
     "q110_vision_requests" -> q110 _,
-    "q111_review_status" -> q111 _)
+    "q111_review_status" -> q111 _,
+    "q112_jobs_census" -> q112 _,
+    "q113_jobs_listing" -> q113 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3503,7 +3570,51 @@ object SparkEntry {
         |    CASE WHEN doc_id % 2 = 0 THEN 'approved' ELSE 'rejected' END END
         |    AS review_action,
         |  CASE WHEN doc_id % 5 = 0 THEN 'low quality' END AS rejection_reason
-        |FROM base""".stripMargin)
+        |FROM base""".stripMargin,
+    "q112_jobs_census" ->
+      // closed form per doc: %5 residue is the status ladder (3 was
+      // failed, then requeued by retry), %3 the type (2 = unknown,
+      // 400-but-queued), clamp arms on %3 docs; the missing retry id
+      // appends the not_found row with null job columns
+      """WITH per AS (SELECT doc_id, doc_id % 3 AS r3, doc_id % 5 AS r5
+        |  FROM documents)
+        |SELECT 'j' || doc_id AS id,
+        |  CASE r3 WHEN 0 THEN 'notion_scan' WHEN 1 THEN 'gdrive_scan'
+        |       ELSE 'embed_rebuild' END AS type,
+        |  CASE WHEN r5 IN (0, 3) THEN 'queued' WHEN r5 = 1 THEN 'running'
+        |       WHEN r5 = 2 THEN 'completed' ELSE 'cancelled' END AS status,
+        |  CASE WHEN r5 = 2 THEN 100
+        |       WHEN r5 <> 0 AND doc_id % 3 = 0
+        |       THEN LEAST(100, GREATEST(0, CAST(doc_id % 11 AS INT) * 15 - 10))
+        |       ELSE 0 END AS progress,
+        |  CASE WHEN r5 = 3 THEN 'Retrying job'
+        |       WHEN r5 <> 0 AND doc_id % 2 = 0 THEN 'm' || doc_id
+        |       ELSE 'Job queued' END AS message,
+        |  CASE WHEN r5 = 3 THEN 'boom' END AS error,
+        |  CASE WHEN r5 IN (2, 3, 4) THEN 'T1' END AS completed_at,
+        |  CASE WHEN r5 = 3 THEN 'T2'
+        |       WHEN r5 = 0 THEN 'T' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |       ELSE 'T1' END AS updated_at,
+        |  CASE WHEN r5 = 3 THEN
+        |         (CASE WHEN r3 = 2 THEN 'unknown_type' ELSE 'queued' END)
+        |       WHEN r5 = 2 THEN 'not_failed' END AS outcome,
+        |  CASE WHEN r5 = 3 THEN (CASE WHEN r3 = 2 THEN 400 ELSE 200 END)
+        |       WHEN r5 = 2 THEN 400 END AS http_status
+        |FROM per
+        |UNION ALL
+        |SELECT 'missing-1', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  'not_found', 404""".stripMargin,
+    "q113_jobs_listing" ->
+      // the running+gdrive stripe is doc_id ≡ 1 (mod 15); its %3
+      // residue is 1 so the progress-update arm never fires (0)
+      """SELECT 'j' || doc_id AS id, 'gdrive_scan' AS type,
+        |  'running' AS status, 0 AS progress,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'm' || doc_id
+        |       ELSE 'Job queued' END AS message,
+        |  'T' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS created_at
+        |FROM documents
+        |WHERE doc_id % 5 = 1 AND doc_id % 3 = 1
+        |ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

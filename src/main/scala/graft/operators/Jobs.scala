@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The processing-jobs tier as a frame (job_tracker.py:12-120 +
+  * api/processing.py:359-443): the create/update lifecycle, the
+  * listing endpoint's filter→sort→page order, and the retry arm with
+  * its update-before-dispatch quirk.
+  *
+  * The reference tracker is an in-memory dict; the frame analogue is
+  * a jobs table mutated by joins — the same shape as
+  * [[RelationshipCuration]]'s mutation tiers. At scale every
+  * mutation is one equi-join on `id` (the update/retry side is an
+  * endpoint batch — broadcast-sized) and the listing plans as a
+  * top-K (TakeOrderedAndProject), never a global sort.
+  */
+object Jobs {
+
+  val Queued = "queued"
+  val Running = "running"
+  val Completed = "completed"
+  val Failed = "failed"
+  val Cancelled = "cancelled"
+
+  /** Terminal statuses stamp completed_at (job_tracker.py:74-77). */
+  val Terminal: Set[String] = Set(Completed, Failed, Cancelled)
+
+  /** Job types the retry endpoint can re-queue
+    * (processing.py:404-427). */
+  val RetryableTypes: Set[String] = Set("notion_scan", "gdrive_scan")
+
+  /** New jobs with the tracker's defaults (job_tracker.py:29-46):
+    * queued, progress 0, "Job queued", empty error/completed_at.
+    *
+    * @param requests (id, type, metadata)
+    * @param now      creation timestamp column (the reference stamps
+    *                 utcnow; a column so batch fixtures can carry
+    *                 per-row times)
+    */
+  def create(requests: DataFrame, now: Column): DataFrame =
+    requests.select(col("id"), col("type"),
+      lit(Queued).as("status"),
+      lit(0).as("progress"),
+      lit("Job queued").as("message"),
+      coalesce(col("metadata"), map().cast("map<string,string>"))
+        .as("metadata"),
+      now.as("created_at"), now.as("updated_at"),
+      lit(null).cast("string").as("completed_at"),
+      lit(null).cast("string").as("error"))
+
+  /** Apply an update batch (job_tracker.py:48-81): unknown ids are
+    * dropped (update_job returns None), status and updated_at always
+    * set, message/error only when present, progress clamps to 0..100,
+    * terminal statuses stamp completed_at, and `completed` forces
+    * progress 100 AFTER the clamp.
+    *
+    * @param updates (id, to_status, message, progress, error) with
+    *                nullable message/progress/error
+    */
+  def applyUpdates(jobs: DataFrame, updates: DataFrame,
+      now: Column): DataFrame = {
+    val u = updates.select(col("id"), col("to_status"),
+      col("message").as("_msg"), col("progress").as("_prog"),
+      col("error").as("_err"))
+    val clamped = least(lit(100), greatest(lit(0), col("_prog")))
+    jobs.join(u, Seq("id"), "left")
+      .withColumn("status", coalesce(col("to_status"), col("status")))
+      .withColumn("updated_at",
+        when(col("to_status").isNotNull, now).otherwise(col("updated_at")))
+      .withColumn("message",
+        when(col("to_status").isNotNull && col("_msg").isNotNull,
+          col("_msg")).otherwise(col("message")))
+      .withColumn("error",
+        when(col("to_status").isNotNull && col("_err").isNotNull,
+          col("_err")).otherwise(col("error")))
+      .withColumn("progress",
+        when(col("to_status") === Completed, lit(100))
+          .when(col("to_status").isNotNull && col("_prog").isNotNull, clamped)
+          .otherwise(col("progress")))
+      .withColumn("completed_at",
+        when(col("to_status").isin(Terminal.toSeq.map(x => x: Any): _*), now)
+          .otherwise(col("completed_at")))
+      .drop("to_status", "_msg", "_prog", "_err")
+  }
+
+  /** The listing endpoint (job_tracker.py:87-110): status/type
+    * filters FIRST, then created_at-descending sort, then the
+    * offset/limit page — unlike the document listing's post-limit
+    * source filter, both filters precede pagination here. Plans as a
+    * bounded top-K: filters push to the scan, `limit(offset+limit)`
+    * caps the sort, and the offset window runs on the bounded page. */
+  def listJobs(jobs: DataFrame, status: Option[String] = None,
+      jobType: Option[String] = None, limit: Int = 50,
+      offset: Int = 0): DataFrame = {
+    var filtered = jobs
+    status.foreach(s => filtered = filtered.where(col("status") === lit(s)))
+    jobType.foreach(t => filtered = filtered.where(col("type") === lit(t)))
+    val top = filtered.orderBy(col("created_at").desc).limit(offset + limit)
+    if (offset > 0) {
+      // unpartitioned window is safe: input is bounded by offset+limit
+      val w = Window.orderBy(col("created_at").desc)
+      top.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") > offset).drop("_rn")
+    } else top
+  }
+
+  /** Retry outcome per requested id (processing.py:384-443):
+    * `not_found` 404, `not_failed` 400, `unknown_type` 400, `queued`
+    * 200. The reference re-queues (status→queued, message "Retrying
+    * job") BEFORE dispatching on type, so an unknown-type job is left
+    * queued even though the endpoint answers 400 — the quirk is
+    * reproduced: only `not_found`/`not_failed` leave the job
+    * untouched.
+    *
+    * @return (updated jobs, outcomes (id, outcome, http_status))
+    */
+  def retry(jobs: DataFrame, retryIds: DataFrame,
+      now: Column): (DataFrame, DataFrame) = {
+    val ids = retryIds.select(col("id")).withColumn("_req", lit(true))
+    val joined = jobs.join(ids, Seq("id"), "left")
+    val requeue = col("_req").isNotNull && col("status") === Failed
+    val updated = joined
+      .withColumn("message",
+        when(requeue, lit("Retrying job")).otherwise(col("message")))
+      .withColumn("updated_at", when(requeue, now).otherwise(col("updated_at")))
+      .withColumn("status", when(requeue, Queued).otherwise(col("status")))
+      .drop("_req")
+    val outcomes = ids.join(jobs.select(col("id"), col("type"),
+        col("status").as("_st")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_st").isNull, "not_found")
+          .when(col("_st") =!= Failed, "not_failed")
+          .when(!col("type").isin(RetryableTypes.toSeq.map(x => x: Any): _*),
+            "unknown_type")
+          .otherwise("queued").as("outcome"))
+      .withColumn("http_status",
+        when(col("outcome") === "not_found", 404)
+          .when(col("outcome") === "queued", 200).otherwise(400))
+    (updated, outcomes)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Jobs
+
+/** The processing-jobs tier (job_tracker.py:12-120,
+  * processing.py:359-443): lifecycle defaults, clamp/terminal
+  * semantics, listing order, and the retry quirks. */
+class JobsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def mkJobs(rows: (String, String)*) =
+    Jobs.create(rows.toSeq.toDF("id", "type")
+      .withColumn("metadata", lit(null).cast("map<string,string>")),
+      lit("T0"))
+
+  test("create stamps the tracker's defaults") {
+    val got = mkJobs("j1" -> "notion_scan").collect().head
+    assert(got.getAs[String]("status") === "queued")
+    assert(got.getAs[Int]("progress") === 0)
+    assert(got.getAs[String]("message") === "Job queued")
+    assert(got.getAs[Map[String, String]]("metadata") === Map())
+    assert(got.getAs[String]("created_at") === "T0")
+    assert(got.getAs[String]("completed_at") === null)
+    assert(got.getAs[String]("error") === null)
+  }
+
+  test("updates: clamp, terminal completed_at, completed forces 100") {
+    val jobs = mkJobs("j1" -> "a", "j2" -> "a", "j3" -> "a", "j4" -> "a",
+      "j5" -> "a")
+    val updates = Seq(
+      ("j1", "running", Some("halfway"), Some(150), None),
+      ("j2", "running", None, Some(-5), None),
+      ("j3", "completed", None, Some(40), None),
+      ("j4", "failed", None, None, Some("boom")),
+      ("jX", "running", None, None, None)) // unknown id: dropped
+      .toDF("id", "to_status", "message", "progress", "error")
+    val got = Jobs.applyUpdates(jobs, updates, lit("T1"))
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(got.size === 5) // jX added nothing
+    assert(got("j1").getAs[Int]("progress") === 100) // clamped down
+    assert(got("j1").getAs[String]("message") === "halfway")
+    assert(got("j1").getAs[String]("completed_at") === null)
+    assert(got("j2").getAs[Int]("progress") === 0) // clamped up
+    assert(got("j2").getAs[String]("message") === "Job queued") // kept
+    assert(got("j3").getAs[Int]("progress") === 100) // forced, not 40
+    assert(got("j3").getAs[String]("completed_at") === "T1")
+    assert(got("j4").getAs[String]("error") === "boom")
+    assert(got("j4").getAs[String]("completed_at") === "T1")
+    assert(got("j5").getAs[String]("updated_at") === "T0") // untouched
+  }
+
+  test("listing filters first, sorts created_at desc, then pages") {
+    val jobs = Jobs.create(
+      (1 to 9).map(i => (s"j$i", if (i % 2 == 0) "a" else "b")).toDF("id", "type")
+        .withColumn("metadata", lit(null).cast("map<string,string>")),
+      concat(lit("T"), lpad(regexp_extract(col("id"), "\\d+", 0), 3, "0")))
+    // type filter before pagination: page 2 of type-a jobs
+    val got = Jobs.listJobs(jobs, jobType = Some("a"), limit = 2, offset = 1)
+      .select("id").as[String].collect()
+    // type a = j2,j4,j6,j8; desc by created_at = j8,j6,j4,j2; skip 1 take 2
+    assert(got.toSeq === Seq("j6", "j4"))
+    val byStatus = Jobs.listJobs(jobs, status = Some("running"))
+    assert(byStatus.count() === 0)
+  }
+
+  test("retry: 404/400 arms, unknown type answers 400 but stays queued") {
+    val jobs = Jobs.applyUpdates(
+      mkJobs("j1" -> "notion_scan", "j2" -> "embed_rebuild",
+        "j3" -> "gdrive_scan", "j4" -> "notion_scan"),
+      Seq(("j1", "failed"), ("j2", "failed"), ("j3", "completed"))
+        .toDF("id", "to_status")
+        .withColumn("message", lit(null).cast("string"))
+        .withColumn("progress", lit(null).cast("int"))
+        .withColumn("error", lit(null).cast("string")),
+      lit("T1"))
+    val (updated, outcomes) = Jobs.retry(jobs,
+      Seq("j1", "j2", "j3", "missing").toDF("id"), lit("T2"))
+    val o = outcomes.select("id", "outcome", "http_status")
+      .as[(String, String, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(o("j1") === (("queued", 200)))
+    assert(o("j2") === (("unknown_type", 400))) // dispatch failed...
+    assert(o("j3") === (("not_failed", 400)))
+    assert(o("missing") === (("not_found", 404)))
+    val u = updated.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(u("j1").getAs[String]("status") === "queued")
+    assert(u("j1").getAs[String]("message") === "Retrying job")
+    // ...but the update-before-dispatch quirk left j2 queued anyway
+    assert(u("j2").getAs[String]("status") === "queued")
+    assert(u("j2").getAs[String]("message") === "Retrying job")
+    assert(u("j3").getAs[String]("status") === "completed") // untouched
+    assert(u("j4").getAs[String]("status") === "queued")
+    assert(u("j4").getAs[String]("message") === "Job queued") // not requested
+  }
+}
