@@ -2200,6 +2200,45 @@ object SparkEntry {
         col("message"), col("created_at"))
   }
 
+  /** Metadata-embedded transition store in the gate
+    * (state_manager_simple.py:41-74, 165-243 via MetadataStateStore):
+    * the 7 states by residue, a two-batch sequence (even docs request
+    * approve, odd request processing; then everyone requests publish)
+    * whose validity falls out of the transition map, censused by the
+    * PARSED history (count, last hop) plus the stamp columns and the
+    * approved_by_user metadata key — the whole JSON round trip is on
+    * the hash path. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import operators.{MetadataStateStore, StateMachine}
+    val d = t(s, dir, "documents")
+    val states = array(StateMachine.states.map(lit): _*)
+    val docs = d.select(col("doc_id").as("id"),
+      element_at(states, (col("doc_id") % 7 + 1).cast("int")).as("status"),
+      MetadataStateStore.initialMetadata(
+        map(lit("filename"), concat(lit("f"), col("doc_id")))).as("metadata"))
+    val r1 = d.select(col("doc_id").as("id"),
+      when(col("doc_id") % 2 === 0, lit("approved"))
+        .otherwise(lit("processing")).as("to_status"),
+      when(col("doc_id") % 3 === 0, concat(lit("u"), col("doc_id")))
+        .otherwise(lit(null).cast("string")).as("user_id"),
+      when(col("doc_id") % 4 === 0, lit("r1"))
+        .otherwise(lit(null).cast("string")).as("reason"))
+    val r2 = d.select(col("doc_id").as("id"),
+      lit("published").as("to_status"),
+      lit(null).cast("string").as("user_id"),
+      lit(null).cast("string").as("reason"))
+    val s1 = MetadataStateStore.transition(docs, r1, lit("T1"))
+    val s2 = MetadataStateStore.transition(s1.updated, r2, lit("T2"))
+    val hist = MetadataStateStore.history(col("metadata"))
+    s2.updated.select(col("id").as("doc_id"), col("status"),
+      col("updated_at"), col("processed_at"), col("approved_at"),
+      size(hist).as("n_transitions"),
+      when(size(hist) > 0, element_at(hist, -1).getField("to_state"))
+        .as("last_to"),
+      element_at(col("metadata"), "approved_by_user").as("approved_by_user"),
+      element_at(col("metadata"), "filename").as("filename"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2398,7 +2437,8 @@ object SparkEntry {
     "q110_vision_requests" -> q110 _,
     "q111_review_status" -> q111 _,
     "q112_jobs_census" -> q112 _,
-    "q113_jobs_listing" -> q113 _)
+    "q113_jobs_listing" -> q113 _,
+    "q114_metadata_transitions" -> q114 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3614,7 +3654,37 @@ object SparkEntry {
         |  'T' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS created_at
         |FROM documents
         |WHERE doc_id % 5 = 1 AND doc_id % 3 = 1
-        |ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin)
+        |ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin,
+    "q114_metadata_transitions" ->
+      // validity is closed-form from the transition map: batch-1
+      // approve is valid only from pending_review (r7=2, even docs),
+      // processing only from discovered/rejected/failed (odd docs);
+      // batch-2 publish only from approved (r7=3, or the batch-1
+      // approvals)
+      """WITH per AS (SELECT doc_id, doc_id % 7 AS r7, doc_id % 2 = 0 AS ev
+        |  FROM documents),
+        |v AS (SELECT doc_id, r7, ev,
+        |  (ev AND r7 = 2) OR (NOT ev AND r7 IN (0, 5, 6)) AS v1,
+        |  (ev AND r7 = 2) OR r7 = 3 AS v2
+        |  FROM per)
+        |SELECT doc_id,
+        |  CASE WHEN v2 THEN 'published'
+        |       WHEN v1 THEN (CASE WHEN ev THEN 'approved' ELSE 'processing' END)
+        |       ELSE (['discovered','processing','pending_review','approved',
+        |             'published','rejected','failed'])[CAST(r7 AS INT) + 1]
+        |       END AS status,
+        |  CASE WHEN v2 THEN 'T2' WHEN v1 THEN 'T1' END AS updated_at,
+        |  CASE WHEN v1 AND NOT ev THEN 'T1' END AS processed_at,
+        |  CASE WHEN v1 AND ev THEN 'T1' END AS approved_at,
+        |  CAST(CASE WHEN v1 THEN 1 ELSE 0 END +
+        |       CASE WHEN v2 THEN 1 ELSE 0 END AS INT) AS n_transitions,
+        |  CASE WHEN v2 THEN 'published'
+        |       WHEN v1 THEN (CASE WHEN ev THEN 'approved' ELSE 'processing' END)
+        |       END AS last_to,
+        |  CASE WHEN v1 AND ev AND doc_id % 3 = 0 THEN 'u' || doc_id END
+        |    AS approved_by_user,
+        |  'f' || doc_id AS filename
+        |FROM v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The no-transitions-table state-manager variant
+  * (state_manager_simple.py:41-74, 165-243): the transition log lives
+  * INSIDE each document's metadata — a JSON array under the
+  * `state_transitions` key — instead of a separate audit table, so
+  * the deployment "works with the existing schema".
+  *
+  * Frame shape: document metadata is the map<string,string> the other
+  * tiers use; this store keeps the history as a JSON-encoded array
+  * string under [[TransitionsKey]] and appends on every transition.
+  * Arbitrary other metadata keys pass through untouched (the
+  * reference copies the whole dict and rewrites only the state keys,
+  * :194-200). Validation rides the SAME [[StateMachine.allowed]] map
+  * as the table-backed manager, so the two variants cannot drift; an
+  * invalid request lands in the rejected frame (the frame analogue of
+  * StateValidationError, :180-183).
+  *
+  * Scale: one broadcast join against the 8-row transition table plus
+  * a left join of the request batch — identical plan shape to
+  * [[StateMachine.applyTransitions]]; the JSON append is a per-row
+  * projection, no extra shuffle, and the history stays O(transitions
+  * per document), not O(corpus).
+  */
+object MetadataStateStore {
+
+  /** Metadata key holding the serialized history. */
+  val TransitionsKey = "state_transitions"
+
+  /** One logged transition (the storable dict, :82-93). The
+    * per-transition extras dict is omitted — nothing reads it back;
+    * user_id/reason are the read-back surface. */
+  val transitionType: ArrayType = ArrayType(new StructType()
+    .add("from_state", StringType).add("to_state", StringType)
+    .add("timestamp", StringType).add("user_id", StringType)
+    .add("reason", StringType))
+
+  /** Parsed history (oldest first) from a metadata map; a missing key
+    * or malformed JSON parses to an empty array (the reference's
+    * per-record try/except keeps going, :53-58). */
+  def history(metadata: Column): Column =
+    coalesce(from_json(element_at(metadata, TransitionsKey), transitionType),
+      array().cast(transitionType))
+
+  /** Initial metadata of a fresh document (create_state, :120-123):
+    * empty history and zero error_count merged over any caller keys. */
+  def initialMetadata(extra: Column): Column =
+    map_concat(
+      map_filter(coalesce(extra, map().cast("map<string,string>")),
+        (k, _) => k =!= TransitionsKey && k =!= "error_count"),
+      map(lit(TransitionsKey), lit("[]"), lit("error_count"), lit("0")))
+
+  /** Apply a request batch, appending each applied transition to the
+    * document's own metadata. The returned audit frame is the history
+    * RE-READ from metadata (all transitions ever applied, exploded) —
+    * the round-trip surface the table-backed audit is compared to.
+    *
+    * @param docs     (id, status, metadata, ...) — extra columns pass
+    *                 through; updated_at/processed_at/approved_at are
+    *                 stamped (added if absent, :203-212)
+    * @param requests (id, to_status, user_id, reason) — at most one
+    *                 per id; user_id/reason nullable
+    * @param now      timestamp column evaluated against the joined
+    *                 frame
+    */
+  def transition(docs: DataFrame, requests: DataFrame, now: Column,
+      idCol: String = "id"): StateMachine.TransitionResult = {
+    val spark = docs.sparkSession
+    val allowedDf = broadcast(
+      spark.createDataFrame(StateMachine.allowed).toDF("_from", "_to"))
+    val base = docs.join(
+        requests.select(col(idCol), col("to_status"), col("user_id"),
+          col("reason")), Seq(idCol), "left")
+      .join(allowedDf,
+        col("status") === col("_from") && col("to_status") === col("_to"),
+        "left")
+      .withColumn("_valid", col("_to").isNotNull)
+      .withColumn("_now", now)
+      .withColumn("_oldlog",
+        coalesce(element_at(col("metadata"), TransitionsKey), lit("[]")))
+    // the record to_json drops null user_id/reason, exactly as the
+    // reference's dict comprehension keeps None out of round-trips
+    val record = to_json(struct(
+      col("status").as("from_state"), col("to_status").as("to_state"),
+      col("_now").as("timestamp"), col("user_id"), col("reason")))
+    // append by string surgery on the serialized array ("[a]" + rec ->
+    // "[a,rec]") — no parse->re-serialize round-trip, so unknown
+    // record fields written by other deployments survive verbatim. A
+    // malformed log is REPLACED by the fresh one-record array: the
+    // reference parses (empty on failure), appends, re-serializes.
+    val appended = when(
+        col("_oldlog") === "[]" ||
+          from_json(col("_oldlog"), transitionType).isNull,
+        concat(lit("["), record, lit("]")))
+      .otherwise(concat(
+        expr("substring(_oldlog, 1, length(_oldlog) - 1)"),
+        lit(","), record, lit("]")))
+    // approve with a user stamps approved_by_user (:213-218); only
+    // then is any previous value replaced
+    val stampApproved =
+      col("to_status") === "approved" && col("user_id").isNotNull
+    val newMeta = map_concat(
+      map_filter(col("metadata"), (k, _) =>
+        k =!= TransitionsKey &&
+          !(k === "approved_by_user" && stampApproved)),
+      map(lit(TransitionsKey), appended),
+      when(stampApproved, map(lit("approved_by_user"), col("user_id")))
+        .otherwise(map().cast("map<string,string>")))
+    val stamped = base
+      .withColumn("metadata",
+        when(col("_valid"), newMeta).otherwise(col("metadata")))
+      .withColumn("status",
+        when(col("_valid"), col("to_status")).otherwise(col("status")))
+      .withColumn("updated_at",
+        when(col("_valid"), col("_now"))
+          .otherwise(colOr(docs, "updated_at")))
+      .withColumn("processed_at",
+        when(col("_valid") && col("to_status") === "processing", col("_now"))
+          .otherwise(colOr(docs, "processed_at")))
+      .withColumn("approved_at",
+        when(col("_valid") && col("to_status") === "approved", col("_now"))
+          .otherwise(colOr(docs, "approved_at")))
+    val rejected = base
+      .where(col("to_status").isNotNull && !col("_valid"))
+      .select(col(idCol), col("status").as("from_status"), col("to_status"),
+        lit("transition not allowed").as("reason"))
+    val updated = stamped.drop("to_status", "user_id", "reason", "_from",
+      "_to", "_valid", "_now", "_oldlog")
+    val audit = updated
+      .select(col(idCol), explode(history(col("metadata"))).as("t"))
+      .select(col(idCol), col("t.from_state").as("from_status"),
+        col("t.to_state").as("to_status"), col("t.timestamp"),
+        col("t.user_id"), col("t.reason"))
+    StateMachine.TransitionResult(updated, rejected, audit)
+  }
+
+  private def colOr(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MetadataStateStore, StateMachine}
+
+/** The metadata-embedded transition store
+  * (state_manager_simple.py:41-74, 165-243): same validation as the
+  * table-backed manager, history round-trips through the document's
+  * own metadata JSON. */
+class MetadataStateStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (String, String)*) =
+    rows.toSeq.toDF("id", "status")
+      .withColumn("metadata",
+        MetadataStateStore.initialMetadata(lit(null).cast("map<string,string>")))
+
+  private def reqs(rows: (String, String, Option[String], Option[String])*) =
+    rows.toSeq.toDF("id", "to_status", "user_id", "reason")
+
+  test("two-batch round trip matches the table-backed audit exactly") {
+    val d0 = docs("d1" -> "discovered", "d2" -> "discovered",
+      "d3" -> "pending_review")
+    val r1 = reqs(("d1", "processing", Some("u1"), None),
+      ("d2", "approved", None, None), // invalid from discovered
+      ("d3", "approved", Some("u9"), Some("lgtm")))
+    val r2 = reqs(("d1", "pending_review", None, Some("auto")),
+      ("d3", "published", None, None))
+
+    // table-backed: two applications, audits accumulated
+    val t1 = StateMachine.applyTransitions(
+      d0.select("id", "status"), r1.select("id", "to_status"))
+    val t2 = StateMachine.applyTransitions(t1.updated,
+      r2.select("id", "to_status"))
+    val tableAudit = t1.auditLog.unionByName(t2.auditLog)
+      .select("id", "from_status", "to_status")
+      .as[(String, String, String)].collect().toSet
+
+    // metadata-embedded: same sequence, audit re-read from metadata
+    val m1 = MetadataStateStore.transition(d0, r1, lit("T1"))
+    val m2 = MetadataStateStore.transition(m1.updated, r2, lit("T2"))
+    val metaAudit = m2.auditLog
+      .select("id", "from_status", "to_status")
+      .as[(String, String, String)].collect().toSet
+    assert(metaAudit === tableAudit)
+    // same final statuses
+    val tStatus = t2.updated.as[(String, String)].collect().toSet
+    val mStatus = m2.updated.select("id", "status")
+      .as[(String, String)].collect().toSet
+    assert(mStatus === tStatus)
+    // same rejections
+    assert(m1.rejectedRequests.select("id", "from_status", "to_status")
+      .as[(String, String, String)].collect().toSet ===
+      t1.rejectedRequests.select("id", "from_status", "to_status")
+        .as[(String, String, String)].collect().toSet)
+    // and the timestamps/users round-tripped through the JSON
+    val d3 = m2.auditLog.where(col("id") === "d3")
+      .select("to_status", "timestamp", "user_id", "reason")
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(d3 === Set(("approved", "T1", Some("u9"), Some("lgtm")),
+      ("published", "T2", None, None)))
+  }
+
+  test("initialMetadata merges caller keys under the state keys") {
+    val got = spark.range(1).select(MetadataStateStore.initialMetadata(
+      map(lit("filename"), lit("a.pdf"), lit("error_count"), lit("9"))))
+      .as[Map[String, String]].collect().head
+    assert(got === Map("filename" -> "a.pdf",
+      "state_transitions" -> "[]", "error_count" -> "0"))
+  }
+
+  test("stamps: processed_at/approved_at, approved_by_user replacement") {
+    val d0 = docs("d1" -> "pending_review")
+      .withColumn("metadata", map_concat(col("metadata"),
+        map(lit("approved_by_user"), lit("old-user"),
+          lit("keep"), lit("me"))))
+    val got = MetadataStateStore.transition(d0,
+      reqs(("d1", "approved", Some("new-user"), None)), lit("T5"))
+      .updated.collect().head
+    val meta = got.getAs[Map[String, String]]("metadata")
+    assert(meta("approved_by_user") === "new-user")
+    assert(meta("keep") === "me")
+    assert(meta("error_count") === "0") // untouched
+    assert(got.getAs[String]("approved_at") === "T5")
+    assert(got.getAs[String]("updated_at") === "T5")
+    assert(got.getAs[String]("processed_at") === null)
+    // processing stamps processed_at, not approved_at
+    val p = MetadataStateStore.transition(docs("d2" -> "discovered"),
+      reqs(("d2", "processing", None, None)), lit("T6")).updated.collect().head
+    assert(p.getAs[String]("processed_at") === "T6")
+    assert(p.getAs[String]("approved_at") === null)
+  }
+
+  test("string-surgery append preserves unknown record fields") {
+    val seeded = Seq(("d1", "processing")).toDF("id", "status")
+      .withColumn("metadata", map(lit("state_transitions"),
+        lit("""[{"from_state":"discovered","to_state":"processing","custom":"x"}]""")))
+    val got = MetadataStateStore.transition(seeded,
+      reqs(("d1", "failed", None, None)), lit("T7")).updated.collect().head
+    val raw = got.getAs[Map[String, String]]("metadata")("state_transitions")
+    assert(raw.contains(""""custom":"x"""")) // survived verbatim
+    assert(raw.contains(""""to_state":"failed""""))
+    assert(raw.startsWith("[{") && raw.endsWith("}]"))
+    // and the parsed history sees both records
+    val hist = MetadataStateStore.transition(seeded,
+      reqs(("d1", "failed", None, None)), lit("T7"))
+      .auditLog.select("from_status", "to_status")
+      .as[(String, String)].collect().toSeq
+    assert(hist === Seq("discovered" -> "processing", "processing" -> "failed"))
+  }
+
+  test("malformed history parses empty, keeps transitioning") {
+    val bad = Seq(("d1", "failed")).toDF("id", "status")
+      .withColumn("metadata", map(lit("state_transitions"), lit("not-json")))
+    val got = MetadataStateStore.transition(bad,
+      reqs(("d1", "processing", None, None)), lit("T8"))
+    assert(got.updated.select("status").as[String].collect().head ===
+      "processing")
+    assert(got.auditLog.count() === 1) // the malformed log reads empty
+  }
+}
