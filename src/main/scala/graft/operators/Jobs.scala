@@ -106,6 +106,42 @@ object Jobs {
     } else top
   }
 
+  /** Cancel a batch (job_tracker.py:112-126): only non-terminal jobs
+    * cancel (missing/terminal ids answer false); a cancel stamps
+    * completed_at and "Job cancelled by user" but — unlike
+    * update_job — does NOT touch updated_at (the reference mutates
+    * the three fields directly).
+    *
+    * @return (updated jobs, outcomes (id, cancelled))
+    */
+  def cancel(jobs: DataFrame, cancelIds: DataFrame,
+      now: Column): (DataFrame, DataFrame) = {
+    val ids = cancelIds.select(col("id")).withColumn("_req", lit(true))
+    val joined = jobs.join(ids, Seq("id"), "left")
+    val hit = col("_req").isNotNull &&
+      !col("status").isin(Terminal.toSeq: _*)
+    val updated = joined
+      .withColumn("completed_at", when(hit, now).otherwise(col("completed_at")))
+      .withColumn("message",
+        when(hit, lit("Job cancelled by user")).otherwise(col("message")))
+      .withColumn("status", when(hit, Cancelled).otherwise(col("status")))
+      .drop("_req")
+    val outcomes = ids.join(jobs.select(col("id"), col("status").as("_st")),
+        Seq("id"), "left")
+      .select(col("id"),
+        (col("_st").isNotNull && !col("_st").isin(Terminal.toSeq: _*))
+          .as("cancelled"))
+    (updated, outcomes)
+  }
+
+  /** Drop terminal jobs whose completed_at is before the cutoff
+    * (job_tracker.py:128-145); a terminal job with a NULL
+    * completed_at is kept — the reference's `job.get("completed_at")`
+    * guard. Timestamps compare as strings (ISO order). */
+  def cleanupOldJobs(jobs: DataFrame, cutoff: Column): DataFrame =
+    jobs.where(!(col("status").isin(Terminal.toSeq: _*) &&
+      col("completed_at").isNotNull && col("completed_at") < cutoff))
+
   /** Retry outcome per requested id (processing.py:384-443):
     * `not_found` 404, `not_failed` 400, `unknown_type` 400, `queued`
     * 200. The reference re-queues (status→queued, message "Retrying

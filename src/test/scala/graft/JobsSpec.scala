@@ -67,6 +67,47 @@ class JobsSpec extends AnyFunSuite {
     assert(byStatus.count() === 0)
   }
 
+  test("cancel: non-terminal only; stamps but leaves updated_at stale") {
+    val jobs = Jobs.applyUpdates(
+      mkJobs("j1" -> "a", "j2" -> "a", "j3" -> "a"),
+      Seq(("j1", "running"), ("j2", "completed")).toDF("id", "to_status")
+        .withColumn("message", lit(null).cast("string"))
+        .withColumn("progress", lit(null).cast("int"))
+        .withColumn("error", lit(null).cast("string")),
+      lit("T1"))
+    val (updated, outcomes) = Jobs.cancel(jobs,
+      Seq("j1", "j2", "missing").toDF("id"), lit("T2"))
+    val o = outcomes.as[(String, Boolean)].collect().toMap
+    assert(o === Map("j1" -> true, "j2" -> false, "missing" -> false))
+    val u = updated.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(u("j1").getAs[String]("status") === "cancelled")
+    assert(u("j1").getAs[String]("message") === "Job cancelled by user")
+    assert(u("j1").getAs[String]("completed_at") === "T2")
+    // the reference mutates fields directly: updated_at is NOT bumped
+    assert(u("j1").getAs[String]("updated_at") === "T1")
+    assert(u("j2").getAs[String]("status") === "completed") // terminal kept
+    assert(u("j3").getAs[String]("status") === "queued")
+  }
+
+  test("cleanup drops old terminal jobs; null completed_at survives") {
+    val jobs = mkJobs("j1" -> "a", "j2" -> "a", "j3" -> "a", "j4" -> "a")
+    val staged = Jobs.applyUpdates(jobs,
+      Seq(("j1", "completed"), ("j2", "failed")).toDF("id", "to_status")
+        .withColumn("message", lit(null).cast("string"))
+        .withColumn("progress", lit(null).cast("int"))
+        .withColumn("error", lit(null).cast("string")),
+      lit("T1"))
+      // j3: terminal status but completed_at nulled (the .get guard)
+      .withColumn("status",
+        when(col("id") === "j3", "cancelled").otherwise(col("status")))
+    val kept = Jobs.cleanupOldJobs(staged, lit("T5"))
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("j3", "j4")) // j1/j2 old+terminal dropped
+    val keptRecent = Jobs.cleanupOldJobs(staged, lit("T0"))
+      .select("id").as[String].collect().toSet
+    assert(keptRecent === Set("j1", "j2", "j3", "j4")) // T1 >= T0 cutoff
+  }
+
   test("retry: 404/400 arms, unknown type answers 400 but stays queued") {
     val jobs = Jobs.applyUpdates(
       mkJobs("j1" -> "notion_scan", "j2" -> "embed_rebuild",
