@@ -2151,7 +2151,9 @@ object SparkEntry {
       when(col("doc_id") % 4 === 0,
           map(lit("workspace_id"), concat(lit("w"), col("doc_id") % 7)))
         .otherwise(lit(null).cast("map<string,string>")).as("metadata"),
-      concat(lit("T"), lpad(col("doc_id").cast("string"), 6, "0")).as("_ts"))
+      // width 12: lpad TRUNCATES longer inputs, so width must exceed
+      // any scaled-up doc_id digit count or created_at order breaks
+      concat(lit("T"), lpad(col("doc_id").cast("string"), 12, "0")).as("_ts"))
     val jobs = Jobs.create(reqs, col("_ts"))
     val updates = d.where(col("doc_id") % 5 =!= 0).select(
       concat(lit("j"), col("doc_id")).as("id"),
@@ -3633,7 +3635,7 @@ object SparkEntry {
         |  CASE WHEN r5 = 3 THEN 'boom' END AS error,
         |  CASE WHEN r5 IN (2, 3, 4) THEN 'T1' END AS completed_at,
         |  CASE WHEN r5 = 3 THEN 'T2'
-        |       WHEN r5 = 0 THEN 'T' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |       WHEN r5 = 0 THEN 'T' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
         |       ELSE 'T1' END AS updated_at,
         |  CASE WHEN r5 = 3 THEN
         |         (CASE WHEN r3 = 2 THEN 'unknown_type' ELSE 'queued' END)
@@ -3651,7 +3653,7 @@ object SparkEntry {
         |  'running' AS status, 0 AS progress,
         |  CASE WHEN doc_id % 2 = 0 THEN 'm' || doc_id
         |       ELSE 'Job queued' END AS message,
-        |  'T' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS created_at
+        |  'T' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS created_at
         |FROM documents
         |WHERE doc_id % 5 = 1 AND doc_id % 3 = 1
         |ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin,

@@ -190,13 +190,7 @@ object Bridge {
     val top = statusFiltered.orderBy(col("created_at").desc).limit(limit)
     val sourced = sourceFilter
       .map(s => top.where(col("source_type") === lit(s))).getOrElse(top)
-    val paged = if (offset > 0) {
-      // unpartitioned window is safe: input is bounded by `limit`
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("created_at").desc)
-      sourced.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") > offset).drop("_rn")
-    } else sourced
+    val paged = Paging.dropOffset(sourced, col("created_at").desc, offset)
     val ids = paged.select(col("id").as("_lid"))
     def countOf(t: DataFrame, outCol: String): DataFrame =
       t.join(broadcast(ids), t("document_id") === col("_lid"), "left_semi")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The processing-jobs tier as a frame (job_tracker.py:12-120 +
@@ -98,12 +97,7 @@ object Jobs {
     status.foreach(s => filtered = filtered.where(col("status") === lit(s)))
     jobType.foreach(t => filtered = filtered.where(col("type") === lit(t)))
     val top = filtered.orderBy(col("created_at").desc).limit(offset + limit)
-    if (offset > 0) {
-      // unpartitioned window is safe: input is bounded by offset+limit
-      val w = Window.orderBy(col("created_at").desc)
-      top.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") > offset).drop("_rn")
-    } else top
+    Paging.dropOffset(top, col("created_at").desc, offset)
   }
 
   /** Cancel a batch (job_tracker.py:112-126): only non-terminal jobs

@@ -80,24 +80,39 @@ object MetadataStateStore {
         "left")
       .withColumn("_valid", col("_to").isNotNull)
       .withColumn("_now", now)
+      // a NULL metadata map reads as empty (`document.metadata or {}`,
+      // :196) — without this a valid transition would null the whole
+      // map and silently drop its own audit record
+      .withColumn("metadata",
+        coalesce(col("metadata"), map().cast("map<string,string>")))
       .withColumn("_oldlog",
-        coalesce(element_at(col("metadata"), TransitionsKey), lit("[]")))
+        trim(coalesce(element_at(col("metadata"), TransitionsKey),
+          lit("[]")), " \t\n\r"))
+      .withColumn("_oldparsed", from_json(col("_oldlog"), transitionType))
+      // canonical array text to append to: the trimmed log when it is
+      // array-shaped; otherwise (Spark's from_json leniently reads a
+      // bare object as a 1-element array) the re-serialized parse
+      .withColumn("_canon",
+        when(col("_oldlog").startsWith("[") && col("_oldlog").endsWith("]"),
+          col("_oldlog")).otherwise(to_json(col("_oldparsed"))))
     // the record to_json drops null user_id/reason, exactly as the
     // reference's dict comprehension keeps None out of round-trips
     val record = to_json(struct(
       col("status").as("from_state"), col("to_status").as("to_state"),
       col("_now").as("timestamp"), col("user_id"), col("reason")))
-    // append by string surgery on the serialized array ("[a]" + rec ->
-    // "[a,rec]") — no parse->re-serialize round-trip, so unknown
-    // record fields written by other deployments survive verbatim. A
-    // malformed log is REPLACED by the fresh one-record array: the
-    // reference parses (empty on failure), appends, re-serializes.
+    // append by string surgery on the canonical array text ("[a]" +
+    // rec -> "[a,rec]") — no parse->re-serialize round-trip in the
+    // common arm, so unknown record fields written by other
+    // deployments survive verbatim. An EMPTY or malformed log is
+    // REPLACED by the fresh one-record array: the reference parses
+    // (empty on failure), appends, re-serializes. The empty guard is
+    // on the PARSED size, not the "[]" literal, so "[ ]"/"[]\n"
+    // variants can't corrupt the surgery.
     val appended = when(
-        col("_oldlog") === "[]" ||
-          from_json(col("_oldlog"), transitionType).isNull,
+        col("_oldparsed").isNull || size(col("_oldparsed")) === 0,
         concat(lit("["), record, lit("]")))
       .otherwise(concat(
-        expr("substring(_oldlog, 1, length(_oldlog) - 1)"),
+        expr("substring(_canon, 1, length(_canon) - 1)"),
         lit(","), record, lit("]")))
     // approve with a user stamps approved_by_user (:213-218); only
     // then is any previous value replaced
@@ -129,7 +144,7 @@ object MetadataStateStore {
       .select(col(idCol), col("status").as("from_status"), col("to_status"),
         lit("transition not allowed").as("reason"))
     val updated = stamped.drop("to_status", "user_id", "reason", "_from",
-      "_to", "_valid", "_now", "_oldlog")
+      "_to", "_valid", "_now", "_oldlog", "_oldparsed", "_canon")
     val audit = updated
       .select(col(idCol), explode(history(col("metadata"))).as("t"))
       .select(col(idCol), col("t.from_state").as("from_status"),

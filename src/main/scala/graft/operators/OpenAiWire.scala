@@ -252,6 +252,8 @@ object OpenAiWire {
     "gpt-5" -> 0.98, "gpt-5-mini" -> 0.95, "gpt-5-nano" -> 0.93,
     "gpt-4o-fallback" -> 0.85)
 
+  private val visionTokens: Map[String, Int] = VisionLadder.toMap
+
   /** Vision chat-completions body: the user message is a CONTENT
     * ARRAY — a text block plus an `image_url` block whose url is the
     * jpeg data-URL with `"detail": "high"`. Unlike [[renderChat]],
@@ -277,8 +279,7 @@ object OpenAiWire {
     url.put("url", s"data:image/jpeg;base64,$base64Image")
     url.put("detail", "high")
     if (model.startsWith("gpt-5")) {
-      root.put("max_completion_tokens",
-        VisionLadder.toMap.getOrElse(model, 2000))
+      root.put("max_completion_tokens", visionTokens.getOrElse(model, 2000))
       root.put("temperature", 1.0)
       root.put("reasoning_effort", "minimal")
     } else {
@@ -308,7 +309,11 @@ object OpenAiWire {
         try {
           val resp = api.post(renderVisionChat(model, prompt, base64Image))
           if (resp.status / 100 == 2)
-            Some(parseChatResponse(resp.body).strip())
+            // Python str.strip() semantics (NBSP/NEL/LS/PS included) —
+            // the shared set, so caption trimming can't drift from the
+            // other response-trim sites (the r8 review's bug class)
+            Some(graft.functions.LlmResponse.pyStrip(
+              parseChatResponse(resp.body)))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
       answered match {

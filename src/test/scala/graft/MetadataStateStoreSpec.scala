@@ -112,6 +112,38 @@ class MetadataStateStoreSpec extends AnyFunSuite {
     assert(hist === Seq("discovered" -> "processing", "processing" -> "failed"))
   }
 
+  test("non-canonical empty logs ('[ ]', trailing newline) append clean") {
+    for (oldLog <- Seq("[ ]", "[]\n", " []")) {
+      val d0 = Seq(("d1", "discovered")).toDF("id", "status")
+        .withColumn("metadata", map(lit("state_transitions"), lit(oldLog)))
+      val got = MetadataStateStore.transition(d0,
+        reqs(("d1", "processing", None, None)), lit("T1"))
+      // the empty guard keys on the PARSED size, so no "[ ,{...}]"
+      // corruption: exactly one clean record round-trips
+      assert(got.auditLog.count() === 1, s"oldLog=${oldLog}")
+    }
+  }
+
+  test("pretty-printed history survives surgery; null metadata audits") {
+    val pretty = Seq(("d1", "processing")).toDF("id", "status")
+      .withColumn("metadata", map(lit("state_transitions"),
+        lit("""[ {"from_state":"discovered","to_state":"processing","custom":"x"} ]""")))
+    val got = MetadataStateStore.transition(pretty,
+      reqs(("d1", "failed", None, None)), lit("T1"))
+    assert(got.auditLog.count() === 2) // old record + new, both parse
+    val raw = got.updated.collect().head
+      .getAs[Map[String, String]]("metadata")("state_transitions")
+    assert(raw.contains(""""custom":"x"""")) // untouched by surgery
+    // a doc ingested with NULL metadata still records its transition
+    val nullMeta = Seq(("d2", "discovered")).toDF("id", "status")
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
+    val got2 = MetadataStateStore.transition(nullMeta,
+      reqs(("d2", "processing", None, None)), lit("T1"))
+    assert(got2.auditLog.count() === 1)
+    assert(got2.updated.select("status").as[String].collect().head ===
+      "processing")
+  }
+
   test("malformed history parses empty, keeps transitioning") {
     val bad = Seq(("d1", "failed")).toDF("id", "status")
       .withColumn("metadata", map(lit("state_transitions"), lit("not-json")))

@@ -169,6 +169,16 @@ class OpenAiWireSpec extends AnyFunSuite {
     RecordingOpenAiApi.clear(id3)
   }
 
+  test("caption trims with Python strip semantics (NBSP included)") {
+    val api = new OpenAiHttp {
+      def post(req: OpenAiRequest): OpenAiResponse = OpenAiResponse(200, None,
+        """{"choices":[{"message":{"content":"  a diagram  "}}]}""")
+    }
+    // Java String.strip would keep neither; Character.isWhitespace
+    // misses NBSP/U+2007 — the shared pyStrip set must be in force
+    assert(captionImage(api, "QUJD").caption === "a diagram")
+  }
+
   private def mapperModel(body: String): String =
     com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
       .readTree(body).get("model").asText()
