@@ -2203,17 +2203,19 @@ object SparkEntry {
   }
 
   /** Metadata-embedded transition store in the gate
-    * (state_manager_simple.py:41-74, 165-243 via MetadataStateStore):
-    * the 7 states by residue, a two-batch sequence (even docs request
-    * approve, odd request processing; then everyone requests publish)
-    * whose validity falls out of the transition map, censused by the
-    * PARSED history (count, last hop) plus the stamp columns and the
-    * approved_by_user metadata key — the whole JSON round trip is on
-    * the hash path. */
+    * (state_manager_simple.py:41-74, 165-243 via MetadataStateStore,
+    * validating against the EXACT document_state.py:25-32 map): the
+    * 7 simple states by residue, a two-batch sequence (even docs
+    * request approve, odd request processing; then even request
+    * ingest, odd request fail) whose validity falls out of the
+    * transition map, censused by the PARSED history (count, last hop)
+    * plus the stamp columns, the approved_by_user key, and the
+    * error_count bump on the fail arm — the whole JSON round trip is
+    * on the hash path. */
   private def q114(s: SparkSession, dir: String): DataFrame = {
     import operators.{MetadataStateStore, StateMachine}
     val d = t(s, dir, "documents")
-    val states = array(StateMachine.states.map(lit): _*)
+    val states = array(StateMachine.simpleStates.map(lit): _*)
     val docs = d.select(col("doc_id").as("id"),
       element_at(states, (col("doc_id") % 7 + 1).cast("int")).as("status"),
       MetadataStateStore.initialMetadata(
@@ -2226,7 +2228,8 @@ object SparkEntry {
       when(col("doc_id") % 4 === 0, lit("r1"))
         .otherwise(lit(null).cast("string")).as("reason"))
     val r2 = d.select(col("doc_id").as("id"),
-      lit("published").as("to_status"),
+      when(col("doc_id") % 2 === 0, lit("ingested"))
+        .otherwise(lit("failed")).as("to_status"),
       lit(null).cast("string").as("user_id"),
       lit(null).cast("string").as("reason"))
     val s1 = MetadataStateStore.transition(docs, r1, lit("T1"))
@@ -2238,7 +2241,39 @@ object SparkEntry {
       when(size(hist) > 0, element_at(hist, -1).getField("to_state"))
         .as("last_to"),
       element_at(col("metadata"), "approved_by_user").as("approved_by_user"),
+      element_at(col("metadata"), "error_count").as("error_count"),
       element_at(col("metadata"), "filename").as("filename"))
+  }
+
+  /** Failed-document reset census in the gate
+    * (state_manager_simple.py:334-358 via StateCensus.resetFailed):
+    * the 7 simple states by residue, resets requested for the %3!=2
+    * stripe plus a missing id — only error states reset (back to
+    * discovered, with the reset markers in the transition record's
+    * metadata); the rest answer the not-in-error-state validation
+    * error verbatim. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import operators.{MetadataStateStore, StateCensus, StateMachine}
+    val d = t(s, dir, "documents")
+    val states = array(StateMachine.simpleStates.map(lit): _*)
+    val docs = d.select(concat(lit("d"), col("doc_id")).as("id"),
+      element_at(states, (col("doc_id") % 7 + 1).cast("int")).as("status"),
+      MetadataStateStore.initialMetadata(lit(null).cast("map<string,string>"))
+        .as("metadata"))
+    val ids = d.where(col("doc_id") % 3 =!= 2)
+      .select(concat(lit("d"), col("doc_id")).as("id"))
+      .unionByName(s.range(1).select(lit("missing-9").as("id")))
+    val (updated, outcomes) = StateCensus.resetFailed(docs, ids, lit("T1"))
+    val hist = MetadataStateStore.history(col("metadata"))
+    updated.select(col("id"), col("status"),
+        size(hist).as("n_transitions"),
+        when(size(hist) > 0, element_at(
+          element_at(hist, -1).getField("metadata"), "previous_state"))
+          .as("previous_state"))
+      .join(outcomes.select(col("id"), col("ok").cast("int").as("ok"),
+        col("error")), Seq("id"), "full_outer")
+      .select(col("id"), col("status"), col("n_transitions"),
+        col("previous_state"), col("ok"), col("error"))
   }
 
   /** Document security/access levels in the gate (document.py:76-77,
@@ -2440,7 +2475,8 @@ object SparkEntry {
     "q111_review_status" -> q111 _,
     "q112_jobs_census" -> q112 _,
     "q113_jobs_listing" -> q113 _,
-    "q114_metadata_transitions" -> q114 _)
+    "q114_metadata_transitions" -> q114 _,
+    "q115_reset_census" -> q115 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3658,35 +3694,57 @@ object SparkEntry {
         |WHERE doc_id % 5 = 1 AND doc_id % 3 = 1
         |ORDER BY doc_id DESC LIMIT 20 OFFSET 5""".stripMargin,
     "q114_metadata_transitions" ->
-      // validity is closed-form from the transition map: batch-1
-      // approve is valid only from pending_review (r7=2, even docs),
-      // processing only from discovered/rejected/failed (odd docs);
-      // batch-2 publish only from approved (r7=3, or the batch-1
-      // approvals)
+      // validity is closed-form from document_state.py's map: batch-1
+      // approve only from pending_review (r7=2, even docs),
+      // processing only from discovered/failed (r7 0/5, odd docs —
+      // NOT rejected, which re-enters via discovered); batch-2 ingest
+      // only from approved, fail from everything but ingested/rejected
       """WITH per AS (SELECT doc_id, doc_id % 7 AS r7, doc_id % 2 = 0 AS ev
         |  FROM documents),
         |v AS (SELECT doc_id, r7, ev,
-        |  (ev AND r7 = 2) OR (NOT ev AND r7 IN (0, 5, 6)) AS v1,
-        |  (ev AND r7 = 2) OR r7 = 3 AS v2
+        |  (ev AND r7 = 2) OR (NOT ev AND r7 IN (0, 5)) AS v1,
+        |  (ev AND r7 IN (2, 3)) OR (NOT ev AND r7 IN (0, 1, 2, 3, 5)) AS v2
         |  FROM per)
         |SELECT doc_id,
-        |  CASE WHEN v2 THEN 'published'
+        |  CASE WHEN v2 THEN (CASE WHEN ev THEN 'ingested' ELSE 'failed' END)
         |       WHEN v1 THEN (CASE WHEN ev THEN 'approved' ELSE 'processing' END)
         |       ELSE (['discovered','processing','pending_review','approved',
-        |             'published','rejected','failed'])[CAST(r7 AS INT) + 1]
+        |             'ingested','failed','rejected'])[CAST(r7 AS INT) + 1]
         |       END AS status,
         |  CASE WHEN v2 THEN 'T2' WHEN v1 THEN 'T1' END AS updated_at,
         |  CASE WHEN v1 AND NOT ev THEN 'T1' END AS processed_at,
         |  CASE WHEN v1 AND ev THEN 'T1' END AS approved_at,
         |  CAST(CASE WHEN v1 THEN 1 ELSE 0 END +
         |       CASE WHEN v2 THEN 1 ELSE 0 END AS INT) AS n_transitions,
-        |  CASE WHEN v2 THEN 'published'
+        |  CASE WHEN v2 THEN (CASE WHEN ev THEN 'ingested' ELSE 'failed' END)
         |       WHEN v1 THEN (CASE WHEN ev THEN 'approved' ELSE 'processing' END)
         |       END AS last_to,
         |  CASE WHEN v1 AND ev AND doc_id % 3 = 0 THEN 'u' || doc_id END
         |    AS approved_by_user,
+        |  CASE WHEN NOT ev AND v2 THEN '1' ELSE '0' END AS error_count,
         |  'f' || doc_id AS filename
-        |FROM v""".stripMargin)
+        |FROM v""".stripMargin,
+    "q115_reset_census" ->
+      // closed form: error states are residues 5 (failed) and 6
+      // (rejected); only requested error-state docs reset
+      """WITH per AS (SELECT doc_id, doc_id % 7 AS r7, doc_id % 3 <> 2 AS req
+        |  FROM documents),
+        |s AS (SELECT doc_id, r7, req,
+        |  (['discovered','processing','pending_review','approved',
+        |    'ingested','failed','rejected'])[CAST(r7 AS INT) + 1] AS st,
+        |  req AND r7 IN (5, 6) AS ok
+        |  FROM per)
+        |SELECT 'd' || doc_id AS id,
+        |  CASE WHEN ok THEN 'discovered' ELSE st END AS status,
+        |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS INT) AS n_transitions,
+        |  CASE WHEN ok THEN st END AS previous_state,
+        |  CASE WHEN req THEN (CASE WHEN ok THEN 1 ELSE 0 END) END AS ok,
+        |  CASE WHEN req AND NOT ok
+        |       THEN 'Document is not in error state (current: ' || st || ')'
+        |       END AS error
+        |FROM s
+        |UNION ALL
+        |SELECT 'missing-9', NULL, NULL, NULL, 0, 'not found'""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -31,13 +31,14 @@ object MetadataStateStore {
   /** Metadata key holding the serialized history. */
   val TransitionsKey = "state_transitions"
 
-  /** One logged transition (the storable dict, :82-93). The
-    * per-transition extras dict is omitted — nothing reads it back;
-    * user_id/reason are the read-back surface. */
+  /** One logged transition (the storable dict, :82-93), including the
+    * per-transition extras dict (`metadata`) — reset markers like
+    * `{"reset": true, "previous_state": ...}` live there (:355). */
   val transitionType: ArrayType = ArrayType(new StructType()
     .add("from_state", StringType).add("to_state", StringType)
     .add("timestamp", StringType).add("user_id", StringType)
-    .add("reason", StringType))
+    .add("reason", StringType)
+    .add("metadata", MapType(StringType, StringType)))
 
   /** Parsed history (oldest first) from a metadata map; a missing key
     * or malformed JSON parses to an empty array (the reference's
@@ -62,19 +63,28 @@ object MetadataStateStore {
     * @param docs     (id, status, metadata, ...) — extra columns pass
     *                 through; updated_at/processed_at/approved_at are
     *                 stamped (added if absent, :203-212)
-    * @param requests (id, to_status, user_id, reason) — at most one
-    *                 per id; user_id/reason nullable
+    * @param requests (id, to_status, user_id, reason [, t_metadata])
+    *                 — at most one per id; user_id/reason nullable;
+    *                 the optional t_metadata map is the reference's
+    *                 per-transition extras dict, stored on the record
     * @param now      timestamp column evaluated against the joined
     *                 frame
+    * @param allowedMap the transition map — defaults to the EXACT
+    *                 document_state.py map this manager validates
+    *                 with (`can_transition_to`, :180)
     */
   def transition(docs: DataFrame, requests: DataFrame, now: Column,
-      idCol: String = "id"): StateMachine.TransitionResult = {
+      idCol: String = "id",
+      allowedMap: Seq[(String, String)] = StateMachine.simpleAllowed)
+      : StateMachine.TransitionResult = {
     val spark = docs.sparkSession
     val allowedDf = broadcast(
-      spark.createDataFrame(StateMachine.allowed).toDF("_from", "_to"))
-    val base = docs.join(
-        requests.select(col(idCol), col("to_status"), col("user_id"),
-          col("reason")), Seq(idCol), "left")
+      spark.createDataFrame(allowedMap).toDF("_from", "_to"))
+    val reqCols = Seq(col(idCol), col("to_status"), col("user_id"),
+      col("reason")) ++
+      (if (requests.columns.contains("t_metadata")) Seq(col("t_metadata"))
+       else Nil)
+    val base = docs.join(requests.select(reqCols: _*), Seq(idCol), "left")
       .join(allowedDf,
         col("status") === col("_from") && col("to_status") === col("_to"),
         "left")
@@ -95,11 +105,17 @@ object MetadataStateStore {
       .withColumn("_canon",
         when(col("_oldlog").startsWith("[") && col("_oldlog").endsWith("]"),
           col("_oldlog")).otherwise(to_json(col("_oldparsed"))))
-    // the record to_json drops null user_id/reason, exactly as the
-    // reference's dict comprehension keeps None out of round-trips
+    // the record to_json drops null user_id/reason/metadata, exactly
+    // as the reference's dict comprehension keeps None out of
+    // round-trips; t_metadata (the per-transition extras dict, e.g.
+    // reset markers) rides on the record when the request carries it
+    val recMeta =
+      if (requests.columns.contains("t_metadata")) col("t_metadata")
+      else lit(null).cast("map<string,string>")
     val record = to_json(struct(
       col("status").as("from_state"), col("to_status").as("to_state"),
-      col("_now").as("timestamp"), col("user_id"), col("reason")))
+      col("_now").as("timestamp"), col("user_id"), col("reason"),
+      recMeta.as("metadata")))
     // append by string surgery on the canonical array text ("[a]" +
     // rec -> "[a,rec]") — no parse->re-serialize round-trip in the
     // common arm, so unknown record fields written by other
@@ -118,12 +134,22 @@ object MetadataStateStore {
     // then is any previous value replaced
     val stampApproved =
       col("to_status") === "approved" && col("user_id").isNotNull
+    // add_transition bumps error_count on every transition INTO
+    // failed (document_state.py:113-114), and the manager re-writes
+    // the bumped value into the metadata (:199-200)
+    val bumpError = col("to_status") === "failed"
+    val errorCount = coalesce(
+      expr("try_cast(element_at(metadata, 'error_count') AS INT)"), lit(0))
     val newMeta = map_concat(
       map_filter(col("metadata"), (k, _) =>
         k =!= TransitionsKey &&
-          !(k === "approved_by_user" && stampApproved)),
+          !(k === "approved_by_user" && stampApproved) &&
+          !(k === "error_count" && bumpError)),
       map(lit(TransitionsKey), appended),
       when(stampApproved, map(lit("approved_by_user"), col("user_id")))
+        .otherwise(map().cast("map<string,string>")),
+      when(bumpError,
+          map(lit("error_count"), (errorCount + 1).cast("string")))
         .otherwise(map().cast("map<string,string>")))
     val stamped = base
       .withColumn("metadata",
@@ -143,13 +169,15 @@ object MetadataStateStore {
       .where(col("to_status").isNotNull && !col("_valid"))
       .select(col(idCol), col("status").as("from_status"), col("to_status"),
         lit("transition not allowed").as("reason"))
-    val updated = stamped.drop("to_status", "user_id", "reason", "_from",
-      "_to", "_valid", "_now", "_oldlog", "_oldparsed", "_canon")
+    val updated = stamped.drop("to_status", "user_id", "reason",
+      "t_metadata", "_from", "_to", "_valid", "_now", "_oldlog",
+      "_oldparsed", "_canon")
     val audit = updated
       .select(col(idCol), explode(history(col("metadata"))).as("t"))
       .select(col(idCol), col("t.from_state").as("from_status"),
         col("t.to_state").as("to_status"), col("t.timestamp"),
-        col("t.user_id"), col("t.reason"))
+        col("t.user_id"), col("t.reason"),
+        col("t.metadata").as("t_metadata"))
     StateMachine.TransitionResult(updated, rejected, audit)
   }
 

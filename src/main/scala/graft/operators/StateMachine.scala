@@ -19,7 +19,9 @@ object StateMachine {
     "discovered", "processing", "pending_review", "approved",
     "published", "rejected", "failed")
 
-  /** Allowed (from, to) transitions (document_state.py:22-33 shape). */
+  /** Allowed (from, to) transitions (document_state.py:22-33 shape —
+    * the curation surface's working subset; the exact reference maps
+    * are [[simpleAllowed]] and [[appAllowed]] below). */
   val allowed: Seq[(String, String)] = Seq(
     "discovered" -> "processing",
     "processing" -> "pending_review",
@@ -29,6 +31,51 @@ object StateMachine {
     "approved" -> "published",
     "rejected" -> "processing",
     "failed" -> "processing")
+
+  /** The state-manager model's states, declaration order
+    * (document_state.py:13-19): `ingested` is the terminal. */
+  val simpleStates: Seq[String] = Seq(
+    "discovered", "processing", "pending_review", "approved",
+    "ingested", "failed", "rejected")
+
+  /** document_state.py:25-32 VERBATIM — the map state_manager.py and
+    * state_manager_simple.py validate against (`can_transition_to`).
+    * Note pending_review→failed exists, reprocessing re-enters via
+    * failed→{discovered,processing} and rejected→discovered, and
+    * ingested has no exits. */
+  val simpleAllowed: Seq[(String, String)] = Seq(
+    "discovered" -> "processing", "discovered" -> "failed",
+    "processing" -> "pending_review", "processing" -> "failed",
+    "pending_review" -> "approved", "pending_review" -> "rejected",
+    "pending_review" -> "failed",
+    "approved" -> "ingested", "approved" -> "failed",
+    // ingested: terminal, no exits
+    "failed" -> "discovered", "failed" -> "processing",
+    "rejected" -> "discovered")
+
+  /** The app model's states (document.py:8-21) with the publishing
+    * tier and the deleted terminal. */
+  val appStates: Seq[String] = Seq(
+    "discovered", "processing", "pending_review", "approved",
+    "rejected", "ingested", "failed", "deleted",
+    "publishing", "published", "publish_failed")
+
+  /** document.py:26-39 VERBATIM — the app's richer map: review can
+    * bounce back to processing, approved fans to
+    * publishing/ingested/failed, ingested and published allow
+    * reprocessing, publish_failed can retry. */
+  val appAllowed: Seq[(String, String)] = Seq(
+    "discovered" -> "processing", "discovered" -> "failed",
+    "processing" -> "pending_review", "processing" -> "failed",
+    "pending_review" -> "approved", "pending_review" -> "rejected",
+    "pending_review" -> "processing",
+    "approved" -> "publishing", "approved" -> "ingested",
+    "approved" -> "failed",
+    "rejected" -> "processing", "rejected" -> "discovered",
+    "ingested" -> "processing",
+    "publishing" -> "published", "publishing" -> "publish_failed",
+    "published" -> "processing",
+    "publish_failed" -> "approved", "publish_failed" -> "publishing")
 
   final case class TransitionResult(updated: DataFrame, rejectedRequests: DataFrame,
       auditLog: DataFrame)
@@ -41,10 +88,11 @@ object StateMachine {
     *         audit rows for applied transitions
     */
   def applyTransitions(current: DataFrame, requests: DataFrame,
-      idCol: String = "id"): TransitionResult = {
+      idCol: String = "id",
+      allowedMap: Seq[(String, String)] = allowed): TransitionResult = {
     val spark = current.sparkSession
     val allowedDf = broadcast(
-      spark.createDataFrame(allowed).toDF("_from", "_to"))
+      spark.createDataFrame(allowedMap).toDF("_from", "_to"))
     val joined = current.join(requests, Seq(idCol), "left")
       .join(allowedDf,
         col("status") === col("_from") && col("to_status") === col("_to"),

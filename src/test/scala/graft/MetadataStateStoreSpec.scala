@@ -28,13 +28,16 @@ class MetadataStateStoreSpec extends AnyFunSuite {
       ("d2", "approved", None, None), // invalid from discovered
       ("d3", "approved", Some("u9"), Some("lgtm")))
     val r2 = reqs(("d1", "pending_review", None, Some("auto")),
-      ("d3", "published", None, None))
+      ("d3", "ingested", None, None))
 
-    // table-backed: two applications, audits accumulated
+    // table-backed: two applications on the SAME document_state.py
+    // map the metadata store defaults to, audits accumulated
     val t1 = StateMachine.applyTransitions(
-      d0.select("id", "status"), r1.select("id", "to_status"))
+      d0.select("id", "status"), r1.select("id", "to_status"),
+      allowedMap = StateMachine.simpleAllowed)
     val t2 = StateMachine.applyTransitions(t1.updated,
-      r2.select("id", "to_status"))
+      r2.select("id", "to_status"),
+      allowedMap = StateMachine.simpleAllowed)
     val tableAudit = t1.auditLog.unionByName(t2.auditLog)
       .select("id", "from_status", "to_status")
       .as[(String, String, String)].collect().toSet
@@ -61,7 +64,50 @@ class MetadataStateStoreSpec extends AnyFunSuite {
       .select("to_status", "timestamp", "user_id", "reason")
       .as[(String, String, Option[String], Option[String])].collect().toSet
     assert(d3 === Set(("approved", "T1", Some("u9"), Some("lgtm")),
-      ("published", "T2", None, None)))
+      ("ingested", "T2", None, None)))
+  }
+
+  test("the maps are the reference's, verbatim") {
+    // document_state.py:25-32
+    assert(StateMachine.simpleAllowed.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap === Map(
+      "discovered" -> Set("processing", "failed"),
+      "processing" -> Set("pending_review", "failed"),
+      "pending_review" -> Set("approved", "rejected", "failed"),
+      "approved" -> Set("ingested", "failed"),
+      "failed" -> Set("discovered", "processing"),
+      "rejected" -> Set("discovered")))
+    // document.py:26-39
+    assert(StateMachine.appAllowed.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap === Map(
+      "discovered" -> Set("processing", "failed"),
+      "processing" -> Set("pending_review", "failed"),
+      "pending_review" -> Set("approved", "rejected", "processing"),
+      "approved" -> Set("publishing", "ingested", "failed"),
+      "rejected" -> Set("processing", "discovered"),
+      "ingested" -> Set("processing"),
+      "publishing" -> Set("published", "publish_failed"),
+      "published" -> Set("processing"),
+      "publish_failed" -> Set("approved", "publishing")))
+  }
+
+  test("transitions into failed bump error_count; others leave it") {
+    val d0 = docs("d1" -> "processing", "d2" -> "processing")
+    val got = MetadataStateStore.transition(d0,
+      reqs(("d1", "failed", None, None),
+        ("d2", "pending_review", None, None)), lit("T1"))
+    val metas = got.updated.collect()
+      .map(r => r.getAs[String]("id") ->
+        r.getAs[Map[String, String]]("metadata")).toMap
+    assert(metas("d1")("error_count") === "1")
+    assert(metas("d2")("error_count") === "0")
+    // a second failure keeps counting
+    val again = MetadataStateStore.transition(
+      got.updated.withColumn("status",
+        when(col("id") === "d1", "processing").otherwise(col("status"))),
+      reqs(("d1", "failed", None, None)), lit("T2"))
+    assert(again.updated.where(col("id") === "d1").collect().head
+      .getAs[Map[String, String]]("metadata")("error_count") === "2")
   }
 
   test("initialMetadata merges caller keys under the state keys") {
