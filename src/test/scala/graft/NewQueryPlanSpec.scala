@@ -76,6 +76,39 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q113 jobs listing: filters reach the scan under a top-K, no global sort") {
+    val plan = planOf("q113_jobs_listing")
+    // both endpoint filters precede the bounded created_at-desc page:
+    // the plan must be filter -> TakeOrderedAndProject, never a full
+    // Sort + global exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q111 review status: counts aggregate before the doc join") {
+    val plan = planOf("q111_review_status")
+    // both count sides reduce to per-doc rows BEFORE joining the
+    // document frame — the HashAggregate partial/final pair sits
+    // under the join, and nothing plans a SinglePartition exchange
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q114/q115 metadata store: the 12-edge map broadcasts") {
+    for (q <- Seq("q114_metadata_transitions", "q115_reset_census")) {
+      val plan = planOf(q)
+      // the transition map is a 12-row broadcast against the doc
+      // frame — it must never shuffle the corpus on (status, to).
+      // (q115's final outcome census is a FULL OUTER join, which
+      // Spark correctly plans as a sort-merge of two id-keyed sides —
+      // endpoint-batch-sized, not corpus-shaped, so it's allowed.)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
+    }
+  }
+
   test("q108/q109 curation: rosters broadcast, the corpus side never shuffles") {
     for (q <- Seq("q108_rel_curation", "q109_doc_detail_entities")) {
       val plan = planOf(q)
