@@ -15,13 +15,16 @@ import org.apache.spark.sql.types._
   * string under [[TransitionsKey]] and appends on every transition.
   * Arbitrary other metadata keys pass through untouched (the
   * reference copies the whole dict and rewrites only the state keys,
-  * :194-200). Validation rides the SAME [[StateMachine.allowed]] map
-  * as the table-backed manager, so the two variants cannot drift; an
-  * invalid request lands in the rejected frame (the frame analogue of
-  * StateValidationError, :180-183).
+  * :194-200). Validation defaults to the EXACT document_state.py map
+  * ([[StateMachine.simpleAllowed]] — what `can_transition_to`
+  * checks, :180); pass `allowedMap` to validate against another map,
+  * e.g. the same map as a co-deployed table-backed
+  * [[StateMachine.applyTransitions]]. An invalid request lands in the
+  * rejected frame (the frame analogue of StateValidationError,
+  * :180-183).
   *
-  * Scale: one broadcast join against the 8-row transition table plus
-  * a left join of the request batch — identical plan shape to
+  * Scale: one broadcast join against the 12-edge transition table
+  * plus a left join of the request batch — identical plan shape to
   * [[StateMachine.applyTransitions]]; the JSON append is a per-row
   * projection, no extra shuffle, and the history stays O(transitions
   * per document), not O(corpus).
@@ -91,12 +94,14 @@ object MetadataStateStore {
       .withColumn("_valid", col("_to").isNotNull)
       .withColumn("_now", now)
       // a NULL metadata map reads as empty (`document.metadata or {}`,
-      // :196) — without this a valid transition would null the whole
-      // map and silently drop its own audit record
-      .withColumn("metadata",
+      // :196) FOR THE TRANSITIONING DOC ONLY — _meta0 feeds the valid
+      // arm; a doc with no (or an invalid) request keeps its
+      // original, possibly-NULL metadata untouched, like the
+      // reference, which only writes the requested document
+      .withColumn("_meta0",
         coalesce(col("metadata"), map().cast("map<string,string>")))
       .withColumn("_oldlog",
-        trim(coalesce(element_at(col("metadata"), TransitionsKey),
+        trim(coalesce(element_at(col("_meta0"), TransitionsKey),
           lit("[]")), " \t\n\r"))
       .withColumn("_oldparsed", from_json(col("_oldlog"), transitionType))
       // canonical array text to append to: the trimmed log when it is
@@ -105,9 +110,10 @@ object MetadataStateStore {
       .withColumn("_canon",
         when(col("_oldlog").startsWith("[") && col("_oldlog").endsWith("]"),
           col("_oldlog")).otherwise(to_json(col("_oldparsed"))))
-    // the record to_json drops null user_id/reason/metadata, exactly
-    // as the reference's dict comprehension keeps None out of
-    // round-trips; t_metadata (the per-transition extras dict, e.g.
+    // the record to_json drops null user_id/reason/metadata fields
+    // (the reference stores None verbatim; the parsed read-back is
+    // identical either way, and dropped nulls keep the surgery text
+    // compact); t_metadata (the per-transition extras dict, e.g.
     // reset markers) rides on the record when the request carries it
     val recMeta =
       if (requests.columns.contains("t_metadata")) col("t_metadata")
@@ -135,22 +141,23 @@ object MetadataStateStore {
     val stampApproved =
       col("to_status") === "approved" && col("user_id").isNotNull
     // add_transition bumps error_count on every transition INTO
-    // failed (document_state.py:113-114), and the manager re-writes
-    // the bumped value into the metadata (:199-200)
+    // failed (document_state.py:113-114), and the manager writes the
+    // (possibly unchanged) value back on EVERY valid transition
+    // (:199-200) — so a doc that never had the key gains "0" on its
+    // first valid non-failed transition, like the reference
     val bumpError = col("to_status") === "failed"
     val errorCount = coalesce(
-      expr("try_cast(element_at(metadata, 'error_count') AS INT)"), lit(0))
+      expr("try_cast(element_at(_meta0, 'error_count') AS INT)"), lit(0))
+    val newErrorCount =
+      when(bumpError, errorCount + 1).otherwise(errorCount)
     val newMeta = map_concat(
-      map_filter(col("metadata"), (k, _) =>
-        k =!= TransitionsKey &&
-          !(k === "approved_by_user" && stampApproved) &&
-          !(k === "error_count" && bumpError)),
+      map_filter(col("_meta0"), (k, _) =>
+        k =!= TransitionsKey && k =!= "error_count" &&
+          !(k === "approved_by_user" && stampApproved)),
       map(lit(TransitionsKey), appended),
       when(stampApproved, map(lit("approved_by_user"), col("user_id")))
         .otherwise(map().cast("map<string,string>")),
-      when(bumpError,
-          map(lit("error_count"), (errorCount + 1).cast("string")))
-        .otherwise(map().cast("map<string,string>")))
+      map(lit("error_count"), newErrorCount.cast("string")))
     val stamped = base
       .withColumn("metadata",
         when(col("_valid"), newMeta).otherwise(col("metadata")))
@@ -170,8 +177,8 @@ object MetadataStateStore {
       .select(col(idCol), col("status").as("from_status"), col("to_status"),
         lit("transition not allowed").as("reason"))
     val updated = stamped.drop("to_status", "user_id", "reason",
-      "t_metadata", "_from", "_to", "_valid", "_now", "_oldlog",
-      "_oldparsed", "_canon")
+      "t_metadata", "_from", "_to", "_valid", "_now", "_meta0",
+      "_oldlog", "_oldparsed", "_canon")
     val audit = updated
       .select(col(idCol), explode(history(col("metadata"))).as("t"))
       .select(col(idCol), col("t.from_state").as("from_status"),

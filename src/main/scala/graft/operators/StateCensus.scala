@@ -37,8 +37,12 @@ object StateCensus {
       states: Seq[String] = StateMachine.simpleStates): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val all = broadcast(states.toDF("status"))
-    val counts = docs.groupBy(col("status")).agg(count(lit(1)).as("n"))
+    val all = states.toDF("status")
+    // the aggregated counts (≤ one row per distinct status) are the
+    // BUILD side — a broadcast hint on the row-preserving left side
+    // of a left join would be silently dropped
+    val counts = broadcast(
+      docs.groupBy(col("status")).agg(count(lit(1)).as("n")))
     all.join(counts, Seq("status"), "left")
       .select(col("status"), coalesce(col("n"), lit(0L)).as("n"))
   }
@@ -92,12 +96,17 @@ object StateCensus {
 
   /** The monitoring metrics frame (:361-388), one row: total,
     * success/failure rates over max(total, 1), and the average
-    * processing duration over ingested docs (0.0 when none — `if
-    * processing_times else 0`). The per-state counts component is
-    * [[stateStatistics]]. */
+    * processing duration (0.0 when none). Two reference quirks: `if
+    * duration:` truthiness EXCLUDES exact-0.0 durations from the
+    * average (:371-373), and the reference samples at most 1000
+    * ingested docs for it (an arbitrary subset — irreproducible, so
+    * the average here runs over ALL ingested docs, a superset). The
+    * per-state counts component is [[stateStatistics]]. */
   def processingMetrics(docs: DataFrame): DataFrame = {
     val total = greatest(sum(lit(1L)), lit(1L))
-    val durations = processingDuration(col("status"), col("metadata"))
+    val dur = processingDuration(col("status"), col("metadata"))
+    // `if duration:` — 0.0 is falsy and drops out of the average
+    val durations = when(dur =!= 0.0, dur)
     docs.agg(
       count(lit(1)).as("total_documents"),
       coalesce(

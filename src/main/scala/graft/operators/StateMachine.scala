@@ -73,6 +73,7 @@ object StateMachine {
     "approved" -> "failed",
     "rejected" -> "processing", "rejected" -> "discovered",
     "ingested" -> "processing",
+    "failed" -> "processing", "failed" -> "discovered",
     "publishing" -> "published", "publishing" -> "publish_failed",
     "published" -> "processing",
     "publish_failed" -> "approved", "publish_failed" -> "publishing")

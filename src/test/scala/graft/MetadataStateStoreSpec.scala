@@ -86,6 +86,7 @@ class MetadataStateStoreSpec extends AnyFunSuite {
       "approved" -> Set("publishing", "ingested", "failed"),
       "rejected" -> Set("processing", "discovered"),
       "ingested" -> Set("processing"),
+      "failed" -> Set("processing", "discovered"),
       "publishing" -> Set("published", "publish_failed"),
       "published" -> Set("processing"),
       "publish_failed" -> Set("approved", "publishing")))
@@ -188,6 +189,33 @@ class MetadataStateStoreSpec extends AnyFunSuite {
     assert(got2.auditLog.count() === 1)
     assert(got2.updated.select("status").as[String].collect().head ===
       "processing")
+  }
+
+  test("null metadata: requested doc gains a map, bystanders keep NULL") {
+    val d0 = Seq(("d1", "discovered"), ("d2", "discovered"))
+      .toDF("id", "status")
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
+    val got = MetadataStateStore.transition(d0,
+      reqs(("d1", "processing", None, None)), lit("T1"))
+      .updated.collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Map[String, String]]("metadata")).toMap
+    assert(got("d1") !== null)
+    assert(got("d1").contains("state_transitions"))
+    // the reference only writes the requested document — d2's NULL
+    // metadata must survive untouched, not normalize to {}
+    assert(got("d2") === null)
+  }
+
+  test("error_count writes back on every valid transition (0 default)") {
+    // a doc that never had the key gains "0" on a non-failed hop,
+    // exactly as the manager writes state_info.error_count each time
+    val d0 = Seq(("d1", "discovered")).toDF("id", "status")
+      .withColumn("metadata", map(lit("keep"), lit("me")))
+    val got = MetadataStateStore.transition(d0,
+      reqs(("d1", "processing", None, None)), lit("T1"))
+      .updated.collect().head.getAs[Map[String, String]]("metadata")
+    assert(got("error_count") === "0")
+    assert(got("keep") === "me")
   }
 
   test("malformed history parses empty, keeps transitioning") {

@@ -81,6 +81,24 @@ class StateCensusSpec extends AnyFunSuite {
     assert(got("d2") === None) // not ingested
   }
 
+  test("metrics average drops falsy 0.0 durations (`if duration:`)") {
+    val fast = // processing and ingested at the same second: dur 0.0
+      """[{"from_state":"discovered","to_state":"processing","timestamp":"100"},
+        |{"from_state":"processing","to_state":"ingested","timestamp":"100"}]"""
+        .stripMargin.replace("\n", "")
+    val slow =
+      """[{"from_state":"discovered","to_state":"processing","timestamp":"100"},
+        |{"from_state":"processing","to_state":"ingested","timestamp":"200"}]"""
+        .stripMargin.replace("\n", "")
+    val d = Seq(("d1", "ingested", fast), ("d2", "ingested", slow))
+      .toDF("id", "status", "h")
+      .withColumn("metadata", map(lit("state_transitions"), col("h")))
+    val m = StateCensus.processingMetrics(d).collect().head
+    // the 0.0 duration is falsy in the reference and excluded: the
+    // average is 100.0, not 50.0
+    assert(m.getAs[Double]("average_processing_time") === 100.0)
+  }
+
   test("metrics: rates over max(total,1), zero average when none") {
     val d = docs("d1" -> "ingested", "d2" -> "failed", "d3" -> "failed",
       "d4" -> "pending_review")
