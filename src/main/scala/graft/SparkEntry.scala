@@ -2276,6 +2276,97 @@ object SparkEntry {
         col("previous_state"), col("ok"), col("error"))
   }
 
+  /** Canonical-entity metric refresh in the gate
+    * (supabase_service.py:830-972 via CanonicalMetrics.refresh): four
+    * requested entities per document plus a bystander, coding every
+    * arm — the clamp at both rails (avg 1.2 → 1.0, −0.5 → 0.0), the
+    * zero-sample fallbacks (NULL metadata → 0.5, stored
+    * quality_score → 0.75), truthy document sets (empty-string and
+    * NULL doc ids dropped; sorted, comma-joined), the
+    * concatenated-query relationship double-count (a cross pair
+    * between two requested ids credits +2 each, a requested self-loop
+    * +4, a half-requested edge +1), the requested-but-missing id
+    * (updates nothing), the empty-string and duplicate request
+    * entries (filtered/deduped), the description update gated on key
+    * presence, and the untouched bystander (NULL metadata survives on
+    * odd docs). */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import operators.CanonicalMetrics
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def cid(k: String) = concat(lit("c"), col("doc_id"), lit(s"-$k"))
+    val entities = d
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4))).as("k"))
+      .select(
+        concat(lit("c"), col("doc_id"), lit("-"),
+          when(col("k") === 4, lit("B"))
+            .otherwise(col("k").cast("string"))).as("id"),
+        when(col("k") === 4, lit(7L)).otherwise(lit(9L)).as("mention_count"),
+        when(col("k") === 4, lit(7L)).otherwise(lit(9L)).as("document_count"),
+        when(col("k") === 4, lit(7L)).otherwise(lit(9L))
+          .as("relationship_count"),
+        when(col("k") === 4, lit(0.7)).otherwise(lit(0.1)).as("quality_score"),
+        when(col("k") === 0,
+            map(lit("quality_score"), lit("0.25"), lit("keep"), lit("v")))
+          .when(col("k") === 1, map().cast("map<string,string>"))
+          .when(col("k") === 3, map(lit("quality_score"), lit("0.75")))
+          .when(col("k") === 4 && col("doc_id") % 2 === 0,
+            map(lit("keep"), lit("b")))
+          .otherwise(lit(null).cast("map<string,string>")).as("metadata"))
+    val mentions = d
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4))).as("m"))
+      .select(
+        when(col("m") <= 2, cid("0")).when(col("m") === 3, cid("1"))
+          .otherwise(cid("2")).as("canonical_entity_id"),
+        when(col("m") === 0, concat(lit("D"), col("doc_id")))
+          .when(col("m") === 1, concat(lit("A"), col("doc_id")))
+          .when(col("m") === 2, lit(""))
+          .when(col("m") === 3, concat(lit("E"), col("doc_id")))
+          .otherwise(lit(null).cast("string")).as("document_id"),
+        when(col("m") === 0, lit(1.5)).when(col("m") === 1, lit(0.9))
+          .when(col("m") === 3, lit(-0.5))
+          .otherwise(lit(null).cast("double")).as("confidence"))
+    val rels = d
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(
+        when(col("r") === 0, cid("0")).when(col("r") === 1, cid("2"))
+          .when(col("r") === 2, cid("0"))
+          .otherwise(concat(lit("zz"), col("doc_id"))).as("source_entity_id"),
+        when(col("r") === 0, cid("1")).when(col("r") === 1, cid("2"))
+          .when(col("r") === 2, cid("B")).otherwise(cid("1"))
+          .as("target_entity_id"),
+        when(col("r") === 0,
+            map(lit("document_id"), concat(lit("R"), col("doc_id"))))
+          .when(col("r") === 1,
+            map(lit("document_id"), concat(lit("S"), col("doc_id"))))
+          .when(col("r") === 3, map(lit("document_id"), lit("")))
+          .otherwise(lit(null).cast("map<string,string>")).as("metadata"))
+    val ids = d
+      .select(col("doc_id"), explode(array(
+        lit("0"), lit("1"), lit("2"), lit("3"), lit("X"), lit(""), lit("0"),
+        lit(null).cast("string"))).as("k"))
+      .select(when(col("k").isNull, lit(null).cast("string"))
+        .when(col("k") === "", lit(""))
+        .otherwise(concat(lit("c"), col("doc_id"), lit("-"), col("k")))
+        .as("id"))
+    val descUpd = d.where(col("doc_id") % 2 === 0)
+      .select(cid("0").as("id"),
+        concat(lit("desc"), col("doc_id")).as("description"))
+      .unionByName(d.select(cid("X").as("id"), lit("x").as("description")))
+    CanonicalMetrics.refresh(entities, mentions, rels, ids, descUpd, "TS")
+      .select(
+        regexp_extract(col("id"), "^c(\\d+)-", 1).cast("bigint").as("doc_id"),
+        col("id").as("cid"), col("mention_count"), col("document_count"),
+        col("relationship_count"), col("quality_score"),
+        element_at(col("metadata"), "keep").as("m_keep"),
+        element_at(col("metadata"), "quality_score").as("m_quality_score"),
+        element_at(col("metadata"), "document_ids").as("m_document_ids"),
+        element_at(col("metadata"), "relationship_document_ids")
+          .as("m_rel_document_ids"),
+        element_at(col("metadata"), "last_refreshed_at")
+          .as("m_last_refreshed_at"),
+        element_at(col("metadata"), "description").as("m_description"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2476,7 +2567,8 @@ object SparkEntry {
     "q112_jobs_census" -> q112 _,
     "q113_jobs_listing" -> q113 _,
     "q114_metadata_transitions" -> q114 _,
-    "q115_reset_census" -> q115 _)
+    "q115_reset_census" -> q115 _,
+    "q116_canonical_metrics" -> q116 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3744,7 +3836,38 @@ object SparkEntry {
         |       END AS error
         |FROM s
         |UNION ALL
-        |SELECT 'missing-9', NULL, NULL, NULL, 0, 'not found'""".stripMargin)
+        |SELECT 'missing-9', NULL, NULL, NULL, 0, 'not found'""".stripMargin,
+    "q116_canonical_metrics" ->
+      // closed form per arm k (4 = bystander 'B'): counts/score/
+      // metadata keys are constant per arm except the doc-parity
+      // description and bystander-keep cells; the requested-but-
+      // missing 'X' id produces no row
+      """WITH ks AS (SELECT unnest(range(0, 5)) AS k)
+        |SELECT d.doc_id,
+        |  'c' || d.doc_id || '-' ||
+        |    (CASE WHEN k = 4 THEN 'B' ELSE CAST(k AS VARCHAR) END) AS cid,
+        |  CAST(CASE WHEN k = 0 THEN 3 WHEN k IN (1, 2) THEN 1
+        |       WHEN k = 3 THEN 0 ELSE 7 END AS BIGINT) AS mention_count,
+        |  CAST(CASE WHEN k = 0 THEN 2 WHEN k = 1 THEN 1
+        |       WHEN k IN (2, 3) THEN 0 ELSE 7 END AS BIGINT)
+        |    AS document_count,
+        |  CAST(CASE WHEN k IN (0, 1) THEN 3 WHEN k = 2 THEN 4
+        |       WHEN k = 3 THEN 0 ELSE 7 END AS BIGINT) AS relationship_count,
+        |  CASE WHEN k = 0 THEN 1.0::DOUBLE WHEN k = 1 THEN 0.0::DOUBLE
+        |       WHEN k = 2 THEN 0.5::DOUBLE WHEN k = 3 THEN 0.75::DOUBLE
+        |       ELSE 0.7::DOUBLE END AS quality_score,
+        |  CASE WHEN k = 0 THEN 'v'
+        |       WHEN k = 4 AND d.doc_id % 2 = 0 THEN 'b' END AS m_keep,
+        |  CASE WHEN k = 0 THEN '0.25' WHEN k = 3 THEN '0.75' END
+        |    AS m_quality_score,
+        |  CASE WHEN k = 0 THEN 'A' || d.doc_id || ',D' || d.doc_id
+        |       WHEN k = 1 THEN 'E' || d.doc_id END AS m_document_ids,
+        |  CASE WHEN k IN (0, 1) THEN 'R' || d.doc_id
+        |       WHEN k = 2 THEN 'S' || d.doc_id END AS m_rel_document_ids,
+        |  CASE WHEN k < 4 THEN 'TS' END AS m_last_refreshed_at,
+        |  CASE WHEN k = 0 AND d.doc_id % 2 = 0 THEN 'desc' || d.doc_id END
+        |    AS m_description
+        |FROM documents d CROSS JOIN ks""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
