@@ -1020,7 +1020,9 @@ object SparkEntry {
   /** As-of join (training-data point-in-time correctness): each click
     * enriched with the user's latest view at or before it. */
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    // events.ts is TIMESTAMP_NTZ in the parquet; unix_micros needs LTZ.
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val dedupe = Window.partitionBy(col("user_id"), col("ts_us"))
