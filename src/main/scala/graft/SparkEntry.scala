@@ -2369,6 +2369,99 @@ object SparkEntry {
         element_at(col("metadata"), "description").as("m_description"))
   }
 
+  /** Chunk fetch with context in the gate (GET /chunks/{id}
+    * ?include_context, chunks.py:119-169 via
+    * ChunkCuration.chunkContext): each document split into two
+    * thirds-sized derived chunks, context_size=15 — the windows clamp
+    * at both document bounds exactly like the reference's Python
+    * slices. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withT = d.withColumn("_t", floor(length(col("text")) / 3))
+      .select(col("doc_id"), col("text"), col("_t"),
+        explode(array(lit(0), lit(1))).as("p"))
+    val st = col("p") * col("_t")
+    val en = (col("p") + 1) * col("_t")
+    val chunks = withT.select(
+      concat(lit("d"), col("doc_id"), lit(":c"), col("p")).as("chunk_id"),
+      col("doc_id").as("document_id"),
+      col("p").as("chunk_number"),
+      col("text").substr((st + 1).cast("int"), col("_t").cast("int"))
+        .as("chunk_text"),
+      col("_t").cast("int").as("chunk_size"),
+      st.cast("long").as("start_position"),
+      en.cast("long").as("end_position"))
+    val docs = d.select(col("doc_id").as("document_id"),
+      col("text").as("content"))
+    ChunkCuration.chunkContext(chunks, docs, 15)
+      .select(col("document_id").as("doc_id"), col("chunk_id"),
+        col("chunk_number"), col("chunk_text"),
+        col("start_position"), col("end_position"),
+        col("context_before"), col("context_after"))
+  }
+
+  /** Chunk update in the gate (PUT /chunks/{id}, chunks.py:172-239
+    * via ChunkCuration.updateChunks): even documents edit their c1 —
+    * text replaced, size recomputed, offsets kept (faithful quirk:
+    * the edited span now disagrees with its size), edit-history
+    * lengths surfaced, and the whole document flagged
+    * pending_review. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val updates = t(s, dir, "documents").where(col("doc_id") % 2 === 0)
+      .select(concat(lit("d"), col("doc_id"), lit(":c1")).as("chunk_id"),
+        concat(lit("edited:"), col("doc_id")).as("new_text"))
+    ChunkCuration.updateChunks(curationChunks(s, dir), updates)
+      .select(col("document_id").as("doc_id"), col("chunk_id"),
+        col("chunk_number"), col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"),
+        col("old_length"), col("new_length"), col("manually_edited"),
+        col("doc_status"))
+  }
+
+  /** Chunk delete in the gate (DELETE /chunks/{id}, chunks.py:240-290
+    * via ChunkCuration.deleteChunks/deleteCensus): even documents
+    * delete c1, odd delete c2; survivors renumber down past the
+    * deleted slot ('live' arm) and each deleted chunk reports how
+    * many chunks it renumbered ('deleted' arm — the endpoint's
+    * affected_chunks response field). */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val deletes = t(s, dir, "documents").select(
+      concat(lit("d"), col("doc_id"), lit(":c"),
+        when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(2)))
+        .as("chunk_id"))
+    val base = curationChunks(s, dir)
+    val live = ChunkCuration.deleteChunks(base, deletes)
+      .select(col("document_id").as("doc_id"), lit("live").as("arm"),
+        col("chunk_id"), col("chunk_number"),
+        lit(null).cast("int").as("affected_chunks"), col("doc_status"))
+    val deleted = ChunkCuration.deleteCensus(base, deletes)
+      .select(col("document_id").as("doc_id"), lit("deleted").as("arm"),
+        col("chunk_id"), col("chunk_number"), col("affected_chunks"),
+        lit(null).cast("string").as("doc_status"))
+    live.unionByName(deleted)
+  }
+
+  /** Batch chunk update census in the gate (PUT /chunks/batch,
+    * chunks.py:83-117 via ChunkCuration.batchUpdateCensus): per
+    * document one valid update, one empty-text skip (Python-falsy,
+    * not an error), and one unknown-chunk miss — updated_count counts
+    * only the first, total_requested all three. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val updates = t(s, dir, "documents").select(col("doc_id"), explode(array(
+        struct(concat(lit("d"), col("doc_id"), lit(":c0")).as("chunk_id"),
+          lit("new").as("new_text")),
+        struct(concat(lit("d"), col("doc_id"), lit(":c1")).as("chunk_id"),
+          lit("").as("new_text")),
+        struct(concat(lit("nope:"), col("doc_id")).as("chunk_id"),
+          lit("x").as("new_text")))).as("u"))
+      .select(col("u.chunk_id"), col("u.new_text"))
+    ChunkCuration.batchUpdateCensus(curationChunks(s, dir), updates)
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2570,7 +2663,11 @@ object SparkEntry {
     "q113_jobs_listing" -> q113 _,
     "q114_metadata_transitions" -> q114 _,
     "q115_reset_census" -> q115 _,
-    "q116_canonical_metrics" -> q116 _)
+    "q116_canonical_metrics" -> q116 _,
+    "q117_chunk_context" -> q117 _,
+    "q118_chunk_update" -> q118 _,
+    "q119_chunk_delete" -> q119 _,
+    "q120_batch_update_census" -> q120 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3869,7 +3966,82 @@ object SparkEntry {
         |  CASE WHEN k < 4 THEN 'TS' END AS m_last_refreshed_at,
         |  CASE WHEN k = 0 AND d.doc_id % 2 = 0 THEN 'desc' || d.doc_id END
         |    AS m_description
-        |FROM documents d CROSS JOIN ks""".stripMargin)
+        |FROM documents d CROSS JOIN ks""".stripMargin,
+    "q117_chunk_context" ->
+      // independent re-derivation: thirds-chunks + Python-slice
+      // context windows clamped at the document bounds
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(floor(length(text) / 3) AS BIGINT) AS t3 FROM documents),
+        |c AS (SELECT doc_id, text, t3, p
+        |  FROM d CROSS JOIN (SELECT unnest([0, 1]) AS p) u)
+        |SELECT doc_id, 'd' || doc_id || ':c' || p AS chunk_id,
+        |  p AS chunk_number,
+        |  substr(text, CAST(p * t3 + 1 AS INT), CAST(t3 AS INT))
+        |    AS chunk_text,
+        |  CAST(p * t3 AS BIGINT) AS start_position,
+        |  CAST((p + 1) * t3 AS BIGINT) AS end_position,
+        |  substr(text, CAST(greatest(0, p * t3 - 15) + 1 AS INT),
+        |    CAST(p * t3 - greatest(0, p * t3 - 15) AS INT))
+        |    AS context_before,
+        |  substr(text, CAST((p + 1) * t3 + 1 AS INT),
+        |    CAST(least(length(text), (p + 1) * t3 + 15) - (p + 1) * t3
+        |      AS INT)) AS context_after
+        |FROM c""".stripMargin,
+    "q118_chunk_update" ->
+      // even docs edit c1: text/size replaced, offsets kept, edit
+      // lengths surfaced, whole doc pending_review
+      """WITH base(cid, num, txt, sz, st, en) AS (VALUES
+        |  ('c0', 0, 'alpha beta', 10, 0, 10),
+        |  ('c1', 1, 'gamma delta epsilon', 19, 10, 29),
+        |  ('c2', 2, 'zeta', 4, 29, 33),
+        |  ('c3', 3, 'eta theta', 9, 33, 42))
+        |SELECT d.doc_id, 'd' || d.doc_id || ':' || b.cid AS chunk_id,
+        |  b.num AS chunk_number,
+        |  CASE WHEN d.doc_id % 2 = 0 AND b.cid = 'c1'
+        |       THEN 'edited:' || d.doc_id ELSE b.txt END AS chunk_text,
+        |  CASE WHEN d.doc_id % 2 = 0 AND b.cid = 'c1'
+        |       THEN length('edited:' || d.doc_id) ELSE b.sz END
+        |    AS chunk_size,
+        |  CAST(b.st AS BIGINT) AS start_position,
+        |  CAST(b.en AS BIGINT) AS end_position,
+        |  CASE WHEN d.doc_id % 2 = 0 AND b.cid = 'c1' THEN b.sz END
+        |    AS old_length,
+        |  CASE WHEN d.doc_id % 2 = 0 AND b.cid = 'c1'
+        |       THEN length('edited:' || d.doc_id) END AS new_length,
+        |  CASE WHEN d.doc_id % 2 = 0 AND b.cid = 'c1' THEN TRUE END
+        |    AS manually_edited,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'pending_review' END
+        |    AS doc_status
+        |FROM documents d CROSS JOIN base b""".stripMargin,
+    "q119_chunk_delete" ->
+      // even docs delete c1 (survivors c0,c2,c3 renumber; affected=2),
+      // odd delete c2 (survivors c0,c1,c3; affected=1)
+      """WITH le(cid, num) AS (VALUES ('c0', 0), ('c2', 1), ('c3', 2)),
+        |lo(cid, num) AS (VALUES ('c0', 0), ('c1', 1), ('c3', 2))
+        |SELECT d.doc_id, 'live' AS arm,
+        |  'd' || d.doc_id || ':' || v.cid AS chunk_id,
+        |  v.num AS chunk_number, CAST(NULL AS INT) AS affected_chunks,
+        |  'pending_review' AS doc_status
+        |FROM documents d JOIN le v ON d.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT d.doc_id, 'live', 'd' || d.doc_id || ':' || v.cid,
+        |  v.num, CAST(NULL AS INT), 'pending_review'
+        |FROM documents d JOIN lo v ON d.doc_id % 2 = 1
+        |UNION ALL
+        |SELECT d.doc_id, 'deleted',
+        |  'd' || d.doc_id || ':c' ||
+        |    (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END),
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END,
+        |  CAST(NULL AS VARCHAR)
+        |FROM documents d""".stripMargin,
+    "q120_batch_update_census" ->
+      // one valid + one empty-text skip + one unknown-chunk miss per
+      // document: only the valid one counts as updated
+      """SELECT CAST((SELECT count(*) FROM documents) AS INT)
+        |    AS updated_count,
+        |  CAST(3 * (SELECT count(*) FROM documents) AS INT)
+        |    AS total_requested""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

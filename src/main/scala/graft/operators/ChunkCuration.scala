@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,5 +148,142 @@ object ChunkCuration {
         (col("chunk_number") - col("_shift")).as("chunk_number"),
         col("chunk_text"), col("chunk_size"),
         col("start_position"), col("end_position"), col("merged_from"))
+  }
+
+  /** GET /chunks/{id}?include_context (chunks.py:119-169): the chunk
+    * row plus `context_size` characters of the parent document's
+    * content on each side, clamped to the document bounds exactly as
+    * the reference's Python slices do (before starts at
+    * max(0, start - context_size); after ends at
+    * min(len(content), end + context_size)).
+    *
+    * `docs` carries (document_id, content). Positions are character
+    * offsets, matching the reference's in-memory `document.content`
+    * slicing. Scale: one equi-join on document_id; chunks and
+    * documents co-partition on the same key, and the projection only
+    * materializes the two context windows, never a second copy of the
+    * content column. */
+  def chunkContext(chunks: DataFrame, docs: DataFrame,
+      contextSize: Int): DataFrame = {
+    val content = col("content")
+    val beforeStart = greatest(lit(0L),
+      col("start_position").cast("long") - contextSize)
+    val afterEnd = least(length(content).cast("long"),
+      col("end_position").cast("long") + contextSize)
+    chunks.join(docs.select(col("document_id"), content), Seq("document_id"))
+      .select(col("chunk_id"), col("document_id"), col("chunk_number"),
+        col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"),
+        content.substr((beforeStart + 1).cast("int"),
+          (col("start_position") - beforeStart).cast("int"))
+          .as("context_before"),
+        content.substr((col("end_position") + 1).cast("int"),
+          (afterEnd - col("end_position")).cast("int"))
+          .as("context_after"))
+  }
+
+  /** PUT /chunks/{id} (chunks.py:172-239), batched: each
+    * (chunk_id, text) request replaces the chunk's text, recomputes
+    * chunk_size = len(text), flags `manually_edited`, and appends an
+    * edit-history entry carrying the old and new lengths (the
+    * reference stores `{edited_at, old_length, new_length}` in
+    * chunk.metadata["edit_history"]; the batch frame surfaces the
+    * lengths as columns). Offsets are NOT recomputed — the reference
+    * leaves start/end_position untouched, so an edited chunk's size
+    * can disagree with its span; that quirk is preserved.
+    *
+    * Every touched document goes to pending_review (the document
+    * side-effect rides along as `doc_status`; untouched chunks carry
+    * null). Requests for unknown chunk_ids are the endpoint's 404 —
+    * the batch form ignores them (see the spec's census). */
+  def updateChunks(chunks: DataFrame, updates: DataFrame): DataFrame = {
+    val up = broadcast(updates.select(col("chunk_id"),
+      col("new_text")).where(col("new_text").isNotNull))
+    val j = chunks.join(up, Seq("chunk_id"), "left")
+    val touched = Window.partitionBy(col("document_id"))
+    val edited = col("new_text").isNotNull
+    j.withColumn("_doc_touched",
+        max(when(edited, 1).otherwise(0)).over(touched))
+      .select(col("chunk_id"), col("document_id"), col("chunk_number"),
+        when(edited, col("new_text")).otherwise(col("chunk_text"))
+          .as("chunk_text"),
+        when(edited, length(col("new_text"))).otherwise(col("chunk_size"))
+          .as("chunk_size"),
+        col("start_position"), col("end_position"),
+        when(edited, col("chunk_size")).as("old_length"),
+        when(edited, length(col("new_text"))).as("new_length"),
+        when(edited, lit(true)).as("manually_edited"),
+        when(col("_doc_touched") === 1, lit("pending_review"))
+          .as("doc_status"))
+  }
+
+  /** DELETE /chunks/{id}?renumber=true (chunks.py:240-290), batched:
+    * deleted chunks drop out, each survivor's number shifts down by
+    * the count of deleted chunks before it in its document, and the
+    * touched documents go to pending_review. Batch semantics =
+    * applying the endpoint calls in ascending chunk_number order,
+    * which reduces to the reference's single-call case exactly.
+    * With renumber=false numbers are left as-is (the reference's
+    * optional arm). */
+  def deleteChunks(chunks: DataFrame, deletes: DataFrame,
+      renumber: Boolean = true): DataFrame = {
+    val del = broadcast(deletes.select(col("chunk_id"),
+      lit(true).as("_del")))
+    val j = chunks.join(del, Seq("chunk_id"), "left")
+    val w = Window.partitionBy(col("document_id")).orderBy(col("chunk_number"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = Window.partitionBy(col("document_id"))
+    val shift = (if (renumber)
+      coalesce(sum(when(col("_del"), 1).otherwise(0)).over(w), lit(0))
+    else lit(0)).cast("int")
+    j.withColumn("_shift", shift)
+      .withColumn("_doc_touched",
+        max(when(col("_del"), 1).otherwise(0)).over(touched))
+      .where(col("_del").isNull)
+      .select(col("chunk_id"), col("document_id"),
+        (col("chunk_number") - col("_shift")).as("chunk_number"),
+        col("chunk_text"), col("chunk_size"),
+        col("start_position"), col("end_position"),
+        when(col("_doc_touched") === 1, lit("pending_review"))
+          .as("doc_status"))
+  }
+
+  /** The delete endpoint's response census (chunks.py:283-288): for
+    * each deleted chunk, `affected_chunks` = how many chunks ranked
+    * after it were renumbered. Applying the batch in ascending
+    * chunk_number order, no chunk numbered above the current delete
+    * has been removed yet, so the count is simply the document's
+    * original chunks strictly past the deleted number — including
+    * other chunks that a later call will itself delete. */
+  def deleteCensus(chunks: DataFrame, deletes: DataFrame): DataFrame = {
+    val del = broadcast(deletes.select(col("chunk_id"), lit(true).as("_del")))
+    val w = Window.partitionBy(col("document_id")).orderBy(col("chunk_number"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    chunks.join(del, Seq("chunk_id"), "left")
+      .withColumn("_after", coalesce(count(lit(1)).over(w), lit(0)))
+      .where(col("_del"))
+      .select(col("chunk_id"), col("document_id"),
+        col("chunk_number"), col("_after").cast("int").as("affected_chunks"))
+  }
+
+  /** PUT /chunks/batch (chunks.py:83-117): the batch-update response
+    * counts. `updated_count` increments only when the request carries
+    * a truthy id AND truthy text (Python truthiness — empty strings
+    * are skipped, not errors) and the chunk actually exists;
+    * `total_requested` counts every entry, skipped or not. */
+  def batchUpdateCensus(chunks: DataFrame, updates: DataFrame): DataFrame = {
+    val truthy = (c: Column) => c.isNotNull && length(c) > 0
+    // chunks is the big side: semi-join it down to the requested ids
+    // (bounded by the curation-sized update batch) before the flagging
+    // join, so nothing large is ever broadcast or re-shuffled.
+    val existing = chunks.join(
+        broadcast(updates.select(col("chunk_id")).where(truthy(col("chunk_id")))
+          .distinct()), Seq("chunk_id"), "left_semi")
+      .select(col("chunk_id"), lit(true).as("_hit"))
+    updates.join(broadcast(existing), Seq("chunk_id"), "left")
+      .agg(
+        sum(when(truthy(col("chunk_id")) && truthy(col("new_text")) &&
+          col("_hit"), 1).otherwise(0)).cast("int").as("updated_count"),
+        count(lit(1)).cast("int").as("total_requested"))
   }
 }

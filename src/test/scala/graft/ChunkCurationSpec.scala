@@ -117,4 +117,102 @@ class ChunkCurationSpec extends AnyFunSuite {
     assert(out.count() === 6)
     assert(out.where(col("merged_from").isNotNull).count() === 0)
   }
+
+  // doc 1 content reconstructed from its chunks' spans
+  private def docsDf = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "alpha betagamma delta epsilonzetaeta theta"),
+      (2L, "iota kappalambda"))
+      .toDF("document_id", "content")
+  }
+
+  test("context windows clamp to the document bounds (chunks.py:146-161)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = ChunkCuration.chunkContext(chunksDf, docsDf, 5)
+      .orderBy("chunk_id")
+      .select("chunk_id", "context_before", "context_after")
+      .as[(String, String, String)].collect().toSeq
+    assert(out === Seq(
+      // c0 starts at 0: before clamps empty; after = 5 chars past end
+      ("c0", "", "gamma"),
+      ("c1", " beta", "zetae"),
+      ("c2", "silon", "eta t"),
+      // c3 ends at the doc's last char: after clamps empty
+      ("c3", "nzeta", ""),
+      ("d0", "", "lambd"),
+      ("d1", "kappa", "")))
+  }
+
+  test("update replaces text, recomputes size, keeps offsets, flags the doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val updates = Seq(("c1", "edited text")).toDF("chunk_id", "new_text")
+    val out = ChunkCuration.updateChunks(chunksDf, updates)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "chunk_size", "start_position",
+        "end_position", "old_length", "new_length", "manually_edited",
+        "doc_status")
+      .as[(String, String, Int, Long, Long, Option[Int], Option[Int],
+        Option[Boolean], Option[String])].collect().toSeq
+    // chunks.py:186-199: size = len(new text), offsets untouched (the
+    // edited chunk's span may now disagree with its size — faithful),
+    // edit history carries old/new lengths, manually_edited set
+    assert(out.head === ("c0", "alpha beta", 10, 0L, 10L, None, None,
+      None, Some("pending_review")))
+    assert(out(1) === ("c1", "edited text", 11, 10L, 29L, Some(19),
+      Some(11), Some(true), Some("pending_review")))
+    // doc 2 untouched: no status side effect
+    assert(out.filter(_._1.startsWith("d")).forall(_._9.isEmpty))
+  }
+
+  test("delete renumbers survivors and censuses affected chunks") {
+    val spark2 = spark
+    import spark2.implicits._
+    val deletes = Seq("c1", "c3", "d0").toDF("chunk_id")
+    val out = ChunkCuration.deleteChunks(chunksDf, deletes)
+      .orderBy("document_id", "chunk_number")
+      .select("chunk_id", "chunk_number", "doc_status")
+      .as[(String, Int, Option[String])].collect().toSeq
+    assert(out === Seq(
+      ("c0", 0, Some("pending_review")),
+      ("c2", 1, Some("pending_review")),
+      ("d1", 0, Some("pending_review"))))
+    // chunks.py:283-288: affected = chunks past the deleted number at
+    // call time (ascending order: later-deleted chunks still count)
+    val census = ChunkCuration.deleteCensus(chunksDf, deletes)
+      .orderBy("chunk_id")
+      .select("chunk_id", "affected_chunks")
+      .as[(String, Int)].collect().toSeq
+    assert(census === Seq(("c1", 2), ("c3", 0), ("d0", 1)))
+  }
+
+  test("renumber=false leaves surviving numbers as-is") {
+    val spark2 = spark
+    import spark2.implicits._
+    val deletes = Seq("c1").toDF("chunk_id")
+    val out = ChunkCuration.deleteChunks(chunksDf, deletes, renumber = false)
+      .where(col("document_id") === 1).orderBy("chunk_number")
+      .select("chunk_id", "chunk_number")
+      .as[(String, Int)].collect().toSeq
+    assert(out === Seq(("c0", 0), ("c2", 2), ("c3", 3)))
+  }
+
+  test("batch update counts Python-truthy requests that hit a chunk") {
+    val spark2 = spark
+    import spark2.implicits._
+    val updates = Seq(
+      ("c0", "new a"),           // counts
+      ("c1", ""),                // falsy text: skipped, not an error
+      ("", "text"),              // falsy id: skipped
+      (null: String, "text"),    // null id: skipped
+      ("nope", "text"),          // unknown chunk: update fails
+      ("c0", "again"))           // duplicate id: counts again
+      .toDF("chunk_id", "new_text")
+    val out = ChunkCuration.batchUpdateCensus(chunksDf, updates)
+      .as[(Int, Int)].head()
+    // chunks.py:98-106: updated_count=2 (c0 twice), total=6
+    assert(out === ((2, 6)))
+  }
 }
