@@ -2462,6 +2462,171 @@ object SparkEntry {
     ChunkCuration.batchUpdateCensus(curationChunks(s, dir), updates)
   }
 
+  /** Shared per-document fixture for the entity-CRUD gates
+    * (q121-q125): four canonical entities (one NULL-quality, one never
+    * mentioned) and six mentions (one un-canonicalized) per document,
+    * ids namespaced per doc. */
+  private def entityCrudCanonical(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("k"))
+      .select(
+        concat(lit("c"), col("doc_id"), lit(":e"), col("k")).as("id"),
+        when(col("k") === 1, lit("Pump")).when(col("k") === 2, lit("Seal"))
+          .when(col("k") === 3, lit("Acme")).otherwise(lit("Unmentioned"))
+          .as("name"),
+        when(col("k") === 3, lit("ORGANIZATION"))
+          .when(col("k") === 4, lit("OTHER")).otherwise(lit("COMPONENT"))
+          .as("type"),
+        when(col("k") === 1, lit(0.9)).when(col("k") === 2, lit(0.4))
+          .when(col("k") === 4, lit(1.0)).cast("double").as("quality_score"),
+        (col("k") === 1 || col("k") === 4).as("is_validated"))
+
+  private def entityCrudMentions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3), lit(4), lit(5), lit(6)))
+          .as("m"))
+      .select(
+        concat(lit("m"), col("doc_id"), lit(":"), col("m")).as("mention_id"),
+        concat(lit("D"), col("doc_id")).as("document_id"),
+        when(col("m") <= 2, concat(lit("c"), col("doc_id"), lit(":e1")))
+          .when(col("m") === 3, concat(lit("c"), col("doc_id"), lit(":e2")))
+          .when(col("m") === 4, concat(lit("c"), col("doc_id"), lit(":e3")))
+          .when(col("m") === 5, concat(lit("c"), col("doc_id"), lit(":e2")))
+          .otherwise(lit(null).cast("string")).as("canonical_entity_id"))
+
+  /** Canonical-entity listing in the gate (GET /entities/ and
+    * /entities/by-document/{id}, entities.py:47-123, :645-677 via
+    * EntityCrud.listCanonical): the 'all' config is the endpoint
+    * default — min_quality=0.0 skips the quality predicate so the
+    * NULL-quality e3 survives; 'q03' applies >=0.3 and drops it.
+    * mentions_in_document counts ride along (e1 is mentioned twice). */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    val c = entityCrudCanonical(s, dir)
+    val m = entityCrudMentions(s, dir)
+    EntityCrud.listCanonical(c, m).withColumn("cfg", lit("all"))
+      .unionByName(EntityCrud.listCanonical(c, m, minQuality = 0.3)
+        .withColumn("cfg", lit("q03")))
+      .select(substring(col("document_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("cfg"), col("id"), col("name"), col("type"),
+        col("quality_score"), col("is_validated"),
+        col("mentions_in_document"))
+  }
+
+  /** Entity create in the gate (POST /entities/, entities.py:188-253
+    * via EntityCrud.createMentions): per document an exact-triple
+    * duplicate (the 400), a case-differing near-duplicate (created —
+    * the check is exact equality), a missing-document request (the
+    * 404), and a manual create that lands with manually_created and
+    * flips the document to pending_review. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val docs = d.select(concat(lit("D"), col("doc_id")).as("document_id"))
+    val existing = d.select(
+      concat(lit("D"), col("doc_id")).as("document_id"),
+      lit("Pump").as("entity_name"), lit("COMPONENT").as("entity_type"))
+    val requests = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3), lit(4))).as("r"))
+      .select(
+        concat(lit("D"), col("doc_id"), lit(":r"), col("r"))
+          .as("request_id"),
+        when(col("r") === 3, concat(lit("X"), col("doc_id")))
+          .otherwise(concat(lit("D"), col("doc_id"))).as("document_id"),
+        when(col("r") === 1, lit("Pump")).when(col("r") === 2, lit("pump"))
+          .otherwise(lit("Valve")).as("entity_name"),
+        lit("COMPONENT").as("entity_type"),
+        when(col("r") <= 2, lit(0.9)).otherwise(lit(0.8)).as("confidence"),
+        (col("r") >= 3).as("manual"))
+    EntityCrud.createMentions(docs, existing, requests)
+      .select(
+        regexp_extract(col("request_id"), "^D(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        col("request_id"), col("arm"), col("entity_name"),
+        col("confidence"), col("manually_created"), col("doc_status"))
+  }
+
+  /** Entity update in the gate (PUT /entities/{id}, entities.py:254-337
+    * via EntityCrud.updateMentions): m1 merges metadata (new wins on
+    * collisions, untouched keys kept) with a name change; m2 requests
+    * a merge but its existing map is empty — Python-falsy, so the
+    * replace path runs; m3 lives in another document and keeps
+    * everything including its null doc_status. The edit history's
+    * original name/confidence snapshot surfaces as columns. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val mentions = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3))).as("m"))
+      .select(
+        concat(lit("m"), col("doc_id"), lit(":"), col("m")).as("entity_id"),
+        when(col("m") === 3, concat(lit("E"), col("doc_id")))
+          .otherwise(concat(lit("D"), col("doc_id"))).as("document_id"),
+        when(col("m") === 1, lit("Pump")).when(col("m") === 2, lit("Seal"))
+          .otherwise(lit("Acme")).as("entity_name"),
+        when(col("m") === 3, lit("ORGANIZATION")).otherwise(lit("COMPONENT"))
+          .as("entity_type"),
+        (lit(0.4) + col("m") * 0.1).as("confidence"),
+        when(col("m") === 1, map(lit("a"), lit("1"), lit("b"), lit("2")))
+          .when(col("m") === 2, map().cast("map<string,string>"))
+          .otherwise(map(lit("x"), lit("9"))).as("metadata"))
+    val updates = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2))).as("u"))
+      .select(
+        concat(lit("m"), col("doc_id"), lit(":"), col("u")).as("entity_id"),
+        when(col("u") === 1, lit("Pump X")).cast("string").as("new_name"),
+        lit(null).cast("string").as("new_type"),
+        when(col("u") === 2, lit(0.9)).cast("double").as("new_confidence"),
+        when(col("u") === 1, map(lit("b"), lit("3"), lit("c"), lit("4")))
+          .otherwise(map(lit("k"), lit("v"))).as("new_metadata"),
+        lit(true).as("merge_metadata"))
+    EntityCrud.updateMentions(mentions, updates)
+      .select(col("entity_id"), col("document_id"), col("entity_name"),
+        col("entity_type"), round(col("confidence"), 2).as("confidence"),
+        array_join(transform(array_sort(map_keys(col("metadata"))),
+          k => concat(k, lit("="), element_at(col("metadata"), k))), ",")
+          .as("metadata_kv"),
+        col("old_name"), round(col("old_confidence"), 2)
+          .as("old_confidence"),
+        col("manually_edited"), col("doc_status"))
+  }
+
+  /** Entity get in the gate (GET /entities/{id}, entities.py:124-187
+    * via EntityCrud.resolveEntityOrDocument): the document arm wins —
+    * 'D<doc>' returns that document's three canonical entities; the
+    * entity arm returns e2 with its cross-document mention count
+    * (mentioned twice: m3 and m5 both map to e2 here); unknown ids
+    * return nothing. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val requests = d.select(col("doc_id"),
+        explode(array(
+          concat(lit("D"), col("doc_id")),
+          concat(lit("c"), col("doc_id"), lit(":e2")),
+          concat(lit("zz"), col("doc_id")))).as("request_id"))
+      .select(col("request_id"))
+    EntityCrud.resolveEntityOrDocument(requests,
+        entityCrudCanonical(s, dir), entityCrudMentions(s, dir))
+      .select(col("request_id"), col("arm"), col("id"), col("name"),
+        col("type"), col("quality_score"), col("is_validated"),
+        col("n_mentions"))
+  }
+
+  /** Per-document entity report in the gate
+    * (GET /entities/documents/{id}/entities, entities.py:583-645 via
+    * EntityCrud.documentEntityReport): the by-type census with window
+    * totals — COMPONENT 2 of 3, ORGANIZATION 1 of 3 per document. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    EntityCrud.documentEntityReport(entityCrudCanonical(s, dir),
+        entityCrudMentions(s, dir))
+      .select(substring(col("document_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("type"), col("n_of_type"), col("total_entities"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2667,7 +2832,12 @@ object SparkEntry {
     "q117_chunk_context" -> q117 _,
     "q118_chunk_update" -> q118 _,
     "q119_chunk_delete" -> q119 _,
-    "q120_batch_update_census" -> q120 _)
+    "q120_batch_update_census" -> q120 _,
+    "q121_entity_listing" -> q121 _,
+    "q122_entity_create" -> q122 _,
+    "q123_entity_update" -> q123 _,
+    "q124_entity_resolve" -> q124 _,
+    "q125_entity_report" -> q125 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4041,7 +4211,75 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM documents) AS INT)
         |    AS updated_count,
         |  CAST(3 * (SELECT count(*) FROM documents) AS INT)
-        |    AS total_requested""".stripMargin)
+        |    AS total_requested""".stripMargin,
+    "q121_entity_listing" ->
+      // 'all' = endpoint defaults (min_quality=0.0 skips the quality
+      // predicate → NULL-quality e3 survives); 'q03' = >=0.3 drops it
+      """WITH va(cfg, ek, nm, ty, qs, iv, mc) AS (VALUES
+        |  ('all', 'e1', 'Pump', 'COMPONENT', 0.9, TRUE, 2),
+        |  ('all', 'e2', 'Seal', 'COMPONENT', 0.4, FALSE, 2),
+        |  ('all', 'e3', 'Acme', 'ORGANIZATION', NULL, FALSE, 1),
+        |  ('q03', 'e1', 'Pump', 'COMPONENT', 0.9, TRUE, 2),
+        |  ('q03', 'e2', 'Seal', 'COMPONENT', 0.4, FALSE, 2))
+        |SELECT d.doc_id, v.cfg, 'c' || d.doc_id || ':' || v.ek AS id,
+        |  v.nm AS name, v.ty AS type,
+        |  CAST(v.qs AS DOUBLE) AS quality_score, v.iv AS is_validated,
+        |  CAST(v.mc AS BIGINT) AS mentions_in_document
+        |FROM documents d CROSS JOIN va v""".stripMargin,
+    "q122_entity_create" ->
+      // r1 exact duplicate → 400; r2 differs by case → created; r3's
+      // document is missing → 404; r4 manual create
+      """WITH vr(r, arm, nm, cf, mc, ds) AS (VALUES
+        |  (1, 'duplicate', 'Pump', 0.9, NULL, NULL),
+        |  (2, 'created', 'pump', 0.9, NULL, 'pending_review'),
+        |  (3, 'no_document', 'Valve', 0.8, NULL, NULL),
+        |  (4, 'created', 'Valve', 0.8, TRUE, 'pending_review'))
+        |SELECT d.doc_id, 'D' || d.doc_id || ':r' || v.r AS request_id,
+        |  v.arm, v.nm AS entity_name, CAST(v.cf AS DOUBLE) AS confidence,
+        |  CAST(v.mc AS BOOLEAN) AS manually_created, v.ds AS doc_status
+        |FROM documents d CROSS JOIN vr v""".stripMargin,
+    "q123_entity_update" ->
+      // m1: merge (new wins on b, a kept) + rename; m2: merge requested
+      // but existing {} is falsy → replace; m3: untouched other doc
+      """WITH vm(m, nm, ty, cf, kv, onm, ocf, me, ds) AS (VALUES
+        |  (1, 'Pump X', 'COMPONENT', 0.5, 'a=1,b=3,c=4', 'Pump', 0.5,
+        |   TRUE, 'pending_review'),
+        |  (2, 'Seal', 'COMPONENT', 0.9, 'k=v', 'Seal', 0.6,
+        |   TRUE, 'pending_review'),
+        |  (3, 'Acme', 'ORGANIZATION', 0.7, 'x=9', NULL, NULL,
+        |   NULL, NULL))
+        |SELECT 'm' || d.doc_id || ':' || v.m AS entity_id,
+        |  (CASE WHEN v.m = 3 THEN 'E' ELSE 'D' END) || d.doc_id
+        |    AS document_id,
+        |  v.nm AS entity_name, v.ty AS entity_type,
+        |  CAST(v.cf AS DOUBLE) AS confidence, v.kv AS metadata_kv,
+        |  v.onm AS old_name, CAST(v.ocf AS DOUBLE) AS old_confidence,
+        |  CAST(v.me AS BOOLEAN) AS manually_edited, v.ds AS doc_status
+        |FROM documents d CROSS JOIN vm v""".stripMargin,
+    "q124_entity_resolve" ->
+      // 'D<doc>' resolves as a document (its three mentioned
+      // entities); 'c<doc>:e2' as an entity with its mention count;
+      // 'zz<doc>' yields nothing
+      """WITH vd(ek, nm, ty, qs, iv) AS (VALUES
+        |  ('e1', 'Pump', 'COMPONENT', 0.9, TRUE),
+        |  ('e2', 'Seal', 'COMPONENT', 0.4, FALSE),
+        |  ('e3', 'Acme', 'ORGANIZATION', NULL, FALSE))
+        |SELECT 'D' || d.doc_id AS request_id, 'document' AS arm,
+        |  'c' || d.doc_id || ':' || v.ek AS id, v.nm AS name,
+        |  v.ty AS type, CAST(v.qs AS DOUBLE) AS quality_score,
+        |  v.iv AS is_validated, CAST(NULL AS BIGINT) AS n_mentions
+        |FROM documents d CROSS JOIN vd v
+        |UNION ALL
+        |SELECT 'c' || d.doc_id || ':e2', 'entity',
+        |  'c' || d.doc_id || ':e2', 'Seal', 'COMPONENT',
+        |  CAST(0.4 AS DOUBLE), FALSE, CAST(2 AS BIGINT)
+        |FROM documents d""".stripMargin,
+    "q125_entity_report" ->
+      """WITH vt(ty, n, tot) AS (VALUES
+        |  ('COMPONENT', 2, 3), ('ORGANIZATION', 1, 3))
+        |SELECT d.doc_id, v.ty AS type, CAST(v.n AS BIGINT) AS n_of_type,
+        |  CAST(v.tot AS BIGINT) AS total_entities
+        |FROM documents d CROSS JOIN vt v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
