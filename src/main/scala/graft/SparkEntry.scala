@@ -2627,6 +2627,83 @@ object SparkEntry {
         col("type"), col("n_of_type"), col("total_entities"))
   }
 
+  /** Quick search in the gate (GET /search/quick, search.py:211-247
+    * via Search.quickSearch over the q24 hybrid fusion): the
+    * simplified response frame — snippet truncated to 200 chars plus
+    * "..." only when strictly longer, metadata type defaulted to
+    * "document". */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import operators.Search
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      col("text").as("content"),
+      concat(lit("doc:"), col("doc_id")).as("title"),
+      lit(null).cast("string").as("doc_type"))
+    Search.quickSearch(q24(s, dir), docs, "doc_id", "rrf")
+      .select(col("doc_id"), col("title"), col("snippet"),
+        col("score"), col("type"))
+  }
+
+  /** Suggested metadata in the gate
+    * (GET /documents/{id}/suggested-metadata, documents.py:957-1007
+    * via Metadata.suggestedMetadata): doc_id%3==0 carries a truthy
+    * ai_extracted marker with the suggestion keys, %3==1 a JSON-false
+    * marker, %3==2 no marker at all — both latter arms get the null
+    * frame with the use-extract-metadata-first message. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import operators.Metadata
+    val docs = t(s, dir, "documents").select(
+      concat(lit("D"), col("doc_id")).as("document_id"),
+      when(col("doc_id") % 3 === 0,
+        map(lit("ai_extracted"), lit("true"),
+          lit("category"), lit("manual"),
+          lit("tags"), concat(lit("pump,tag"), col("doc_id")),
+          lit("author"), lit("ai"),
+          lit("extraction_timestamp"), lit("T1")))
+        .when(col("doc_id") % 3 === 1,
+          map(lit("ai_extracted"), lit("false"), lit("category"), lit("x")))
+        .otherwise(map(lit("category"), lit("y"))).as("metadata"))
+    Metadata.suggestedMetadata(docs)
+      .select(substring(col("document_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("has_suggestions"), col("category"), col("tags"),
+        col("author"), col("department"), col("version"),
+        col("extraction_timestamp"), col("message"))
+  }
+
+  /** Process admission in the gate (POST /documents/{id}/process,
+    * documents.py:1009-1077 via DocumentCuration.processAdmission):
+    * statuses cycle with doc_id%5 and the force flag with parity, so
+    * every arm appears — including force-from-processing (busy 400)
+    * and the force cleanup census over per-doc chunk/mention/
+    * relationship fixtures sized by doc parity. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import operators.DocumentCuration
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val did = concat(lit("P"), col("doc_id"))
+    val docs = d.select(did.as("document_id"),
+      when(col("doc_id") % 5 === 0, lit("approved"))
+        .when(col("doc_id") % 5 === 1, lit("processing"))
+        .when(col("doc_id") % 5 === 2, lit("failed"))
+        .when(col("doc_id") % 5 === 3, lit("discovered"))
+        .otherwise(lit("pending_review")).as("status"))
+    // two chunks, one mention per doc; relationships only on even docs
+    val chunks = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2))).as("c"))
+      .select(concat(lit("P"), col("doc_id")).as("document_id"))
+    val mentions = d.select(did.as("document_id"))
+    val rels = d.where(col("doc_id") % 2 === 0)
+      .select(did.as("document_id"))
+    val requests = d.select(did.as("document_id"),
+      (col("doc_id") % 2 === 0).as("force_reprocess"))
+    DocumentCuration.processAdmission(docs, chunks, mentions, rels,
+        requests)
+      .select(substring(col("document_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("force_reprocess"), col("arm"), col("new_status"),
+        col("chunks_deleted"), col("mentions_deleted"),
+        col("relationships_deleted"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2837,7 +2914,10 @@ object SparkEntry {
     "q122_entity_create" -> q122 _,
     "q123_entity_update" -> q123 _,
     "q124_entity_resolve" -> q124 _,
-    "q125_entity_report" -> q125 _)
+    "q125_entity_report" -> q125 _,
+    "q126_quick_search" -> q126 _,
+    "q127_suggested_metadata" -> q127 _,
+    "q128_process_admission" -> q128 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4279,7 +4359,44 @@ object SparkEntry {
         |  ('COMPONENT', 2, 3), ('ORGANIZATION', 1, 3))
         |SELECT d.doc_id, v.ty AS type, CAST(v.n AS BIGINT) AS n_of_type,
         |  CAST(v.tot AS BIGINT) AS total_entities
-        |FROM documents d CROSS JOIN vt v""".stripMargin)
+        |FROM documents d CROSS JOIN vt v""".stripMargin,
+    "q126_quick_search" -> quickSearchOracleSql,
+    "q127_suggested_metadata" ->
+      // %3==0: truthy marker → suggestion frame (missing keys null,
+      // tags default ''); %3==1: JSON-false marker and %3==2: absent
+      // marker → the null arm with the message
+      """SELECT doc_id, (doc_id % 3 = 0) AS has_suggestions,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'manual' END AS category,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'pump,tag' || doc_id END AS tags,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'ai' END AS author,
+        |  CAST(NULL AS VARCHAR) AS department,
+        |  CAST(NULL AS VARCHAR) AS version,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'T1' END AS extraction_timestamp,
+        |  CASE WHEN doc_id % 3 <> 0 THEN
+        |    'No AI-extracted metadata available. ' ||
+        |    'Use /extract-metadata endpoint first.' END AS message
+        |FROM documents""".stripMargin,
+    "q128_process_admission" ->
+      // arms by (status = doc_id%5, force = doc_id%2): force skips the
+      // state gate except processing (busy); normal admits only
+      // discovered/failed; cleanup counts only on forced admissions
+      """SELECT doc_id, (doc_id % 2 = 0) AS force_reprocess,
+        |  CASE WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN 'busy'
+        |       WHEN doc_id % 2 = 0 THEN 'queued'
+        |       WHEN doc_id % 5 IN (2, 3) THEN 'queued'
+        |       ELSE 'bad_state' END AS arm,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'processing'
+        |       WHEN doc_id % 2 = 0 THEN 'processing'
+        |       WHEN doc_id % 5 IN (2, 3) THEN 'processing'
+        |       WHEN doc_id % 5 = 0 THEN 'approved'
+        |       ELSE 'pending_review' END AS new_status,
+        |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 <> 1
+        |       THEN 2 ELSE 0 END AS BIGINT) AS chunks_deleted,
+        |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 <> 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS mentions_deleted,
+        |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 <> 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS relationships_deleted
+        |FROM documents""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
@@ -5053,6 +5170,19 @@ object SparkEntry {
     s"""WITH $rrfCoreSql
        |SELECT doc_id, round(SUM(contrib), 6) AS rrf FROM ranked
        |GROUP BY doc_id ORDER BY SUM(contrib) DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q126: the q24 fusion projected through the /search/quick response
+    * frame — snippet cut at 200 + "..." only when strictly longer. */
+  private def quickSearchOracleSql: String =
+    s"""WITH $rrfCoreSql,
+       |fused AS (SELECT doc_id, round(SUM(contrib), 6) AS score
+       |  FROM ranked GROUP BY doc_id
+       |  ORDER BY SUM(contrib) DESC, doc_id LIMIT 10)
+       |SELECT f.doc_id, 'doc:' || f.doc_id AS title,
+       |  CASE WHEN length(d.text) > 200 THEN substr(d.text, 1, 200) || '...'
+       |       ELSE d.text END AS snippet,
+       |  f.score, 'document' AS type
+       |FROM fused f JOIN documents d USING (doc_id)""".stripMargin
 
   /** q88: the full three-source hybrid (search_service.py:370-423) —
     * the q24 fusion unlimited, then graph-only hits appended with

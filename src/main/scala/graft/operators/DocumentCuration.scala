@@ -171,4 +171,66 @@ object DocumentCuration {
         col("_ctype").as("canonical_type"),
         col("canonical_metadata"))
   }
+
+  /** POST /{id}/process admission (documents.py:1009-1077), batched
+    * over a request frame of (document_id, force_reprocess): each
+    * request lands in one arm —
+    *   - 'not_found' (the 404) when the document doesn't exist;
+    *   - 'busy' (the 400) when force_reprocess=true but the document
+    *     is mid-processing — force skips the state gate EXCEPT for
+    *     'processing';
+    *   - 'bad_state' (the 400) when force_reprocess=false and the
+    *     status is outside {discovered, failed} — the normal path's
+    *     only admissible states;
+    *   - 'queued': admitted — the document flips to 'processing', and
+    *     when forced the existing chunks / entity mentions / canonical
+    *     relationships are cascade-deleted first (the counts surface
+    *     as columns; zero when not forced).
+    *
+    * Scale: the three cleanup counts are one aggregation each over
+    * frames pre-filtered by a broadcast semi-join on the curation-
+    * sized request set; nothing large shuffles. */
+  def processAdmission(docs: DataFrame, chunks: DataFrame,
+      mentions: DataFrame, relationships: DataFrame,
+      requests: DataFrame): DataFrame = {
+    val req = requests.select(col("document_id"), col("force_reprocess"))
+    val reqIds = broadcast(req.select(col("document_id")))
+    def docCount(df: DataFrame, name: String): DataFrame =
+      df.join(reqIds, Seq("document_id"), "left_semi")
+        .groupBy(col("document_id")).agg(count(lit(1)).as(name))
+    // requests must be the preserved side, and a preserved side can't
+    // be the broadcast build — so semi-reduce the big docs frame to
+    // the requested ids (broadcast semi-join) and broadcast THAT
+    // bounded result as the right side of every left join.
+    val docSub = docs.select(col("document_id"), col("status"))
+      .join(reqIds, Seq("document_id"), "left_semi")
+    val j = req
+      .join(broadcast(docSub), Seq("document_id"), "left")
+      .join(broadcast(docCount(chunks, "n_chunks")),
+        Seq("document_id"), "left")
+      .join(broadcast(docCount(mentions, "n_mentions")),
+        Seq("document_id"), "left")
+      .join(broadcast(docCount(relationships, "n_relationships")),
+        Seq("document_id"), "left")
+    val admitted = (col("force_reprocess") && col("status") =!= "processing") ||
+      (!col("force_reprocess") && col("status").isin("discovered", "failed"))
+    j.select(col("document_id"), col("force_reprocess"),
+      when(col("status").isNull, lit("not_found"))
+        .when(col("force_reprocess") && col("status") === "processing",
+          lit("busy"))
+        .when(!col("force_reprocess") &&
+          !col("status").isin("discovered", "failed"), lit("bad_state"))
+        .otherwise(lit("queued")).as("arm"),
+      when(col("status").isNotNull && admitted, lit("processing"))
+        .otherwise(col("status")).as("new_status"),
+      when(col("status").isNotNull && admitted && col("force_reprocess"),
+        coalesce(col("n_chunks"), lit(0L))).otherwise(lit(0L))
+        .as("chunks_deleted"),
+      when(col("status").isNotNull && admitted && col("force_reprocess"),
+        coalesce(col("n_mentions"), lit(0L))).otherwise(lit(0L))
+        .as("mentions_deleted"),
+      when(col("status").isNotNull && admitted && col("force_reprocess"),
+        coalesce(col("n_relationships"), lit(0L))).otherwise(lit(0L))
+        .as("relationships_deleted"))
+  }
 }

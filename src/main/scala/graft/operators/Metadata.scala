@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-metadata taxonomy + the deterministic tag-merge contract
@@ -213,5 +213,39 @@ object Metadata {
       .when(tag.isInCollection(compliance), lit("compliance"))
       .when(tl.isInCollection(priority.map(_.toLowerCase)), lit("priority"))
       .otherwise(lit("custom"))
+  }
+
+  /** Parsed-JSON scalar truthiness for the string-map metadata model:
+    * absent keys, JSON null/false/0, and the empty string are falsy —
+    * matching what Python's `metadata.get(k)` truth-test sees after
+    * json parsing. (A literal string "false" in the source JSON would
+    * be truthy in Python; the map model stores parsed scalars
+    * rendered to text, so "false" here always means JSON false.) */
+  private def jsonTruthy(v: Column): Column =
+    v.isNotNull && v =!= "" && v =!= "false" && v =!= "0"
+
+  /** GET /documents/{id}/suggested-metadata (documents.py:957-1007):
+    * when the document's metadata carries a truthy `ai_extracted`
+    * marker, project the six fixed suggestion keys plus the
+    * extraction timestamp; otherwise the null arm with the
+    * use-extract-metadata-first message. Missing keys surface as
+    * nulls inside the suggestions frame (the reference's .get with no
+    * default), and `has_suggestions` distinguishes the arms for
+    * callers. One narrow map lookup per row — no shuffle. */
+  def suggestedMetadata(docs: DataFrame): DataFrame = {
+    val md = col("metadata")
+    def k(key: String): Column = element_at(md, key)
+    val extracted = jsonTruthy(k("ai_extracted"))
+    docs.select(col("document_id"),
+      extracted.as("has_suggestions"),
+      when(extracted, k("category")).as("category"),
+      when(extracted, coalesce(k("tags"), lit(""))).as("tags"),
+      when(extracted, k("author")).as("author"),
+      when(extracted, k("department")).as("department"),
+      when(extracted, k("version")).as("version"),
+      when(extracted, k("description")).as("description"),
+      when(extracted, k("extraction_timestamp")).as("extraction_timestamp"),
+      when(!extracted, lit("No AI-extracted metadata available. " +
+        "Use /extract-metadata endpoint first.")).as("message"))
   }
 }

@@ -259,4 +259,28 @@ object Search {
     val tail = array(lit("\nUser question:"), userQuery, lit("\nAnswer:"))
     array_join(concat(head, ctxLines, tail), "\n")
   }
+
+  /** GET /search/quick (search.py:211-247): the simplified response
+    * frame over any scored result set — title, a snippet that
+    * truncates to `snippetLen` chars plus a LITERAL "..." only when
+    * the content is strictly longer (a 200-char document passes
+    * through untouched), the score, and the metadata type defaulted
+    * to "document". The hybrid search underneath is the caller's
+    * (same fusion as the /hybrid endpoint — compose with [[rrf]]).
+    *
+    * `results` is already top-k (bounded); the join to the corpus for
+    * content broadcasts the small result side, never the corpus. */
+  def quickSearch(results: DataFrame, docs: DataFrame, idCol: String,
+      scoreCol: String, snippetLen: Int = 200): DataFrame = {
+    val content = col("content")
+    broadcast(results.select(col(idCol), col(scoreCol)))
+      .join(docs.select(col(idCol), content,
+        col("title"), col("doc_type")), Seq(idCol))
+      .select(col(idCol), col("title"),
+        when(length(content) > snippetLen,
+          concat(content.substr(1, snippetLen), lit("...")))
+          .otherwise(content).as("snippet"),
+        col(scoreCol).as("score"),
+        coalesce(col("doc_type"), lit("document")).as("type"))
+  }
 }

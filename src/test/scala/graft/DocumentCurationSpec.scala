@@ -127,4 +127,34 @@ class DocumentCurationSpec extends AnyFunSuite {
       ("m3", "Fallback", null, 1.0, Map.empty[String, String],
         None, None, None, None)))
   }
+
+  test("process admission: force skips the state gate except processing") {
+    val docsDf = Seq(
+      ("p1", "approved"), ("p2", "processing"), ("p3", "failed"),
+      ("p4", "discovered"), ("p5", "pending_review"))
+      .toDF("document_id", "status")
+    val chunks = Seq("p1", "p1", "p2", "p3").toDF("document_id")
+    val mentions = Seq("p1", "p3", "p3").toDF("document_id")
+    val rels = Seq("p1").toDF("document_id")
+    val requests = Seq(
+      ("p1", true),   // force from approved → queued + cleanup counts
+      ("p2", true),   // force but mid-processing → busy 400
+      ("p3", false),  // normal from failed → queued, NO cleanup
+      ("p5", false),  // normal from pending_review → bad_state 400
+      ("p9", true))   // unknown document → 404
+      .toDF("document_id", "force_reprocess")
+    val out = DocumentCuration.processAdmission(docsDf, chunks, mentions,
+        rels, requests)
+      .orderBy("document_id")
+      .select("document_id", "arm", "new_status", "chunks_deleted",
+        "mentions_deleted", "relationships_deleted")
+      .as[(String, String, Option[String], Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("p1", "queued", Some("processing"), 2L, 1L, 1L),
+      ("p2", "busy", Some("processing"), 0L, 0L, 0L),
+      ("p3", "queued", Some("processing"), 0L, 0L, 0L),
+      ("p5", "bad_state", Some("pending_review"), 0L, 0L, 0L),
+      ("p9", "not_found", None, 0L, 0L, 0L)))
+  }
 }

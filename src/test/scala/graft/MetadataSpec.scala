@@ -106,4 +106,33 @@ class MetadataSpec extends AnyFunSuite {
     assert(got("boot-failure") === "issue")
     assert(got("whatever") === "custom")
   }
+
+  test("suggested metadata: ai_extracted truthiness gates the arms") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("d1", Map("ai_extracted" -> "true", "category" -> "manual",
+        "tags" -> "pump,seal", "author" -> "ai",
+        "extraction_timestamp" -> "T1")),
+      ("d2", Map("ai_extracted" -> "false", "category" -> "x")),
+      ("d3", Map("category" -> "y")),          // marker absent
+      ("d4", Map("ai_extracted" -> "1")))      // truthy, keys missing
+      .toDF("document_id", "metadata")
+    val out = graft.operators.Metadata.suggestedMetadata(docs)
+      .orderBy("document_id")
+      .select("document_id", "has_suggestions", "category", "tags",
+        "author", "extraction_timestamp", "message")
+      .as[(String, Boolean, Option[String], Option[String], Option[String],
+        Option[String], Option[String])].collect().toSeq
+    val noMsg = "No AI-extracted metadata available. " +
+      "Use /extract-metadata endpoint first."
+    assert(out === Seq(
+      ("d1", true, Some("manual"), Some("pump,seal"), Some("ai"),
+        Some("T1"), None),
+      ("d2", false, None, None, None, None, Some(noMsg)),
+      ("d3", false, None, None, None, None, Some(noMsg)),
+      // documents.py:1001-1005: suggestions frame with nulls for the
+      // missing keys — tags default to the empty list
+      ("d4", true, None, Some(""), None, None, None)))
+  }
 }

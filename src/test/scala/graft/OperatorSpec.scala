@@ -270,6 +270,23 @@ class SearchSpec extends AnyFunSuite {
     assert(got(30L) === BigDecimal(1.0 / 63).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("quick search: snippet truncates strictly past the limit") {
+    val results = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
+    val docs = Seq(
+      (1L, "x" * 201, "t1", null.asInstanceOf[String]),   // 201 → cut + "..."
+      (2L, "y" * 200, "t2", "report"),                     // exactly 200 → as-is
+      (3L, "short", "t3", null.asInstanceOf[String]))
+      .toDF("doc_id", "content", "title", "doc_type")
+    val got = Search.quickSearch(results, docs, "doc_id", "score")
+      .orderBy("doc_id")
+      .select("doc_id", "snippet", "type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got(0)._2 === "x" * 200 + "...")
+    assert(got(0)._2.length === 203)
+    assert(got(1) === ((2L, "y" * 200, "report"))) // no "..." at exactly 200
+    assert(got(2) === ((3L, "short", "document"))) // type defaults
+  }
+
   test("rag prompt: exact scaffold, 1-based numbering, Python-ish nulls") {
     val ctx = Seq((Seq((Some(7L), Some("first snippet")),
       (Option.empty[Long], Option.empty[String])), "why?"))
