@@ -2704,6 +2704,27 @@ object SparkEntry {
         col("relationships_deleted"))
   }
 
+  /** Rechunk in the gate (POST /chunks/{document_id}/rechunk,
+    * chunks.py:293-350, :516-594 via DocProcessorChunker.rechunk):
+    * method="semantic" — which the endpoint advertises but
+    * chunk_document routes to the FIXED chunker
+    * (document_processor.py:49-54) — over the real document text at
+    * size 400 / overlap 50, with md5[:8] chunk ids and the
+    * pending_review + last_chunking framing. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import operators.DocProcessorChunker
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      col("doc_id").cast("string").as("document_id"),
+      col("text").as("content"))
+    DocProcessorChunker.rechunk(docs.select(col("document_id"),
+        col("content")), "semantic", 400, 50)
+      .select(col("document_id").cast("bigint").as("doc_id"),
+        col("arm"), col("chunk_number"), col("chunk_text"),
+        col("chunk_size"), col("start_position"), col("end_position"),
+        col("chunk_id"), col("method"), col("doc_status"),
+        col("total_chunks"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2917,7 +2938,8 @@ object SparkEntry {
     "q125_entity_report" -> q125 _,
     "q126_quick_search" -> q126 _,
     "q127_suggested_metadata" -> q127 _,
-    "q128_process_admission" -> q128 _)
+    "q128_process_admission" -> q128 _,
+    "q129_rechunk" -> q129 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4396,7 +4418,26 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS BIGINT) AS mentions_deleted,
         |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 <> 1
         |       THEN 1 ELSE 0 END AS BIGINT) AS relationships_deleted
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q129_rechunk" ->
+      // independent re-derivation of the fixed windows the "semantic"
+      // method actually routes to: step 350, end clamped, md5[:8] ids
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |w AS (SELECT doc_id, text, n,
+        |  unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 350) AS BIGINT)))
+        |    AS i FROM d)
+        |SELECT doc_id, 'chunk' AS arm, CAST(i AS INT) AS chunk_number,
+        |  substr(text, CAST(i * 350 + 1 AS INT), 400) AS chunk_text,
+        |  CAST(length(substr(text, CAST(i * 350 + 1 AS INT), 400)) AS INT)
+        |    AS chunk_size,
+        |  CAST(i * 350 AS BIGINT) AS start_position,
+        |  CAST(least(i * 350 + 400, n) AS BIGINT) AS end_position,
+        |  substr(md5(substr(text, CAST(i * 350 + 1 AS INT), 400)), 1, 8)
+        |    AS chunk_id,
+        |  'semantic' AS method, 'pending_review' AS doc_status,
+        |  CAST(ceil(CAST(n AS DOUBLE) / 350) AS INT) AS total_chunks
+        |FROM w""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
