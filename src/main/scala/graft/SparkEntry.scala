@@ -2725,6 +2725,27 @@ object SparkEntry {
         col("total_chunks"))
   }
 
+  /** Progress-stream frames in the gate
+    * (GET /documents/{id}/progress, documents.py:148-248 via
+    * ProgressStream.pollTimeline): the Celery-driven poll-only
+    * schedule — connected, a job_update per silent tick, a heartbeat
+    * after every 5th, the 30-second timeout frame, and NEVER a
+    * 'complete' (the completion check reads only in-process queue
+    * events). */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import streaming.ProgressStream
+    val jobs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("D"), col("doc_id")).as("document_id"),
+      concat(lit("j"), col("doc_id")).as("job_id"),
+      lit("running").as("status"),
+      (col("doc_id") % 100).cast("int").as("progress"),
+      concat(lit("step"), col("doc_id")).as("current_step"))
+    ProgressStream.pollTimeline(jobs.drop("doc_id"))
+      .select(substring(col("document_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("seq"), col("frame"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2939,7 +2960,8 @@ object SparkEntry {
     "q126_quick_search" -> q126 _,
     "q127_suggested_metadata" -> q127 _,
     "q128_process_admission" -> q128 _,
-    "q129_rechunk" -> q129 _)
+    "q129_rechunk" -> q129 _,
+    "q130_progress_stream" -> q130 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4437,7 +4459,35 @@ object SparkEntry {
         |    AS chunk_id,
         |  'semantic' AS method, 'pending_review' AS doc_status,
         |  CAST(ceil(CAST(n AS DOUBLE) / 350) AS INT) AS total_chunks
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin,
+    "q130_progress_stream" ->
+      // the poll-only schedule rebuilt as strings: connected, 30
+      // job_updates, heartbeats at 5k+1, timeout at 302 — no complete
+      """WITH d AS (SELECT doc_id, 'D' || doc_id AS did,
+        |  'j' || doc_id AS jid, doc_id % 100 AS prog,
+        |  'step' || doc_id AS step FROM documents),
+        |nl AS (SELECT chr(10) || chr(10) AS e)
+        |SELECT doc_id, CAST(0 AS INT) AS seq,
+        |  'data: {"event":"connected","document_id":"' || did || '"}'
+        |    || e AS frame
+        |FROM d, nl
+        |UNION ALL
+        |SELECT doc_id, CAST(tick * 10 AS INT),
+        |  'data: {"event":"job_update","document_id":"' || did ||
+        |  '","job_id":"' || jid ||
+        |  '","status":"running","progress":' || prog ||
+        |  ',"current_step":"' || step || '"}' || e
+        |FROM (SELECT *, unnest(range(1, 31)) AS tick FROM d), nl
+        |UNION ALL
+        |SELECT doc_id, CAST(hb * 50 + 1 AS INT),
+        |  'data: {"event":"heartbeat","document_id":"' || did || '"}'
+        |    || e
+        |FROM (SELECT doc_id, did, unnest(range(1, 7)) AS hb FROM d), nl
+        |UNION ALL
+        |SELECT doc_id, CAST(302 AS INT),
+        |  'data: {"event":"timeout","message":' ||
+        |  '"No updates received for 30 seconds"}' || e
+        |FROM d, nl""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
