@@ -2746,6 +2746,41 @@ object SparkEntry {
         col("seq"), col("frame"))
   }
 
+  /** Connector scan admission in the gate (POST /process/notion +
+    * /process/gdrive, processing.py:206-321 via ConnectorScans):
+    * levels cycle with doc_id%3 so every arm appears — including the
+    * gdrive quirk where the documented default security_level="all"
+    * is rejected (its valid list omits "all", leaving the scan-all
+    * branch dead). */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import operators.ConnectorScans
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 3).as("m"))
+    val lvl = when(col("m") === 0, lit("all"))
+      .when(col("m") === 1, lit("client")).otherwise(lit("bogus"))
+    val notion = ConnectorScans.notionScan(d.select(
+        concat(lit("n"), col("doc_id")).as("request_id"),
+        lvl.as("security_level"),
+        lit(null).cast("string").as("workspace_id"),
+        (col("m") === 1).as("force_update")))
+      .select(col("request_id"), lit("notion").as("src"),
+        col("security_level"), col("arm"), col("task"),
+        lit(null).cast("string").as("file_types_parsed"), col("detail"))
+    val glvl = when(col("m") === 0, lit("all"))
+      .when(col("m") === 1, lit("public")).otherwise(lit("employee"))
+    val gft = when(col("m") === 1, lit(" .pdf , .md ")).otherwise(lit(""))
+    val gdrive = ConnectorScans.gdriveScan(d.select(
+        concat(lit("g"), col("doc_id")).as("request_id"),
+        glvl.as("security_level"), gft.as("file_types"),
+        lit(false).as("force_update")))
+      .select(col("request_id"), lit("gdrive").as("src"),
+        col("security_level"), col("arm"), col("task"),
+        when(col("file_type_list").isNotNull,
+          array_join(col("file_type_list"), "|")).as("file_types_parsed"),
+        col("detail"))
+    notion.unionByName(gdrive)
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2961,7 +2996,8 @@ object SparkEntry {
     "q127_suggested_metadata" -> q127 _,
     "q128_process_admission" -> q128 _,
     "q129_rechunk" -> q129 _,
-    "q130_progress_stream" -> q130 _)
+    "q130_progress_stream" -> q130 _,
+    "q131_connector_scans" -> q131 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4487,7 +4523,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(302 AS INT),
         |  'data: {"event":"timeout","message":' ||
         |  '"No updates received for 30 seconds"}' || e
-        |FROM d, nl""".stripMargin)
+        |FROM d, nl""".stripMargin,
+    "q131_connector_scans" ->
+      // notion admits the five levels + 'all'; gdrive omits 'all' from
+      // its valid list so its own documented default is a 400
+      """WITH vn(m, lvl, arm, task, det) AS (VALUES
+        |  (0, 'all', 'queued', 'scan_notion_all', NULL),
+        |  (1, 'client', 'queued', 'scan_notion_workspace', NULL),
+        |  (2, 'bogus', 'invalid_level', NULL,
+        |   'Invalid security level. Must be one of: ' ||
+        |   '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |   '''management'', ''all'']')),
+        |vg(m, lvl, arm, task, ftp, det) AS (VALUES
+        |  (0, 'all', 'invalid_level', NULL, NULL,
+        |   'Invalid security level. Must be one of: ' ||
+        |   '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |   '''management'']'),
+        |  (1, 'public', 'queued', 'scan_google_drive', '.pdf|.md', NULL),
+        |  (2, 'employee', 'queued', 'scan_google_drive', '', NULL))
+        |SELECT 'n' || d.doc_id AS request_id, 'notion' AS src,
+        |  v.lvl AS security_level, v.arm, v.task,
+        |  CAST(NULL AS VARCHAR) AS file_types_parsed, v.det AS detail
+        |FROM documents d JOIN vn v ON d.doc_id % 3 = v.m
+        |UNION ALL
+        |SELECT 'g' || d.doc_id, 'gdrive', v.lvl, v.arm, v.task,
+        |  v.ftp, v.det
+        |FROM documents d JOIN vg v ON d.doc_id % 3 = v.m""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

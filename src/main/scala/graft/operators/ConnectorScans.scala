@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connector scan-trigger admission: POST /processing/process/notion
+  * (app/api/processing.py:206-261) and /process/gdrive (:263-321),
+  * batched over request frames.
+  *
+  * Faithful quirks preserved:
+  *   - Notion accepts the five security levels PLUS "all" (:218) and
+  *     routes "all" to the scan-everything task (:232-238);
+  *   - Google Drive's valid list OMITS "all" (:277-279) even though
+  *     "all" is the parameter's documented DEFAULT and a
+  *     `security_level.lower() == "all"` routing branch exists below
+  *     (:293) — the default request 400s and that branch is dead code;
+  *   - the 400 detail embeds the Python list repr of the valid levels;
+  *   - gdrive's file_types parse is `split(",")` + strip when the
+  *     parameter is truthy, else the empty list (:286) — empty string
+  *     means no filter, and blank-padded entries are trimmed.
+  *
+  * Request frames are API-call-sized; every transform is a narrow
+  * projection. */
+object ConnectorScans {
+
+  val securityLevels: Seq[String] =
+    Seq("public", "client", "partner", "employee", "management")
+
+  private def pyListRepr(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** POST /process/notion (processing.py:206-261). `requests` carries
+    * (request_id, security_level, workspace_id, force_update). */
+  def notionScan(requests: DataFrame): DataFrame = {
+    val valid = securityLevels :+ "all"
+    val ok = col("security_level").isInCollection(valid)
+    requests.select(col("request_id"), col("security_level"),
+      col("workspace_id"), col("force_update"),
+      when(ok, lit("queued")).otherwise(lit("invalid_level")).as("arm"),
+      when(ok, lit("notion_scan")).as("job_type"),
+      when(ok, lit("notion")).as("source"),
+      when(ok && col("security_level") === "all", lit("scan_notion_all"))
+        .when(ok, lit("scan_notion_workspace")).as("task"),
+      when(ok, lit("Notion scan queued for processing")).as("message"),
+      when(!ok, lit("Invalid security level. Must be one of: " +
+        pyListRepr(valid))).as("detail"))
+  }
+
+  /** POST /process/gdrive (processing.py:263-321). `requests` carries
+    * (request_id, security_level, file_types, force_update). */
+  def gdriveScan(requests: DataFrame): DataFrame = {
+    // "all" is NOT admitted: the valid list is the five bare levels
+    val ok = col("security_level").isInCollection(securityLevels)
+    val ftl = when(col("file_types").isNotNull &&
+        length(col("file_types")) > 0,
+        transform(split(col("file_types"), ","), x => trim(x)))
+      .otherwise(array().cast("array<string>"))
+    requests.select(col("request_id"), col("security_level"),
+      col("force_update"),
+      when(ok, lit("queued")).otherwise(lit("invalid_level")).as("arm"),
+      when(ok, lit("gdrive_scan")).as("job_type"),
+      when(ok, lit("google_drive")).as("source"),
+      // the scan-all branch is unreachable: "all" never passes the gate
+      when(ok, lit("scan_google_drive")).as("task"),
+      when(ok, ftl).as("file_type_list"),
+      when(ok, lit("Google Drive scan queued for processing"))
+        .as("message"),
+      when(!ok, lit("Invalid security level. Must be one of: " +
+        pyListRepr(securityLevels))).as("detail"))
+  }
+}

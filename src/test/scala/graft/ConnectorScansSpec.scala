@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectorScans
+
+/** Pins the connector scan-trigger admission (processing.py:206-321),
+  * including the gdrive valid-list quirk: the documented default
+  * security_level="all" is rejected, making the scan-all branch dead
+  * code. */
+class ConnectorScansSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("notion: 'all' routes to scan-all, levels to workspace, else 400") {
+    val spark2 = spark
+    import spark2.implicits._
+    val req = Seq(
+      ("r1", "all", Some("w1"), false),
+      ("r2", "client", None: Option[String], true),
+      ("r3", "bogus", None: Option[String], false))
+      .toDF("request_id", "security_level", "workspace_id", "force_update")
+    val out = ConnectorScans.notionScan(req).orderBy("request_id")
+      .select("request_id", "arm", "task", "detail")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSeq
+    assert(out(0) === ("r1", "queued", Some("scan_notion_all"), None))
+    assert(out(1) === ("r2", "queued", Some("scan_notion_workspace"), None))
+    assert(out(2) === ("r3", "invalid_level", None,
+      Some("Invalid security level. Must be one of: ['public', 'client'," +
+        " 'partner', 'employee', 'management', 'all']")))
+  }
+
+  test("gdrive: the documented default 'all' is a 400; file types trim") {
+    val spark2 = spark
+    import spark2.implicits._
+    val req = Seq(
+      ("r1", "all", ".pdf,.docx,.txt,.md", false),
+      ("r2", "public", " .pdf , .md ", false),
+      ("r3", "employee", "", true))
+      .toDF("request_id", "security_level", "file_types", "force_update")
+    val out = ConnectorScans.gdriveScan(req).orderBy("request_id")
+      .select("request_id", "arm", "task", "file_type_list", "detail")
+      .as[(String, String, Option[String], Option[Seq[String]],
+        Option[String])]
+      .collect().toSeq
+    // processing.py:277-279 omits "all" from the valid list, so the
+    // parameter's own default value 400s and :293's scan-all branch
+    // can never run
+    assert(out(0) === ("r1", "invalid_level", None, None,
+      Some("Invalid security level. Must be one of: ['public', 'client'," +
+        " 'partner', 'employee', 'management']")))
+    assert(out(1) === ("r2", "queued", Some("scan_google_drive"),
+      Some(Seq(".pdf", ".md")), None))
+    // empty file_types is falsy → empty list, not [""]
+    assert(out(2) === ("r3", "queued", Some("scan_google_drive"),
+      Some(Seq.empty[String]), None))
+  }
+}
