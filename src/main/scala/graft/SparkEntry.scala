@@ -2781,6 +2781,83 @@ object SparkEntry {
     notion.unionByName(gdrive)
   }
 
+  /** Bridge graph search in the gate (POST /bridge/search/graph,
+    * bridge.py:299-374 via Bridge.graphSearch): per-document
+    * namespaced 5-node graphs with a doc-unique "pump<doc>x" token so
+    * each query matches exactly its own doc's two candidates — the
+    * lowest-id one becomes the single root (the reference's LIMIT 1),
+    * e4 keeps its minimum distance over two paths, and the null type
+    * reports "Unknown". */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import operators.Bridge
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def nid(k: Int) = concat(lit("e"), col("doc_id"), lit(s":$k"))
+    val tok = concat(lit("pump"), col("doc_id"), lit("x"))
+    val nodes = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3), lit(4), lit(5))).as("k"))
+      .select(concat(lit("e"), col("doc_id"), lit(":"), col("k")).as("id"),
+        when(col("k") === 1, concat(lit("Pump"), col("doc_id"), lit("x big")))
+          .when(col("k") === 2, concat(lit("pump"), col("doc_id"),
+            lit("x seal")))
+          .when(col("k") === 3, lit("Motor"))
+          .when(col("k") === 4, lit("Valve"))
+          .otherwise(lit("Unrelated")).as("name"),
+        when(col("k") === 3, lit(null).cast("string"))
+          .when(col("k") === 5, lit("OTHER")).otherwise(lit("COMPONENT"))
+          .as("type"))
+    val edges = d.select(col("doc_id"), explode(array(
+        struct(nid(1).as("src"), nid(3).as("dst")),
+        struct(nid(3).as("src"), nid(4).as("dst")),
+        struct(nid(1).as("src"), nid(4).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val queries = d.select(
+      concat(lit("Q"), col("doc_id")).as("query_id"),
+      upper(tok).as("entity_name"))
+    Bridge.graphSearch(nodes, edges, queries, 2, 50)
+      .select(substring(col("query_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("id"), col("name"), col("type"), col("distance"))
+  }
+
+  /** Bridge weighted hybrid in the gate (POST /bridge/search/hybrid,
+    * bridge.py:377-465 via Bridge.weightedHybrid): the vector arm
+    * dedups per document keeping the max score and its text, empty
+    * document_ids drop, the graph arm mints synthetic doc_<entity>
+    * ids at inverse-distance scores, and the 0.7/0.3 weighted blend
+    * cuts to the top 3. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import operators.Bridge
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val qid = concat(lit("Q"), col("doc_id"))
+    val vector = d.select(col("doc_id"), explode(array(
+        struct(lit("d1").as("did"), lit(0.9).as("score"),
+          lit("best text").as("text")),
+        struct(lit("d1").as("did"), lit(0.5).as("score"),
+          lit("worse text").as("text")),
+        struct(lit("d2").as("did"), lit(0.6).as("score"),
+          lit("t2").as("text")),
+        struct(lit("").as("did"), lit(0.99).as("score"),
+          lit("dropped").as("text")))).as("v"))
+      .select(qid.as("query_id"),
+        when(col("v.did") === "", lit(""))
+          .otherwise(concat(col("v.did"), lit(":"), col("doc_id")))
+          .as("document_id"),
+        col("v.score"), col("v.text"))
+    val graph = d.select(col("doc_id"), explode(array(
+        struct(lit("e7").as("id"), lit("Pump").as("name"),
+          lit(0).as("distance")),
+        struct(lit("e8").as("id"), lit("Seal").as("name"),
+          lit(1).as("distance")))).as("g"))
+      .select(qid.as("query_id"),
+        concat(col("g.id"), lit(":"), col("doc_id")).as("id"),
+        col("g.name"), col("g.distance"))
+    Bridge.weightedHybrid(vector, graph, 0.7, 0.3, 3)
+      .select(substring(col("query_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("document_id"), round(col("score"), 6).as("score"),
+        col("vector_score"), col("graph_score"), col("text"))
+  }
+
   /** Document security/access levels in the gate (document.py:76-77,
     * SECURITY_LEVELS.md): tag every document with a security level,
     * then census what each user level 1..5 can see — the hierarchy
@@ -2997,7 +3074,9 @@ object SparkEntry {
     "q128_process_admission" -> q128 _,
     "q129_rechunk" -> q129 _,
     "q130_progress_stream" -> q130 _,
-    "q131_connector_scans" -> q131 _)
+    "q131_connector_scans" -> q131 _,
+    "q132_bridge_graph_search" -> q132 _,
+    "q133_bridge_hybrid" -> q133 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4548,7 +4627,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'g' || d.doc_id, 'gdrive', v.lvl, v.arm, v.task,
         |  v.ftp, v.det
-        |FROM documents d JOIN vg v ON d.doc_id % 3 = v.m""".stripMargin)
+        |FROM documents d JOIN vg v ON d.doc_id % 3 = v.m""".stripMargin,
+    "q132_bridge_graph_search" ->
+      // root = lowest matching id e<doc>:1; e4 keeps min distance 1;
+      // e3's null type reports Unknown; e2/e5 never traversed
+      """WITH vr(k, nm, ty, dist) AS (VALUES
+        |  (1, 'x big', 'COMPONENT', 0),
+        |  (3, NULL, 'Unknown', 1),
+        |  (4, NULL, 'COMPONENT', 1))
+        |SELECT d.doc_id, 'e' || d.doc_id || ':' || v.k AS id,
+        |  CASE WHEN v.k = 1 THEN 'Pump' || d.doc_id || v.nm
+        |       WHEN v.k = 3 THEN 'Motor' ELSE 'Valve' END AS name,
+        |  v.ty AS type, CAST(v.dist AS INT) AS distance
+        |FROM documents d CROSS JOIN vr v""".stripMargin,
+    "q133_bridge_hybrid" ->
+      // weighted blend: d1 max-dedup 0.9*0.7, d2 0.6*0.7, doc_e7 at
+      // 1/(1+0)*0.3; doc_e8 (0.15) falls past limit 3
+      """WITH vh(did, sc, vs, gs, tx) AS (VALUES
+        |  ('d1:', round(0.9 * 0.7, 6), 0.9, 0.0, 'best text'),
+        |  ('d2:', round(0.6 * 0.7, 6), 0.6, 0.0, 't2'),
+        |  ('doc_e7:', round(1.0 * 0.3, 6), 0.0, 1.0, 'Entity: Pump'))
+        |SELECT d.doc_id, v.did || d.doc_id AS document_id,
+        |  CAST(v.sc AS DOUBLE) AS score,
+        |  CAST(v.vs AS DOUBLE) AS vector_score,
+        |  CAST(v.gs AS DOUBLE) AS graph_score, v.tx AS text
+        |FROM documents d CROSS JOIN vh v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

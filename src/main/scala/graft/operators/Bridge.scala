@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's API-bridge fetch tier (app/api/bridge.py): the UI
@@ -208,5 +209,101 @@ object Bridge {
         complete.as("metadata_complete"),
         coalesce(col("chunk_count"), lit(0L)).as("chunk_count"),
         coalesce(col("entity_count"), lit(0L)).as("entity_count"))
+  }
+
+  /** POST /bridge/search/vector (bridge.py:250-297): the UI response
+    * shaping over any scored chunk result — threshold filter at >=
+    * (the default 0.7 cuts, not caps), payload field defaults
+    * (document_id/text default "", chunk_number 0), score as double.
+    * The underlying ANN search is the caller's (q21's top-k). */
+  def vectorSearchShape(results: DataFrame, threshold: Double): DataFrame =
+    results.where(col("score") >= threshold)
+      .select(col("id").cast("string").as("id"),
+        coalesce(col("document_id").cast("string"), lit(""))
+          .as("document_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        col("score").cast("double").as("score"),
+        coalesce(col("chunk_number"), lit(0)).as("chunk_number"))
+
+  /** POST /bridge/search/graph (bridge.py:299-374), batched over a
+    * (query_id, entity_name) frame: each query picks ONE root by
+    * case-insensitive name containment — the reference's unordered
+    * `LIMIT 1` is fixed here as the lowest entity id (documented
+    * deviation; the oracle uses the same rule) — then walks outgoing
+    * edges 0..depth hops. Faithful shape quirks: every node keeps its
+    * MINIMUM distance (the first sighting under ORDER BY distance
+    * wins), the root reports distance 0 even when revisited, type
+    * defaults to "Unknown", and the response's `edges` list is ALWAYS
+    * empty — the reference never populates it.
+    *
+    * Scale: one bounded join per hop (depth <= 5 by the route's
+    * validation), frontier keyed by (query_id, node) — the classic
+    * iterative n-hop, never a cartesian. */
+  def graphSearch(nodes: DataFrame, edges: DataFrame, queries: DataFrame,
+      depth: Int, limit: Int): DataFrame = {
+    val roots = queries.select(col("query_id"), col("entity_name"))
+      .join(nodes.select(col("id"), col("name")),
+        lower(col("name")).contains(lower(col("entity_name"))))
+      .groupBy(col("query_id")).agg(min(col("id")).as("id"))
+    var frontier = roots.select(col("query_id"), col("id"),
+      lit(0).as("distance"))
+    var all = frontier
+    for (d <- 1 to depth) {
+      frontier = frontier
+        .join(edges.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("query_id"), col("dst").as("id"),
+          lit(d).as("distance"))
+        .distinct()
+      all = all.unionByName(frontier)
+    }
+    val minDist = all.groupBy(col("query_id"), col("id"))
+      .agg(min(col("distance")).as("distance"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("id"))
+    minDist.join(nodes.withColumnRenamed("id", "_nid"),
+        col("id") === col("_nid"))
+      .select(col("query_id"), col("id"), col("name"),
+        coalesce(col("type"), lit("Unknown")).as("type"),
+        col("distance"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= limit).drop("_rn")
+  }
+
+  /** POST /bridge/search/hybrid (bridge.py:377-465), per query: the
+    * weighted two-arm blend. The vector arm dedups per document_id
+    * keeping the MAX score and the first (= best) text; the graph arm
+    * mints synthetic `doc_<entityId>` ids with inverse-distance
+    * scores, `Entity: <name>` texts, and only contributes text where
+    * the vector arm didn't already claim the id. Final score =
+    * vector*vw + graph*gw, sorted descending, top `limit`. */
+  def weightedHybrid(vector: DataFrame, graphNodes: DataFrame,
+      vectorWeight: Double, graphWeight: Double, limit: Int): DataFrame = {
+    val v = vector
+      .where(col("document_id").isNotNull && col("document_id") =!= "")
+      .groupBy(col("query_id"), col("document_id"))
+      .agg(max(struct(col("score"), col("text"))).as("_m"))
+      .select(col("query_id"), col("document_id"),
+        col("_m.score").as("vector_score"), col("_m.text").as("text"))
+    val g = graphNodes.select(col("query_id"),
+      concat(lit("doc_"), col("id")).as("document_id"),
+      (lit(1.0) / (lit(1.0) + col("distance"))).as("graph_score"),
+      concat(lit("Entity: "), coalesce(col("name"), lit("")))
+        .as("_gtext"))
+      .groupBy(col("query_id"), col("document_id"))
+      .agg(max(col("graph_score")).as("graph_score"),
+        first(col("_gtext")).as("_gtext"))
+    val merged = v.join(g, Seq("query_id", "document_id"), "full_outer")
+      .select(col("query_id"), col("document_id"),
+        coalesce(col("vector_score"), lit(0.0)).as("vector_score"),
+        coalesce(col("graph_score"), lit(0.0)).as("graph_score"),
+        coalesce(col("text"), col("_gtext")).as("text"))
+    val scored = merged.withColumn("score",
+      col("vector_score") * vectorWeight + col("graph_score") * graphWeight)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("document_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= limit).drop("_rn")
+      .select(col("query_id"), col("document_id"), col("score"),
+        col("vector_score"), col("graph_score"), col("text"))
   }
 }

@@ -146,4 +146,52 @@ class BridgeSpec extends AnyFunSuite {
       (6L, "n6", "n6", "s1", "ok", true, 3L, 1L),
       (4L, "n4", "n4", "s1", "ok", false, 0L, 2L)))
   }
+
+  test("graph search: one lowest-id root, min distance, Unknown type") {
+    val spark2 = spark
+    import spark2.implicits._
+    val nodes = Seq(
+      ("e1", "Big Pump", "COMPONENT"), ("e2", "pump seal", "COMPONENT"),
+      ("e3", "Motor", null.asInstanceOf[String]), ("e4", "Valve", "COMPONENT"),
+      ("e9", "Unrelated", "OTHER"))
+      .toDF("id", "name", "type")
+    // e1 -> e3 -> e4, e1 -> e4 (two paths to e4: distances 1 and 2)
+    val edges = Seq(("e1", "e3"), ("e3", "e4"), ("e1", "e4"))
+      .toDF("src", "dst")
+    val queries = Seq(("q1", "PUMP")).toDF("query_id", "entity_name")
+    val got = Bridge.graphSearch(nodes, edges, queries, 2, 50)
+      .orderBy("distance", "id")
+      .select("id", "name", "type", "distance")
+      .as[(String, String, String, Int)].collect().toSeq
+    // both e1 and e2 contain "pump" (case-insensitive); lowest id e1
+    // is the single root; e4 keeps its MINIMUM distance (1, not 2);
+    // e3's null type reports "Unknown"
+    assert(got === Seq(
+      ("e1", "Big Pump", "COMPONENT", 0),
+      ("e3", "Motor", "Unknown", 1),
+      ("e4", "Valve", "COMPONENT", 1)))
+  }
+
+  test("weighted hybrid: max-score vector dedup + synthetic graph docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vector = Seq(
+      ("q1", "d1", 0.9, "best text"), ("q1", "d1", 0.5, "worse text"),
+      ("q1", "d2", 0.6, "t2"), ("q1", "", 0.99, "dropped"))
+      .toDF("query_id", "document_id", "score", "text")
+    val graph = Seq(
+      ("q1", "e7", "Pump", 0), ("q1", "e8", "Seal", 1))
+      .toDF("query_id", "id", "name", "distance")
+    val got = Bridge.weightedHybrid(vector, graph, 0.7, 0.3, 3)
+      .orderBy(col("score").desc)
+      .select("document_id", "score", "vector_score", "graph_score", "text")
+      .as[(String, Double, Double, Double, String)].collect().toSeq
+    // d1 dedups to max 0.9 keeping its best text; empty document_id
+    // rows drop (bridge.py:404); graph mints doc_e7 at 1/(1+0)=1.0
+    assert(got(0) === ("d1", 0.9 * 0.7, 0.9, 0.0, "best text"))
+    assert(got(1) === ("d2", 0.6 * 0.7, 0.6, 0.0, "t2"))
+    assert(got(2) === ("doc_e7", 0.3, 0.0, 1.0, "Entity: Pump"))
+    // limit 3 cut doc_e8 (1/(1+1)*0.3 = 0.15)
+    assert(got.length === 3)
+  }
 }
