@@ -233,4 +233,27 @@ object DocumentCuration {
         coalesce(col("n_relationships"), lit(0L))).otherwise(lit(0L))
         .as("relationships_deleted"))
   }
+
+  /** POST /{id}/extract-metadata admission (documents.py:905-955),
+    * batched: 'not_found' (404) when the document is missing,
+    * 'no_content' (400) when its content is Python-falsy (null or
+    * empty), else 'queued' with the reference's started message. */
+  def extractMetadataAdmission(docs: DataFrame,
+      requests: DataFrame): DataFrame = {
+    val reqIds = broadcast(requests.select(col("document_id")))
+    val docSub = docs.select(col("document_id"), col("content"))
+      .join(reqIds, Seq("document_id"), "left_semi")
+      .withColumn("_doc_ok", lit(true))
+    requests.select(col("document_id"))
+      .join(broadcast(docSub), Seq("document_id"), "left")
+      .select(col("document_id"),
+        when(col("_doc_ok").isNull, lit("not_found"))
+          .when(col("content").isNull || length(col("content")) === 0,
+            lit("no_content"))
+          .otherwise(lit("queued")).as("arm"),
+        when(col("_doc_ok").isNotNull && col("content").isNotNull &&
+          length(col("content")) > 0,
+          concat(lit("Metadata extraction started for document "),
+            col("document_id"))).as("message"))
+  }
 }

@@ -157,4 +157,20 @@ class DocumentCurationSpec extends AnyFunSuite {
       ("p5", "bad_state", Some("pending_review"), 0L, 0L, 0L),
       ("p9", "not_found", None, 0L, 0L, 0L)))
   }
+
+  test("extract-metadata admission: 404 / falsy-content 400 / queued") {
+    val docsDf = Seq(
+      ("e1", "some content"), ("e2", ""), ("e3", null.asInstanceOf[String]))
+      .toDF("document_id", "content")
+    val requests = Seq("e1", "e2", "e3", "e9").toDF("document_id")
+    val out = DocumentCuration.extractMetadataAdmission(docsDf, requests)
+      .orderBy("document_id")
+      .select("document_id", "arm", "message")
+      .as[(String, String, Option[String])].collect().toSeq
+    assert(out === Seq(
+      ("e1", "queued", Some("Metadata extraction started for document e1")),
+      ("e2", "no_content", None),
+      ("e3", "no_content", None),
+      ("e9", "not_found", None)))
+  }
 }
