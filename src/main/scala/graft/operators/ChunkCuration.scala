@@ -197,8 +197,15 @@ object ChunkCuration {
     * null). Requests for unknown chunk_ids are the endpoint's 404 —
     * the batch form ignores them (see the spec's census). */
   def updateChunks(chunks: DataFrame, updates: DataFrame): DataFrame = {
-    val up = broadcast(updates.select(col("chunk_id"),
-      col("new_text")).where(col("new_text").isNotNull))
+    // collapse duplicate chunk_ids BEFORE the join — two updates for
+    // one chunk must not multiply its row. The reference applied
+    // call-by-call keeps the last write; the batch frame carries no
+    // call order, so the collapse is deterministic on the text value
+    // (callers wanting true call-order semantics submit one update
+    // per chunk, the reference's own usage).
+    val up = broadcast(updates.select(col("chunk_id"), col("new_text"))
+      .where(col("new_text").isNotNull)
+      .groupBy(col("chunk_id")).agg(max(col("new_text")).as("new_text")))
     val j = chunks.join(up, Seq("chunk_id"), "left")
     val touched = Window.partitionBy(col("document_id"))
     val edited = col("new_text").isNotNull

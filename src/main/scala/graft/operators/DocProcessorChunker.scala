@@ -55,14 +55,26 @@ object DocProcessorChunker {
     d.map("%02x".format(_)).mkString.substring(0, 8)
   }
 
+  // All offsets/lengths below are CODE POINTS, matching Python's len()
+  // and slicing (and the engine's Spark length/substr + the DuckDB
+  // oracle) — Java String indices count UTF-16 units and drift on
+  // non-BMP content (and can split a surrogate pair mid-window).
+  private def cps(s: String): Array[Int] = s.codePoints().toArray
+
+  private def cpSlice(a: Array[Int], from: Int, until: Int): String =
+    new String(a, from, until - from)
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** document_processor.py:174-202. */
   def fixedChunks(content: String, chunkSize: Int,
       chunkOverlap: Int): Seq[RawChunk] = {
+    val a = cps(content)
     val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
     var pos = 0
-    while (pos < content.length) {
-      val end = math.min(pos + chunkSize, content.length)
-      val text = content.substring(pos, end)
+    while (pos < a.length) {
+      val end = math.min(pos + chunkSize, a.length)
+      val text = cpSlice(a, pos, end)
       out += RawChunk(text, pos, end, md5_8(text))
       pos += chunkSize - chunkOverlap
       if (pos <= out.last.start.toInt) pos = out.last.end.toInt
@@ -73,32 +85,46 @@ object DocProcessorChunker {
   private val separators = Seq("\n## ", "\n### ", "\n#### ", "\n\n",
     "\n", ". ", " ", "")
 
-  /** document_processor.py:56-114. */
+  /** document_processor.py:56-114.
+    *
+    * Divergence from the reference, on purpose: when a separator break
+    * shrinks the chunk to <= chunk_overlap code points, the Python
+    * advance `pos + len(text) - overlap` stops moving (or goes
+    * negative) and the task spins forever / corrupts its slice. A
+    * distributed operator must not hang an executor, so the cursor
+    * snaps to the pre-break window end instead — the same guard the
+    * reference's OWN fixed chunker applies (:199-200). */
   def recursiveChunks(content: String, chunkSize: Int, chunkOverlap: Int,
       minChunkSize: Int): Seq[RawChunk] = {
+    val a = cps(content)
     val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
     var pos = 0
     var done = false
-    while (!done && pos < content.length) {
-      val chunkEnd = math.min(pos + chunkSize, content.length)
-      var text = content.substring(pos, chunkEnd)
-      if (chunkEnd < content.length) {
-        val tailFrom = math.min((chunkSize * 0.8).toInt, text.length)
-        val tail = text.substring(tailFrom)
+    while (!done && pos < a.length) {
+      val chunkEnd = math.min(pos + chunkSize, a.length)
+      var text = cpSlice(a, pos, chunkEnd)
+      if (chunkEnd < a.length) {
+        val tailFrom = math.min((chunkSize * 0.8).toInt, cpLen(text))
+        val tail = cpSlice(cps(text), tailFrom, cpLen(text))
         // membership tested in the tail slice, rfind over the WHOLE
         // chunk — and "" always matches (a no-op break), so the
         // search always terminates on some separator
         separators.find(tail.contains).foreach { sep =>
-          val lastSep = text.lastIndexOf(sep)
-          if (lastSep > 0)
-            text = content.substring(pos, pos + lastSep + sep.length)
+          val lastSepUtf16 = text.lastIndexOf(sep)
+          if (lastSepUtf16 > 0) {
+            // convert the UTF-16 index to code points (sep is ASCII)
+            val lastSep = text.codePointCount(0, lastSepUtf16)
+            text = cpSlice(a, pos, pos + lastSep + sep.length)
+          }
         }
       }
-      if (LlmResponse.pyStrip(text).length >= minChunkSize)
-        out += RawChunk(LlmResponse.pyStrip(text), pos, pos + text.length,
-          md5_8(text))
-      if (chunkEnd < content.length) pos = pos + text.length - chunkOverlap
-      else done = true
+      if (cpLen(LlmResponse.pyStrip(text)) >= minChunkSize)
+        out += RawChunk(LlmResponse.pyStrip(text), pos,
+          pos + cpLen(text), md5_8(text))
+      if (chunkEnd < a.length) {
+        val next = pos + cpLen(text) - chunkOverlap
+        pos = if (next <= pos) chunkEnd else next
+      } else done = true
     }
     out.toSeq
   }
@@ -122,18 +148,18 @@ object DocProcessorChunker {
     val it = sentences.iterator
     while (it.hasNext && !crashed) {
       val s = it.next()
-      if (curSize + s.length > chunkSize && cur.nonEmpty) {
+      if (curSize + cpLen(s) > chunkSize && cur.nonEmpty) {
         if (out.nonEmpty) crashed = true // " ".join(list-of-dicts) TypeError
         else {
           val text = cur.mkString(" ")
-          out += RawChunk(text, 0L, text.length.toLong, md5_8(text))
+          out += RawChunk(text, 0L, cpLen(text).toLong, md5_8(text))
           if (chunkOverlap > 0) {
             val keep = scala.collection.mutable.ArrayBuffer.empty[String]
             var overlapSize = 0
             var i = cur.length - 1
             var stop = false
             while (i >= 0 && !stop) {
-              overlapSize += cur(i).length
+              overlapSize += cpLen(cur(i))
               if (overlapSize >= chunkOverlap) stop = true
               else keep.insert(0, cur(i))
               i -= 1
@@ -148,7 +174,7 @@ object DocProcessorChunker {
       }
       if (!crashed) {
         cur += s
-        curSize += s.length
+        curSize += cpLen(s)
       }
     }
     if (crashed) None
@@ -158,7 +184,7 @@ object DocProcessorChunker {
         // start over chunks[:-1] — the prefix EXCLUDING the chunk being
         // appended, i.e. everything flushed so far minus the last one:
         // with at most one prior chunk this is always the empty prefix
-        out += RawChunk(text, 0L, content.length.toLong, md5_8(text))
+        out += RawChunk(text, 0L, cpLen(content).toLong, md5_8(text))
       }
       Some(out.toSeq)
     }

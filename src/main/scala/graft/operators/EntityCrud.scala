@@ -83,15 +83,21 @@ object EntityCrud {
       mentions: DataFrame): DataFrame = {
     val req = broadcast(requests.select(col("request_id")))
     val canonMentions = mentions.where(col("canonical_entity_id").isNotNull)
-    val docArm = canonMentions
+    // the (request, canonical-id) pair set is the shared subtree: the
+    // document arm joins it to the canonical frame, while the doc-hit
+    // marker needs only its request ids — deriving the marker BEFORE
+    // the canonical join keeps the big mention scan a single reusable
+    // exchange instead of re-running the wider join for both branches
+    val docPairs = canonMentions
       .join(req, col("document_id") === col("request_id"), "inner")
       .select(col("request_id"), col("canonical_entity_id").as("id"))
       .distinct()
+    val docArm = docPairs
       .join(canonical, Seq("id"))
       .select(col("request_id"), lit("document").as("arm"), col("id"),
         col("name"), col("type"), col("quality_score"), col("is_validated"),
         lit(null).cast("long").as("n_mentions"))
-    val docHits = docArm.select(col("request_id")).distinct()
+    val docHits = docPairs.select(col("request_id")).distinct()
     val entityReq = req.join(broadcast(docHits), Seq("request_id"),
       "left_anti")
     val mentionCounts = canonMentions
@@ -131,18 +137,29 @@ object EntityCrud {
         Seq("document_id", "entity_name", "entity_type"), "left_semi")
       .distinct()
       .withColumn("_dup", lit(true))
+    // intra-batch duplicates: applying the endpoint call-by-call, the
+    // FIRST identical (doc, name, type) request creates and every
+    // later one is the duplicate 400 — order fixed as ascending
+    // request_id
+    val order = Window
+      .partitionBy(col("document_id"), col("entity_name"),
+        col("entity_type"))
+      .orderBy(col("request_id"))
     req.join(broadcast(docHit), Seq("document_id"), "left")
       .join(broadcast(dupHit),
         Seq("document_id", "entity_name", "entity_type"), "left")
+      .withColumn("_nth", row_number().over(order))
       .select(col("request_id"), col("document_id"),
         when(col("_doc_ok").isNull, lit("no_document"))
-          .when(col("_dup").isNotNull, lit("duplicate"))
+          .when(col("_dup").isNotNull || col("_nth") > 1,
+            lit("duplicate"))
           .otherwise(lit("created")).as("arm"),
         col("entity_name"), col("entity_type"), col("confidence"),
         when(col("_doc_ok").isNotNull && col("_dup").isNull &&
-          col("manual"), lit(true)).as("manually_created"),
-        when(col("_doc_ok").isNotNull && col("_dup").isNull,
-          lit("pending_review")).as("doc_status"))
+          col("_nth") === 1 && col("manual"), lit(true))
+          .as("manually_created"),
+        when(col("_doc_ok").isNotNull && col("_dup").isNull &&
+          col("_nth") === 1, lit("pending_review")).as("doc_status"))
   }
 
   /** PUT /entities/{id} (entities.py:254-337), batched: requested
@@ -154,9 +171,24 @@ object EntityCrud {
     * touched mention's document flips to pending_review (rides along
     * as doc_status on every row of that document). */
   def updateMentions(mentions: DataFrame, updates: DataFrame): DataFrame = {
+    // collapse duplicate entity_ids BEFORE the join — two updates for
+    // one mention must not multiply its row. Maps aren't orderable, so
+    // the deterministic pick orders on the scalar fields plus the
+    // metadata rendered to a sorted k=v string (the reference's
+    // call-by-call usage is one update per entity anyway).
+    val mdKey = array_join(transform(
+      array_sort(map_keys(coalesce(col("new_metadata"),
+        map().cast("map<string,string>")))),
+      k => concat(k, lit("="), element_at(col("new_metadata"), k))), ",")
+    val pick = Window.partitionBy(col("entity_id")).orderBy(
+      struct(col("new_name"), col("new_type"), col("new_confidence"),
+        col("merge_metadata"), mdKey.as("_mdk")).desc)
     val up = broadcast(updates.select(col("entity_id"), col("new_name"),
       col("new_type"), col("new_confidence"), col("new_metadata"),
-      col("merge_metadata"), lit(true).as("_edit")))
+      col("merge_metadata"))
+      .withColumn("_rn", row_number().over(pick))
+      .where(col("_rn") === 1).drop("_rn")
+      .withColumn("_edit", lit(true)))
     val j = mentions.join(up, Seq("entity_id"), "left")
     val touched = Window.partitionBy(col("document_id"))
     val merged = when(col("new_metadata").isNull, col("metadata"))

@@ -222,7 +222,7 @@ object Metadata {
     * be truthy in Python; the map model stores parsed scalars
     * rendered to text, so "false" here always means JSON false.) */
   private def jsonTruthy(v: Column): Column =
-    v.isNotNull && v =!= "" && v =!= "false" && v =!= "0"
+    v.isNotNull && v =!= "" && v =!= "false" && v =!= "0" && v =!= "0.0"
 
   /** GET /documents/{id}/suggested-metadata (documents.py:957-1007):
     * when the document's metadata carries a truthy `ai_extracted`

@@ -70,16 +70,20 @@ object ProgressStream {
     * never a 'complete', however finished the job is (see the class
     * doc). One generator per document row, no shuffle. */
   def pollTimeline(jobs: DataFrame, ticks: Int = 30): DataFrame = {
-    val perTick = explode(sequence(lit(1), lit(ticks)))
+    // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    // range — guard both generators so ticks < 5 emits no phantom
+    // heartbeats and ticks = 0 no job updates
+    def upTo(n: Int) =
+      if (n >= 1) sequence(lit(1), lit(n))
+      else array().cast("array<int>")
     val ticked = jobs.select(col("document_id"), col("job_id"),
         col("status"), col("progress"), col("current_step"),
-        perTick.as("tick"))
+        explode(upTo(ticks)).as("tick"))
       .select(col("document_id"), (col("tick") * 10).as("seq"),
         jobUpdate(col("document_id"), col("job_id"), col("status"),
           col("progress"), col("current_step")).as("frame"))
       .unionByName(jobs
-        .select(col("document_id"),
-          explode(sequence(lit(1), lit(ticks / 5))).as("hb"))
+        .select(col("document_id"), explode(upTo(ticks / 5)).as("hb"))
         .select(col("document_id"), (col("hb") * 50 + 1).as("seq"),
           heartbeat(col("document_id")).as("frame")))
     jobs.select(col("document_id"), lit(0).as("seq"),

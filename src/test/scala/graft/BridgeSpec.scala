@@ -172,6 +172,26 @@ class BridgeSpec extends AnyFunSuite {
       ("e4", "Valve", "COMPONENT", 1)))
   }
 
+  test("vector search shape: >= threshold cut and payload defaults") {
+    val spark2 = spark
+    import spark2.implicits._
+    val results = Seq(
+      (1L, Some("d1"), Some("text"), 0.7, Some(3)),   // exactly at cut
+      (2L, Some("d2"), Some("t"), 0.699, Some(1)),    // below: drops
+      (3L, None: Option[String], None: Option[String], 0.9,
+        None: Option[Int]))                            // defaults fill
+      .toDF("id", "document_id", "text", "score", "chunk_number")
+    val got = Bridge.vectorSearchShape(results, 0.7)
+      .orderBy("id")
+      .select("id", "document_id", "text", "score", "chunk_number")
+      .as[(String, String, String, Double, Int)].collect().toSeq
+    // bridge.py:277: `score >= threshold` keeps the boundary; :279-284
+    // default document_id/text to "" and chunk_number to 0
+    assert(got === Seq(
+      ("1", "d1", "text", 0.7, 3),
+      ("3", "", "", 0.9, 0)))
+  }
+
   test("weighted hybrid: max-score vector dedup + synthetic graph docs") {
     val spark2 = spark
     import spark2.implicits._

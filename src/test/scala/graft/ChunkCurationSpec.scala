@@ -199,6 +199,17 @@ class ChunkCurationSpec extends AnyFunSuite {
     assert(out === Seq(("c0", 0), ("c2", 2), ("c3", 3)))
   }
 
+  test("duplicate update ids collapse to one row, never multiply") {
+    val spark2 = spark
+    import spark2.implicits._
+    val updates = Seq(("c1", "AAA"), ("c1", "ZZZ"))
+      .toDF("chunk_id", "new_text")
+    val out = ChunkCuration.updateChunks(chunksDf, updates)
+    assert(out.count() === 6) // same cardinality as the input chunks
+    assert(out.where(col("chunk_id") === "c1")
+      .select("chunk_text").as[String].collect().toSeq === Seq("ZZZ"))
+  }
+
   test("batch update counts Python-truthy requests that hit a chunk") {
     val spark2 = spark
     import spark2.implicits._

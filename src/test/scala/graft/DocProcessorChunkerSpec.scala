@@ -77,6 +77,29 @@ class DocProcessorChunkerSpec extends AnyFunSuite {
       RawChunk("Ee ff gg hh iijj.", 0, 31, "819a61b5"))))
   }
 
+  test("offsets count code points, not UTF-16 units (non-BMP parity)") {
+    // vectors computed with the reference algorithm in Python, whose
+    // len()/slices count code points; two astral emoji = 4 UTF-16
+    // units but 2 code points
+    val c = "ab😀cdef😁gh"
+    val got = DocProcessorChunker.fixedChunks(c, 4, 1)
+    assert(got === Seq(
+      RawChunk("ab😀c", 0, 4, "e154999c"),
+      RawChunk("cdef", 3, 7, "5bede326"),
+      RawChunk("f😁gh", 6, 10, "0416772c"),
+      RawChunk("h", 9, 10, "2510c390")))
+  }
+
+  test("recursive cursor guard: a shrunken break still advances") {
+    // the Python reference loops forever here (advance = len(text) -
+    // overlap = 0 after the separator break); the operator documents
+    // the divergence and snaps to the pre-break window end instead
+    val c = "a" * 49 + " " + "b" * 60
+    val got = DocProcessorChunker.recursiveChunks(c, 60, 50, 10)
+    assert(got.nonEmpty)          // terminates
+    assert(got.map(_.start).distinct.length === got.length)
+  }
+
   test("rechunk routes semantic to the FIXED chunker and frames rows") {
     val spark2 = spark
     import spark2.implicits._

@@ -142,6 +142,56 @@ class EntityCrudSpec extends AnyFunSuite {
       None, None, None, None))
   }
 
+  test("duplicate update keys collapse; duplicate creates 400 in-batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mentions = Seq(("m1", "d1", "Pump", "COMPONENT", 0.5,
+        Map.empty[String, String]))
+      .toDF("entity_id", "document_id", "entity_name", "entity_type",
+        "confidence", "metadata")
+    val updates = Seq(
+      ("m1", Some("AAA"), None: Option[String], None: Option[Double],
+        None: Option[Map[String, String]], false),
+      ("m1", Some("ZZZ"), None: Option[String], None: Option[Double],
+        None: Option[Map[String, String]], false))
+      .toDF("entity_id", "new_name", "new_type", "new_confidence",
+        "new_metadata", "merge_metadata")
+    val upd = EntityCrud.updateMentions(mentions, updates)
+    assert(upd.count() === 1) // never multiplied
+    assert(upd.select("entity_name").as[String].head() === "ZZZ")
+    // two identical creates in one batch: applying the endpoint
+    // call-by-call, the first creates and the second is the 400
+    val docs = Seq("d1").toDF("document_id")
+    val existing = Seq.empty[(String, String, String)]
+      .toDF("document_id", "entity_name", "entity_type")
+    val requests = Seq(
+      ("r1", "d1", "Valve", "COMPONENT", 0.8, false),
+      ("r2", "d1", "Valve", "COMPONENT", 0.8, false))
+      .toDF("request_id", "document_id", "entity_name", "entity_type",
+        "confidence", "manual")
+    val arms = EntityCrud.createMentions(docs, existing, requests)
+      .orderBy("request_id").select("request_id", "arm")
+      .as[(String, String)].collect().toSeq
+    assert(arms === Seq(("r1", "created"), ("r2", "duplicate")))
+  }
+
+  test("dangling canonical ids still resolve as a document (empty list)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 'dX' has canonicalized mentions but their entity rows are gone:
+    // the reference enters the document arm on the mention check and
+    // returns [] — it must NOT fall through to the entity lookup,
+    // even though a canonical entity named 'dX' exists
+    val mentions = Seq(("m1", "dX", Some("ghost")))
+      .toDF("mention_id", "document_id", "canonical_entity_id")
+    val canonical = Seq(("dX", "Trap", "OTHER", Some(0.5), false))
+      .toDF("id", "name", "type", "quality_score", "is_validated")
+    val requests = Seq("dX").toDF("request_id")
+    val out = EntityCrud.resolveEntityOrDocument(requests, canonical,
+      mentions)
+    assert(out.count() === 0)
+  }
+
   test("delete drops the mention and flags only its document") {
     val spark2 = spark
     import spark2.implicits._

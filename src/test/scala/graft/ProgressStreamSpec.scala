@@ -60,4 +60,17 @@ class ProgressStreamSpec extends AnyFunSuite {
     // the poll path — the completion check reads only queue events
     assert(!frames.exists(_._2.contains("\"event\":\"complete\"")))
   }
+
+  test("short timelines emit no phantom frames (sequence(1,0) guard)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val f4 = ProgressStream.pollTimeline(jobs, ticks = 4)
+      .select("frame").as[String].collect().toSeq
+    // connected + 4 job_updates + timeout; zero heartbeats
+    assert(f4.length === 6)
+    assert(!f4.exists(_.contains("heartbeat")))
+    val f0 = ProgressStream.pollTimeline(jobs, ticks = 0)
+      .select("frame").as[String].collect().toSeq
+    assert(f0.length === 2) // connected + timeout only
+  }
 }
