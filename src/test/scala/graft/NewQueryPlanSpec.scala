@@ -122,4 +122,49 @@ class NewQueryPlanSpec extends AnyFunSuite {
       assert(badExchanges.isEmpty, s"$q shuffles on $badExchanges:\n$plan")
     }
   }
+
+  test("q117 chunk context: one doc-keyed join, content never duplicated") {
+    val plan = planOf("q117_chunk_context")
+    // chunks and documents co-partition on document_id; nothing plans
+    // a global sort or single-partition exchange
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q118/q119 chunk update/delete: requests broadcast, one window shuffle") {
+    for (q <- Seq("q118_chunk_update", "q119_chunk_delete")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
+    }
+  }
+
+  test("q121 entity listing: one count shuffle + one window, no global sort") {
+    val plan = planOf("q121_entity_listing")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("q128 process admission: docs semi-reduced then broadcast, never shuffled") {
+    val plan = planOf("q128_process_admission")
+    // the big docs frame semi-joins down to the request ids and the
+    // bounded result broadcasts — no sort-merge join anywhere
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q126 quick search: the top-10 fused page broadcasts onto the corpus") {
+    val plan = planOf("q126_quick_search")
+    // the bounded result side must be the broadcast build; the
+    // documents scan joins without shuffling on doc_id
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q132 graph search: bounded per-hop joins, no cartesian") {
+    val plan = planOf("q132_bridge_graph_search")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
