@@ -212,7 +212,13 @@ object SparkEntry {
         size(graft.functions.NativeText.shinglesOf(col("_toks"), 3)).as("n_shingles"))
 
   /** N-gram Jaccard near-dup pairs via the shared inverted shingle
-    * index (ingest artifact — no per-query re-shingling). */
+    * index (ingest artifact — no per-query re-shingling). The plain
+    * index self-join IS the winner here: a PPJoin prefix-filter
+    * variant was built and measured 6× slower at sf0.1 and >30× at
+    * sf1 (SCALING.md round 11) — this corpus's Σdf² join mass is
+    * modest while the prefix machinery's global df-rank window scales
+    * with the postings; the df-capped variant remains the measured
+    * scale path. */
   private def q17(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsFromIndex(docsShingles(s, dir), "doc_id", 0.2)
 
