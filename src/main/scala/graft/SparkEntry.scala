@@ -2620,6 +2620,32 @@ object SparkEntry {
         col("n_mentions"))
   }
 
+  /** Entity delete in the gate (DELETE /entities/{id},
+    * entities.py:338-373 via EntityCrud.deleteMentions): even
+    * documents delete their m1 — the survivors keep their fields and
+    * every row of a touched document carries the pending_review side
+    * effect; odd documents are untouched end-to-end. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import operators.EntityCrud
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val mentions = d.select(col("doc_id"),
+        explode(array(lit(1), lit(2), lit(3))).as("m"))
+      .select(
+        concat(lit("m"), col("doc_id"), lit(":"), col("m")).as("entity_id"),
+        concat(lit("D"), col("doc_id")).as("document_id"),
+        concat(lit("N"), col("m")).as("entity_name"),
+        lit("COMPONENT").as("entity_type"),
+        (col("m") * 0.1 + 0.5).as("confidence"))
+    val deletes = d.where(col("doc_id") % 2 === 0)
+      .select(concat(lit("m"), col("doc_id"), lit(":1")).as("entity_id"))
+    EntityCrud.deleteMentions(mentions, deletes)
+      .select(
+        regexp_extract(col("entity_id"), "^m(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        col("entity_id"), col("entity_name"),
+        round(col("confidence"), 2).as("confidence"), col("doc_status"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3082,7 +3108,8 @@ object SparkEntry {
     "q130_progress_stream" -> q130 _,
     "q131_connector_scans" -> q131 _,
     "q132_bridge_graph_search" -> q132 _,
-    "q133_bridge_hybrid" -> q133 _)
+    "q133_bridge_hybrid" -> q133 _,
+    "q134_entity_delete" -> q134 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4657,7 +4684,18 @@ object SparkEntry {
         |  CAST(v.sc AS DOUBLE) AS score,
         |  CAST(v.vs AS DOUBLE) AS vector_score,
         |  CAST(v.gs AS DOUBLE) AS graph_score, v.tx AS text
-        |FROM documents d CROSS JOIN vh v""".stripMargin)
+        |FROM documents d CROSS JOIN vh v""".stripMargin,
+    "q134_entity_delete" ->
+      // even docs delete m1: survivors m2/m3 flagged pending_review;
+      // odd docs keep all three rows unflagged
+      """WITH vm(m) AS (VALUES (1), (2), (3))
+        |SELECT d.doc_id, 'm' || d.doc_id || ':' || v.m AS entity_id,
+        |  'N' || v.m AS entity_name,
+        |  CAST(round(v.m * 0.1 + 0.5, 2) AS DOUBLE) AS confidence,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'pending_review' END
+        |    AS doc_status
+        |FROM documents d CROSS JOIN vm v
+        |WHERE NOT (d.doc_id % 2 = 0 AND v.m = 1)""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
