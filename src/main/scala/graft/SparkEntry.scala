@@ -214,8 +214,9 @@ object SparkEntry {
   /** N-gram Jaccard near-dup pairs via the shared inverted shingle
     * index (ingest artifact — no per-query re-shingling). The plain
     * index self-join IS the winner here: a PPJoin prefix-filter
-    * variant was built and measured 6× slower at sf0.1 and >30× at
-    * sf1 (SCALING.md round 11) — this corpus's Σdf² join mass is
+    * variant was built and measured ~8× slower at sf0.1 (8.5 s vs
+    * 1.1 s) and >30× at sf1 (SCALING.md round 11) — this corpus's
+    * Σdf² join mass is
     * modest while the prefix machinery's global df-rank window scales
     * with the postings; the df-capped variant remains the measured
     * scale path. */
