@@ -2647,6 +2647,27 @@ object SparkEntry {
         round(col("confidence"), 2).as("confidence"), col("doc_status"))
   }
 
+  /** Pipeline progress ladder in the gate (document_tasks.py via
+    * PipelineProgress.ladder): per-document outcome counts derived
+    * from doc_id so every message parameterizes differently; even
+    * documents parse inline. The 100% frame repeats the 95-step
+    * message with status completed — the Job.complete() quirk. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import operators.PipelineProgress
+    val outcomes = t(s, dir, "documents").select(
+      col("doc_id").cast("string").as("document_id"),
+      (col("doc_id") % 2 === 0).as("inline"),
+      (col("doc_id") % 7 + 1).as("chunk_count"),
+      (col("doc_id") % 7 + 1).as("embeddings_generated"),
+      (col("doc_id") % 11).as("mention_count"),
+      (col("doc_id") % 5).as("canonical_count"),
+      (col("doc_id") % 3).as("relationships_inserted"))
+    PipelineProgress.ladder(outcomes)
+      .select(col("document_id").cast("bigint").as("doc_id"),
+        col("seq"), col("progress"), col("current_step"),
+        col("job_status"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3110,7 +3131,8 @@ object SparkEntry {
     "q131_connector_scans" -> q131 _,
     "q132_bridge_graph_search" -> q132 _,
     "q133_bridge_hybrid" -> q133 _,
-    "q134_entity_delete" -> q134 _)
+    "q134_entity_delete" -> q134 _,
+    "q135_pipeline_progress" -> q135 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4696,7 +4718,43 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 2 = 0 THEN 'pending_review' END
         |    AS doc_status
         |FROM documents d CROSS JOIN vm v
-        |WHERE NOT (d.doc_id % 2 = 0 AND v.m = 1)""".stripMargin)
+        |WHERE NOT (d.doc_id % 2 = 0 AND v.m = 1)""".stripMargin,
+    "q135_pipeline_progress" ->
+      // the 14-frame ladder with count-parameterized messages; the
+      // 100% frame repeats the 95 message with status completed
+      """WITH o AS (SELECT doc_id, doc_id % 2 = 0 AS inline,
+        |  doc_id % 7 + 1 AS cc, doc_id % 11 AS mc, doc_id % 5 AS can,
+        |  doc_id % 3 AS ri FROM documents),
+        |f AS (SELECT doc_id, s.seq, s.progress,
+        |  CASE s.seq
+        |    WHEN 0 THEN 'Queued for processing'
+        |    WHEN 1 THEN 'Parsing document with LlamaParse'
+        |    WHEN 2 THEN CASE WHEN inline
+        |      THEN 'Document parsed using inline content'
+        |      ELSE 'Document parsed successfully' END
+        |    WHEN 3 THEN 'Chunking document (two-tier)'
+        |    WHEN 4 THEN 'Created ' || cc || ' two-tier chunks'
+        |    WHEN 5 THEN 'Generating embeddings'
+        |    WHEN 6 THEN 'Generated ' || cc || ' embeddings'
+        |    WHEN 7 THEN 'Extracting entities'
+        |    WHEN 8 THEN 'Extracting entity mentions (v2 pipeline)'
+        |    WHEN 9 THEN 'Persisting ' || mc || ' mentions / ' || can ||
+        |      ' canonical entities'
+        |    WHEN 10 THEN 'Canonicalized ' || can ||
+        |      ' entities; inferring relationships'
+        |    WHEN 11 THEN 'Finalising entity metrics (' || can ||
+        |      ' canonical / ' || ri || ' relationships)'
+        |    ELSE 'Entities ready for review (' || can ||
+        |      ' canonical / ' || ri || ' relationships)' END
+        |    AS current_step,
+        |  CASE WHEN s.seq = 13 THEN 'completed' ELSE 'running' END
+        |    AS job_status
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 14)) AS seq,
+        |    unnest([1, 10, 25, 35, 50, 60, 75, 85, 88, 90, 92, 94, 95,
+        |      100]) AS progress) s)
+        |SELECT doc_id, CAST(seq AS INT) AS seq,
+        |  CAST(progress AS INT) AS progress, current_step, job_status
+        |FROM f""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
