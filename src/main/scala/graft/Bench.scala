@@ -78,23 +78,37 @@ object Bench {
     // compile on both timed runs, recording 0.79 s where the steady
     // state is 0.15-0.18 s; the full pass costs ~8 s of untimed prep
     // and closes that hole.
-    SparkEntry.benchQueries.foreach { name =>
+    // the settle pass is also TIMED (but never recorded): each query's
+    // settle time is a same-session warm reference for the noise guard
+    // below
+    val settleTimes = SparkEntry.benchQueries.map { name =>
+      val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }
-    }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val warmSec = (System.nanoTime() - w0) / 1e9
     var errors = List.empty[String]
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        val times = (1 to 3).map { _ =>
+        def timeOnce(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        val times = (1 to 3).map(_ => timeOnce())
         // discard run 1 (may still catch a background compile); min of
         // runs 2-3 is the steady state
-        name -> times.drop(1).min
+        val recorded = times.drop(1).min
+        // NOISE GUARD (the round-10 q18 cell: 12.08 s recorded where
+        // the steady state is 0.46 s, from a transient environmental
+        // stall that hit all three timed runs): if the would-be record
+        // exceeds 3x this session's own settle-pass time for the same
+        // query, re-time once after the disturbance and keep the min.
+        val floor = settleTimes.getOrElse(name, recorded)
+        name -> (if (recorded > 3 * floor) math.min(recorded, timeOnce())
+          else recorded)
       } catch {
         case _: Throwable => errors ::= name; name -> -1.0
       }
