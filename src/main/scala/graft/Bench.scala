@@ -80,12 +80,15 @@ object Bench {
     // and closes that hole.
     // the settle pass is also TIMED (but never recorded): each query's
     // settle time is a same-session warm reference for the noise guard
-    // below
-    val settleTimes = SparkEntry.benchQueries.map { name =>
+    // below. A settle-pass FAILURE records no reference — its
+    // fail-fast duration would make the 3x threshold meaningless, so
+    // the guard simply stays off for that query.
+    val settleTimes = SparkEntry.benchQueries.flatMap { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }.toMap
     val warmSec = (System.nanoTime() - w0) / 1e9
     var errors = List.empty[String]
@@ -104,11 +107,22 @@ object Bench {
         // NOISE GUARD (the round-10 q18 cell: 12.08 s recorded where
         // the steady state is 0.46 s, from a transient environmental
         // stall that hit all three timed runs): if the would-be record
-        // exceeds 3x this session's own settle-pass time for the same
-        // query, re-time once after the disturbance and keep the min.
-        val floor = settleTimes.getOrElse(name, recorded)
-        name -> (if (recorded > 3 * floor) math.min(recorded, timeOnce())
-          else recorded)
+        // exceeds 3x this session's own settle-pass time PLUS half a
+        // second of absolute slack — the slack keeps the guard off
+        // floor-level sub-100ms cells whose ordinary jitter spans 3x,
+        // so their methodology stays the documented min-of-runs-2-3 —
+        // re-time once after the disturbance and keep the min. The
+        // extra run must never DOWNGRADE a successful measurement: its
+        // own failure falls back to the 3-run record instead of
+        // propagating into the -1.0 error arm.
+        val guarded = settleTimes.get(name) match {
+          case Some(floor) if recorded > 3 * floor + 0.5 =>
+            math.min(recorded, try timeOnce() catch {
+              case _: Throwable => recorded
+            })
+          case _ => recorded
+        }
+        name -> guarded
       } catch {
         case _: Throwable => errors ::= name; name -> -1.0
       }
