@@ -2840,8 +2840,8 @@ object SparkEntry {
     * namespaced 5-node graphs with a doc-unique "pump<doc>x" token so
     * each query matches exactly its own doc's two candidates — the
     * lowest-id one becomes the single root (the reference's LIMIT 1),
-    * e4 keeps its minimum distance over two paths, and the null type
-    * reports "Unknown". */
+    * e4 keeps its minimum distance over two paths, and e3's null type
+    * stays null (the reference's "Unknown" default is dead code). */
   private def q132(s: SparkSession, dir: String): DataFrame = {
     import operators.Bridge
     val d = t(s, dir, "documents").select(col("doc_id"))
@@ -4686,10 +4686,11 @@ object SparkEntry {
         |FROM documents d JOIN vg v ON d.doc_id % 3 = v.m""".stripMargin,
     "q132_bridge_graph_search" ->
       // root = lowest matching id e<doc>:1; e4 keeps min distance 1;
-      // e3's null type reports Unknown; e2/e5 never traversed
+      // e3's null type stays NULL (the reference's .get default is
+      // dead code); e2/e5 never traversed
       """WITH vr(k, nm, ty, dist) AS (VALUES
         |  (1, 'x big', 'COMPONENT', 0),
-        |  (3, NULL, 'Unknown', 1),
+        |  (3, NULL, CAST(NULL AS VARCHAR), 1),
         |  (4, NULL, 'COMPONENT', 1))
         |SELECT d.doc_id, 'e' || d.doc_id || ':' || v.k AS id,
         |  CASE WHEN v.k = 1 THEN 'Pump' || d.doc_id || v.nm

@@ -33,12 +33,19 @@ object Verify {
       case c => c.toString
     } + "\""
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Dirs THIS run actually wrote — the coverage self-check diffs
+    // against this, not a raw outDir listing, so stale dirs left by a
+    // previous run can't mask a query the current dump dropped.
+    val written = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          written.add(name)
+        }
         catch { case e: Throwable =>
           // A missing output dir would silently drop the query from the
           // downstream DuckDB compare (how the round-10 q68 regression
@@ -53,6 +60,7 @@ object Verify {
           val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
           Files.writeString(Paths.get(s"$outDir/$name/ERROR.json"),
             "{\"error\": " + jstr(msg) + "}")
+          written.add(name)
         }
       }
     }
@@ -61,11 +69,11 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     // Coverage self-check: every declared query must have an output dir
-    // (result parquet or ERROR marker) — a gap here means the dump itself
-    // lost a query, which must never pass silently.
+    // (result parquet or ERROR marker) written BY THIS RUN — a gap here
+    // means the dump itself lost a query, which must never pass silently.
     val expected = SparkEntry.queries.keySet
       .filter(n => only.forall(_.contains(n)))
-    val emitted = Option(new java.io.File(outDir).list()).toSeq.flatten.toSet
+    val emitted = written.toArray(Array.empty[String]).toSet
     val missing = expected.diff(emitted)
     if (missing.nonEmpty) {
       System.err.println(s"[verify] MISSING OUTPUT for: ${missing.toSeq.sorted.mkString(",")}")

@@ -232,9 +232,20 @@ object Bridge {
     * deviation; the oracle uses the same rule) — then walks outgoing
     * edges 0..depth hops. Faithful shape quirks: every node keeps its
     * MINIMUM distance (the first sighting under ORDER BY distance
-    * wins), the root reports distance 0 even when revisited, type
-    * defaults to "Unknown", and the response's `edges` list is ALWAYS
-    * empty — the reference never populates it.
+    * wins), the root reports distance 0 even when revisited, null node
+    * types stay null (the reference's dict(record).get("related_type",
+    * "Unknown") default is dead code — the Cypher RETURN always binds
+    * the key, so a null-typed node surfaces as None), and the
+    * response's `edges` list is ALWAYS empty — the reference never
+    * populates it.
+    *
+    * Documented deviation (like the LIMIT-1 root rule): the reference's
+    * Cypher `LIMIT $limit` cuts PATH rows before DISTINCT/node-dedup in
+    * an unordered intermediate, so when the limit binds, which nodes
+    * survive is storage-order nondeterminism. Here the cut applies to
+    * distinct min-distance nodes ordered by (distance, id) — a
+    * deterministic refinement of the same bound, required for a stable
+    * oracle.
     *
     * Scale: one bounded join per hop (depth <= 5 by the route's
     * validation), frontier keyed by (query_id, node) — the classic
@@ -262,8 +273,7 @@ object Bridge {
       .orderBy(col("distance"), col("id"))
     minDist.join(nodes.withColumnRenamed("id", "_nid"),
         col("id") === col("_nid"))
-      .select(col("query_id"), col("id"), col("name"),
-        coalesce(col("type"), lit("Unknown")).as("type"),
+      .select(col("query_id"), col("id"), col("name"), col("type"),
         col("distance"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= limit).drop("_rn")

@@ -225,7 +225,7 @@ object DocProcessorChunker {
             case Some(chunks) =>
               chunks.iterator.zipWithIndex.map { case (c, i) =>
                 RechunkRow(docId, "chunk", Some(i), Some(c.text),
-                  Some(c.text.length), Some(c.start), Some(c.end),
+                  Some(cpLen(c.text)), Some(c.start), Some(c.end),
                   Some(c.chunkId), method, "pending_review",
                   Some(chunks.length))
               }

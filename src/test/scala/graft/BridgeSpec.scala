@@ -147,7 +147,7 @@ class BridgeSpec extends AnyFunSuite {
       (4L, "n4", "n4", "s1", "ok", false, 0L, 2L)))
   }
 
-  test("graph search: one lowest-id root, min distance, Unknown type") {
+  test("graph search: one lowest-id root, min distance, null type kept") {
     val spark2 = spark
     import spark2.implicits._
     val nodes = Seq(
@@ -165,10 +165,11 @@ class BridgeSpec extends AnyFunSuite {
       .as[(String, String, String, Int)].collect().toSeq
     // both e1 and e2 contain "pump" (case-insensitive); lowest id e1
     // is the single root; e4 keeps its MINIMUM distance (1, not 2);
-    // e3's null type reports "Unknown"
+    // e3's null type stays null — the reference's .get(...,"Unknown")
+    // default never fires because the Cypher RETURN always binds the key
     assert(got === Seq(
       ("e1", "Big Pump", "COMPONENT", 0),
-      ("e3", "Motor", "Unknown", 1),
+      ("e3", "Motor", null, 1),
       ("e4", "Valve", "COMPONENT", 1)))
   }
 

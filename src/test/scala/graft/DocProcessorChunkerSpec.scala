@@ -90,6 +90,20 @@ class DocProcessorChunkerSpec extends AnyFunSuite {
       RawChunk("h", 9, 10, "2510c390")))
   }
 
+  test("rechunk chunk_size counts code points on non-BMP content") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same astral-emoji content as the fixedChunks vector above: Python
+    // len(chunk["text"]) counts code points, so chunk_size must too —
+    // UTF-16 .length would report 5/4/5/1 instead of 4/4/4/1
+    val docs = Seq(("d1", "ab😀cdef😁gh")).toDF("document_id", "content")
+    val got = DocProcessorChunker.rechunk(docs, "fixed", 4, 1)
+      .orderBy("chunk_number")
+      .select("chunk_text", "chunk_size")
+      .as[(String, Int)].collect().toSeq
+    assert(got === Seq(("ab😀c", 4), ("cdef", 4), ("f😁gh", 4), ("h", 1)))
+  }
+
   test("recursive cursor guard: a shrunken break still advances") {
     // the Python reference loops forever here (advance = len(text) -
     // overlap = 0 after the separator break); the operator documents
