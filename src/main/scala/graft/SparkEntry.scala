@@ -2668,6 +2668,53 @@ object SparkEntry {
         col("job_status"))
   }
 
+  /** Metadata-update route in the gate (PUT /documents/{id}/metadata,
+    * documents.py:887-902 via DocumentCuration.updateMetadataBatch):
+    * seven request arms per document over a doc fixture with existing
+    * metadata {keep:v0, old:x} — plain-key merge overwrite (k0), the
+    * presence-not-truthiness author pop of an EMPTY string plus a
+    * mime_type pop (k1), the security ladder clobbering a same-dict
+    * access_level (k2: partner beats 9), an unknown level's default 1
+    * (k3), a bare access_level pop (k4), merge=false still merging
+    * (the dead query param, k5), and the 404 arm (k6). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import operators.DocumentCuration
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def did(k: Column) = concat(lit("D"), col("doc_id"), lit(":"), k)
+    val docs = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(5))).as("k"))
+      .select(did(col("k")).as("document_id"), lit("a0").as("author"),
+        lit("text/plain").as("mime_type"), lit("public").as("security_level"),
+        lit(1).as("access_level"),
+        map(lit("keep"), lit("v0"), lit("old"), lit("x")).as("metadata"))
+    val requests = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(
+        when(col("k") === 6, did(lit("miss"))).otherwise(did(col("k")))
+          .as("document_id"),
+        when(col("k") === 0, map(lit("old"), lit("y"), lit("extra"), lit("z")))
+          .when(col("k") === 1, map(lit("author"), lit(""),
+            lit("mime_type"), lit("app/pdf")))
+          .when(col("k") === 2, map(lit("security_level"), lit("partner"),
+            lit("access_level"), lit("9")))
+          .when(col("k") === 3, map(lit("security_level"), lit("weird")))
+          .when(col("k") === 4, map(lit("access_level"), lit("7")))
+          .when(col("k") === 5, map(lit("extra"), lit("m")))
+          .otherwise(map(lit("extra"), lit("n"))).as("new_metadata"),
+        (col("k") =!= 5).as("merge"))
+    DocumentCuration.updateMetadataBatch(docs, requests, "T1")
+      .select(
+        regexp_extract(col("document_id"), "^D(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("document_id"), ":(\\w+)$", 1).as("k"),
+        col("merge"), col("arm"), col("author"), col("mime_type"),
+        col("security_level"), col("access_level"),
+        element_at(col("metadata"), "keep").as("m_keep"),
+        element_at(col("metadata"), "old").as("m_old"),
+        element_at(col("metadata"), "extra").as("m_extra"),
+        col("updated_at"), col("message"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3132,7 +3179,8 @@ object SparkEntry {
     "q132_bridge_graph_search" -> q132 _,
     "q133_bridge_hybrid" -> q133 _,
     "q134_entity_delete" -> q134 _,
-    "q135_pipeline_progress" -> q135 _)
+    "q135_pipeline_progress" -> q135 _,
+    "q136_metadata_update" -> q136 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4755,7 +4803,34 @@ object SparkEntry {
         |      100]) AS progress) s)
         |SELECT doc_id, CAST(seq AS INT) AS seq,
         |  CAST(progress AS INT) AS progress, current_step, job_status
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    "q136_metadata_update" ->
+      // seven arms: merge overwrite, empty-string author pop (presence
+      // not truthiness), ladder clobbers same-dict access_level,
+      // unknown level -> 1, bare access_level, dead merge=false param
+      // still merges, and the 404
+      """WITH vm(k, mrg, arm, au, mt, sl, al, mk, mo, me, ua) AS (VALUES
+        |  ('0', true, 'updated', 'a0', 'text/plain', 'public', 1,
+        |    'v0', 'y', 'z', 'T1'),
+        |  ('1', true, 'updated', '', 'app/pdf', 'public', 1,
+        |    'v0', 'x', NULL, 'T1'),
+        |  ('2', true, 'updated', 'a0', 'text/plain', 'partner', 3,
+        |    'v0', 'x', NULL, 'T1'),
+        |  ('3', true, 'updated', 'a0', 'text/plain', 'weird', 1,
+        |    'v0', 'x', NULL, 'T1'),
+        |  ('4', true, 'updated', 'a0', 'text/plain', 'public', 7,
+        |    'v0', 'x', NULL, 'T1'),
+        |  ('5', false, 'updated', 'a0', 'text/plain', 'public', 1,
+        |    'v0', 'x', 'm', 'T1'),
+        |  ('miss', true, 'not_found', NULL, NULL, NULL, NULL,
+        |    NULL, NULL, NULL, NULL))
+        |SELECT d.doc_id, v.k, v.mrg AS "merge", v.arm, v.au AS author,
+        |  v.mt AS mime_type, v.sl AS security_level,
+        |  CAST(v.al AS INT) AS access_level, v.mk AS m_keep,
+        |  v.mo AS m_old, v.me AS m_extra, v.ua AS updated_at,
+        |  CASE WHEN v.arm = 'updated' THEN 'Document D' || d.doc_id ||
+        |    ':' || v.k || ' updated successfully' END AS message
+        |FROM documents d CROSS JOIN vm v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

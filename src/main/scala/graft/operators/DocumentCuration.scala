@@ -96,6 +96,79 @@ object DocumentCuration {
     }
   }
 
+  private val specialMetaKeys =
+    Seq("author", "mime_type", "security_level", "access_level")
+
+  /** The 5-level ladder as a column expression — .get(level, 1). */
+  private def secLadder(level: Column): Column =
+    securityMapping.foldLeft(lit(1)) { case (acc, (k, v)) =>
+      when(level === k, lit(v)).otherwise(acc)
+    }
+
+  /** PUT /{id}/metadata (documents.py:887-902), batched over a
+    * (document_id, new_metadata, merge) request frame. The route is a
+    * thin delegate to update_document with payload
+    * `{"metadata": metadata}`, which pins two quirks:
+    *   - the route's `merge` query param is DEAD — it's accepted,
+    *     documented ("Merge with existing metadata (vs replace)") and
+    *     then never passed on, so merge=false still merges;
+    *   - the payload carries ONLY the metadata key, so none of
+    *     update_document's direct-field arms fire: the special keys
+    *     popped out of the metadata dict (author, mime_type,
+    *     security_level, access_level — documents.py:838-846) are the
+    *     only column writes, the remainder merges over the existing
+    *     map, and a popped security_level cascades access_level
+    *     through the ladder (unknown names → 1), clobbering even an
+    *     access_level popped from the same dict (:861-869).
+    * Arms: 'not_found' (update_document's 404) | 'updated' (stamps
+    * updated_at and renders the success message).
+    * Key-presence semantics: Python pops on `in` (presence), not
+    * truthiness — map_contains_key mirrors that exactly.
+    *
+    * Scale: requests are curation-sized — the doc lookup is a
+    * broadcast semi-join reduction of `docs` to the requested ids,
+    * then a broadcast left join back to the preserved request side;
+    * the merge itself is per-row map work, no shuffle. */
+  def updateMetadataBatch(docs: DataFrame, requests: DataFrame,
+      now: String): DataFrame = {
+    val reqIds = broadcast(requests.select(col("document_id")))
+    val docSub = docs.select(col("document_id"), col("author"),
+        col("mime_type"), col("security_level"), col("access_level"),
+        col("metadata"))
+      .join(reqIds, Seq("document_id"), "left_semi")
+      .withColumn("_doc_ok", lit(true))
+    val nm = coalesce(col("new_metadata"), emptyMap)
+    val hasKey = (k: String) => map_contains_key(nm, k)
+    val remaining = map_filter(nm,
+      (k, _) => !k.isInCollection(specialMetaKeys))
+    val merged = map_concat(
+      map_filter(coalesce(col("metadata"), emptyMap),
+        (k, _) => !map_contains_key(remaining, k)),
+      remaining)
+    val found = col("_doc_ok").isNotNull
+    requests.select(col("document_id"), col("new_metadata"), col("merge"))
+      .join(broadcast(docSub), Seq("document_id"), "left")
+      .select(col("document_id"), col("merge"),
+        when(!found, lit("not_found")).otherwise(lit("updated")).as("arm"),
+        when(found, when(hasKey("author"), element_at(nm, "author"))
+          .otherwise(col("author"))).as("author"),
+        when(found, when(hasKey("mime_type"), element_at(nm, "mime_type"))
+          .otherwise(col("mime_type"))).as("mime_type"),
+        when(found, when(hasKey("security_level"),
+            element_at(nm, "security_level"))
+          .otherwise(col("security_level"))).as("security_level"),
+        when(found,
+          when(hasKey("security_level"),
+            secLadder(element_at(nm, "security_level")))
+          .when(hasKey("access_level"),
+            element_at(nm, "access_level").cast("int"))
+          .otherwise(col("access_level"))).as("access_level"),
+        when(found, merged).as("metadata"),
+        when(found, lit(now)).as("updated_at"),
+        when(found, concat(lit("Document "), col("document_id"),
+          lit(" updated successfully"))).as("message"))
+  }
+
   /** DELETE /{id} soft arm (documents.py:707-717): status=rejected
     * (DocumentState.REJECTED — DELETED trips a constraint), stamp
     * updated_at, keep everything else. */

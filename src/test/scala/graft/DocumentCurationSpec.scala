@@ -158,6 +158,36 @@ class DocumentCurationSpec extends AnyFunSuite {
       ("p9", "not_found", None, 0L, 0L, 0L)))
   }
 
+  test("metadata route: dead merge param, empty-dict rewrite, null existing") {
+    // PUT /{id}/metadata (documents.py:887-902) delegates with payload
+    // {"metadata": ...} and DROPS its merge query param — merge=false
+    // still merges; an empty dict rewrites the existing map unchanged;
+    // a null existing map merges as {}
+    val base = Seq(
+      ("m1", "a0", "t/p", "public", 1, Map("keep" -> "v")),
+      ("m2", "a0", "t/p", "public", 1, null.asInstanceOf[Map[String, String]]))
+      .toDF("document_id", "author", "mime_type", "security_level",
+        "access_level", "metadata")
+    val requests = Seq(
+      ("m1", Map("extra" -> "e"), false), // merge=false: still merges
+      ("m2", Map.empty[String, String], true))
+      .toDF("document_id", "new_metadata", "merge")
+    val out = DocumentCuration.updateMetadataBatch(base, requests, "T1")
+      .orderBy("document_id")
+      .select(col("document_id"), col("arm"),
+        element_at(col("metadata"), "keep"),
+        element_at(col("metadata"), "extra"),
+        size(col("metadata")), col("updated_at"), col("message"))
+      .as[(String, String, Option[String], Option[String], Int,
+        String, String)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("m1", "updated", Some("v"), Some("e"), 2, "T1",
+        "Document m1 updated successfully"),
+      ("m2", "updated", None, None, 0, "T1",
+        "Document m2 updated successfully")))
+  }
+
   test("extract-metadata admission: 404 / falsy-content 400 / queued") {
     val docsDf = Seq(
       ("e1", "some content"), ("e2", ""), ("e3", null.asInstanceOf[String]))
