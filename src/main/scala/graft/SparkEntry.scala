@@ -2715,6 +2715,172 @@ object SparkEntry {
         col("updated_at"), col("message"))
   }
 
+  /** Supabase chunk CRUD twins in the gate (PUT/DELETE /chunks/{id},
+    * chunks.py:34-82 via ChunkCuration.supabaseChunkResponses/Apply):
+    * per document, three chunks and five requests — a valid text
+    * update (chunk_size stays STALE at 6), an empty-text update (the
+    * `if not text` 400), an unknown-id update (404), a delete of the
+    * MIDDLE chunk (the survivor keeps number 3 — no renumbering,
+    * unlike the richer DELETE of q119), and an unknown-id delete.
+    * 'resp' rows carry the route arms, 'state' rows the post-state. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import operators.ChunkCuration
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def cid(k: Column) = concat(lit("c"), col("doc_id"), lit(":"), k)
+    val chunks = d.select(col("doc_id"),
+        explode(sequence(lit(1), lit(3))).as("k"))
+      .select(cid(col("k")).as("chunk_id"),
+        concat(lit("D"), col("doc_id")).as("document_id"),
+        col("k").as("chunk_number"),
+        concat(lit("text "), col("k")).as("chunk_text"),
+        lit(6).as("chunk_size"),
+        (col("k") * 10).cast("long").as("start_position"),
+        (col("k") * 10 + 6).cast("long").as("end_position"))
+    val updates = d.select(col("doc_id"), explode(array(
+        struct(cid(lit(1)).as("chunk_id"), lit("replacement one").as("text")),
+        struct(cid(lit(3)).as("chunk_id"), lit("").as("text")),
+        struct(cid(lit("x")).as("chunk_id"), lit("t").as("text")))).as("u"))
+      .select(col("u.chunk_id"), col("u.text"))
+    val deletes = d.select(explode(array(cid(lit(2)), cid(lit("y"))))
+      .as("chunk_id"))
+    val resp = ChunkCuration.supabaseChunkResponses(chunks, updates, deletes)
+      .select(lit("resp").as("section"), col("op"), col("chunk_id"),
+        col("arm"), col("success"), col("message"), col("detail"),
+        lit(null).cast("int").as("chunk_number"),
+        lit(null).cast("string").as("chunk_text"),
+        lit(null).cast("int").as("chunk_size"),
+        lit(null).cast("string").as("updated_at"))
+    val state = ChunkCuration.supabaseChunkApply(chunks, updates, deletes,
+        "T1")
+      .select(lit("state").as("section"),
+        lit(null).cast("string").as("op"), col("chunk_id"),
+        lit(null).cast("string").as("arm"),
+        lit(null).cast("boolean").as("success"),
+        lit(null).cast("string").as("message"),
+        lit(null).cast("string").as("detail"),
+        col("chunk_number"), col("chunk_text"), col("chunk_size"),
+        col("updated_at"))
+    resp.unionByName(state)
+      .select(regexp_extract(col("chunk_id"), "^c(\\d+):", 1)
+          .cast("bigint").as("doc_id"),
+        regexp_extract(col("chunk_id"), ":(\\w+)$", 1).as("ck"),
+        col("section"), col("op"), col("arm"), col("success"),
+        col("message"), col("detail"), col("chunk_number"),
+        col("chunk_text"), col("chunk_size"), col("updated_at"))
+  }
+
+  /** Sources-scan dispatcher in the gate (POST /sources/scan,
+    * processing.py:36-83 via ConnectorScans.sourcesScanDispatch):
+    * seven arms per document — null source defaults to "all" with
+    * both connectors queued, the DRIVE alias case-folds, a
+    * notion-only "all" level picks scan_notion_all, the DEFAULT
+    * params (all/all) 400 on the gdrive arm before notion ever runs,
+    * an invalid notion-only level rejects with the six-entry list,
+    * an unknown source is its own 400, and gdrive rejects with the
+    * five-entry list. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import operators.ConnectorScans
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val requests = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(
+        concat(lit("r"), col("doc_id"), lit(":"), col("k"))
+          .as("request_id"),
+        when(col("k") === 1, lit("DRIVE"))
+          .when(col("k") === 2 || col("k") === 4, lit("notion"))
+          .when(col("k") === 3, lit("all"))
+          .when(col("k") === 5, lit("slack"))
+          .when(col("k") === 6, lit("google_drive")).as("source"),
+        when(col("k") === 0, lit("public"))
+          .when(col("k") === 1, lit("client"))
+          .when(col("k") === 2 || col("k") === 3, lit("all"))
+          .when(col("k") === 5, lit("public"))
+          .otherwise(lit("weird")).as("security_level"),
+        when(col("k") === 1, lit(".pdf, .md")).as("file_types"),
+        (col("k") % 2 === 0).as("force_update"))
+    ConnectorScans.sourcesScanDispatch(requests)
+      .select(
+        regexp_extract(col("request_id"), "^r(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("request_id"), ":(\\d+)$", 1).cast("int")
+          .as("k"),
+        col("source_norm"), col("arm"), col("status"),
+        col("gdrive_included"), col("notion_included"),
+        col("gdrive_task"),
+        when(col("file_type_list").isNotNull,
+          array_join(col("file_type_list"), "|")).as("file_types_parsed"),
+        col("notion_task"), col("detail"))
+  }
+
+  /** Celery job-status projection in the gate
+    * (GET /jobs/{job_id}/status, processing.py:171-205 via
+    * Jobs.celeryStatus): the four backend states plus the
+    * AsyncResult quirk — an unknown id reports PENDING, never 404;
+    * successful/failed stay NULL until ready; result rides success
+    * only, error+traceback ride failure only. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import operators.Jobs
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def jid(k: Column) = concat(lit("j"), col("doc_id"), lit(":"), k)
+    val states = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(jid(col("k")).as("job_id"),
+        when(col("k") === 0, lit("SUCCESS"))
+          .when(col("k") === 1, lit("FAILURE"))
+          .when(col("k") === 2, lit("STARTED"))
+          .otherwise(lit("REVOKED")).as("celery_state"),
+        when(col("k") === 0, lit("r0")).as("result"),
+        when(col("k") === 1, lit("boom")).as("error"),
+        when(col("k") === 1, lit("tb1")).as("traceback"))
+    val requests = d.select(
+      explode(array(lit(0), lit(1), lit(2), lit(3), lit(9))).as("k"),
+      col("doc_id")).select(jid(col("k")).as("job_id"))
+    Jobs.celeryStatus(requests, states)
+      .select(
+        regexp_extract(col("job_id"), "^j(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("job_id"), ":(\\d+)$", 1).cast("int").as("k"),
+        col("status"), col("ready"), col("successful"), col("failed"),
+        col("result"), col("error"), col("traceback"))
+  }
+
+  /** Tracker job-status projection in the gate
+    * (GET /process/jobs/{job_id}/status, processing.py:328-358 via
+    * Jobs.trackerStatus): the ok arm with the route's defaulted
+    * payload (a null stored message answers ""), and the 404 arm
+    * with its detail string. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import operators.Jobs
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def tid(k: Column) = concat(lit("t"), col("doc_id"), lit(":"), k)
+    val jobs = d.select(col("doc_id"),
+        explode(sequence(lit(1), lit(2))).as("k"))
+      .select(tid(col("k")).as("id"),
+        when(col("k") === 1, lit("notion_scan"))
+          .otherwise(lit("gdrive_scan")).as("type"),
+        when(col("k") === 1, lit("running")).otherwise(lit("completed"))
+          .as("status"),
+        when(col("k") === 1, lit(40)).otherwise(lit(100)).as("progress"),
+        when(col("k") === 2, lit("done")).as("message"),
+        when(col("k") === 1, map(lit("a"), lit("1")))
+          .otherwise(map().cast("map<string,string>")).as("metadata"),
+        lit("T0").as("created_at"), lit("T1").as("updated_at"),
+        when(col("k") === 2, lit("T2")).as("completed_at"),
+        when(col("k") === 2, lit("e2")).as("error"))
+    val requests = d.select(
+      explode(array(lit(1), lit(2), lit(9))).as("k"), col("doc_id"))
+      .select(tid(col("k")).as("job_id"))
+    Jobs.trackerStatus(jobs, requests)
+      .select(
+        regexp_extract(col("job_id"), "^t(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("job_id"), ":(\\d+)$", 1).cast("int").as("k"),
+        col("arm"), col("type"), col("status"), col("progress"),
+        col("message"), element_at(col("metadata"), "a").as("m_a"),
+        col("created_at"), col("updated_at"), col("completed_at"),
+        col("error"), col("detail"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3180,7 +3346,11 @@ object SparkEntry {
     "q133_bridge_hybrid" -> q133 _,
     "q134_entity_delete" -> q134 _,
     "q135_pipeline_progress" -> q135 _,
-    "q136_metadata_update" -> q136 _)
+    "q136_metadata_update" -> q136 _,
+    "q137_supabase_chunks" -> q137 _,
+    "q138_sources_scan" -> q138 _,
+    "q139_celery_status" -> q139 _,
+    "q140_tracker_status" -> q140 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4830,7 +5000,102 @@ object SparkEntry {
         |  v.mo AS m_old, v.me AS m_extra, v.ua AS updated_at,
         |  CASE WHEN v.arm = 'updated' THEN 'Document D' || d.doc_id ||
         |    ':' || v.k || ' updated successfully' END AS message
-        |FROM documents d CROSS JOIN vm v""".stripMargin)
+        |FROM documents d CROSS JOIN vm v""".stripMargin,
+    "q137_supabase_chunks" ->
+      // supabase twins: empty text = missing_text 400, stale
+      // chunk_size 6 after update, survivor keeps number 3 (no
+      // renumber after deleting the middle chunk)
+      """WITH vr(ck, section, op, arm, succ, msg, det, cn, ct, cs, ua)
+        |AS (VALUES
+        |  ('1', 'resp', 'update', 'updated', true,
+        |    'updated successfully', NULL, NULL, NULL, NULL, NULL),
+        |  ('3', 'resp', 'update', 'missing_text', false, NULL,
+        |    'Text field is required', NULL, NULL, NULL, NULL),
+        |  ('x', 'resp', 'update', 'not_found', false, NULL,
+        |    'not found or update failed', NULL, NULL, NULL, NULL),
+        |  ('2', 'resp', 'delete', 'deleted', true,
+        |    'deleted successfully', NULL, NULL, NULL, NULL, NULL),
+        |  ('y', 'resp', 'delete', 'not_found', false, NULL,
+        |    'not found', NULL, NULL, NULL, NULL),
+        |  ('1', 'state', NULL, NULL, NULL, NULL, NULL, 1,
+        |    'replacement one', 6, 'T1'),
+        |  ('3', 'state', NULL, NULL, NULL, NULL, NULL, 3,
+        |    'text 3', 6, NULL))
+        |SELECT d.doc_id, v.ck, v.section, v.op, v.arm,
+        |  CAST(v.succ AS BOOLEAN) AS success,
+        |  CASE WHEN v.msg IS NOT NULL THEN 'Chunk c' || d.doc_id ||
+        |    ':' || v.ck || ' ' || v.msg END AS message,
+        |  CASE WHEN v.det = 'Text field is required' THEN v.det
+        |       WHEN v.det IS NOT NULL THEN 'Chunk c' || d.doc_id ||
+        |         ':' || v.ck || ' ' || v.det END AS detail,
+        |  CAST(v.cn AS INT) AS chunk_number, v.ct AS chunk_text,
+        |  CAST(v.cs AS INT) AS chunk_size, v.ua AS updated_at
+        |FROM documents d CROSS JOIN vr v""".stripMargin,
+    "q138_sources_scan" ->
+      // dispatcher arms: default source=all queues both, DRIVE alias
+      // folds, the all/all DEFAULT 400s on the gdrive arm, unknown
+      // source is its own 400
+      """WITH vs(k, sn, arm, st, g, n, gt, ftp, nt, det) AS (VALUES
+        |  (0, 'all', 'queued', 'queued', true, true,
+        |    'scan_google_drive',
+        |    '.pdf|.docx|.txt|.md|.gdoc|.gsheet|.gslides',
+        |    'scan_notion_workspace', NULL),
+        |  (1, 'drive', 'queued', 'queued', true, false,
+        |    'scan_google_drive', '.pdf|.md', NULL, NULL),
+        |  (2, 'notion', 'queued', 'queued', false, true, NULL, NULL,
+        |    'scan_notion_all', NULL),
+        |  (3, 'all', 'gdrive_rejected', NULL, false, false, NULL,
+        |    NULL, NULL, 'Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'']'),
+        |  (4, 'notion', 'notion_rejected', NULL, false, false, NULL,
+        |    NULL, NULL, 'Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'', ''all'']'),
+        |  (5, 'slack', 'unknown_source', NULL, false, false, NULL,
+        |    NULL, NULL, 'Unknown source. Use gdrive, notion, or all'),
+        |  (6, 'google_drive', 'gdrive_rejected', NULL, false, false,
+        |    NULL, NULL, NULL,
+        |    'Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'']'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.sn AS source_norm,
+        |  v.arm, v.st AS status, v.g AS gdrive_included,
+        |  v.n AS notion_included, v.gt AS gdrive_task,
+        |  v.ftp AS file_types_parsed, v.nt AS notion_task,
+        |  v.det AS detail
+        |FROM documents d CROSS JOIN vs v""".stripMargin,
+    "q139_celery_status" ->
+      // AsyncResult projection: unknown id = PENDING (never 404);
+      // successful/failed NULL until ready
+      """WITH vc(k, st, rd, su, fa, res, err, tb) AS (VALUES
+        |  (0, 'SUCCESS', true, true, false, 'r0', NULL, NULL),
+        |  (1, 'FAILURE', true, false, true, NULL, 'boom', 'tb1'),
+        |  (2, 'STARTED', false, NULL, NULL, NULL, NULL, NULL),
+        |  (3, 'REVOKED', true, false, false, NULL, NULL, NULL),
+        |  (9, 'PENDING', false, NULL, NULL, NULL, NULL, NULL))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.st AS status,
+        |  v.rd AS ready, CAST(v.su AS BOOLEAN) AS successful,
+        |  CAST(v.fa AS BOOLEAN) AS failed, v.res AS result,
+        |  v.err AS error, v.tb AS traceback
+        |FROM documents d CROSS JOIN vc v""".stripMargin,
+    "q140_tracker_status" ->
+      // tracker projection: null stored message answers ""; 404 arm
+      // carries the detail string
+      """WITH vt(k, arm, ty, st, pg, msg, ma, ca, ua, coa, err) AS (VALUES
+        |  (1, 'ok', 'notion_scan', 'running', 40, '', '1', 'T0', 'T1',
+        |    NULL, NULL),
+        |  (2, 'ok', 'gdrive_scan', 'completed', 100, 'done', NULL,
+        |    'T0', 'T1', 'T2', 'e2'),
+        |  (9, 'not_found', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    NULL, NULL))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.arm, v.ty AS type,
+        |  v.st AS status, CAST(v.pg AS INT) AS progress,
+        |  v.msg AS message, v.ma AS m_a, v.ca AS created_at,
+        |  v.ua AS updated_at, v.coa AS completed_at, v.err AS error,
+        |  CASE WHEN v.arm = 'not_found' THEN 'Job t' || d.doc_id ||
+        |    ':' || v.k || ' not found' END AS detail
+        |FROM documents d CROSS JOIN vt v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -273,6 +273,93 @@ object ChunkCuration {
         col("chunk_number"), col("_after").cast("int").as("affected_chunks"))
   }
 
+  // ---- the supabase-client CRUD twins (chunks.py:21-82) ----
+  // A SECOND, simpler trio of chunk routes alongside the richer
+  // SQLAlchemy siblings above, delegating to SupabaseChunkService
+  // (supabase_client_db.py:206-271). Deliberate contrasts, each a
+  // faithful quirk of the twin:
+  //   - PUT /{id}: `if not text` is Python truthiness — an EMPTY text
+  //     is the same 400 as a missing field, checked before existence;
+  //     the update writes chunk_text + updated_at ONLY, so chunk_size
+  //     goes stale (the richer PUT recomputes it), nothing flags
+  //     manually_edited, and no document flips to pending_review;
+  //   - DELETE /{id}: the row just disappears — survivors keep their
+  //     chunk_number (the richer DELETE renumbers), and again no
+  //     document status side-effect;
+  //   - GET /document/{id}: the raw rows ordered by chunk_index.
+
+  /** The twins' response census over batched update + delete request
+    * frames: one row per request with the route's arm and payload.
+    * `updates` carries (chunk_id, text); `deletes` carries (chunk_id).
+    * Scale: existence is a broadcast left join of the request sets
+    * against a semi-reduced chunk-id roster; nothing large moves. */
+  def supabaseChunkResponses(chunks: DataFrame, updates: DataFrame,
+      deletes: DataFrame): DataFrame = {
+    val allIds = updates.select(col("chunk_id"))
+      .unionByName(deletes.select(col("chunk_id"))).distinct()
+    val roster = broadcast(chunks.select(col("chunk_id"))
+      .join(broadcast(allIds), Seq("chunk_id"), "left_semi")
+      .withColumn("_hit", lit(true)))
+    val up = updates.select(col("chunk_id"), col("text"))
+      .join(roster, Seq("chunk_id"), "left")
+      .select(lit("update").as("op"), col("chunk_id"),
+        when(col("text").isNull || length(col("text")) === 0,
+            lit("missing_text"))
+          .when(col("_hit").isNull, lit("not_found"))
+          .otherwise(lit("updated")).as("arm"))
+    val del = deletes.select(col("chunk_id"))
+      .join(roster, Seq("chunk_id"), "left")
+      .select(lit("delete").as("op"), col("chunk_id"),
+        when(col("_hit").isNull, lit("not_found"))
+          .otherwise(lit("deleted")).as("arm"))
+    up.unionByName(del).select(col("op"), col("chunk_id"), col("arm"),
+      (col("arm").isin("updated", "deleted")).as("success"),
+      when(col("arm") === "updated",
+          concat(lit("Chunk "), col("chunk_id"), lit(" updated successfully")))
+        .when(col("arm") === "deleted",
+          concat(lit("Chunk "), col("chunk_id"), lit(" deleted successfully")))
+        .as("message"),
+      when(col("arm") === "missing_text", lit("Text field is required"))
+        .when(col("op") === "update" && col("arm") === "not_found",
+          concat(lit("Chunk "), col("chunk_id"),
+            lit(" not found or update failed")))
+        .when(col("op") === "delete" && col("arm") === "not_found",
+          concat(lit("Chunk "), col("chunk_id"), lit(" not found")))
+        .as("detail"))
+  }
+
+  /** The twins' post-state: valid updates (truthy text, existing row)
+    * replace chunk_text and stamp updated_at — chunk_size and the
+    * offsets stay STALE — then valid deletes drop their rows with NO
+    * renumbering. A chunk both updated and deleted in one batch ends
+    * deleted (the delete lands last, as sequential calls would). */
+  def supabaseChunkApply(chunks: DataFrame, updates: DataFrame,
+      deletes: DataFrame, now: String): DataFrame = {
+    val up = broadcast(updates
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .groupBy(col("chunk_id")).agg(max(col("text")).as("_new_text")))
+    val del = broadcast(deletes.select(col("chunk_id"),
+      lit(true).as("_del")).distinct())
+    chunks.join(up, Seq("chunk_id"), "left")
+      .join(del, Seq("chunk_id"), "left")
+      .where(col("_del").isNull)
+      .select(col("chunk_id"), col("document_id"), col("chunk_number"),
+        coalesce(col("_new_text"), col("chunk_text")).as("chunk_text"),
+        col("chunk_size"), col("start_position"), col("end_position"),
+        when(col("_new_text").isNotNull, lit(now)).as("updated_at"))
+  }
+
+  /** GET /chunks/document/{id} (chunks.py:21-32 →
+    * supabase_client_db.py:206-218): the raw chunk rows for the
+    * requested documents, ranked by chunk_index (the supabase column
+    * name for chunk_number) — no context windows, no renumbering. */
+  def supabaseChunkListing(chunks: DataFrame, docIds: DataFrame): DataFrame =
+    chunks.join(broadcast(docIds.select(col("document_id"))),
+        Seq("document_id"), "left_semi")
+      .withColumn("order_rank",
+        row_number().over(Window.partitionBy(col("document_id"))
+          .orderBy(col("chunk_number"), col("chunk_id"))))
+
   /** PUT /chunks/batch (chunks.py:83-117): the batch-update response
     * counts. `updated_count` increments only when the request carries
     * a truthy id AND truthy text (Python truthiness — empty strings

@@ -46,6 +46,68 @@ object ConnectorScans {
         pyListRepr(valid))).as("detail"))
   }
 
+  /** The generic "Scan now" dispatcher, POST /sources/scan
+    * (processing.py:36-83), batched over (request_id, source,
+    * security_level, file_types, force_update).
+    *
+    * Faithful quirks:
+    *   - `source` defaults to "all" (None → "all") and lowercases;
+    *     gdrive answers to three aliases (gdrive/google_drive/drive)
+    *     plus "all", notion to notion/all; anything else is the 400
+    *     ("Unknown source. Use gdrive, notion, or all");
+    *   - the arms run SEQUENTIALLY, gdrive first: a gdrive admission
+    *     400 aborts the whole call, so the notion arm of an "all"
+    *     request never runs (`gdrive_rejected` — notion columns null);
+    *   - the DEFAULT call (source=all, security_level=all) therefore
+    *     400s: "all" is not in gdrive's valid-level list (the q131
+    *     dead-default quirk composed through the dispatcher);
+    *   - notion always receives workspace_id=None, so a queued notion
+    *     arm picks its task purely off security_level;
+    *   - the dispatcher's own file_types default is the SEVEN-entry
+    *     list (".pdf,.docx,.txt,.md,.gdoc,.gsheet,.gslides" — the
+    *     direct gdrive route defaults to four);
+    *   - success wraps as {"status": "queued", "results": {...}}.
+    *
+    * Request frames are API-call-sized; narrow projection only. */
+  def sourcesScanDispatch(requests: DataFrame): DataFrame = {
+    val dispatcherFileTypes = ".pdf,.docx,.txt,.md,.gdoc,.gsheet,.gslides"
+    val src = lower(coalesce(col("source"), lit("all")))
+    val g = src.isin("gdrive", "google_drive", "drive", "all")
+    val n = src.isin("notion", "all")
+    val gOk = col("security_level").isInCollection(securityLevels)
+    val nOk = col("security_level").isInCollection(securityLevels :+ "all")
+    val arm = when(!g && !n, lit("unknown_source"))
+      .when(g && !gOk, lit("gdrive_rejected"))
+      .when(n && !nOk, lit("notion_rejected"))
+      .otherwise(lit("queued"))
+    val ft = coalesce(col("file_types"), lit(dispatcherFileTypes))
+    val queued = arm === "queued"
+    requests.select(col("request_id"), src.as("source_norm"),
+      col("security_level"), col("force_update"), arm.as("arm"),
+      when(queued, lit("queued")).as("status"),
+      when(queued, g).otherwise(lit(false)).as("gdrive_included"),
+      when(queued, n).otherwise(lit(false)).as("notion_included"),
+      // "all" can't reach a queued gdrive arm, so the task is
+      // unconditionally the single-level scan (same dead branch as
+      // the direct route)
+      when(queued && g, lit("scan_google_drive")).as("gdrive_task"),
+      when(queued && g,
+        when(length(ft) > 0, transform(split(ft, ","), x => trim(x)))
+          .otherwise(array().cast("array<string>"))).as("file_type_list"),
+      when(queued && n,
+        when(col("security_level") === "all", lit("scan_notion_all"))
+          .otherwise(lit("scan_notion_workspace"))).as("notion_task"),
+      when(arm === "unknown_source",
+          lit("Unknown source. Use gdrive, notion, or all"))
+        .when(arm === "gdrive_rejected",
+          lit("Invalid security level. Must be one of: " +
+            pyListRepr(securityLevels)))
+        .when(arm === "notion_rejected",
+          lit("Invalid security level. Must be one of: " +
+            pyListRepr(securityLevels :+ "all")))
+        .as("detail"))
+  }
+
   /** POST /process/gdrive (processing.py:263-321). `requests` carries
     * (request_id, security_level, file_types, force_update). */
   def gdriveScan(requests: DataFrame): DataFrame = {

@@ -100,6 +100,64 @@ object Jobs {
     Paging.dropOffset(top, col("created_at").desc, offset)
   }
 
+  /** Celery AsyncResult ready states (celery.states.READY_STATES). */
+  val CeleryReady: Set[String] = Set("SUCCESS", "FAILURE", "REVOKED")
+
+  /** GET /jobs/{job_id}/status (processing.py:171-205) — the Celery
+    * AsyncResult projection, batched over a (job_id) request frame
+    * against a (job_id, celery_state, result, error, traceback)
+    * backend frame.
+    *
+    * Faithful quirks: an UNKNOWN job id never 404s — AsyncResult
+    * reports state PENDING for any id it has never seen, so the
+    * missing-join arm answers PENDING with every ready field null;
+    * `successful`/`failed` are NULL (not false) until ready — the
+    * reference only evaluates them inside `if result.ready()`; the
+    * payload carries `result` only on success and `error`+`traceback`
+    * only on failure. */
+  def celeryStatus(requests: DataFrame, states: DataFrame): DataFrame = {
+    val st = broadcast(states.select(col("job_id"),
+      col("celery_state"), col("result").as("_res"),
+      col("error").as("_err"), col("traceback").as("_tb")))
+    val state = coalesce(col("celery_state"), lit("PENDING"))
+    val ready = state.isInCollection(CeleryReady)
+    requests.select(col("job_id"))
+      .join(st, Seq("job_id"), "left")
+      .select(col("job_id"), state.as("status"), ready.as("ready"),
+        when(ready, state === "SUCCESS").as("successful"),
+        when(ready, state === "FAILURE").as("failed"),
+        when(ready && state === "SUCCESS", col("_res")).as("result"),
+        when(ready && state === "FAILURE", col("_err")).as("error"),
+        when(ready && state === "FAILURE", col("_tb")).as("traceback"))
+  }
+
+  /** GET /process/jobs/{job_id}/status (processing.py:328-358) — the
+    * tracker projection, batched: 'not_found' (404) for ids the
+    * tracker doesn't hold, else 'ok' with the route's defaulted
+    * payload (progress 0, message "", the metadata map — plus the
+    * tracker row's timestamps and error as stored). */
+  def trackerStatus(jobs: DataFrame, requests: DataFrame): DataFrame = {
+    val reqIds = broadcast(requests.select(col("job_id")))
+    val sub = jobs.withColumnRenamed("id", "job_id")
+      .join(reqIds, Seq("job_id"), "left_semi")
+      .withColumn("_hit", lit(true))
+    requests.select(col("job_id"))
+      .join(broadcast(sub), Seq("job_id"), "left")
+      .select(col("job_id"),
+        when(col("_hit").isNull, lit("not_found")).otherwise(lit("ok"))
+          .as("arm"),
+        col("type"), col("status"),
+        when(col("_hit").isNotNull, coalesce(col("progress"), lit(0)))
+          .as("progress"),
+        when(col("_hit").isNotNull, coalesce(col("message"), lit("")))
+          .as("message"),
+        col("metadata"), col("created_at"), col("updated_at"),
+        col("completed_at"), col("error"),
+        when(col("_hit").isNull,
+          concat(lit("Job "), col("job_id"), lit(" not found")))
+          .as("detail"))
+  }
+
   /** Cancel a batch (job_tracker.py:112-126): only non-terminal jobs
     * cancel (missing/terminal ids answer false); a cancel stamps
     * completed_at and "Job cancelled by user" but — unlike

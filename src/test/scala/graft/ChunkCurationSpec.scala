@@ -210,6 +210,48 @@ class ChunkCurationSpec extends AnyFunSuite {
       .select("chunk_text").as[String].collect().toSeq === Seq("ZZZ"))
   }
 
+  test("supabase twins: falsy text beats existence, no renumber, stale size") {
+    val spark2 = spark
+    import spark2.implicits._
+    // empty text on a MISSING chunk: the route 400s before the lookup,
+    // so missing_text wins over not_found (chunks.py:40-42)
+    val updates = Seq(("nope", ""), ("c1", "edited"))
+      .toDF("chunk_id", "text")
+    val deletes = Seq("c2").toDF("chunk_id")
+    val resp = ChunkCuration
+      .supabaseChunkResponses(chunksDf, updates, deletes)
+      .orderBy("op", "chunk_id")
+      .select("op", "chunk_id", "arm", "success")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(resp === Seq(
+      ("delete", "c2", "deleted", true),
+      ("update", "c1", "updated", true),
+      ("update", "nope", "missing_text", false)))
+    val state = ChunkCuration
+      .supabaseChunkApply(chunksDf, updates, deletes, "T9")
+      .where(col("document_id") === 1L).orderBy("chunk_number")
+      .select("chunk_id", "chunk_number", "chunk_text", "chunk_size",
+        "updated_at")
+      .as[(String, Int, String, Int, Option[String])].collect().toSeq
+    // c1's size stays 19 (stale — the twin never recomputes it);
+    // c3 keeps number 3 after c2's delete (no renumbering)
+    assert(state === Seq(
+      ("c0", 0, "alpha beta", 10, None),
+      ("c1", 1, "edited", 19, Some("T9")),
+      ("c3", 3, "eta theta", 9, None)))
+  }
+
+  test("supabase listing ranks by chunk_index within the requested docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = ChunkCuration.supabaseChunkListing(chunksDf,
+        Seq(2L).toDF("document_id"))
+      .orderBy("order_rank")
+      .select("chunk_id", "order_rank")
+      .as[(String, Int)].collect().toSeq
+    assert(got === Seq(("d0", 1), ("d1", 2)))
+  }
+
   test("batch update counts Python-truthy requests that hit a chunk") {
     val spark2 = spark
     import spark2.implicits._

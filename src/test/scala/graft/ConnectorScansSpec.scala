@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ConnectorScans
@@ -54,5 +55,36 @@ class ConnectorScansSpec extends AnyFunSuite {
     // empty file_types is falsy → empty list, not [""]
     assert(out(2) === ("r3", "queued", Some("scan_google_drive"),
       Some(Seq.empty[String]), None))
+  }
+
+  test("dispatcher: aliases, sequential gdrive-first abort, unknown 400") {
+    val spark2 = spark
+    import spark2.implicits._
+    val requests = Seq(
+      (null: String, "public", null: String),   // default all: both queue
+      ("DRIVE", "client", ".pdf , .md"),        // alias + trim
+      ("notion", "all", null: String),          // notion-only scan-all
+      ("all", "all", null: String),             // the DEFAULT params 400
+      ("slack", "public", null: String))        // unknown source
+      .toDF("source", "security_level", "file_types")
+      .withColumn("request_id", coalesce(col("source"), lit("dflt")))
+      .withColumn("force_update", lit(false))
+    val out = ConnectorScans.sourcesScanDispatch(requests)
+      .select(col("source_norm"), col("arm"), col("gdrive_included"),
+        col("notion_included"),
+        when(col("file_type_list").isNotNull,
+          array_join(col("file_type_list"), "|")).as("ftl"),
+        col("notion_task"))
+      .as[(String, String, Boolean, Boolean, Option[String],
+        Option[String])].collect().toSeq
+    assert(out === Seq(
+      ("all", "queued", true, true,
+        Some(".pdf|.docx|.txt|.md|.gdoc|.gsheet|.gslides"),
+        Some("scan_notion_workspace")),
+      ("drive", "queued", true, false, Some(".pdf|.md"), None),
+      ("notion", "queued", false, true, None, Some("scan_notion_all")),
+      // gdrive runs first and 400s on "all"; notion never evaluates
+      ("all", "gdrive_rejected", false, false, None, None),
+      ("slack", "unknown_source", false, false, None, None)))
   }
 }

@@ -108,6 +108,42 @@ class JobsSpec extends AnyFunSuite {
     assert(keptRecent === Set("j1", "j2", "j3", "j4")) // T1 >= T0 cutoff
   }
 
+  test("celery status: unknown id is PENDING; ready gates the verdicts") {
+    val states = Seq(
+      ("j1", "SUCCESS", Some("r"), None: Option[String], None: Option[String]),
+      ("j2", "FAILURE", None, Some("err"), Some("tb")),
+      ("j3", "RETRY", None, None, None))
+      .toDF("job_id", "celery_state", "result", "error", "traceback")
+    val requests = Seq("j1", "j2", "j3", "jX").toDF("job_id")
+    val out = Jobs.celeryStatus(requests, states)
+      .orderBy("job_id")
+      .select("job_id", "status", "ready", "successful", "failed",
+        "result", "error")
+      .as[(String, String, Boolean, Option[Boolean], Option[Boolean],
+        Option[String], Option[String])].collect().toSeq
+    assert(out === Seq(
+      ("j1", "SUCCESS", true, Some(true), Some(false), Some("r"), None),
+      ("j2", "FAILURE", true, Some(false), Some(true), None, Some("err")),
+      // RETRY is not a ready state: verdicts stay NULL, not false
+      ("j3", "RETRY", false, None, None, None, None),
+      // AsyncResult never 404s — an id Celery has never seen is PENDING
+      ("jX", "PENDING", false, None, None, None, None)))
+  }
+
+  test("tracker status: defaults fill, missing id is the 404 arm") {
+    val jobs = mkJobs("t1" -> "notion_scan")
+      .withColumn("message", lit(null).cast("string"))
+    val out = Jobs.trackerStatus(jobs, Seq("t1", "t9").toDF("job_id"))
+      .orderBy("job_id")
+      .select("job_id", "arm", "type", "progress", "message", "detail")
+      .as[(String, String, Option[String], Option[Int], Option[String],
+        Option[String])].collect().toSeq
+    assert(out === Seq(
+      // the route's .get("message", "") default: null answers ""
+      ("t1", "ok", Some("notion_scan"), Some(0), Some(""), None),
+      ("t9", "not_found", None, None, None, Some("Job t9 not found"))))
+  }
+
   test("retry: 404/400 arms, unknown type answers 400 but stays queued") {
     val jobs = Jobs.applyUpdates(
       mkJobs("j1" -> "notion_scan", "j2" -> "embed_rebuild",
