@@ -60,16 +60,29 @@ object Publish {
     val n = missing.count()
     if (n == 0) (chunks, 0L, None)
     else {
+      // App-tier chunk ids are UUID strings while EmbedText's contract
+      // is a long id — mint a surrogate instead of casting (a string
+      // id would throw CAST_INVALID_INPUT). The surrogate assignment
+      // is nondeterministic across evaluations, so persist+materialize
+      // it BEFORE anything forks the lineage; the embed and the
+      // id-recovery join below must see the same assignment.
+      val keyed = missing
+        .withColumn("_rid", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keyed.count()
       // persist + materialize the fresh vectors NOW: the filled frame
       // is acted on more than once downstream (store upsert, counts),
       // and every re-evaluation of an unpersisted embed lineage would
       // call the PAID embedder again for the same chunks
-      val fresh = EmbedText.embed(missing, idCol, textCol, mkEmbedder,
-          batchSize)
-        .withColumnRenamed("id", idCol)
-        .withColumnRenamed("embedding", "_backfilled")
+      val fresh = EmbedText.embed(
+          keyed.select(col("_rid"), col(textCol)), "_rid", textCol,
+          mkEmbedder, batchSize)
+        .withColumnRenamed("id", "_rid")
+        .join(keyed.select(col("_rid"), col(idCol)), Seq("_rid"))
+        .select(col(idCol), col("embedding").as("_backfilled"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fresh.count()
+      keyed.unpersist(blocking = false)
       val filled = chunks.join(fresh, Seq(idCol), "left")
         .withColumn(embedCol, coalesce(col(embedCol), col("_backfilled")))
         .drop("_backfilled")
