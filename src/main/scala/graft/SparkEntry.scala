@@ -2676,7 +2676,9 @@ object SparkEntry {
     * mime_type pop (k1), the security ladder clobbering a same-dict
     * access_level (k2: partner beats 9), an unknown level's default 1
     * (k3), a bare access_level pop (k4), merge=false still merging
-    * (the dead query param, k5), and the 404 arm (k6). */
+    * (the dead query param, k5), and the 404 arm (k6). route_arm pins
+    * the LIVE route outcome: the plain-dict delegate 500s on .dict()
+    * for every existing document, so only the 404 is reachable. */
   private def q136(s: SparkSession, dir: String): DataFrame = {
     import operators.DocumentCuration
     val d = t(s, dir, "documents").select(col("doc_id"))
@@ -2712,7 +2714,8 @@ object SparkEntry {
         element_at(col("metadata"), "keep").as("m_keep"),
         element_at(col("metadata"), "old").as("m_old"),
         element_at(col("metadata"), "extra").as("m_extra"),
-        col("updated_at"), col("message"))
+        col("updated_at"), col("message"),
+        col("route_arm"), col("route_detail"))
   }
 
   /** Supabase chunk CRUD twins in the gate (PUT/DELETE /chunks/{id},
@@ -2776,18 +2779,20 @@ object SparkEntry {
     * notion-only "all" level picks scan_notion_all, the DEFAULT
     * params (all/all) 400 on the gdrive arm before notion ever runs,
     * an invalid notion-only level rejects with the six-entry list,
-    * an unknown source is its own 400, and gdrive rejects with the
-    * five-entry list. */
+    * an unknown source is its own 400, gdrive rejects with the
+    * five-entry list, and a NULL security_level takes the param's own
+    * "all" default (k7: notion queues scan_notion_all). */
   private def q138(s: SparkSession, dir: String): DataFrame = {
     import operators.ConnectorScans
     val d = t(s, dir, "documents").select(col("doc_id"))
     val requests = d.select(col("doc_id"),
-        explode(sequence(lit(0), lit(6))).as("k"))
+        explode(sequence(lit(0), lit(7))).as("k"))
       .select(
         concat(lit("r"), col("doc_id"), lit(":"), col("k"))
           .as("request_id"),
         when(col("k") === 1, lit("DRIVE"))
-          .when(col("k") === 2 || col("k") === 4, lit("notion"))
+          .when(col("k") === 2 || col("k") === 4 || col("k") === 7,
+            lit("notion"))
           .when(col("k") === 3, lit("all"))
           .when(col("k") === 5, lit("slack"))
           .when(col("k") === 6, lit("google_drive")).as("source"),
@@ -2795,6 +2800,7 @@ object SparkEntry {
           .when(col("k") === 1, lit("client"))
           .when(col("k") === 2 || col("k") === 3, lit("all"))
           .when(col("k") === 5, lit("public"))
+          .when(col("k") === 7, lit(null).cast("string"))
           .otherwise(lit("weird")).as("security_level"),
         when(col("k") === 1, lit(".pdf, .md")).as("file_types"),
         (col("k") % 2 === 0).as("force_update"))
@@ -2847,8 +2853,9 @@ object SparkEntry {
   /** Tracker job-status projection in the gate
     * (GET /process/jobs/{job_id}/status, processing.py:328-358 via
     * Jobs.trackerStatus): the ok arm with the route's defaulted
-    * payload (a null stored message answers ""), and the 404 arm
-    * with its detail string. */
+    * payload (null stored message answers "", null metadata and
+    * result answer {} — all .get defaults), and the 404 arm with its
+    * detail string. */
   private def q140(s: SparkSession, dir: String): DataFrame = {
     import operators.Jobs
     val d = t(s, dir, "documents").select(col("doc_id"))
@@ -2862,11 +2869,11 @@ object SparkEntry {
           .as("status"),
         when(col("k") === 1, lit(40)).otherwise(lit(100)).as("progress"),
         when(col("k") === 2, lit("done")).as("message"),
-        when(col("k") === 1, map(lit("a"), lit("1")))
-          .otherwise(map().cast("map<string,string>")).as("metadata"),
+        when(col("k") === 1, map(lit("a"), lit("1"))).as("metadata"),
         lit("T0").as("created_at"), lit("T1").as("updated_at"),
         when(col("k") === 2, lit("T2")).as("completed_at"),
-        when(col("k") === 2, lit("e2")).as("error"))
+        when(col("k") === 2, lit("e2")).as("error"),
+        when(col("k") === 2, map(lit("n"), lit("5"))).as("result"))
     val requests = d.select(
       explode(array(lit(1), lit(2), lit(9))).as("k"), col("doc_id"))
       .select(tid(col("k")).as("job_id"))
@@ -2877,6 +2884,9 @@ object SparkEntry {
         regexp_extract(col("job_id"), ":(\\d+)$", 1).cast("int").as("k"),
         col("arm"), col("type"), col("status"), col("progress"),
         col("message"), element_at(col("metadata"), "a").as("m_a"),
+        size(col("metadata")).as("meta_n"),
+        element_at(col("result"), "n").as("r_n"),
+        size(col("result")).as("res_n"),
         col("created_at"), col("updated_at"), col("completed_at"),
         col("error"), col("detail"))
   }
@@ -4999,7 +5009,13 @@ object SparkEntry {
         |  CAST(v.al AS INT) AS access_level, v.mk AS m_keep,
         |  v.mo AS m_old, v.me AS m_extra, v.ua AS updated_at,
         |  CASE WHEN v.arm = 'updated' THEN 'Document D' || d.doc_id ||
-        |    ':' || v.k || ' updated successfully' END AS message
+        |    ':' || v.k || ' updated successfully' END AS message,
+        |  CASE WHEN v.arm = 'not_found' THEN 'not_found'
+        |       ELSE 'error_500' END AS route_arm,
+        |  CASE WHEN v.arm = 'not_found' THEN 'Document D' || d.doc_id
+        |         || ':' || v.k || ' not found'
+        |       ELSE '''dict'' object has no attribute ''dict''' END
+        |    AS route_detail
         |FROM documents d CROSS JOIN vm v""".stripMargin,
     "q137_supabase_chunks" ->
       // supabase twins: empty text = missing_text 400, stale
@@ -5058,7 +5074,9 @@ object SparkEntry {
         |    NULL, NULL, NULL,
         |    'Invalid security level. Must be one of: ' ||
         |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
-        |    '''management'']'))
+        |    '''management'']'),
+        |  (7, 'notion', 'queued', 'queued', false, true, NULL, NULL,
+        |    'scan_notion_all', NULL))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.sn AS source_norm,
         |  v.arm, v.st AS status, v.g AS gdrive_included,
         |  v.n AS notion_included, v.gt AS gdrive_task,
@@ -5080,19 +5098,23 @@ object SparkEntry {
         |  v.err AS error, v.tb AS traceback
         |FROM documents d CROSS JOIN vc v""".stripMargin,
     "q140_tracker_status" ->
-      // tracker projection: null stored message answers ""; 404 arm
+      // tracker projection: null stored message answers "", null
+      // metadata/result answer {} (sizes 0, not NULL); 404 arm
       // carries the detail string
-      """WITH vt(k, arm, ty, st, pg, msg, ma, ca, ua, coa, err) AS (VALUES
-        |  (1, 'ok', 'notion_scan', 'running', 40, '', '1', 'T0', 'T1',
-        |    NULL, NULL),
-        |  (2, 'ok', 'gdrive_scan', 'completed', 100, 'done', NULL,
-        |    'T0', 'T1', 'T2', 'e2'),
+      """WITH vt(k, arm, ty, st, pg, msg, ma, mn, rn, rsn, ca, ua,
+        |  coa, err) AS (VALUES
+        |  (1, 'ok', 'notion_scan', 'running', 40, '', '1', 1, NULL, 0,
+        |    'T0', 'T1', NULL, NULL),
+        |  (2, 'ok', 'gdrive_scan', 'completed', 100, 'done', NULL, 0,
+        |    '5', 1, 'T0', 'T1', 'T2', 'e2'),
         |  (9, 'not_found', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-        |    NULL, NULL))
+        |    NULL, NULL, NULL, NULL, NULL))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.arm, v.ty AS type,
         |  v.st AS status, CAST(v.pg AS INT) AS progress,
-        |  v.msg AS message, v.ma AS m_a, v.ca AS created_at,
-        |  v.ua AS updated_at, v.coa AS completed_at, v.err AS error,
+        |  v.msg AS message, v.ma AS m_a, CAST(v.mn AS INT) AS meta_n,
+        |  v.rn AS r_n, CAST(v.rsn AS INT) AS res_n,
+        |  v.ca AS created_at, v.ua AS updated_at,
+        |  v.coa AS completed_at, v.err AS error,
         |  CASE WHEN v.arm = 'not_found' THEN 'Job t' || d.doc_id ||
         |    ':' || v.k || ' not found' END AS detail
         |FROM documents d CROSS JOIN vt v""".stripMargin)

@@ -332,7 +332,12 @@ object ChunkCuration {
     * replace chunk_text and stamp updated_at — chunk_size and the
     * offsets stay STALE — then valid deletes drop their rows with NO
     * renumbering. A chunk both updated and deleted in one batch ends
-    * deleted (the delete lands last, as sequential calls would). */
+    * deleted (the delete lands last, as sequential calls would).
+    * Duplicate updates for one chunk collapse to max(text) — the same
+    * documented deterministic tie-break as [[updateChunks]]: the batch
+    * frame carries no call order, so the reference's sequential
+    * last-write-wins is unrepresentable; callers wanting it submit
+    * one update per chunk. */
   def supabaseChunkApply(chunks: DataFrame, updates: DataFrame,
       deletes: DataFrame, now: String): DataFrame = {
     val up = broadcast(updates

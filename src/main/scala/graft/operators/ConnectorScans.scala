@@ -72,10 +72,14 @@ object ConnectorScans {
   def sourcesScanDispatch(requests: DataFrame): DataFrame = {
     val dispatcherFileTypes = ".pdf,.docx,.txt,.md,.gdoc,.gsheet,.gslides"
     val src = lower(coalesce(col("source"), lit("all")))
+    // security_level's own Query default is "all" (processing.py:41) —
+    // an absent param (null) must default BEFORE the validity gates,
+    // or a null would fall through every when() to 'queued'
+    val lvl = coalesce(col("security_level"), lit("all"))
     val g = src.isin("gdrive", "google_drive", "drive", "all")
     val n = src.isin("notion", "all")
-    val gOk = col("security_level").isInCollection(securityLevels)
-    val nOk = col("security_level").isInCollection(securityLevels :+ "all")
+    val gOk = lvl.isInCollection(securityLevels)
+    val nOk = lvl.isInCollection(securityLevels :+ "all")
     val arm = when(!g && !n, lit("unknown_source"))
       .when(g && !gOk, lit("gdrive_rejected"))
       .when(n && !nOk, lit("notion_rejected"))
@@ -83,7 +87,7 @@ object ConnectorScans {
     val ft = coalesce(col("file_types"), lit(dispatcherFileTypes))
     val queued = arm === "queued"
     requests.select(col("request_id"), src.as("source_norm"),
-      col("security_level"), col("force_update"), arm.as("arm"),
+      lvl.as("security_level"), col("force_update"), arm.as("arm"),
       when(queued, lit("queued")).as("status"),
       when(queued, g).otherwise(lit(false)).as("gdrive_included"),
       when(queued, n).otherwise(lit(false)).as("notion_included"),
@@ -95,7 +99,7 @@ object ConnectorScans {
         when(length(ft) > 0, transform(split(ft, ","), x => trim(x)))
           .otherwise(array().cast("array<string>"))).as("file_type_list"),
       when(queued && n,
-        when(col("security_level") === "all", lit("scan_notion_all"))
+        when(lvl === "all", lit("scan_notion_all"))
           .otherwise(lit("scan_notion_workspace"))).as("notion_task"),
       when(arm === "unknown_source",
           lit("Unknown source. Use gdrive, notion, or all"))

@@ -62,7 +62,7 @@ object DocumentCuration {
       m.get("mime_type").foreach(v => updates("mime_type") = lit(v))
       m.get("security_level").foreach(v => updates("security_level") = lit(v))
       m.get("access_level").foreach(v => updates("access_level") = lit(v).cast("int"))
-      val remaining = m -- Seq("author", "mime_type", "security_level", "access_level")
+      val remaining = m -- specialMetaKeys
       // {**existing, **new}: new keys overwrite
       updates("metadata") =
         if (remaining.isEmpty) coalesce(col("metadata"), emptyMap)
@@ -105,23 +105,36 @@ object DocumentCuration {
       when(level === k, lit(v)).otherwise(acc)
     }
 
-  /** PUT /{id}/metadata (documents.py:887-902), batched over a
-    * (document_id, new_metadata, merge) request frame. The route is a
-    * thin delegate to update_document with payload
-    * `{"metadata": metadata}`, which pins two quirks:
-    *   - the route's `merge` query param is DEAD — it's accepted,
+  /** PUT /{id}/metadata (documents.py:887-902) + the metadata-only
+    * arms of update_document (:812-885), batched over a (document_id,
+    * new_metadata, merge) request frame.
+    *
+    * The route is a thin delegate to update_document with payload
+    * `{"metadata": metadata}` — a PLAIN DICT, and update_document
+    * calls `update_data.dict(exclude_unset=True)` (:833) AFTER its
+    * 404 check. A dict has no .dict, so the live route raises
+    * AttributeError into the blanket handler: EVERY existing document
+    * answers 500 ("'dict' object has no attribute 'dict'") and only
+    * the 404 arm is reachable. `route_arm`/`route_detail` model that
+    * live outcome faithfully (the DocProcessorChunker TypeError
+    * convention: the bug is the behavior).
+    *
+    * The remaining columns model the metadata arms the delegate was
+    * AIMING at — which ARE reachable today through PUT /{id} with a
+    * pydantic payload carrying only `metadata` (the same
+    * update_document code path, minus the crash):
+    *   - the route's `merge` query param is DEAD — accepted,
     *     documented ("Merge with existing metadata (vs replace)") and
-    *     then never passed on, so merge=false still merges;
-    *   - the payload carries ONLY the metadata key, so none of
-    *     update_document's direct-field arms fire: the special keys
-    *     popped out of the metadata dict (author, mime_type,
-    *     security_level, access_level — documents.py:838-846) are the
-    *     only column writes, the remainder merges over the existing
-    *     map, and a popped security_level cascades access_level
-    *     through the ladder (unknown names → 1), clobbering even an
-    *     access_level popped from the same dict (:861-869).
-    * Arms: 'not_found' (update_document's 404) | 'updated' (stamps
-    * updated_at and renders the success message).
+    *     never passed on, so merge=false still merges;
+    *   - the special keys popped out of the metadata dict (author,
+    *     mime_type, security_level, access_level —
+    *     documents.py:838-846) are the only column writes, the
+    *     remainder merges over the existing map, and a popped
+    *     security_level cascades access_level through the ladder
+    *     (unknown names → 1), clobbering even an access_level popped
+    *     from the same dict (:861-869).
+    * Arms: 'not_found' (the 404) | 'updated' (stamps updated_at and
+    * renders update_document's success message).
     * Key-presence semantics: Python pops on `in` (presence), not
     * truthiness — map_contains_key mirrors that exactly.
     *
@@ -166,7 +179,15 @@ object DocumentCuration {
         when(found, merged).as("metadata"),
         when(found, lit(now)).as("updated_at"),
         when(found, concat(lit("Document "), col("document_id"),
-          lit(" updated successfully"))).as("message"))
+          lit(" updated successfully"))).as("message"),
+        // the LIVE route outcome: the plain-dict delegate crashes on
+        // .dict() after the 404 check, so found docs 500, never update
+        when(!found, lit("not_found")).otherwise(lit("error_500"))
+          .as("route_arm"),
+        when(!found, concat(lit("Document "), col("document_id"),
+            lit(" not found")))
+          .otherwise(lit("'dict' object has no attribute 'dict'"))
+          .as("route_detail"))
   }
 
   /** DELETE /{id} soft arm (documents.py:707-717): status=rejected

@@ -134,9 +134,15 @@ object Jobs {
   /** GET /process/jobs/{job_id}/status (processing.py:328-358) — the
     * tracker projection, batched: 'not_found' (404) for ids the
     * tracker doesn't hold, else 'ok' with the route's defaulted
-    * payload (progress 0, message "", the metadata map — plus the
-    * tracker row's timestamps and error as stored). */
+    * payload — progress 0, message "", metadata {} and result {} (all
+    * four are `.get(..., default)` lookups, :341-347) — plus the
+    * tracker row's timestamps and error as stored. A `jobs` frame
+    * without a result column reads as result {} on every hit. */
   def trackerStatus(jobs: DataFrame, requests: DataFrame): DataFrame = {
+    val emptyMap = map().cast("map<string,string>")
+    val resCol =
+      if (jobs.columns.contains("result")) col("result")
+      else lit(null).cast("map<string,string>")
     val reqIds = broadcast(requests.select(col("job_id")))
     val sub = jobs.withColumnRenamed("id", "job_id")
       .join(reqIds, Seq("job_id"), "left_semi")
@@ -151,8 +157,12 @@ object Jobs {
           .as("progress"),
         when(col("_hit").isNotNull, coalesce(col("message"), lit("")))
           .as("message"),
-        col("metadata"), col("created_at"), col("updated_at"),
+        when(col("_hit").isNotNull, coalesce(col("metadata"), emptyMap))
+          .as("metadata"),
+        col("created_at"), col("updated_at"),
         col("completed_at"), col("error"),
+        when(col("_hit").isNotNull, coalesce(resCol, emptyMap))
+          .as("result"),
         when(col("_hit").isNull,
           concat(lit("Job "), col("job_id"), lit(" not found")))
           .as("detail"))

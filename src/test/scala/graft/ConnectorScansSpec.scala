@@ -65,7 +65,11 @@ class ConnectorScansSpec extends AnyFunSuite {
       ("DRIVE", "client", ".pdf , .md"),        // alias + trim
       ("notion", "all", null: String),          // notion-only scan-all
       ("all", "all", null: String),             // the DEFAULT params 400
-      ("slack", "public", null: String))        // unknown source
+      ("slack", "public", null: String),        // unknown source
+      // null security_level takes the param's own "all" default
+      // (processing.py:41) — notion queues scan_notion_all, and a
+      // fully-default call (null, null) would 400 like row 4
+      ("notion", null: String, null: String))
       .toDF("source", "security_level", "file_types")
       .withColumn("request_id", coalesce(col("source"), lit("dflt")))
       .withColumn("force_update", lit(false))
@@ -85,6 +89,7 @@ class ConnectorScansSpec extends AnyFunSuite {
       ("notion", "queued", false, true, None, Some("scan_notion_all")),
       // gdrive runs first and 400s on "all"; notion never evaluates
       ("all", "gdrive_rejected", false, false, None, None),
-      ("slack", "unknown_source", false, false, None, None)))
+      ("slack", "unknown_source", false, false, None, None),
+      ("notion", "queued", false, true, None, Some("scan_notion_all"))))
   }
 }

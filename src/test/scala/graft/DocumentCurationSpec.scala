@@ -186,6 +186,18 @@ class DocumentCurationSpec extends AnyFunSuite {
         "Document m1 updated successfully"),
       ("m2", "updated", None, None, 0, "T1",
         "Document m2 updated successfully")))
+    // the LIVE route outcome: update_document receives a plain dict
+    // and calls .dict() on it after the 404 check (documents.py:833),
+    // so every existing document 500s and only the 404 is reachable
+    val live = DocumentCuration.updateMetadataBatch(base,
+        Seq(("m1", Map("x" -> "1"), true), ("mX", Map("x" -> "1"), true))
+          .toDF("document_id", "new_metadata", "merge"), "T1")
+      .orderBy("document_id")
+      .select("document_id", "route_arm", "route_detail")
+      .as[(String, String, String)].collect().toSeq
+    assert(live === Seq(
+      ("m1", "error_500", "'dict' object has no attribute 'dict'"),
+      ("mX", "not_found", "Document mX not found")))
   }
 
   test("extract-metadata admission: 404 / falsy-content 400 / queued") {

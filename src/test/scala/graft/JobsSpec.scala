@@ -133,15 +133,22 @@ class JobsSpec extends AnyFunSuite {
   test("tracker status: defaults fill, missing id is the 404 arm") {
     val jobs = mkJobs("t1" -> "notion_scan")
       .withColumn("message", lit(null).cast("string"))
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
     val out = Jobs.trackerStatus(jobs, Seq("t1", "t9").toDF("job_id"))
       .orderBy("job_id")
-      .select("job_id", "arm", "type", "progress", "message", "detail")
+      .select(col("job_id"), col("arm"), col("type"), col("progress"),
+        col("message"), size(col("metadata")).as("mn"),
+        size(col("result")).as("rn"), col("detail"))
       .as[(String, String, Option[String], Option[Int], Option[String],
-        Option[String])].collect().toSeq
+        Option[Int], Option[Int], Option[String])].collect().toSeq
     assert(out === Seq(
-      // the route's .get("message", "") default: null answers ""
-      ("t1", "ok", Some("notion_scan"), Some(0), Some(""), None),
-      ("t9", "not_found", None, None, None, Some("Job t9 not found"))))
+      // the route's .get defaults: null message answers "", null
+      // metadata answers {}, and a tracker without a result column
+      // answers result {} — all size 0, never null, on the ok arm
+      ("t1", "ok", Some("notion_scan"), Some(0), Some(""), Some(0),
+        Some(0), None),
+      ("t9", "not_found", None, None, None, None, None,
+        Some("Job t9 not found"))))
   }
 
   test("retry: 404/400 arms, unknown type answers 400 but stays queued") {
