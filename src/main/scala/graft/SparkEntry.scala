@@ -2891,6 +2891,33 @@ object SparkEntry {
         col("error"), col("detail"))
   }
 
+  /** Search health in the gate (GET /search/health, search.py:317-347
+    * via Search.healthCheck): four probe arms per document — both up
+    * (200 healthy), qdrant down and neo4j down (503 unhealthy with
+    * per-service booleans), and a RAISING neo4j probe (the unguarded
+    * await in health_check) collapsing to the 503 error shape with no
+    * services payload. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import operators.Search
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val probes = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(
+        concat(lit("h"), col("doc_id"), lit(":"), col("k"))
+          .as("check_id"),
+        (col("k") =!= 1).as("qdrant_ok"),
+        (col("k") =!= 2).as("neo4j_ok"),
+        when(col("k") === 3, lit("conn refused")).as("neo4j_error"))
+    Search.healthCheck(probes)
+      .select(
+        regexp_extract(col("check_id"), "^h(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("check_id"), ":(\\d+)$", 1).cast("int")
+          .as("k"),
+        col("status"), col("status_code"), col("svc_qdrant"),
+        col("svc_neo4j"), col("svc_overall"), col("message"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3360,7 +3387,8 @@ object SparkEntry {
     "q137_supabase_chunks" -> q137 _,
     "q138_sources_scan" -> q138 _,
     "q139_celery_status" -> q139 _,
-    "q140_tracker_status" -> q140 _)
+    "q140_tracker_status" -> q140 _,
+    "q141_search_health" -> q141 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5117,7 +5145,21 @@ object SparkEntry {
         |  v.coa AS completed_at, v.err AS error,
         |  CASE WHEN v.arm = 'not_found' THEN 'Job t' || d.doc_id ||
         |    ':' || v.k || ' not found' END AS detail
-        |FROM documents d CROSS JOIN vt v""".stripMargin)
+        |FROM documents d CROSS JOIN vt v""".stripMargin,
+    "q141_search_health" ->
+      // qdrant failures read as False (bare except) but a raising
+      // neo4j probe aborts into the 503 error shape with no services
+      """WITH vh(k, st, sc, sq, sn, so, msg) AS (VALUES
+        |  (0, 'healthy', 200, true, true, true, NULL),
+        |  (1, 'unhealthy', 503, false, true, false, NULL),
+        |  (2, 'unhealthy', 503, true, false, false, NULL),
+        |  (3, 'error', 503, NULL, NULL, NULL, 'conn refused'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.st AS status,
+        |  CAST(v.sc AS INT) AS status_code,
+        |  CAST(v.sq AS BOOLEAN) AS svc_qdrant,
+        |  CAST(v.sn AS BOOLEAN) AS svc_neo4j,
+        |  CAST(v.so AS BOOLEAN) AS svc_overall, v.msg AS message
+        |FROM documents d CROSS JOIN vh v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -283,4 +283,31 @@ object Search {
         col(scoreCol).as("score"),
         coalesce(col("doc_type"), lit("document")).as("type"))
   }
+
+  /** GET /search/health (search.py:317-347) over health_check
+    * (search_service.py:599-621), batched over a probe-outcome frame
+    * (check_id, qdrant_ok, neo4j_ok, neo4j_error).
+    *
+    * Faithful asymmetry: the qdrant probe sits under a bare
+    * `except: pass` — any failure just reads as False — but the
+    * neo4j probe is UNGUARDED inside health_check, so a raising
+    * neo4j driver aborts the whole check into the route's
+    * 503 'error' arm (status/message, NO services payload) instead
+    * of the 'unhealthy' shape. overall = qdrant AND neo4j; 200
+    * 'healthy' only when both are up, else 503 'unhealthy' with the
+    * per-service booleans. */
+  def healthCheck(probes: DataFrame): DataFrame = {
+    val raised = col("neo4j_error").isNotNull
+    val overall = col("qdrant_ok") && col("neo4j_ok")
+    probes.select(col("check_id"),
+      when(raised, lit("error"))
+        .when(overall, lit("healthy"))
+        .otherwise(lit("unhealthy")).as("status"),
+      when(raised || !overall, lit(503)).otherwise(lit(200))
+        .as("status_code"),
+      when(!raised, col("qdrant_ok")).as("svc_qdrant"),
+      when(!raised, col("neo4j_ok")).as("svc_neo4j"),
+      when(!raised, overall).as("svc_overall"),
+      when(raised, col("neo4j_error")).as("message"))
+  }
 }

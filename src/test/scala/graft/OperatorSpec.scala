@@ -287,6 +287,24 @@ class SearchSpec extends AnyFunSuite {
     assert(got(2) === ((3L, "short", "document"))) // type defaults
   }
 
+  test("search health: qdrant fails soft, a raising neo4j probe fails the check") {
+    val probes = Seq(
+      ("h1", true, true, None: Option[String]),
+      ("h2", false, true, None),          // bare-except qdrant: just False
+      ("h3", true, false, None),
+      ("h4", true, true, Some("boom")))   // unguarded neo4j: error shape
+      .toDF("check_id", "qdrant_ok", "neo4j_ok", "neo4j_error")
+    val got = graft.operators.Search.healthCheck(probes)
+      .orderBy("check_id")
+      .select("status", "status_code", "svc_overall", "message")
+      .as[(String, Int, Option[Boolean], Option[String])].collect().toSeq
+    assert(got === Seq(
+      ("healthy", 200, Some(true), None),
+      ("unhealthy", 503, Some(false), None),
+      ("unhealthy", 503, Some(false), None),
+      ("error", 503, None, Some("boom"))))
+  }
+
   test("rag prompt: exact scaffold, 1-based numbering, Python-ish nulls") {
     val ctx = Seq((Seq((Some(7L), Some("first snippet")),
       (Option.empty[Long], Option.empty[String])), "why?"))
