@@ -167,4 +167,36 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("q136 metadata update: doc lookup broadcast, merge stays narrow") {
+    val plan = planOf("q136_metadata_update")
+    // the docs frame semi-reduces to the request ids and broadcasts
+    // back; the map merge itself is per-row projection work
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q137 supabase twins: roster broadcast, no corpus shuffle") {
+    val plan = planOf("q137_supabase_chunks")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q138-q141 route projections stay join-free and narrow") {
+    // pure per-row arm logic over the request fixture — any join or
+    // corpus-wide exchange appearing here is a regression
+    for (q <- Seq("q138_sources_scan", "q141_search_health")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+    // the two status projections join request-sized frames only —
+    // broadcast hash, never sort-merge
+    for (q <- Seq("q139_celery_status", "q140_tracker_status")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
 }
