@@ -2893,10 +2893,11 @@ object SparkEntry {
 
   /** Search health in the gate (GET /search/health, search.py:317-347
     * via Search.healthCheck): four probe arms per document — both up
-    * (200 healthy), qdrant down and neo4j down (503 unhealthy with
-    * per-service booleans), and a RAISING neo4j probe (the unguarded
-    * await in health_check) collapsing to the 503 error shape with no
-    * services payload. */
+    * (200 healthy), qdrant down and neo4j down (both fail SOFT into
+    * 503 unhealthy with per-service booleans — neo4j's own
+    * health_check swallows driver errors, neo4j_service.py:718-729),
+    * and the route's except arm (503 error shape, no services
+    * payload) — dead code for driver failures, pinned as a shape. */
   private def q141(s: SparkSession, dir: String): DataFrame = {
     import operators.Search
     val d = t(s, dir, "documents").select(col("doc_id"))
@@ -2907,7 +2908,7 @@ object SparkEntry {
           .as("check_id"),
         (col("k") =!= 1).as("qdrant_ok"),
         (col("k") =!= 2).as("neo4j_ok"),
-        when(col("k") === 3, lit("conn refused")).as("neo4j_error"))
+        when(col("k") === 3, lit("conn refused")).as("service_error"))
     Search.healthCheck(probes)
       .select(
         regexp_extract(col("check_id"), "^h(\\d+):", 1).cast("bigint")
@@ -5147,8 +5148,9 @@ object SparkEntry {
         |    ':' || v.k || ' not found' END AS detail
         |FROM documents d CROSS JOIN vt v""".stripMargin,
     "q141_search_health" ->
-      // qdrant failures read as False (bare except) but a raising
-      // neo4j probe aborts into the 503 error shape with no services
+      // both probes fail soft into the unhealthy arm (neo4j's own
+      // health_check swallows driver errors); the error shape is the
+      // route's except arm, dead for driver failures
       """WITH vh(k, st, sc, sq, sn, so, msg) AS (VALUES
         |  (0, 'healthy', 200, true, true, true, NULL),
         |  (1, 'unhealthy', 503, false, true, false, NULL),

@@ -286,18 +286,23 @@ object Search {
 
   /** GET /search/health (search.py:317-347) over health_check
     * (search_service.py:599-621), batched over a probe-outcome frame
-    * (check_id, qdrant_ok, neo4j_ok, neo4j_error).
+    * (check_id, qdrant_ok, neo4j_ok, service_error).
     *
-    * Faithful asymmetry: the qdrant probe sits under a bare
-    * `except: pass` — any failure just reads as False — but the
-    * neo4j probe is UNGUARDED inside health_check, so a raising
-    * neo4j driver aborts the whole check into the route's
-    * 503 'error' arm (status/message, NO services payload) instead
-    * of the 'unhealthy' shape. overall = qdrant AND neo4j; 200
-    * 'healthy' only when both are up, else 503 'unhealthy' with the
-    * per-service booleans. */
+    * BOTH probes fail soft: qdrant under the service's bare
+    * `except: pass`, and neo4j inside Neo4jService.health_check's own
+    * try/except (neo4j_service.py:718-729) — a refused connection on
+    * either side reads as False and lands in the 503 'unhealthy' arm
+    * WITH the per-service booleans. overall = qdrant AND neo4j; 200
+    * 'healthy' only when both are up.
+    *
+    * `service_error` renders the route's own `except` arm
+    * (search.py:341-347: 503 {'status':'error','message'}, NO
+    * services payload) — DEAD CODE for driver failures, since both
+    * probes swallow them; it fires only if health_check itself blows
+    * up (e.g. a missing service attribute). Pinned as a shape, not a
+    * live driver-failure outcome — the dead-arm convention. */
   def healthCheck(probes: DataFrame): DataFrame = {
-    val raised = col("neo4j_error").isNotNull
+    val raised = col("service_error").isNotNull
     val overall = col("qdrant_ok") && col("neo4j_ok")
     probes.select(col("check_id"),
       when(raised, lit("error"))
@@ -308,6 +313,6 @@ object Search {
       when(!raised, col("qdrant_ok")).as("svc_qdrant"),
       when(!raised, col("neo4j_ok")).as("svc_neo4j"),
       when(!raised, overall).as("svc_overall"),
-      when(raised, col("neo4j_error")).as("message"))
+      when(raised, col("service_error")).as("message"))
   }
 }

@@ -287,13 +287,15 @@ class SearchSpec extends AnyFunSuite {
     assert(got(2) === ((3L, "short", "document"))) // type defaults
   }
 
-  test("search health: qdrant fails soft, a raising neo4j probe fails the check") {
+  test("search health: both probes fail soft; the error shape is the dead except arm") {
     val probes = Seq(
       ("h1", true, true, None: Option[String]),
-      ("h2", false, true, None),          // bare-except qdrant: just False
-      ("h3", true, false, None),
-      ("h4", true, true, Some("boom")))   // unguarded neo4j: error shape
-      .toDF("check_id", "qdrant_ok", "neo4j_ok", "neo4j_error")
+      ("h2", false, true, None),   // bare-except qdrant: just False
+      ("h3", true, false, None),   // neo4j driver failures ALSO read as
+                                   // False (neo4j_service.py:718-729)
+      ("h4", true, true, Some("boom"))) // the route's own except arm —
+                                   // dead for driver failures
+      .toDF("check_id", "qdrant_ok", "neo4j_ok", "service_error")
     val got = graft.operators.Search.healthCheck(probes)
       .orderBy("check_id")
       .select("status", "status_code", "svc_overall", "message")
