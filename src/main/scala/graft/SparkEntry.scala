@@ -2919,6 +2919,34 @@ object SparkEntry {
         col("svc_neo4j"), col("svc_overall"), col("message"))
   }
 
+  /** Service-init census in the gate (dependency_manager.py:34-127
+    * via ServiceInit.initCensus): four probes per document with
+    * parity-alternating outcomes — database failures land 'error'
+    * while the other three land 'unavailable', healthy messages are
+    * the fixed per-service strings, and a HEALTHY redis still never
+    * registers in the services dict. healthy_n/total_n carry the
+    * init summary per boot. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.ServiceInit
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val probes = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(col("doc_id"),
+        concat(lit("b"), col("doc_id")).as("boot_id"),
+        element_at(array(lit("database"), lit("neo4j"), lit("qdrant"),
+          lit("redis")), col("k") + 1).as("service"),
+        ((col("doc_id") + col("k")) % 2 === 0).as("ok"),
+        when((col("doc_id") + col("k")) % 2 =!= 0,
+          concat(lit("boom"), col("k"))).as("error"))
+    val census = ServiceInit.initCensus(probes)
+    census
+      .join(ServiceInit.initSummary(census), Seq("boot_id"))
+      .select(substring(col("boot_id"), 2, 100).cast("bigint")
+          .as("doc_id"),
+        col("service"), col("status"), col("message"),
+        col("registered"), col("healthy_n"), col("total_n"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3389,7 +3417,8 @@ object SparkEntry {
     "q138_sources_scan" -> q138 _,
     "q139_celery_status" -> q139 _,
     "q140_tracker_status" -> q140 _,
-    "q141_search_health" -> q141 _)
+    "q141_search_health" -> q141 _,
+    "q142_service_init" -> q142 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5161,7 +5190,27 @@ object SparkEntry {
         |  CAST(v.sq AS BOOLEAN) AS svc_qdrant,
         |  CAST(v.sn AS BOOLEAN) AS svc_neo4j,
         |  CAST(v.so AS BOOLEAN) AS svc_overall, v.msg AS message
-        |FROM documents d CROSS JOIN vh v""".stripMargin)
+        |FROM documents d CROSS JOIN vh v""".stripMargin,
+    "q142_service_init" ->
+      // database failures are ERROR, the other three UNAVAILABLE;
+      // healthy redis still never registers in the services dict
+      """WITH vs(k, svc) AS (VALUES
+        |  (0, 'database'), (1, 'neo4j'), (2, 'qdrant'), (3, 'redis')),
+        |c AS (SELECT d.doc_id, v.svc AS service, v.k,
+        |  (d.doc_id + v.k) % 2 = 0 AS ok
+        |  FROM documents d CROSS JOIN vs v)
+        |SELECT doc_id, service,
+        |  CASE WHEN ok THEN 'healthy'
+        |       WHEN service = 'database' THEN 'error'
+        |       ELSE 'unavailable' END AS status,
+        |  CASE WHEN NOT ok THEN 'boom' || k
+        |       WHEN service = 'database' THEN 'PostgreSQL connected'
+        |       WHEN service = 'neo4j' THEN 'Neo4j connected'
+        |       WHEN service = 'qdrant' THEN 'Qdrant connected'
+        |       ELSE 'Redis connected' END AS message,
+        |  ok AND service <> 'redis' AS registered,
+        |  CAST(2 AS BIGINT) AS healthy_n, CAST(4 AS BIGINT) AS total_n
+        |FROM c""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -1,0 +1,56 @@
+package graft.dataflow
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The service-initialization census
+  * (app/services/dependency_manager.py:34-127) — the deterministic
+  * core of DependencyManager.initialize_all over probe outcomes for
+  * the four external stores, batched over a (boot_id, service, ok,
+  * error) frame.
+  *
+  * Faithful quirks:
+  *   - the failure status is ASYMMETRIC: a database failure lands
+  *     ServiceStatus.ERROR (:68-73) while neo4j/qdrant/redis failures
+  *     all land UNAVAILABLE (:93-99, :123-129, :147-153); the enum's
+  *     UNHEALTHY member is never assigned anywhere — dead;
+  *   - healthy messages are fixed per service ("PostgreSQL connected",
+  *     "<Name> connected"); failure messages are str(e) verbatim;
+  *   - redis NEVER lands in the services dict — only health_status
+  *     (:138-145) — so get_service("redis") is None even when healthy,
+  *     and is_service_healthy reads health_status so it still answers
+  *     true; `registered` models the services-dict membership;
+  *   - the init summary counts healthy/total over health_status.
+  *
+  * Scale: a narrow projection over a boot-sized probe frame; the
+  * summary is one map-side-combinable aggregation keyed by boot_id. */
+object ServiceInit {
+
+  private val healthyMessage = Map(
+    "database" -> "PostgreSQL connected",
+    "neo4j" -> "Neo4j connected",
+    "qdrant" -> "Qdrant connected",
+    "redis" -> "Redis connected")
+
+  /** One census row per probe: status / message / services-dict
+    * membership. */
+  def initCensus(probes: DataFrame): DataFrame = {
+    val msg = healthyMessage.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(col("service") === k, lit(v)).otherwise(acc)
+    }
+    probes.select(col("boot_id"), col("service"),
+      when(col("ok"), lit("healthy"))
+        .when(col("service") === "database", lit("error"))
+        .otherwise(lit("unavailable")).as("status"),
+      when(col("ok"), msg).otherwise(col("error")).as("message"),
+      (col("ok") && col("service") =!= "redis").as("registered"))
+  }
+
+  /** The "Service initialization complete: h/t services healthy"
+    * summary (:43-46), one row per boot. */
+  def initSummary(census: DataFrame): DataFrame =
+    census.groupBy(col("boot_id")).agg(
+      sum(when(col("status") === "healthy", 1L).otherwise(0L))
+        .as("healthy_n"),
+      count(lit(1)).as("total_n"))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dataflow.ServiceInit
+
+/** Pins the service-initialization census
+  * (dependency_manager.py:34-127): the asymmetric failure statuses
+  * (database→error, others→unavailable; UNHEALTHY is a dead enum
+  * member), the fixed healthy messages, and the redis
+  * never-registered quirk. */
+class ServiceInitSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("census: asymmetric failure statuses, redis never registers") {
+    val probes = Seq(
+      ("b1", "database", false, Some("pg down")),
+      ("b1", "neo4j", false, Some("bolt refused")),
+      ("b1", "qdrant", true, None),
+      ("b1", "redis", true, None))
+      .toDF("boot_id", "service", "ok", "error")
+    val got = ServiceInit.initCensus(probes)
+      .orderBy("service")
+      .select("service", "status", "message", "registered")
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(got === Seq(
+      // database is the ONLY service whose failure is ERROR
+      ("database", "error", "pg down", false),
+      ("neo4j", "unavailable", "bolt refused", false),
+      ("qdrant", "healthy", "Qdrant connected", true),
+      // healthy redis: health_status yes, services dict NO —
+      // get_service("redis") is always None (dependency_manager
+      // :138-145 never assigns self.services["redis"])
+      ("redis", "healthy", "Redis connected", false)))
+  }
+
+  test("summary counts healthy over total per boot") {
+    val probes = Seq(
+      ("b1", "database", true, None: Option[String]),
+      ("b1", "neo4j", false, Some("x")),
+      ("b2", "qdrant", true, None))
+      .toDF("boot_id", "service", "ok", "error")
+    val got = ServiceInit.initSummary(ServiceInit.initCensus(probes))
+      .orderBy("boot_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("b1", 1L, 2L), ("b2", 1L, 1L)))
+  }
+}
