@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Document-metadata taxonomy + the deterministic tag-merge contract
   * around the reference's LLM metadata extraction
   * (app/models/metadata_taxonomy.py, app/services/
-  * metadata_extraction_service.py:57-117).
+  * metadata_extraction_service.py:57-117; app/services/
+  * metadata_extraction.py:17-116 duplicates the same four helpers
+  * line-for-line — one model covers both twins).
   *
   * The LLM supplies free-form tags and a category; everything AFTER
   * that boundary is deterministic and modeled here:

@@ -199,4 +199,12 @@ class NewQueryPlanSpec extends AnyFunSuite {
       assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
     }
   }
+
+  test("q142 service init: boot-keyed summary join, never global") {
+    val plan = planOf("q142_service_init")
+    // the census/summary join keys on boot_id — one keyed exchange
+    // pair at worst, never a cartesian or a single-partition collapse
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
