@@ -2947,6 +2947,40 @@ object SparkEntry {
         col("registered"), col("healthy_n"), col("total_n"))
   }
 
+  /** LlamaParse wire contracts in the gate
+    * (llamaparse_service.py:26-409 via LlamaParseWire): thirteen
+    * arms per document — the four endpoint base forms plus the
+    * trailing-slash rstrip, the mime table including the missing-.md
+    * octet-stream quirk, the legacy/unknown tier mappings, and the
+    * Python-or markdown normalization where an empty string falls
+    * through and all-falsy yields null. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import operators.LlamaParseWire
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val rows = d.select(col("doc_id"),
+      explode(sequence(lit(0), lit(12))).as("k"))
+    val k = col("k")
+    val base = when(k === 0, lit("https://h/api/parsing"))
+      .when(k === 1, lit("https://h/api/v1"))
+      .when(k === 2, lit("https://h/api"))
+      .when(k === 3, lit("https://h"))
+      .when(k === 4, lit("https://h/api/v1//"))
+    val result =
+      when(k <= 4, LlamaParseWire.parsingEndpoint(base, lit("/upload")))
+        .when(k === 5, LlamaParseWire.inferMime(lit("Report.PDF")))
+        .when(k === 6, LlamaParseWire.inferMime(lit("notes.md")))
+        .when(k === 7, LlamaParseWire.inferMime(lit("page.HTM")))
+        .when(k === 8, LlamaParseWire.parsingMode(lit("premium")))
+        .when(k === 9, LlamaParseWire.parsingMode(lit("Agentic_Plus")))
+        .when(k === 10, LlamaParseWire.parsingMode(lit("weird")))
+        .when(k === 11, LlamaParseWire.normalizedMarkdown(lit(""),
+          lit("from content"), lit("x")))
+        .otherwise(LlamaParseWire.normalizedMarkdown(lit(""), lit(""),
+          lit(null).cast("string")))
+    rows.select(col("doc_id"), k.cast("int").as("k"),
+      result.as("result"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3418,7 +3452,8 @@ object SparkEntry {
     "q139_celery_status" -> q139 _,
     "q140_tracker_status" -> q140 _,
     "q141_search_health" -> q141 _,
-    "q142_service_init" -> q142 _)
+    "q142_service_init" -> q142 _,
+    "q143_llamaparse_wire" -> q143 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5210,7 +5245,27 @@ object SparkEntry {
         |       ELSE 'Redis connected' END AS message,
         |  ok AND service <> 'redis' AS registered,
         |  CAST(2 AS BIGINT) AS healthy_n, CAST(4 AS BIGINT) AS total_n
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q143_llamaparse_wire" ->
+      // four endpoint base forms + rstrip; the mime table has no .md
+      // arm; legacy/unknown tiers fold to the mode map; Python-or
+      // markdown: "" falls through, all-falsy is NULL
+      """WITH vw(k, res) AS (VALUES
+        |  (0, 'https://h/api/parsing/upload'),
+        |  (1, 'https://h/api/v1/parsing/upload'),
+        |  (2, 'https://h/api/v1/parsing/upload'),
+        |  (3, 'https://h/api/v1/parsing/upload'),
+        |  (4, 'https://h/api/v1/parsing/upload'),
+        |  (5, 'application/pdf'),
+        |  (6, 'application/octet-stream'),
+        |  (7, 'text/html'),
+        |  (8, 'agentic'),
+        |  (9, 'agentic_plus'),
+        |  (10, 'balanced'),
+        |  (11, 'from content'),
+        |  (12, NULL))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
+        |FROM documents d CROSS JOIN vw v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
