@@ -2981,6 +2981,37 @@ object SparkEntry {
       result.as("result"))
   }
 
+  /** Relationship-type canonicalization in the gate
+    * (utils/relationship_types.py via RelationshipTypes): eleven
+    * arms per document — falsy/blank defaults, alias hits (including
+    * a multi-word and an underscored alias), the sanitize-and-member
+    * path with punctuation, the not-in-set default, and the label
+    * formatting's echo-raw-only-when-different rule. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import operators.RelationshipTypes
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val rows = d.select(col("doc_id"),
+      explode(sequence(lit(0), lit(10))).as("k"))
+    val k = col("k")
+    val canonInput = when(k === 2, lit("may cause"))
+      .when(k === 3, lit("  Helps Prevent Removal Of "))
+      .when(k === 4, lit("located_in"))
+      .when(k === 5, lit("component of"))
+      .when(k === 6, lit("conflicts-with!"))
+      .when(k === 7, lit("totally novel"))
+      .when(k === 1, lit("   "))
+    val result =
+      when(k <= 7, RelationshipTypes.canonicalize(canonInput))
+        .when(k === 8, RelationshipTypes.formatLabel(lit("CAUSES"),
+          lit("may cause")))
+        .when(k === 9, RelationshipTypes.formatLabel(lit("MITIGATES"),
+          lit("reduces  vibration")))
+        .otherwise(RelationshipTypes.formatLabel(lit("COMPATIBLE_WITH"),
+          lit(null).cast("string")))
+    rows.select(col("doc_id"), k.cast("int").as("k"),
+      result.as("result"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3453,7 +3484,8 @@ object SparkEntry {
     "q140_tracker_status" -> q140 _,
     "q141_search_health" -> q141 _,
     "q142_service_init" -> q142 _,
-    "q143_llamaparse_wire" -> q143 _)
+    "q143_llamaparse_wire" -> q143 _,
+    "q144_rel_canonicalize" -> q144 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5265,7 +5297,24 @@ object SparkEntry {
         |  (11, 'from content'),
         |  (12, NULL))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
-        |FROM documents d CROSS JOIN vw v""".stripMargin)
+        |FROM documents d CROSS JOIN vw v""".stripMargin,
+    "q144_rel_canonicalize" ->
+      // falsy->RELATES_TO, alias table hits, sanitize-and-member,
+      // not-in-set default, and the echo-raw-only-when-different label
+      """WITH vc(k, res) AS (VALUES
+        |  (0, 'RELATES_TO'),
+        |  (1, 'RELATES_TO'),
+        |  (2, 'CAUSES'),
+        |  (3, 'MITIGATES'),
+        |  (4, 'COMPONENT_OF'),
+        |  (5, 'COMPONENT_OF'),
+        |  (6, 'CONFLICTS_WITH'),
+        |  (7, 'RELATES_TO'),
+        |  (8, 'Causes'),
+        |  (9, 'Reduces Vibration'),
+        |  (10, 'Compatible With'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
+        |FROM documents d CROSS JOIN vc v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
