@@ -55,4 +55,29 @@ object Naming {
   def validateAppNamespaceName(name: String): String =
     enforce(name, false, "App namespace")
   def validateTargetName(name: String): String = enforce(name, false, "Target")
+
+  // ---- app-namespace helpers (python/cocoindex/setting.py:14-36) ----
+
+  /** get_app_namespace: the trailing delimiter appends ONLY when the
+    * namespace is non-empty AND a delimiter was asked for. */
+  def appNamespaceWithDelimiter(namespace: String,
+      trailingDelimiter: Option[String]): String =
+    if (namespace.isEmpty || trailingDelimiter.isEmpty) namespace
+    else namespace + trailingDelimiter.get
+
+  /** split_app_namespace: split on the FIRST delimiter only; a name
+    * without one is all-rest with an empty namespace. */
+  def splitAppNamespace(fullName: String,
+      delimiter: String): (String, String) = {
+    val idx = fullName.indexOf(delimiter)
+    if (idx < 0) ("", fullName)
+    else (fullName.substring(0, idx),
+      fullName.substring(idx + delimiter.length))
+  }
+
+  /** ServerSettings.parse_cors_origins (setting.py:173-181): split on
+    * commas, strip each entry, drop empties; null stays null. */
+  def parseCorsOrigins(s: String): Option[Seq[String]] =
+    Option(s).map(_.split(",", -1).toSeq
+      .map(_.strip).filter(_.nonEmpty))
 }

@@ -47,4 +47,20 @@ class NamingSpec extends AnyFunSuite {
     intercept[NamingException](
       flow.export("not/a/name", "/tmp/never-used", Seq("id")))
   }
+
+  test("app-namespace helpers and CORS parsing (setting.py:14-36, :173-181)") {
+    import graft.dataflow.Naming
+    // trailing delimiter appends only when BOTH namespace and
+    // delimiter are present
+    assert(Naming.appNamespaceWithDelimiter("", Some(".")) === "")
+    assert(Naming.appNamespaceWithDelimiter("app", None) === "app")
+    assert(Naming.appNamespaceWithDelimiter("app", Some(".")) === "app.")
+    // split on the FIRST delimiter; no delimiter = empty namespace
+    assert(Naming.splitAppNamespace("ns.flow.sub", ".") === (("ns", "flow.sub")))
+    assert(Naming.splitAppNamespace("flowonly", ".") === (("", "flowonly")))
+    // CORS: strip entries, drop empties, null stays null
+    assert(Naming.parseCorsOrigins(" https://a.com , ,https://b.com,")
+      === Some(Seq("https://a.com", "https://b.com")))
+    assert(Naming.parseCorsOrigins(null) === None)
+  }
 }
