@@ -3012,6 +3012,34 @@ object SparkEntry {
       result.as("result"))
   }
 
+  /** App-level health census in the gate (GET /health,
+    * app/main.py:150-221 via AppHealth.healthCensus): six arms per
+    * document — all-up with a worker count, the UNHEALTHY-neo4j-
+    * stays-healthy quirk, the three error arms that DO degrade, and
+    * the zero-workers collapse. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import operators.AppHealth
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val k = col("k")
+    val probes = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(5))).as("k"))
+      .select(concat(lit("c"), col("doc_id"), lit(":"), k).as("check_id"),
+        (k =!= 1).as("neo4j_up"),
+        when(k === 2, lit("boom")).as("neo4j_error"),
+        when(k === 3, lit("qd down")).as("qdrant_error"),
+        when(k === 4, lit("rd down")).as("redis_error"),
+        when(k === 5, lit(null).cast("int"))
+          .otherwise(lit(2)).as("celery_workers"))
+    AppHealth.healthCensus(probes)
+      .select(
+        regexp_extract(col("check_id"), "^c(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("check_id"), ":(\\d+)$", 1).cast("int")
+          .as("k"),
+        col("status"), col("svc_neo4j"), col("svc_qdrant"),
+        col("svc_redis"), col("svc_celery"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3485,7 +3513,8 @@ object SparkEntry {
     "q141_search_health" -> q141 _,
     "q142_service_init" -> q142 _,
     "q143_llamaparse_wire" -> q143 _,
-    "q144_rel_canonicalize" -> q144 _)
+    "q144_rel_canonicalize" -> q144 _,
+    "q145_app_health" -> q145 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5314,7 +5343,27 @@ object SparkEntry {
         |  (9, 'Reduces Vibration'),
         |  (10, 'Compatible With'))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
-        |FROM documents d CROSS JOIN vc v""".stripMargin)
+        |FROM documents d CROSS JOIN vc v""".stripMargin,
+    "q145_app_health" ->
+      // the UNHEALTHY-neo4j arm does NOT degrade overall status; only
+      // the error/timeout arms do
+      """WITH vh(k, st, n, q, r, c) AS (VALUES
+        |  (0, 'healthy', 'healthy', 'healthy', 'healthy',
+        |    'healthy (2 workers)'),
+        |  (1, 'healthy', 'unhealthy', 'healthy', 'healthy',
+        |    'healthy (2 workers)'),
+        |  (2, 'degraded', 'error: boom', 'healthy', 'healthy',
+        |    'healthy (2 workers)'),
+        |  (3, 'degraded', 'healthy', 'error: qd down', 'healthy',
+        |    'healthy (2 workers)'),
+        |  (4, 'degraded', 'healthy', 'healthy', 'error: rd down',
+        |    'healthy (2 workers)'),
+        |  (5, 'degraded', 'healthy', 'healthy', 'healthy',
+        |    'no workers running'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.st AS status,
+        |  v.n AS svc_neo4j, v.q AS svc_qdrant, v.r AS svc_redis,
+        |  v.c AS svc_celery
+        |FROM documents d CROSS JOIN vh v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
