@@ -3040,6 +3040,42 @@ object SparkEntry {
         col("svc_redis"), col("svc_celery"))
   }
 
+  /** Compat sources-scan dispatcher in the gate
+    * (main_fixed.py:223-266 via ConnectorScans.sourcesScanCompat):
+    * six arms per document — exact-match notion, a CASED source
+    * falling to scan-both (no unknown-source 400 in this variant),
+    * the default-params call that QUEUES notion and then 500s on
+    * gdrive, a gdrive-only rejection, a notion-only rejection (both
+    * wrapped as "400: ..." 500 details), and an unknown source
+    * scanning both successfully. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import operators.ConnectorScans
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val k = col("k")
+    val requests = d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(5))).as("k"))
+      .select(
+        concat(lit("r"), col("doc_id"), lit(":"), k).as("request_id"),
+        when(k === 0 || k === 4, lit("notion"))
+          .when(k === 1, lit("NOTION"))
+          .when(k === 3, lit("drive"))
+          .when(k === 5, lit("slack")).as("source"),
+        when(k === 0, lit("employee"))
+          .when(k === 1, lit("client"))
+          .when(k === 2, lit("all"))
+          .when(k === 3 || k === 4, lit("weird"))
+          .when(k === 5, lit("public")).as("security_level"))
+    ConnectorScans.sourcesScanCompat(requests)
+      .select(
+        regexp_extract(col("request_id"), "^r(\\d+):", 1).cast("bigint")
+          .as("doc_id"),
+        regexp_extract(col("request_id"), ":(\\d+)$", 1).cast("int")
+          .as("k"),
+        col("arm"), col("notion_attempted"), col("notion_queued"),
+        col("notion_task"), col("gdrive_attempted"),
+        col("gdrive_queued"), col("status_code"), col("detail"))
+  }
+
   /** Per-document entity report in the gate
     * (GET /entities/documents/{id}/entities, entities.py:583-645 via
     * EntityCrud.documentEntityReport): the by-type census with window
@@ -3514,7 +3550,8 @@ object SparkEntry {
     "q142_service_init" -> q142 _,
     "q143_llamaparse_wire" -> q143 _,
     "q144_rel_canonicalize" -> q144 _,
-    "q145_app_health" -> q145 _)
+    "q145_app_health" -> q145 _,
+    "q146_compat_scan" -> q146 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5363,7 +5400,36 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.st AS status,
         |  v.n AS svc_neo4j, v.q AS svc_qdrant, v.r AS svc_redis,
         |  v.c AS svc_celery
-        |FROM documents d CROSS JOIN vh v""".stripMargin)
+        |FROM documents d CROSS JOIN vh v""".stripMargin,
+    "q146_compat_scan" ->
+      // exact-match arms (cased NOTION falls to both), no unknown-
+      // source 400, notion-first partial side-effect on the default
+      // call, 400s wrapped as "400: ..." inside 500s
+      """WITH vc(k, arm, na, nq, nt, ga, gq, sc, det) AS (VALUES
+        |  (0, 'notion', true, true, 'scan_notion_workspace', false,
+        |    false, 200, NULL),
+        |  (1, 'both', true, true, 'scan_notion_workspace', true,
+        |    true, 200, NULL),
+        |  (2, 'both', true, true, 'scan_notion_all', true, false,
+        |    500, '400: Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'']'),
+        |  (3, 'gdrive', false, false, NULL, true, false, 500,
+        |    '400: Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'']'),
+        |  (4, 'notion', true, false, NULL, false, false, 500,
+        |    '400: Invalid security level. Must be one of: ' ||
+        |    '[''public'', ''client'', ''partner'', ''employee'', ' ||
+        |    '''management'', ''all'']'),
+        |  (5, 'both', true, true, 'scan_notion_workspace', true,
+        |    true, 200, NULL))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.arm,
+        |  v.na AS notion_attempted, v.nq AS notion_queued,
+        |  v.nt AS notion_task, v.ga AS gdrive_attempted,
+        |  v.gq AS gdrive_queued, CAST(v.sc AS INT) AS status_code,
+        |  v.det AS detail
+        |FROM documents d CROSS JOIN vc v""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

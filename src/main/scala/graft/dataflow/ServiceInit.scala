@@ -53,4 +53,20 @@ object ServiceInit {
       sum(when(col("status") === "healthy", 1L).otherwise(0L))
         .as("healthy_n"),
       count(lit(1)).as("total_n"))
+
+  /** The main_improved entrypoint's /health over this census
+    * (app/main_improved.py:122-153): overall = healthy when ALL are,
+    * degraded when SOME are, unhealthy when none; percentage rounds
+    * to one decimal (0 when the census is empty — unreachable here
+    * since groupBy only yields non-empty boots, kept for the
+    * contract). */
+  def healthSummary(census: DataFrame): DataFrame =
+    initSummary(census).select(col("boot_id"),
+      when(col("healthy_n") === col("total_n"), lit("healthy"))
+        .when(col("healthy_n") > 0, lit("degraded"))
+        .otherwise(lit("unhealthy")).as("overall"),
+      col("healthy_n"), col("total_n"),
+      when(col("total_n") > 0,
+        round(col("healthy_n").cast("double") / col("total_n") * 100, 1))
+        .otherwise(lit(0.0)).as("percentage"))
 }

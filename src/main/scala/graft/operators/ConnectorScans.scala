@@ -112,6 +112,54 @@ object ConnectorScans {
         .as("detail"))
   }
 
+  /** The main_fixed entrypoint's COMPAT dispatcher, POST
+    * /api/sources/scan (app/main_fixed.py:223-266) — a second,
+    * semantically different twin of [[sourcesScanDispatch]]:
+    *   - arms match EXACTLY, no lowercasing: "notion" or one of
+    *     gdrive/google_drive/drive; ANYTHING else — null, "all",
+    *     "NOTION", "slack" — falls to the scan-both default (this
+    *     variant has no unknown-source 400);
+    *   - scan-both runs notion FIRST (the processing.py dispatcher
+    *     runs gdrive first), so the default call (source=null,
+    *     level="all") QUEUES the notion scan and then 500s on the
+    *     gdrive arm — a partial side-effect the caller never sees
+    *     succeed;
+    *   - each delegate wraps its admission HTTPException into a 500
+    *     whose detail is Python str(e): "400: <original detail>".
+    * Output: per-request arm, which connectors were attempted/queued
+    * (a queued notion survives a later gdrive failure), the HTTP
+    * status, and the wrapped detail. */
+  def sourcesScanCompat(requests: DataFrame): DataFrame = {
+    val src = col("source")
+    val nOnly = src.isNotNull && src === "notion"
+    val gOnly = src.isNotNull &&
+      src.isin("gdrive", "google_drive", "drive")
+    val arm = when(nOnly, lit("notion")).when(gOnly, lit("gdrive"))
+      .otherwise(lit("both"))
+    val lvl = coalesce(col("security_level"), lit("all"))
+    val nOk = lvl.isInCollection(securityLevels :+ "all")
+    val gOk = lvl.isInCollection(securityLevels)
+    val nAttempted = arm =!= "gdrive"
+    val gAttempted = arm === "gdrive" || (arm === "both" && nOk)
+    val nDetail = "400: Invalid security level. Must be one of: " +
+      pyListRepr(securityLevels :+ "all")
+    val gDetail = "400: Invalid security level. Must be one of: " +
+      pyListRepr(securityLevels)
+    requests.select(col("request_id"), arm.as("arm"),
+      nAttempted.as("notion_attempted"),
+      (nAttempted && nOk).as("notion_queued"),
+      when(nAttempted && nOk,
+        when(lvl === "all", lit("scan_notion_all"))
+          .otherwise(lit("scan_notion_workspace"))).as("notion_task"),
+      gAttempted.as("gdrive_attempted"),
+      (gAttempted && gOk).as("gdrive_queued"),
+      when(nAttempted && !nOk, lit(500))
+        .when(gAttempted && !gOk, lit(500))
+        .otherwise(lit(200)).as("status_code"),
+      when(nAttempted && !nOk, lit(nDetail))
+        .when(gAttempted && !gOk, lit(gDetail)).as("detail"))
+  }
+
   /** POST /process/gdrive (processing.py:263-321). `requests` carries
     * (request_id, security_level, file_types, force_update). */
   def gdriveScan(requests: DataFrame): DataFrame = {

@@ -92,4 +92,26 @@ class ConnectorScansSpec extends AnyFunSuite {
       ("slack", "unknown_source", false, false, None, None),
       ("notion", "queued", false, true, None, Some("scan_notion_all"))))
   }
+
+  test("compat dispatcher: exact arms, notion-first partial side-effect") {
+    val spark2 = spark
+    import spark2.implicits._
+    val requests = Seq(
+      ("NOTION", "client"),        // cased: falls to scan-BOTH
+      (null: String, null: String),// full default: notion queues, gdrive 500s
+      ("notion", "weird"))         // notion-only rejection
+      .toDF("source", "security_level")
+      .withColumn("request_id", coalesce(col("source"), lit("dflt")))
+    val out = ConnectorScans.sourcesScanCompat(requests)
+      .select("arm", "notion_queued", "notion_task", "gdrive_attempted",
+        "gdrive_queued", "status_code")
+      .as[(String, Boolean, Option[String], Boolean, Boolean, Int)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("both", true, Some("scan_notion_workspace"), true, true, 200),
+      // the variant's default call queues notion BEFORE the gdrive
+      // arm 500s — a partial side-effect the response never reports
+      ("both", true, Some("scan_notion_all"), true, false, 500),
+      ("notion", false, None, false, false, 500)))
+  }
 }

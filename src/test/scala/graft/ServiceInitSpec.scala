@@ -47,4 +47,23 @@ class ServiceInitSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("b1", 1L, 2L), ("b2", 1L, 1L)))
   }
+
+  test("main_improved health: all/some/none tiers + one-decimal pct") {
+    val probes = Seq(
+      ("b1", "database", true, None: Option[String]),
+      ("b1", "neo4j", true, None),
+      ("b2", "database", true, None),
+      ("b2", "neo4j", false, Some("x")),
+      ("b2", "qdrant", false, Some("y")),
+      ("b3", "redis", false, Some("z")))
+      .toDF("boot_id", "service", "ok", "error")
+    val got = ServiceInit.healthSummary(ServiceInit.initCensus(probes))
+      .orderBy("boot_id")
+      .select("boot_id", "overall", "percentage")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got === Seq(
+      ("b1", "healthy", 100.0),
+      ("b2", "degraded", 33.3),   // 1/3 rounds to one decimal
+      ("b3", "unhealthy", 0.0)))
+  }
 }
