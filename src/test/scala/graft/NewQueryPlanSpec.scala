@@ -186,7 +186,9 @@ class NewQueryPlanSpec extends AnyFunSuite {
   test("q138-q141 route projections stay join-free and narrow") {
     // pure per-row arm logic over the request fixture — any join or
     // corpus-wide exchange appearing here is a regression
-    for (q <- Seq("q138_sources_scan", "q141_search_health")) {
+    for (q <- Seq("q138_sources_scan", "q141_search_health",
+        "q143_llamaparse_wire", "q144_rel_canonicalize",
+        "q145_app_health", "q146_compat_scan")) {
       val plan = planOf(q)
       assert(!plan.contains("Join"), s"$q:\n$plan")
       assert(!plan.contains("Exchange"), s"$q:\n$plan")
