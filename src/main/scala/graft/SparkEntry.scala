@@ -3399,6 +3399,115 @@ object SparkEntry {
         max(coalesce(col("deg"), lit(0L))).as("max_degree"))
   }
 
+  /** Duplicate-relationship cleanup in the gate
+    * (cleanup_duplicate_relationships.py:40-100 via
+    * Maintenance.cleanupDuplicateRelationships): a store-sized
+    * relationship frame synthesized from events — colliding
+    * (source, target, type) keys, verified/manual/missing-document
+    * flags, null created_at and confidence arms — ranked by the
+    * keep-priority ladder. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import operators.Maintenance
+    val e = t(s, dir, "events")
+    val rels = e.select(
+      col("event_id").as("id"),
+      concat(lit("e"), pmod(col("user_id"), lit(20)))
+        .as("source_entity_id"),
+      concat(lit("e"), pmod(col("user_id") + col("event_id"), lit(15)))
+        .as("target_entity_id"),
+      upper(col("event_type")).as("relationship_type"),
+      (col("event_id") % 7 === 0).as("is_verified"),
+      (col("event_id") % 11 === 0).as("meta_manual"),
+      when(col("event_id") % 5 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 5 === 1, lit(""))
+        .otherwise(concat(lit("d"), col("event_id") % 100))
+        .as("meta_document_id"),
+      when(col("event_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .as("created_at"),
+      when(col("event_id") % 17 === 0, lit(null).cast("double"))
+        .otherwise(round(col("value"), 3)).as("confidence_score"))
+    Maintenance.cleanupDuplicateRelationships(rels)
+  }
+
+  /** Canonical-id backfill in the gate (backfill_canonical_ids.py
+    * :23-112 via Maintenance.backfillCanonicalIds): mentions from
+    * events with case/whitespace name variants, the falsy and
+    * whitespace-only type arms, and preset assignments excluded; a
+    * canonical store from nation exercising the validated-reuse /
+    * exact-case / lowercase / mint ladder. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import operators.Maintenance
+    val k = col("event_id") % 12
+    val m = col("event_id") % 6
+    val mentions = t(s, dir, "events").select(
+      col("event_id").as("mention_id"),
+      when(k === 0, lit("Pump")).when(k === 1, lit("  Pump  "))
+        .when(k === 2, lit("pump")).when(k === 3, lit("Valve"))
+        .when(k === 4, lit("")).when(k === 5, lit("   "))
+        .when(k === 6, lit("Motor")).when(k === 7, lit("motor"))
+        .when(k === 8, lit("Sensor")).when(k === 9, lit("Bearing"))
+        .when(k === 10, lit("Pump")).otherwise(lit("Valve Seat"))
+        .as("text"),
+      when(m === 0, lit(null).cast("string")).when(m === 1, lit(""))
+        .when(m === 2, lit("  ")).when(m === 3, lit("component"))
+        .when(m === 4, lit("COMPONENT")).otherwise(lit("Material "))
+        .as("mtype"),
+      when(col("event_id") % 10 === 9, lit("preset"))
+        .otherwise(lit(null).cast("string")).as("canonical_entity_id"))
+    val nk = col("n_nationkey")
+    val canonicals = t(s, dir, "nation").select(
+      concat(lit("c"), nk).as("id"),
+      when(nk % 5 === 0, lit("Pump")).when(nk % 5 === 1, lit("pump"))
+        .when(nk % 5 === 2, lit("Valve")).when(nk % 5 === 3, lit("Motor"))
+        .otherwise(lit("Widget")).as("name"),
+      when(nk % 3 === 0, lit("COMPONENT"))
+        .when(nk % 3 === 1, lit("component"))
+        .otherwise(lit("MATERIAL")).as("ctype"),
+      (nk % 4 === 0).as("is_validated"))
+    Maintenance.backfillCanonicalIds(mentions, canonicals)
+  }
+
+  /** Relationship-type migration in the gate
+    * (migrate_relationship_types.py:23-92 via
+    * Maintenance.migrateRelationshipTypes): stored labels spanning
+    * null, already-canonical, alias-table, sanitize-to-canonical and
+    * novel arms, each migrated through the q144-verified vocabulary. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import operators.Maintenance
+    val k = col("event_id") % 10
+    val rels = t(s, dir, "events").select(
+      col("event_id").as("id"),
+      when(k === 0, lit(null).cast("string"))
+        .when(k === 1, lit("CAUSES")).when(k === 2, lit("may cause"))
+        .when(k === 3, lit("located_in")).when(k === 4, lit("supports"))
+        .when(k === 5, lit("Conflicts With")).when(k === 6, lit("part of"))
+        .when(k === 7, lit("depends_on")).when(k === 8, lit("RELATES_TO"))
+        .otherwise(lit("uses!")).as("relationship_type"))
+    Maintenance.migrateRelationshipTypes(rels)
+  }
+
+  /** Stuck-document reset in the gate (reset_stuck_documents.py:24-46
+    * via Maintenance.resetStuckDocuments): a status census over
+    * documents with null-title and null-name arms driving the
+    * title → name → 'Untitled' display chain. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import operators.Maintenance
+    val d = col("doc_id")
+    val docs = t(s, dir, "documents").select(
+      concat(lit("D"), d).as("id"),
+      when(d % 6 === 0, lit("discovered")).when(d % 6 === 1, lit("processing"))
+        .when(d % 6 === 2, lit("pending_review"))
+        .when(d % 6 === 3, lit("processing"))
+        .when(d % 6 === 4, lit("approved")).otherwise(lit("failed"))
+        .as("status"),
+      when(d % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("T"), d)).as("title"),
+      when(d % 10 === 7, lit(null).cast("string"))
+        .otherwise(concat(lit("doc-"), d)).as("name"))
+    Maintenance.resetStuckDocuments(docs)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3551,7 +3660,11 @@ object SparkEntry {
     "q143_llamaparse_wire" -> q143 _,
     "q144_rel_canonicalize" -> q144 _,
     "q145_app_health" -> q145 _,
-    "q146_compat_scan" -> q146 _)
+    "q146_compat_scan" -> q146 _,
+    "q147_rel_cleanup" -> q147 _,
+    "q148_backfill_canonical" -> q148 _,
+    "q149_rel_type_migrate" -> q149 _,
+    "q150_reset_stuck" -> q150 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5429,7 +5542,136 @@ object SparkEntry {
         |  v.nt AS notion_task, v.ga AS gdrive_attempted,
         |  v.gq AS gdrive_queued, CAST(v.sc AS INT) AS status_code,
         |  v.det AS detail
-        |FROM documents d CROSS JOIN vc v""".stripMargin)
+        |FROM documents d CROSS JOIN vc v""".stripMargin,
+    "q147_rel_cleanup" ->
+      // the keep-priority ladder as one window: manual flag desc,
+      // created_at (missing → '') desc, confidence (missing → 0)
+      // desc, id as the pinned stable-sort tiebreak
+      """WITH rels AS (SELECT event_id AS id,
+        |  'e' || (user_id % 20) AS source_entity_id,
+        |  'e' || ((user_id + event_id) % 15) AS target_entity_id,
+        |  upper(event_type) AS relationship_type,
+        |  event_id % 7 = 0 AS is_verified,
+        |  event_id % 11 = 0 AS meta_manual,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |       WHEN event_id % 5 = 1 THEN ''
+        |       ELSE 'd' || (event_id % 100) END AS meta_document_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS created_at,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |       ELSE round(value, 3) END AS confidence_score
+        |  FROM events),
+        |c AS (SELECT id, source_entity_id, target_entity_id,
+        |  relationship_type,
+        |  (coalesce(is_verified, false) OR coalesce(meta_manual, false)
+        |   OR meta_document_id IS NULL OR meta_document_id = '')
+        |    AS is_manual,
+        |  COUNT(*) OVER w AS group_size,
+        |  ROW_NUMBER() OVER (w ORDER BY
+        |    (coalesce(is_verified, false) OR coalesce(meta_manual, false)
+        |     OR meta_document_id IS NULL OR meta_document_id = '') DESC,
+        |    coalesce(created_at, '') DESC,
+        |    coalesce(confidence_score, 0) DESC, id) AS keep_rank
+        |  FROM rels
+        |  WINDOW w AS (PARTITION BY source_entity_id, target_entity_id,
+        |    relationship_type))
+        |SELECT *, CASE WHEN group_size = 1 THEN 'untouched'
+        |  WHEN keep_rank = 1 THEN 'keep' ELSE 'delete' END AS action
+        |FROM c""".stripMargin,
+    "q148_backfill_canonical" ->
+      // the grouped-mention upsert ladder: validated-by-name first,
+      // then exact (name, TYPE), then (name, lowercased type), then
+      // mint; '' normalized types miss the CONCEPT-keyed map
+      """WITH m AS (SELECT event_id AS mention_id,
+        |  CASE event_id % 12 WHEN 0 THEN 'Pump' WHEN 1 THEN '  Pump  '
+        |    WHEN 2 THEN 'pump' WHEN 3 THEN 'Valve' WHEN 4 THEN ''
+        |    WHEN 5 THEN '   ' WHEN 6 THEN 'Motor' WHEN 7 THEN 'motor'
+        |    WHEN 8 THEN 'Sensor' WHEN 9 THEN 'Bearing'
+        |    WHEN 10 THEN 'Pump' ELSE 'Valve Seat' END AS text,
+        |  CASE event_id % 6 WHEN 0 THEN NULL WHEN 1 THEN ''
+        |    WHEN 2 THEN '  ' WHEN 3 THEN 'component'
+        |    WHEN 4 THEN 'COMPONENT' ELSE 'Material ' END AS mtype,
+        |  CASE WHEN event_id % 10 = 9 THEN 'preset' END
+        |    AS canonical_entity_id
+        |  FROM events),
+        |can AS (SELECT 'c' || n_nationkey AS id,
+        |  CASE n_nationkey % 5 WHEN 0 THEN 'Pump' WHEN 1 THEN 'pump'
+        |    WHEN 2 THEN 'Valve' WHEN 3 THEN 'Motor'
+        |    ELSE 'Widget' END AS name,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'COMPONENT'
+        |    WHEN 1 THEN 'component' ELSE 'MATERIAL' END AS ctype,
+        |  n_nationkey % 4 = 0 AS is_validated
+        |  FROM nation),
+        |u AS (SELECT mention_id, trim(text) AS nm,
+        |  CASE WHEN mtype IS NULL OR mtype = '' THEN 'CONCEPT'
+        |       ELSE upper(trim(mtype)) END AS norm
+        |  FROM m WHERE canonical_entity_id IS NULL),
+        |g AS (SELECT lower(nm) AS key_name, norm,
+        |  arg_min(nm, mention_id) AS disp,
+        |  CASE WHEN norm = '' THEN 'CONCEPT' ELSE norm END AS utype
+        |  FROM u WHERE nm <> '' GROUP BY 1, 2),
+        |v AS (SELECT name, min(id) AS vid FROM can
+        |  WHERE is_validated GROUP BY name),
+        |eu AS (SELECT name, ctype, min(id) AS uid FROM can
+        |  GROUP BY name, ctype),
+        |res AS (SELECT g.key_name, g.norm,
+        |  coalesce(v.vid, e1.uid, e2.uid,
+        |    'ce:' || g.key_name || ':' || g.utype) AS cid,
+        |  (v.vid IS NULL AND e1.uid IS NULL AND e2.uid IS NULL)
+        |    AS created
+        |  FROM g LEFT JOIN v ON v.name = g.disp
+        |  LEFT JOIN eu e1 ON e1.name = g.disp AND e1.ctype = g.utype
+        |  LEFT JOIN eu e2 ON e2.name = g.disp
+        |    AND e2.ctype = lower(g.utype))
+        |SELECT u.mention_id, u.nm AS entity_name, u.norm AS entity_type,
+        |  CASE WHEN u.norm = '' THEN NULL ELSE res.cid END
+        |    AS canonical_id,
+        |  CASE WHEN u.norm = '' THEN false ELSE res.created END
+        |    AS created,
+        |  CASE WHEN u.norm = '' THEN 'unmatched'
+        |       ELSE 'assigned' END AS action
+        |FROM u JOIN res
+        |  ON lower(u.nm) = res.key_name AND u.norm = res.norm
+        |WHERE u.nm <> ''
+        |UNION ALL
+        |SELECT mention_id, nm AS entity_name, norm AS entity_type,
+        |  CAST(NULL AS VARCHAR) AS canonical_id, false AS created,
+        |  'skipped_blank' AS action
+        |FROM u WHERE nm = ''""".stripMargin,
+    "q149_rel_type_migrate" ->
+      // per-label canonical forms are the q144-verified vocabulary
+      // contract; the row mass is data-driven
+      """WITH r AS (SELECT event_id AS id,
+        |  CASE event_id % 10 WHEN 0 THEN NULL WHEN 1 THEN 'CAUSES'
+        |    WHEN 2 THEN 'may cause' WHEN 3 THEN 'located_in'
+        |    WHEN 4 THEN 'supports' WHEN 5 THEN 'Conflicts With'
+        |    WHEN 6 THEN 'part of' WHEN 7 THEN 'depends_on'
+        |    WHEN 8 THEN 'RELATES_TO' ELSE 'uses!' END AS rt
+        |  FROM events),
+        |mm AS (SELECT id, coalesce(rt, '') AS from_type,
+        |  CASE id % 10 WHEN 0 THEN 'RELATES_TO' WHEN 1 THEN 'CAUSES'
+        |    WHEN 2 THEN 'CAUSES' WHEN 3 THEN 'COMPONENT_OF'
+        |    WHEN 4 THEN 'RESPONSIBLE_FOR' WHEN 5 THEN 'CONFLICTS_WITH'
+        |    WHEN 6 THEN 'RELATES_TO' WHEN 7 THEN 'DEPENDS_ON'
+        |    WHEN 8 THEN 'RELATES_TO' ELSE 'USES' END AS to_type
+        |  FROM r)
+        |SELECT id, from_type, to_type,
+        |  CASE WHEN from_type = to_type THEN 'already_canonical'
+        |       ELSE 'migrated' END AS action
+        |FROM mm""".stripMargin,
+    "q150_reset_stuck" ->
+      """WITH docs AS (SELECT 'D' || doc_id AS id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'discovered' WHEN 1 THEN 'processing'
+        |    WHEN 2 THEN 'pending_review' WHEN 3 THEN 'processing'
+        |    WHEN 4 THEN 'approved' ELSE 'failed' END AS status,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE 'T' || doc_id END AS title,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE 'doc-' || doc_id END AS name
+        |  FROM documents)
+        |SELECT id, coalesce(title, name, 'Untitled') AS display_title,
+        |  status AS old_status, 'discovered' AS new_status
+        |FROM docs WHERE status = 'processing'""".stripMargin)
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */
