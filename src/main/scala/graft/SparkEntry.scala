@@ -3508,6 +3508,50 @@ object SparkEntry {
     Maintenance.resetStuckDocuments(docs)
   }
 
+  /** The corpus-adaptive LSH sizing law in the gate
+    * (Dedup.lshSizing + the jaccard df-cap switch): the Scala
+    * arithmetic evaluated at seven corpus sizes — including the
+    * 500-doc gate corpus (→ the (3,12)/(4,4) gate parameters), the
+    * 20k/50k sf1 decade (→ the measured (8,12) and 32-hash picks),
+    * and 10⁶/10⁹ — cross-checked against DuckDB replaying the same
+    * exact comparison (bands·n ≤ budget·2^k — integer-exact on both
+    * engines, no float log/ceil). */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import operators.Dedup
+    import s.implicits._
+    val law = Seq(500L, 2000L, 5000L, 20000L, 50000L, 1000000L,
+        1000000000L)
+      .map { n => (n, Dedup.lshSizing(n, 12, 0.5),
+        Dedup.lshSizing(n, 4, 0.5, floor = 4), n > 20000L) }
+      .toDF("n", "band_bits", "minhash_rows", "jaccard_capped")
+    t(s, dir, "documents").select(col("doc_id")).crossJoin(law)
+  }
+
+  /** The df-capped Jaccard scale path in the gate
+    * (Dedup.jaccardPairsCappedFromIndex at the measured cap 64):
+    * frequent shingles leave candidate generation, candidates verify
+    * with exact Jaccard over the full shingle sets — the oracle
+    * replays both stages, so the capped path's precision AND its
+    * recall surface (which pairs survive the cap) are hash-checked. */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsCappedFromIndex(docsShingles(s, dir), "doc_id",
+      0.2, 64L)
+
+  /** The self-sizing embedding near-dup path in the gate
+    * (Dedup.embeddingNearDupLshAuto): at this corpus (500 vectors)
+    * the law must land exactly on q72's (3, 12) — the oracle is
+    * q72's, verbatim. */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id",
+      "embedding", 64, 0.4)
+
+  /** The self-sizing MinHash candidate path in the gate
+    * (Dedup.minhashCandidatesAuto): at 500 documents the law floors
+    * at q18's (4 rows × 4 bands) — the oracle is q18's, verbatim. */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatesAuto(t(s, dir, "documents"), "doc_id",
+      "text")
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3664,7 +3708,11 @@ object SparkEntry {
     "q147_rel_cleanup" -> q147 _,
     "q148_backfill_canonical" -> q148 _,
     "q149_rel_type_migrate" -> q149 _,
-    "q150_reset_stuck" -> q150 _)
+    "q150_reset_stuck" -> q150 _,
+    "q151_lsh_auto_sizing" -> q151 _,
+    "q152_jaccard_capped" -> q152 _,
+    "q153_embed_dedup_auto" -> q153 _,
+    "q154_minhash_auto" -> q154 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -3936,15 +3984,7 @@ object SparkEntry {
          |round(CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
          |FROM i JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
          |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin,
-    "q18_minhash_lsh" ->
-      s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
-         |h AS (SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || g)) AS mh
-         |      FROM e CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
-         |b AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
-         |      md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY k)) AS bucket
-         |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
-         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-         |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin,
+    "q18_minhash_lsh" -> minhashLshOracleSql,
     "q20_embed_near_dup" ->
       """WITH c AS (
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3984,27 +4024,7 @@ object SparkEntry {
         |  FROM proj GROUP BY vec_id)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM sig a JOIN sig b USING (sig) WHERE a.vec_id < b.vec_id""".stripMargin,
-    "q72_embed_dedup_lsh" ->
-      """WITH proj AS (SELECT vec_id, b,
-        |  list_sum(list_transform(generate_series(1, 64),
-        |   d -> CAST(embedding[d] AS DOUBLE) *
-        |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
-        |        / 1024.0)) AS s
-        |  FROM embeddings CROSS JOIN generate_series(0, 35) t(b)),
-        |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
-        |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
-        |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-        |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
-        |  WHERE a.vec_id < b2.vec_id),
-        |c AS (SELECT id_a, id_b,
-        |  list_sum(list_transform(generate_series(1, len(ea.embedding)),
-        |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-        |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
-        |            JOIN embeddings eb ON cand.id_b = eb.vec_id)
-        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.4""".stripMargin,
+    "q72_embed_dedup_lsh" -> embedDedupLshOracleSql,
     "q51_maxsim" -> maxSimOracleSql,
     "q52_semantic_search" -> semanticSearchOracleSql,
     "q53_extract_typed" ->
@@ -5671,7 +5691,88 @@ object SparkEntry {
         |  FROM documents)
         |SELECT id, coalesce(title, name, 'Untitled') AS display_title,
         |  status AS old_status, 'discovered' AS new_status
-        |FROM docs WHERE status = 'processing'""".stripMargin)
+        |FROM docs WHERE status = 'processing'""".stripMargin,
+    "q151_lsh_auto_sizing" ->
+      // the sizing law replayed as the integer-exact comparison
+      // bands·n ≤ budget·2^k (equivalent to the engine's exact
+      // multiplicative descent for p = 1/2); minhash rows floor at 4
+      """WITH lv(n) AS (VALUES (500::BIGINT), (2000), (5000), (20000),
+        |  (50000), (1000000), (1000000000)),
+        |law AS (SELECT n,
+        |  min(CASE WHEN 12 * n <= 1000 * (1::BIGINT << kk)
+        |    THEN kk END) AS bits,
+        |  greatest(4, min(CASE WHEN 4 * n <= 1000 * (1::BIGINT << kk)
+        |    THEN kk END)) AS mrows
+        |  FROM lv CROSS JOIN generate_series(1, 32) t(kk) GROUP BY n)
+        |SELECT d.doc_id, CAST(l.n AS BIGINT) AS n,
+        |  CAST(l.bits AS INT) AS band_bits,
+        |  CAST(l.mrows AS INT) AS minhash_rows,
+        |  l.n > 20000 AS jaccard_capped
+        |FROM documents d CROSS JOIN law l""".stripMargin,
+    "q152_jaccard_capped" ->
+      // both stages of the capped path: df-capped candidate
+      // generation (1 < df ≤ 64), then exact Jaccard over the FULL
+      // distinct-shingle sets for the surviving pairs
+      s"""WITH s AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |dfc AS (SELECT shingle FROM
+         |  (SELECT shingle, COUNT(*) AS df FROM s GROUP BY shingle)
+         |  WHERE df > 1 AND df <= 64),
+         |kept AS (SELECT s.doc_id, s.shingle FROM s JOIN dfc USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |  FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT cand.id_a, cand.id_b, i.n_common,
+         |  round(CAST(i.n_common AS DOUBLE)
+         |    / CAST(ca.n + cb.n - i.n_common AS DOUBLE), 6) AS jaccard
+         |FROM cand JOIN i USING (id_a, id_b)
+         |  JOIN c ca ON ca.doc_id = cand.id_a
+         |  JOIN c cb ON cb.doc_id = cand.id_b
+         |WHERE CAST(i.n_common AS DOUBLE)
+         |  / CAST(ca.n + cb.n - i.n_common AS DOUBLE) >= 0.2""".stripMargin,
+    // the auto paths must land exactly on the gate-corpus parameters
+    // — their oracles are q72's and q18's, verbatim
+    "q153_embed_dedup_auto" -> embedDedupLshOracleSql,
+    "q154_minhash_auto" -> minhashLshOracleSql)
+
+  /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
+    * MinHash signatures, 4 bands × 4 rows, band-bucket candidates. */
+  private def minhashLshOracleSql: String =
+    s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
+       |h AS (SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || g)) AS mh
+       |      FROM e CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
+       |b AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
+       |      md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY k)) AS bucket
+       |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
+       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin
+
+  /** q72 (and q153's auto twin at the 500-vector gate corpus): 36-bit
+    * hyperplane signatures in 12 bands of 3, candidates verified with
+    * exact cosine. */
+  private def embedDedupLshOracleSql: String =
+    """WITH proj AS (SELECT vec_id, b,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |   d -> CAST(embedding[d] AS DOUBLE) *
+      |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+      |        / 1024.0)) AS s
+      |  FROM embeddings CROSS JOIN generate_series(0, 35) t(b)),
+      |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
+      |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+      |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
+      |  WHERE a.vec_id < b2.vec_id),
+      |c AS (SELECT id_a, id_b,
+      |  list_sum(list_transform(generate_series(1, len(ea.embedding)),
+      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM cand JOIN embeddings ea ON cand.id_a = ea.vec_id
+      |            JOIN embeddings eb ON cand.id_b = eb.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cosine FROM c WHERE cos >= 0.4""".stripMargin
 
   /** Semantic-search oracle: dim-8 stub embeddings, cosine in
     * VectorFunctions op order, StubReranker = query-term coverage. */

@@ -157,6 +157,85 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The 100 TB form of [[jaccardPairsFromIndex]] with the df-cap
+    * applied AUTOMATICALLY once the corpus outgrows the exact plan:
+    * below `switchAt` documents the full inverted-index self-join is
+    * both exact and fast (measured 1.1 s at 5k docs), above it the
+    * quadratic join mass bites (18.1 s at 50k docs — SCALING.md) and
+    * candidate generation switches to [[jaccardPairsCappedFromIndex]]
+    * at the measured cap (64 → 6.5 s at 50k docs; any FIXED cap makes
+    * the join mass linear in postings, Σdf·(df−1)/2 ≤ cap·P/2, so the
+    * cap is a recall knob, not an n-law — see the capped scaladoc's
+    * recall bound).
+    *
+    * The document count, when not supplied by the caller (who often
+    * has it), is estimated with one map-side-combinable HLL pass over
+    * the index — never a shuffle; the switch tolerates HLL's ±2%. */
+  def jaccardPairsAutoFromIndex(idx: DataFrame, idCol: String,
+      minSim: Double, switchAt: Long = 20000, maxDf: Long = 64,
+      docCount: Option[Long] = None): DataFrame = {
+    val n = docCount.getOrElse(
+      idx.agg(approx_count_distinct(col(idCol))).head().getLong(0))
+    if (n > switchAt) jaccardPairsCappedFromIndex(idx, idCol, minSim, maxDf)
+    else jaccardPairsFromIndex(idx, idCol, minSim)
+  }
+
+  /** Smallest per-band signature width k with
+    * `bands · n · p^k ≤ budget`, clamped to [floor, cap] — the ONE
+    * sizing law both LSH families share, where p is the per-element
+    * collision probability of a "random" (non-duplicate) pair:
+    *   - random-hyperplane bits: p = 1/2 (each bit splits the sphere
+    *     in half), so k = ⌈log₂(bands·n/budget)⌉;
+    *   - MinHash rows per band: p = the Jaccard boundary below which
+    *     pairs should stop colliding (the caller's minSim).
+    * The bound is the expected number of band-bucket collisions a
+    * corpus row pays against the n-row corpus: bands·n·p^k. Holding
+    * it at `budget` keeps candidate volume LINEAR in n — the fixed-
+    * width quadratic blowup q72/q18 measured at 10× data (SCALING.md)
+    * is exactly this law unapplied.
+    *
+    * Computed with an exact multiplicative descent, not floating
+    * log/ceil: for p = 1/2 every step is an exponent decrement, so
+    * the result is bit-exact against integer arithmetic (and against
+    * a SQL engine replaying the same comparison — the q153 gate). */
+  def lshSizing(n: Long, bands: Int, p: Double, budget: Double = 1000.0,
+      floor: Int = 1, cap: Int = 32): Int = {
+    require(p > 0 && p < 1, s"collision probability must be in (0,1): $p")
+    var mass = bands.toDouble * n.toDouble
+    var k = 0
+    while (mass > budget && k < cap) { mass *= p; k += 1 }
+    math.max(floor, k)
+  }
+
+  /** [[embeddingNearDupLsh]] with the signature sized to the corpus
+    * by [[lshSizing]] — the self-applying 100 TB path. One count()
+    * (a metadata-cheap scan) picks bandBits; at the sf-gate corpus
+    * (500 vectors) the law lands exactly on the gate's (3, 12), at
+    * the sf1 decade (20k vectors) on the measured (8, 12) → ~4 s
+    * (SCALING.md round 12/13). `bands` stays the caller's recall
+    * knob: recall for a pair at cosine s is 1−(1−p^bandBits)^bands
+    * with p = 1 − arccos(s)/π. */
+  def embeddingNearDupLshAuto(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, minSim: Double, bands: Int = 12,
+      budget: Double = 1000.0): DataFrame = {
+    val bits = lshSizing(df.count(), bands, 0.5, budget)
+    embeddingNearDupLsh(df, idCol, vecCol, dim, minSim, bits, bands)
+  }
+
+  /** [[minhashCandidates]] with rows-per-band sized to the corpus by
+    * [[lshSizing]] at p = `minSim` (pairs below the boundary stop
+    * colliding), floored at the gate's 4 rows: (4 rows, 4 bands) at
+    * the 500-doc gate corpus, (8 rows → 32 hashes) at the 50k-doc
+    * sf1 decade where the fixed 16-hash width measured 3.1× at 10×
+    * data. */
+  def minhashCandidatesAuto(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 4, minSim: Double = 0.5,
+      budget: Double = 1000.0): DataFrame = {
+    val rows = lshSizing(df.count(), bands, minSim, budget, floor = 4)
+    minhashCandidates(df, idCol, textCol, n, numHashes = bands * rows,
+      bands = bands)
+  }
+
   /** MinHash signature as array<string>: element k = min over shingles
     * of md5(k ‖ ":" ‖ shingle). (String-min over md5 hex == a uniform
     * random permutation min for dedup purposes, and is reproducible in

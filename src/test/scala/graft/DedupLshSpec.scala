@@ -26,4 +26,60 @@ class DedupLshSpec extends AnyFunSuite {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
   }
+
+  test("lshSizing: the collision-budget law lands on the measured picks") {
+    // hyperplane bits (p = 1/2, 12 bands): the gate corpus stays on
+    // the gate's 3 bits; the sf1 decade (20k vectors) lands on the
+    // measured (8, 12) → ~4 s (SCALING.md r12); growth is ln n
+    assert(Dedup.lshSizing(500, 12, 0.5) === 3)
+    assert(Dedup.lshSizing(2000, 12, 0.5) === 5)
+    assert(Dedup.lshSizing(20000, 12, 0.5) === 8)
+    assert(Dedup.lshSizing(1000000000L, 12, 0.5) === 24)
+    // minhash rows per band (p = jaccard boundary 0.5, 4 bands):
+    // gate corpus floors at q18's 4 rows; the 50k-doc decade sizes
+    // to 8 rows (32 hashes) where the fixed 16-hash width measured
+    // 3.1x at 10x data
+    assert(Dedup.lshSizing(500, 4, 0.5, floor = 4) === 4)
+    assert(Dedup.lshSizing(50000, 4, 0.5, floor = 4) === 8)
+    // boundary exactness: bands*n == budget*2^k keeps k (<=, not <)
+    assert(Dedup.lshSizing(256000, 1, 0.5, budget = 1000.0) === 8)
+    // cap bounds a pathological corpus claim
+    assert(Dedup.lshSizing(Long.MaxValue / 16, 12, 0.5) === 32)
+  }
+
+  test("auto paths reproduce the fixed-parameter gate plans at gate scale") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 500 vectors → law picks (3, 12) — byte-identical to q72's plan
+    assert(pairs(Dedup.embeddingNearDupLshAuto(emb, "vec_id", "embedding", 64, 0.4))
+      === pairs(Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4, 3, 12)))
+    // 500 documents → floor keeps q18's (16 hashes, 4 bands)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(pairs(Dedup.minhashCandidatesAuto(docs, "doc_id", "text"))
+      === pairs(Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4)))
+  }
+
+  test("jaccard auto-switch: exact below switchAt, capped above") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2))
+    // 500 docs < switchAt → the exact plan, byte-identical
+    assert(pairs(Dedup.jaccardPairsAutoFromIndex(idx, "doc_id", 0.2)) === exact)
+    // forcing the switch (switchAt below the corpus) engages the
+    // capped generator: still a subset with exact similarity values
+    val capped = pairs(Dedup.jaccardPairsAutoFromIndex(idx, "doc_id", 0.2,
+      switchAt = 100, maxDf = 64))
+    assert(capped.subsetOf(exact))
+    // the explicitly supplied docCount skips the HLL estimate and
+    // drives the same switch
+    assert(pairs(Dedup.jaccardPairsAutoFromIndex(idx, "doc_id", 0.2,
+      docCount = Some(500L))) === exact)
+    idx.unpersist()
+  }
 }
