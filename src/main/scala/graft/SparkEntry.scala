@@ -3552,6 +3552,71 @@ object SparkEntry {
     Dedup.minhashCandidatesAuto(t(s, dir, "documents"), "doc_id",
       "text")
 
+  /** The main_minimal variant entrypoint in the gate
+    * (app/main_minimal.py via MainMinimal): root/health constants,
+    * the 404/500 handler shapes, the X-Process-Time header at two
+    * decimals, the slow-request warning line, and the STRICTLY-over-
+    * 200 ms boundary. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.MainMinimal
+    val k = col("k")
+    val reqs = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(10))).as("k"))
+      .select(col("doc_id"), k,
+        concat(lit("r"), col("doc_id"), lit(":"), k).as("request_id"),
+        when(k === 8, lit("POST")).otherwise(lit("GET")).as("method"),
+        when(k === 8, lit("/api/process")).otherwise(lit("/api/documents"))
+          .as("path"),
+        when(k === 7, lit(12.25)).when(k === 8, lit(300.5))
+          .when(k === 9, lit(42.0)).otherwise(lit(200.0))
+          .as("duration_ms"))
+    val census = MainMinimal.processTimeCensus(reqs)
+    val (nfErr, nfPath) = MainMinimal.notFoundBody("http://h/api/x")
+    reqs.join(census, Seq("request_id"))
+      .select(col("doc_id"), k.cast("int").as("k"),
+        when(k === 0, lit(MainMinimal.root("name")))
+          .when(k === 1, lit(MainMinimal.root("mode")))
+          .when(k === 2, lit(MainMinimal.endpoints("documents")))
+          .when(k === 3, lit(MainMinimal.health("status")))
+          .when(k === 4, lit(MainMinimal.health("database")))
+          .when(k === 5, lit(s"$nfErr|${nfPath.get}"))
+          .when(k === 6, lit(MainMinimal.internalErrorBody._1))
+          .when(k === 7 || k === 9, col("process_time_header"))
+          .when(k === 8, col("warning"))
+          // k = 10: duration exactly 200 ms — NOT slow (:47 is >)
+          .otherwise(col("slow").cast("string")).as("result"))
+  }
+
+  /** The transaction-manager contract in the gate
+    * (transaction_manager.py:12-49 via TransactionManager): the four
+    * outcome arms — commit on success, rollback + re-raise on
+    * exception, the decorator's missing-db ValueError, and the
+    * decorator's pass-through success — each exercised driver-side
+    * on a recording session stub. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.TransactionManager
+    import s.implicits._
+    val s0 = new TransactionManager.Session
+    val r0 = TransactionManager.databaseTransaction(s0)(_ => "ok")
+    val s1 = new TransactionManager.Session
+    val e1 =
+      try { TransactionManager.databaseTransaction(s1)(_ =>
+        throw new RuntimeException("boom")); "unreached" }
+      catch { case e: Throwable => e.getMessage }
+    val e2 =
+      try { TransactionManager.transactional(None)(_ => "x"); "unreached" }
+      catch { case e: Throwable => e.getMessage }
+    val s3 = new TransactionManager.Session
+    val r3 = TransactionManager.transactional(Some(s3))(_ => "ok3")
+    val arms = Seq(
+      (0, s0.committed, s0.rolledBack, r0),
+      (1, s1.committed, s1.rolledBack, e1),
+      (2, false, false, e2),
+      (3, s3.committed, s3.rolledBack, r3))
+      .toDF("k", "committed", "rolled_back", "detail")
+    t(s, dir, "documents").select(col("doc_id")).crossJoin(arms)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3712,7 +3777,9 @@ object SparkEntry {
     "q151_lsh_auto_sizing" -> q151 _,
     "q152_jaccard_capped" -> q152 _,
     "q153_embed_dedup_auto" -> q153 _,
-    "q154_minhash_auto" -> q154 _)
+    "q154_minhash_auto" -> q154 _,
+    "q155_minimal_api" -> q155 _,
+    "q156_txn_manager" -> q156 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5735,7 +5802,36 @@ object SparkEntry {
     // the auto paths must land exactly on the gate-corpus parameters
     // — their oracles are q72's and q18's, verbatim
     "q153_embed_dedup_auto" -> embedDedupLshOracleSql,
-    "q154_minhash_auto" -> minhashLshOracleSql)
+    "q154_minhash_auto" -> minhashLshOracleSql,
+    "q155_minimal_api" ->
+      // constant payloads, handler shapes, %.2f header rendering,
+      // the slow-request warning, and the strict 200 ms boundary
+      """WITH vm(k, res) AS (VALUES
+        |  (0, 'Data Ingestion Portal API'),
+        |  (1, 'minimal'),
+        |  (2, '/api/documents'),
+        |  (3, 'healthy'),
+        |  (4, 'skipped'),
+        |  (5, 'Not found|http://h/api/x'),
+        |  (6, 'Internal server error'),
+        |  (7, '12.25ms'),
+        |  (8, 'Slow request: POST /api/process took 300.50ms'),
+        |  (9, '42.00ms'),
+        |  (10, 'false'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
+        |FROM documents d CROSS JOIN vm v""".stripMargin,
+    "q156_txn_manager" ->
+      // success commits; failure rolls back and re-raises the
+      // ORIGINAL error; a falsy db raises the decorator's ValueError
+      """WITH vt(k, c, r, det) AS (VALUES
+        |  (0, true, false, 'ok'),
+        |  (1, false, true, 'boom'),
+        |  (2, false, false,
+        |    'Transaction decorator requires ''db'' parameter'),
+        |  (3, true, false, 'ok3'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.c AS committed,
+        |  v.r AS rolled_back, v.det AS detail
+        |FROM documents d CROSS JOIN vt v""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures, 4 bands × 4 rows, band-bucket candidates. */
