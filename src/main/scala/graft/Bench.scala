@@ -49,6 +49,26 @@ import org.apache.spark.sql.SparkSession
   * semantics), emitted alongside so round-over-round comparisons can
   * use either without a silent metric redefinition.
   */
+/** The bench noise guard's arithmetic, extracted so BenchGuardSpec
+  * can pin it (round-12 verdict: the flat +0.5 s slack let a 0.625 s
+  * phantom through on a 0.153 s-settle cell — the slack was sized for
+  * sub-100 ms cells and mis-sized for the 100-200 ms class).
+  *
+  * A recorded time re-times once (keeping the min — the extra run can
+  * only improve a measurement, never degrade it) when it exceeds
+  * 3× this session's own settle-pass time plus a slack that SCALES
+  * with the cell: max(0.15 s, settle/2). The floor keeps the guard
+  * off sub-100 ms cells whose ordinary jitter spans 3× (their
+  * methodology stays the documented min-of-runs-2-3); the
+  * proportional term keeps the threshold meaningful as cells grow.
+  */
+object BenchGuard {
+  def threshold(settleSec: Double): Double =
+    3 * settleSec + math.max(0.15, settleSec / 2)
+  def shouldRetime(recordedSec: Double, settleSec: Double): Boolean =
+    recordedSec > threshold(settleSec)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,18 +125,16 @@ object Bench {
         // runs 2-3 is the steady state
         val recorded = times.drop(1).min
         // NOISE GUARD (the round-10 q18 cell: 12.08 s recorded where
-        // the steady state is 0.46 s, from a transient environmental
-        // stall that hit all three timed runs): if the would-be record
-        // exceeds 3x this session's own settle-pass time PLUS half a
-        // second of absolute slack — the slack keeps the guard off
-        // floor-level sub-100ms cells whose ordinary jitter spans 3x,
-        // so their methodology stays the documented min-of-runs-2-3 —
-        // re-time once after the disturbance and keep the min. The
-        // extra run must never DOWNGRADE a successful measurement: its
-        // own failure falls back to the 3-run record instead of
-        // propagating into the -1.0 error arm.
+        // the steady state is 0.46 s; the round-12 q23 cell: 0.625 s
+        // where the steady state is 0.153 s): if the would-be record
+        // exceeds this session's own settle-pass time by the
+        // cell-scaled BenchGuard threshold, re-time once after the
+        // disturbance and keep the min. The extra run must never
+        // DOWNGRADE a successful measurement: its own failure falls
+        // back to the 3-run record instead of propagating into the
+        // -1.0 error arm.
         val guarded = settleTimes.get(name) match {
-          case Some(floor) if recorded > 3 * floor + 0.5 =>
+          case Some(floor) if BenchGuard.shouldRetime(recorded, floor) =>
             math.min(recorded, try timeOnce() catch {
               case _: Throwable => recorded
             })

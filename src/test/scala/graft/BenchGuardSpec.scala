@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench noise guard's arithmetic (round-12 verdict item: the
+  * flat +0.5 s slack was mis-sized for 100-200 ms-class cells). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("catches the two recorded phantoms") {
+    // round-12 q23: settle 0.153 s, recorded 0.625 s — the old flat
+    // slack (3*0.153 + 0.5 = 0.959) let this through
+    assert(BenchGuard.shouldRetime(0.625, 0.153))
+    // round-10 q18: settle 0.46 s, recorded 12.08 s
+    assert(BenchGuard.shouldRetime(12.08, 0.46))
+  }
+
+  test("stays off for ordinary jitter") {
+    // sub-100 ms floor cells: 3x jitter is normal — the 0.15 s floor
+    // keeps the documented min-of-runs-2-3 methodology
+    assert(!BenchGuard.shouldRetime(0.30, 0.08))
+    assert(!BenchGuard.shouldRetime(0.39, 0.08))
+    // mid-range cell inside its 3x band
+    assert(!BenchGuard.shouldRetime(0.45, 0.153))
+    // seconds-class cell: proportional slack, not the 0.15 floor
+    assert(!BenchGuard.shouldRetime(17.0, 5.0))
+    assert(BenchGuard.shouldRetime(17.6, 5.0))
+  }
+
+  test("threshold formula: 3x settle + max(0.15, settle/2)") {
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(BenchGuard.threshold(0.153), 3 * 0.153 + 0.15))
+    assert(close(BenchGuard.threshold(0.08), 3 * 0.08 + 0.15))
+    assert(close(BenchGuard.threshold(5.0), 15.0 + 2.5))
+    // the crossover where the proportional term takes over
+    assert(close(BenchGuard.threshold(0.3), 0.9 + 0.15))
+    assert(close(BenchGuard.threshold(0.4), 1.2 + 0.2))
+  }
+}
