@@ -3617,6 +3617,36 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id")).crossJoin(arms)
   }
 
+  /** Entity-type fix batch in the gate (fix_entity_types.py:63-150
+    * via Maintenance.fixEntityTypes): mention rows spanning every
+    * arm — valid lowercase, case-normalize, mapped (exact-case,
+    * padded, lowercase alias), unknown→other, the or-fallback to the
+    * `type` column, the whitespace-only entity_type that is truthy so
+    * it NEVER falls through yet strips to missing, both all-falsy
+    * arms, and dict-key-presence flags driving the wrote_* columns
+    * independently of value nullness. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import operators.Maintenance
+    val k = col("event_id") % 14
+    val mentions = t(s, dir, "events").select(
+      col("event_id").as("id"),
+      when(k === 0, lit("component")).when(k === 1, lit("Component"))
+        .when(k === 2, lit("PERSON")).when(k === 3, lit("IssueType"))
+        .when(k === 4, lit("  Connector  ")).when(k === 5, lit("Widget"))
+        .when(k === 8, lit("   ")).when(k === 11, lit("status"))
+        .when(k === 12, lit("degradation")).when(k === 13, lit("measurement"))
+        .when(k === 7, lit(""))
+        .otherwise(lit(null).cast("string")).as("entity_type"),
+      when(k === 6, lit("Equipment")).when(k === 7, lit("Solvent"))
+        .when(k === 10, lit(""))
+        .otherwise(lit(null).cast("string")).as("type"),
+      when(k === 9, col("event_id") % 2 === 0).otherwise(lit(true))
+        .as("has_entity_type"),
+      when(k.isin(6, 7, 10), lit(true))
+        .otherwise(col("event_id") % 3 === 0).as("has_type"))
+    Maintenance.fixEntityTypes(mentions)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3779,7 +3809,8 @@ object SparkEntry {
     "q153_embed_dedup_auto" -> q153 _,
     "q154_minhash_auto" -> q154 _,
     "q155_minimal_api" -> q155 _,
-    "q156_txn_manager" -> q156 _)
+    "q156_txn_manager" -> q156 _,
+    "q157_fix_entity_types" -> q157 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5831,7 +5862,79 @@ object SparkEntry {
         |  (3, true, false, 'ok3'))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.c AS committed,
         |  v.r AS rolled_back, v.det AS detail
-        |FROM documents d CROSS JOIN vt v""".stripMargin)
+        |FROM documents d CROSS JOIN vt v""".stripMargin,
+    "q157_fix_entity_types" ->
+      // (entity_type or type or '').strip() — whitespace-only is
+      // truthy so it never falls through; fixed counts even with no
+      // column to write; wrote_* follows dict-key presence
+      """WITH m AS (SELECT event_id AS id,
+        |  CASE event_id % 14 WHEN 0 THEN 'component'
+        |    WHEN 1 THEN 'Component' WHEN 2 THEN 'PERSON'
+        |    WHEN 3 THEN 'IssueType' WHEN 4 THEN '  Connector  '
+        |    WHEN 5 THEN 'Widget' WHEN 8 THEN '   '
+        |    WHEN 11 THEN 'status' WHEN 12 THEN 'degradation'
+        |    WHEN 13 THEN 'measurement' WHEN 7 THEN ''
+        |    ELSE NULL END AS entity_type,
+        |  CASE event_id % 14 WHEN 6 THEN 'Equipment'
+        |    WHEN 7 THEN 'Solvent' WHEN 10 THEN ''
+        |    ELSE NULL END AS vtype,
+        |  CASE WHEN event_id % 14 = 9 THEN event_id % 2 = 0
+        |    ELSE true END AS has_et,
+        |  CASE WHEN event_id % 14 IN (6, 7, 10) THEN true
+        |    ELSE event_id % 3 = 0 END AS has_t
+        |  FROM events),
+        |c AS (SELECT id, has_et, has_t,
+        |  trim(CASE WHEN entity_type IS NOT NULL AND entity_type <> ''
+        |         THEN entity_type
+        |       WHEN vtype IS NOT NULL AND vtype <> '' THEN vtype
+        |       ELSE '' END) AS cur FROM m),
+        |x AS (SELECT id, has_et, has_t, cur, lower(cur) AS low,
+        |  lower(cur) IN ('person','organization','location','date',
+        |    'product','component','technology','chemical','procedure',
+        |    'specification','system','measurement','problem',
+        |    'condition','state','tool','material','concept','event',
+        |    'other') AS prescribed,
+        |  CASE lower(cur)
+        |    WHEN 'issuetype' THEN 'problem' WHEN 'issue' THEN 'problem'
+        |    WHEN 'error' THEN 'problem' WHEN 'symptom' THEN 'problem'
+        |    WHEN 'defect' THEN 'problem' WHEN 'failure' THEN 'problem'
+        |    WHEN 'hardwareconnection' THEN 'component'
+        |    WHEN 'connection' THEN 'component'
+        |    WHEN 'connector' THEN 'component'
+        |    WHEN 'hardware' THEN 'component'
+        |    WHEN 'cleaningagent' THEN 'chemical'
+        |    WHEN 'cleaner' THEN 'chemical'
+        |    WHEN 'substance' THEN 'chemical'
+        |    WHEN 'solvent' THEN 'chemical'
+        |    WHEN 'method' THEN 'procedure'
+        |    WHEN 'process' THEN 'procedure'
+        |    WHEN 'technique' THEN 'procedure'
+        |    WHEN 'step' THEN 'procedure'
+        |    WHEN 'equipment' THEN 'tool' WHEN 'instrument' THEN 'tool'
+        |    WHEN 'device' THEN 'tool'
+        |    WHEN 'supply' THEN 'material'
+        |    WHEN 'consumable' THEN 'material'
+        |    WHEN 'resource' THEN 'material'
+        |    WHEN 'status' THEN 'condition'
+        |    WHEN 'quality' THEN 'condition'
+        |    WHEN 'degradation' THEN 'condition' END AS mapped
+        |  FROM c),
+        |a AS (SELECT *,
+        |  CASE WHEN cur <> '' AND NOT prescribed THEN
+        |         CASE WHEN mapped IS NOT NULL THEN 'mapped'
+        |           ELSE 'defaulted_unknown' END
+        |       WHEN prescribed AND cur <> low THEN 'case_normalized'
+        |       WHEN prescribed THEN 'already_valid'
+        |       ELSE 'defaulted_missing' END AS action,
+        |  CASE WHEN cur <> '' AND NOT prescribed
+        |         THEN coalesce(mapped, 'other')
+        |       WHEN prescribed THEN low
+        |       ELSE 'other' END AS new_type
+        |  FROM x)
+        |SELECT id, cur AS current_type, new_type, action,
+        |  (action <> 'already_valid' AND has_et) AS wrote_entity_type,
+        |  (action <> 'already_valid' AND has_t) AS wrote_type
+        |FROM a""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures, 4 bands × 4 rows, band-bucket candidates. */

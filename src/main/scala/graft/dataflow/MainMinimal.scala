@@ -62,3 +62,15 @@ object MainMinimal {
           col("path"), lit(" took "), rendered)).as("warning"))
   }
 }
+
+/** The auth placeholder (app/services/auth_service.py:7-12): every
+  * caller gets the same mock user. Its one import site
+  * (api/search.py:11) never uses it — the Depends() lines are
+  * commented out — so this constant is the module's entire surface. */
+object AuthService {
+  val currentUser: Map[String, Any] = Map(
+    "id" -> "test-user",
+    "email" -> "test@example.com",
+    "security_level" -> "employee",
+    "access_level" -> 4)
+}

@@ -245,4 +245,106 @@ object Maintenance {
           .otherwise(lit("assigned")).as("action"))
       .unionByName(blank)
   }
+
+  /** fix_entity_types.py's 26-entry wrong→prescribed mapping
+    * (:12-50), keyed lowercase because the script compares
+    * `current_type.lower() == incorrect.lower()` (:100-103). */
+  val entityTypeFixMap: Map[String, String] = Map(
+    "issuetype" -> "problem", "issue" -> "problem", "error" -> "problem",
+    "symptom" -> "problem", "defect" -> "problem", "failure" -> "problem",
+    "hardwareconnection" -> "component", "connection" -> "component",
+    "connector" -> "component", "hardware" -> "component",
+    "cleaningagent" -> "chemical", "cleaner" -> "chemical",
+    "substance" -> "chemical", "solvent" -> "chemical",
+    "method" -> "procedure", "process" -> "procedure",
+    "technique" -> "procedure", "step" -> "procedure",
+    "equipment" -> "tool", "instrument" -> "tool", "device" -> "tool",
+    "supply" -> "material", "consumable" -> "material",
+    "resource" -> "material",
+    "status" -> "condition", "quality" -> "condition",
+    "degradation" -> "condition")
+
+  /** fix_entity_types.py's 20-entry prescribed vocabulary (:53-60) —
+    * NOT the extractor's taxonomy (operators/Entities.scala models
+    * that one); this script carries its own copy. */
+  val prescribedEntityTypes: Seq[String] = Seq(
+    "person", "organization", "location", "date", "product",
+    "component", "technology", "chemical", "procedure",
+    "specification", "system", "measurement", "problem",
+    "condition", "state", "tool", "material", "concept",
+    "event", "other")
+
+  /** Entity-type fix batch (fix_entity_types.py:63-150).
+    *
+    * Per mention row the script reads
+    * `(entity_type or type or '').strip()` — Python-or, so a null or
+    * EMPTY entity_type falls through to `type`, while a
+    * whitespace-only one is truthy, is taken, and strips to ''
+    * (:73-75). Then:
+    *   - truthy + lower not prescribed → the case-insensitive
+    *     [[entityTypeFixMap]] arm, unknown → 'other' (:96-107);
+    *   - lower prescribed → lowercase if the case differs (:121-134),
+    *     else untouched (`already_valid`);
+    *   - falsy → 'other' (:136-147).
+    * Every non-`already_valid` arm counts `fixed` — even when the
+    * record has NEITHER type column, because the `fixed += 1` sits
+    * outside the `if update_data:` guard (:117, :134, :147); the
+    * write lands only on the columns the record actually has
+    * (`wrote_*`).
+    *
+    * Input: id, entity_type, type, has_entity_type, has_type (the
+    * two flags model dict-key presence — a stored row missing the
+    * column entirely vs holding NULL reads the same but writes
+    * differently). Output: per-row census — id, current_type (the
+    * stripped read), new_type, action ∈ mapped | defaulted_unknown |
+    * case_normalized | already_valid | defaulted_missing,
+    * wrote_entity_type, wrote_type.
+    *
+    * Pure per-row projection against two broadcast-literal maps — no
+    * shuffle at any scale (the script is a full-table client-side
+    * loop with one UPDATE per fixed row; at 100 TB this projection
+    * plus one PK-merge write is the only viable shape). */
+  def fixEntityTypes(mentions: DataFrame): DataFrame = {
+    def truthy(c: org.apache.spark.sql.Column) = c.isNotNull && c =!= ""
+    val raw = when(truthy(col("entity_type")), col("entity_type"))
+      .when(truthy(col("type")), col("type")).otherwise(lit(""))
+    val cur = trim(raw, LlmResponse.ws)
+    val low = lower(cur)
+    val mapped = element_at(typedLit(entityTypeFixMap), low)
+    val prescribed = low.isin(prescribedEntityTypes: _*)
+    val action =
+      when(cur =!= "" && !prescribed,
+        when(mapped.isNotNull, lit("mapped"))
+          .otherwise(lit("defaulted_unknown")))
+      .when(prescribed && cur =!= low, lit("case_normalized"))
+      .when(prescribed, lit("already_valid"))
+      .otherwise(lit("defaulted_missing"))
+    val newType =
+      when(cur =!= "" && !prescribed, coalesce(mapped, lit("other")))
+      .when(prescribed, low)
+      .otherwise(lit("other"))
+    val writes = action =!= "already_valid"
+    mentions.select(col("id"), cur.as("current_type"),
+      newType.as("new_type"), action.as("action"),
+      (writes && coalesce(col("has_entity_type"), lit(false)))
+        .as("wrote_entity_type"),
+      (writes && coalesce(col("has_type"), lit(false))).as("wrote_type"))
+  }
+
+  /** The script's closing report (:150-160): total / fixed /
+    * already_valid, where `fixed` is every acted-on row regardless of
+    * whether a column existed to write. */
+  def fixEntityTypesSummary(census: DataFrame): DataFrame =
+    census.agg(count(lit(1)).as("total"),
+      sum(when(col("action") =!= "already_valid", 1L).otherwise(0L))
+        .as("fixed"),
+      sum(when(col("action") === "already_valid", 1L).otherwise(0L))
+        .as("already_valid"))
+
+  /** The report's type-distribution lines (:157-160): counts keyed by
+    * the TRUTHY stripped reads (:78-80 counts before fixing; falsy
+    * reads — including whitespace-only strips — never count). */
+  def entityTypeDistribution(census: DataFrame): DataFrame =
+    census.where(col("current_type") =!= "")
+      .groupBy(col("current_type")).agg(count(lit(1)).as("n"))
 }

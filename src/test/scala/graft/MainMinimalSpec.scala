@@ -47,4 +47,10 @@ class MainMinimalSpec extends AnyFunSuite {
     assert(out("r4") === (("200.01ms", true,
       "Slow request: GET /api/chunks took 200.01ms")))
   }
+
+  test("auth placeholder: the constant mock user (auth_service.py:7-12)") {
+    assert(graft.dataflow.AuthService.currentUser === Map(
+      "id" -> "test-user", "email" -> "test@example.com",
+      "security_level" -> "employee", "access_level" -> 4))
+  }
 }

@@ -201,4 +201,64 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out(5L) === (("PUMP", "ce:pump:COMPONENT")))
     assert(out(2L) === (("Pump", "ce:pump:COMPONENT")))
   }
+
+  // ---- fixEntityTypes ----------------------------------------------
+
+  private def fixRows(rows: (Long, String, String, Boolean, Boolean)*)
+      : Map[Long, (String, String, String, Boolean, Boolean)] =
+    Maintenance.fixEntityTypes(
+      rows.toDF("id", "entity_type", "type", "has_entity_type", "has_type"))
+      .as[(Long, String, String, String, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("fix types: mapping, case-normalize, unknown→other, valid untouched") {
+    val out = fixRows(
+      (1L, "component", null, true, false),
+      (2L, "Component", null, true, false),
+      (3L, "IssueType", null, true, true),
+      (4L, "  Connector  ", null, true, false),
+      (5L, "Widget", null, true, false))
+    assert(out(1L) === (("component", "component", "already_valid",
+      false, false)))
+    assert(out(2L) === (("Component", "component", "case_normalized",
+      true, false)))
+    assert(out(3L) === (("IssueType", "problem", "mapped", true, true)))
+    // stripped before matching; the case-insensitive map arm
+    assert(out(4L) === (("Connector", "component", "mapped", true, false)))
+    assert(out(5L) === (("Widget", "other", "defaulted_unknown",
+      true, false)))
+  }
+
+  test("fix types: Python-or fallback — empty entity_type reads `type`, " +
+      "whitespace-only is truthy and strips to missing") {
+    val out = fixRows(
+      (1L, "", "Solvent", true, true),
+      (2L, null, "Equipment", false, true),
+      // '   ' is truthy → taken, strips to '' → the default arm
+      // (fix_entity_types.py:73-75, :136-147), NOT the type fallback
+      (3L, "   ", "person", true, true),
+      (4L, null, null, true, false))
+    assert(out(1L) === (("Solvent", "chemical", "mapped", true, true)))
+    assert(out(2L) === (("Equipment", "tool", "mapped", false, true)))
+    assert(out(3L) === (("", "other", "defaulted_missing", true, true)))
+    assert(out(4L) === (("", "other", "defaulted_missing", true, false)))
+  }
+
+  test("fix types: summary counts fixed even when no column exists to " +
+      "write; distribution keys truthy pre-fix reads") {
+    val census = Maintenance.fixEntityTypes(Seq(
+      (1L, "component", null, true, true),
+      (2L, "Status", null, false, false), // fixed, writes nowhere (:117)
+      (3L, null, null, false, false))
+      .toDF("id", "entity_type", "type", "has_entity_type", "has_type"))
+    assert(census.where(col("id") === 2L)
+      .select("wrote_entity_type", "wrote_type")
+      .as[(Boolean, Boolean)].head() === ((false, false)))
+    val s = Maintenance.fixEntityTypesSummary(census)
+      .as[(Long, Long, Long)].head()
+    assert(s === ((3L, 2L, 1L)))
+    val d = Maintenance.entityTypeDistribution(census)
+      .as[(String, Long)].collect().toMap
+    assert(d === Map("component" -> 1L, "Status" -> 1L))
+  }
 }
