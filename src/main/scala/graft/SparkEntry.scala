@@ -3561,14 +3561,19 @@ object SparkEntry {
     import dataflow.MainMinimal
     val k = col("k")
     val reqs = t(s, dir, "documents").select(col("doc_id"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(10))).as("k"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(12))).as("k"))
       .select(col("doc_id"), k,
         concat(lit("r"), col("doc_id"), lit(":"), k).as("request_id"),
         when(k === 8, lit("POST")).otherwise(lit("GET")).as("method"),
         when(k === 8, lit("/api/process")).otherwise(lit("/api/documents"))
           .as("path"),
         when(k === 7, lit(12.25)).when(k === 8, lit(300.5))
-          .when(k === 9, lit(42.0)).otherwise(lit(200.0))
+          .when(k === 9, lit(42.0))
+          // the two Python-rounding tie classes: an exact binary tie
+          // (half-to-even → .62) and a shortest-repr pseudo-tie whose
+          // exact value sits BELOW the boundary (2.67499… → 2.67)
+          .when(k === 11, lit(200.625)).when(k === 12, lit(2.675))
+          .otherwise(lit(200.0))
           .as("duration_ms"))
     val census = MainMinimal.processTimeCensus(reqs)
     val (nfErr, nfPath) = MainMinimal.notFoundBody("http://h/api/x")
@@ -3581,8 +3586,8 @@ object SparkEntry {
           .when(k === 4, lit(MainMinimal.health("database")))
           .when(k === 5, lit(s"$nfErr|${nfPath.get}"))
           .when(k === 6, lit(MainMinimal.internalErrorBody._1))
-          .when(k === 7 || k === 9, col("process_time_header"))
-          .when(k === 8, col("warning"))
+          .when(k === 7 || k === 9 || k === 12, col("process_time_header"))
+          .when(k === 8 || k === 11, col("warning"))
           // k = 10: duration exactly 200 ms — NOT slow (:47 is >)
           .otherwise(col("slow").cast("string")).as("result"))
   }
@@ -5848,7 +5853,9 @@ object SparkEntry {
         |  (7, '12.25ms'),
         |  (8, 'Slow request: POST /api/process took 300.50ms'),
         |  (9, '42.00ms'),
-        |  (10, 'false'))
+        |  (10, 'false'),
+        |  (11, 'Slow request: GET /api/documents took 200.62ms'),
+        |  (12, '2.67ms'))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.res AS result
         |FROM documents d CROSS JOIN vm v""".stripMargin,
     "q156_txn_manager" ->

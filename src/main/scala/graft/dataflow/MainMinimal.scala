@@ -47,13 +47,25 @@ object MainMinimal {
   val internalErrorBody: (String, Option[String]) =
     ("Internal server error", None)
 
+  /** Python f'{x:.2f}': the correctly-rounded decimal of the EXACT
+    * binary double, half-to-even at true ties. No builtin matches —
+    * %.2f alone is HALF_UP at exact ties (200.625 → '200.63') and
+    * bround rounds the shortest-repr BigDecimal (2.675 → 2.68 where
+    * Python's exact 2.67499… prints '2.67') — so the exact-BigDecimal
+    * path runs as a udf; request-sized frames, never a hot path. */
+  private val py2f = udf { (x: Double) =>
+    new java.math.BigDecimal(x)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+  }
+
   /** The timing middleware (:38-50) over a (request_id, method, path,
     * duration_ms) frame: every response gets the X-Process-Time
-    * header rendered at two decimals, and requests STRICTLY over
-    * 200 ms flag slow with the logged warning line. Pure per-row
-    * projection — no shuffle at any scale. */
+    * header rendered at two decimals ([[py2f]] — Python formatting,
+    * not Java's), and requests STRICTLY over 200 ms flag slow with
+    * the logged warning line. Pure per-row projection — no shuffle at
+    * any scale. */
   def processTimeCensus(requests: DataFrame): DataFrame = {
-    val rendered = format_string("%.2fms", col("duration_ms"))
+    val rendered = concat(py2f(col("duration_ms")), lit("ms"))
     requests.select(col("request_id"),
       rendered.as("process_time_header"),
       (col("duration_ms") > 200.0).as("slow"),

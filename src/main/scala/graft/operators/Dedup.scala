@@ -175,7 +175,7 @@ object Dedup {
       minSim: Double, switchAt: Long = 20000, maxDf: Long = 64,
       docCount: Option[Long] = None): DataFrame = {
     val n = docCount.getOrElse(
-      idx.agg(approx_count_distinct(col(idCol))).head().getLong(0))
+      idx.agg(approx_count_distinct(col(idCol), 0.02)).head().getLong(0))
     if (n > switchAt) jaccardPairsCappedFromIndex(idx, idCol, minSim, maxDf)
     else jaccardPairsFromIndex(idx, idCol, minSim)
   }

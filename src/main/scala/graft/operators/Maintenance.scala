@@ -113,11 +113,15 @@ object Maintenance {
   }
 
   /** The migration report's non-standard-type histogram
-    * (migrate_relationship_types.py:88-92), most frequent first. */
+    * (migrate_relationship_types.py:88-92), most frequent first —
+    * Python's stable sort keeps first-seen order inside a count tie
+    * (fetch order, unreproducible); ties here break by from_type
+    * (pinned deterministic deviation). */
   def migrateSummary(census: DataFrame): DataFrame =
     census.where(col("action") === "migrated")
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"))
 
   /** Stuck-document reset (reset_stuck_documents.py:24-46): documents
     * sitting in `processing` reset to `discovered`. The listing's
@@ -206,14 +210,12 @@ object Maintenance {
     val validated = canonicals.where(col("is_validated"))
       .groupBy(col("name")).agg(min(col("id")).as("_vid"))
       .select(col("name").as("_disp"), col("_vid"))
-    val exactU = canonicals.groupBy(col("name"), col("ctype"))
-      .agg(min(col("id")).as("_uid"))
-      .select(col("name").as("_disp"), col("ctype").as("_utype"),
-        col("_uid"))
-    val exactL = canonicals.groupBy(col("name"), col("ctype"))
-      .agg(min(col("id")).as("_lid"))
-      .select(col("name").as("_disp"), col("ctype").as("_lkey"),
-        col("_lid"))
+    val exact = canonicals.groupBy(col("name"), col("ctype"))
+      .agg(min(col("id")).as("_eid"))
+    val exactU = exact.select(col("name").as("_disp"),
+      col("ctype").as("_utype"), col("_eid").as("_uid"))
+    val exactL = exact.select(col("name").as("_disp"),
+      col("ctype").as("_lkey"), col("_eid").as("_lid"))
     // the upsert re-defaults a falsy normalized type to CONCEPT
     // (supabase_service.py:476) — the map keys under THIS type while
     // the backfill looks up under the pre-default one
@@ -246,7 +248,7 @@ object Maintenance {
       .unionByName(blank)
   }
 
-  /** fix_entity_types.py's 26-entry wrong→prescribed mapping
+  /** fix_entity_types.py's 27-entry wrong→prescribed mapping
     * (:12-50), keyed lowercase because the script compares
     * `current_type.lower() == incorrect.lower()` (:100-103). */
   val entityTypeFixMap: Map[String, String] = Map(

@@ -35,7 +35,9 @@ class MainMinimalSpec extends AnyFunSuite {
       Seq(("r1", "GET", "/api/documents", 12.25),
         ("r2", "POST", "/api/process", 300.5),
         ("r3", "GET", "/api/chunks", 200.0),
-        ("r4", "GET", "/api/chunks", 200.01))
+        ("r4", "GET", "/api/chunks", 200.01),
+        ("r5", "GET", "/api/chunks", 200.625),
+        ("r6", "GET", "/api/chunks", 2.675))
         .toDF("request_id", "method", "path", "duration_ms"))
       .as[(String, String, Boolean, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -46,6 +48,12 @@ class MainMinimalSpec extends AnyFunSuite {
     assert(out("r3") === (("200.00ms", false, null)))
     assert(out("r4") === (("200.01ms", true,
       "Slow request: GET /api/chunks took 200.01ms")))
+    // Python rounding, not Java's: an exact binary tie goes
+    // half-to-even (.625 → .62, where %.2f says .63) and 2.675's
+    // exact value 2.67499… rounds DOWN (where bround says 2.68)
+    assert(out("r5") === (("200.62ms", true,
+      "Slow request: GET /api/chunks took 200.62ms")))
+    assert(out("r6") === (("2.67ms", false, null)))
   }
 
   test("auth placeholder: the constant mock user (auth_service.py:7-12)") {
