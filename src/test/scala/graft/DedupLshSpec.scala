@@ -47,6 +47,28 @@ class DedupLshSpec extends AnyFunSuite {
     assert(Dedup.lshSizing(Long.MaxValue / 16, 12, 0.5) === 32)
   }
 
+  test("lshSizing: budget bound and minimality hold across the grid") {
+    // the law's contract: the smallest k with bands*n*p^k <= budget,
+    // clamped to [floor, cap] — checked exhaustively over a grid
+    // spanning the gate corpus to a 100 TB-class row count
+    for (n <- Seq(1L, 10L, 500L, 20000L, 50000L, 1000000L, 1000000000L);
+         bands <- Seq(1, 4, 12);
+         p <- Seq(0.3, 0.5, 0.8);
+         budget <- Seq(100.0, 1000.0)) {
+      val floor = 1; val cap = 32
+      val k = Dedup.lshSizing(n, bands, p, budget, floor, cap)
+      val mass = (e: Int) => bands.toDouble * n.toDouble * math.pow(p, e)
+      assert(k >= floor && k <= cap)
+      // bound holds unless the cap clamps it
+      assert(mass(k) <= budget * 1.0000001 || k === cap,
+        s"n=$n bands=$bands p=$p budget=$budget k=$k mass=${mass(k)}")
+      // minimality: one step fewer would blow the budget (unless the
+      // floor forced k up)
+      assert(k === floor || mass(k - 1) > budget * 0.9999999,
+        s"n=$n bands=$bands p=$p budget=$budget k=$k not minimal")
+    }
+  }
+
   test("auto paths reproduce the fixed-parameter gate plans at gate scale") {
     val sf = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, sf, "embeddings")

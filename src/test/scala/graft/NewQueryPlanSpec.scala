@@ -202,6 +202,38 @@ class NewQueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 relationship cleanup: ONE group-key window shuffle, no join") {
+    val plan = planOf("q147_rel_cleanup")
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange (window), got $exchanges\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q148 canonical backfill: broadcast store probes, no corpus sort-merge") {
+    val plan = planOf("q148_backfill_canonical")
+    // the canonical store probes and the vocabulary-sized group frame
+    // all broadcast; the mention side is never sort-merge-shuffled
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q149/q150/q157 script projections stay join-free and narrow") {
+    for (q <- Seq("q149_rel_type_migrate", "q150_reset_stuck",
+        "q157_fix_entity_types")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+  }
+
+  test("q152 capped jaccard: no cartesian, no single-partition exchange") {
+    val plan = planOf("q152_jaccard_capped")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("q142 service init: boot-keyed summary join, never global") {
     val plan = planOf("q142_service_init")
     // the census/summary join keys on boot_id — one keyed exchange
