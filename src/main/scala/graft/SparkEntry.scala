@@ -5944,10 +5944,14 @@ object SparkEntry {
         |FROM a""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
-    * MinHash signatures, 4 bands × 4 rows, band-bucket candidates. */
+    * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
+    * group digest — four slots per md5), 4 bands × 4 rows,
+    * band-bucket candidates. */
   private def minhashLshOracleSql: String =
     s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
-       |h AS (SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || g)) AS mh
+       |h AS (SELECT doc_id, k,
+       |      MIN(substr(md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || ':' || g),
+       |          CAST(k % 4 AS INT) * 8 + 1, 8)) AS mh
        |      FROM e CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
        |b AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
        |      md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' || string_agg(mh, '|' ORDER BY k)) AS bucket

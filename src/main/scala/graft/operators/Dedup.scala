@@ -237,14 +237,20 @@ object Dedup {
   }
 
   /** MinHash signature as array<string>: element k = min over shingles
-    * of md5(k ‖ ":" ‖ shingle). (String-min over md5 hex == a uniform
-    * random permutation min for dedup purposes, and is reproducible in
-    * any SQL engine — the oracle repeats it verbatim.)
+    * of the k%4-th 8-hex-char slice of md5((k/4) ‖ ":" ‖ shingle) —
+    * four signature slots per digest, quartering the hashing work
+    * (the signature stage's dominant cost; see MinHashExpr, the
+    * codegen twin this HOF form stays bit-identical to). String-min
+    * over hex slices == a uniform random permutation min for dedup
+    * purposes, and is reproducible in any SQL engine — the oracle
+    * repeats it verbatim with substr(md5(…)).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), k =>
       array_min(transform(shingleArr,
-        s => md5(concat(k.cast("string"), lit(":"), s)))))
+        s => md5(concat(floor(k / 4).cast("int").cast("string"),
+            lit(":"), s))
+          .substr((pmod(k, lit(4)) * 8 + 1).cast("int"), lit(8)))))
 
   /** LSH band buckets: signature split into `bands` bands of
     * numHashes/bands rows each; bucket key = md5(band_index ‖ band

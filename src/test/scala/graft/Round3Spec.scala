@@ -107,7 +107,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(viaSql.getString(0) === viaCols.getString(0))
     assert(viaSql.getInt(1) === viaCols.getInt(1))
-    assert(viaSql.getString(2).length === 32) // md5 hex
+    assert(viaSql.getString(2).length === 8) // 32-bit md5 slice hex
     assert(viaSql.getInt(3) === viaCols.getInt(2))
     assert(math.abs(viaSql.getDouble(4) - 1.0) < 1e-12)
     assert(viaSql.getDouble(5) === 11.0)
