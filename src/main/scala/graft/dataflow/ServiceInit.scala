@@ -69,4 +69,22 @@ object ServiceInit {
       when(col("total_n") > 0,
         round(col("healthy_n").cast("double") / col("total_n") * 100, 1))
         .otherwise(lit(0.0)).as("percentage"))
+
+  /** The per-service health probe (app/main_improved.py:156-170) over
+    * a (boot_id, service_name) request frame: names absent from
+    * health_status 404 with the quoted detail string; known ones
+    * project service/status/message off the census — redis answers
+    * here even though it never registers in the services dict
+    * (health_status carries it, :138-145). */
+  def serviceHealth(census: DataFrame, requests: DataFrame): DataFrame =
+    requests.join(
+        census.withColumnRenamed("service", "service_name"),
+        Seq("boot_id", "service_name"), "left")
+      .select(col("boot_id"), col("service_name").as("service"),
+        when(col("status").isNull, lit(404)).otherwise(lit(200))
+          .as("http_status"),
+        col("status"), col("message"),
+        when(col("status").isNull,
+          concat(lit("Service '"), col("service_name"),
+            lit("' not found"))).as("detail"))
 }

@@ -66,4 +66,26 @@ class ServiceInitSpec extends AnyFunSuite {
       ("b2", "degraded", 33.3),   // 1/3 rounds to one decimal
       ("b3", "unhealthy", 0.0)))
   }
+
+  test("per-service probe: census projection, redis answers, unknown 404s") {
+    val census = ServiceInit.initCensus(Seq(
+      ("b1", "database", true, None: Option[String]),
+      ("b1", "redis", true, None),
+      ("b1", "neo4j", false, Some("down")))
+      .toDF("boot_id", "service", "ok", "error"))
+    val got = ServiceInit.serviceHealth(census, Seq(
+      ("b1", "database"), ("b1", "redis"), ("b1", "neo4j"),
+      ("b1", "celery"))
+      .toDF("boot_id", "service_name"))
+      .select("service", "http_status", "status", "message", "detail")
+      .as[(String, Int, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("database") === ((200, "healthy", "PostgreSQL connected", null)))
+    // redis is absent from the services dict but PRESENT in
+    // health_status — the probe answers (main_improved.py:159-161)
+    assert(got("redis") === ((200, "healthy", "Redis connected", null)))
+    assert(got("neo4j") === ((200, "unavailable", "down", null)))
+    assert(got("celery") === ((404, null, null,
+      "Service 'celery' not found")))
+  }
 }
