@@ -237,13 +237,15 @@ object Dedup {
   }
 
   /** MinHash signature as array<string>: element k = min over shingles
-    * of the k%4-th 8-hex-char slice of md5((k/4) ‖ ":" ‖ shingle) —
-    * four signature slots per digest, quartering the hashing work
-    * (the signature stage's dominant cost; see MinHashExpr, the
-    * codegen twin this HOF form stays bit-identical to). String-min
-    * over hex slices == a uniform random permutation min for dedup
-    * purposes, and is reproducible in any SQL engine — the oracle
-    * repeats it verbatim with substr(md5(…)).
+    * of the k%4-th 8-hex-char slice of md5((k/4) ‖ ":" ‖ shingle).
+    * This HOF form is the READABILITY/PARITY twin — it still pays one
+    * md5 per slot (Catalyst does not CSE the digest across the four
+    * slots of a group); the production path (MinHashExpr, used by
+    * [[lshBuckets]]) hashes once per group and slices, quartering the
+    * signature stage's hashing work. String-min over hex slices == a
+    * uniform random permutation min for dedup purposes, and is
+    * reproducible in any SQL engine — the oracle repeats it verbatim
+    * with substr(md5(…)).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), k =>

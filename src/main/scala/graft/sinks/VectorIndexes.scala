@@ -28,7 +28,9 @@ object VectorIndexes {
   val metrics: Seq[String] =
     Seq("CosineSimilarity", "L2Distance", "InnerProduct")
 
-  /** spec.rs:541: VectorIndexDef's engine default. */
+  /** The Qdrant target's default metric (qdrant.rs:17) — VectorIndexDef
+    * itself carries no engine-wide default; metric is a required field
+    * (index.py:13-19; spec.rs:403-407). */
   val defaultMetric: String = "CosineSimilarity"
 
   /** The Display short forms (spec.rs:393-399). */
