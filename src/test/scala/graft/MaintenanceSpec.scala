@@ -202,6 +202,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out(2L) === (("Pump", "ce:pump:COMPONENT")))
   }
 
+  test("cleanup and backfill are partition-count invariant") {
+    // the ladder's id tiebreak pins a total order, and the backfill
+    // ladder reduces every store probe to a min-id row — so both
+    // outputs must be byte-stable under any input partitioning
+    val rels = Seq(
+      rel("r1", "a", "b", "USES", created = Some("2024-01-01")),
+      rel("r2", "a", "b", "USES", created = Some("2024-01-01")),
+      rel("r3", "a", "b", "USES", verified = true),
+      rel("r4", "c", "d", "REL"))
+    def runCleanup(p: Int) =
+      Maintenance.cleanupDuplicateRelationships(relDf(rels).repartition(p))
+        .orderBy("id").collect().toSeq
+    assert(runCleanup(1) === runCleanup(7))
+    val ms = Seq((1L, "Pump", "COMPONENT", null: String),
+      (2L, "pump", "component", null), (3L, "Valve", null, null))
+    val cs = Seq(("c1", "Pump", "COMPONENT", true),
+      ("c2", "Pump", "component", false))
+    def runBackfill(p: Int) =
+      Maintenance.backfillCanonicalIds(
+        ms.toDF("mention_id", "text", "mtype", "canonical_entity_id")
+          .repartition(p),
+        cs.toDF("id", "name", "ctype", "is_validated").repartition(p))
+        .orderBy("mention_id").collect().toSeq
+    assert(runBackfill(1) === runBackfill(5))
+  }
+
   // ---- fixEntityTypes ----------------------------------------------
 
   private def fixRows(rows: (Long, String, String, Boolean, Boolean)*)
