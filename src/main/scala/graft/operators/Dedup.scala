@@ -217,8 +217,11 @@ object Dedup {
     * with p = 1 − arccos(s)/π. */
   def embeddingNearDupLshAuto(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, minSim: Double, bands: Int = 12,
-      budget: Double = 1000.0): DataFrame = {
-    val bits = lshSizing(df.count(), bands, 0.5, budget)
+      budget: Double = 1000.0, rowCount: Option[Long] = None): DataFrame = {
+    // callers at scale usually know n (catalog stats, ingest census) —
+    // pass it to skip the sizing count() scan, as with
+    // jaccardPairsAutoFromIndex's docCount
+    val bits = lshSizing(rowCount.getOrElse(df.count()), bands, 0.5, budget)
     embeddingNearDupLsh(df, idCol, vecCol, dim, minSim, bits, bands)
   }
 
@@ -230,8 +233,9 @@ object Dedup {
     * data. */
   def minhashCandidatesAuto(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 4, minSim: Double = 0.5,
-      budget: Double = 1000.0): DataFrame = {
-    val rows = lshSizing(df.count(), bands, minSim, budget, floor = 4)
+      budget: Double = 1000.0, rowCount: Option[Long] = None): DataFrame = {
+    val rows = lshSizing(rowCount.getOrElse(df.count()), bands, minSim,
+      budget, floor = 4)
     minhashCandidates(df, idCol, textCol, n, numHashes = bands * rows,
       bands = bands)
   }

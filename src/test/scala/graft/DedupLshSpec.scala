@@ -78,6 +78,10 @@ class DedupLshSpec extends AnyFunSuite {
     // 500 vectors → law picks (3, 12) — byte-identical to q72's plan
     assert(pairs(Dedup.embeddingNearDupLshAuto(emb, "vec_id", "embedding", 64, 0.4))
       === pairs(Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4, 3, 12)))
+    // a caller-supplied rowCount drives the same sizing, no count() scan
+    assert(pairs(Dedup.embeddingNearDupLshAuto(emb, "vec_id", "embedding",
+        64, 0.4, rowCount = Some(500L)))
+      === pairs(Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 64, 0.4, 3, 12)))
     // 500 documents → floor keeps q18's (16 hashes, 4 bands)
     val docs = Tables.load(spark, sf, "documents")
     assert(pairs(Dedup.minhashCandidatesAuto(docs, "doc_id", "text"))
