@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Generate reference-executed parity fixtures.
+
+Runs the PURE reference modules (no app config, no network) from
+/root/reference over deterministic adversarial inputs and records
+their ACTUAL outputs as JSON under src/test/resources/refparity/.
+ReferenceParitySpec replays the same inputs through the Scala
+implementations and compares — parity against the reference binary
+itself, not a hand-port.
+
+Usage: python3 tools/gen_parity_fixtures.py
+Deterministic: fixed input lists, no randomness, no timestamps.
+"""
+import json
+import os
+import sys
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "src", "test", "resources", "refparity")
+sys.path.insert(0, REF)
+
+os.makedirs(OUT, exist_ok=True)
+
+
+def dump(name, obj):
+    with open(os.path.join(OUT, name), "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True, ensure_ascii=False)
+    print(f"wrote {name}")
+
+
+# ---- relationship_types.py ------------------------------------------
+from app.utils.relationship_types import (  # noqa: E402
+    canonicalize_relationship_type, format_relationship_label)
+
+REL_INPUTS = [
+    None, "", "  ", "CAUSES", "causes", " may cause ", "located_in",
+    "Conflicts With", "part of", "uses!", "DEPENDS_ON", "is-part-of",
+    "relates to", "REPLACED_BY", "Mitigates", "123", "a b", "__",
+    "\tPREVENTS\n", "caused by", "LOCATED IN", "requires", "Requires!",
+    "contains", "component of", "affects", "IS_A", "type of",
+    "precedes", "follows", "supports", "contradicts", "unknown junk",
+    "RELATES_TO", "relates_to", "USES", "use", "USED_BY", "results in",
+    "LEADS_TO", "associated with", "connected to",
+]
+dump("relationship_types.json", [
+    {"input": v,
+     "canonical": canonicalize_relationship_type(v),
+     "label": format_relationship_label(
+         canonicalize_relationship_type(v), v)}
+    for v in REL_INPUTS])
+
+# ---- entity_quality.py ----------------------------------------------
+from app.utils.entity_quality import EntityQualityValidator  # noqa: E402
+
+Q_NAMES = [
+    "NC2045", "nc2045", "USB", "ab", "AB", "it", "This", "Running fast",
+    "What is this", "pump", "the pump", "water pump assembly", "system",
+    "System", "yesterday", "123", "1 2 3", "check", "Check valve",
+    "a very long entity name that keeps going on and on and on beyond",
+    "LED", "led display", "install", "installation", "o-ring", "O-Ring",
+    "  padded  ", "now", "later stage", "thing", "component",
+]
+qrows = []
+for n in Q_NAMES:
+    ok, reason = EntityQualityValidator.is_valid_entity(n)
+    qrows.append({
+        "name": n, "valid": ok, "reason": reason,
+        "score": EntityQualityValidator.calculate_quality_score(
+            n, None, 0.5, 0),
+        "score_rel3": EntityQualityValidator.calculate_quality_score(
+            n, "component", 0.8, 3),
+    })
+dump("entity_quality.json", qrows)
+
+# ---- entity_deduplication.py ----------------------------------------
+from app.utils.entity_deduplication import EntityDeduplicator  # noqa: E402
+
+NORM_INPUTS = [
+    "Pump", "  The Pump  ", "pumps", "Water-Pump", "NC2045 sensor",
+    "USB cable", "a pump", "an o-ring", "THE SYSTEM", "pump (main)",
+    "temp sensor", "temperature sensor", "config file", "spec sheet",
+    "pwr supply", "power supply",
+]
+dump("entity_dedup_normalize.json", [
+    {"input": v, "normalized": EntityDeduplicator.normalize_name(v),
+     "expanded": EntityDeduplicator.expand_abbreviations(v.lower())}
+    for v in NORM_INPUTS])
+
+SIM_PAIRS = [
+    ("pump", "pumps"), ("pump", "Pump"), ("water pump", "pump"),
+    ("temp sensor", "temperature sensor"), ("USB", "USB cable"),
+    ("o-ring", "oring"), ("valve", "valve seat"), ("motor", "rotor"),
+    ("power supply", "pwr supply"), ("sensor", "sensors"),
+    ("control board", "controller board"), ("abc", "xyz"),
+    ("NC2045", "NC2050"), ("water pump assembly", "water pump"),
+]
+dump("entity_dedup_similarity.json", [
+    {"a": a, "b": b,
+     "similarity": EntityDeduplicator.calculate_similarity(a, b),
+     "singular_plural": EntityDeduplicator._are_singular_plural(
+         EntityDeduplicator.normalize_name(a),
+         EntityDeduplicator.normalize_name(b)),
+     "variants": EntityDeduplicator._are_variants(
+         EntityDeduplicator.normalize_name(a),
+         EntityDeduplicator.normalize_name(b)),
+     "compound": EntityDeduplicator._is_compound_term(
+         EntityDeduplicator.normalize_name(a),
+         EntityDeduplicator.normalize_name(b))}
+    for a, b in SIM_PAIRS])
+
+DEDUP_ENTITIES = [
+    {"id": "e1", "name": "Pump", "type": "component", "confidence": 0.9},
+    {"id": "e2", "name": "pumps", "type": "component", "confidence": 0.7},
+    {"id": "e3", "name": "Water Pump", "type": "component", "confidence": 0.8},
+    {"id": "e4", "name": "water pump", "type": "system", "confidence": 0.6},
+    {"id": "e5", "name": "Valve", "type": "component", "confidence": 0.95},
+    {"id": "e6", "name": "valve seat", "type": "component", "confidence": 0.5},
+    {"id": "e7", "name": "Temp Sensor", "type": "component", "confidence": 0.8},
+    {"id": "e8", "name": "Temperature Sensor", "type": "component",
+     "confidence": 0.85},
+    {"id": "e9", "name": "USB", "type": "technology", "confidence": 0.9},
+    {"id": "e10", "name": "USB cable", "type": "component", "confidence": 0.4},
+]
+fixture = []
+for cross in (True, False):
+    for thr in (0.75, 0.85, 0.95):
+        groups = EntityDeduplicator.find_duplicates(
+            [dict(e) for e in DEDUP_ENTITIES], threshold=thr,
+            cross_type=cross)
+        fixture.append({
+            "cross_type": cross, "threshold": thr,
+            "groups": [[m["id"] for m in g] for g in groups]})
+dump("entity_dedup_groups.json", fixture)
+
+# context/chunk_id ride in each entity's metadata dict (:434-445);
+# original_names/chunk_ids come off SETS whose iteration order is not
+# reproducible across CPython runs — sorted here, compared sorted
+merged = EntityDeduplicator.merge_entity_data([
+    {"id": "e2", "name": "pumps", "type": "component", "confidence": 0.7,
+     "metadata": {"chunk_id": "c2", "context": "ctx2"}},
+    {"id": "e1", "name": "Pump", "type": "component", "confidence": 0.9,
+     "metadata": {"chunk_id": "c1", "context": "ctx1"}},
+    {"id": "e4", "name": "water pump", "type": "system", "confidence": 0.6,
+     "metadata": {"chunk_id": "c1", "context": ""}},
+])
+merged["metadata"]["original_names"] = sorted(
+    merged["metadata"]["original_names"])
+merged["metadata"]["chunk_ids"] = sorted(merged["metadata"]["chunk_ids"])
+dump("entity_dedup_merge.json", merged)
+
+# ---- metadata_taxonomy.py -------------------------------------------
+from app.models.metadata_taxonomy import (  # noqa: E402
+    DocumentCategory, TagTaxonomy)
+
+CATS = [c.value for c in DocumentCategory] + ["unknown_cat", ""]
+TAGS = [
+    "NC2045", "nc2045", "pump", "Pump", "leak", "LEAK", "replace",
+    "CE", "ce", "urgent", "URGENT", "custom-thing", "sensor", "",
+]
+dump("taxonomy.json", {
+    "display": [{"category": c,
+                 "name": DocumentCategory.get_display_name(c)}
+                for c in CATS],
+    "tags": [{"tag": t, "class": TagTaxonomy.categorize_tag(t)}
+             for t in TAGS]})
+
+# ---- path_validator.validate_filename -------------------------------
+from app.utils.path_validator import PathValidator  # noqa: E402
+
+FNAMES = [
+    "report.pdf", "a.txt", "CON", "con.txt", "COM1", "lpt9.doc",
+    ".hidden", "..", "has space.txt", "bad<char>.txt", "tab\tname",
+    "x" * 255, "x" * 256, "normal_file-v2.md", "trailing. ", "nul",
+]
+frows = []
+for f in FNAMES:
+    try:
+        frows.append({"input": f, "ok": True,
+                      "value": PathValidator.validate_filename(f)})
+    except Exception as e:
+        frows.append({"input": f, "ok": False, "error": str(e)})
+dump("filename.json", frows)
+
+# ---- python/cocoindex/validation.py ---------------------------------
+# loaded standalone from its file: the package __init__ pulls the
+# native _engine module, which this sandbox does not build
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "ref_validation", os.path.join(REF, "python", "cocoindex",
+                                   "validation.py"))
+validation = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(validation)
+
+IDENTS = [
+    "flow1", "Flow_1", "1flow", "__reserved", "has space", "has.dot",
+    "a" * 64, "a" * 65, "", "ok-dash", "ok_under", "dots.in.full",
+]
+vrows = []
+for n in IDENTS:
+    row = {"input": n}
+    for fn_name, fn in [
+            ("field", validation.validate_field_name),
+            ("flow", validation.validate_flow_name),
+            ("full_flow", validation.validate_full_flow_name)]:
+        try:
+            fn(n)
+            row[fn_name] = None
+        except Exception as e:
+            row[fn_name] = str(e)
+    vrows.append(row)
+dump("naming.json", vrows)
+
+print("all fixtures written to", OUT)
