@@ -3,13 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Chunking operators over a documents DataFrame.
-  *
-  * Reference semantics:
-  *  - fixed char windows size+overlap: app/chunking/chunker.py:92-113
-  *  - sentence chunking (regex split, greedy fill): chunker.py:114-156
+/** Chunking operators over a documents DataFrame — the SPARK-NATIVE
+  * simplified forms (fully codegen'd, no per-row Scala), kept as the
+  * oracle-gated q10/q11 tier:
+  *  - fixed char windows size+overlap (cf. app/processors/
+  *    chunker.py:92-113 — the faithful port, including the
+  *    strip-dropped windows, is [[ProcessorChunker.fixedChunking]]);
+  *  - sentence chunking (regex split, greedy fill; cf.
+  *    chunker.py:114-156 — the faithful port with the terminator
+  *    replace-chain and overlap carry is
+  *    [[ProcessorChunker.sentenceChunking]]);
   *  - deterministic chunk ids (md5 of `{document_id}_{level}_{index}`):
-  *    app/chunking/two_tier_chunker.py:377-389
+  *    app/processors/two_tier_chunker.py:377-389.
   *
   * Spark-first shape: per-row `transform(sequence(...))` building the
   * chunk array inside codegen, then a single `posexplode` generator —

@@ -177,6 +177,71 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("processor chunker: every strategy/size/overlap case matches " +
+      "the reference run on adversarial texts") {
+    import graft.operators.ProcessorChunker
+    val fx = fixture("processor_chunker.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    val cases = (fx \ "cases").extract[List[JObject]]
+    cases.foreach { c =>
+      val text = texts((c \ "text_id").extract[Int])
+      val strat = (c \ "strategy").extract[String]
+      val size = (c \ "chunk_size").extract[Int]
+      val ov = (c \ "chunk_overlap").extract[Int]
+      val want = (c \ "chunks").extract[List[JObject]]
+      val got = ProcessorChunker.chunkText(text, strat, size, ov)
+      assert(got.length === want.length,
+        s"count for text=${c \ "text_id"} strat=$strat size=$size ov=$ov")
+      got.zip(want).foreach { case (g, w) =>
+        val ctx = s"text=${c \ "text_id"} strat=$strat size=$size " +
+          s"ov=$ov idx=${g.chunkIndex}"
+        assert(g.text === (w \ "text").extract[String], ctx)
+        assert(g.chunkIndex === (w \ "chunk_index").extract[Int], ctx)
+        assert(g.chunkSize === (w \ "chunk_size").extract[Int], ctx)
+        assert(g.startIndex === (w \ "start_index").extract[Int], ctx)
+        assert(g.endIndex === (w \ "end_index").extract[Int], ctx)
+      }
+    }
+  }
+
+  test("processor chunker: matches the reference run over real corpus " +
+      "documents, including through the DataFrame face") {
+    import graft.operators.ProcessorChunker
+    val rows = fixture("processor_chunker_corpus.json")
+      .extract[List[JObject]]
+    // row-function parity over all 20 documents x 3 strategies
+    val texts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val docId = (r \ "doc_id").extract[Long]
+      val strat = (r \ "strategy").extract[String]
+      val want = (r \ "chunks").extract[List[JObject]]
+      val got = ProcessorChunker.chunkText(texts(docId), strat, 500, 50)
+      assert(got.length === (r \ "n_chunks").extract[Int],
+        s"doc=$docId strat=$strat")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.text === (w \ "text").extract[String],
+          s"doc=$docId strat=$strat idx=${g.chunkIndex}")
+        assert(g.startIndex === (w \ "start_index").extract[Int],
+          s"doc=$docId strat=$strat idx=${g.chunkIndex}")
+        assert(g.endIndex === (w \ "end_index").extract[Int],
+          s"doc=$docId strat=$strat idx=${g.chunkIndex}")
+      }
+    }
+    // the DataFrame face returns the same rows for one strategy
+    val docsDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id") <= texts.keys.max)
+      .select(col("doc_id").as("document_id"), col("text").as("content"))
+    val viaDf = ProcessorChunker.chunkDocuments(docsDf, "recursive")
+      .select("document_id", "chunk_index", "chunk_text", "start_index")
+      .as[(Long, Int, String, Int)].collect().toSet
+    val direct = texts.toSeq.flatMap { case (id, t) =>
+      ProcessorChunker.chunkText(t, "recursive")
+        .map(c => (id, c.chunkIndex, c.text, c.startIndex))
+    }.toSet
+    assert(viaDf === direct)
+  }
+
   test("identifier validation: per-kind accept/reject arms match") {
     val rows = fixture("naming.json").extract[List[JObject]]
     val fns = Map[String, String => String](

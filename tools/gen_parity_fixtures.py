@@ -212,4 +212,63 @@ for n in IDENTS:
     vrows.append(row)
 dump("naming.json", vrows)
 
+# ---- app/processors/chunker.py --------------------------------------
+from app.processors.chunker import DocumentChunker  # noqa: E402
+from app.models.chunk import ChunkingStrategy  # noqa: E402
+
+CHUNK_TEXTS = [
+    # terminator-at-end (no trailing space) does not split; '?! ' mixes
+    "One sentence. Two sentences! Three? Four ends here.",
+    # whitespace-only fixed windows must drop
+    "abc" + " " * 40 + "def" + " " * 40 + "ghi jkl mno pqr stu vwx",
+    # paragraphs, one oversize -> sentence cascade
+    ("Para one is short.\n\nPara two is also short.\n\n" +
+     "This paragraph is long. " * 8 + "\n\nTail para."),
+    # repeated chunk text exercises the find current_position advance
+    "dup. dup. dup. dup. dup. dup. dup. dup.",
+    # unicode (code-point counting)
+    "Héllo wörld. ééé café! Déjà vu? Fin.",
+    "",
+    "   ",
+    "no terminators at all just words " * 6,
+]
+chunker = DocumentChunker()
+crows = []
+for ti, text in enumerate(CHUNK_TEXTS):
+    for strat in ChunkingStrategy:
+        for size, ov in ((40, 10), (80, 0)):
+            out = chunker.chunk_text(text, strat, size, ov)
+            crows.append({
+                "text_id": ti, "strategy": strat.value,
+                "chunk_size": size, "chunk_overlap": ov,
+                "chunks": [{
+                    "text": c["text"],
+                    "chunk_index": c["metadata"]["chunk_index"],
+                    "chunk_size": c["metadata"]["chunk_size"],
+                    "start_index": c["metadata"]["start_index"],
+                    "end_index": c["metadata"]["end_index"],
+                } for c in out]})
+dump("processor_chunker.json", {"texts": CHUNK_TEXTS, "cases": crows})
+
+# real corpus texts: first 20 documents by doc_id at sf0.001
+import duckdb  # noqa: E402
+
+docs = duckdb.sql(
+    "SELECT doc_id, text FROM "
+    "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+    "ORDER BY doc_id LIMIT 20").fetchall()
+drows = []
+for doc_id, text in docs:
+    for strat in ("recursive", "sentence", "fixed"):
+        out = chunker.chunk_text(text, ChunkingStrategy(strat), 500, 50)
+        drows.append({
+            "doc_id": doc_id, "strategy": strat,
+            "n_chunks": len(out),
+            "chunks": [{
+                "text": c["text"],
+                "start_index": c["metadata"]["start_index"],
+                "end_index": c["metadata"]["end_index"],
+            } for c in out]})
+dump("processor_chunker_corpus.json", drows)
+
 print("all fixtures written to", OUT)
