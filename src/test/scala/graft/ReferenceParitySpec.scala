@@ -242,6 +242,50 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(viaDf === direct)
   }
 
+  test("metadata tag merge + regex scans match the reference run") {
+    val rows = fixture("metadata_merge.json").extract[List[JObject]]
+    rows.foreach { r =>
+      val tags = (r \ "llm_tags").extract[List[String]]
+      val content = (r \ "content").extract[String]
+      val got = Seq((tags, content)).toDF("tags", "content")
+        .select(
+          Metadata.mergeTags(col("tags"), col("content")).as("m"),
+          Metadata.productModelTags(col("content")).as("p"),
+          Metadata.componentTags(col("content")).as("c"),
+          Metadata.issueTags(col("content")).as("i"))
+        .as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
+      val ctx = s"content='${content.take(40)}'"
+      assert(got._1.toList === (r \ "merged").extract[List[String]], ctx)
+      // the reference's product list is list(set(...)) — hash-order
+      // noise — so the fixture records it sorted and both sides
+      // compare sorted (membership is the contract, the merge re-sorts)
+      assert(got._2.toList.sorted ===
+        (r \ "products").extract[List[String]], ctx)
+      assert(got._3.toList === (r \ "components").extract[List[String]], ctx)
+      assert(got._4.toList === (r \ "issues").extract[List[String]], ctx)
+    }
+  }
+
+  test("document-state transition map and per-state flags match") {
+    import graft.operators.{StateCensus, StateMachine}
+    val fx = fixture("document_state.json")
+    val want = (fx \ "transitions").extract[Map[String, List[String]]]
+    val got = StateMachine.simpleAllowed.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toList).toMap
+    StateMachine.simpleStates.foreach { s =>
+      assert(got.getOrElse(s, Nil) === want(s), s"transitions from $s")
+    }
+    val flags = (fx \ "flags").extract[List[JObject]]
+    flags.foreach { f =>
+      val s = (f \ "state").extract[String]
+      // terminal == no exits in the verbatim map
+      assert(got.getOrElse(s, Nil).isEmpty ===
+        (f \ "terminal").extract[Boolean], s"terminal for $s")
+      assert(StateCensus.ActionStates.contains(s) ===
+        (f \ "requires_action").extract[Boolean], s"requires_action for $s")
+    }
+  }
+
   test("identifier validation: per-kind accept/reject arms match") {
     val rows = fixture("naming.json").extract[List[JObject]]
     val fns = Map[String, String => String](

@@ -271,4 +271,59 @@ for doc_id, text in docs:
             } for c in out]})
 dump("processor_chunker_corpus.json", drows)
 
+# ---- metadata_extraction_service.py (stub-loaded) -------------------
+# app/services/__init__ and app/config pull supabase/pydantic settings;
+# the tag-merge tier is pure, so the module FILE loads directly with
+# those deps stubbed
+import types  # noqa: E402
+
+for _name in ["supabase"]:
+    if _name not in sys.modules:
+        sys.modules[_name] = types.ModuleType(_name)
+sys.modules["supabase"].create_client = lambda *a, **k: None
+sys.modules["supabase"].Client = object
+_cfg = types.ModuleType("app.config")
+_cfg.settings = types.SimpleNamespace(
+    openai_api_key=None, gemini_api_key=None, metadata_model="gpt-4o-mini")
+sys.modules["app.config"] = _cfg
+_mes_spec = importlib.util.spec_from_file_location(
+    "ref_mes", os.path.join(REF, "app", "services",
+                            "metadata_extraction_service.py"))
+mes = importlib.util.module_from_spec(_mes_spec)
+_mes_spec.loader.exec_module(mes)
+
+MERGE_CASES = [
+    (["NC2045", "pump", "custom"],
+     "The NC2045 pump has a leak. PC1234 too."),
+    ([], "Routine inspection of the valve and o-ring showed corrosion "
+         "and a crack near SM123."),
+    (["urgent", "replace", "CE"],
+     "Replace the sensor. The display flickers and overheats."),
+    (["Pump", "PUMP", "pump"], "pump Pump PUMP pumping pumps"),
+    (["a"] * 20, "NC0001 NC0002 NC0003 NC0004 NC0005 leak noise "
+                 "motor fan filter valve seal gasket bearing"),
+    ([], ""),
+]
+dump("metadata_merge.json", [
+    {"llm_tags": t, "content": c,
+     "merged": mes._merge_tags(list(t), c),
+     # list(set(...)) in the reference — order is hash-seed noise,
+     # recorded sorted and compared sorted
+     "products": sorted(mes._regex_product_models(c)),
+     "components": mes._regex_components(c),
+     "issues": mes._regex_issues(c)}
+    for t, c in MERGE_CASES])
+
+# ---- models/document_state.py ---------------------------------------
+from app.models.document_state import DocumentState  # noqa: E402
+
+dump("document_state.json", {
+    "transitions": {s.value: [t.value for t in
+                              DocumentState.valid_transitions()[s]]
+                    for s in DocumentState},
+    "flags": [{"state": s.value, "terminal": s.is_terminal,
+               "error": s.is_error,
+               "requires_action": s.requires_action}
+              for s in DocumentState]})
+
 print("all fixtures written to", OUT)
