@@ -286,6 +286,46 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("DocumentProcessor chunker family matches the reference run, " +
+      "including the sentence arm's live TypeError") {
+    import graft.operators.DocProcessorChunker
+    val fx = fixture("doc_processor_chunks.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    val cases = (fx \ "cases").extract[List[JObject]]
+    cases.foreach { c =>
+      val text = texts((c \ "text_id").extract[Int])
+      val method = (c \ "method").extract[String]
+      val size = (c \ "chunk_size").extract[Int]
+      val ov = (c \ "chunk_overlap").extract[Int]
+      val mn = (c \ "min_chunk_size").extract[Int]
+      val ctx = s"text=${c \ "text_id"} method=$method size=$size ov=$ov"
+      val refError = (c \ "error") match {
+        case JString(e) => Some(e); case _ => None
+      }
+      val got: Option[Seq[DocProcessorChunker.RawChunk]] = method match {
+        case "recursive" =>
+          Some(DocProcessorChunker.recursiveChunks(text, size, ov, mn))
+        case "sentence" =>
+          DocProcessorChunker.sentenceChunks(text, size, ov)
+        case _ => Some(DocProcessorChunker.fixedChunks(text, size, ov))
+      }
+      refError match {
+        case Some(_) => assert(got.isEmpty, s"$ctx: expected the " +
+          "TypeError arm (None), got ${got.map(_.length)} chunks")
+        case None =>
+          val want = (c \ "chunks").extract[List[JObject]]
+          assert(got.isDefined, ctx)
+          assert(got.get.length === want.length, ctx)
+          got.get.zip(want).foreach { case (g, w) =>
+            assert(g.text === (w \ "text").extract[String], ctx)
+            assert(g.start === (w \ "start").extract[Long], ctx)
+            assert(g.end === (w \ "end").extract[Long], ctx)
+            assert(g.chunkId === (w \ "chunk_id").extract[String], ctx)
+          }
+      }
+    }
+  }
+
   test("identifier validation: per-kind accept/reject arms match") {
     val rows = fixture("naming.json").extract[List[JObject]]
     val fns = Map[String, String => String](

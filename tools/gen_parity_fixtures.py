@@ -326,4 +326,53 @@ dump("document_state.json", {
                "requires_action": s.requires_action}
               for s in DocumentState]})
 
+# ---- services/document_processor.py (pure stdlib, file-loaded) ------
+import asyncio  # noqa: E402
+
+_dp_spec = importlib.util.spec_from_file_location(
+    "ref_dp", os.path.join(REF, "app", "services",
+                           "document_processor.py"))
+dp_mod = importlib.util.module_from_spec(_dp_spec)
+_dp_spec.loader.exec_module(dp_mod)
+dp = dp_mod.DocumentProcessor()
+
+DP_TEXTS = [
+    # markdown headers drive the recursive separator hierarchy
+    ("# Title\n\n" + "Intro paragraph with enough text to matter. " * 6 +
+     "\n## Section A\n" + "Body line one. Body line two! More text? " * 8 +
+     "\n### Sub A1\n" + "Deep content sentence. " * 10 +
+     "\n\nAnother paragraph here. " * 5),
+    # plain prose (no headers) -> paragraph/sentence/word fallbacks
+    ("Sentence one is here. Sentence two follows! Is this three? " * 12),
+    # short text below min_chunk_size
+    "tiny",
+    # text with long runs and no separators at all
+    "x" * 900,
+    # unicode
+    ("Héllo wörld. " * 40 + "\n\n" + "Café déjà vu. " * 30),
+]
+dprows = []
+for ti, text in enumerate(DP_TEXTS):
+    for method in ("recursive", "sentence", "fixed"):
+        for size, ov, mn in ((300, 50, 100), (200, 0, 50)):
+            try:
+                out = asyncio.run(dp.chunk_document(
+                    text, method, size, ov, "markdown", mn))
+                dprows.append({
+                    "text_id": ti, "method": method, "chunk_size": size,
+                    "chunk_overlap": ov, "min_chunk_size": mn,
+                    "chunks": [{"text": c["text"],
+                                "start": c["start"], "end": c["end"],
+                                "chunk_id": c["chunk_id"]}
+                               for c in out]})
+            except TypeError:
+                # the sentence arm's live TypeError on a second
+                # mid-flush (document_processor.py) — a real arm,
+                # recorded as such
+                dprows.append({
+                    "text_id": ti, "method": method, "chunk_size": size,
+                    "chunk_overlap": ov, "min_chunk_size": mn,
+                    "error": "TypeError"})
+dump("doc_processor_chunks.json", {"texts": DP_TEXTS, "cases": dprows})
+
 print("all fixtures written to", OUT)
