@@ -75,6 +75,107 @@ class ReferenceParity2Spec extends AnyFunSuite {
       googleAiApiKey = opt("google_ai_api_key"))
   }
 
+  import graft.operators.SemanticChunkerRow
+
+  private def chunkMatches(got: SemanticChunkerRow.SemChunk, w: JObject,
+      ctx: String, full: Boolean): Unit = {
+    assert(got.text === (w \ "text").extract[String], ctx)
+    assert(got.sentenceCount === (w \ "sentence_count").extract[Int], ctx)
+    assert(got.tokenCount === (w \ "token_count").extract[Int], ctx)
+    assert(got.semanticFocus === (w \ "semantic_focus").extract[String],
+      ctx)
+    if (full) {
+      assert(got.chunkIndex === (w \ "chunk_index").extract[Int], ctx)
+      assert(got.totalChunks === (w \ "total_chunks").extract[Int], ctx)
+      def opt(j: JValue): Option[String] = j match {
+        case JString(s) => Some(s); case _ => None
+      }
+      assert(got.previousContext === opt(w \ "previous_context"), ctx)
+      assert(got.nextContext === opt(w \ "next_context"), ctx)
+    }
+  }
+
+  test("semantic chunker: sentence split matches the reference run") {
+    val fx = fixture("semantic_chunker.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "sentences").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      assert(SemanticChunkerRow.splitIntoSentences(texts(ti)).toList ===
+        (r \ "sentences").extract[List[String]], s"text=$ti")
+    }
+  }
+
+  test("semantic chunker: create_semantic_chunks matches the reference " +
+      "run across every threshold/min/max/context config") {
+    val fx = fixture("semantic_chunker.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "cases").extract[List[JObject]].foreach { c =>
+      val ti = (c \ "text_id").extract[Int]
+      val thr = (c \ "threshold").extract[Double]
+      val mn = (c \ "min_chunk").extract[Int]
+      val mx = (c \ "max_chunk").extract[Int]
+      val mc = (c \ "maintain_context").extract[Boolean]
+      val want = (c \ "chunks").extract[List[JObject]]
+      val got = SemanticChunkerRow.createSemanticChunks(
+        texts(ti), SemanticChunkerRow.stubEncode, thr, mn, mx, mc)
+      val ctx = s"text=$ti thr=$thr mn=$mn mx=$mx ctx=$mc"
+      assert(got.length === want.length, ctx)
+      got.zip(want).foreach { case (g, w) =>
+        chunkMatches(g, w, s"$ctx idx=${g.chunkIndex}", full = true)
+      }
+    }
+  }
+
+  test("semantic chunker: identify_key_concepts matches") {
+    val fx = fixture("semantic_chunker.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "concepts").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val k = (r \ "top_k").extract[Int]
+      assert(SemanticChunkerRow.identifyKeyConcepts(
+          texts(ti), SemanticChunkerRow.stubEncode, k).toList ===
+        (r \ "concepts").extract[List[String]], s"text=$ti k=$k")
+    }
+  }
+
+  test("semantic chunker: matches the reference run over real corpus " +
+      "documents, including through the DataFrame face") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = fixture("semantic_chunker.json")
+      .extract[JObject].obj.toMap.apply("corpus").extract[List[JObject]]
+    val texts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val docId = (r \ "doc_id").extract[Long]
+      val want = (r \ "chunks").extract[List[JObject]]
+      val got = SemanticChunkerRow.createSemanticChunks(
+        texts(docId), SemanticChunkerRow.stubEncode, 0.5, 20, 80, true)
+      assert(got.length === (r \ "n_chunks").extract[Int], s"doc=$docId")
+      got.zip(want).foreach { case (g, w) =>
+        chunkMatches(g, w, s"doc=$docId idx=${g.chunkIndex}", full = false)
+      }
+    }
+    // the distributed face returns the same rows
+    val docsDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id") <= rows.map(r => (r \ "doc_id").extract[Long]).max)
+      .select(col("doc_id"), col("text"))
+    val viaDf = SemanticChunkerRow.chunkDocuments(
+        docsDf, "doc_id", "text", () => SemanticChunkerRow.stubEncode,
+        0.5, 20, 80, true)
+      .select("doc_id", "chunk_index", "chunk_text", "semantic_focus")
+      .as[(Long, Int, String, String)].collect().toSet
+    val direct = rows.flatMap { r =>
+      val docId = (r \ "doc_id").extract[Long]
+      (r \ "chunks").extract[List[JObject]].zipWithIndex.map {
+        case (w, i) => (docId, i, (w \ "text").extract[String],
+          (w \ "semantic_focus").extract[String])
+      }
+    }.toSet
+    assert(viaDf === direct)
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

@@ -177,4 +177,165 @@ for i, cfg in enumerate(CONFIG_CASES):
 del sys.modules["app.config"]
 dump("config_validator.json", crows)
 
+# ---- app/processors/semantic_chunker.py -----------------------------
+# The model is an encode() boundary; the stand-in below is shared
+# byte-for-byte with SemanticChunkerRow.stubEncode: 16 dims, per
+# lowercase whitespace token dim i accumulates (md5_byte_i - 127.5)
+# (exact multiples of 0.5 -> exact double sums on both sides);
+# token-free sentence -> [1,0,...]. Cosine = dot/(sqrt(na)*sqrt(nb)),
+# sequential accumulation, same operation order as the Scala twin.
+import math  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def enc_one(s):
+    toks = s.lower().split()
+    v = [0.0] * 16
+    if not toks:
+        v[0] = 1.0
+        return v
+    for t in toks:
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        for i in range(16):
+            v[i] += d[i] - 127.5
+    return v
+
+
+def stub_cosine_matrix(X):
+    rows = [list(map(float, r)) for r in X]
+    out = []
+    for a in rows:
+        row = []
+        for b in rows:
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            row.append(dot / (math.sqrt(na) * math.sqrt(nb)))
+        out.append(row)
+    return np.array(out, dtype=np.float64)
+
+
+def put_embed_stubs():
+    st = types.ModuleType("sentence_transformers")
+
+    class _ST:
+        def __init__(self, *a, **k):
+            pass
+
+        def encode(self, sentences):
+            return np.array([enc_one(s) for s in sentences],
+                            dtype=np.float64)
+
+    st.SentenceTransformer = _ST
+    sys.modules["sentence_transformers"] = st
+    sk = types.ModuleType("sklearn")
+    skm = types.ModuleType("sklearn.metrics")
+    skp = types.ModuleType("sklearn.metrics.pairwise")
+    skp.cosine_similarity = stub_cosine_matrix
+    sk.metrics = skm
+    skm.pairwise = skp
+    sys.modules["sklearn"] = sk
+    sys.modules["sklearn.metrics"] = skm
+    sys.modules["sklearn.metrics.pairwise"] = skp
+
+
+sem_mod = load_file("ref_semchunk", "app/processors/semantic_chunker.py",
+                    pre=put_embed_stubs)
+
+# near-duplicate consecutive sentences give HIGH cosine (shared
+# tokens) so the no-boundary and merge arms fire; unrelated-vocab
+# sentences give near-zero cosine so the boundary arm fires
+SEM_TEXTS = [
+    ("Dr. Smith examined the pump rotor. Mr. Jones replaced the worn "
+     "valve! J. Watson recorded the readings? The system restarted "
+     "after maintenance."),
+    ("The pump rotor spins fast. The pump rotor spins very fast. "
+     "The pump rotor spins quite fast today. Valve seats show heavy "
+     "corrosion damage. Valve seats show heavy corrosion marks. "
+     "Quarterly budget figures improved overall."),
+    "Dup. Dup. Dup. Dup.",
+    "Héllo wörld. Ééé café! Déjà vu? Fin.",
+    "",
+    "   ",
+    "single sentence without terminator",
+    ("The quick brown fox, seen at dawn, jumped over fences. It ran "
+     "away fast, then vanished. We watched quietly."),
+    "ends here. next starts lowercase so no split happens. Ok then.",
+    " ".join(
+        f"Cluster {i // 4} topic sentence number {i} mentions shared "
+        f"cluster {i // 4} keywords plus item {i * 7}." for i in range(24)),
+]
+
+SEM_CONFIGS = [
+    # (threshold, min_chunk, max_chunk, maintain_context)
+    (0.5, 50, 200, True),    # reference defaults
+    (0.5, 0, 100, True),     # the two-tier child config
+    (0.3, 10, 30, False),
+    (0.0, 20, 50, True),     # negative-cosine boundaries only
+    (-1.0, 0, 25, True),     # no boundaries -> split-large path
+]
+
+sem_cases = []
+for ti, text in enumerate(SEM_TEXTS):
+    for thr, mn, mx, ctx in SEM_CONFIGS:
+        ch = sem_mod.SemanticChunker(
+            similarity_threshold=thr, min_chunk_size=mn,
+            max_chunk_size=mx)
+        out = ch.create_semantic_chunks(text, maintain_context=ctx)
+        sem_cases.append({
+            "text_id": ti, "threshold": thr, "min_chunk": mn,
+            "max_chunk": mx, "maintain_context": ctx,
+            "chunks": [{
+                "text": t,
+                "sentence_count": m["sentence_count"],
+                "token_count": m["token_count"],
+                "semantic_focus": m["semantic_focus"],
+                "chunk_index": m["chunk_index"],
+                "total_chunks": m["total_chunks"],
+                "previous_context": m.get("previous_context"),
+                "next_context": m.get("next_context"),
+            } for t, m in out]})
+
+chunker_default = sem_mod.SemanticChunker()
+
+sem_sentences = [{"text_id": ti,
+                  "sentences": chunker_default.split_into_sentences(t)}
+                 for ti, t in enumerate(SEM_TEXTS)]
+
+sem_concepts = []
+for ti in (0, 1, 7, 9):
+    for k in (3, 5):
+        sem_concepts.append({
+            "text_id": ti, "top_k": k,
+            "concepts": chunker_default.identify_key_concepts(
+                SEM_TEXTS[ti], top_k=k)})
+
+# real corpus documents through the full pipeline
+import duckdb  # noqa: E402
+
+docs = duckdb.sql(
+    "SELECT doc_id, text FROM "
+    "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+    "ORDER BY doc_id LIMIT 10").fetchall()
+sem_corpus = []
+for doc_id, text in docs:
+    ch = sem_mod.SemanticChunker(min_chunk_size=20, max_chunk_size=80)
+    out = ch.create_semantic_chunks(text, maintain_context=True)
+    sem_corpus.append({
+        "doc_id": doc_id, "n_chunks": len(out),
+        "chunks": [{"text": t, "sentence_count": m["sentence_count"],
+                    "token_count": m["token_count"],
+                    "semantic_focus": m["semantic_focus"]}
+                   for t, m in out]})
+
+dump("semantic_chunker.json", {
+    "texts": SEM_TEXTS, "cases": sem_cases,
+    "sentences": sem_sentences, "concepts": sem_concepts,
+    "corpus": sem_corpus})
+
 print("wave-2 fixtures written to", OUT)
