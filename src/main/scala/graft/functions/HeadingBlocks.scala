@@ -38,18 +38,8 @@ object HeadingBlocks {
   def headingBlocksOf(text: Column): Column =
     GraftColumnBridge.column(
       HeadingBlocksExpr(GraftColumnBridge.expression(text)))
-}
 
-case class HeadingBlocksExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("heading", StringType, nullable = true),
-    StructField("body", StringType, nullable = false))),
-    containsNull = false)
-  override def nullable: Boolean = true
-
-  @transient private lazy val headingPattern =
+  private val headingPattern =
     Pattern.compile("^(#{1,6})\\s+.*$", Pattern.MULTILINE)
 
   // strip set pinned to exactly space/tab/LF/CR so the DuckDB oracle's
@@ -85,36 +75,51 @@ case class HeadingBlocksExpr(child: Expression)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = normalizeNewlines(input.asInstanceOf[UTF8String].toString)
+  /** The pure split (heading is null for the no-heading block) —
+    * shared by [[HeadingBlocksExpr]] and the faithful two-tier row
+    * tier ([[graft.operators.TwoTierRow]]). */
+  def split(textRaw: String): Vector[(String, String)] = {
+    val text = normalizeNewlines(textRaw)
     val m = headingPattern.matcher(text)
     val starts = Iterator.continually(m)
-      .takeWhile(_.find()).map(_.start()).toArray
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    def block(h: String, b: String): InternalRow = InternalRow(
-      if (h == null) null else UTF8String.fromString(h),
-      UTF8String.fromString(b))
+      .takeWhile(_.find()).map(_.start()).toVector
     if (starts.isEmpty) {
       val t = strip(text)
-      if (t.nonEmpty) out += block(null, t)
+      if (t.isEmpty) Vector.empty else Vector((null, t))
     } else {
       val preamble = strip(text.substring(0, starts(0)))
-      var i = 0
-      while (i < starts.length) {
+      starts.zipWithIndex.map { case (s, i) =>
         val end = if (i < starts.length - 1) starts(i + 1) else text.length
-        val blockText = strip(text.substring(starts(i), end))
+        val blockText = strip(text.substring(s, end))
         val nl = blockText.indexOf('\n')
         val headingLine = strip(if (nl < 0) blockText else blockText.substring(0, nl))
-        val body = strip(if (nl < 0) "" else blockText.substring(nl + 1))
+        val bodyTxt = strip(if (nl < 0) "" else blockText.substring(nl + 1))
         val merged =
           if (i == 0 && preamble.nonEmpty)
-            preamble + (if (body.nonEmpty) "\n\n" + body else "")
-          else body
-        out += block(headingLine, merged)
-        i += 1
+            preamble + (if (bodyTxt.nonEmpty) "\n\n" + bodyTxt else "")
+          else bodyTxt
+        (headingLine, merged)
       }
     }
-    new GenericArrayData(out.toArray)
+  }
+}
+
+case class HeadingBlocksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("heading", StringType, nullable = true),
+    StructField("body", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val blocks = HeadingBlocks.split(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(blocks.map { case (h, b) =>
+      InternalRow(
+        if (h == null) null else UTF8String.fromString(h),
+        UTF8String.fromString(b)): Any
+    }.toArray)
   }
 
   override protected def withNewChildInternal(c: Expression): HeadingBlocksExpr =

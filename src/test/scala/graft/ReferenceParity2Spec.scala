@@ -176,6 +176,171 @@ class ReferenceParity2Spec extends AnyFunSuite {
     assert(viaDf === direct)
   }
 
+  import graft.operators.TwoTierRow
+
+  test("two-tier: bm25 tokens, sentence split and heading blocks " +
+      "match the reference run (incl. the DataFrame expression)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fx = fixture("two_tier.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "tokens").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      assert(TwoTierRow.tokenizeForBm25(texts(ti)).toList ===
+        (r \ "tokens").extract[List[String]], s"tokens text=$ti")
+    }
+    (fx \ "sentences").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      assert(TwoTierRow.splitIntoSentences(texts(ti)).toList ===
+        (r \ "sentences").extract[List[String]], s"sentences text=$ti")
+    }
+    val blockRows = (fx \ "blocks").extract[List[JObject]]
+    blockRows.foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val want = (r \ "blocks").extract[List[JObject]].map { b =>
+        ((b \ "heading") match {
+          case JString(s) => s; case _ => null
+        }, (b \ "body").extract[String])
+      }
+      assert(graft.functions.HeadingBlocks.split(texts(ti)).toList ===
+        want, s"blocks text=$ti")
+    }
+    // the Catalyst expression face returns the same blocks
+    val viaExpr = texts.zipWithIndex.map(_.swap).toDF("text_id", "text")
+      .select(col("text_id"),
+        graft.functions.HeadingBlocks.headingBlocksOf(col("text"))
+          .as("blocks"))
+      .as[(Int, Seq[(String, String)])].collect().toMap
+    blockRows.foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val want = (r \ "blocks").extract[List[JObject]].map { b =>
+        ((b \ "heading") match {
+          case JString(s) => s; case _ => null
+        }, (b \ "body").extract[String])
+      }
+      assert(viaExpr(ti).toList === want, s"expr blocks text=$ti")
+    }
+  }
+
+  test("two-tier: page chunks match at every token budget; section " +
+      "chunks reproduce the live AttributeError arm") {
+    val fx = fixture("two_tier.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "pages").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val size = (r \ "page_token_size").extract[Int]
+      assert(TwoTierRow.createPageChunks(texts(ti), size).toList ===
+        (r \ "chunks").extract[List[String]], s"pages text=$ti size=$size")
+    }
+    (fx \ "sections").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val got = TwoTierRow.createSectionChunks(texts(ti))
+      (r \ "error") match {
+        case JString(_) => assert(got.isEmpty, s"sections text=$ti " +
+          "expected the AttributeError arm")
+        case _ => assert(got === Some((r \ "chunks")
+          .extract[List[String]].toVector), s"sections text=$ti")
+      }
+    }
+  }
+
+  test("two-tier: semantic chunks match on both arms (SemanticChunker " +
+      "and the ImportError sentence fallback)") {
+    val fx = fixture("two_tier.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    (fx \ "semantic").extract[List[JObject]].foreach { r =>
+      val ti = (r \ "text_id").extract[Int]
+      val arm = (r \ "arm").extract[String]
+      val enc =
+        if (arm == "semantic")
+          Some(SemanticChunkerRow.stubEncode: SemanticChunkerRow.Encoder)
+        else None
+      val want = (r \ "chunks").extract[List[JObject]].map(c =>
+        ((c \ "text").extract[String],
+          (c \ "sentence_count").extract[Int]))
+      assert(TwoTierRow.createSemanticChunks(texts(ti), enc).toList ===
+        want, s"semantic text=$ti arm=$arm")
+    }
+  }
+
+  test("two-tier: md5-UUID chunk ids match") {
+    val fx = fixture("two_tier.json")
+    (fx \ "chunk_ids").extract[List[JObject]].foreach { r =>
+      val parent = (r \ "parent_id") match {
+        case JString(s) => Some(s); case _ => None
+      }
+      assert(TwoTierRow.generateChunkId(
+          (r \ "document_id").extract[String],
+          (r \ "level").extract[String],
+          (r \ "index").extract[Int], parent) ===
+        (r \ "chunk_id").extract[String], s"id for ${r \ "document_id"}")
+    }
+  }
+
+  test("two-tier: process_document matches the reference run end to " +
+      "end, including through the DataFrame face") {
+    import graft.operators.StubLlm
+    val fx = fixture("two_tier.json")
+    val texts = (fx \ "texts").extract[List[String]]
+    val docs = (fx \ "process_document").extract[List[JObject]]
+    def checkChunk(g: TwoTierRow.ChunkRow, w: JObject, ctx: String): Unit = {
+      assert(g.id === (w \ "id").extract[String], ctx)
+      assert(g.chunkLevel === (w \ "chunk_level").extract[String], ctx)
+      assert(g.chunkIndex === (w \ "chunk_index").extract[Int], ctx)
+      assert(g.chunkText === (w \ "chunk_text").extract[String], ctx)
+      assert(g.chunkSize === (w \ "chunk_size").extract[Int], ctx)
+      assert(g.contextualSummary ===
+        (w \ "contextual_summary").extract[String], ctx)
+      assert(g.contextualizedText ===
+        (w \ "contextualized_text").extract[String], ctx)
+      assert(g.parentChunkId === ((w \ "parent_chunk_id") match {
+        case JString(s) => Some(s); case _ => None
+      }), ctx)
+      assert(g.bm25Tokens.toList ===
+        (w \ "bm25_tokens").extract[List[String]], ctx)
+      assert(g.sentenceCount === ((w \ "sentence_count") match {
+        case JInt(n) => Some(n.toInt); case _ => None
+      }), ctx)
+      assert(g.semanticFocus === ((w \ "semantic_focus") match {
+        case JString(s) => Some(s); case _ => None
+      }), ctx)
+      assert(g.tier === (w \ "tier").extract[String], ctx)
+    }
+    docs.foreach { d =>
+      val ti = (d \ "text_id").extract[Int]
+      val got = TwoTierRow.processDocument(
+        (d \ "document_id").extract[String], texts(ti),
+        (d \ "title").extract[String], StubLlm(),
+        Some(SemanticChunkerRow.stubEncode),
+        pageTokenSize = (d \ "page_token_size").extract[Int])
+      val want = (d \ "chunks").extract[List[JObject]]
+      assert(got.length === want.length, s"doc text=$ti")
+      got.zip(want).foreach { case (g, w) =>
+        checkChunk(g, w, s"text=$ti id=${g.id}")
+      }
+    }
+    // distributed face agrees on (id, level, text) rows
+    val spark = TestSession.spark
+    import spark.implicits._
+    val in = docs.map { d =>
+      ((d \ "document_id").extract[String],
+        texts((d \ "text_id").extract[Int]),
+        (d \ "title").extract[String])
+    }.toDF("document_id", "text", "title")
+    val viaDf = TwoTierRow.processDocuments(in, "document_id", "text",
+        "title", pageTokenSize = 40)
+      .select("documentId", "id", "chunkLevel", "chunkText")
+      .as[(String, String, String, String)].collect().toSet
+    val direct = docs.flatMap { d =>
+      val docId = (d \ "document_id").extract[String]
+      (d \ "chunks").extract[List[JObject]].map(w => (docId,
+        (w \ "id").extract[String], (w \ "chunk_level").extract[String],
+        (w \ "chunk_text").extract[String]))
+    }.toSet
+    assert(viaDf === direct)
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

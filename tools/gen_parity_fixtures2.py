@@ -338,4 +338,154 @@ dump("semantic_chunker.json", {
     "sentences": sem_sentences, "concepts": sem_concepts,
     "corpus": sem_corpus})
 
+# ---- app/processors/two_tier_chunker.py -----------------------------
+# Stand-ins, both recorded here and injected identically in Scala:
+#  - tiktoken cl100k_base -> encode(text) = text.split() (so
+#    count_tokens = whitespace word count);
+#  - the LLM boundary -> StubLlm(8): last \n\n-segment of the prompt,
+#    first 8 space-tokens, prefixed 'CTX: ';
+#  - the SentenceTransformer boundary -> the md5-feature encoder
+#    above (semantic arm) or a poisoned import (fallback arm).
+def put_twotier_stubs():
+    tk = types.ModuleType("tiktoken")
+
+    class _Enc:
+        def encode(self, text):
+            return text.split()
+
+    tk.get_encoding = lambda name: _Enc()
+    sys.modules["tiktoken"] = tk
+
+    class _FakeResp:
+        def __init__(self, content):
+            self.content = content
+
+    class _FakeLLM:
+        async def call_llm(self, prompt, **kw):
+            text = prompt.split("\n\n")[-1]
+            toks = [t for t in text.split(" ") if t][:8]
+            return _FakeResp("CTX: " + " ".join(toks))
+
+    llm_mod = types.ModuleType("app.services.llm_service")
+    llm_mod.LLMService = _FakeLLM
+    sys.modules["app.services.llm_service"] = llm_mod
+
+    sup_mod = types.ModuleType("app.services.supabase_service")
+    sup_mod.SupabaseService = lambda: None
+    sys.modules["app.services.supabase_service"] = sup_mod
+
+    put_embed_stubs()
+
+
+tt_mod = load_file("ref_twotier", "app/processors/two_tier_chunker.py",
+                   pre=put_twotier_stubs)
+tt = tt_mod.TwoTierChunker()
+
+TT_TEXTS = [
+    ("# Manual\n\nIntro paragraph before any section.\n\n"
+     "## Pump Care\nThe pump rotor spins fast. The pump rotor spins "
+     "very fast. Mr. Smith checks i.e. the seals etc. daily.\n\n"
+     "Second paragraph about the pump rotor bearings and seals.\n\n"
+     "## Valve Care\nValve seats show corrosion. Valve seats show "
+     "corrosion marks! Replace them.\n\n### Empty Sub\n\n"
+     "## Tail\nShort tail."),
+    ("Plain prose without headings. Dr. Jones visited Acme Inc. on "
+     "Monday. The report, drafted by J. Watson, covered vs. the "
+     "baseline. It was fine."),
+    "",
+    "   ",
+    "# Heading only",
+    "####### seven hashes is not a heading\n\nplain tail",
+    ("para one words here\n\n\n\npara two after blank runs\n\n" +
+     "filler word " * 120 + "\n\nlast para"),
+    "Héllo wörld. Ééé café! Déjà vu? Fin. The_under score_token stays.",
+]
+
+# tokenize_for_bm25 + split_into_sentences + heading blocks
+tt_tok = [{"text_id": i, "tokens": tt.tokenize_for_bm25(t)}
+          for i, t in enumerate(TT_TEXTS)]
+tt_sent = [{"text_id": i, "sentences": tt.split_into_sentences(t)}
+           for i, t in enumerate(TT_TEXTS)]
+tt_blocks = [{"text_id": i,
+              "blocks": [{"heading": h, "body": b}
+                         for h, b in tt._split_into_heading_blocks(t)]}
+             for i, t in enumerate(TT_TEXTS)]
+
+# page chunks at several budgets (instance attr reconfigured, as the
+# reference's __init__ would)
+tt_pages = []
+for i, t in enumerate(TT_TEXTS):
+    for size in (1200, 25, 5):
+        tt.page_token_size = size
+        tt_pages.append({"text_id": i, "page_token_size": size,
+                         "chunks": tt.create_page_chunks(t)})
+tt.page_token_size = 1200
+
+# section chunks: the live AttributeError arm vs the []-arms
+tt_sections = []
+for i, t in enumerate(TT_TEXTS):
+    try:
+        tt_sections.append({"text_id": i,
+                            "chunks": tt.create_section_chunks(t)})
+    except AttributeError as e:
+        tt_sections.append({"text_id": i, "error": str(e)})
+
+# semantic chunks, both arms
+tt_semantic = []
+for i, t in enumerate(TT_TEXTS):
+    tt_semantic.append({
+        "text_id": i, "arm": "semantic",
+        "chunks": [{"text": c, "sentence_count": n}
+                   for c, n in tt.create_semantic_chunks(t, "p0", 0)]})
+# poison the import -> the ImportError fallback arm
+sys.modules["app.processors.semantic_chunker"] = None
+for i, t in enumerate(TT_TEXTS):
+    tt_semantic.append({
+        "text_id": i, "arm": "fallback",
+        "chunks": [{"text": c, "sentence_count": n}
+                   for c, n in tt.create_semantic_chunks(t, "p0", 0)]})
+del sys.modules["app.processors.semantic_chunker"]
+
+# chunk ids
+tt_ids = []
+for doc, level, idx, parent in [
+        ("doc1", "parent", 0, None), ("doc1", "parent", 7, None),
+        ("doc1", "semantic", 0, "3a5a7b70-0000-4000-8000-000000000000"),
+        ("árvíz", "parent", 3, None), ("", "semantic", 2, ""),
+        ("doc-2", "semantic", 11, "parenthash")]:
+    tt_ids.append({"document_id": doc, "level": level, "index": idx,
+                   "parent_id": parent,
+                   "chunk_id": tt.generate_chunk_id(doc, level, idx,
+                                                    parent)})
+
+# process_document end to end (async; stub LLM + stub embeddings)
+tt_docs = []
+for i in (0, 1, 6, 7):
+    tt.page_token_size = 40
+    chunks = asyncio.run(tt.process_document(
+        f"doc{i}", TT_TEXTS[i], title=f"Title {i}",
+        metadata={"src": "fixture"} if i == 0 else None))
+    tt_docs.append({
+        "text_id": i, "document_id": f"doc{i}", "title": f"Title {i}",
+        "page_token_size": 40,
+        "chunks": [{
+            "id": c.id, "chunk_level": c.chunk_level,
+            "chunk_index": c.chunk_index, "chunk_text": c.chunk_text,
+            "chunk_size": c.chunk_size,
+            "contextual_summary": c.contextual_summary,
+            "contextualized_text": c.contextualized_text,
+            "parent_chunk_id": c.parent_chunk_id,
+            "bm25_tokens": c.bm25_tokens,
+            "sentence_count": c.sentence_count,
+            "semantic_focus": c.semantic_focus,
+            "tier": (c.metadata or {}).get("tier"),
+        } for c in chunks]})
+tt.page_token_size = 1200
+
+dump("two_tier.json", {
+    "texts": TT_TEXTS, "tokens": tt_tok, "sentences": tt_sent,
+    "blocks": tt_blocks, "pages": tt_pages, "sections": tt_sections,
+    "semantic": tt_semantic, "chunk_ids": tt_ids,
+    "process_document": tt_docs})
+
 print("wave-2 fixtures written to", OUT)
