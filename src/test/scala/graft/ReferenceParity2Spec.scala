@@ -341,6 +341,195 @@ class ReferenceParity2Spec extends AnyFunSuite {
     assert(viaDf === direct)
   }
 
+  import graft.operators.SearchServiceRow
+  import graft.operators.SearchServiceRow.{Candidate, Result}
+
+  test("search service: tokenizer matches the reference run") {
+    (fixture("search_service.json") \ "tokenize")
+      .extract[List[JObject]].foreach { r =>
+        val t = (r \ "text").extract[String]
+        assert(SearchServiceRow.tokenize(t).toList ===
+          (r \ "tokens").extract[List[String]], s"tokenize('$t')")
+      }
+  }
+
+  private def jStrOpt(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case _ => None
+  }
+
+  test("search service: candidate-set BM25 matches the reference run, " +
+      "including the duplicate-token double-score quirk") {
+    val fx = fixture("search_service.json")
+    val corpus = (fx \ "bm25_corpus").extract[Map[String, List[JObject]]]
+      .map { case (tok, rows) =>
+        tok -> rows.map { r =>
+          Candidate(
+            (r \ "id") match {
+              case JInt(n) => n.toString
+              case JString(s) => s
+              case other => other.extract[String]
+            },
+            jStrOpt(r \ "document_id"), jStrOpt(r \ "chunk_text"),
+            jStrOpt(r \ "contextualized_text"),
+            (r \ "bm25_tokens") match {
+              case JArray(xs) =>
+                Some(xs.map(_.extract[String]).toVector)
+              case _ => None
+            })
+        }
+      }
+    val fetch: (String, Int) => Seq[Candidate] =
+      (tok, lim) => corpus.getOrElse(tok, Nil).take(lim)
+    (fx \ "bm25").extract[List[JObject]].foreach { c =>
+      val q = (c \ "query").extract[String]
+      val lim = (c \ "limit").extract[Int]
+      val got = SearchServiceRow.bm25CandidateSearch(q, fetch, lim)
+      val want = (c \ "results").extract[List[JObject]]
+      assert(got.length === want.length, s"bm25 '$q'")
+      got.zip(want).foreach { case (g, w) =>
+        val ctx = s"bm25 '$q' id=${g.id}"
+        assert(g.id === (w \ "id").extract[String], ctx)
+        assert(math.abs(g.score - (w \ "score").extract[Double]) < 1e-12,
+          ctx)
+        assert(g.source === (w \ "source").extract[String], ctx)
+        assert(g.title === (w \ "title").extract[String], ctx)
+        assert(g.content === (w \ "content").extract[String], ctx)
+      }
+    }
+  }
+
+  private def resultOf(j: JObject): Result =
+    Result((j \ "id").extract[String], (j \ "score").extract[Double],
+      (j \ "source").extract[String],
+      (j \ "title").extractOrElse[String](""),
+      (j \ "content").extractOrElse[String](""))
+
+  test("search service: RRF fusion matches the reference run " +
+      "(pooled vector group, graph append, non-source drop)") {
+    val fx = fixture("search_service.json") \ "fuse"
+    val in = (fx \ "input").extract[List[JObject]].map(resultOf)
+    val got = SearchServiceRow.fuseResults(in,
+      Set("vector_chunk", "vector_table", "vector_image", "vector"),
+      Set("bm25"), (fx \ "limit").extract[Int])
+    val want = (fx \ "output").extract[List[JObject]]
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      val ctx = s"fuse id=${g.id}"
+      assert(g.id === (w \ "id").extract[String], ctx)
+      assert(math.abs(g.score - (w \ "score").extract[Double]) < 1e-12, ctx)
+      assert(g.source === (w \ "source").extract[String], ctx)
+      assert(g.title === (w \ "title").extract[String], ctx)
+      assert(g.content === (w \ "content").extract[String], ctx)
+    }
+  }
+
+  test("search service: legacy weighted merge matches on every arm " +
+      "(vector+graph blends, same-source max, relationship merge " +
+      "truthiness)") {
+    val fx = fixture("search_service.json")
+    (fx \ "merge_and_rank").extract[List[JObject]].foreach { c =>
+      val w = (c \ "vector_weight").extract[Double]
+      // rebuild the reference's input list (it's fixed in the
+      // generator; mirrored here to keep the fixture self-contained)
+      def rel(xs: (String, Int)*): Option[Vector[String]] =
+        Some(xs.toVector.map { case (k, v) => s"$k=$v" })
+      val in = Seq(
+        Result("m1", 0.9, "vector", "t1", "c1"),
+        Result("m1", 0.4, "graph", "t1g", "c1g", rel("r" -> 1)),
+        Result("m2", 0.2, "graph", "t2", "c2", rel("r" -> 2)),
+        Result("m2", 0.6, "vector", "t2v", "c2v"),
+        Result("m3", 0.5, "vector", "t3", "c3"),
+        Result("m3", 0.7, "vector", "t3b", "c3b"),
+        Result("m4", 0.1, "bm25", "t4", "c4", Some(Vector.empty)),
+        Result("m4", 0.3, "bm25", "t4b", "c4b", rel("r" -> 4)),
+        Result("m5", 0.05, "graph", "t5", "c5", rel("r" -> 5)),
+        Result("m5", 0.04, "graph", "t5b", "c5b", rel("r" -> 6)))
+      val got = SearchServiceRow.mergeAndRank(in, w)
+      val want = (c \ "output").extract[List[JObject]]
+      assert(got.length === want.length, s"merge w=$w")
+      got.zip(want).foreach { case (g, ww) =>
+        val ctx = s"merge w=$w id=${g.id}"
+        assert(g.id === (ww \ "id").extract[String], ctx)
+        assert(math.abs(g.score - (ww \ "score").extract[Double]) < 1e-12,
+          ctx)
+        assert(g.source === (ww \ "source").extract[String], ctx)
+        assert(g.title === (ww \ "title").extract[String], ctx)
+        val wantRels = (ww \ "relationships") match {
+          case JArray(xs) => Some(xs.map { x =>
+            x.extract[Map[String, Int]].map { case (k, v) => s"$k=$v" }
+              .mkString
+          }.toVector)
+          case _ => None
+        }
+        assert(g.relationships === wantRels, ctx)
+      }
+    }
+  }
+
+  test("search service: Cypher builder matches the reference text " +
+      "exactly") {
+    (fixture("search_service.json") \ "graph_query")
+      .extract[List[JObject]].foreach { c =>
+        assert(SearchServiceRow.buildGraphQuery(
+            jStrOpt(c \ "entity_name"), jStrOpt(c \ "entity_type"),
+            jStrOpt(c \ "relationship_type"),
+            (c \ "limit").extract[Int], (c \ "depth").extract[Int]) ===
+          (c \ "query").extract[String],
+          s"cypher for ${c \ "entity_name"}")
+      }
+  }
+
+  test("search service: performance-stats frame matches (numpy-linear " +
+      "percentiles, meeting-target census)") {
+    (fixture("search_service.json") \ "perf")
+      .extract[List[JObject]].foreach { c =>
+        def metrics(k: String): Seq[Double] =
+          (c \ "metrics" \ k).extract[List[Double]]
+        val got = SearchServiceRow.performanceStats(
+          metrics("vector_searches"), metrics("graph_searches"),
+          metrics("hybrid_searches"))
+        val want = (c \ "stats").extract[JObject]
+        assert(got("target_latency_ms") === 200)
+        assert(got("meeting_target") ===
+          (want \ "meeting_target").extract[Boolean])
+        Seq("vector", "graph", "hybrid").foreach { k =>
+          val gm = got(k).asInstanceOf[Map[String, Any]]
+          val wm = (want \ k).extract[JObject]
+          assert(gm.keySet === wm.obj.map(_._1).toSet, s"keys $k")
+          wm.obj.foreach { case (kk, v) =>
+            val gv = gm(kk) match {
+              case i: Int => i.toDouble
+              case d: Double => d
+            }
+            assert(math.abs(gv - v.extract[Double]) < 1e-9,
+              s"perf $k.$kk")
+          }
+        }
+      }
+  }
+
+  test("reranker fallback: substring-overlap boost matches the " +
+      "reference run") {
+    (fixture("search_service.json") \ "rerank")
+      .extract[List[JObject]].foreach { c =>
+        val q = (c \ "query").extract[String]
+        val cands = (c \ "candidates").extract[List[JObject]].map { x =>
+          Result((x \ "id").extract[String],
+            (x \ "score").extract[Double], "hybrid", "",
+            (x \ "content").extract[String])
+        }
+        val got = SearchServiceRow.rerankFallback(q, cands,
+          (c \ "top_k").extract[Int])
+        val want = (c \ "output").extract[List[JObject]]
+        assert(got.length === want.length, s"rerank '$q'")
+        got.zip(want).foreach { case (g, w) =>
+          assert(g.id === (w \ "id").extract[String], s"rerank '$q'")
+          assert(math.abs(g.score - (w \ "score").extract[Double]) <
+            1e-12, s"rerank '$q' id=${g.id}")
+        }
+      }
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

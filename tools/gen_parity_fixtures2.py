@@ -488,4 +488,224 @@ dump("two_tier.json", {
     "semantic": tt_semantic, "chunk_ids": tt_ids,
     "process_document": tt_docs})
 
+# ---- app/services/search_service.py + reranker_service.py ----------
+# Service clients are import-time stubs; the pure tier under test is
+# everything after the fetch boundary.
+def put_search_stubs():
+    for name, cls in [("app.services.qdrant_service", "QdrantService"),
+                      ("app.services.supabase_service", "SupabaseService"),
+                      ("app.services.neo4j_service", "Neo4jService"),
+                      ("app.services.embedding_service",
+                       "EmbeddingService")]:
+        m = types.ModuleType(name)
+        setattr(m, cls, lambda *a, **k: types.SimpleNamespace(client=None))
+        sys.modules[name] = m
+    cfg = types.ModuleType("app.config")
+    cfg.settings = types.SimpleNamespace()
+    sys.modules["app.config"] = cfg
+
+
+ss_mod = load_file("ref_search", "app/services/search_service.py",
+                   pre=put_search_stubs)
+svc = ss_mod.SearchService()
+SR = ss_mod.SearchResult
+
+# _tokenize
+SS_TOKEN_TEXTS = [
+    "The Pump_Rotor spins at 3000 RPM in the test-rig",
+    "café déjà-vu naïve_token under_score",
+    "", "a an the of at", "xx yyy zzzz",
+]
+ss_tok = [{"text": t, "tokens": svc._tokenize(t)} for t in SS_TOKEN_TEXTS]
+
+# bm25_search behind a canned ILIKE fetch
+BM25_CORPUS = {
+    "pump": [
+        {"id": 1, "document_id": "d1", "chunk_text": "pump rotor pump",
+         "metadata": None, "contextualized_text":
+         "CTX pump rotor pump seal", "bm25_tokens":
+         ["ctx", "pump", "rotor", "pump", "seal"]},
+        {"id": 2, "document_id": "d2", "chunk_text": "pump only here",
+         "metadata": None, "contextualized_text": "",
+         "bm25_tokens": []},     # empty -> tokenize fallback chain
+        {"id": 3, "document_id": None, "chunk_text": None,
+         "metadata": None, "contextualized_text":
+         "the pump beside the valve", "bm25_tokens": None},
+    ],
+    "rotor": [
+        {"id": 1, "document_id": "d1", "chunk_text": "pump rotor pump",
+         "metadata": None, "contextualized_text":
+         "CTX pump rotor pump seal", "bm25_tokens":
+         ["ctx", "pump", "rotor", "pump", "seal"]},
+        {"id": 4, "document_id": "d4", "chunk_text": "rotor balance",
+         "metadata": None, "contextualized_text": None,
+         "bm25_tokens": None},
+    ],
+    "valve": [
+        {"id": 3, "document_id": None, "chunk_text": None,
+         "metadata": None, "contextualized_text":
+         "the pump beside the valve", "bm25_tokens": None},
+        {"id": 5, "document_id": "d5", "chunk_text": "valve seat",
+         "metadata": None, "contextualized_text": "valve seat worn",
+         "bm25_tokens": ["valve", "seat", "worn"]},
+    ],
+}
+
+
+class _FakeQuery:
+    def __init__(self):
+        self.tok = None
+        self.n = None
+
+    def select(self, cols):
+        return self
+
+    def ilike(self, col, pat):
+        self.tok = pat.strip("%")
+        return self
+
+    def limit(self, n):
+        self.n = n
+        return self
+
+    def execute(self):
+        return types.SimpleNamespace(
+            data=[dict(r) for r in BM25_CORPUS.get(self.tok, [])][:self.n])
+
+
+class _FakeClient:
+    def table(self, name):
+        return _FakeQuery()
+
+
+svc.supabase = types.SimpleNamespace(client=_FakeClient())
+
+BM25_QUERIES = [
+    ("pump rotor", 10), ("pump pump rotor", 10),   # duplicate token
+    ("valve", 10), ("the of at", 10), ("pump rotor valve", 2),
+    ("missing", 10),
+]
+ss_bm25 = []
+for q, lim in BM25_QUERIES:
+    res, _lat = asyncio.run(svc.bm25_search(q, limit=lim))
+    ss_bm25.append({"query": q, "limit": lim,
+                    "results": [{"id": r.id, "score": r.score,
+                                 "source": r.source, "title": r.title,
+                                 "content": r.content} for r in res]})
+
+# _fuse_results: distinct fused scores by construction (asserted)
+FUSE_RESULTS = [
+    SR("a", 0.9, "vector_chunk", "tA", "cA", {}),
+    SR("a", 0.5, "vector_table", "tA2", "cA2", {}),  # dup id in group
+    SR("b", 0.8, "vector_image", "tB", "cB", {}),
+    SR("c", 0.7, "vector_chunk", "tC", "cC", {}),
+    SR("b", 3.1, "bm25", "tBb", "cBb", {}),
+    SR("d", 2.0, "bm25", "tD", "cD", {}),
+    SR("e", 1.0, "graph", "tE", "cE", {}, [{"t": "USES"}]),
+    SR("b", 1.0, "graph", "tBg", "cBg", {}),         # id already fused
+    SR("x", 9.9, "weird_source", "tX", "cX", {}),    # dropped
+]
+fuse_out = svc._fuse_results(
+    list(FUSE_RESULTS),
+    primary_sources={"vector_chunk", "vector_table", "vector_image",
+                     "vector"},
+    bm25_sources={"bm25"}, limit=10)
+_scores = [r.score for r in fuse_out]
+assert all(a > b for a, b in zip(_scores, _scores[1:])), \
+    "fuse fixture must have strictly decreasing scores (tie order is " \
+    "hash-dependent in the reference)"
+ss_fuse = {
+    "input": [{"id": r.id, "score": r.score, "source": r.source,
+               "title": r.title, "content": r.content}
+              for r in FUSE_RESULTS],
+    "limit": 10,
+    "output": [{"id": r.id, "score": r.score, "source": r.source,
+                "title": r.title, "content": r.content}
+               for r in fuse_out]}
+
+# _merge_and_rank (fresh SearchResult objects: the reference mutates)
+MERGE_CASES = []
+for w in (0.7, 0.3):
+    results = [
+        SR("m1", 0.9, "vector", "t1", "c1", {}),
+        SR("m1", 0.4, "graph", "t1g", "c1g", {}, [{"r": 1}]),
+        SR("m2", 0.2, "graph", "t2", "c2", {}, [{"r": 2}]),
+        SR("m2", 0.6, "vector", "t2v", "c2v", {}),
+        SR("m3", 0.5, "vector", "t3", "c3", {}),
+        SR("m3", 0.7, "vector", "t3b", "c3b", {}),
+        SR("m4", 0.1, "bm25", "t4", "c4", {}, []),
+        SR("m4", 0.3, "bm25", "t4b", "c4b", {}, [{"r": 4}]),
+        SR("m5", 0.05, "graph", "t5", "c5", {}, [{"r": 5}]),
+        SR("m5", 0.04, "graph", "t5b", "c5b", {}, [{"r": 6}]),
+    ]
+    out = svc._merge_and_rank(results, vector_weight=w)
+    MERGE_CASES.append({
+        "vector_weight": w,
+        "output": [{"id": r.id, "score": r.score, "source": r.source,
+                    "title": r.title,
+                    "relationships": r.relationships}
+                   for r in out]})
+
+# _build_graph_query
+GQ_CASES = [
+    (None, None, None, 10, 2),
+    ("Pump", None, None, 10, 2),
+    (None, "component", None, 5, 1),
+    ("Valve", "component", "PART_OF", 3, 4),
+    ("O'Brien", None, None, 10, 2),   # quote injection carried as-is
+]
+ss_gq = [{"entity_name": n, "entity_type": t, "relationship_type": r,
+          "limit": lim, "depth": d,
+          "query": svc._build_graph_query(n, t, r, lim, d)}
+         for n, t, r, lim, d in GQ_CASES]
+
+# get_performance_stats
+PERF_CASES = [
+    {"vector_searches": [], "graph_searches": [], "hybrid_searches": []},
+    {"vector_searches": [120.0], "graph_searches": [],
+     "hybrid_searches": []},
+    {"vector_searches": [10.0, 20.0, 30.0, 40.0, 250.0],
+     "graph_searches": [100.0, 150.0],
+     "hybrid_searches": [5.5, 6.5, 7.5, 199.0]},
+    {"vector_searches": [float(x * 7 % 300) for x in range(1, 40)],
+     "graph_searches": [250.0, 100.0], "hybrid_searches": []},
+]
+ss_perf = []
+for case in PERF_CASES:
+    svc.search_metrics = {k: list(v) for k, v in case.items()}
+    ss_perf.append({"metrics": case,
+                    "stats": asyncio.run(svc.get_performance_stats())})
+
+# reranker fallback (no COHERE_API_KEY in this environment)
+os.environ.pop("COHERE_API_KEY", None)
+rr_mod = load_file("ref_reranker", "app/services/reranker_service.py")
+rr = rr_mod.RerankerService()
+RERANK_CASES = [
+    ("pump seal", [("r1", "The pumps were sealed.", 1.0),
+                   ("r2", "No overlap here.", 2.0),
+                   ("r3", "pump pump pump seal", 0.5)], 20),
+    ("Pump", [("r1", "PUMP IN CAPS", 1.0), ("r2", "", 1.05)], 1),
+    ("", [("r1", "anything", 1.0), ("r2", "other", 0.9)], 20),
+    ("the pump", [("r1", "the theory of pumps", 1.0),
+                  ("r2", "pump", 1.01)], 20),
+]
+ss_rerank = []
+for q, cands, k in RERANK_CASES:
+    objs = [SR(cid, sc, "hybrid", "", content, {})
+            for cid, content, sc in cands]
+    out = asyncio.run(rr.rerank(q, objs, top_k=k))
+    ss_rerank.append({
+        "query": q, "top_k": k,
+        "candidates": [{"id": cid, "content": content, "score": sc}
+                       for cid, content, sc in cands],
+        "output": [{"id": r.id, "score": r.score} for r in out]})
+
+dump("search_service.json", {
+    "tokenize": ss_tok, "bm25": ss_bm25,
+    "bm25_corpus": {t: [{k: v for k, v in r.items() if k != "metadata"}
+                        for r in rows]
+                    for t, rows in BM25_CORPUS.items()},
+    "fuse": ss_fuse, "merge_and_rank": MERGE_CASES,
+    "graph_query": ss_gq, "perf": ss_perf, "rerank": ss_rerank})
+
 print("wave-2 fixtures written to", OUT)
