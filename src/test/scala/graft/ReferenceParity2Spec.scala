@@ -530,6 +530,118 @@ class ReferenceParity2Spec extends AnyFunSuite {
       }
   }
 
+  import graft.operators.RelationshipRulesRow
+
+  test("relationship rules: entity-type heuristic and lookup variants " +
+      "match the reference run") {
+    val fx = fixture("relationship_rules.json")
+    (fx \ "entity_types").extract[List[JObject]].foreach { r =>
+      val n = (r \ "name").extract[String]
+      val meta = (r \ "metadata" \ "type") match {
+        case JString(s) => Some(s); case _ => None
+      }
+      assert(RelationshipRulesRow.entityTypeOf(n, meta) ===
+        (r \ "type").extract[String], s"type of '$n'")
+    }
+    (fx \ "lookups").extract[List[JObject]].foreach { r =>
+      val names = (r \ "names").extract[List[String]]
+      val got = RelationshipRulesRow.createEntityLookup(names)
+        .toList.map { case (k, v) => List(k, v) }
+      assert(got === (r \ "lookup").extract[List[List[String]]],
+        s"lookup for $names")
+    }
+  }
+
+  test("relationship rules: the shipped extractor is the live " +
+      "KeyError('CAUSES') arm; the matcher itself matches under the " +
+      "enum-valid patterns config") {
+    val fx = fixture("relationship_rules.json")
+    assert((fx \ "rules_default" \ "error").extract[String] ===
+      "KeyError:CAUSES")
+    assert(RelationshipRulesRow.extractWithRules("any",
+      RelationshipRulesRow.createEntityLookup(Seq("pump"))).isEmpty)
+    (fx \ "rules_valid").extract[List[JObject]].foreach { c =>
+      val text = (c \ "text").extract[String]
+      val lookup = RelationshipRulesRow.createEntityLookup(
+        (c \ "entities").extract[List[String]])
+      val got = RelationshipRulesRow.extractWithRulesValid(text, lookup)
+      val want = (c \ "relationships").extract[List[JObject]]
+      assert(got.length === want.length, s"rules '${text.take(30)}'")
+      got.zip(want).foreach { case (g, w) =>
+        val ctx = s"rules '${text.take(30)}' ${g.relType}"
+        assert(g.sourceEntity === (w \ "source").extract[String], ctx)
+        assert(g.sourceType === (w \ "source_type").extract[String], ctx)
+        assert(g.relType === (w \ "type").extract[String], ctx)
+        assert(g.targetEntity === (w \ "target").extract[String], ctx)
+        assert(g.targetType === (w \ "target_type").extract[String], ctx)
+        assert(g.confidence === (w \ "confidence").extract[Double], ctx)
+        assert(g.sourceText === (w \ "source_text").extract[String], ctx)
+        assert(g.method === (w \ "method").extract[String], ctx)
+      }
+    }
+  }
+
+  test("relationship rules: document relationships and dedup match " +
+      "end to end") {
+    val fx = fixture("relationship_rules.json")
+    (fx \ "doc_relationships").extract[List[JObject]].foreach { c =>
+      val ents = (c \ "entities").extract[List[JObject]].map { e =>
+        ((e \ "name").extract[String],
+          (e \ "count").extractOrElse[Int](1),
+          (e \ "first_position").extractOrElse[Int](0))
+      }
+      val meta = (c \ "metadata") match {
+        case o: JObject => Some((
+          (o \ "id") match {
+            case JString(s) => Some(s)
+            case JInt(n) => Some(n.toString)
+            case _ => None
+          },
+          jStrOpt(o \ "title")))
+        case _ => None
+      }
+      val docRels = RelationshipRulesRow
+        .createDocumentRelationships(ents, meta)
+      val got = RelationshipRulesRow.dedupRelationships(docRels)(
+        r => (r.sourceEntity, r.relType, r.targetEntity),
+        _.confidence)
+      val want = (c \ "relationships").extract[List[JObject]]
+      assert(got.length === want.length, s"docrels ${c \ "metadata"}")
+      got.zip(want).foreach { case (g, w) =>
+        val ctx = s"docrel ${g.targetEntity}"
+        assert(g.sourceEntity === (w \ "source").extract[String], ctx)
+        assert(g.sourceType === (w \ "source_type").extract[String], ctx)
+        assert(g.relType === (w \ "type").extract[String], ctx)
+        assert(g.targetEntity === (w \ "target").extract[String], ctx)
+        assert(g.targetType === (w \ "target_type").extract[String], ctx)
+        assert(g.confidence === (w \ "confidence").extract[Double], ctx)
+        assert(g.sourceText === (w \ "source_text").extract[String], ctx)
+        assert(g.method === (w \ "method").extract[String], ctx)
+        assert(g.mentionCount ===
+          (w \ "additional" \ "mention_count").extract[Int], ctx)
+        assert(g.firstMention ===
+          (w \ "additional" \ "first_mention").extract[Int], ctx)
+        assert(g.sourceId ===
+          (w \ "additional" \ "source_id").extract[String], ctx)
+        assert(g.sourceName ===
+          (w \ "additional" \ "source_name").extract[String], ctx)
+        assert(g.targetName ===
+          (w \ "additional" \ "target_name").extract[String], ctx)
+      }
+    }
+    val dd = fx \ "dedup"
+    case class SimpleRel(s: String, t: String, ty: String, c: Double)
+    val in = (dd \ "input").extract[List[JObject]].map(j => SimpleRel(
+      (j \ "source").extract[String], (j \ "target").extract[String],
+      (j \ "type").extract[String], (j \ "confidence").extract[Double]))
+    val got = RelationshipRulesRow.dedupRelationships(in)(
+      r => (r.s, r.ty, r.t), _.c)
+    val want = (dd \ "output").extract[List[JObject]].map(j => SimpleRel(
+      (j \ "source").extract[String], (j \ "target").extract[String],
+      (j \ "type").extract[String], (j \ "confidence").extract[Double]))
+    assert(got.toList === want)
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

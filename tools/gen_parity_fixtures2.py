@@ -708,4 +708,148 @@ dump("search_service.json", {
     "fuse": ss_fuse, "merge_and_rank": MERGE_CASES,
     "graph_query": ss_gq, "perf": ss_perf, "rerank": ss_rerank})
 
+# ---- app/services/relationship_extractor.py + models/relationships -
+# The two-tier stub for app.services.llm_service lacks LLMProvider;
+# the extractor imports it (never used on the pure tier)
+sys.modules["app.services.llm_service"].LLMProvider = type(
+    "LLMProvider", (), {})
+
+rx_mod = load_file("ref_relx", "app/services/relationship_extractor.py")
+from app.models.relationships import (  # noqa: E402
+    RelationshipType, get_entity_type)
+
+ex = rx_mod.RelationshipExtractor(llm_service=object())
+
+# get_entity_type heuristic ladder (metadata type wins)
+GET_TYPE_NAMES = [
+    "Water Pump", "X500 Dispenser", "pressure sensor", "firmware",
+    "Sales Team", "user manual", "totally unknown", "PUMP MODEL",
+    "supply chain", "api platform", "spec sheet report", "",
+]
+rx_types = (
+    [{"name": n, "metadata": None, "type": get_entity_type(n)}
+     for n in GET_TYPE_NAMES] +
+    [{"name": "Water Pump", "metadata": {"type": "CustomType"},
+      "type": get_entity_type("Water Pump", {"type": "CustomType"})}])
+
+# _create_entity_lookup: ordered (key -> entity name) pairs
+LOOKUP_ENTITY_SETS = [
+    ["Water Pump", "X500 Dispenser", "control board", "WP"],
+    ["Pump", "pump house", "PH"],         # collisions: later overwrites
+    ["  spaced  name  ", "solo"],
+    [],
+]
+rx_lookup = []
+for names in LOOKUP_ENTITY_SETS:
+    lk = ex._create_entity_lookup([{"name": n} for n in names])
+    rx_lookup.append({"names": names,
+                      "lookup": [[k, v["name"]] for k, v in lk.items()]})
+
+# _extract_with_rules as shipped: the live KeyError('CAUSES') arm
+RULE_TEXT = ("The water pump is a component of the X500 dispenser. "
+             "WP connects to control board. The firmware requires "
+             "control board to function. Engineering team owns firmware.")
+RULE_ENTITIES = [{"name": "Water Pump"}, {"name": "X500 Dispenser"},
+                 {"name": "control board"}, {"name": "firmware"},
+                 {"name": "Engineering"}]
+lk_full = ex._create_entity_lookup(RULE_ENTITIES)
+try:
+    ex._extract_with_rules(RULE_TEXT, lk_full)
+    rx_rules_default = {"error": None}
+except KeyError as e:
+    rx_rules_default = {"error": f"KeyError:{e.args[0]}"}
+
+# the same algorithm under an enum-valid patterns config (instance
+# data, recorded here) — this is what pins the matcher itself
+valid_patterns = {k: v for k, v in ex.patterns.items()
+                  if k in RelationshipType.__members__}
+ex.patterns = valid_patterns
+RULE_CASES = [
+    (RULE_TEXT, RULE_ENTITIES),
+    ("The pump interfaces with the valve. The valve is a part of "
+     "the pump house. Marketing oversees the x600 product line.",
+     [{"name": "pump"}, {"name": "valve"}, {"name": "pump house"},
+      {"name": "Marketing"}, {"name": "x600 product line"}]),
+    ("Nothing matches here at all.", [{"name": "pump"}]),
+    ("a requires b. c manages d.", []),
+]
+rx_rules = []
+for text, ents in RULE_CASES:
+    lk = ex._create_entity_lookup(ents)
+    rels = ex._extract_with_rules(text, lk)
+    rx_rules.append({
+        "text": text, "entities": [e["name"] for e in ents],
+        "relationships": [{
+            "source": r.source_entity, "source_type": r.source_type,
+            "type": r.relationship_type.label,
+            "target": r.target_entity, "target_type": r.target_type,
+            "confidence": r.properties.confidence,
+            "source_text": r.properties.source_text,
+            "method": r.properties.extraction_method} for r in rels]})
+
+# document relationships + dedup, end to end through
+# extract_relationships(use_llm=False, use_rules=False)
+DOCREL_CASES = [
+    ([{"name": "Water Pump", "count": 3, "first_position": 10},
+      {"name": "firmware"}],
+     {"id": 42, "title": "Pump Manual"}),
+    ([{"name": "x"}], None),
+    ([], {"id": "d7", "title": "Empty"}),
+    # duplicate entity name -> DOCUMENTS dedup keeps the first
+    ([{"name": "pump", "count": 1}, {"name": "pump", "count": 9}],
+     {"title": "Dups"}),
+]
+rx_docrels = []
+for ents, meta in DOCREL_CASES:
+    rels = asyncio.run(ex.extract_relationships(
+        "", ents, document_metadata=meta, use_llm=False,
+        use_rules=False))
+    rx_docrels.append({
+        "entities": ents, "metadata": meta,
+        "relationships": [{
+            "source": r.source_entity, "source_type": r.source_type,
+            "type": r.relationship_type.label,
+            "target": r.target_entity, "target_type": r.target_type,
+            "confidence": r.properties.confidence,
+            "source_text": r.properties.source_text,
+            "method": r.properties.extraction_method,
+            "additional": {
+                k: r.properties.additional_properties.get(k)
+                for k in ("mention_count", "first_mention",
+                          "source_id", "source_name", "target_name")}}
+            for r in rels]})
+
+# _deduplicate_relationships on synthetic overlaps
+Rel = rx_mod.Relationship
+RP = rx_mod.RelationshipProperties
+from datetime import datetime as _dt  # noqa: E402
+
+
+def _mk(s, t, typ, conf):
+    return Rel(source_entity=s, source_type="Entity",
+               relationship_type=RelationshipType[typ],
+               target_entity=t, target_type="Entity",
+               properties=RP(confidence=conf, source_text="st",
+                             extracted_at=_dt(2020, 1, 1),
+                             extraction_method="x"))
+
+
+DEDUP_IN = [("a", "b", "DOCUMENTS", 0.5), ("a", "b", "DOCUMENTS", 0.9),
+            ("a", "b", "DOCUMENTS", 0.9), ("a", "b", "REFERENCES", 0.4),
+            ("b", "a", "DOCUMENTS", 0.3), ("a", "b", "DOCUMENTS", 0.1)]
+dd_out = ex._deduplicate_relationships(
+    [_mk(s, t, ty, c) for s, t, ty, c in DEDUP_IN])
+rx_dedup = {
+    "input": [{"source": s, "target": t, "type": ty, "confidence": c}
+              for s, t, ty, c in DEDUP_IN],
+    "output": [{"source": r.source_entity, "target": r.target_entity,
+                "type": r.relationship_type.label,
+                "confidence": r.properties.confidence}
+               for r in dd_out]}
+
+dump("relationship_rules.json", {
+    "entity_types": rx_types, "lookups": rx_lookup,
+    "rules_default": rx_rules_default, "rules_valid": rx_rules,
+    "doc_relationships": rx_docrels, "dedup": rx_dedup})
+
 print("wave-2 fixtures written to", OUT)
