@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.util.Locale
+
 import com.fasterxml.jackson.core.JsonParser
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import org.apache.spark.sql.{Column, GraftColumnBridge}
@@ -129,6 +131,189 @@ object LlmResponse {
         array().cast("array<string>").as("key_topics"),
         lit(null).cast("string").as("sentiment"),
         lit(0.0).as("confidence")))
+  }
+
+  /** Row-level twin of [[stripFence]] (llm_service.py:474-487) —
+    * shared by the row-level parse tiers below. */
+  def stripFenceRow(raw: String): String = {
+    val t = pyStrip(raw)
+    def dropAround(s: String): String =
+      pyStrip(if (s.endsWith("```")) s.substring(0, s.length - 3) else s)
+    if (t.startsWith("```json")) dropAround(t.substring(7))
+    else if (t.startsWith("```")) dropAround(t.substring(3))
+    else t
+  }
+
+  private def cpTake(s: String, n: Int): String =
+    s.substring(0,
+      s.offsetByCodePoints(0, math.min(n, s.codePointCount(0, s.length))))
+
+  final case class LlmEntity(name: String, entityType: String,
+      confidence: Double, context: Option[String])
+
+  /** The extract_entities stop-word set (llm_service.py:616-629). */
+  val entityStopWords: Set[String] = Set(
+    "the", "this", "that", "these", "those", "how", "when", "where",
+    "why", "what", "who", "which", "can", "could", "would", "should",
+    "may", "might", "must", "will", "shall", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "do", "does",
+    "did", "a", "an", "and", "or", "but", "if", "then", "else", "for",
+    "to", "from", "with", "without", "by", "at", "in", "on", "up",
+    "down", "out", "off", "over", "under", "between", "through",
+    "during", "before", "after", "above", "below", "each", "few",
+    "more", "most", "other", "some", "such", "no", "nor", "not",
+    "only", "own", "same", "so", "than", "too", "very", "just", "now",
+    "also", "user", "users", "system", "systems", "data",
+    "information", "document", "file", "files", "item", "items",
+    "thing", "things", "way", "ways")
+
+  /** The invalid-type alias table (llm_service.py:660-681). */
+  val entityTypeMapping: Map[String, String] = Map(
+    "ISSUETYPE" -> "PROBLEM", "ISSUE" -> "PROBLEM",
+    "ERROR" -> "PROBLEM", "SYMPTOM" -> "PROBLEM",
+    "DEFECT" -> "PROBLEM", "FAILURE" -> "PROBLEM",
+    "HARDWARECONNECTION" -> "COMPONENT", "CONNECTION" -> "COMPONENT",
+    "CONNECTOR" -> "COMPONENT", "CLEANINGAGENT" -> "CHEMICAL",
+    "CLEANER" -> "CHEMICAL", "SUBSTANCE" -> "CHEMICAL",
+    "METHOD" -> "PROCEDURE", "PROCESS" -> "PROCEDURE",
+    "TECHNIQUE" -> "PROCEDURE", "EQUIPMENT" -> "TOOL",
+    "INSTRUMENT" -> "TOOL", "SUPPLY" -> "MATERIAL",
+    "CONSUMABLE" -> "MATERIAL")
+
+  private val entityAllowedTypes: Set[String] = Set(
+    "PERSON", "ORGANIZATION", "LOCATION", "DATE", "PRODUCT",
+    "COMPONENT", "TECHNOLOGY", "CHEMICAL", "PROCEDURE",
+    "SPECIFICATION", "SYSTEM", "MEASUREMENT", "PROBLEM", "CONDITION",
+    "STATE", "TOOL", "MATERIAL", "CONCEPT", "EVENT", "OTHER")
+
+  /** extract_entities' post-parse pipeline (llm_service.py:598-705):
+    * fence strip, strict json.loads, then per-entity filters (blank /
+    * short names, case-insensitive stop words, confidence < 0.5),
+    * type upper-casing with the alias table (unknown → OTHER), and a
+    * STABLE confidence-descending sort capped at 20. EVERY error arm
+    * — non-array JSON, a non-object element, a non-string name, a
+    * null type — collapses the whole result to empty, exactly the
+    * reference's blanket except. The reference's single-letter skip
+    * (:645-647) is dead code behind the len<2 gate and stays
+    * unmodeled. */
+  def parseEntitiesRow(rawContent: String): Vector[LlmEntity] = {
+    try {
+      val content = stripFenceRow(rawContent)
+      if (content.isEmpty) return Vector.empty // json.loads('') raises
+      val node = JsonKindExpr.mapper.readTree(content)
+      if (node == null || !node.isArray) {
+        // non-dict iteration / scalar TypeError arms → except → []
+        return Vector.empty
+      }
+      val out = Vector.newBuilder[LlmEntity]
+      val it = node.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!e.isObject) return Vector.empty // e.get AttributeError arm
+        val nameNode = e.get("name")
+        // a present non-string (incl. null) name hits .strip() →
+        // AttributeError → the blanket except empties everything
+        if (nameNode != null && !nameNode.isTextual) return Vector.empty
+        val name = pyStrip(if (nameNode == null) "" else nameNode.asText())
+        val dropName = name.isEmpty ||
+          name.codePointCount(0, name.length) < 2 ||
+          entityStopWords.contains(name.toLowerCase(Locale.ROOT))
+        if (!dropName) {
+          // only reached past the name gates (python `continue` order)
+          val confNode = e.get("confidence")
+          if (confNode != null && !confNode.isNumber)
+            return Vector.empty // `confidence < 0.5` TypeError arm
+          val confidence = if (confNode == null) 0.5 else confNode.asDouble()
+          if (confidence >= 0.5) {
+            val typeNode = e.get("type")
+            if (typeNode != null && typeNode.isNull)
+              return Vector.empty // None.upper() AttributeError arm
+            val rawType = (if (typeNode == null) "OTHER"
+              else typeNode.asText()).toUpperCase(Locale.ROOT)
+            val entityType =
+              if (entityAllowedTypes.contains(rawType)) rawType
+              else entityTypeMapping.getOrElse(rawType, "OTHER")
+            val ctxNode = e.get("context")
+            val context =
+              if (ctxNode == null) Some("")
+              else if (ctxNode.isNull) None
+              else Some(ctxNode.asText())
+            out += LlmEntity(name, entityType, confidence, context)
+          }
+        }
+      }
+      out.result().sortBy(-_.confidence).take(20)
+    } catch {
+      case scala.util.control.NonFatal(_) => Vector.empty
+    }
+  }
+
+  final case class LlmMetadata(title: Option[String],
+      author: Option[String], department: Option[String],
+      category: Option[String], tags: Option[Vector[String]],
+      summary: Option[String], keyTopics: Option[Vector[String]],
+      sentiment: Option[String], confidence: Option[Double])
+
+  /** Row-level extract_metadata parse (llm_service.py:472-512) with
+    * the EXACT get-semantics the Column face can't express: a
+    * present-but-null tags/key_topics stays None where a MISSING key
+    * defaults to [] (get_json_object cannot distinguish the two, so
+    * [[parseMetadata]] coalesces both to empty — documented
+    * deviation); a present-null confidence stays None where missing
+    * defaults 0.5. Arms: JSON object → field-wise; unparseable →
+    * summary = first 200 code points of the RAW content at 0.3;
+    * parseable non-object (the .get AttributeError) → all-empty at
+    * 0.0. */
+  def parseMetadataRow(rawContent: String): LlmMetadata = {
+    val empty = LlmMetadata(None, None, None, None, None, None, None,
+      None, Some(0.0))
+    try {
+      val content = stripFenceRow(rawContent)
+      val node =
+        if (content.isEmpty) null else JsonKindExpr.mapper.readTree(content)
+      if (node == null)
+        // JSONDecodeError arm: dataclass DEFAULTS for the untouched
+        // fields — tags/key_topics stay None, not []
+        LlmMetadata(None, None, None, None, None,
+          Some(cpTake(rawContent, 200)), None, None, Some(0.3))
+      else if (!node.isObject) empty
+      else {
+        def strField(k: String): Option[String] = {
+          val n = node.get(k)
+          if (n == null || n.isNull) None
+          else if (n.isTextual) Some(n.asText())
+          else Some(n.toString) // non-string values carried as-is
+        }
+        def listField(k: String): Option[Vector[String]] = {
+          val n = node.get(k)
+          if (n == null) Some(Vector.empty) // missing → the [] default
+          else if (n.isNull) None // present null → None
+          else if (n.isArray) {
+            val b = Vector.newBuilder[String]
+            val it = n.elements()
+            while (it.hasNext) {
+              val x = it.next()
+              b += (if (x.isTextual) x.asText() else x.toString)
+            }
+            Some(b.result())
+          } else Some(Vector(if (n.isTextual) n.asText() else n.toString))
+        }
+        val confNode = node.get("confidence")
+        val conf =
+          if (confNode == null) Some(0.5)
+          else if (confNode.isNull) None
+          else Some(confNode.asDouble())
+        LlmMetadata(strField("title"), strField("author"),
+          strField("department"), strField("category"),
+          listField("tags"), strField("summary"),
+          listField("key_topics"), strField("sentiment"), conf)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // json decode error arm (trailing data etc.) — same defaults
+        LlmMetadata(None, None, None, None, None,
+          Some(cpTake(rawContent, 200)), None, None, Some(0.3))
+    }
   }
 
   /** Per-1K-token pricing (llm_service.py:402-421, "approximate as of

@@ -642,6 +642,103 @@ class ReferenceParity2Spec extends AnyFunSuite {
     assert(got.toList === want)
   }
 
+  import graft.functions.LlmResponse
+
+  test("llm response: the extract_entities filter pipeline matches " +
+      "the reference run on every arm") {
+    (fixture("llm_service.json") \ "entities")
+      .extract[List[JObject]].foreach { c =>
+        val content = (c \ "content").extract[String]
+        val got = LlmResponse.parseEntitiesRow(content)
+        val want = (c \ "entities").extract[List[JObject]]
+        val ctx = s"entities '${content.take(40)}'"
+        assert(got.length === want.length, ctx)
+        got.zip(want).foreach { case (g, w) =>
+          assert(g.name === (w \ "name").extract[String], ctx)
+          assert(g.entityType === (w \ "type").extract[String], ctx)
+          assert(g.confidence === (w \ "confidence").extract[Double], ctx)
+          assert(g.context === jStrOpt(w \ "context"), ctx)
+        }
+      }
+  }
+
+  test("llm response: the extract_metadata parse matches the reference " +
+      "run exactly (row face) and modulo the null-list coalesce " +
+      "(Column face)") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (fixture("llm_service.json") \ "metadata")
+      .extract[List[JObject]]
+    rows.foreach { c =>
+      val content = (c \ "content").extract[String]
+      val got = LlmResponse.parseMetadataRow(content)
+      val w = c \ "metadata"
+      val ctx = s"metadata '${content.take(40)}'"
+      assert(got.title === jStrOpt(w \ "title"), ctx)
+      assert(got.author === jStrOpt(w \ "author"), ctx)
+      assert(got.department === jStrOpt(w \ "department"), ctx)
+      assert(got.category === jStrOpt(w \ "category"), ctx)
+      def listOf(j: JValue): Option[Vector[String]] = j match {
+        case JArray(xs) => Some(xs.map(_.extract[String]).toVector)
+        case _ => None
+      }
+      assert(got.tags === listOf(w \ "tags"), ctx)
+      assert(got.summary === jStrOpt(w \ "summary"), ctx)
+      assert(got.keyTopics === listOf(w \ "key_topics"), ctx)
+      assert(got.sentiment === jStrOpt(w \ "sentiment"), ctx)
+      assert(got.confidence === ((w \ "confidence") match {
+        case JDouble(d) => Some(d)
+        case JInt(n) => Some(n.toDouble)
+        case _ => None
+      }), ctx)
+    }
+    // the Column face agrees after the documented null-list coalesce
+    val viaCol = rows.map(c => (c \ "content").extract[String])
+      .toDF("raw")
+      .select(LlmResponse.parseMetadata(col("raw")).as("m"))
+      .select("m.title", "m.tags", "m.summary", "m.confidence")
+      .as[(Option[String], Seq[String], Option[String], Double)]
+      .collect()
+    rows.zip(viaCol).foreach { case (c, (title, tags, summary, conf)) =>
+      val w = c \ "metadata"
+      val ctx = s"column face '${(c \ "content").extract[String].take(30)}'"
+      assert(title === jStrOpt(w \ "title"), ctx)
+      val wantTags = (w \ "tags") match {
+        case JArray(xs) => xs.map(_.extract[String])
+        case _ => Nil // null-list coalesce deviation
+      }
+      assert(tags.toList === wantTags, ctx)
+      assert(summary === jStrOpt(w \ "summary"), ctx)
+      val wantConf = (w \ "confidence") match {
+        case JDouble(d) => d
+        case JInt(n) => n.toDouble
+        case _ => 0.5 // null confidence coalesces to the missing default
+      }
+      assert(conf === wantConf, ctx)
+    }
+  }
+
+  test("llm response: cost estimates match the reference pricing " +
+      "table through the Column face") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (fixture("llm_service.json") \ "cost").extract[List[JObject]]
+    val got = rows.map { c =>
+      ((c \ "provider").extract[String], (c \ "model").extract[String],
+        (c \ "prompt_tokens").extract[Int],
+        (c \ "completion_tokens").extract[Int])
+    }.toDF("provider", "model", "pt", "ct")
+      .select(LlmResponse.estimateCost(col("provider"), col("model"),
+        col("pt"), col("ct")).as("cost"))
+      .as[Double].collect()
+    rows.zip(got).foreach { case (c, g) =>
+      assert(math.abs(g - (c \ "cost").extract[Double]) < 1e-12,
+        s"cost ${c \ "model"}")
+    }
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

@@ -852,4 +852,129 @@ dump("relationship_rules.json", {
     "rules_default": rx_rules_default, "rules_valid": rx_rules,
     "doc_relationships": rx_docrels, "dedup": rx_dedup})
 
+# ---- app/services/llm_service.py: response handling + cost ---------
+def put_llm_stubs():
+    oa = types.ModuleType("openai")
+    oa.OpenAI = lambda **k: None
+    oa.AsyncOpenAI = lambda **k: None
+    sys.modules["openai"] = oa
+    g = types.ModuleType("google")
+    gg = types.ModuleType("google.generativeai")
+    gg.configure = lambda **k: None
+    gg.GenerativeModel = lambda *a, **k: None
+    g.generativeai = gg
+    sys.modules["google"] = g
+    sys.modules["google.generativeai"] = gg
+    sys.modules["httpx"] = types.ModuleType("httpx")
+    cfg = types.ModuleType("app.config")
+    cfg.settings = types.SimpleNamespace(openai_api_key=None,
+                                         google_ai_api_key=None)
+    sys.modules["app.config"] = cfg
+
+
+llm_mod = load_file("ref_llm", "app/services/llm_service.py",
+                    pre=put_llm_stubs)
+lsvc = llm_mod.LLMService()
+
+MANY = ", ".join(
+    f'{{"name": "entity{i:02d}", "type": "CONCEPT", '
+    f'"confidence": {0.5 + (i % 3) * 0.2}}}' for i in range(25))
+ENTITY_CONTENTS = [
+    ('[{"name": " Water Pump ", "type": "Component", "confidence": 0.9,'
+     ' "context": "found in intro"},'
+     ' {"name": "System", "type": "SYSTEM", "confidence": 0.95},'
+     ' {"name": "X", "type": "PRODUCT", "confidence": 0.9},'
+     ' {"name": "corrosion", "type": "Issue", "confidence": 0.8},'
+     ' {"name": "wrench", "type": "EQUIPMENT", "confidence": 0.7},'
+     ' {"name": "gizmo", "type": "WIDGET", "confidence": 0.6},'
+     ' {"name": "typeless", "confidence": 0.8},'
+     ' {"name": "confless", "type": "TOOL"},'
+     ' {"name": "nullctx", "type": "STATE", "confidence": 0.9,'
+     ' "context": null},'
+     ' {"name": "lowconf", "type": "TOOL", "confidence": 0.3}]'),
+    '```json\n[{"name": "fenced", "type": "CONCEPT", "confidence": 0.8}]\n```',
+    '```\n[{"name": "bare fence", "type": "CONCEPT", "confidence": 0.8}]```',
+    '```json\n[{"name": "no close", "type": "CONCEPT", "confidence": 0.8}]',
+    f"[{MANY}]",
+    '{"name": "an object not a list", "confidence": 1.0}',
+    '"just a string"',
+    '[{"name": "ok", "confidence": 0.9}, 42]',
+    '[{"name": null, "type": "TOOL", "confidence": 0.9}]',
+    '[{"name": "bad conf", "confidence": "high"}]',
+    '[{"name": "null type", "type": null, "confidence": 0.9}]',
+    '[{"name": "ok", "confidence": 0.9}] trailing',
+    '',
+    'not json at all',
+]
+
+
+class _Resp:
+    def __init__(self, content):
+        self.content = content
+
+
+llm_entities = []
+for content in ENTITY_CONTENTS:
+    async def fake_call(*a, **k):
+        return _Resp(content)
+
+    lsvc.call_llm = fake_call
+    ents = asyncio.run(lsvc.extract_entities("text"))
+    llm_entities.append({
+        "content": content,
+        "entities": [{"name": e.name, "type": e.type,
+                      "confidence": e.confidence, "context": e.context}
+                     for e in ents]})
+
+META_CONTENTS = [
+    ('{"title": "Pump Manual", "author": "J. Doe", "department": "Eng",'
+     ' "category": "manual", "tags": ["pump", "care"],'
+     ' "summary": "How to pump.", "key_topics": ["pumps"],'
+     ' "sentiment": "neutral", "confidence": 0.85}'),
+    '{"title": null, "tags": null, "key_topics": null, "confidence": null}',
+    '{}',
+    '```json\n{"title": "Fenced", "confidence": 0.9}\n```',
+    '```\n{"title": "Bare"}```',
+    '```json\n{"title": "No close"}',
+    'The document seems to be about pumps. ' * 12,   # >200 chars, 0.3 arm
+    '[1, 2, 3]',
+    '"scalar"',
+    '{"title": "x"} trailing',
+    '',
+]
+llm_meta = []
+for content in META_CONTENTS:
+    async def fake_call(*a, **k):
+        return _Resp(content)
+
+    lsvc.call_llm = fake_call
+    md = asyncio.run(lsvc.extract_metadata("text"))
+    llm_meta.append({
+        "content": content,
+        "metadata": {"title": md.title, "author": md.author,
+                     "department": md.department, "category": md.category,
+                     "tags": md.tags, "summary": md.summary,
+                     "key_topics": md.key_topics,
+                     "sentiment": md.sentiment,
+                     "confidence": md.confidence}})
+
+COST_CASES = [
+    ("OPENAI", "gpt-4o", 1000, 500), ("OPENAI", "gpt-4o-mini", 123, 456),
+    ("OPENAI", "gpt-5", 1000, 1000),          # unpriced model -> 0.0
+    ("GEMINI", "gemini-2.5-pro", 2000, 100),
+    ("GEMINI", "gemini-2.0-flash-lite", 7, 13),
+    ("GEMINI", "gpt-4o", 10, 10),             # wrong provider -> 0.0
+    ("OPENAI", "gpt-3.5-turbo", 0, 0),
+    ("OPENAI", "gpt-4-turbo-preview", 333333, 777777),
+]
+llm_cost = [{"provider": prov, "model": model,
+             "prompt_tokens": pt, "completion_tokens": ct,
+             "cost": lsvc._estimate_cost(
+                 getattr(llm_mod.LLMProvider, prov), model,
+                 {"prompt_tokens": pt, "completion_tokens": ct})}
+            for prov, model, pt, ct in COST_CASES]
+
+dump("llm_service.json", {"entities": llm_entities,
+                          "metadata": llm_meta, "cost": llm_cost})
+
 print("wave-2 fixtures written to", OUT)
