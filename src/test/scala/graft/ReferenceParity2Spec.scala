@@ -739,6 +739,90 @@ class ReferenceParity2Spec extends AnyFunSuite {
     }
   }
 
+  import graft.JobRowFixture.JobRow
+
+  test("job tracker: the scripted create/update/cancel/list/cleanup " +
+      "run matches the reference through the DataFrame faces") {
+    import graft.operators.Jobs
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val fx = fixture("job_tracker.json")
+
+    var jobs = Vector.empty[JobRow]
+    def jobsDf = spark.createDataFrame(jobs)
+    (fx \ "ops").extract[List[JObject]].foreach { op =>
+      val id = (op \ "id").extract[String]
+      val now = (op \ "now").extract[String]
+      (op \ "op").extract[String] match {
+        case "create" =>
+          val meta = (op \ "metadata") match {
+            case o: JObject => o.extract[Map[String, String]]
+            case _ => null
+          }
+          val req = Seq((id, (op \ "type").extract[String], meta))
+            .toDF("id", "type", "metadata")
+          jobs = jobs ++ Jobs.create(req, lit(now)).as[JobRow].collect()
+        case "update" =>
+          assert(jobs.exists(_.id == id) ===
+            (op \ "found").extract[Boolean], s"update $id found-arm")
+          val kw = op \ "kw"
+          val upd = Seq((id, (op \ "status").extract[String],
+            jStrOpt(kw \ "message").orNull,
+            (kw \ "progress") match {
+              case JInt(n) => Int.box(n.toInt); case _ => null
+            },
+            jStrOpt(kw \ "error").orNull))
+            .toDF("id", "to_status", "message", "progress", "error")
+          jobs = Jobs.applyUpdates(jobsDf, upd, lit(now))
+            .as[JobRow].collect().toVector
+            .sortBy(j => jobs.indexWhere(_.id == j.id))
+        case "cancel" =>
+          val ids = Seq(id).toDF("id")
+          val (updated, outcomes) = Jobs.cancel(jobsDf, ids, lit(now))
+          assert(outcomes.as[(String, Boolean)].collect().head._2 ===
+            (op \ "cancelled").extract[Boolean], s"cancel $id")
+          jobs = updated.as[JobRow].collect().toVector
+            .sortBy(j => jobs.indexWhere(_.id == j.id))
+      }
+    }
+
+    // final store matches field-for-field
+    val want = (fx \ "jobs").extract[Map[String, JObject]]
+    assert(jobs.map(_.id).toSet === want.keySet)
+    jobs.foreach { j =>
+      val w = want(j.id)
+      val ctx = s"job ${j.id}"
+      assert(j.`type` === (w \ "type").extract[String], ctx)
+      assert(j.status === (w \ "status").extract[String], ctx)
+      assert(j.progress === (w \ "progress").extract[Int], ctx)
+      assert(j.message === (w \ "message").extract[String], ctx)
+      assert(j.metadata === (w \ "metadata").extract[Map[String, String]],
+        ctx)
+      assert(j.created_at === (w \ "created_at").extract[String], ctx)
+      assert(j.updated_at === (w \ "updated_at").extract[String], ctx)
+      assert(j.completed_at === jStrOpt(w \ "completed_at"), ctx)
+      assert(j.error === jStrOpt(w \ "error"), ctx)
+    }
+
+    // listing endpoint filter/sort/page parity
+    (fx \ "lists").extract[List[JObject]].foreach { l =>
+      val got = Jobs.listJobs(jobsDf, jStrOpt(l \ "status"),
+          jStrOpt(l \ "type"), (l \ "limit").extract[Int],
+          (l \ "offset").extract[Int])
+        .select("id").as[String].collect().toList
+      assert(got === (l \ "ids").extract[List[String]],
+        s"list ${l \ "status"}/${l \ "type"}")
+    }
+
+    // cleanup drops terminal jobs strictly older than the cutoff
+    val afterCleanup = Jobs.cleanupOldJobs(jobsDf,
+        lit((fx \ "cleanup_cutoff").extract[String]))
+      .select("id").as[String].collect().toList.sorted
+    assert(afterCleanup === (fx \ "jobs_after_cleanup")
+      .extract[List[String]])
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]
@@ -770,4 +854,13 @@ class ReferenceParity2Spec extends AnyFunSuite {
       }
     }
   }
+}
+
+/** Top-level (encoder-visible) row shape for the job-tracker parity
+  * replay. */
+object JobRowFixture {
+  case class JobRow(id: String, `type`: String, status: String,
+      progress: Int, message: String, metadata: Map[String, String],
+      created_at: String, updated_at: String,
+      completed_at: Option[String], error: Option[String])
 }

@@ -977,4 +977,96 @@ llm_cost = [{"provider": prov, "model": model,
 dump("llm_service.json", {"entities": llm_entities,
                           "metadata": llm_meta, "cost": llm_cost})
 
+# ---- app/services/job_tracker.py ------------------------------------
+# datetime.utcnow is patched to a scripted clock (one fixed value per
+# op, advanced between ops) so the run is deterministic and the Scala
+# replay can pass the same per-op `now` column.
+jt_mod = load_file("ref_jobtracker", "app/services/job_tracker.py")
+
+from datetime import datetime as _real_dt  # noqa: E402
+
+
+class _FakeDt:
+    current = _real_dt(2024, 1, 1, 0, 0, 0)
+
+    @classmethod
+    def utcnow(cls):
+        return cls.current
+
+    @staticmethod
+    def fromisoformat(s):
+        return _real_dt.fromisoformat(s)
+
+    @staticmethod
+    def utcfromtimestamp(ts):
+        return _real_dt.utcfromtimestamp(ts)
+
+
+jt_mod.datetime = _FakeDt
+tracker = jt_mod.JobTracker()
+JS = jt_mod.JobStatus
+
+JT_OPS = [
+    ("create", "j1", "notion_scan", {"k": "v"}),
+    ("create", "j2", "gdrive_scan", None),
+    ("create", "j3", "other", None),
+    ("update", "j1", "running", {"progress": 150}),
+    ("update", "j2", "running", {"progress": -5, "message": "neg"}),
+    ("update", "jX", "running", {}),
+    ("update", "j1", "completed", {"progress": 10}),
+    ("cancel", "j2"), ("cancel", "j2"), ("cancel", "j1"),
+    ("cancel", "missing"),
+    ("update", "j3", "failed", {"error": "boom", "message": "bad"}),
+    ("create", "j4", "notion_scan", None),
+    ("update", "j4", "running", {"message": "halfway"}),
+]
+jt_log = []
+t = _real_dt(2024, 1, 1, 0, 0, 0)
+from datetime import timedelta  # noqa: E402
+
+for i, op in enumerate(JT_OPS):
+    _FakeDt.current = t + timedelta(minutes=i)
+    now_iso = _FakeDt.current.isoformat()
+    if op[0] == "create":
+        _, jid, typ, meta = op
+        tracker.create_job(jid, typ, meta)
+        jt_log.append({"op": "create", "id": jid, "type": typ,
+                       "metadata": meta, "now": now_iso})
+    elif op[0] == "update":
+        _, jid, status, kw = op
+        out = tracker.update_job(jid, JS(status), **kw)
+        jt_log.append({"op": "update", "id": jid, "status": status,
+                       "kw": kw, "now": now_iso,
+                       "found": out is not None})
+    else:
+        _, jid = op
+        ok = tracker.cancel_job(jid)
+        jt_log.append({"op": "cancel", "id": jid, "now": now_iso,
+                       "cancelled": ok})
+
+jt_lists = []
+for status, typ, lim, off in [(None, None, 50, 0),
+                              ("running", None, 50, 0),
+                              (None, "notion_scan", 50, 0),
+                              (None, None, 2, 1),
+                              ("completed", "notion_scan", 50, 0)]:
+    out = tracker.list_jobs(JS(status) if status else None, typ, lim, off)
+    jt_lists.append({"status": status, "type": typ, "limit": lim,
+                     "offset": off, "ids": [j["id"] for j in out]})
+
+jobs_before_cleanup = {jid: dict(j) for jid, j in tracker.jobs.items()}
+# cleanup: cutoff between j1's completion (minute 6) and j2/j3's
+_FakeDt.current = t + timedelta(minutes=7, hours=24)
+tracker.cleanup_old_jobs(hours=24)
+cutoff_iso = (t + timedelta(minutes=7)).isoformat()
+jt_after_cleanup = sorted(tracker.jobs.keys())
+
+for j in jobs_before_cleanup.values():
+    j["status"] = j["status"].value
+
+dump("job_tracker.json", {
+    "ops": jt_log, "lists": jt_lists,
+    "jobs": jobs_before_cleanup, "cleanup_cutoff": cutoff_iso,
+    "jobs_after_cleanup": jt_after_cleanup})
+
 print("wave-2 fixtures written to", OUT)
