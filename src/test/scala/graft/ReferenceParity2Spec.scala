@@ -823,6 +823,110 @@ class ReferenceParity2Spec extends AnyFunSuite {
       .extract[List[String]])
   }
 
+  import graft.operators.CanonicalDescriptionRow
+  import graft.operators.CanonicalDescriptionRow._
+
+  private def attrOf(j: JValue): Attr = j match {
+    case JNull => ANull
+    case JString(s) => AStr(s)
+    case JInt(n) => AInt(n.toLong)
+    case JBool(b) => ABool(b)
+    case JArray(xs) => AList(xs.map(attrOf).toVector)
+    case JObject(fields) =>
+      AMap(fields.map { case (k, v) => k -> attrOf(v) }.toVector)
+    case other => fail(s"unexpected attr $other")
+  }
+
+  private def evidenceOf(j: JObject): EvidenceItem =
+    EvidenceItem(
+      (j \ "mention").extractOrElse[String](""),
+      (j \ "context").extractOrElse[String](""),
+      (j \ "summary").extractOrElse[String](""),
+      (j \ "attributes") match {
+        case JObject(fields) =>
+          fields.map { case (k, v) => k -> attrOf(v) }
+        case _ => Nil
+      })
+
+  test("canonical descriptions: clean text, attribute fragments and " +
+      "evidence preparation match the reference run") {
+    val fx = fixture("canonical_description.json")
+    (fx \ "clean_text").extract[List[JObject]].foreach { c =>
+      val v = (c \ "value").extract[String]
+      val m = (c \ "max_length") match {
+        case JInt(n) => Some(n.toInt); case _ => None
+      }
+      assert(CanonicalDescriptionRow.cleanText(v, m) ===
+        (c \ "out").extract[String], s"clean_text('$v', $m)")
+    }
+    (fx \ "attributes").extract[List[JObject]].foreach { c =>
+      // ordered pairs: dict insertion order is part of the contract
+      // (the fixture dump sorts plain-object keys)
+      val attrs = (c \ "attributes_list") match {
+        case JArray(pairs) => pairs.map {
+          case JArray(List(JString(k), v)) => k -> attrOf(v)
+          case other => fail(s"unexpected pair $other")
+        }
+        case _ => Nil
+      }
+      assert(CanonicalDescriptionRow.formatAttributeFragment(attrs) ===
+        (c \ "out").extract[String], s"attrs ${c \ "attributes_list"}")
+    }
+    (fx \ "evidence").extract[List[JObject]].foreach { c =>
+      val items = (c \ "items").extract[List[JObject]].map(evidenceOf)
+      assert(CanonicalDescriptionRow.prepareEvidence(items).toList ===
+        (c \ "out").extract[List[String]], s"evidence case ${c \ "case"}")
+    }
+  }
+
+  test("canonical descriptions: prompts and the response " +
+      "post-processing ladder match on every arm") {
+    val fx = fixture("canonical_description.json")
+    (fx \ "calls").extract[List[JObject]].foreach { c =>
+      val content = (c \ "content").extract[String]
+      val prev = (c \ "prev").extract[String]
+      val ctx = s"call '${content.take(25)}' prev='$prev'"
+      assert(CanonicalDescriptionRow.systemPrompt ===
+        (c \ "system_prompt").extract[String], ctx)
+      assert(CanonicalDescriptionRow.userPrompt(Some("Water Pump"),
+          Some("component"), prev,
+          Seq("Mention: pump | Context: leaks")) ===
+        (c \ "prompt").extract[String], ctx)
+      val got = CanonicalDescriptionRow.callLlm(Some("Water Pump"),
+        Some("component"), prev,
+        Seq("Mention: pump | Context: leaks"),
+        new graft.operators.LlmClient {
+          def complete(p: String): String = content
+        })
+      assert(got === Some((c \ "out").extract[String]), ctx)
+    }
+    assert(CanonicalDescriptionRow.callLlm(Some("X"), None, "p", Nil,
+      graft.operators.StubLlm()).isEmpty)
+  }
+
+  test("canonical descriptions: generate_descriptions matches end to " +
+      "end with the label-keyed client") {
+    val fx = fixture("canonical_description.json") \ "generate"
+    val responses = (fx \ "responses").extract[Map[String, String]]
+    val llm = new graft.operators.LlmClient {
+      def complete(prompt: String): String = {
+        val label = prompt.split("\n", 2).head
+          .stripPrefix("Entity: ").split(" \\(")(0)
+        responses.getOrElse(label, "?")
+      }
+    }
+    val entities = (fx \ "entities").extract[List[JObject]].map { e =>
+      CanonicalEntity(
+        jStrOpt(e \ "id"), jStrOpt(e \ "name"), jStrOpt(e \ "type"),
+        (e \ "metadata" \ "description").extractOrElse[String](""))
+    }
+    val evMap = (fx \ "evidence_map").extract[Map[String, List[JObject]]]
+      .map { case (k, items) => k -> items.map(evidenceOf).toSeq }
+    val got = CanonicalDescriptionRow.generateDescriptions(
+      entities, evMap, llm)
+    assert(got === (fx \ "out").extract[Map[String, String]])
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

@@ -1069,4 +1069,154 @@ dump("job_tracker.json", {
     "jobs": jobs_before_cleanup, "cleanup_cutoff": cutoff_iso,
     "jobs_after_cleanup": jt_after_cleanup})
 
+# ---- app/services/canonical_description_service.py ------------------
+# The LLM boundary is a recording fake keyed on the entity label line
+# so both sides can map responses; prompts are recorded for exact
+# replay.
+sys.modules["app.services.llm_service"].LLMProvider.OPENAI = "openai"
+sys.modules["app.services.llm_service"].LLMProvider.GEMINI = "gemini"
+cds_mod = load_file("ref_cds",
+                    "app/services/canonical_description_service.py")
+
+CT_CASES = [
+    ("  multiple   spaces\tand\nnewlines  ", None),
+    ("exact length string!", 20),
+    ("this string is longer than the cap for sure", 20),
+    ("ends with spaces near cut  xyz", 29),
+    ("", 10), ("   ", None),
+]
+cds_clean = [{"value": v, "max_length": m,
+              "out": cds_mod._clean_text(v, max_length=m)}
+             for v, m in CT_CASES]
+
+ATTR_CASES = [
+    {"color": "red", "count": 3, "empty": "", "none": None,
+     "flag": True, "items": ["a", "", None, "b"],
+     "nested": {"x": 1, "y": "", "z": "w"},
+     "empty_list": [], "empty_dict": {}},
+    {"only": "one"},
+    {},
+    {"zero": 0, "false": False},
+]
+# recorded as ORDERED [key, value] pairs: the fixture dump sorts
+# object keys, but dict insertion order is part of the contract
+cds_attrs = [{"attributes_list": [[k, v] for k, v in a.items()],
+              "out": cds_mod._format_attribute_fragment(a)}
+             for a in ATTR_CASES]
+
+svc_cds = cds_mod.CanonicalEntityDescriptionService(llm_service=object())
+EV_CASES = [
+    [{"mention": "  Water   Pump ", "context": "The pump leaks badly.",
+      "summary": "The pump leaks badly.",   # == context -> suppressed
+      "attributes": {"chunk_index": 3, "material": "steel",
+                     "chunk_id": "c1"}},
+     {"mention": "Water Pump", "context": "The pump leaks badly.",
+      "summary": "The pump leaks badly.",
+      "attributes": {"chunk_index": 9, "material": "steel"}},  # dup
+     {"mention": "", "context": "dropped"},
+     {"mention": "Valve", "summary": "Short valve summary.",
+      "context": "Different context here.",
+      "attributes": {}},
+     {"mention": "Sensor", "context": "x " * 150}],   # cap at 220
+    [{"mention": f"Entity {i}", "context": f"ctx {i}"}
+     for i in range(15)],                              # 2*max slice + cap
+    [],
+]
+cds_evidence = [{"case": i,
+                 "out": svc_cds._prepare_evidence(items)}
+                for i, items in enumerate(EV_CASES)]
+
+CDS_RESPONSES = [
+    "```json\nA clean fenced description.\n```",
+    "```\nBare fence, no close",
+    "Description: The pump moves water.",
+    "Some text Description: embedded marker wins.",
+    "Entity: pump does things",
+    "entity: lower marker",
+    "Insufficient evidence.",
+    "No evidence found in the text.",
+    "Unknown",
+    "unknown. but more",
+    "Uncertain about this one",
+    "",
+    "   ",
+    "A fine description of the pump. " * 12,   # > 300 cap
+    "The pump is a rotary device.",
+]
+recorded_prompts = []
+
+
+class _CdsLLM:
+    def __init__(self, content):
+        self.content = content
+
+    async def call_with_fallback(self, prompt, system_prompt, **kw):
+        recorded_prompts.append({"prompt": prompt,
+                                 "system_prompt": system_prompt})
+        return types.SimpleNamespace(content=self.content)
+
+
+cds_calls = []
+for content in CDS_RESPONSES:
+    for prev in ("", "Old description."):
+        svc1 = cds_mod.CanonicalEntityDescriptionService(
+            llm_service=_CdsLLM(content))
+        out = asyncio.run(svc1._call_llm(
+            name="Water Pump", type_="component",
+            previous_description=prev,
+            evidence=["Mention: pump | Context: leaks"]))
+        cds_calls.append({"content": content, "prev": prev, "out": out,
+                          "prompt": recorded_prompts[-1]["prompt"],
+                          "system_prompt":
+                          recorded_prompts[-1]["system_prompt"]})
+# evidence-less arm
+svc1 = cds_mod.CanonicalEntityDescriptionService(llm_service=_CdsLLM("x"))
+assert asyncio.run(svc1._call_llm(
+    name="X", type_=None, previous_description="p", evidence=[])) is None
+
+# generate_descriptions end to end with a label-keyed fake
+CDS_BY_LABEL = {
+    "Pump A": "The A pump circulates coolant.",
+    "Pump B": "Old B description.",      # == prev -> dropped
+    "Pump C": "Insufficient evidence.",  # guard -> prev -> == prev -> drop
+    "Pump D": "A new D description.",
+}
+
+
+class _CdsLLM2:
+    async def call_with_fallback(self, prompt, system_prompt, **kw):
+        label = prompt.split("\n", 1)[0]
+        label = label[len("Entity: "):].split(" (")[0]
+        return types.SimpleNamespace(content=CDS_BY_LABEL.get(label, "?"))
+
+
+CDS_ENTITIES = [
+    {"id": "c1", "name": "Pump A", "type": "component",
+     "metadata": {"description": "Old A description."}},
+    {"id": "c2", "name": "Pump B", "type": "component",
+     "metadata": {"description": "Old B description."}},
+    {"id": "c3", "name": "Pump C", "type": None,
+     "metadata": {"description": "Old C description."}},
+    {"id": "c4", "name": "Pump D", "type": "component", "metadata": {}},
+    {"id": "", "name": "No Id", "type": None, "metadata": {}},
+    {"id": "c5", "name": "No Evidence", "type": None,
+     "metadata": {"description": "kept"}},
+]
+CDS_EVMAP = {
+    "c1": [{"mention": "Pump A", "context": "circulates coolant"}],
+    "c2": [{"mention": "Pump B", "context": "ctx"}],
+    "c3": [{"mention": "Pump C", "context": "ctx"}],
+    "c4": [{"mention": "Pump D", "context": "ctx"}],
+}
+svc2 = cds_mod.CanonicalEntityDescriptionService(llm_service=_CdsLLM2())
+cds_gen = svc2.generate_descriptions(CDS_ENTITIES, CDS_EVMAP)
+
+dump("canonical_description.json", {
+    "clean_text": cds_clean, "attributes": cds_attrs,
+    "evidence": [{"case": i, "items": EV_CASES[i], "out": r["out"]}
+                 for i, r in enumerate(cds_evidence)],
+    "calls": cds_calls,
+    "generate": {"entities": CDS_ENTITIES, "evidence_map": CDS_EVMAP,
+                 "responses": CDS_BY_LABEL, "out": cds_gen}})
+
 print("wave-2 fixtures written to", OUT)
