@@ -97,4 +97,75 @@ object EmbedText {
       model)
     (estimatedTokens(text) / 1000.0) * rate
   }
+
+  // ---- faithful row tier (parity-pinned by ReferenceParity2Spec) ----
+
+  private val modelMap: Map[String, (Int, Double)] =
+    models.map { case (m, d, p) => m -> (d, p) }.toMap
+
+  /** python round(x, n): half-even over the EXACT binary value. */
+  private def pyRound(x: Double, n: Int): Double =
+    new java.math.BigDecimal(x)
+      .setScale(n, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  private def wordCount(s: String): Int =
+    s.split("(?U)\\s+").count(_.nonEmpty)
+
+  /** calculate_similarity (embedding_service.py:197-237): cosine with
+    * the zero-norm 0.0 arm, inverted euclidean 1/(1+d), raw dot;
+    * unknown metrics raise (None = the ValueError arm). */
+  def similarityRow(a: Seq[Double], b: Seq[Double],
+      metric: String): Option[Double] = {
+    def dotp = a.zip(b).map { case (x, y) => x * y }.sum
+    metric match {
+      case "cosine" =>
+        val n1 = math.sqrt(a.map(x => x * x).sum)
+        val n2 = math.sqrt(b.map(x => x * x).sum)
+        Some(if (n1 == 0 || n2 == 0) 0.0 else dotp / (n1 * n2))
+      case "euclidean" =>
+        val d = math.sqrt(a.zip(b).map { case (x, y) =>
+          val z = x - y; z * z
+        }.sum)
+        Some(1 / (1 + d))
+      case "dot" => Some(dotp)
+      case _ => None
+    }
+  }
+
+  /** get_model_info (:268-276); None = the unsupported-model
+    * constructor ValueError. */
+  def modelInfo(model: String): Option[Map[String, Any]] =
+    modelMap.get(model).map { case (dim, rate) =>
+      Map("model" -> model, "dimensions" -> dim,
+        "price_per_1k_tokens" -> rate,
+        "price_per_1m_tokens" -> rate * 1000)
+    }
+
+  /** embed_text's cost estimate (:160-165): words × 1.3 / 1000 ×
+    * rate, rounded 8 half-even. */
+  def singleCost(text: String, model: String): Double = {
+    val rate = modelMap(model)._2
+    val tokens = wordCount(text) * 1.3
+    pyRound((tokens / 1000) * rate, 8)
+  }
+
+  /** embed_batch's per-item cost distribution (:125-171): texts
+    * slice into batches (size clamped at 2048), each batch's summed
+    * token estimate prices the batch, and every item in it carries
+    * batch_cost / len(batch) rounded 8 half-even; a timed-out batch
+    * (per `timedOut`) zero-fills instead. */
+  def batchCosts(texts: Seq[String], model: String,
+      batchSize: Int = 20,
+      timedOut: Int => Boolean = _ => false): Seq[Double] = {
+    val bs = math.min(batchSize, 2048)
+    val rate = modelMap(model)._2
+    texts.grouped(bs).zipWithIndex.flatMap { case (batch, bi) =>
+      if (timedOut(bi)) batch.map(_ => 0.0)
+      else {
+        val tokenCount = batch.map(t => wordCount(t) * 1.3).sum
+        val batchCost = (tokenCount / 1000) * rate
+        batch.map(_ => pyRound(batchCost / batch.length, 8))
+      }
+    }.toSeq
+  }
 }

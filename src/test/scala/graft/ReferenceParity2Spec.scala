@@ -927,6 +927,66 @@ class ReferenceParity2Spec extends AnyFunSuite {
     assert(got === (fx \ "out").extract[Map[String, String]])
   }
 
+  test("embedding service: similarity metrics, model info and the " +
+      "batch cost distribution match the reference run") {
+    import graft.operators.EmbedText
+    val fx = fixture("embedding_service.json")
+    (fx \ "similarity").extract[List[JObject]].foreach { c =>
+      val a = (c \ "a").extract[List[Double]]
+      val b = (c \ "b").extract[List[Double]]
+      val m = (c \ "metric").extract[String]
+      val got = EmbedText.similarityRow(a, b, m)
+      (c \ "out") match {
+        case JDouble(want) =>
+          assert(got.isDefined && math.abs(got.get - want) < 1e-9,
+            s"sim $m: $got vs $want")
+        case JInt(want) =>
+          assert(got.isDefined && math.abs(got.get - want.toDouble) < 1e-9,
+            s"sim $m")
+        case _ =>
+          assert(got.isEmpty, s"sim $m: expected the ValueError arm")
+      }
+    }
+    (fx \ "model_info").extract[List[JObject]].foreach { c =>
+      val m = (c \ "model").extract[String]
+      val got = EmbedText.modelInfo(m).get
+      val want = (c \ "info").extract[JObject]
+      assert(got("model") === (want \ "model").extract[String], m)
+      assert(got("dimensions") === (want \ "dimensions").extract[Int], m)
+      assert(got("price_per_1k_tokens") ===
+        (want \ "price_per_1k_tokens").extract[Double], m)
+      assert(math.abs(got("price_per_1m_tokens").asInstanceOf[Double] -
+        (want \ "price_per_1m_tokens").extract[Double]) < 1e-15, m)
+    }
+    assert((fx \ "bad_model_error").extract[String]
+      .startsWith("Unsupported model: bogus-model"))
+    assert(EmbedText.modelInfo("bogus-model").isEmpty)
+
+    (fx \ "single_costs").extract[List[JObject]].foreach { c =>
+      val text = (c \ "text").extract[String]
+      assert(EmbedText.singleCost(text, "text-embedding-3-small") ===
+        (c \ "cost").extract[Double], s"cost '${text.take(12)}'")
+    }
+    val batchTexts = (fx \ "batch_texts").extract[List[String]]
+    (fx \ "batches").extract[List[JObject]].foreach { c =>
+      val bs = (c \ "batch_size").extract[Int]
+      val timeoutBatch = (c \ "timeout_batch") match {
+        case JInt(n) => Some(n.toInt); case _ => None
+      }
+      val got = EmbedText.batchCosts(batchTexts,
+        "text-embedding-3-small", bs, bi => timeoutBatch.contains(bi))
+      assert(got.toList === (c \ "costs").extract[List[Double]],
+        s"batch bs=$bs timeout=$timeoutBatch")
+      // the zero-fill arm carries the MODEL dimensions, not the
+      // response's
+      timeoutBatch.foreach { tb =>
+        val dims = (c \ "dims").extract[List[Int]]
+        val start = tb * bs
+        dims.slice(start, start + bs).foreach(d => assert(d === 1536))
+      }
+    }
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

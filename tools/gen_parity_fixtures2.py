@@ -1219,4 +1219,101 @@ dump("canonical_description.json", {
     "generate": {"entities": CDS_ENTITIES, "evidence_map": CDS_EVMAP,
                  "responses": CDS_BY_LABEL, "out": cds_gen}})
 
+# ---- app/services/embedding_service.py ------------------------------
+def put_embed_svc_stubs():
+    class _EmbData:
+        def __init__(self, vec):
+            self.embedding = vec
+
+    class _EmbResp:
+        def __init__(self, n):
+            self.data = [_EmbData([0.1] * 4) for _ in range(n)]
+
+    class _Creator:
+        def __init__(self):
+            self.timeout_batches = set()
+            self.call = 0
+
+        async def create(self, input=None, model=None):
+            self.call += 1
+            if (self.call - 1) in self.timeout_batches:
+                raise asyncio.TimeoutError()
+            n = len(input) if isinstance(input, list) else 1
+            return _EmbResp(n)
+
+    class _AsyncClient:
+        def __init__(self, **kw):
+            self.embeddings = _Creator()
+
+    oa = types.ModuleType("openai")
+    oa.OpenAI = lambda **k: None
+    oa.AsyncOpenAI = _AsyncClient
+    sys.modules["openai"] = oa
+    cfg = types.ModuleType("app.config")
+    cfg.settings = types.SimpleNamespace(openai_api_key="sk")
+    sys.modules["app.config"] = cfg
+
+
+es_mod = load_file("ref_embsvc", "app/services/embedding_service.py",
+                   pre=put_embed_svc_stubs)
+
+SIM_CASES = [
+    ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0], "cosine"),
+    ([1.0, 0.0], [0.0, 1.0], "cosine"),
+    ([0.0, 0.0], [1.0, 1.0], "cosine"),     # zero-norm arm
+    ([1.0, 2.0], [3.0, 4.0], "euclidean"),
+    ([1.0, 2.0], [1.0, 2.0], "euclidean"),  # identical -> 1.0
+    ([1.5, -2.5, 0.5], [2.0, 1.0, -4.0], "dot"),
+    ([1.0], [1.0], "manhattan"),            # ValueError arm
+]
+es_sims = []
+svc_e = es_mod.EmbeddingService()
+for a, b, metric in SIM_CASES:
+    try:
+        es_sims.append({"a": a, "b": b, "metric": metric,
+                        "out": svc_e.calculate_similarity(a, b, metric)})
+    except ValueError as e:
+        es_sims.append({"a": a, "b": b, "metric": metric,
+                        "error": str(e)})
+
+es_info = []
+for m in ("text-embedding-3-small", "text-embedding-3-large",
+          "text-embedding-ada-002"):
+    es_info.append({"model": m,
+                    "info": es_mod.EmbeddingService(m).get_model_info()})
+try:
+    es_mod.EmbeddingService("bogus-model")
+    bad_model_error = None
+except ValueError as e:
+    bad_model_error = str(e)
+
+# embed_text / embed_batch cost arms through the stub client
+es_costs = []
+for text in ("one two three four five", "", "x", "word " * 37):
+    r = asyncio.run(svc_e.embed_text(text))
+    es_costs.append({"text": text, "cost": r.cost_estimate,
+                     "dimensions": r.dimensions})
+
+BATCH_TEXTS = [f"text number {i} with {'pad ' * (i % 5)}" for i in range(11)]
+es_batches = []
+for bs in (4, 20, 1):
+    svc_b = es_mod.EmbeddingService()
+    res = asyncio.run(svc_b.embed_batch(list(BATCH_TEXTS), batch_size=bs))
+    es_batches.append({"batch_size": bs,
+                       "costs": [r.cost_estimate for r in res],
+                       "dims": [r.dimensions for r in res]})
+# a timed-out middle batch zero-fills
+svc_t = es_mod.EmbeddingService()
+svc_t.async_client.embeddings.timeout_batches = {1}
+res_t = asyncio.run(svc_t.embed_batch(list(BATCH_TEXTS), batch_size=4))
+es_batches.append({"batch_size": 4, "timeout_batch": 1,
+                   "costs": [r.cost_estimate for r in res_t],
+                   "dims": [r.dimensions for r in res_t]})
+
+dump("embedding_service.json", {
+    "similarity": es_sims, "model_info": es_info,
+    "bad_model_error": bad_model_error,
+    "single_costs": es_costs,
+    "batch_texts": BATCH_TEXTS, "batches": es_batches})
+
 print("wave-2 fixtures written to", OUT)
