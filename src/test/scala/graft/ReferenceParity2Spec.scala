@@ -987,6 +987,125 @@ class ReferenceParity2Spec extends AnyFunSuite {
     }
   }
 
+  private def strMap(j: JValue): Map[String, String] = j match {
+    case JObject(fields) => fields.map {
+      case (k, JString(s)) => k -> s
+      case (k, JInt(n)) => k -> n.toString
+      case (k, JBool(b)) => k -> (if (b) "True" else "False")
+      case (k, other) => k -> other.toString
+    }.toMap
+    case _ => Map.empty
+  }
+
+  test("state manager: the scripted run over the faked store matches " +
+      "the reference — tables, audit rows, live-error arms, queries " +
+      "and metrics") {
+    import graft.operators.StateManagerRow
+    import graft.operators.StateManagerRow._
+    val fx = fixture("state_manager.json")
+
+    var now = ""
+    val store = new StateManagerRow.Store(() => now)
+    def errName(e: Err): String = e match {
+      case _: AttributeError => "AttributeError"
+      case _: ValueErr => "ValueError"
+      case _: StateValidationError => "StateValidationError"
+    }
+    (fx \ "ops").extract[List[JObject]].foreach { op =>
+      now = (op \ "now").extract[String]
+      val kind = (op \ "op").extract[String]
+      val ctx = s"op $kind ${op \ "arg"} @ $now"
+      def checkOutcome(got: Either[Err, Unit]): Unit = {
+        val want = (op \ "outcome").extract[String]
+        got match {
+          case Right(_) => assert(want === "ok", ctx)
+          case Left(e) =>
+            assert(want === s"${errName(e)}: ${e.message}", ctx)
+        }
+      }
+      kind match {
+        case "create" =>
+          val id = (op \ "arg").extract[String]
+          val meta = (op \ "metadata") match {
+            case o: JObject => Some(strMap(o)); case _ => None
+          }
+          val init = (op \ "initial_state")
+            .extractOrElse[String]("discovered")
+          checkOutcome(store.createState(id, init, meta))
+        case "transition" =>
+          checkOutcome(store.transition((op \ "arg").extract[String],
+            (op \ "to").extract[String], None, jStrOpt(op \ "reason"),
+            None))
+        case "reset" =>
+          checkOutcome(
+            store.resetFailedDocument((op \ "arg").extract[String]))
+        case "bulk" =>
+          val ids = (op \ "arg").extract[List[String]]
+          val res = store.bulkTransition(ids,
+            (op \ "to").extract[String])
+          assert(res.count(_._2.isRight) ===
+            (op \ "bulk_ok_count").extract[Int], ctx)
+      }
+    }
+
+    // final documents table
+    val wantDocs = (fx \ "documents").extract[List[JObject]]
+    assert(store.docs.keySet.toList.sorted ===
+      wantDocs.map(d => (d \ "id").extract[String]).sorted)
+    wantDocs.foreach { w =>
+      val d = store.docs((w \ "id").extract[String])
+      val ctx = s"doc ${d.id}"
+      assert(d.name === (w \ "name").extract[String], ctx)
+      assert(d.sourceType === (w \ "source_type").extract[String], ctx)
+      assert(d.fileType === (w \ "file_type").extract[String], ctx)
+      assert(d.status === (w \ "status").extract[String], ctx)
+      assert(d.retryCount === (w \ "retry_count").extract[Int], ctx)
+      assert(d.metadata === strMap(w \ "metadata"), ctx)
+      assert(d.createdAt === (w \ "created_at").extract[String], ctx)
+      assert(d.updatedAt === (w \ "updated_at").extract[String], ctx)
+      assert(d.version === (w \ "version").extract[Int], ctx)
+      assert(d.tags.isEmpty === (w \ "tags").extract[List[String]].isEmpty,
+        ctx)
+    }
+
+    // audit rows, in insertion order
+    val wantTrans = (fx \ "transitions").extract[List[JObject]]
+    assert(store.transitions.length === wantTrans.length)
+    store.transitions.zip(wantTrans).foreach { case (t, w) =>
+      val ctx = s"audit ${t.documentId}@${t.createdAt}"
+      assert(t.documentId === (w \ "document_id").extract[String], ctx)
+      assert(t.fromState === (w \ "from_state").extract[String], ctx)
+      assert(t.toState === (w \ "to_state").extract[String], ctx)
+      assert(t.userId === jStrOpt(w \ "user_id"), ctx)
+      assert(t.reason === jStrOpt(w \ "reason"), ctx)
+      assert(t.metadata === strMap(w \ "metadata"), ctx)
+      assert(t.createdAt === (w \ "created_at").extract[String], ctx)
+    }
+
+    // queries + metrics
+    val q = fx \ "queries"
+    assert(store.documentsByState("discovered").toList ===
+      (q \ "by_state_discovered").extract[List[String]])
+    assert(store.documentsRequiringAction().toList ===
+      (q \ "requiring_action").extract[List[String]])
+    assert(store.stateStatistics().toMap ===
+      (q \ "statistics").extract[Map[String, Int]])
+    val m = store.processingMetrics()
+    val wm = q \ "metrics"
+    assert(m("state_counts") ===
+      (wm \ "state_counts").extract[Map[String, Int]])
+    assert(m("total_documents") ===
+      (wm \ "total_documents").extract[Int])
+    assert(m("success_rate") === (wm \ "success_rate").extract[Double])
+    assert(m("failure_rate") === (wm \ "failure_rate").extract[Double])
+    assert(m("average_processing_time") ===
+      (wm \ "average_processing_time").extract[Double])
+    assert(m("documents_pending_review") ===
+      (wm \ "documents_pending_review").extract[Int])
+    assert(m("documents_failed") ===
+      (wm \ "documents_failed").extract[Int])
+  }
+
   test("config validation: error message and status frame match the " +
       "reference run, including the production exit arm") {
     val rows = fixture("config_validator.json").extract[List[JObject]]

@@ -1316,4 +1316,174 @@ dump("embedding_service.json", {
     "single_costs": es_costs,
     "batch_texts": BATCH_TEXTS, "batches": es_batches})
 
+# ---- app/services/state_manager.py ----------------------------------
+# Supabase is faked with an in-memory table store (the persistence
+# seam); datetime.utcnow is the scripted per-op clock in BOTH the
+# manager and the document_state model.
+SM_STORE = {"documents": [], "document_state_transitions": []}
+
+
+class _SmQuery:
+    def __init__(self, store, name):
+        self.store = store
+        self.name = name
+        self.filters = []
+        self.in_filters = []
+        self.order_col = None
+        self.lim = None
+        self.count_mode = None
+        self.update_payload = None
+
+    def select(self, cols, count=None):
+        self.count_mode = count
+        return self
+
+    def eq(self, col, val):
+        self.filters.append((col, val))
+        return self
+
+    def in_(self, col, vals):
+        self.in_filters.append((col, list(vals)))
+        return self
+
+    def order(self, col):
+        self.order_col = col
+        return self
+
+    def limit(self, n):
+        self.lim = n
+        return self
+
+    def insert(self, data):
+        self.insert_payload = dict(data)
+        return self
+
+    def update(self, data):
+        self.update_payload = dict(data)
+        return self
+
+    def _rows(self):
+        rows = self.store[self.name]
+        for col, val in self.filters:
+            rows = [r for r in rows if r.get(col) == val]
+        for col, vals in self.in_filters:
+            rows = [r for r in rows if r.get(col) in vals]
+        if self.order_col:
+            rows = sorted(rows, key=lambda r: r.get(self.order_col))
+        if self.lim is not None:
+            rows = rows[:self.lim]
+        return rows
+
+    def execute(self):
+        if getattr(self, "insert_payload", None) is not None:
+            self.store[self.name].append(dict(self.insert_payload))
+            return types.SimpleNamespace(data=[dict(self.insert_payload)],
+                                         count=None)
+        if self.update_payload is not None:
+            for r in self._rows():
+                r.update(self.update_payload)
+            return types.SimpleNamespace(data=self._rows(), count=None)
+        rows = [dict(r) for r in self._rows()]
+        return types.SimpleNamespace(
+            data=rows,
+            count=len(rows) if self.count_mode == "exact" else None)
+
+
+class _SmClient:
+    def table(self, name):
+        return _SmQuery(SM_STORE, name)
+
+
+def put_sm_stubs():
+    sb = types.ModuleType("supabase")
+    sb.create_client = lambda url, key: _SmClient()
+    sb.Client = object
+    sys.modules["supabase"] = sb
+    dv = types.ModuleType("dotenv")
+    dv.load_dotenv = lambda *a, **k: None
+    sys.modules["dotenv"] = dv
+    os.environ["SUPABASE_URL"] = "http://fake"
+    os.environ["SUPABASE_KEY"] = "fake"
+
+
+sm_mod = load_file("ref_statemgr", "app/services/state_manager.py",
+                   pre=put_sm_stubs)
+import app.models.document_state as ds_model  # noqa: E402
+
+sm_mod.datetime = _FakeDt
+ds_model.datetime = _FakeDt
+DS = sm_mod.DocumentState
+mgr = sm_mod.DocumentStateManager()
+
+SM_OPS = [
+    ("create", "d1", {"filename": "f.pdf", "source_type": "gdrive",
+                      "file_type": "pdf", "extra": "m"}, None),
+    ("create", "d1", {"filename": "other.pdf"}, None),  # existing arm
+    ("create", "dX", None, None),                       # AttributeError arm
+    ("transition", "d1", "processing", None),
+    ("transition", "d1", "pending_review", None),
+    ("transition", "d1", "approved", "looks good"),
+    ("transition", "d1", "ingested", None),
+    ("transition", "d1", "processing", None),           # terminal -> error
+    ("transition", "d2", "processing", None),           # missing -> AttrError
+    ("create", "d3", {"filename": "g.txt"}, None),
+    ("transition", "d3", "failed", "parse blew up"),
+    ("transition", "d3", "failed", None),               # failed->failed
+    ("transition", "d3", "processing", None),           # retry stays 0
+    ("transition", "d3", "failed", "again"),
+    ("reset", "d3", None, None),
+    ("reset", "d1", None, None),                        # not error state
+    ("reset", "nope", None, None),                      # ValueError
+    ("create", "d4", {"filename": "h.md"}, "pending_review"),
+    ("bulk", ["d4", "d1", "zz"], "approved", None),
+]
+sm_log = []
+for i, (kind, arg, b, c) in enumerate(SM_OPS):
+    _FakeDt.current = _real_dt(2024, 2, 1) + timedelta(minutes=i)
+    now_iso = _FakeDt.current.isoformat()
+    row = {"op": kind, "arg": arg, "now": now_iso}
+    try:
+        if kind == "create":
+            if c:
+                asyncio.run(mgr.create_state(arg, DS(c), b))
+                row["initial_state"] = c
+            else:
+                asyncio.run(mgr.create_state(arg, metadata=b))
+            row["metadata"] = b
+            row["outcome"] = "ok"
+        elif kind == "transition":
+            asyncio.run(mgr.transition(arg, DS(b), reason=c))
+            row["to"] = b
+            row["reason"] = c
+            row["outcome"] = "ok"
+        elif kind == "reset":
+            asyncio.run(mgr.reset_failed_document(arg))
+            row["outcome"] = "ok"
+        else:
+            res = asyncio.run(mgr.bulk_transition(arg, DS(b)))
+            row["to"] = b
+            row["outcome"] = "ok"
+            row["bulk_ok_count"] = len(res)
+    except Exception as e:
+        if kind == "transition":
+            row["to"] = b
+        row["outcome"] = f"{type(e).__name__}: {e}"
+    sm_log.append(row)
+
+_FakeDt.current = _real_dt(2024, 2, 1) + timedelta(hours=2)
+sm_queries = {
+    "by_state_discovered": [d.document_id for d in asyncio.run(
+        mgr.get_documents_by_state(DS("discovered")))],
+    "requiring_action": [d.document_id for d in asyncio.run(
+        mgr.get_documents_requiring_action())],
+    "statistics": asyncio.run(mgr.get_state_statistics()),
+    "metrics": asyncio.run(mgr.get_processing_metrics()),
+}
+
+dump("state_manager.json", {
+    "ops": sm_log,
+    "documents": SM_STORE["documents"],
+    "transitions": SM_STORE["document_state_transitions"],
+    "queries": sm_queries})
+
 print("wave-2 fixtures written to", OUT)
