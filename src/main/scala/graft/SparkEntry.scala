@@ -3652,6 +3652,42 @@ object SparkEntry {
     Maintenance.fixEntityTypes(mentions)
   }
 
+  /** Engine provider-wire rendering in the gate (anthropic.rs:38-86,
+    * ollama.rs:42-52/59-63, voyage.rs:69-76 via the ProviderWires
+    * arms): one request per document, the %3 residue picking the arm —
+    * Anthropic messages (BTreeMap-sorted keys, fixed object schema
+    * tool), Ollama generate (declaration order, explicit nulls),
+    * Voyage embed (sorted, input_type on the even residue). Prompts
+    * sanitize to [A-Za-z0-9 ] so the oracle reconstructs the bodies by
+    * concatenation (q95 precedent); escaping and the image/extraction
+    * ladders are ProviderWiresSpec territory. Rendering runs
+    * distributed per-row — the production code path on executors. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.{AnthropicWire, OllamaWire, VoyageWire}
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
+          .as("p"))
+      .as[(Long, String)]
+      .map { case (id, p) =>
+        val sys = id % 2 == 0
+        val req = (id % 3) match {
+          case 0 => AnthropicWire.renderMessages("claude-3-5-sonnet",
+            "Extract: " + p,
+            systemPrompt = if (sys) Some("extract metadata as json") else None,
+            schemaJson = Some("""{"type":"object"}"""))
+          case 1 => OllamaWire.renderGenerate(None, "llama3.2",
+            "Extract: " + p,
+            system = if (sys) Some("extract metadata as json") else None)
+          case _ => VoyageWire.renderEmbed("voyage-3.5", p,
+            taskType = if (sys) Some("document") else None)
+        }
+        (id, req.path, req.body)
+      }
+      .toDF("doc_id", "path", "body")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3815,7 +3851,8 @@ object SparkEntry {
     "q154_minhash_auto" -> q154 _,
     "q155_minimal_api" -> q155 _,
     "q156_txn_manager" -> q156 _,
-    "q157_fix_entity_types" -> q157 _)
+    "q157_fix_entity_types" -> q157 _,
+    "q158_provider_requests" -> q158 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -5941,7 +5978,39 @@ object SparkEntry {
         |SELECT id, cur AS current_type, new_type, action,
         |  (action <> 'already_valid' AND has_et) AS wrote_entity_type,
         |  (action <> 'already_valid' AND has_t) AS wrote_type
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+    "q158_provider_requests" ->
+      // bodies reconstruct by concatenation (q95 precedent): sanitized
+      // prompts mean no JSON escaping can fire. Anthropic keys are
+      // serde_json-BTreeMap sorted; Ollama keeps struct declaration
+      // order with explicit nulls; Voyage sorts with input_type between
+      // input and model
+      """WITH base AS (SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
+        |  doc_id % 3 AS r,
+        |  doc_id % 2 = 0 AS has_sys
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN r = 0 THEN 'https://api.anthropic.com/v1/messages'
+        |       WHEN r = 1 THEN 'http://localhost:11434/api/generate'
+        |       ELSE 'https://api.voyageai.com/v1/embeddings' END AS path,
+        |  CASE WHEN r = 0 THEN
+        |    '{"max_tokens":4096,"messages":[{"content":[{"text":"Extract: '
+        |    || p || '","type":"text"}],"role":"user"}],"model":"claude-3-5-sonnet"'
+        |    || CASE WHEN has_sys THEN ',"system":"extract metadata as json"'
+        |            ELSE '' END ||
+        |    ',"tools":[{"input_schema":{"type":"object"},"name":"report_result","type":"custom"}]}'
+        |  WHEN r = 1 THEN
+        |    '{"model":"llama3.2","prompt":"Extract: ' || p ||
+        |    '","images":null,"format":null,"system":' ||
+        |    CASE WHEN has_sys THEN '"extract metadata as json"'
+        |         ELSE 'null' END || ',"stream":false}'
+        |  ELSE
+        |    '{"input":"' || p || '"' ||
+        |    CASE WHEN has_sys THEN ',"input_type":"document"' ELSE '' END ||
+        |    ',"model":"voyage-3.5"}'
+        |  END AS body
+        |FROM base""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
