@@ -3688,6 +3688,36 @@ object SparkEntry {
       .toDF("doc_id", "path", "body")
   }
 
+  /** Duration-spec parsing in the gate (src/base/duration.rs:1-188
+    * via dataflow.Durations): the reference's own inline test inputs —
+    * both grammars, every error arm — replayed per document through
+    * the distributed row path, against a VALUES oracle carrying the
+    * reference's expected micros / verbatim error strings. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cases = Seq("P1M", "P1W", "P1D", "PT2H", "PT3M", "PT4S",
+      "P1Y2M3W4DT5H6M7S", "P1D1D", "P1W1Y", "PT2S1H", "-P1D", "P0D",
+      "PT0H0M0S", "PT1.5S", "PT441010.456123S", "PT0.000001S", "P1.5D",
+      "P1.25Y", "P2.75M", "P0.5W", "-P1.5D", "P1.5DT2.5H3.5M4.5S",
+      "PT1.1H2.2M3.3S", "1 day", "2 DAYS", "4 HoUrS", "6 minutes",
+      "8 seconds", "10 milliseconds", "12 microseconds",
+      "1 day 2 hours 3 minutes 4 seconds", "7 minutes 6 hours 5 days",
+      "-1 day 2 hours", "  1  day   2  hours ", "", "P", "PT", "PD", "PTM",
+      "P1H", "P1X", "p1h", "PT1h", "P1D2", "PT1..5S", "P-1D", "1", "one day",
+      "1.5 hours", "1 year", "1day", "P1T2H", "P1DT2H T3M")
+      .zipWithIndex.map { case (in, k) => (k, in) }
+    t(s, dir, "documents").select(col("doc_id"))
+      .crossJoin(cases.toDF("k", "input"))
+      .as[(Long, Int, String)]
+      .map { case (id, k, in) =>
+        dataflow.Durations.tryParseMicros(in) match {
+          case Right(us) => (id, k, in, true, Some(us), None: Option[String])
+          case Left(e) => (id, k, in, false, None: Option[Long], Some(e))
+        }
+      }
+      .toDF("doc_id", "k", "input", "ok", "micros", "err")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3852,7 +3882,8 @@ object SparkEntry {
     "q155_minimal_api" -> q155 _,
     "q156_txn_manager" -> q156 _,
     "q157_fix_entity_types" -> q157 _,
-    "q158_provider_requests" -> q158 _)
+    "q158_provider_requests" -> q158 _,
+    "q159_duration_parse" -> q159 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6010,7 +6041,77 @@ object SparkEntry {
         |    CASE WHEN has_sys THEN ',"input_type":"document"' ELSE '' END ||
         |    ',"model":"voyage-3.5"}'
         |  END AS body
-        |FROM base""".stripMargin)
+        |FROM base""".stripMargin,
+    "q159_duration_parse" ->
+      // the reference's duration.rs inline tests as a constant table:
+      // micros for the ok arms (date components truncate to micros,
+      // H/M round to nanos, S rounds only the fraction), verbatim
+      // error strings for the failure arms
+      """WITH vd(k, input, ok, micros, err) AS (VALUES
+        |  (0, 'P1M', true, 2592000000000, NULL),
+        |  (1, 'P1W', true, 604800000000, NULL),
+        |  (2, 'P1D', true, 86400000000, NULL),
+        |  (3, 'PT2H', true, 7200000000, NULL),
+        |  (4, 'PT3M', true, 180000000, NULL),
+        |  (5, 'PT4S', true, 4000000, NULL),
+        |  (6, 'P1Y2M3W4DT5H6M7S', true, 38898367000000, NULL),
+        |  (7, 'P1D1D', true, 172800000000, NULL),
+        |  (8, 'P1W1Y', true, 32140800000000, NULL),
+        |  (9, 'PT2S1H', true, 3602000000, NULL),
+        |  (10, '-P1D', true, -86400000000, NULL),
+        |  (11, 'P0D', true, 0, NULL),
+        |  (12, 'PT0H0M0S', true, 0, NULL),
+        |  (13, 'PT1.5S', true, 1500000, NULL),
+        |  (14, 'PT441010.456123S', true, 441010456123, NULL),
+        |  (15, 'PT0.000001S', true, 1, NULL),
+        |  (16, 'P1.5D', true, 129600000000, NULL),
+        |  (17, 'P1.25Y', true, 39420000000000, NULL),
+        |  (18, 'P2.75M', true, 7128000000000, NULL),
+        |  (19, 'P0.5W', true, 302400000000, NULL),
+        |  (20, '-P1.5D', true, -129600000000, NULL),
+        |  (21, 'P1.5DT2.5H3.5M4.5S', true, 138814500000, NULL),
+        |  (22, 'PT1.1H2.2M3.3S', true, 4095300000, NULL),
+        |  (23, '1 day', true, 86400000000, NULL),
+        |  (24, '2 DAYS', true, 172800000000, NULL),
+        |  (25, '4 HoUrS', true, 14400000000, NULL),
+        |  (26, '6 minutes', true, 360000000, NULL),
+        |  (27, '8 seconds', true, 8000000, NULL),
+        |  (28, '10 milliseconds', true, 10000, NULL),
+        |  (29, '12 microseconds', true, 12, NULL),
+        |  (30, '1 day 2 hours 3 minutes 4 seconds', true, 93784000000, NULL),
+        |  (31, '7 minutes 6 hours 5 days', true, 454020000000, NULL),
+        |  (32, '-1 day 2 hours', true, -79200000000, NULL),
+        |  (33, '  1  day   2  hours ', true, 93600000000, NULL),
+        |  (34, '', false, NULL, 'Empty duration string'),
+        |  (35, 'P', false, NULL, 'No components in duration: P'),
+        |  (36, 'PT', false, NULL,
+        |   'Time part present but no time components in: PT'),
+        |  (37, 'PD', false, NULL, 'Expected number in: PD'),
+        |  (38, 'PTM', false, NULL, 'Expected number in: PTM'),
+        |  (39, 'P1H', false, NULL, 'Invalid unit ''H'' in: P1H'),
+        |  (40, 'P1X', false, NULL, 'Invalid unit ''X'' in: P1X'),
+        |  (41, 'p1h', false, NULL,
+        |   'Duration must start with ''P'' in: p1h'),
+        |  (42, 'PT1h', false, NULL, 'Invalid unit ''h'' in: PT1h'),
+        |  (43, 'P1D2', false, NULL,
+        |   'Missing unit after number ''2'' in: P1D2'),
+        |  (44, 'PT1..5S', false, NULL, 'Invalid unit ''.'' in: PT1..5S'),
+        |  (45, 'P-1D', false, NULL, 'Expected number in: P-1D'),
+        |  (46, '1', false, NULL,
+        |   'Invalid human-readable duration format in: 1'),
+        |  (47, 'one day', false, NULL, 'Invalid number ''one'' in: one day'),
+        |  (48, '1.5 hours', false, NULL,
+        |   'Invalid number ''1.5'' in: 1.5 hours'),
+        |  (49, '1 year', false, NULL, 'Invalid unit ''year'' in: 1 year'),
+        |  (50, '1day', false, NULL,
+        |   'Invalid human-readable duration format in: 1day'),
+        |  (51, 'P1T2H', false, NULL,
+        |   'Missing unit after number ''1'' in: P1T2H'),
+        |  (52, 'P1DT2H T3M', false, NULL,
+        |   'Expected number in: P1DT2H T3M'))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.input, v.ok,
+        |  CAST(v.micros AS BIGINT) AS micros, v.err
+        |FROM documents d CROSS JOIN vd v""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
