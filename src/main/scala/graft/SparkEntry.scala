@@ -3718,6 +3718,38 @@ object SparkEntry {
       .toDF("doc_id", "k", "input", "ok", "micros", "err")
   }
 
+  /** Evaluate-and-dump in the gate (dumper.rs:189-242 file naming,
+    * :26-57 document shape, yaml_ser scalar mapping via
+    * incremental.EvaluateDump): per document, the url-encoded
+    * colon-joined key prefix truncated under a 118-byte source name
+    * (cap 9 bytes — %7 residues collide and draw source-order `.i`
+    * extra ids through the distributed window), plus the emitted YAML
+    * document — even docs export two rows sorted by primary key with
+    * the %3==2 residue exercising BTreeMap last-wins dedup, odd docs
+    * carry the error arm with exports omitted. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import incremental.EvaluateDump
+    import incremental.EvaluateDump._
+    val name118 = "s" * 118
+    val base = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val parts = Seq("d " + (id % 7), id.toString)
+        val prefix = EvaluateDump.fileNamePrefix(parts, name118)
+        val m = (id % 3).toInt
+        val doc =
+          if (id % 2 == 0)
+            sourceOutputData(YInt(id), Some(Seq("chunks" -> exportData(Seq(
+              Vector[KeyPart](KInt(m)) -> (YHash(Seq("id" -> YInt(m),
+                "text" -> YStr("a" + m))): Yml),
+              Vector[KeyPart](KInt(2)) -> (YHash(Seq("id" -> YInt(2),
+                "text" -> YStr("b2"))): Yml))))), None)
+          else sourceOutputData(YInt(id), None, Some("boom " + id))
+        (id, prefix, EvaluateDump.emit(doc))
+      }.toDF("doc_id", "prefix", "yaml")
+    EvaluateDump.withFileNames(base, name118, col("prefix"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3883,7 +3915,8 @@ object SparkEntry {
     "q156_txn_manager" -> q156 _,
     "q157_fix_entity_types" -> q157 _,
     "q158_provider_requests" -> q158 _,
-    "q159_duration_parse" -> q159 _)
+    "q159_duration_parse" -> q159 _,
+    "q160_evaluate_dump" -> q160 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6111,7 +6144,36 @@ object SparkEntry {
         |   'Expected number in: P1DT2H T3M'))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.input, v.ok,
         |  CAST(v.micros AS BIGINT) AS micros, v.err
-        |FROM documents d CROSS JOIN vd v""".stripMargin)
+        |FROM documents d CROSS JOIN vd v""".stripMargin,
+    "q160_evaluate_dump" ->
+      // prefix = urlencoded 'd {r}' ':' id truncated to 9 bytes (the
+      // exclusive 128-len cap under a 118-byte name); extra ids by
+      // source order within prefix-collision groups; yaml by arm
+      """WITH b AS (SELECT doc_id,
+        |  substr('d%20' || (doc_id % 7) || ':' || doc_id, 1, 9) AS prefix
+        |  FROM documents),
+        |f AS (SELECT doc_id, prefix,
+        |  CASE WHEN COUNT(*) OVER (PARTITION BY prefix) > 1
+        |    THEN '.' || (ROW_NUMBER() OVER (PARTITION BY prefix
+        |                 ORDER BY doc_id) - 1)
+        |    ELSE '' END AS extra
+        |  FROM b)
+        |SELECT doc_id, prefix,
+        |  repeat('s', 118) || '@' || prefix || extra || '.yaml' AS file_name,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    '---' || chr(10) || 'key: ' || doc_id || chr(10) ||
+        |    'exports:' || chr(10) || '  chunks:' || chr(10) ||
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN '    - id: 0' || chr(10) ||
+        |        '      text: a0' || chr(10) ||
+        |        '    - id: 2' || chr(10) || '      text: b2'
+        |      WHEN 1 THEN '    - id: 1' || chr(10) ||
+        |        '      text: a1' || chr(10) ||
+        |        '    - id: 2' || chr(10) || '      text: b2'
+        |      ELSE '    - id: 2' || chr(10) || '      text: b2' END
+        |  ELSE '---' || chr(10) || 'key: ' || doc_id || chr(10) ||
+        |    'error: boom ' || doc_id END AS yaml
+        |FROM f""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
