@@ -35,4 +35,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(close(BenchGuard.threshold(0.3), 0.9 + 0.15))
     assert(close(BenchGuard.threshold(0.4), 1.2 + 0.2))
   }
+
+  test("bench_schema 3 card carries settle and retime counts") {
+    // the r13 adjudication gap: q08/q09/q15 recorded 3.8-4.5x their
+    // steady state on a loaded driver machine and only a judge re-run
+    // could discount them — with settle on the card, recorded>>settle
+    // reads as machine noise from the card alone
+    val card = BenchGuard.renderCard(
+      total = 1.5, inclusive = 21.5,
+      results = Seq("q08" -> 1.19, "q09" -> 0.31),
+      settle = Seq("q08" -> 0.32, "q09" -> 0.11),
+      retimed = Seq("q08" -> 1.0),
+      prep = Seq("ingest_artifacts" -> 5.0, "jit_warmup" -> 15.0,
+        "job_floor" -> 0.09),
+      errors = Nil, sfDir = "/root/testdata/sf0.1")
+    assert(card ===
+      """{"metric":"total","value":1.5,"unit":"sec",""" +
+      """"value_inclusive":21.5,"bench_schema":3,""" +
+      """"queries":{"q08":1.19,"q09":0.31},""" +
+      """"settle":{"q08":0.32,"q09":0.11},""" +
+      """"retimed":{"q08":1.0},""" +
+      """"prep":{"ingest_artifacts":5.0,"jit_warmup":15.0,"job_floor":0.09},""" +
+      """"errors":[],"sf":"/root/testdata/sf0.1"}""")
+    // the card stays one parseable JSON line with an error arm
+    val err = BenchGuard.renderCard(-1.0, -1.0, Seq("q01" -> -1.0),
+      Seq(), Seq(), Seq("job_floor" -> 0.1), Seq("q01"), "sf")
+    assert(err.contains(""""errors":["q01"]"""))
+    assert(err.contains(""""settle":{}"""))
+  }
 }
