@@ -3750,6 +3750,32 @@ object SparkEntry {
     EvaluateDump.withFileNames(base, name118, col("prefix"), col("doc_id"))
   }
 
+  /** Per-row indexing status in the gate (indexing_status.rs:1-65 via
+    * FlowApi.indexingStatus): documents as the live source listing
+    * (%11 residue losing its ordinal → the per-row error), a tracking
+    * table covering %3≠0 keys with %5-varied logic fingerprints and
+    * micros process times — the left join's never-processed /
+    * stale-logic / current arms all exercised; timestamps compared as
+    * micros. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.FlowApi
+    val docs = t(s, dir, "documents")
+    val current = docs.select(
+      col("doc_id").cast("string").as("source_key"),
+      when(col("doc_id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id") % 50).as("ordinal"))
+    val tracking = docs.where(col("doc_id") % 3 =!= 0).select(
+      col("doc_id").cast("string").as("source_key"),
+      (col("doc_id") % 50 - col("doc_id") % 2).as("ordinal"),
+      when(col("doc_id") % 5 === 0, lit("fpB")).otherwise(lit("fpA"))
+        .as("logic_fp"),
+      (lit(1700000000000000L) + col("doc_id")).as("process_time_micros"))
+    FlowApi.indexingStatus(current, tracking, "fpA")
+      .select(col("source_key"), col("last_ordinal"),
+        unix_micros(col("processing_time")).as("process_time_micros"),
+        col("is_logic_current"), col("current_ordinal"), col("err"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3916,7 +3942,8 @@ object SparkEntry {
     "q157_fix_entity_types" -> q157 _,
     "q158_provider_requests" -> q158 _,
     "q159_duration_parse" -> q159 _,
-    "q160_evaluate_dump" -> q160 _)
+    "q160_evaluate_dump" -> q160 _,
+    "q161_indexing_status" -> q161 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6173,7 +6200,27 @@ object SparkEntry {
         |      ELSE '    - id: 2' || chr(10) || '      text: b2' END
         |  ELSE '---' || chr(10) || 'key: ' || doc_id || chr(10) ||
         |    'error: boom ' || doc_id END AS yaml
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    "q161_indexing_status" ->
+      // left join of live listing vs tracking: last_* null when never
+      // processed; is_logic_current compares stored vs plan fp; a
+      // missing live ordinal is the per-row error
+      """WITH cur AS (SELECT CAST(doc_id AS VARCHAR) AS source_key,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE doc_id % 50 END AS current_ordinal
+        |  FROM documents),
+        |tr AS (SELECT CAST(doc_id AS VARCHAR) AS source_key,
+        |  doc_id % 50 - doc_id % 2 AS last_ordinal,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'fpB' ELSE 'fpA' END AS fp,
+        |  1700000000000000 + doc_id AS pt
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT c.source_key, t.last_ordinal,
+        |  t.pt AS process_time_micros,
+        |  (t.fp = 'fpA') AS is_logic_current,
+        |  c.current_ordinal,
+        |  CASE WHEN c.current_ordinal IS NULL
+        |    THEN 'Ordinal is unavailable for the source' END AS err
+        |FROM cur c LEFT JOIN tr t USING (source_key)""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
