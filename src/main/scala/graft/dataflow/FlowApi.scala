@@ -51,6 +51,9 @@ object FlowApi {
         Left(s"field $field does not have a key")
       case Some(_) if keyParts > expectedParts =>
         Left("Key parts more than expected")
+      case Some(_) if keyParts < expectedParts =>
+        // parts_from_str runs out of iterator (value.rs:225-227)
+        Left("Key parts less than expected")
       case Some(f) => Right(f)
     }
 
@@ -68,20 +71,32 @@ object FlowApi {
     import graft.incremental.EvaluateDump._
     def one(p: KeyPart): String = p match {
       case KBytes(v) =>
-        // bytes::Bytes Debug: b".." with \x escapes
+        // bytes::Bytes Debug: b".." with the named escapes for
+        // \n \r \t \0 \" \\ and \x.. for other non-printables
         "Bytes(b\"" + v.map {
-          case b if b >= 0x20 && b < 0x7f && b != '"' && b != '\\' =>
-            b.toChar.toString
+          case b if b == '\n' => "\\n"
+          case b if b == '\r' => "\\r"
+          case b if b == '\t' => "\\t"
+          case b if b == 0 => "\\0"
+          case b if b == '"' => "\\\""
+          case b if b == '\\' => "\\\\"
+          case b if b >= 0x20 && b < 0x7f => b.toChar.toString
           case b => f"\\x${b & 0xff}%02x"
         }.mkString + "\")"
-      case KStr(v) => "Str(\"" + v.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\t' => "\\t"
-        case '\r' => "\\r"
-        case c => c.toString
-      } + "\")"
+      case KStr(v) =>
+        // str escape_debug: named escapes, then \u{..} for other
+        // control chars; printable unicode passes through
+        "Str(\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\t' => "\\t"
+          case '\r' => "\\r"
+          case '\u0000' => "\\0"
+          case c if Character.isISOControl(c) =>
+            s"\\u{${Integer.toHexString(c.toInt)}}"
+          case c => c.toString
+        } + "\")"
       case KBool(v) => s"Bool($v)"
       case KInt(v) => s"Int64($v)"
       case KRange(s, e) => s"Range(RangeValue { start: $s, end: $e })"

@@ -332,6 +332,12 @@ object EvaluateDump {
     if (n.isNull) YNull
     else if (n.isBoolean) YBool(n.booleanValue)
     else if (n.isIntegralNumber && n.canConvertToLong) YInt(n.longValue)
+    else if (n.isIntegralNumber &&
+      n.bigIntegerValue.signum >= 0 && n.bigIntegerValue.bitLength <= 64)
+      // serde_json parses (i64::MAX, u64::MAX] as u64 → Real with the
+      // EXACT decimal digits (review r14 #7: the double detour was off
+      // by one at u64::MAX)
+      YReal(n.bigIntegerValue.toString)
     else if (n.isNumber) YReal(rustFloatDisplay(n.doubleValue))
     else if (n.isTextual) YStr(n.textValue)
     else if (n.isArray)
@@ -424,15 +430,18 @@ object EvaluateDump {
       case YInt(v) => sb.append(v)
       case YReal(s) => sb.append(s)
       case YStr(s) if s.contains("\n") =>
-        // multiline_strings(true): literal block; `|` keeps the single
-        // trailing newline, `|-` strips when there is none
-        val keep = s.endsWith("\n")
-        val body = if (keep) s.dropRight(1) else s
-        sb.append(if (keep) "|" else "|-")
+        // multiline_strings(true): literal block. Chomping by trailing
+        // newline count (review r14 #6: clip `|` keeps exactly ONE
+        // trailing newline, so two-plus need keep `|+`): none → `|-`,
+        // one → `|`, more → `|+` with the extra blank lines emitted.
+        val trailing = s.length - s.reverse.dropWhile(_ == '\n').length
+        val header =
+          if (trailing == 0) "|-" else if (trailing == 1) "|" else "|+"
+        val body = if (trailing == 0) s else s.dropRight(1)
+        sb.append(header)
         body.split("\n", -1).foreach { line =>
           sb.append("\n")
-          pad(sb, indent + 1)
-          sb.append(line)
+          if (line.nonEmpty) { pad(sb, indent + 1); sb.append(line) }
         }
       case YStr(s) => sb.append(scalarText(s))
       case other =>

@@ -32,9 +32,41 @@ object ProviderWires {
 
   /** Re-serialize a JSON string the way `serde_json::to_value` +
     * BTreeMap does: object keys sorted bytewise at every level,
-    * minimal separators. Array order and scalar text are preserved. */
+    * minimal separators. Array order and integer/string text are
+    * preserved; floats round-trip through f64 and re-render in
+    * serde_json's ryu text (fixed notation with a mandatory `.0` on
+    * integral values inside the 16-digit window, bare `de±x`
+    * scientific outside it) — Java's E-notation never leaks. */
   private[operators] def sortedJson(json: String): String =
-    mapper.writeValueAsString(sortNode(mapper.readTree(json)))
+    mapper.writeValueAsString(sortedNode(json))
+
+  /** The sorted tree itself, for embedding into a larger payload
+    * without a serialize→reparse round trip (which would put float
+    * nodes back through Jackson's Double.toString). */
+  private[operators] def sortedNode(json: String): JsonNode =
+    sortNode(mapper.readTree(json))
+
+  /** serde_json float text (the ryu pretty printer): `0.0`/`-0.0`,
+    * fixed notation while the leading digit sits in 10^-5..10^15,
+    * otherwise `{mantissa}e{exp}` with no `+` and no forced `.0`. */
+  private[graft] def serdeFloatText(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros
+    val kk = bd.precision - bd.scale // digits before the decimal point
+    if (kk > 0 && kk <= 16) {
+      val plain = bd.toPlainString
+      if (bd.scale <= 0) plain + ".0" else plain
+    } else if (kk > -5 && kk <= 0) bd.toPlainString
+    else {
+      val digits = bd.unscaledValue.abs.toString
+      val sign = if (bd.signum < 0) "-" else ""
+      val mantissa =
+        if (digits.length == 1) digits
+        else digits.head + "." + digits.tail
+      s"$sign${mantissa}e${kk - 1}"
+    }
+  }
 
   private def sortNode(n: JsonNode): JsonNode = n match {
     case o: ObjectNode =>
@@ -47,6 +79,12 @@ object ProviderWires {
       val out = mapper.createArrayNode()
       (0 until a.size).foreach(i => out.add(sortNode(a.get(i))))
       out
+    case f if f.isFloatingPointNumber =>
+      // serde_json re-renders through ryu; RawValue keeps our text out
+      // of Jackson's Double.toString E-notation
+      mapper.getNodeFactory.rawValueNode(
+        new com.fasterxml.jackson.databind.util.RawValue(
+          serdeFloatText(f.doubleValue)))
     case other => other
   }
 
@@ -154,7 +192,7 @@ object AnthropicWire {
     root.put("model", model)
     systemPrompt.foreach(root.put("system", _))
     val tool = root.putArray("tools").addObject()
-    tool.set[JsonNode]("input_schema", mapper.readTree(sortedJson(schema)))
+    tool.set[JsonNode]("input_schema", sortedNode(schema))
     tool.put("name", ToolName)
     tool.put("type", "custom")
     OpenAiRequest(Url, mapper.writeValueAsString(root))
@@ -163,6 +201,14 @@ object AnthropicWire {
   /** Jackson with the json5-ish relaxations the reference's fallback
     * parser accepts (comments, single quotes, unquoted keys, trailing
     * commas). */
+  /** Strict parse in serde_json's sense: whole-input, non-empty. */
+  private val strict: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
   private val permissive: ObjectMapper = {
     val f = new JsonFactoryBuilder()
       .enable(JsonReadFeature.ALLOW_JAVA_COMMENTS)
@@ -170,7 +216,11 @@ object AnthropicWire {
       .enable(JsonReadFeature.ALLOW_UNQUOTED_FIELD_NAMES)
       .enable(JsonReadFeature.ALLOW_TRAILING_COMMA)
       .build()
-    new ObjectMapper(f)
+    val m = new ObjectMapper(f)
+    // json5::from_str is whole-input too
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
   }
 
   /** Response extraction (anthropic.rs:110-167). An `error` field is
@@ -204,10 +254,13 @@ object AnthropicWire {
       throw new IllegalStateException(
         "No structured tool output or text found in response")
     val s = text.asText
-    try { mapper.readTree(s); s }
+    // serde_json::from_str rejects trailing tokens and empty input —
+    // plain readTree would accept both (review r14 #2)
+    try { strict.readValue(s, classOf[JsonNode]); s }
     catch {
       case e1: Exception =>
-        try sortedJson(permissive.readTree(s).toString)
+        try sortedJson(
+          permissive.readValue(s, classOf[JsonNode]).toString)
         catch {
           case e2: Exception =>
             throw new IllegalStateException(
@@ -223,9 +276,12 @@ object AnthropicWire {
     JsonSchemaOptions(fieldsAlwaysRequired = false, supportsFormat = false,
       extractDescriptions = false, topLevelMustBeObject = true)
 
-  /** Generation client over the shared transport: renders, posts once
-    * per [[OpenAiWire.sendWithRetry]] attempt, extracts. A non-2xx is
-    * the reference's status+body error (anthropic.rs:103-109). */
+  /** Generation client over the shared transport: renders, posts with
+    * OpenAiWire's retry cadence on 429/5xx, but — unlike
+    * sendWithRetry, which throws its own generic error — hands the
+    * FINAL response back so a non-2xx raises the reference's
+    * status+body error (anthropic.rs:103-109; review r14 #1: routing
+    * through sendWithRetry made that arm unreachable). */
   final case class AnthropicClient(mkApi: () => OpenAiHttp, model: String,
       apiKey: String, systemPrompt: Option[String] = None,
       schemaJson: Option[String] = None,
@@ -234,7 +290,16 @@ object AnthropicWire {
     @transient private lazy val api = mkApi()
     def generate(prompt: String, image: Option[Array[Byte]] = None): String = {
       val req = renderMessages(model, prompt, systemPrompt, image, schemaJson)
-      val resp = OpenAiWire.sendWithRetry(api, req, sleeper)
+      var attempt = 1
+      var resp = api.post(req)
+      while (resp.status / 100 != 2 &&
+        (resp.status == 429 || resp.status / 100 == 5) &&
+        attempt < OpenAiWire.MaxAttempts) {
+        sleeper(resp.retryAfterSec.getOrElse(
+          OpenAiWire.backoffSeconds(attempt + 1)))
+        resp = api.post(req)
+        attempt += 1
+      }
       if (resp.status / 100 != 2)
         throw new IllegalStateException(
           s"Anthropic API error: ${resp.status}\n${resp.body}\n")

@@ -150,6 +150,14 @@ class EvaluateDumpSpec extends AnyFunSuite {
         "a" -> YArr(Seq(YBool(true), YNull, YStr("s"), YReal("2.5"))),
         "m" -> YHash(Seq("x" -> YInt(2), "y" -> YInt(1))),
         "z" -> YInt(1))))
+    // review r14 #7: u64-range integers keep their exact digits (the
+    // serde_json u64 path), not a double round-trip
+    assert(yJson("18446744073709551615") === YReal("18446744073709551615"))
+    assert(yJson("9223372036854775808") === YReal("9223372036854775808"))
+    assert(yJson("9223372036854775807") === YInt(Long.MaxValue))
+    // beyond u64 serde_json falls back to f64
+    assert(yJson("18446744073709551616") ===
+      YReal(rustFloatDisplay(1.8446744073709552e19)))
   }
 
   // ----------------------------------------------------------------
@@ -199,5 +207,21 @@ class EvaluateDumpSpec extends AnyFunSuite {
     assert(emit(YHash(Seq("a" -> YStr("true"), "b" -> YStr(" x"),
       "c" -> YHash(Seq()), "d" -> YArr(Seq())))) ===
       "---\na: \"true\"\nb: \" x\"\nc: {}\nd: []")
+  }
+
+  test("literal-block chomping round-trips trailing newlines " +
+    "(review r14 #6)") {
+    // none → |-, exactly one → |, two-plus → |+ with blank lines kept
+    assert(emit(YHash(Seq("t" -> YStr("a\nb")))) ===
+      "---\nt: |-\n  a\n  b")
+    assert(emit(YHash(Seq("t" -> YStr("a\nb\n")))) ===
+      "---\nt: |\n  a\n  b")
+    assert(emit(YHash(Seq("t" -> YStr("a\n\n")))) ===
+      "---\nt: |+\n  a\n")
+    assert(emit(YHash(Seq("t" -> YStr("a\n\n\n")))) ===
+      "---\nt: |+\n  a\n\n")
+    // interior empty lines emit bare (no trailing-space padding)
+    assert(emit(YHash(Seq("t" -> YStr("a\n\nb")))) ===
+      "---\nt: |-\n  a\n\n  b")
   }
 }

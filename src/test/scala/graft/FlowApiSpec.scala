@@ -43,6 +43,9 @@ class FlowApiSpec extends AnyFunSuite {
       Left("field events does not have a key"))
     assert(FlowApi.sourceRowKeyValidation(fields, "documents", 2, 1) ===
       Left("Key parts more than expected"))
+    // too FEW parts fail too — parts_from_str runs out (review r14 #5)
+    assert(FlowApi.sourceRowKeyValidation(fields, "documents", 1, 2) ===
+      Left("Key parts less than expected"))
     assert(FlowApi.sourceRowKeyValidation(fields, "documents", 1, 1) ===
       Right(fields.head))
   }
@@ -54,11 +57,18 @@ class FlowApiSpec extends AnyFunSuite {
     assert(FlowApi.keyDebug(Vector(KRange(2, 9))) ===
       "Range(RangeValue { start: 2, end: 9 })")
     assert(FlowApi.keyDebug(Vector(KBytes(Seq('H'.toByte, 0.toByte)))) ===
-      "Bytes(b\"H\\x00\")")
+      "Bytes(b\"H\\0\")")
     assert(FlowApi.keyDebug(Vector(KStr("d"), KInt(3))) ===
       "Struct([Str(\"d\"), Int64(3)])")
     assert(FlowApi.valueNotFound(FlowApi.keyDebug(Vector(KInt(5)))) ===
       "value not found for source at the specified key: Int64(5)")
+    // review r14 #3: bytes Debug uses the NAMED escapes for
+    // \n \r \t \0 \" \\ (not \x..); str escape_debug uses \u{..}
+    assert(FlowApi.keyDebug(Vector(KBytes(Seq('\n'.toByte, '"'.toByte,
+      0.toByte, '\t'.toByte, 0x7f.toByte)))) ===
+      "Bytes(b\"\\n\\\"\\0\\t\\x7f\")")
+    assert(FlowApi.keyDebug(Vector(KStr("a\u0001b\u0000"))) ===
+      "Str(\"a\\u{1}b\\0\")")
   }
 
   test("fingerprint codec faces: 24=base64, 32=legacy hex, else error") {

@@ -101,6 +101,72 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(err.getMessage.startsWith("Anthropic API error: "))
   }
 
+  test("anthropic: strict parse is whole-input (review r14 #2)") {
+    // trailing prose after valid JSON: serde_json rejects, json5
+    // rejects too → the two-error frame, NOT a verbatim passthrough
+    val trailing =
+      """{"content":[{"type":"text","text":"{\"a\":1} Hope this helps!"}]}"""
+    val e = intercept[IllegalStateException](
+      AnthropicWire.parseResponse(trailing))
+    assert(e.getMessage.startsWith(
+      "No structured tool output or text found in response, and "))
+    // empty text is not strict JSON either
+    val empty = """{"content":[{"type":"text","text":""}]}"""
+    val e2 = intercept[IllegalStateException](
+      AnthropicWire.parseResponse(empty))
+    assert(e2.getMessage.startsWith(
+      "No structured tool output or text found in response, and "))
+  }
+
+  test("anthropic: non-2xx raises the status+body error (review r14 #1)") {
+    import graft.operators.OpenAiWire.{OpenAiHttp, OpenAiRequest,
+      OpenAiResponse}
+    final case class FixedApi(status: Int) extends OpenAiHttp {
+      var posts = 0
+      override def post(req: OpenAiRequest): OpenAiResponse = {
+        posts += 1
+        OpenAiResponse(status, Some(1), s"err-body-$status")
+      }
+    }
+    // non-retryable 400: one post, the Anthropic-branded error
+    val api400 = FixedApi(400)
+    val c400 = AnthropicWire.AnthropicClient(() => api400, "claude-3",
+      "key", schemaJson = Some("""{"type":"object"}"""), sleeper = _ => ())
+    val e = intercept[IllegalStateException](c400.generate("p"))
+    assert(e.getMessage === "Anthropic API error: 400\nerr-body-400\n")
+    assert(api400.posts === 1)
+    // retryable 429 exhausts the 3 attempts, then the same error shape
+    val api429 = FixedApi(429)
+    val c429 = AnthropicWire.AnthropicClient(() => api429, "claude-3",
+      "key", schemaJson = Some("""{"type":"object"}"""), sleeper = _ => ())
+    val e2 = intercept[IllegalStateException](c429.generate("p"))
+    assert(e2.getMessage === "Anthropic API error: 429\nerr-body-429\n")
+    assert(api429.posts === 3)
+  }
+
+  test("sorted re-serialization renders floats in serde_json text " +
+    "(review r14 #4)") {
+    import graft.operators.ProviderWires.serdeFloatText
+    assert(serdeFloatText(1.0e9) === "1000000000.0")
+    assert(serdeFloatText(1.0e7) === "10000000.0")
+    assert(serdeFloatText(2.5) === "2.5")
+    assert(serdeFloatText(0.001) === "0.001")
+    assert(serdeFloatText(0.0) === "0.0")
+    assert(serdeFloatText(-0.0) === "-0.0")
+    assert(serdeFloatText(1.0e16) === "1e16")
+    assert(serdeFloatText(1.23e20) === "1.23e20")
+    assert(serdeFloatText(1.0e-6) === "1e-6")
+    assert(serdeFloatText(-3.5e17) === "-3.5e17")
+    // through the request render: no Java E-notation in the body
+    val req = AnthropicWire.renderMessages("m", "p",
+      schemaJson = Some("""{"maximum":1e9,"x":2.5}"""))
+    assert(req.body.contains(""""input_schema":{"maximum":1000000000.0,"x":2.5}"""))
+    // and through tool-input extraction
+    val body =
+      """{"content":[{"type":"tool_use","name":"report_result","input":{"count":10000000.0}}]}"""
+    assert(AnthropicWire.parseResponse(body) === """{"count":10000000.0}""")
+  }
+
   test("anthropic: schema options") {
     val o = AnthropicWire.schemaOptions
     assert(!o.fieldsAlwaysRequired && !o.supportsFormat &&
