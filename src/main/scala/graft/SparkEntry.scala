@@ -3776,6 +3776,44 @@ object SparkEntry {
         col("is_logic_current"), col("current_ordinal"), col("err"))
   }
 
+  /** Output-schema building in the gate (src/base/json_schema.rs via
+    * operators.JsonSchemaBuild): six case rows per document spanning
+    * the provider option sets — in-schema vs extracted descriptions,
+    * format support, null widening under fields_always_required, the
+    * value wrapper for non-struct roots, oneOf unions, and the
+    * root-object instructions label — against a VALUES oracle of the
+    * exact serialized schemas. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.JsonSchemaBuild
+    import operators.JsonSchemaBuild._
+    import operators.ProviderWires.JsonSchemaOptions
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val anthropic = operators.AnthropicWire.schemaOptions
+        val ollama = operators.OllamaWire.schemaOptions
+        val openaiLike = JsonSchemaOptions(fieldsAlwaysRequired = true,
+          supportsFormat = false, extractDescriptions = false,
+          topLevelMustBeObject = true)
+        val plain = JsonSchemaOptions(fieldsAlwaysRequired = false,
+          supportsFormat = true, extractDescriptions = false,
+          topLevelMustBeObject = false)
+        val struct = TStruct(Seq(EField("when", TDate),
+          EField("id", TUuid, nullable = true)))
+        val cases = Seq(
+          JsonSchemaBuild.build(struct, anthropic),
+          JsonSchemaBuild.build(struct, ollama),
+          JsonSchemaBuild.build(struct, openaiLike),
+          JsonSchemaBuild.build(TVector(TFloat32, Some(4)), openaiLike),
+          JsonSchemaBuild.build(TUnion(Seq(TStr, TInt64)), plain),
+          JsonSchemaBuild.build(TRange, ollama))
+        cases.zipWithIndex.map { case (c, k) =>
+          (id, k, c.schemaJson, c.extraInstructions, c.wrapperField)
+        }
+      }
+      .toDF("doc_id", "k", "schema", "extra", "wrapper")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3943,7 +3981,8 @@ object SparkEntry {
     "q158_provider_requests" -> q158 _,
     "q159_duration_parse" -> q159 _,
     "q160_evaluate_dump" -> q160 _,
-    "q161_indexing_status" -> q161 _)
+    "q161_indexing_status" -> q161 _,
+    "q162_schema_build" -> q162 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6220,7 +6259,34 @@ object SparkEntry {
         |  c.current_ordinal,
         |  CASE WHEN c.current_ordinal IS NULL
         |    THEN 'Ordinal is unavailable for the source' END AS err
-        |FROM cur c LEFT JOIN tr t USING (source_key)""".stripMargin)
+        |FROM cur c LEFT JOIN tr t USING (source_key)""".stripMargin,
+    "q162_schema_build" ->
+      // the six schema constants: provider-option variation over one
+      // struct plus wrapper/union/root-instruction arms; newlines in
+      // the instructions block build with chr(10)
+      """WITH vs(k, schema, extra, wrapper) AS (VALUES
+        |  (0, '{"type":"object","required":["when"],"properties":{"id":{"description":"A UUID, e.g. 123e4567-e89b-12d3-a456-426614174000","type":"string"},"when":{"description":"A date in YYYY-MM-DD format, e.g. 2025-03-27","type":"string"}},"additionalProperties":false}',
+        |   NULL, NULL),
+        |  (1, '{"type":"object","required":["when"],"properties":{"id":{"type":"string","format":"uuid"},"when":{"type":"string","format":"date"}},"additionalProperties":false}',
+        |   'Instructions for specific fields:' || chr(10) || chr(10) ||
+        |   '- when: A date in YYYY-MM-DD format, e.g. 2025-03-27' ||
+        |   chr(10) || chr(10) ||
+        |   '- id: A UUID, e.g. 123e4567-e89b-12d3-a456-426614174000' ||
+        |   chr(10) || chr(10), NULL),
+        |  (2, '{"type":"object","required":["id","when"],"properties":{"id":{"description":"A UUID, e.g. 123e4567-e89b-12d3-a456-426614174000","type":["string","null"]},"when":{"description":"A date in YYYY-MM-DD format, e.g. 2025-03-27","type":"string"}},"additionalProperties":false}',
+        |   NULL, NULL),
+        |  (3, '{"type":"object","required":["value"],"properties":{"value":{"type":"array","items":{"type":"number"},"maxItems":4,"minItems":4}},"additionalProperties":false}',
+        |   NULL, 'value'),
+        |  (4, '{"oneOf":[{"type":"string"},{"type":"integer"}]}',
+        |   NULL, NULL),
+        |  (5, '{"type":"array","items":{"type":"integer"},"maxItems":2,"minItems":2}',
+        |   'Instructions for specific fields:' || chr(10) || chr(10) ||
+        |   '- (root object): A range represented by a list of two ' ||
+        |   'positions, start pos (inclusive), end pos (exclusive).' ||
+        |   chr(10) || chr(10), NULL))
+        |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.schema, v.extra,
+        |  v.wrapper
+        |FROM documents d CROSS JOIN vs v""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
