@@ -3814,6 +3814,36 @@ object SparkEntry {
       .toDF("doc_id", "k", "schema", "extra", "wrapper")
   }
 
+  /** Engine Gemini renders in the gate (gemini.rs:79-124/176-183 via
+    * GeminiEngineWire): even docs render generateContent (sorted
+    * payload, query-string key, %4 residue adding systemInstruction),
+    * odd docs render embedContent (the %4==1 residue adding
+    * taskType). Prompts sanitize as in q158 so the oracle
+    * reconstructs by concatenation. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.GeminiEngineWire
+    t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
+          .as("p"))
+      .as[(Long, String)]
+      .map { case (id, p) =>
+        val req =
+          if (id % 2 == 0)
+            GeminiEngineWire.renderGenerateContent("gemini-2.0-flash", "k",
+              "Extract: " + p,
+              systemPrompt =
+                if (id % 4 == 0) Some("extract metadata as json") else None,
+              schemaJson = Some("""{"type":"object"}"""))
+          else
+            GeminiEngineWire.renderEmbedContent("text-embedding-004", "k", p,
+              taskType =
+                if (id % 4 == 1) Some("RETRIEVAL_DOCUMENT") else None)
+        (id, req.path, req.body)
+      }
+      .toDF("doc_id", "path", "body")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -3982,7 +4012,8 @@ object SparkEntry {
     "q159_duration_parse" -> q159 _,
     "q160_evaluate_dump" -> q160 _,
     "q161_indexing_status" -> q161 _,
-    "q162_schema_build" -> q162 _)
+    "q162_schema_build" -> q162 _,
+    "q163_gemini_engine" -> q163 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6286,7 +6317,33 @@ object SparkEntry {
         |   chr(10) || chr(10), NULL))
         |SELECT d.doc_id, CAST(v.k AS INT) AS k, v.schema, v.extra,
         |  v.wrapper
-        |FROM documents d CROSS JOIN vs v""".stripMargin)
+        |FROM documents d CROSS JOIN vs v""".stripMargin,
+    "q163_gemini_engine" ->
+      // sanitized prompts make the sorted payloads reconstructable by
+      // concatenation; the key rides the query string
+      """WITH base AS (SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
+        |  doc_id % 2 AS r, doc_id % 4 AS r4
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN r = 0 THEN
+        |    'https://generativelanguage.googleapis.com/v1beta/models/gemini-2.0-flash:generateContent?key=k'
+        |  ELSE
+        |    'https://generativelanguage.googleapis.com/v1beta/models/text-embedding-004:embedContent?key=k'
+        |  END AS path,
+        |  CASE WHEN r = 0 THEN
+        |    '{"contents":[{"parts":[{"text":"Extract: ' || p ||
+        |    '"}],"role":"user"}],"generationConfig":{"responseMimeType":"application/json","responseSchema":{"type":"object"}}'
+        |    || CASE WHEN r4 = 0 THEN
+        |         ',"systemInstruction":{"parts":[{"text":"extract metadata as json"}]}'
+        |       ELSE '' END || '}'
+        |  ELSE
+        |    '{"content":{"parts":[{"text":"' || p ||
+        |    '"}]},"model":"text-embedding-004"' ||
+        |    CASE WHEN r4 = 1 THEN ',"taskType":"RETRIEVAL_DOCUMENT"'
+        |         ELSE '' END || '}'
+        |  END AS body
+        |FROM base""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
