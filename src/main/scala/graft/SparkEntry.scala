@@ -3844,6 +3844,36 @@ object SparkEntry {
       .toDF("doc_id", "path", "body")
   }
 
+  /** Engine OpenAI renders in the gate (openai.rs:71-132/167-172 via
+    * OpenAiEngineWire): even docs render the typed chat request —
+    * messages before model, omitted Nones, %4==0 adding the system
+    * message, %8==2 adding the strict json_schema response format —
+    * odd docs the embed request with the %4==1 residue requesting
+    * dimensions. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.OpenAiEngineWire
+    t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
+          .as("p"))
+      .as[(Long, String)]
+      .map { case (id, p) =>
+        val req =
+          if (id % 2 == 0)
+            OpenAiEngineWire.renderChat("gpt-4o", "Extract: " + p,
+              systemPrompt =
+                if (id % 4 == 0) Some("extract metadata as json") else None,
+              schemaName = if (id % 8 == 2) Some("extraction") else None,
+              schemaJson =
+                if (id % 8 == 2) Some("""{"type":"object"}""") else None)
+          else
+            OpenAiEngineWire.renderEmbed("text-embedding-3-small", p,
+              outputDimension = if (id % 4 == 1) Some(256) else None)
+        (id, req.path, req.body)
+      }
+      .toDF("doc_id", "path", "body")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4013,7 +4043,8 @@ object SparkEntry {
     "q160_evaluate_dump" -> q160 _,
     "q161_indexing_status" -> q161 _,
     "q162_schema_build" -> q162 _,
-    "q163_gemini_engine" -> q163 _)
+    "q163_gemini_engine" -> q163 _,
+    "q164_openai_engine" -> q164 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6342,6 +6373,32 @@ object SparkEntry {
         |    '"}]},"model":"text-embedding-004"' ||
         |    CASE WHEN r4 = 1 THEN ',"taskType":"RETRIEVAL_DOCUMENT"'
         |         ELSE '' END || '}'
+        |  END AS body
+        |FROM base""".stripMargin,
+    "q164_openai_engine" ->
+      // async_openai shapes: messages stream before model, absent
+      // options leave no key, the schema rides response_format with
+      // strict true
+      """WITH base AS (SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
+        |  doc_id % 2 AS r, doc_id % 4 AS r4, doc_id % 8 AS r8
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN r = 0 THEN '/v1/chat/completions'
+        |       ELSE '/v1/embeddings' END AS path,
+        |  CASE WHEN r = 0 THEN
+        |    '{"messages":[' ||
+        |    CASE WHEN r4 = 0
+        |      THEN '{"role":"system","content":"extract metadata as json"},'
+        |      ELSE '' END ||
+        |    '{"role":"user","content":"Extract: ' || p ||
+        |    '"}],"model":"gpt-4o"' ||
+        |    CASE WHEN r8 = 2 THEN
+        |      ',"response_format":{"type":"json_schema","json_schema":{"name":"extraction","schema":{"type":"object"},"strict":true}}'
+        |    ELSE '' END || '}'
+        |  ELSE
+        |    '{"input":"' || p || '","model":"text-embedding-3-small"' ||
+        |    CASE WHEN r4 = 1 THEN ',"dimensions":256' ELSE '' END || '}'
         |  END AS body
         |FROM base""".stripMargin)
 
