@@ -3874,6 +3874,38 @@ object SparkEntry {
       .toDF("doc_id", "path", "body")
   }
 
+  /** Tracking-table setup grading in the gate (db_tracking_setup.rs:
+    * 56-162 via SetupStates): the %6 residue spans create / no-change
+    * / legacy-rename-Invalid / version-Update / drop+source-ids /
+    * staged-delete-recreate, with doc-varied table names flowing into
+    * the exact action strings and the centered status box. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import incremental.SetupStates._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val t1 = TrackingTableState("t_" + id, 1)
+        val status = (id % 6) match {
+          case 0 => TrackingTableStatus(Some(t1),
+            CombinedState[TrackingTableState](None), Nil).get
+          case 1 => TrackingTableStatus(Some(t1),
+            CombinedState(Some(t1)), Nil).get
+          case 2 => TrackingTableStatus(Some(t1),
+            CombinedState(Some(TrackingTableState("old_" + id, 1))), Nil).get
+          case 3 => TrackingTableStatus(Some(TrackingTableState("t_" + id, 2)),
+            CombinedState(Some(t1)), Nil).get
+          case 4 => TrackingTableStatus(None,
+            CombinedState(Some(t1)), Seq(3, 7)).get
+          case _ => TrackingTableStatus(Some(t1),
+            CombinedState(Some(t1), Seq(Delete)), Nil).get
+        }
+        val code = status.changeType.code
+        (id, code, statusBox(code),
+          status.describeChanges.map(_.text).mkString("|"))
+      }
+      .toDF("doc_id", "change_code", "box", "actions")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4044,7 +4076,8 @@ object SparkEntry {
     "q161_indexing_status" -> q161 _,
     "q162_schema_build" -> q162 _,
     "q163_gemini_engine" -> q163 _,
-    "q164_openai_engine" -> q164 _)
+    "q164_openai_engine" -> q164 _,
+    "q165_tracking_setup" -> q165 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6400,7 +6433,30 @@ object SparkEntry {
         |    '{"input":"' || p || '","model":"text-embedding-3-small"' ||
         |    CASE WHEN r4 = 1 THEN ',"dimensions":256' ELSE '' END || '}'
         |  END AS body
-        |FROM base""".stripMargin)
+        |FROM base""".stripMargin,
+    "q165_tracking_setup" ->
+      // grading ladder constants; action strings carry doc-varied
+      // table names and the reference's trailing '. '
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'TO CREATE' WHEN 1 THEN 'READY'
+        |    WHEN 2 THEN 'INVALID' WHEN 3 THEN 'TO UPDATE'
+        |    WHEN 4 THEN 'TO DELETE' ELSE 'TO CREATE' END AS change_code,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN '[ TO CREATE ]' WHEN 1 THEN '[   READY   ]'
+        |    WHEN 2 THEN '[  INVALID  ]' WHEN 3 THEN '[ TO UPDATE ]'
+        |    WHEN 4 THEN '[ TO DELETE ]' ELSE '[ TO CREATE ]' END AS box,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'Create the tracking table: t_' || doc_id || '. '
+        |    WHEN 1 THEN ''
+        |    WHEN 2 THEN 'Rename legacy tracking tables: old_' || doc_id
+        |      || '. '
+        |    WHEN 3 THEN 'Update the tracking table. '
+        |    WHEN 4 THEN 'Drop existing tracking table: t_' || doc_id ||
+        |      '. |Delete source IDs: 3, 7. '
+        |    ELSE 'Create the tracking table: t_' || doc_id || '. '
+        |  END AS actions
+        |FROM documents""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
