@@ -3906,6 +3906,43 @@ object SparkEntry {
       .toDF("doc_id", "change_code", "box", "actions")
   }
 
+  /** Table-target setup grading in the gate (table_columns.rs:46-162
+    * via TableColumns): the %5 residue spans fresh-create / no-change
+    * / in-place value migration / key-drift drop+recreate / drop-only,
+    * with doc-varied column names flowing into the exact action text
+    * (two-space joins, the Create block's newlines). */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import incremental.SetupStates.CombinedState
+    import incremental.TableColumns._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val key = Seq("id" -> "bigint")
+        val action = (id % 5) match {
+          case 0 => MainSetupAction.fromStates(
+            Some(ColumnsSchema(key, Seq(s"c$id" -> "text"))),
+            CombinedState[ColumnsSchema](None))
+          case 1 => MainSetupAction.fromStates(
+            Some(ColumnsSchema(key, Seq("text" -> "text"))),
+            CombinedState(Some(ColumnsSchema(key, Seq("text" -> "text")))))
+          case 2 => MainSetupAction.fromStates(
+            Some(ColumnsSchema(key,
+              Seq("text" -> "text", s"new$id" -> "jsonb"))),
+            CombinedState(Some(ColumnsSchema(key,
+              Seq("text" -> "text", s"old$id" -> "int")))))
+          case 3 => MainSetupAction.fromStates(
+            Some(ColumnsSchema(key, Seq(s"c$id" -> "text"))),
+            CombinedState(Some(ColumnsSchema(Seq("uuid" -> "uuid"),
+              Seq(s"c$id" -> "text")))))
+          case _ => MainSetupAction.fromStates(None,
+            CombinedState(Some(ColumnsSchema(key, Seq("text" -> "text")))))
+        }
+        (id, action.changeType(hasOtherUpdate = false).code,
+          action.describeChanges.map(_.text).mkString("|"))
+      }
+      .toDF("doc_id", "change_code", "actions")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4077,7 +4114,8 @@ object SparkEntry {
     "q162_schema_build" -> q162 _,
     "q163_gemini_engine" -> q163 _,
     "q164_openai_engine" -> q164 _,
-    "q165_tracking_setup" -> q165 _)
+    "q165_tracking_setup" -> q165 _,
+    "q166_table_setup" -> q166 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6455,6 +6493,27 @@ object SparkEntry {
         |    WHEN 4 THEN 'Drop existing tracking table: t_' || doc_id ||
         |      '. |Delete source IDs: 3, 7. '
         |    ELSE 'Create the tracking table: t_' || doc_id || '. '
+        |  END AS actions
+        |FROM documents""".stripMargin,
+    "q166_table_setup" ->
+      // the grading ladder's action text: two-space joins, the Create
+      // block's embedded newlines via chr(10)
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'TO CREATE' WHEN 1 THEN 'READY'
+        |    WHEN 2 THEN 'TO UPDATE' WHEN 3 THEN 'TO CREATE'
+        |    ELSE 'TO DELETE' END AS change_code,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'Create table:' || chr(10) ||
+        |      '  key columns: id bigint' || chr(10) ||
+        |      '  value columns: c' || doc_id || ' text' || chr(10)
+        |    WHEN 1 THEN ''
+        |    WHEN 2 THEN 'Delete column from table: old' || doc_id ||
+        |      '|Add / update columns in table: new' || doc_id || ' jsonb'
+        |    WHEN 3 THEN 'Drop table|Create table:' || chr(10) ||
+        |      '  key columns: id bigint' || chr(10) ||
+        |      '  value columns: c' || doc_id || ' text' || chr(10)
+        |    ELSE 'Drop table'
         |  END AS actions
         |FROM documents""".stripMargin)
 
