@@ -3943,6 +3943,43 @@ object SparkEntry {
       .toDF("doc_id", "change_code", "actions")
   }
 
+  /** Setup-metadata protocol in the gate (db_metadata.rs:203-319 via
+    * SetupMetadata): a scripted stage→stage(dedup)→stage→commit run
+    * per document with doc-varied state JSON — version bumps, staging
+    * dedup, the stale-stage CONFLICT error, commit clearing staging,
+    * and the odd-residue flow drop removing the version row. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import incremental.SetupMetadata._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val target = ResourceTypeKey("Target:postgres",
+          """{"table":"docs"}""")
+        val tracking = ResourceTypeKey("SourceTracking", "null")
+        val st1 = s"""{"v":"a$id"}"""
+        val st2 = s"""{"v":"b$id"}"""
+        val Right((s1, v1)) = stageChanges(Map.empty, None,
+          Seq(target -> StateUpdateInfo(Some(st1))))
+        val Right((s2, v2)) = stageChanges(s1, Some(v1),
+          Seq(target -> StateUpdateInfo(Some(st1))))
+        val Right((s3, v3)) = stageChanges(s2, Some(v2),
+          Seq(target -> StateUpdateInfo(Some(st2)),
+            tracking -> StateUpdateInfo(None)))
+        val stagedCount = s3(target).stagingChanges.size
+        val conflict = stageChanges(s3, Some(v3 - 1), Nil)
+          .left.getOrElse("")
+        val Right(fin) = commitChanges(s3, v3,
+          Seq(target -> StateUpdateInfo(Some(st2))),
+          deleteVersion = id % 2 == 1)
+        (id, v3, stagedCount,
+          fin.get(VersionKey).flatMap(_.state),
+          fin(target).state.get, fin(target).stagingChanges.size,
+          conflict)
+      }
+      .toDF("doc_id", "staged_version", "staged_n", "final_version",
+        "target_state", "final_staging_n", "conflict_err")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4115,7 +4152,8 @@ object SparkEntry {
     "q163_gemini_engine" -> q163 _,
     "q164_openai_engine" -> q164 _,
     "q165_tracking_setup" -> q165 _,
-    "q166_table_setup" -> q166 _)
+    "q166_table_setup" -> q166 _,
+    "q167_setup_metadata" -> q167 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6515,6 +6553,18 @@ object SparkEntry {
         |      '  value columns: c' || doc_id || ' text' || chr(10)
         |    ELSE 'Drop table'
         |  END AS actions
+        |FROM documents""".stripMargin,
+    "q167_setup_metadata" ->
+      // three stages bump to version 3 with one dedup (2 staged
+      // changes); commit clears staging and the odd residue drops the
+      // version row; a stale stage is the CONFLICT error
+      """SELECT doc_id,
+        |  CAST(3 AS BIGINT) AS staged_version,
+        |  2 AS staged_n,
+        |  CASE WHEN doc_id % 2 = 1 THEN NULL ELSE '3' END AS final_version,
+        |  '{"v":"b' || doc_id || '"}' AS target_state,
+        |  0 AS final_staging_n,
+        |  'seen newer version in the metadata table' AS conflict_err
         |FROM documents""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash

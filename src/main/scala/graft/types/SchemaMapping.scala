@@ -74,4 +74,14 @@ object SchemaMapping {
     * key uniqueness is the writer's invariant (schema.rs:143-145). */
   def ktable(keyField: StructField, rest: Seq[StructField]): ArrayType =
     ArrayType(StructType(keyField +: rest), containsNull = false)
+
+  /** The well-known field-attribute names (src/base/field_attrs.rs:
+    * 1-18) that ride `attrs` → StructField.metadata. */
+  object FieldAttrs {
+    val Prefix = "cocoindex.io/"
+    val ContentFilename = Prefix + "content_filename"
+    val ContentMimeType = Prefix + "content_mime_type"
+    val ChunkBaseText = Prefix + "chunk_base_text"
+    val EmbeddingOriginText = Prefix + "embedding_origin_text"
+  }
 }
