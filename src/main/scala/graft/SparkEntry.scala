@@ -3980,6 +3980,39 @@ object SparkEntry {
         "target_state", "final_staging_n", "conflict_err")
   }
 
+  /** Target-id assignment in the gate (exec_ctx.rs:76-167 via
+    * ExecContext.assignTargetId): the %5 residue spans fresh-allocate
+    * / full-reuse / partial-compat version bump / setup_by_user flip
+    * / mixed-version ambiguity, against a doc-varied last_target_id —
+    * including the reference's quirk of reusing a schema version even
+    * when the target id itself is freshly allocated. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import incremental.ExecContext._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val last = (id % 9).toInt
+        val grade: (String, String) => String = (d, e) =>
+          if (d == e) "Compatible"
+          else if (e.startsWith(d)) "PartialCompatible"
+          else "NotCompatible"
+        val existing = (id % 5) match {
+          case 0 => Nil
+          case 1 => Seq(TargetState(5, 2, 3, setupByUser = false, "A"))
+          case 2 => Seq(TargetState(5, 2, 3, setupByUser = false, "AB"))
+          case 3 => Seq(TargetState(5, 2, 3, setupByUser = true, "A"))
+          case _ => Seq(TargetState(5, 2, 3, setupByUser = false, "A"),
+            TargetState(6, 1, 3, setupByUser = false, "Z"))
+        }
+        val a = assignTargetId(existing, "A", setupByUser = false, last,
+          grade)
+        (id, a.targetId, a.schemaVersionId, a.maxSchemaVersionId,
+          a.newLastTargetId)
+      }
+      .toDF("doc_id", "target_id", "schema_version", "max_schema_version",
+        "new_last")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4153,7 +4186,8 @@ object SparkEntry {
     "q164_openai_engine" -> q164 _,
     "q165_tracking_setup" -> q165 _,
     "q166_table_setup" -> q166 _,
-    "q167_setup_metadata" -> q167 _)
+    "q167_setup_metadata" -> q167 _,
+    "q168_target_ids" -> q168 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6565,7 +6599,22 @@ object SparkEntry {
         |  '{"v":"b' || doc_id || '"}' AS target_state,
         |  0 AS final_staging_n,
         |  'seen newer version in the metadata table' AS conflict_err
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q168_target_ids" ->
+      // the assignment ladder: fresh / full reuse / partial bump /
+      // user-flip / mixed ambiguity (new id, REUSED schema version)
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 9 AS INT) AS last,
+        |  CAST(doc_id % 5 AS INT) AS r FROM documents)
+        |SELECT doc_id,
+        |  CASE r WHEN 0 THEN last + 1 WHEN 1 THEN 5 WHEN 2 THEN 5
+        |    ELSE last + 1 END AS target_id,
+        |  CASE r WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |    WHEN 3 THEN 4 ELSE 2 END AS schema_version,
+        |  CASE r WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+        |    WHEN 3 THEN 4 ELSE 3 END AS max_schema_version,
+        |  CASE r WHEN 1 THEN last WHEN 2 THEN last
+        |    ELSE last + 1 END AS new_last
+        |FROM b""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
