@@ -6316,10 +6316,10 @@ object SparkEntry {
         |FROM a""".stripMargin,
     "q158_provider_requests" ->
       // bodies reconstruct by concatenation (q95 precedent): sanitized
-      // prompts mean no JSON escaping can fire. Anthropic keys are
-      // serde_json-BTreeMap sorted; Ollama keeps struct declaration
-      // order with explicit nulls; Voyage sorts with input_type between
-      // input and model
+      // prompts mean no JSON escaping can fire. The engine's serde has
+      // preserve_order ACTIVE — Anthropic/Voyage keep json! insertion
+      // order with appended optionals; Ollama keeps struct declaration
+      // order with explicit nulls
       """WITH base AS (SELECT doc_id,
         |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
         |  doc_id % 3 AS r,
@@ -6330,20 +6330,20 @@ object SparkEntry {
         |       WHEN r = 1 THEN 'http://localhost:11434/api/generate'
         |       ELSE 'https://api.voyageai.com/v1/embeddings' END AS path,
         |  CASE WHEN r = 0 THEN
-        |    '{"max_tokens":4096,"messages":[{"content":[{"text":"Extract: '
-        |    || p || '","type":"text"}],"role":"user"}],"model":"claude-3-5-sonnet"'
+        |    '{"model":"claude-3-5-sonnet","messages":[{"role":"user","content":[{"type":"text","text":"Extract: '
+        |    || p || '"}]}],"max_tokens":4096'
         |    || CASE WHEN has_sys THEN ',"system":"extract metadata as json"'
         |            ELSE '' END ||
-        |    ',"tools":[{"input_schema":{"type":"object"},"name":"report_result","type":"custom"}]}'
+        |    ',"tools":[{"type":"custom","name":"report_result","input_schema":{"type":"object"}}]}'
         |  WHEN r = 1 THEN
         |    '{"model":"llama3.2","prompt":"Extract: ' || p ||
         |    '","images":null,"format":null,"system":' ||
         |    CASE WHEN has_sys THEN '"extract metadata as json"'
         |         ELSE 'null' END || ',"stream":false}'
         |  ELSE
-        |    '{"input":"' || p || '"' ||
+        |    '{"input":"' || p || '","model":"voyage-3.5"' ||
         |    CASE WHEN has_sys THEN ',"input_type":"document"' ELSE '' END ||
-        |    ',"model":"voyage-3.5"}'
+        |    '}'
         |  END AS body
         |FROM base""".stripMargin,
     "q159_duration_parse" ->
@@ -6493,8 +6493,9 @@ object SparkEntry {
         |  v.wrapper
         |FROM documents d CROSS JOIN vs v""".stripMargin,
     "q163_gemini_engine" ->
-      // sanitized prompts make the sorted payloads reconstructable by
-      // concatenation; the key rides the query string
+      // preserve_order payloads reconstruct by concatenation:
+      // role-then-parts, systemInstruction appended BEFORE
+      // generationConfig, model-then-content on the embed arm
       """WITH base AS (SELECT doc_id,
         |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g') AS p,
         |  doc_id % 2 AS r, doc_id % 4 AS r4
@@ -6506,14 +6507,15 @@ object SparkEntry {
         |    'https://generativelanguage.googleapis.com/v1beta/models/text-embedding-004:embedContent?key=k'
         |  END AS path,
         |  CASE WHEN r = 0 THEN
-        |    '{"contents":[{"parts":[{"text":"Extract: ' || p ||
-        |    '"}],"role":"user"}],"generationConfig":{"responseMimeType":"application/json","responseSchema":{"type":"object"}}'
+        |    '{"contents":[{"role":"user","parts":[{"text":"Extract: ' || p ||
+        |    '"}]}]'
         |    || CASE WHEN r4 = 0 THEN
         |         ',"systemInstruction":{"parts":[{"text":"extract metadata as json"}]}'
-        |       ELSE '' END || '}'
+        |       ELSE '' END ||
+        |    ',"generationConfig":{"responseMimeType":"application/json","responseSchema":{"type":"object"}}}'
         |  ELSE
-        |    '{"content":{"parts":[{"text":"' || p ||
-        |    '"}]},"model":"text-embedding-004"' ||
+        |    '{"model":"text-embedding-004","content":{"parts":[{"text":'
+        |    || '"' || p || '"}]}' ||
         |    CASE WHEN r4 = 1 THEN ',"taskType":"RETRIEVAL_DOCUMENT"'
         |         ELSE '' END || '}'
         |  END AS body
@@ -6540,7 +6542,7 @@ object SparkEntry {
         |      ',"response_format":{"type":"json_schema","json_schema":{"name":"extraction","schema":{"type":"object"},"strict":true}}'
         |    ELSE '' END || '}'
         |  ELSE
-        |    '{"input":"' || p || '","model":"text-embedding-3-small"' ||
+        |    '{"model":"text-embedding-3-small","input":"' || p || '"' ||
         |    CASE WHEN r4 = 1 THEN ',"dimensions":256' ELSE '' END || '}'
         |  END AS body
         |FROM base""".stripMargin,

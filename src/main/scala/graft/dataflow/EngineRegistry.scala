@@ -88,38 +88,47 @@ object EngineRegistry {
 
   private val mapper = new ObjectMapper()
 
-  /** The serde shape (settings.rs:3-27): `database` optional,
-    * `app_namespace` defaults empty, execution options default-empty;
-    * inside a database spec `url`/`max_connections`/`min_connections`
-    * are REQUIRED (missing-field error) while user/password are
-    * optional. */
+  /** The serde shape (settings.rs:3-27): `database` optional (an
+    * explicit null is fine — it's an Option), `app_namespace`
+    * defaults empty, execution options default-empty; but
+    * `#[serde(default)]` only covers MISSING fields — an explicit
+    * null for the string or the struct is serde's invalid-type error
+    * (review r14 #2-6). Inside a database spec
+    * `url`/`max_connections`/`min_connections` are REQUIRED
+    * (missing-field error) while user/password are optional. */
   def parseSettings(json: String): Settings = {
     val root = mapper.readTree(json)
     val db = Option(root.get("database")).filterNot(_.isNull).map { d =>
-      def req(f: String) = {
+      def req(f: String, expected: String) = {
         val v = d.get(f)
         if (v == null) throw new IllegalArgumentException(
           s"missing field `$f`")
+        if (v.isNull) throw new IllegalArgumentException(
+          s"invalid type: null, expected $expected")
         v
       }
       DatabaseConnectionSpec(
-        req("url").asText,
+        req("url", "a string").asText,
         Option(d.get("user")).filterNot(_.isNull).map(_.asText),
         Option(d.get("password")).filterNot(_.isNull).map(_.asText),
-        req("max_connections").intValue,
-        req("min_connections").intValue)
+        req("max_connections", "u32").intValue,
+        req("min_connections", "u32").intValue)
     }
-    val exec = Option(root.get("global_execution_options"))
-      .filterNot(_.isNull).map { g =>
-        GlobalExecutionOptions(
-          Option(g.get("source_max_inflight_rows")).filterNot(_.isNull)
-            .map(_.longValue),
-          Option(g.get("source_max_inflight_bytes")).filterNot(_.isNull)
-            .map(_.longValue))
-      }.getOrElse(GlobalExecutionOptions())
-    Settings(db,
-      Option(root.get("app_namespace")).filterNot(_.isNull)
-        .map(_.asText).getOrElse(""),
-      exec)
+    val execNode = root.get("global_execution_options")
+    if (execNode != null && execNode.isNull)
+      throw new IllegalArgumentException(
+        "invalid type: null, expected struct GlobalExecutionOptions")
+    val exec = Option(execNode).map { g =>
+      GlobalExecutionOptions(
+        Option(g.get("source_max_inflight_rows")).filterNot(_.isNull)
+          .map(_.longValue),
+        Option(g.get("source_max_inflight_bytes")).filterNot(_.isNull)
+          .map(_.longValue))
+    }.getOrElse(GlobalExecutionOptions())
+    val nsNode = root.get("app_namespace")
+    if (nsNode != null && nsNode.isNull)
+      throw new IllegalArgumentException(
+        "invalid type: null, expected a string")
+    Settings(db, Option(nsNode).map(_.asText).getOrElse(""), exec)
   }
 }

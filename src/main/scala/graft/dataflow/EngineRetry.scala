@@ -65,8 +65,12 @@ object EngineRetry {
             return Left(err)
           retries += 1
           sleepMicros(backoff)
-          backoff = nextBackoffMicros(backoff, options.maxBackoffMicros,
-            factor())
+          // the reference samples rand ONLY while under the cap
+          // (retryable.rs:130-137; review r14 #2-8) — a pinned factor
+          // stream must not desynchronize once capped
+          if (backoff < options.maxBackoffMicros)
+            backoff = nextBackoffMicros(backoff, options.maxBackoffMicros,
+              factor())
       }
     }
     throw new IllegalStateException("unreachable")
@@ -76,13 +80,14 @@ object EngineRetry {
   // Service error faces (src/service/error.rs)
   // -----------------------------------------------------------------
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The HTTP error body every endpoint returns (error.rs:41-53):
     * `{"error": <message>}`. */
   def errorResponseJson(message: String): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
+    val root = mapper.createObjectNode()
     root.put("error", message)
-    m.writeValueAsString(root)
+    mapper.writeValueAsString(root)
   }
 
   /** Status mapping: api_bail!/api_error! mint BAD_REQUEST (400,

@@ -130,17 +130,46 @@ object SetupStates {
   // Identifier sanitization (src/utils/db.rs)
   // -----------------------------------------------------------------
 
+  /** Rust `char::is_alphanumeric` over a CODE POINT: Alphabetic plus
+    * the Nd/Nl/No number categories (so '²' and Roman numerals count,
+    * and supplementary-plane letters don't split into surrogates —
+    * review r14 #2-7). */
+  private def isRustAlphanumeric(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+
   /** sanitize_identifier (db.rs:35-45): every non-alphanumeric,
     * non-underscore char becomes TWO underscores. */
-  def sanitizeIdentifier(s: String): String =
-    s.flatMap(c =>
-      if (Character.isLetterOrDigit(c) || c == '_') c.toString else "__")
+  def sanitizeIdentifier(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isRustAlphanumeric(cp) || cp == '_')
+        sb.appendAll(Character.toChars(cp))
+      else sb.append("__")
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
 
   /** ValidIdentifier (db.rs:4-14): non-empty, alphanumeric/underscore
     * only; the reference formats the offender in Rust {:?} quotes. */
   def validIdentifier(s: String): String = {
-    if (s.nonEmpty &&
-      s.forall(c => Character.isLetterOrDigit(c) || c == '_')) s
+    val ok = s.nonEmpty && {
+      var i = 0
+      var all = true
+      while (i < s.length && all) {
+        val cp = s.codePointAt(i)
+        all = isRustAlphanumeric(cp) || cp == '_'
+        i += Character.charCount(cp)
+      }
+      all
+    }
+    if (ok) s
     else throw new IllegalArgumentException("Invalid identifier: \"" + s +
       "\"")
   }

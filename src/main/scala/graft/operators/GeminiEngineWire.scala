@@ -32,17 +32,30 @@ object GeminiEngineWire {
       s"${urlEncode(model)}:$apiName?key=${urlEncode(apiKey)}"
 
   /** remove_additional_properties (gemini.rs:49-64): strip the key at
-    * every object level (Gemini rejects it). */
+    * every object level (Gemini rejects it). Under preserve_order,
+    * serde_json's `Map::remove` is a SWAP_remove — the LAST entry
+    * moves into the removed slot — so the strip perturbs key order
+    * exactly that way (a no-op when additionalProperties is already
+    * last, as the schema builder emits it). */
   private[operators] def stripAdditionalProperties(n: JsonNode): JsonNode =
     n match {
       case o: ObjectNode =>
-        o.remove("additionalProperties")
-        val it = o.fields()
-        while (it.hasNext) stripAdditionalProperties(it.next().getValue)
-        o
+        val names = new scala.collection.mutable.ArrayBuffer[String]
+        o.fieldNames().forEachRemaining(names += _)
+        val idx = names.indexOf("additionalProperties")
+        val reordered =
+          if (idx < 0) names.toSeq
+          else if (idx == names.size - 1) names.toSeq.dropRight(1)
+          else names.toSeq.updated(idx, names.last).dropRight(1)
+        val out = mapper.createObjectNode()
+        reordered.foreach(k =>
+          out.set[JsonNode](k, stripAdditionalProperties(o.get(k))))
+        out
       case a: ArrayNode =>
-        (0 until a.size).foreach(i => stripAdditionalProperties(a.get(i)))
-        a
+        val out = mapper.createArrayNode()
+        (0 until a.size).foreach(i =>
+          out.add(stripAdditionalProperties(a.get(i))))
+        out
       case other => other
     }
 
@@ -50,8 +63,11 @@ object GeminiEngineWire {
     * the image inlineData part (the reverse of Anthropic's order),
     * systemInstruction as a parts block, and — when a schema rides —
     * generationConfig.responseMimeType/responseSchema with
-    * additionalProperties stripped. Key order is the BTreeMap sort:
-    * contents < generationConfig < systemInstruction. */
+    * additionalProperties swap-removed. Key order is preserve_order
+    * insertion order (review r14 #2-1): the json! literal's
+    * role-then-parts and mimeType-then-data, with systemInstruction
+    * appended BEFORE generationConfig (the mutation order at
+    * :108-122). */
   def renderGenerateContent(model: String, apiKey: String,
       userPrompt: String, systemPrompt: Option[String] = None,
       image: Option[Array[Byte]] = None,
@@ -59,23 +75,23 @@ object GeminiEngineWire {
     val root = mapper.createObjectNode()
     val contents = root.putArray("contents")
     val content = contents.addObject()
+    content.put("role", "user")
     val parts = content.putArray("parts")
     parts.addObject().put("text", userPrompt)
     image.foreach { bytes =>
       val inline = parts.addObject().putObject("inlineData")
-      inline.put("data", ProviderWires.base64(bytes))
       inline.put("mimeType", detectImageMime(bytes))
-    }
-    content.put("role", "user")
-    schemaJson.foreach { s =>
-      val gen = root.putObject("generationConfig")
-      gen.put("responseMimeType", "application/json")
-      gen.set[JsonNode]("responseSchema",
-        stripAdditionalProperties(ProviderWires.sortedNode(s)))
+      inline.put("data", ProviderWires.base64(bytes))
     }
     systemPrompt.foreach { sys =>
       root.putObject("systemInstruction").putArray("parts")
         .addObject().put("text", sys)
+    }
+    schemaJson.foreach { s =>
+      val gen = root.putObject("generationConfig")
+      gen.put("responseMimeType", "application/json")
+      gen.set[JsonNode]("responseSchema",
+        stripAdditionalProperties(ProviderWires.canonNode(s)))
     }
     OpenAiRequest(apiUrl(model, "generateContent", apiKey),
       mapper.writeValueAsString(root))
@@ -87,7 +103,11 @@ object GeminiEngineWire {
   def parseGenerateContent(body: String): String = {
     val root = mapper.readTree(body)
     if (root.has("error"))
-      throw new IllegalStateException(s"Gemini API error: ${root.get("error")}")
+      // the {:?} interpolation — serde Value Debug form (review r14
+      // #2-4)
+      throw new IllegalStateException("Gemini API error: " +
+        ProviderWires.rustValueDebug(
+          mapper.writeValueAsString(root.get("error"))))
     val text = root.path("candidates").path(0).path("content").path("parts")
       .path(0).path("text")
     if (!text.isTextual)
@@ -104,14 +124,14 @@ object GeminiEngineWire {
     JsonSchemaOptions(fieldsAlwaysRequired = false, supportsFormat = false,
       extractDescriptions = false, topLevelMustBeObject = true)
 
-  /** embedContent payload (gemini.rs:176-183): sorted keys — content <
-    * model < taskType. */
+  /** embedContent payload (gemini.rs:176-183): json!({model, content})
+    * with taskType appended — insertion order (review r14 #2-1). */
   def renderEmbedContent(model: String, apiKey: String, text: String,
       taskType: Option[String] = None): OpenAiRequest = {
     val root = mapper.createObjectNode()
+    root.put("model", model)
     root.putObject("content").putArray("parts").addObject()
       .put("text", text)
-    root.put("model", model)
     taskType.foreach(root.put("taskType", _))
     OpenAiRequest(apiUrl(model, "embedContent", apiKey),
       mapper.writeValueAsString(root))

@@ -67,13 +67,19 @@ object JsonSchemaBuild {
 
   /** json_schema.rs:320-354: wrap a non-struct top level in a
     * single-field `value` object when the provider demands an object
-    * root (Anthropic; OpenAI's strict mode). */
-  def build(valueType: EType, options: JsonSchemaOptions): BuildOutput = {
+    * root (Anthropic; OpenAI's strict mode). The wrapper field CLONES
+    * the enriched type including its nullability (json_schema.rs:
+    * 329-335; review r14 #2-5) — a nullable top level drops out of
+    * `required` or null-widens per the provider's options. */
+  def build(valueType: EType, options: JsonSchemaOptions,
+      topLevelNullable: Boolean = false): BuildOutput = {
     val b = new Builder(options)
     val (schema, wrapper) = valueType match {
       case _: TStruct => (b.forType(valueType, Nil), None)
       case other if options.topLevelMustBeObject =>
-        (b.forType(TStruct(Seq(EField("value", other))), Nil), Some("value"))
+        (b.forType(TStruct(Seq(
+          EField("value", other, nullable = topLevelNullable))), Nil),
+          Some("value"))
       case other => (b.forType(other, Nil), None)
     }
     BuildOutput(mapper.writeValueAsString(schema), b.extraInstructions,

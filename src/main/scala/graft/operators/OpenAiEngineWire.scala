@@ -81,7 +81,9 @@ object OpenAiEngineWire {
       rf.put("type", "json_schema")
       val js = rf.putObject("json_schema")
       js.put("name", schemaName.getOrElse("output"))
-      js.set[JsonNode]("schema", ProviderWires.sortedNode(s))
+      // serde_json::to_value under preserve_order keeps the schema's
+      // declaration order (review r14 #2-2 — no re-sort)
+      js.set[JsonNode]("schema", ProviderWires.canonNode(s))
       js.put("strict", true)
     }
     OpenAiRequest("/v1/chat/completions", mapper.writeValueAsString(root))
@@ -97,13 +99,14 @@ object OpenAiEngineWire {
     content.asText
   }
 
-  /** CreateEmbeddingRequest (openai.rs:167-172): input, model, and
-    * dimensions only when requested. */
+  /** CreateEmbeddingRequest (openai.rs:167-172): async_openai 0.28
+    * declares model before input; dimensions only when requested
+    * (review r14 #2-3). */
   def renderEmbed(model: String, text: String,
       outputDimension: Option[Int] = None): OpenAiRequest = {
     val root = mapper.createObjectNode()
-    root.put("input", text)
     root.put("model", model)
+    root.put("input", text)
     outputDimension.foreach(root.put("dimensions", _))
     OpenAiRequest("/v1/embeddings", mapper.writeValueAsString(root))
   }

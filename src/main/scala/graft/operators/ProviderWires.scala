@@ -9,13 +9,19 @@ import graft.operators.OpenAiWire.{OpenAiHttp, OpenAiRequest, mapper}
 
 /** The engine's remaining LLM provider arms (src/llm/mod.rs:119-166
   * dispatches nine), modeled as deterministic request/response render
-  * contracts behind [[OpenAiWire]]'s transport seam. The engine side
-  * serializes `serde_json::json!` maps, and its serde_json build has
-  * no `preserve_order` feature — `Value::Object` is a BTreeMap, so
-  * every json!-built payload emits its keys ALPHABETICALLY at every
-  * level. Derive-serialized structs (Ollama's request types) keep
-  * declaration order instead, and serialize `None` fields as `null`
-  * (no skip_serializing_if). Both conventions are pinned per arm.
+  * contracts behind [[OpenAiWire]]'s transport seam. The engine's
+  * serde_json build has `preserve_order` ACTIVE (Cargo.lock:
+  * serde_json 1.0.140 depends on indexmap 2.10.0, which only happens
+  * under that feature; round-14 review #2-1 corrected the opposite
+  * first read) — `Value::Object` is an IndexMap, so json!-built
+  * payloads keep their literal INSERTION order, `to_value` keeps a
+  * struct's declaration order, and re-serializing a parsed value
+  * keeps the original key order. Derive-serialized structs (Ollama's
+  * request types) likewise stream declaration order, and serialize
+  * `None` fields as `null` when they lack skip_serializing_if. One
+  * wrinkle: with preserve_order, `Map::remove` is a SWAP_remove —
+  * the last entry moves into the removed slot (Gemini's
+  * additionalProperties strip inherits that).
   */
 object ProviderWires {
 
@@ -30,21 +36,21 @@ object ProviderWires {
       supportsFormat: Boolean, extractDescriptions: Boolean,
       topLevelMustBeObject: Boolean)
 
-  /** Re-serialize a JSON string the way `serde_json::to_value` +
-    * BTreeMap does: object keys sorted bytewise at every level,
-    * minimal separators. Array order and integer/string text are
-    * preserved; floats round-trip through f64 and re-render in
-    * serde_json's ryu text (fixed notation with a mandatory `.0` on
-    * integral values inside the 16-digit window, bare `de±x`
-    * scientific outside it) — Java's E-notation never leaks. */
-  private[operators] def sortedJson(json: String): String =
-    mapper.writeValueAsString(sortedNode(json))
+  /** Re-serialize a JSON string the way preserve_order serde_json
+    * does: key order PRESERVED at every level, minimal separators,
+    * integer/string text kept; floats round-trip through f64 and
+    * re-render in serde_json's ryu text (fixed notation with a
+    * mandatory `.0` on integral values inside the 16-digit window,
+    * bare `de±x` scientific outside it) — Java's E-notation never
+    * leaks. */
+  private[operators] def canonJson(json: String): String =
+    mapper.writeValueAsString(canonNode(json))
 
-  /** The sorted tree itself, for embedding into a larger payload
+  /** The canonical tree itself, for embedding into a larger payload
     * without a serialize→reparse round trip (which would put float
     * nodes back through Jackson's Double.toString). */
-  private[operators] def sortedNode(json: String): JsonNode =
-    sortNode(mapper.readTree(json))
+  private[operators] def canonNode(json: String): JsonNode =
+    canon(mapper.readTree(json))
 
   /** serde_json float text (the ryu pretty printer): `0.0`/`-0.0`,
     * fixed notation while the leading digit sits in 10^-5..10^15,
@@ -68,16 +74,16 @@ object ProviderWires {
     }
   }
 
-  private def sortNode(n: JsonNode): JsonNode = n match {
+  private def canon(n: JsonNode): JsonNode = n match {
     case o: ObjectNode =>
       val out = mapper.createObjectNode()
       val names = new scala.collection.mutable.ArrayBuffer[String]
       o.fieldNames().forEachRemaining(names += _)
-      names.sorted.foreach(k => out.set[JsonNode](k, sortNode(o.get(k))))
+      names.foreach(k => out.set[JsonNode](k, canon(o.get(k))))
       out
     case a: ArrayNode =>
       val out = mapper.createArrayNode()
-      (0 until a.size).foreach(i => out.add(sortNode(a.get(i))))
+      (0 until a.size).foreach(i => out.add(canon(a.get(i))))
       out
     case f if f.isFloatingPointNumber =>
       // serde_json re-renders through ryu; RawValue keeps our text out
@@ -87,6 +93,41 @@ object ProviderWires {
           serdeFloatText(f.doubleValue)))
     case other => other
   }
+
+  /** Rust `{:?}` of a serde_json Value (the error-arm interpolation in
+    * anthropic.rs:113 / gemini.rs:140): `Null`, `Bool(b)`,
+    * `Number(n)`, `String("s")` with escape_debug quoting, `Array
+    * [..]`, `Object {"k": V, ..}` — standard library debug list/map
+    * framing around the variant names. */
+  def rustValueDebug(json: String): String = valueDebug(mapper.readTree(json))
+
+  private def valueDebug(n: JsonNode): String =
+    if (n.isNull) "Null"
+    else if (n.isBoolean) s"Bool(${n.booleanValue})"
+    else if (n.isNumber)
+      // serde_json Number Debug prints its canonical text
+      if (n.isFloatingPointNumber) s"Number(${serdeFloatText(n.doubleValue)})"
+      else s"Number(${n.asText})"
+    else if (n.isTextual)
+      "String(\"" + n.textValue.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case '\r' => "\\r"
+        case c if Character.isISOControl(c) =>
+          s"\\u{${Integer.toHexString(c.toInt)}}"
+        case c => c.toString
+      } + "\")"
+    else if (n.isArray)
+      "Array " + (0 until n.size).map(i => valueDebug(n.get(i)))
+        .mkString("[", ", ", "]")
+    else {
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      n.fieldNames().forEachRemaining(names += _)
+      "Object " + names.map(k => "\"" + k + "\": " + valueDebug(n.get(k)))
+        .mkString("{", ", ", "}")
+    }
 
   /** `urlencoding::encode` (the x-api-key header transform,
     * anthropic.rs:89): percent-encode every byte outside RFC 3986
@@ -162,10 +203,12 @@ object AnthropicWire {
 
   /** The messages payload (anthropic.rs:38-86). User content parts:
     * the image block first when present (base64 + sniffed media_type),
-    * then the text block. System prompt is a TOP-LEVEL field. The
-    * output format MUST be a JSON schema (api_bail otherwise), wired
-    * in as the single `report_result` custom tool. Key order at every
-    * level is serde_json's BTreeMap sort. */
+    * then the text block. System prompt is a TOP-LEVEL field appended
+    * AFTER the json! literal. The output format MUST be a JSON schema
+    * (api_bail otherwise), wired in as the single `report_result`
+    * custom tool, its key order kept as authored (preserve_order
+    * serde_json; review r14 #2-1 — the first cut sorted every
+    * level). */
   def renderMessages(model: String, userPrompt: String,
       systemPrompt: Option[String] = None,
       image: Option[Array[Byte]] = None,
@@ -173,28 +216,30 @@ object AnthropicWire {
     val schema = schemaJson.getOrElse(throw new ApiError(
       "Anthropic client expects OutputFormat::JsonSchema for all requests"))
     val root = mapper.createObjectNode()
-    root.put("max_tokens", MaxTokens)
+    // json!({model, messages, max_tokens}) then system then tools —
+    // insertion order (anthropic.rs:65-85)
+    root.put("model", model)
     val messages = root.putArray("messages")
     val msg = messages.addObject()
+    msg.put("role", "user")
     val content = msg.putArray("content")
     image.foreach { bytes =>
       val part = content.addObject()
-      val source = part.putObject("source")
-      source.put("data", base64(bytes))
-      source.put("media_type", detectImageMime(bytes))
-      source.put("type", "base64")
       part.put("type", "image")
+      val source = part.putObject("source")
+      source.put("type", "base64")
+      source.put("media_type", detectImageMime(bytes))
+      source.put("data", base64(bytes))
     }
     val text = content.addObject()
-    text.put("text", userPrompt)
     text.put("type", "text")
-    msg.put("role", "user")
-    root.put("model", model)
+    text.put("text", userPrompt)
+    root.put("max_tokens", MaxTokens)
     systemPrompt.foreach(root.put("system", _))
     val tool = root.putArray("tools").addObject()
-    tool.set[JsonNode]("input_schema", sortedNode(schema))
-    tool.put("name", ToolName)
     tool.put("type", "custom")
+    tool.put("name", ToolName)
+    tool.set[JsonNode]("input_schema", canonNode(schema))
     OpenAiRequest(Url, mapper.writeValueAsString(root))
   }
 
@@ -224,11 +269,13 @@ object AnthropicWire {
   }
 
   /** Response extraction (anthropic.rs:110-167). An `error` field is
-    * the API-error arm. Otherwise scan `content` for the FIRST
+    * the API-error arm, rendered with serde Value's Debug form (the
+    * `{:?}` interpolation). Otherwise scan `content` for the FIRST
     * tool_use item named report_result and return its input
-    * re-serialized (serde re-serialization = key-sorted). No tool
-    * output: content[0].text must be a string — returned VERBATIM if
-    * it parses as strict JSON, re-serialized (sorted) if only the
+    * re-serialized — preserve_order serde keeps the response's own
+    * key order, floats re-render in ryu text. No tool output:
+    * content[0].text must be a string — returned VERBATIM if it
+    * parses as strict JSON, re-serialized (order kept) if only the
     * permissive parser accepts it, and the reference's two-error
     * message otherwise (the detail after each ':' is parser-specific
     * text; the frame is pinned). A non-string text is the short
@@ -236,8 +283,9 @@ object AnthropicWire {
   def parseResponse(body: String): String = {
     val root = mapper.readTree(body)
     if (root.has("error"))
-      throw new IllegalStateException(
-        s"Anthropic API error: ${root.get("error")}")
+      throw new IllegalStateException("Anthropic API error: " +
+        ProviderWires.rustValueDebug(
+          mapper.writeValueAsString(root.get("error"))))
     val content = root.get("content")
     if (content != null && content.isArray) {
       var i = 0
@@ -245,7 +293,7 @@ object AnthropicWire {
         val item = content.get(i)
         if (item.path("type").asText == "tool_use" &&
           item.path("name").asText == ToolName && item.has("input"))
-          return sortedJson(mapper.writeValueAsString(item.get("input")))
+          return canonJson(mapper.writeValueAsString(item.get("input")))
         i += 1
       }
     }
@@ -259,7 +307,7 @@ object AnthropicWire {
     try { strict.readValue(s, classOf[JsonNode]); s }
     catch {
       case e1: Exception =>
-        try sortedJson(
+        try canonJson(
           permissive.readValue(s, classOf[JsonNode]).toString)
         catch {
           case e2: Exception =>
@@ -424,14 +472,15 @@ object VoyageWire {
     s"Bearer $key"
   }
 
-  /** The embed payload (voyage.rs:69-76): json!-built, so key-sorted —
-    * input, then input_type when a task type is present, then model. */
+  /** The embed payload (voyage.rs:69-76): json!({input, model}) with
+    * input_type APPENDED when a task type is present — insertion
+    * order under preserve_order serde (review r14 #2-1). */
   def renderEmbed(model: String, text: String,
       taskType: Option[String] = None): OpenAiRequest = {
     val root = mapper.createObjectNode()
     root.put("input", text)
-    taskType.foreach(root.put("input_type", _))
     root.put("model", model)
+    taskType.foreach(root.put("input_type", _))
     OpenAiRequest(Url, mapper.writeValueAsString(root))
   }
 

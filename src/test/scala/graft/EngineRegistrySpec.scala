@@ -84,5 +84,16 @@ class EngineRegistrySpec extends AnyFunSuite {
       """{"global_execution_options": {"source_max_inflight_rows": 100}}""")
     assert(exec.globalExecutionOptions ===
       GlobalExecutionOptions(Some(100L), None))
+    // serde #[serde(default)] covers MISSING fields only — explicit
+    // null is the invalid-type error (review r14 #2-6); a null
+    // database is fine (it's an Option)
+    val nullNs = intercept[IllegalArgumentException](
+      parseSettings("""{"app_namespace": null}"""))
+    assert(nullNs.getMessage === "invalid type: null, expected a string")
+    val nullExec = intercept[IllegalArgumentException](
+      parseSettings("""{"global_execution_options": null}"""))
+    assert(nullExec.getMessage ===
+      "invalid type: null, expected struct GlobalExecutionOptions")
+    assert(parseSettings("""{"database": null}""").database === None)
   }
 }

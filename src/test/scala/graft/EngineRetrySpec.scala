@@ -77,6 +77,26 @@ class EngineRetrySpec extends AnyFunSuite {
         else Left(("again", true)) },
       RetryOptions(None, 1L, 2L), _ => ())
     assert(r4 === Right(1) && calls === 30)
+    // the RNG draws ONLY while under the cap (review r14 #2-8): with
+    // initial == max, zero draws happen across any number of retries
+    var draws = 0
+    calls = 0
+    EngineRetry.run[Int, String](
+      () => { calls += 1; if (calls == 5) Right(1)
+        else Left(("again", true)) },
+      RetryOptions(Some(10), 60_000_000L, 60_000_000L), _ => (),
+      () => { draws += 1; 2000 })
+    assert(draws === 0)
+    // and with heavy-loaded options the draw count stops at the
+    // capped step: 1→2→4→8→16→32→60 takes six draws, further
+    // retries draw nothing
+    draws = 0
+    calls = 0
+    EngineRetry.run[Int, String](
+      () => { calls += 1; if (calls == 11) Right(1)
+        else Left(("again", true)) },
+      EngineRetry.HeavyLoadedOptions, _ => (), () => { draws += 1; 2000 })
+    assert(draws === 6)
   }
 
   test("service-error faces") {

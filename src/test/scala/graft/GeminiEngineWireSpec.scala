@@ -24,27 +24,38 @@ class GeminiEngineWireSpec extends AnyFunSuite {
         "gemini-2.0-flash:generateContent?key=k%20ey%2F1")
   }
 
-  test("ai studio: generateContent payload — text first, sorted keys, " +
-    "stripped schema") {
+  test("ai studio: generateContent payload — insertion order, " +
+    "swap-removed additionalProperties (review r14 #2-1)") {
     val req = GeminiEngineWire.renderGenerateContent("gemini-2.0-flash",
       "key", "extract this", systemPrompt = Some("be terse"),
       schemaJson = Some(
         """{"type":"object","properties":{"a":{"type":"string"}},"additionalProperties":false,"required":["a"]}"""))
     assert(req.path.endsWith("models/gemini-2.0-flash:generateContent?key=key"))
-    // top-level sort: contents < generationConfig < systemInstruction;
-    // additionalProperties stripped at every level; schema keys sorted
+    // json! literal order (role, parts); systemInstruction appended
+    // BEFORE generationConfig; additionalProperties swap-removed from
+    // the middle — the LAST key ("required") moves into its slot
     assert(req.body ===
-      """{"contents":[{"parts":[{"text":"extract this"}],"role":"user"}],""" +
+      """{"contents":[{"role":"user","parts":[{"text":"extract this"}]}],""" +
+      """"systemInstruction":{"parts":[{"text":"be terse"}]},""" +
       """"generationConfig":{"responseMimeType":"application/json",""" +
-      """"responseSchema":{"properties":{"a":{"type":"string"}},"required":["a"],"type":"object"}},""" +
-      """"systemInstruction":{"parts":[{"text":"be terse"}]}}""")
-    // image part comes AFTER the text part (the reverse of Anthropic)
+      """"responseSchema":{"type":"object","properties":{"a":{"type":"string"}},"required":["a"]}}}""")
+    // the swap-remove visibly reorders when additionalProperties sits
+    // mid-map: {type, additionalProperties, required} → {type, required}
+    // with required moved INTO the removed slot (order unchanged here),
+    // but {additionalProperties, type, required} → {required, type}
+    val swapped = GeminiEngineWire.renderGenerateContent("m", "k", "p",
+      schemaJson = Some(
+        """{"additionalProperties":false,"type":"object","required":[]}"""))
+    assert(swapped.body.contains(
+      """"responseSchema":{"required":[],"type":"object"}"""))
+    // image part comes AFTER the text part (the reverse of Anthropic);
+    // inlineData is mimeType-then-data
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     val b64 = java.util.Base64.getEncoder.encodeToString(png)
     val imgReq = GeminiEngineWire.renderGenerateContent("m", "k", "what",
       image = Some(png))
     assert(imgReq.body ===
-      s"""{"contents":[{"parts":[{"text":"what"},{"inlineData":{"data":"$b64","mimeType":"image/png"}}],"role":"user"}]}""")
+      s"""{"contents":[{"role":"user","parts":[{"text":"what"},{"inlineData":{"mimeType":"image/png","data":"$b64"}}]}]}""")
   }
 
   test("ai studio: extraction ladder and http error") {
@@ -54,7 +65,9 @@ class GeminiEngineWireSpec extends AnyFunSuite {
     val err = intercept[IllegalStateException](
       GeminiEngineWire.parseGenerateContent(
         """{"error":{"code":429},"candidates":[]}"""))
-    assert(err.getMessage.startsWith("Gemini API error: "))
+    // the {:?} interpolation renders serde Value's Debug form
+    assert(err.getMessage ===
+      """Gemini API error: Object {"code": Number(429)}""")
     val none = intercept[IllegalStateException](
       GeminiEngineWire.parseGenerateContent(
         """{"candidates":[{"content":{"parts":[{"text":7}]}}]}"""))
@@ -70,8 +83,9 @@ class GeminiEngineWireSpec extends AnyFunSuite {
     val req = GeminiEngineWire.renderEmbedContent("text-embedding-004",
       "key", "some text", Some("RETRIEVAL_DOCUMENT"))
     assert(req.path.endsWith("models/text-embedding-004:embedContent?key=key"))
+    // json!({model, content}) + appended taskType — insertion order
     assert(req.body ===
-      """{"content":{"parts":[{"text":"some text"}]},"model":"text-embedding-004","taskType":"RETRIEVAL_DOCUMENT"}""")
+      """{"model":"text-embedding-004","content":{"parts":[{"text":"some text"}]},"taskType":"RETRIEVAL_DOCUMENT"}""")
     assert(GeminiEngineWire.parseEmbedContent(
       """{"embedding":{"values":[0.5,-1.0]}}""").toSeq === Seq(0.5f, -1.0f))
     assert(GeminiEngineWire.defaultEmbeddingDimension(

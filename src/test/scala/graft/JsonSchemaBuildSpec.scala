@@ -120,17 +120,29 @@ class JsonSchemaBuildSpec extends AnyFunSuite {
   test("composes into the wire arms") {
     val s = TStruct(Seq(EField("title", TStr),
       EField("score", TFloat64, nullable = true)))
-    // anthropic: the built schema rides the report_result tool; the
-    // wire's BTreeMap sort reorders the streamed text the same way
-    // serde_json::to_value does
+    // anthropic: the built schema rides the report_result tool in its
+    // own declaration order (preserve_order to_value)
     val req = AnthropicWire.renderMessages("claude-3", "extract",
       schemaJson = Some(build(s, anthropic).schemaJson))
     assert(req.body.contains(
-      """"input_schema":{"additionalProperties":false,"properties":{"score":{"type":"number"},"title":{"type":"string"}},"required":["title"],"type":"object"}"""))
+      """"input_schema":{"type":"object","required":["title"],"properties":{"score":{"type":"number"},"title":{"type":"string"}},"additionalProperties":false}"""))
     // ollama: the format field embeds the streamed text order as-is
     val built = build(s, ollama).schemaJson
     val oreq = OllamaWire.renderGenerate(None, "llama3.2", "extract",
       formatSchemaJson = Some(built))
     assert(oreq.body.contains(""""format":""" + built))
+  }
+
+  test("top-level nullability flows into the value wrapper " +
+    "(review r14 #2-5)") {
+    // nullable non-struct under anthropic options: value drops out of
+    // required entirely (empty required is omitted)
+    val a = build(TVector(TStr, None), anthropic, topLevelNullable = true)
+    assert(a.schemaJson ===
+      """{"type":"object","properties":{"value":{"type":"array","items":{"type":"string"}}},"additionalProperties":false}""")
+    // under OpenAI strict options it stays required but null-widens
+    val o = build(TInt64, openaiLike, topLevelNullable = true)
+    assert(o.schemaJson ===
+      """{"type":"object","required":["value"],"properties":{"value":{"type":["integer","null"]}},"additionalProperties":false}""")
   }
 }

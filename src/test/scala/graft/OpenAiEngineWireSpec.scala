@@ -53,20 +53,23 @@ class OpenAiEngineWireSpec extends AnyFunSuite {
     val req = OpenAiEngineWire.renderChat("gpt-4o", "extract",
       schemaName = Some("extraction"), schemaJson = Some(schema.schemaJson))
     // strict mode pairs with required-all + null widening; description
-    // is omitted, strict is true
+    // is omitted, strict is true; the schema keeps its declaration
+    // order (preserve_order to_value — review r14 #2-2)
     assert(req.body.contains(
-      """"response_format":{"type":"json_schema","json_schema":{"name":"extraction","schema":{"additionalProperties":false,"properties":{"n":{"type":["integer","null"]},"title":{"type":"string"}},"required":["n","title"],"type":"object"},"strict":true}}"""))
+      """"response_format":{"type":"json_schema","json_schema":{"name":"extraction","schema":{"type":"object","required":["n","title"],"properties":{"n":{"type":["integer","null"]},"title":{"type":"string"}},"additionalProperties":false},"strict":true}}"""))
     val o = OpenAiEngineWire.schemaOptions
     assert(o.fieldsAlwaysRequired && !o.supportsFormat &&
       !o.extractDescriptions && o.topLevelMustBeObject)
   }
 
   test("embed render and both miss errors") {
+    // async_openai's CreateEmbeddingRequest declares model first
+    // (review r14 #2-3)
     assert(OpenAiEngineWire.renderEmbed("text-embedding-3-small", "t").body
-      === """{"input":"t","model":"text-embedding-3-small"}""")
+      === """{"model":"text-embedding-3-small","input":"t"}""")
     assert(OpenAiEngineWire.renderEmbed("text-embedding-3-large", "t",
       Some(256)).body ===
-      """{"input":"t","model":"text-embedding-3-large","dimensions":256}""")
+      """{"model":"text-embedding-3-large","input":"t","dimensions":256}""")
     assert(OpenAiEngineWire.parseEmbed(
       """{"data":[{"embedding":[0.25]}]}""").toSeq === Seq(0.25f))
     val e = intercept[IllegalStateException](

@@ -31,15 +31,16 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(headers("anthropic-version") === "2023-06-01")
   }
 
-  test("anthropic: messages payload is BTreeMap-ordered with the tool") {
+  test("anthropic: messages payload keeps json! insertion order " +
+    "(preserve_order serde — review r14 #2-1)") {
     val req = AnthropicWire.renderMessages("claude-3-5-sonnet",
       "extract", systemPrompt = Some("be terse"),
       schemaJson = Some("""{"type":"object","properties":{"b":{},"a":{}}}"""))
     assert(req.path === "https://api.anthropic.com/v1/messages")
-    // keys sorted at every level; schema keys re-sorted too ("properties"
-    // before "type", and inside properties "a" before "b")
+    // the json! literal's order (model, messages, max_tokens) with
+    // system and tools APPENDED; the schema rides with ITS OWN order
     assert(req.body ===
-      """{"max_tokens":4096,"messages":[{"content":[{"text":"extract","type":"text"}],"role":"user"}],"model":"claude-3-5-sonnet","system":"be terse","tools":[{"input_schema":{"properties":{"a":{},"b":{}},"type":"object"},"name":"report_result","type":"custom"}]}""")
+      """{"model":"claude-3-5-sonnet","messages":[{"role":"user","content":[{"type":"text","text":"extract"}]}],"max_tokens":4096,"system":"be terse","tools":[{"type":"custom","name":"report_result","input_schema":{"type":"object","properties":{"b":{},"a":{}}}}]}""")
   }
 
   test("anthropic: image block precedes text, media_type sniffed") {
@@ -48,7 +49,7 @@ class ProviderWiresSpec extends AnyFunSuite {
       image = Some(png), schemaJson = Some("""{"type":"object"}"""))
     val b64 = java.util.Base64.getEncoder.encodeToString(png)
     assert(req.body.contains(
-      s"""{"content":[{"source":{"data":"$b64","media_type":"image/png","type":"base64"},"type":"image"},{"text":"describe","type":"text"}],"role":"user"}"""))
+      s"""{"role":"user","content":[{"type":"image","source":{"type":"base64","media_type":"image/png","data":"$b64"}},{"type":"text","text":"describe"}]}"""))
     // jpeg magic
     assert(ProviderWires.detectImageMime(
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) ===
@@ -65,25 +66,28 @@ class ProviderWiresSpec extends AnyFunSuite {
       "Anthropic client expects OutputFormat::JsonSchema for all requests")
   }
 
-  test("anthropic: tool_use input wins and re-serializes key-sorted") {
+  test("anthropic: tool_use input wins, re-serialized in ITS order") {
     val body =
       """{"content":[
         |  {"type":"text","text":"preamble"},
         |  {"type":"tool_use","name":"other_tool","input":{"x":1}},
         |  {"type":"tool_use","name":"report_result","input":{"b":2,"a":[1,2]}}
         |]}""".stripMargin
-    assert(AnthropicWire.parseResponse(body) === """{"a":[1,2],"b":2}""")
+    // preserve_order serde keeps the response's own key order
+    assert(AnthropicWire.parseResponse(body) === """{"b":2,"a":[1,2]}""")
   }
 
-  test("anthropic: text fallback — strict JSON verbatim, json5 resorted") {
+  test("anthropic: text fallback — strict JSON verbatim, json5 kept " +
+    "in parse order") {
     // strict JSON passes through UNCHANGED (std::mem::take), key order
     // and spacing preserved
     val strict = """{"content":[{"type":"text","text":"{\"z\": 1, \"a\": 2}"}]}"""
     assert(AnthropicWire.parseResponse(strict) === """{"z": 1, "a": 2}""")
-    // json5-only input re-serializes through the permissive parser
+    // json5-only input re-serializes through the permissive parser,
+    // keeping its own order
     val json5 =
       """{"content":[{"type":"text","text":"{z: 1, a: 2,}"}]}"""
-    assert(AnthropicWire.parseResponse(json5) === """{"a":2,"z":1}""")
+    assert(AnthropicWire.parseResponse(json5) === """{"z":1,"a":2}""")
     // neither: the two-error frame
     val neither = """{"content":[{"type":"text","text":"not json at all"}]}"""
     val e = intercept[IllegalStateException](
@@ -95,10 +99,21 @@ class ProviderWiresSpec extends AnyFunSuite {
       AnthropicWire.parseResponse("""{"content":[{"type":"text","text":7}]}"""))
     assert(short.getMessage ===
       "No structured tool output or text found in response")
-    // an error field raises the API-error arm before any extraction
+    // an error field raises the API-error arm before any extraction,
+    // rendered as serde Value's Debug form (the {:?} interpolation)
     val err = intercept[IllegalStateException](AnthropicWire.parseResponse(
       """{"error":{"type":"overloaded_error"},"content":[]}"""))
-    assert(err.getMessage.startsWith("Anthropic API error: "))
+    assert(err.getMessage ===
+      """Anthropic API error: Object {"type": String("overloaded_error")}""")
+  }
+
+  test("rust Value debug rendering (the {:?} error interpolations)") {
+    import graft.operators.ProviderWires.rustValueDebug
+    assert(rustValueDebug("""{"code":429}""") ===
+      """Object {"code": Number(429)}""")
+    assert(rustValueDebug("""[1,"x",null,true,2.5]""") ===
+      """Array [Number(1), String("x"), Null, Bool(true), Number(2.5)]""")
+    assert(rustValueDebug(""""a\"b"""") === "String(\"a\\\"b\")")
   }
 
   test("anthropic: strict parse is whole-input (review r14 #2)") {
@@ -144,7 +159,7 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(api429.posts === 3)
   }
 
-  test("sorted re-serialization renders floats in serde_json text " +
+  test("canonical re-serialization renders floats in serde_json text " +
     "(review r14 #4)") {
     import graft.operators.ProviderWires.serdeFloatText
     assert(serdeFloatText(1.0e9) === "1000000000.0")
@@ -157,10 +172,11 @@ class ProviderWiresSpec extends AnyFunSuite {
     assert(serdeFloatText(1.23e20) === "1.23e20")
     assert(serdeFloatText(1.0e-6) === "1e-6")
     assert(serdeFloatText(-3.5e17) === "-3.5e17")
-    // through the request render: no Java E-notation in the body
+    // through the request render: no Java E-notation in the body and
+    // the schema's key order kept
     val req = AnthropicWire.renderMessages("m", "p",
-      schemaJson = Some("""{"maximum":1e9,"x":2.5}"""))
-    assert(req.body.contains(""""input_schema":{"maximum":1000000000.0,"x":2.5}"""))
+      schemaJson = Some("""{"x":2.5,"maximum":1e9}"""))
+    assert(req.body.contains(""""input_schema":{"x":2.5,"maximum":1000000000.0}"""))
     // and through tool-input extraction
     val body =
       """{"content":[{"type":"tool_use","name":"report_result","input":{"count":10000000.0}}]}"""
@@ -233,9 +249,10 @@ class ProviderWiresSpec extends AnyFunSuite {
     val bare = VoyageWire.renderEmbed("voyage-3.5", "some text")
     assert(bare.path === "https://api.voyageai.com/v1/embeddings")
     assert(bare.body === """{"input":"some text","model":"voyage-3.5"}""")
+    // input_type APPENDS after the json! literal (insertion order)
     val task = VoyageWire.renderEmbed("voyage-code-3", "q", Some("query"))
     assert(task.body ===
-      """{"input":"q","input_type":"query","model":"voyage-code-3"}""")
+      """{"input":"q","model":"voyage-code-3","input_type":"query"}""")
 
     assert(VoyageWire.parseEmbed(
       """{"data":[{"embedding":[1.0,2.5]},{"embedding":[9.0]}]}""").toSeq ===

@@ -74,6 +74,14 @@ class SetupStatesSpec extends AnyFunSuite {
   test("identifier sanitization and validation") {
     assert(sanitizeIdentifier("my-flow.v2") === "my__flow__v2")
     assert(sanitizeIdentifier("ok_name1") === "ok_name1")
+    // Rust char::is_alphanumeric semantics (review r14 #2-7):
+    // superscript two (No), Roman numeral (Nl), and supplementary-
+    // plane letters all KEEP; surrogates never split
+    assert(sanitizeIdentifier("a²b") === "a²b")
+    assert(sanitizeIdentifier("xⅫy") === "xⅫy")
+    val supp = new String(Character.toChars(0x1D49C)) // 𝒜
+    assert(sanitizeIdentifier("f" + supp) === "f" + supp)
+    assert(validIdentifier("a²" + supp) === "a²" + supp)
     assert(defaultTrackingTableName("demo-flow") ===
       "demo__flow__cocoindex_tracking")
     assert(validIdentifier("t_1") === "t_1")
