@@ -147,6 +147,34 @@ object FlowApi {
   }
 
   // -----------------------------------------------------------------
+  // Server surface (src/server.rs:1-90)
+  // -----------------------------------------------------------------
+
+  /** The engine server's fixed vocabulary: the route table under
+    * `/cocoindex/api`, the health banner, the CORS policy applied
+    * only when origins are configured, and the bind/startup text. */
+  object Server {
+    val HealthRoute = "/cocoindex"
+    val HealthBanner = "CocoIndex is running!"
+    /** method → path (under /cocoindex/api), registration order. */
+    val ApiRoutes: Seq[(String, String)] = Seq(
+      "GET" -> "/flows",
+      "GET" -> "/flows/{flowInstName}",
+      "GET" -> "/flows/{flowInstName}/schema",
+      "GET" -> "/flows/{flowInstName}/keys",
+      "GET" -> "/flows/{flowInstName}/data",
+      "GET" -> "/flows/{flowInstName}/rowStatus",
+      "POST" -> "/flows/{flowInstName}/update")
+    /** CORS applies ONLY with configured origins (server.rs:24-37). */
+    val CorsAllowedMethods = Seq("GET", "POST", "DELETE")
+    val CorsAllowedHeaders = Seq("content-type")
+    def bindError(address: String): String =
+      s"Failed to bind to address: $address"
+    def startupBanner(localAddr: String): String =
+      s"Server running at http://$localAddr/cocoindex"
+  }
+
+  // -----------------------------------------------------------------
   // Fingerprint faces (src/utils/fingerprint.rs:33-54)
   // -----------------------------------------------------------------
 

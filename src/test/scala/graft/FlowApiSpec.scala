@@ -116,6 +116,26 @@ class FlowApiSpec extends AnyFunSuite {
       ("k3", -1L, -1L, "null", -1L, "Ordinal is unavailable for the source")))
   }
 
+  test("server surface: routes, banner, CORS, bind text") {
+    import FlowApi.Server
+    assert(Server.HealthRoute === "/cocoindex")
+    assert(Server.HealthBanner === "CocoIndex is running!")
+    assert(Server.ApiRoutes === Seq(
+      "GET" -> "/flows",
+      "GET" -> "/flows/{flowInstName}",
+      "GET" -> "/flows/{flowInstName}/schema",
+      "GET" -> "/flows/{flowInstName}/keys",
+      "GET" -> "/flows/{flowInstName}/data",
+      "GET" -> "/flows/{flowInstName}/rowStatus",
+      "POST" -> "/flows/{flowInstName}/update"))
+    assert(Server.CorsAllowedMethods === Seq("GET", "POST", "DELETE"))
+    assert(Server.CorsAllowedHeaders === Seq("content-type"))
+    assert(Server.bindError("0.0.0.0:99999") ===
+      "Failed to bind to address: 0.0.0.0:99999")
+    assert(Server.startupBanner("127.0.0.1:49344") ===
+      "Server running at http://127.0.0.1:49344/cocoindex")
+  }
+
   test("indexing status without a process_time column stays null") {
     import spark.implicits._
     val current = Seq(("k1", 10L)).toDF("source_key", "ordinal")
