@@ -4013,6 +4013,48 @@ object SparkEntry {
         "new_last")
   }
 
+  /** Value-codec decode in the gate (value.rs:1030-1240 via
+    * types.ValueCodec): per document, a typed struct decodes from
+    * object form — int64, sanitized text, a TimeDelta through both
+    * duration grammars by residue, a naive datetime assuming UTC —
+    * alongside the float-as-int64 error and the union bad-tag live
+    * panic, all canonicalized to the serialize direction's shapes. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.JsonSchemaBuild._
+    import types.ValueCodec
+    t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^A-Za-z0-9 ]", "")
+          .as("p"))
+      .as[(Long, String)]
+      .map { case (id, p) =>
+        val schema = TStruct(Seq(EField("id", TInt64),
+          EField("note", TStr, nullable = true),
+          EField("delta", TTimeDelta), EField("when", TOffsetDateTime)))
+        val deltaIn = if (id % 2 == 0) "P1D" else "1 day 2 hours"
+        val json = s"""{"id":$id,"note":"$p","delta":"$deltaIn",""" +
+          s""""when":"2024-03-07T01:02:03"}"""
+        val decoded = ValueCodec.decodeJson(json, schema)
+          .asInstanceOf[graft.incremental.EvaluateDump.YHash]
+        def str(k: String) = decoded.entries.toMap.apply(k) match {
+          case graft.incremental.EvaluateDump.YStr(v) => v
+          case graft.incremental.EvaluateDump.YInt(v) => v.toString
+          case other => other.toString
+        }
+        val intErr =
+          try { ValueCodec.decodeJson("5.5", TInt64); "" }
+          catch { case e: ValueCodec.DecodeError => e.getMessage }
+        val panic =
+          try {
+            ValueCodec.decodeJson("""["s",1]""", TUnion(Seq(TStr))); ""
+          } catch { case e: IllegalStateException => e.getMessage }
+        (id, str("id").toLong, str("note"), str("delta"), str("when"),
+          intErr, panic)
+      }
+      .toDF("doc_id", "id", "note", "delta", "when_utc", "int_err",
+        "union_panic")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4187,7 +4229,8 @@ object SparkEntry {
     "q165_tracking_setup" -> q165 _,
     "q166_table_setup" -> q166 _,
     "q167_setup_metadata" -> q167 _,
-    "q168_target_ids" -> q168 _)
+    "q168_target_ids" -> q168 _,
+    "q169_value_decode" -> q169 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6616,7 +6659,20 @@ object SparkEntry {
         |    WHEN 3 THEN 4 ELSE 3 END AS max_schema_version,
         |  CASE r WHEN 1 THEN last WHEN 2 THEN last
         |    ELSE last + 1 END AS new_last
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    "q169_value_decode" ->
+      // canonical decode shapes: chrono TimeDelta display for both
+      // grammars, naive datetime assuming UTC, the serde as_i64 error
+      // text, the union bad-tag panic message
+      """SELECT doc_id, doc_id AS id,
+        |  regexp_replace(substr(text, 1, 40), '[^A-Za-z0-9 ]', '', 'g')
+        |    AS note,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'P1D' ELSE 'P1DT7200S' END
+        |    AS delta,
+        |  '2024-03-07T01:02:03Z' AS when_utc,
+        |  'invalid int64 value 5.5' AS int_err,
+        |  'called `Option::unwrap()` on a `None` value' AS union_panic
+        |FROM documents""".stripMargin)
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
