@@ -53,7 +53,11 @@ object JsonSchemaBuild {
   final case class TUnion(types: Seq[EType]) extends EType
   final case class TStruct(fields: Seq[EField],
       description: Option[String] = None) extends EType
-  final case class TTable(row: TStruct) extends EType
+  /** `kind` ∈ UTable/KTable/LTable — the schema builder is kind-blind
+    * (every table renders as an array) but the value codec decodes per
+    * kind (value.rs from_json matches on s.kind). */
+  final case class TTable(row: TStruct, kind: String = "LTable")
+      extends EType
 
   final case class EField(name: String, typ: EType,
       nullable: Boolean = false)
@@ -177,7 +181,7 @@ object JsonSchemaBuild {
           val arr = n.putArray("oneOf")
           types.foreach(t => arr.add(forType(t, path)))
         case s: TStruct => forStruct(n, s, path)
-        case TTable(row) =>
+        case TTable(row, _) =>
           typed(n, "array")
           val items = mapper.createObjectNode()
           forStruct(items, row, path)

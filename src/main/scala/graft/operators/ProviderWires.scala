@@ -43,7 +43,7 @@ object ProviderWires {
     * mandatory `.0` on integral values inside the 16-digit window,
     * bare `de±x` scientific outside it) — Java's E-notation never
     * leaks. */
-  private[graft] def canonJson(json: String): String =
+  private[operators] def canonJson(json: String): String =
     mapper.writeValueAsString(canonNode(json))
 
   /** The canonical tree itself, for embedding into a larger payload
