@@ -100,4 +100,30 @@ object PyValueConversion {
   /** Field paths join bare: `$root` + `[*]` + `.name`. */
   def childPath(parent: String, segment: String): String =
     parent + segment
+
+  // ----------------------------------------------------------------
+  // Decode faces (the success arms of make_engine_value_decoder)
+  // ----------------------------------------------------------------
+
+  /** A positional engine row decodes into the dataclass's named
+    * fields (declaration order). */
+  def decodeStructRow(values: Seq[PyVal],
+      names: Seq[String]): Seq[(String, PyVal)] =
+    names.zip(values)
+
+  /** An LTable decodes row-wise, order kept. */
+  def decodeLTable(rows: Seq[Seq[PyVal]],
+      names: Seq[String]): Seq[Seq[(String, PyVal)]] =
+    rows.map(decodeStructRow(_, names))
+
+  /** A KTable decodes into a dict: key first, remaining cells the
+    * named row (a python dict — no re-sorting on decode; the fixture
+    * sorts only for stable JSON). */
+  def decodeKTable(rows: Seq[Seq[PyVal]], names: Seq[String])
+      : Seq[(PyVal, Seq[(String, PyVal)])] =
+    rows.map(r => r.head -> decodeStructRow(r.tail, names))
+
+  /** A vector decodes to an ndarray of the element dtype. */
+  def decodeVector(values: Seq[Double], dtype: String): PyVal =
+    VNdArray(values, dtype)
 }

@@ -47,6 +47,16 @@ class PyTypeEncodingSpec extends AnyFunSuite {
     "attr_annotated" -> PyAttr(PyStr,
       Seq("cocoindex.io/content_filename" -> "true")),
     "vector_of_struct" -> PyVector(chunk, None),
+    "docstring_dataclass" -> PyStruct("A custom docstring.",
+      Seq("id" -> PyInt)),
+    "float32_alias" -> PyNpFloat32,
+    "float64_alias" -> PyNpFloat64,
+    "offsetdt_alias" -> PyDatetime,
+    "annotated_list_vector" -> PyVector(PyNpFloat32, Some(4)),
+    "opt_struct" -> PyUnion(Seq(PyStruct("A custom docstring.",
+      Seq("id" -> PyInt)), PyNone)),
+    "nested_vec_vec" -> PyVector(PyVector(PyNpFloat32, Some(2)), Some(3)),
+    "err_enum" -> PyUnsupported("<enum 'Color'>"),
     "err_set" -> PyUnsupported("set[int]"),
     "err_any" -> PyUnsupported("typing.Any", bare = true),
     "err_bare_list" -> PyUnsupported("list", bare = true),
@@ -60,7 +70,7 @@ class PyTypeEncodingSpec extends AnyFunSuite {
   test("every fixture case replays through the twin") {
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     fixture.fieldNames().forEachRemaining(names += _)
-    assert(names.size === 39)
+    assert(names.size === 47)
     var checked = 0
     names.foreach { name =>
       val expected = fixture.get(name)
@@ -76,7 +86,7 @@ class PyTypeEncodingSpec extends AnyFunSuite {
       }
       checked += 1
     }
-    assert(checked === 39)
+    assert(checked === 47)
   }
 
   test("ktable rows prepend _key; nullability stays a field flag") {

@@ -94,6 +94,36 @@ class PyValueConversionSpec extends AnyFunSuite {
     }
   }
 
+  test("decode faces replay the recorded success arms") {
+    val ok = fixture.get("decode_ok")
+    val names = Seq("start", "text")
+    // struct: positional row → named fields
+    val struct = decodeStructRow(Seq(VInt(5), VStr("hello")), names)
+    assert(struct.map { case (n, VInt(i)) => n -> i.toString
+      case (n, VStr(s)) => n -> s }.toMap ===
+      Map("start" -> "5", "text" -> "hello"))
+    assert(ok.get("struct").get("start").asLong === 5)
+    assert(ok.get("struct").get("text").asText === "hello")
+    // ltable keeps order
+    val lt = decodeLTable(Seq(Seq(VInt(1), VStr("a")),
+      Seq(VInt(2), VStr("b"))), names)
+    assert(lt.map(_.head._2) === Seq(VInt(1), VInt(2)))
+    assert(ok.get("ltable").get(0).get("text").asText === "a")
+    assert(ok.get("ltable").get(1).get("text").asText === "b")
+    // ktable: key first, rest named
+    val kt = decodeKTable(Seq(Seq(VStr("k"), VInt(5), VStr("x")),
+      Seq(VStr("j"), VInt(1), VStr("y"))), names)
+    assert(kt.toMap.apply(VStr("k")) ===
+      Seq("start" -> VInt(5), "text" -> VStr("x")))
+    assert(ok.get("ktable").get("k").get("start").asLong === 5)
+    assert(ok.get("ktable").get("j").get("text").asText === "y")
+    // vector decodes to the dtype'd ndarray
+    assert(decodeVector(Seq(1.0, 2.0), "float32") ===
+      VNdArray(Seq(1.0, 2.0), "float32"))
+    assert(ok.get("vector").get("dtype").asText === "float32")
+    assert(ok.get("vector").get("__ndarray__").size === 2)
+  }
+
   test("decoder error vocabulary matches the recorded strings") {
     val errs = fixture.get("decode_errors")
     assert(errs.get("null_nonnull_vector").get("error").asText ===

@@ -51,6 +51,21 @@ class Pt(NamedTuple):
     y: float
 
 
+@dataclasses.dataclass
+class Doc:
+    """A custom docstring."""
+
+    id: int
+
+
+import enum  # noqa: E402
+
+
+class Color(enum.Enum):
+    RED = "r"
+    BLUE = "b"
+
+
 cases = [
     ("bytes", lambda: E(bytes)),
     ("str", lambda: E(str)),
@@ -85,7 +100,17 @@ cases = [
         "cocoindex.io/content_filename", True)])),
     ("vector_of_struct", lambda: E(m.Vector[Chunk])
         if True else None),
+    ("docstring_dataclass", lambda: E(Doc)),
+    ("float32_alias", lambda: E(m.Float32)),
+    ("float64_alias", lambda: E(m.Float64)),
+    ("offsetdt_alias", lambda: E(m.OffsetDateTime)),
+    ("annotated_list_vector", lambda: E(
+        Annotated[list[np.float32], m.VectorInfo(dim=4)])),
+    ("opt_struct", lambda: E(Doc | None)),
+    ("nested_vec_vec", lambda: E(
+        m.Vector[m.Vector[np.float32, Literal[2]], Literal[3]])),
     # error arms
+    ("err_enum", lambda: E(Color)),
     ("err_set", lambda: E(set[int])),
     ("err_any", lambda: E(Any)),
     ("err_bare_list", lambda: E(list)),

@@ -117,6 +117,44 @@ def decoder_err(name, src_type, dst_annotation, value):
                                       "error_type": type(e).__name__}
 
 
+out["decode_ok"] = {}
+STRUCT_T = {"kind": "Struct", "fields": [
+    {"name": "start", "type": {"kind": "Int64"}},
+    {"name": "text", "type": {"kind": "Str"}}]}
+
+
+@dataclasses.dataclass
+class Chunk2:
+    start: int
+    text: str
+
+
+def decoder_ok(name, src_type, dst_annotation, value, canonize):
+    dec = c.make_engine_value_decoder(
+        ["$root"], src_type, t.analyze_type_info(dst_annotation))
+    out["decode_ok"][name] = canonize(dec(value))
+
+
+decoder_ok("struct", STRUCT_T, Chunk2, [5, "hello"],
+           dataclasses.asdict)
+decoder_ok("ltable",
+           {"kind": "LTable", "row": {"fields": STRUCT_T["fields"]}},
+           list[Chunk2], [[1, "a"], [2, "b"]],
+           lambda rows: [dataclasses.asdict(r) for r in rows])
+decoder_ok("ktable",
+           {"kind": "KTable", "row": {"fields":
+               [{"name": "_key", "type": {"kind": "Str"}}]
+               + STRUCT_T["fields"]}},
+           dict[str, Chunk2], [["k", 5, "x"], ["j", 1, "y"]],
+           lambda d: {k: dataclasses.asdict(v)
+                      for k, v in sorted(d.items())})
+decoder_ok("vector",
+           {"kind": "Vector", "element_type": {"kind": "Float32"},
+            "dimension": 2},
+           t.Vector[np.float32,
+                    __import__("typing").Literal[2]],
+           [1.0, 2.0], canon)
+
 VEC_F32 = {"kind": "Vector", "element_type": {"kind": "Float32"},
            "dimension": 3}
 decoder_err("null_nonnull_vector", VEC_F32,
