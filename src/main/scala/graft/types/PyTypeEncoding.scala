@@ -113,18 +113,28 @@ object PyTypeEncoding {
     mapper.writeValueAsString(root)
   }
 
-  /** Strip Optional/attrs wrappers: (core type, nullable, attrs). */
+  /** Strip Optional/attrs wrappers: (core type, nullable, attrs).
+    * Two reference quirks carried (review r14 #4-1/#4-5, verified
+    * against typing.py under CPython): `Optional[Annotated[T, a]]`
+    * KEEPS the attrs (the single surviving variant re-analyzes), but
+    * `Annotated[T | None, a]` DROPS them — analyze_type_info's union
+    * branch early-returns without merging the outer Annotated. */
   private def split(t: PyType)
       : (PyType, Boolean, Seq[(String, String)]) = t match {
     case PyAttr(inner, attrs) =>
-      val (core, n, moreAttrs) = split(inner)
-      (core, n, attrs ++ moreAttrs)
+      val (core, n, innerAttrs) = split(inner)
+      inner match {
+        case _: PyUnion => (core, n, innerAttrs) // outer attrs dropped
+        case _ => (core, n, attrs ++ innerAttrs)
+      }
     case PyUnion(variants) =>
       val nonNone = variants.filterNot(_ == PyNone)
       val nullable = nonNone.size != variants.size
       nonNone match {
         case Seq() => fail("Unsupported type annotation: <class 'NoneType'>")
-        case Seq(one) => (one, nullable, Nil)
+        case Seq(one) =>
+          val (core, n2, innerAttrs) = split(one)
+          (core, nullable || n2, innerAttrs)
         case many => (PyUnion(many), nullable, Nil)
       }
     case other => (other, false, Nil)
@@ -135,8 +145,13 @@ object PyTypeEncoding {
       val n = mapper.createObjectNode()
       n.put("kind", "Union")
       val arr = n.putArray("types")
-      variants.foreach(v => arr.add(encodeType(v)))
+      // an Annotated member strips to its core inside a union variant
+      variants.foreach {
+        case PyAttr(inner, _) => arr.add(encodeType(inner))
+        case v => arr.add(encodeType(v))
+      }
       n
+    case PyAttr(inner, _) => encodeType(inner)
     case PyVector(elem, dim) =>
       if (isStruct(elem)) fail("LTable type must not have a vector info")
       val n = mapper.createObjectNode()
@@ -196,12 +211,21 @@ object PyTypeEncoding {
     }
     s.fields.foreach { case (name, typ) =>
       val f = fields.addObject()
-      val (core, nullable, _) = split(typ)
+      val (core, nullable, attrs) = split(typ)
       f.set[ObjectNode]("type", encodeType(core))
+      // fields carry their attrs (review r14 #4-4)
+      if (attrs.nonEmpty) {
+        val a = f.putObject("attrs")
+        attrs.foreach { case (k, v) =>
+          a.set[com.fasterxml.jackson.databind.JsonNode](k,
+            mapper.readTree(v))
+        }
+      }
       if (nullable) f.put("nullable", true)
       f.put("name", name)
     }
-    n.put("description", s.description)
+    // inspect.getdoc falsy → the key is omitted (review r14 #4-8)
+    if (s.description.nonEmpty) n.put("description", s.description)
     n
   }
 }

@@ -45,23 +45,31 @@ object PyValueConversion {
   final case class VStruct(fields: Seq[PyVal]) extends PyVal
 
   /** encode_engine_value (convert.py): returns the engine-boundary
-    * value in the same canonical tree. */
+    * value in the same canonical tree. Sharpened by review r14 pass 4
+    * (each arm verified against the module under CPython):
+    *  - tuples encode as LISTS (`isinstance(value, (list, tuple))`);
+    *  - only a dict whose values are STRUCTS flattens to KTable rows
+    *    (key prepended, a tuple key as one nested list element) — a
+    *    plain dict, including the empty dict, passes through with
+    *    encoded values. */
   def encode(v: PyVal): PyVal = v match {
     case VStruct(fields) => VList(fields.map(encode))
     case VList(items) => VList(items.map(encode))
+    case VTuple(items) => VList(items.map(encode))
     case VDict(entries) =>
-      VList(entries.map { case (k, value) =>
-        val keyParts = encode(k) match {
-          case VTuple(items) => Seq(VList(items)) // tuple key nests
-          case other => Seq(other)
-        }
-        val row = encode(value) match {
-          case VList(fields) => fields
-          case scalar => Seq(scalar)
-        }
-        VList(keyParts ++ row)
+      val structValued =
+        entries.headOption.exists(_._2.isInstanceOf[VStruct])
+      if (structValued)
+        VList(entries.map { case (k, value) =>
+          val row = encode(value) match {
+            case VList(fields) => fields
+            case scalar => Seq(scalar)
+          }
+          VList(encode(k) +: row)
+        })
+      else VDict(entries.map { case (k, value) =>
+        encode(k) -> encode(value)
       })
-    case VTuple(items) => VTuple(items.map(encode))
     case passthrough => passthrough
   }
 

@@ -56,6 +56,13 @@ class PyTypeEncodingSpec extends AnyFunSuite {
     "opt_struct" -> PyUnion(Seq(PyStruct("A custom docstring.",
       Seq("id" -> PyInt)), PyNone)),
     "nested_vec_vec" -> PyVector(PyVector(PyNpFloat32, Some(2)), Some(3)),
+    "opt_annotated" -> PyUnion(Seq(PyAttr(PyStr, Seq("k" -> "1")),
+      PyNone)),
+    "annotated_opt" -> PyAttr(PyUnion(Seq(PyStr, PyNone)),
+      Seq("k" -> "1")),
+    "field_attrs" -> PyStruct("Attr carrier.",
+      Seq("f" -> PyAttr(PyStr, Seq("cocoindex.io/x" -> "1")))),
+    "blank_doc" -> PyStruct("", Seq("x" -> PyInt)),
     "err_enum" -> PyUnsupported("<enum 'Color'>"),
     "err_set" -> PyUnsupported("set[int]"),
     "err_any" -> PyUnsupported("typing.Any", bare = true),
@@ -70,7 +77,7 @@ class PyTypeEncodingSpec extends AnyFunSuite {
   test("every fixture case replays through the twin") {
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     fixture.fieldNames().forEachRemaining(names += _)
-    assert(names.size === 47)
+    assert(names.size === 51)
     var checked = 0
     names.foreach { name =>
       val expected = fixture.get(name)
@@ -86,7 +93,7 @@ class PyTypeEncodingSpec extends AnyFunSuite {
       }
       checked += 1
     }
-    assert(checked === 47)
+    assert(checked === 51)
   }
 
   test("ktable rows prepend _key; nullability stays a field flag") {

@@ -46,8 +46,16 @@ class PyValueConversionSpec extends AnyFunSuite {
       val arr = mapper.createArrayNode()
       items.foreach(i => arr.add(toNode(i)))
       arr
-    case VDict(_) | VStruct(_) =>
-      fail("encode() should have flattened containers")
+    case VDict(entries) =>
+      // a passthrough dict (non-struct values); keys must be strings
+      val o = mapper.createObjectNode()
+      entries.foreach {
+        case (VStr(k), value) => o.set[JsonNode](k, toNode(value))
+        case (k, _) => fail(s"non-string dict key in passthrough: $k")
+      }
+      o
+    case VStruct(_) =>
+      fail("encode() should have flattened structs")
   }
 
   private val chunk1 = VStruct(Seq(VInt(1), VStr("a"), VNone))
@@ -75,13 +83,19 @@ class PyValueConversionSpec extends AnyFunSuite {
     "list_int" -> VList(Seq(VInt(1), VInt(2), VInt(3))),
     "ndarray_f32" -> VNdArray(Seq(1.0, 2.0), "float32"),
     "nested_list" -> VList(Seq(VList(Seq(chunk1)), VList(Nil))),
-    "np_scalar" -> VInt(9))
+    "np_scalar" -> VInt(9),
+    // review r14 #4-2/#4-3: non-struct dicts pass through (empty dict
+    // included); tuples become lists everywhere
+    "plain_dict" -> VDict(Seq(VStr("a") -> VInt(1))),
+    "empty_dict" -> VDict(Nil),
+    "tuple" -> VTuple(Seq(VInt(1), VInt(2))),
+    "nested_tuple" -> VList(Seq(VTuple(Seq(VInt(1), VInt(2))))))
 
   test("every encode fixture case replays through the twin") {
     val enc = fixture.get("encode")
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     enc.fieldNames().forEachRemaining(names += _)
-    assert(names.size === 20)
+    assert(names.size === 24)
     names.foreach { name =>
       val expected = enc.get(name).get("ok")
       val desc = encodeCases.getOrElse(name,

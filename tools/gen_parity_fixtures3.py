@@ -66,6 +66,24 @@ class Color(enum.Enum):
     BLUE = "b"
 
 
+# the docstring overrides the auto-signature, which would embed the
+# TypeAttr instance's memory address (non-deterministic fixtures)
+@dataclasses.dataclass
+class WithAttr:
+    """Attr carrier."""
+
+    f: Annotated[str, m.TypeAttr("cocoindex.io/x", 1)]
+
+
+@dataclasses.dataclass
+class BlankDoc:
+    x: int
+
+
+BlankDoc.__doc__ = ""
+
+from typing import Optional  # noqa: E402
+
 cases = [
     ("bytes", lambda: E(bytes)),
     ("str", lambda: E(str)),
@@ -98,8 +116,15 @@ cases = [
     ("dict_int_struct", lambda: E(dict[int, Row])),
     ("attr_annotated", lambda: E(Annotated[str, m.TypeAttr(
         "cocoindex.io/content_filename", True)])),
-    ("vector_of_struct", lambda: E(m.Vector[Chunk])
-        if True else None),
+    ("vector_of_struct", lambda: E(m.Vector[Chunk])),
+    # quirk pair: Optional[Annotated] keeps attrs, Annotated[Optional]
+    # drops them (the union branch's early return)
+    ("opt_annotated", lambda: E(
+        Optional[Annotated[str, m.TypeAttr("k", 1)]])),
+    ("annotated_opt", lambda: E(
+        Annotated[str | None, m.TypeAttr("k", 1)])),
+    ("field_attrs", lambda: E(WithAttr)),
+    ("blank_doc", lambda: E(BlankDoc)),
     ("docstring_dataclass", lambda: E(Doc)),
     ("float32_alias", lambda: E(m.Float32)),
     ("float64_alias", lambda: E(m.Float64)),

@@ -95,6 +95,11 @@ enc_cases = [
     ("ndarray_f32", lambda: E(np.array([1.0, 2.0], dtype=np.float32))),
     ("nested_list", lambda: E([[Chunk(1, "a")], []])),
     ("np_scalar", lambda: E(np.int64(9))),
+    # non-struct dicts pass through; tuples become lists
+    ("plain_dict", lambda: E({"a": 1})),
+    ("empty_dict", lambda: E({})),
+    ("tuple", lambda: E((1, 2))),
+    ("nested_tuple", lambda: E([(1, 2)])),
 ]
 
 out = {"encode": {}, "decode_errors": {}}
