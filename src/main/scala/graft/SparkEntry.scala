@@ -4055,6 +4055,80 @@ object SparkEntry {
         "union_panic")
   }
 
+  /** Shared synthetic Notion pages frame for the legacy-ingestion
+    * gates (q170/q171): one page per document with modular knobs
+    * covering every inference arm — the present-but-null Department
+    * property, each parent-title department substring (and the
+    * no-match and null titles), the Tags/Category truthiness forks,
+    * and an unknown security level (access 0). */
+  private def legacyPages(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    t(s, dir, "documents").select(
+      concat(lit("pg"), d).as("page_id"),
+      when(d % 7 === 3, lit(null).cast("string"))
+        .otherwise(concat(lit("Doc "), d)).as("title"),
+      substring(col("text"), 1, 200).as("content"),
+      concat(lit("user"), d % 5).as("created_by"),
+      lit("2025-07-01").as("created_time"),
+      concat(lit("2025-08-0"), (d % 9) + 1).as("last_edited_time"),
+      (d % 4 === 0).as("has_dept_prop"),
+      when(d % 8 === 0, lit("Custom Dept"))
+        .otherwise(lit(null).cast("string")).as("dept_select_name"),
+      when(d % 4 === 2, lit("page_id")).otherwise(lit("database_id"))
+        .as("parent_type"),
+      when(d % 5 === 0, lit("Engineering Wiki"))
+        .when(d % 5 === 1, lit("Sales and Marketing Hub"))
+        .when(d % 5 === 2, lit("HR Portal"))
+        .when(d % 5 === 3, lit("Random Notes"))
+        .otherwise(lit(null).cast("string")).as("parent_db_title"),
+      (d % 3 === 0).as("has_tags"),
+      array(lit("t1"), concat(lit("t"), d % 5)).as("tag_names"),
+      when(d % 5 === 0, lit("How-To")).when(d % 5 === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("category"),
+      element_at(array(lit("public"), lit("client"), lit("partner"),
+        lit("employee"), lit("management"), lit("intern")),
+        (d % 6).cast("int") + 1).as("security_level"))
+  }
+
+  /** Legacy Notion ingestion in the gate
+    * (archive/legacy_ingestion/notion_ingestion.py:140-225, :342-386
+    * via LegacyIngestion): the 7-day change cutoff filter, then the
+    * document build — notion_{id} identity, sha256 content hash,
+    * Untitled default, the Department-key short-circuit, parent-title
+    * department scan in list order with .title() casing, Tags +
+    * truthy-Category tag list, the security-level access map with its
+    * unknown→0 fallback, and the manual-review status fork. Pure
+    * pushed-down filter + projection — one scan at any scale. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import operators.LegacyIngestion
+    val filtered = LegacyIngestion.filterModifiedSince(
+      legacyPages(s, dir), fullScan = false, cutoff = "2025-08-05")
+    LegacyIngestion.buildDocuments(filtered, autoApprove = false)
+      .withColumn("tags", array_join(col("tags"), "|"))
+      .drop("content")
+  }
+
+  /** Legacy Qdrant point render in the gate
+    * (notion_ingestion.py:289-320 via LegacyIngestion.qdrantPoints):
+    * a full-scan document build fans out to three chunks per page;
+    * each point carries the {doc}_chunk_{n} id, the payload columns
+    * in the script's insertion order, and the chunk_{n} location. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.LegacyIngestion
+    val docs = LegacyIngestion.buildDocuments(
+      legacyPages(s, dir), autoApprove = true)
+    val chunkBase = Seq(0L, 1L, 2L).toDF("chunk_number")
+    val chunks = docs.crossJoin(broadcast(chunkBase)).select(
+      col("id").as("document_id"), col("chunk_number"),
+      concat(substring(col("content"), 1, 40), lit(" #"),
+        col("chunk_number")).as("text"),
+      col("title"), col("department"), col("tags"),
+      col("security_level"), col("access_level"), col("created_at"))
+    LegacyIngestion.qdrantPoints(chunks)
+      .withColumn("tags", array_join(col("tags"), "|"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4230,7 +4304,9 @@ object SparkEntry {
     "q166_table_setup" -> q166 _,
     "q167_setup_metadata" -> q167 _,
     "q168_target_ids" -> q168 _,
-    "q169_value_decode" -> q169 _)
+    "q169_value_decode" -> q169 _,
+    "q170_legacy_ingest" -> q170 _,
+    "q171_legacy_points" -> q171 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6672,7 +6748,64 @@ object SparkEntry {
         |  '2024-03-07T01:02:03Z' AS when_utc,
         |  'invalid int64 value 5.5' AS int_err,
         |  'called `Option::unwrap()` on a `None` value' AS union_panic
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q170_legacy_ingest" ->
+      // legacy notion ingestion: 7-day-cutoff filter, notion_{id}
+      // identity, sha256 hash, Department-key short-circuit, parent
+      // title scan in list order (.title() casing), truthy-Category
+      // tag append, access map with unknown→0, manual-review fork
+      s"""$legacyPagesOracleSql
+        |SELECT 'notion_' || page_id AS id, sha256(content) AS content_hash,
+        |  coalesce(title, 'Untitled') AS title, author, 'notion' AS source,
+        |  page_id AS source_id, created_time AS created_at,
+        |  last_edited AS updated_at, department, tags, security_level,
+        |  access_level, 'pending_review' AS status,
+        |  false AS has_ingested_at
+        |FROM p WHERE last_edited >= '2025-08-05'""".stripMargin,
+
+    "q171_legacy_points" ->
+      // legacy qdrant point render: {doc}_chunk_{n} ids, payload
+      // columns in the script's insertion order, chunk_{n} location
+      s"""$legacyPagesOracleSql
+        |SELECT 'notion_' || page_id || '_chunk_' || n AS point_id,
+        |  'notion_' || page_id AS document_id, n AS chunk_number,
+        |  substr(content, 1, 40) || ' #' || n AS text,
+        |  coalesce(title, 'Untitled') AS title, 'notion' AS source,
+        |  department, tags, security_level, access_level,
+        |  created_time AS created_at, 'chunk_' || n AS location
+        |FROM p CROSS JOIN (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS n)""".stripMargin)
+
+  /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
+    * department/tag/security inference (legacyPages + the
+    * LegacyIngestion ladders). */
+  private def legacyPagesOracleSql: String =
+    """WITH p AS (SELECT 'pg' || doc_id AS page_id,
+      |  CASE WHEN doc_id % 7 = 3 THEN NULL
+      |    ELSE 'Doc ' || doc_id END AS title,
+      |  substr(text, 1, 200) AS content,
+      |  'user' || (doc_id % 5) AS author,
+      |  '2025-07-01' AS created_time,
+      |  '2025-08-0' || (doc_id % 9 + 1) AS last_edited,
+      |  CASE WHEN doc_id % 4 = 0 THEN
+      |      CASE WHEN doc_id % 8 = 0 THEN 'Custom Dept' ELSE NULL END
+      |    WHEN doc_id % 4 <> 2 THEN
+      |      CASE WHEN doc_id % 5 = 0 THEN 'Engineering'
+      |        WHEN doc_id % 5 = 1 THEN 'Sales'
+      |        WHEN doc_id % 5 = 2 THEN 'Hr'
+      |        ELSE NULL END
+      |    ELSE NULL END AS department,
+      |  CASE WHEN doc_id % 5 = 0 THEN
+      |      CASE WHEN doc_id % 3 = 0 THEN 't1|t' || (doc_id % 5) || '|How-To'
+      |        ELSE 'How-To' END
+      |    ELSE CASE WHEN doc_id % 3 = 0 THEN 't1|t' || (doc_id % 5)
+      |      ELSE '' END END AS tags,
+      |  CASE doc_id % 6 WHEN 0 THEN 'public' WHEN 1 THEN 'client'
+      |    WHEN 2 THEN 'partner' WHEN 3 THEN 'employee'
+      |    WHEN 4 THEN 'management' ELSE 'intern' END AS security_level,
+      |  CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+      |    WHEN 3 THEN 4 WHEN 4 THEN 5 ELSE 0 END AS access_level
+      |  FROM documents)""".stripMargin
 
   /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4

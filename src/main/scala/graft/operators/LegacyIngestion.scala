@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's archived legacy Notion ingestion pipeline
+  * (archive/legacy_ingestion/notion_ingestion.py:1-471) and its
+  * Celery/API frames (archive/legacy_ingestion/ingestion_tasks.py,
+  * ingestion.py) — the end-to-end Notion → vector/graph path that
+  * predates the current connector tier — re-expressed as per-row
+  * column ladders over a pages frame.
+  *
+  * Everything here is a projection (zero shuffles): document
+  * identity, content hashing, department/tag inference, the
+  * security-level algebra, and the Qdrant point render are all
+  * per-page or per-chunk, so the plan at 100 TB is a single scan.
+  * The chunking stage the pipeline calls (`chunk_document(method=
+  * "recursive", chunk_size=1500, chunk_overlap=200, language=
+  * "markdown")`, notion_ingestion.py:228-235) is the already-modeled
+  * [[DocProcessorChunker]]; [[qdrantPoints]] takes any chunk frame.
+  */
+object LegacyIngestion {
+
+  /** Security hierarchy (app/config.py:65-71): higher = more access.
+    * Token-map insertion order (config.py:52-58) doubles as the
+    * inference scan order. */
+  val securityLevels: Seq[(String, Int)] = Seq(
+    "public" -> 1, "client" -> 2, "partner" -> 3,
+    "employee" -> 4, "management" -> 5)
+
+  /** `settings.security_levels.get(level, 0)`
+    * (notion_ingestion.py:207, :300) — unknown levels read 0. */
+  def accessLevel(level: Column): Column =
+    securityLevels.foldRight(lit(0)) { case ((name, n), rest) =>
+      when(level === name, lit(n)).otherwise(rest)
+    }
+
+  /** `_infer_security_level` (notion_ingestion.py:82-87): the first
+    * configured (non-empty) token equal to the given one names the
+    * level, in the token map's insertion order; no match reads
+    * "unknown". */
+  def inferSecurityLevel(token: Column,
+      configured: Seq[(String, String)]): Column =
+    configured.foldRight(lit("unknown")) { case ((level, tok), rest) =>
+      if (tok.isEmpty) rest
+      else when(token === tok, lit(level)).otherwise(rest)
+    }
+
+  /** Department scan order (notion_ingestion.py:362-366). */
+  val departments: Seq[String] = Seq("engineering", "support", "sales",
+    "marketing", "operations", "product", "hr", "finance")
+
+  /** `_infer_department` (notion_ingestion.py:351-368). The
+    * `"Department" in props` check SHORT-CIRCUITS on key presence —
+    * a Department property with a null/absent select name still
+    * returns that null rather than falling through to the parent
+    * scan. Otherwise a database parent's lowercased title is scanned
+    * for the first substring match in [[departments]] order and
+    * returned `.title()`-cased (Python str.title of one word —
+    * "hr" → "Hr"). */
+  def inferDepartment(hasDeptProp: Column, deptSelectName: Column,
+      parentType: Column, parentDbTitle: Column): Column = {
+    val title = lower(coalesce(parentDbTitle, lit("")))
+    val fromParent = departments.foldRight(lit(null).cast("string")) {
+      case (dept, rest) =>
+        when(title.contains(dept),
+          lit(dept.head.toUpper +: dept.tail)).otherwise(rest)
+    }
+    when(hasDeptProp, deptSelectName)
+      .when(parentType === "database_id", fromParent)
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** `_extract_tags` (notion_ingestion.py:370-386): the Tags
+    * multi-select names in order, then the Category select name
+    * appended only when truthy (non-null, non-empty). */
+  def extractTags(hasTags: Column, tagNames: Column,
+      category: Column): Column = {
+    val base = when(hasTags, tagNames)
+      .otherwise(array().cast("array<string>"))
+    when(category.isNotNull && category =!= "",
+      concat(base, array(category))).otherwise(base)
+  }
+
+  /** `_create_document` + `_update_document_status`
+    * (notion_ingestion.py:192-225, :342-349, :186-188): document id
+    * `notion_{page_id}`, sha256 content hash (hex), source fields,
+    * metadata inference, and the auto-approve status fork — final
+    * status "ingested" (with ingested_at set) when auto_approve,
+    * else "pending_review" (ingested_at stays null).
+    *
+    * Input pages frame columns: page_id, title, content, created_by,
+    * created_time, last_edited_time, has_dept_prop (bool),
+    * dept_select_name, parent_type, parent_db_title, has_tags (bool),
+    * tag_names (array<string>), category, security_level. */
+  def buildDocuments(pages: DataFrame, autoApprove: Boolean): DataFrame =
+    pages.select(
+      concat(lit("notion_"), col("page_id")).as("id"),
+      col("content"),
+      sha2(col("content"), 256).as("content_hash"),
+      coalesce(col("title"), lit("Untitled")).as("title"),
+      col("created_by").as("author"),
+      lit("notion").as("source"),
+      col("page_id").as("source_id"),
+      col("created_time").as("created_at"),
+      col("last_edited_time").as("updated_at"),
+      inferDepartment(col("has_dept_prop"), col("dept_select_name"),
+        col("parent_type"), col("parent_db_title")).as("department"),
+      extractTags(col("has_tags"), col("tag_names"), col("category"))
+        .as("tags"),
+      col("security_level"),
+      accessLevel(col("security_level")).as("access_level"),
+      lit(if (autoApprove) "ingested" else "pending_review").as("status"),
+      lit(autoApprove).as("has_ingested_at"))
+
+  /** `_fetch_pages`' change cutoff (notion_ingestion.py:140-155): a
+    * full scan passes everything; otherwise only pages edited at or
+    * after the cutoff (now − 7 days in the script; injected here so
+    * the plan is a pushed-down filter, not driver time). */
+  def filterModifiedSince(pages: DataFrame, fullScan: Boolean,
+      cutoff: String): DataFrame =
+    if (fullScan) pages
+    else pages.filter(col("last_edited_time") >= lit(cutoff))
+
+  /** `_store_vectors` (notion_ingestion.py:289-320): one Qdrant point
+    * per chunk — id `{document_id}_chunk_{n}`, payload fields in the
+    * script's literal insertion order, `location` = `chunk_{n}`.
+    * Input: one row per chunk with the document columns of
+    * [[buildDocuments]] joined on (document_id) plus chunk_number and
+    * text. Pure projection. */
+  def qdrantPoints(chunks: DataFrame): DataFrame =
+    chunks.select(
+      concat(col("document_id"), lit("_chunk_"), col("chunk_number"))
+        .as("point_id"),
+      col("document_id"),
+      col("chunk_number"),
+      col("text"),
+      col("title"),
+      lit("notion").as("source"),
+      col("department"),
+      col("tags"),
+      col("security_level"),
+      col("access_level"),
+      col("created_at"),
+      concat(lit("chunk_"), col("chunk_number")).as("location"))
+
+  /** Per-chunk metadata carried by `_process_chunks`
+    * (notion_ingestion.py:243-253): `start` defaults 0, `end`
+    * defaults the chunk text's length. */
+  def chunkMeta(start: Column, end: Column, text: Column): Column =
+    struct(coalesce(start, lit(0L)).as("start"),
+      coalesce(end, length(text).cast("long")).as("end"))
+
+  /** The IngestionStatus roll-up (notion_ingestion.py:28-41,
+    * :108-122): per-page outcomes aggregate to total/processed/failed
+    * page counts plus new chunk/entity/relationship sums; failures
+    * carry `Page {id}: {error}` strings (:117-118), in page order.
+    * Input: page_id, failed (bool), error, n_chunks, n_entities,
+    * n_relationships. One aggregation — the only shuffle in the
+    * pipeline model, over one row per page. */
+  def statusSummary(perPage: DataFrame): DataFrame =
+    perPage.agg(
+      count(lit(1)).as("total_pages"),
+      sum(when(!col("failed"), 1L).otherwise(0L)).as("processed_pages"),
+      sum(when(col("failed"), 1L).otherwise(0L)).as("failed_pages"),
+      sum(when(!col("failed"), col("n_chunks")).otherwise(0L))
+        .as("new_chunks"),
+      sum(when(!col("failed"), col("n_entities")).otherwise(0L))
+        .as("new_entities"),
+      sum(when(!col("failed"), col("n_relationships")).otherwise(0L))
+        .as("new_relationships"),
+      array_join(array_sort(collect_list(when(col("failed"),
+        struct(col("page_ord"), concat(lit("Page "), col("page_id"),
+          lit(": "), col("error")).as("msg"))))).getField("msg"), "|")
+        .as("errors"))
+
+  /** The Celery task-status API ladder
+    * (archive/legacy_ingestion/ingestion.py:103-130): PENDING reads a
+    * placeholder info, PROCESSING surfaces `result.info`, SUCCESS
+    * surfaces `result.result`, FAILURE wraps the error string with
+    * status=failed; any other state leaves info null. */
+  def taskStatusInfo(state: Column, info: Column, result: Column,
+      error: Column): Column =
+    when(state === "PENDING", lit("Task not found or pending"))
+      .when(state === "PROCESSING", info)
+      .when(state === "SUCCESS", result)
+      .when(state === "FAILURE",
+        concat(lit("error="), coalesce(error, lit("")),
+          lit(" status=failed")))
+      .otherwise(lit(null).cast("string"))
+
+  /** GET /api/ingestion/sources (ingestion.py:249-263): per-source
+    * configured flag, id list (empty unless configured) and the
+    * "30 minutes"/"disabled" scan-interval fork. */
+  def sourcesListing(sources: DataFrame): DataFrame =
+    sources.select(
+      col("source"),
+      col("configured"),
+      when(col("configured"), col("ids"))
+        .otherwise(array().cast("array<string>")).as("ids"),
+      when(col("configured"), lit("30 minutes"))
+        .otherwise(lit("disabled")).as("scan_interval"))
+}
