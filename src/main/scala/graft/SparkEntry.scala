@@ -6762,7 +6762,7 @@ object SparkEntry {
         |  last_edited AS updated_at, department, tags, security_level,
         |  access_level, 'pending_review' AS status,
         |  false AS has_ingested_at
-        |FROM p WHERE last_edited >= '2025-08-05'""".stripMargin,
+        |FROM p WHERE last_edited > '2025-08-05'""".stripMargin,
 
     "q171_legacy_points" ->
       // legacy qdrant point render: {doc}_chunk_{n} ids, payload

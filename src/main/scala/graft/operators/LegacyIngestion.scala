@@ -114,13 +114,16 @@ object LegacyIngestion {
       lit(autoApprove).as("has_ingested_at"))
 
   /** `_fetch_pages`' change cutoff (notion_ingestion.py:140-155): a
-    * full scan passes everything; otherwise only pages edited at or
+    * full scan passes everything; otherwise only pages edited strictly
     * after the cutoff (now − 7 days in the script; injected here so
-    * the plan is a pushed-down filter, not driver time). */
+    * the plan is a pushed-down filter, not driver time). Strict `>`
+    * mirrors the connector's comparison (notion_connector.py:96) and
+    * the Notion API `after` filter (:125-129) — a page edited exactly
+    * at the cutoff is excluded. */
   def filterModifiedSince(pages: DataFrame, fullScan: Boolean,
       cutoff: String): DataFrame =
     if (fullScan) pages
-    else pages.filter(col("last_edited_time") >= lit(cutoff))
+    else pages.filter(col("last_edited_time") > lit(cutoff))
 
   /** `_store_vectors` (notion_ingestion.py:289-320): one Qdrant point
     * per chunk — id `{document_id}_chunk_{n}`, payload fields in the
@@ -155,7 +158,8 @@ object LegacyIngestion {
     * :108-122): per-page outcomes aggregate to total/processed/failed
     * page counts plus new chunk/entity/relationship sums; failures
     * carry `Page {id}: {error}` strings (:117-118), in page order.
-    * Input: page_id, failed (bool), error, n_chunks, n_entities,
+    * Input: page_id, page_ord (orders the collected error strings),
+    * failed (bool), error, n_chunks, n_entities,
     * n_relationships. One aggregation — the only shuffle in the
     * pipeline model, over one row per page. */
   def statusSummary(perPage: DataFrame): DataFrame =
@@ -177,15 +181,17 @@ object LegacyIngestion {
   /** The Celery task-status API ladder
     * (archive/legacy_ingestion/ingestion.py:103-130): PENDING reads a
     * placeholder info, PROCESSING surfaces `result.info`, SUCCESS
-    * surfaces `result.result`, FAILURE wraps the error string with
-    * status=failed; any other state leaves info null. */
+    * surfaces `result.result`, FAILURE wraps `str(result.info)` with
+    * status=failed — Python `str(None)` renders a missing error as
+    * the literal "None" (ingestion.py:124), mirrored here by the
+    * coalesce; any other state leaves info null. */
   def taskStatusInfo(state: Column, info: Column, result: Column,
       error: Column): Column =
     when(state === "PENDING", lit("Task not found or pending"))
       .when(state === "PROCESSING", info)
       .when(state === "SUCCESS", result)
       .when(state === "FAILURE",
-        concat(lit("error="), coalesce(error, lit("")),
+        concat(lit("error="), coalesce(error, lit("None")),
           lit(" status=failed")))
       .otherwise(lit(null).cast("string"))
 

@@ -113,13 +113,30 @@ class LegacyIngestionSpec extends AnyFunSuite {
       ("PROCESSING", "i", "r", null: String),
       ("SUCCESS", "i", "r", null: String),
       ("FAILURE", "i", "r", "oops"),
+      // str(None) in Python renders a missing error as "None" (:124)
+      ("FAILURE", "i", "r", null: String),
       ("REVOKED", "i", "r", null: String))
       .toDF("state", "info", "result", "error")
       .select(LegacyIngestion.taskStatusInfo(col("state"), col("info"),
         col("result"), col("error")).as("out"))
       .collect().map(r => Option(r.getString(0)))
     assert(out.toSeq === Seq(Some("Task not found or pending"), Some("i"),
-      Some("r"), Some("error=oops status=failed"), None))
+      Some("r"), Some("error=oops status=failed"),
+      Some("error=None status=failed"), None))
+  }
+
+  test("change cutoff is strictly-after, matching the connector's > " +
+      "and the Notion API after filter (notion_connector.py:96, :125)") {
+    val pages = Seq("2025-08-04", "2025-08-05", "2025-08-06")
+      .toDF("last_edited_time")
+    val kept = LegacyIngestion
+      .filterModifiedSince(pages, fullScan = false, cutoff = "2025-08-05")
+      .collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("2025-08-06"))
+    val all = LegacyIngestion
+      .filterModifiedSince(pages, fullScan = true, cutoff = "2025-08-05")
+      .count()
+    assert(all === 3L)
   }
 
   test("sources listing: 30-minutes vs disabled fork and the id gate " +
