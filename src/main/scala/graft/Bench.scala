@@ -44,13 +44,15 @@ import org.apache.spark.sql.SparkSession
   * and any error forces `value` to -1 — a breaking query can never
   * masquerade as a fast one or as a lower total.
   *
-  * JSON contract (bench_schema 3): `value` is the warm-query sum (as
+  * JSON contract (bench_schema 4): `value` is the warm-query sum (as
   * in r6); `value_inclusive` is prep + warm sum (the r5 `value`
   * semantics), emitted alongside so round-over-round comparisons can
-  * use either without a silent metric redefinition. Schema 3 adds
+  * use either without a silent metric redefinition. Schema 3 added
   * `settle` (each cell's same-session settle-pass seconds) and
-  * `retimed` (per-cell guard re-time counts) so a loaded-machine card
-  * can be discounted from the card alone — see BenchGuard.renderCard.
+  * `retimed` (per-cell guard re-time counts); schema 4 adds
+  * `load_before`/`load_after` (/proc/loadavg 1/5/15-min samples) so a
+  * loaded-machine card can be discounted from the card alone — see
+  * BenchGuard.renderCard.
   */
 /** The bench noise guard's arithmetic, extracted so BenchGuardSpec
   * can pin it (round-12 verdict: the flat +0.5 s slack let a 0.625 s
@@ -76,21 +78,43 @@ object BenchGuard {
     * now carries each cell's same-session settle-pass time and how
     * many guard re-times fired, so a loaded-machine card can be
     * discounted FROM THE CARD — a recorded cell far above its own
-    * settle reference is machine noise, not a regression. Pure
-    * assembly, so BenchGuardSpec can pin the emission. */
+    * settle reference is machine noise, not a regression.
+    *
+    * bench_schema 4 (round-15 verdict: the r15 card's 19.57 s total
+    * was pure machine load, adjudicable only via the indirect JIT-
+    * warmup-time signal plus a judge re-run): the card now also
+    * carries the host's /proc/loadavg 1/5/15-minute averages sampled
+    * before and after the run (`load_before`/`load_after`). A card
+    * whose load averages far exceed the 32 cores the session owns is
+    * contaminated on its face. Pure assembly, so BenchGuardSpec can
+    * pin the emission. */
   def renderCard(total: Double, inclusive: Double,
       results: Seq[(String, Double)], settle: Seq[(String, Double)],
       retimed: Seq[(String, Double)], prep: Seq[(String, Double)],
-      errors: Seq[String], sfDir: String): String = {
+      errors: Seq[String], sfDir: String,
+      loadBefore: Seq[Double], loadAfter: Seq[Double]): String = {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def arr(vs: Seq[Double]): String = vs.mkString("[", ",", "]")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_inclusive":$inclusive,"bench_schema":3,""" +
+      s""""value_inclusive":$inclusive,"bench_schema":4,""" +
       s""""queries":${obj(results)},"settle":${obj(settle)},""" +
       s""""retimed":${obj(retimed)},"prep":${obj(prep)},""" +
+      s""""load_before":${arr(loadBefore)},""" +
+      s""""load_after":${arr(loadAfter)},""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
   }
+
+  /** /proc/loadavg's first three fields (1/5/15-minute run-queue
+    * averages); empty when unreadable (non-Linux) so the card stays
+    * well-formed with `[]` rather than failing the whole bench. */
+  def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq.empty }
 }
 
 object Bench {
@@ -98,6 +122,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt)
+    val loadBefore = BenchGuard.loadAvg()
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").count()
     val a0 = System.nanoTime()
@@ -197,7 +222,7 @@ object Bench {
       retimedOut,
       Seq("ingest_artifacts" -> artifactSec, "jit_warmup" -> warmSec,
         "job_floor" -> floorSec),
-      errors.reverse, sfDir))
+      errors.reverse, sfDir, loadBefore, BenchGuard.loadAvg()))
     spark.stop()
   }
 }

@@ -36,11 +36,15 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(close(BenchGuard.threshold(0.4), 1.2 + 0.2))
   }
 
-  test("bench_schema 3 card carries settle and retime counts") {
+  test("bench_schema 4 card carries settle, retime counts and host " +
+      "load samples") {
     // the r13 adjudication gap: q08/q09/q15 recorded 3.8-4.5x their
     // steady state on a loaded driver machine and only a judge re-run
     // could discount them — with settle on the card, recorded>>settle
-    // reads as machine noise from the card alone
+    // reads as machine noise from the card alone; the r15 gap: the
+    // whole 19.57 s card was load, adjudicable only indirectly — with
+    // loadavg on the card, a before/after far above the session's own
+    // core count reads as contamination on its face
     val card = BenchGuard.renderCard(
       total = 1.5, inclusive = 21.5,
       results = Seq("q08" -> 1.19, "q09" -> 0.31),
@@ -48,19 +52,32 @@ class BenchGuardSpec extends AnyFunSuite {
       retimed = Seq("q08" -> 1.0),
       prep = Seq("ingest_artifacts" -> 5.0, "jit_warmup" -> 15.0,
         "job_floor" -> 0.09),
-      errors = Nil, sfDir = "/root/testdata/sf0.1")
+      errors = Nil, sfDir = "/root/testdata/sf0.1",
+      loadBefore = Seq(61.2, 48.5, 30.0), loadAfter = Seq(40.1, 45.0, 32.5))
     assert(card ===
       """{"metric":"total","value":1.5,"unit":"sec",""" +
-      """"value_inclusive":21.5,"bench_schema":3,""" +
+      """"value_inclusive":21.5,"bench_schema":4,""" +
       """"queries":{"q08":1.19,"q09":0.31},""" +
       """"settle":{"q08":0.32,"q09":0.11},""" +
       """"retimed":{"q08":1.0},""" +
       """"prep":{"ingest_artifacts":5.0,"jit_warmup":15.0,"job_floor":0.09},""" +
+      """"load_before":[61.2,48.5,30.0],"load_after":[40.1,45.0,32.5],""" +
       """"errors":[],"sf":"/root/testdata/sf0.1"}""")
-    // the card stays one parseable JSON line with an error arm
+    // the card stays one parseable JSON line with an error arm, and an
+    // unreadable loadavg (non-Linux) degrades to [] not a failure
     val err = BenchGuard.renderCard(-1.0, -1.0, Seq("q01" -> -1.0),
-      Seq(), Seq(), Seq("job_floor" -> 0.1), Seq("q01"), "sf")
+      Seq(), Seq(), Seq("job_floor" -> 0.1), Seq("q01"), "sf",
+      Seq.empty, Seq.empty)
     assert(err.contains(""""errors":["q01"]"""))
     assert(err.contains(""""settle":{}"""))
+    assert(err.contains(""""load_before":[],"load_after":[]"""))
+  }
+
+  test("loadAvg reads three numeric fields from /proc/loadavg") {
+    val l = BenchGuard.loadAvg()
+    // this test box is Linux; on it the contract is exactly 3 fields,
+    // all finite and non-negative
+    assert(l.size === 3)
+    assert(l.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinite))
   }
 }
