@@ -4129,6 +4129,56 @@ object SparkEntry {
       .withColumn("tags", array_join(col("tags"), "|"))
   }
 
+  /** `cocoindex` CLI projections in the gate (python/cocoindex/cli.py
+    * via dataflow.Cli): the `ls` app-mode `[+]` missing-setup marker
+    * (cli.py:184-188) and `evaluate`'s default
+    * eval_{ns_}{flow}_{timestamp} output dir (cli.py:492-493, with the
+    * empty-namespace delimiter drop) over a synthetic flows frame —
+    * one flow per document, persisted/namespace knobs by modulus.
+    * Pure projection. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.Cli
+    val d = col("doc_id")
+    t(s, dir, "documents").select(
+      concat(lit("flow_"), d).as("flow"),
+      Cli.lsLineCol(concat(lit("flow_"), d), d % 2 === 0).as("ls_line"),
+      Cli.evalDirCol(
+        when(d % 3 === 0, lit("")).otherwise(concat(lit("ns"), d % 3)),
+        concat(lit("flow_"), d), lit("250814_120000")).as("eval_dir"))
+  }
+
+  /** The `cocoindex update` stats line in the gate
+    * (src/execution/stats.rs:99-132 UpdateStats Display +
+    * live_updater.rs:111-114's `{flow}.{source} ({kind}):` report
+    * frame, via dataflow.Cli.statsLineCol): FAILED / NO CHANGE /
+    * processed segments joined "; " (absent segments dropped via
+    * concat_ws's null-skip on both engines), all-zero rows reading
+    * "No changes". Counters synthesized per document by modulus so
+    * every segment combination (incl. none) appears. Pure
+    * projection. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import dataflow.Cli
+    val d = col("doc_id")
+    val counters = t(s, dir, "documents").select(
+      d.as("doc_id"),
+      when(d % 5 === 0, d % 3).otherwise(lit(0L)).as("n_err"),
+      (d % 4).as("n_nc"),
+      (d % 3).as("n_ins"),
+      when(d % 7 === 0, lit(2L)).otherwise(lit(0L)).as("n_del"),
+      when(d % 6 === 0, lit(1L)).otherwise(lit(0L)).as("n_upd"),
+      when(d % 11 === 0, lit(4L)).otherwise(lit(0L)).as("n_rep"))
+    val stats = Cli.statsLineCol(col("n_err"), col("n_nc"),
+      col("n_ins"), col("n_del"), col("n_upd"), col("n_rep"))
+    val kind = when(col("doc_id") % 3 === 0, lit("batch update"))
+      .when(col("doc_id") % 3 === 1, lit("change stream"))
+      .otherwise(lit("interval refresh"))
+    counters.select(
+      col("doc_id"),
+      stats.as("stats_line"),
+      concat(lit("f"), col("doc_id") % 3, lit(".s"), col("doc_id") % 2,
+        lit(" ("), kind, lit("): "), stats).as("report_line"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4306,7 +4356,9 @@ object SparkEntry {
     "q168_target_ids" -> q168 _,
     "q169_value_decode" -> q169 _,
     "q170_legacy_ingest" -> q170 _,
-    "q171_legacy_points" -> q171 _)
+    "q171_legacy_points" -> q171 _,
+    "q172_cli_ls_eval" -> q172 _,
+    "q173_cli_stats_line" -> q173 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6774,7 +6826,48 @@ object SparkEntry {
         |  coalesce(title, 'Untitled') AS title, 'notion' AS source,
         |  department, tags, security_level, access_level,
         |  created_time AS created_at, 'chunk_' || n AS location
-        |FROM p CROSS JOIN (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS n)""".stripMargin)
+        |FROM p CROSS JOIN (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS n)""".stripMargin,
+
+    "q172_cli_ls_eval" ->
+      // cocoindex CLI: ls [+] missing-setup marker + evaluate's
+      // eval_{ns_}{flow}_{ts} default dir (empty ns drops the _)
+      """SELECT 'flow_' || doc_id AS flow,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'flow_' || doc_id
+        |    ELSE 'flow_' || doc_id || ' [+]' END AS ls_line,
+        |  'eval_' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ''
+        |    ELSE 'ns' || (doc_id % 3) || '_' END ||
+        |  'flow_' || doc_id || '_250814_120000' AS eval_dir
+        |FROM documents""".stripMargin,
+
+    "q173_cli_stats_line" ->
+      // UpdateStats Display: FAILED / NO CHANGE / processed segments
+      // joined '; ' (concat_ws null-skip), else 'No changes'; plus the
+      // live updater's {flow}.{source} ({kind}): report frame
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN doc_id % 3 ELSE 0 END AS n_err,
+        |  doc_id % 4 AS n_nc, doc_id % 3 AS n_ins,
+        |  CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS n_del,
+        |  CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS n_upd,
+        |  CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 0 END AS n_rep
+        |  FROM documents),
+        |m AS (SELECT doc_id, concat_ws('; ',
+        |  CASE WHEN n_err > 0 THEN n_err || ' source rows FAILED' END,
+        |  CASE WHEN n_nc > 0 THEN n_nc || ' source rows NO CHANGE' END,
+        |  CASE WHEN n_ins + n_del + n_upd + n_rep > 0 THEN
+        |    (n_ins + n_del + n_upd + n_rep) || ' source rows processed (' ||
+        |    n_ins || ' ADDED, ' || n_del || ' REMOVED, ' ||
+        |    n_upd || ' UPDATED, ' || n_rep ||
+        |    ' REPROCESSED on flow change)' END) AS msg
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN msg = '' THEN 'No changes' ELSE msg END AS stats_line,
+        |  'f' || (doc_id % 3) || '.s' || (doc_id % 2) || ' (' ||
+        |  CASE doc_id % 3 WHEN 0 THEN 'batch update'
+        |    WHEN 1 THEN 'change stream' ELSE 'interval refresh' END ||
+        |  '): ' || CASE WHEN msg = '' THEN 'No changes' ELSE msg END
+        |  AS report_line
+        |FROM m""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
