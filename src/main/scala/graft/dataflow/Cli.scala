@@ -27,13 +27,18 @@ object Cli {
 
   /** Python `str.isidentifier` over the flow-name part
     * (cli.py:48). Java's unicode-identifier classes track the same
-    * XID_Start/XID_Continue properties for the ASCII + common unicode
-    * range the CLI sees. */
+    * XID_Start/XID_Continue properties, EXCEPT that Java additionally
+    * admits identifier-ignorable characters (Cf format chars like
+    * U+00AD/U+200B and most C0/C1 controls) which CPython rejects —
+    * filtered out here. */
   def isPyIdentifier(s: String): Boolean =
     s.nonEmpty && {
       val first = s.codePointAt(0)
       (Character.isUnicodeIdentifierStart(first) || first == '_') &&
-        s.codePoints().skip(1).allMatch(Character.isUnicodeIdentifierPart)
+        !Character.isIdentifierIgnorable(first) &&
+        s.codePoints().skip(1).allMatch(cp =>
+          Character.isUnicodeIdentifierPart(cp) &&
+            !Character.isIdentifierIgnorable(cp))
     }
 
   /** `_parse_app_flow_specifier` (cli.py:28-55): split on the FIRST
@@ -108,9 +113,10 @@ object Cli {
   def lsAppLines(current: Seq[String], persisted: Seq[String])
       : Seq[String] = {
     val persistedSet = persisted.toSet
+    val missing = current.exists(n => !persistedSet.contains(n))
     val names = current.sorted.map(n =>
       if (persistedSet.contains(n)) n else s"$n [+]")
-    if (names.exists(_.endsWith(" [+]")))
+    if (missing)
       names ++ Seq("", "Notes:",
         "  [+]: Flows present in the current process, but missing setup.")
     else names

@@ -161,17 +161,25 @@ object LegacyIngestion {
     * Input: page_id, page_ord (orders the collected error strings),
     * failed (bool), error, n_chunks, n_entities,
     * n_relationships. One aggregation — the only shuffle in the
-    * pipeline model, over one row per page. */
+    * pipeline model, over one row per page.
+    *
+    * The chunk/entity/relationship sums count FAILED pages too: the
+    * reference increments its counters as steps complete
+    * (notion_ingestion.py:168, :172, :180), so a page that fails at a
+    * later step (vector/graph store, status update) keeps what it
+    * accumulated — the input columns carry the counts accumulated
+    * before the failure (0 for a page that failed before chunking).
+    * Empty input yields the dataclass defaults (all 0), not nulls. */
   def statusSummary(perPage: DataFrame): DataFrame =
     perPage.agg(
       count(lit(1)).as("total_pages"),
-      sum(when(!col("failed"), 1L).otherwise(0L)).as("processed_pages"),
-      sum(when(col("failed"), 1L).otherwise(0L)).as("failed_pages"),
-      sum(when(!col("failed"), col("n_chunks")).otherwise(0L))
-        .as("new_chunks"),
-      sum(when(!col("failed"), col("n_entities")).otherwise(0L))
-        .as("new_entities"),
-      sum(when(!col("failed"), col("n_relationships")).otherwise(0L))
+      coalesce(sum(when(!col("failed"), 1L).otherwise(0L)), lit(0L))
+        .as("processed_pages"),
+      coalesce(sum(when(col("failed"), 1L).otherwise(0L)), lit(0L))
+        .as("failed_pages"),
+      coalesce(sum(col("n_chunks")), lit(0L)).as("new_chunks"),
+      coalesce(sum(col("n_entities")), lit(0L)).as("new_entities"),
+      coalesce(sum(col("n_relationships")), lit(0L))
         .as("new_relationships"),
       array_join(array_sort(collect_list(when(col("failed"),
         struct(col("page_ord"), concat(lit("Page "), col("page_id"),

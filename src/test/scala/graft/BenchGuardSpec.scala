@@ -73,11 +73,11 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(err.contains(""""load_before":[],"load_after":[]"""))
   }
 
-  test("loadAvg reads three numeric fields from /proc/loadavg") {
+  test("loadAvg reads three numeric fields from /proc/loadavg, or " +
+      "degrades to empty where it does not exist") {
     val l = BenchGuard.loadAvg()
-    // this test box is Linux; on it the contract is exactly 3 fields,
-    // all finite and non-negative
-    assert(l.size === 3)
+    if (new java.io.File("/proc/loadavg").canRead) assert(l.size === 3)
+    else assert(l.isEmpty) // non-Linux: the documented degradation
     assert(l.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinite))
   }
 }

@@ -43,6 +43,14 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parseAppFlowSpecifier("a:f-1").isLeft)
     assert(Cli.parseAppFlowSpecifier("a:f 1").isLeft)
     assert(Cli.parseAppFlowSpecifier("a:f.1").isLeft)
+    // CPython rejects Cf format chars (soft hyphen, ZWSP) and
+    // controls that Java's identifier classes would admit
+    assert(!Cli.isPyIdentifier("a­b"))
+    assert(!Cli.isPyIdentifier("a​b"))
+    assert(!Cli.isPyIdentifier("ab"))
+    assert(!Cli.isPyIdentifier("­a"))
+    assert(Cli.isPyIdentifier("caf\u00e9")) // XID letters stay accepted
+    assert(Cli.isPyIdentifier("\u6587\u5b57"))
   }
 
   test("app-level commands ignore a flow suffix with the exact " +
@@ -88,6 +96,9 @@ class CliSpec extends AnyFunSuite {
         "  [+]: Flows present in the current process, but missing setup."))
     // all persisted: no notes block; persisted-only flows not listed
     assert(Cli.lsAppLines(Seq("a"), Seq("a", "ghost")) === Seq("a"))
+    // a persisted flow whose NAME ends in " [+]" must not trigger the
+    // notes block (the flag tracks setup state, not rendered text)
+    assert(Cli.lsAppLines(Seq("x [+]"), Seq("x [+]")) === Seq("x [+]"))
     assert(Cli.noFlowsDefined("app.py") ===
       "No flows are defined in 'app.py'.")
   }

@@ -96,15 +96,28 @@ class LegacyIngestionSpec extends AnyFunSuite {
       (0L, "pA", false, null: String, 3L, 2L, 1L),
       (1L, "pB", true, "boom", 0L, 0L, 0L),
       (2L, "pC", false, null: String, 2L, 1L, 4L),
-      (3L, "pD", true, "bang", 0L, 0L, 0L))
+      // failed AFTER chunk/entity extraction: the counters keep what
+      // accumulated before the failure (:168, :172, :180 increment
+      // per completed step, the except arm at :117 keeps them)
+      (3L, "pD", true, "bang", 4L, 2L, 0L))
       .toDF("page_ord", "page_id", "failed", "error", "n_chunks",
         "n_entities", "n_relationships")
     val r = LegacyIngestion.statusSummary(perPage).collect().head
     assert(r.getLong(0) === 4L) // total
     assert(r.getLong(1) === 2L) // processed
     assert(r.getLong(2) === 2L) // failed
-    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((5L, 3L, 5L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((9L, 5L, 5L)))
     assert(r.getString(6) === "Page pB: boom|Page pD: bang")
+  }
+
+  test("status roll-up over zero pages reads the dataclass defaults " +
+      "(all 0), not nulls (:28-41)") {
+    val empty = Seq.empty[(Long, String, Boolean, String, Long, Long,
+      Long)].toDF("page_ord", "page_id", "failed", "error", "n_chunks",
+        "n_entities", "n_relationships")
+    val r = LegacyIngestion.statusSummary(empty).collect().head
+    assert((0 to 5).map(r.getLong) === Seq(0L, 0L, 0L, 0L, 0L, 0L))
+    assert(r.getString(6) === "")
   }
 
   test("task-status API ladder (ingestion.py:103-130)") {
