@@ -104,6 +104,18 @@ object Cli {
       s"Failed to initialize CocoIndex library: $err"
   }
 
+  /** `flow_names_with_setup` (python/cocoindex/setup.py:75-92): the
+    * engine returns FULL names; each splits on the first "." into
+    * (namespace, name) — a dot-free name reads namespace "" — and only
+    * names in the CURRENT app namespace survive, returned SHORT. The
+    * persisted-names input to [[lsAppLines]]/[[lsPersistedLines]]. */
+  def flowNamesWithSetup(engineFullNames: Seq[String],
+      appNamespace: String): Seq[String] =
+    engineFullNames.flatMap { full =>
+      val (ns, name) = Naming.splitAppNamespace(full, ".")
+      if (ns == appNamespace) Some(name) else None
+    }
+
   // ---- ls (cli.py:159-204) ----
 
   /** App-mode listing: sorted current flow names, `[+]` marking flows

@@ -47,6 +47,12 @@ object EngineRegistry {
     r
   }
 
+  /** The Python side's transient auth key grammar
+    * (python/cocoindex/auth_registry.py:19-24): a process-global
+    * 1-based counter renders `__auth_{n}` — the key
+    * `add_transient_auth_entry` registers under. */
+  def transientAuthKey(counter: Int): String = s"__auth_$counter"
+
   /** AuthRegistry (auth_registry.rs:15-48): duplicate adds bail; a
     * missing entry raises the reference's full recovery hint. */
   final class AuthRegistry {

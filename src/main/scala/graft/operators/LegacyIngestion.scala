@@ -214,4 +214,38 @@ object LegacyIngestion {
         .otherwise(array().cast("array<string>")).as("ids"),
       when(col("configured"), lit("30 minutes"))
         .otherwise(lit("disabled")).as("scan_interval"))
+
+  /** The Celery task tier's deterministic shapes
+    * (archive/legacy_ingestion/ingestion_tasks.py): meta/result field
+    * vocabularies, the beat schedule, the config constants. */
+  object CeleryFaces {
+    /** The PROCESSING update_state meta (:76-82). */
+    val processingStatus = "Connecting to Notion..."
+    /** The FAILURE update_state meta's status (:115-121). */
+    val failureStatus = "failed"
+    /** The completed-result dict's keys in insertion order (:94-105):
+      * the IngestionStatus counters framed by task identity and
+      * timestamps. */
+    val completedResultFields: Seq[String] = Seq("task_id", "status",
+      "total_pages", "processed_pages", "failed_pages", "new_chunks",
+      "new_entities", "new_relationships", "errors", "completed_at")
+    val completedStatus = "completed"
+    /** process_single_document's shipped mock result (:170-177):
+      * fixed 42/15/23 counts — the pipeline call is a TODO in the
+      * reference, the task returns this literal. */
+    val singleDocumentMock: Map[String, Long] =
+      Map("chunks" -> 42L, "entities" -> 15L, "relationships" -> 23L)
+    /** The beat schedule (:193-203): one entry, 1800 s; its args
+      * tuple is EMPTY (the task would crash on missing keys) unless
+      * the Notion API key is configured — the truthiness fork. */
+    val beatScheduleName = "scan-notion-every-30-minutes"
+    val beatIntervalSeconds = 1800.0
+    def beatHasArgs(notionApiKeyConfigured: Boolean): Boolean =
+      notionApiKeyConfigured
+    /** Celery conf (:24-33): hard/soft time limits. */
+    val taskTimeLimitSeconds = 3600
+    val taskSoftTimeLimitSeconds = 3000
+    /** health_check (:209-214): the status literal. */
+    val healthStatus = "healthy"
+  }
 }

@@ -110,6 +110,16 @@ class CliSpec extends AnyFunSuite {
       Seq("No persisted flow setups found in the backend."))
   }
 
+  test("flow_names_with_setup filters engine full names to the " +
+      "current namespace, returned short (setup.py:75-92)") {
+    val full = Seq("ns1.flowA", "ns2.flowB", "bare", "ns1.x.y")
+    // first-dot split: "ns1.x.y" reads (ns1, x.y)
+    assert(Cli.flowNamesWithSetup(full, "ns1") === Seq("flowA", "x.y"))
+    // empty current namespace keeps only dot-free names
+    assert(Cli.flowNamesWithSetup(full, "") === Seq("bare"))
+    assert(Cli.flowNamesWithSetup(full, "ns3") === Nil)
+  }
+
   // ---- show (cli.py:235-245; flow.py:693-715) ----
 
   test("show: schema table title/columns and the spec tree labels") {

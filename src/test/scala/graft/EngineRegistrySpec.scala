@@ -45,6 +45,12 @@ class EngineRegistrySpec extends AnyFunSuite {
         "more details.")
   }
 
+  test("python transient auth key grammar: __auth_{n}, 1-based " +
+      "(auth_registry.py:19-24)") {
+    assert(EngineRegistry.transientAuthKey(1) === "__auth_1")
+    assert(EngineRegistry.transientAuthKey(42) === "__auth_42")
+  }
+
   test("settings deserialize (the settings.rs inline tests)") {
     val full = parseSettings(
       """{

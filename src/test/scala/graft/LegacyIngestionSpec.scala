@@ -152,6 +152,25 @@ class LegacyIngestionSpec extends AnyFunSuite {
     assert(all === 3L)
   }
 
+  test("Celery task tier shapes (ingestion_tasks.py): meta statuses, " +
+      "result field order, the mock counts, the beat schedule fork") {
+    import LegacyIngestion.CeleryFaces
+    assert(CeleryFaces.processingStatus === "Connecting to Notion...")
+    assert(CeleryFaces.failureStatus === "failed")
+    assert(CeleryFaces.completedResultFields === Seq("task_id", "status",
+      "total_pages", "processed_pages", "failed_pages", "new_chunks",
+      "new_entities", "new_relationships", "errors", "completed_at"))
+    assert(CeleryFaces.completedStatus === "completed")
+    assert(CeleryFaces.singleDocumentMock ===
+      Map("chunks" -> 42L, "entities" -> 15L, "relationships" -> 23L))
+    assert(CeleryFaces.beatScheduleName === "scan-notion-every-30-minutes")
+    assert(CeleryFaces.beatIntervalSeconds === 1800.0)
+    assert(CeleryFaces.beatHasArgs(true) && !CeleryFaces.beatHasArgs(false))
+    assert(CeleryFaces.taskTimeLimitSeconds === 3600)
+    assert(CeleryFaces.taskSoftTimeLimitSeconds === 3000)
+    assert(CeleryFaces.healthStatus === "healthy")
+  }
+
   test("sources listing: 30-minutes vs disabled fork and the id gate " +
       "(ingestion.py:249-263)") {
     val out = LegacyIngestion.sourcesListing(Seq(
