@@ -202,6 +202,16 @@ class NewQueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q172/q173 CLI projections stay join-free and narrow") {
+    // both gates are per-row column ladders over one documents scan —
+    // any join or exchange appearing here is a regression
+    for (q <- Seq("q172_cli_ls_eval", "q173_cli_stats_line")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+  }
+
   test("q147 relationship cleanup: ONE group-key window shuffle, no join") {
     val plan = planOf("q147_rel_cleanup")
     assert(!plan.contains("Join"), plan)
