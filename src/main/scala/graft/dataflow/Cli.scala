@@ -25,21 +25,39 @@ object Cli {
 
   // ---- app/flow specifier parsing (cli.py:28-76) ----
 
+  /** Unicode Other_ID_Start (PropList): code points grandfathered
+    * into XID_Start that Java's category-based classes miss (U+1885/6
+    * became Mn in Unicode 9 but stay ID_Start). */
+  private val otherIdStart =
+    Set(0x1885, 0x1886, 0x2118, 0x212E, 0x309B, 0x309C)
+
+  /** Unicode Other_ID_Continue (PropList): likewise for XID_Continue
+    * (the middle dot, Greek ano teleia, Ethiopic digits, the New Tai
+    * Lue tham digit). */
+  private val otherIdContinue =
+    Set(0x00B7, 0x0387, 0x19DA) ++ (0x1369 to 0x1371)
+
   /** Python `str.isidentifier` over the flow-name part
     * (cli.py:48). Java's unicode-identifier classes track the same
-    * XID_Start/XID_Continue properties, EXCEPT that Java additionally
+    * XID_Start/XID_Continue properties, with two corrections pinned by
+    * the CPython-recorded cli.json battery: (1) Java additionally
     * admits identifier-ignorable characters (Cf format chars like
     * U+00AD/U+200B and most C0/C1 controls) which CPython rejects —
-    * filtered out here. */
-  def isPyIdentifier(s: String): Boolean =
-    s.nonEmpty && {
-      val first = s.codePointAt(0)
-      (Character.isUnicodeIdentifierStart(first) || first == '_') &&
-        !Character.isIdentifierIgnorable(first) &&
-        s.codePoints().skip(1).allMatch(cp =>
-          Character.isUnicodeIdentifierPart(cp) &&
-            !Character.isIdentifierIgnorable(cp))
-    }
+    * filtered; (2) Java misses the Other_ID_Start/Continue
+    * grandfather sets (U+1885 starts an identifier, U+00B7 continues
+    * one) — added. */
+  def isPyIdentifier(s: String): Boolean = {
+    def start(cp: Int): Boolean =
+      ((Character.isUnicodeIdentifierStart(cp) &&
+        !Character.isIdentifierIgnorable(cp)) || cp == '_' ||
+        otherIdStart.contains(cp))
+    def part(cp: Int): Boolean =
+      ((Character.isUnicodeIdentifierPart(cp) &&
+        !Character.isIdentifierIgnorable(cp)) ||
+        otherIdStart.contains(cp) || otherIdContinue.contains(cp))
+    s.nonEmpty && start(s.codePointAt(0)) &&
+      s.codePoints().skip(1).allMatch(part(_))
+  }
 
   /** `_parse_app_flow_specifier` (cli.py:28-55): split on the FIRST
     * colon only; an empty part after the colon reads as no flow name;
