@@ -215,6 +215,54 @@ object LegacyIngestion {
       when(col("configured"), lit("30 minutes"))
         .otherwise(lit("disabled")).as("scan_interval"))
 
+  /** The legacy ingestion API's request/response laws
+    * (archive/legacy_ingestion/ingestion.py:46-101, :135-150) beyond
+    * the status ladder: the trigger validation fork, the blanket-
+    * except collapse, and the fixed response vocabulary. Pinned by
+    * the wave-11 reference-run fixtures (legacy_api.json). */
+  object Api {
+    /** trigger_notion_ingestion's happy-path response fields
+      * (:89-94). */
+    val triggerStatus = "started"
+    val triggerMessage = "Notion ingestion task started"
+    def checkUrl(taskId: String): String =
+      s"/api/ingestion/status/$taskId"
+    /** cancel_task's fixed response (:145-149). */
+    val cancelStatus = "cancelled"
+    val cancelMessage = "Task cancellation requested"
+
+    val noTokenDetail =
+      "Notion API token not provided and not configured in environment"
+    val noIdsDetail = "No database IDs or page IDs specified"
+
+    /** The blanket-except quirk (:97-99): every error inside the
+      * handler — INCLUDING the handler's own 400 HTTPExceptions — is
+      * re-raised as a 500 whose detail wraps the Starlette
+      * `{status}: {detail}` string. A client can never observe the
+      * 400s. */
+    def collapse(status: Int, detail: String): (Int, String) =
+      (500, s"$status: $detail")
+
+    /** The validation + source-resolution fork (:57-83): the request
+      * token falls back to the configured key (missing both → 400);
+      * with neither request databases nor pages, the env default
+      * databases apply (empty → 400); otherwise the REQUEST
+      * database_ids pass through (even when null with page_ids set).
+      * Errors arrive pre-collapsed per [[collapse]]. */
+    def triggerValidation(reqToken: Option[String],
+        envKey: Option[String], reqDbs: Option[Seq[String]],
+        reqPageIds: Option[Seq[String]], envDbs: Seq[String])
+        : Either[(Int, String), (String, Option[Seq[String]])] = {
+      val token = reqToken.orElse(envKey)
+      if (token.isEmpty) Left(collapse(400, noTokenDetail))
+      else if (reqDbs.forall(_.isEmpty) &&
+          reqPageIds.forall(_.isEmpty)) {
+        if (envDbs.isEmpty) Left(collapse(400, noIdsDetail))
+        else Right((token.get, Some(envDbs)))
+      } else Right((token.get, reqDbs))
+    }
+  }
+
   /** The Celery task tier's deterministic shapes
     * (archive/legacy_ingestion/ingestion_tasks.py): meta/result field
     * vocabularies, the beat schedule, the config constants. */

@@ -212,4 +212,117 @@ class LegacyIngestionParitySpec extends AnyFunSuite {
     assert(r.getString(6) ===
       (rs \ "errors").extract[List[String]].mkString("|"))
   }
+
+  // ---- wave 11: the legacy API endpoints (legacy_api.json) ----
+
+  private lazy val api: JValue =
+    JsonMethods.parse(scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/refparity/legacy_api.json"),
+      "UTF-8").mkString)
+
+  test("the task-status ladder matches the reference API run, incl. " +
+      "FAILURE's str(None) render") {
+    import spark.implicits._
+    val cases = (api \ "task_status").extract[List[JValue]]
+    val byName = cases.map(c => (c \ "name").extract[String] -> c).toMap
+    // PENDING reads the placeholder
+    assert((byName("pending") \ "info" \ "status").extract[String] ===
+      "Task not found or pending")
+    // PROCESSING surfaces result.info; SUCCESS surfaces result.result
+    assert((byName("processing") \ "info" \ "status")
+      .extract[String] === "Connecting to Notion...")
+    assert((byName("success") \ "info" \ "status").extract[String] ===
+      "completed")
+    // FAILURE wraps str(result.info): 'boom' / 'None'
+    assert((byName("failure") \ "info" \ "error").extract[String] ===
+      "boom")
+    assert((byName("failure_none_info") \ "info" \ "error")
+      .extract[String] === "None")
+    assert((byName("failure") \ "info" \ "status").extract[String] ===
+      "failed")
+    // any other state leaves info null
+    assert((byName("revoked") \ "info") === JNull)
+    // the Column face agrees on the same five states
+    val out = Seq(
+      ("PENDING", null: String, null: String, null: String),
+      ("PROCESSING", "Connecting to Notion...", null: String,
+        null: String),
+      ("SUCCESS", null: String, "completed", null: String),
+      ("FAILURE", null: String, null: String, "boom"),
+      ("FAILURE", null: String, null: String, null: String),
+      ("REVOKED", null: String, null: String, null: String))
+      .toDF("state", "info", "result", "error")
+      .select(LegacyIngestion.taskStatusInfo(col("state"), col("info"),
+        col("result"), col("error"))).collect()
+      .map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some("Task not found or pending"),
+      Some("Connecting to Notion..."), Some("completed"),
+      Some("error=boom status=failed"),
+      Some("error=None status=failed"), None))
+  }
+
+  test("cancel/trigger response vocabulary and the 400-collapses-to-" +
+      "500 quirk match the reference API run") {
+    import graft.operators.LegacyIngestion.Api
+    assert((api \ "cancel" \ "status").extract[String] ===
+      Api.cancelStatus)
+    assert((api \ "cancel" \ "message").extract[String] ===
+      Api.cancelMessage)
+    val trig = (api \ "trigger").extract[List[JValue]]
+    val byName = trig.map(c => (c \ "name").extract[String] -> c).toMap
+    val ok = byName("ok_with_request_dbs")
+    assert((ok \ "response" \ "status").extract[String] ===
+      Api.triggerStatus)
+    assert((ok \ "response" \ "message").extract[String] ===
+      Api.triggerMessage)
+    assert((ok \ "response" \ "check_url").extract[String] ===
+      Api.checkUrl("task-123"))
+    // request dbs pass through; env defaults apply when absent
+    assert(Api.triggerValidation(Some("tok"), Some("envtok"),
+      Some(Seq("db1")), None, Seq("db_env")) ===
+      Right(("tok", Some(Seq("db1")))))
+    assert((ok \ "delayed")(0) \ "notion_token" === JString("tok"))
+    val env = byName("ok_env_defaults")
+    assert((env \ "delayed")(0) \ "database_ids" ===
+      JArray(List(JString("db_env"))))
+    assert(Api.triggerValidation(None, Some("envtok"), None, None,
+      Seq("db_env")) === Right(("envtok", Some(Seq("db_env")))))
+    // the collapse quirk: recorded 500s wrap the Starlette string
+    val noTok = byName("no_token_collapses_to_500")
+    assert((noTok \ "error_status").extract[Int] === 500)
+    assert((noTok \ "error_detail").extract[String] ===
+      Api.collapse(400, Api.noTokenDetail)._2)
+    assert(Api.triggerValidation(None, None, None, None,
+      Seq("db_env")) === Left((500, "400: " + Api.noTokenDetail)))
+    val noIds = byName("no_ids_collapses_to_500")
+    assert((noIds \ "error_detail").extract[String] ===
+      Api.collapse(400, Api.noIdsDetail)._2)
+    assert(Api.triggerValidation(None, Some("envtok"), None, None,
+      Nil) === Left((500, "400: " + Api.noIdsDetail)))
+  }
+
+  test("the sources listing matches the reference API run on the " +
+      "configured/disabled forks") {
+    import spark.implicits._
+    (api \ "sources").extract[List[JValue]].foreach { c =>
+      val name = (c \ "name").extract[String]
+      for ((src, idsKey) <- Seq("notion" -> "database_ids",
+          "google_drive" -> "folder_ids")) {
+        val o = c \ "out" \ src
+        val configured = (o \ "configured").extract[Boolean]
+        val ids = (o \ idsKey).extract[List[String]]
+        val interval = (o \ "scan_interval").extract[String]
+        val got = LegacyIngestion.sourcesListing(Seq(
+            (src, configured, Seq("id1"))).toDF("source", "configured",
+            "ids"))
+          .select(array_join(col("ids"), ",").as("ids"),
+            col("scan_interval")).collect().head
+        // the id list passes through only when configured
+        assert((got.getString(0).nonEmpty) === configured,
+          s"$name/$src")
+        assert(got.getString(1) === interval, s"$name/$src")
+        if (!configured) assert(ids === Nil, s"$name/$src")
+      }
+    }
+  }
 }
