@@ -87,4 +87,21 @@ object ServiceInit {
         when(col("status").isNull,
           concat(lit("Service '"), col("service_name"),
             lit("' not found"))).as("detail"))
+
+  /** get_supabase_database_url's fork
+    * (app/services/supabase_database.py:20-49): an env DATABASE_URL
+    * containing the substring "supabase" wins verbatim; otherwise the
+    * pooler URL is assembled as
+    * `postgresql://postgres.{projectRef}:{password}@{host}:{port}/
+    * {database}?pgbouncer=true`. The reference hardcodes its own
+    * project/credential literals as the component defaults — secrets
+    * by construction, so this face takes them as parameters and the
+    * spec pins only the TEMPLATE. */
+  def supabaseDatabaseUrl(envDatabaseUrl: Option[String],
+      projectRef: String, password: String,
+      host: String = "aws-0-us-east-1.pooler.supabase.com",
+      port: Int = 5432, database: String = "postgres"): String =
+    envDatabaseUrl.filter(_.contains("supabase")).getOrElse(
+      s"postgresql://postgres.$projectRef:$password@$host:$port/" +
+        s"$database?pgbouncer=true")
 }

@@ -88,4 +88,19 @@ class ServiceInitSpec extends AnyFunSuite {
     assert(got("celery") === ((404, null, null,
       "Service 'celery' not found")))
   }
+
+  test("supabase url fork: env DATABASE_URL containing 'supabase' " +
+      "wins; else the pooler template (supabase_database.py:20-49)") {
+    assert(ServiceInit.supabaseDatabaseUrl(
+      Some("postgresql://u:p@db.x.supabase.co:5432/postgres"),
+      "ref", "pw") === "postgresql://u:p@db.x.supabase.co:5432/postgres")
+    // a non-supabase env url is IGNORED, not used
+    assert(ServiceInit.supabaseDatabaseUrl(
+      Some("postgresql://u:p@other-host:5432/db"), "ref", "pw") ===
+      "postgresql://postgres.ref:pw@aws-0-us-east-1.pooler." +
+        "supabase.com:5432/postgres?pgbouncer=true")
+    assert(ServiceInit.supabaseDatabaseUrl(None, "myref", "secret",
+      host = "h", port = 6543, database = "d") ===
+      "postgresql://postgres.myref:secret@h:6543/d?pgbouncer=true")
+  }
 }
