@@ -25,36 +25,90 @@ object Cli {
 
   // ---- app/flow specifier parsing (cli.py:28-76) ----
 
-  /** Unicode Other_ID_Start (PropList): code points grandfathered
-    * into XID_Start that Java's category-based classes miss (U+1885/6
-    * became Mn in Unicode 9 but stay ID_Start). */
-  private val otherIdStart =
-    Set(0x1885, 0x1886, 0x2118, 0x212E, 0x309B, 0x309C)
+  /** The exact Java-vs-CPython identifier diffs, computed by
+    * enumerating ALL code points on JDK 17 against CPython 3.11 (the
+    * reference interpreter): the EXC sets are the XID exclusions Java
+    * admits (ID_Start-not-XID_Start: U+037A, the Thai/Lao AM vowels,
+    * U+2E2F, the kana voicing marks, Arabic presentation forms, the
+    * halfwidth sound marks); the INC sets are Unicode-14 script
+    * additions (Arabic Extended-B, Vithkuqi, Latin Extended-F/G,
+    * Tangsa, Toto, Znamenny, CJK Ext) that CPython's newer tables
+    * accept and JDK 17's Unicode-13 tables don't. Ranges inclusive. */
+  private def inRanges(cp: Int, rs: Array[Int]): Boolean = {
+    // rs is [lo0, hi0, lo1, hi1, ...] sorted; binary search
+    var lo = 0; var hi = rs.length / 2 - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cp < rs(2 * mid)) hi = mid - 1
+      else if (cp > rs(2 * mid + 1)) lo = mid + 1
+      else return true
+    }
+    false
+  }
+  private def r(pairs: (Int, Int)*): Array[Int] =
+    pairs.flatMap { case (a, b) => Seq(a, b) }.toArray
+  private val excStart = r((0x37A, 0x37A), (0xE33, 0xE33),
+    (0xEB3, 0xEB3), (0x2E2F, 0x2E2F), (0x309B, 0x309C),
+    (0xFC5E, 0xFC63), (0xFDFA, 0xFDFB), (0xFE70, 0xFE70),
+    (0xFE72, 0xFE72), (0xFE74, 0xFE74), (0xFE76, 0xFE76),
+    (0xFE78, 0xFE78), (0xFE7A, 0xFE7A), (0xFE7C, 0xFE7C),
+    (0xFE7E, 0xFE7E), (0xFF9E, 0xFF9F))
+  private val excCont = r((0x37A, 0x37A), (0x2E2F, 0x2E2F),
+    (0x309B, 0x309C), (0xFC5E, 0xFC63), (0xFDFA, 0xFDFB),
+    (0xFE70, 0xFE70), (0xFE72, 0xFE72), (0xFE74, 0xFE74),
+    (0xFE76, 0xFE76), (0xFE78, 0xFE78), (0xFE7A, 0xFE7A),
+    (0xFE7C, 0xFE7C), (0xFE7E, 0xFE7E))
+  private val incStart = r((0x870, 0x887), (0x889, 0x88E),
+    (0x8B5, 0x8B5), (0x8C8, 0x8C9), (0xC5D, 0xC5D), (0xCDD, 0xCDD),
+    (0x170D, 0x170D), (0x171F, 0x171F), (0x1B4C, 0x1B4C),
+    (0x2C2F, 0x2C2F), (0x2C5F, 0x2C5F), (0x9FFD, 0x9FFF),
+    (0xA7C0, 0xA7C1), (0xA7D0, 0xA7D1), (0xA7D3, 0xA7D3),
+    (0xA7D5, 0xA7D9), (0xA7F2, 0xA7F4), (0x10570, 0x1057A),
+    (0x1057C, 0x1058A), (0x1058C, 0x10592), (0x10594, 0x10595),
+    (0x10597, 0x105A1), (0x105A3, 0x105B1), (0x105B3, 0x105B9),
+    (0x105BB, 0x105BC), (0x10780, 0x10785), (0x10787, 0x107B0),
+    (0x107B2, 0x107BA), (0x10F70, 0x10F81), (0x11071, 0x11072),
+    (0x11075, 0x11075), (0x11740, 0x11746), (0x11AB0, 0x11ABF),
+    (0x12F90, 0x12FF0), (0x16A70, 0x16ABE), (0x1AFF0, 0x1AFF3),
+    (0x1AFF5, 0x1AFFB), (0x1AFFD, 0x1AFFE), (0x1B11F, 0x1B122),
+    (0x1DF00, 0x1DF1E), (0x1E290, 0x1E2AD), (0x1E7E0, 0x1E7E6),
+    (0x1E7E8, 0x1E7EB), (0x1E7ED, 0x1E7EE), (0x1E7F0, 0x1E7FE),
+    (0x2A6DE, 0x2A6DF), (0x2B735, 0x2B738))
+  private val incCont = r((0x870, 0x887), (0x889, 0x88E),
+    (0x898, 0x89F), (0x8B5, 0x8B5), (0x8C8, 0x8D2), (0xC3C, 0xC3C),
+    (0xC5D, 0xC5D), (0xCDD, 0xCDD), (0x170D, 0x170D),
+    (0x1715, 0x1715), (0x171F, 0x171F), (0x180F, 0x180F),
+    (0x1AC1, 0x1ACE), (0x1B4C, 0x1B4C), (0x1DFA, 0x1DFA),
+    (0x2C2F, 0x2C2F), (0x2C5F, 0x2C5F), (0x9FFD, 0x9FFF),
+    (0xA7C0, 0xA7C1), (0xA7D0, 0xA7D1), (0xA7D3, 0xA7D3),
+    (0xA7D5, 0xA7D9), (0xA7F2, 0xA7F4), (0x10570, 0x1057A),
+    (0x1057C, 0x1058A), (0x1058C, 0x10592), (0x10594, 0x10595),
+    (0x10597, 0x105A1), (0x105A3, 0x105B1), (0x105B3, 0x105B9),
+    (0x105BB, 0x105BC), (0x10780, 0x10785), (0x10787, 0x107B0),
+    (0x107B2, 0x107BA), (0x10F70, 0x10F85), (0x11070, 0x11075),
+    (0x110C2, 0x110C2), (0x11740, 0x11746), (0x11AB0, 0x11ABF),
+    (0x12F90, 0x12FF0), (0x16A70, 0x16ABE), (0x16AC0, 0x16AC9),
+    (0x1AFF0, 0x1AFF3), (0x1AFF5, 0x1AFFB), (0x1AFFD, 0x1AFFE),
+    (0x1B11F, 0x1B122), (0x1CF00, 0x1CF2D), (0x1CF30, 0x1CF46),
+    (0x1DF00, 0x1DF1E), (0x1E290, 0x1E2AE), (0x1E7E0, 0x1E7E6),
+    (0x1E7E8, 0x1E7EB), (0x1E7ED, 0x1E7EE), (0x1E7F0, 0x1E7FE),
+    (0x2A6DE, 0x2A6DF), (0x2B735, 0x2B738))
 
-  /** Unicode Other_ID_Continue (PropList): likewise for XID_Continue
-    * (the middle dot, Greek ano teleia, Ethiopic digits, the New Tai
-    * Lue tham digit). */
-  private val otherIdContinue =
-    Set(0x00B7, 0x0387, 0x19DA) ++ (0x1369 to 0x1371)
-
-  /** Python `str.isidentifier` over the flow-name part
-    * (cli.py:48). Java's unicode-identifier classes track the same
-    * XID_Start/XID_Continue properties, with two corrections pinned by
-    * the CPython-recorded cli.json battery: (1) Java additionally
-    * admits identifier-ignorable characters (Cf format chars like
-    * U+00AD/U+200B and most C0/C1 controls) which CPython rejects —
-    * filtered; (2) Java misses the Other_ID_Start/Continue
-    * grandfather sets (U+1885 starts an identifier, U+00B7 continues
-    * one) — added. */
+  /** Python `str.isidentifier` over the flow-name part (cli.py:48),
+    * EXACT across all of Unicode: JDK 17's identifier classes
+    * (identifier-ignorables filtered — Cf format chars and controls
+    * CPython rejects) corrected by the enumerated diff tables above.
+    * Pinned by the CPython-recorded cli.json battery incl. the
+    * XID-excluded and Unicode-14 arms. */
   def isPyIdentifier(s: String): Boolean = {
     def start(cp: Int): Boolean =
-      ((Character.isUnicodeIdentifierStart(cp) &&
-        !Character.isIdentifierIgnorable(cp)) || cp == '_' ||
-        otherIdStart.contains(cp))
+      (((Character.isUnicodeIdentifierStart(cp) &&
+        !Character.isIdentifierIgnorable(cp)) || cp == '_') &&
+        !inRanges(cp, excStart)) || inRanges(cp, incStart)
     def part(cp: Int): Boolean =
       ((Character.isUnicodeIdentifierPart(cp) &&
-        !Character.isIdentifierIgnorable(cp)) ||
-        otherIdStart.contains(cp) || otherIdContinue.contains(cp))
+        !Character.isIdentifierIgnorable(cp)) &&
+        !inRanges(cp, excCont)) || inRanges(cp, incCont)
     s.nonEmpty && start(s.codePointAt(0)) &&
       s.codePoints().skip(1).allMatch(part(_))
   }

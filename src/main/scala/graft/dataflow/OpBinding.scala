@@ -17,16 +17,37 @@ package graft.dataflow
   */
 object OpBinding {
 
+  /** Python `str.capitalize`: TITLECASE the first CODE POINT (full
+    * mapping — 'ß' → "Ss", 'ǆ' → 'ǅ', surrogate pairs intact), lower
+    * the rest. */
+  private def pyCapitalize(w: String): String =
+    if (w.isEmpty) ""
+    else {
+      val cp = w.codePointAt(0)
+      val firstLen = Character.charCount(cp)
+      val rest = w.substring(firstLen)
+        .toLowerCase(java.util.Locale.ROOT)
+      val title = Character.toTitleCase(cp)
+      val head =
+        if (title != cp) new String(Character.toChars(title))
+        else {
+          // no simple titlecase mapping: fall back to the full
+          // UPPERCASE expansion, titlecased (ß → SS → Ss)
+          val up = w.substring(0, firstLen)
+            .toUpperCase(java.util.Locale.ROOT)
+          if (up.length > firstLen)
+            up.substring(0, 1) +
+              up.substring(1).toLowerCase(java.util.Locale.ROOT)
+          else up
+        }
+      head + rest
+    }
+
   /** `@op.function`'s op name (op.py:399): split on '_', Python
-    * `str.capitalize` each word (first char upper, REST lowered —
-    * "HTTP_call" → "HttpCall"), join. Empty segments from doubled/
-    * edge underscores vanish. */
+    * `str.capitalize` each word ("HTTP_call" → "HttpCall"), join.
+    * Empty segments from doubled/edge underscores vanish. */
   def opName(fnName: String): String =
-    fnName.split("_", -1).map { w =>
-      if (w.isEmpty) ""
-      else w.substring(0, 1).toUpperCase(java.util.Locale.ROOT) +
-        w.substring(1).toLowerCase(java.util.Locale.ROOT)
-    }.mkString
+    fnName.split("_", -1).map(pyCapitalize).mkString
 
   /** inspect.Parameter kinds, as the binding ladder distinguishes
     * them. */

@@ -41,13 +41,44 @@ object PySettings {
   def parseFailed(envName: String, value: String): String =
     s"failed to parse environment variable $envName: $value"
 
-  /** Python `int(str)`: optional surrounding whitespace, optional
-    * sign, decimal digits with single underscores strictly BETWEEN
-    * digits. Floats, empty strings, and stray underscores raise. */
+  /** Python `int(str)`: optional surrounding whitespace (UNICODE
+    * whitespace — str.strip semantics, incl. NBSP), optional sign,
+    * decimal digits — ANY Unicode Nd digit, not just ASCII — with
+    * single underscores strictly between digits. Floats, empty
+    * strings, and stray underscores raise. */
   def pythonInt(s: String): Option[Long] = {
-    val t = s.trim
-    if ("^[+-]?\\d(_?\\d)*$".r.matches(t)) Some(t.replace("_", "").toLong)
-    else None
+    def isPySpace(cp: Int): Boolean =
+      Character.isWhitespace(cp) || Character.isSpaceChar(cp)
+    val cps = s.codePoints().toArray
+    var lo = 0
+    var hi = cps.length
+    while (lo < hi && isPySpace(cps(lo))) lo += 1
+    while (hi > lo && isPySpace(cps(hi - 1))) hi -= 1
+    if (lo >= hi) return None
+    var i = lo
+    var sign = 1L
+    if (cps(i) == '+' || cps(i) == '-') {
+      if (cps(i) == '-') sign = -1L
+      i += 1
+    }
+    if (i >= hi) return None
+    var value = 0L
+    var expectDigit = true
+    while (i < hi) {
+      val cp = cps(i)
+      if (cp == '_') {
+        if (expectDigit) return None // leading/doubled underscore
+        expectDigit = true
+      } else {
+        val d = Character.digit(cp, 10)
+        if (d < 0 || !Character.isDigit(cp)) return None
+        value = value * 10 + d
+        expectDigit = false
+      }
+      i += 1
+    }
+    if (expectDigit) None // trailing underscore (or sign only)
+    else Some(sign * value)
   }
 
   private def intField(env: Map[String, String], name: String)

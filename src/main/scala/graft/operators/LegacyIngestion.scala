@@ -253,7 +253,11 @@ object LegacyIngestion {
         envKey: Option[String], reqDbs: Option[Seq[String]],
         reqPageIds: Option[Seq[String]], envDbs: Seq[String])
         : Either[(Int, String), (String, Option[Seq[String]])] = {
-      val token = reqToken.orElse(envKey)
+      // `request.token or settings.notion_api_key` (:59) is Python
+      // TRUTHINESS: an empty-string request token falls through to
+      // the env key (and to the 400 when that is empty too)
+      val token = reqToken.filter(_.nonEmpty)
+        .orElse(envKey.filter(_.nonEmpty))
       if (token.isEmpty) Left(collapse(400, noTokenDetail))
       else if (reqDbs.forall(_.isEmpty) &&
           reqPageIds.forall(_.isEmpty)) {

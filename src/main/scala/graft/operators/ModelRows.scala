@@ -38,12 +38,16 @@ object ModelRows {
   def transitionTo(doc: DocRow, newState: String,
       error: Option[String]): Either[String, DocRow] = {
     val ok = StateMachine.appAllowed.contains(doc.status -> newState)
+    // `new_state == FAILED and error` (:115) is Python TRUTHINESS —
+    // an EMPTY error string records nothing and bumps nothing, same
+    // for the publish_failed arm (:129)
+    val err = error.filter(_.nonEmpty)
     if (!ok) Left(invalidTransition(doc.status, newState))
     else Right {
       val d = doc.copy(status = newState)
       newState match {
-        case "failed" if error.isDefined =>
-          d.copy(processingError = error, retryCount = d.retryCount + 1)
+        case "failed" if err.isDefined =>
+          d.copy(processingError = err, retryCount = d.retryCount + 1)
         case "processing" => d.copy(processingError = None)
         case "ingested" => d.copy(processedAtSet = true)
         case "approved" => d.copy(approvedAtSet = true)
@@ -51,8 +55,8 @@ object ModelRows {
           d.copy(publishAttempts = d.publishAttempts + 1)
         case "published" =>
           d.copy(publishedAtSet = true, lastPublishError = None)
-        case "publish_failed" if error.isDefined =>
-          d.copy(lastPublishError = error)
+        case "publish_failed" if err.isDefined =>
+          d.copy(lastPublishError = err)
         case _ => d
       }
     }
@@ -94,9 +98,11 @@ object ModelRows {
       embeddingId = None)
 
   /** chunk.py:69-71's `if not data.get('chunk_size')` is a TRUTHY
-    * check: an explicit 0 (or absent) defaults to len(chunk_text). */
+    * check: an explicit 0 (or absent) defaults to len(chunk_text) —
+    * CODE POINTS, as Python len counts them (a non-BMP char is 1). */
   def chunkSize(explicit: Option[Int], chunkText: String): Int =
-    explicit.filter(_ != 0).getOrElse(chunkText.length)
+    explicit.filter(_ != 0).getOrElse(
+      chunkText.codePointCount(0, chunkText.length))
 
   /** The to_supabase_dict base key sets for default-constructed
     * models (exclude_none drops the optionals; enums coerce to their

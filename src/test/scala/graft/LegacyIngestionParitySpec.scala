@@ -299,6 +299,19 @@ class LegacyIngestionParitySpec extends AnyFunSuite {
       Api.collapse(400, Api.noIdsDetail)._2)
     assert(Api.triggerValidation(None, Some("envtok"), None, None,
       Nil) === Left((500, "400: " + Api.noIdsDetail)))
+    // `or` truthiness: an empty-string request token falls back to
+    // the env key, and 500s when that is missing too
+    val emptyTok = byName("empty_token_falls_back")
+    assert((emptyTok \ "delayed")(0) \ "notion_token" ===
+      JString("envtok"))
+    assert(Api.triggerValidation(Some(""), Some("envtok"),
+      Some(Seq("db1")), None, Seq("db_env")) ===
+      Right(("envtok", Some(Seq("db1")))))
+    val emptyNoEnv = byName("empty_token_no_env_500")
+    assert((emptyNoEnv \ "error_detail").extract[String] ===
+      Api.collapse(400, Api.noTokenDetail)._2)
+    assert(Api.triggerValidation(Some(""), None, None, None,
+      Seq("db_env")) === Left((500, "400: " + Api.noTokenDetail)))
   }
 
   test("the sources listing matches the reference API run on the " +

@@ -75,6 +75,11 @@ class ModelRowsSpec extends AnyFunSuite {
     d = ModelRows.transitionTo(d, "processing", None).toOption.get
     d = ModelRows.transitionTo(d, "failed", None).toOption.get
     assert(snap(d) === recorded(fx \ "failed_without_error"))
+    // `and error` truthiness: an EMPTY error string records nothing
+    var de = DocRow("discovered")
+    de = ModelRows.transitionTo(de, "processing", None).toOption.get
+    de = ModelRows.transitionTo(de, "failed", Some("")).toOption.get
+    assert(snap(de) === recorded(fx \ "failed_empty_error"))
     var d3 = DocRow("discovered")
     for (s <- Seq("processing", "pending_review", "approved",
         "ingested"))
@@ -153,6 +158,9 @@ class ModelRowsSpec extends AnyFunSuite {
     // the falsy arm: explicit 0 still defaults to len
     assert((fx \ "chunk_dict_zero_size").extract[Int] ===
       ModelRows.chunkSize(Some(0), "hello"))
+    // len() counts CODE POINTS: two astral emoji = 2, not 4
+    assert((fx \ "chunk_dict_astral_size").extract[Int] ===
+      ModelRows.chunkSize(None, "😀😀"))
     assert((fx \ "entity_dict_keys").extract[List[String]] ===
       ModelRows.entityDictBaseKeys.toList)
     assert((fx \ "relationship_dict_keys").extract[List[String]] ===

@@ -69,6 +69,11 @@ d2 = Document(name="N", title="T", source_type="notion", content="c")
 d2.transition_to(DocumentState.PROCESSING)
 d2.transition_to(DocumentState.FAILED)
 fixture["failed_without_error"] = snap(d2)
+# `and error` is truthiness: an EMPTY error string records nothing
+d2e = Document(name="N", title="T", source_type="notion", content="c")
+d2e.transition_to(DocumentState.PROCESSING)
+d2e.transition_to(DocumentState.FAILED, error="")
+fixture["failed_empty_error"] = snap(d2e)
 # an INGESTED arm (approved -> ingested sets processed_at)
 d3 = Document(name="N", title="T", source_type="notion", content="c")
 for s in [DocumentState.PROCESSING, DocumentState.PENDING_REVIEW,
@@ -152,6 +157,10 @@ fixture["chunk_dict_explicit_size"] = \
 c4 = Chunk(document_id="d", chunk_text="hello", chunk_index=0,
            chunking_strategy="recursive", chunk_size=0)
 fixture["chunk_dict_zero_size"] = c4.to_supabase_dict().get("chunk_size")
+# len() counts CODE POINTS: two astral emoji = 2, not 4
+c5 = Chunk(document_id="d", chunk_text="\U0001f600\U0001f600",
+           chunk_index=0, chunking_strategy="recursive")
+fixture["chunk_dict_astral_size"] = c5.to_supabase_dict().get("chunk_size")
 
 en = Entity(name="X", type="person")
 ed = en.to_supabase_dict()

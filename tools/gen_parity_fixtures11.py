@@ -163,6 +163,10 @@ trig("ok_env_defaults", {})
 # Starlette's "{status}: {detail}" string
 trig("no_token_collapses_to_500", {}, notion_key=None)
 trig("no_ids_collapses_to_500", {}, env_dbs=[])
+# `request.token or settings.notion_api_key` truthiness: an
+# empty-string request token falls back to the env key
+trig("empty_token_falls_back", {"token": "", "database_ids": ["db1"]})
+trig("empty_token_no_env_500", {"token": ""}, notion_key=None)
 fixture["trigger"] = trigger_cases
 
 with open(os.path.join(OUT, "legacy_api.json"), "w") as f:

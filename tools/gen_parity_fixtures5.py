@@ -203,7 +203,14 @@ ident_cases = []
 for s in ["f", "_f1", "9bad", "f-1", "f 1", "f.1", "", "_",
           "caf\u00e9", "\u6587\u5b57", "a\u00adb", "a\u200bb",
           "a\u0001b", "\u00ada", "a\u0300b", "\u0300a", "A9_z",
-          "\u2460", "x\u2460", "a\u00b7b", "\u1885x", "e\u0301"]:
+          "\u2460", "x\u2460", "a\u00b7b", "\u1885x", "e\u0301",
+          # XID exclusions Java's classes admit
+          "\u309b", "a\u309b", "\u037a", "a\u037a", "\u0e33",
+          "x\u0e33", "\uff9e", "x\uff9e", "\ufdfa", "x\ufdfa",
+          # Unicode-14 additions JDK 17's tables miss
+          "\u0870", "x\u0870", "\u2c2f", "x\u1ac1",
+          # Other_ID survivors + non-BMP letters
+          "\u2118", "\u212ex", "\U00010400x"]:
     ident_cases.append({"s": s, "ok": s.isidentifier()})
 fixture["isidentifier"] = ident_cases
 

@@ -113,6 +113,15 @@ fixture = {"settings": [
         "COCOINDEX_SOURCE_MAX_INFLIGHT_BYTES": ""}),
     settings_case("int_plus_sign", {
         "COCOINDEX_SOURCE_MAX_INFLIGHT_ROWS": "+7"}),
+    # Python int() accepts any Unicode Nd digit and strips unicode
+    # whitespace (incl. NBSP)
+    settings_case("int_arabic_digits", {
+        "COCOINDEX_DATABASE_URL": "postgres://x",
+        "COCOINDEX_DATABASE_MAX_CONNECTIONS": "\u0666\u0664"}),
+    settings_case("int_nbsp_padded", {
+        "COCOINDEX_SOURCE_MAX_INFLIGHT_ROWS": "\u00a064\u00a0"}),
+    settings_case("int_devanagari_underscore", {
+        "COCOINDEX_SOURCE_MAX_INFLIGHT_ROWS": "\u096d_\u096d"}),
 ], "server": [
     server_case("defaults", {}),
     server_case("address", {"COCOINDEX_SERVER_ADDRESS": "0.0.0.0:1"}),

@@ -58,7 +58,8 @@ fixture = {}
 
 name_cases = []
 for fn_name in ["my_func", "extract_entities_v2", "HTTP_call", "a__b",
-                "a_", "_a", "x"]:
+                "a_", "_a", "x", "\u00dfeta_x", "\u01c6a_b",
+                "\U00010428abc_x"]:
     REGISTERED.clear()
     def _f(text: str) -> str: return text
     _f.__name__ = fn_name
