@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSession {
+  // Overridable so the suite can re-run under adversarial layouts
+  // (GRAFT_TEST_SHUFFLE=1/7/64) — operators must be partition-count
+  // invariant; a pass under several settings is the evidence.
+  private val threads = sys.env.getOrElse("GRAFT_TEST_THREADS", "4")
+  private val shuffle = sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4")
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$threads]")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
       .config("spark.ui.enabled", "false")
