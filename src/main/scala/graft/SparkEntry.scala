@@ -4179,6 +4179,46 @@ object SparkEntry {
         lit(" ("), kind, lit("): "), stats).as("report_line"))
   }
 
+  /** Incremental IVF ingest in the gate
+    * (SimilaritySearch.assignToCentroids): vectors with
+    * vec_id % 17 == 3 arrive as the DELTA; centroids are the
+    * q48-shape label means over the EXISTING rest; each new vector
+    * assigns to its max-cosine centroid (tie → lowest label) with no
+    * recompute — the index side broadcasts, the delta does one
+    * per-vector argmax. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val existing = emb.where(col("vec_id") % 17 =!= 3)
+    val delta = emb.where(col("vec_id") % 17 === 3)
+    SimilaritySearch.assignToCentroids(delta, "vec_id", "embedding",
+      SimilaritySearch.meanCentroids(existing, "label", "embedding"))
+  }
+
+  /** Post-ingest IVF drift census in the gate
+    * (SimilaritySearch.ivfDriftCensus): centroids updated to the
+    * means over existing ∪ assigned-delta (the running-mean identity),
+    * then per stored label: how many existing vectors' nearest
+    * centroid moved, the moved fraction, and the recluster flag at
+    * threshold 0 (any movement flags — both outcomes appear). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val existing = emb.where(col("vec_id") % 17 =!= 3)
+    val delta = emb.where(col("vec_id") % 17 === 3)
+    val assigned = SimilaritySearch.assignToCentroids(delta, "vec_id",
+      "embedding",
+      SimilaritySearch.meanCentroids(existing, "label", "embedding"))
+    val union = existing.select(col("vec_id"), col("label"),
+        col("embedding"))
+      .unionByName(delta.select(col("vec_id"), col("embedding"))
+        .join(assigned.select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("embedding")))
+    val updated = SimilaritySearch.meanCentroids(union, "label",
+      "embedding")
+    SimilaritySearch.ivfDriftCensus(existing, "vec_id", "label",
+      "embedding", updated, reclusterThreshold = 0.0)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4358,7 +4398,9 @@ object SparkEntry {
     "q170_legacy_ingest" -> q170 _,
     "q171_legacy_points" -> q171 _,
     "q172_cli_ls_eval" -> q172 _,
-    "q173_cli_stats_line" -> q173 _)
+    "q173_cli_stats_line" -> q173 _,
+    "q174_ivf_assign" -> q174 _,
+    "q175_ivf_drift" -> q175 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6867,7 +6909,76 @@ object SparkEntry {
         |    WHEN 1 THEN 'change stream' ELSE 'interval refresh' END ||
         |  '): ' || CASE WHEN msg = '' THEN 'No changes' ELSE msg END
         |  AS report_line
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    "q174_ivf_assign" ->
+      // incremental IVF ingest: delta vectors (vec_id % 17 = 3)
+      // assign to the max-cosine label-mean centroid of the existing
+      // rest; ties break to the lowest label
+      s"""WITH ex AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 3),
+         |de AS (SELECT * FROM embeddings WHERE vec_id % 17 = 3),
+         |comps AS (SELECT label, dim, avg(v) AS c FROM (
+         |          SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS dim,
+         |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |          FROM ex) GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+         |          FROM comps GROUP BY label),
+         |sc AS (SELECT d.vec_id, c.label,
+         |       ${cosSql("d.embedding", "c.centroid")} AS cos
+         |       FROM de d CROSS JOIN cents c),
+         |r AS (SELECT vec_id, label, cos, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, label) AS rn
+         |      FROM sc)
+         |SELECT vec_id, label, round(cos, 6) AS score
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q175_ivf_drift" ->
+      // post-ingest drift census: means over existing + assigned
+      // delta, then per stored label how many existing vectors'
+      // nearest centroid moved (threshold 0: any movement flags)
+      s"""WITH ex AS (SELECT * FROM embeddings WHERE vec_id % 17 <> 3),
+         |de AS (SELECT * FROM embeddings WHERE vec_id % 17 = 3),
+         |comps AS (SELECT label, dim, avg(v) AS c FROM (
+         |          SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS dim,
+         |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |          FROM ex) GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+         |          FROM comps GROUP BY label),
+         |dsc AS (SELECT d.vec_id, c.label,
+         |        ${cosSql("d.embedding", "c.centroid")} AS cos
+         |        FROM de d CROSS JOIN cents c),
+         |dassign AS (SELECT vec_id, label FROM (
+         |        SELECT vec_id, label, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY cos DESC, label) AS rn
+         |        FROM dsc) WHERE rn = 1),
+         |un AS (SELECT vec_id, label, embedding FROM ex
+         |       UNION ALL
+         |       SELECT d.vec_id, a.label, d.embedding
+         |       FROM de d JOIN dassign a USING (vec_id)),
+         |ucomps AS (SELECT label, dim, avg(v) AS c FROM (
+         |          SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS dim,
+         |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |          FROM un) GROUP BY label, dim),
+         |ucents AS (SELECT label, list(c ORDER BY dim) AS centroid
+         |          FROM ucomps GROUP BY label),
+         |esc AS (SELECT e.vec_id, e.label AS stored, c.label AS cand,
+         |        ${cosSql("e.embedding", "c.centroid")} AS cos
+         |        FROM ex e CROSS JOIN ucents c),
+         |near AS (SELECT vec_id, stored, cand FROM (
+         |        SELECT vec_id, stored, cand, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rn
+         |        FROM esc) WHERE rn = 1)
+         |SELECT stored AS label, count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN cand <> stored THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  round(CAST(sum(CASE WHEN cand <> stored THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS moved_frac,
+         |  CAST(sum(CASE WHEN cand <> stored THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) > 0.0 AS needs_recluster
+         |FROM near GROUP BY stored""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

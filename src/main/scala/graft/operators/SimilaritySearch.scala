@@ -184,4 +184,70 @@ object SimilaritySearch {
       .select(col(idCol), col("cluster"), round(col("score"), 6).as("score"))
       .limit(k)
   }
+
+  // ---- incremental IVF index maintenance (the vector twin of
+  // incremental.IncrementalIndex's BM25 maintenance) ----
+
+  /** True-mean centroids per partition label — the q48 shape shared
+    * by the maintenance tier. Exactness note as on q48: testdata
+    * components are 24-bit dyadics, so double means are
+    * aggregation-order-free. */
+  def meanCentroids(vecs: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("c")))), x => x.getField("c")).as("centroid"))
+
+  /** Assign NEW vectors to the nearest of the given centroids by
+    * cosine (tie → lowest label) — the incremental-ingest step: no
+    * recompute, the centroid side is index-cardinality (broadcast),
+    * the delta never shuffles except its own per-vector argmax.
+    * Output: (id, label, round(score, 6)). */
+  def assignToCentroids(delta: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame): DataFrame = {
+    val scored = delta.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("score",
+        VectorFunctions.cosine(col(vecCol), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("label"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Post-ingest drift census: under the UPDATED centroids (means
+    * over existing ∪ assigned delta — identical to the incremental
+    * running-mean update), how many of the given vectors' nearest
+    * centroids no longer match their stored label, per label. A
+    * cluster whose moved fraction exceeds `reclusterThreshold` flags
+    * for re-training. At corpus scale the census input is a SAMPLE —
+    * the law is per-vector, so any sample frame composes. Output per
+    * label: n_vectors, n_moved, moved_frac, needs_recluster. */
+  def ivfDriftCensus(vectors: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, updatedCents: DataFrame,
+      reclusterThreshold: Double): DataFrame = {
+    val nearest = assignToCentroids(
+      vectors.select(col(idCol), col(vecCol)), idCol, vecCol,
+      updatedCents)
+      .select(col(idCol), col("label").as("_nearest"))
+    vectors.select(col(idCol), col(labelCol).as("label"))
+      .join(nearest, Seq(idCol))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("_nearest") =!= col("label"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_frac",
+        round(col("n_moved").cast("double") /
+          col("n_vectors").cast("double"), 6))
+      .withColumn("needs_recluster",
+        (col("n_moved").cast("double") /
+          col("n_vectors").cast("double")) > reclusterThreshold)
+  }
 }
