@@ -4219,6 +4219,20 @@ object SparkEntry {
       "embedding", updated, reclusterThreshold = 0.0)
   }
 
+  /** Near-dup GROUPS in the gate (Dedup.connectedComponents over the
+    * q18 MinHash candidate pairs): every document labeled with the
+    * smallest id reachable through the pair graph — the
+    * keep-one-representative-per-cluster step of a training-data
+    * dedup pipeline; singletons are their own component. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4)
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"),
+        col("is_representative"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4400,7 +4414,8 @@ object SparkEntry {
     "q172_cli_ls_eval" -> q172 _,
     "q173_cli_stats_line" -> q173 _,
     "q174_ivf_assign" -> q174 _,
-    "q175_ivf_drift" -> q175 _)
+    "q175_ivf_drift" -> q175 _,
+    "q176_neardup_groups" -> q176 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -6978,7 +6993,24 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 6) AS moved_frac,
          |  CAST(sum(CASE WHEN cand <> stored THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*) > 0.0 AS needs_recluster
-         |FROM near GROUP BY stored""".stripMargin)
+         |FROM near GROUP BY stored""".stripMargin,
+
+    "q176_neardup_groups" ->
+      // connected components over the q18 MinHash candidate pairs:
+      // min-reachable-id labels via a recursive walk (the `w.comp <
+      // e.dst` guard prunes useless propagations — a node's final
+      // component is never above its own id)
+      s"""WITH RECURSIVE p AS ($minhashLshOracleSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.comp FROM walk w
+         |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)
+         |SELECT id AS doc_id, min(comp) AS component,
+         |  min(comp) = id AS is_representative
+         |FROM walk GROUP BY id""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

@@ -225,6 +225,35 @@ class DedupSpec extends AnyFunSuite {
       hofSimhash($"text").as("hof"))
     assert(both.where($"native" =!= $"hof").count() === 0)
   }
+
+  test("connected components: chains propagate across iterations, " +
+      "singletons stay their own component, representatives keep") {
+    import graft.operators.Dedup
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // a 4-long chain (1-2-3-4: diameter 3 needs >1 iteration), one
+    // pair (5-6), one singleton (7)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "doc_id", pairs,
+      "id_a", "id_b").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false), (4L, 1L, false), (5L, 5L, true),
+      (6L, 5L, false), (7L, 7L, true)))
+    // the keep-one face: representatives (incl. the singleton) only
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f"), (7L, "g")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id",
+      Dedup.connectedComponents(nodes, "doc_id", pairs, "id_a", "id_b"))
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L, 5L, 7L))
+    // maxIters caps the walk: at 1 iteration the chain's far end has
+    // only its neighbor's label, not the global min
+    val capped = Dedup.connectedComponents(nodes, "doc_id", pairs,
+      "id_a", "id_b", maxIters = 1)
+      .where($"id" === 4L).collect().head.getLong(1)
+    assert(capped === 3L)
+  }
 }
 
 class SearchSpec extends AnyFunSuite {
