@@ -4233,6 +4233,21 @@ object SparkEntry {
         col("is_representative"))
   }
 
+  /** Deterministic training-mix sampling + split assignment in the
+    * gate (Sampling.stratifiedSample / assignSplit): per-language
+    * downsample fractions (en 0.5, de 0.25, rest 0.1) and a
+    * 70/15/15 train/validation/test banding, all as hex-threshold
+    * comparisons over md5 draws — membership is a pure function of
+    * (salt, doc_id), no shuffle, replayed bit-identically by the
+    * oracle. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    val sampled = Sampling.stratifiedSample(t(s, dir, "documents"),
+      "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.25), 0.1, "mix1")
+    Sampling.assignSplit(sampled, "doc_id", "split1", 0.7, 0.15)
+      .select(col("doc_id"), col("lang"), col("split"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4415,7 +4430,8 @@ object SparkEntry {
     "q173_cli_stats_line" -> q173 _,
     "q174_ivf_assign" -> q174 _,
     "q175_ivf_drift" -> q175 _,
-    "q176_neardup_groups" -> q176 _)
+    "q176_neardup_groups" -> q176 _,
+    "q177_training_mix" -> q177 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7010,7 +7026,24 @@ object SparkEntry {
          |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)
          |SELECT id AS doc_id, min(comp) AS component,
          |  min(comp) = id AS is_representative
-         |FROM walk GROUP BY id""".stripMargin)
+         |FROM walk GROUP BY id""".stripMargin,
+
+    "q177_training_mix" -> {
+      import operators.Sampling.thresholdHex
+      // deterministic stratified sample + split banding: the same
+      // md5-slice hex comparisons, thresholds baked as literals
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN substr(md5('split1:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.7)}' THEN 'train'
+         |  WHEN substr(md5('split1:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.7 + 0.15)}' THEN 'validation'
+         |  ELSE 'test' END AS split
+         |FROM documents
+         |WHERE substr(md5('mix1:' || doc_id), 1, 8) <
+         |  CASE lang WHEN 'de' THEN '${thresholdHex(0.25)}'
+         |    WHEN 'en' THEN '${thresholdHex(0.5)}'
+         |    ELSE '${thresholdHex(0.1)}' END""".stripMargin
+    })
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

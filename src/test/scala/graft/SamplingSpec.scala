@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Deterministic sampling / split assignment (operators/Sampling). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("membership is a pure function of (salt, id): same rows under " +
+      "any layout, different salt reshuffles") {
+    val df = spark.range(2000).toDF("id")
+    val a = Sampling.sample(df, "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(df.repartition(13), "id", 0.3, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val c = Sampling.sample(df, "id", 0.3, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+    // a 30% draw over 2000 ids lands near 600
+    assert(math.abs(a.size - 600) < 80, a.size.toString)
+  }
+
+  test("threshold edges: fraction 1 keeps everything, 0 keeps " +
+      "nothing, and the hex literal is fixed-width lowercase") {
+    val df = spark.range(100).toDF("id")
+    assert(Sampling.sample(df, "id", 1.0, "s").count() === 100L)
+    assert(Sampling.sample(df, "id", 0.0, "s").count() === 0L)
+    assert(Sampling.thresholdHex(0.5) === "80000000")
+    assert(Sampling.thresholdHex(1.0) === "g")
+    assert(Sampling.thresholdHex(0.0) === "")
+    assert(Sampling.thresholdHex(0.25) === "40000000")
+  }
+
+  test("splits are disjoint, exhaustive, and near the requested " +
+      "bands; sampling composes with splitting on independent salts") {
+    val df = spark.range(5000).toDF("id")
+    val split = Sampling.assignSplit(df, "id", "sp", 0.7, 0.15)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 5000L)
+    assert(math.abs(counts("train") - 3500) < 200, counts.toString)
+    assert(math.abs(counts("validation") - 750) < 120, counts.toString)
+    assert(math.abs(counts("test") - 750) < 120, counts.toString)
+    // an id's split never depends on whether the sample kept it
+    val sampled = Sampling.sample(df, "id", 0.5, "other")
+    val joint = Sampling.assignSplit(sampled, "id", "sp", 0.7, 0.15)
+      .select(col("id"), col("split"))
+    val full = split.select(col("id"), col("split").as("full_split"))
+    assert(joint.join(full, Seq("id"))
+      .where(col("split") =!= col("full_split")).count() === 0L)
+  }
+
+  test("stratified fractions apply per stratum; unlisted strata take " +
+      "the default") {
+    val df = spark.range(6000).toDF("id")
+      .withColumn("lang", element_at(
+        array(lit("en"), lit("de"), lit("zh")),
+        (col("id") % 3).cast("int") + 1))
+    val out = Sampling.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.1), 0.9, "mix")
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 1000) < 150, counts.toString)
+    assert(math.abs(counts("de") - 200) < 80, counts.toString)
+    assert(math.abs(counts("zh") - 1800) < 150, counts.toString)
+  }
+
+  test("the q177 plan is a single filtered scan: no join, no " +
+      "exchange — pushdown-friendly at any scale") {
+    val plan = SparkEntry.queries("q177_training_mix")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
