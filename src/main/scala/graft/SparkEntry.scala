@@ -4248,6 +4248,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("split"))
   }
 
+  /** Cross-corpus contamination in the gate
+    * (Dedup.crossJaccardPairs): documents split into a "train" side
+    * (doc_id % 5 != 0) and a "benchmark" side (doc_id % 5 == 0);
+    * every train document sharing ≥ 0.2 n-gram Jaccard with any
+    * benchmark document is flagged — the train-test overlap check a
+    * training pipeline runs before a data release. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = Dedup.shingleIndex(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", 3)
+    val bench = Dedup.shingleIndex(
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text", 3)
+    Dedup.crossJaccardPairs(train, "doc_id", bench, "doc_id", 0.2)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4431,7 +4446,8 @@ object SparkEntry {
     "q174_ivf_assign" -> q174 _,
     "q175_ivf_drift" -> q175 _,
     "q176_neardup_groups" -> q176 _,
-    "q177_training_mix" -> q177 _)
+    "q177_training_mix" -> q177 _,
+    "q178_contamination" -> q178 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7043,7 +7059,27 @@ object SparkEntry {
          |  CASE lang WHEN 'de' THEN '${thresholdHex(0.25)}'
          |    WHEN 'en' THEN '${thresholdHex(0.5)}'
          |    ELSE '${thresholdHex(0.1)}' END""".stripMargin
-    })
+    },
+
+    "q178_contamination" ->
+      // cross-corpus overlap: train (doc_id % 5 <> 0) vs benchmark
+      // (doc_id % 5 = 0) exact shingle Jaccard at 0.2
+      s"""WITH s AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |tr AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+         |be AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+         |ct AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+         |cb AS (SELECT doc_id, COUNT(*) AS n FROM be GROUP BY doc_id),
+         |i AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |      COUNT(*) AS n_common
+         |      FROM tr t JOIN be b USING (shingle)
+         |      GROUP BY t.doc_id, b.doc_id)
+         |SELECT train_id, bench_id, n_common,
+         |round(CAST(n_common AS DOUBLE) /
+         |  CAST(ct.n + cb.n - n_common AS DOUBLE), 6) AS jaccard
+         |FROM i JOIN ct ON ct.doc_id = train_id
+         |JOIN cb ON cb.doc_id = bench_id
+         |WHERE CAST(n_common AS DOUBLE) /
+         |  CAST(ct.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

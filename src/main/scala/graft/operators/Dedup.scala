@@ -418,4 +418,39 @@ object Dedup {
       components.where(col("is_representative"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
+
+  /** Cross-corpus contamination check (train-vs-benchmark overlap):
+    * Jaccard pairs BETWEEN two corpora over their shingle indexes —
+    * the asymmetric twin of [[jaccardPairsFromIndex]]. The shuffle is
+    * on the shingle key (the benchmark side is usually small enough
+    * to broadcast); the score is the exact n-gram Jaccard, so a
+    * training document is flagged for exclusion wherever it shares
+    * `minSim` of its shingle set with any benchmark document. At
+    * 100 TB the same df-cap escape as the self-join applies to the
+    * TRAIN side's boilerplate shingles. Output:
+    * (train_id, bench_id, n_common, jaccard). */
+  def crossJaccardPairs(trainIdx: DataFrame, trainIdCol: String,
+      benchIdx: DataFrame, benchIdCol: String,
+      minSim: Double): DataFrame = {
+    val tc = trainIdx.groupBy(col(trainIdCol))
+      .agg(count(lit(1)).as("n_t"))
+    val bc = benchIdx.groupBy(col(benchIdCol))
+      .agg(count(lit(1)).as("n_b"))
+    val inter = trainIdx.select(col(trainIdCol).as("train_id"),
+        col("shingle"))
+      .join(benchIdx.select(col(benchIdCol).as("bench_id"),
+        col("shingle")), Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(tc.select(col(trainIdCol).as("train_id"),
+        col("n_t")), Seq("train_id"))
+      .join(bc.select(col(benchIdCol).as("bench_id"),
+        col("n_b")), Seq("bench_id"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_t") + col("n_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minSim)
+      .select(col("train_id"), col("bench_id"), col("n_common"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

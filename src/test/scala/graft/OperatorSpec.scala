@@ -254,6 +254,22 @@ class DedupSpec extends AnyFunSuite {
       .where($"id" === 4L).collect().head.getLong(1)
     assert(capped === 3L)
   }
+
+  test("cross-corpus contamination: exact duplicates across corpora " +
+      "score 1.0, disjoint texts never pair, threshold filters") {
+    import graft.operators.Dedup
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here entirely now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "unrelated benchmark prose nothing shared across"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossJaccardPairs(
+      Dedup.shingleIndex(train, "doc_id", "text", 3), "doc_id",
+      Dedup.shingleIndex(bench, "doc_id", "text", 3), "doc_id", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 100L, 1.0)))
+  }
 }
 
 class SearchSpec extends AnyFunSuite {
