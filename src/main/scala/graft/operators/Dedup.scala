@@ -361,52 +361,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Near-dup GROUPS from candidate pairs: connected components by
-    * iterative min-label propagation — every document's component is
-    * the smallest id reachable through the pair graph; documents with
-    * no pairs are singleton components of themselves. The step is one
-    * id-keyed join + a min aggregation; iteration count is bounded by
-    * the component DIAMETER, which for near-dup clusters (cliques and
-    * near-cliques by construction — pair generation compares all
-    * bucket members) is small; `maxIters` caps the walk and the loop
-    * exits early on a converged pass (one count per iteration — the
-    * driver-side loop is over ITERATIONS, never rows). At 100 TB with
-    * adversarial chain-shaped graphs, alternate large-star/small-star
-    * rounds (O(log n) convergence) — the per-round shape here is the
-    * same join+min.
+  /** Near-dup GROUPS from candidate pairs: every document's component
+    * is the smallest id reachable through the pair graph; documents
+    * with no pairs are singleton components of themselves. The walk
+    * itself is [[ConnectedComponents.run]] — the hardened shared
+    * min-label-propagation operator (lineage truncated per round via
+    * localCheckpoint, node set derived from the EDGES so off-`nodes`
+    * pair endpoints still relay labels between in-`nodes` documents,
+    * convergence early-exit, maxIter cap); this face left-joins the
+    * result onto the document roster, coalescing unpaired documents
+    * to themselves, and marks the member a training pipeline KEEPS.
     *
     * Output: (id, component, is_representative) — the representative
-    * (the member a training pipeline KEEPS) is the component's min
-    * id. */
+    * is the component's min id present in `nodes`. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val nbr = edges
-        .join(labels.select(col("id").as("dst"),
-          col("comp").as("nbr_comp")), Seq("dst"))
-        .select(col("src").as("id"), col("nbr_comp").as("comp"))
-      val next = labels.union(nbr)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("comp", "_old"),
-        Seq("id")).where(col("comp") =!= col("_old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    edges.unpersist()
-    labels.select(col("id"), col("comp").as("component"),
-      (col("id") === col("comp")).as("is_representative"))
+    val comps = ConnectedComponents.run(pairs, aCol, bCol, maxIters)
+      .withColumnRenamed("node", "id")
+    nodes.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("component"),
+        (col("id") === coalesce(col("comp"), col("id")))
+          .as("is_representative"))
   }
 
   /** The keep-one-per-group face: representatives plus every

@@ -16,18 +16,28 @@ import org.apache.spark.sql.functions._
   * replays the identical comparison with no float in sight. */
 object Sampling {
 
-  /** The per-row draw: first 8 hex of md5("{salt}:{id}"). */
+  /** The per-row draw: first 8 hex of md5("{salt}:{id}"). Total on
+    * null ids: a null keys as the empty string, so every null-id row
+    * shares ONE deterministic draw — it stays in a 100% sample and
+    * lands in one consistent split band, rather than vanishing from
+    * the filter while still drawing a split. */
   def hashSlice(id: Column, salt: String): Column =
-    substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8)
+    substring(md5(concat(lit(salt), lit(":"),
+      coalesce(id.cast("string"), lit("")))), 1, 8)
 
   /** A fraction as an 8-hex threshold: a draw d is IN iff
     * d < threshold. fraction >= 1 maps to a sentinel above every hex
-    * digit ("g" > "f"), fraction <= 0 to one below ("0" compares
-    * equal-or-above no draw — the empty threshold ""). */
+    * digit ("g" > "f"), fraction <= 0 to one below (the empty
+    * threshold ""). A fraction within 2^-33 of 1 would ROUND to 2^32
+    * — a 9-char hex that lexicographic comparison misreads — so the
+    * rounded value clamps into the sentinel arm. */
   def thresholdHex(fraction: Double): String =
     if (fraction >= 1.0) "g"
     else if (fraction <= 0.0) ""
-    else f"${math.round(fraction * 4294967296.0)}%08x"
+    else {
+      val v = math.round(fraction * 4294967296.0)
+      if (v >= 4294967296L) "g" else f"$v%08x"
+    }
 
   /** Keep a deterministic `fraction` of rows, keyed on `idCol`. */
   def sample(df: DataFrame, idCol: String, fraction: Double,

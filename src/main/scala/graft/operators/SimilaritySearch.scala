@@ -149,13 +149,9 @@ object SimilaritySearch {
       assigned = base.withColumn("cluster",
         graft.functions.NativeVector.argmaxCosineOf(col(vecCol), cents))
       if (!lastPass) {
-        val means = assigned
-          .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(avg(col("v").cast("double")).as("m"))
-          .groupBy(col("cluster"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-            x => x.getField("m")).as("centroid"))
+        // per-cluster means via the shared aggregation (meanCentroids
+        // — the ordered struct-sort reassembly lives in ONE place)
+        val means = meanCentroids(assigned, "cluster", vecCol)
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
         cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray

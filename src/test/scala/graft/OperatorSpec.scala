@@ -253,6 +253,14 @@ class DedupSpec extends AnyFunSuite {
       "id_a", "id_b", maxIters = 1)
       .where($"id" === 4L).collect().head.getLong(1)
     assert(capped === 3L)
+    // a pair endpoint OUTSIDE the roster still relays labels between
+    // roster members, and never appears in the output
+    val subset = Seq(3L, 5L).toDF("doc_id")
+    val viaForeign = Seq((3L, 10L), (5L, 10L)).toDF("id_a", "id_b")
+    val relayed = Dedup.connectedComponents(subset, "doc_id",
+      viaForeign, "id_a", "id_b").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(relayed.toSeq === Seq((3L, 3L), (5L, 3L)))
   }
 
   test("cross-corpus contamination: exact duplicates across corpora " +

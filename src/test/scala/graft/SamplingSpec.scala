@@ -34,6 +34,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.thresholdHex(1.0) === "g")
     assert(Sampling.thresholdHex(0.0) === "")
     assert(Sampling.thresholdHex(0.25) === "40000000")
+    // within 2^-33 of 1: the rounded 2^32 would render 9 hex chars
+    // and lexicographically EXCLUDE most draws — clamps to the
+    // keep-everything sentinel instead
+    assert(Sampling.thresholdHex(1.0 - 1e-10) === "g")
+    assert(Sampling.sample(spark.range(200).toDF("id"), "id",
+      1.0 - 1e-10, "s").count() === 200L)
+  }
+
+  test("null ids share one deterministic draw: kept by a 100% " +
+      "sample, one consistent split band") {
+    val df = Seq(Some(1L), Some(2L), None, None).toDF("id")
+    assert(Sampling.sample(df, "id", 1.0 - 1e-10, "s").count() === 4L)
+    val splits = Sampling.assignSplit(df, "id", "sp", 0.7, 0.15)
+      .where(col("id").isNull).select("split").distinct().collect()
+    assert(splits.length === 1)
   }
 
   test("splits are disjoint, exhaustive, and near the requested " +
