@@ -34,6 +34,9 @@ object SparkEntry {
   /** All tokens (DuckDB) — twin of TextFunctions.allTokens. */
   private val allToksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+  /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords. */
+  private val rawWordsSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
   /** Distinct 3-gram shingles (DuckDB) — twin of TextFunctions.shingles. */
   private val shinglesSql =
     s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
@@ -4263,6 +4266,44 @@ object SparkEntry {
     Dedup.crossJaccardPairs(train, "doc_id", bench, "doc_id", 0.2)
   }
 
+  /** Gopher-style quality signals + keep decision per document
+    * (QualityFilters.signals / gopherKeep): word count, mean word
+    * length, alphabetic-word fraction, duplicate word/2-gram/3-gram
+    * fractions, most-common-word share, longest word run — the
+    * repetition battery a corpus passes before training. One narrow
+    * projection, no shuffle. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import operators.QualityFilters
+    QualityFilters.signals(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("keep", QualityFilters.gopherKeep())
+  }
+
+  /** C4-style line cleaning in the gate (QualityFilters.c4Clean):
+    * lines under 3 words / boilerplate markers dropped, documents
+    * under 5 cleaned words dropped. Terminal-punctuation off — the
+    * synthetic corpus has none; the spec exercises that arm. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import operators.QualityFilters
+    QualityFilters.c4Clean(t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  /** PII redaction in the gate (QualityFilters.redactPii): a
+    * synthetic contact blob per event (e-mail, IPv4, phone, long
+    * numeric ref, all derived from integer columns so both engines
+    * render identical text) through the four-pattern replace chain. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import operators.QualityFilters
+    val e = t(s, dir, "events")
+    val raw = concat(
+      lit("user"), col("user_id"), lit("@mail.example.com ip 10."),
+      col("user_id") % 200, lit(".0."), col("event_id") % 250,
+      lit(" phone (555) 010-"),
+      lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" ref "), col("user_id") * 1000003L + col("event_id"))
+    e.select(col("event_id"),
+      QualityFilters.redactPii(raw).as("redacted"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4447,7 +4488,10 @@ object SparkEntry {
     "q175_ivf_drift" -> q175 _,
     "q176_neardup_groups" -> q176 _,
     "q177_training_mix" -> q177 _,
-    "q178_contamination" -> q178 _)
+    "q178_contamination" -> q178 _,
+    "q179_quality_signals" -> q179 _,
+    "q180_c4_clean" -> q180 _,
+    "q181_pii_redact" -> q181 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7079,7 +7123,110 @@ object SparkEntry {
          |FROM i JOIN ct ON ct.doc_id = train_id
          |JOIN cb ON cb.doc_id = bench_id
          |WHERE CAST(n_common AS DOUBLE) /
-         |  CAST(ct.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin)
+         |  CAST(ct.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin,
+
+    "q179_quality_signals" ->
+      // Gopher-style word-level repetition/shape signals; raw
+      // whitespace words (QualityFilters.rawWords twin), ratios
+      // rounded to 6 places on both sides, keep over the rounded
+      // values. max_word_run via gaps-and-islands; top word via the
+      // per-word count CTE.
+      s"""WITH w AS (SELECT doc_id, $rawWordsSql AS ws FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord,
+         |      unnest(ws) AS word FROM w),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM u
+         |       GROUP BY doc_id, word),
+         |tw AS (SELECT doc_id, max(c) AS topw FROM wc GROUP BY doc_id),
+         |isl AS (SELECT doc_id, word, ord, ord - row_number()
+         |        OVER (PARTITION BY doc_id, word ORDER BY ord) AS g
+         |        FROM u),
+         |runs AS (SELECT doc_id, count(*) AS run FROM isl
+         |         GROUP BY doc_id, word, g),
+         |mr AS (SELECT doc_id, max(run) AS maxrun FROM runs
+         |       GROUP BY doc_id),
+         |sig0 AS (SELECT doc_id, ws,
+         |  list_filter(list_transform(
+         |    generate_series(1, greatest(len(ws)-1, 1)),
+         |    i -> concat_ws(' ', ws[i], ws[i+1])),
+         |    g -> len(string_split(g, ' ')) = 2) AS g2,
+         |  list_filter(list_transform(
+         |    generate_series(1, greatest(len(ws)-2, 1)),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
+         |    g -> len(string_split(g, ' ')) = 3) AS g3
+         |  FROM w),
+         |sig AS (SELECT s.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS word_count,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(list_sum(list_transform(ws, x -> len(x)))
+         |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(len(list_filter(ws,
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS alpha_word_frac,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_word_frac,
+         |  CASE WHEN len(g2) > 0 THEN
+         |    round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |      / CAST(len(g2) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN
+         |    round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |      / CAST(len(g3) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_3gram_frac,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(coalesce(tw.topw, 0) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS top_word_frac,
+         |  CAST(coalesce(mr.maxrun, 0) AS BIGINT) AS max_word_run
+         |  FROM sig0 s LEFT JOIN tw USING (doc_id)
+         |  LEFT JOIN mr USING (doc_id))
+         |SELECT *,
+         |  word_count >= 50 AND word_count <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND alpha_word_frac >= 0.8
+         |  AND dup_2gram_frac <= 0.6
+         |  AND top_word_frac <= 0.2
+         |  AND max_word_run <= 4 AS keep
+         |FROM sig""".stripMargin,
+
+    "q180_c4_clean" ->
+      // C4-style line cleaning: >= 3 words per trimmed line, no
+      // boilerplate markers; docs with < 5 cleaned words dropped.
+      s"""WITH c AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(text, chr(10)),
+         |    l -> len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |           x -> x <> '')) >= 3
+         |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
+         |      AND NOT contains(trim(l), '{')
+         |      AND NOT contains(trim(l), '}')),
+         |    l -> trim(l)) AS kept
+         |  FROM documents)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_kept
+         |FROM c
+         |WHERE len(list_filter(string_split_regex(
+         |  array_to_string(kept, chr(10)), '\\s+'), x -> x <> '')) >= 5""".stripMargin,
+
+    "q181_pii_redact" ->
+      // The same four-pattern redaction chain over an identically
+      // rendered synthetic contact blob (integer-derived text only —
+      // no float-to-string divergence between engines).
+      """SELECT event_id,
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  'user' || user_id || '@mail.example.com ip 10.' ||
+        |  (user_id % 200) || '.0.' || (event_id % 250) ||
+        |  ' phone (555) 010-' ||
+        |  lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ref ' || (user_id * 1000003 + event_id),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |  '\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
+        |  '\d{6,}', '<NUM>', 'g') AS redacted
+        |FROM events""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

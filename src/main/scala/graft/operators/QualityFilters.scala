@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus quality filtering for training-data pipelines (beyond-
+  * reference scale operators, the tier SURVEY §2.11 tracks alongside
+  * dedup/ANN): the published filter batteries a 100 TB text corpus is
+  * run through before training —
+  *
+  *  - repetition / shape signals in the style of the Gopher rules
+  *    (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
+  *    Insights from Training Gopher", appendix A): word count and
+  *    mean-word-length bounds, alphabetic-word fraction, duplicate
+  *    word/n-gram fractions, most-common-word share, longest
+  *    consecutive word run;
+  *  - line-level cleaning in the style of the C4 heuristics (Raffel
+  *    et al. 2020, "Exploring the Limits of Transfer Learning", §2.2):
+  *    minimum words per line, terminal-punctuation requirement,
+  *    boilerplate markers ("lorem ipsum", code braces);
+  *  - PII redaction: e-mail / IPv4 / phone / long-digit-run patterns
+  *    replaced with typed placeholders.
+  *
+  * Everything is a narrow per-row projection or filter — no shuffle,
+  * no UDF, all built-ins and higher-order functions, so the whole
+  * battery runs inside the scan stage at any corpus size and the
+  * filters are pushdown-eligible. Word-level signals reformulate
+  * Gopher's character-fraction thresholds at word granularity so the
+  * DuckDB oracle can replay the exact integer arithmetic.
+  */
+object QualityFilters {
+
+  /** Raw whitespace-split words (non-empty). Unlike the BM25
+    * tokenizer this keeps punctuation and case — Gopher's word stats
+    * are over raw words, not normalized tokens. */
+  def rawWords(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Longest run of equal consecutive elements in a string array
+    * (0 for empty). One interpreted-HOF pass; on a sorted array this
+    * is the count of the most frequent element. */
+  def maxRunOf(arr: Column): Column =
+    aggregate(arr,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Overlapping (non-distinct) word n-grams joined with single
+    * spaces; fewer than n words gives an empty array. */
+  def wordNgrams(ws: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+      g => size(split(g, " ")) === n)
+
+  private def safeFrac(num: Column, den: Column): Column =
+    when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** The per-document signal frame: id column + the Gopher-style
+    * signals, each a deterministic function of the text column.
+    * Ratios are rounded to 6 places (both engines round the same
+    * IEEE double, so the oracle hash-matches).
+    *
+    * Columns: word_count, mean_word_len, alpha_word_frac,
+    * dup_word_frac, dup_2gram_frac, dup_3gram_frac, top_word_frac,
+    * max_word_run. */
+  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withWords = df.withColumn("_ws", rawWords(col(textCol)))
+      .withColumn("_g2", wordNgrams(col("_ws"), 2))
+      .withColumn("_g3", wordNgrams(col("_ws"), 3))
+    val n = size(col("_ws"))
+    withWords.select(
+      col(idCol),
+      n.cast("long").as("word_count"),
+      safeFrac(aggregate(col("_ws"), lit(0L), (a, w) => a + length(w)), n)
+        .as("mean_word_len"),
+      safeFrac(size(filter(col("_ws"), w => w.rlike("[A-Za-z]"))), n)
+        .as("alpha_word_frac"),
+      safeFrac(n - size(array_distinct(col("_ws"))), n)
+        .as("dup_word_frac"),
+      safeFrac(size(col("_g2")) - size(array_distinct(col("_g2"))),
+        size(col("_g2"))).as("dup_2gram_frac"),
+      safeFrac(size(col("_g3")) - size(array_distinct(col("_g3"))),
+        size(col("_g3"))).as("dup_3gram_frac"),
+      safeFrac(maxRunOf(array_sort(col("_ws"))), n).as("top_word_frac"),
+      maxRunOf(col("_ws")).as("max_word_run"))
+  }
+
+  /** Gopher-style keep decision over a [[signals]] frame. Threshold
+    * defaults follow the published rules where the word-level
+    * reformulation has a direct analogue (word count 50–100 000,
+    * mean word length 3–10, ≥ 80 % alphabetic words) and corpus-
+    * conventional caps for the repetition signals. */
+  def gopherKeep(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaWordFrac: Double = 0.8,
+      maxDup2gramFrac: Double = 0.6,
+      maxTopWordFrac: Double = 0.2,
+      maxWordRun: Long = 4L): Column =
+    col("word_count") >= minWords && col("word_count") <= maxWords &&
+      col("mean_word_len") >= minMeanWordLen &&
+      col("mean_word_len") <= maxMeanWordLen &&
+      col("alpha_word_frac") >= minAlphaWordFrac &&
+      col("dup_2gram_frac") <= maxDup2gramFrac &&
+      col("top_word_frac") <= maxTopWordFrac &&
+      col("max_word_run") <= maxWordRun
+
+  /** C4-style line cleaning: keep a line iff it has at least
+    * `minLineWords` whitespace words, does not contain "lorem ipsum"
+    * (case-insensitive) or a curly brace (the code/boilerplate
+    * marker), and — when `requireTerminalPunct` — ends in terminal
+    * punctuation (./!/?/"/'). Returns struct(cleaned, n_lines_kept);
+    * callers typically follow with a kept-word-count document filter
+    * ([[c4Clean]]). */
+  def c4CleanedLines(text: Column, minLineWords: Int,
+      requireTerminalPunct: Boolean): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      val base = size(filter(split(t, "\\s+"), w => w =!= "")) >=
+        minLineWords &&
+        !lower(t).contains("lorem ipsum") && !t.contains("{") &&
+        !t.contains("}")
+      if (requireTerminalPunct) base && t.rlike("[.!?\"']$") else base
+    })
+    struct(array_join(transform(kept, l => trim(l)), "\n").as("cleaned"),
+      size(kept).cast("long").as("n_lines_kept"))
+  }
+
+  /** The document-level C4 pass: clean lines, then keep documents
+    * whose cleaned text still has at least `minDocWords` words.
+    * Output: idCol, cleaned, n_lines_kept. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minDocWords: Int = 5,
+      requireTerminalPunct: Boolean = false): DataFrame =
+    df.select(col(idCol),
+        c4CleanedLines(col(textCol), minLineWords, requireTerminalPunct)
+          .as("_c"))
+      .select(col(idCol), col("_c.cleaned").as("cleaned"),
+        col("_c.n_lines_kept").as("n_lines_kept"))
+      .where(size(filter(split(col("cleaned"), "\\s+"),
+        w => w =!= "")) >= minDocWords)
+
+  /** E-mail addresses → `<EMAIL>`. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 literals → `<IP>`. */
+  val ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  /** NANP-shaped phone numbers → `<PHONE>`. */
+  val phonePattern = "\\(?\\d{3}\\)?[\\s.-]\\d{3}[\\s.-]\\d{4}"
+  /** Remaining runs of ≥ 6 digits (account/id numbers) → `<NUM>`. */
+  val digitRunPattern = "\\d{6,}"
+
+  /** PII redaction: the four patterns applied in order (e-mail first
+    * so its digits never half-match as a number; the digit-run
+    * catch-all last). Pure regexp_replace chain — codegen'd, no
+    * shuffle, patterns valid under both Java regex and RE2 so the
+    * oracle replays them verbatim. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        phonePattern, "<PHONE>"),
+      digitRunPattern, "<NUM>")
+}
