@@ -34,9 +34,10 @@ object SparkEntry {
   /** All tokens (DuckDB) — twin of TextFunctions.allTokens. */
   private val allToksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
-  /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords. */
+  /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords
+    * (same explicit RE2-safe whitespace class, same NULL coalesce). */
   private val rawWordsSql =
-    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    "list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   /** Distinct 3-gram shingles (DuckDB) — twin of TextFunctions.shingles. */
   private val shinglesSql =
     s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
@@ -7197,9 +7198,10 @@ object SparkEntry {
       // C4-style line cleaning: >= 3 words per trimmed line, no
       // boilerplate markers; docs with < 5 cleaned words dropped.
       s"""WITH c AS (SELECT doc_id,
-         |  list_transform(list_filter(string_split(text, chr(10)),
-         |    l -> len(list_filter(string_split_regex(trim(l), '\\s+'),
-         |           x -> x <> '')) >= 3
+         |  list_transform(list_filter(
+         |    string_split(coalesce(text, ''), chr(10)),
+         |    l -> len(list_filter(string_split_regex(trim(l),
+         |           '[ \\t\\n\\f\\r]+'), x -> x <> '')) >= 3
          |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
          |      AND NOT contains(trim(l), '{')
          |      AND NOT contains(trim(l), '}')),
@@ -7209,7 +7211,8 @@ object SparkEntry {
          |  CAST(len(kept) AS BIGINT) AS n_lines_kept
          |FROM c
          |WHERE len(list_filter(string_split_regex(
-         |  array_to_string(kept, chr(10)), '\\s+'), x -> x <> '')) >= 5""".stripMargin,
+         |  array_to_string(kept, chr(10)), '[ \\t\\n\\f\\r]+'),
+         |  x -> x <> '')) >= 5""".stripMargin,
 
     "q181_pii_redact" ->
       // The same four-pattern redaction chain over an identically

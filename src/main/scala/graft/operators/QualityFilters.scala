@@ -30,11 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
+  /** The whitespace class words split on, written out explicitly:
+    * Java `\s` includes U+000B where RE2's (the oracle engine's)
+    * does not, so the shared definition is the RE2 set. */
+  val whitespaceClass = "[ \\t\\n\\f\\r]+"
+
   /** Raw whitespace-split words (non-empty). Unlike the BM25
     * tokenizer this keeps punctuation and case — Gopher's word stats
-    * are over raw words, not normalized tokens. */
+    * are over raw words, not normalized tokens. Total on NULL text
+    * (empty word list), matching the oracle's coalesce. */
   def rawWords(text: Column): Column =
-    filter(split(text, "\\s+"), w => w =!= "")
+    filter(split(coalesce(text, lit("")), whitespaceClass),
+      w => w =!= "")
 
   /** Longest run of equal consecutive elements in a string array
     * (0 for empty). One interpreted-HOF pass; on a sorted array this
@@ -121,10 +128,9 @@ object QualityFilters {
     * ([[c4Clean]]). */
   def c4CleanedLines(text: Column, minLineWords: Int,
       requireTerminalPunct: Boolean): Column = {
-    val kept = filter(split(text, "\n"), l => {
+    val kept = filter(split(coalesce(text, lit("")), "\n"), l => {
       val t = trim(l)
-      val base = size(filter(split(t, "\\s+"), w => w =!= "")) >=
-        minLineWords &&
+      val base = size(rawWords(t)) >= minLineWords &&
         !lower(t).contains("lorem ipsum") && !t.contains("{") &&
         !t.contains("}")
       if (requireTerminalPunct) base && t.rlike("[.!?\"']$") else base
@@ -144,8 +150,7 @@ object QualityFilters {
           .as("_c"))
       .select(col(idCol), col("_c.cleaned").as("cleaned"),
         col("_c.n_lines_kept").as("n_lines_kept"))
-      .where(size(filter(split(col("cleaned"), "\\s+"),
-        w => w =!= "")) >= minDocWords)
+      .where(size(rawWords(col("cleaned"))) >= minDocWords)
 
   /** E-mail addresses → `<EMAIL>`. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -45,6 +45,23 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(single.getAs[Double]("top_word_frac") === 1.0)
   }
 
+  test("signals and c4Clean are total on NULL text, and the word " +
+      "split uses the RE2 whitespace class (U+000B is NOT a separator)") {
+    val r = QualityFilters.signals(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("word_count") === 0L)
+    assert(r.getAs[Double]("mean_word_len") === 0.0)
+    assert(r.getAs[Long]("max_word_run") === 0L)
+    assert(QualityFilters.c4Clean(
+      Seq((1L, null: String)).toDF("doc_id", "text"), "doc_id", "text")
+      .count() === 0L)
+    // Java \s includes U+000B, RE2's does not — the shared explicit
+    // class keeps both engines at one word here
+    val vt = sig("alpha\u000Bbeta")
+    assert(vt.getAs[Long]("word_count") === 1L)
+  }
+
   test("signals: alpha_word_frac counts words with any letter") {
     val r = sig("abc 123 4d 99 -- x2026")
     // abc, 4d, x2026 carry letters → 3/6
