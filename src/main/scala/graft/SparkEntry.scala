@@ -4305,6 +4305,26 @@ object SparkEntry {
       QualityFilters.redactPii(raw).as("redacted"))
   }
 
+  /** Temperature-mix fractions at α = 0.5 over the language strata
+    * (Sampling.temperatureFractions): per-language keep fractions
+    * f_l = sqrt(n_min / n_l) — no cross-row float sum, so both
+    * engines reproduce the doubles bit-identically. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    Sampling.temperatureFractions(t(s, dir, "documents"), "lang", 0.5)
+  }
+
+  /** The applied temperature mix (Sampling.temperatureSample):
+    * fractions collected (k strata, setup-time driver state) into
+    * the literal hex-threshold CASE ladder; the oracle recomputes
+    * the fractions in SQL and replays the identical hex compare. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    Sampling.temperatureSample(t(s, dir, "documents"), "lang",
+      "doc_id", 0.5, "tmix")
+      .select(col("doc_id"), col("lang"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4492,7 +4512,9 @@ object SparkEntry {
     "q178_contamination" -> q178 _,
     "q179_quality_signals" -> q179 _,
     "q180_c4_clean" -> q180 _,
-    "q181_pii_redact" -> q181 _)
+    "q181_pii_redact" -> q181 _,
+    "q182_temperature_mix" -> q182 _,
+    "q183_temperature_sample" -> q183 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7229,7 +7251,33 @@ object SparkEntry {
         |  '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
         |  '\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
         |  '\d{6,}', '<NUM>', 'g') AS redacted
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    "q182_temperature_mix" ->
+      // f_l = sqrt(n_min / n_l): exact integer min normalizer, one
+      // IEEE division + sqrt + round — no order-dependent float sum
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |round(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  AS fraction
+        |FROM c, m""".stripMargin,
+
+    "q183_temperature_sample" ->
+      // the applied mix: the same fractions turned into 8-hex
+      // thresholds in SQL (math.round = round-half-away for
+      // positives; DuckDB to_hex is uppercase, hence lower())
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |f AS (SELECT lang,
+        |  round(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS fr FROM c, m),
+        |t AS (SELECT lang,
+        |  CASE WHEN round(fr * 4294967296.0) >= 4294967296 THEN 'g'
+        |  ELSE lpad(lower(to_hex(CAST(round(fr * 4294967296.0)
+        |    AS BIGINT))), 8, '0') END AS th FROM f)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+        |WHERE substr(md5('tmix:' || d.doc_id), 1, 8) < t.th""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

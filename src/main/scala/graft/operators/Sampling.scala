@@ -60,6 +60,44 @@ object Sampling {
     df.filter(hashSlice(col(idCol), salt) < threshold)
   }
 
+  /** Temperature rebalancing of a multilingual/multi-source corpus
+    * (Lample & Conneau 2019, "Cross-lingual Language Model
+    * Pretraining" §3.1: sample languages at q_l ∝ p_l^α): realized
+    * as deterministic per-stratum KEEP fractions — downsampled
+    * counts n_l·f_l ∝ n_l^α requires f_l ∝ n_l^(α-1), normalized so
+    * the SMALLEST stratum keeps everything (filtering can only
+    * downsample): f_l = (n_min / n_l)^(1-α).
+    *
+    * No cross-row float sum anywhere (the n_min normalizer is an
+    * exact integer min), so every fraction is a deterministic IEEE
+    * expression both engines reproduce bit-identically; α = 0.5 maps
+    * to sqrt (exactly rounded) rather than pow. Output: strataCol,
+    * n, fraction (rounded to 6 places). Plan: one tiny groupBy + a
+    * broadcast 1-row max join. */
+  def temperatureFractions(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    val exp = 1.0 - alpha
+    val counts = df.groupBy(strataCol).agg(count(lit(1L)).as("n"))
+    val nmin = counts.agg(min(col("n")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n").cast("double")
+    val f = if (exp == 0.5) sqrt(ratio) else pow(ratio, exp)
+    counts.crossJoin(broadcast(nmin))
+      .select(col(strataCol), col("n"), round(f, 6).as("fraction"))
+  }
+
+  /** The full temperature mix: compute the per-stratum fractions,
+    * collect them (k strata — setup-time driver state, kmeansIvf
+    * style), and apply [[stratifiedSample]]'s literal CASE ladder.
+    * Membership stays a pure function of (salt, id). */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, salt: String): DataFrame = {
+    val fractions = temperatureFractions(df, strataCol, alpha)
+      .select(col(strataCol).cast("string"), col("fraction"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    stratifiedSample(df, strataCol, idCol, fractions, 1.0, salt)
+  }
+
   /** Train/validation/test assignment from the same draw: bands
     * [0, train), [train, train+validation), rest. Disjoint and
     * exhaustive by construction; reproducible anywhere the salt and

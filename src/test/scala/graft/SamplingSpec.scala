@@ -85,6 +85,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(counts("zh") - 1800) < 150, counts.toString)
   }
 
+  test("temperature fractions: smallest stratum keeps 1.0, fractions " +
+      "fall with size, alpha=1 keeps everything, alpha bounds bail") {
+    val df = spark.range(700).toDF("id")
+      .withColumn("lang", when(col("id") < 400, "en")
+        .when(col("id") < 600, "de").otherwise("ro"))
+    val half = Sampling.temperatureFractions(df, "lang", 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(half("ro") === ((100L, 1.0)))
+    assert(half("de") === ((200L, 0.707107))) // sqrt(1/2) @6
+    assert(half("en") === ((400L, 0.5)))      // sqrt(1/4)
+    // alpha 1 → exponent 0 → every stratum keeps everything (pow arm)
+    val flat = Sampling.temperatureFractions(df, "lang", 1.0)
+      .collect().map(_.getDouble(2)).toSet
+    assert(flat === Set(1.0))
+    // a non-sqrt alpha exercises the pow arm: (1/4)^0.75
+    val sharp = Sampling.temperatureFractions(df, "lang", 0.25)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sharp("en") === BigDecimal(math.pow(0.25, 0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assertThrows[IllegalArgumentException] {
+      Sampling.temperatureFractions(df, "lang", 0.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.temperatureFractions(df, "lang", 1.5)
+    }
+  }
+
+  test("temperatureSample flattens the mix toward n^alpha and stays " +
+      "a pure function of (salt, id)") {
+    val df = spark.range(3000).toDF("id")
+      .withColumn("lang", when(col("id") < 2400, "en").otherwise("zh"))
+    val out = Sampling.temperatureSample(df, "lang", "id", 0.5, "tm")
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps sqrt(600/2400) = 1/2 → ~1200; zh keeps all 600
+    assert(counts("zh") === 600L)
+    assert(math.abs(counts("en") - 1200) < 120, counts.toString)
+    // layout-invariant
+    val again = Sampling.temperatureSample(df.repartition(17), "lang",
+      "id", 0.5, "tm").collect().map(_.getLong(0)).toSet
+    assert(again === out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("the q177 plan is a single filtered scan: no join, no " +
       "exchange — pushdown-friendly at any scale") {
     val plan = SparkEntry.queries("q177_training_mix")(spark,
