@@ -4325,6 +4325,16 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Per-source quality census (QualityFilters.sourceCensus): the
+    * Gopher battery rolled up to the source/domain grouping a crawl
+    * pipeline prunes at — exact integer aggregates only, one
+    * map-side-combinable groupBy. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import operators.QualityFilters
+    QualityFilters.sourceCensus(t(s, dir, "documents"), "doc_id",
+      "text", "source")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4514,7 +4524,8 @@ object SparkEntry {
     "q180_c4_clean" -> q180 _,
     "q181_pii_redact" -> q181 _,
     "q182_temperature_mix" -> q182 _,
-    "q183_temperature_sample" -> q183 _)
+    "q183_temperature_sample" -> q183 _,
+    "q184_source_census" -> q184 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4525,6 +4536,72 @@ object SparkEntry {
     "q48_ivf_ann", "q51_maxsim", "q52_semantic_search",
     "q61_winnow_fingerprints", "q62_ingest_pipeline",
     "q68_asof_join", "q69_range_join", "q70_kmv_sketch")
+
+  /** DuckDB twin of the q179 Gopher signal battery (raw whitespace
+    * words, 6-place rounding, gaps-and-islands max run; see the
+    * q179 scaladoc) - shared by the q184 per-source census. */
+  private def qualitySignalsOracleSql: String =
+    s"""WITH w AS (SELECT doc_id, $rawWordsSql AS ws FROM documents),
+         |u AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord,
+         |      unnest(ws) AS word FROM w),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM u
+         |       GROUP BY doc_id, word),
+         |tw AS (SELECT doc_id, max(c) AS topw FROM wc GROUP BY doc_id),
+         |isl AS (SELECT doc_id, word, ord, ord - row_number()
+         |        OVER (PARTITION BY doc_id, word ORDER BY ord) AS g
+         |        FROM u),
+         |runs AS (SELECT doc_id, count(*) AS run FROM isl
+         |         GROUP BY doc_id, word, g),
+         |mr AS (SELECT doc_id, max(run) AS maxrun FROM runs
+         |       GROUP BY doc_id),
+         |sig0 AS (SELECT doc_id, ws,
+         |  list_filter(list_transform(
+         |    generate_series(1, greatest(len(ws)-1, 1)),
+         |    i -> concat_ws(' ', ws[i], ws[i+1])),
+         |    g -> len(string_split(g, ' ')) = 2) AS g2,
+         |  list_filter(list_transform(
+         |    generate_series(1, greatest(len(ws)-2, 1)),
+         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
+         |    g -> len(string_split(g, ' ')) = 3) AS g3
+         |  FROM w),
+         |sig AS (SELECT s.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS word_count,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(list_sum(list_transform(ws, x -> len(x)))
+         |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(len(list_filter(ws,
+         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS alpha_word_frac,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_word_frac,
+         |  CASE WHEN len(g2) > 0 THEN
+         |    round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |      / CAST(len(g2) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN
+         |    round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |      / CAST(len(g3) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_3gram_frac,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    round(CAST(coalesce(tw.topw, 0) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS top_word_frac,
+         |  CAST(coalesce(mr.maxrun, 0) AS BIGINT) AS max_word_run
+         |  FROM sig0 s LEFT JOIN tw USING (doc_id)
+         |  LEFT JOIN mr USING (doc_id))
+         |SELECT *,
+         |  word_count >= 50 AND word_count <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND alpha_word_frac >= 0.8
+         |  AND dup_2gram_frac <= 0.6
+         |  AND top_word_frac <= 0.2
+         |  AND max_word_run <= 4 AS keep
+         |FROM sig""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -7148,73 +7225,8 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) /
          |  CAST(ct.n + cb.n - n_common AS DOUBLE) >= 0.2""".stripMargin,
 
-    "q179_quality_signals" ->
-      // Gopher-style word-level repetition/shape signals; raw
-      // whitespace words (QualityFilters.rawWords twin), ratios
-      // rounded to 6 places on both sides, keep over the rounded
-      // values. max_word_run via gaps-and-islands; top word via the
-      // per-word count CTE.
-      s"""WITH w AS (SELECT doc_id, $rawWordsSql AS ws FROM documents),
-         |u AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord,
-         |      unnest(ws) AS word FROM w),
-         |wc AS (SELECT doc_id, word, count(*) AS c FROM u
-         |       GROUP BY doc_id, word),
-         |tw AS (SELECT doc_id, max(c) AS topw FROM wc GROUP BY doc_id),
-         |isl AS (SELECT doc_id, word, ord, ord - row_number()
-         |        OVER (PARTITION BY doc_id, word ORDER BY ord) AS g
-         |        FROM u),
-         |runs AS (SELECT doc_id, count(*) AS run FROM isl
-         |         GROUP BY doc_id, word, g),
-         |mr AS (SELECT doc_id, max(run) AS maxrun FROM runs
-         |       GROUP BY doc_id),
-         |sig0 AS (SELECT doc_id, ws,
-         |  list_filter(list_transform(
-         |    generate_series(1, greatest(len(ws)-1, 1)),
-         |    i -> concat_ws(' ', ws[i], ws[i+1])),
-         |    g -> len(string_split(g, ' ')) = 2) AS g2,
-         |  list_filter(list_transform(
-         |    generate_series(1, greatest(len(ws)-2, 1)),
-         |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])),
-         |    g -> len(string_split(g, ' ')) = 3) AS g3
-         |  FROM w),
-         |sig AS (SELECT s.doc_id,
-         |  CAST(len(ws) AS BIGINT) AS word_count,
-         |  CASE WHEN len(ws) > 0 THEN
-         |    round(CAST(list_sum(list_transform(ws, x -> len(x)))
-         |      AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS mean_word_len,
-         |  CASE WHEN len(ws) > 0 THEN
-         |    round(CAST(len(list_filter(ws,
-         |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS alpha_word_frac,
-         |  CASE WHEN len(ws) > 0 THEN
-         |    round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS dup_word_frac,
-         |  CASE WHEN len(g2) > 0 THEN
-         |    round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-         |      / CAST(len(g2) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS dup_2gram_frac,
-         |  CASE WHEN len(g3) > 0 THEN
-         |    round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
-         |      / CAST(len(g3) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS dup_3gram_frac,
-         |  CASE WHEN len(ws) > 0 THEN
-         |    round(CAST(coalesce(tw.topw, 0) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE), 6)
-         |    ELSE 0.0 END AS top_word_frac,
-         |  CAST(coalesce(mr.maxrun, 0) AS BIGINT) AS max_word_run
-         |  FROM sig0 s LEFT JOIN tw USING (doc_id)
-         |  LEFT JOIN mr USING (doc_id))
-         |SELECT *,
-         |  word_count >= 50 AND word_count <= 100000
-         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |  AND alpha_word_frac >= 0.8
-         |  AND dup_2gram_frac <= 0.6
-         |  AND top_word_frac <= 0.2
-         |  AND max_word_run <= 4 AS keep
-         |FROM sig""".stripMargin,
+    "q179_quality_signals" -> qualitySignalsOracleSql,
+
 
     "q180_c4_clean" ->
       // C4-style line cleaning: >= 3 words per trimmed line, no
@@ -7277,7 +7289,27 @@ object SparkEntry {
         |  ELSE lpad(lower(to_hex(CAST(round(fr * 4294967296.0)
         |    AS BIGINT))), 8, '0') END AS th FROM f)
         |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
-        |WHERE substr(md5('tmix:' || d.doc_id), 1, 8) < t.th""".stripMargin)
+        |WHERE substr(md5('tmix:' || d.doc_id), 1, 8) < t.th""".stripMargin,
+
+    "q184_source_census" ->
+      // the q179 battery rolled up per source: exact integer sums
+      // (CAST away DuckDB's HUGEINT), single divisions for the ratios
+      s"""WITH sig AS ($qualitySignalsOracleSql),
+         |c AS (SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN sig.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(sig.word_count) AS BIGINT) AS total_words
+         |  FROM sig JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_kept,
+         |round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  AS kept_share,
+         |total_words,
+         |round(CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  AS mean_words,
+         |round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  >= 0.5 AS source_keep
+         |FROM c""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

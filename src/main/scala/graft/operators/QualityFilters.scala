@@ -77,13 +77,13 @@ object QualityFilters {
     * Columns: word_count, mean_word_len, alpha_word_frac,
     * dup_word_frac, dup_2gram_frac, dup_3gram_frac, top_word_frac,
     * max_word_run. */
-  def signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def signals(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val withWords = df.withColumn("_ws", rawWords(col(textCol)))
       .withColumn("_g2", wordNgrams(col("_ws"), 2))
       .withColumn("_g3", wordNgrams(col("_ws"), 3))
     val n = size(col("_ws"))
-    withWords.select(
-      col(idCol),
+    withWords.select((col(idCol) +: carryCols.map(col)) ++ Seq(
       n.cast("long").as("word_count"),
       safeFrac(aggregate(col("_ws"), lit(0L), (a, w) => a + length(w)), n)
         .as("mean_word_len"),
@@ -96,7 +96,7 @@ object QualityFilters {
       safeFrac(size(col("_g3")) - size(array_distinct(col("_g3"))),
         size(col("_g3"))).as("dup_3gram_frac"),
       safeFrac(maxRunOf(array_sort(col("_ws"))), n).as("top_word_frac"),
-      maxRunOf(col("_ws")).as("max_word_run"))
+      maxRunOf(col("_ws")).as("max_word_run")): _*)
   }
 
   /** Gopher-style keep decision over a [[signals]] frame. Threshold
@@ -151,6 +151,37 @@ object QualityFilters {
       .select(col(idCol), col("_c.cleaned").as("cleaned"),
         col("_c.n_lines_kept").as("n_lines_kept"))
       .where(size(rawWords(col("cleaned"))) >= minDocWords)
+
+  /** Per-source (domain-level) quality census: the signals rolled up
+    * to the grouping a crawl pipeline actually prunes at — a whole
+    * source whose documents mostly fail the battery is dropped
+    * outright (the RefinedWeb-style domain filter). Only exact
+    * integer aggregates (counts, sums of word counts) feed the
+    * output, so no order-dependent float summation exists; the two
+    * ratios are single divisions of those exact integers. One
+    * map-side-combinable groupBy — scale-safe at any corpus size.
+    *
+    * Output per source: n_docs, n_kept, kept_share, total_words,
+    * mean_words, and the keep flag at `minKeptShare`. */
+  def sourceCensus(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minKeptShare: Double = 0.5): DataFrame = {
+    val sig = signals(df, idCol, textCol, carryCols = Seq(sourceCol))
+      .withColumn("_keep", gopherKeep())
+    sig.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1L)).as("n_docs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("word_count")).as("total_words"))
+      .select(col(sourceCol), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") /
+          col("n_docs").cast("double"), 6).as("kept_share"),
+        col("total_words"),
+        round(col("total_words").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_words"))
+      .withColumn("source_keep",
+        round(col("n_kept").cast("double") /
+          col("n_docs").cast("double"), 6) >= minKeptShare)
+  }
 
   /** E-mail addresses → `<EMAIL>`. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

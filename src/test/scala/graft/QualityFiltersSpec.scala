@@ -134,6 +134,28 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(gone.count() === 0L)
   }
 
+  test("sourceCensus: integer-exact roll-up and the keep threshold") {
+    val good = (0 until 60).map(i => s"word$i").mkString(" ")
+    val bad = "tiny doc"
+    val docs = Seq(
+      (1L, good, "a"), (2L, good, "a"), (3L, bad, "a"),
+      (4L, bad, "b"), (5L, bad, "b"), (6L, good, "b")
+    ).toDF("doc_id", "text", "source")
+    val out = QualityFilters.sourceCensus(docs, "doc_id", "text",
+      "source", minKeptShare = 0.5)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_kept") === 2L)
+    assert(a.getAs[Double]("kept_share") === 0.666667)
+    assert(a.getAs[Long]("total_words") === 122L) // 60+60+2
+    assert(a.getAs[Boolean]("source_keep"))
+    val b = out("b")
+    assert(b.getAs[Long]("n_kept") === 1L)
+    assert(b.getAs[Double]("kept_share") === 0.333333)
+    assert(!b.getAs[Boolean]("source_keep"))
+  }
+
   test("redactPii: each pattern, ordering, and near-misses") {
     def red(s: String): String =
       Seq(Tuple1(s)).toDF("t")
