@@ -4335,6 +4335,16 @@ object SparkEntry {
       "text", "source")
   }
 
+  /** Concat-and-chop sequence packing (Packing.packDocuments):
+    * 8 shards, 256-token sequences — each document's span in its
+    * shard's chopped token stream, all exact integer window
+    * arithmetic partitioned by shard. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    Packing.packDocuments(t(s, dir, "documents"), "doc_id", "text",
+      nShards = 8, budget = 256L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4525,7 +4535,8 @@ object SparkEntry {
     "q181_pii_redact" -> q181 _,
     "q182_temperature_mix" -> q182 _,
     "q183_temperature_sample" -> q183 _,
-    "q184_source_census" -> q184 _)
+    "q184_source_census" -> q184 _,
+    "q185_sequence_packing" -> q185 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7309,6 +7320,22 @@ object SparkEntry {
          |  AS mean_words,
          |round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          |  >= 0.5 AS source_keep
+         |FROM c""".stripMargin,
+
+    "q185_sequence_packing" ->
+      // per-shard running token sum (exact ints) chopped at 256;
+      // empty docs sit at their boundary (seq_last = seq_first)
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
+         |  doc_id % 8 AS shard FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |CAST(cum - n_tokens AS BIGINT) AS start,
+         |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+         |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+         |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
          |FROM c""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines (beyond-reference
+  * scale operator): the concat-and-chop preprocessing step — within a
+  * shard, documents are concatenated in a deterministic order and the
+  * token stream is chopped into fixed `budget`-token training
+  * sequences; each document records which sequences its tokens land
+  * in (Radford et al. 2019-style preprocessing; Raffel et al. 2020
+  * §2.2 packs the same way for T5).
+  *
+  * Scale posture: real pipelines pack per shard, never globally — the
+  * window partitions on the shard key, so each shard's cumulative sum
+  * is independent and the whole operator is one shuffle (by shard) at
+  * any corpus size. All arithmetic is exact integers (token counts,
+  * running sums, floor divisions), so the oracle replays it
+  * bit-identically. */
+object Packing {
+
+  /** Chop a per-document token-count frame into training sequences.
+    *
+    * Input: one row per document with `idCol` (unique, orders the
+    * concatenation within a shard) and `tokenCountCol` (exact
+    * per-document token count). `shard` is any deterministic
+    * grouping expression (id modulo, a hash band, a date …).
+    *
+    * Output: idCol, shard, n_tokens, `start` (the document's first
+    * token's offset in its shard stream), `seq_first`/`seq_last`
+    * (the budget-sized sequence ids the document's tokens span; an
+    * empty document sits at its boundary with seq_last = seq_first).
+    */
+  def concatChop(df: DataFrame, idCol: String, tokenCountCol: String,
+      shard: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val tc = col(tokenCountCol).cast("long")
+    // exact integer floor-division (Column./ is double division, and
+    // floor(a/b) mis-floors once b outgrows the double ulp at a)
+    def idiv(a: Column): Column =
+      ((a - pmod(a, lit(budget))) / lit(budget)).cast("long")
+    df.withColumn("shard", shard.cast("long"))
+      .withColumn("_cum", sum(tc).over(w))
+      .select(
+        col(idCol), col("shard"), tc.as("n_tokens"),
+        (col("_cum") - tc).as("start"),
+        idiv(col("_cum") - tc).as("seq_first"),
+        when(tc > 0, idiv(col("_cum") - 1))
+          .otherwise(idiv(col("_cum") - tc))
+          .as("seq_last"))
+  }
+
+  /** The document-count face: token counts computed from a text
+    * column with the library tokenizer, sharded by id modulo. */
+  def packDocuments(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Long): DataFrame = {
+    import graft.functions.TextFunctions
+    concatChop(
+      df.select(col(idCol),
+        size(TextFunctions.allTokens(col(textCol))).as("n_tokens")),
+      idCol, "n_tokens", pmod(col(idCol), lit(nShards)), budget)
+  }
+}

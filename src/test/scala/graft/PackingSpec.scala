@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+/** Concat-and-chop sequence packing (operators/Packing). */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("concatChop: hand-computed spans, budget boundaries, empty doc") {
+    // one shard, budget 10; docs in id order: 4, 7, 0, 10, 3 tokens
+    // stream offsets: [0,4) [4,11) [11,11) [11,21) [21,24)
+    val df = Seq((1L, 4L), (2L, 7L), (3L, 0L), (4L, 10L), (5L, 3L))
+      .toDF("id", "tc")
+    val out = Packing.concatChop(df, "id", "tc", lit(0L), 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L)))
+    // doc 2 spans tokens [4,11) → sequences 0..1
+    assert(out(2L) === ((4L, 0L, 1L)))
+    // empty doc at offset 11 sits at its boundary
+    assert(out(3L) === ((11L, 1L, 1L)))
+    // doc 4 spans [11,21) → sequences 1..2
+    assert(out(4L) === ((11L, 1L, 2L)))
+    assert(out(5L) === ((21L, 2L, 2L)))
+  }
+
+  test("shards pack independently and the stream is contiguous") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("tc", (col("id") * 7 % 13) + 1)
+    val out = Packing.concatChop(df, "id", "tc",
+      pmod(col("id"), lit(4)), 50L)
+    // per shard: offsets are a contiguous prefix sum (next start =
+    // previous start + previous n_tokens in id order)
+    val rows = out.orderBy("shard", "id")
+      .select("shard", "start", "n_tokens").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.foldLeft(0L) { (expected, r) =>
+        assert(r.getLong(1) === expected)
+        expected + r.getLong(2)
+      }
+    }
+    // layout-invariant: same result after an adversarial repartition
+    val again = Packing.concatChop(df.repartition(17), "id", "tc",
+      pmod(col("id"), lit(4)), 50L)
+    assert(again.exceptAll(out).count() === 0L)
+    assert(out.exceptAll(again).count() === 0L)
+  }
+
+  test("budget must be positive") {
+    val df = Seq((1L, 4L)).toDF("id", "tc")
+    assertThrows[IllegalArgumentException] {
+      Packing.concatChop(df, "id", "tc", lit(0L), 0L)
+    }
+  }
+}
