@@ -37,10 +37,10 @@ object Packing {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     val tc = col(tokenCountCol).cast("long")
-    // exact integer floor-division (Column./ is double division, and
-    // floor(a/b) mis-floors once b outgrows the double ulp at a)
+    // SQL's integral `div` — exact on longs at any magnitude, unlike
+    // Column./ (double division, mis-floors past 2^53)
     def idiv(a: Column): Column =
-      ((a - pmod(a, lit(budget))) / lit(budget)).cast("long")
+      call_function("div", a, lit(budget))
     df.withColumn("shard", shard.cast("long"))
       .withColumn("_cum", sum(tc).over(w))
       .select(
@@ -56,6 +56,7 @@ object Packing {
     * column with the library tokenizer, sharded by id modulo. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, budget: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
     import graft.functions.TextFunctions
     concatChop(
       df.select(col(idCol),

@@ -178,9 +178,7 @@ object QualityFilters {
         col("total_words"),
         round(col("total_words").cast("double") /
           col("n_docs").cast("double"), 6).as("mean_words"))
-      .withColumn("source_keep",
-        round(col("n_kept").cast("double") /
-          col("n_docs").cast("double"), 6) >= minKeptShare)
+      .withColumn("source_keep", col("kept_share") >= minKeptShare)
   }
 
   /** E-mail addresses → `<EMAIL>`. */

@@ -47,15 +47,18 @@ object Sampling {
   /** Per-stratum fractions (a training-mix downsample): each stratum
     * value takes its own fraction, anything unlisted takes
     * `defaultFraction`. The fraction ladder is a literal CASE — no
-    * join, still one narrow scan. */
+    * join, still one narrow scan. A `null` map key addresses the
+    * null stratum (its arm tests isNull — a plain `===` would never
+    * match); null-stratum rows with no such key take the default. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], defaultFraction: Double,
       salt: String): DataFrame = {
-    val threshold = fractions.toSeq.sortBy(_._1)
+    val threshold = fractions.toSeq.sortBy(kv => Option(kv._1))
       .foldRight(lit(thresholdHex(defaultFraction))) {
         case ((value, frac), rest) =>
-          when(col(strataCol) === value,
-            lit(thresholdHex(frac))).otherwise(rest)
+          val arm = if (value == null) col(strataCol).isNull
+            else col(strataCol) === value
+          when(arm, lit(thresholdHex(frac))).otherwise(rest)
       }
     df.filter(hashSlice(col(idCol), salt) < threshold)
   }
@@ -73,7 +76,7 @@ object Sampling {
     * expression both engines reproduce bit-identically; α = 0.5 maps
     * to sqrt (exactly rounded) rather than pow. Output: strataCol,
     * n, fraction (rounded to 6 places). Plan: one tiny groupBy + a
-    * broadcast 1-row max join. */
+    * broadcast 1-row min join. */
   def temperatureFractions(df: DataFrame, strataCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
@@ -89,7 +92,9 @@ object Sampling {
   /** The full temperature mix: compute the per-stratum fractions,
     * collect them (k strata — setup-time driver state, kmeansIvf
     * style), and apply [[stratifiedSample]]'s literal CASE ladder.
-    * Membership stays a pure function of (salt, id). */
+    * Membership stays a pure function of (salt, id). A null stratum
+    * forms its own group and takes its own fraction (the null-keyed
+    * ladder arm); the q183 oracle's corpus has no null langs. */
   def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
       alpha: Double, salt: String): DataFrame = {
     val fractions = temperatureFractions(df, strataCol, alpha)

@@ -129,6 +129,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("null strata form their own group: the ladder's null-keyed " +
+      "arm matches isNull, and temperatureSample neither NPEs nor " +
+      "silently keeps null rows in full") {
+    val df = spark.range(900).toDF("id")
+      .withColumn("lang", when(col("id") < 400, "en")
+        .when(col("id") < 500, lit(null: String)).otherwise("de"))
+    // explicit null key in stratifiedSample: null rows take ITS arm
+    val nullsOnly = Sampling.stratifiedSample(df, "lang", "id",
+      Map((null: String) -> 1.0, "en" -> 0.0, "de" -> 0.0), 0.0, "ns")
+    assert(nullsOnly.count() === 100L)
+    assert(nullsOnly.where(col("lang").isNotNull).count() === 0L)
+    // temperatureSample: the 100-row null group is the SMALLEST
+    // stratum → keeps everything; en keeps sqrt(100/400) = 1/2
+    val out = Sampling.temperatureSample(df, "lang", "id", 0.5, "tn")
+    assert(out.where(col("lang").isNull).count() === 100L)
+    val en = out.where(col("lang") === "en").count()
+    assert(math.abs(en - 200L) < 60, en.toString)
+  }
+
   test("the q177 plan is a single filtered scan: no join, no " +
       "exchange — pushdown-friendly at any scale") {
     val plan = SparkEntry.queries("q177_training_mix")(spark,
