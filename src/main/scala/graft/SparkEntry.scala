@@ -4345,6 +4345,28 @@ object SparkEntry {
       nShards = 8, budget = 256L)
   }
 
+  /** URL canonicalization in the gate (UrlOps): synthetic crawl URLs
+    * from integer columns (identical render both engines) through
+    * normalize / host / registered-domain — fragment, utm params,
+    * default ports, case, trailing slash. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import operators.UrlOps
+    val e = t(s, dir, "events")
+    val raw = concat(
+      lit("HTTPS://Example"), col("user_id") % 50, lit(".COM"),
+      when(col("event_id") % 4 === 0, ":443")
+        .when(col("event_id") % 4 === 1, ":8080").otherwise(""),
+      lit("/Path/"), col("event_id") % 7,
+      when(col("event_id") % 5 === 0, "?utm_source=x&q=1")
+        .when(col("event_id") % 5 === 1, "?q=2&utm_campaign=z")
+        .when(col("event_id") % 5 === 2, "/?utm_a=1")
+        .when(col("event_id") % 5 === 3, "#Frag").otherwise("/"))
+    e.select(col("event_id"),
+      UrlOps.normalizeUrl(raw).as("url_norm"),
+      UrlOps.hostOf(raw).as("host"),
+      UrlOps.registeredDomainOf(raw).as("domain"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4536,7 +4558,8 @@ object SparkEntry {
     "q182_temperature_mix" -> q182 _,
     "q183_temperature_sample" -> q183 _,
     "q184_source_census" -> q184 _,
-    "q185_sequence_packing" -> q185 _)
+    "q185_sequence_packing" -> q185 _,
+    "q186_url_normalize" -> q186 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7336,7 +7359,40 @@ object SparkEntry {
          |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
          |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
          |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+
+    "q186_url_normalize" ->
+      // same regex chain, 'g'-flagged (Spark regexp_replace is
+      // always global); literal replacements only — Java $1 vs RE2 \1
+      // replacement syntax never enters
+      """WITH r AS (SELECT event_id,
+        |  'HTTPS://Example' || (user_id % 50) || '.COM' ||
+        |  CASE WHEN event_id % 4 = 0 THEN ':443'
+        |    WHEN event_id % 4 = 1 THEN ':8080' ELSE '' END ||
+        |  '/Path/' || (event_id % 7) ||
+        |  CASE event_id % 5 WHEN 0 THEN '?utm_source=x&q=1'
+        |    WHEN 1 THEN '?q=2&utm_campaign=z'
+        |    WHEN 2 THEN '/?utm_a=1'
+        |    WHEN 3 THEN '#Frag' ELSE '/' END AS u FROM events),
+        |nf AS (SELECT event_id, regexp_replace(u, '#.*', '', 'g') AS u
+        |  FROM r),
+        |nu AS (SELECT event_id, regexp_replace(regexp_replace(
+        |  regexp_replace(u, '\butm_[a-zA-Z0-9]*=[^&#]*&', '', 'g'),
+        |  '\butm_[a-zA-Z0-9]*=[^&#]*$', '', 'g'),
+        |  '[?&]+$', '', 'g') AS u FROM nf),
+        |sp AS (SELECT event_id, u,
+        |  regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0) AS head,
+        |  regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS tail
+        |  FROM nu)
+        |SELECT event_id,
+        |regexp_replace(lower(regexp_replace(head, ':(80|443)$', ''))
+        |  || tail, '/$', '', 'g') AS url_norm,
+        |lower(regexp_extract(u,
+        |  '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)', 1)) AS host,
+        |regexp_extract(lower(regexp_extract(u,
+        |  '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |  '[^.]+\.[^.]+$', 0) AS domain
+        |FROM sp""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
