@@ -4367,6 +4367,39 @@ object SparkEntry {
       UrlOps.registeredDomainOf(raw).as("domain"))
   }
 
+  /** The end-to-end training-data pipeline, composed from the
+    * round-16 operator tier in one plan: Gopher quality filter →
+    * exact-dedup survivors (min-id per fingerprint) → temperature
+    * mix at α = 0.5 → 80/10/10 split assignment → per-shard
+    * sequence packing. Every stage is the already-gated operator;
+    * the oracle replays the whole chain as one CTE pipeline. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import operators.{Dedup, Packing, QualityFilters, Sampling}
+    import functions.TextFunctions
+    val docs = t(s, dir, "documents")
+    // single-expression keep directly on the scan (gopherKeepOf —
+    // the aliased-signal form re-runs the battery per predicate
+    // term after pushdown; see its scaladoc)
+    val kept = docs
+      .where(QualityFilters.gopherKeepOf(col("text")))
+      .select("doc_id", "lang", "text")
+    val survivors = kept.join(
+      Dedup.exact(kept, "doc_id", "text")
+        .select(col("kept_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val mixed = Sampling.temperatureSample(survivors, "lang",
+      "doc_id", 0.5, "pipe")
+    val split = Sampling.assignSplit(mixed, "doc_id", "pipesplit",
+      0.8, 0.1)
+    // carry lang/split through the packing window — no final
+    // self-join re-evaluating the upstream
+    Packing.concatChop(
+      split.withColumn("n_tokens",
+        size(TextFunctions.allTokens(col("text")))),
+      "doc_id", "n_tokens", pmod(col("doc_id"), lit(4)), 256L,
+      carryCols = Seq("lang", "split"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4559,7 +4592,8 @@ object SparkEntry {
     "q183_temperature_sample" -> q183 _,
     "q184_source_census" -> q184 _,
     "q185_sequence_packing" -> q185 _,
-    "q186_url_normalize" -> q186 _)
+    "q186_url_normalize" -> q186 _,
+    "q187_training_pipeline" -> q187 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7392,7 +7426,48 @@ object SparkEntry {
         |regexp_extract(lower(regexp_extract(u,
         |  '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
         |  '[^.]+\.[^.]+$', 0) AS domain
-        |FROM sp""".stripMargin)
+        |FROM sp""".stripMargin,
+
+    "q187_training_pipeline" -> {
+      import operators.Sampling.thresholdHex
+      // the whole chain as CTEs: quality keep → min-id dedup →
+      // temperature thresholds → split bands → packing window
+      s"""WITH sig AS ($qualitySignalsOracleSql),
+         |k AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN sig USING (doc_id) WHERE sig.keep),
+         |fp AS (SELECT doc_id, lang, text,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |    AS f FROM k),
+         |sv AS (SELECT doc_id, lang, text FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |c AS (SELECT lang, count(*) AS n FROM sv GROUP BY lang),
+         |m AS (SELECT min(n) AS n_min FROM c),
+         |fr AS (SELECT lang, round(sqrt(CAST(n_min AS DOUBLE)
+         |  / CAST(n AS DOUBLE)), 6) AS fr FROM c, m),
+         |th AS (SELECT lang,
+         |  CASE WHEN round(fr * 4294967296.0) >= 4294967296 THEN 'g'
+         |  ELSE lpad(lower(to_hex(CAST(round(fr * 4294967296.0)
+         |    AS BIGINT))), 8, '0') END AS th FROM fr),
+         |mx AS (SELECT sv.* FROM sv JOIN th USING (lang)
+         |  WHERE substr(md5('pipe:' || sv.doc_id), 1, 8) < th.th),
+         |sp AS (SELECT doc_id, lang, text,
+         |  CASE WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.8)}' THEN 'train'
+         |  WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.8 + 0.1)}' THEN 'validation'
+         |  ELSE 'test' END AS split FROM mx),
+         |tk AS (SELECT doc_id, lang, split,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
+         |  doc_id % 4 AS shard FROM sp),
+         |cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
+         |SELECT doc_id, lang, split, CAST(shard AS BIGINT) AS shard,
+         |n_tokens, CAST(cum - n_tokens AS BIGINT) AS start,
+         |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+         |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+         |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
+         |FROM cm""".stripMargin
+    })
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

@@ -33,7 +33,8 @@ object Packing {
     * empty document sits at its boundary with seq_last = seq_first).
     */
   def concatChop(df: DataFrame, idCol: String, tokenCountCol: String,
-      shard: Column, budget: Long): DataFrame = {
+      shard: Column, budget: Long,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     val tc = col(tokenCountCol).cast("long")
@@ -43,13 +44,13 @@ object Packing {
       call_function("div", a, lit(budget))
     df.withColumn("shard", shard.cast("long"))
       .withColumn("_cum", sum(tc).over(w))
-      .select(
-        col(idCol), col("shard"), tc.as("n_tokens"),
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
+        col("shard"), tc.as("n_tokens"),
         (col("_cum") - tc).as("start"),
         idiv(col("_cum") - tc).as("seq_first"),
         when(tc > 0, idiv(col("_cum") - 1))
           .otherwise(idiv(col("_cum") - tc))
-          .as("seq_last"))
+          .as("seq_last")): _*)
   }
 
   /** The document-count face: token counts computed from a text

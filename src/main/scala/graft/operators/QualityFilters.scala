@@ -119,6 +119,39 @@ object QualityFilters {
       col("top_word_frac") <= maxTopWordFrac &&
       col("max_word_run") <= maxWordRun
 
+  /** The [[gopherKeep]] decision as ONE self-contained expression
+    * over the text column, for use directly in a `.where(...)`.
+    *
+    * Filtering on the [[signals]] frame's aliased columns is a
+    * performance trap: predicate pushdown substitutes each alias
+    * into the filter, so the tokenizer and n-gram builders re-run
+    * once per threshold term (measured 40× slower at sf1). Here the
+    * word array and 2-gram array are bound ONCE as higher-order-
+    * function lambda variables — the optimizer cannot inline through
+    * a lambda binding — and every threshold reads the bound value.
+    * Thresholds and rounding are identical to the frame path, so
+    * where(gopherKeepOf(text)) ≡ signals+where(gopherKeep). */
+  def gopherKeepOf(text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaWordFrac: Double = 0.8,
+      maxDup2gramFrac: Double = 0.6,
+      maxTopWordFrac: Double = 0.2,
+      maxWordRun: Long = 4L): Column =
+    element_at(transform(array(rawWords(text)), ws =>
+      element_at(transform(array(wordNgrams(ws, 2)), g2 => {
+        val n = size(ws)
+        n.cast("long") >= minWords && n.cast("long") <= maxWords &&
+          safeFrac(aggregate(ws, lit(0L), (a, w) => a + length(w)), n)
+            .between(minMeanWordLen, maxMeanWordLen) &&
+          safeFrac(size(filter(ws, w => w.rlike("[A-Za-z]"))), n) >=
+            minAlphaWordFrac &&
+          safeFrac(size(g2) - size(array_distinct(g2)), size(g2)) <=
+            maxDup2gramFrac &&
+          safeFrac(maxRunOf(array_sort(ws)), n) <= maxTopWordFrac &&
+          maxRunOf(ws) <= maxWordRun
+      }), 1)), 1)
+
   /** C4-style line cleaning: keep a line iff it has at least
     * `minLineWords` whitespace words, does not contain "lorem ipsum"
     * (case-insensitive) or a curly brace (the code/boilerplate

@@ -251,4 +251,21 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("q179-q181/q186 battery queries stay narrow: no join, no " +
+      "exchange — the filters run inside the scan stage") {
+    for (q <- Seq("q179_quality_signals", "q180_c4_clean",
+        "q181_pii_redact", "q186_url_normalize")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert(!plan.contains("Exchange"), s"$q:\n$plan")
+    }
+  }
+
+  test("q187 pipeline: keyed joins only — no cartesian beyond the " +
+      "broadcast 1-row n_min, no single-partition collapse") {
+    val plan = planOf("q187_training_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }

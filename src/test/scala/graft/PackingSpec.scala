@@ -50,6 +50,17 @@ class PackingSpec extends AnyFunSuite {
     assert(out.exceptAll(again).count() === 0L)
   }
 
+  test("carryCols ride through the packing window unchanged") {
+    val df = Seq((1L, 4L, "en"), (2L, 7L, "de")).toDF("id", "tc", "lang")
+    val out = Packing.concatChop(df, "id", "tc", lit(0L), 10L,
+      carryCols = Seq("lang"))
+    assert(out.columns.toSeq ===
+      Seq("id", "lang", "shard", "n_tokens", "start", "seq_first",
+        "seq_last"))
+    assert(out.where(col("id") === 2L).collect().head
+      .getAs[String]("lang") === "de")
+  }
+
   test("budget must be positive") {
     val df = Seq((1L, 4L)).toDF("id", "tc")
     assertThrows[IllegalArgumentException] {

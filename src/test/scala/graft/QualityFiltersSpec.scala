@@ -134,6 +134,19 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(gone.count() === 0L)
   }
 
+  test("gopherKeepOf (single-expression filter form) decides " +
+      "identically to the signals+gopherKeep frame path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaFrame = QualityFilters.signals(docs, "doc_id", "text")
+      .where(QualityFilters.gopherKeep())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaExpr = docs
+      .where(QualityFilters.gopherKeepOf(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExpr === viaFrame)
+    assert(viaExpr.nonEmpty && viaExpr.size < docs.count())
+  }
+
   test("sourceCensus: integer-exact roll-up and the keep threshold") {
     val good = (0 until 60).map(i => s"word$i").mkString(" ")
     val bad = "tiny doc"
