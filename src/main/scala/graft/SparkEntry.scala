@@ -4383,10 +4383,10 @@ object SparkEntry {
     val kept = docs
       .where(QualityFilters.gopherKeepOf(col("text")))
       .select("doc_id", "lang", "text")
-    val survivors = kept.join(
-      Dedup.exact(kept, "doc_id", "text")
-        .select(col("kept_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // single-pass min-id dedup (a fingerprint-keyed window) — the
+    // groupBy + semi-join form evaluates the keep battery on both
+    // join branches
+    val survivors = Dedup.dropExactDuplicates(kept, "doc_id", "text")
     val mixed = Sampling.temperatureSample(survivors, "lang",
       "doc_id", 0.5, "pipe")
     val split = Sampling.assignSplit(mixed, "doc_id", "pipesplit",
@@ -4395,7 +4395,7 @@ object SparkEntry {
     // self-join re-evaluating the upstream
     Packing.concatChop(
       split.withColumn("n_tokens",
-        size(TextFunctions.allTokens(col("text")))),
+        TextFunctions.tokenCount(col("text"))),
       "doc_id", "n_tokens", pmod(col("doc_id"), lit(4)), 256L,
       carryCols = Seq("lang", "split"))
   }
@@ -7410,21 +7410,32 @@ object SparkEntry {
         |    WHEN 3 THEN '#Frag' ELSE '/' END AS u FROM events),
         |nf AS (SELECT event_id, regexp_replace(u, '#.*', '', 'g') AS u
         |  FROM r),
-        |nu AS (SELECT event_id, regexp_replace(regexp_replace(
-        |  regexp_replace(u, '\butm_[a-zA-Z0-9]*=[^&#]*&', '', 'g'),
-        |  '\butm_[a-zA-Z0-9]*=[^&#]*$', '', 'g'),
-        |  '[?&]+$', '', 'g') AS u FROM nf),
-        |sp AS (SELECT event_id, u,
-        |  regexp_extract(u, '^[^:/?#]+://[^/?#]*', 0) AS head,
-        |  regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS tail
-        |  FROM nu)
+        |bq AS (SELECT event_id, u,
+        |  regexp_extract(u, '^[^?]*', 0) AS base,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(u, '^[^?]*', ''),
+        |          '[?&][uU][tT][mM]_[a-zA-Z0-9]*=[^&]*', '', 'g'),
+        |        '^&', '?'),
+        |      '&+$', ''),
+        |    '^[?&]+$', '') AS query FROM nf),
+        |sp AS (SELECT event_id, u, query,
+        |  lower(regexp_extract(base, '^[^:/?#]+://[^/?#]*', 0))
+        |    AS head,
+        |  regexp_replace(base, '^[^:/?#]+://[^/?#]*', '') AS path
+        |  FROM bq)
         |SELECT event_id,
-        |regexp_replace(lower(regexp_replace(head, ':(80|443)$', ''))
-        |  || tail, '/$', '', 'g') AS url_norm,
+        |CASE WHEN head LIKE 'http://%'
+        |  THEN regexp_replace(head, ':80$', '')
+        |  WHEN head LIKE 'https://%'
+        |  THEN regexp_replace(head, ':443$', '')
+        |  ELSE head END
+        |  || regexp_replace(path, '/$', '', 'g') || query AS url_norm,
         |lower(regexp_extract(u,
-        |  '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)', 1)) AS host,
+        |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)) AS host,
         |regexp_extract(lower(regexp_extract(u,
-        |  '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)', 1)),
+        |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)),
         |  '[^.]+\.[^.]+$', 0) AS domain
         |FROM sp""".stripMargin,
 

@@ -34,6 +34,21 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
+  /** Row-preserving face of [[exact]]: keep the min-id row per
+    * normalized fingerprint, dropping the rest — as ONE pass (a
+    * fingerprint-keyed window min), so an expensive upstream (e.g. a
+    * quality-filter battery) is evaluated once, not once per side of
+    * a groupBy + semi-join. All input columns survive. */
+  def dropExactDuplicates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_min_id",
+        min(col(idCol)).over(Window.partitionBy(col("_fp"))))
+      .where(col(idCol) === col("_min_id"))
+      .drop("_fp", "_min_id")
+  }
+
   /** Streaming face of exact dedup: first-seen row per normalized
     * fingerprint survives, repeats — within a batch or across
     * micro-batches — drop against the keyed dedup state. With

@@ -61,7 +61,7 @@ object Packing {
     import graft.functions.TextFunctions
     concatChop(
       df.select(col(idCol),
-        size(TextFunctions.allTokens(col(textCol))).as("n_tokens")),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens")),
       idCol, "n_tokens", pmod(col(idCol), lit(nShards)), budget)
   }
 }

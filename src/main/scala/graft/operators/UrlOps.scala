@@ -22,32 +22,54 @@ object UrlOps {
 
   private val schemeAuthority = "^[^:/?#]+://[^/?#]*"
 
-  /** Canonical URL: fragment off; `utm_*` params off (word-boundary
-    * anchored, separators healed); `:80`/`:443` default ports off;
-    * scheme+authority lowercased (path/query case is significant and
-    * kept); one trailing slash trimmed. */
+  /** Canonical URL: fragment off; `utm_*` params off
+    * (case-insensitive, anchored to a real `?`/`&` separator so path
+    * segments and other params' values are never touched, separators
+    * healed); the scheme's OWN default port off (`:80` for http,
+    * `:443` for https — never cross-scheme); scheme+authority
+    * lowercased (path/query case is significant and kept); one
+    * trailing PATH slash trimmed (the query string is never edited
+    * beyond utm removal). */
   def normalizeUrl(url: Column): Column = {
-    // order matters: fragment first (so $-anchored param patterns
-    // see the true end), ports before lowercasing is case-free
     val noFrag = regexp_replace(url, "#.*", "")
-    val noUtm = regexp_replace(
+    // split base (scheme+authority+path) from the query at the
+    // first '?' — in a legal URL '?'/'&' only delimit the query, so
+    // the separator-anchored utm patterns below cannot fire in paths
+    val base = regexp_extract(noFrag, "^[^?]*", 0)
+    val query0 = regexp_replace(noFrag, "^[^?]*", "")
+    // drop each utm param WITH its leading separator; if the first
+    // surviving param lost its '?', heal the leading '&'; then an
+    // empty-param trailing '&' or an all-separator residue goes (a
+    // '?' INSIDE a value is legal and stays)
+    val query = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "\\butm_[a-zA-Z0-9]*=[^&#]*&", ""),
-        "\\butm_[a-zA-Z0-9]*=[^&#]*$", ""),
-      "[?&]+$", "")
-    // split at the authority so the default-port strip END-anchors
-    // on the authority alone (a literal ":80/" replace would also
-    // fire inside paths) and the lowercase touches only scheme+host
-    val head = regexp_extract(noUtm, schemeAuthority, 0)
-    val tail = regexp_replace(noUtm, schemeAuthority, "")
-    val lowered = concat(
-      lower(regexp_replace(head, ":(80|443)$", "")), tail)
-    regexp_replace(lowered, "/$", "")
+        regexp_replace(
+          regexp_replace(query0,
+            "[?&][uU][tT][mM]_[a-zA-Z0-9]*=[^&]*", ""),
+          "^&", "?"),
+        "&+$", ""),
+      "^[?&]+$", "")
+    // authority split: the default-port strip END-anchors on the
+    // authority alone (a literal ":80/" replace would also fire
+    // inside paths) and the lowercase touches only scheme+host
+    val head = regexp_extract(base, schemeAuthority, 0)
+    val path = regexp_replace(base, schemeAuthority, "")
+    val headLc = lower(head)
+    // only the scheme's own default port is a no-op to strip
+    val headNoPort = when(headLc.startsWith("http://"),
+        regexp_replace(headLc, ":80$", ""))
+      .when(headLc.startsWith("https://"),
+        regexp_replace(headLc, ":443$", ""))
+      .otherwise(headLc)
+    concat(headNoPort, regexp_replace(path, "/$", ""), query)
   }
 
-  /** The authority's host: no scheme, no port, no userinfo. */
+  /** The authority's host: no scheme, no port, no userinfo. The
+    * userinfo arm is greedy ([^/?#]* admits '@') so a userinfo that
+    * itself contains '@' — the phishing-obfuscation shape — still
+    * yields the real host after the LAST '@'. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:@]+)", 1))
+    lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)", 1))
 
   /** Naive registered domain — the last two dot-labels of the host.
     * NOT public-suffix-list aware (co.uk-style suffixes collapse to

@@ -132,6 +132,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("dropExactDuplicates keeps the min-id row per fingerprint " +
+      "with all columns, matching Dedup.exact's kept set") {
+    val df = Seq(
+      (2L, "hello world", "b"), (1L, "Hello   World", "a"),
+      (3L, "unique doc here", "c"))
+      .toDF("doc_id", "text", "tag")
+    val got = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq === Seq((1L, "a"), (3L, "c")))
+    // same survivors as the groupBy face
+    val viaExact = Dedup.exact(df, "doc_id", "text")
+      .select($"kept_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === viaExact)
+  }
+
   test("jaccardPairs finds near-duplicates, not unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "alpha beta gamma delta epsilon zeta eta iota" // 1 token differs

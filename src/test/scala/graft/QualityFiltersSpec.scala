@@ -136,7 +136,7 @@ class QualityFiltersSpec extends AnyFunSuite {
 
   test("gopherKeepOf (single-expression filter form) decides " +
       "identically to the signals+gopherKeep frame path") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val viaFrame = QualityFilters.signals(docs, "doc_id", "text")
       .where(QualityFilters.gopherKeep())
       .select("doc_id").collect().map(_.getLong(0)).toSet

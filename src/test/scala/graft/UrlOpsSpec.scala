@@ -31,28 +31,59 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(norm("http://x.com:80/") === "http://x.com")
   }
 
-  test("utm stripping: middle, end, only param, repeated — global") {
+  test("utm stripping: middle, end, only param, repeated — global, " +
+      "case-insensitive, separator-anchored") {
     assert(norm("http://x.com/p?utm_a=1&b=2") === "http://x.com/p?b=2")
     assert(norm("http://x.com/p?b=2&utm_a=1") === "http://x.com/p?b=2")
     assert(norm("http://x.com/p?utm_a=1") === "http://x.com/p")
     assert(norm("http://x.com/p?utm_a=1&utm_b=2&c=3")
       === "http://x.com/p?c=3")
-    // a param merely CONTAINING utm_ mid-name is not at a word
-    // boundary and survives
+    // uppercase tracking params are the same params
+    assert(norm("http://x.com/p?UTM_SOURCE=news&q=1")
+      === "http://x.com/p?q=1")
+    // a param merely CONTAINING utm_ mid-name has no [?&] before it
     assert(norm("http://x.com/p?xutm_a=1") === "http://x.com/p?xutm_a=1")
+    assert(norm("http://x.com/p?my-utm_a=1") === "http://x.com/p?my-utm_a=1")
+    // utm_ inside a PATH segment is never query-anchored → untouched
+    assert(norm("http://x.com/docs/utm_source=guide")
+      === "http://x.com/docs/utm_source=guide")
+    // utm_ inside another param's VALUE is not after a separator
+    assert(norm("http://x.com/p?q=what+is+utm_source=x&lang=en")
+      === "http://x.com/p?q=what+is+utm_source=x&lang=en")
   }
 
-  test("ports: defaults stripped on the authority only; others kept") {
+  test("ports: only the scheme's OWN default is stripped, on the " +
+      "authority only") {
     assert(norm("http://x.com:8080/a") === "http://x.com:8080/a")
     assert(norm("https://x.com:443") === "https://x.com")
+    assert(norm("http://x.com:80/a") === "http://x.com/a")
+    // cross-scheme: https on 80 / http on 443 are DIFFERENT origins
+    assert(norm("https://x.com:80/a") === "https://x.com:80/a")
+    assert(norm("http://x.com:443/a") === "http://x.com:443/a")
     // a :80/ inside the PATH is untouched (authority-anchored strip)
     assert(norm("http://x.com/redir/:80/deep")
       === "http://x.com/redir/:80/deep")
   }
 
+  test("the query string is never edited beyond utm removal") {
+    // a slash ending a query VALUE is content, not a trailing slash
+    assert(norm("http://x.com/p?redirect=/home/")
+      === "http://x.com/p?redirect=/home/")
+    // but a trailing PATH slash before the query still trims
+    assert(norm("http://x.com/p/?q=1") === "http://x.com/p?q=1")
+    // a '?' inside a value survives the separator healing
+    assert(norm("http://x.com/p?q=a?&utm_a=1") === "http://x.com/p?q=a?")
+    // dangling '?' and empty-param '&' heal away
+    assert(norm("http://x.com/p?") === "http://x.com/p")
+    assert(norm("http://x.com/p?a=1&") === "http://x.com/p?a=1")
+  }
+
   test("hostOf and registeredDomainOf: userinfo, ports, naive PSL") {
     assert(host("https://User@Sub.Example.com:8443/p")
       === "sub.example.com")
+    // userinfo containing '@' (obfuscation shape): host is after the
+    // LAST '@'
+    assert(host("http://a@b@c.com/x") === "c.com")
     assert(dom("https://a.b.example.com/x") === "example.com")
     // documented naive form: no public-suffix list, co.uk collapses
     assert(dom("https://shop.example.co.uk/") === "co.uk")
