@@ -4400,6 +4400,16 @@ object SparkEntry {
       carryCols = Seq("lang", "split"))
   }
 
+  /** Verbatim-span sharing via winnowed fingerprints
+    * (Dedup.winnowSpanPairs): pairs sharing ≥ 12 sub-cap (df ≤ 32)
+    * winnowed 8-gram fingerprints — the contamination shape
+    * whole-document Jaccard dilutes on long documents. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val idx = Dedup.winnowIndex(t(s, dir, "documents"), "doc_id",
+      "text", k = 8, w = 4)
+    Dedup.winnowSpanPairs(idx, "doc_id", minShared = 12L, maxDf = 32L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4593,7 +4603,8 @@ object SparkEntry {
     "q184_source_census" -> q184 _,
     "q185_sequence_packing" -> q185 _,
     "q186_url_normalize" -> q186 _,
-    "q187_training_pipeline" -> q187 _)
+    "q187_training_pipeline" -> q187 _,
+    "q188_winnow_span_pairs" -> q188 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7478,7 +7489,20 @@ object SparkEntry {
          |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
          |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
          |FROM cm""".stripMargin
-    })
+    },
+
+    "q188_winnow_span_pairs" ->
+      // winnowed fingerprints (shared CTEs with q61), df-capped
+      // (1 < df <= 32) self-join, >= 12 shared sub-cap fingerprints
+      s"""WITH $winnowFpsCtes,
+         |u AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM u
+         |  GROUP BY fp) WHERE df > 1 AND df <= 32),
+         |k AS (SELECT u.doc_id, u.fp FROM u JOIN dfc USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |count(*) AS n_shared
+         |FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 12""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
@@ -7606,14 +7630,17 @@ object SparkEntry {
   /** Winnowing oracle: same base-257 mod-2^31 gram hashes (powers
     * precomputed here so both sides share them), MIN per w-window,
     * distinct sorted. k=8, w=4, ASCII docs (char == byte). */
-  private def winnowOracleSql: String = {
+  /** The winnowing CTE chain (k=8, w=4, 257-base rolling hash mod
+    * 2^31) through `fp` (per-doc distinct sorted fingerprints) —
+    * shared by the q61 digest and the q188 span-pair join. */
+  private def winnowFpsCtes: String = {
     val Mod = 1L << 31
     val pows = Array.iterate(1L, 8)(p => (p * 257L) % Mod).reverse // 257^7..257^0
     val hashSum = pows.zipWithIndex
       .map { case (p, j) =>
         s"CAST(ord(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${p}" }
       .mkString("(", " + ", s") % ${Mod}")
-    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ng
+    s"""d AS (SELECT doc_id, text, length(text) - 7 AS ng
        |  FROM documents WHERE length(text) >= 8),
        |g AS (SELECT doc_id, i, $hashSum AS h
        |  FROM (SELECT doc_id, text, unnest(range(1, ng + 1)) AS i FROM d)),
@@ -7621,11 +7648,14 @@ object SparkEntry {
        |m AS (SELECT s.doc_id, s.s, MIN(g.h) AS m FROM s
        |  JOIN g ON g.doc_id = s.doc_id AND g.i BETWEEN s.s AND least(s.s + 3, s.ng)
        |  GROUP BY s.doc_id, s.s),
-       |fp AS (SELECT doc_id, list_sort(list(DISTINCT m)) AS fps FROM m GROUP BY doc_id)
+       |fp AS (SELECT doc_id, list_sort(list(DISTINCT m)) AS fps FROM m GROUP BY doc_id)""".stripMargin
+  }
+
+  private def winnowOracleSql: String =
+    s"""WITH $winnowFpsCtes
        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
        |md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '|')) AS fp_digest
        |FROM fp""".stripMargin
-  }
 
   /** Sessionization oracle — shared by the window-based (q08) and the
     * flatMapGroupsWithState-based (q33) implementations: two different

@@ -195,6 +195,49 @@ object Dedup {
     else jaccardPairsFromIndex(idx, idCol, minSim)
   }
 
+  /** Exploded winnowed-fingerprint index: one row per (id, fp),
+    * fingerprints already distinct per document (winnowOf returns
+    * the distinct window minima). The character-level analogue of
+    * [[shingleIndex]]; same spread (per-row hashing dwarfs scan
+    * cost, input-split parallelism is the wrong parallelism). */
+  def winnowIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    Partitioning.spread(
+        df.where(length(col(textCol)) >= k)
+          .select(col(idCol), col(textCol)))
+      .withColumn("_fps",
+        graft.functions.NativeText.winnowOf(col(textCol), k, w))
+      .select(col(idCol), explode(col("_fps")).as("fp"))
+
+  /** Verbatim-span sharing via winnowed fingerprints (the MOSS
+    * scheme applied cross-document): documents sharing ≥ `minShared`
+    * winnowed k-gram fingerprints contain near-verbatim character
+    * spans — the contamination/memorization shape whole-document
+    * Jaccard DILUTES on long documents (a short plagiarized span in
+    * a 100k-char doc barely moves jaccard but contributes its full
+    * fingerprint mass here). Candidate generation follows the
+    * df-capped inverted-index law ([[jaccardPairsCappedFromIndex]]):
+    * df == 1 fingerprints can never pair and df > `maxDf` ones are
+    * corpus-boilerplate spans whose posting lists make the self-join
+    * quadratic — both leave the join, so join mass is linear in
+    * postings. `n_shared` counts sub-cap fingerprints only (a pair
+    * sharing ONLY boilerplate spans is not a contamination signal).
+    */
+  def winnowSpanPairs(idx: DataFrame, idCol: String,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val dfc = idx.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") > 1 && col("_df") <= maxDf)
+      .select(col("fp"))
+    val kept = idx.join(broadcast(dfc), Seq("fp"))
+    kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Smallest per-band signature width k with
     * `bands · n · p^k ≤ budget`, clamped to [floor, cap] — the ONE
     * sizing law both LSH families share, where p is the per-element

@@ -148,6 +148,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet === viaExact)
   }
 
+  test("winnowSpanPairs flags a shared verbatim span; boilerplate " +
+      "past the df-cap never pairs on its own") {
+    import graft.operators.Dedup
+    val span = "the quick brown fox jumps over the lazy dog again"
+    val a = s"alpha document body starts here $span and then continues alone"
+    val b = s"totally different preamble text $span with another ending part"
+    val c = "unrelated content with no overlap whatsoever in any span zone"
+    val idx = Dedup.winnowIndex(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val pairs = Dedup.winnowSpanPairs(idx, "doc_id",
+        minShared = 3L, maxDf = 2L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // the same span in EVERY doc is boilerplate: df = 3 > cap 2, so
+    // its fingerprints leave candidate generation and nothing pairs
+    val allShare = Dedup.winnowIndex(
+      Seq((1L, s"aaaa $span"), (2L, s"bbbb $span"), (3L, s"cccc $span"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(Dedup.winnowSpanPairs(allShare, "doc_id", 1L, 2L)
+      .count() === 0L)
+  }
+
   test("jaccardPairs finds near-duplicates, not unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "alpha beta gamma delta epsilon zeta eta iota" // 1 token differs
