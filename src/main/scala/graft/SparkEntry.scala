@@ -4405,8 +4405,11 @@ object SparkEntry {
     * winnowed 8-gram fingerprints — the contamination shape
     * whole-document Jaccard dilutes on long documents. */
   private def q188(s: SparkSession, dir: String): DataFrame = {
-    val idx = Dedup.winnowIndex(t(s, dir, "documents"), "doc_id",
-      "text", k = 8, w = 4)
+    // persisted per (session, corpus) — the winnowing hash pass is
+    // the cost; the pair join reads it on three branches
+    val idx = CorpusArtifacts.winnowIndex(
+      s"${s.sparkContext.applicationId}:$dir",
+      t(s, dir, "documents"), "doc_id", "text", k = 8, w = 4)
     Dedup.winnowSpanPairs(idx, "doc_id", minShared = 12L, maxDf = 32L)
   }
 
@@ -7627,12 +7630,11 @@ object SparkEntry {
        |ORDER BY sc.raw DESC, sc.doc_id LIMIT 10""".stripMargin
   }
 
-  /** Winnowing oracle: same base-257 mod-2^31 gram hashes (powers
-    * precomputed here so both sides share them), MIN per w-window,
-    * distinct sorted. k=8, w=4, ASCII docs (char == byte). */
-  /** The winnowing CTE chain (k=8, w=4, 257-base rolling hash mod
-    * 2^31) through `fp` (per-doc distinct sorted fingerprints) —
-    * shared by the q61 digest and the q188 span-pair join. */
+  /** The winnowing CTE chain: same base-257 mod-2^31 gram hashes as
+    * the Spark side (powers precomputed here so both sides share
+    * them), MIN per w-window, distinct sorted, through `fp` (per-doc
+    * fingerprint lists). k=8, w=4, ASCII docs (char == byte).
+    * Shared by the q61 digest and the q188 span-pair join. */
   private def winnowFpsCtes: String = {
     val Mod = 1L << 31
     val pows = Array.iterate(1L, 8)(p => (p * 257L) % Mod).reverse // 257^7..257^0

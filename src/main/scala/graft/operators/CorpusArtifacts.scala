@@ -24,6 +24,7 @@ object CorpusArtifacts {
 
   private val bm25Cache = new ConcurrentHashMap[String, Search.Bm25Index]()
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
+  private val winnowCache = new ConcurrentHashMap[String, DataFrame]()
 
   /** Explicit ingest-phase entry: build BOTH artifacts for a corpus
     * from ONE persisted tokenization pass (tokenizing dominates both
@@ -63,6 +64,15 @@ object CorpusArtifacts {
       Dedup.shingleIndex(df, idCol, textCol, n)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Exploded (id, fp) winnowed-fingerprint index, persisted — the
+    * span-pair analogue of [[shingleIndex]] (the per-row winnowing
+    * hash pass dwarfs scan cost; never rebuild it per branch). */
+  def winnowIndex(key: String, df: => DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    winnowCache.computeIfAbsent(s"$key#$k#$w", _ =>
+      Dedup.winnowIndex(df, idCol, textCol, k, w)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {
     bm25Cache.values.forEach { ix =>
@@ -70,6 +80,7 @@ object CorpusArtifacts {
       ix.impacts.unpersist()
     }
     shingleCache.values.forEach(_.unpersist())
-    bm25Cache.clear(); shingleCache.clear()
+    winnowCache.values.forEach(_.unpersist())
+    bm25Cache.clear(); shingleCache.clear(); winnowCache.clear()
   }
 }

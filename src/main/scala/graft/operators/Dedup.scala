@@ -141,19 +141,28 @@ object Dedup {
     * Size maxDf so the near-dup mass you care about keeps at least
     * one sub-cap shingle; the measured knee on the synthetic corpus
     * is in SCALING.md. */
-  def jaccardPairsCappedFromIndex(idx: DataFrame, idCol: String,
-      minSim: Double, maxDf: Long): DataFrame = {
-    // df == 1 shingles can never pair (the self-join discards the
-    // only row via id_a < id_b) — dropping them shrinks the broadcast
-    // and the join input by the single largest df class on realistic
-    // corpora, where unique shingles dominate the vocabulary
-    val dfc = idx.groupBy(col("shingle"))
+  /** The df-cap candidate-generation law, shared by every capped
+    * inverted-index pair join (shingle Jaccard, winnow span pairs):
+    * df == 1 keys can never pair (the self-join discards the only
+    * row via id_a < id_b) — dropping them shrinks the broadcast and
+    * the join input by the single largest df class on realistic
+    * corpora, where unique keys dominate the vocabulary — and
+    * df > maxDf keys are the boilerplate whose posting lists make
+    * the self-join quadratic. key→keep is vocabulary-sized (small
+    * next to the postings); broadcast so capping never reshuffles
+    * the index. */
+  private[operators] def cappedPostings(idx: DataFrame, keyCol: String,
+      maxDf: Long): DataFrame = {
+    val dfc = idx.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_df"))
       .where(col("_df") > 1 && col("_df") <= maxDf)
-      .select(col("shingle"))
-    // shingle->keep is vocabulary-sized (small next to the postings);
-    // broadcast so capping never reshuffles the index
-    val kept = idx.join(broadcast(dfc), Seq("shingle"))
+      .select(col(keyCol))
+    idx.join(broadcast(dfc), Seq(keyCol))
+  }
+
+  def jaccardPairsCappedFromIndex(idx: DataFrame, idCol: String,
+      minSim: Double, maxDf: Long): DataFrame = {
+    val kept = cappedPostings(idx, "shingle", maxDf)
     val cand = kept.select(col(idCol).as("id_a"), col("shingle"))
       .join(kept.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
@@ -225,11 +234,7 @@ object Dedup {
     */
   def winnowSpanPairs(idx: DataFrame, idCol: String,
       minShared: Long, maxDf: Long): DataFrame = {
-    val dfc = idx.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_df"))
-      .where(col("_df") > 1 && col("_df") <= maxDf)
-      .select(col("fp"))
-    val kept = idx.join(broadcast(dfc), Seq("fp"))
+    val kept = cappedPostings(idx, "fp", maxDf)
     kept.select(col(idCol).as("id_a"), col("fp"))
       .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
       .where(col("id_a") < col("id_b"))
