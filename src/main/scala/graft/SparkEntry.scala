@@ -4413,6 +4413,14 @@ object SparkEntry {
     Dedup.winnowSpanPairs(idx, "doc_id", minShared = 12L, maxDf = 32L)
   }
 
+  /** The training-mix report over the q187 pipeline output: docs and
+    * exact token totals per (lang, split) — the accounting line a
+    * data release ships with its mix. Integer sums only. */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    q187(s, dir).groupBy(col("lang"), col("split"))
+      .agg(count(lit(1L)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4607,7 +4615,8 @@ object SparkEntry {
     "q185_sequence_packing" -> q185 _,
     "q186_url_normalize" -> q186 _,
     "q187_training_pipeline" -> q187 _,
-    "q188_winnow_span_pairs" -> q188 _)
+    "q188_winnow_span_pairs" -> q188 _,
+    "q189_mix_report" -> q189 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -4684,6 +4693,48 @@ object SparkEntry {
          |  AND top_word_frac <= 0.2
          |  AND max_word_run <= 4 AS keep
          |FROM sig""".stripMargin
+
+  /** DuckDB twin of the whole q187 pipeline chain (quality keep ->
+    * min-id dedup -> temperature thresholds -> split bands -> packing
+    * window) - shared by the q189 mix report. */
+  private def trainingPipelineOracleSql: String = {
+    import operators.Sampling.thresholdHex
+    s"""WITH sig AS ($qualitySignalsOracleSql),
+         |k AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN sig USING (doc_id) WHERE sig.keep),
+         |fp AS (SELECT doc_id, lang, text,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |    AS f FROM k),
+         |sv AS (SELECT doc_id, lang, text FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |c AS (SELECT lang, count(*) AS n FROM sv GROUP BY lang),
+         |m AS (SELECT min(n) AS n_min FROM c),
+         |fr AS (SELECT lang, round(sqrt(CAST(n_min AS DOUBLE)
+         |  / CAST(n AS DOUBLE)), 6) AS fr FROM c, m),
+         |th AS (SELECT lang,
+         |  CASE WHEN round(fr * 4294967296.0) >= 4294967296 THEN 'g'
+         |  ELSE lpad(lower(to_hex(CAST(round(fr * 4294967296.0)
+         |    AS BIGINT))), 8, '0') END AS th FROM fr),
+         |mx AS (SELECT sv.* FROM sv JOIN th USING (lang)
+         |  WHERE substr(md5('pipe:' || sv.doc_id), 1, 8) < th.th),
+         |sp AS (SELECT doc_id, lang, text,
+         |  CASE WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.8)}' THEN 'train'
+         |  WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.8 + 0.1)}' THEN 'validation'
+         |  ELSE 'test' END AS split FROM mx),
+         |tk AS (SELECT doc_id, lang, split,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
+         |  doc_id % 4 AS shard FROM sp),
+         |cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
+         |SELECT doc_id, lang, split, CAST(shard AS BIGINT) AS shard,
+         |n_tokens, CAST(cum - n_tokens AS BIGINT) AS start,
+         |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+         |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+         |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
+         |FROM cm""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -7453,46 +7504,7 @@ object SparkEntry {
         |  '[^.]+\.[^.]+$', 0) AS domain
         |FROM sp""".stripMargin,
 
-    "q187_training_pipeline" -> {
-      import operators.Sampling.thresholdHex
-      // the whole chain as CTEs: quality keep → min-id dedup →
-      // temperature thresholds → split bands → packing window
-      s"""WITH sig AS ($qualitySignalsOracleSql),
-         |k AS (SELECT d.doc_id, d.lang, d.text FROM documents d
-         |  JOIN sig USING (doc_id) WHERE sig.keep),
-         |fp AS (SELECT doc_id, lang, text,
-         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-         |    AS f FROM k),
-         |sv AS (SELECT doc_id, lang, text FROM fp
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
-         |c AS (SELECT lang, count(*) AS n FROM sv GROUP BY lang),
-         |m AS (SELECT min(n) AS n_min FROM c),
-         |fr AS (SELECT lang, round(sqrt(CAST(n_min AS DOUBLE)
-         |  / CAST(n AS DOUBLE)), 6) AS fr FROM c, m),
-         |th AS (SELECT lang,
-         |  CASE WHEN round(fr * 4294967296.0) >= 4294967296 THEN 'g'
-         |  ELSE lpad(lower(to_hex(CAST(round(fr * 4294967296.0)
-         |    AS BIGINT))), 8, '0') END AS th FROM fr),
-         |mx AS (SELECT sv.* FROM sv JOIN th USING (lang)
-         |  WHERE substr(md5('pipe:' || sv.doc_id), 1, 8) < th.th),
-         |sp AS (SELECT doc_id, lang, text,
-         |  CASE WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.8)}' THEN 'train'
-         |  WHEN substr(md5('pipesplit:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.8 + 0.1)}' THEN 'validation'
-         |  ELSE 'test' END AS split FROM mx),
-         |tk AS (SELECT doc_id, lang, split,
-         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
-         |  doc_id % 4 AS shard FROM sp),
-         |cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
-         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk)
-         |SELECT doc_id, lang, split, CAST(shard AS BIGINT) AS shard,
-         |n_tokens, CAST(cum - n_tokens AS BIGINT) AS start,
-         |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
-         |CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
-         |  ELSE (cum - n_tokens) // 256 END AS BIGINT) AS seq_last
-         |FROM cm""".stripMargin
-    },
+    "q187_training_pipeline" -> trainingPipelineOracleSql,
 
     "q188_winnow_span_pairs" ->
       // winnowed fingerprints (shared CTEs with q61), df-capped
@@ -7505,7 +7517,14 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |count(*) AS n_shared
          |FROM k a JOIN k b USING (fp) WHERE a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 12""".stripMargin)
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 12""".stripMargin,
+
+    "q189_mix_report" ->
+      // exact integer sums per (lang, split) over the pipeline twin
+      s"""WITH p AS ($trainingPipelineOracleSql)
+         |SELECT lang, split, count(*) AS n_docs,
+         |CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM p GROUP BY lang, split""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
