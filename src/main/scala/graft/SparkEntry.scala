@@ -4630,7 +4630,13 @@ object SparkEntry {
 
   /** DuckDB twin of the q179 Gopher signal battery (raw whitespace
     * words, 6-place rounding, gaps-and-islands max run; see the
-    * q179 scaladoc) - shared by the q184 per-source census. */
+    * q179 scaladoc) - shared by the q184 per-source census.
+    *
+    * NOTE for editors: this string is interpolated into OUTER
+    * stripMargin templates (q184, trainingPipelineOracleSql) and so
+    * gets stripped twice — never lay out a line here to BEGIN with
+    * whitespace + '|' (e.g. a '|| ' concat continuation), or the
+    * second strip corrupts only the composed copies. */
   private def qualitySignalsOracleSql: String =
     s"""WITH w AS (SELECT doc_id, $rawWordsSql AS ws FROM documents),
          |u AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord,
@@ -7520,11 +7526,14 @@ object SparkEntry {
          |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 12""".stripMargin,
 
     "q189_mix_report" ->
-      // exact integer sums per (lang, split) over the pipeline twin
-      s"""WITH p AS ($trainingPipelineOracleSql)
-         |SELECT lang, split, count(*) AS n_docs,
-         |CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |FROM p GROUP BY lang, split""".stripMargin)
+      // exact integer sums per (lang, split) over the pipeline twin.
+      // Concatenation, NOT an interpolated stripMargin template: the
+      // shared SQL is already stripped once, and a second strip
+      // would silently rewrite any future line-leading '||' in it.
+      ("WITH p AS (" + trainingPipelineOracleSql + ")\n" +
+        "SELECT lang, split, count(*) AS n_docs,\n" +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens\n" +
+        "FROM p GROUP BY lang, split"))
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
@@ -7653,7 +7662,8 @@ object SparkEntry {
     * the Spark side (powers precomputed here so both sides share
     * them), MIN per w-window, distinct sorted, through `fp` (per-doc
     * fingerprint lists). k=8, w=4, ASCII docs (char == byte).
-    * Shared by the q61 digest and the q188 span-pair join. */
+    * Shared by the q61 digest and the q188 span-pair join — the
+    * qualitySignalsOracleSql double-strip editing note applies. */
   private def winnowFpsCtes: String = {
     val Mod = 1L << 31
     val pows = Array.iterate(1L, 8)(p => (p * 257L) % Mod).reverse // 257^7..257^0
