@@ -4421,6 +4421,21 @@ object SparkEntry {
       .agg(count(lit(1L)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
 
+  /** Corpus vocabulary induction (Vocabulary.topKTokens): the 100
+    * most frequent tokens, count-descending, token-ascending
+    * tie-break — one map-side-combined groupBy + TakeOrdered. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import operators.Vocabulary
+    Vocabulary.topKTokens(t(s, dir, "documents"), "text", 100)
+  }
+
+  /** 2-gram vocabulary slice (Vocabulary.topKNgrams): occurrence
+    * frequencies (non-distinct per doc), same deterministic order. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import operators.Vocabulary
+    Vocabulary.topKNgrams(t(s, dir, "documents"), "text", 2, 100)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4616,7 +4631,9 @@ object SparkEntry {
     "q186_url_normalize" -> q186 _,
     "q187_training_pipeline" -> q187 _,
     "q188_winnow_span_pairs" -> q188 _,
-    "q189_mix_report" -> q189 _)
+    "q189_mix_report" -> q189 _,
+    "q190_vocab_topk" -> q190 _,
+    "q191_ngram_topk" -> q191 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7533,7 +7550,24 @@ object SparkEntry {
       ("WITH p AS (" + trainingPipelineOracleSql + ")\n" +
         "SELECT lang, split, count(*) AS n_docs,\n" +
         "CAST(sum(n_tokens) AS BIGINT) AS total_tokens\n" +
-        "FROM p GROUP BY lang, split"))
+        "FROM p GROUP BY lang, split"),
+
+    "q190_vocab_topk" ->
+      // count-desc, token-asc tie-break → the LIMIT slice is
+      // deterministic on both engines
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($allToksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q191_ngram_topk" ->
+      // non-distinct 2-grams over the same tokenizer; same order law
+      s"""WITH t AS (SELECT $allToksSql AS ws FROM documents),
+         |g AS (SELECT unnest(list_filter(list_transform(
+         |  generate_series(1, greatest(len(ws)-1, 1)),
+         |  i -> concat_ws(' ', ws[i], ws[i+1])),
+         |  x -> len(string_split(x, ' ')) = 2)) AS gram FROM t)
+         |SELECT gram, count(*) AS n FROM g
+         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin)
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
