@@ -4387,7 +4387,9 @@ object SparkEntry {
     // groupBy + semi-join form evaluates the keep battery on both
     // join branches
     val survivors = Dedup.dropExactDuplicates(kept, "doc_id", "text")
-    val mixed = Sampling.temperatureSample(survivors, "lang",
+    // the in-plan mix face: thresholds computed inside the plan,
+    // broadcast back — one job, no driver action mid-pipeline
+    val mixed = Sampling.temperatureSampleInPlan(survivors, "lang",
       "doc_id", 0.5, "pipe")
     val split = Sampling.assignSplit(mixed, "doc_id", "pipesplit",
       0.8, 0.1)

@@ -103,6 +103,31 @@ object Sampling {
     stratifiedSample(df, strataCol, idCol, fractions, 1.0, salt)
   }
 
+  /** The 100 TB-native form of [[temperatureSample]]: the per-stratum
+    * 8-hex thresholds are computed INSIDE the plan (the same
+    * round-clamp-lpad law as [[thresholdHex]] — Spark `round` and
+    * `math.round` agree on positives, `hex` lowercased) and joined
+    * back broadcast — k rows — so there is NO separate driver
+    * action: one job end to end, AQE sees the whole plan. (The
+    * count side still reads the upstream — persist an expensive
+    * upstream either way.) Equivalence with the collect form is
+    * spec-pinned. The broadcast join is inner on the stratum, so
+    * null strata drop here (the collect form gives them their own
+    * arm) — matching the oracle's JOIN USING semantics. */
+  def temperatureSampleInPlan(df: DataFrame, strataCol: String,
+      idCol: String, alpha: Double, salt: String): DataFrame = {
+    val scale = 4294967296.0
+    val v = round(col("fraction") * scale, 0)
+    val th = temperatureFractions(df, strataCol, alpha)
+      .select(col(strataCol),
+        when(v >= scale, lit("g"))
+          .otherwise(lpad(lower(hex(v.cast("long"))), 8, "0"))
+          .as("_th"))
+    df.join(broadcast(th), Seq(strataCol))
+      .where(hashSlice(col(idCol), salt) < col("_th"))
+      .drop("_th")
+  }
+
   /** Train/validation/test assignment from the same draw: bands
     * [0, train), [train, train+validation), rest. Disjoint and
     * exhaustive by construction; reproducible anywhere the salt and

@@ -129,6 +129,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureSampleInPlan selects the exact same rows as the " +
+      "collect form — the in-plan hex-threshold law is thresholdHex") {
+    val df = spark.range(4000).toDF("id")
+      .withColumn("lang", when(col("id") < 2500, "en")
+        .when(col("id") < 3500, "de").otherwise("ro"))
+    val viaCollect = Sampling.temperatureSample(df, "lang", "id",
+      0.5, "ip").select("id").collect().map(_.getLong(0)).toSet
+    val inPlan = Sampling.temperatureSampleInPlan(df, "lang", "id",
+      0.5, "ip").select("id").collect().map(_.getLong(0)).toSet
+    assert(inPlan === viaCollect)
+    // and under the pow arm too
+    val c2 = Sampling.temperatureSample(df, "lang", "id", 0.25, "ip2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val p2 = Sampling.temperatureSampleInPlan(df, "lang", "id", 0.25,
+      "ip2").select("id").collect().map(_.getLong(0)).toSet
+    assert(p2 === c2)
+  }
+
   test("null strata form their own group: the ladder's null-keyed " +
       "arm matches isNull, and temperatureSample neither NPEs nor " +
       "silently keeps null rows in full") {
