@@ -91,6 +91,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 4L))
   }
 
+  test("the quality battery composes under Structured Streaming: " +
+      "stateless gopherKeepOf + redactPii, stateful exact dedup") {
+    import graft.operators.QualityFilters
+    val tmp = Files.createTempDirectory("squal").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val good = (0 until 60).map(i => s"word$i").mkString(" ")
+    def run(): Unit = {
+      val q = graft.operators.Dedup.exactStreaming(
+          spark.readStream.schema("id LONG, text STRING").parquet(in)
+            .where(QualityFilters.gopherKeepOf(col("text")))
+            .withColumn("text", QualityFilters.redactPii(col("text"))),
+          "text")
+        .select(col("id"), col("text"))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: one keeper (with an email to redact), one too-short doc
+    Seq((1L, s"$good mail me a@b.co now"), (2L, "too short"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    // batch 2: id 3 duplicates id 1 post-redaction; id 4 is fresh
+    Seq((3L, s"$good mail me x@y.org now"), (4L, s"$good extra fresh"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"id", $"text").collect().map(r => r.getLong(0) ->
+        r.getString(1)).toMap
+    // the redacted twins share one fingerprint: id 3 dropped as a dup
+    assert(out.keySet === Set(1L, 4L))
+    assert(out(1L).endsWith("mail me <EMAIL> now"))
+  }
+
   test("live updater streams into a JDBC store through the connector tier") {
     import org.apache.spark.sql.types._
     val tmp = Files.createTempDirectory("livej").toString
