@@ -31,12 +31,17 @@ object Sampling {
     * threshold ""). A fraction within 2^-33 of 1 would ROUND to 2^32
     * — a 9-char hex that lexicographic comparison misreads — so the
     * rounded value clamps into the sentinel arm. */
+  /** 2^32 — the one scale constant of the fraction→8-hex law, shared
+    * by the driver-side [[thresholdHex]] and the Column-side
+    * [[temperatureSampleInPlan]] so the two faces cannot drift. */
+  val HexScale = 4294967296.0
+
   def thresholdHex(fraction: Double): String =
     if (fraction >= 1.0) "g"
     else if (fraction <= 0.0) ""
     else {
-      val v = math.round(fraction * 4294967296.0)
-      if (v >= 4294967296L) "g" else f"$v%08x"
+      val v = math.round(fraction * HexScale)
+      if (v >= HexScale.toLong) "g" else f"$v%08x"
     }
 
   /** Keep a deterministic `fraction` of rows, keyed on `idCol`. */
@@ -116,11 +121,10 @@ object Sampling {
     * arm) — matching the oracle's JOIN USING semantics. */
   def temperatureSampleInPlan(df: DataFrame, strataCol: String,
       idCol: String, alpha: Double, salt: String): DataFrame = {
-    val scale = 4294967296.0
-    val v = round(col("fraction") * scale, 0)
+    val v = round(col("fraction") * HexScale, 0)
     val th = temperatureFractions(df, strataCol, alpha)
       .select(col(strataCol),
-        when(v >= scale, lit("g"))
+        when(v >= HexScale, lit("g"))
           .otherwise(lpad(lower(hex(v.cast("long"))), 8, "0"))
           .as("_th"))
     df.join(broadcast(th), Seq(strataCol))

