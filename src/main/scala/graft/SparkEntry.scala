@@ -4438,6 +4438,42 @@ object SparkEntry {
     Vocabulary.topKNgrams(t(s, dir, "documents"), "text", 2, 100)
   }
 
+  /** SemDeDup verdicts (Dedup.semDedupVerdicts) over the embeddings
+    * corpus. The gate's clustering is the DuckDB-replayable twin of
+    * the production k-means path (Dedup.semDedup, SemDedupSpec):
+    * clusters = the stored labels, centroids = per-label true means
+    * (the q48 comps/cents shape — aggregation-order-free on the
+    * dyadic testdata). τ = 0.30 sits in the near-random corpus's
+    * signal band the same way q72's 0.4 does. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = SimilaritySearch.meanCentroids(emb, "label", "embedding")
+    Dedup.semDedupVerdicts(emb, "vec_id", "embedding", "label",
+      cents, 0.30)
+  }
+
+  /** CCNet-style LM scoring (LmQuality.nllScore): add-α bigram NLL
+    * per document under a model trained on the deterministic
+    * reference slice doc_id % 10 = 0 (CCNet's "Wikipedia" stand-in).
+    * Zero-bigram documents surface as (0, NULL). */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import operators.LmQuality
+    val docs = t(s, dir, "documents")
+    LmQuality.nllScore(docs, "doc_id", "text",
+      docs.where(col("doc_id") % 10 === 0), "text")
+  }
+
+  /** CCNet head/middle/tail banding (LmQuality.perplexityBuckets)
+    * composed over the q193 scores, per language. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import operators.LmQuality
+    val docs = t(s, dir, "documents")
+    val scored = LmQuality.nllScore(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 10 === 0), "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    LmQuality.perplexityBuckets(scored, "doc_id", "lang", "avg_nll")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4635,7 +4671,10 @@ object SparkEntry {
     "q188_winnow_span_pairs" -> q188 _,
     "q189_mix_report" -> q189 _,
     "q190_vocab_topk" -> q190 _,
-    "q191_ngram_topk" -> q191 _)
+    "q191_ngram_topk" -> q191 _,
+    "q192_semdedup" -> q192 _,
+    "q193_lm_nll" -> q193 _,
+    "q194_ppl_buckets" -> q194 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7569,7 +7608,86 @@ object SparkEntry {
          |  i -> concat_ws(' ', ws[i], ws[i+1])),
          |  x -> len(string_split(x, ' ')) = 2)) AS gram FROM t)
          |SELECT gram, count(*) AS n FROM g
-         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin)
+         |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100""".stripMargin,
+
+    "q192_semdedup" ->
+      // the q48 comps/cents centroid shape, then the SemDeDup pair
+      // rule: dropped iff some same-cluster neighbor at cosine >= τ
+      // has strictly lower centroid-cosine (id asc on ties)
+      s"""WITH comps AS (SELECT label, dim, avg(v) AS c FROM (
+         |          SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS dim,
+         |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |          FROM embeddings) GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+         |          FROM comps GROUP BY label),
+         |w AS (SELECT e.vec_id, e.label, e.embedding,
+         |      ${cosSql("e.embedding", "centroid")} AS cent_cos
+         |      FROM embeddings e JOIN cents USING (label)),
+         |beaten AS (SELECT DISTINCT a.vec_id
+         |  FROM w a JOIN w b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30
+         |    AND (b.cent_cos < a.cent_cos
+         |         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+         |SELECT w.vec_id, w.label, round(w.cent_cos, 6) AS cent_cos,
+         |       (beaten.vec_id IS NULL) AS keep
+         |FROM w LEFT JOIN beaten ON w.vec_id = beaten.vec_id""".stripMargin,
+
+    "q193_lm_nll" ->
+      (lmNllOracleSql +
+        "\nSELECT doc_id, n_bigrams, avg_nll FROM sc"),
+
+    "q194_ppl_buckets" ->
+      // percent_rank is pure rank arithmetic — exact rationals, same
+      // double on both engines; order keys are the ROUNDED score (so
+      // the sort bit-matches) with doc_id as the total-order tie-break
+      (lmNllOracleSql + """,
+b AS (SELECT sc.doc_id, d.lang, percent_rank() OVER (
+      PARTITION BY d.lang
+      ORDER BY avg_nll ASC NULLS LAST, sc.doc_id ASC) AS pr
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+SELECT doc_id, lang, round(pr, 6) AS pr,
+CASE WHEN pr <= 0.3 THEN 'head'
+     WHEN pr <= 0.7 THEN 'middle'
+     ELSE 'tail' END AS bucket
+FROM b"""))
+
+  /** DuckDB twin of the q193 add-α bigram NLL pipeline
+    * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),
+    * ending at the roster-joined `sc` CTE — q194's banding composes
+    * on top. Float parity: every arithmetic operand is forced DOUBLE
+    * (the bare 0.5 literal would be DECIMAL in DuckDB), ln/÷ run in
+    * the same op order as the Column plan, and only the per-doc SUM's
+    * accumulation order differs — absorbed by round 6 exactly like
+    * the BM25 oracles. NOTE: composed into q194 by plain
+    * concatenation (no outer stripMargin) — see the
+    * qualitySignalsOracleSql editing note. */
+  private def lmNllOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $allToksSql AS ws FROM documents),
+       |ref AS (SELECT ws FROM toks WHERE doc_id % 10 = 0),
+       |uni AS (SELECT w1, count(*) AS c_uni FROM (
+       |  SELECT unnest(ws) AS w1 FROM ref) GROUP BY w1),
+       |bi AS (SELECT g, count(*) AS c_bi FROM (
+       |  SELECT unnest(list_filter(list_transform(
+       |    generate_series(1, greatest(len(ws)-1, 1)),
+       |    i -> concat_ws(' ', ws[i], ws[i+1])),
+       |    x -> len(string_split(x, ' ')) = 2)) AS g FROM ref)
+       |  GROUP BY g),
+       |vv AS (SELECT count(*) AS v FROM uni),
+       |eb AS (SELECT doc_id, ws[i] AS w1,
+       |       concat_ws(' ', ws[i], ws[i+1]) AS g
+       |       FROM (SELECT doc_id,
+       |             unnest(generate_series(1, len(ws)-1)) AS i, ws
+       |             FROM toks WHERE len(ws) >= 2)),
+       |sc0 AS (SELECT eb.doc_id, count(*) AS n_bigrams,
+       |  round(sum(-ln((CAST(coalesce(c_bi, 0) AS DOUBLE) + 0.5e0)
+       |    / (CAST(coalesce(c_uni, 0) AS DOUBLE) + 0.5e0 * v)))
+       |    / count(*), 6) AS avg_nll
+       |  FROM eb LEFT JOIN bi USING (g) LEFT JOIN uni USING (w1)
+       |  CROSS JOIN vv GROUP BY eb.doc_id),
+       |sc AS (SELECT d.doc_id,
+       |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, avg_nll
+       |  FROM documents d LEFT JOIN sc0 ON d.doc_id = sc0.doc_id)""".stripMargin
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the

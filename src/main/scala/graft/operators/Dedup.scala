@@ -494,4 +494,69 @@ object Dedup {
       .select(col("train_id"), col("bench_id"), col("n_common"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2): semantic
+    * deduplication scoped by a clustering. Candidate pairs exist only
+    * WITHIN a cluster, and a document is dropped when some
+    * same-cluster neighbor at cosine >= `minSim` outranks it under
+    * the paper's keep rule — the member with the LOWER cosine to the
+    * cluster centroid is kept (the outlier carries the most signal),
+    * id ascending on ties. A document survives iff NO similar
+    * neighbor outranks it, so per near-dup clique exactly the
+    * rank-minimal member survives; mutually-dissimilar ends of a
+    * similarity chain can both survive (the paper's pairwise variant,
+    * not transitive grouping — [[connectedComponents]] composes on a
+    * pair frame when transitive groups are wanted instead).
+    *
+    * `assigned`: (idCol, vecCol, clusterCol); `cents`: (clusterCol,
+    * `centroid`) — index-cardinality, broadcast (k×dim doubles).
+    * Output: (idCol, clusterCol, cent_cos round 6, keep).
+    *
+    * Scale (100 TB): the only corpus shuffle is the cluster-key
+    * self-join, and per-cluster work is O(m²·dim) — k grows ∝ n so m
+    * stays bounded (the paper runs k = 110k over LAION-440M, m ≈ 4k).
+    * An oversized or skewed cluster swaps its pairwise stage for
+    * [[embeddingNearDupLsh]] scoped to that cluster — same verdict
+    * law, banded candidates — rather than widening the join. */
+  def semDedupVerdicts(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame,
+      minSim: Double): DataFrame = {
+    val withCent = assigned
+      .join(broadcast(cents.select(col(clusterCol), col("centroid"))),
+        Seq(clusterCol))
+      .withColumn("cent_cos",
+        VectorFunctions.cosine(col(vecCol), col("centroid")))
+      .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"))
+    val rival = withCent.select(col(clusterCol),
+      col(idCol).as("_id_b"), col(vecCol).as("_vec_b"),
+      col("cent_cos").as("_cc_b"))
+    val beaten = withCent.join(rival, Seq(clusterCol))
+      .where(col(idCol) =!= col("_id_b"))
+      .where(VectorFunctions.cosine(col(vecCol), col("_vec_b")) >= minSim)
+      .where(col("_cc_b") < col("cent_cos") ||
+        (col("_cc_b") === col("cent_cos") && col("_id_b") < col(idCol)))
+      .select(col(idCol)).distinct()
+    withCent
+      .join(beaten.withColumn("_beaten", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        (!coalesce(col("_beaten"), lit(false))).as("keep"))
+  }
+
+  /** The production SemDeDup entry: k-means clusters via
+    * [[SimilaritySearch.kmeansIvf]] (broadcast-centroid Lloyd passes,
+    * codegen'd argmax assignment), then the [[semDedupVerdicts]] law
+    * over the trained clustering. The oracle gate (q192) replaces the
+    * trained clusters with the corpus's stored labels + true-mean
+    * centroids so DuckDB can replay the identical law; this face is
+    * spec-verified against the same invariants (SemDedupSpec). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minSim: Double): DataFrame = {
+    val (assigned, cents) = SimilaritySearch.kmeansIvf(df, idCol, vecCol, k, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
+    semDedupVerdicts(assigned, idCol, vecCol, "cluster", centDf, minSim)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** CCNet-style language-model quality scoring (Wenzek et al. 2020,
+  * arXiv:1911.00359 §3 "LM filtering"): score each document by its
+  * per-bigram negative log-likelihood under an add-α bigram model
+  * trained on a trusted reference slice, then band the corpus per
+  * language into head/middle/tail by score rank. CCNet runs a KenLM
+  * 5-gram over Wikipedia; the law here is the same pipeline at the
+  * model order the DuckDB oracle can replay exactly (counts are
+  * exact integers, the score a deterministic double, q193/q194).
+  *
+  * Scale (100 TB):
+  *  - training is ONE map-side-combined groupBy per model table over
+  *    the REFERENCE slice (vocabulary-sized outputs);
+  *  - scoring joins the corpus's exploded bigrams against the model —
+  *    the model side is vocabulary-cardinality (prune to top-V via
+  *    [[Vocabulary.topKTokens]]/[[Vocabulary.topKNgrams]] first at
+  *    scale) and is broadcast, so the corpus never shuffles for the
+  *    join; the only corpus shuffle is the per-document aggregation;
+  *  - banding here is a per-language window (exact percent_rank, the
+  *    oracle-replayable form); at 100 TB swap the window for approx
+  *    per-language quantile BOUNDARIES (one pass + broadcast compare)
+  *    — the banding law is monotone per language, so sample-based
+  *    boundaries compose without changing downstream semantics.
+  */
+object LmQuality {
+
+  /** (w1, "w1 w2") struct pairs per document, empty under 2 tokens —
+    * two shifted slices zipped, so no sequence() underflow and no
+    * filter re-parse of the gram. */
+  private def docBigrams(ws: Column): Column =
+    zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("g")))
+
+  /** Add-α bigram NLL per document under counts trained on `ref`:
+    * avg over the doc's bigrams of
+    * −ln((c(w1 w2) + α) / (c(w1) + α·V)), with V the reference
+    * unigram vocabulary size (a 1-row in-plan aggregate — no driver
+    * action). Unseen grams/contexts count 0. Documents with no
+    * bigram score NULL at n_bigrams = 0 (kept via the roster join).
+    * Output: (idCol, n_bigrams, avg_nll round 6). */
+  def nllScore(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val uni = Vocabulary.tokenFrequencies(ref, refTextCol)
+      .select(col("token").as("w1"), col("n").as("c_uni"))
+    val bi = Vocabulary.ngramFrequencies(ref, refTextCol, 2)
+      .select(col("gram").as("g"), col("n").as("c_bi"))
+    val vocab = uni.agg(count(lit(1L)).as("v"))
+    val exploded = docs
+      .select(col(idCol), explode(docBigrams(
+        TextFunctions.allTokens(col(textCol)))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.g").as("g"))
+    val scored = exploded
+      .join(broadcast(bi), Seq("g"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log(
+        (coalesce(col("c_bi"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c_uni"), lit(0L)) + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_bigrams"),
+        round(sum(col("nll")) / count(lit(1L)), 6).as("avg_nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
+
+  /** CCNet head/middle/tail banding per language: percent_rank over
+    * (score asc, id asc) within each language — head = the best
+    * `headFrac` of the language, tail = everything past `midFrac`.
+    * NULL scores (no bigrams) rank last deterministically. The
+    * bucket decision uses the EXACT rank ratio; the emitted `pr` is
+    * rounded like every float output. */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      langCol: String, scoreCol: String,
+      headFrac: Double = 0.3, midFrac: Double = 0.7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col(scoreCol).asc_nulls_last, col(idCol).asc)
+    scored.withColumn("pr", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("pr") <= headFrac, lit("head"))
+          .when(col("pr") <= midFrac, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol),
+        round(col("pr"), 6).as("pr"), col("bucket"))
+  }
+}

@@ -271,4 +271,12 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(singles <= 1, s"expected <=1 single-partition exchange " +
       s"(the k-row n_min agg), got $singles\n$plan")
   }
+
+  test("q192 semdedup: no cartesian — pairs only via the cluster-key " +
+      "join; the centroid side broadcasts") {
+    val plan = planOf("q192_semdedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast (index-cardinality side):\n$plan")
+  }
 }
