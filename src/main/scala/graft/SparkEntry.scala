@@ -4474,6 +4474,26 @@ object SparkEntry {
     LmQuality.perplexityBuckets(scored, "doc_id", "lang", "avg_nll")
   }
 
+  /** DSIR importance log-weights (Dsir.importanceWeights): hashed
+    * uni+bigram features into 64 buckets, target = the English slice,
+    * raw = the whole corpus. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import operators.Dsir
+    val docs = t(s, dir, "documents")
+    Dsir.importanceWeights(docs, "doc_id", "text",
+      docs.where(col("lang") === "en"), "text", 64)
+  }
+
+  /** DSIR Gumbel top-k resample (Dsir.gumbelTopK) composed over the
+    * q195 weights — deterministic noise from the md5 24-bit draw. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import operators.Dsir
+    val docs = t(s, dir, "documents")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      docs.where(col("lang") === "en"), "text", 64)
+    Dsir.gumbelTopK(w, "doc_id", "log_weight", 100, "dsir")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4674,7 +4694,9 @@ object SparkEntry {
     "q191_ngram_topk" -> q191 _,
     "q192_semdedup" -> q192 _,
     "q193_lm_nll" -> q193 _,
-    "q194_ppl_buckets" -> q194 _)
+    "q194_ppl_buckets" -> q194 _,
+    "q195_dsir_weights" -> q195 _,
+    "q196_dsir_resample" -> q196 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7650,7 +7672,22 @@ SELECT doc_id, lang, round(pr, 6) AS pr,
 CASE WHEN pr <= 0.3 THEN 'head'
      WHEN pr <= 0.7 THEN 'middle'
      ELSE 'tail' END AS bucket
-FROM b"""))
+FROM b"""),
+
+    "q195_dsir_weights" ->
+      (dsirWeightsOracleSql +
+        "\nSELECT doc_id, n_grams, log_weight FROM w"),
+
+    "q196_dsir_resample" ->
+      // deterministic Gumbel noise: u = (md5 24-bit + 0.5)/2^24, a
+      // dyadic in (0,1); the order keys are bit-identical doubles
+      (dsirWeightsOracleSql + s""",
+g AS (SELECT doc_id, log_weight +
+      -ln(-ln((CAST(${md5HexValSql("'dsir:' || doc_id", 6)} AS DOUBLE)
+               + 0.5) / 16777216.0)) AS score
+      FROM w)
+SELECT doc_id, round(score, 6) AS score FROM g
+ORDER BY score DESC, doc_id ASC LIMIT 100"""))
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),
@@ -7688,6 +7725,47 @@ FROM b"""))
        |sc AS (SELECT d.doc_id,
        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, avg_nll
        |  FROM documents d LEFT JOIN sc0 ON d.doc_id = sc0.doc_id)""".stripMargin
+
+  /** DuckDB twin of the q195 DSIR importance-weight pipeline
+    * (Dsir.importanceWeights, target = the English slice, B = 64),
+    * ending at the roster-joined `w` CTE — q196's Gumbel top-k
+    * composes on top. Same float-parity posture as lmNllOracleSql
+    * (forced DOUBLE operands; per-doc sum order absorbed by round 6).
+    * NOTE: composed into q196 by plain concatenation (no outer
+    * stripMargin) — see the qualitySignalsOracleSql editing note. */
+  private def dsirWeightsOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $allToksSql AS ws
+       |              FROM documents),
+       |grams AS (SELECT doc_id, lang, unnest(list_concat(ws,
+       |  list_filter(list_transform(
+       |    generate_series(1, greatest(len(ws)-1, 1)),
+       |    i -> concat_ws(' ', ws[i], ws[i+1])),
+       |    x -> len(string_split(x, ' ')) = 2))) AS g FROM toks),
+       |gb AS (SELECT doc_id, lang,
+       |       ${md5HexValSql("g", 6)} % 64 AS bucket FROM grams),
+       |tc AS (SELECT bucket, count(*) AS c FROM gb
+       |       WHERE lang = 'en' GROUP BY bucket),
+       |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total FROM tc),
+       |rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket),
+       |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total FROM rc),
+       |ab AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+       |lt AS (SELECT ab.bucket,
+       |       ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+       |          / CAST(tt.total + 64 AS DOUBLE)) AS logp_t
+       |       FROM ab LEFT JOIN tc USING (bucket) CROSS JOIN tt),
+       |lrr AS (SELECT ab.bucket,
+       |       ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)
+       |          / CAST(rt.total + 64 AS DOUBLE)) AS logp_r
+       |       FROM ab LEFT JOIN rc USING (bucket) CROSS JOIN rt),
+       |lr AS (SELECT bucket, logp_t - logp_r AS lr
+       |       FROM lt JOIN lrr USING (bucket)),
+       |w0 AS (SELECT gb.doc_id, count(*) AS n_grams,
+       |       round(sum(lr), 6) AS log_weight
+       |       FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id),
+       |w AS (SELECT d.doc_id,
+       |      CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |      coalesce(log_weight, 0.0e0) AS log_weight
+       |      FROM documents d LEFT JOIN w0 ON d.doc_id = w0.doc_id)""".stripMargin
 
   /** DuckDB twin of the q170/q171 synthetic pages frame incl. the
     * department/tag/security inference (legacyPages + the
