@@ -4494,6 +4494,22 @@ object SparkEntry {
     Dsir.gumbelTopK(w, "doc_id", "log_weight", 100, "dsir")
   }
 
+  /** Cross-snapshot incremental dedup via the BLOOM-pruned path
+    * (Dedup.newAgainstSnapshotBloom): batch = doc_id >= 250 ("this
+    * month's crawl"), prior snapshot = fingerprints of doc_id < 250
+    * plus every doc_id % 5 = 0 (so 50 batch docs are genuine
+    * cross-snapshot dups). The oracle replays the plain anti join —
+    * passing PROVES the Bloom path drops exactly the true dups (no
+    * false negatives; false positives survive the exact confirm). */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prior = docs
+      .where(col("doc_id") < 250 || col("doc_id") % 5 === 0)
+      .select(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    Dedup.newAgainstSnapshotBloom(docs.where(col("doc_id") >= 250),
+      "doc_id", "text", prior, m = 4096, k = 3)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4696,7 +4712,8 @@ object SparkEntry {
     "q193_lm_nll" -> q193 _,
     "q194_ppl_buckets" -> q194 _,
     "q195_dsir_weights" -> q195 _,
-    "q196_dsir_resample" -> q196 _)
+    "q196_dsir_resample" -> q196 _,
+    "q197_snapshot_dedup" -> q197 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7687,7 +7704,20 @@ g AS (SELECT doc_id, log_weight +
                + 0.5) / 16777216.0)) AS score
       FROM w)
 SELECT doc_id, round(score, 6) AS score FROM g
-ORDER BY score DESC, doc_id ASC LIMIT 100"""))
+ORDER BY score DESC, doc_id ASC LIMIT 100"""),
+
+    "q197_snapshot_dedup" ->
+      // the EXACT anti join — the Bloom-pruned Spark path must land
+      // on the identical row set (no false negatives by construction,
+      // false positives stripped by the exact confirm)
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |prior AS (SELECT fingerprint FROM f
+        |          WHERE doc_id < 250 OR doc_id % 5 = 0)
+        |SELECT doc_id, fingerprint FROM f
+        |WHERE doc_id >= 250
+        |  AND fingerprint NOT IN (SELECT fingerprint FROM prior)""".stripMargin)
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

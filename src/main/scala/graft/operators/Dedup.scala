@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Partitioning
-import graft.functions.{NativeText, TextFunctions, VectorFunctions}
+import graft.functions.{NativeText, Sketch, TextFunctions, VectorFunctions}
 
 /** Deduplication suite for large-scale training-data pipelines.
   *
@@ -541,6 +541,58 @@ object Dedup {
       .select(col(idCol), col(clusterCol),
         round(col("cent_cos"), 6).as("cent_cos"),
         (!coalesce(col("_beaten"), lit(false))).as("keep"))
+  }
+
+  /** Cross-snapshot incremental dedup, exact path: which BATCH
+    * documents are NEW against a prior corpus snapshot's fingerprint
+    * set — one anti join on the normalized-content fingerprint
+    * ([[TextFunctions.fingerprint]], the exact-dedup law). Output:
+    * the batch's new rows as (idCol, fingerprint). */
+  def newAgainstSnapshot(batch: DataFrame, idCol: String,
+      textCol: String, priorFps: DataFrame): DataFrame =
+    batch.select(col(idCol),
+        TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .join(priorFps.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select(col(idCol), col("fingerprint"))
+
+  /** Bloom-pruned twin of [[newAgainstSnapshot]] — the continuous-
+    * ingest posture at 100 TB: the PRIOR snapshot's fingerprints
+    * aggregate into ONE Bloom row ([[Sketch.bloomBits]], merge-
+    * associative) that broadcasts to the batch; rows the filter
+    * rejects are DEFINITELY new (a Bloom has no false negatives) and
+    * never reach the join, so the anti join's probe side shrinks to
+    * the duplicate rate + fpp ≈ (1−e^(−k·n/m))^k instead of the whole
+    * day's crawl. Bloom-positive rows still anti-join exactly, so
+    * false positives cost a probe, never a row — the result EQUALS
+    * the exact path (the q197 oracle replays the plain anti join
+    * against this path's output; SnapshotDedupSpec pins frame
+    * equality and the forced-positive arm). In steady state the
+    * Bloom row persists with the snapshot and only MERGES with each
+    * day's delta bits — never rebuilt from scratch. */
+  def newAgainstSnapshotBloom(batch: DataFrame, idCol: String,
+      textCol: String, priorFps: DataFrame, m: Int, k: Int): DataFrame = {
+    val bits = priorFps.agg(
+      Sketch.bloomBits(col("fingerprint"), m, k).as("bits"))
+    val fp = batch.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    val maybe = (0 until k).map(i =>
+        array_contains(col("bits"),
+          (Sketch.hash48Of(concat(lit(s"$i:"), col("fingerprint")))
+            % m).cast("int")))
+      .reduce(_ && _)
+    // a null fingerprint hashes to null → coalesce FALSE, mirroring
+    // the anti join (a null key never matches, so the row stays new)
+    val probed = fp.crossJoin(broadcast(bits))
+      .withColumn("_maybe", coalesce(maybe, lit(false)))
+    val definitelyNew = probed.where(!col("_maybe"))
+      .select(col(idCol), col("fingerprint"))
+    val candidates = probed.where(col("_maybe"))
+      .select(col(idCol), col("fingerprint"))
+      .join(priorFps.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .select(col(idCol), col("fingerprint"))
+    definitelyNew.unionByName(candidates)
   }
 
   /** The production SemDeDup entry: k-means clusters via
