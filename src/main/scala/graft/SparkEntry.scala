@@ -7773,10 +7773,13 @@ ORDER BY score DESC, doc_id ASC LIMIT 100"""),
        |    x -> len(string_split(x, ' ')) = 2))) AS g FROM toks),
        |gb AS (SELECT doc_id, lang,
        |       ${md5HexValSql("g", 6)} % 64 AS bucket FROM grams),
+       |gb2 AS (SELECT doc_id, bucket, count(*) AS cnt FROM gb
+       |        GROUP BY doc_id, bucket),
        |tc AS (SELECT bucket, count(*) AS c FROM gb
        |       WHERE lang = 'en' GROUP BY bucket),
        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total FROM tc),
-       |rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket),
+       |rc AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM gb2
+       |       GROUP BY bucket),
        |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total FROM rc),
        |ab AS (SELECT unnest(generate_series(0, 63)) AS bucket),
        |lt AS (SELECT ab.bucket,
@@ -7789,9 +7792,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 100"""),
        |       FROM ab LEFT JOIN rc USING (bucket) CROSS JOIN rt),
        |lr AS (SELECT bucket, logp_t - logp_r AS lr
        |       FROM lt JOIN lrr USING (bucket)),
-       |w0 AS (SELECT gb.doc_id, count(*) AS n_grams,
-       |       round(sum(lr), 6) AS log_weight
-       |       FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id),
+       |w0 AS (SELECT gb2.doc_id,
+       |       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |       round(sum(cnt * lr), 6) AS log_weight
+       |       FROM gb2 JOIN lr USING (bucket) GROUP BY gb2.doc_id),
        |w AS (SELECT d.doc_id,
        |      CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
        |      coalesce(log_weight, 0.0e0) AS log_weight

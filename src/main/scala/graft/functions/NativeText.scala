@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup hot path.
@@ -90,6 +90,14 @@ object NativeText {
     GraftColumnBridge.column(
       TokenOffsetsExpr(GraftColumnBridge.expression(text), 3, dropStopwords = true))
 
+  /** Column API: DSIR hashed-gram buckets straight from the text —
+    * one pass (tokenize + uni/bigram md5-bucket), exact twin of
+    * `Dsir.hashedGrams(allTokens(text), buckets)` whose interpreted
+    * HOF chain re-tokenizes three times per row. */
+  def hashedGramBucketsOf(text: Column, buckets: Int): Column =
+    GraftColumnBridge.column(
+      HashedGramBucketsExpr(GraftColumnBridge.expression(text), buckets))
+
   /** THE tokenizer scan — single definition so the token stream of
     * [[TokenizeExpr]] and [[TokenOffsetsExpr]] cannot drift: maximal
     * [a-z0-9] runs over the lowercased text, minLen / stopword
@@ -127,6 +135,49 @@ object NativeText {
       }
     }
   }
+}
+
+/** DSIR hashed-gram buckets in one pass over the text: every token
+  * and every adjacent-pair bigram ("tok1 tok2") maps to bucket
+  * (first 3 md5 bytes, big-endian) mod `buckets` — the exact value
+  * of conv(substring(md5(g), 1, 6), 16, 10) % buckets, so the
+  * Column-law HOF ([[graft.operators.Dsir.hashedGrams]]) and the
+  * DuckDB oracle replay it verbatim. Unigrams emit first, then
+  * bigrams (the concat order of the HOF twin). */
+case class HashedGramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val emptyStop = new java.util.HashSet[String]()
+
+  private def bucketOf(g: String): Long = {
+    md.reset()
+    val d = md.digest(g.getBytes("UTF-8"))
+    val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    (v % buckets).toLong
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    NativeText.scanTokens(input.asInstanceOf[UTF8String], 1,
+      dropStopwords = false, emptyStop) { (tok, _, _) => toks += tok }
+    val n = toks.length
+    val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
+    var i = 0
+    while (i < n) { out(i) = bucketOf(toks(i)); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = bucketOf(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedGramBucketsExpr =
+    copy(child = c)
+  override def prettyName: String = "graft_hashed_gram_buckets"
 }
 
 /** SimHash: per-token md5, ±1 votes on 64 bit positions (bit i =

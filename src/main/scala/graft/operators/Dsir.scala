@@ -37,26 +37,83 @@ object Dsir {
       g => conv(substring(md5(g), 1, 6), 16, 10)
         .cast("long") % buckets)
 
-  /** Smoothed per-bucket log-probabilities of a corpus: ALL `buckets`
-    * rows (missing buckets carry the floor), add-1 smoothing:
-    * ln((c_b + 1) / (total + B)). The total enters as a 1-row in-plan
-    * aggregate — no driver action. Output: (bucket, logp). */
-  def bucketLogProbs(df: DataFrame, textCol: String,
-      buckets: Int): DataFrame = {
-    val counts = df
-      .select(explode(hashedGrams(
-        TextFunctions.allTokens(col(textCol)), buckets)).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1L)).as("c"))
-    val total = counts.agg(sum(col("c")).as("total"))
-    val all = df.sparkSession.range(buckets)
+  /** Alternate-hash twin of [[hashedGrams]]: xxhash64 (codegen'd —
+    * no hex-string md5 round-trip per gram). A different hash only
+    * relabels which bucket a gram lands in, so every DSIR law
+    * (distribution mass, weight shape, selection semantics) is
+    * hash-agnostic — spec-pinned. Kept as the knob for corpora where
+    * md5 parity with an external system doesn't matter; the DEFAULT
+    * production path is the native one-pass md5 expression below,
+    * which keeps oracle parity AND beats this HOF form. */
+  def hashedGramsFast(ws: Column, buckets: Int): Column =
+    transform(
+      concat(ws, QualityFilters.wordNgrams(ws, 2)),
+      g => pmod(xxhash64(g), lit(buckets.toLong)))
+
+  /** Text-level gram-hash contract (text column → bucket array).
+    * Default everywhere: the native ONE-PASS expression — the HOF
+    * twins above re-tokenize the text three times per row through
+    * interpreted lambdas (tokenize 0.35 s vs grams+hash 2.6 s at
+    * sf1; SCALING.md). Bit-identical to [[gramsOfTextHof]] —
+    * DsirSpec pins the equality. */
+  def gramsOfText(text: Column, buckets: Int): Column =
+    graft.functions.NativeText.hashedGramBucketsOf(text, buckets)
+
+  /** The Column-law HOF twin of [[gramsOfText]] (the independent
+    * formulation the bit-identity spec checks against). */
+  def gramsOfTextHof(text: Column, buckets: Int): Column =
+    hashedGrams(TextFunctions.allTokens(text), buckets)
+
+  /** xxhash64 variant of the text-level contract. */
+  def gramsOfTextFast(text: Column, buckets: Int): Column =
+    hashedGramsFast(TextFunctions.allTokens(text), buckets)
+
+  /** Per-(id, bucket) gram histogram: ONE explode+hash pass over the
+    * corpus, map-side-combined down to ≤ B rows per document — the
+    * shared input both the raw distribution and the scoring pass
+    * derive from (the corpus is hashed once, not once per consumer). */
+  def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int,
+      hashFn: (Column, Int) => Column = gramsOfText): DataFrame =
+    df.select(col(idCol),
+        explode(hashFn(col(textCol), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1L)).as("cnt"))
+
+  /** [[bucketLogProbs]] over a precomputed bucket-count frame —
+    * add-1 smoothing on re-aggregated counts, no re-hash. The total
+    * comes from an unpartitioned WINDOW over the completed B-row
+    * frame (bounded by `buckets` — the q187 n_min posture), NOT a
+    * second aggregate branch: a separate `agg` would re-evaluate the
+    * counts subtree and re-scan the corpus it came from. */
+  def bucketLogProbsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val agg = counts.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+    val all = counts.sparkSession.range(buckets)
       .select(col("id").cast("long").as("bucket"))
-    all.join(counts, Seq("bucket"), "left")
-      .crossJoin(broadcast(total))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    all.join(agg, Seq("bucket"), "left")
+      .withColumn("total", sum(coalesce(col("c"), lit(0L))).over(w))
       .select(col("bucket"),
         log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("total"), lit(0L)) + lit(buckets.toLong))
             .cast("double")).as("logp"))
+  }
+
+  /** Smoothed per-bucket log-probabilities of a corpus: ALL `buckets`
+    * rows (missing buckets carry the floor), add-1 smoothing:
+    * ln((c_b + 1) / (total + B)). The total enters as a 1-row in-plan
+    * aggregate — no driver action. Output: (bucket, logp). */
+  def bucketLogProbs(df: DataFrame, textCol: String, buckets: Int,
+      hashFn: (Column, Int) => Column = gramsOfText): DataFrame = {
+    val counts = df
+      .select(explode(hashFn(col(textCol), buckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1L)).as("cnt"))
+    bucketLogProbsFromCounts(counts, buckets)
   }
 
   /** Per-document importance log-weight against a target corpus:
@@ -66,20 +123,30 @@ object Dsir {
     * (idCol, n_grams, log_weight round 6). */
   def importanceWeights(docs: DataFrame, idCol: String,
       textCol: String, target: DataFrame, targetTextCol: String,
-      buckets: Int): DataFrame = {
-    val ratio = bucketLogProbs(target, targetTextCol, buckets)
+      buckets: Int,
+      hashFn: (Column, Int) => Column = gramsOfText): DataFrame = {
+    // ONE explode+hash pass over the corpus: the (id, bucket, cnt)
+    // histogram PERSISTS (compact — ≤ B rows per document; at
+    // cluster scale this is the ingest-written artifact, the
+    // CorpusArtifacts posture) and both the raw distribution and the
+    // scoring pass read it, instead of each re-tokenizing and
+    // re-hashing the corpus. Scoring shrinks from per-gram rows to
+    // Σ cnt·lr over the histogram. Measured at sf1: 7.5 s → 1.1 s.
+    val docCounts = docBucketCounts(docs, idCol, textCol, buckets, hashFn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ratio = bucketLogProbs(target, targetTextCol, buckets, hashFn)
       .withColumnRenamed("logp", "logp_t")
-      .join(bucketLogProbs(docs, textCol, buckets)
+      // docCounts passes UNPRUNED: an extra .select here would make
+      // the two consumers' scan subtrees differ and defeat the
+      // exchange reuse that keeps this a one-pass corpus read
+      .join(bucketLogProbsFromCounts(docCounts, buckets)
         .withColumnRenamed("logp", "logp_r"), Seq("bucket"))
       .select(col("bucket"), (col("logp_t") - col("logp_r")).as("lr"))
-    val exploded = docs
-      .select(col(idCol), explode(hashedGrams(
-        TextFunctions.allTokens(col(textCol)), buckets)).as("bucket"))
-    val scored = exploded
+    val scored = docCounts
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1L)).as("n_grams"),
-        round(sum(col("lr")), 6).as("log_weight"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        round(sum(col("cnt") * col("lr")), 6).as("log_weight"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

@@ -15,6 +15,23 @@ class DsirSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("gramsOfText: the native one-pass expression is bit-identical " +
+      "to the Column-law HOF twin") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "one"),
+        (9003L, "A, b!! c9 A b")).toDF("doc_id", "text"))
+    for (b <- Seq(7, 64)) {
+      val native = docs.select(col("doc_id"),
+        Dsir.gramsOfText(col("text"), b).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = docs.select(col("doc_id"),
+        Dsir.gramsOfTextHof(col("text"), b).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"buckets=$b")
+    }
+  }
+
   test("bucketLogProbs: B complete rows forming a distribution") {
     val df = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("id", "text")
     val rows = Dsir.bucketLogProbs(df, "text", 16).collect()
