@@ -4481,7 +4481,8 @@ object SparkEntry {
     import operators.Dsir
     val docs = t(s, dir, "documents")
     Dsir.importanceWeights(docs, "doc_id", "text",
-      docs.where(col("lang") === "en"), "text", 64)
+      docs.where(col("lang") === "en"), "text", 64,
+      docCounts = Some(dsirCounts(s, dir)))
   }
 
   /** DSIR Gumbel top-k resample (Dsir.gumbelTopK) composed over the
@@ -4490,9 +4491,18 @@ object SparkEntry {
     import operators.Dsir
     val docs = t(s, dir, "documents")
     val w = Dsir.importanceWeights(docs, "doc_id", "text",
-      docs.where(col("lang") === "en"), "text", 64)
+      docs.where(col("lang") === "en"), "text", 64,
+      docCounts = Some(dsirCounts(s, dir)))
     Dsir.gumbelTopK(w, "doc_id", "log_weight", 100, "dsir")
   }
+
+  /** The persisted DSIR histogram for a corpus dir (ingest-artifact
+    * posture — shared by q195/q196 like docsBm25 is by the BM25
+    * tier). */
+  private def dsirCounts(s: SparkSession, dir: String): DataFrame =
+    CorpusArtifacts.dsirCounts(
+      s"${s.sparkContext.applicationId}:$dir#dsir",
+      t(s, dir, "documents"), "doc_id", "text", 64)
 
   /** Cross-snapshot incremental dedup via the BLOOM-pruned path
     * (Dedup.newAgainstSnapshotBloom): batch = doc_id >= 250 ("this
@@ -7697,19 +7707,27 @@ FROM b"""),
 
     "q196_dsir_resample" ->
       // deterministic Gumbel noise: u = (md5 24-bit + 0.5)/2^24, a
-      // dyadic in (0,1); the order keys are bit-identical doubles
+      // dyadic in (0,1); the order keys are bit-identical doubles.
+      // ORDER BY must name g.score: a bare `score` binds to the
+      // ROUNDED SELECT alias in DuckDB (alias shadowing), while the
+      // Spark path orders by the raw value — near-ties at the k cut
+      // would then pick different rows (r16 review pass 10)
       (dsirWeightsOracleSql + s""",
 g AS (SELECT doc_id, log_weight +
       -ln(-ln((CAST(${md5HexValSql("'dsir:' || doc_id", 6)} AS DOUBLE)
                + 0.5) / 16777216.0)) AS score
       FROM w)
-SELECT doc_id, round(score, 6) AS score FROM g
-ORDER BY score DESC, doc_id ASC LIMIT 100"""),
+SELECT doc_id, round(g.score, 6) AS score FROM g
+ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
 
     "q197_snapshot_dedup" ->
       // the EXACT anti join — the Bloom-pruned Spark path must land
       // on the identical row set (no false negatives by construction,
-      // false positives stripped by the exact confirm)
+      // false positives stripped by the exact confirm). NOT EXISTS,
+      // not NOT IN: a NULL fingerprint on either side must keep the
+      // row new (Spark left_anti semantics), while one NULL in a
+      // NOT IN subquery poisons EVERY row to UNKNOWN (r16 review
+      // pass 10)
       """WITH f AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |  FROM documents),
@@ -7717,7 +7735,8 @@ ORDER BY score DESC, doc_id ASC LIMIT 100"""),
         |          WHERE doc_id < 250 OR doc_id % 5 = 0)
         |SELECT doc_id, fingerprint FROM f
         |WHERE doc_id >= 250
-        |  AND fingerprint NOT IN (SELECT fingerprint FROM prior)""".stripMargin)
+        |  AND NOT EXISTS (SELECT 1 FROM prior p
+        |                  WHERE p.fingerprint = f.fingerprint)""".stripMargin)
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

@@ -73,6 +73,19 @@ object CorpusArtifacts {
       Dedup.winnowIndex(df, idCol, textCol, k, w)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** DSIR (id, bucket, cnt) gram histogram, persisted — the shared
+    * input the raw distribution AND the scoring join derive from
+    * (Dsir.importanceWeights' docCounts parameter). Compact: ≤
+    * `buckets` rows per document. One tokenize+hash pass per corpus
+    * key instead of one per consumer (7.5 s → 2.4 s at sf1). */
+  def dsirCounts(key: String, df: => DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    dsirCache.computeIfAbsent(s"$key#$buckets", _ =>
+      Dsir.docBucketCounts(df, idCol, textCol, buckets)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
+
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {
     bm25Cache.values.forEach { ix =>
@@ -81,6 +94,8 @@ object CorpusArtifacts {
     }
     shingleCache.values.forEach(_.unpersist())
     winnowCache.values.forEach(_.unpersist())
+    dsirCache.values.forEach(_.unpersist())
     bm25Cache.clear(); shingleCache.clear(); winnowCache.clear()
+    dsirCache.clear()
   }
 }

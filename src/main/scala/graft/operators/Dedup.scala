@@ -569,7 +569,19 @@ object Dedup {
     * against this path's output; SnapshotDedupSpec pins frame
     * equality and the forced-positive arm). In steady state the
     * Bloom row persists with the snapshot and only MERGES with each
-    * day's delta bits — never rebuilt from scratch. */
+    * day's delta bits — never rebuilt from scratch.
+    *
+    * Cost model (deliberate, r16 review pass 10): the two union
+    * branches each scan+fingerprint the BATCH — a daily delta, two
+    * narrow (id, text) passes, no network — to keep the join's probe
+    * side pruned to duplicate-rate + fpp. The alternatives lose at
+    * scale: folding the branch test into one anti-join condition
+    * shuffles the ENTIRE batch against the corpus-sized prior (the
+    * Bloom stops pruning anything), and persisting the probed frame
+    * inside the operator is the hidden-cache leak the library bans
+    * (Ranking.scala:25). A caller that wants one scan persists the
+    * narrow `batch.select(id, text)` projection (or its own
+    * fingerprinted artifact) before calling. */
   def newAgainstSnapshotBloom(batch: DataFrame, idCol: String,
       textCol: String, priorFps: DataFrame, m: Int, k: Int): DataFrame = {
     val bits = priorFps.agg(

@@ -124,25 +124,24 @@ object Dsir {
   def importanceWeights(docs: DataFrame, idCol: String,
       textCol: String, target: DataFrame, targetTextCol: String,
       buckets: Int,
-      hashFn: (Column, Int) => Column = gramsOfText): DataFrame = {
-    // ONE explode+hash pass over the corpus: the (id, bucket, cnt)
-    // histogram PERSISTS (compact — ≤ B rows per document; at
-    // cluster scale this is the ingest-written artifact, the
-    // CorpusArtifacts posture) and both the raw distribution and the
-    // scoring pass read it, instead of each re-tokenizing and
-    // re-hashing the corpus. Scoring shrinks from per-gram rows to
-    // Σ cnt·lr over the histogram. Measured at sf1: 7.5 s → 1.1 s.
-    val docCounts = docBucketCounts(docs, idCol, textCol, buckets, hashFn)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hashFn: (Column, Int) => Column = gramsOfText,
+      docCounts: Option[DataFrame] = None): DataFrame = {
+    // The (id, bucket, cnt) histogram feeds BOTH the raw distribution
+    // and the scoring join. Pass a MATERIALIZED one (CorpusArtifacts
+    // .dsirCounts — the ingest-written artifact, compact at ≤ B rows
+    // per document; 7.5 s → 2.4 s at sf1, SCALING.md) or the lazy
+    // default pays two corpus tokenize+hash passes. No cache hides in
+    // here: an operator-owned persist with no unpersist handle leaks
+    // storage blocks across invocations (the Ranking.scala:25 rule;
+    // r16 review pass 10).
+    val dc = docCounts.getOrElse(
+      docBucketCounts(docs, idCol, textCol, buckets, hashFn))
     val ratio = bucketLogProbs(target, targetTextCol, buckets, hashFn)
       .withColumnRenamed("logp", "logp_t")
-      // docCounts passes UNPRUNED: an extra .select here would make
-      // the two consumers' scan subtrees differ and defeat the
-      // exchange reuse that keeps this a one-pass corpus read
-      .join(bucketLogProbsFromCounts(docCounts, buckets)
+      .join(bucketLogProbsFromCounts(dc, buckets)
         .withColumnRenamed("logp", "logp_r"), Seq("bucket"))
       .select(col("bucket"), (col("logp_t") - col("logp_r")).as("lr"))
-    val scored = docCounts
+    val scored = dc
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
