@@ -4504,6 +4504,14 @@ object SparkEntry {
       s"${s.sparkContext.applicationId}:$dir#dsir",
       t(s, dir, "documents"), "doc_id", "text", 64)
 
+  /** MetaCLIP-style balancing cap (Sampling.capPerStratum): at most
+    * 70 docs per language, the kept subset a deterministic uniform
+    * draw — en (218) and zh (75) truncate, the rest keep whole. */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.capPerStratum(
+        t(s, dir, "documents"), "lang", "doc_id", 70, "bal")
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+
   /** Cross-snapshot incremental dedup via the BLOOM-pruned path
     * (Dedup.newAgainstSnapshotBloom): batch = doc_id >= 250 ("this
     * month's crawl"), prior snapshot = fingerprints of doc_id < 250
@@ -4723,7 +4731,8 @@ object SparkEntry {
     "q194_ppl_buckets" -> q194 _,
     "q195_dsir_weights" -> q195 _,
     "q196_dsir_resample" -> q196 _,
-    "q197_snapshot_dedup" -> q197 _)
+    "q197_snapshot_dedup" -> q197 _,
+    "q198_balance_cap" -> q198 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7736,7 +7745,18 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |SELECT doc_id, fingerprint FROM f
         |WHERE doc_id >= 250
         |  AND NOT EXISTS (SELECT 1 FROM prior p
-        |                  WHERE p.fingerprint = f.fingerprint)""".stripMargin)
+        |                  WHERE p.fingerprint = f.fingerprint)""".stripMargin,
+
+    "q198_balance_cap" ->
+      // the one sampling law: md5("{salt}:{id}") 8-hex draw, id-asc
+      // tie-break; rank over the ROUNDED... no floats at all here —
+      // lexicographic hex order is the numeric order
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY substr(md5('bal:' || doc_id), 1, 8) ASC, doc_id ASC)
+        |  AS rk FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+        |WHERE rk <= 70""".stripMargin)
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

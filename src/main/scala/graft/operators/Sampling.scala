@@ -145,4 +145,31 @@ object Sampling {
           lit("validation"))
         .otherwise(lit("test")))
   }
+
+  /** MetaCLIP-style balancing cap (Xu et al. 2024, arXiv:2309.16671
+    * §3.2 "balancing"): flatten a skewed stratum distribution by
+    * keeping at most `cap` rows per stratum — strata under the cap
+    * keep everything, head strata truncate to exactly `cap`. The
+    * kept subset is a deterministic UNIFORM sample of its stratum:
+    * rows rank by the (salt, id) md5 draw ([[hashSlice]] — the
+    * library's one sampling law), id ascending on the (8-hex)
+    * collision ties, rank ≤ cap survives.
+    *
+    * Plan: ONE window shuffle on the stratum key. A pathologically
+    * hot stratum (one key ≫ executor memory) sorts wide; the skew
+    * escape is a local pre-cap — keep each input partition's best
+    * `cap` rows per stratum first (mapPartitions heap or a
+    * (stratum, pid) pre-window), which bounds the global window's
+    * input to cap × partitions per stratum without changing the
+    * survivors (any row outside a local top-cap is outside the
+    * global one). Output: input columns + the 1-based `rk`. */
+  def capPerStratum(df: DataFrame, strataCol: String, idCol: String,
+      cap: Int, salt: String): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashSlice(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+  }
 }

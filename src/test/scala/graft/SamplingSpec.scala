@@ -173,4 +173,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("capPerStratum: under-cap strata keep everything, head strata " +
+      "truncate to exactly cap; caps nest (the kept set is a prefix " +
+      "of the draw order); membership is salt-deterministic") {
+    val df = spark.range(900).toDF("id")
+      .withColumn("lang", when(col("id") < 600, "en")
+        .when(col("id") < 750, "de").otherwise("zh"))
+    def kept(cap: Int, salt: String = "b"): Map[String, Set[Long]] =
+      Sampling.capPerStratum(df, "lang", "id", cap, salt)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val k200 = kept(200)
+    assert(k200("en").size === 200)   // 600 → cap
+    assert(k200("de").size === 150)   // under cap: whole stratum
+    assert(k200("zh").size === 150)
+    val k100 = kept(100)
+    assert(k100("en").size === 100)
+    // caps nest: a tighter cap keeps a SUBSET (prefix of the draw)
+    assert(k100("en").subsetOf(k200("en")))
+    // deterministic per salt; a different salt redraws the head set
+    assert(kept(100) === k100)
+    assert(kept(100, "c")("en") !== k100("en"))
+    // rk is 1..n contiguous within each stratum
+    val rks = Sampling.capPerStratum(df, "lang", "id", 200, "b")
+      .where(col("lang") === "en").select("rk")
+      .collect().map(_.getInt(0)).sorted
+    assert(rks.toSeq === (1 to 200))
+  }
 }
