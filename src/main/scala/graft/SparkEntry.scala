@@ -4512,6 +4512,18 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "doc_id", 70, "bal")
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
 
+  /** SemDeDup's oversized-cluster escape (Dedup.semDedupVerdictsLsh):
+    * the q192 verdict law with banded-LSH candidates inside the
+    * cluster key — the DuckDB twin replays the identical LCG planes
+    * (the q72 law), so a deterministic ~6% of exact-face drops
+    * surviving as LSH misses is REPRODUCED, not tolerated. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = SimilaritySearch.meanCentroids(emb, "label", "embedding")
+    Dedup.semDedupVerdictsLsh(emb, "vec_id", "embedding", "label",
+      cents, 0.30, 64)
+  }
+
   /** Cross-snapshot incremental dedup via the BLOOM-pruned path
     * (Dedup.newAgainstSnapshotBloom): batch = doc_id >= 250 ("this
     * month's crawl"), prior snapshot = fingerprints of doc_id < 250
@@ -4732,7 +4744,8 @@ object SparkEntry {
     "q195_dsir_weights" -> q195 _,
     "q196_dsir_resample" -> q196 _,
     "q197_snapshot_dedup" -> q197 _,
-    "q198_balance_cap" -> q198 _)
+    "q198_balance_cap" -> q198 _,
+    "q199_semdedup_lsh" -> q199 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7756,7 +7769,45 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |  ORDER BY substr(md5('bal:' || doc_id), 1, 8) ASC, doc_id ASC)
         |  AS rk FROM documents)
         |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
-        |WHERE rk <= 70""".stripMargin)
+        |WHERE rk <= 70""".stripMargin,
+
+    "q199_semdedup_lsh" ->
+      // the q192 verdict law with q72's LCG-plane LSH banding scoped
+      // by the cluster (label) key — candidates, misses and all,
+      // replay identically on both engines
+      s"""WITH comps AS (SELECT label, dim, avg(v) AS c FROM (
+         |          SELECT label,
+         |          unnest(generate_series(1, len(embedding))) AS dim,
+         |          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |          FROM embeddings) GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+         |          FROM comps GROUP BY label),
+         |w AS (SELECT e.vec_id, e.label, e.embedding,
+         |      ${cosSql("e.embedding", "centroid")} AS cent_cos
+         |      FROM embeddings e JOIN cents USING (label)),
+         |proj AS (SELECT vec_id, b,
+         |  list_sum(list_transform(generate_series(1, 64),
+         |   d -> CAST(embedding[d] AS DOUBLE) *
+         |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+         |        / 1024.0)) AS s
+         |  FROM embeddings CROSS JOIN generate_series(0, 35) t(b)),
+         |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
+         |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+         |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b2.vec_id
+         |  WHERE ea.label = eb.label AND a.vec_id < b2.vec_id),
+         |beat AS (SELECT DISTINCT CASE WHEN a.cent_cos > b.cent_cos
+         |    OR (a.cent_cos = b.cent_cos AND id_a > id_b)
+         |    THEN id_a ELSE id_b END AS vec_id
+         |  FROM cand JOIN w a ON cand.id_a = a.vec_id
+         |            JOIN w b ON cand.id_b = b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30)
+         |SELECT w.vec_id, w.label, round(w.cent_cos, 6) AS cent_cos,
+         |       (beat.vec_id IS NULL) AS keep
+         |FROM w LEFT JOIN beat ON w.vec_id = beat.vec_id""".stripMargin)
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

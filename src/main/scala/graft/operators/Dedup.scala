@@ -518,15 +518,31 @@ object Dedup {
     * An oversized or skewed cluster swaps its pairwise stage for
     * [[embeddingNearDupLsh]] scoped to that cluster — same verdict
     * law, banded candidates — rather than widening the join. */
-  def semDedupVerdicts(assigned: DataFrame, idCol: String,
-      vecCol: String, clusterCol: String, cents: DataFrame,
-      minSim: Double): DataFrame = {
-    val withCent = assigned
+  /** (clusterCol, idCol, vecCol, cent_cos) — the shared verdict
+    * input: centroid side broadcast (index-cardinality). */
+  private def withCentroidCos(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame): DataFrame =
+    assigned
       .join(broadcast(cents.select(col(clusterCol), col("centroid"))),
         Seq(clusterCol))
       .withColumn("cent_cos",
         VectorFunctions.cosine(col(vecCol), col("centroid")))
       .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"))
+
+  /** The shared verdict render: keep = not in the beaten id set. */
+  private def verdictFrame(withCent: DataFrame, beaten: DataFrame,
+      idCol: String, clusterCol: String): DataFrame =
+    withCent
+      .join(beaten.withColumn("_beaten", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        (!coalesce(col("_beaten"), lit(false))).as("keep"))
+
+  def semDedupVerdicts(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame,
+      minSim: Double): DataFrame = {
+    val withCent = withCentroidCos(assigned, idCol, vecCol,
+      clusterCol, cents)
     val rival = withCent.select(col(clusterCol),
       col(idCol).as("_id_b"), col(vecCol).as("_vec_b"),
       col("cent_cos").as("_cc_b"))
@@ -536,11 +552,54 @@ object Dedup {
       .where(col("_cc_b") < col("cent_cos") ||
         (col("_cc_b") === col("cent_cos") && col("_id_b") < col(idCol)))
       .select(col(idCol)).distinct()
-    withCent
-      .join(beaten.withColumn("_beaten", lit(true)), Seq(idCol), "left")
+    verdictFrame(withCent, beaten, idCol, clusterCol)
+  }
+
+  /** The oversized-cluster escape for [[semDedupVerdicts]]: the same
+    * verdict law, but candidate pairs come from banded hyperplane LSH
+    * WITHIN the cluster key ([[embeddingNearDupLsh]]'s banding with
+    * the cluster prepended to the bucket key) instead of the full
+    * per-cluster pairwise join — per-cluster cost drops from O(m²·d)
+    * to bucket-occupancy verification. Recall per dup pair at cosine
+    * s is the q72 law (1−(1−p^bandBits)^bands, p = 1−arccos(s)/π);
+    * a missed candidate keeps a document the exact face would drop —
+    * deterministic on both engines, so q199 gates this face against
+    * the SAME LSH law replayed in DuckDB (the q72 LCG planes), and
+    * SemDedupSpec pins survivors(exact) ⊆ survivors(lsh) plus the
+    * recall floor on the beaten set. */
+  def semDedupVerdictsLsh(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame,
+      minSim: Double, dim: Int, bandBits: Int = 3,
+      bands: Int = 12): DataFrame = {
+    val withCent = withCentroidCos(assigned, idCol, vecCol,
+      clusterCol, cents)
+    val sig = Partitioning.spread(withCent)
+      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
+        col(vecCol), dim, bandBits * bands))
+    val banded = sig.select(col(idCol), col(clusterCol), explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            col("_sig").substr(b * bandBits + lit(1), lit(bandBits))
+              .as("bucket")))).as("bb"))
       .select(col(idCol), col(clusterCol),
-        round(col("cent_cos"), 6).as("cent_cos"),
-        (!coalesce(col("_beaten"), lit(false))).as("keep"))
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col(clusterCol), col(idCol).as("_id_a"),
+        col("band"), col("bucket"))
+      .join(banded.select(col(clusterCol), col(idCol).as("_id_b"),
+        col("band"), col("bucket")), Seq(clusterCol, "band", "bucket"))
+      .where(col("_id_a") < col("_id_b"))
+      .select(col("_id_a"), col("_id_b")).distinct()
+    val a = withCent.select(col(idCol).as("_id_a"),
+      col(vecCol).as("_vec_a"), col("cent_cos").as("_cc_a"))
+    val b = withCent.select(col(idCol).as("_id_b"),
+      col(vecCol).as("_vec_b"), col("cent_cos").as("_cc_b"))
+    val beaten = cand.join(a, Seq("_id_a")).join(b, Seq("_id_b"))
+      .where(VectorFunctions.cosine(col("_vec_a"), col("_vec_b")) >= minSim)
+      .select(when(col("_cc_a") > col("_cc_b") ||
+          (col("_cc_a") === col("_cc_b") && col("_id_a") > col("_id_b")),
+        col("_id_a")).otherwise(col("_id_b")).as(idCol))
+      .distinct()
+    verdictFrame(withCent, beaten, idCol, clusterCol)
   }
 
   /** Cross-snapshot incremental dedup, exact path: which BATCH

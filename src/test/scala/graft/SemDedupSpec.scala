@@ -80,6 +80,29 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupVerdictsLsh: beaten ⊆ exact beaten (candidates are " +
+      "verified), recall >= 0.8, survivors(exact) ⊆ survivors(lsh), " +
+      "no cartesian") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = SimilaritySearch.meanCentroids(emb, "label", "embedding")
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val lshDf = Dedup.semDedupVerdictsLsh(emb, "vec_id", "embedding",
+      "label", cents, 0.30, 64)
+    assert(!lshDf.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val exact = verdicts(Dedup.semDedupVerdicts(emb, "vec_id",
+      "embedding", "label", cents, 0.30))
+    val lsh = verdicts(lshDf)
+    assert(lsh.keySet === exact.keySet)
+    val exactBeaten = exact.filter(!_._2).keySet
+    val lshBeaten = lsh.filter(!_._2).keySet
+    assert(lshBeaten.subsetOf(exactBeaten),
+      "every LSH drop must be an exact-law drop (candidates verified)")
+    assert(exactBeaten.nonEmpty)
+    val recall = lshBeaten.size.toDouble / exactBeaten.size
+    assert(recall >= 0.8, s"recall=$recall (${lshBeaten.size}/${exactBeaten.size})")
+  }
+
   test("semDedupVerdicts: keep is monotone in the threshold") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = SimilaritySearch.meanCentroids(emb, "label", "embedding")
