@@ -399,23 +399,40 @@ object Dedup {
     * deliberately low 0.4 threshold — a 100 TB run at 0.9 should pass
     * (8, 12).
     */
+  /** THE banded hyperplane-LSH candidate pipeline — one home for the
+    * signature/band/bucket law shared by [[embeddingNearDupLsh]] and
+    * [[semDedupVerdictsLsh]] (which threads its cluster key into the
+    * bucket join via `extraKeys`, scoping candidates to the
+    * cluster). Output: distinct (_id_a, _id_b), _id_a < _id_b. */
+  private def bandedCandidatePairs(base: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bandBits: Int, bands: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    val sig = Partitioning.spread(base)
+      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
+        col(vecCol), dim, bandBits * bands))
+    val banded = sig.select(keyCols :+ col(idCol) :+ explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            col("_sig").substr(b * bandBits + lit(1), lit(bandBits))
+              .as("bucket")))).as("bb"): _*)
+      .select(keyCols :+ col(idCol) :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket"): _*)
+    banded.select(keyCols :+ col(idCol).as("_id_a") :+ col("band") :+
+        col("bucket"): _*)
+      .join(banded.select(keyCols :+ col(idCol).as("_id_b") :+
+        col("band") :+ col("bucket"): _*),
+        extraKeys ++ Seq("band", "bucket"))
+      .where(col("_id_a") < col("_id_b"))
+      .select(col("_id_a"), col("_id_b")).distinct()
+  }
+
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minSim: Double, bandBits: Int = 3, bands: Int = 12): DataFrame = {
     val base = df.select(col(idCol), col(vecCol))
-    val sig = Partitioning.spread(base.select(col(idCol), col(vecCol)))
-      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
-        col(vecCol), dim, bandBits * bands))
-    val banded = sig.select(col(idCol), explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            col("_sig").substr(b * bandBits + lit(1), lit(bandBits)).as("bucket"))))
-        .as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = bandedCandidatePairs(base, idCol, vecCol, dim,
+        bandBits, bands)
+      .select(col("_id_a").as("id_a"), col("_id_b").as("id_b"))
     val va = base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
@@ -495,6 +512,26 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** (clusterCol, idCol, vecCol, cent_cos) — the shared verdict
+    * input: centroid side broadcast (index-cardinality). */
+  private def withCentroidCos(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(cents.select(col(clusterCol), col("centroid"))),
+        Seq(clusterCol))
+      .withColumn("cent_cos",
+        VectorFunctions.cosine(col(vecCol), col("centroid")))
+      .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"))
+
+  /** The shared verdict render: keep = not in the beaten id set. */
+  private def verdictFrame(withCent: DataFrame, beaten: DataFrame,
+      idCol: String, clusterCol: String): DataFrame =
+    withCent
+      .join(beaten.withColumn("_beaten", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        (!coalesce(col("_beaten"), lit(false))).as("keep"))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2): semantic
     * deduplication scoped by a clustering. Candidate pairs exist only
     * WITHIN a cluster, and a document is dropped when some
@@ -516,28 +553,9 @@ object Dedup {
     * self-join, and per-cluster work is O(m²·dim) — k grows ∝ n so m
     * stays bounded (the paper runs k = 110k over LAION-440M, m ≈ 4k).
     * An oversized or skewed cluster swaps its pairwise stage for
-    * [[embeddingNearDupLsh]] scoped to that cluster — same verdict
-    * law, banded candidates — rather than widening the join. */
-  /** (clusterCol, idCol, vecCol, cent_cos) — the shared verdict
-    * input: centroid side broadcast (index-cardinality). */
-  private def withCentroidCos(assigned: DataFrame, idCol: String,
-      vecCol: String, clusterCol: String, cents: DataFrame): DataFrame =
-    assigned
-      .join(broadcast(cents.select(col(clusterCol), col("centroid"))),
-        Seq(clusterCol))
-      .withColumn("cent_cos",
-        VectorFunctions.cosine(col(vecCol), col("centroid")))
-      .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"))
-
-  /** The shared verdict render: keep = not in the beaten id set. */
-  private def verdictFrame(withCent: DataFrame, beaten: DataFrame,
-      idCol: String, clusterCol: String): DataFrame =
-    withCent
-      .join(beaten.withColumn("_beaten", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col(clusterCol),
-        round(col("cent_cos"), 6).as("cent_cos"),
-        (!coalesce(col("_beaten"), lit(false))).as("keep"))
-
+    * [[semDedupVerdictsLshAuto]] — same verdict law, banded
+    * candidates with bandBits sized to the cluster — rather than
+    * widening the join. */
   def semDedupVerdicts(assigned: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, cents: DataFrame,
       minSim: Double): DataFrame = {
@@ -573,22 +591,8 @@ object Dedup {
       bands: Int = 12): DataFrame = {
     val withCent = withCentroidCos(assigned, idCol, vecCol,
       clusterCol, cents)
-    val sig = Partitioning.spread(withCent)
-      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
-        col(vecCol), dim, bandBits * bands))
-    val banded = sig.select(col(idCol), col(clusterCol), explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            col("_sig").substr(b * bandBits + lit(1), lit(bandBits))
-              .as("bucket")))).as("bb"))
-      .select(col(idCol), col(clusterCol),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col(clusterCol), col(idCol).as("_id_a"),
-        col("band"), col("bucket"))
-      .join(banded.select(col(clusterCol), col(idCol).as("_id_b"),
-        col("band"), col("bucket")), Seq(clusterCol, "band", "bucket"))
-      .where(col("_id_a") < col("_id_b"))
-      .select(col("_id_a"), col("_id_b")).distinct()
+    val cand = bandedCandidatePairs(withCent, idCol, vecCol, dim,
+      bandBits, bands, Seq(clusterCol))
     val a = withCent.select(col(idCol).as("_id_a"),
       col(vecCol).as("_vec_a"), col("cent_cos").as("_cc_a"))
     val b = withCent.select(col(idCol).as("_id_b"),
@@ -600,6 +604,28 @@ object Dedup {
         col("_id_a")).otherwise(col("_id_b")).as(idCol))
       .distinct()
     verdictFrame(withCent, beaten, idCol, clusterCol)
+  }
+
+  /** [[semDedupVerdictsLsh]] with bandBits sized to the LARGEST
+    * cluster by [[lshSizing]]. This sizing is what makes the LSH
+    * face actually beat the exact face: at FIXED bandBits the
+    * expected random collisions per cluster are bands·m²/2^bandBits
+    * — still Θ(m²·d) with a worse constant than the exact pairwise,
+    * at every m. bandBits must grow ∝ ln m (the [[lshSizing]] law,
+    * shared with [[embeddingNearDupLshAuto]]) for the banding to
+    * pay. One per-cluster count + max (setup-time driver state,
+    * kmeansIvf style); callers with catalog stats pass
+    * `maxClusterSize` to skip the scan. */
+  def semDedupVerdictsLshAuto(assigned: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, cents: DataFrame,
+      minSim: Double, dim: Int, bands: Int = 12,
+      budget: Double = 1000.0,
+      maxClusterSize: Option[Long] = None): DataFrame = {
+    val m = maxClusterSize.getOrElse(
+      assigned.groupBy(col(clusterCol)).count()
+        .agg(max(col("count"))).collect()(0).getLong(0))
+    semDedupVerdictsLsh(assigned, idCol, vecCol, clusterCol, cents,
+      minSim, dim, lshSizing(m, bands, 0.5, budget), bands)
   }
 
   /** Cross-snapshot incremental dedup, exact path: which BATCH

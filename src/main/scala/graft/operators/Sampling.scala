@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Deterministic sampling and split assignment for training-data
   * pipelines (beyond-reference scale operators): membership is a pure
   * function of (salt, id) — reproducible across runs, clusters, and
-  * engines, with NO shuffle (a narrow filter/projection that predicate
-  * pushdown can reach) and no RDD-level sampler state.
+  * engines, with no RDD-level sampler state. The FRACTION-based
+  * operators (sample / stratifiedSample / temperature* / assignSplit)
+  * are shuffle-free narrow filters that predicate pushdown can reach;
+  * [[capPerStratum]] alone is rank-based and pays one window shuffle
+  * on the stratum key (a count cap cannot be decided row-locally).
   *
   * The mechanism: the first 8 hex chars of md5("{salt}:{id}") are a
   * uniform 32-bit draw; LOWERCASE fixed-width hex compares
