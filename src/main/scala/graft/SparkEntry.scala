@@ -4540,6 +4540,14 @@ object SparkEntry {
       "doc_id", "text", prior, m = 4096, k = 3)
   }
 
+  /** Exact-substring span REMOVAL (Dedup.removeSharedSpans, Lee et
+    * al. 2022): every token covered by an 8-gram that also occurs in
+    * a smaller-id document is deleted and the survivors re-joined —
+    * the oracle replays the owner-join + coverage-window law
+    * verbatim, so clean_text must match character-for-character. */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSharedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4745,7 +4753,8 @@ object SparkEntry {
     "q196_dsir_resample" -> q196 _,
     "q197_snapshot_dedup" -> q197 _,
     "q198_balance_cap" -> q198 _,
-    "q199_semdedup_lsh" -> q199 _)
+    "q199_semdedup_lsh" -> q199 _,
+    "q200_remove_spans" -> q200 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7807,7 +7816,34 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30)
          |SELECT w.vec_id, w.label, round(w.cent_cos, 6) AS cent_cos,
          |       (beat.vec_id IS NULL) AS keep
-         |FROM w LEFT JOIN beat ON w.vec_id = beat.vec_id""".stripMargin)
+         |FROM w LEFT JOIN beat ON w.vec_id = beat.vec_id""".stripMargin,
+
+    "q200_remove_spans" ->
+      // ExactSubstr keep-first law: gram → min-id owner, coverage
+      // windows [pos, pos+8) on later docs, survivors re-joined.
+      // Zipped unnests pair each position with its gram; docs
+      // shorter than 8 tokens produce no g rows and pass untouched.
+      s"""WITH t AS (SELECT doc_id, $allToksSql AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(generate_series(0, len(ws) - 8)) AS pos0,
+         |  unnest(list_transform(generate_series(0, len(ws) - 8),
+         |    i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
+         |  FROM t),
+         |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+         |cov AS (SELECT g.doc_id, list(DISTINCT pos0) AS starts
+         |  FROM g JOIN o USING (gram) WHERE g.doc_id > o.owner
+         |  GROUP BY g.doc_id),
+         |r AS (SELECT t.doc_id, ws, coalesce(starts, []) AS starts
+         |  FROM t LEFT JOIN cov USING (doc_id)),
+         |k AS (SELECT doc_id, ws,
+         |  list_filter(generate_series(0, len(ws) - 1),
+         |    p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS kept
+         |  FROM r)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
+         |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
+         |    '') AS clean_text
+         |FROM k""".stripMargin)
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

@@ -628,6 +628,61 @@ object Dedup {
       minSim, dim, lshSizing(m, bands, 0.5, budget), bands)
   }
 
+  /** Exact-substring span REMOVAL (Lee et al. 2022,
+    * arXiv:2107.06499 "ExactSubstr": deduplicating training data by
+    * deleting the repeated substring, not the document). The law,
+    * token-level and keep-first: an n-gram occurrence at position p
+    * of doc d is a duplicate iff the same n-gram occurs in ANY doc
+    * with a smaller id (the first doc keeps all its occurrences,
+    * including its own internal repeats — the deterministic
+    * cross-document form of the paper's rule); every token covered
+    * by a duplicate occurrence's [p, p+n) window is dropped, and the
+    * survivors re-join in order. [[winnowSpanPairs]] DETECTS shared
+    * spans by fingerprint sampling; this face REMOVES them exactly.
+    *
+    * Scale (100 TB): the paper builds a suffix array on one machine;
+    * the distributed shape is two keyed shuffles — the gram→min-id
+    * owner aggregate (map-side combinable, one row per DISTINCT
+    * gram) and the per-doc coverage aggregate. The owner join is
+    * 1:1 per occurrence (never a pair explosion — unlike similarity
+    * self-joins there is no df² term, so boilerplate grams cost
+    * their occurrence count, nothing more). Coverage marking and
+    * text rebuild are per-row HOFs after the join.
+    *
+    * Output: (idCol, n_tokens, n_dropped, clean_text). */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      coalesce(TextFunctions.allTokens(col(textCol)),
+        array().cast("array<string>")).as("ws"))
+    val grams = toks.select(col(idCol),
+      posexplode(QualityFilters.wordNgrams(col("ws"), n))
+        .as(Seq("pos0", "gram")))
+    val owners = grams.groupBy(col("gram"))
+      .agg(min(col(idCol)).as("_owner"))
+    val cov = grams.join(owners, Seq("gram"))
+      .where(col(idCol) > col("_owner"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos0")).as("starts"))
+    toks.join(cov, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("_kept",
+        // guarded: sequence(0, -1) DESCENDS in Spark ([0, -1]), so an
+        // empty token array must short-circuit before element_at(ws, 0)
+        // trips ANSI's 1-based index check
+        when(size(col("ws")) > 0,
+          filter(sequence(lit(0), size(col("ws")) - 1), p =>
+            !exists(col("_starts"), s => s <= p && p < s + n)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("_kept"))).cast("long")
+          .as("n_dropped"),
+        array_join(transform(col("_kept"),
+          p => element_at(col("ws"), p + 1)), " ").as("clean_text"))
+  }
+
   /** Cross-snapshot incremental dedup, exact path: which BATCH
     * documents are NEW against a prior corpus snapshot's fingerprint
     * set — one anti join on the normalized-content fingerprint
