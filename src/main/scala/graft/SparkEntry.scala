@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Partitioning
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Chunker, CorpusArtifacts, Dedup, Entities, Search, Sessionize, SimilaritySearch}
+import graft.operators.{Bpe, Chunker, CorpusArtifacts, Dedup, Entities, Search, Sessionize, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -4548,6 +4548,30 @@ object SparkEntry {
   private def q200(s: SparkSession, dir: String): DataFrame =
     Dedup.removeSharedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
 
+  /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
+    * 12 merges learned over the corpus word-frequency table with the
+    * pinned deterministic tie-break — the oracle unrolls the same 12
+    * rounds as recursive CTEs, so every rank/pair/count must agree,
+    * including merges of previously-merged symbols. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val (merges, symtab) =
+      Bpe.learnMerges(Bpe.wordFreqs(t(s, dir, "documents"), "text"), 12)
+    symtab.unpersist()
+    Bpe.mergeTable(s, merges)
+  }
+
+  /** BPE encoding via the trained dictionary join (Bpe.encode): the
+    * word-memoization deployment path — per-doc word and subword
+    * totals against the 12-merge symbol table q201 learns. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (_, symtab) = Bpe.learnMerges(Bpe.wordFreqs(docs, "text"), 12)
+    val out = Bpe.encode(docs, "doc_id", "text", symtab)
+    // materialized by the caller's action; the symtab cache is tiny
+    // (vocabulary-sized) and dies with the session either way
+    out
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4754,7 +4778,9 @@ object SparkEntry {
     "q197_snapshot_dedup" -> q197 _,
     "q198_balance_cap" -> q198 _,
     "q199_semdedup_lsh" -> q199 _,
-    "q200_remove_spans" -> q200 _)
+    "q200_remove_spans" -> q200 _,
+    "q201_bpe_merges" -> q201 _,
+    "q202_bpe_encode" -> q202 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7843,7 +7869,67 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
          |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
          |    '') AS clean_text
-         |FROM k""".stripMargin)
+         |FROM k""".stripMargin,
+
+    "q201_bpe_merges" ->
+      (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +
+        (1 to 12).map(r =>
+          s"SELECT $r AS merge_rank, l AS lhs, r2 AS rhs, " +
+            s"l || r2 AS merged, cnt FROM b$r")
+          .mkString("\nUNION ALL ")),
+
+    "q202_bpe_encode" ->
+      (s"WITH RECURSIVE ${bpeOracleCtes(12)},\n" +
+        s"""words AS (SELECT doc_id, unnest($allToksSql) AS word
+           |  FROM documents)
+           |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+           |  CAST(count(*) AS BIGINT) AS n_words
+           |FROM words JOIN w12 USING (word) GROUP BY doc_id""".stripMargin))
+
+  /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
+    * the word-frequency symbol table; each round r counts adjacent
+    * pairs (p_r), argmaxes with the pinned tie-break (b_r), and
+    * applies the merge by REPEATED-LEFTMOST recursion (m_r) — which
+    * equals the Spark side's greedy left-to-right fold because a
+    * round's merged symbol can never recreate its own pair (see
+    * Bpe.scala's scaladoc). w_r keeps each word's fixpoint row.
+    * CTEs are MATERIALIZED: DuckDB otherwise inlines every reference
+    * and the 12-round chain re-scans the parquet exponentially. */
+  private def bpeOracleCtes(m: Int): String = {
+    val seed = Seq(
+      s"""wf AS MATERIALIZED (SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest($allToksSql) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin,
+      """w0 AS MATERIALIZED (SELECT word, freq,
+        |  list_transform(generate_series(1, len(word)),
+        |    i -> CASE WHEN i = len(word) THEN word[i:i] || '</w>'
+        |         ELSE word[i:i] END) AS syms FROM wf)""".stripMargin)
+    val rounds = (1 to m).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""p$r AS MATERIALIZED (SELECT l, r2,
+           |  CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+           |         unnest(syms[2:len(syms)]) AS r2
+           |  FROM w$p WHERE len(syms) > 1) GROUP BY l, r2)""".stripMargin,
+        s"""b$r AS MATERIALIZED (SELECT l, r2, cnt FROM p$r
+           |  ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1)""".stripMargin,
+        s"""m$r AS (
+           |  SELECT word, freq, syms FROM w$p
+           |  UNION ALL
+           |  SELECT word, freq, syms[1:i-1] || [syms[i] || syms[i+1]]
+           |    || syms[i+2:len(syms)] AS syms
+           |  FROM (SELECT word, freq, syms,
+           |      list_filter(generate_series(1, len(syms)-1),
+           |        i -> syms[i] = b.l AND syms[i+1] = b.r2)[1] AS i
+           |    FROM m$r, b$r b)
+           |  WHERE i IS NOT NULL)""".stripMargin,
+        s"""w$r AS MATERIALIZED (SELECT word, freq, syms FROM m$r, b$r b
+           |  WHERE len(list_filter(generate_series(1, len(syms)-1),
+           |    i -> syms[i] = b.l AND syms[i+1] = b.r2)) = 0)""".stripMargin)
+    }
+    (seed ++ rounds).mkString(",\n")
+  }
 
   /** DuckDB twin of the q193 add-α bigram NLL pipeline
     * (LmQuality.nllScore over the doc_id % 10 = 0 reference slice),

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Bpe
+
+/** BPE tokenizer training (operators.Bpe — q201/q202's operator,
+  * Sennrich et al. 2016): merge order on a hand-computed corpus, the
+  * greedy non-overlap law on repeated symbols, the pinned tie-break,
+  * pair exhaustion, and OOV replay ≡ dictionary join. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def learn(texts: Seq[String], m: Int) = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.learnMerges(Bpe.wordFreqs(df, "text"), m)
+  }
+
+  test("hand corpus: merges follow weighted pair counts, and later " +
+      "rounds merge previously-merged symbols") {
+    // freq: low×3, lowest×2 → pairs: (l,o)=5 (o,w</w>)=3 (o,w)=2
+    // (w,e)=2 (e,s)=2 (s,t</w>)=2 ... round 1: (l,o) count 5.
+    // round 2 ties at 3: (lo,w</w>) vs nothing else — "low" is now
+    // [lo, w</w>]; "lowest" is [lo, w, e, s, t</w>].
+    val (ms, symtab) = learn(Seq("low low low lowest lowest"), 3)
+    try {
+      assert(ms.map(m => (m.lhs, m.rhs, m.cnt)).take(2) ===
+        Seq(("l", "o", 5L), ("lo", "w</w>", 3L)))
+      assert(ms(2).lhs === "lo" || ms(2).cnt === 2L)
+      val syms = symtab.where(col("word") === "low")
+        .select("syms").head().getSeq[String](0)
+      assert(syms === Seq("low</w>"))
+    } finally symtab.unpersist()
+  }
+
+  test("greedy left-to-right non-overlap: 'aaaa' under merge (a,a) " +
+      "becomes [aa, aa, ...], never re-consuming a merged right") {
+    val (ms, symtab) = learn(Seq("aaaa aaaa aaaa"), 1)
+    try {
+      assert((ms.head.lhs, ms.head.rhs) === ("a", "a"))
+      // symbols of "aaaa": a a a a</w> → pairs (a,a)x2 + (a,a</w>)
+      // merge (a,a): greedy → [aa, aa</w>]? no — last symbol is
+      // a</w>, so → [aa, a, a</w>]
+      val syms = symtab.select("syms").head().getSeq[String](0)
+      assert(syms === Seq("aa", "a", "a</w>"))
+    } finally symtab.unpersist()
+  }
+
+  test("tie-break is deterministic: equal counts resolve by " +
+      "lexicographic (lhs, rhs) ascending") {
+    // "zy" and "ab" each once → pairs (z,y</w>)=1, (a,b</w>)=1;
+    // round 1 must pick (a,b</w>)
+    val (ms, symtab) = learn(Seq("zy ab"), 1)
+    try assert((ms.head.lhs, ms.head.rhs) === ("a", "b</w>"))
+    finally symtab.unpersist()
+  }
+
+  test("pair exhaustion stops early instead of looping") {
+    // single 1-char word → zero adjacent pairs ever
+    val (ms, symtab) = learn(Seq("a a a"), 5)
+    try assert(ms.isEmpty)
+    finally symtab.unpersist()
+  }
+
+  test("OOV replay (replaySymbols) equals the dictionary path on " +
+      "every in-vocab word of a real slice") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val (ms, symtab) = Bpe.learnMerges(Bpe.wordFreqs(docs, "text"), 8)
+    try {
+      val replayed = symtab.select(col("word"), col("syms"),
+        Bpe.replaySymbols(col("word"), ms).as("replay"))
+      val diff = replayed.where(col("syms") =!= col("replay")).count()
+      assert(diff === 0L, "runtime-fold replay must equal the table")
+    } finally symtab.unpersist()
+  }
+
+  test("encode: per-doc subword/word totals are exact on a hand corpus") {
+    val df = Seq((1L, "low low lowest"), (2L, "low"))
+      .toDF("doc_id", "text")
+    val (_, symtab) = Bpe.learnMerges(Bpe.wordFreqs(df, "text"), 2)
+    try {
+      // after (l,o) and (lo,w</w>): low → [low</w>] (1 subword),
+      // lowest → [lo, w, e, s, t</w>] (5 subwords)
+      val out = Bpe.encode(df, "doc_id", "text", symtab)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(out(1L) === ((1L + 1L + 5L, 3L)))
+      assert(out(2L) === ((1L, 1L)))
+    } finally symtab.unpersist()
+  }
+}
