@@ -4572,6 +4572,20 @@ object SparkEntry {
     out
   }
 
+  /** Cross-snapshot NEAR-dup (Dedup.nearDupAgainstSnapshot): q197's
+    * continuous-ingest posture with MinHash-LSH candidates — batch
+    * (doc_id ≥ 250) against the prior snapshot's persisted bucket +
+    * shingle indexes. The oracle replays the identical md5 banding
+    * (q18's law), so the deterministic LSH misses are REPRODUCED. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prior = docs.where(col("doc_id") < 250 || col("doc_id") % 5 === 0)
+    Dedup.nearDupAgainstSnapshot(
+      docs.where(col("doc_id") >= 250), "doc_id", "text",
+      Dedup.lshBuckets(prior, "doc_id", "text"), "doc_id",
+      Dedup.shingleIndex(prior, "doc_id", "text"), minSim = 0.5)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4780,7 +4794,8 @@ object SparkEntry {
     "q199_semdedup_lsh" -> q199 _,
     "q200_remove_spans" -> q200 _,
     "q201_bpe_merges" -> q201 _,
-    "q202_bpe_encode" -> q202 _)
+    "q202_bpe_encode" -> q202 _,
+    "q203_snapshot_neardup" -> q203 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7884,7 +7899,55 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
            |  FROM documents)
            |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
            |  CAST(count(*) AS BIGINT) AS n_words
-           |FROM words JOIN w12 USING (word) GROUP BY doc_id""".stripMargin))
+           |FROM words JOIN w12 USING (word) GROUP BY doc_id""".stripMargin),
+
+    "q203_snapshot_neardup" ->
+      // q18's md5 banding replayed per side (prior/batch), candidate
+      // (band, bucket) join, exact Jaccard over the shingle indexes,
+      // matches >= 0.5 rolled up per batch doc; one exact-integer
+      // division per pair keeps the float bit-identical
+      s"""WITH pd AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 250 OR doc_id % 5 = 0),
+         |bd AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 250),
+         |pe AS MATERIALIZED (SELECT doc_id, unnest($shinglesSql) AS g FROM pd),
+         |be AS MATERIALIZED (SELECT doc_id, unnest($shinglesSql) AS g FROM bd),
+         |ph AS (SELECT doc_id, k,
+         |  MIN(substr(md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || ':' || g),
+         |      CAST(k % 4 AS INT) * 8 + 1, 8)) AS mh
+         |  FROM pe CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
+         |pb AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
+         |  md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' ||
+         |      string_agg(mh, '|' ORDER BY k)) AS bucket
+         |  FROM ph GROUP BY doc_id, CAST(floor(k / 4) AS INT)),
+         |bh AS (SELECT doc_id, k,
+         |  MIN(substr(md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || ':' || g),
+         |      CAST(k % 4 AS INT) * 8 + 1, 8)) AS mh
+         |  FROM be CROSS JOIN generate_series(0, 15) t(k) GROUP BY doc_id, k),
+         |bb AS (SELECT doc_id, CAST(floor(k / 4) AS INT) AS band,
+         |  md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || '|' ||
+         |      string_agg(mh, '|' ORDER BY k)) AS bucket
+         |  FROM bh GROUP BY doc_id, CAST(floor(k / 4) AS INT)),
+         |cand AS (SELECT DISTINCT bb.doc_id AS bid, pb.doc_id AS pid
+         |  FROM bb JOIN pb USING (band, bucket)),
+         |nb AS (SELECT doc_id, count(*) AS n_b FROM be GROUP BY doc_id),
+         |np AS (SELECT doc_id, count(*) AS n_p FROM pe GROUP BY doc_id),
+         |i AS (SELECT cand.bid, cand.pid, count(*) AS n_common
+         |  FROM cand JOIN be ON be.doc_id = cand.bid
+         |            JOIN pe ON pe.doc_id = cand.pid AND pe.g = be.g
+         |  GROUP BY cand.bid, cand.pid),
+         |m AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_matches,
+         |    max(j) AS best FROM (
+         |  SELECT i.bid, CAST(n_common AS DOUBLE) /
+         |    CAST(n_b + n_p - n_common AS DOUBLE) AS j
+         |  FROM i JOIN nb ON nb.doc_id = i.bid
+         |         JOIN np ON np.doc_id = i.pid)
+         |  WHERE j >= 0.5 GROUP BY bid)
+         |SELECT bd.doc_id,
+         |  coalesce(n_matches, 0) AS n_matches,
+         |  round(coalesce(best, 0.0), 6) AS best_jaccard,
+         |  coalesce(n_matches > 0, false) AS is_near_dup
+         |FROM bd LEFT JOIN m ON m.bid = bd.doc_id""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

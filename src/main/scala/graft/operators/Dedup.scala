@@ -747,6 +747,57 @@ object Dedup {
     definitelyNew.unionByName(candidates)
   }
 
+  /** Cross-snapshot NEAR-dup verdicts — the MinHash-LSH face of
+    * [[newAgainstSnapshotBloom]]'s exact law: which BATCH documents
+    * are near-duplicates (exact shingle Jaccard ≥ minSim) of ANY
+    * prior-snapshot document, with candidates generated by the
+    * (band, bucket) join between the batch's LSH buckets and the
+    * prior snapshot's PERSISTED bucket index. In steady state both
+    * prior artifacts (`priorBuckets` = (id, band, bucket),
+    * `priorShingles` = (id, shingle)) live with the snapshot and
+    * only append each day's delta — never rebuilt — so a day's
+    * near-dup check costs the batch's own hashing plus joins whose
+    * mass is bucket-collision-bounded, not |batch|×|corpus|. LSH
+    * misses are deterministic (same md5 law as q18), so the oracle
+    * REPLAYS them rather than tolerating them.
+    *
+    * Output: one row per batch doc — (idCol, n_matches, best_jaccard
+    * [0.0 when none, rounded 6], is_near_dup). */
+  def nearDupAgainstSnapshot(batch: DataFrame, idCol: String,
+      textCol: String, priorBuckets: DataFrame, priorIdCol: String,
+      priorShingles: DataFrame, minSim: Double, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bBk = lshBuckets(batch, idCol, textCol, n, numHashes, bands)
+      .select(col(idCol).as("_bid"), col("band"), col("bucket"))
+    val cand = bBk
+      .join(priorBuckets.select(col(priorIdCol).as("_pid"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("_bid"), col("_pid")).distinct()
+    val bIdx = shingleIndex(batch, idCol, textCol, n)
+    val nB = bIdx.groupBy(col(idCol).as("_bid"))
+      .agg(count(lit(1)).as("_n_b"))
+    val nP = priorShingles.groupBy(col(priorIdCol).as("_pid"))
+      .agg(count(lit(1)).as("_n_p"))
+    val inter = cand
+      .join(bIdx.select(col(idCol).as("_bid"), col("shingle")), Seq("_bid"))
+      .join(priorShingles.select(col(priorIdCol).as("_pid"),
+        col("shingle")), Seq("_pid", "shingle"))
+      .groupBy(col("_bid"), col("_pid"))
+      .agg(count(lit(1)).as("_n_common"))
+    val matches = inter.join(nB, Seq("_bid")).join(nP, Seq("_pid"))
+      .withColumn("_jaccard", col("_n_common").cast("double") /
+        (col("_n_b") + col("_n_p") - col("_n_common")).cast("double"))
+      .where(col("_jaccard") >= minSim)
+      .groupBy(col("_bid"))
+      .agg(count(lit(1)).as("n_matches"), max(col("_jaccard")).as("_best"))
+    batch.select(col(idCol)).distinct()
+      .join(matches.withColumnRenamed("_bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        round(coalesce(col("_best"), lit(0.0)), 6).as("best_jaccard"),
+        coalesce(col("n_matches") > 0, lit(false)).as("is_near_dup"))
+  }
+
   /** The production SemDeDup entry: k-means clusters via
     * [[SimilaritySearch.kmeansIvf]] (broadcast-centroid Lloyd passes,
     * codegen'd argmax assignment), then the [[semDedupVerdicts]] law

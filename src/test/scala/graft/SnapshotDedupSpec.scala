@@ -68,4 +68,48 @@ class SnapshotDedupSpec extends AnyFunSuite {
       s"prune must cut the probe side: positives=$positives dups=$dups " +
         s"batch=$batchN")
   }
+
+  test("near-dup face: an exact cross-snapshot duplicate is always a " +
+      "candidate (identical signature → identical buckets) and " +
+      "verdicts 1.0; unrelated and null-text batch docs verdict false") {
+    val prior = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different prior material about spark shuffles"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // == doc 1
+      (11L, "unrelated batch prose concerning parquet readers only"),
+      (12L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainstSnapshot(batch, "doc_id", "text",
+        Dedup.lshBuckets(prior, "doc_id", "text"), "doc_id",
+        Dedup.shingleIndex(prior, "doc_id", "text"), minSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(10L) === ((1L, 1.0, true)))
+    assert(out(11L) === ((0L, 0.0, false)))
+    assert(out(12L) === ((0L, 0.0, false)))
+  }
+
+  test("near-dup face at sf0.001: every exact cross-snapshot dup " +
+      "(the q197 complement) is flagged with best_jaccard 1.0, and " +
+      "every flagged doc has a candidate-verified match >= minSim") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val prior = docs.where(col("doc_id") < 250 || col("doc_id") % 5 === 0)
+    val batch = docs.where(col("doc_id") >= 250)
+    val stillNew = ids(Dedup.newAgainstSnapshot(batch, "doc_id", "text",
+      prior.select(TextFunctions.fingerprint(col("text")).as("fingerprint"))))
+    val verdicts = Dedup.nearDupAgainstSnapshot(batch, "doc_id", "text",
+        Dedup.lshBuckets(prior, "doc_id", "text"), "doc_id",
+        Dedup.shingleIndex(prior, "doc_id", "text"), minSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val exactDups = verdicts.keySet.diff(stillNew)
+    assert(exactDups.nonEmpty, "the split is known to straddle dups")
+    exactDups.foreach { id =>
+      assert(verdicts(id) === ((1.0, true)),
+        s"exact dup $id must be a 1.0 near-dup")
+    }
+    assert(verdicts.values.count(_._2) >= exactDups.size)
+  }
 }
