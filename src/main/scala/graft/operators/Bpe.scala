@@ -28,6 +28,17 @@ import graft.functions.TextFunctions
   *     from-scratch replay ([[replaySymbols]]) covers OOV words and
   *     is spec-pinned equal to the table path on in-vocab words.
   *
+  * Merge-count posture at scale: each round costs one vocab-sized
+  * aggregation (sub-second at sf1's ~50k-word vocabulary, measured
+  * SCALING.md addendum 9), so a production 32k-merge vocabulary is
+  * hours over a 100 TB corpus's ~10⁸-word table. The published
+  * practice is the answer, not a bigger cluster: tokenizers train on
+  * a bounded DETERMINISTIC SAMPLE (SentencePiece defaults to 10⁷
+  * sentences) — compose [[graft.operators.Sampling]]'s salted draw
+  * in front of [[wordFreqs]] — while the corpus-sized work stays in
+  * [[encode]]'s dictionary join, which is one pass however many
+  * merges were trained.
+  *
   * Symbols follow the paper: characters, with `</w>` appended to the
   * word-final character so word-internal and word-final units are
   * distinct mergeable symbols. A merged symbol is the concatenation

@@ -665,15 +665,23 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("pos0")).as("starts"))
     toks.join(cov, Seq(idCol), "left")
-      .withColumn("_starts",
-        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("_covered",
+        // expand windows to the covered-position set: |starts|·n
+        // elements, bounded by n·len. array_except then drops them
+        // with a HASH-SET probe — linear in len — where a
+        // per-position exists() over starts would be O(len·|starts|),
+        // quadratic on a heavily-duplicated long document
+        flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          s => sequence(s, s + n - 1))))
       .withColumn("_kept",
         // guarded: sequence(0, -1) DESCENDS in Spark ([0, -1]), so an
         // empty token array must short-circuit before element_at(ws, 0)
-        // trips ANSI's 1-based index check
+        // trips ANSI's 1-based index check; array_except keeps the
+        // left array's (ascending) order
         when(size(col("ws")) > 0,
-          filter(sequence(lit(0), size(col("ws")) - 1), p =>
-            !exists(col("_starts"), s => s <= p && p < s + n)))
+          array_except(sequence(lit(0), size(col("ws")) - 1),
+            col("_covered")))
           .otherwise(array().cast("array<int>")))
       .select(col(idCol),
         size(col("ws")).cast("long").as("n_tokens"),
@@ -760,6 +768,11 @@ object Dedup {
     * mass is bucket-collision-bounded, not |batch|×|corpus|. LSH
     * misses are deterministic (same md5 law as q18), so the oracle
     * REPLAYS them rather than tolerating them.
+    *
+    * `n` must equal the shingle size BOTH prior artifacts were built
+    * with — a mismatched batch-side n silently deflates every
+    * candidate's Jaccard (disjoint shingle vocabularies), it does
+    * not error.
     *
     * Output: one row per batch doc — (idCol, n_matches, best_jaccard
     * [0.0 when none, rounded 6], is_near_dup). */
