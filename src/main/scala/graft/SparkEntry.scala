@@ -4586,6 +4586,20 @@ object SparkEntry {
       Dedup.shingleIndex(prior, "doc_id", "text"), minSim = 0.5)
   }
 
+  /** The tokenize-then-pack tail of a data release (Bpe.encode →
+    * Packing.concatChop): training sequences budgeted by the TRAINED
+    * tokenizer's subword counts, not whitespace words — 4 shards,
+    * 512-subword sequences over the q201 vocabulary. All-integer
+    * law; the oracle chains the BPE CTEs into the packing window. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    val docs = t(s, dir, "documents")
+    val (_, symtab) = Bpe.learnMerges(Bpe.wordFreqs(docs, "text"), 12)
+    Packing.concatChop(
+      Bpe.encode(docs, "doc_id", "text", symtab),
+      "doc_id", "n_subwords", pmod(col("doc_id"), lit(4)), 512L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4795,7 +4809,8 @@ object SparkEntry {
     "q200_remove_spans" -> q200 _,
     "q201_bpe_merges" -> q201 _,
     "q202_bpe_encode" -> q202 _,
-    "q203_snapshot_neardup" -> q203 _)
+    "q203_snapshot_neardup" -> q203 _,
+    "q204_bpe_packing" -> q204 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7947,7 +7962,28 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  coalesce(n_matches, 0) AS n_matches,
          |  round(coalesce(best, 0.0), 6) AS best_jaccard,
          |  coalesce(n_matches > 0, false) AS is_near_dup
-         |FROM bd LEFT JOIN m ON m.bid = bd.doc_id""".stripMargin)
+         |FROM bd LEFT JOIN m ON m.bid = bd.doc_id""".stripMargin,
+
+    "q204_bpe_packing" ->
+      // q202's encode chained into the q187 packing window law —
+      // exact integers end to end (cum sums cast out of HUGEINT)
+      (s"WITH RECURSIVE ${bpeOracleCtes(12)},\n" +
+        s"""words AS (SELECT doc_id, unnest($allToksSql) AS word
+           |  FROM documents),
+           |enc AS (SELECT doc_id,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords
+           |  FROM words JOIN w12 USING (word) GROUP BY doc_id),
+           |cm AS (SELECT doc_id, doc_id % 4 AS shard, n_subwords,
+           |  sum(n_subwords) OVER (PARTITION BY doc_id % 4
+           |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM enc)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           |  n_subwords AS n_tokens,
+           |  CAST(cum - n_subwords AS BIGINT) AS start,
+           |  CAST((cum - n_subwords) // 512 AS BIGINT) AS seq_first,
+           |  CAST(CASE WHEN n_subwords > 0 THEN (cum - 1) // 512
+           |    ELSE (cum - n_subwords) // 512 END AS BIGINT) AS seq_last
+           |FROM cm""".stripMargin))
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.operators.Bpe
 
@@ -76,6 +76,29 @@ class BpeSpec extends AnyFunSuite {
         Bpe.replaySymbols(col("word"), ms).as("replay"))
       val diff = replayed.where(col("syms") =!= col("replay")).count()
       assert(diff === 0L, "runtime-fold replay must equal the table")
+    } finally symtab.unpersist()
+  }
+
+  test("encode composes into packing (the q204 law): subword-budgeted " +
+      "chop boundaries are exact on a hand corpus") {
+    val df = Seq((0L, "low low lowest"), (2L, "low lowest lowest"),
+      (4L, "lowest")).toDF("doc_id", "text")   // one shard (all even)
+    val (_, symtab) = graft.operators.Bpe.learnMerges(
+      graft.operators.Bpe.wordFreqs(df, "text"), 2)
+    try {
+      // freqs low×3 lowest×4 → round 1 (l,o)=7; round 2 ties at 4
+      // and lex-asc picks (e,s): low=[lo,w</w>]=2, lowest=[lo,w,es,t</w>]=4
+      val out = graft.operators.Packing.concatChop(
+          graft.operators.Bpe.encode(df, "doc_id", "text", symtab),
+          "doc_id", "n_subwords", pmod(col("doc_id"), lit(2)), 8L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // doc 0: 2+2+4=8 subwords at start 0 → tokens 0..7, seqs 0..0
+      // doc 2: 2+4+4=10 at start 8 → tokens 8..17, seqs 1..2
+      // doc 4: 4 at start 18 → tokens 18..21, seqs 2..2
+      assert(out(0L) === ((0L, 0L, 0L)))
+      assert(out(2L) === ((8L, 1L, 2L)))
+      assert(out(4L) === ((18L, 2L, 2L)))
     } finally symtab.unpersist()
   }
 
