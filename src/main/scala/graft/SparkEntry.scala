@@ -4600,6 +4600,29 @@ object SparkEntry {
       "doc_id", "n_subwords", pmod(col("doc_id"), lit(4)), 512L)
   }
 
+  /** Count-Min Sketch point estimates (Sketch.cmsCounters /
+    * cmsEstimate, d=3 w=1024) over the corpus BM25 token stream,
+    * probed with the shared query terms plus two absent terms —
+    * estimates never under-count (est ≥ n_true pinned by the oracle
+    * replaying the identical counters, collisions and all). */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(TextFunctions.bm25Tokens(col("text"))).as("tok"))
+    val counters = toks.agg(
+      graft.functions.Sketch.cmsCounters(col("tok"), 3, 1024).as("cms"))
+    val probes = (bm25QueryTerms ++ Seq("zzzabsent", "qqqmissing"))
+      .toDF("term")
+    val exact = toks.groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("n_true"))
+    probes.crossJoin(broadcast(counters))
+      .select(col("term"), graft.functions.Sketch
+        .cmsEstimate(col("cms"), col("term"), 3, 1024).cast("long").as("est"))
+      .join(exact, Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4810,7 +4833,8 @@ object SparkEntry {
     "q201_bpe_merges" -> q201 _,
     "q202_bpe_encode" -> q202 _,
     "q203_snapshot_neardup" -> q203 _,
-    "q204_bpe_packing" -> q204 _)
+    "q204_bpe_packing" -> q204 _,
+    "q205_cms_counts" -> q205 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -7983,7 +8007,34 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
            |  CAST((cum - n_subwords) // 512 AS BIGINT) AS seq_first,
            |  CAST(CASE WHEN n_subwords > 0 THEN (cum - 1) // 512
            |    ELSE (cum - n_subwords) // 512 END AS BIGINT) AS seq_last
-           |FROM cm""".stripMargin))
+           |FROM cm""".stripMargin),
+
+    "q205_cms_counts" -> {
+      // the same d=3 rows × w=1024 counters, rebuilt relationally:
+      // per-(row, bucket) counts; a probe's estimate = min over its
+      // three buckets' counts (0 when a bucket is empty)
+      def bkt(itemSql: String, i: Int) =
+        s"(${md5HexValSql(s"'$i:' || $itemSql", 12)}) % 1024"
+      val probeList = (bm25QueryTerms ++ Seq("zzzabsent", "qqqmissing"))
+        .map(tm => s"('$tm')").mkString(", ")
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT CAST(i AS INT) AS i,
+         |    CASE CAST(i AS INT) WHEN 0 THEN ${bkt("tok", 0)}
+         |      WHEN 1 THEN ${bkt("tok", 1)}
+         |      ELSE ${bkt("tok", 2)} END AS b,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM t CROSS JOIN range(0, 3) r(i) GROUP BY 1, 2),
+         |p AS (SELECT term FROM (VALUES $probeList) v(term)),
+         |pe AS (SELECT term, unnest([0, 1, 2]) AS i,
+         |  unnest([${bkt("term", 0)}, ${bkt("term", 1)},
+         |          ${bkt("term", 2)}]) AS b FROM p),
+         |e AS (SELECT term, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+         |  FROM pe LEFT JOIN c USING (i, b) GROUP BY term),
+         |tr AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM t GROUP BY tok)
+         |SELECT p.term, e.est, coalesce(tr.n_true, 0) AS n_true
+         |FROM p JOIN e USING (term) LEFT JOIN tr USING (term)""".stripMargin
+    })
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -129,6 +129,65 @@ object Sketch {
   def bloomBits(c: Column, m: Int, k: Int): Column =
     udaf(BloomAgg(m, k), Encoders.STRING).apply(c)
 
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005): a d×w counter
+    * matrix — row i's bucket for an item is hash48("i:item") mod w,
+    * every matching counter increments, and a point estimate is the
+    * MIN over the d counters (never an underestimate; overestimates
+    * bounded by ‖f‖₁·e/w with probability 1−e^(−d)). The buffer is
+    * the flat d·w long array: O(d) adds per row, element-wise SUM on
+    * merge — fully merge-associative, so the aggregate is map-side
+    * combinable and partition-count invariant like [[BloomAgg]].
+    * The 100 TB posture: one CMS row summarizes a token stream's
+    * frequencies in d·w longs regardless of vocabulary size — the
+    * bounded-memory stand-in for an exact groupBy count when only
+    * point lookups / heavy-hitter checks are needed. Deterministic
+    * md5 bucketing → a DuckDB oracle replays every estimate exactly,
+    * collisions and all. Nulls are skipped (KMV/Bloom convention). */
+  final case class CmsAgg(d: Int, w: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(d > 0 && w > 0)
+    override def zero: Array[Long] = new Array[Long](d * w)
+    override def reduce(buf: Array[Long], item: String): Array[Long] = {
+      if (item != null) {
+        var i = 0
+        while (i < d) {
+          buf(i * w + (hash48(s"$i:$item") % w).toInt) += 1L
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column aggregate: flat d×w CMS counter row of a string column. */
+  def cmsCounters(c: Column, d: Int, w: Int): Column =
+    udaf(CmsAgg(d, w), Encoders.STRING).apply(c)
+
+  /** Point-frequency estimate of `item` against a [[cmsCounters]]
+    * row: min over the d per-row counters — broadcast the 1-row
+    * counter frame and probe map-side. */
+  def cmsEstimate(counters: Column, item: Column, d: Int, w: Int): Column =
+    (0 until d).map { i =>
+      org.apache.spark.sql.functions.element_at(counters,
+        (org.apache.spark.sql.functions.lit(i * w) +
+          org.apache.spark.sql.functions.pmod(
+            hash48Of(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(s"$i:"), item)),
+            org.apache.spark.sql.functions.lit(w.toLong)).cast("int") +
+          org.apache.spark.sql.functions.lit(1)).cast("int"))
+    }.reduce(org.apache.spark.sql.functions.least(_, _))
+
   /** Column API: the sketch tier's 48-bit md5 hash of a string —
     * per-row membership probes against [[bloomBits]] sets. */
   def hash48Of(c: Column): Column =

@@ -368,6 +368,37 @@ class SketchSpec extends AnyFunSuite {
       Sketch.bloomPositions(s"key$i", 1 << 20, 3).forall(p =>
         java.util.Arrays.binarySearch(bits.toArray, p) >= 0)))
   }
+
+  test("CMS: never under-counts, exact when a probe's three buckets " +
+      "are collision-free, merge/partition invariant, nulls skipped") {
+    val items = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+    def cms(parts: Int, xs: Seq[String]): Seq[Long] =
+      xs.toDF("u").repartition(parts)
+        .agg(Sketch.cmsCounters(col("u"), 3, 512)).as[Seq[Long]].head()
+    val a = cms(1, items)
+    assert(a === cms(9, scala.util.Random.shuffle(items)))
+    assert(a.sum === 3L * items.size, "each row counts every item once")
+    val withNull = (items.map(Option(_)) :+ None).toDF("u")
+      .agg(Sketch.cmsCounters(col("u"), 3, 512)).as[Seq[Long]].head()
+    assert(withNull === a)
+    // probe every key through the Column estimate against the truth
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = truth.keys.toSeq.toDF("term")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        items.toDF("u").agg(Sketch.cmsCounters(col("u"), 3, 512).as("cms"))))
+      .select(col("term"),
+        Sketch.cmsEstimate(col("cms"), col("term"), 3, 512).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS must never under-count ($t)")
+    }
+    // 300 keys in 512 buckets: some single-row collisions are
+    // expected, but the MIN over 3 independent rows should leave most
+    // probes exact — and any inflation stays bounded in practice
+    val exactCnt = truth.count { case (t, n) => est(t) == n }
+    assert(exactCnt >= truth.size * 8 / 10,
+      s"min-of-3 should de-collide most probes: $exactCnt/${truth.size}")
+  }
 }
 
 class AsOfJoinSpec extends AnyFunSuite {
