@@ -128,6 +128,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L).endsWith("mail me <EMAIL> now"))
   }
 
+  test("CMS accumulates as a stateful streaming aggregate: counters " +
+      "after each micro-batch equal the batch-mode sketch of the " +
+      "cumulative stream (state survives restart via the checkpoint)") {
+    import graft.functions.Sketch
+    val tmp = Files.createTempDirectory("scms").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def run(name: String): Seq[Long] = {
+      val q = spark.readStream.schema("tok STRING").parquet(in)
+        .agg(Sketch.cmsCounters(col("tok"), 3, 256).as("cms"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).select($"cms").as[Seq[Long]].head()
+    }
+    def batchCms(xs: Seq[String]): Seq[Long] =
+      xs.toDF("tok").agg(Sketch.cmsCounters(col("tok"), 3, 256))
+        .as[Seq[Long]].head()
+    val b1 = Seq("alpha", "beta", "alpha", "gamma")
+    val b2 = Seq("beta", "delta", "alpha")
+    b1.toDF("tok").coalesce(1).write.mode("append").parquet(in)
+    assert(run("cms_s1") === batchCms(b1))
+    b2.toDF("tok").coalesce(1).write.mode("append").parquet(in)
+    assert(run("cms_s2") === batchCms(b1 ++ b2))
+  }
+
   test("live updater streams into a JDBC store through the connector tier") {
     import org.apache.spark.sql.types._
     val tmp = Files.createTempDirectory("livej").toString
