@@ -4623,6 +4623,18 @@ object SparkEntry {
         coalesce(col("n_true"), lit(0L)).as("n_true"))
   }
 
+  /** Per-shard release manifest (Packing.shardManifest) over the
+    * q185 packing: doc/token/sequence totals + the order-insensitive
+    * bit_xor checksum — both engines fold the identical 48-bit md5
+    * values, so the checksum must agree to the bit. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    Packing.shardManifest(
+      Packing.packDocuments(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8, budget = 256L),
+      "shard", "doc_id", "n_tokens", budget = 256L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4834,7 +4846,8 @@ object SparkEntry {
     "q202_bpe_encode" -> q202 _,
     "q203_snapshot_neardup" -> q203 _,
     "q204_bpe_packing" -> q204 _,
-    "q205_cms_counts" -> q205 _)
+    "q205_cms_counts" -> q205 _,
+    "q206_shard_manifest" -> q206 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8034,7 +8047,23 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  FROM t GROUP BY tok)
          |SELECT p.term, e.est, coalesce(tr.n_true, 0) AS n_true
          |FROM p JOIN e USING (term) LEFT JOIN tr USING (term)""".stripMargin
-    })
+    },
+
+    "q206_shard_manifest" ->
+      // the q185 token/shard frame rolled up per shard; checksum =
+      // bit_xor of hash48("id:n_tokens") — order-insensitive, so the
+      // two engines' aggregation orders cannot matter
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
+         |  doc_id % 8 AS shard FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,
+         |  bit_xor(${md5HexValSql(
+             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+             12)}) AS checksum
+         |FROM t GROUP BY shard""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -163,7 +163,10 @@ object Sketch {
       a
     }
     override def finish(buf: Array[Long]): Seq[Long] =
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+      // defensive copy — the buffer is the aggregator's mutable
+      // scratch; wrapping it unsafely would alias live state into
+      // the output row (Bloom/KMV likewise emit fresh collections)
+      buf.toSeq
     override def bufferEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =

@@ -53,6 +53,36 @@ object Packing {
           .as("seq_last")): _*)
   }
 
+  /** Per-shard release manifest over a packed frame: doc / token /
+    * sequence totals plus an ORDER-INSENSITIVE mergeable checksum —
+    * bit_xor of each document's 48-bit md5 over "id:n_tokens" — the
+    * integrity artifact a data release ships per shard. XOR is
+    * commutative and merge-associative, so the checksum aggregates
+    * map-side in constant memory at any shard size (the obvious
+    * md5-of-sorted-id-list holds the shard's entire id list in one
+    * group buffer); comparing manifests localizes a damaged or
+    * drifted shard without re-reading the others. n_sequences is
+    * ceil(total_tokens / budget) from the totals — deliberately NOT
+    * max(seq_last)+1, which over-counts by one when a shard's stream
+    * ends in empty documents sitting at an exact budget boundary. */
+  def shardManifest(packed: DataFrame, shardCol: String, idCol: String,
+      tokenCountCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    packed
+      .withColumn("_h", graft.functions.Sketch.hash48Of(
+        concat(col(idCol).cast("string"), lit(":"),
+          col(tokenCountCol).cast("long").cast("string"))))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol).cast("long")).as("total_tokens"),
+        expr("bit_xor(_h)").as("checksum"))
+      .select(col(shardCol), col("n_docs"), col("total_tokens"),
+        call_function("div",
+          col("total_tokens") + lit(budget - 1), lit(budget))
+          .as("n_sequences"),
+        col("checksum"))
+  }
+
   /** The document-count face: token counts computed from a text
     * column with the library tokenizer, sharded by id modulo. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,

@@ -61,6 +61,35 @@ class PackingSpec extends AnyFunSuite {
       .getAs[String]("lang") === "de")
   }
 
+  test("shardManifest: exact totals, ceil sequence count (immune to " +
+      "the trailing-empty-doc boundary), and an order-insensitive " +
+      "checksum that flips on any id or count change") {
+    val df = Seq((0L, 4L), (2L, 7L), (4L, 0L), (1L, 10L), (3L, 3L))
+      .toDF("id", "tc").withColumn("shard", pmod(col("id"), lit(2)))
+    def mf(d: org.apache.spark.sql.DataFrame) =
+      Packing.shardManifest(d, "shard", "id", "tc", 10L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val a = mf(df)
+    // shard 0: ids 0,2,4 → 11 tokens → ceil(11/10) = 2 sequences
+    assert(a(0L)._1 === 3L && a(0L)._2 === 11L && a(0L)._3 === 2L)
+    // shard 1: ids 1,3 → 13 tokens → 2 sequences
+    assert(a(1L)._1 === 2L && a(1L)._2 === 13L && a(1L)._3 === 2L)
+    // row order cannot move the checksum (xor is commutative)
+    assert(mf(df.orderBy(col("tc").desc)) === a)
+    // ...but a single token-count change must
+    val b = mf(df.withColumn("tc",
+      when(col("id") === 2L, lit(8L)).otherwise(col("tc"))))
+    assert(b(0L)._4 !== a(0L)._4)
+    assert(b(1L)._4 === a(1L)._4, "other shards stay localized")
+    // 20 tokens exactly at budget 10 → 2 sequences, not 3, even with
+    // a trailing empty doc on the boundary (the max(seq_last)+1 trap)
+    val c = mf(Seq((0L, 10L), (2L, 10L), (4L, 0L)).toDF("id", "tc")
+      .withColumn("shard", lit(0L)))
+    assert(c(0L)._3 === 2L)
+  }
+
   test("budget must be positive") {
     val df = Seq((1L, 4L)).toDF("id", "tc")
     assertThrows[IllegalArgumentException] {
