@@ -4635,6 +4635,22 @@ object SparkEntry {
       "shard", "doc_id", "n_tokens", budget = 256L)
   }
 
+  /** Leakage-safe group-aware splits (Sampling.assignSplitByGroup):
+    * near-dup groups from the exact Jaccard pairs (≥ 0.5) via
+    * connected components; the split draw runs on each group's
+    * representative, so no near-dup pair straddles splits. The
+    * oracle replays the recursive closure + the threshold-hex law. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val pairs = Dedup.jaccardPairsFromIndex(docsShingles(s, dir),
+      "doc_id", 0.5)
+    val comps = Dedup.connectedComponents(docs, "doc_id",
+      pairs, "id_a", "id_b")
+    Sampling.assignSplitByGroup(docs, "doc_id", comps, "gsplit",
+      0.7, 0.15)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4847,7 +4863,8 @@ object SparkEntry {
     "q203_snapshot_neardup" -> q203 _,
     "q204_bpe_packing" -> q204 _,
     "q205_cms_counts" -> q205 _,
-    "q206_shard_manifest" -> q206 _)
+    "q206_shard_manifest" -> q206 _,
+    "q207_group_split" -> q207 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8063,7 +8080,40 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  bit_xor(${md5HexValSql(
              "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
              12)}) AS checksum
-         |FROM t GROUP BY shard""".stripMargin)
+         |FROM t GROUP BY shard""".stripMargin,
+
+    "q207_group_split" -> {
+      import operators.Sampling.thresholdHex
+      // q17's pair law at >= 0.5, symmetric closure via the q46
+      // recursive-reach shape, min-reachable component, then the
+      // threshold-hex split draw on the REPRESENTATIVE id
+      s"""WITH RECURSIVE
+         |s AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM documents),
+         |c AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+         |      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pr AS (SELECT id_a, id_b FROM i
+         |      JOIN c ca ON ca.doc_id = id_a JOIN c cb ON cb.doc_id = id_b
+         |      WHERE CAST(n_common AS DOUBLE)
+         |        / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.5),
+         |e AS (SELECT id_a AS s2, id_b AS d FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |reach(node, r) AS (
+         |  SELECT s2, s2 FROM e
+         |  UNION
+         |  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s2),
+         |m AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+         |g AS (SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN m ON m.node = d.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN substr(md5('gsplit:' || CAST(component AS VARCHAR)), 1, 8)
+         |         < '${thresholdHex(0.7)}' THEN 'train'
+         |       WHEN substr(md5('gsplit:' || CAST(component AS VARCHAR)), 1, 8)
+         |         < '${thresholdHex(0.85)}' THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM g""".stripMargin
+    })
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

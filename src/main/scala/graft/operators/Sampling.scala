@@ -149,6 +149,30 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe split assignment: every near-dup GROUP lands whole
+    * in one split. The (salt, id) draw runs on the document's
+    * connected-component REPRESENTATIVE (its group's min id, from
+    * [[Dedup.connectedComponents]] over the near-dup pair frame;
+    * docs in no pair represent themselves), so two near-duplicates
+    * can never straddle train/validation/test — the leakage the
+    * per-document [[assignSplit]] law permits whenever a dup pair's
+    * draws land in different bands. Same threshold-hex law, same
+    * disjoint-and-exhaustive guarantee, one id-keyed join more.
+    * Output: input columns + `component` + `split`. */
+  def assignSplitByGroup(df: DataFrame, idCol: String,
+      components: DataFrame, salt: String, trainFraction: Double,
+      validationFraction: Double): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("component"))
+    val d = hashSlice(col("component"), salt)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(d < lit(thresholdHex(trainFraction)), lit("train"))
+          .when(d < lit(thresholdHex(trainFraction + validationFraction)),
+            lit("validation"))
+          .otherwise(lit("test")))
+  }
+
   /** MetaCLIP-style balancing cap (Xu et al. 2024, arXiv:2309.16671
     * §3.2 "balancing"): flatten a skewed stratum distribution by
     * keeping at most `cap` rows per stratum — strata under the cap

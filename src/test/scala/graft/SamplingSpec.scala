@@ -201,4 +201,46 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).sorted
     assert(rks.toSeq === (1 to 200))
   }
+
+  test("group-aware splits: a near-dup chain lands whole in one " +
+      "split; singletons draw exactly the per-document law; the " +
+      "per-document law DOES straddle some group (the leakage this " +
+      "operator removes)") {
+    import graft.operators.Dedup
+    val n = 400L
+    val docs = spark.range(n).toDF("doc_id")
+    // chains of 3: (3k, 3k+1), (3k+1, 3k+2) for k < 40 → 40 groups
+    val pairs = (0 until 40).flatMap { k =>
+      Seq((k * 3L, k * 3L + 1), (k * 3L + 1, k * 3L + 2))
+    }.toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(docs, "doc_id",
+      pairs, "id_a", "id_b")
+    val out = Sampling.assignSplitByGroup(docs, "doc_id", comps,
+      "gsplit", 0.7, 0.15)
+    // 1. no group straddles
+    assert(out.groupBy("component")
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count() === 0L)
+    // 2. every chain member carries its min id as component
+    val m = out.where(col("doc_id") < 120)
+      .select(col("doc_id"), col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 40).foreach { k =>
+      assert(Seq(0, 1, 2).map(o => m(k * 3L + o)).toSet === Set(k * 3L))
+    }
+    // 3. singleton docs (>= 120) match the plain per-doc law exactly
+    val plain = Sampling.assignSplit(docs, "doc_id", "gsplit", 0.7, 0.15)
+      .select(col("doc_id"), col("split").as("plain_split"))
+    assert(out.where(col("doc_id") >= 120).join(plain, Seq("doc_id"))
+      .where(col("split") =!= col("plain_split")).count() === 0L)
+    // 4. the per-doc law straddles at least one chain — the leakage
+    val straddled = plain
+      .join(out.select(col("doc_id"), col("component")), Seq("doc_id"))
+      .where(col("component") < 120)
+      .groupBy("component")
+      .agg(countDistinct(col("plain_split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(straddled > 0L,
+      "40 independent 3-chains at 70/15/15 straddle w.p. ~1")
+  }
 }
