@@ -279,4 +279,36 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"centroid join must broadcast (index-cardinality side):\n$plan")
   }
+
+  test("q200 span removal: keyed equi-joins only (the 1:1 owner join " +
+      "and the per-doc coverage join) — no cartesian") {
+    val plan = planOf("q200_remove_spans")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q203 snapshot near-dup: candidates only via the " +
+      "(band, bucket) equi-join — no cartesian anywhere") {
+    val plan = planOf("q203_snapshot_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q205 CMS: the probe side cross-joins ONLY the broadcast " +
+      "1-row counter frame; the token aggregate is map-side partial") {
+    val plan = planOf("q205_cms_counts")
+    // the 1-row counters frame is the only nested-loop side — benign
+    // by cardinality; the corpus-sized token stream must not be
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"only the 1-row counter broadcast:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+  }
+
+  test("q206 manifest: one shard-keyed aggregation, no join at all") {
+    val plan = planOf("q206_shard_manifest")
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"one shard shuffle expected:\n$plan")
+  }
 }
