@@ -4651,6 +4651,16 @@ object SparkEntry {
       0.7, 0.15)
   }
 
+  /** The release capstone: per-(split, shard) integrity manifests
+    * over the FULL q187 pipeline output (quality → dedup → mix →
+    * split → pack) — the artifact set a data release actually ships.
+    * Same bit_xor checksum law as q206, grouped by the named subset. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    Packing.shardManifest(q187(s, dir), Seq("split", "shard"),
+      "doc_id", "n_tokens", budget = 256L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4864,7 +4874,8 @@ object SparkEntry {
     "q204_bpe_packing" -> q204 _,
     "q205_cms_counts" -> q205 _,
     "q206_shard_manifest" -> q206 _,
-    "q207_group_split" -> q207 _)
+    "q207_group_split" -> q207 _,
+    "q208_release_manifest" -> q208 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8113,7 +8124,21 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |         < '${thresholdHex(0.85)}' THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM g""".stripMargin
-    })
+    },
+
+    "q208_release_manifest" ->
+      // the q187 pipeline twin rolled into per-(split, shard)
+      // manifests — q206's checksum law on the named subsets.
+      // Concatenation, NOT stripMargin, for the shared pipeline SQL
+      // (see the q189 editing note).
+      ("WITH p AS (" + trainingPipelineOracleSql + ")\n" +
+        "SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens,\n" +
+        "CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,\n" +
+        s"bit_xor(${md5HexValSql(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+          12)}) AS checksum\n" +
+        "FROM p GROUP BY split, shard"))
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -66,21 +66,29 @@ object Packing {
     * max(seq_last)+1, which over-counts by one when a shard's stream
     * ends in empty documents sitting at an exact budget boundary. */
   def shardManifest(packed: DataFrame, shardCol: String, idCol: String,
-      tokenCountCol: String, budget: Long): DataFrame = {
+      tokenCountCol: String, budget: Long): DataFrame =
+    shardManifest(packed, Seq(shardCol), idCol, tokenCountCol, budget)
+
+  /** Multi-key face: manifests per (split, shard), (date, shard), …
+    * — the shape a release with named subsets ships. */
+  def shardManifest(packed: DataFrame, groupCols: Seq[String],
+      idCol: String, tokenCountCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(groupCols.nonEmpty, "at least one grouping column")
     packed
       .withColumn("_h", graft.functions.Sketch.hash48Of(
         concat(col(idCol).cast("string"), lit(":"),
           col(tokenCountCol).cast("long").cast("string"))))
-      .groupBy(col(shardCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCountCol).cast("long")).as("total_tokens"),
         expr("bit_xor(_h)").as("checksum"))
-      .select(col(shardCol), col("n_docs"), col("total_tokens"),
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"), col("total_tokens"),
         call_function("div",
           col("total_tokens") + lit(budget - 1), lit(budget))
           .as("n_sequences"),
-        col("checksum"))
+        col("checksum")): _*)
   }
 
   /** The document-count face: token counts computed from a text

@@ -90,6 +90,25 @@ class PackingSpec extends AnyFunSuite {
     assert(c(0L)._3 === 2L)
   }
 
+  test("shardManifest multi-key face: (split, shard) subsets roll up " +
+      "independently, and the single-col overload is the Seq face") {
+    val df = Seq((0L, 4L, "train"), (1L, 7L, "test"), (2L, 9L, "train"),
+      (3L, 5L, "test")).toDF("id", "tc", "split")
+      .withColumn("shard", pmod(col("id"), lit(2)))
+    val m = Packing.shardManifest(df, Seq("split", "shard"),
+        "id", "tc", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // (train, 0): id 0 and 2 → 13 tokens; (test, 1): ids 1, 3 → 12
+    assert(m(("train", 0L))._1 === 2L && m(("train", 0L))._2 === 13L)
+    assert(m(("test", 1L))._1 === 2L && m(("test", 1L))._2 === 12L)
+    // one key, same law: the overload must agree cell-for-cell
+    val a = Packing.shardManifest(df, "shard", "id", "tc", 10L).collect()
+    val b = Packing.shardManifest(df, Seq("shard"), "id", "tc", 10L)
+      .collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("budget must be positive") {
     val df = Seq((1L, 4L)).toDF("id", "tc")
     assertThrows[IllegalArgumentException] {
