@@ -311,4 +311,13 @@ class NewQueryPlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"one shard shuffle expected:\n$plan")
   }
+
+  test("q208 release manifest keeps the q187 pipeline's shape: no " +
+      "cartesian, still at most one single-partition exchange (the " +
+      "k-row n_min agg), plus only the one extra manifest roll-up") {
+    val plan = planOf("q208_release_manifest")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"expected <=1 single-partition exchange:\n$plan")
+  }
 }
