@@ -4661,6 +4661,18 @@ object SparkEntry {
       "doc_id", "n_tokens", budget = 256L)
   }
 
+  /** The dataloader's random-access index (Packing.sequenceIndex):
+    * per-(sequence, document) composition rows with in-sequence
+    * offsets, inverted from the q185 packing — all-integer window
+    * math the oracle replays via generate_series. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    Packing.sequenceIndex(
+      Packing.packDocuments(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8, budget = 256L),
+      "doc_id", budget = 256L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4875,7 +4887,8 @@ object SparkEntry {
     "q205_cms_counts" -> q205 _,
     "q206_shard_manifest" -> q206 _,
     "q207_group_split" -> q207 _,
-    "q208_release_manifest" -> q208 _)
+    "q208_release_manifest" -> q208 _,
+    "q209_sequence_index" -> q209 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8138,7 +8151,29 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         s"bit_xor(${md5HexValSql(
           "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
           12)}) AS checksum\n" +
-        "FROM p GROUP BY split, shard"))
+        "FROM p GROUP BY split, shard"),
+
+    "q209_sequence_index" ->
+      // the q185 window frame exploded per spanned sequence; the
+      // in-sequence slice is the same greatest/least integer math
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens,
+         |  doc_id % 8 AS shard FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start,
+         |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // 256 AS BIGINT) AS seq_last
+         |  FROM c WHERE n_tokens > 0),
+         |x AS (SELECT doc_id, shard, n_tokens, start,
+         |  unnest(generate_series(seq_first, seq_last)) AS seq FROM w)
+         |SELECT CAST(shard AS BIGINT) AS shard, seq, doc_id,
+         |  greatest(start, seq * 256) - seq * 256 AS seq_offset,
+         |  least(start + n_tokens, (seq + 1) * 256)
+         |    - greatest(start, seq * 256) AS n_tokens_in_seq
+         |FROM x""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

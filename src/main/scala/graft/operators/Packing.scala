@@ -91,6 +91,33 @@ object Packing {
         col("checksum")): _*)
   }
 
+  /** The INVERSE face of [[concatChop]] — the dataloader's
+    * random-access index: one row per (sequence, contributing
+    * document) with the document's offset and token count INSIDE
+    * that sequence. A document spanning sequences s_first..s_last
+    * contributes tokens [max(start, s·B), min(start+n, (s+1)·B))
+    * to sequence s; empty documents contribute nothing. Narrow
+    * per-row explode over the already-packed frame — no shuffle of
+    * its own at any scale. Spec-pinned tiling invariant: within a
+    * shard, every sequence except the last sums to exactly `budget`
+    * tokens and offsets tile [0, budget) contiguously.
+    * Output: (shard, seq, idCol, seq_offset, n_tokens_in_seq). */
+  def sequenceIndex(packed: DataFrame, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    packed.where(col("n_tokens") > 0)
+      .select(col("shard"), col(idCol), col("n_tokens"), col("start"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .withColumn("_from",
+        greatest(col("start"), col("seq") * lit(budget)))
+      .withColumn("_to",
+        least(col("start") + col("n_tokens"),
+          (col("seq") + lit(1L)) * lit(budget)))
+      .select(col("shard"), col("seq"), col(idCol),
+        (col("_from") - col("seq") * lit(budget)).as("seq_offset"),
+        (col("_to") - col("_from")).as("n_tokens_in_seq"))
+  }
+
   /** The document-count face: token counts computed from a text
     * column with the library tokenizer, sharded by id modulo. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,

@@ -109,6 +109,39 @@ class PackingSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("sequenceIndex: hand-computed composition rows; sequences " +
+      "tile to exactly the budget except each shard's last; offsets " +
+      "are contiguous; empty docs contribute nothing") {
+    // one shard, budget 10: docs 4, 7, 0, 10, 3 tokens (as above)
+    val df = Seq((1L, 4L), (2L, 7L), (3L, 0L), (4L, 10L), (5L, 3L))
+      .toDF("id", "tc")
+    val packed = Packing.concatChop(df, "id", "tc", lit(0L), 10L)
+    val idx = Packing.sequenceIndex(packed, "id", 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // seq 0: doc1 [0,4), doc2 [4,10) → 6 of doc2's 7 tokens
+    assert(idx((0L, 1L)) === ((0L, 4L)))
+    assert(idx((0L, 2L)) === ((4L, 6L)))
+    // seq 1: doc2's last token, doc4's first 9
+    assert(idx((1L, 2L)) === ((0L, 1L)))
+    assert(idx((1L, 4L)) === ((1L, 9L)))
+    // seq 2: doc4's last token + doc5's 3
+    assert(idx((2L, 4L)) === ((0L, 1L)))
+    assert(idx((2L, 5L)) === ((1L, 3L)))
+    assert(!idx.keySet.exists(_._2 == 3L), "empty doc 3 absent")
+    // tiling: seqs 0 and 1 sum to 10; final seq 2 holds the 4 rest
+    val bySeq = idx.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    assert(bySeq === Map(0L -> 10L, 1L -> 10L, 2L -> 4L))
+    // contiguity within each sequence
+    idx.toSeq.groupBy(_._1._1).foreach { case (_, rows) =>
+      val sorted = rows.map(_._2).sortBy(_._1)
+      sorted.foldLeft(0L) { case (at, (off, n)) =>
+        assert(off === at); at + n
+      }
+    }
+  }
+
   test("budget must be positive") {
     val df = Seq((1L, 4L)).toDF("id", "tc")
     assertThrows[IllegalArgumentException] {
