@@ -4673,6 +4673,24 @@ object SparkEntry {
       "doc_id", budget = 256L)
   }
 
+  /** Tokenizer fertility QA (Bpe.encode → per-language roll-up):
+    * subwords-per-word by language — the table a tokenizer release
+    * ships to show which languages it over-fragments. One exact
+    * integer division per language, rounded at the boundary. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (_, symtab) = Bpe.learnMerges(Bpe.wordFreqs(docs, "text"), 12)
+    Bpe.encode(docs, "doc_id", "text", symtab)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("total_words"),
+        sum(col("n_subwords")).cast("long").as("total_subwords"))
+      .withColumn("fertility",
+        round(col("total_subwords").cast("double") /
+          col("total_words").cast("double"), 6))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4888,7 +4906,8 @@ object SparkEntry {
     "q206_shard_manifest" -> q206 _,
     "q207_group_split" -> q207 _,
     "q208_release_manifest" -> q208 _,
-    "q209_sequence_index" -> q209 _)
+    "q209_sequence_index" -> q209 _,
+    "q210_bpe_fertility" -> q210 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8173,7 +8192,25 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  greatest(start, seq * 256) - seq * 256 AS seq_offset,
          |  least(start + n_tokens, (seq + 1) * 256)
          |    - greatest(start, seq * 256) AS n_tokens_in_seq
-         |FROM x""".stripMargin)
+         |FROM x""".stripMargin,
+
+    "q210_bpe_fertility" ->
+      // q202's encode chained into the per-language QA roll-up; one
+      // exact integer division per language, rounded at the boundary
+      (s"WITH RECURSIVE ${bpeOracleCtes(12)},\n" +
+        s"""words AS (SELECT doc_id, unnest($allToksSql) AS word
+           |  FROM documents),
+           |enc AS (SELECT doc_id,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+           |  CAST(count(*) AS BIGINT) AS n_words
+           |  FROM words JOIN w12 USING (word) GROUP BY doc_id)
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_words,
+           |  CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+           |  round(CAST(sum(n_subwords) AS DOUBLE)
+           |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+           |FROM enc JOIN documents d USING (doc_id)
+           |GROUP BY d.lang""".stripMargin))
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

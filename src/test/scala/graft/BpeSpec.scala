@@ -102,6 +102,27 @@ class BpeSpec extends AnyFunSuite {
     } finally symtab.unpersist()
   }
 
+  test("fertility roll-up (the q210 law): per-language subwords/word " +
+      "is exact on the hand corpus") {
+    val df = Seq((0L, "low low lowest", "aa"),
+      (2L, "low lowest lowest", "bb"), (4L, "lowest", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val (_, symtab) = graft.operators.Bpe.learnMerges(
+      graft.operators.Bpe.wordFreqs(df, "text"), 2)
+    try {
+      // low = 2 subwords, lowest = 4 (freqs 3/4 → merges (l,o),(e,s))
+      val f = graft.operators.Bpe.encode(df, "doc_id", "text", symtab)
+        .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.functions.sum("n_subwords").as("sw"),
+          org.apache.spark.sql.functions.sum("n_words").as("w"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(f("aa") === ((12L, 4L)))   // docs 0 (8/3) + 4 (4/1)
+      assert(f("bb") === ((10L, 3L)))   // doc 2: 2+4+4
+    } finally symtab.unpersist()
+  }
+
   test("encode: per-doc subword/word totals are exact on a hand corpus") {
     val df = Seq((1L, "low low lowest"), (2L, "low"))
       .toDF("doc_id", "text")
