@@ -320,4 +320,22 @@ class NewQueryPlanSpec extends AnyFunSuite {
     val singles = "Exchange SinglePartition".r.findAllIn(plan).size
     assert(singles <= 1, s"expected <=1 single-partition exchange:\n$plan")
   }
+
+  test("q209 sequence index: ONE shard-keyed exchange (the packing " +
+      "window), generate stays narrow, no join anywhere") {
+    val plan = planOf("q209_sequence_index")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"one packing-window shuffle expected:\n$plan")
+  }
+
+  test("q210 fertility: the encode dictionary join and the lang join " +
+      "both broadcast (vocab-sized symtab / 2-col docs projection) — " +
+      "never sort-merge, never cartesian") {
+    val plan = planOf("q210_bpe_fertility")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
 }
