@@ -101,6 +101,9 @@ object Packing {
     * its own at any scale. Spec-pinned tiling invariant: within a
     * shard, every sequence except the last sums to exactly `budget`
     * tokens and offsets tile [0, budget) contiguously.
+    * `budget` MUST equal the budget `packed` was built with — the
+    * frame does not carry it, and a mismatch silently mis-tiles
+    * (offsets escape [0, budget) rather than erroring).
     * Output: (shard, seq, idCol, seq_offset, n_tokens_in_seq). */
   def sequenceIndex(packed: DataFrame, idCol: String,
       budget: Long): DataFrame = {
