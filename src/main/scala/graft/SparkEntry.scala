@@ -4691,6 +4691,35 @@ object SparkEntry {
           col("total_words").cast("double"), 6))
   }
 
+  /** Boilerplate-line removal (Dedup.removeBoilerplateLines): the
+    * corpus has single-line docs, so the gate synthesizes the layout
+    * a crawl delivers — a global cookie banner (df = corpus), a
+    * whitespace-only line (must never convict), the unique body, a
+    * quarter-frequency newsletter plea, and a 30-variant footer
+    * whose df sits BELOW the threshold at sf0.01 (threshold arm). */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        lit("cookie notice: we use cookies to improve your experience."),
+        lit("   "),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("subscribe to our newsletter today.")),
+        concat(lit("footer variant "),
+          (col("doc_id") % 30).cast("string"))).as("text"))
+    Dedup.removeBoilerplateLines(docs, "doc_id", "text", 20L)
+  }
+
+  /** Eval-set decontamination (Dedup.removeContaminatedSpans): the
+    * q178 split (doc_id % 5 == 0 is the benchmark side), 6-gram
+    * windows — 14 train docs lose spans at sf0.01. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.removeContaminatedSpans(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      docs.where(col("doc_id") % 5 === 0), "text", 6)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4907,7 +4936,9 @@ object SparkEntry {
     "q207_group_split" -> q207 _,
     "q208_release_manifest" -> q208 _,
     "q209_sequence_index" -> q209 _,
-    "q210_bpe_fertility" -> q210 _)
+    "q210_bpe_fertility" -> q210 _,
+    "q211_boilerplate_lines" -> q211 _,
+    "q212_decontaminate" -> q212 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8210,7 +8241,64 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
            |  round(CAST(sum(n_subwords) AS DOUBLE)
            |    / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
            |FROM enc JOIN documents d USING (doc_id)
-           |GROUP BY d.lang""".stripMargin))
+           |GROUP BY d.lang""".stripMargin),
+
+    "q211_boilerplate_lines" ->
+      // RefinedWeb-style line dedup over the synthesized crawl
+      // layout: distinct-doc df >= 20 convicts (trim-empty lines
+      // never do); survivors string_agg in position order; a doc
+      // losing every line renders ''
+      s"""WITH d AS (SELECT doc_id, concat_ws(chr(10),
+         |  'cookie notice: we use cookies to improve your experience.',
+         |  '   ', text,
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN 'subscribe to our newsletter today.' END,
+         |  'footer variant ' || CAST(doc_id % 30 AS VARCHAR)) AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM d),
+         |f AS (SELECT line FROM l WHERE trim(line) <> ''
+         |  GROUP BY line HAVING count(DISTINCT doc_id) >= 20),
+         |k AS (SELECT l.doc_id, count(*) AS nk,
+         |  string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
+         |  FROM l LEFT JOIN f ON l.line = f.line
+         |  WHERE f.line IS NULL GROUP BY l.doc_id),
+         |n AS (SELECT doc_id,
+         |  len(string_split(text, chr(10))) AS nl FROM d)
+         |SELECT n.doc_id, CAST(nl AS BIGINT) AS n_lines,
+         |  CAST(nl - coalesce(nk, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean, '') AS clean_text
+         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    "q212_decontaminate" ->
+      // q200's coverage-window law with eval-set membership (the
+      // doc_id % 5 = 0 side) convicting instead of the min-id owner
+      s"""WITH t AS (SELECT doc_id, $allToksSql AS ws FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |g AS (SELECT doc_id,
+         |  unnest(generate_series(0, len(ws) - 6)) AS pos0,
+         |  unnest(list_transform(generate_series(0, len(ws) - 6),
+         |    i -> array_to_string(ws[i+1:i+6], ' '))) AS gram
+         |  FROM t),
+         |e AS (SELECT DISTINCT
+         |  unnest(list_transform(generate_series(0, len($allToksSql) - 6),
+         |    i -> array_to_string($allToksSql[i+1:i+6], ' '))) AS gram
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |cov AS (SELECT g.doc_id, list(DISTINCT pos0) AS starts
+         |  FROM g JOIN e USING (gram) GROUP BY g.doc_id),
+         |r AS (SELECT t.doc_id, ws, coalesce(starts, []) AS starts
+         |  FROM t LEFT JOIN cov USING (doc_id)),
+         |k AS (SELECT doc_id, ws,
+         |  list_filter(generate_series(0, len(ws) - 1),
+         |    p -> len(list_filter(starts, s -> s <= p AND p < s + 6)) = 0)
+         |    AS kept
+         |  FROM r)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
+         |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
+         |    '') AS clean_text
+         |FROM k""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -652,18 +652,34 @@ object Dedup {
     * Output: (idCol, n_tokens, n_dropped, clean_text). */
   def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      coalesce(TextFunctions.allTokens(col(textCol)),
-        array().cast("array<string>")).as("ws"))
-    val grams = toks.select(col(idCol),
-      posexplode(QualityFilters.wordNgrams(col("ws"), n))
-        .as(Seq("pos0", "gram")))
+    val toks = tokensFrame(df, idCol, textCol)
+    val grams = posGrams(toks, idCol, n)
     val owners = grams.groupBy(col("gram"))
       .agg(min(col(idCol)).as("_owner"))
     val cov = grams.join(owners, Seq("gram"))
       .where(col(idCol) > col("_owner"))
       .groupBy(col(idCol))
       .agg(collect_set(col("pos0")).as("starts"))
+    rebuildFromStarts(toks, idCol, cov, n)
+  }
+
+  /** (idCol, ws): the null-safe all-token frame the span faces share. */
+  private def tokensFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      coalesce(TextFunctions.allTokens(col(textCol)),
+        array().cast("array<string>")).as("ws"))
+
+  /** (idCol, pos0, gram): one row per n-gram OCCURRENCE. */
+  private def posGrams(toks: DataFrame, idCol: String, n: Int): DataFrame =
+    toks.select(col(idCol),
+      posexplode(QualityFilters.wordNgrams(col("ws"), n))
+        .as(Seq("pos0", "gram")))
+
+  /** Shared tail of the span-removal faces: given per-doc convicted
+    * window starts, drop every covered token and re-join survivors. */
+  private def rebuildFromStarts(toks: DataFrame, idCol: String,
+      cov: DataFrame, n: Int): DataFrame =
     toks.join(cov, Seq(idCol), "left")
       .withColumn("_covered",
         // expand windows to the covered-position set: |starts|·n
@@ -689,6 +705,87 @@ object Dedup {
           .as("n_dropped"),
         array_join(transform(col("_kept"),
           p => element_at(col("ws"), p + 1)), " ").as("clean_text"))
+
+  /** Eval-set DECONTAMINATION, span form (the removal face of
+    * [[crossJaccardPairs]]' detection — the published posture, cf.
+    * Brown et al. 2020 appendix C, strips colliding n-gram windows
+    * from TRAINING documents rather than dropping whole docs): a
+    * training n-gram occurrence at position p is contaminated iff
+    * the same n-gram occurs ANYWHERE in the benchmark set; every
+    * token under a contaminated occurrence's [p, p+n) window drops,
+    * survivors re-join in order. Unlike [[removeSharedSpans]] there
+    * is no owner/min-id law — eval-set membership alone convicts,
+    * so the semi join replaces the owner aggregate.
+    *
+    * Scale (100 TB): the eval side reduces to ONE row per DISTINCT
+    * benchmark gram — benchmark-sized, i.e. broadcastable in every
+    * realistic pipeline — so the train side is a broadcast semi join
+    * per occurrence plus one doc-keyed coverage shuffle; nothing
+    * pairs and nothing depends on corpus df.
+    *
+    * Output: (idCol, n_tokens, n_dropped, clean_text) over the
+    * TRAIN frame only — every train row appears, untouched rows
+    * with n_dropped = 0. */
+  def removeContaminatedSpans(train: DataFrame, idCol: String,
+      textCol: String, evalDf: DataFrame, evalTextCol: String,
+      n: Int): DataFrame = {
+    val toks = tokensFrame(train, idCol, textCol)
+    val evalGrams = evalDf.select(
+        explode(QualityFilters.wordNgrams(
+          coalesce(TextFunctions.allTokens(col(evalTextCol)),
+            array().cast("array<string>")), n)).as("gram"))
+      .distinct()
+    val cov = posGrams(toks, idCol, n)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos0")).as("starts"))
+    rebuildFromStarts(toks, idCol, cov, n)
+  }
+
+  /** Cross-document boilerplate LINE removal (the line-granularity
+    * member of the dedup family, cf. Penedo et al. 2023 RefinedWeb
+    * §3 / the C4 measurement in Raffel et al. 2020 — template lines
+    * repeated across many pages: navigation, cookie banners, licence
+    * footers): a line whose DISTINCT-document frequency reaches
+    * `minDf` is boilerplate and is dropped from EVERY document
+    * (symmetric, unlike the keep-first span law — boilerplate has no
+    * rightful owner). Line identity is the exact raw line (split on
+    * '\n'); lines empty after trim never convict (they would cross
+    * any df threshold trivially) and are always kept. A null text
+    * behaves as '' — one empty line, kept.
+    *
+    * Scale (100 TB): one line-keyed map-side-combinable distinct-df
+    * aggregate; the convicted-lines frame is df-capped small by
+    * construction (only lines crossing the threshold survive the
+    * HAVING) so the conviction join broadcasts; ONE doc-keyed
+    * shuffle then computes totals and re-assembles survivors in
+    * position order — convictions are marked, not filtered, so every
+    * document (even one losing all its lines) keeps its row without
+    * a corpus-sized join back. No pair term anywhere — a line
+    * occurring k times costs k rows, never k².
+    *
+    * Output: (idCol, n_lines, n_removed, clean_text); a document
+    * whose every line is removed yields clean_text ''. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String, minDf: Long): DataFrame = {
+    require(minDf > 0, s"minDf must be positive: $minDf")
+    val lines = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        .as(Seq("_pos", "_line")))
+    val frequent = lines.where(trim(col("_line")) =!= "")
+      .groupBy(col("_line"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDf)
+      .select(col("_line"), lit(true).as("_bp"))
+    lines.join(frequent, Seq("_line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        count(col("_bp")).cast("long").as("n_removed"),
+        // collect_list drops NULL entries, so convicted lines vanish
+        // here and the survivors sort back into position order
+        array_join(transform(array_sort(collect_list(
+            when(col("_bp").isNull, struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line")), "\n").as("clean_text"))
   }
 
   /** Cross-snapshot incremental dedup, exact path: which BATCH

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Dedup
+
+/** Cross-document boilerplate line removal
+  * (Dedup.removeBoilerplateLines — q211's operator; RefinedWeb-style
+  * line dedup): the distinct-df conviction law on hand corpora where
+  * every df is known, plus the edges the sf gate synthesizes but
+  * cannot isolate (threshold boundary, trim-empty immunity,
+  * within-doc repeats, null text, order preservation). */
+class BoilerplateLinesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], minDf: Long): Map[Long, Row] =
+    Dedup.removeBoilerplateLines(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minDf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("a line at df >= minDf drops from EVERY doc (no owner); " +
+      "df = minDf - 1 is kept; order of survivors is preserved") {
+    val banner = "accept all cookies"
+    val out = run(Seq(
+      1L -> s"alpha\n$banner\nbeta",
+      2L -> s"$banner\ngamma",
+      3L -> s"delta\nepsilon zeta\n$banner",
+      // "near miss" appears in only 2 of 3 docs with minDf = 3
+      4L -> "near miss\nunique four",
+      5L -> "near miss\nunique five"), minDf = 3L)
+    assert(out(1L).getString(3) === "alpha\nbeta")
+    assert(out(1L).getLong(1) === 3L && out(1L).getLong(2) === 1L)
+    assert(out(2L).getString(3) === "gamma")
+    assert(out(3L).getString(3) === "delta\nepsilon zeta")
+    assert(out(4L).getString(3) === "near miss\nunique four")
+    assert(out(4L).getLong(2) === 0L)
+    assert(out(5L).getLong(2) === 0L)
+  }
+
+  test("trim-empty lines never convict (df = corpus) and are kept; " +
+      "within-doc repeats are df 1, not boilerplate") {
+    val out = run(Seq(
+      1L -> "a\n   \nrepeat me\nrepeat me",
+      2L -> "b\n   \nc",
+      3L -> "d\n   ",
+      4L -> "e\n   "), minDf = 2L)
+    assert(out(1L).getString(3) === "a\n   \nrepeat me\nrepeat me")
+    assert(out(1L).getLong(2) === 0L)
+    assert(out(2L).getString(3) === "b\n   \nc")
+  }
+
+  test("a doc losing every non-blank line renders ''; null text " +
+      "behaves as one kept empty line") {
+    val out = run(Seq(
+      1L -> "shared one\nshared two",
+      2L -> "shared one\nshared two",
+      3L -> (null: String)), minDf = 2L)
+    assert(out(1L).getLong(1) === 2L && out(1L).getLong(2) === 2L)
+    assert(out(1L).getString(3) === "")
+    assert(out(2L).getString(3) === "")
+    assert(out(3L).getLong(1) === 1L && out(3L).getLong(2) === 0L)
+    assert(out(3L).getString(3) === "")
+  }
+
+  test("line identity is the exact raw line: differing indentation " +
+      "or case does NOT pool df") {
+    val out = run(Seq(
+      1L -> "Menu Home About",
+      2L -> "  Menu Home About",
+      3L -> "menu home about"), minDf = 2L)
+    assert(out.values.forall(_.getLong(2) === 0L),
+      "three raw-distinct variants each have df 1")
+  }
+}

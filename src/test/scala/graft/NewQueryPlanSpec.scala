@@ -338,4 +338,26 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("q211 boilerplate lines: the df-capped convicted-line frame " +
+      "broadcasts onto the line stream; no corpus-sized join back — " +
+      "totals and rebuild ride ONE doc-keyed aggregate") {
+    val plan = planOf("q211_boilerplate_lines")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(plan).nonEmpty,
+      plan)
+    // line-df countDistinct is two-phase (2 exchanges) + the one
+    // doc-keyed rebuild aggregate — never more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <=3 exchanges:\n$plan")
+  }
+
+  test("q212 decontamination: benchmark grams reduce to a DISTINCT " +
+      "set that semi-joins the train occurrences — no owner " +
+      "aggregate, no cartesian, no pair term") {
+    val plan = planOf("q212_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
