@@ -4720,6 +4720,36 @@ object SparkEntry {
       docs.where(col("doc_id") % 5 === 0), "text", 6)
   }
 
+  /** Domain-blocklist verdicts (UrlOps.domainBlockVerdicts): hosts
+    * synthesized q186-style with a cdn. subdomain arm; the blocklist
+    * carries a bare domain, a subdomain entry, and BOTH for one
+    * domain (longest-match arm: cdn.example3.com beats example3.com). */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import operators.UrlOps
+    val hosts = t(s, dir, "events").select(col("event_id"),
+      concat(
+        when(col("event_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+        lit("example"), (col("user_id") % 50).cast("string"),
+        lit(".com")).as("host"))
+    val bl = Seq("example3.com", "cdn.example3.com", "example7.com",
+      "cdn.example5.com").toDF("dom")
+    UrlOps.domainBlockVerdicts(hosts, "event_id", "host", bl, "dom")
+  }
+
+  /** Token-budget selection (Sampling.budgetSelect): 10 quality
+    * bands (doc_id % 10, higher is better), 25k-token budget — the
+    * top bands fit whole, exactly one band splits on its id-ordered
+    * prefix, the rest drop. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 10).as("band"),
+      size(coalesce(TextFunctions.allTokens(col("text")),
+        array().cast("array<string>"))).cast("long").as("n_tokens"))
+    operators.Sampling.budgetSelect(
+      docs, "doc_id", "n_tokens", "band", 25000L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4938,7 +4968,9 @@ object SparkEntry {
     "q209_sequence_index" -> q209 _,
     "q210_bpe_fertility" -> q210 _,
     "q211_boilerplate_lines" -> q211 _,
-    "q212_decontaminate" -> q212 _)
+    "q212_decontaminate" -> q212 _,
+    "q213_domain_blocklist" -> q213 _,
+    "q214_budget_select" -> q214 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8298,7 +8330,50 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
          |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
          |    '') AS clean_text
-         |FROM k""".stripMargin)
+         |FROM k""".stripMargin,
+
+    "q213_domain_blocklist" ->
+      // dot-suffix law: explode each host's label-suffix chain, join
+      // the inline blocklist, arg-max by length for the most-specific
+      // entry; every event row verdicts (LEFT JOIN back)
+      s"""WITH d AS (SELECT event_id,
+         |  concat(CASE WHEN event_id % 3 = 0 THEN 'cdn.' ELSE '' END,
+         |    'example', CAST(user_id % 50 AS VARCHAR), '.com') AS host
+         |  FROM events),
+         |b AS (SELECT * FROM (VALUES ('example3.com'),
+         |  ('cdn.example3.com'), ('example7.com'),
+         |  ('cdn.example5.com')) AS t(dom)),
+         |sfx AS (SELECT event_id,
+         |  unnest(list_transform(
+         |    generate_series(1, len(string_split(host, '.'))),
+         |    i -> array_to_string(string_split(host, '.')[i:], '.')))
+         |    AS s
+         |  FROM d),
+         |hits AS (SELECT event_id, arg_max(s, len(s)) AS blocked_by
+         |  FROM sfx JOIN b ON s = dom GROUP BY event_id)
+         |SELECT d.event_id, d.host, h.blocked_by,
+         |  h.blocked_by IS NOT NULL AS blocked
+         |FROM d LEFT JOIN hits h USING (event_id)""".stripMargin,
+
+    "q214_budget_select" ->
+      // band totals → running totals (DESC band order) → whole-band
+      // take, single boundary band split on its id-ordered prefix
+      s"""WITH d AS (SELECT doc_id, doc_id % 10 AS band,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT band, sum(n_tokens) AS bt FROM d GROUP BY band),
+         |c AS (SELECT band, bt,
+         |  coalesce(sum(bt) OVER (ORDER BY band DESC) - bt, 0) AS b4
+         |  FROM b),
+         |j AS (SELECT d.doc_id, d.band, d.n_tokens, c.bt, c.b4
+         |  FROM d JOIN c USING (band)),
+         |r AS (SELECT *, sum(n_tokens)
+         |  OVER (PARTITION BY band ORDER BY doc_id) AS run FROM j)
+         |SELECT doc_id, band, n_tokens,
+         |  CASE WHEN b4 + bt <= 25000 THEN TRUE
+         |       WHEN b4 < 25000 THEN b4 + run <= 25000
+         |       ELSE FALSE END AS selected
+         |FROM r""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

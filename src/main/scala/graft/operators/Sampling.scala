@@ -199,4 +199,50 @@ object Sampling {
     df.withColumn("rk", row_number().over(w))
       .where(col("rk") <= cap)
   }
+
+  /** Token-budget corpus selection (the quality-threshold draw a
+    * release with a fixed token target ships — take the best bands
+    * whole, split exactly one): bands are taken in DESCENDING
+    * `bandCol` order (higher band = higher quality); every band that
+    * fits the remaining budget whole is taken whole; the single
+    * BOUNDARY band that straddles the budget contributes its
+    * deterministic id-ordered prefix — a doc is selected iff the
+    * running token sum through it still fits (docs never split, so
+    * one oversized doc blocks everything after it in the band); all
+    * lower bands drop.
+    *
+    * Scale (100 TB): the band roll-up is one map-side-combinable
+    * aggregate to a |bands|-row frame; its running totals ride a
+    * |bands|-row window (contract-bounded, Paging.dropOffset
+    * posture) and broadcast back; non-boundary rows decide by pure
+    * projection — the ONLY per-doc window runs on the one boundary
+    * band, so its cost is band granularity, not corpus size: pick
+    * bands fine enough (quality score rounded to centiles) that one
+    * band fits a reducer. Output: every input row as
+    * (idCol, bandCol, tokenCol, selected). */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+      bandCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val bands = df.groupBy(col(bandCol))
+      .agg(sum(col(tokenCol).cast("long")).as("_bt"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bandCol).desc)
+    val cum = bands.withColumn("_before",
+      coalesce(sum(col("_bt")).over(wb) - col("_bt"), lit(0L)))
+    val tagged = df.select(col(idCol), col(bandCol),
+        col(tokenCol).cast("long").as(tokenCol))
+      .join(broadcast(cum), Seq(bandCol))
+    val whole = col("_before") + col("_bt") <= lit(budget)
+    val boundary = !whole && col("_before") < lit(budget)
+    val outCols = Seq(col(idCol), col(bandCol), col(tokenCol))
+    val plain = tagged.where(!boundary)
+      .select(outCols :+ whole.as("selected"): _*)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bandCol)).orderBy(col(idCol))
+    val split = tagged.where(boundary)
+      .withColumn("_run", sum(col(tokenCol)).over(wd))
+      .select(outCols :+
+        (col("_before") + col("_run") <= lit(budget)).as("selected"): _*)
+    plain.unionByName(split)
+  }
 }

@@ -360,4 +360,25 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("q213 blocklist: suffix chain joins the broadcast blocklist; " +
+      "only hits reach the id-keyed arg-max; the verdict join " +
+      "broadcasts back — never sort-merge, never cartesian") {
+    val plan = planOf("q213_domain_blocklist")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"blocklist dedup + hits agg only:\n$plan")
+  }
+
+  test("q214 budget select: the ONLY per-doc window is keyed by the " +
+      "boundary band — the corpus never crosses a single-partition " +
+      "window; band running totals ride the |bands|-row frame") {
+    val plan = planOf("q214_budget_select")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("hashpartitioning(band"),
+      s"boundary window must be band-keyed:\n$plan")
+  }
 }

@@ -243,4 +243,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(straddled > 0L,
       "40 independent 3-chains at 70/15/15 straddle w.p. ~1")
   }
+
+  private def budgetRun(rows: Seq[(Long, Long, Long)],
+      budget: Long): Map[Long, Boolean] =
+    Sampling.budgetSelect(rows.toDF("id", "n_tokens", "band"),
+        "id", "n_tokens", "band", budget)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+  test("budgetSelect: top band whole, boundary band id-prefix, " +
+      "lower bands dropped; every row verdicts once") {
+    // band 3: 10+10=20 whole; band 2: ids 20,21,22 of 8 tokens each —
+    // 30-token budget leaves 10, so ONLY id 20 fits; band 1 drops
+    val rows = Seq((1L, 10L, 3L), (2L, 10L, 3L),
+      (20L, 8L, 2L), (21L, 8L, 2L), (22L, 8L, 2L), (30L, 1L, 1L))
+    val out = budgetRun(rows, 30L)
+    assert(out === Map(1L -> true, 2L -> true, 20L -> true,
+      21L -> false, 22L -> false, 30L -> false))
+  }
+
+  test("budgetSelect: an exact band-edge budget takes the edge band " +
+      "whole and nothing below; an oversized doc at the boundary " +
+      "head blocks the band's tail (prefix law, docs never split)") {
+    val edge = budgetRun(Seq((1L, 10L, 2L), (2L, 5L, 1L)), 10L)
+    assert(edge === Map(1L -> true, 2L -> false))
+    // boundary band 1: id 10 costs 100 (overflows), id 11 costs 1 —
+    // the prefix law carries the overflow, so id 11 drops too
+    val blocked = budgetRun(
+      Seq((1L, 10L, 2L), (10L, 100L, 1L), (11L, 1L, 1L)), 50L)
+    assert(blocked === Map(1L -> true, 10L -> false, 11L -> false))
+  }
+
+  test("budgetSelect: budget 0 selects nothing; budget >= total " +
+      "selects everything") {
+    val rows = Seq((1L, 5L, 2L), (2L, 5L, 1L))
+    assert(budgetRun(rows, 0L).values.forall(_ == false))
+    assert(budgetRun(rows, 10L).values.forall(_ == true))
+  }
 }

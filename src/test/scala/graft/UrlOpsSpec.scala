@@ -90,4 +90,28 @@ class UrlOpsSpec extends AnyFunSuite {
     // schemeless input: no authority match → empty host/domain
     assert(host("example.com/x") === "")
   }
+
+  test("domainBlockVerdicts: dot-suffix law — equality and subdomain " +
+      "block, label lookalikes don't, longest entry wins, null host " +
+      "and unlisted hosts verdict unblocked") {
+    val hosts = Seq(
+      (1L, "example3.com"),           // equality hit
+      (2L, "a.b.example3.com"),       // deep subdomain hit
+      (3L, "cdn.example3.com"),       // two entries match → longest
+      (4L, "notexample3.com"),        // NOT a label suffix — clean
+      (5L, "example99.com"),          // unlisted — clean
+      (6L, null.asInstanceOf[String]) // null host — clean
+    ).toDF("id", "host")
+    val bl = Seq("example3.com", "cdn.example3.com").toDF("dom")
+    val out = UrlOps.domainBlockVerdicts(hosts, "id", "host", bl, "dom")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((Some("example3.com"), true)))
+    assert(out(2L) === ((Some("example3.com"), true)))
+    assert(out(3L) === ((Some("cdn.example3.com"), true)))
+    assert(out(4L) === ((None, false)))
+    assert(out(5L) === ((None, false)))
+    assert(out(6L) === ((None, false)))
+    assert(out.size === 6, "every input row verdicts exactly once")
+  }
 }
