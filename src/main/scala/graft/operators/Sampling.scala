@@ -219,18 +219,26 @@ object Sampling {
     * band, so its cost is band granularity, not corpus size: pick
     * bands fine enough (quality score rounded to centiles) that one
     * band fits a reducer. Output: every input row as
-    * (idCol, bandCol, tokenCol, selected). */
+    * (idCol, bandCol, tokenCol, selected); a null band verdicts
+    * unselected, a null token count contributes (and echoes) 0. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
       bandCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
-    val bands = df.groupBy(col(bandCol))
-      .agg(sum(col(tokenCol).cast("long")).as("_bt"))
+    // a null token count contributes 0 (and echoes as 0): letting it
+    // through would null the band's total and every comparison on it,
+    // silently dropping the whole band from BOTH union branches
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
+    // a null band can't join the band frame (equi-join null
+    // semantics): verdict it unselected explicitly instead of
+    // letting the inner join swallow the rows
+    val banded = df.where(col(bandCol).isNotNull)
+    val bands = banded.groupBy(col(bandCol)).agg(sum(toks).as("_bt"))
     val wb = org.apache.spark.sql.expressions.Window
       .orderBy(col(bandCol).desc)
     val cum = bands.withColumn("_before",
       coalesce(sum(col("_bt")).over(wb) - col("_bt"), lit(0L)))
-    val tagged = df.select(col(idCol), col(bandCol),
-        col(tokenCol).cast("long").as(tokenCol))
+    val tagged = banded.select(col(idCol), col(bandCol),
+        toks.as(tokenCol))
       .join(broadcast(cum), Seq(bandCol))
     val whole = col("_before") + col("_bt") <= lit(budget)
     val boundary = !whole && col("_before") < lit(budget)
@@ -243,6 +251,9 @@ object Sampling {
       .withColumn("_run", sum(col(tokenCol)).over(wd))
       .select(outCols :+
         (col("_before") + col("_run") <= lit(budget)).as("selected"): _*)
-    plain.unionByName(split)
+    plain.unionByName(split).unionByName(
+      df.where(col(bandCol).isNull)
+        .select(Seq(col(idCol), col(bandCol), toks.as(tokenCol)) :+
+          lit(false).as("selected"): _*))
   }
 }

@@ -100,9 +100,14 @@ object UrlOps {
   def domainBlockVerdicts(df: DataFrame, idCol: String, hostCol: String,
       blocklist: DataFrame, domainCol: String): DataFrame = {
     val parts = split(col(hostCol), "\\.")
+    // null-host guard: size(null) is -1 and sequence(1, -1) DESCENDS
+    // ([1, 0, -1]), which would explode three null suffixes per null
+    // host into the join; a null chain explodes to nothing instead,
+    // and the left join below still verdicts the row unblocked
     val exploded = df.select(col(idCol),
-      explode(transform(sequence(lit(1), size(parts)),
-        i => array_join(slice(parts, i, size(parts)), "."))).as("_sfx"))
+      explode(when(col(hostCol).isNotNull,
+        transform(sequence(lit(1), size(parts)),
+          i => array_join(slice(parts, i, size(parts)), ".")))).as("_sfx"))
     val bl = blocklist.select(col(domainCol).as("_sfx")).distinct()
     val hits = exploded.join(bl, Seq("_sfx"))
       .groupBy(col(idCol))

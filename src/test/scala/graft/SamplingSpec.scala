@@ -279,4 +279,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(budgetRun(rows, 0L).values.forall(_ == false))
     assert(budgetRun(rows, 10L).values.forall(_ == true))
   }
+
+  test("budgetSelect: a null band verdicts unselected (not silently " +
+      "dropped); a null token count contributes and echoes 0") {
+    val df = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 5L, 2L), (2L, null, 2L), (3L, 5L, null))
+      .toDF("id", "n_tokens", "band")
+    // output order is (id, band, n_tokens, selected)
+    val out = Sampling.budgetSelect(df, "id", "n_tokens", "band", 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === 3, "every row verdicts, null band included")
+    // band 2 totals 5 (null token -> 0): both rows fit the budget
+    assert(out(1L) === ((5L, true)))
+    assert(out(2L) === ((0L, true)))
+    assert(out(3L) === ((5L, false)))
+  }
 }
