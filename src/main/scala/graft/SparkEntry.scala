@@ -4750,6 +4750,17 @@ object SparkEntry {
       docs, "doc_id", "n_tokens", "band", 25000L)
   }
 
+  /** NB quality classifier (LmQuality.nbQualityScore): en docs as
+    * the trusted positive seed, zh docs as the negative seed, the
+    * whole corpus scored — the deterministic GPT-3-appendix-A form. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import operators.LmQuality
+    val docs = t(s, dir, "documents")
+    LmQuality.nbQualityScore(docs, "doc_id", "text",
+      docs.where(col("lang") === "en"), "text",
+      docs.where(col("lang") === "zh"), "text")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4970,7 +4981,8 @@ object SparkEntry {
     "q211_boilerplate_lines" -> q211 _,
     "q212_decontaminate" -> q212 _,
     "q213_domain_blocklist" -> q213 _,
-    "q214_budget_select" -> q214 _)
+    "q214_budget_select" -> q214 _,
+    "q215_nb_quality" -> q215 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8373,7 +8385,36 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CASE WHEN b4 + bt <= 25000 THEN TRUE
          |       WHEN b4 < 25000 THEN b4 + run <= 25000
          |       ELSE FALSE END AS selected
-         |FROM r""".stripMargin)
+         |FROM r""".stripMargin,
+
+    "q215_nb_quality" ->
+      // add-0.5 multinomial NB log-odds, en seed vs zh seed, union
+      // vocabulary; per-doc mean over token occurrences, keep > 0
+      s"""WITH tp AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |cp AS (SELECT token, CAST(count(*) AS BIGINT) AS c_pos
+         |  FROM tp GROUP BY token),
+         |tn AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'zh'),
+         |cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c_neg
+         |  FROM tn GROUP BY token),
+         |m AS (SELECT token, c_pos, c_neg
+         |  FROM cp FULL JOIN cn USING (token)),
+         |k AS (SELECT count(*) AS v,
+         |  sum(coalesce(c_pos, 0)) AS n_pos,
+         |  sum(coalesce(c_neg, 0)) AS n_neg FROM m),
+         |dt AS (SELECT doc_id, unnest($allToksSql) AS token
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ln((coalesce(c_pos, 0) + 0.5) / (n_pos + 0.5 * v)) -
+         |  ln((coalesce(c_neg, 0) + 0.5) / (n_neg + 0.5 * v)) AS llr
+         |  FROM dt LEFT JOIN m USING (token) CROSS JOIN k),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(sum(llr) / count(*), 6) AS avg_llr
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  a.avg_llr, coalesce(a.avg_llr > 0, FALSE) AS keep
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

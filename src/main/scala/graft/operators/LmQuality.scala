@@ -81,6 +81,62 @@ object LmQuality {
     * NULL scores (no bigrams) rank last deterministically. The
     * bucket decision uses the EXACT rank ratio; the emitted `pr` is
     * rounded like every float output. */
+  /** Seed-labeled Naive-Bayes quality classifier (the deterministic,
+    * oracle-replayable form of the GPT-3 appendix-A / CCNet-family
+    * quality filter, which trains a linear classifier on a trusted
+    * positive seed vs. a crawl negative seed and keeps
+    * positive-scoring docs): per-token log-odds under add-α
+    * multinomial models,
+    * llr(w) = ln((c_pos(w)+α)/(N_pos+α·V)) −
+    *          ln((c_neg(w)+α)/(N_neg+α·V)),
+    * with V the UNION vocabulary of both seeds; a document scores
+    * the mean llr over its token OCCURRENCES and keeps iff the mean
+    * is positive. (GPT-3 adds a Pareto-noise re-admission of
+    * negatives; that draw is the documented nondeterministic
+    * departure — the threshold form here is the replayable law.)
+    *
+    * Scale (100 TB): both seed count tables are vocabulary-sized
+    * map-side-combined aggregates; the full-outer model join and the
+    * 1-row totals frame broadcast onto the corpus token stream
+    * (q205's counter posture), so the only corpus shuffle is the
+    * per-document mean. Unseen tokens fall back to the α floors on
+    * both sides. Tokenless docs score NULL and keep=false (roster
+    * join, as [[nllScore]]).
+    *
+    * Output: (idCol, n_tokens, avg_llr round 6, keep). */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      pos: DataFrame, posTextCol: String,
+      neg: DataFrame, negTextCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val cp = Vocabulary.tokenFrequencies(pos, posTextCol)
+      .select(col("token"), col("n").as("c_pos"))
+    val cn = Vocabulary.tokenFrequencies(neg, negTextCol)
+      .select(col("token"), col("n").as("c_neg"))
+    val model = cp.join(cn, Seq("token"), "full")
+    val consts = model.agg(count(lit(1L)).as("v"),
+      sum(coalesce(col("c_pos"), lit(0L))).as("n_pos"),
+      sum(coalesce(col("c_neg"), lit(0L))).as("n_neg"))
+    val scored = docs
+      .select(col(idCol),
+        explode(TextFunctions.allTokens(col(textCol))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("llr",
+        log((coalesce(col("c_pos"), lit(0L)) + lit(alpha)) /
+          (col("n_pos") + lit(alpha) * col("v"))) -
+        log((coalesce(col("c_neg"), lit(0L)) + lit(alpha)) /
+          (col("n_neg") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_tokens"),
+        round(sum(col("llr")) / count(lit(1L)), 6).as("avg_llr"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_llr"),
+        coalesce(col("avg_llr") > 0, lit(false)).as("keep"))
+  }
+
   def perplexityBuckets(scored: DataFrame, idCol: String,
       langCol: String, scoreCol: String,
       headFrac: Double = 0.3, midFrac: Double = 0.7): DataFrame = {

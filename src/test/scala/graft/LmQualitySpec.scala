@@ -62,6 +62,35 @@ class LmQualitySpec extends AnyFunSuite {
     assert(got(9L) === ((0.0, "head")))
   }
 
+  test("nbQualityScore: hand-computed log-odds (union vocab, add-α " +
+      "floors), zero-vote unseen tokens, tokenless NULL, the 0 " +
+      "boundary keeps=false, and pos/neg swap flips the sign") {
+    // pos "good good nice", neg "bad bad ugly": V=4, N_pos=N_neg=3 →
+    // llr(good)=ln5, llr(nice)=ln3, llr(bad)=-ln5, llr(unseen)=0
+    val pos = Seq((100L, "good good nice")).toDF("doc_id", "text")
+    val neg = Seq((200L, "bad bad ugly")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "good nice"), // (ln5+ln3)/2 = 1.354025
+      (2L, "bad z"),     // (-ln5+0)/2 = -0.804719
+      (3L, ""),          // tokenless → (0, NULL, keep=false)
+      (4L, "z")          // avg exactly 0 → keep=false at the boundary
+    ).toDF("doc_id", "text")
+    val got = LmQuality.nbQualityScore(
+        docs, "doc_id", "text", pos, "text", neg, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3)))).toMap
+    assert(got(1L) === ((2L, Some(1.354025), true)))
+    assert(got(2L) === ((2L, Some(-0.804719), false)))
+    assert(got(3L) === ((0L, None, false)))
+    assert(got(4L) === ((1L, Some(0.0), false)))
+    val swapped = LmQuality.nbQualityScore(
+        docs, "doc_id", "text", neg, "text", pos, "text")
+      .where(col("doc_id") === 1L).collect().head
+    assert(swapped.getDouble(2) === -1.354025)
+    assert(!swapped.getBoolean(3))
+  }
+
   test("q193 plan: model joins broadcast; no cartesian beyond the " +
       "1-row vocab frame") {
     val df = SparkEntry.queries("q193_lm_nll")(spark,
