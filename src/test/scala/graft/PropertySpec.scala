@@ -314,4 +314,61 @@ class PropertySpec extends AnyFunSuite {
         NativeText.bm25TokensOf($"text").as("b"))
     assert(both.where(not($"a" <=> $"b")).count() === 0)
   }
+
+  test("removeBoilerplateLines: conservation and idempotency laws on " +
+      "random line corpora (removal never raises a survivor's df, so " +
+      "a second pass at the same threshold removes nothing)") {
+    import graft.operators.Dedup
+    // small line alphabet → real cross-doc collisions at every df
+    val lineGen = Gen.oneOf("banner x", "menu", "body a", "body b",
+      "body c", "   ", "footer y", "z")
+    val docGen = Gen.chooseNum(1, 6)
+      .flatMap(k => Gen.listOfN(k, lineGen)).map(_.mkString("\n"))
+    val docs = samples(docGen, 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(
+      docs, "doc_id", "text", 5L).cache()
+    try {
+      // conservation: every doc verdicts once; n_removed counts what
+      // left clean_text
+      assert(out.count() === 50L)
+      val broke = out.where(
+        col("n_lines") - col("n_removed") =!=
+          when(col("clean_text") === "" and col("n_lines") === col("n_removed"),
+            lit(0)).otherwise(size(split(col("clean_text"), "\n", -1))))
+      assert(broke.count() === 0L, broke.collect().mkString("\n"))
+      // idempotency (provable law: removal deletes whole lines
+      // everywhere, so surviving lines keep their exact df)
+      val again = Dedup.removeBoilerplateLines(
+        out.select(col("doc_id"), col("clean_text")),
+        "doc_id", "clean_text", 5L)
+      assert(again.where(col("n_removed") > 0).count() === 0L)
+    } finally out.unpersist()
+  }
+
+  test("budgetSelect: selection is monotone in the budget and " +
+      "total-respecting on random corpora") {
+    import graft.operators.Sampling
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 4L))
+    val rows = samples(rowGen, 80).zipWithIndex
+      .map { case ((n, b), i) => (i.toLong, n, b) }
+      .toDF("id", "n_tokens", "band")
+    val picks = Seq(0L, 100L, 400L, 900L, 100000L).map { budget =>
+      val sel = Sampling.budgetSelect(rows, "id", "n_tokens", "band", budget)
+        .where(col("selected")).cache()
+      val ids = sel.select("id").collect().map(_.getLong(0)).toSet
+      val toks = sel.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .head().getLong(0)
+      sel.unpersist()
+      // the selection never overshoots the budget
+      assert(toks <= budget, s"budget $budget overshot: $toks")
+      ids
+    }
+    // growing budgets only ever ADD documents
+    picks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), s"monotonicity broke: ${a.diff(b)}")
+    }
+    // unbounded budget takes everything
+    assert(picks.last.size === 80)
+  }
 }
