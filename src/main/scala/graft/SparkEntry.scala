@@ -4761,6 +4761,13 @@ object SparkEntry {
       docs.where(col("lang") === "zh"), "text")
   }
 
+  /** SimHash hamming candidates (Dedup.simhashHammingCandidates,
+    * Manku et al. 2007): 4 bands of 16 bits, exact recall at
+    * hamming <= 3 — 21 pairs at sf0.01. */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashHammingCandidates(
+      t(s, dir, "documents"), "doc_id", "text", 4, 3)
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4982,7 +4989,8 @@ object SparkEntry {
     "q212_decontaminate" -> q212 _,
     "q213_domain_blocklist" -> q213 _,
     "q214_budget_select" -> q214 _,
-    "q215_nb_quality" -> q215 _)
+    "q215_nb_quality" -> q215 _,
+    "q216_simhash_hamming" -> q216 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8414,7 +8422,29 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  FROM sc GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
          |  a.avg_llr, coalesce(a.avg_llr > 0, FALSE) AS keep
-         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin)
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "q216_simhash_hamming" ->
+      // Manku banding over the q19 fingerprint CTEs: 4x16-bit band
+      // buckets, distinct candidate pairs, nibble-table popcount of
+      // the xor, radius 3 (exact recall: 3 flips can't touch 4 bands)
+      (s"WITH $simhashCtes,\n" +
+        s"""b AS (SELECT doc_id, sh, g.b AS band,
+           |  substr(sh, g.b * 4 + 1, 4) AS bucket
+           |  FROM hx CROSS JOIN generate_series(0, 3) g(b)),
+           |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  a.sh AS sha, b2.sh AS shb
+           |  FROM b a JOIN b b2 USING (band, bucket)
+           |  WHERE a.doc_id < b2.doc_id),
+           |h AS (SELECT id_a, id_b,
+           |  CAST(list_sum(list_transform(generate_series(1, 16), i ->
+           |    CAST(substr('0112122312232334',
+           |      CAST(xor(strpos('0123456789abcdef', substr(sha, i, 1)) - 1,
+           |               strpos('0123456789abcdef', substr(shb, i, 1)) - 1)
+           |        AS INT) + 1, 1) AS INT))) AS BIGINT) AS hamming
+           |  FROM p)
+           |SELECT id_a, id_b, hamming FROM h
+           |WHERE hamming <= 3""".stripMargin))
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent
@@ -9328,8 +9358,10 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
 
   /** SimHash oracle: same md5-hex bit extraction and ±1 voting as
     * Dedup.simhash (all-integer math → exact parity). */
-  private def simhashOracleSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+  /** The simhash WITH-body (tok/bits/nib/hx), shared by q19 and the
+    * q216 hamming-candidate twin; hx carries token-bearing docs only. */
+  private def simhashCtes: String =
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
        |bits AS (SELECT doc_id, i,
        |  SUM(CASE WHEN CAST(floor((strpos('0123456789abcdef',
        |      substr(md5(t), CAST(floor(i / 4) AS INT) + 1, 1)) - 1)
@@ -9340,7 +9372,10 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |  FROM bits GROUP BY doc_id, CAST(floor(i / 4) AS INT)),
        |hx AS (SELECT doc_id,
        |  string_agg(substr('0123456789abcdef', nibval + 1, 1), '' ORDER BY ni) AS sh
-       |  FROM nib GROUP BY doc_id)
+       |  FROM nib GROUP BY doc_id)""".stripMargin
+
+  private def simhashOracleSql: String =
+    s"""WITH $simhashCtes
        |SELECT d.doc_id, coalesce(hx.sh, '0000000000000000') AS simhash
        |FROM documents d LEFT JOIN hx ON d.doc_id = hx.doc_id""".stripMargin
 

@@ -359,6 +359,64 @@ object Dedup {
     * formulation the bit-identity spec checks against — is test-only
     * (OperatorSpec.hofSimhash). */
 
+  /** SimHash hamming-ball candidate pairs (Manku et al. 2007
+    * "Detecting Near-Duplicates for Web Crawling" — SimHash's OWN
+    * scale path, closing the banding triptych next to MinHash-LSH
+    * (Jaccard, q18) and hyperplane LSH (cosine, q72)): the 64-bit
+    * fingerprint splits into `bands` equal hex slices; a pair is a
+    * candidate iff it agrees EXACTLY on at least one slice, then
+    * verifies by popcount of the xor. By the pigeonhole, `maxHamming
+    * < bands` flipped bits cannot touch every band, so recall is
+    * EXACT at this contract (the require pins it) — Manku's table
+    * permutations generalize to larger radii. Docs with no tokens
+    * are excluded up front (they would all share one degenerate
+    * fingerprint and pair quadratically).
+    *
+    * Scale (100 TB): fingerprinting is the one-pass native
+    * expression; the (band, bucket) equi-join is bucket-collision
+    * bounded exactly like [[lshBuckets]] (identical-fingerprint
+    * clusters — true exact dups — are the only hot buckets; run
+    * [[exact]] first, as every published pipeline does); hamming
+    * verification is a 16-step nibble-table fold per CANDIDATE, not
+    * per pair of documents. Output: (id_a, id_b, hamming). */
+  def simhashHammingCandidates(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && 16 % bands == 0,
+      s"bands must divide the 16 hex digits: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding recall is exact only for maxHamming < bands: " +
+        s"$maxHamming vs $bands")
+    val width = 16 / bands
+    val hexDigits = "0123456789abcdef"
+    val popTable = "0112122312232334" // popcount of nibble 0..15
+    val fp = df
+      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), NativeText.simhashOf(col("_toks")).as("_sh"))
+    val banded = fp.select(col(idCol), col("_sh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
+      .withColumn("_bucket", call_function("substr", col("_sh"),
+        col("_band") * lit(width) + lit(1), lit(width)))
+    val l = banded.select(col(idCol).as("id_a"), col("_sh").as("_sha"),
+      col("_band"), col("_bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("_sh").as("_shb"),
+      col("_band"), col("_bucket"))
+    def nib(c: Column, i: Column): Column =
+      (call_function("instr", lit(hexDigits),
+        call_function("substr", c, i, lit(1))) - lit(1)).cast("int")
+    val ham = aggregate(sequence(lit(1), lit(16)), lit(0L),
+      (acc, i) => acc + call_function("substr", lit(popTable),
+        nib(col("_sha"), i).bitwiseXOR(nib(col("_shb"), i)) + lit(1),
+        lit(1)).cast("long"))
+    l.join(r, Seq("_band", "_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_sha"), col("_shb"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding near-dup pairs: all (a < b) with cosine >= minSim.
     * Exact O(n²) comparison — correctness baseline ONLY (the plan is a
     * cartesian product and dies at scale); [[embeddingNearDupLsh]] is

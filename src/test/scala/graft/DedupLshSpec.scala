@@ -108,4 +108,32 @@ class DedupLshSpec extends AnyFunSuite {
       docCount = Some(500L))) === exact)
     idx.unpersist()
   }
+
+  test("simhashHammingCandidates: banding recall is EXACT at " +
+      "maxHamming < bands — every brute-force pair within the radius " +
+      "is found, every reported distance matches brute force, and " +
+      "the contract rejects a radius the pigeonhole can't cover") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{NativeText, TextFunctions}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.simhashHammingCandidates(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // brute force over the fingerprints (driver-side popcount)
+    val fps = docs
+      .withColumn("_t", TextFunctions.bm25Tokens(col("text")))
+      .where(size(col("_t")) > 0)
+      .select(col("doc_id"), NativeText.simhashOf(col("_t")).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Long.parseUnsignedLong(r.getString(1), 16))
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(got === brute, "exact recall + exact distances at r=3/b=4")
+    assert(brute.nonEmpty, "sf0.001 is known to contain r<=3 pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingCandidates(docs, "doc_id", "text", 4, 4)
+    }
+  }
 }

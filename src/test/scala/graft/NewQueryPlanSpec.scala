@@ -381,4 +381,12 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(band"),
       s"boundary window must be band-keyed:\n$plan")
   }
+
+  test("q216 simhash hamming: candidates only via the (band, bucket) " +
+      "equi-join — no cartesian, no nested loop; the fold verifies " +
+      "candidates, never all pairs") {
+    val plan = planOf("q216_simhash_hamming")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
