@@ -8425,13 +8425,17 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     "q216_simhash_hamming" ->
-      // Manku banding over the q19 fingerprint CTEs: 4x16-bit band
-      // buckets, distinct candidate pairs, nibble-table popcount of
-      // the xor, radius 3 (exact recall: 3 flips can't touch 4 bands)
+      // Manku combination tables over the q19 fingerprint CTEs: all
+      // C(8,5)=56 five-block subsets key a table (exact recall at
+      // radius 3: 3 flips leave >= 5 blocks untouched), distinct
+      // candidate pairs, nibble-table popcount of the xor
       (s"WITH $simhashCtes,\n" +
-        s"""b AS (SELECT doc_id, sh, g.b AS band,
-           |  substr(sh, g.b * 4 + 1, 4) AS bucket
-           |  FROM hx CROSS JOIN generate_series(0, 3) g(b)),
+        s"""c(band, b1, b2, b3, b4, b5) AS (VALUES $simhashCombosValues),
+           |b AS (SELECT doc_id, sh, band,
+           |  substr(sh, b1*2 + 1, 2) || substr(sh, b2*2 + 1, 2) ||
+           |  substr(sh, b3*2 + 1, 2) || substr(sh, b4*2 + 1, 2) ||
+           |  substr(sh, b5*2 + 1, 2) AS bucket
+           |  FROM hx CROSS JOIN c),
            |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
            |  a.sh AS sha, b2.sh AS shb
            |  FROM b a JOIN b b2 USING (band, bucket)
@@ -9373,6 +9377,12 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |hx AS (SELECT doc_id,
        |  string_agg(substr('0123456789abcdef', nibval + 1, 1), '' ORDER BY ni) AS sh
        |  FROM nib GROUP BY doc_id)""".stripMargin
+
+  /** The 56 five-of-eight block subsets of the q216 Manku tables. */
+  private def simhashCombosValues: String =
+    (0 until 8).combinations(5).zipWithIndex
+      .map { case (c, tid) => s"($tid, ${c.mkString(", ")})" }
+      .mkString(", ")
 
   private def simhashOracleSql: String =
     s"""WITH $simhashCtes

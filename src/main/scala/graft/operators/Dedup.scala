@@ -363,44 +363,66 @@ object Dedup {
     * "Detecting Near-Duplicates for Web Crawling" — SimHash's OWN
     * scale path, closing the banding triptych next to MinHash-LSH
     * (Jaccard, q18) and hyperplane LSH (cosine, q72)): the 64-bit
-    * fingerprint splits into `bands` equal hex slices; a pair is a
-    * candidate iff it agrees EXACTLY on at least one slice, then
-    * verifies by popcount of the xor. By the pigeonhole, `maxHamming
-    * < bands` flipped bits cannot touch every band, so recall is
-    * EXACT at this contract (the require pins it) — Manku's table
-    * permutations generalize to larger radii. Docs with no tokens
-    * are excluded up front (they would all share one degenerate
-    * fingerprint and pair quadratically).
+    * fingerprint splits into `blocks` equal hex slices, and a table
+    * is built for every (blocks − maxHamming)-subset of block
+    * positions, keyed by those blocks' concatenated hex; a pair is a
+    * candidate iff it matches some table's FULL key, then verifies
+    * by popcount of the xor. By the pigeonhole, maxHamming flips
+    * touch at most maxHamming blocks, so some (blocks − maxHamming)
+    * blocks are untouched on both sides and the pair shares that
+    * table's key — recall is EXACT (the require pins maxHamming <
+    * blocks). This is Manku's actual construction; the naive
+    * one-block-match variant (match ANY single 16-bit band) was
+    * measured here first and rejected: its key is a FIXED 16 bits,
+    * so random collisions grow n²/2^16 — the q72 fixed-bandBits
+    * lesson — costing 23 s at sf1 where the combination tables'
+    * (blocks−r)/blocks·64-bit keys cost ~1 s.
     *
-    * Scale (100 TB): fingerprinting is the one-pass native
-    * expression; the (band, bucket) equi-join is bucket-collision
-    * bounded exactly like [[lshBuckets]] (identical-fingerprint
-    * clusters — true exact dups — are the only hot buckets; run
-    * [[exact]] first, as every published pipeline does); hamming
-    * verification is a 16-step nibble-table fold per CANDIDATE, not
-    * per pair of documents. Output: (id_a, id_b, hamming). */
+    * Sizing: tables = C(blocks, blocks − maxHamming) rows per
+    * DISTINCT fingerprint (56 at the 8/3 default) and expected
+    * random collisions ~ tables · m² / 2^keyBits with m the DISTINCT
+    * fingerprint count and keyBits = 40 at the default — negligible
+    * to ~10^8 distinct prints; grow `blocks` (16 → 52-bit keys) past
+    * that, the lshSizing-family law. The tables are built over
+    * DISTINCT fingerprints, never documents: exact-duplicate
+    * clusters (which real crawls have in bulk — this corpus packs
+    * 50k docs into 4,965 prints at sf1) would otherwise multiply
+    * through every table (measured 13.2M joined rows and a 23 s sf1
+    * cell for a doc-level formulation; the print-level one costs
+    * ~1 s and expands to id pairs only at OUTPUT, where intra-print
+    * pairs are hamming-0 by definition and cross-print pairs fan out
+    * group_a × group_b — rows the contract owes anyway). Docs with
+    * no tokens are excluded up front. Hamming verification is a
+    * 16-step nibble-table popcount fold per candidate PRINT pair.
+    * Output: (id_a, id_b, hamming). */
   def simhashHammingCandidates(df: DataFrame, idCol: String,
-      textCol: String, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bands > 0 && 16 % bands == 0,
-      s"bands must divide the 16 hex digits: $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"banding recall is exact only for maxHamming < bands: " +
-        s"$maxHamming vs $bands")
-    val width = 16 / bands
+      textCol: String, blocks: Int = 8, maxHamming: Int = 3): DataFrame = {
+    require(blocks > 0 && 16 % blocks == 0,
+      s"blocks must divide the 16 hex digits: $blocks")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"pigeonhole recall is exact only for maxHamming < blocks: " +
+        s"$maxHamming vs $blocks")
+    val width = 16 / blocks
     val hexDigits = "0123456789abcdef"
     val popTable = "0112122312232334" // popcount of nibble 0..15
+    val combos = (0 until blocks).combinations(blocks - maxHamming)
+      .map(_.toSeq).toSeq
     val fp = df
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
       .where(size(col("_toks")) > 0)
       .select(col(idCol), NativeText.simhashOf(col("_toks")).as("_sh"))
-    val banded = fp.select(col(idCol), col("_sh"),
-        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
-      .withColumn("_bucket", call_function("substr", col("_sh"),
-        col("_band") * lit(width) + lit(1), lit(width)))
-    val l = banded.select(col(idCol).as("id_a"), col("_sh").as("_sha"),
-      col("_band"), col("_bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("_sh").as("_shb"),
-      col("_band"), col("_bucket"))
+    val reps = fp.select(col("_sh")).distinct()
+    def keysOf(sh: Column) = array(combos.zipWithIndex.map {
+      case (c, tid) =>
+        struct(lit(tid).as("t"),
+          concat(c.map(b => call_function("substr", sh,
+            lit(b * width + 1), lit(width))): _*).as("k"))
+    }: _*)
+    val banded = reps
+      .select(col("_sh"), explode(keysOf(col("_sh"))).as("_b"))
+      .select(col("_sh"), col("_b.t").as("_t"), col("_b.k").as("_k"))
+    val l = banded.select(col("_sh").as("_sha"), col("_t"), col("_k"))
+    val r = banded.select(col("_sh").as("_shb"), col("_t"), col("_k"))
     def nib(c: Column, i: Column): Column =
       (call_function("instr", lit(hexDigits),
         call_function("substr", c, i, lit(1))) - lit(1)).cast("int")
@@ -408,13 +430,23 @@ object Dedup {
       (acc, i) => acc + call_function("substr", lit(popTable),
         nib(col("_sha"), i).bitwiseXOR(nib(col("_shb"), i)) + lit(1),
         lit(1)).cast("long"))
-    l.join(r, Seq("_band", "_bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_sha"), col("_shb"))
-      .distinct()
+    val shPairs = l.join(r, Seq("_t", "_k"))
+      .where(col("_sha") < col("_shb"))
+      .select(col("_sha"), col("_shb")).distinct()
       .withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val cross = shPairs
+      .join(fp.select(col(idCol).as("_ida"), col("_sh").as("_sha")),
+        Seq("_sha"))
+      .join(fp.select(col(idCol).as("_idb"), col("_sh").as("_shb")),
+        Seq("_shb"))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"), col("hamming"))
+    val intra = fp.select(col(idCol).as("id_a"), col("_sh"))
+      .join(fp.select(col(idCol).as("id_b"), col("_sh")), Seq("_sh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    intra.unionByName(cross)
   }
 
   /** Embedding near-dup pairs: all (a < b) with cosine >= minSim.
