@@ -4762,11 +4762,12 @@ object SparkEntry {
   }
 
   /** SimHash hamming candidates (Dedup.simhashHammingCandidates,
-    * Manku et al. 2007): 4 bands of 16 bits, exact recall at
-    * hamming <= 3 — 21 pairs at sf0.01. */
+    * Manku et al. 2007): C(8,5) = 56 five-block combination tables
+    * over distinct fingerprints, exact recall at hamming <= 3 —
+    * 21 pairs at sf0.01. */
   private def q216(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashHammingCandidates(
-      t(s, dir, "documents"), "doc_id", "text", 4, 3)
+      t(s, dir, "documents"), "doc_id", "text", 8, 3)
 
   // ------------------------------------------------------------------
 

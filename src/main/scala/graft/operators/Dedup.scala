@@ -878,6 +878,37 @@ object Dedup {
           s => s.getField("_line")), "\n").as("clean_text"))
   }
 
+  /** WITHIN-document repeated-line trimming (the within-doc member
+    * of the dedup granularity matrix, next to [[removeBoilerplateLines]]'
+    * cross-doc law and [[removeSharedSpans]]' token windows — the
+    * generation-artifact / scraper-echo cleanup step): inside one
+    * document, every line keeps only its FIRST occurrence; later
+    * exact repeats drop. Lines empty after trim are always kept
+    * (blank separators are structure, not repetition — and dropping
+    * them would splice unrelated paragraphs together). Line identity
+    * is the exact raw line.
+    *
+    * Scale (100 TB): a pure per-row HOF projection — no shuffle, no
+    * join, pushdown-eligible; the seen-set is the line's index-of
+    * first position, so the filter is array_position equality,
+    * linear in lines per doc with Spark's codegen'd array ops.
+    * Output: (idCol, n_lines, n_removed, clean_text); null text
+    * behaves as '' — one empty line, kept. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ls = split(coalesce(col(textCol), lit("")), "\n", -1)
+    // keep position i iff it's the first index holding that line, or
+    // the line is blank after trim; array_position is 1-based
+    val keptIdx = filter(sequence(lit(0), size(ls) - 1),
+      i => trim(element_at(ls, i + 1)) === "" ||
+        array_position(ls, element_at(ls, i + 1)) === (i + 1).cast("long"))
+    df.select(col(idCol),
+      size(ls).cast("long").as("n_lines"),
+      (size(ls) - size(keptIdx)).cast("long").as("n_removed"),
+      array_join(transform(keptIdx, i => element_at(ls, i + 1)), "\n")
+        .as("clean_text"))
+  }
+
   /** Cross-snapshot incremental dedup, exact path: which BATCH
     * documents are NEW against a prior corpus snapshot's fingerprint
     * set — one anti join on the normalized-content fingerprint

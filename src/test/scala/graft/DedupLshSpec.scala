@@ -116,7 +116,7 @@ class DedupLshSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.functions.{NativeText, TextFunctions}
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val got = Dedup.simhashHammingCandidates(docs, "doc_id", "text", 4, 3)
+    val got = Dedup.simhashHammingCandidates(docs, "doc_id", "text", 8, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     // brute force over the fingerprints (driver-side popcount)
@@ -130,10 +130,10 @@ class DedupLshSpec extends AnyFunSuite {
       (a, ha) <- fps; (b, hb) <- fps if a < b
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
     } yield (a, b) -> d.toLong).toMap
-    assert(got === brute, "exact recall + exact distances at r=3/b=4")
+    assert(got === brute, "exact recall + exact distances at r=3/blocks=8")
     assert(brute.nonEmpty, "sf0.001 is known to contain r<=3 pairs")
     intercept[IllegalArgumentException] {
-      Dedup.simhashHammingCandidates(docs, "doc_id", "text", 4, 4)
+      Dedup.simhashHammingCandidates(docs, "doc_id", "text", 8, 8)
     }
   }
 }
