@@ -4769,6 +4769,22 @@ object SparkEntry {
     Dedup.simhashHammingCandidates(
       t(s, dir, "documents"), "doc_id", "text", 8, 3)
 
+  /** Within-doc line trimming (Dedup.dedupLinesWithinDoc): the
+    * q211-style synthesized layout but with WITHIN-document repeats —
+    * even docs echo their body line, every doc repeats its signature;
+    * blank separators stay. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("   "),
+        when(col("doc_id") % 2 === 0, col("text")),
+        concat(lit("sig "), (col("doc_id") % 5).cast("string")),
+        concat(lit("sig "), (col("doc_id") % 5).cast("string")),
+        lit("   ")).as("text"))
+    Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -4991,7 +5007,8 @@ object SparkEntry {
     "q213_domain_blocklist" -> q213 _,
     "q214_budget_select" -> q214 _,
     "q215_nb_quality" -> q215 _,
-    "q216_simhash_hamming" -> q216 _)
+    "q216_simhash_hamming" -> q216 _,
+    "q217_within_doc_lines" -> q217 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8449,7 +8466,27 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
            |        AS INT) + 1, 1) AS INT))) AS BIGINT) AS hamming
            |  FROM p)
            |SELECT id_a, id_b, hamming FROM h
-           |WHERE hamming <= 3""".stripMargin))
+           |WHERE hamming <= 3""".stripMargin),
+
+    "q217_within_doc_lines" ->
+      // first-occurrence law per doc: keep index i iff blank after
+      // trim or list_position (first index) equals i; 1-based lists
+      s"""WITH d AS (SELECT doc_id, concat_ws(chr(10), text, '   ',
+         |  CASE WHEN doc_id % 2 = 0 THEN text END,
+         |  'sig ' || CAST(doc_id % 5 AS VARCHAR),
+         |  'sig ' || CAST(doc_id % 5 AS VARCHAR), '   ') AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+         |k AS (SELECT doc_id, ls,
+         |  list_filter(generate_series(1, len(ls)),
+         |    i -> trim(ls[i]) = '' OR list_position(ls, ls[i]) = i)
+         |    AS kept
+         |  FROM l)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+         |  array_to_string(list_transform(kept, i -> ls[i]), chr(10))
+         |    AS clean_text
+         |FROM k""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

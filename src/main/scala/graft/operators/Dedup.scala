@@ -889,9 +889,12 @@ object Dedup {
     * is the exact raw line.
     *
     * Scale (100 TB): a pure per-row HOF projection — no shuffle, no
-    * join, pushdown-eligible; the seen-set is the line's index-of
-    * first position, so the filter is array_position equality,
-    * linear in lines per doc with Spark's codegen'd array ops.
+    * join, pushdown-eligible; the keep test is array_position
+    * equality (first index), O(L) per line and so quadratic in a
+    * single document's OWN line count L — corpus size never enters.
+    * For a pathological single document (10^5+ lines) the escape is
+    * posexplode + min(pos)-per-line groupBy, one doc-keyed shuffle;
+    * at prose-shaped L the per-row form wins by never shuffling.
     * Output: (idCol, n_lines, n_removed, clean_text); null text
     * behaves as '' — one empty line, kept. */
   def dedupLinesWithinDoc(df: DataFrame, idCol: String,

@@ -74,4 +74,36 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) === 0L),
       "three raw-distinct variants each have df 1")
   }
+
+  private def runWithin(rows: Seq[(Long, String)]): Map[Long, Row] =
+    Dedup.dedupLinesWithinDoc(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("dedupLinesWithinDoc: first occurrence kept, later exact " +
+      "repeats drop, blank separators always survive, and docs " +
+      "never influence one another") {
+    val out = runWithin(Seq(
+      1L -> "a\nb\na\n   \nb\n   \nc",
+      2L -> "a\na\na",
+      3L -> "only one line",
+      4L -> (null: String)))
+    assert(out(1L).getLong(1) === 7L && out(1L).getLong(2) === 2L)
+    assert(out(1L).getString(3) === "a\nb\n   \n   \nc")
+    assert(out(2L).getLong(2) === 2L && out(2L).getString(3) === "a")
+    // doc 3 repeats doc 1's alphabet but is untouched (within-doc law)
+    assert(out(3L).getLong(2) === 0L)
+    assert(out(4L).getLong(1) === 1L && out(4L).getLong(2) === 0L)
+    assert(out(4L).getString(3) === "")
+  }
+
+  test("dedupLinesWithinDoc: trim-blank variants are distinct " +
+      "SEPARATORS (all kept) while identical non-blank lines drop " +
+      "even when far apart") {
+    val out = runWithin(Seq(
+      1L -> "x\n   \nx\n \nx\n\nx"))
+    // every x after the first drops; all three blank variants stay
+    assert(out(1L).getLong(1) === 7L && out(1L).getLong(2) === 3L)
+    assert(out(1L).getString(3) === "x\n   \n \n")
+  }
 }
