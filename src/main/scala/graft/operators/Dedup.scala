@@ -857,16 +857,38 @@ object Dedup {
     * Output: (idCol, n_lines, n_removed, clean_text); a document
     * whose every line is removed yields clean_text ''. */
   def removeBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String, minDf: Long): DataFrame =
+    removeBoilerplateLinesWithConvicted(df, idCol, textCol,
+      convictedBoilerplateLines(df, idCol, textCol, minDf))
+
+  /** The TRAINING face: the df-capped convicted-lines frame a
+    * continuous pipeline persists once over the corpus (column
+    * `line`). Trim-empty lines never convict. */
+  def convictedBoilerplateLines(df: DataFrame, idCol: String,
       textCol: String, minDf: Long): DataFrame = {
     require(minDf > 0, s"minDf must be positive: $minDf")
+    df.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as("line"))
+      .where(trim(col("line")) =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDf)
+      .select(col("line"))
+  }
+
+  /** The APPLY face: drop every occurrence of a convicted line from
+    * the given frame — stateless w.r.t. the input, so it applies
+    * unchanged to a streaming delta via foreachBatch (stream-static
+    * join; StreamingSpec pins the posture). `convicted` carries the
+    * lines in a `line` column ([[convictedBoilerplateLines]]). */
+  def removeBoilerplateLinesWithConvicted(df: DataFrame, idCol: String,
+      textCol: String, convicted: DataFrame): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
         .as(Seq("_pos", "_line")))
-    val frequent = lines.where(trim(col("_line")) =!= "")
-      .groupBy(col("_line"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .where(col("_df") >= minDf)
-      .select(col("_line"), lit(true).as("_bp"))
+    val frequent = convicted
+      .select(col("line").as("_line"), lit(true).as("_bp")).distinct()
     lines.join(frequent, Seq("_line"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_lines"),

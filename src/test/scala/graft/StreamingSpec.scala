@@ -128,6 +128,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L).endsWith("mail me <EMAIL> now"))
   }
 
+  test("boilerplate-line removal streams as a stream-static join: " +
+      "the persisted convicted-lines frame marks incoming docs, the " +
+      "per-row rebuild drops them — the continuous-ingest posture " +
+      "where conviction is trained on the corpus, applied to deltas") {
+    val tmp = Files.createTempDirectory("sline").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // the CORPUS-trained conviction frame (what a pipeline persists):
+    // one banner line; arrives as the static join side
+    val convicted = Seq(Tuple1("accept cookies")).toDF("line")
+    // foreachBatch: the library's batch operator applied per delta —
+    // the documented continuous posture (conviction static, rebuild
+    // stateless), no stream-side aggregation state at all
+    val q = spark.readStream.schema("id LONG, text STRING").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.removeBoilerplateLinesWithConvicted(
+            batch, "id", "text", convicted)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    Seq((1L, "hello\naccept cookies\nworld"), (2L, "accept cookies"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    Seq((3L, "fresh\ndoc"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "hello\nworld", 2L -> "", 3L -> "fresh\ndoc"))
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
