@@ -4785,6 +4785,22 @@ object SparkEntry {
     Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
   }
 
+  /** Release diff (Dedup.releaseDiff): synthetic churn over the
+    * corpus — every 7th doc removed, every 5th rewritten ('changed'),
+    * every 5th+1 case/whitespace-churned (fingerprint-UNCHANGED by
+    * the exact-dedup law), every 11th re-added under a new id. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newDf = docs.where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .when(col("doc_id") % 5 === 1, concat(upper(col("text")), lit("  ")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.releaseDiff(docs, newDf, "doc_id", "text")
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -5008,7 +5024,8 @@ object SparkEntry {
     "q214_budget_select" -> q214 _,
     "q215_nb_quality" -> q215 _,
     "q216_simhash_hamming" -> q216 _,
-    "q217_within_doc_lines" -> q217 _)
+    "q217_within_doc_lines" -> q217 _,
+    "q218_release_diff" -> q218 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8486,7 +8503,34 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
          |  array_to_string(list_transform(kept, i -> ls[i]), chr(10))
          |    AS clean_text
-         |FROM k""".stripMargin)
+         |FROM k""".stripMargin,
+
+    "q218_release_diff" ->
+      // full-outer fingerprint diff; the %5=1 arm churns case and
+      // whitespace only, so the exact-dedup normalization reads it
+      // as unchanged
+      s"""WITH o AS (SELECT doc_id, md5(trim(regexp_replace(
+         |    lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS ofp
+         |  FROM documents),
+         |nsrc AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 0 THEN text || ' rev2'
+         |    WHEN doc_id % 5 = 1 THEN upper(text) || '  '
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |n AS (SELECT doc_id, md5(trim(regexp_replace(
+         |    lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS nfp
+         |  FROM nsrc)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN ofp = nfp THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  ofp AS old_fingerprint, nfp AS new_fingerprint
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

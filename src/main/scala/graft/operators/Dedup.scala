@@ -939,6 +939,37 @@ object Dedup {
     * set — one anti join on the normalized-content fingerprint
     * ([[TextFunctions.fingerprint]], the exact-dedup law). Output:
     * the batch's new rows as (idCol, fingerprint). */
+  /** Release DIFF between two corpus snapshots (the dataset-
+    * versioning face next to the [[newAgainstSnapshot]] family —
+    * what a release changelog ships): per-id status by the
+    * exact-dedup content fingerprint ([[TextFunctions.fingerprint]],
+    * so whitespace/case churn is not "changed") — `added` (id only
+    * in the new snapshot), `removed` (only in the old), `changed`
+    * (both, fingerprints differ), `unchanged`. One full-outer join
+    * on the id — both sides doc_id-keyed, the join Spark co-
+    * partitions without residence tricks; fingerprinting is the
+    * per-row native expression. Output: every id of either side as
+    * (idCol, status, old_fingerprint, new_fingerprint). */
+  def releaseDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // coalesce BEFORE fingerprinting: a null-text row must still key
+    // presence (a null fingerprint would read as absent → "added")
+    val o = oldDf.select(col(idCol),
+      TextFunctions.fingerprint(coalesce(col(textCol), lit("")))
+        .as("old_fingerprint"))
+    val n = newDf.select(col(idCol),
+      TextFunctions.fingerprint(coalesce(col(textCol), lit("")))
+        .as("new_fingerprint"))
+    o.join(n, Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("old_fingerprint").isNull, lit("added"))
+          .when(col("new_fingerprint").isNull, lit("removed"))
+          .when(col("old_fingerprint") === col("new_fingerprint"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fingerprint"), col("new_fingerprint"))
+  }
+
   def newAgainstSnapshot(batch: DataFrame, idCol: String,
       textCol: String, priorFps: DataFrame): DataFrame =
     batch.select(col(idCol),

@@ -112,4 +112,24 @@ class SnapshotDedupSpec extends AnyFunSuite {
     }
     assert(verdicts.values.count(_._2) >= exactDups.size)
   }
+
+  test("releaseDiff: added/removed/changed/unchanged by the " +
+      "exact-dedup fingerprint — case/whitespace churn is NOT a " +
+      "change, null text keys presence, every id verdicts once") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, "alpha beta"), (2L, "to be removed"), (3L, "gets a rewrite"),
+      (4L, "Spaced   Out"), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newDf = Seq(
+      (1L, "alpha beta"),                  // unchanged verbatim
+      (3L, "rewritten body"),              // changed
+      (4L, "  spaced out "),               // fingerprint-unchanged churn
+      (5L, null.asInstanceOf[String]),     // null on both sides: unchanged
+      (6L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.releaseDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "removed",
+      3L -> "changed", 4L -> "unchanged", 5L -> "unchanged",
+      6L -> "added"))
+  }
 }
