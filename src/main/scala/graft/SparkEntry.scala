@@ -4801,6 +4801,30 @@ object SparkEntry {
     Dedup.releaseDiff(docs, newDf, "doc_id", "text")
   }
 
+  /** Curation capstone v2 (the round-16 tier end to end):
+    * decontaminate train docs against the benchmark slice (q212 law)
+    * -> NB-classifier keep on the CLEANED text (q215 law, seeds from
+    * the original corpus) -> pack survivors (q185 law) -> per-shard
+    * release manifests (q206 law). Proves the new operators compose
+    * — every stage's output feeds the next's documented input. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import operators.{LmQuality, Packing}
+    val docs = t(s, dir, "documents")
+    val clean = Dedup.removeContaminatedSpans(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      docs.where(col("doc_id") % 5 === 0), "text", 6)
+    val kept = LmQuality.nbQualityScore(
+        clean.select(col("doc_id"), col("clean_text")),
+        "doc_id", "clean_text",
+        docs.where(col("lang") === "en"), "text",
+        docs.where(col("lang") === "zh"), "text")
+      .where(col("keep"))
+      .join(clean.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+    Packing.shardManifest(
+      Packing.packDocuments(kept, "doc_id", "clean_text", 8, 256L),
+      "shard", "doc_id", "n_tokens", 256L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -5025,7 +5049,8 @@ object SparkEntry {
     "q215_nb_quality" -> q215 _,
     "q216_simhash_hamming" -> q216 _,
     "q217_within_doc_lines" -> q217 _,
-    "q218_release_diff" -> q218 _)
+    "q218_release_diff" -> q218 _,
+    "q219_curation_capstone" -> q219 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8530,7 +8555,64 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |       WHEN ofp = nfp THEN 'unchanged'
          |       ELSE 'changed' END AS status,
          |  ofp AS old_fingerprint, nfp AS new_fingerprint
-         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin)
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q219_curation_capstone" ->
+      // q212 coverage law -> kept-token arrays -> q215 NB keep on the
+      // cleaned tokens (seeds from the original corpus) -> q206
+      // manifest law over survivors
+      s"""WITH t AS (SELECT doc_id, $allToksSql AS ws FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |g AS (SELECT doc_id,
+         |  unnest(generate_series(0, len(ws) - 6)) AS pos0,
+         |  unnest(list_transform(generate_series(0, len(ws) - 6),
+         |    i -> array_to_string(ws[i+1:i+6], ' '))) AS gram
+         |  FROM t),
+         |e AS (SELECT DISTINCT
+         |  unnest(list_transform(generate_series(0, len($allToksSql) - 6),
+         |    i -> array_to_string($allToksSql[i+1:i+6], ' '))) AS gram
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |cov AS (SELECT g.doc_id, list(DISTINCT pos0) AS starts
+         |  FROM g JOIN e USING (gram) GROUP BY g.doc_id),
+         |r AS (SELECT t.doc_id, ws, coalesce(starts, []) AS starts
+         |  FROM t LEFT JOIN cov USING (doc_id)),
+         |cl AS (SELECT doc_id, list_transform(
+         |  list_filter(generate_series(0, len(ws) - 1),
+         |    p -> len(list_filter(starts, s -> s <= p AND p < s + 6)) = 0),
+         |  p -> ws[p+1]) AS cw
+         |  FROM r),
+         |tp AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |cp AS (SELECT token, CAST(count(*) AS BIGINT) AS c_pos
+         |  FROM tp GROUP BY token),
+         |tn AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'zh'),
+         |cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c_neg
+         |  FROM tn GROUP BY token),
+         |m AS (SELECT token, c_pos, c_neg
+         |  FROM cp FULL JOIN cn USING (token)),
+         |tot AS (SELECT count(*) AS v,
+         |  sum(coalesce(c_pos, 0)) AS n_pos,
+         |  sum(coalesce(c_neg, 0)) AS n_neg FROM m),
+         |dt AS (SELECT doc_id, unnest(cw) AS token FROM cl),
+         |sc AS (SELECT doc_id,
+         |  ln((coalesce(c_pos, 0) + 0.5) / (n_pos + 0.5 * v)) -
+         |  ln((coalesce(c_neg, 0) + 0.5) / (n_neg + 0.5 * v)) AS llr
+         |  FROM dt LEFT JOIN m USING (token) CROSS JOIN tot),
+         |keepers AS (SELECT doc_id FROM sc GROUP BY doc_id
+         |  HAVING round(sum(llr) / count(*), 6) > 0),
+         |surv AS (SELECT cl.doc_id,
+         |  CAST(len(cw) AS BIGINT) AS n_tokens,
+         |  cl.doc_id % 8 AS shard
+         |  FROM cl JOIN keepers USING (doc_id))
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,
+         |  bit_xor(${md5HexValSql(
+             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+             12)}) AS checksum
+         |FROM surv GROUP BY shard""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

@@ -389,4 +389,19 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q219 curation capstone: the whole chain keeps its stages' " +
+      "shapes — no cartesian beyond the 1-row NB totals frame, no " +
+      "unpartitioned corpus window") {
+    val plan = planOf("q219_curation_capstone")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop side is the broadcast 1-row NB totals
+    // frame (the q205/q215 counter posture)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"only the 1-row totals broadcast:\n$plan")
+    // the NB totals reduce (vocab frame -> 1 row) is the only
+    // single-partition exchange the chain may carry
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"only the totals reduce:\n$plan")
+  }
 }
