@@ -4825,6 +4825,16 @@ object SparkEntry {
       "shard", "doc_id", "n_tokens", 256L)
   }
 
+  /** Length-bucketed batching (Packing.lengthBucketBatches): width-32
+    * buckets, batches of 16 — the padded-batch dataloader index. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import operators.Packing
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(coalesce(TextFunctions.allTokens(col("text")),
+        array().cast("array<string>"))).cast("long").as("n_tokens"))
+    Packing.lengthBucketBatches(docs, "doc_id", "n_tokens", 32L, 16)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -5050,7 +5060,8 @@ object SparkEntry {
     "q216_simhash_hamming" -> q216 _,
     "q217_within_doc_lines" -> q217 _,
     "q218_release_diff" -> q218 _,
-    "q219_curation_capstone" -> q219 _)
+    "q219_curation_capstone" -> q219 _,
+    "q220_length_buckets" -> q220 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8612,7 +8623,20 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  bit_xor(${md5HexValSql(
              "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
              12)}) AS checksum
-         |FROM surv GROUP BY shard""".stripMargin)
+         |FROM surv GROUP BY shard""".stripMargin,
+
+    "q220_length_buckets" ->
+      // ceil-width buckets, id-ordered row_number chopped into
+      // batches of 16, pad_to = bucket * width
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($allToksSql) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  (n_tokens + 31) // 32 AS bucket FROM t)
+         |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+         |    - 1) // 16 AS BIGINT) AS batch_in_bucket,
+         |  CAST(bucket * 32 AS BIGINT) AS pad_to
+         |FROM b""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent

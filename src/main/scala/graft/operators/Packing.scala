@@ -121,6 +121,40 @@ object Packing {
         (col("_to") - col("_from")).as("n_tokens_in_seq"))
   }
 
+  /** Length-bucketed batching index (the padded-batch dataloader's
+    * alternative to [[concatChop]]'s packing — dynamic batching as
+    * popularized by seq2seq toolkits: group examples of similar
+    * length so per-batch padding waste is bounded by the bucket
+    * width): bucket = ceil(n_tokens / bucketWidth) (0-token docs sit
+    * in bucket 0), examples order deterministically by id WITHIN the
+    * bucket and chop into batches of `batchSize`; the emitted
+    * pad_to = bucket · bucketWidth is the batch's padded length (all
+    * members pad to it, the bucket-width waste law).
+    *
+    * Scale (100 TB): one bucket-keyed window (row_number in id
+    * order) — buckets are the partition key, so parallelism is the
+    * bucket count and the documented lever is bucketWidth: narrow
+    * buckets bound padding waste AND widen the key space; a single
+    * pathological bucket (every doc the same length) degrades to one
+    * reducer, the capPerStratum local-precap escape applying
+    * unchanged if it ever matters. Output: (idCol, n_tokens, bucket,
+    * batch_in_bucket, pad_to). */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+      tokenCountCol: String, bucketWidth: Long,
+      batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val n = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    val bucket = call_function("div", n + lit(bucketWidth - 1),
+      lit(bucketWidth))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    df.select(col(idCol), n.as(tokenCountCol), bucket.as("bucket"))
+      .withColumn("batch_in_bucket",
+        call_function("div", row_number().over(w).cast("long") - lit(1L),
+          lit(batchSize.toLong)))
+      .withColumn("pad_to", col("bucket") * lit(bucketWidth))
+  }
+
   /** The document-count face: token counts computed from a text
     * column with the library tokenizer, sharded by id modulo. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,

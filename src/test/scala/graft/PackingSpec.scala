@@ -109,6 +109,30 @@ class PackingSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("lengthBucketBatches: ceil buckets, id-ordered chop, the " +
+      "pad_to waste law; 0/null tokens sit in bucket 0; boundary " +
+      "lengths land on the exact bucket edge") {
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, 32L),          // both bucket 1 (<=32)
+      (3L, 33L), (4L, 64L), (5L, 40L), // bucket 2 (33..64)
+      (6L, 0L), (7L, null)           // bucket 0, pad_to 0
+    ).toDF("id", "n")
+    val out = Packing.lengthBucketBatches(df, "id", "n", 32L, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((1L, 0L, 32L)))
+    assert(out(2L) === ((1L, 0L, 32L)))
+    // bucket 2 in id order: 3,4 batch 0; 5 batch 1
+    assert(out(3L) === ((2L, 0L, 64L)))
+    assert(out(4L) === ((2L, 0L, 64L)))
+    assert(out(5L) === ((2L, 1L, 64L)))
+    assert(out(6L) === ((0L, 0L, 0L)))
+    assert(out(7L) === ((0L, 0L, 0L)))
+    // waste law: every member's n_tokens <= pad_to
+    val all = Packing.lengthBucketBatches(df, "id", "n", 32L, 2)
+    assert(all.where(col("n") > col("pad_to")).count() === 0L)
+  }
+
   test("sequenceIndex: hand-computed composition rows; sequences " +
       "tile to exactly the budget except each shard's last; offsets " +
       "are contiguous; empty docs contribute nothing") {
