@@ -4835,6 +4835,27 @@ object SparkEntry {
     Packing.lengthBucketBatches(docs, "doc_id", "n_tokens", 32L, 16)
   }
 
+  /** NB-banded budget selection (q215 -> q214 composed with REAL
+    * quality bands): per-language decile of the NB score via
+    * percent_rank (floor(pr*10), nulls-first so tokenless docs rank
+    * worst), then the 20k-token budget draw. The per-lang window is
+    * the q194 posture (swap for approx quantile boundaries at scale —
+    * monotone law). */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import operators.{LmQuality, Sampling}
+    val docs = t(s, dir, "documents")
+    val scored = LmQuality.nbQualityScore(docs, "doc_id", "text",
+        docs.where(col("lang") === "en"), "text",
+        docs.where(col("lang") === "zh"), "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_llr").asc_nulls_first, col("doc_id").asc)
+    val banded = scored.withColumn("band",
+      floor(percent_rank().over(w) * 10).cast("long"))
+    Sampling.budgetSelect(banded, "doc_id", "n_tokens", "band", 20000L)
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -5061,7 +5082,8 @@ object SparkEntry {
     "q217_within_doc_lines" -> q217 _,
     "q218_release_diff" -> q218 _,
     "q219_curation_capstone" -> q219 _,
-    "q220_length_buckets" -> q220 _)
+    "q220_length_buckets" -> q220 _,
+    "q221_nb_budget_select" -> q221 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8636,7 +8658,54 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
          |    - 1) // 16 AS BIGINT) AS batch_in_bucket,
          |  CAST(bucket * 32 AS BIGINT) AS pad_to
-         |FROM b""".stripMargin)
+         |FROM b""".stripMargin,
+
+    "q221_nb_budget_select" ->
+      // the q215 NB chain -> per-lang percent_rank decile band ->
+      // the q214 band-totals/boundary-prefix law at budget 20000
+      s"""WITH tp AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |cp AS (SELECT token, CAST(count(*) AS BIGINT) AS c_pos
+         |  FROM tp GROUP BY token),
+         |tn AS (SELECT unnest($allToksSql) AS token
+         |  FROM documents WHERE lang = 'zh'),
+         |cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c_neg
+         |  FROM tn GROUP BY token),
+         |m AS (SELECT token, c_pos, c_neg
+         |  FROM cp FULL JOIN cn USING (token)),
+         |tot AS (SELECT count(*) AS v,
+         |  sum(coalesce(c_pos, 0)) AS n_pos,
+         |  sum(coalesce(c_neg, 0)) AS n_neg FROM m),
+         |dt AS (SELECT doc_id, unnest($allToksSql) AS token
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ln((coalesce(c_pos, 0) + 0.5) / (n_pos + 0.5 * v)) -
+         |  ln((coalesce(c_neg, 0) + 0.5) / (n_neg + 0.5 * v)) AS llr
+         |  FROM dt LEFT JOIN m USING (token) CROSS JOIN tot),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(sum(llr) / count(*), 6) AS avg_llr
+         |  FROM sc GROUP BY doc_id),
+         |sco AS (SELECT d.doc_id, d.lang,
+         |  coalesce(a.n_tokens, 0) AS n_tokens, a.avg_llr
+         |  FROM documents d LEFT JOIN a USING (doc_id)),
+         |bd AS (SELECT doc_id, n_tokens,
+         |  CAST(floor(percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY avg_llr ASC NULLS FIRST, doc_id ASC) * 10)
+         |    AS BIGINT) AS band
+         |  FROM sco),
+         |bt AS (SELECT band, sum(n_tokens) AS btok FROM bd GROUP BY band),
+         |cumb AS (SELECT band, btok,
+         |  coalesce(sum(btok) OVER (ORDER BY band DESC) - btok, 0) AS b4
+         |  FROM bt),
+         |j AS (SELECT bd.doc_id, bd.band, bd.n_tokens, cumb.btok, cumb.b4
+         |  FROM bd JOIN cumb USING (band)),
+         |rr AS (SELECT *, sum(n_tokens)
+         |  OVER (PARTITION BY band ORDER BY doc_id) AS run FROM j)
+         |SELECT doc_id, band, n_tokens,
+         |  CASE WHEN b4 + btok <= 20000 THEN TRUE
+         |       WHEN b4 < 20000 THEN b4 + run <= 20000
+         |       ELSE FALSE END AS selected
+         |FROM rr""".stripMargin)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent
