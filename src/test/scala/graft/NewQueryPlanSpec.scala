@@ -404,4 +404,17 @@ class NewQueryPlanSpec extends AnyFunSuite {
     val singles = "Exchange SinglePartition".r.findAllIn(plan).size
     assert(singles <= 1, s"only the totals reduce:\n$plan")
   }
+
+  test("q221 NB-banded selection: no cartesian; every nested loop is " +
+      "the 1-row totals cross; both windows stay keyed (lang decile, " +
+      "band prefix) — the corpus never crosses an unkeyed window") {
+    val plan = planOf("q221_nb_budget_select")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross"
+      .r.findAllIn(plan).size
+    assert(bnlj === "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
+      s"every nested loop must be the benign totals cross:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(plan.contains("hashpartitioning(band"), plan)
+  }
 }
