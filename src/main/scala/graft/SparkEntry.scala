@@ -4856,6 +4856,29 @@ object SparkEntry {
     Sampling.budgetSelect(banded, "doc_id", "n_tokens", "band", 20000L)
   }
 
+  /** Incremental line-conviction law (q211's TRAIN face run as three
+    * append-only snapshots, doc_id % 3): per-snapshot counts merge by
+    * per-line sum, conviction at the merged threshold, applied to the
+    * whole corpus — the oracle replays the ONE-SHOT law, so the gate
+    * IS the merge-equals-one-shot equality. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        lit("cookie notice: we use cookies to improve your experience."),
+        lit("   "),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("subscribe to our newsletter today.")),
+        concat(lit("footer variant "),
+          (col("doc_id") % 30).cast("string"))).as("text"))
+    val counts = (0 to 2).map(i =>
+        Dedup.boilerplateLineCounts(
+          docs.where(col("doc_id") % 3 === i), "doc_id", "text"))
+      .reduce(Dedup.mergeBoilerplateLineCounts)
+    Dedup.removeBoilerplateLinesWithConvicted(docs, "doc_id", "text",
+      Dedup.convictedFromCounts(counts, 20L))
+  }
+
   // ------------------------------------------------------------------
 
   /** Flagship: hybrid BM25+vector RRF search on sf0.001. */
@@ -5083,7 +5106,8 @@ object SparkEntry {
     "q218_release_diff" -> q218 _,
     "q219_curation_capstone" -> q219 _,
     "q220_length_buckets" -> q220 _,
-    "q221_nb_budget_select" -> q221 _)
+    "q221_nb_budget_select" -> q221 _,
+    "q222_incremental_lines" -> q222 _)
 
   /** Headline subset for Bench. */
   def benchQueries: Seq[String] = Seq(
@@ -8388,33 +8412,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
            |FROM enc JOIN documents d USING (doc_id)
            |GROUP BY d.lang""".stripMargin),
 
-    "q211_boilerplate_lines" ->
-      // RefinedWeb-style line dedup over the synthesized crawl
-      // layout: distinct-doc df >= 20 convicts (trim-empty lines
-      // never do); survivors string_agg in position order; a doc
-      // losing every line renders ''
-      s"""WITH d AS (SELECT doc_id, concat_ws(chr(10),
-         |  'cookie notice: we use cookies to improve your experience.',
-         |  '   ', text,
-         |  CASE WHEN doc_id % 4 = 0
-         |    THEN 'subscribe to our newsletter today.' END,
-         |  'footer variant ' || CAST(doc_id % 30 AS VARCHAR)) AS text
-         |  FROM documents),
-         |l AS (SELECT doc_id,
-         |  generate_subscripts(string_split(text, chr(10)), 1) AS pos,
-         |  unnest(string_split(text, chr(10))) AS line FROM d),
-         |f AS (SELECT line FROM l WHERE trim(line) <> ''
-         |  GROUP BY line HAVING count(DISTINCT doc_id) >= 20),
-         |k AS (SELECT l.doc_id, count(*) AS nk,
-         |  string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
-         |  FROM l LEFT JOIN f ON l.line = f.line
-         |  WHERE f.line IS NULL GROUP BY l.doc_id),
-         |n AS (SELECT doc_id,
-         |  len(string_split(text, chr(10))) AS nl FROM d)
-         |SELECT n.doc_id, CAST(nl AS BIGINT) AS n_lines,
-         |  CAST(nl - coalesce(nk, 0) AS BIGINT) AS n_removed,
-         |  coalesce(clean, '') AS clean_text
-         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+    "q211_boilerplate_lines" -> boilerplateLinesOracleSql,
 
     "q212_decontaminate" ->
       // q200's coverage-window law with eval-set membership (the
@@ -8705,7 +8703,12 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CASE WHEN b4 + btok <= 20000 THEN TRUE
          |       WHEN b4 < 20000 THEN b4 + run <= 20000
          |       ELSE FALSE END AS selected
-         |FROM rr""".stripMargin)
+         |FROM rr""".stripMargin,
+
+    "q222_incremental_lines" ->
+      // the ONE-SHOT q211 law verbatim: the gate passes iff the
+      // three-snapshot merged conviction equals it
+      boilerplateLinesOracleSql)
 
   /** DuckDB twin of Bpe.learnMerges, m rounds UNROLLED: wf/w0 seed
     * the word-frequency symbol table; each round r counts adjacent
@@ -9634,6 +9637,35 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |hx AS (SELECT doc_id,
        |  string_agg(substr('0123456789abcdef', nibval + 1, 1), '' ORDER BY ni) AS sh
        |  FROM nib GROUP BY doc_id)""".stripMargin
+
+  /** One-shot RefinedWeb line-dedup law over the synthesized crawl
+    * layout: distinct-doc df >= 20 convicts (trim-empty lines never
+    * do); survivors string_agg in position order; a doc losing every
+    * line renders ''. Shared by q211 (one-shot TRAIN) and q222 (the
+    * three-snapshot merged conviction must EQUAL it). */
+  private def boilerplateLinesOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, concat_ws(chr(10),
+         |  'cookie notice: we use cookies to improve your experience.',
+         |  '   ', text,
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN 'subscribe to our newsletter today.' END,
+         |  'footer variant ' || CAST(doc_id % 30 AS VARCHAR)) AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM d),
+         |f AS (SELECT line FROM l WHERE trim(line) <> ''
+         |  GROUP BY line HAVING count(DISTINCT doc_id) >= 20),
+         |k AS (SELECT l.doc_id, count(*) AS nk,
+         |  string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
+         |  FROM l LEFT JOIN f ON l.line = f.line
+         |  WHERE f.line IS NULL GROUP BY l.doc_id),
+         |n AS (SELECT doc_id,
+         |  len(string_split(text, chr(10))) AS nl FROM d)
+         |SELECT n.doc_id, CAST(nl AS BIGINT) AS n_lines,
+         |  CAST(nl - coalesce(nk, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean, '') AS clean_text
+         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin
 
   /** The 56 five-of-eight block subsets of the q216 Manku tables. */
   private def simhashCombosValues: String =

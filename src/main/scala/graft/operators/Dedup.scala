@@ -865,16 +865,42 @@ object Dedup {
     * continuous pipeline persists once over the corpus (column
     * `line`). Trim-empty lines never convict. */
   def convictedBoilerplateLines(df: DataFrame, idCol: String,
-      textCol: String, minDf: Long): DataFrame = {
-    require(minDf > 0, s"minDf must be positive: $minDf")
+      textCol: String, minDf: Long): DataFrame =
+    convictedFromCounts(boilerplateLineCounts(df, idCol, textCol), minDf)
+
+  /** Per-batch line document-frequency counts — the persistable
+    * artifact behind the incremental TRAIN face (column (line, df)).
+    * Trim-empty lines never enter. */
+  def boilerplateLineCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.select(col(idCol),
         explode(split(coalesce(col(textCol), lit("")), "\n", -1))
           .as("line"))
       .where(trim(col("line")) =!= "")
       .groupBy(col("line"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .where(col("_df") >= minDf)
-      .select(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+
+  /** Incremental TRAIN face, append-only posture: a crawl delta's
+    * counts MERGE into the persisted counts by per-line sum —
+    * distinct-doc counts add exactly IFF the delta's doc ids are
+    * disjoint from every prior batch's (the same append-only
+    * assumption [[newAgainstSnapshot]]'s steady state runs on; ids
+    * shared across batches would double-count). q222 gates the law:
+    * merged-then-convicted EQUALS the one-shot conviction over the
+    * union. Map-side-combinable sum keyed by line — in steady state
+    * the persisted counts only ever absorb each day's delta, never
+    * rebuild. */
+  def mergeBoilerplateLineCounts(prior: DataFrame,
+      delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("line"))
+      .agg(sum(col("df")).as("df"))
+
+  /** Conviction from persisted counts: the [[convictedBoilerplateLines]]
+    * threshold applied to a (line, df) frame. */
+  def convictedFromCounts(counts: DataFrame, minDf: Long): DataFrame = {
+    require(minDf > 0, s"minDf must be positive: $minDf")
+    counts.where(col("df") >= minDf).select(col("line"))
   }
 
   /** The APPLY face: drop every occurrence of a convicted line from

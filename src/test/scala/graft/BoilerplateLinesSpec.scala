@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Dedup
 
@@ -95,6 +96,40 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out(3L).getLong(2) === 0L)
     assert(out(4L).getLong(1) === 1L && out(4L).getLong(2) === 0L)
     assert(out(4L).getString(3) === "")
+  }
+
+  test("incremental conviction (q222 law): disjoint-snapshot counts " +
+      "merge to EXACTLY the one-shot counts; overlapping ids are the " +
+      "documented double-count hazard") {
+    val rows = Seq(
+      1L -> "banner\nalpha", 2L -> "banner\nbeta",
+      3L -> "banner\ngamma", 4L -> "delta\nbanner")
+    val df = rows.toDF("doc_id", "text")
+    val oneShot = Dedup.boilerplateLineCounts(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = (0 to 1).map(i =>
+        Dedup.boilerplateLineCounts(
+          df.where(col("doc_id") % 2 === i), "doc_id", "text"))
+      .reduce(Dedup.mergeBoilerplateLineCounts(_, _))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot)
+    assert(merged("banner") === 4L)
+    // conviction equality at the threshold
+    val conv = Dedup.convictedFromCounts(
+      (0 to 1).map(i => Dedup.boilerplateLineCounts(
+          df.where(col("doc_id") % 2 === i), "doc_id", "text"))
+        .reduce(Dedup.mergeBoilerplateLineCounts(_, _)), 4L)
+      .collect().map(_.getString(0)).toSet
+    assert(conv === Set("banner"))
+    // the append-only contract: merging a batch that REPLAYS doc 1
+    // double-counts its lines (distinct-doc df is not mergeable
+    // across overlapping id sets — the scaladoc's stated assumption)
+    val overlapped = Dedup.mergeBoilerplateLineCounts(
+        Dedup.boilerplateLineCounts(df, "doc_id", "text"),
+        Dedup.boilerplateLineCounts(
+          df.where(col("doc_id") === 1L), "doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(overlapped("banner") === 5L, "double-count, by contract")
   }
 
   test("dedupLinesWithinDoc: trim-blank variants are distinct " +
