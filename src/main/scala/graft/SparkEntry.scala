@@ -66,6 +66,18 @@ object SparkEntry {
     CorpusArtifacts.buildAll(s"${s.sparkContext.applicationId}:$dir",
       t(s, dir, "documents"), "doc_id", "text", 3)
     docsShingles(s, dir).count()
+    // the round-17 bench cells' ingest-written artifacts (the NB
+    // scored frame q215/q221 share, the decontaminated frame q219's
+    // scoring + keep join share) — materialized here so the card's
+    // warm cells measure query time, the ingest_artifacts prep line
+    // carries the build, matching the BM25/shingle methodology
+    nbScoresEnZh(s, dir).count()
+    CorpusArtifacts.decontaminated(
+      s"${s.sparkContext.applicationId}:$dir#decon:mod5",
+      t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text",
+      t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+      "text", 6).count()
   }
 
   // ------------------------------------------------------------------
@@ -4752,14 +4764,22 @@ object SparkEntry {
 
   /** NB quality classifier (LmQuality.nbQualityScore): en docs as
     * the trusted positive seed, zh docs as the negative seed, the
-    * whole corpus scored — the deterministic GPT-3-appendix-A form. */
-  private def q215(s: SparkSession, dir: String): DataFrame = {
-    import operators.LmQuality
-    val docs = t(s, dir, "documents")
-    LmQuality.nbQualityScore(docs, "doc_id", "text",
-      docs.where(col("lang") === "en"), "text",
-      docs.where(col("lang") === "zh"), "text")
-  }
+    * whole corpus scored — the deterministic GPT-3-appendix-A form.
+    * Served from the persisted CorpusArtifacts.nbScores frame (the
+    * ingest-written artifact in production; q221 reads the SAME
+    * frame — the r16-verdict "persist the scored frame once"
+    * posture, now a code face). */
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    nbScoresEnZh(s, dir)
+
+  /** The shared NB-scored artifact (en-positive / zh-negative seeds
+    * over the raw corpus) q215 and q221 both read. */
+  private def nbScoresEnZh(s: SparkSession, dir: String): DataFrame =
+    CorpusArtifacts.nbScores(
+      s"${s.sparkContext.applicationId}:$dir#nb:en-zh",
+      t(s, dir, "documents"), "doc_id", "text",
+      t(s, dir, "documents").where(col("lang") === "en"), "text",
+      t(s, dir, "documents").where(col("lang") === "zh"), "text")
 
   /** SimHash hamming candidates (Dedup.simhashHammingCandidates,
     * Manku et al. 2007): C(8,5) = 56 five-block combination tables
@@ -4808,16 +4828,22 @@ object SparkEntry {
     * release manifests (q206 law). Proves the new operators compose
     * — every stage's output feeds the next's documented input. */
   private def q219(s: SparkSession, dir: String): DataFrame = {
-    import operators.{LmQuality, Packing}
+    import operators.Packing
     val docs = t(s, dir, "documents")
-    val clean = Dedup.removeContaminatedSpans(
+    // both capstone artifacts are ingest-persisted in production and
+    // memoized here (r16-verdict item 2: the uncached NB chain crossed
+    // the plan 10x) — the decontaminated frame feeds BOTH the scoring
+    // and the keep join, the scored frame every downstream branch
+    val clean = CorpusArtifacts.decontaminated(
+      s"${s.sparkContext.applicationId}:$dir#decon:mod5",
       docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
       docs.where(col("doc_id") % 5 === 0), "text", 6)
-    val kept = LmQuality.nbQualityScore(
+    val kept = CorpusArtifacts.nbScores(
+        s"${s.sparkContext.applicationId}:$dir#nb:en-zh-clean",
         clean.select(col("doc_id"), col("clean_text")),
         "doc_id", "clean_text",
-        docs.where(col("lang") === "en"), "text",
-        docs.where(col("lang") === "zh"), "text")
+        t(s, dir, "documents").where(col("lang") === "en"), "text",
+        t(s, dir, "documents").where(col("lang") === "zh"), "text")
       .where(col("keep"))
       .join(clean.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
     Packing.shardManifest(
@@ -4842,11 +4868,12 @@ object SparkEntry {
     * the q194 posture (swap for approx quantile boundaries at scale —
     * monotone law). */
   private def q221(s: SparkSession, dir: String): DataFrame = {
-    import operators.{LmQuality, Sampling}
+    import operators.Sampling
     val docs = t(s, dir, "documents")
-    val scored = LmQuality.nbQualityScore(docs, "doc_id", "text",
-        docs.where(col("lang") === "en"), "text",
-        docs.where(col("lang") === "zh"), "text")
+    // reads the SAME persisted artifact as q215 (nbScoresEnZh) — the
+    // downstream window/budget branches re-read one InMemoryRelation
+    // instead of re-evaluating the NB chain per branch
+    val scored = nbScoresEnZh(s, dir)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
@@ -5109,7 +5136,11 @@ object SparkEntry {
     "q221_nb_budget_select" -> q221 _,
     "q222_incremental_lines" -> q222 _)
 
-  /** Headline subset for Bench. */
+  /** Headline subset for Bench. The final block is the round-16
+    * LLM-training-data tier (r16-verdict item 1: the tier had zero
+    * card coverage — a regression would surface only in hand-run
+    * SCALING cells); BenchGuardSpec pins the full set so a cell
+    * can't silently drop off the card. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
     "q09_bm25_tokens", "q15_dedup_exact", "q17_jaccard_pairs",
@@ -5117,7 +5148,9 @@ object SparkEntry {
     "q24_hybrid_rrf", "q33_stateful_sessions", "q34_two_tier_chunks",
     "q48_ivf_ann", "q51_maxsim", "q52_semantic_search",
     "q61_winnow_fingerprints", "q62_ingest_pipeline",
-    "q68_asof_join", "q69_range_join", "q70_kmv_sketch")
+    "q68_asof_join", "q69_range_join", "q70_kmv_sketch",
+    "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
+    "q215_nb_quality", "q219_curation_capstone")
 
   /** DuckDB twin of the q179 Gopher signal battery (raw whitespace
     * words, 6-place rounding, gaps-and-islands max run; see the

@@ -86,6 +86,42 @@ object CorpusArtifacts {
 
   private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** NB-quality scored frame ([[LmQuality.nbQualityScore]] output:
+    * (idCol, n_tokens, avg_llr, keep)), persisted — the "persist the
+    * scored frame once" posture the round-16 SCALING addenda held as
+    * prose (the q221 gate plan re-evaluates the uncached NB chain
+    * once per downstream branch: 10 totals crosses in one plan).
+    * Production writes this at ingest next to the seed models; the
+    * memo is the local[n] stand-in, exactly [[dsirCounts]]' shape.
+    * `key` must pin corpus AND seed identities — a seed swap under
+    * the same key would silently serve stale scores. */
+  def nbScores(key: String, docs: => DataFrame, idCol: String,
+      textCol: String, pos: => DataFrame, posTextCol: String,
+      neg: => DataFrame, negTextCol: String,
+      alpha: Double = 0.5): DataFrame =
+    nbCache.computeIfAbsent(s"$key#$alpha", _ =>
+      LmQuality.nbQualityScore(docs, idCol, textCol,
+          pos, posTextCol, neg, negTextCol, alpha)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val nbCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Decontaminated-text frame ([[Dedup.removeContaminatedSpans]]
+    * output: (idCol, n_tokens, n_dropped, clean_text)), persisted —
+    * the shared input every post-decontamination stage reads (NB
+    * scoring, the keep join, packing). Without the memo a capstone
+    * composition re-runs the span-removal coverage shuffle once per
+    * consumer. `key` must pin corpus, eval slice and n. */
+  def decontaminated(key: String, train: => DataFrame, idCol: String,
+      textCol: String, evalDf: => DataFrame, evalTextCol: String,
+      n: Int): DataFrame =
+    deconCache.computeIfAbsent(s"$key#$n", _ =>
+      Dedup.removeContaminatedSpans(train, idCol, textCol,
+          evalDf, evalTextCol, n)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val deconCache = new ConcurrentHashMap[String, DataFrame]()
+
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {
     bm25Cache.values.forEach { ix =>
@@ -95,7 +131,9 @@ object CorpusArtifacts {
     shingleCache.values.forEach(_.unpersist())
     winnowCache.values.forEach(_.unpersist())
     dsirCache.values.forEach(_.unpersist())
+    nbCache.values.forEach(_.unpersist())
+    deconCache.values.forEach(_.unpersist())
     bm25Cache.clear(); shingleCache.clear(); winnowCache.clear()
-    dsirCache.clear()
+    dsirCache.clear(); nbCache.clear(); deconCache.clear()
   }
 }

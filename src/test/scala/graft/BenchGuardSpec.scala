@@ -73,6 +73,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(err.contains(""""load_before":[],"load_after":[]"""))
   }
 
+  test("bench card set is pinned: the 21 r6-r15 headline cells plus " +
+      "the round-17 LLM-training-data tier promotion (r16 verdict " +
+      "item 1) — a cell silently dropping off the card is a spec " +
+      "failure, not a quiet bench narrowing") {
+    assert(SparkEntry.benchQueries === Seq(
+      "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
+      "q09_bm25_tokens", "q15_dedup_exact", "q17_jaccard_pairs",
+      "q18_minhash_lsh", "q72_embed_dedup_lsh", "q21_ann_topk",
+      "q23_bm25_search", "q24_hybrid_rrf", "q33_stateful_sessions",
+      "q34_two_tier_chunks", "q48_ivf_ann", "q51_maxsim",
+      "q52_semantic_search", "q61_winnow_fingerprints",
+      "q62_ingest_pipeline", "q68_asof_join", "q69_range_join",
+      "q70_kmv_sketch",
+      "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
+      "q215_nb_quality", "q219_curation_capstone"))
+    // every bench cell must be a gate query (the card can never carry
+    // a cell Verify doesn't check)
+    SparkEntry.benchQueries.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"not a gate query: $n"))
+  }
+
   test("loadAvg reads three numeric fields from /proc/loadavg, or " +
       "degrades to empty where it does not exist") {
     val l = BenchGuard.loadAvg()
