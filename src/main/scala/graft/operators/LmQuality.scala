@@ -137,6 +137,50 @@ object LmQuality {
         coalesce(col("avg_llr") > 0, lit(false)).as("keep"))
   }
 
+  /** Approx-quantile twin of [[perplexityBuckets]] — the 100 TB path
+    * this file's header documented as prose through round 16 (r16
+    * verdict item 2): per-language head/mid score BOUNDARIES from one
+    * `percentile_approx` aggregation pass (NULL scores ignored, as
+    * SQL aggregates do), broadcast back onto the corpus — banding
+    * becomes a per-row compare, and the per-language GLOBAL SORT the
+    * exact window pays (every language's whole corpus slice through
+    * one sort per window partition) disappears. The banding law is
+    * monotone per language — bucket is a nondecreasing step function
+    * of score — so boundary-based bands compose with every downstream
+    * consumer unchanged. Divergences from the exact face, both
+    * spec-pinned (LmQualitySpec):
+    *  - boundary-inclusion convention: percent_rank counts strictly-
+    *    below over n−1 while the quantile counts at-or-below over n,
+    *    so each band edge can shift by ONE element on tie-free data
+    *    (ceil(f·n) vs floor(f·(n−1))+1);
+    *  - ties: equal scores always share a band here (the decision
+    *    reads the score alone), where the exact face's id tie-break
+    *    can split a tie run across the boundary;
+    *  - sketch error: at corpus scale the boundary is approximate
+    *    within percentile_approx's accuracy guarantee — which moves
+    *    WHERE the band edge falls, never the monotone law.
+    * NULL scores (no bigrams) band tail, matching nulls-last. Output:
+    * (idCol, langCol, bucket) — no `pr` column: the exact rank ratio
+    * is precisely what this face does not compute. */
+  def perplexityBucketsApprox(scored: DataFrame, idCol: String,
+      langCol: String, scoreCol: String,
+      headFrac: Double = 0.3, midFrac: Double = 0.7,
+      accuracy: Int = 10000): DataFrame = {
+    val bounds = scored.where(col(scoreCol).isNotNull)
+      .groupBy(col(langCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(headFrac), lit(midFrac)), lit(accuracy)).as("_b"))
+    // left join: an all-NULL-score language has no bounds row and
+    // every member bands tail through the isNull arm
+    scored.join(broadcast(bounds), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col(scoreCol).isNull, lit("tail"))
+          .when(col(scoreCol) <= element_at(col("_b"), 1), lit("head"))
+          .when(col(scoreCol) <= element_at(col("_b"), 2), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("bucket"))
+  }
+
   def perplexityBuckets(scored: DataFrame, idCol: String,
       langCol: String, scoreCol: String,
       headFrac: Double = 0.3, midFrac: Double = 0.7): DataFrame = {

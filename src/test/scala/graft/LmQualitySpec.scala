@@ -91,6 +91,97 @@ class LmQualitySpec extends AnyFunSuite {
     assert(!swapped.getBoolean(3))
   }
 
+  test("perplexityBucketsApprox: agrees with the exact window face " +
+      "on the hand corpus (tie-free, fracs off the rank grid), incl. " +
+      "nulls-tail and the single-member language") {
+    val scored = Seq(
+      (1L, "en", Some(1.0)), (2L, "en", Some(2.0)), (3L, "en", Some(3.0)),
+      (4L, "en", Some(4.0)), (5L, "en", None),
+      (9L, "de", Some(9.9))
+    ).toDF("doc_id", "lang", "avg_nll")
+    val got = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+        "lang", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exact = LmQuality.perplexityBuckets(scored, "doc_id", "lang",
+        "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got === exact)
+    assert(got(5L) === "tail") // NULL score: no bounds compare, tail
+    assert(got(9L) === "head") // single-member language is its own head
+  }
+
+  test("perplexityBucketsApprox: monotone law (bucket is a " +
+      "nondecreasing step of score per language) and the tie-free " +
+      "boundary drift vs the exact face is at most one element per " +
+      "band edge (ceil(f*n) vs floor(f*(n-1))+1 — n=7 at f=0.3 is " +
+      "the published off-by-one)") {
+    // tie-free scores, two languages whose sizes sit on both sides of
+    // the convention gap: n=7 (drift 1 at the head edge) and n=10
+    // (no drift at either edge)
+    val rows = (0 until 7).map(i => (i.toLong, "aa", Some(i * 1.5 + 0.1))) ++
+      (100 until 110).map(i => (i.toLong, "bb", Some((i % 97) * 2.0 + 0.7)))
+    val scored = rows.toDF("doc_id", "lang", "avg_nll")
+    val approx = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+      "lang", "avg_nll")
+    val joined = approx.join(scored, Seq("doc_id", "lang"))
+      .collect().map(r => (r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    // monotone: within a language every head score < every middle
+    // score < every tail score
+    for (lang <- Seq("aa", "bb")) {
+      def scores(b: String) =
+        joined.filter(t => t._1 == lang && t._2 == b).map(_._3)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.max < m.min)
+      if (m.nonEmpty && t.nonEmpty) assert(m.max < t.min)
+      if (h.nonEmpty && t.nonEmpty) assert(h.max < t.min)
+    }
+    val exact = LmQuality.perplexityBuckets(scored, "doc_id", "lang",
+        "avg_nll").collect()
+      .map(r => (r.getString(1), r.getString(3))).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val got = joined.map(t => (t._1, t._2)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    for (lang <- Seq("aa", "bb"); b <- Seq("head", "middle", "tail")) {
+      val d = math.abs(got.getOrElse((lang, b), 0) -
+        exact.getOrElse((lang, b), 0))
+      assert(d <= (if (b == "middle") 2 else 1), // middle touches both edges
+        s"($lang,$b): approx=${got.getOrElse((lang, b), 0)} " +
+          s"exact=${exact.getOrElse((lang, b), 0)}")
+    }
+  }
+
+  test("perplexityBucketsApprox: a tie run always shares one band " +
+      "(the exact face's id tie-break splits it across the boundary " +
+      "— the characterized drift on ties)") {
+    val scored = Seq(
+      (1L, "en", Some(1.0)), (2L, "en", Some(2.0)), (3L, "en", Some(2.0)),
+      (4L, "en", Some(2.0)), (5L, "en", Some(5.0))
+    ).toDF("doc_id", "lang", "avg_nll")
+    val approx = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+        "lang", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // score 2.0 is the 0.3-quantile boundary: the WHOLE run is head
+    assert(approx === Map(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "head", 5L -> "tail"))
+    val exact = LmQuality.perplexityBuckets(scored, "doc_id", "lang",
+        "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // the exact face splits the tie run by id rank: pr = .25/.5/.75
+    assert(exact(2L) === "head")
+    assert(Set("middle", "tail")(exact(3L)) && exact(4L) === "tail")
+  }
+
+  test("perplexityBucketsApprox plan: no Window, no per-language " +
+      "sort — one aggregate pass plus a broadcast bounds join") {
+    val scored = Seq((1L, "en", Some(1.0))).toDF("doc_id", "lang", "avg_nll")
+    val plan = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+      "lang", "avg_nll").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q193 plan: model joins broadcast; no cartesian beyond the " +
       "1-row vocab frame") {
     val df = SparkEntry.queries("q193_lm_nll")(spark,
