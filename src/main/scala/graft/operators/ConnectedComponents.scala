@@ -51,4 +51,101 @@ object ConnectedComponents {
     und.unpersist()
     labels
   }
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", the Two-Phase
+    * algorithm) — the adversarial-chain escape hatch [[run]]'s
+    * scaladoc reserves: min-label propagation needs O(diameter)
+    * rounds, so a pathological chain-shaped near-dup graph (each doc
+    * similar only to its neighbor) costs one shuffle per hop;
+    * alternating large-star/small-star rounds contract the SAME
+    * fixpoint (component = min reachable id) in O(log² n) rounds on
+    * any graph. Keep [[run]] as the default — dedup clusters are
+    * shallow and its per-round work is lighter; reach for this face
+    * when group diameters are unbounded (long citation/link chains).
+    *
+    * One round = two shuffles (a groupBy per star op); edges stay
+    * deduplicated between rounds and lineage is truncated per round
+    * exactly as [[run]] does. Convergence = a small-star round that
+    * leaves the edge set unchanged (the paper's criterion); at that
+    * fixpoint every edge points at its component's minimum, so the
+    * final labels read straight off the star edges, roots labeling
+    * themselves. Both faces are deterministic and DedupSpec pins
+    * their equality property-style. */
+  def runStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame =
+    runStarWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[runStar]] plus the number of large+small rounds it took —
+    * the spec-visible face (the chain-graph arm asserts the O(log² n)
+    * round count a diameter-bound walk cannot meet). */
+  def runStarWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 30): (DataFrame, Int) = {
+    // large-star reducer input: both orientations (min over the FULL
+    // neighborhood); small-star input: high→low orientation only
+    // both ops are a min-per-node aggregate joined back onto the
+    // neighbor list — NOT a collect_set reduce: a 10^7-degree hub
+    // must stream through the combiner, never materialize its
+    // neighborhood as one array row. The join keys both sides on u,
+    // so it reuses the aggregate's hash partitioning (no third
+    // shuffle inside a round).
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      // m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      val m = nbrs.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("_m"))
+      nbrs.join(m, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      // all neighbors < u here, so m = min(Γ(u)); emit (v, m) for
+      // v ∈ Γ(u) ∪ {u} \ {m}
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("_m"))
+      oriented.join(m, Seq("u"))
+        .select(col("v"), col("_m"))
+        .unionByName(m.select(col("u").as("v"), col("_m")))
+        .where(col("v") =!= col("_m"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+    }
+    val nodes = edges
+      .select(col(srcCol).as("node"))
+      .unionByName(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .persist()
+    nodes.count()
+    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (rounds < maxIter && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // set equality via symmetric anti-join counts — both sides are
+      // checkpointed, so this is two joins over materialized frames
+      converged =
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+          e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    // fixpoint edges form min-rooted stars: label = min(u, neighbors);
+    // nodes with no surviving edge (singleton after self-loop drop,
+    // or star roots) label themselves
+    val minNbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("_mn"))
+    val labels = nodes.join(minNbr, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("_mn"), col("node"))).as("comp"))
+    nodes.unpersist()
+    (labels, rounds)
+  }
 }

@@ -114,4 +114,63 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .select($"comp").distinct().as[String].collect()
     assert(comps.toSeq === Seq("n01"))
   }
+
+  test("runStar matches run on the mixed fixture (string ids, " +
+      "multiple components)") {
+    val edges = Seq(
+      ("b", "a"), ("b", "c"), ("c", "d"),
+      ("x", "y"),
+      ("m", "n"), ("n", "o"))
+      .toDF("s", "d")
+    val got = ConnectedComponents.runStar(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    val viaRun = ConnectedComponents.run(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got === viaRun)
+  }
+
+  test("runStar: a 64-node chain (diameter 63 — the adversarial " +
+      "shape where min-label propagation needs one round per hop and " +
+      "run()'s default budget cannot finish) converges in O(log^2 n) " +
+      "rounds to the single min-label component") {
+    val n = 64
+    val edges = (1 until n).map(i =>
+      (f"n$i%03d", f"n${i + 1}%03d")).toDF("s", "d")
+    val (labels, rounds) = ConnectedComponents.runStarWithRounds(
+      edges, "s", "d")
+    val comps = labels.select($"comp").distinct().as[String].collect()
+    assert(comps.toSeq === Seq("n001"))
+    assert(labels.count() === n.toLong)
+    // two-phase contracts a 63-diameter chain in a handful of rounds;
+    // the min-label walk pays ~63. The bound pins the REASON this
+    // face exists — loosening it past the diameter would gut the spec.
+    assert(rounds <= 10, s"expected O(log^2 n) rounds, got $rounds")
+  }
+
+  test("runStar equals run property-style on seeded random graphs " +
+      "(long ids; run given a diameter-proof iteration budget)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val nNodes = 40 + trial * 25
+      val edges = (0 until nNodes).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(e => e._1 != e._2).toDF("a", "b")
+      val star = ConnectedComponents.runStar(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val walk = ConnectedComponents.run(edges, "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(star === walk, s"trial $trial: faces diverge")
+    }
+  }
+
+  test("runStar edge cases: self-loops drop (a pure-self-loop node " +
+      "is its own component), an empty edge set yields empty labels") {
+    val edges = Seq((5L, 5L), (7L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents.runStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+    val empty = ConnectedComponents.runStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.isEmpty)
+  }
 }
