@@ -975,7 +975,15 @@ object Dedup {
     * on the id — both sides doc_id-keyed, the join Spark co-
     * partitions without residence tricks; fingerprinting is the
     * per-row native expression. Output: every id of either side as
-    * (idCol, status, old_fingerprint, new_fingerprint). */
+    * (idCol, status, old_fingerprint, new_fingerprint).
+    *
+    * Streaming posture (StreamingSpec pins it): the new snapshot
+    * arrives as delta batches; per batch, diff the batch against the
+    * old side SEMI-JOINED to the batch's ids (added/changed/
+    * unchanged verdict immediately), and run ONE end-of-stream sweep
+    * — old ids never seen in any delta, via this function against an
+    * empty new side — for `removed`, which is only decidable once
+    * the new snapshot is complete. */
   def releaseDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // coalesce BEFORE fingerprinting: a null-text row must still key
@@ -1073,6 +1081,12 @@ object Dedup {
     * with — a mismatched batch-side n silently deflates every
     * candidate's Jaccard (disjoint shingle vocabularies), it does
     * not error.
+    *
+    * Streaming posture (StreamingSpec pins it): foreachBatch with
+    * both prior artifacts persisted stream-static — the verdict law
+    * is per-row given the artifacts, so each micro-batch's output
+    * equals the batch law row-for-row across restarts, with no
+    * stream-side state beyond the source offsets.
     *
     * Output: one row per batch doc — (idCol, n_matches, best_jaccard
     * [0.0 when none, rounded 6], is_near_dup). */
