@@ -4249,6 +4249,21 @@ object SparkEntry {
         col("is_representative"))
   }
 
+  /** q176's grouping law computed by the OTHER component algorithm —
+    * large-star/small-star contraction (Dedup.connectedComponentsStar
+    * over ConnectedComponents.runStar), the unbounded-diameter
+    * posture. Shares q176's oracle verbatim: the gate pins that both
+    * faces reach the identical min-reachable-id fixpoint on the real
+    * candidate graph. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16, 4)
+    Dedup.connectedComponentsStar(docs.select(col("doc_id")), "doc_id",
+      pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"),
+        col("is_representative"))
+  }
+
   /** Deterministic training-mix sampling + split assignment in the
     * gate (Sampling.stratifiedSample / assignSplit): per-language
     * downsample fractions (en 0.5, de 0.25, rest 0.1) and a
@@ -5134,7 +5149,8 @@ object SparkEntry {
     "q219_curation_capstone" -> q219 _,
     "q220_length_buckets" -> q220 _,
     "q221_nb_budget_select" -> q221 _,
-    "q222_incremental_lines" -> q222 _)
+    "q222_incremental_lines" -> q222 _,
+    "q223_cc_star" -> q223 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -7834,22 +7850,12 @@ object SparkEntry {
          |    AS DOUBLE) / count(*) > 0.0 AS needs_recluster
          |FROM near GROUP BY stored""".stripMargin,
 
-    "q176_neardup_groups" ->
-      // connected components over the q18 MinHash candidate pairs:
-      // min-reachable-id labels via a recursive walk (the `w.comp <
-      // e.dst` guard prunes useless propagations — a node's final
-      // component is never above its own id)
-      s"""WITH RECURSIVE p AS ($minhashLshOracleSql),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-         |          UNION SELECT id_b, id_a FROM p),
-         |walk(id, comp) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, w.comp FROM walk w
-         |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)
-         |SELECT id AS doc_id, min(comp) AS component,
-         |  min(comp) = id AS is_representative
-         |FROM walk GROUP BY id""".stripMargin,
+    "q176_neardup_groups" -> neardupGroupsOracleSql,
+
+    // the SAME oracle verbatim: q223 computes the identical
+    // min-reachable-id law via large-star/small-star contraction —
+    // the gate is the two algorithms' agreement on the real graph
+    "q223_cc_star" -> neardupGroupsOracleSql,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex
@@ -8905,6 +8911,26 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
     * group digest — four slots per md5), 4 bands × 4 rows,
     * band-bucket candidates. */
+  /** Connected components over the q18 MinHash candidate pairs:
+    * min-reachable-id labels via a recursive walk (the `w.comp <
+    * e.dst` guard prunes useless propagations — a node's final
+    * component is never above its own id). Shared VERBATIM by q176
+    * (min-label walk) and q223 (large-star/small-star contraction):
+    * the two gates pin that both algorithms reach the identical
+    * fixpoint on the real candidate graph. */
+  private def neardupGroupsOracleSql: String =
+    s"""WITH RECURSIVE p AS ($minhashLshOracleSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w
+       |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)
+       |SELECT id AS doc_id, min(comp) AS component,
+       |  min(comp) = id AS is_representative
+       |FROM walk GROUP BY id""".stripMargin
+
   private def minhashLshOracleSql: String =
     s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
        |h AS (SELECT doc_id, k,

@@ -70,8 +70,15 @@ object ConnectedComponents {
     * leaves the edge set unchanged (the paper's criterion); at that
     * fixpoint every edge points at its component's minimum, so the
     * final labels read straight off the star edges, roots labeling
-    * themselves. Both faces are deterministic and DedupSpec pins
-    * their equality property-style. */
+    * themselves. Both faces are deterministic and the specs pin
+    * their equality property-style; q176/q223 pin it against one
+    * shared DuckDB oracle on the real candidate graph.
+    *
+    * A `maxIter` exhaustion (like [[run]]'s) returns the labels of a
+    * PARTIALLY contracted edge set — at the default 30 that needs a
+    * component the two-phase contraction hasn't collapsed in 15
+    * large/small alternations, i.e. beyond any realistic corpus
+    * graph (the 63-diameter chain spec-arm converges in ≤10). */
   def runStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame =
     runStarWithRounds(edges, srcCol, dstCol, maxIter)._1

@@ -557,6 +557,26 @@ object Dedup {
           .as("is_representative"))
   }
 
+  /** [[connectedComponents]] computed by the large-star/small-star
+    * contraction ([[ConnectedComponents.runStar]]) instead of the
+    * min-label walk — the unbounded-diameter posture (long
+    * citation/link chains, adversarial near-dup graphs where group
+    * diameter grows with corpus size). Identical output law: the two
+    * faces share one gate oracle (q176/q223 replay the same
+    * recursive-CTE min-reachable-id walk). */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val comps = ConnectedComponents.runStar(pairs, aCol, bCol, maxIters)
+      .withColumnRenamed("node", "id")
+    nodes.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("component"),
+        (col("id") === coalesce(col("comp"), col("id")))
+          .as("is_representative"))
+  }
+
   /** The keep-one-per-group face: representatives plus every
     * document that formed no near-dup pair. One broadcastable (or
     * id-keyed) semi join against the component frame. */
