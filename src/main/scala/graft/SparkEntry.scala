@@ -72,12 +72,22 @@ object SparkEntry {
     // warm cells measure query time, the ingest_artifacts prep line
     // carries the build, matching the BM25/shingle methodology
     nbScoresEnZh(s, dir).count()
-    CorpusArtifacts.decontaminated(
+    val clean = CorpusArtifacts.decontaminated(
       s"${s.sparkContext.applicationId}:$dir#decon:mod5",
       t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
       "doc_id", "text",
       t(s, dir, "documents").where(col("doc_id") % 5 === 0),
-      "text", 6).count()
+      "text", 6)
+    clean.count()
+    // q219's third artifact — the NB chain over the DECONTAMINATED
+    // text (r17 review pass 1: building only two of the three left
+    // this one's cost in jit_warmup instead of ingest_artifacts)
+    CorpusArtifacts.nbScores(
+      s"${s.sparkContext.applicationId}:$dir#nb:en-zh-clean",
+      clean.select(col("doc_id"), col("clean_text")),
+      "doc_id", "clean_text",
+      t(s, dir, "documents").where(col("lang") === "en"), "text",
+      t(s, dir, "documents").where(col("lang") === "zh"), "text").count()
   }
 
   // ------------------------------------------------------------------
@@ -8907,10 +8917,6 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
       |    WHEN 3 THEN 4 WHEN 4 THEN 5 ELSE 0 END AS access_level
       |  FROM documents)""".stripMargin
 
-  /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
-    * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
-    * group digest — four slots per md5), 4 bands × 4 rows,
-    * band-bucket candidates. */
   /** Connected components over the q18 MinHash candidate pairs:
     * min-reachable-id labels via a recursive walk (the `w.comp <
     * e.dst` guard prunes useless propagations — a node's final
@@ -8931,6 +8937,10 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |  min(comp) = id AS is_representative
        |FROM walk GROUP BY id""".stripMargin
 
+  /** q18 (and q154's auto twin at the 500-doc gate corpus): 16-hash
+    * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
+    * group digest — four slots per md5), 4 bands × 4 rows,
+    * band-bucket candidates. */
   private def minhashLshOracleSql: String =
     s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
        |h AS (SELECT doc_id, k,

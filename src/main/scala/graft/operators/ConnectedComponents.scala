@@ -76,9 +76,10 @@ object ConnectedComponents {
     *
     * A `maxIter` exhaustion (like [[run]]'s) returns the labels of a
     * PARTIALLY contracted edge set — at the default 30 that needs a
-    * component the two-phase contraction hasn't collapsed in 15
-    * large/small alternations, i.e. beyond any realistic corpus
-    * graph (the 63-diameter chain spec-arm converges in ≤10). */
+    * component still uncollapsed after 30 composed rounds (each one
+    * large-star PLUS one small-star — 60 star ops), i.e. beyond any
+    * realistic corpus graph (the 63-diameter chain spec-arm
+    * converges in ≤10 composed rounds). */
   def runStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame =
     runStarWithRounds(edges, srcCol, dstCol, maxIter)._1
@@ -149,9 +150,16 @@ object ConnectedComponents {
     val minNbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u").as("node"))
       .agg(min(col("v")).as("_mn"))
+    // materialize BEFORE releasing nodes/e (r17 review pass 1: the
+    // lazy labels frame joined the just-unpersisted nodes, so a
+    // caller's first action re-derived the whole upstream candidate
+    // chain — at 100 TB, a second MinHash pass). run() pays the same
+    // checkpoint per round; this face pays it once at the end.
     val labels = nodes.join(minNbr, Seq("node"), "left")
       .select(col("node"),
         least(col("node"), coalesce(col("_mn"), col("node"))).as("comp"))
+      .localCheckpoint(true)
+    e.unpersist()
     nodes.unpersist()
     (labels, rounds)
   }

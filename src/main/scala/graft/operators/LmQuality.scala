@@ -158,7 +158,16 @@ object LmQuality {
     *    can split a tie run across the boundary;
     *  - sketch error: at corpus scale the boundary is approximate
     *    within percentile_approx's accuracy guarantee — which moves
-    *    WHERE the band edge falls, never the monotone law.
+    *    WHERE the band edge falls, never the monotone law;
+    *  - NULL share (r17 review pass 1 — the one UNBOUNDED class):
+    *    the exact face counts NULL rows in percent_rank's
+    *    denominator while ranking them last, so a language that is
+    *    90% NULL puts ALL its scored docs in the exact head (their
+    *    pr never reaches headFrac); this face draws its boundaries
+    *    over SCORED rows only, always banding headFrac of them.
+    *    The fractions-of-what difference is a semantic choice, not
+    *    an approximation error — CCNet bands scored documents —
+    *    and it vanishes as the NULL share does.
     * NULL scores (no bigrams) band tail, matching nulls-last. Output:
     * (idCol, langCol, bucket) — no `pr` column: the exact rank ratio
     * is precisely what this face does not compute. */

@@ -172,6 +172,35 @@ class LmQualitySpec extends AnyFunSuite {
     assert(Set("middle", "tail")(exact(3L)) && exact(4L) === "tail")
   }
 
+  test("perplexityBucketsApprox: the NULL-share divergence class is " +
+      "real and unbounded (r17 review pass 1) — a null-heavy " +
+      "language bands headFrac of its SCORED docs here, while the " +
+      "exact face's null-inflated denominator heads them all") {
+    // 3 scored + 7 NULL docs: exact pr of the 3rd scored doc is
+    // 2/9 < 0.3 → all three head under the exact face; approx draws
+    // boundaries over the scored rows only → 1 head, and the 0.7
+    // boundary lands on the 3rd scored value (ceil(0.7*3) = 3) so
+    // the last scored doc is middle, not tail
+    val scored = ((1 to 3).map(i => (i.toLong, "en", Some(i * 1.0))) ++
+      (4 to 10).map(i => (i.toLong, "en", None: Option[Double])))
+      .toDF("doc_id", "lang", "avg_nll")
+    val approx = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+        "lang", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exact = LmQuality.perplexityBuckets(scored, "doc_id", "lang",
+        "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(exact(1L) === "head" && exact(2L) === "head" &&
+      exact(3L) === "head")
+    assert(approx(1L) === "head" && approx(2L) === "middle" &&
+      approx(3L) === "middle")
+    // approx bands every NULL tail; the exact face even MIDDLES the
+    // nulls whose last-ranked pr still sits under midFrac (pr of doc
+    // 4 is 3/9) — one more face of the same denominator divergence
+    (4L to 10L).foreach(i => assert(approx(i) === "tail"))
+    assert(exact(4L) === "middle" && exact(10L) === "tail")
+  }
+
   test("perplexityBucketsApprox plan: no Window, no per-language " +
       "sort — one aggregate pass plus a broadcast bounds join") {
     val scored = Seq((1L, "en", Some(1.0))).toDF("doc_id", "lang", "avg_nll")
