@@ -89,14 +89,13 @@ object ConnectedComponents {
     * round count a diameter-bound walk cannot meet). */
   def runStarWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 30): (DataFrame, Int) = {
-    // large-star reducer input: both orientations (min over the FULL
-    // neighborhood); small-star input: high→low orientation only
-    // both ops are a min-per-node aggregate joined back onto the
-    // neighbor list — NOT a collect_set reduce: a 10^7-degree hub
-    // must stream through the combiner, never materialize its
-    // neighborhood as one array row. The join keys both sides on u,
-    // so it reuses the aggregate's hash partitioning (no third
-    // shuffle inside a round).
+    // Both star ops are a min-per-node aggregate joined back onto the
+    // neighbor list — NOT a collect_set reduce: a 10^7-degree hub must
+    // stream through the combiner, never materialize its neighborhood
+    // as one array row. The join keys both sides on u, so it reuses
+    // the aggregate's hash partitioning (no third shuffle in a round).
+    // large-star reduces over both orientations (min over the FULL
+    // neighborhood); small-star over the high→low orientation only.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionByName(
         e.select(col("v").as("u"), col("u").as("v")))
@@ -121,27 +120,36 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("_m").as("v"))
         .distinct()
     }
-    val nodes = edges
-      .select(col(srcCol).as("node"))
-      .unionByName(edges.select(col(dstCol).as("node")))
+    // ONE pass over the (possibly expensive) upstream edge frame —
+    // nodes and the initial working set both derive from this
+    // checkpoint (deriving each from `edges` directly would scan a
+    // candidate-generation chain like q223's MinHash twice)
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
+    val nodes = raw
+      .select(col("u").as("node"))
+      .unionByName(raw.select(col("v").as("node")))
       .distinct()
       .persist()
     nodes.count()
-    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .where(col("u") =!= col("v"))
+    var e = raw.where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    raw.unpersist()
+    var eCount = e.count()
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = eCount == 0
     while (rounds < maxIter && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // set equality via symmetric anti-join counts — both sides are
-      // checkpointed, so this is two joins over materialized frames
-      converged =
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
-          e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      // both frames are DISTINCT sets, so |next| == |e| plus one-way
+      // containment is set equality: a count over the fresh checkpoint
+      // short-circuits the anti-join on every non-final round
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e.unpersist()
       e = next
+      eCount = nextCount
       rounds += 1
     }
     // fixpoint edges form min-rooted stars: label = min(u, neighbors);
