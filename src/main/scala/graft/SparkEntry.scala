@@ -4270,6 +4270,22 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"),
         col("is_representative"))
 
+  /** Quality-aware group-representative selection
+    * (Dedup.keepBestPerGroup over the q176 components): each
+    * near-dup group keeps its LONGEST member (token count as the
+    * quality signal — the C4-class keep-longest convention), min-id
+    * on ties; singletons keep themselves. The law a production
+    * dedup applies where q176's min-id representative is only a
+    * labeling artifact. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val scored = q176(s, dir).select(col("doc_id"), col("component"))
+      .join(t(s, dir, "documents").select(col("doc_id"),
+        size(coalesce(TextFunctions.allTokens(col("text")),
+          array().cast("array<string>"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+    Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
+  }
+
   /** Deterministic training-mix sampling + split assignment in the
     * gate (Sampling.stratifiedSample / assignSplit): per-language
     * downsample fractions (en 0.5, de 0.25, rest 0.1) and a
@@ -5169,7 +5185,8 @@ object SparkEntry {
     "q220_length_buckets" -> q220 _,
     "q221_nb_budget_select" -> q221 _,
     "q222_incremental_lines" -> q222 _,
-    "q223_cc_star" -> q223 _)
+    "q223_cc_star" -> q223 _,
+    "q224_keep_best" -> q224 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -7876,6 +7893,21 @@ object SparkEntry {
     // the gate is the two algorithms' agreement on the real graph
     "q223_cc_star" -> neardupGroupsOracleSql,
 
+    "q224_keep_best" ->
+      // quality-aware representative: longest member per component
+      // (token count desc, id asc, row_number = 1) — the same walk
+      // CTEs as q176/q223 plus one windowed keep
+      s"""$neardupWalkCtesSql,
+         |comp AS (SELECT id AS doc_id, min(comp) AS component
+         |         FROM walk GROUP BY id),
+         |sc AS (SELECT doc_id,
+         |       CAST(len($allToksSql) AS BIGINT) AS n_tokens
+         |       FROM documents)
+         |SELECT c.doc_id, c.component, s.n_tokens,
+         |  row_number() OVER (PARTITION BY c.component
+         |    ORDER BY s.n_tokens DESC, c.doc_id ASC) = 1 AS keep
+         |FROM comp c JOIN sc s ON c.doc_id = s.doc_id""".stripMargin,
+
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex
       // deterministic stratified sample + split banding: the same
@@ -8926,14 +8958,11 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
       |    WHEN 3 THEN 4 WHEN 4 THEN 5 ELSE 0 END AS access_level
       |  FROM documents)""".stripMargin
 
-  /** Connected components over the q18 MinHash candidate pairs:
-    * min-reachable-id labels via a recursive walk (the `w.comp <
-    * e.dst` guard prunes useless propagations — a node's final
-    * component is never above its own id). Shared VERBATIM by q176
-    * (min-label walk) and q223 (large-star/small-star contraction):
-    * the two gates pin that both algorithms reach the identical
-    * fixpoint on the real candidate graph. */
-  private def neardupGroupsOracleSql: String =
+  /** The recursive component walk over the q18 MinHash candidate
+    * pairs (the `w.comp < e.dst` guard prunes useless propagations —
+    * a node's final component is never above its own id); shared by
+    * the q176/q223 grouping oracles and q224's best-member law. */
+  private def neardupWalkCtesSql: String =
     s"""WITH RECURSIVE p AS ($minhashLshOracleSql),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
        |          UNION SELECT id_b, id_a FROM p),
@@ -8941,7 +8970,14 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, w.comp FROM walk w
-       |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)
+       |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)""".stripMargin
+
+  /** Min-reachable-id component labels. Shared VERBATIM by q176
+    * (min-label walk) and q223 (large-star/small-star contraction):
+    * the two gates pin that both algorithms reach the identical
+    * fixpoint on the real candidate graph. */
+  private def neardupGroupsOracleSql: String =
+    s"""$neardupWalkCtesSql
        |SELECT id AS doc_id, min(comp) AS component,
        |  min(comp) = id AS is_representative
        |FROM walk GROUP BY id""".stripMargin

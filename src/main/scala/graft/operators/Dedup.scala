@@ -587,6 +587,32 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Quality-aware representative selection — what production
+    * pipelines actually keep from a near-dup group: not the MIN-ID
+    * member (an artifact of the component labeling) but the
+    * highest-QUALITY one (longest / best classifier score / least
+    * boilerplate; cf. the keep-longest convention in C4-class
+    * pipelines and SemDeDup's keep-one-per-cluster step). Input: a
+    * frame carrying (idCol, compCol, scoreCol) — components from
+    * [[connectedComponents]]/[[connectedComponentsStar]] joined with
+    * any quality signal (token count, [[LmQuality.nbQualityScore]]'s
+    * avg_llr, a Gopher battery column). The group winner is the max
+    * score, id-ascending on ties, NULL scores last — fully
+    * deterministic, so the q224 oracle replays it exactly.
+    *
+    * Scale (100 TB): ONE component-keyed window (row_number over
+    * bounded dedup groups — the q34/q104 window posture); no join
+    * back, no global sort. Singletons win their own group trivially.
+    * Output: every input row as (idCol, compCol, scoreCol, keep). */
+  def keepBestPerGroup(scored: DataFrame, idCol: String,
+      compCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(compCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    scored.withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col(compCol), col(scoreCol), col("keep"))
+  }
+
   /** Cross-corpus contamination check (train-vs-benchmark overlap):
     * Jaccard pairs BETWEEN two corpora over their shingle indexes —
     * the asymmetric twin of [[jaccardPairsFromIndex]]. The shuffle is

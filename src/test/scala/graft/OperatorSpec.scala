@@ -302,6 +302,25 @@ class DedupSpec extends AnyFunSuite {
     assert(relayed.toSeq === Seq((3L, 3L), (5L, 3L)))
   }
 
+  test("keepBestPerGroup: the group winner is max score (not min id), " +
+      "ties break id-ascending, NULL scores lose, singletons keep " +
+      "themselves — the quality-aware representative law (q224)") {
+    import graft.operators.Dedup
+    val scored = Seq(
+      // group 1: id 2 is LONGER than the min-id member — it wins
+      (1L, 1L, Some(5L)), (2L, 1L, Some(9L)), (3L, 1L, Some(9L)),
+      // group 5: a NULL score never beats a scored member
+      (5L, 5L, None), (6L, 5L, Some(1L)),
+      // singleton, even with NULL score, keeps itself
+      (7L, 7L, None)
+    ).toDF("doc_id", "component", "n_tokens")
+    val got = Dedup.keepBestPerGroup(scored, "doc_id", "component",
+        "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      5L -> false, 6L -> true, 7L -> true))
+  }
+
   test("cross-corpus contamination: exact duplicates across corpora " +
       "score 1.0, disjoint texts never pair, threshold filters") {
     import graft.operators.Dedup
