@@ -136,17 +136,46 @@ object Dsir {
     // r16 review pass 10).
     val dc = docCounts.getOrElse(
       docBucketCounts(docs, idCol, textCol, buckets, hashFn))
-    val ratio = bucketLogProbs(target, targetTextCol, buckets, hashFn)
+    scoreCountsAgainstRatio(docs.select(col(idCol)), idCol, dc,
+      importanceRatio(dc, target, targetTextCol, buckets, hashFn))
+  }
+
+  /** The persistable DSIR MODEL: per-bucket log ratio
+    * lr = logp_target − logp_raw, with the raw side estimated from a
+    * corpus (id, bucket, cnt) histogram ([[docBucketCounts]] /
+    * CorpusArtifacts.dsirCounts). Buckets-sized (≤ B rows) — the
+    * artifact a continuous pipeline trains once at ingest and
+    * broadcasts onto every crawl delta (the streaming posture
+    * StreamingSpec pins). Output: (bucket, lr). */
+  def importanceRatio(rawCounts: DataFrame, target: DataFrame,
+      targetTextCol: String, buckets: Int,
+      hashFn: (Column, Int) => Column = gramsOfText): DataFrame =
+    bucketLogProbs(target, targetTextCol, buckets, hashFn)
       .withColumnRenamed("logp", "logp_t")
-      .join(bucketLogProbsFromCounts(dc, buckets)
+      .join(bucketLogProbsFromCounts(rawCounts, buckets)
         .withColumnRenamed("logp", "logp_r"), Seq("bucket"))
       .select(col("bucket"), (col("logp_t") - col("logp_r")).as("lr"))
-    val scored = dc
+
+  /** Score a BATCH against a trained [[importanceRatio]] model — the
+    * per-doc law is a pure function of (doc grams, model), so this
+    * face applies unchanged to streaming deltas via foreachBatch with
+    * the model stream-static, equal row-for-row to the batch law.
+    * Output: (idCol, n_grams, log_weight round 6), zero-gram docs
+    * (0, 0.0) via the roster join. */
+  def importanceWeightsAgainstModel(batch: DataFrame, idCol: String,
+      textCol: String, ratio: DataFrame, buckets: Int,
+      hashFn: (Column, Int) => Column = gramsOfText): DataFrame =
+    scoreCountsAgainstRatio(batch.select(col(idCol)), idCol,
+      docBucketCounts(batch, idCol, textCol, buckets, hashFn), ratio)
+
+  private def scoreCountsAgainstRatio(roster: DataFrame, idCol: String,
+      counts: DataFrame, ratio: DataFrame): DataFrame = {
+    val scored = counts
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
         round(sum(col("cnt") * col("lr")), 6).as("log_weight"))
-    docs.select(col(idCol))
+    roster
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -267,6 +267,103 @@ class StreamingSpec extends AnyFunSuite {
     oldDf.unpersist()
   }
 
+  test("DSIR scoring streams as foreachBatch against the persisted " +
+      "ratio model (trained once on corpus counts + target): each " +
+      "delta's weights equal the batch law row-for-row — the " +
+      "continuous-crawl posture for importance resampling") {
+    import graft.operators.Dsir
+    val tmp = Files.createTempDirectory("sdsir").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha alpha zeta"), (4L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta"), (101L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    // the two ingest-trained artifacts: corpus gram histogram, ratio
+    val counts = Dsir.docBucketCounts(corpus, "doc_id", "text", 64)
+      .persist()
+    val ratio = Dsir.importanceRatio(counts, target, "text", 64)
+      .persist()
+    counts.count(); ratio.count()
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dsir.importanceWeightsAgainstModel(batch, "doc_id", "text",
+            ratio, 64)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val b1 = Seq((10L, "alpha beta gamma"), (11L, ""))
+    val b2 = Seq((12L, "zeta zeta unseen"), (13L, "delta epsilon"))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val r1 = q.start(); r1.awaitTermination()
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val r2 = q.start(); r2.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val oneShot = Dsir.importanceWeightsAgainstModel(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", ratio, 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === oneShot)
+    // a delta doc with the corpus doc 1's exact text scores exactly
+    // the corpus law's weight for doc 1 — model-determined, not
+    // batch-determined
+    val corpusLaw = Dsir.importanceWeights(corpus, "doc_id", "text",
+        target, "text", 64, docCounts = Some(counts))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) === corpusLaw(1L))
+    assert(got(11L) === ((0L, 0.0))) // gramless: roster-joined zero
+    counts.unpersist(); ratio.unpersist()
+  }
+
+  test("IVF assignment streams as foreachBatch against persisted " +
+      "centroids: per-delta nearest-centroid labels equal the batch " +
+      "law — the index-maintenance posture for a vector ingest " +
+      "stream") {
+    import graft.operators.SimilaritySearch
+    val tmp = Files.createTempDirectory("sivf").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val stored = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = SimilaritySearch.meanCentroids(stored, "label",
+      "embedding").persist()
+    cents.count()
+    val q = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SimilaritySearch.assignToCentroids(batch, "vec_id",
+            "embedding", cents)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val b1 = Seq((10L, Seq(0.95f, 0.05f)))
+    val b2 = Seq((11L, Seq(0.05f, 0.95f)), (12L, Seq(0.7f, 0.7f)))
+    b1.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    val r1 = q.start(); r1.awaitTermination()
+    b2.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    val r2 = q.start(); r2.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val oneShot = SimilaritySearch.assignToCentroids(
+        (b1 ++ b2).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got === oneShot)
+    assert(got(10L)._1 === 0 && got(11L)._1 === 1)
+    cents.unpersist()
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
