@@ -7896,12 +7896,19 @@ object SparkEntry {
     "q224_keep_best" ->
       // quality-aware representative: longest member per component
       // (token count desc, id asc, row_number = 1) — the same walk
-      // CTEs as q176/q223 plus one windowed keep
+      // CTEs as q176/q223 plus one windowed keep. The token count
+      // coalesces NULL text to '' (n_tokens 0, never NULL) to match
+      // the Spark face exactly — lower(NULL) would otherwise yield a
+      // NULL count that ranks BELOW 0 and flips the winner in a
+      // group mixing NULL-text and empty-text docs (r17 review
+      // pass 3)
       s"""$neardupWalkCtesSql,
          |comp AS (SELECT id AS doc_id, min(comp) AS component
          |         FROM walk GROUP BY id),
          |sc AS (SELECT doc_id,
-         |       CAST(len($allToksSql) AS BIGINT) AS n_tokens
+         |       CAST(len(list_filter(string_split_regex(
+         |         lower(coalesce(text, '')), '[^a-z0-9]+'),
+         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
          |       FROM documents)
          |SELECT c.doc_id, c.component, s.n_tokens,
          |  row_number() OVER (PARTITION BY c.component

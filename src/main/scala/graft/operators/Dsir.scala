@@ -161,12 +161,22 @@ object Dsir {
     * face applies unchanged to streaming deltas via foreachBatch with
     * the model stream-static, equal row-for-row to the batch law.
     * Output: (idCol, n_grams, log_weight round 6), zero-gram docs
-    * (0, 0.0) via the roster join. */
+    * (0, 0.0) via the roster join.
+    *
+    * Cost (r17 review pass 3): the default evaluates `batch` twice —
+    * once for the gram histogram, once for the zero-gram roster —
+    * exactly the double pass [[importanceWeights]]' docCounts knob
+    * exists to avoid. Same escape here: pass `batchCounts` (or
+    * persist the delta caller-side before the foreachBatch body; the
+    * library never hides a persist, Ranking.scala:25). */
   def importanceWeightsAgainstModel(batch: DataFrame, idCol: String,
       textCol: String, ratio: DataFrame, buckets: Int,
-      hashFn: (Column, Int) => Column = gramsOfText): DataFrame =
+      hashFn: (Column, Int) => Column = gramsOfText,
+      batchCounts: Option[DataFrame] = None): DataFrame =
     scoreCountsAgainstRatio(batch.select(col(idCol)), idCol,
-      docBucketCounts(batch, idCol, textCol, buckets, hashFn), ratio)
+      batchCounts.getOrElse(
+        docBucketCounts(batch, idCol, textCol, buckets, hashFn)),
+      ratio)
 
   private def scoreCountsAgainstRatio(roster: DataFrame, idCol: String,
       counts: DataFrame, ratio: DataFrame): DataFrame = {
