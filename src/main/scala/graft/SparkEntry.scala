@@ -27,6 +27,14 @@ object SparkEntry {
     Tables.load(s, dir, name)
 
   // ---- shared SQL fragments for the DuckDB oracles ----
+  // NULL-text invariant (r17 review pass 3 generalized): the driver's
+  // gate corpora carry no NULL text, so toksSql/allToksSql/shinglesSql
+  // tokenize `text` directly (lower(NULL) → NULL list) while their
+  // Spark twins often coalesce — LATENT-divergent, consistent on every
+  // gate corpus. Faces whose law must survive NULL text coalesce
+  // EXPLICITLY on both sides (rawWordsSql below, q224's token count);
+  // any new gate that windows/ranks on a token count must do the same
+  // or a NULL count (ranking below 0) can flip its winner.
   private val stopSql = TextFunctions.stopwordsSqlList
   /** BM25 token list (DuckDB) — twin of TextFunctions.bm25Tokens. */
   private val toksSql =
