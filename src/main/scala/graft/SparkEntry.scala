@@ -4294,6 +4294,22 @@ object SparkEntry {
     Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
   }
 
+  /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
+    * pairs (the q18 graph) whose endpoints landed in DIFFERENT
+    * train/validation/test bands under the per-document q177 split
+    * law — exactly the leakage assignSplitByGroup (q207) prevents by
+    * construction; this is the AUDIT a release runs when the split
+    * was drawn per-document. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    val splits = Sampling.assignSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", "split1", 0.7, 0.15)
+      .select(col("doc_id"), col("split"))
+    Dedup.crossGroupPairs(neardupPairs(s, dir), "id_a", "id_b",
+      splits, "doc_id", "split")
+  }
+
   /** Deterministic training-mix sampling + split assignment in the
     * gate (Sampling.stratifiedSample / assignSplit): per-language
     * downsample fractions (en 0.5, de 0.25, rest 0.1) and a
@@ -5194,7 +5210,8 @@ object SparkEntry {
     "q221_nb_budget_select" -> q221 _,
     "q222_incremental_lines" -> q222 _,
     "q223_cc_star" -> q223 _,
-    "q224_keep_best" -> q224 _)
+    "q224_keep_best" -> q224 _,
+    "q225_split_leakage" -> q225 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -7922,6 +7939,24 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY c.component
          |    ORDER BY s.n_tokens DESC, c.doc_id ASC) = 1 AS keep
          |FROM comp c JOIN sc s ON c.doc_id = s.doc_id""".stripMargin,
+
+    "q225_split_leakage" -> {
+      import operators.Sampling.thresholdHex
+      // near-dup candidate pairs straddling the per-document split
+      // bands — the q18 pair CTE joined twice against the q177
+      // hex-threshold split law (salt split1, 70/15/15)
+      s"""WITH p AS ($minhashLshOracleSql),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN substr(md5('split1:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.7)}' THEN 'train'
+         |  WHEN substr(md5('split1:' || doc_id), 1, 8) <
+         |    '${thresholdHex(0.7 + 0.15)}' THEN 'validation'
+         |  ELSE 'test' END AS split FROM documents)
+         |SELECT p.id_a, p.id_b, sa.split AS label_a, sb.split AS label_b
+         |FROM p JOIN s sa ON p.id_a = sa.doc_id
+         |JOIN s sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split""".stripMargin
+    },
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

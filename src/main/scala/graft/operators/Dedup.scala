@@ -613,6 +613,33 @@ object Dedup {
       .select(col(idCol), col(compCol), col(scoreCol), col("keep"))
   }
 
+  /** Cross-GROUP pair filter — the release-QA face over any candidate
+    * pair frame: pairs whose endpoints carry DIFFERENT labels under a
+    * per-document grouping. The two headline uses: split-leakage
+    * detection (near-dup pairs straddling train/validation/test — the
+    * leakage [[Sampling.assignSplitByGroup]] prevents by construction
+    * and this face AUDITS for pipelines that used the per-document
+    * draw) and cross-source duplication census (pairs straddling
+    * crawl sources). Two id-keyed equi-joins of the pair frame
+    * against the (id, label) frame — at 100 TB the pair frame is the
+    * candidate generator's df-capped output and the label frame is a
+    * projection of the corpus, both joins co-partition on the id.
+    * Pairs with either endpoint ABSENT from the label frame drop
+    * (inner joins): an unlabeled endpoint has no split to leak.
+    * Output: (aCol, bCol, label_a, label_b), label_a ≠ label_b. */
+  def crossGroupPairs(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val la = labels.select(col(idCol).as(aCol),
+      col(labelCol).as("label_a"))
+    val lb = labels.select(col(idCol).as(bCol),
+      col(labelCol).as("label_b"))
+    pairs.select(col(aCol), col(bCol))
+      .join(la, Seq(aCol))
+      .join(lb, Seq(bCol))
+      .where(col("label_a") =!= col("label_b"))
+      .select(col(aCol), col(bCol), col("label_a"), col("label_b"))
+  }
+
   /** Cross-corpus contamination check (train-vs-benchmark overlap):
     * Jaccard pairs BETWEEN two corpora over their shingle indexes —
     * the asymmetric twin of [[jaccardPairsFromIndex]]. The shuffle is

@@ -321,6 +321,23 @@ class DedupSpec extends AnyFunSuite {
       5L -> false, 6L -> true, 7L -> true))
   }
 
+  test("crossGroupPairs: only straddling pairs survive, same-label " +
+      "pairs drop, unlabeled endpoints drop (no split to leak) — " +
+      "the q225 split-leakage audit law") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "validation"), (6L, "train"), (7L, "train"))
+      .toDF("doc_id", "split") // 8L unlabeled
+    val got = Dedup.crossGroupPairs(pairs, "id_a", "id_b", labels,
+        "doc_id", "split").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("label_a"), r.getAs[String]("label_b"))).toSet
+    assert(got === Set((1L, 2L, "train", "test"),
+      (5L, 6L, "validation", "train")))
+  }
+
   test("cross-corpus contamination: exact duplicates across corpora " +
       "score 1.0, disjoint texts never pair, threshold filters") {
     import graft.operators.Dedup
