@@ -4294,6 +4294,19 @@ object SparkEntry {
     Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
   }
 
+  /** Near-dup group-SIZE census over the q176 components — the
+    * cluster-size histogram a data release's dedup section reports
+    * (how much mass sits in singletons vs 2-groups vs heavy
+    * clusters): (n_members, n_groups, n_docs), size-ascending. Two
+    * map-side-combinable aggregates, nothing else. */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    q176(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1L)).as("n_members"))
+      .groupBy(col("n_members"))
+      .agg(count(lit(1L)).as("n_groups"),
+        sum(col("n_members")).as("n_docs"))
+
   /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
     * pairs (the q18 graph) whose endpoints landed in DIFFERENT
     * train/validation/test bands under the per-document q177 split
@@ -5211,7 +5224,8 @@ object SparkEntry {
     "q222_incremental_lines" -> q222 _,
     "q223_cc_star" -> q223 _,
     "q224_keep_best" -> q224 _,
-    "q225_split_leakage" -> q225 _)
+    "q225_split_leakage" -> q225 _,
+    "q226_group_sizes" -> q226 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -7957,6 +7971,17 @@ object SparkEntry {
          |JOIN s sb ON p.id_b = sb.doc_id
          |WHERE sa.split <> sb.split""".stripMargin
     },
+
+    "q226_group_sizes" ->
+      // cluster-size histogram over the q176 component labels
+      s"""$neardupWalkCtesSql,
+         |comp AS (SELECT id, min(comp) AS component FROM walk
+         |         GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS n_members FROM comp
+         |          GROUP BY component)
+         |SELECT n_members, count(*) AS n_groups,
+         |  CAST(sum(n_members) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY n_members""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex
