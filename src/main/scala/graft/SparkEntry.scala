@@ -4306,6 +4306,7 @@ object SparkEntry {
       .groupBy(col("n_members"))
       .agg(count(lit(1L)).as("n_groups"),
         sum(col("n_members")).as("n_docs"))
+      .orderBy(col("n_members"))
 
   /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
     * pairs (the q18 graph) whose endpoints landed in DIFFERENT
@@ -4314,10 +4315,8 @@ object SparkEntry {
     * construction; this is the AUDIT a release runs when the split
     * was drawn per-document. */
   private def q225(s: SparkSession, dir: String): DataFrame = {
-    import operators.Sampling
-    val splits = Sampling.assignSplit(
-        t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", "split1", 0.7, 0.15)
+    val splits = assignDocSplit(
+        t(s, dir, "documents").select(col("doc_id")))
       .select(col("doc_id"), col("split"))
     Dedup.crossGroupPairs(neardupPairs(s, dir), "id_a", "id_b",
       splits, "doc_id", "split")
@@ -4330,11 +4329,36 @@ object SparkEntry {
     * comparisons over md5 draws — membership is a pure function of
     * (salt, doc_id), no shuffle, replayed bit-identically by the
     * oracle. */
+  /** THE per-document split law — one definition (r17 review pass 5:
+    * the (salt, fractions) triple was inlined at four sites, so a
+    * q177 change would leave q225 auditing a split nobody assigns,
+    * silently — the neardupPairs drift argument again). q177 assigns
+    * it, q225 audits it, both oracles replay [[splitCaseSql]]. */
+  private val SplitSalt = "split1"
+  private val SplitTrainFrac = 0.7
+  private val SplitValFrac = 0.15
+
+  private def assignDocSplit(df: DataFrame): DataFrame =
+    operators.Sampling.assignSplit(df, "doc_id", SplitSalt,
+      SplitTrainFrac, SplitValFrac)
+
+  /** DuckDB CASE for [[assignDocSplit]] — single-line so it embeds
+    * safely inside outer stripMargin templates (the
+    * qualitySignalsOracleSql double-strip hazard). */
+  private def splitCaseSql: String = {
+    import operators.Sampling.thresholdHex
+    s"CASE WHEN substr(md5('$SplitSalt:' || doc_id), 1, 8) < " +
+      s"'${thresholdHex(SplitTrainFrac)}' THEN 'train' " +
+      s"WHEN substr(md5('$SplitSalt:' || doc_id), 1, 8) < " +
+      s"'${thresholdHex(SplitTrainFrac + SplitValFrac)}' THEN 'validation' " +
+      "ELSE 'test' END"
+  }
+
   private def q177(s: SparkSession, dir: String): DataFrame = {
     import operators.Sampling
     val sampled = Sampling.stratifiedSample(t(s, dir, "documents"),
       "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.25), 0.1, "mix1")
-    Sampling.assignSplit(sampled, "doc_id", "split1", 0.7, 0.15)
+    assignDocSplit(sampled)
       .select(col("doc_id"), col("lang"), col("split"))
   }
 
@@ -7954,23 +7978,16 @@ object SparkEntry {
          |    ORDER BY s.n_tokens DESC, c.doc_id ASC) = 1 AS keep
          |FROM comp c JOIN sc s ON c.doc_id = s.doc_id""".stripMargin,
 
-    "q225_split_leakage" -> {
-      import operators.Sampling.thresholdHex
+    "q225_split_leakage" ->
       // near-dup candidate pairs straddling the per-document split
-      // bands — the q18 pair CTE joined twice against the q177
-      // hex-threshold split law (salt split1, 70/15/15)
+      // bands — the q18 pair CTE joined twice against the SAME
+      // splitCaseSql law q177 assigns (one definition, pass 5)
       s"""WITH p AS ($minhashLshOracleSql),
-         |s AS (SELECT doc_id,
-         |  CASE WHEN substr(md5('split1:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.7)}' THEN 'train'
-         |  WHEN substr(md5('split1:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.7 + 0.15)}' THEN 'validation'
-         |  ELSE 'test' END AS split FROM documents)
+         |s AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
          |SELECT p.id_a, p.id_b, sa.split AS label_a, sb.split AS label_b
          |FROM p JOIN s sa ON p.id_a = sa.doc_id
          |JOIN s sb ON p.id_b = sb.doc_id
-         |WHERE sa.split <> sb.split""".stripMargin
-    },
+         |WHERE sa.split <> sb.split""".stripMargin,
 
     "q226_group_sizes" ->
       // cluster-size histogram over the q176 component labels
@@ -7981,18 +7998,15 @@ object SparkEntry {
          |          GROUP BY component)
          |SELECT n_members, count(*) AS n_groups,
          |  CAST(sum(n_members) AS BIGINT) AS n_docs
-         |FROM sizes GROUP BY n_members""".stripMargin,
+         |FROM sizes GROUP BY n_members ORDER BY n_members""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex
       // deterministic stratified sample + split banding: the same
-      // md5-slice hex comparisons, thresholds baked as literals
+      // md5-slice hex comparisons, thresholds baked as literals; the
+      // split CASE is the shared splitCaseSql q225's audit replays
       s"""SELECT doc_id, lang,
-         |  CASE WHEN substr(md5('split1:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.7)}' THEN 'train'
-         |  WHEN substr(md5('split1:' || doc_id), 1, 8) <
-         |    '${thresholdHex(0.7 + 0.15)}' THEN 'validation'
-         |  ELSE 'test' END AS split
+         |  $splitCaseSql AS split
          |FROM documents
          |WHERE substr(md5('mix1:' || doc_id), 1, 8) <
          |  CASE lang WHEN 'de' THEN '${thresholdHex(0.25)}'
