@@ -272,6 +272,23 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"(the k-row n_min agg), got $singles\n$plan")
   }
 
+  test("q224 keep-best: the representative window stays keyed by " +
+      "component (never an unpartitioned corpus window); keyed " +
+      "equi-joins only") {
+    val plan = planOf("q224_keep_best")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("hashpartitioning(component"),
+      s"the keep window must partition by component:\n$plan")
+  }
+
+  test("q225 split-leakage audit: two id-keyed equi-joins over the " +
+      "pair frame — no cartesian, no nested loop") {
+    val plan = planOf("q225_split_leakage")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q192 semdedup: no cartesian — pairs only via the cluster-key " +
       "join; the centroid side broadcasts") {
     val plan = planOf("q192_semdedup")
