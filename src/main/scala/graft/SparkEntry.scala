@@ -8500,7 +8500,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,
          |  bit_xor(${md5HexValSql(
-             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+             "COALESCE(CAST(doc_id AS VARCHAR), '') || ':' || CAST(COALESCE(n_tokens, 0) AS VARCHAR)",
              12)}) AS checksum
          |FROM t GROUP BY shard""".stripMargin,
 
@@ -8547,7 +8547,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         "CAST(sum(n_tokens) AS BIGINT) AS total_tokens,\n" +
         "CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,\n" +
         s"bit_xor(${md5HexValSql(
-          "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+          "COALESCE(CAST(doc_id AS VARCHAR), '') || ':' || CAST(COALESCE(n_tokens, 0) AS VARCHAR)",
           12)}) AS checksum\n" +
         "FROM p GROUP BY split, shard"),
 
@@ -8820,7 +8820,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_sequences,
          |  bit_xor(${md5HexValSql(
-             "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)",
+             "COALESCE(CAST(doc_id AS VARCHAR), '') || ':' || CAST(COALESCE(n_tokens, 0) AS VARCHAR)",
              12)}) AS checksum
          |FROM surv GROUP BY shard""".stripMargin,
 

@@ -37,12 +37,21 @@ object Packing {
       carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-    val tc = col(tokenCountCol).cast("long")
+    // a null token count packs as 0 tokens (the lengthBucketBatches /
+    // budgetSelect convention) — un-coalesced it would skip the
+    // cumulative sum and emit NULL start/seq bounds, silently
+    // vanishing the doc from sequenceIndex while shardManifest still
+    // counts it (r17 review pass 7)
+    val tc = coalesce(col(tokenCountCol).cast("long"), lit(0L))
     // SQL's integral `div` — exact on longs at any magnitude, unlike
     // Column./ (double division, mis-floors past 2^53)
     def idiv(a: Column): Column =
       call_function("div", a, lit(budget))
-    df.withColumn("shard", shard.cast("long"))
+    // the shard expression passes through UNCAST: the contract allows
+    // any deterministic grouping expression (a hash band string, a
+    // date) — the r17 pass-7 finding: a long cast crashed those under
+    // ANSI and silently null-collapsed every shard under legacy casts
+    df.withColumn("shard", shard)
       .withColumn("_cum", sum(tc).over(w))
       .select((col(idCol) +: carryCols.map(col)) ++ Seq(
         col("shard"), tc.as("n_tokens"),
@@ -75,13 +84,20 @@ object Packing {
       idCol: String, tokenCountCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(groupCols.nonEmpty, "at least one grouping column")
+    // null-total coalesces: Spark's concat null-propagates and bit_xor
+    // skips NULLs, so an un-coalesced null id or token count would be
+    // counted in n_docs yet INVISIBLE to the checksum — the exact rows
+    // an integrity artifact must not skip (r17 review pass 7). A null
+    // id keys as '' (hashSlice's convention), a null count as 0.
     packed
       .withColumn("_h", graft.functions.Sketch.hash48Of(
-        concat(col(idCol).cast("string"), lit(":"),
-          col(tokenCountCol).cast("long").cast("string"))))
+        concat(coalesce(col(idCol).cast("string"), lit("")), lit(":"),
+          coalesce(col(tokenCountCol).cast("long"), lit(0L))
+            .cast("string"))))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(col(tokenCountCol).cast("long")).as("total_tokens"),
+        sum(coalesce(col(tokenCountCol).cast("long"), lit(0L)))
+          .as("total_tokens"),
         expr("bit_xor(_h)").as("checksum"))
       .select(groupCols.map(col) ++ Seq(
         col("n_docs"), col("total_tokens"),

@@ -28,17 +28,17 @@ object Sampling {
     substring(md5(concat(lit(salt), lit(":"),
       coalesce(id.cast("string"), lit("")))), 1, 8)
 
+  /** 2^32 — the one scale constant of the fraction→8-hex law, shared
+    * by the driver-side [[thresholdHex]] and the Column-side
+    * [[temperatureSampleInPlan]] so the two faces cannot drift. */
+  val HexScale = 4294967296.0
+
   /** A fraction as an 8-hex threshold: a draw d is IN iff
     * d < threshold. fraction >= 1 maps to a sentinel above every hex
     * digit ("g" > "f"), fraction <= 0 to one below (the empty
     * threshold ""). A fraction within 2^-33 of 1 would ROUND to 2^32
     * — a 9-char hex that lexicographic comparison misreads — so the
     * rounded value clamps into the sentinel arm. */
-  /** 2^32 — the one scale constant of the fraction→8-hex law, shared
-    * by the driver-side [[thresholdHex]] and the Column-side
-    * [[temperatureSampleInPlan]] so the two faces cannot drift. */
-  val HexScale = 4294967296.0
-
   def thresholdHex(fraction: Double): String =
     if (fraction >= 1.0) "g"
     else if (fraction <= 0.0) ""
@@ -139,15 +139,22 @@ object Sampling {
     * [0, train), [train, train+validation), rest. Disjoint and
     * exhaustive by construction; reproducible anywhere the salt and
     * ids travel. */
+  /** The band ladder both split faces share — ONE definition (r17
+    * review pass 7: the ladder was copy-pasted between assignSplit
+    * and assignSplitByGroup, so a band-law change edited in one would
+    * silently break their documented draw-for-draw equivalence). */
+  private def splitOf(d: Column, trainFraction: Double,
+      validationFraction: Double): Column =
+    when(d < lit(thresholdHex(trainFraction)), lit("train"))
+      .when(d < lit(thresholdHex(trainFraction + validationFraction)),
+        lit("validation"))
+      .otherwise(lit("test"))
+
   def assignSplit(df: DataFrame, idCol: String, salt: String,
-      trainFraction: Double, validationFraction: Double): DataFrame = {
-    val d = hashSlice(col(idCol), salt)
+      trainFraction: Double, validationFraction: Double): DataFrame =
     df.withColumn("split",
-      when(d < lit(thresholdHex(trainFraction)), lit("train"))
-        .when(d < lit(thresholdHex(trainFraction + validationFraction)),
-          lit("validation"))
-        .otherwise(lit("test")))
-  }
+      splitOf(hashSlice(col(idCol), salt), trainFraction,
+        validationFraction))
 
   /** Leakage-safe split assignment: every near-dup GROUP lands whole
     * in one split. The (salt, id) draw runs on the document's
@@ -162,15 +169,18 @@ object Sampling {
   def assignSplitByGroup(df: DataFrame, idCol: String,
       components: DataFrame, salt: String, trainFraction: Double,
       validationFraction: Double): DataFrame = {
+    // fail FAST with the contract, not an AMBIGUOUS_REFERENCE from
+    // the join below (r17 review pass 7: an input already carrying a
+    // component column crashed at analysis time with an opaque error)
+    require(!df.columns.contains("component"),
+      "assignSplitByGroup ADDS a `component` column; drop or rename " +
+        "the input's own before calling")
     val comp = components.select(col("id").as(idCol), col("component"))
     val d = hashSlice(col("component"), salt)
     df.join(comp, Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .withColumn("split",
-        when(d < lit(thresholdHex(trainFraction)), lit("train"))
-          .when(d < lit(thresholdHex(trainFraction + validationFraction)),
-            lit("validation"))
-          .otherwise(lit("test")))
+        splitOf(d, trainFraction, validationFraction))
   }
 
   /** MetaCLIP-style balancing cap (Xu et al. 2024, arXiv:2309.16671
@@ -218,7 +228,11 @@ object Sampling {
     * projection — the ONLY per-doc window runs on the one boundary
     * band, so its cost is band granularity, not corpus size: pick
     * bands fine enough (quality score rounded to centiles) that one
-    * band fits a reducer. Output: every input row as
+    * band fits a reducer. The branches read the input up to four
+    * times (band roll-up, the two verdict branches, the null-band
+    * echo) — persist an expensive upstream before calling, exactly
+    * [[temperatureSampleInPlan]]'s caveat (the library never hides a
+    * persist, Ranking.scala:25). Output: every input row as
     * (idCol, bandCol, tokenCol, selected); a null band verdicts
     * unselected, a null token count contributes (and echoes) 0. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
@@ -245,8 +259,14 @@ object Sampling {
     val outCols = Seq(col(idCol), col(bandCol), col(tokenCol))
     val plain = tagged.where(!boundary)
       .select(outCols :+ whole.as("selected"): _*)
+    // ROWS frame, not the orderBy default (RANGE): under RANGE,
+    // duplicate ids in the boundary band would SHARE one cumulative
+    // total and the prefix law would verdict them jointly instead of
+    // in sequence (r17 review pass 7); identical on unique ids
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(bandCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val split = tagged.where(boundary)
       .withColumn("_run", sum(col(tokenCol)).over(wd))
       .select(outCols :+

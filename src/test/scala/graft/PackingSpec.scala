@@ -166,6 +166,43 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("concatChop: a STRING shard expression (hash band) partitions " +
+      "as-is — the r17 pass-7 regression (a long cast crashed ANSI " +
+      "runs and null-collapsed every shard under legacy casts)") {
+    val df = Seq((1L, 4L), (2L, 7L), (3L, 5L)).toDF("id", "tc")
+    val out = Packing.concatChop(df, "id", "tc",
+        substring(md5(col("id").cast("string")), 1, 1), 10L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("shard")).toMap
+    // every row keeps its own single-hex band; no null collapse
+    assert(out.values.forall(s => s != null && s.length == 1))
+    assert(out.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("concatChop + shardManifest: null token counts pack as 0 with " +
+      "non-null bounds, and the manifest checksum SEES null-count " +
+      "docs (r17 pass-7: they were counted in n_docs but invisible " +
+      "to the integrity artifact)") {
+    val df = Seq((1L, Some(4L)), (2L, None), (3L, Some(6L)))
+      .toDF("id", "tc")
+    val packed = Packing.concatChop(df, "id", "tc", lit(0L), 10L)
+    val rows = packed.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("start"),
+        r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))).toMap
+    // the null-count doc sits at its boundary like an empty doc
+    assert(rows(2L) === ((0L, 4L, 0L, 0L)))
+    assert(rows(3L) === ((6L, 4L, 0L, 0L)))
+    def checksum(d: org.apache.spark.sql.DataFrame): Long =
+      Packing.shardManifest(Packing.concatChop(d, "id", "tc", lit(0L),
+          10L), "shard", "id", "n_tokens", 10L)
+        .collect().head.getAs[Long]("checksum")
+    // a null-count doc CONTRIBUTES to the checksum: swapping which
+    // doc carries the null changes it
+    val swapped = Seq((1L, None: Option[Long]), (2L, Some(4L)),
+      (3L, Some(6L))).toDF("id", "tc")
+    assert(checksum(df) !== checksum(swapped))
+  }
+
   test("budget must be positive") {
     val df = Seq((1L, 4L)).toDF("id", "tc")
     assertThrows[IllegalArgumentException] {

@@ -295,4 +295,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(2L) === ((0L, true)))
     assert(out(3L) === ((5L, false)))
   }
+
+  test("budgetSelect boundary prefix uses a ROWS frame: duplicate ids " +
+      "in the boundary band verdict in sequence, not jointly (r17 " +
+      "pass-7: the orderBy-default RANGE frame shared one cumulative " +
+      "total across a tie)") {
+    import graft.operators.Sampling
+    // band 1 (6 tokens) fits whole in budget 12; band 0 straddles
+    // with two SAME-id rows of 6 tokens: remaining budget 6 fits the
+    // first but not both — RANGE would give both _run = 12 and
+    // verdict both false
+    val df = Seq((9L, 1L, 6L), (5L, 0L, 6L), (5L, 0L, 6L))
+      .toDF("doc_id", "band", "n_tokens")
+    val out = Sampling.budgetSelect(df, "doc_id", "n_tokens", "band",
+        12L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(out.count(_ == (9L, true)) === 1)
+    assert(out.count(_ == (5L, true)) === 1, s"exactly ONE of the tied" +
+      s" rows fits the prefix: ${out.toSeq}")
+    assert(out.count(_ == (5L, false)) === 1)
+  }
+
+  test("assignSplitByGroup fails fast with the contract when the " +
+      "input already carries a component column (r17 pass-7: it " +
+      "crashed at analysis time with AMBIGUOUS_REFERENCE)") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = Seq((1L, 1L)).toDF("doc_id", "component")
+    val comps = Dedup.connectedComponents(
+      Seq(Tuple1(1L)).toDF("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.assignSplitByGroup(docs, "doc_id", comps, "s", 0.7, 0.15)
+    }
+    assert(e.getMessage.contains("component"))
+  }
 }
