@@ -8042,7 +8042,7 @@ object SparkEntry {
       // boilerplate markers; docs with < 5 cleaned words dropped.
       s"""WITH c AS (SELECT doc_id,
          |  list_transform(list_filter(
-         |    string_split(coalesce(text, ''), chr(10)),
+         |    string_split_regex(coalesce(text, ''), '\r?\n'),
          |    l -> len(list_filter(string_split_regex(trim(l),
          |           '[ \\t\\n\\f\\r]+'), x -> x <> '')) >= 3
          |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
@@ -8070,7 +8070,7 @@ object SparkEntry {
         |  ' ref ' || (user_id * 1000003 + event_id),
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
-        |  '\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
+        |  '\(?\b\d{3}\)?[ \t\n\f\r.-]\d{3}[ \t\n\f\r.-]\d{4}\b', '<PHONE>', 'g'),
         |  '\d{6,}', '<NUM>', 'g') AS redacted
         |FROM events""".stripMargin,
 
@@ -8173,10 +8173,12 @@ object SparkEntry {
         |  THEN regexp_replace(head, ':443$', '')
         |  ELSE head END
         |  || regexp_replace(path, '/$', '', 'g') || query AS url_norm,
-        |lower(regexp_extract(u,
-        |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)) AS host,
-        |regexp_extract(lower(regexp_extract(u,
+        |regexp_replace(lower(regexp_extract(u,
         |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)),
+        |  '\.$', '') AS host,
+        |regexp_extract(regexp_replace(lower(regexp_extract(u,
+        |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)),
+        |  '\.$', ''),
         |  '[^.]+\.[^.]+$', 0) AS domain
         |FROM sp""".stripMargin,
 
@@ -8640,7 +8642,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |    AS s
          |  FROM d),
          |hits AS (SELECT event_id, arg_max(s, len(s)) AS blocked_by
-         |  FROM sfx JOIN b ON s = dom GROUP BY event_id)
+         |  FROM sfx JOIN b ON s = lower(trim(dom)) GROUP BY event_id)
          |SELECT d.event_id, d.host, h.blocked_by,
          |  h.blocked_by IS NOT NULL AS blocked
          |FROM d LEFT JOIN hits h USING (event_id)""".stripMargin,

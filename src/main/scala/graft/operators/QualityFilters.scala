@@ -58,12 +58,19 @@ object QualityFilters {
       acc => acc.getField("best"))
 
   /** Overlapping (non-distinct) word n-grams joined with single
-    * spaces; fewer than n words gives an empty array. */
+    * spaces; fewer than n words gives an empty array — via an
+    * explicit size guard (r17 review pass 8: at n = 1 the former
+    * greatest()-clamped sequence emitted one empty-slice gram "" per
+    * EMPTY word array, which the inner word-count filter passes —
+    * split("", " ") is [""], size 1 — so tokenless docs each fed a
+    * phantom "" unigram into frequency tables). */
   def wordNgrams(ws: Column, n: Int): Column =
-    filter(
-      transform(sequence(lit(0), greatest(size(ws) - n, lit(0))),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
-      g => size(split(g, " ")) === n)
+    when(size(ws) >= n,
+      filter(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+        g => size(split(g, " ")) === n))
+      .otherwise(array().cast("array<string>"))
 
   private def safeFrac(num: Column, den: Column): Column =
     when(den > 0, round(num.cast("double") / den.cast("double"), 6))
@@ -161,7 +168,12 @@ object QualityFilters {
     * ([[c4Clean]]). */
   def c4CleanedLines(text: Column, minLineWords: Int,
       requireTerminalPunct: Boolean): Column = {
-    val kept = filter(split(coalesce(text, lit("")), "\n"), l => {
+    // \r?\n: CRLF crawl text would otherwise leave \r on every line —
+    // trim() strips only spaces, so the terminal-punctuation arm
+    // rejected EVERY line of a CRLF document (r17 review pass 8).
+    // (The line-DEDUP laws split on bare \n by documented design —
+    // line identity there is the exact raw line.)
+    val kept = filter(split(coalesce(text, lit("")), "\\r?\\n"), l => {
       val t = trim(l)
       val base = size(rawWords(t)) >= minLineWords &&
         !lower(t).contains("lorem ipsum") && !t.contains("{") &&
@@ -174,7 +186,16 @@ object QualityFilters {
 
   /** The document-level C4 pass: clean lines, then keep documents
     * whose cleaned text still has at least `minDocWords` words.
-    * Output: idCol, cleaned, n_lines_kept. */
+    * Output: idCol, cleaned, n_lines_kept.
+    *
+    * Cost note: the document filter references the projected struct,
+    * so pushdown inlines the line battery into the Filter — the
+    * battery evaluates twice per row (once deciding, once emitting).
+    * That is filter+project's floor without a materialization
+    * barrier (gopherKeepOf's lambda binding prevents the PER-TERM
+    * multiplier, which does not arise here — one predicate term);
+    * a caller chaining c4Clean into an expensive pipeline persists
+    * its output, the library never hides a persist. */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 3, minDocWords: Int = 5,
       requireTerminalPunct: Boolean = false): DataFrame =
@@ -218,8 +239,16 @@ object QualityFilters {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** Dotted-quad IPv4 literals → `<IP>`. */
   val ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  /** NANP-shaped phone numbers → `<PHONE>`. */
-  val phonePattern = "\\(?\\d{3}\\)?[\\s.-]\\d{3}[\\s.-]\\d{4}"
+  /** NANP-shaped phone numbers → `<PHONE>`. The separator class is
+    * spelled out (Java `\s` includes U+000B where RE2's does not —
+    * the same divergence [[whitespaceClass]] exists for, r17 review
+    * pass 8), and the digit groups are boundary-anchored INSIDE the
+    * optional paren (`\(?\b` — a `\b` before the paren would fail on
+    * "(555)") so the pattern can never start mid-digit-run: without
+    * the anchors, "case 123456 555 1234" matched "456 555 1234" and
+    * half-ate the account id. */
+  val phonePattern =
+    "\\(?\\b\\d{3}\\)?[ \\t\\n\\f\\r.-]\\d{3}[ \\t\\n\\f\\r.-]\\d{4}\\b"
   /** Remaining runs of ≥ 6 digits (account/id numbers) → `<NUM>`. */
   val digitRunPattern = "\\d{6,}"
 

@@ -67,9 +67,19 @@ object UrlOps {
   /** The authority's host: no scheme, no port, no userinfo. The
     * userinfo arm is greedy ([^/?#]* admits '@') so a userinfo that
     * itself contains '@' — the phishing-obfuscation shape — still
-    * yields the real host after the LAST '@'. */
+    * yields the real host after the LAST '@'. A single trailing dot
+    * (the DNS-legal FQDN root form, "example.com.") strips — r17
+    * review pass 8: left on, it evaded every blocklist suffix chain
+    * ("example.com." ≠ "example.com", the classic bypass). Bracketed
+    * IPv6 literals ("http://[2001:db8::1]/") are OUT OF SCOPE like
+    * the naive-PSL caveat below — the host class stops at ':', so
+    * they extract as "[" and roll up as garbage rather than parsing;
+    * a production pipeline filters or special-cases them upstream. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)", 1))
+    regexp_replace(
+      lower(regexp_extract(url,
+        "^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)", 1)),
+      "\\.$", "")
 
   /** Naive registered domain — the last two dot-labels of the host.
     * NOT public-suffix-list aware (co.uk-style suffixes collapse to
@@ -108,7 +118,11 @@ object UrlOps {
       explode(when(col(hostCol).isNotNull,
         transform(sequence(lit(1), size(parts)),
           i => array_join(slice(parts, i, size(parts)), ".")))).as("_sfx"))
-    val bl = blocklist.select(col(domainCol).as("_sfx")).distinct()
+    // DNS matching is case-insensitive and list files carry stray
+    // whitespace (r17 review pass 8: a mixed-case or padded entry
+    // silently never matched the lowercased host side)
+    val bl = blocklist.select(lower(trim(col(domainCol))).as("_sfx"))
+      .distinct()
     val hits = exploded.join(bl, Seq("_sfx"))
       .groupBy(col(idCol))
       .agg(max(struct(length(col("_sfx")).as("l"), col("_sfx").as("d")))

@@ -31,8 +31,15 @@ object Vocabulary {
     * gram counts it every time). */
   def ngramFrequencies(df: DataFrame, textCol: String,
       n: Int): DataFrame =
-    df.select(explode(QualityFilters.wordNgrams(
-        TextFunctions.allTokens(col(textCol)), n)).as("gram"))
+    // bind the token array ONCE before the n-gram builder references
+    // it (size + per-element slice + the empty guard): fed the raw
+    // tokenizer expression, each reference re-tokenizes the row —
+    // the interpreted-HOF cost Dsir.gramsOfText quantifies (r17
+    // review pass 8). CollapseProject keeps the binding: the alias
+    // is non-cheap and multiply referenced.
+    df.select(TextFunctions.allTokens(col(textCol)).as("_ws"))
+      .select(explode(QualityFilters.wordNgrams(col("_ws"), n))
+        .as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1L)).as("n"))
 

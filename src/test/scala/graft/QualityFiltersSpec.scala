@@ -187,4 +187,34 @@ class QualityFiltersSpec extends AnyFunSuite {
     // IP wins over the digit-run even with 3-digit octets
     assert(red("ip 255.255.255.255") === "ip <IP>")
   }
+
+  test("r17 pass-8 regressions: phone anchors never bite mid-digit-" +
+      "run, the separator class is the RE2 set, wordNgrams(_, 1) on " +
+      "a tokenless doc is EMPTY, c4 cleans CRLF text") {
+    def red(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(QualityFilters.redactPii(col("t")).as("r"))
+        .collect().head.getString(0)
+    // an account id is never half-eaten by the unanchored phone shape
+    assert(red("case 123456 555 1234 end") === "case <NUM> 555 1234 end")
+    // real phones still redact, parenthesized and dotted alike
+    assert(red("call (555) 867-5309 now") === "call <PHONE> now")
+    // U+000B is NOT a separator (the RE2 class — Java \s would match)
+    assert(red("x 555\u000B867\u000B5309 y") === "x 555\u000B867\u000B5309 y")
+    // n=1 n-grams of an empty word array: EMPTY, no phantom "" gram
+    val grams = Seq(Tuple1("!!!")).toDF("t")
+      .select(QualityFilters.wordNgrams(
+        graft.functions.TextFunctions.allTokens(col("t")), 1).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(grams.isEmpty)
+    // CRLF text: lines clean with \r stripped, punctuation arm works
+    val crlf = Seq((1L, "Good sentence here one two.\r\nshort\r\n" +
+      "Another long enough line!\r\n")).toDF("id", "t")
+    val out = QualityFilters.c4Clean(crlf, "id", "t",
+        minLineWords = 3, minDocWords = 5, requireTerminalPunct = true)
+      .collect().head
+    assert(out.getString(1) ===
+      "Good sentence here one two.\nAnother long enough line!")
+    assert(out.getLong(2) === 2L)
+  }
 }

@@ -114,4 +114,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out(6L) === ((None, false)))
     assert(out.size === 6, "every input row verdicts exactly once")
   }
+
+  test("r17 pass-8 regressions: a trailing-dot FQDN cannot evade the " +
+      "blocklist (hostOf strips the DNS root dot) and mixed-case / " +
+      "padded blocklist entries match the lowercased host") {
+    import graft.operators.UrlOps
+    val host = Seq(Tuple1("http://sub.Example.com./x")).toDF("u")
+      .select(UrlOps.hostOf(col("u")).as("h")).collect().head.getString(0)
+    assert(host === "sub.example.com")
+    val docs = Seq((1L, "sub.example.com"), (2L, "clean.org"))
+      .toDF("id", "host")
+    val bl = Seq(Tuple1(" Example.COM ")).toDF("dom")
+    val got = UrlOps.domainBlockVerdicts(docs, "id", "host", bl, "dom")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
 }
