@@ -58,11 +58,19 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Character symbols with the paper's `</w>` end-of-word marker on
-    * the final character. */
+    * the final character. Empty on the empty word (r17 review pass 9:
+    * unguarded, sequence(1, 0) DESCENDS — the same hazard
+    * [[adjacentPairs]] guards — and an empty word yielded the phantom
+    * symbols ["", "</w>"]; the library tokenizer never emits "", but
+    * initSymbols/replaySymbols are public OOV-path API over arbitrary
+    * word columns). */
   def initSymbols(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i =>
-      when(i === length(word), concat(word.substr(i, lit(1)), lit("</w>")))
-        .otherwise(word.substr(i, lit(1))))
+    when(length(word) > 0,
+      transform(sequence(lit(1), length(word)), i =>
+        when(i === length(word),
+          concat(word.substr(i, lit(1)), lit("</w>")))
+          .otherwise(word.substr(i, lit(1)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Adjacent symbol pairs as struct(l, r); empty for 1-symbol words
     * (guarded: Spark's sequence DESCENDS when start > stop). */
@@ -96,17 +104,28 @@ object Bpe {
       acc => acc.getField("out"))
   }
 
-  /** Replay a learned merge list in rank order — the OOV path of an
-    * encoder (in-vocab words take the [[encode]] join instead). The
-    * loop lives at RUNTIME, not in the expression tree: an aggregate
-    * fold over the merge-table literal whose accumulator is the
-    * symbol array. Composing [[applyMergeOnce]] per merge instead —
-    * as columns or as withColumn stages — duplicates the `syms`
-    * subtree ~5× per level (element_at ×3 + size ×2 per lambda) and
-    * the analyzer/optimizer tree grows exponentially in the merge
-    * count (8 merges OOM'd a 4 GiB driver); here every `syms`
-    * mention is one lambda-variable node, so the tree is constant in
-    * the merge count. */
+  /** Replay a learned merge list — ONE greedy pass per merge, in
+    * rank order (the OOV path of an encoder; in-vocab words take the
+    * [[encode]] join instead). The loop lives at RUNTIME, not in the
+    * expression tree: an aggregate fold over the merge-table literal
+    * whose accumulator is the symbol array. Composing
+    * [[applyMergeOnce]] per merge instead — as columns or as
+    * withColumn stages — duplicates the `syms` subtree ~5× per level
+    * (element_at ×3 + size ×2 per lambda) and the analyzer/optimizer
+    * tree grows exponentially in the merge count (8 merges OOM'd a
+    * 4 GiB driver); here every `syms` mention is one lambda-variable
+    * node, so the tree is constant in the merge count.
+    *
+    * Law note (r17 review pass 9): this is the SINGLE-PASS-per-rank
+    * law — identical to training's evolution, so it equals the
+    * [[encode]] table on every in-vocab word (spec-pinned). It is
+    * NOT the reference apply_bpe loop (subword-nmt re-scans lowest-
+    * rank-first until no learned pair remains): with an EXTERNAL
+    * merge table, a low-rank pair whose occurrence only materializes
+    * after a higher-rank merge stays unapplied here (merges =
+    * [(1: ab+c), (2: a+b)] on "abcd" ends [ab, c, d</w>], the
+    * reference reaches [abc, d</w>]). Self-trained tables replayed on
+    * OOV words share the single-pass law by construction. */
   def replaySymbols(word: Column, merges: Seq[Merge]): Column =
     if (merges.isEmpty) initSymbols(word)
     else aggregate(
@@ -162,12 +181,37 @@ object Bpe {
   /** Encode documents against a trained symbol table: per-doc word
     * and subword totals via the dictionary join (broadcast when the
     * vocabulary is small; shuffle join on the word key otherwise —
-    * never a per-word merge replay over the corpus). */
+    * never a per-word merge replay over the corpus).
+    *
+    * CONTRACT (r17 review pass 9): this face covers IN-VOCAB text
+    * only — the inner join DROPS out-of-vocabulary occurrences (and
+    * an all-OOV doc entirely), which is exact when encoding the
+    * training corpus (the gate posture) and silently undercounts on
+    * anything else. Encoding open text takes the [[encode]] overload
+    * WITH the merge list, whose replay fallback counts every word. */
   def encode(df: DataFrame, idCol: String, textCol: String,
       symtab: DataFrame): DataFrame =
     df.select(col(idCol),
         explode(TextFunctions.allTokens(col(textCol))).as("word"))
       .join(symtab.select(col("word"), col("syms")), Seq("word"))
+      .groupBy(idCol)
+      .agg(sum(size(col("syms"))).cast("long").as("n_subwords"),
+        count(lit(1)).cast("long").as("n_words"))
+
+  /** The open-text encoder: in-vocab words read the dictionary,
+    * OOV words fall back to [[replaySymbols]] over the learned merge
+    * list (the deployment path the header's sample-training posture
+    * requires — new crawl text WILL contain words the sample never
+    * saw). LEFT join + per-row replay only on misses; same output
+    * shape, every word counted. Spec-pinned: equals the dictionary
+    * face on in-vocab text, and an all-OOV document emits a row. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      symtab: DataFrame, merges: Seq[Merge]): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.allTokens(col(textCol))).as("word"))
+      .join(symtab.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms",
+        coalesce(col("syms"), replaySymbols(col("word"), merges)))
       .groupBy(idCol)
       .agg(sum(size(col("syms"))).cast("long").as("n_subwords"),
         count(lit(1)).cast("long").as("n_words"))

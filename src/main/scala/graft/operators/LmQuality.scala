@@ -45,7 +45,14 @@ object LmQuality {
     * unigram vocabulary size (a 1-row in-plan aggregate — no driver
     * action). Unseen grams/contexts count 0. Documents with no
     * bigram score NULL at n_bigrams = 0 (kept via the roster join).
-    * Output: (idCol, n_bigrams, avg_nll round 6). */
+    * Output: (idCol, n_bigrams, avg_nll round 6).
+    *
+    * Cost note (the Dsir docCounts class, r17 pass 9): `docs` is
+    * read twice (scoring explode + the zero-bigram roster) and `ref`
+    * tokenizes once per model table — persist an expensive upstream
+    * before calling, or read the scored output through its
+    * CorpusArtifacts memo (nbScores' posture); the library never
+    * hides a persist. */
   def nllScore(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
       alpha: Double = 0.5): DataFrame = {
@@ -54,9 +61,14 @@ object LmQuality {
     val bi = Vocabulary.ngramFrequencies(ref, refTextCol, 2)
       .select(col("gram").as("g"), col("n").as("c_bi"))
     val vocab = uni.agg(count(lit(1L)).as("v"))
+    // bind the token array ONCE before docBigrams references it four
+    // times (two slices + two sizes) — fed the raw tokenizer
+    // expression, each reference re-tokenized the row (r17 review
+    // pass 9, the Vocabulary.ngramFrequencies precedent)
     val exploded = docs
-      .select(col(idCol), explode(docBigrams(
-        TextFunctions.allTokens(col(textCol)))).as("b"))
+      .select(col(idCol),
+        TextFunctions.allTokens(col(textCol)).as("_ws"))
+      .select(col(idCol), explode(docBigrams(col("_ws"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.g").as("g"))
     val scored = exploded
       .join(broadcast(bi), Seq("g"), "left")
@@ -75,12 +87,6 @@ object LmQuality {
         col("avg_nll"))
   }
 
-  /** CCNet head/middle/tail banding per language: percent_rank over
-    * (score asc, id asc) within each language — head = the best
-    * `headFrac` of the language, tail = everything past `midFrac`.
-    * NULL scores (no bigrams) rank last deterministically. The
-    * bucket decision uses the EXACT rank ratio; the emitted `pr` is
-    * rounded like every float output. */
   /** Seed-labeled Naive-Bayes quality classifier (the deterministic,
     * oracle-replayable form of the GPT-3 appendix-A / CCNet-family
     * quality filter, which trains a linear classifier on a trusted
@@ -179,9 +185,15 @@ object LmQuality {
       .groupBy(col(langCol))
       .agg(percentile_approx(col(scoreCol),
         array(lit(headFrac), lit(midFrac)), lit(accuracy)).as("_b"))
-    // left join: an all-NULL-score language has no bounds row and
-    // every member bands tail through the isNull arm
-    scored.join(broadcast(bounds), Seq(langCol), "left")
+      .withColumnRenamed(langCol, "_lang")
+    // NULL-SAFE left join (r17 review pass 9): groupBy emits a bounds
+    // row for the NULL language, but an equi-join key would never
+    // match it — every null-lang doc banded tail regardless of score,
+    // where the exact face's window treats NULL as a language like
+    // any other. An all-NULL-score language still has no bounds row
+    // and every member bands tail through the isNull arm.
+    scored.join(broadcast(bounds),
+        col(langCol) <=> col("_lang"), "left")
       .withColumn("bucket",
         when(col(scoreCol).isNull, lit("tail"))
           .when(col(scoreCol) <= element_at(col("_b"), 1), lit("head"))
@@ -190,6 +202,15 @@ object LmQuality {
       .select(col(idCol), col(langCol), col("bucket"))
   }
 
+  /** CCNet head/middle/tail banding per language: percent_rank over
+    * (score asc, id asc) within each language — head = the best
+    * `headFrac` of the language, tail = everything past `midFrac`.
+    * NULL scores (no bigrams) rank last deterministically (and COUNT
+    * in the denominator — the fractions-of-what divergence
+    * [[perplexityBucketsApprox]] documents). The bucket decision uses
+    * the EXACT rank ratio; the emitted `pr` is rounded like every
+    * float output. (Scaladoc re-attached r17 pass 9 — two insertions
+    * had orphaned it 115 lines above its def.) */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       langCol: String, scoreCol: String,
       headFrac: Double = 0.3, midFrac: Double = 0.7): DataFrame = {

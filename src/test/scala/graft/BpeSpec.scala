@@ -137,4 +137,42 @@ class BpeSpec extends AnyFunSuite {
       assert(out(2L) === ((1L, 1L)))
     } finally symtab.unpersist()
   }
+
+  test("r17 pass-9 regressions: empty-word symbols are EMPTY (no " +
+      "phantom </w>), the open-text encode overload replays OOV " +
+      "words instead of dropping them, and the replay law is " +
+      "single-pass-per-rank (the documented external-table " +
+      "divergence)") {
+    // empty word: no ["", "</w>"] phantom
+    val init = Seq(Tuple1("")).toDF("w")
+      .select(Bpe.initSymbols(col("w")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(init.isEmpty)
+    // OOV fallback: train on "aa", encode "aa zz" — the dictionary
+    // face drops zz (documented in-vocab contract), the merges face
+    // counts it via replay
+    val words = Seq(("aa", 5L)).toDF("word", "freq")
+    val (merges, symtab) = Bpe.learnMerges(words, 2)
+    try {
+      val docs = Seq((1L, "aa zz"), (2L, "zz zz")).toDF("id", "t")
+      val dict = Bpe.encode(docs, "id", "t", symtab)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(dict === Map(1L -> ((1L, 1L)))) // doc 2 vanished: all-OOV
+      val open = Bpe.encode(docs, "id", "t", symtab, merges)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      // "zz" replays to [z, z</w>] (no zz merge learned): 2 subwords
+      assert(open === Map(1L -> ((1L + 2L, 2L)), 2L -> ((4L, 2L))))
+    } finally symtab.unpersist()
+    // single-pass law: external table [(1: ab+c), (2: a+b)] on "abcd"
+    // stops at [ab, c, d</w>] — the reference loop would reach
+    // [abc, d</w>]; the divergence is pinned, not hidden
+    val replayed = Seq(Tuple1("abcd")).toDF("w")
+      .select(Bpe.replaySymbols(col("w"), Seq(
+        Bpe.Merge(1, "ab", "c", "abc", 1L),
+        Bpe.Merge(2, "a", "b", "ab", 1L))).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(replayed === Seq("ab", "c", "d</w>"))
+  }
 }

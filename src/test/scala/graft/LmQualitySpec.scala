@@ -201,6 +201,19 @@ class LmQualitySpec extends AnyFunSuite {
     assert(exact(4L) === "middle" && exact(10L) === "tail")
   }
 
+  test("perplexityBucketsApprox: a NULL language is a language like " +
+      "any other (r17 pass-9: the equi-join key never matched the " +
+      "NULL bounds row, tail-banding every null-lang doc)") {
+    val scored = (1 to 10).map(i =>
+      (i.toLong, null.asInstanceOf[String], Some(i * 1.0)))
+      .toDF("doc_id", "lang", "avg_nll")
+    val got = LmQuality.perplexityBucketsApprox(scored, "doc_id",
+        "lang", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "head" && got(10L) === "tail")
+    assert(got.values.toSet === Set("head", "middle", "tail"))
+  }
+
   test("perplexityBucketsApprox plan: no Window, no per-language " +
       "sort — one aggregate pass plus a broadcast bounds join") {
     val scored = Seq((1L, "en", Some(1.0))).toDF("doc_id", "lang", "avg_nll")
