@@ -1208,10 +1208,7 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minSim: Double): DataFrame = {
     val (assigned, cents) = SimilaritySearch.kmeansIvf(df, idCol, vecCol, k, iters)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centDf = cents.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "centroid")
-    semDedupVerdicts(assigned, idCol, vecCol, "cluster", centDf, minSim)
+    semDedupVerdicts(assigned, idCol, vecCol, "cluster",
+      SimilaritySearch.centroidsDf(df.sparkSession, cents), minSim)
   }
 }

@@ -54,7 +54,11 @@ object SimilaritySearch {
     val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("nvec"))
     val scored = c.crossJoin(broadcast(p))
-      .where(if (excludeSelf) col("probe_id") =!= col("neighbor_id") else lit(true))
+      // null-SAFE inequality: `=!=` yields SQL null on a null id and
+      // the filter drops the row — a null-id probe lost ALL its
+      // neighbors under excludeSelf only (r17 review pass 10)
+      .where(if (excludeSelf) !(col("probe_id") <=> col("neighbor_id"))
+        else lit(true))
       .withColumn("score", VectorFunctions.cosine(col("probe_vec"), col("nvec")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -84,11 +88,21 @@ object SimilaritySearch {
 
   /** Candidate near-dup pairs whose LSH signatures match exactly
     * (all nBits sign bits equal) — equi-join on the signature.
-    */
+    * Cost note (r17 review pass 10): the self-join's two projections
+    * each compute the signature, so the interpreted nBits×dim pass —
+    * q72's dominant cost — runs twice per row; a caller looping over
+    * thresholds persists its own (id, sig) projection (the library
+    * never hides a persist), while the single-shot gate wears the 2×
+    * as the price of a one-expression plan. */
   def lshCosineCandidates(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol),
-      hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+    // null / wrong-length vectors would all hash to the ZERO signature
+    // and collapse into one bucket — a silent O(m^2) cartesian dressed
+    // as candidates (r17 review pass 10); they carry no usable angle,
+    // so they generate no candidates
+    val sig = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol),
+        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
     val a = sig.select(col(idCol).as("id_a"), col("sig"))
     val b = sig.select(col(idCol).as("id_b"), col("sig"))
     a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
@@ -104,8 +118,10 @@ object SimilaritySearch {
     */
   def lshCosineCandidatesMultiProbe(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, nBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol),
-      hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+    // same zero-signature guard as the single-probe face
+    val sig = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol),
+        hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
     val flips = transform(sequence(lit(0), lit(nBits - 1)), i =>
       concat(
         col("sig").substr(lit(1), i),
@@ -136,10 +152,21 @@ object SimilaritySearch {
     */
   def kmeansIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
-    val base = df.select(col(idCol), col(vecCol))
-    var cents: Array[Array[Double]] = base.orderBy(col(idCol).asc).limit(k)
+    require(iters >= 0, s"iters must be non-negative: $iters")
+    // persisted across the iters+1 passes (the ConnectedComponents
+    // iterative-algorithm precedent — without it every Lloyd pass
+    // re-executes the full upstream lineage); released before return,
+    // after the final assignment is checkpointed
+    val base = df.select(col(idCol), col(vecCol)).persist()
+    // seeds read any numeric element type (array<float|double>, the
+    // same span elemReader advertises) and skip null vectors — a
+    // Float-only getSeq ClassCastExceptioned on double embeddings
+    // (r17 review pass 10)
+    var cents: Array[Array[Double]] = base
+      .where(col(vecCol).isNotNull)
+      .orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     var assigned: DataFrame = null
     // iters update passes + ONE final assignment pass, so the returned
     // bucketing is consistent with the returned centroids (ivfSearch
@@ -157,7 +184,20 @@ object SimilaritySearch {
         cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
       }
     }
-    (assigned, cents)
+    val out = assigned.localCheckpoint(true)
+    base.unpersist()
+    (out, cents)
+  }
+
+  /** The (cluster, centroid) frame of a driver-held centroid array —
+    * ONE definition of the cross-file schema contract ivfSearch and
+    * Dedup.semDedup both consume (r17 review pass 10: the snippet was
+    * duplicated verbatim in both). */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
   }
 
   /** ANN over a k-means IVF index: score the query against centroids,
@@ -165,10 +205,7 @@ object SimilaritySearch {
   def ivfSearch(assigned: DataFrame, cents: Array[Array[Double]],
       idCol: String, vecCol: String, query: Column, probes: Int,
       k: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    val centRows = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    import spark.implicits._
-    val centDf = centRows.toSeq.toDF("cluster", "centroid")
+    val centDf = centroidsDf(assigned.sparkSession, cents)
     val probed = centDf
       .withColumn("rep_score", VectorFunctions.cosine(col("centroid"), query))
       .orderBy(col("rep_score").desc, col("cluster").asc)
@@ -203,6 +240,10 @@ object SimilaritySearch {
     * recompute, the centroid side is index-cardinality (broadcast),
     * the delta never shuffles except its own per-vector argmax.
     * Output: (id, label, round(score, 6)). */
+  /** Contract note (r17 review pass 10): an EMPTY `cents` frame
+    * yields an empty result — every delta vector unassigned — by the
+    * cross-join algebra; a first-ingest caller seeds centroids (or
+    * checks cents.isEmpty) before relying on the assignment. */
   def assignToCentroids(delta: DataFrame, idCol: String,
       vecCol: String, cents: DataFrame): DataFrame = {
     val scored = delta.select(col(idCol), col(vecCol))
@@ -239,11 +280,14 @@ object SimilaritySearch {
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("_nearest") =!= col("label"), 1L).otherwise(0L))
           .as("n_moved"))
-      .withColumn("moved_frac",
-        round(col("n_moved").cast("double") /
-          col("n_vectors").cast("double"), 6))
-      .withColumn("needs_recluster",
-        (col("n_moved").cast("double") /
-          col("n_vectors").cast("double")) > reclusterThreshold)
+      // ONE ratio expression: the flag decides on the RAW ratio (the
+      // displayed moved_frac rounds it — at a rounding boundary the
+      // row may show 0.1 with needs_recluster=true, which is the raw
+      // law working, r17 review pass 10 simplification)
+      .withColumn("_ratio",
+        col("n_moved").cast("double") / col("n_vectors").cast("double"))
+      .withColumn("moved_frac", round(col("_ratio"), 6))
+      .withColumn("needs_recluster", col("_ratio") > reclusterThreshold)
+      .drop("_ratio")
   }
 }
