@@ -64,7 +64,13 @@ object Incremental {
     val joined = source.join(t, Seq("source_key"), "left")
     val isNew = col("_t_ordinal").isNull
     val fresh = col("ordinal") >= col("_t_ordinal")
-    val contentChanged = col("content_hash") =!= col("_t_hash")
+    // null-SAFE comparisons (r17 review pass 11): `=!=` yields SQL
+    // null on a null hash, so a tracked row arriving with a null
+    // content_hash fell out of BOTH the evaluate and the bump arm —
+    // silently skipped. A null-vs-value (or null-vs-null-flip) hash
+    // reads as changed: reprocessing is the safe law when the hash
+    // is unavailable.
+    val contentChanged = !(col("content_hash") <=> col("_t_hash"))
     val logicChanged = col("_t_fp") =!= lit(logicFp)
     val toEvaluate = joined
       .where(isNew || (fresh && (contentChanged || logicChanged)))
@@ -151,6 +157,18 @@ object Incremental {
 
     val evaluated = delta.toEvaluate.cache()
     val nEvaluated = evaluated.count()
+
+    // idle-batch fast path (r17 review pass 11): a micro-batch with
+    // nothing to evaluate, delete, or bump previously still rewrote
+    // the ENTIRE sink (ParquetSink.merge reads + swap-rewrites) and
+    // the whole tracking table — O(table) per idle trigger under the
+    // live updater. State is exactly unchanged, so skip both writes.
+    if (nEvaluated == 0 && delta.toDelete.isEmpty &&
+        delta.ordinalOnly.isEmpty) {
+      evaluated.unpersist()
+      return 0L
+    }
+
     val outputs = process(evaluated).cache()
 
     // new target keyset per evaluated source key (precommit record)
@@ -213,19 +231,30 @@ object Memo {
     */
   def cached(spark: SparkSession, cachePath: String, inputs: DataFrame,
       compute: DataFrame => DataFrame): DataFrame = {
-    val distinctIn = inputs.distinct()
-    ParquetSink.read(spark, cachePath) match {
-      case None =>
-        val computed = compute(distinctIn).cache()
-        computed.write.mode("append").parquet(cachePath)
-        computed
+    // ONE row per _fp (r17 review pass 11): plain distinct() kept
+    // every (fp, other-columns) variant, computing duplicates and
+    // appending duplicate _fp cache rows that fan out every later
+    // hit join. The fingerprint COVERS the inputs by contract
+    // (fingerprint.rs's role), so any representative row per _fp is
+    // the same input; violating callers were silently multiplying
+    // results before, they get one deterministic computation now.
+    val distinctIn = inputs.dropDuplicates("_fp")
+    val prior = ParquetSink.read(spark, cachePath)
+    val misses = prior match {
+      case None => distinctIn
       case Some(cache) =>
-        val hits = distinctIn.select("_fp").join(cache, Seq("_fp"))
-        val misses = distinctIn.join(cache.select("_fp"), Seq("_fp"), "left_anti")
-        val computed = compute(misses).cache()
-        if (!computed.isEmpty) computed.write.mode("append").parquet(cachePath)
-        hits.unionByName(computed)
+        distinctIn.join(cache.select("_fp"), Seq("_fp"), "left_anti")
     }
+    // the transient cache lives only for the isEmpty+write pair and
+    // is RELEASED here (pass 11: it leaked one pinned RDD per call);
+    // results are then served from the cache FILE just written, so
+    // nothing recomputes downstream
+    val computed = compute(misses).cache()
+    if (!computed.isEmpty) computed.write.mode("append").parquet(cachePath)
+    computed.unpersist()
+    distinctIn.select("_fp")
+      .join(ParquetSink.read(spark, cachePath).getOrElse(computed),
+        Seq("_fp"))
   }
 
   /** Fingerprint of logic + input values (fingerprint.rs:34-143 role:
@@ -234,9 +263,15 @@ object Memo {
     * without it (null, "x") and ("x", null) would collide on one key
     * and serve each other's cached results. */
   def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    // length-prefixed values (r17 review pass 11): a bare separator
+    // is not escaped from the values, so ["x\u0000y"] and ["x","y"]
+    // concatenated identically — the collision class the null flag
+    // was added against, reintroduced through embedded separators.
+    // "1<len>:<value>" makes every column boundary unambiguous.
     val tagged = cols.map { c =>
       val s = c.cast("string")
-      when(s.isNull, lit("0")).otherwise(concat(lit("1"), s))
+      when(s.isNull, lit("0"))
+        .otherwise(concat(lit("1"), length(s), lit(":"), s))
     }
     sha2(concat_ws("\u0000", lit(logic) +: tagged: _*), 256)
   }
