@@ -8175,10 +8175,10 @@ object SparkEntry {
         |  || regexp_replace(path, '/$', '', 'g') || query AS url_norm,
         |regexp_replace(lower(regexp_extract(u,
         |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)),
-        |  '\.$', '') AS host,
+        |  '\.+$', '') AS host,
         |regexp_extract(regexp_replace(lower(regexp_extract(u,
         |  '^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)', 1)),
-        |  '\.$', ''),
+        |  '\.+$', ''),
         |  '[^.]+\.[^.]+$', 0) AS domain
         |FROM sp""".stripMargin,
 

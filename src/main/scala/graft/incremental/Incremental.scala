@@ -53,15 +53,42 @@ object Incremental {
   final case class SourceDelta(
       toEvaluate: DataFrame, ordinalOnly: DataFrame, toDelete: DataFrame)
 
+  /** Per-key last-wins pre-dedup of a batch (r18, closing the r17
+    * pass-11 deferral): the reference serializes rows per source key —
+    * every arrival runs `should_skip` against the in-memory version
+    * BEFORE processing (source_indexer.rs:142-177) under a per-key
+    * Semaphore(1), so of N changes for one key only the max-ordinal
+    * one survives into the committed state (row_indexer.rs:110-133:
+    * never process an older ordinal; an equal ordinal of the same
+    * version kind skips). The batch analogue keeps exactly the
+    * max-ordinal row per key, carrying THAT row's content (the
+    * reference's change.data travels with its ordinal). Ordinal ties
+    * between upserts are adjudicated by arrival order in the
+    * reference; a batch has no arrival order, so the tie-break is a
+    * deterministic total order (content_hash desc nulls last) — under
+    * the hash contract, surviving ties are identical content anyway. */
+  private def lastWinsPerKey(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_key")
+      .orderBy(col("ordinal").desc_nulls_last,
+        col("content_hash").desc_nulls_last)
+    batch.withColumn("_lw_rn", row_number().over(w))
+      .where(col("_lw_rn") === 1).drop("_lw_rn")
+  }
+
   /** Diff `source` (columns: source_key, ordinal, content_hash, + any
     * payload) against tracking. Stale rows (ordinal < stored) are
     * dropped entirely (late-write protection, row_indexer.rs:134-178).
-    */
+    * A batch carrying one source_key at several ordinals evaluates
+    * last-wins (one row, the max ordinal — see [[lastWinsPerKey]]);
+    * the per-key window hash-partitions by source_key, the exact
+    * partitioning the tracking join needs next, so at scale the
+    * exchange is reused rather than doubled. */
   def diff(source: DataFrame, tracking: DataFrame, logicFp: String): SourceDelta = {
     val t = tracking.select(
       col("source_key"), col("ordinal").as("_t_ordinal"),
       col("content_hash").as("_t_hash"), col("logic_fp").as("_t_fp"))
-    val joined = source.join(t, Seq("source_key"), "left")
+    val joined = lastWinsPerKey(source).join(t, Seq("source_key"), "left")
     val isNew = col("_t_ordinal").isNull
     val fresh = col("ordinal") >= col("_t_ordinal")
     // null-SAFE comparisons (r17 review pass 11): `=!=` yields SQL
@@ -131,8 +158,27 @@ object Incremental {
   /** Change-stream variant WITH explicit removals — the event-queue
     * consumption path (amazon_s3.rs ObjectRemoved events): the batch
     * carries upserts exactly like [[applyChangesTo]], while
-    * `deletedKeys` (a `source_key` frame) are synced as deletions, so
-    * their previously exported target keys are cleaned exactly. */
+    * `deletedKeys` (a `source_key` frame, optionally with an `ordinal`
+    * column) are synced as deletions, so their previously exported
+    * target keys are cleaned exactly.
+    *
+    * Deletes participate in the SAME version comparison as upserts
+    * (r18, closing the r17 pass-11 deferral): in the reference a
+    * delete is a `SourceValue::NonExistence` whose `SourceVersion`
+    * flows through the identical `should_skip` checks
+    * (row_indexer.rs:99-131, source_indexer.rs:141-177), so
+    *  - a replayed STALE ObjectRemoved (ordinal older than the stored
+    *    row's) is skipped — it never drops a newer row;
+    *  - at an ordinal TIE the delete wins (`NonExistence` outranks
+    *    `CurrentLogic` in the SourceVersionKind order,
+    *    row_indexer.rs:34-41, so the upsert-side skip fires first);
+    *  - a delete with NO ordinal is never skippable
+    *    (row_indexer.rs:117-124, the `_ => false` arm) — it always
+    *    applies, and wins against same-batch upserts (the batch
+    *    analogue of "cannot be adjudicated ⇒ the conservative arm").
+    * When `deletedKeys` has no `ordinal` column at all, every delete
+    * is the no-ordinal case: unconditional, exactly the pre-r18
+    * behavior. */
   def applyChangeStreamTo(spark: SparkSession, batch: DataFrame,
       deletedKeys: DataFrame, process: DataFrame => DataFrame,
       logicFp: String, connector: graft.sinks.TargetConnector,
@@ -146,14 +192,55 @@ object Incremental {
       trackingPath: String, fullSnapshot: Boolean,
       deletedSourceKeys: Option[DataFrame] = None): Long = {
     val tracking = readTracking(spark, trackingPath)
-    val delta0 = diff(source, tracking, logicFp)
+
+    // Cross-arm batch resolution (see applyChangeStreamTo's scaladoc
+    // for the reference law): adjudicate same-key upsert-vs-delete by
+    // ordinal BEFORE diffing, then ordinal-guard surviving deletes
+    // against the stored row so a stale replay never drops newer data.
+    val (upserts, explicitDeletes) = deletedSourceKeys match {
+      case None => (source, None)
+      case Some(rawKeys) if !rawKeys.columns.contains("ordinal") =>
+        // no ordinals on the delete stream: never skippable
+        // (row_indexer.rs:117-124) — the delete wins everywhere
+        val delKeys = rawKeys.select("source_key").distinct()
+        (source.join(delKeys, Seq("source_key"), "left_anti"),
+          Some(tracking.join(delKeys, Seq("source_key"), "left_semi")))
+      case Some(rawKeys) =>
+        // in-arm last-wins: one (max-ordinal) delete per key; max()
+        // ignores nulls, so a key deleted at both a known and an
+        // unknown ordinal adjudicates by the known one
+        val del = rawKeys.groupBy("source_key")
+          .agg(max(col("ordinal")).as("_d_ord"))
+          .withColumn("_d_present", lit(true))
+        // an upsert survives only if STRICTLY newer than the key's
+        // delete (tie → delete wins; unadjudicable → delete wins)
+        val up = source.join(del, Seq("source_key"), "left")
+          .where(col("_d_present").isNull ||
+            (col("_d_ord").isNotNull && col("ordinal").isNotNull &&
+              col("ordinal") > col("_d_ord")))
+          .drop("_d_ord", "_d_present")
+        // a delete survives unless a same-batch upsert is strictly
+        // newer...
+        val upMax = source.groupBy("source_key")
+          .agg(max(col("ordinal")).as("_u_ord"))
+        val liveDel = del.join(upMax, Seq("source_key"), "left")
+          .where(!(col("_u_ord").isNotNull && col("_d_ord").isNotNull &&
+            col("_u_ord") > col("_d_ord")))
+          .select("source_key", "_d_ord")
+        // ...and drops the stored row only when the stored ordinal is
+        // not strictly newer (the replayed-stale-delete guard)
+        val toDel = tracking.join(liveDel, Seq("source_key"))
+          .where(!(col("ordinal").isNotNull && col("_d_ord").isNotNull &&
+            col("ordinal") > col("_d_ord")))
+          .drop("_d_ord")
+        (up, Some(toDel))
+    }
+
+    val delta0 = diff(upserts, tracking, logicFp)
     val delta =
       if (fullSnapshot) delta0
-      else delta0.copy(toDelete = deletedSourceKeys match {
-        case Some(keys) =>
-          tracking.join(keys.select(col("source_key")), Seq("source_key"), "left_semi")
-        case None => emptyTracking(spark)
-      })
+      else delta0.copy(toDelete =
+        explicitDeletes.getOrElse(emptyTracking(spark)))
 
     val evaluated = delta.toEvaluate.cache()
     val nEvaluated = evaluated.count()
@@ -184,6 +271,19 @@ object Incremental {
 
     // exact stale-key deletion: (old keys of re-evaluated sources ∪
     // keys of deleted sources) − new keys
+    //
+    // CONTRACT (r18, pinned against the reference's precommit keyset
+    // law): target keys are NOT shared across source keys. The
+    // reference tracks target keys PER source key and deletes a
+    // source row's legacy keys unconditionally — a key absent from
+    // THAT row's new output is staged for deletion with no check
+    // against other rows' keysets (row_indexer.rs:151-153 keyed by
+    // TargetKeyPair within one source row, :353-386 legacy-key
+    // deletion) — so a target key emitted by two source keys is
+    // clobbered there exactly as it would be here. Every library
+    // process() derives target_key injectively from source_key
+    // (chunk ids, etc.); a violating process() loses rows in BOTH
+    // engines, which is why this subtracts only this run's outputs.
     val oldKeysOfEvaluated = tracking
       .join(evaluated.select("source_key"), Seq("source_key"))
       .select(explode(col("target_keys")).as("target_key"))
@@ -236,9 +336,22 @@ object Memo {
     // appending duplicate _fp cache rows that fan out every later
     // hit join. The fingerprint COVERS the inputs by contract
     // (fingerprint.rs's role), so any representative row per _fp is
-    // the same input; violating callers were silently multiplying
-    // results before, they get one deterministic computation now.
-    val distinctIn = inputs.dropDuplicates("_fp")
+    // the same input. For CONTRACT-VIOLATING inputs (same _fp,
+    // different payload — r18 ADVICE) the representative is now
+    // picked by a total ordering over the payload columns, so the
+    // computed/cached result is stable across runs and partition
+    // layouts rather than whichever row dropDuplicates kept.
+    val payloadCols = inputs.columns.filterNot(_ == "_fp")
+    val distinctIn =
+      if (payloadCols.isEmpty) inputs.distinct()
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_fp")
+          .orderBy(payloadCols.map(c =>
+            col(c).cast("string").asc_nulls_first): _*)
+        inputs.withColumn("_memo_rn", row_number().over(w))
+          .where(col("_memo_rn") === 1).drop("_memo_rn")
+      }
     val prior = ParquetSink.read(spark, cachePath)
     val misses = prior match {
       case None => distinctIn
@@ -261,7 +374,16 @@ object Memo {
     * any change in the op spec or inputs changes the key). Each value
     * carries a null-flag prefix because concat_ws SKIPS null columns —
     * without it (null, "x") and ("x", null) would collide on one key
-    * and serve each other's cached results. */
+    * and serve each other's cached results.
+    *
+    * FORMAT IS VERSIONED (r18 ADVICE): the hashed string starts with
+    * a "graft-memo-v2" tag. The r17 move to length-prefixed values
+    * was a silent format break — any memo cache or tracking
+    * `logic_fp` persisted under the old format stops matching on
+    * upgrade (first run recomputes everything; append-only cache
+    * files keep the old-format rows forever). The explicit version
+    * makes the next break deliberate: bump the tag AND rotate
+    * `cachePath` / `trackingPath` when the format changes. */
   def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     // length-prefixed values (r17 review pass 11): a bare separator
     // is not escaped from the values, so ["x\u0000y"] and ["x","y"]
@@ -273,6 +395,7 @@ object Memo {
       when(s.isNull, lit("0"))
         .otherwise(concat(lit("1"), length(s), lit(":"), s))
     }
-    sha2(concat_ws("\u0000", lit(logic) +: tagged: _*), 256)
+    sha2(concat_ws("\u0000",
+      lit("graft-memo-v2") +: lit(logic) +: tagged: _*), 256)
   }
 }

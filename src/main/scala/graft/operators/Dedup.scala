@@ -577,6 +577,29 @@ object Dedup {
           .as("is_representative"))
   }
 
+  /** [[connectedComponents]] with the documented AUTO-SWITCH (r18,
+    * the r17 verdict's API seam): the min-label walk runs first (the
+    * right default on dedup-shaped graphs — shallow clusters, lighter
+    * rounds); if it has not converged after `escapeRounds`, the
+    * CURRENT edge set — original pairs plus one (node → best-known
+    * label) edge per unsettled node, the same fixpoint — hands off to
+    * the star contraction ([[ConnectedComponents.runAuto]]). Same
+    * output law as both explicit faces; the choice the LSH/banding
+    * faces already make automatically, now made here too. */
+  def connectedComponentsAuto(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      escapeRounds: Int = 5, starMaxIters: Int = 30): DataFrame = {
+    val comps = ConnectedComponents
+      .runAuto(pairs, aCol, bCol, escapeRounds, starMaxIters)
+      .withColumnRenamed("node", "id")
+    nodes.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("component"),
+        (col("id") === coalesce(col("comp"), col("id")))
+          .as("is_representative"))
+  }
+
   /** The keep-one-per-group face: representatives plus every
     * document that formed no near-dup pair. One broadcastable (or
     * id-keyed) semi join against the component frame. */
@@ -1204,11 +1227,21 @@ object Dedup {
     * over the trained clustering. The oracle gate (q192) replaces the
     * trained clusters with the corpus's stored labels + true-mean
     * centroids so DuckDB can replay the identical law; this face is
-    * spec-verified against the same invariants (SemDedupSpec). */
+    * spec-verified against the same invariants (SemDedupSpec).
+    *
+    * Memory hygiene (r18 ADVICE): kmeansIvf's assignment checkpoint
+    * carries the EMBEDDING column — left pinned, it holds the
+    * corpus's vectors until driver GC. The verdicts are checkpointed
+    * instead (a narrow vector-free per-id frame) and the assignment
+    * released before returning; callers unpersist the returned frame
+    * when done. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minSim: Double): DataFrame = {
     val (assigned, cents) = SimilaritySearch.kmeansIvf(df, idCol, vecCol, k, iters)
-    semDedupVerdicts(assigned, idCol, vecCol, "cluster",
+    val verdicts = semDedupVerdicts(assigned, idCol, vecCol, "cluster",
       SimilaritySearch.centroidsDf(df.sparkSession, cents), minSim)
+      .localCheckpoint(true)
+    assigned.unpersist()
+    verdicts
   }
 }

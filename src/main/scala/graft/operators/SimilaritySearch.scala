@@ -149,6 +149,16 @@ object SimilaritySearch {
     * conversion; the old UDF formulation survives test-side as the
     * parity twin). Returns (assigned corpus with a `cluster` column,
     * centroid array indexed by cluster id).
+    *
+    * RELEASE PATH (r18 ADVICE): the returned assignment is an EAGER
+    * local checkpoint (the r17 hygiene fix — a lazy return re-derived
+    * the full upstream per downstream action), so its blocks stay
+    * pinned until the caller `unpersist()`s it or the driver GCs the
+    * frame. Consume-once callers should unpersist after their
+    * terminal action; note the frame carries the embedding column, so
+    * at scale those blocks are the dominant memory holder
+    * ([[graft.operators.Dedup.semDedup]] shows the pattern: checkpoint
+    * the narrow derivative, then release this).
     */
   def kmeansIvf(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {

@@ -67,10 +67,12 @@ object UrlOps {
   /** The authority's host: no scheme, no port, no userinfo. The
     * userinfo arm is greedy ([^/?#]* admits '@') so a userinfo that
     * itself contains '@' — the phishing-obfuscation shape — still
-    * yields the real host after the LAST '@'. A single trailing dot
-    * (the DNS-legal FQDN root form, "example.com.") strips — r17
-    * review pass 8: left on, it evaded every blocklist suffix chain
-    * ("example.com." ≠ "example.com", the classic bypass). Bracketed
+    * yields the real host after the LAST '@'. Trailing dots (the
+    * DNS-legal FQDN root form, "example.com.") strip — r17 review
+    * pass 8: left on, they evaded every blocklist suffix chain
+    * ("example.com." ≠ "example.com", the classic bypass); the r18
+    * ADVICE hardening strips a RUN of them ("example.com.." evaded
+    * the single-dot form the same way). Bracketed
     * IPv6 literals ("http://[2001:db8::1]/") are OUT OF SCOPE like
     * the naive-PSL caveat below — the host class stops at ':', so
     * they extract as "[" and roll up as garbage rather than parsing;
@@ -79,7 +81,7 @@ object UrlOps {
     regexp_replace(
       lower(regexp_extract(url,
         "^[^:/?#]+://(?:[^/?#]*@)?([^/?#:@]+)", 1)),
-      "\\.$", "")
+      "\\.+$", "")
 
   /** Naive registered domain — the last two dot-labels of the host.
     * NOT public-suffix-list aware (co.uk-style suffixes collapse to

@@ -133,6 +133,82 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.syncSource(spark, s, process, "v2", sink, track) === 2)
   }
 
+  test("r18 parity: a micro-batch carrying one source_key at two " +
+      "ordinals evaluates last-wins (source_indexer.rs:142-177 per-key " +
+      "serialization + row_indexer.rs:110-133 ordinal monotonicity)") {
+    val tmp = Files.createTempDirectory("incr-lw").toString
+    val (sink, track) = (s"$tmp/chunks", s"$tmp/tracking")
+    // three change files for 'a' land in ONE AvailableNow trigger
+    val batch = src(("a", 100L, "oldest a"), ("a", 300L, "newest a!"),
+      ("a", 200L, "middle a"), ("b", 100L, "bbbb"))
+    val n = Incremental.applyChanges(spark, batch, process, "v1", sink, track)
+    assert(n === 2, "a evaluates ONCE (max ordinal), plus b")
+    assert(spark.read.parquet(sink).where($"target_key" === "a#0")
+      .select($"chunk_text").as[String].head() === "newest a!")
+    val trk = spark.read.parquet(track)
+    assert(trk.where($"source_key" === "a").count() === 1,
+      "no duplicate tracking rows for the duplicated key")
+    assert(trk.where($"source_key" === "a")
+      .select($"ordinal").as[Long].head() === 300L)
+    // a later batch at ordinal 250 (between the duplicates) is stale
+    assert(Incremental.applyChanges(spark,
+      src(("a", 250L, "late write")), process, "v1", sink, track) === 0)
+  }
+
+  test("r18 parity: a replayed stale ObjectRemoved never drops a newer " +
+      "row — deletes share the upserts' ordinal guard " +
+      "(row_indexer.rs:99-131 NonExistence through should_skip)") {
+    val tmp = Files.createTempDirectory("incr-del").toString
+    val (sink, track) = (s"$tmp/chunks", s"$tmp/tracking")
+    val conn = graft.sinks.ParquetConnector
+    Incremental.applyChanges(spark, src(("a", 200L, "live")), process,
+      "v1", sink, track)
+    // replayed delete at an OLDER ordinal → skipped entirely
+    Incremental.applyChangeStreamTo(spark, src(),
+      Seq(("a", 100L)).toDF("source_key", "ordinal"), process, "v1",
+      conn, sink, track)
+    assert(spark.read.parquet(sink).where($"target_key" === "a#0")
+      .count() === 1, "stale delete must not drop the newer row")
+    assert(spark.read.parquet(track).where($"source_key" === "a")
+      .count() === 1)
+    // ordinal TIE → the delete wins (NonExistence outranks
+    // CurrentLogic, row_indexer.rs:34-41)
+    Incremental.applyChangeStreamTo(spark, src(),
+      Seq(("a", 200L)).toDF("source_key", "ordinal"), process, "v1",
+      conn, sink, track)
+    assert(spark.read.parquet(sink).count() === 0)
+    assert(spark.read.parquet(track).count() === 0)
+  }
+
+  test("r18 parity: same-batch upsert-vs-delete adjudicates by ordinal; " +
+      "a delete with no ordinal is never skippable (row_indexer.rs:117-124)") {
+    val tmp = Files.createTempDirectory("incr-mix").toString
+    val (sink, track) = (s"$tmp/chunks", s"$tmp/tracking")
+    val conn = graft.sinks.ParquetConnector
+    // batch: upsert a@300 + delete a@200 → upsert strictly newer, wins
+    val n1 = Incremental.applyChangeStreamTo(spark,
+      src(("a", 300L, "a survives")),
+      Seq(("a", 200L)).toDF("source_key", "ordinal"), process, "v1",
+      conn, sink, track)
+    assert(n1 === 1)
+    assert(spark.read.parquet(sink).where($"target_key" === "a#0")
+      .select($"chunk_text").as[String].head() === "a survives")
+    // batch: upsert a@400 + delete a@400 → tie, delete wins
+    val n2 = Incremental.applyChangeStreamTo(spark,
+      src(("a", 400L, "a at 400")),
+      Seq(("a", 400L)).toDF("source_key", "ordinal"), process, "v1",
+      conn, sink, track)
+    assert(n2 === 0, "the tied upsert must not evaluate")
+    assert(spark.read.parquet(sink).count() === 0)
+    // reseed, then an ordinal-less delete stream (the S3 re-fetch
+    // path) drops unconditionally even against a newer stored row
+    Incremental.applyChanges(spark, src(("b", 900L, "bbbb")), process,
+      "v1", sink, track)
+    Incremental.applyChangeStreamTo(spark, src(),
+      Seq("b").toDF("source_key"), process, "v1", conn, sink, track)
+    assert(spark.read.parquet(track).count() === 0)
+  }
+
   test("memoization: second run computes only misses") {
     val tmp = Files.createTempDirectory("memo").toString
     val cache = s"$tmp/cache"
@@ -149,5 +225,19 @@ class IncrementalSpec extends AnyFunSuite {
     val r2 = Memo.cached(spark, cache, in("x", "y", "z"), compute)
     assert(r2.select($"value").as[String].collect().toSet === Set("X", "Y", "Z"))
     assert(computeCalls === 3) // only z computed
+  }
+
+  test("r18 ADVICE: contract-violating inputs (same _fp, different " +
+      "payload) compute a DETERMINISTIC representative") {
+    val tmp = Files.createTempDirectory("memo-det").toString
+    def compute(misses: DataFrame): DataFrame =
+      misses.withColumn("value", upper(col("payload"))).select("_fp", "value")
+    // two payloads under ONE fingerprint — a broken caller; the
+    // representative must be the payload-order minimum, not
+    // partition-order luck
+    val in = Seq(("zz", "f1"), ("aa", "f1"), ("mm", "f1"))
+      .toDF("payload", "_fp").repartition(3)
+    val out = Memo.cached(spark, s"$tmp/cache", in, compute)
+    assert(out.select($"value").as[String].collect().toSeq === Seq("AA"))
   }
 }

@@ -163,6 +163,61 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("r18 runAuto: the escape FIRES on the 64-chain (the walk " +
+      "provably cannot converge in escapeRounds) and the handoff " +
+      "still resolves the exact min-label components") {
+    val n = 64
+    val edges = (1 until n).map(i =>
+      (f"n$i%03d", f"n${i + 1}%03d")).toDF("s", "d")
+    // the walk alone, at the escape budget, is NOT converged — so a
+    // correct runAuto answer can only have come through the star
+    // handoff (the escape observably fired)
+    val walk = ConnectedComponents.runWithStatus(edges, "s", "d",
+      maxIter = 5)
+    assert(!walk.converged,
+      "a 63-diameter chain must not converge in 5 walk rounds")
+    walk.labels.unpersist()
+    val auto = ConnectedComponents.runAuto(edges, "s", "d")
+    assert(auto.select($"comp").distinct().as[String].collect()
+      .toSeq === Seq("n001"))
+    assert(auto.count() === n.toLong)
+  }
+
+  test("r18 runAuto: converges in the walk on a shallow graph (no " +
+      "escape) and the Dedup face matches both explicit faces") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val auto = ConnectedComponents.runAuto(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(auto === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    val nodes = Seq("a", "b", "c", "x", "y", "solo").toDF("id")
+    val viaAuto = operators.Dedup.connectedComponentsAuto(
+      nodes, "id", edges, "s", "d")
+      .as[(String, String, Boolean)].collect().toSet
+    val viaWalk = operators.Dedup.connectedComponents(
+      nodes, "id", edges, "s", "d")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(viaAuto === viaWalk)
+  }
+
+  test("r18 status faces: converged-on-the-last-round is " +
+      "distinguishable from exhausted (the rounds==maxIter ambiguity)") {
+    // a 4-chain: walk needs 3 propagation rounds + 1 quiet round to
+    // observe convergence
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val exhausted = ConnectedComponents.runWithStatus(edges, "a", "b",
+      maxIter = 2)
+    assert(!exhausted.converged && exhausted.rounds === 2)
+    exhausted.labels.unpersist()
+    val done = ConnectedComponents.runWithStatus(edges, "a", "b",
+      maxIter = 20)
+    assert(done.converged && done.rounds < 20)
+    done.labels.unpersist()
+    val star = ConnectedComponents.runStarWithStatus(edges, "a", "b")
+    assert(star.converged)
+    star.labels.unpersist()
+  }
+
   test("runStar edge cases: self-loops drop (a pure-self-loop node " +
       "is its own component), an empty edge set yields empty labels") {
     val edges = Seq((5L, 5L), (7L, 8L)).toDF("a", "b")

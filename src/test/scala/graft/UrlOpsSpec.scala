@@ -129,4 +129,16 @@ class UrlOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got === Map(1L -> true, 2L -> false))
   }
+
+  test("r18 ADVICE regression: a RUN of trailing dots strips — " +
+      "'example.com..' cannot evade the suffix chain either") {
+    import graft.operators.UrlOps
+    val hosts = Seq(
+      "http://sub.Example.com../x",   // double root dot
+      "http://Example.com..../y"      // four of them
+    ).map(Tuple1(_)).toDF("u")
+      .select(UrlOps.hostOf(col("u")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(hosts === Seq("sub.example.com", "example.com"))
+  }
 }
