@@ -50,6 +50,17 @@ object SparkEntry {
   private val shinglesSql =
     s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2])))"
 
+  /** DuckDB twin of [[nullTextCorpus]] as an inline derived table —
+    * usable wherever a fragment takes a `from` (no CTE-chain
+    * surgery). The four degeneracy arms must stay byte-aligned with
+    * the Spark `when` chain. */
+  private val nullTextFromSql: String =
+    "(SELECT doc_id, lang, CASE WHEN doc_id % 11 = 0 THEN NULL " +
+      "WHEN doc_id % 11 = 1 THEN '' " +
+      "WHEN doc_id % 11 = 2 THEN ' ' || chr(9) || chr(10) || ' ' " +
+      "WHEN doc_id % 11 = 3 THEN 'of the and' " +
+      "ELSE text END AS text FROM documents)"
+
   private val bm25QueryTerms = Seq("spark", "query", "filter", "join", "data")
 
   /** The artifact-memo key for a corpus: (session, sf directory). */
@@ -4308,6 +4319,77 @@ object SparkEntry {
         sum(col("n_members")).as("n_docs"))
       .orderBy(col("n_members"))
 
+  /** The adversarial NULL-text fixture corpus (r18, making the
+    * SparkEntry NULL-text convention EXECUTABLE): a deterministic
+    * in-plan mutation of `documents` that plants every text
+    * degeneracy class the gate corpora lack — NULL, empty,
+    * whitespace-only, and stopword-only (zero bm25 tokens with
+    * non-empty text) — replayed bit-identically by the DuckDB twin
+    * ([[nullTextFromSql]]). The q227-q229 gates run the shared
+    * fragment consumers over THIS corpus, so a fragment whose
+    * NULL-text arm diverges between the engines trips a gate rather
+    * than a comment. */
+  private def nullTextCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 11 === 1, lit(""))
+        .when(col("doc_id") % 11 === 2, lit(" \t\n "))
+        .when(col("doc_id") % 11 === 3, lit("of the and"))
+        .otherwise(col("text")).as("text"))
+
+  /** NULL-text components (the q176 shape over the adversarial
+    * corpus): NULL/empty/stopword-only docs have no shingles, so they
+    * must resolve as SINGLETONS on both engines — the Spark side via
+    * lshBuckets' zero-signature guard, the oracle via unnest of an
+    * empty/NULL shingle list producing no signature rows. Before the
+    * r18 guard, every zero-shingle doc shared one md5("b|") bucket
+    * and the whole degenerate class fused into one spurious
+    * component. */
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        nullTextCorpus(s, dir).select(col("doc_id")), "doc_id",
+        Dedup.minhashCandidates(nullTextCorpus(s, dir), "doc_id",
+          "text", 3, 16, 4),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"),
+        col("is_representative"))
+
+  /** NULL-text keep-best (the q224 shape over the adversarial
+    * corpus): the coalesce-BOTH-sides token-count convention under
+    * actual NULL text — a NULL count would rank below 0 and flip a
+    * group winner. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val scored = q227(s, dir).select(col("doc_id"), col("component"))
+      .join(nullTextCorpus(s, dir).select(col("doc_id"),
+        size(coalesce(TextFunctions.allTokens(col("text")),
+          array().cast("array<string>"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+    Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
+  }
+
+  /** NULL-text ranking consumer — one counted fragment per family
+    * (bm25 tokens, all tokens, raw words, shingles), each coalesced
+    * to 0 on both sides, then a per-language top-3 by the all-token
+    * count: the exact "NULL count ranks below 0 and flips the
+    * winner" class the convention guards, executed per gate run. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emptyArr = array().cast("array<string>")
+    val counted = nullTextCorpus(s, dir).select(col("doc_id"), col("lang"),
+      size(coalesce(TextFunctions.bm25Tokens(col("text")), emptyArr))
+        .cast("long").as("n_bm25"),
+      size(coalesce(TextFunctions.allTokens(col("text")), emptyArr))
+        .cast("long").as("n_all"),
+      size(coalesce(operators.QualityFilters.rawWords(col("text")),
+        emptyArr)).cast("long").as("n_words"),
+      size(coalesce(TextFunctions.shingles(col("text"), 3), emptyArr))
+        .cast("long").as("n_shingles"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_all").desc, col("doc_id").asc)
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+  }
+
   /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
     * pairs (the q18 graph) whose endpoints landed in DIFFERENT
     * train/validation/test bands under the per-document q177 split
@@ -5249,7 +5331,10 @@ object SparkEntry {
     "q223_cc_star" -> q223 _,
     "q224_keep_best" -> q224 _,
     "q225_split_leakage" -> q225 _,
-    "q226_group_sizes" -> q226 _)
+    "q226_group_sizes" -> q226 _,
+    "q227_nulltext_groups" -> q227 _,
+    "q228_nulltext_keep_best" -> q228 _,
+    "q229_nulltext_rank" -> q229 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8000,6 +8085,50 @@ object SparkEntry {
          |  CAST(sum(n_members) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY n_members ORDER BY n_members""".stripMargin,
 
+    "q227_nulltext_groups" ->
+      // the q176 walk fragment VERBATIM, re-pointed at the
+      // adversarial NULL-text view: zero-shingle docs (NULL / empty /
+      // whitespace / stopword-only text) produce no signature rows →
+      // singletons; any engine-side divergence on NULL text
+      // hash-mismatches here
+      s"""${neardupWalkCtesSqlOver(nullTextFromSql)}
+         |SELECT id AS doc_id, min(comp) AS component,
+         |  min(comp) = id AS is_representative
+         |FROM walk GROUP BY id""".stripMargin,
+
+    "q228_nulltext_keep_best" ->
+      // the q224 keep law over the adversarial view — the
+      // coalesce-BOTH-sides count convention under real NULL text
+      s"""${neardupWalkCtesSqlOver(nullTextFromSql)},
+         |comp AS (SELECT id AS doc_id, min(comp) AS component
+         |         FROM walk GROUP BY id),
+         |sc AS (SELECT doc_id,
+         |       CAST(len(list_filter(string_split_regex(
+         |         lower(coalesce(text, '')), '[^a-z0-9]+'),
+         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
+         |       FROM $nullTextFromSql)
+         |SELECT c.doc_id, c.component, s.n_tokens,
+         |  row_number() OVER (PARTITION BY c.component
+         |    ORDER BY s.n_tokens DESC, c.doc_id ASC) = 1 AS keep
+         |FROM comp c JOIN sc s ON c.doc_id = s.doc_id""".stripMargin,
+
+    "q229_nulltext_rank" ->
+      // one coalesced count per fragment family + a per-language
+      // top-3 window — the "NULL count ranks below 0" winner-flip
+      // class, executed
+      s"""WITH adv AS (SELECT * FROM $nullTextFromSql),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_bm25,
+         |  CAST(coalesce(len($allToksSql), 0) AS BIGINT) AS n_all,
+         |  CAST(coalesce(len($rawWordsSql), 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(len($shinglesSql), 0) AS BIGINT) AS n_shingles
+         |  FROM adv),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |  ORDER BY n_all DESC, doc_id ASC) AS rnk FROM c)
+         |SELECT doc_id, lang, n_bm25, n_all, n_words, n_shingles,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex
       // deterministic stratified sample + split banding: the same
@@ -9053,12 +9182,17 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     * pairs (the `w.comp < e.dst` guard prunes useless propagations —
     * a node's final component is never above its own id); shared by
     * the q176/q223 grouping oracles and q224's best-member law. */
-  private def neardupWalkCtesSql: String =
-    s"""WITH RECURSIVE p AS ($minhashLshOracleSql),
+  private def neardupWalkCtesSql: String = neardupWalkCtesSqlOver("documents")
+
+  /** [[neardupWalkCtesSql]] over any table/CTE exposing (doc_id, text)
+    * — the r18 NULL-text fixture arm replays the identical fragment
+    * over an adversarial view; default keeps q176/q223 byte-stable. */
+  private def neardupWalkCtesSqlOver(from: String): String =
+    s"""WITH RECURSIVE p AS (${minhashLshOracleSqlOver(from)}),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
        |          UNION SELECT id_b, id_a FROM p),
        |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $from
        |  UNION
        |  SELECT e.dst, w.comp FROM walk w
        |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)""".stripMargin
@@ -9077,8 +9211,14 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     * MinHash signatures (slot k = the k%4-th 8-hex slice of the k/4
     * group digest — four slots per md5), 4 bands × 4 rows,
     * band-bucket candidates. */
-  private def minhashLshOracleSql: String =
-    s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
+  private def minhashLshOracleSql: String = minhashLshOracleSqlOver("documents")
+
+  /** [[minhashLshOracleSql]] over any table/CTE exposing (doc_id,
+    * text) — see [[neardupWalkCtesSqlOver]]. Starts with WITH, so
+    * callers embedding it inside an outer WITH chain wrap it in a
+    * subselect. */
+  private def minhashLshOracleSqlOver(from: String): String =
+    s"""WITH e AS (SELECT doc_id, unnest($shinglesSql) AS g FROM $from),
        |h AS (SELECT doc_id, k,
        |      MIN(substr(md5(CAST(CAST(floor(k / 4) AS INT) AS VARCHAR) || ':' || g),
        |          CAST(k % 4 AS INT) * 8 + 1, 8)) AS mh

@@ -334,6 +334,15 @@ object Dedup {
     val sig = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
       .withColumn("_sig", NativeText.minhashOf(col("_toks"), n, numHashes))
+      // zero-shingle guard (r18 review): a doc with < n tokens (or
+      // NULL text) has an all-null signature, and concat_ws SKIPS
+      // nulls — every such doc bucketed as md5("b|"), pairing ALL
+      // near-empty docs with each other: a spurious giant component
+      // (catastrophic over-dedup on a real crawl, where empty-ish
+      // docs number millions) AND a quadratic hot bucket. The oracle
+      // law (no shingles → no signature rows → singleton) is what a
+      // null-headed signature maps to: drop the doc here.
+      .where(element_at(col("_sig"), 1).isNotNull)
     val buckets = transform(sequence(lit(0), lit(bands - 1)), b => {
       val parts = b.cast("string") +: (0 until rows).map(r =>
         element_at(col("_sig"), (b * rows + r + 1).cast("int")))

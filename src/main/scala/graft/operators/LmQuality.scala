@@ -180,12 +180,34 @@ object LmQuality {
   def perplexityBucketsApprox(scored: DataFrame, idCol: String,
       langCol: String, scoreCol: String,
       headFrac: Double = 0.3, midFrac: Double = 0.7,
-      accuracy: Int = 10000): DataFrame = {
-    val bounds = scored.where(col(scoreCol).isNotNull)
+      accuracy: Int = 10000): DataFrame =
+    perplexityBucketsAgainstBounds(scored, idCol, langCol, scoreCol,
+      perplexityBoundaries(scored, langCol, scoreCol, headFrac,
+        midFrac, accuracy))
+
+  /** The per-language (head, mid) score boundaries alone — the
+    * TRAINABLE artifact of [[perplexityBucketsApprox]] (r18, the r17
+    * verdict's streaming-tier item): one percentile_approx pass over
+    * a scored snapshot, persistable like Dsir's ratio model or the
+    * IVF centroids. Output: (`_lang`, `_b` = [head, mid]). */
+  def perplexityBoundaries(scored: DataFrame, langCol: String,
+      scoreCol: String, headFrac: Double = 0.3, midFrac: Double = 0.7,
+      accuracy: Int = 10000): DataFrame =
+    scored.where(col(scoreCol).isNotNull)
       .groupBy(col(langCol))
       .agg(percentile_approx(col(scoreCol),
         array(lit(headFrac), lit(midFrac)), lit(accuracy)).as("_b"))
       .withColumnRenamed(langCol, "_lang")
+
+  /** Band a frame against FIXED boundaries — the per-row compare half
+    * of [[perplexityBucketsApprox]], and the natural STREAMING scorer:
+    * boundaries trained once on the corpus snapshot
+    * ([[perplexityBoundaries]], stream-static), each micro-batch
+    * banded by pure projection under foreachBatch — per-batch output
+    * ≡ the batch law row-for-row because nothing here depends on the
+    * batch's own distribution (StreamingSpec pins it). */
+  def perplexityBucketsAgainstBounds(scored: DataFrame, idCol: String,
+      langCol: String, scoreCol: String, bounds: DataFrame): DataFrame =
     // NULL-SAFE left join (r17 review pass 9): groupBy emits a bounds
     // row for the NULL language, but an equi-join key would never
     // match it — every null-lang doc banded tail regardless of score,
@@ -200,7 +222,6 @@ object LmQuality {
           .when(col(scoreCol) <= element_at(col("_b"), 2), lit("middle"))
           .otherwise(lit("tail")))
       .select(col(idCol), col(langCol), col("bucket"))
-  }
 
   /** CCNet head/middle/tail banding per language: percent_rank over
     * (score asc, id asc) within each language — head = the best

@@ -234,7 +234,19 @@ object Sampling {
     * [[temperatureSampleInPlan]]'s caveat (the library never hides a
     * persist, Ranking.scala:25). Output: every input row as
     * (idCol, bandCol, tokenCol, selected); a null band verdicts
-    * unselected, a null token count contributes (and echoes) 0. */
+    * unselected, a null token count contributes (and echoes) 0.
+    *
+    * STREAMING POSTURE — ONE-SHOT BY CONSTRUCTION (r18, pinning the
+    * r17 verdict's open question): selection is a GLOBAL law — every
+    * verdict depends on the running token total across all
+    * higher-quality bands of the whole corpus — so unlike the banding
+    * / DSIR / IVF scorers there is no per-batch form that equals the
+    * batch law: a micro-batch re-running this face re-solves the
+    * budget against only the rows it has seen, and a later batch can
+    * invalidate earlier verdicts (the boundary band moves). Run it
+    * once per RELEASE over the scored snapshot (the
+    * CorpusArtifacts.decontaminated posture); under a live ingest,
+    * recompute per release cut, never per trigger. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
       bandCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")

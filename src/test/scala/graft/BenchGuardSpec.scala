@@ -26,6 +26,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.shouldRetime(17.6, 5.0))
   }
 
+  test("r18 settle fallback: sustained load records the settle " +
+      "measurement (marked), transient load records the retry " +
+      "(unmarked), and the fallback never degrades a fast record") {
+    // the r17 card's q51 shape: settle 0.35 s, recorded 2.8 s, retry
+    // still 1.9 s on the loaded box — both above threshold(0.35)=1.225
+    assert(BenchGuard.settleFallback(2.8, 1.9, 0.35) === ((0.35, true)))
+    // transient: the retry lands back in band — keep it, no marker
+    assert(BenchGuard.settleFallback(2.8, 0.40, 0.35) === ((0.40, false)))
+    // a retry FASTER than the settle must win even in the marked arm
+    // (min with the timed runs: the fallback can only improve)
+    assert(BenchGuard.settleFallback(9.0, 0.20, 0.35) === ((0.20, false)))
+    // in the marked arm the settle always wins the min: anything
+    // over threshold(settle) = 3x settle + slack is > settle by
+    // construction, so the fallback is exactly the settle time
+    assert(BenchGuard.settleFallback(2.0, 1.5, 0.40) === ((0.40, true)))
+  }
+
   test("threshold formula: 3x settle + max(0.15, settle/2)") {
     def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
     assert(close(BenchGuard.threshold(0.153), 3 * 0.153 + 0.15))

@@ -364,6 +364,65 @@ class StreamingSpec extends AnyFunSuite {
     cents.unpersist()
   }
 
+  test("perplexity banding streams as foreachBatch against persisted " +
+      "boundaries: per-batch buckets with FIXED bounds equal the " +
+      "batch law row-for-row — the continuous-crawl posture for " +
+      "quality banding (boundaries stream-static, deltas banded by " +
+      "pure projection)") {
+    import graft.operators.LmQuality
+    val tmp = Files.createTempDirectory("sband").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // train boundaries ONCE on the corpus snapshot (scores spread so
+    // head/mid land between them; a NULL-lang and NULL-score doc pin
+    // the null-safe arms through the stream too)
+    val corpus = (1 to 20).map(i => (i.toLong, "en", i * 1.0)) ++
+      (21 to 30).map(i => (i.toLong, "de", i * 2.0))
+    val bounds = LmQuality.perplexityBoundaries(
+      corpus.toDF("doc_id", "lang", "score"), "lang", "score")
+      .persist()
+    bounds.count()
+    val q = spark.readStream
+      .schema("doc_id LONG, lang STRING, score DOUBLE").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LmQuality.perplexityBucketsAgainstBounds(batch, "doc_id",
+            "lang", "score", bounds)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val b1: Seq[(Long, String, java.lang.Double)] = Seq(
+      (100L, "en", Double.box(2.0)), (101L, "en", Double.box(25.0)),
+      (102L, "de", Double.box(45.0)))
+    val b2: Seq[(Long, String, java.lang.Double)] = Seq(
+      (103L, "de", Double.box(30.0)), (104L, "fr", Double.box(1.0)),
+      (105L, null, Double.box(3.0)), (106L, "en", null))
+    def write(rows: Seq[(Long, String, java.lang.Double)]): Unit =
+      rows.toDF("doc_id", "lang", "score").coalesce(1)
+        .write.mode("append").parquet(in)
+    write(b1)
+    val r1 = q.start(); r1.awaitTermination()
+    write(b2)
+    val r2 = q.start(); r2.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val oneShot = LmQuality.perplexityBucketsAgainstBounds(
+        (b1 ++ b2).toDF("doc_id", "lang", "score"),
+        "doc_id", "lang", "score", bounds)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === oneShot)
+    // the law is MODEL-determined, not batch-determined: en score 2.0
+    // bands by the en snapshot boundary (head), a boundary-less lang
+    // (fr) and the NULL-lang doc band tail, NULL score bands tail
+    assert(got(100L) === "head")
+    assert(got(104L) === "tail")
+    assert(got(105L) === "tail")
+    assert(got(106L) === "tail")
+    bounds.unpersist()
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
