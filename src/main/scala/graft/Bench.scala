@@ -95,6 +95,13 @@ object BenchGuard {
     * discounted FROM THE CARD — a recorded cell far above its own
     * settle reference is machine noise, not a regression.
     *
+    * bench_schema 5 (r18): a `retimed` key may carry a `settled:`
+    * prefix ("settled:q51") marking a cell whose recorded value is
+    * the session's settle measurement (sustained load — even the
+    * guard retry exceeded threshold); consumers cross-referencing
+    * retimed keys against `queries` must strip the prefix. The bump
+    * exists because schema 4 promised retimed keys ⊆ queries keys.
+    *
     * bench_schema 4 (round-15 verdict: the r15 card's 19.57 s total
     * was pure machine load, adjudicable only via the indirect JIT-
     * warmup-time signal plus a judge re-run): the card now also
@@ -113,7 +120,7 @@ object BenchGuard {
     def arr(vs: Seq[Double]): String = vs.mkString("[", ",", "]")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_inclusive":$inclusive,"bench_schema":4,""" +
+      s""""value_inclusive":$inclusive,"bench_schema":5,""" +
       s""""queries":${obj(results)},"settle":${obj(settle)},""" +
       s""""retimed":${obj(retimed)},"prep":${obj(prep)},""" +
       s""""load_before":${arr(loadBefore)},""" +
@@ -200,18 +207,25 @@ object Bench {
         // -1.0 error arm.
         val guarded = settleTimes.get(name) match {
           case Some(floor) if BenchGuard.shouldRetime(recorded, floor) =>
-            val retry = try timeOnce() catch {
-              case _: Throwable => recorded
+            try {
+              val retry = timeOnce()
+              // sustained-load fallback (BenchGuard.settleFallback):
+              // the settle pass ran the IDENTICAL query seconds
+              // earlier in this session — when even the retry is
+              // inflated, that measurement beats publishing a number
+              // every reader must adjudicate away; `settled:` makes
+              // the card self-report it (schema 5)
+              val (v, settleUsed) = BenchGuard.settleFallback(recorded,
+                retry, floor)
+              retimed ::= (if (settleUsed) s"settled:$name" else name)
+              v
+            } catch {
+              // a retry that THROWS is not evidence of sustained load
+              // (r18 review): keep the documented 3-run record rather
+              // than letting the settle fallback adjudicate a retry
+              // that never ran
+              case _: Throwable => retimed ::= name; recorded
             }
-            // sustained-load fallback (BenchGuard.settleFallback): the
-            // settle pass ran the IDENTICAL query seconds earlier in
-            // this session — when even the retry is inflated, that
-            // measurement beats publishing a number every reader must
-            // adjudicate away; `settled:` makes the card self-report it
-            val (v, settleUsed) = BenchGuard.settleFallback(recorded,
-              retry, floor)
-            retimed ::= (if (settleUsed) s"settled:$name" else name)
-            v
           case _ => recorded
         }
         name -> guarded

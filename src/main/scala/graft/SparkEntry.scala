@@ -44,6 +44,13 @@ object SparkEntry {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
   /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords
     * (same explicit RE2-safe whitespace class, same NULL coalesce). */
+  /** Coalesced all-token count (DuckDB) — the NULL-text-safe twin of
+    * size(coalesce(allTokens(text), array())); ONE definition shared
+    * by the q224/q228 keep signals (r18 review: the inline copy was
+    * the drift class the Over-fragments exist to eliminate). */
+  private val coalescedTokenCountSql =
+    "CAST(len(list_filter(string_split_regex(lower(coalesce(text, " +
+      "'')), '[^a-z0-9]+'), t -> len(t) > 0)) AS BIGINT)"
   private val rawWordsSql =
     "list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   /** Distinct 3-gram shingles (DuckDB) — twin of TextFunctions.shingles. */
@@ -8053,10 +8060,7 @@ object SparkEntry {
       s"""$neardupWalkCtesSql,
          |comp AS (SELECT id AS doc_id, min(comp) AS component
          |         FROM walk GROUP BY id),
-         |sc AS (SELECT doc_id,
-         |       CAST(len(list_filter(string_split_regex(
-         |         lower(coalesce(text, '')), '[^a-z0-9]+'),
-         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
+         |sc AS (SELECT doc_id, $coalescedTokenCountSql AS n_tokens
          |       FROM documents)
          |SELECT c.doc_id, c.component, s.n_tokens,
          |  row_number() OVER (PARTITION BY c.component
@@ -8102,10 +8106,7 @@ object SparkEntry {
       s"""${neardupWalkCtesSqlOver(nullTextFromSql)},
          |comp AS (SELECT id AS doc_id, min(comp) AS component
          |         FROM walk GROUP BY id),
-         |sc AS (SELECT doc_id,
-         |       CAST(len(list_filter(string_split_regex(
-         |         lower(coalesce(text, '')), '[^a-z0-9]+'),
-         |         t -> len(t) > 0)) AS BIGINT) AS n_tokens
+         |sc AS (SELECT doc_id, $coalescedTokenCountSql AS n_tokens
          |       FROM $nullTextFromSql)
          |SELECT c.doc_id, c.component, s.n_tokens,
          |  row_number() OVER (PARTITION BY c.component

@@ -177,8 +177,13 @@ object Incremental {
     *    applies, and wins against same-batch upserts (the batch
     *    analogue of "cannot be adjudicated ⇒ the conservative arm").
     * When `deletedKeys` has no `ordinal` column at all, every delete
-    * is the no-ordinal case: unconditional, exactly the pre-r18
-    * behavior. */
+    * is the no-ordinal case: it drops the stored row unconditionally
+    * AND suppresses any same-batch upsert for its key (delete-wins is
+    * the convention for every unadjudicable conflict; pre-r18 the
+    * upsert was diffed first and re-added the key — a
+    * last-writer-raced outcome this law replaces). The S3 event-queue
+    * consumer is unaffected either way: its removed keys are disjoint
+    * from its re-fetched upserts by construction. */
   def applyChangeStreamTo(spark: SparkSession, batch: DataFrame,
       deletedKeys: DataFrame, process: DataFrame => DataFrame,
       logicFp: String, connector: graft.sinks.TargetConnector,
@@ -344,14 +349,17 @@ object Memo {
     val payloadCols = inputs.columns.filterNot(_ == "_fp")
     val distinctIn =
       if (payloadCols.isEmpty) inputs.distinct()
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("_fp")
-          .orderBy(payloadCols.map(c =>
-            col(c).cast("string").asc_nulls_first): _*)
-        inputs.withColumn("_memo_rn", row_number().over(w))
-          .where(col("_memo_rn") === 1).drop("_memo_rn")
-      }
+      else
+        // min over ONE struct of the payload columns: map-side
+        // combinable (a row_number window here would shuffle every
+        // duplicate row to its _fp's partition and sort — strictly
+        // worse for the common contract-honoring caller, r18 review),
+        // same deterministic total order (struct comparison is
+        // field-by-field, nulls first). Payload types must be
+        // orderable — true of every cache-row schema in the library.
+        inputs.groupBy(col("_fp"))
+          .agg(min(struct(payloadCols.map(col): _*)).as("_rep"))
+          .select(col("_fp") +: payloadCols.map(c => col("_rep." + c)): _*)
     val prior = ParquetSink.read(spark, cachePath)
     val misses = prior match {
       case None => distinctIn
@@ -381,9 +389,12 @@ object Memo {
     * was a silent format break — any memo cache or tracking
     * `logic_fp` persisted under the old format stops matching on
     * upgrade (first run recomputes everything; append-only cache
-    * files keep the old-format rows forever). The explicit version
-    * makes the next break deliberate: bump the tag AND rotate
-    * `cachePath` / `trackingPath` when the format changes. */
+    * files keep the old-format rows forever). Introducing the tag is
+    * itself that break one final time — library consumers with
+    * persisted r17-format caches must rotate them across this
+    * upgrade (in-repo the fingerprint has only test consumers). From
+    * here the version makes every next break deliberate: bump the
+    * tag AND rotate `cachePath` / `trackingPath` together. */
   def fingerprint(logic: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     // length-prefixed values (r17 review pass 11): a bare separator
     // is not escaped from the values, so ["x\u0000y"] and ["x","y"]

@@ -53,7 +53,7 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(close(BenchGuard.threshold(0.4), 1.2 + 0.2))
   }
 
-  test("bench_schema 4 card carries settle, retime counts and host " +
+  test("bench_schema 5 card carries settle, retime counts (incl. the settled: marker) and host " +
       "load samples") {
     // the r13 adjudication gap: q08/q09/q15 recorded 3.8-4.5x their
     // steady state on a loaded driver machine and only a judge re-run
@@ -66,17 +66,17 @@ class BenchGuardSpec extends AnyFunSuite {
       total = 1.5, inclusive = 21.5,
       results = Seq("q08" -> 1.19, "q09" -> 0.31),
       settle = Seq("q08" -> 0.32, "q09" -> 0.11),
-      retimed = Seq("q08" -> 1.0),
+      retimed = Seq("q08" -> 1.0, "settled:q51" -> 1.0),
       prep = Seq("ingest_artifacts" -> 5.0, "jit_warmup" -> 15.0,
         "job_floor" -> 0.09),
       errors = Nil, sfDir = "/root/testdata/sf0.1",
       loadBefore = Seq(61.2, 48.5, 30.0), loadAfter = Seq(40.1, 45.0, 32.5))
     assert(card ===
       """{"metric":"total","value":1.5,"unit":"sec",""" +
-      """"value_inclusive":21.5,"bench_schema":4,""" +
+      """"value_inclusive":21.5,"bench_schema":5,""" +
       """"queries":{"q08":1.19,"q09":0.31},""" +
       """"settle":{"q08":0.32,"q09":0.11},""" +
-      """"retimed":{"q08":1.0},""" +
+      """"retimed":{"q08":1.0,"settled:q51":1.0},""" +
       """"prep":{"ingest_artifacts":5.0,"jit_warmup":15.0,"job_floor":0.09},""" +
       """"load_before":[61.2,48.5,30.0],"load_after":[40.1,45.0,32.5],""" +
       """"errors":[],"sf":"/root/testdata/sf0.1"}""")
