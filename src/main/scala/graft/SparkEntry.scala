@@ -4306,8 +4306,8 @@ object SparkEntry {
   private def q224(s: SparkSession, dir: String): DataFrame = {
     val scored = q176(s, dir).select(col("doc_id"), col("component"))
       .join(t(s, dir, "documents").select(col("doc_id"),
-        size(coalesce(TextFunctions.allTokens(col("text")),
-          array().cast("array<string>"))).cast("long").as("n_tokens")),
+        coalescedCount(TextFunctions.allTokens(col("text")))
+          .as("n_tokens")),
         Seq("doc_id"))
     Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
   }
@@ -4336,6 +4336,13 @@ object SparkEntry {
     * fragment consumers over THIS corpus, so a fragment whose
     * NULL-text arm diverges between the engines trips a gate rather
     * than a comment. */
+  /** size(coalesce(arr, [])) AS LONG — the NULL-text-safe count whose
+    * DuckDB twin is [[coalescedTokenCountSql]]/the q229 coalesce(len)
+    * forms; ONE definition for the q224/q228/q229 consumers (r18
+    * simplify pass: the expression was restated inline four times). */
+  private def coalescedCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(coalesce(arr, array().cast("array<string>"))).cast("long")
+
   private def nullTextCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       when(col("doc_id") % 11 === 0, lit(null).cast("string"))
@@ -4368,8 +4375,8 @@ object SparkEntry {
   private def q228(s: SparkSession, dir: String): DataFrame = {
     val scored = q227(s, dir).select(col("doc_id"), col("component"))
       .join(nullTextCorpus(s, dir).select(col("doc_id"),
-        size(coalesce(TextFunctions.allTokens(col("text")),
-          array().cast("array<string>"))).cast("long").as("n_tokens")),
+        coalescedCount(TextFunctions.allTokens(col("text")))
+          .as("n_tokens")),
         Seq("doc_id"))
     Dedup.keepBestPerGroup(scored, "doc_id", "component", "n_tokens")
   }
@@ -4381,16 +4388,13 @@ object SparkEntry {
     * winner" class the convention guards, executed per gate run. */
   private def q229(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emptyArr = array().cast("array<string>")
     val counted = nullTextCorpus(s, dir).select(col("doc_id"), col("lang"),
-      size(coalesce(TextFunctions.bm25Tokens(col("text")), emptyArr))
-        .cast("long").as("n_bm25"),
-      size(coalesce(TextFunctions.allTokens(col("text")), emptyArr))
-        .cast("long").as("n_all"),
-      size(coalesce(operators.QualityFilters.rawWords(col("text")),
-        emptyArr)).cast("long").as("n_words"),
-      size(coalesce(TextFunctions.shingles(col("text"), 3), emptyArr))
-        .cast("long").as("n_shingles"))
+      coalescedCount(TextFunctions.bm25Tokens(col("text"))).as("n_bm25"),
+      coalescedCount(TextFunctions.allTokens(col("text"))).as("n_all"),
+      coalescedCount(operators.QualityFilters.rawWords(col("text")))
+        .as("n_words"),
+      coalescedCount(TextFunctions.shingles(col("text"), 3))
+        .as("n_shingles"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_all").desc, col("doc_id").asc)
     counted.withColumn("rnk", row_number().over(w).cast("long"))

@@ -553,18 +553,25 @@ object Dedup {
     *
     * Output: (id, component, is_representative) — the representative
     * is the component's min id present in `nodes`. */
-  def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
-    val comps = ConnectedComponents.run(pairs, aCol, bCol, maxIters)
-      .withColumnRenamed("node", "id")
+  /** Left-join component labels onto the document roster, coalescing
+    * unpaired documents to themselves and marking the min-id
+    * representative — the shared tail of all three component faces
+    * (r18 simplify pass: the block was copied verbatim three times). */
+  private def labelRoster(nodes: DataFrame, idCol: String,
+      comps: DataFrame): DataFrame =
     nodes.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("comp"), col("id")).as("component"),
         (col("id") === coalesce(col("comp"), col("id")))
           .as("is_representative"))
-  }
+
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame =
+    labelRoster(nodes, idCol,
+      ConnectedComponents.run(pairs, aCol, bCol, maxIters)
+        .withColumnRenamed("node", "id"))
 
   /** [[connectedComponents]] computed by the large-star/small-star
     * contraction ([[ConnectedComponents.runStar]]) instead of the
@@ -575,16 +582,10 @@ object Dedup {
     * recursive-CTE min-reachable-id walk). */
   def connectedComponentsStar(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
-    val comps = ConnectedComponents.runStar(pairs, aCol, bCol, maxIters)
-      .withColumnRenamed("node", "id")
-    nodes.select(col(idCol).as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("comp"), col("id")).as("component"),
-        (col("id") === coalesce(col("comp"), col("id")))
-          .as("is_representative"))
-  }
+      maxIters: Int = 30): DataFrame =
+    labelRoster(nodes, idCol,
+      ConnectedComponents.runStar(pairs, aCol, bCol, maxIters)
+        .withColumnRenamed("node", "id"))
 
   /** [[connectedComponents]] with the documented AUTO-SWITCH (r18,
     * the r17 verdict's API seam): the min-label walk runs first (the
@@ -597,17 +598,11 @@ object Dedup {
     * faces already make automatically, now made here too. */
   def connectedComponentsAuto(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      escapeRounds: Int = 5, starMaxIters: Int = 30): DataFrame = {
-    val comps = ConnectedComponents
-      .runAuto(pairs, aCol, bCol, escapeRounds, starMaxIters)
-      .withColumnRenamed("node", "id")
-    nodes.select(col(idCol).as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("comp"), col("id")).as("component"),
-        (col("id") === coalesce(col("comp"), col("id")))
-          .as("is_representative"))
-  }
+      escapeRounds: Int = 5, starMaxIters: Int = 30): DataFrame =
+    labelRoster(nodes, idCol,
+      ConnectedComponents
+        .runAuto(pairs, aCol, bCol, escapeRounds, starMaxIters)
+        .withColumnRenamed("node", "id"))
 
   /** The keep-one-per-group face: representatives plus every
     * document that formed no near-dup pair. One broadcastable (or
