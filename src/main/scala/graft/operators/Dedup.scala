@@ -90,6 +90,14 @@ object Dedup {
     * when the doc count is modest; at 100 TB it's a shuffle join on id,
     * co-partitioned with the pair table).
     */
+  /** NOTE (r18 review pass 3): this convenience face caches the
+    * transient shingle index (it feeds three plan branches with three
+    * different partitionings — no exchange reuse) and has NO release
+    * path — the cache pins until driver GC, the kmeansIvf class of
+    * pin. One-shot callers are fine; anything long-lived should build
+    * the index once ([[CorpusArtifacts.shingleIndex]] — the persisted
+    * ingest artifact) and call [[jaccardPairsFromIndex]], owning the
+    * lifecycle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minSim: Double = 0.5): DataFrame =
     jaccardPairsFromIndex(shingleIndex(df, idCol, textCol, n).cache(),
@@ -1015,7 +1023,12 @@ object Dedup {
         .as(Seq("_pos", "_line")))
     val frequent = convicted
       .select(col("line").as("_line"), lit(true).as("_bp")).distinct()
-    lines.join(frequent, Seq("_line"), "left")
+    // explicit hint (r18 review pass 3): the scaladoc's "conviction
+    // join broadcasts" was left to the planner, whose size estimate
+    // for an aggregate-derived frame is unknown — a sort-merge pick
+    // would shuffle EVERY corpus line by content. The convicted frame
+    // is df-capped small by construction, so the hint is always safe.
+    lines.join(broadcast(frequent), Seq("_line"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_lines"),
         count(col("_bp")).cast("long").as("n_removed"),
