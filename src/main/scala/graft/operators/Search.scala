@@ -58,7 +58,14 @@ object Search {
     * persisted and materialized NOW and the intermediate tokenized base
     * (the widest frame — it holds the token arrays) is dropped, so the
     * returned index holds only the compact artifacts.
-    */
+    *
+    * `eager = false` PINS the token base (r18 review pass 4): the
+    * returned frames reference it 4-5× per query plan, so it must be
+    * cached to avoid re-tokenizing the corpus per branch — and there
+    * is no safe point to release it inside a lazy face. One-shot /
+    * test callers are fine; long-lived pipelines use `eager = true`
+    * or [[buildIndexFromTokens]] over a base whose lifecycle they
+    * own (the CorpusArtifacts posture). */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
       eager: Boolean = false): Bm25Index = {
     val base = tokenBase(df, idCol, textCol)
@@ -177,7 +184,11 @@ object Search {
       vecWeight: Double): DataFrame = {
     val v = vec.select(col(idCol), col("score").as("_v"))
     // cached: the max() normalization branch would otherwise re-run
-    // the whole lexical scoring subtree a second time
+    // the whole lexical scoring subtree a second time. NO release
+    // path (r18 review pass 4) — the pin lasts until driver GC, like
+    // jaccardPairs' transient index; result sets are top-k-sized so
+    // the pinned footprint is bounded, but a long-lived service
+    // should pass an already-materialized `lex` and own its lifecycle.
     val l = lex.select(col(idCol), col("score").as("_l")).cache()
     val maxLex = broadcast(l.agg(max(col("_l")).as("_lmax")))
     v.join(l, Seq(idCol), "full_outer")
