@@ -4401,6 +4401,21 @@ object SparkEntry {
       .where(col("rnk") <= 3)
   }
 
+  /** UniMax per-language budget allocation in the gate
+    * (Sampling.unimaxAllocation over the documents corpus's per-doc
+    * all-token counts): a 30k-token budget at a 2-epoch cap — small
+    * languages hit their epoch capacity and drop out of the
+    * waterfill, the rest share the level θ uniformly; the oracle
+    * replays the sort/prefix/boundary law with the identical double
+    * operation order. */
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.unimaxAllocation(
+      t(s, dir, "documents").select(col("lang"),
+        coalescedCount(TextFunctions.allTokens(col("text")))
+          .as("n_toks")),
+      "lang", "n_toks", budget = 30000.0, maxEpochs = 2.0)
+      .orderBy(col("lang"))
+
   /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
     * pairs (the q18 graph) whose endpoints landed in DIFFERENT
     * train/validation/test bands under the per-document q177 split
@@ -5345,7 +5360,8 @@ object SparkEntry {
     "q226_group_sizes" -> q226 _,
     "q227_nulltext_groups" -> q227 _,
     "q228_nulltext_keep_best" -> q228 _,
-    "q229_nulltext_rank" -> q229 _)
+    "q229_nulltext_rank" -> q229 _,
+    "q230_unimax_alloc" -> q230 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8133,6 +8149,40 @@ object SparkEntry {
          |SELECT doc_id, lang, n_bm25, n_all, n_words, n_shingles,
          |  CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q230_unimax_alloc" ->
+      // the UniMax waterfill law replayed with the identical double
+      // operation order: per-language token roll-up -> (capacity asc,
+      // lang asc nulls last) rank/prefix/level -> first boundary row
+      // -> theta; rows before the boundary keep capacity, the rest
+      // take theta; rounding only at the output boundary
+      s"""WITH per AS (SELECT lang,
+         |  CAST(sum($coalescedTokenCountSql) AS DOUBLE) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * 2.0 AS capacity
+         |  FROM per),
+         |r AS (SELECT *,
+         |  row_number() OVER (ORDER BY capacity, lang NULLS LAST)
+         |    AS rk,
+         |  coalesce(sum(capacity) OVER (ORDER BY capacity, lang
+         |    NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0.0) AS pfx,
+         |  count(*) OVER () AS n FROM c),
+         |t AS (SELECT *,
+         |  (30000.0 - pfx) / CAST(n - rk + 1 AS DOUBLE) AS tl
+         |  FROM r),
+         |bd AS (SELECT *, min(CASE WHEN capacity >= tl THEN rk END)
+         |  OVER () AS brk FROM t),
+         |th AS (SELECT *, max(CASE WHEN rk = brk THEN tl END)
+         |  OVER () AS theta FROM bd)
+         |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(capacity, 6) AS capacity,
+         |  round(CASE WHEN brk IS NULL OR rk < brk THEN capacity
+         |    ELSE theta END, 6) AS allocation,
+         |  round(CASE WHEN n_tokens > 0 THEN
+         |    (CASE WHEN brk IS NULL OR rk < brk THEN capacity
+         |     ELSE theta END) / n_tokens END, 6) AS epochs
+         |FROM th ORDER BY lang""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

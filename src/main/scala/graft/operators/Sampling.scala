@@ -288,4 +288,69 @@ object Sampling {
         .select(Seq(col(idCol), col(bandCol), toks.as(tokenCol)) :+
           lit(false).as("selected"): _*))
   }
+
+  /** UniMax per-language budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151 "UniMax: Fairer and More Effective Language
+    * Sampling for Large-Scale Multilingual Pretraining"): distribute
+    * a token budget as UNIFORMLY as possible across languages,
+    * subject to a per-language epoch cap — no language repeats more
+    * than `maxEpochs` times, so head languages stop absorbing budget
+    * at their cap and the remainder waterfills across the rest. The
+    * published alternative to [[temperatureFractions]]' power law
+    * (which still over-samples the head at any α > 0).
+    *
+    * The law, closed-form (the classic waterfill): capacity
+    * cₗ = Nₗ·maxEpochs; sort languages by (capacity asc, lang asc
+    * NULLS LAST — the cross-engine tie-break); with prefix sums Sᵢ₋₁
+    * and per-row level tᵢ = (B − Sᵢ₋₁)/(n − i + 1), the BOUNDARY is
+    * the first row with cᵢ ≥ tᵢ (none ⟺ ΣC ≤ B, everyone gets
+    * capacity); rows before it get their full capacity, rows from it
+    * on get the level θ = t_boundary, so Σ alloc = B exactly when
+    * the budget is feasible. Every comparison runs on raw doubles in
+    * the SAME operation order on both engines; rounding happens only
+    * at the output boundary (the float-parity rules).
+    *
+    * Scale (100 TB): ONE map-side-combinable per-language roll-up;
+    * everything after runs on the n_languages-row frame — the
+    * budgetSelect |bands|-window posture, bounded by construction
+    * (a corpus has hundreds of languages, not billions). Output:
+    * (langCol, n_tokens, capacity, allocation, epochs) — epochs =
+    * allocation/Nₗ (NULL for an empty language), both rounded 6. */
+  def unimaxAllocation(df: DataFrame, langCol: String,
+      tokensCol: String, budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val w = org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(langCol))
+      .agg(sum(coalesce(col(tokensCol).cast("double"), lit(0.0)))
+        .as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * lit(maxEpochs))
+    val ord = w.orderBy(col("capacity").asc, col(langCol).asc_nulls_last)
+    val all = w.partitionBy().rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val leveled = per
+      .withColumn("_rk", row_number().over(ord))
+      .withColumn("_prefix", coalesce(sum(col("capacity")).over(
+        ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0.0)))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_t", (lit(budget) - col("_prefix")) /
+        (col("_n") - col("_rk") + 1).cast("double"))
+      .withColumn("_isb", col("capacity") >= col("_t"))
+      .withColumn("_brk", min(when(col("_isb"), col("_rk"))).over(all))
+      .withColumn("_theta",
+        max(when(col("_rk") === col("_brk"), col("_t"))).over(all))
+    val alloc = when(col("_brk").isNull || col("_rk") < col("_brk"),
+      col("capacity")).otherwise(col("_theta"))
+    leveled.select(col(langCol),
+      // integer facts render as integers (hash-parity convention);
+      // the law itself ran on the raw doubles above
+      col("n_tokens").cast("long").as("n_tokens"),
+      round(col("capacity"), 6).as("capacity"),
+      round(alloc, 6).as("allocation"),
+      round(when(col("n_tokens") > 0, alloc / col("n_tokens")), 6)
+        .as("epochs"))
+  }
 }

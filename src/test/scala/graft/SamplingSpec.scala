@@ -329,4 +329,41 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("component"))
   }
+
+  test("r18 unimaxAllocation: hand-computed waterfill — capped small " +
+      "languages keep full capacity, the rest share theta, the " +
+      "allocations sum to the budget exactly") {
+    import graft.operators.Sampling
+    // per-language tokens: a 2, b 4, c 10 (maxEpochs 1 => capacity =
+    // tokens). Budget 9: t1 = 9/3 = 3 > c_a=2 -> a keeps 2;
+    // t2 = (9-2)/2 = 3.5 <= c_b=4 -> boundary, theta = 3.5
+    val docs = Seq(("a", 2L), ("b", 4L), ("c", 10L))
+      .toDF("lang", "n_toks")
+    val got = Sampling.unimaxAllocation(docs, "lang", "n_toks", 9.0, 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((2L, 2.0, 1.0)))
+    assert(got("b") === ((4L, 3.5, 0.875)))
+    assert(got("c") === ((10L, 3.5, 0.35)))
+    assert(got.values.map(_._2).sum === 9.0, "feasible budget is spent exactly")
+  }
+
+  test("r18 unimaxAllocation edges: budget over total capacity gives " +
+      "everyone capacity; budget 0 gives zero; the epoch cap binds " +
+      "(maxEpochs scales capacity); an empty language allocates 0 " +
+      "with NULL epochs") {
+    import graft.operators.Sampling
+    val docs = Seq(("a", 2L), ("b", 4L), ("z", 0L))
+      .toDF("lang", "n_toks")
+    val over = Sampling.unimaxAllocation(docs, "lang", "n_toks", 100.0, 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(over === Map("a" -> 4.0, "b" -> 8.0, "z" -> 0.0),
+      "infeasible budget degrades to per-language capacity (2 epochs)")
+    val zero = Sampling.unimaxAllocation(docs, "lang", "n_toks", 0.0, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(zero.values.forall(_ === 0.0))
+    val zRow = Sampling.unimaxAllocation(docs, "lang", "n_toks", 100.0, 2.0)
+      .where($"lang" === "z").collect().head
+    assert(zRow.isNullAt(4), "empty language: NULL epochs, never a NaN")
+  }
 }
