@@ -4416,6 +4416,30 @@ object SparkEntry {
       "lang", "n_toks", budget = 30000.0, maxEpochs = 2.0)
       .orderBy(col("lang"))
 
+  /** The multilingual release draw — UniMax budgets driving a
+    * per-language band selection (Sampling.budgetSelectByGroup over
+    * Sampling.unimaxAllocation): per-language token-count deciles
+    * (the q221 floor(pr·10) banding, keep-longest-first) select
+    * whole bands in descending order under EACH language's waterfill
+    * allocation, the boundary band splitting on its id prefix. The
+    * capstone composing q230's allocation law with q214's selection
+    * law, per group. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      coalescedCount(TextFunctions.allTokens(col("text"))).as("n_toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_toks").asc, col("doc_id").asc)
+    val banded = docs.withColumn("band",
+      floor(percent_rank().over(w) * 10).cast("int"))
+    val budgets = Sampling.unimaxAllocation(docs, "lang", "n_toks",
+        30000.0, 2.0)
+      .select(col("lang"), col("allocation").as("budget"))
+    Sampling.budgetSelectByGroup(banded, "doc_id", "n_toks", "band",
+      "lang", budgets)
+  }
+
   /** Split-leakage audit (Dedup.crossGroupPairs): near-dup candidate
     * pairs (the q18 graph) whose endpoints landed in DIFFERENT
     * train/validation/test bands under the per-document q177 split
@@ -5361,7 +5385,8 @@ object SparkEntry {
     "q227_nulltext_groups" -> q227 _,
     "q228_nulltext_keep_best" -> q228 _,
     "q229_nulltext_rank" -> q229 _,
-    "q230_unimax_alloc" -> q230 _)
+    "q230_unimax_alloc" -> q230 _,
+    "q231_multilingual_draw" -> q231 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8183,6 +8208,55 @@ object SparkEntry {
          |    (CASE WHEN brk IS NULL OR rk < brk THEN capacity
          |     ELSE theta END) / n_tokens END, 6) AS epochs
          |FROM th ORDER BY lang""".stripMargin,
+
+    "q231_multilingual_draw" ->
+      // q230's waterfill chain (budget = the ROUNDED allocation, as
+      // the Spark face consumes it) feeding the per-language
+      // three-arm whole/boundary/drop selection over floor(pr*10)
+      // token-count deciles
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  $coalescedTokenCountSql AS n_toks FROM documents),
+         |bnd AS (SELECT *, CAST(floor(percent_rank() OVER (
+         |  PARTITION BY lang ORDER BY n_toks, doc_id) * 10) AS INT)
+         |  AS band FROM d),
+         |per AS (SELECT lang, CAST(sum(n_toks) AS DOUBLE) AS n_tokens
+         |  FROM d GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * 2.0 AS capacity
+         |  FROM per),
+         |r AS (SELECT *,
+         |  row_number() OVER (ORDER BY capacity, lang NULLS LAST)
+         |    AS rk,
+         |  coalesce(sum(capacity) OVER (ORDER BY capacity, lang
+         |    NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0.0) AS pfx,
+         |  count(*) OVER () AS n FROM c),
+         |t AS (SELECT *,
+         |  (30000.0 - pfx) / CAST(n - rk + 1 AS DOUBLE) AS tl
+         |  FROM r),
+         |bd AS (SELECT *, min(CASE WHEN capacity >= tl THEN rk END)
+         |  OVER () AS brk FROM t),
+         |th AS (SELECT *, max(CASE WHEN rk = brk THEN tl END)
+         |  OVER () AS theta FROM bd),
+         |bud AS (SELECT lang,
+         |  round(CASE WHEN brk IS NULL OR rk < brk THEN capacity
+         |    ELSE theta END, 6) AS budget FROM th),
+         |bt AS (SELECT lang, band, sum(n_toks) AS bt FROM bnd
+         |  GROUP BY lang, band),
+         |cum AS (SELECT *, coalesce(sum(bt) OVER (PARTITION BY lang
+         |  ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  1 PRECEDING), 0) AS bfr FROM bt),
+         |j AS (SELECT bnd.doc_id, bnd.lang, bnd.band, bnd.n_toks,
+         |  cum.bt, cum.bfr, bud.budget
+         |  FROM bnd JOIN cum USING (lang, band)
+         |  JOIN bud USING (lang)),
+         |run AS (SELECT *, sum(n_toks) OVER (PARTITION BY lang, band
+         |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  CURRENT ROW) AS rn FROM j)
+         |SELECT doc_id, lang, band, n_toks,
+         |  CASE WHEN bfr + bt <= budget THEN TRUE
+         |       WHEN bfr < budget THEN bfr + rn <= budget
+         |       ELSE FALSE END AS selected
+         |FROM run""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

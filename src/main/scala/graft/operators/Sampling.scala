@@ -289,6 +289,67 @@ object Sampling {
           lit(false).as("selected"): _*))
   }
 
+  /** [[budgetSelect]] PER GROUP — the multilingual release draw: each
+    * group (language) solves its OWN whole-band/boundary-prefix law
+    * against its OWN budget (e.g. [[unimaxAllocation]]'s per-language
+    * allocation). The law per group is byte-identical to
+    * [[budgetSelect]]: bands taken whole in descending order, the one
+    * straddling band split on its deterministic id-ordered prefix,
+    * lower bands dropped; a null band OR null group verdicts
+    * unselected; a group ABSENT from `budgets` gets budget 0 (its
+    * zero-token bands still "fit" — the budgetSelect 0-budget law).
+    *
+    * Scale (100 TB): the band roll-up is one map-side-combinable
+    * aggregate to a |groups|·|bands|-row frame (hundreds × tens);
+    * its running totals ride group-partitioned bounded windows and
+    * broadcast back with the |groups|-row budget frame; the only
+    * per-doc window is keyed by (group, boundary band) — one
+    * boundary band PER GROUP, so its cost is band granularity ×
+    * groups, never corpus size. Same read-multiplicity caveat as
+    * [[budgetSelect]]: persist an expensive upstream before calling.
+    * Output: every input row as (idCol, groupCol, bandCol, tokenCol,
+    * selected). */
+  def budgetSelectByGroup(df: DataFrame, idCol: String,
+      tokenCol: String, bandCol: String, groupCol: String,
+      budgets: DataFrame, budgetCol: String = "budget"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val banded = df.where(col(bandCol).isNotNull && col(groupCol).isNotNull)
+    val bands = banded.groupBy(col(groupCol), col(bandCol))
+      .agg(sum(toks).as("_bt"))
+    val wb = w.partitionBy(col(groupCol)).orderBy(col(bandCol).desc)
+    val cum = bands.withColumn("_before",
+      coalesce(sum(col("_bt")).over(wb) - col("_bt"), lit(0L)))
+    val tagged = banded.select(col(idCol), col(groupCol), col(bandCol),
+        toks.as(tokenCol))
+      .join(broadcast(cum), Seq(groupCol, bandCol))
+      .join(broadcast(budgets.select(col(groupCol),
+        col(budgetCol).cast("double").as("_budget"))),
+        Seq(groupCol), "left")
+      // an absent budget row reads 0, NEVER null: three-valued
+      // comparisons would silently drop the row from BOTH arms
+      .withColumn("_budget", coalesce(col("_budget"), lit(0.0)))
+    val whole = col("_before") + col("_bt") <= col("_budget")
+    val boundary = !whole && col("_before") < col("_budget")
+    val outCols = Seq(col(idCol), col(groupCol), col(bandCol),
+      col(tokenCol))
+    val plain = tagged.where(!boundary)
+      .select(outCols :+ whole.as("selected"): _*)
+    // ROWS frame (the budgetSelect duplicate-id law)
+    val wd = w.partitionBy(col(groupCol), col(bandCol))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val split = tagged.where(boundary)
+      .withColumn("_run", sum(col(tokenCol)).over(wd))
+      .select(outCols :+
+        (col("_before") + col("_run") <= col("_budget")).as("selected"): _*)
+    plain.unionByName(split).unionByName(
+      df.where(col(bandCol).isNull || col(groupCol).isNull)
+        .select(Seq(col(idCol), col(groupCol), col(bandCol),
+          toks.as(tokenCol)) :+ lit(false).as("selected"): _*))
+  }
+
   /** UniMax per-language budget allocation (Chung et al. 2023,
     * arXiv:2304.09151 "UniMax: Fairer and More Effective Language
     * Sampling for Large-Scale Multilingual Pretraining"): distribute

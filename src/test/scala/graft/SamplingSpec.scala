@@ -330,6 +330,58 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("component"))
   }
 
+  test("r18 budgetSelectByGroup: each group solves the budgetSelect " +
+      "law independently against its own budget (per-group output " +
+      "equals per-group budgetSelect row-for-row)") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      // group g1: bands 2 (10+10 toks), 1 (10), 0 (10)
+      (1L, "g1", 2, 10L), (2L, "g1", 2, 10L), (3L, "g1", 1, 10L),
+      (4L, "g1", 0, 10L),
+      // group g2: bands 1 (5), 0 (5+5)
+      (10L, "g2", 1, 5L), (11L, "g2", 0, 5L), (12L, "g2", 0, 5L))
+      .toDF("doc_id", "grp", "band", "n_toks")
+    val budgets = Seq(("g1", 25.0), ("g2", 7.0)).toDF("grp", "budget")
+    val got = Sampling.budgetSelectByGroup(docs, "doc_id", "n_toks",
+        "band", "grp", budgets)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // g1 @25: band 2 whole (20), band 1 boundary (20+10>25, prefix
+    // 20+10>25 -> doc 3 unselected), band 0 dropped
+    // g2 @7: band 1 whole (5), band 0 boundary: doc 11 (5+5<=7? no,
+    // 10>7) -> unselected; prefix law blocks 12 too
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 10L -> true, 11L -> false, 12L -> false))
+    // per-group equality with the global face
+    for ((g, b) <- Seq(("g1", 25L), ("g2", 7L))) {
+      val solo = Sampling.budgetSelect(docs.where($"grp" === g),
+          "doc_id", "n_toks", "band", b)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      val mine = got.filter { case (id, _) => solo.contains(id) }
+      assert(mine === solo, s"group $g diverges from budgetSelect")
+    }
+  }
+
+  test("r18 budgetSelectByGroup edges: absent-budget group reads 0; " +
+      "null group and null band echo unselected; every input row " +
+      "verdicts exactly once") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "known", 1, 5L),
+      (2L, "orphan", 1, 5L),                       // no budget row
+      (3L, null.asInstanceOf[String], 1, 5L),      // null group
+      (4L, "known", -1, 5L))
+      .toDF("doc_id", "grp", "band", "n_toks")
+      .withColumn("band", when($"doc_id" === 4L,
+        lit(null).cast("int")).otherwise($"band"))  // null band
+    val budgets = Seq(("known", 100.0)).toDF("grp", "budget")
+    val out = Sampling.budgetSelectByGroup(docs, "doc_id", "n_toks",
+      "band", "grp", budgets).collect()
+    assert(out.length === 4, "one verdict per input row")
+    val got = out.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false))
+  }
+
   test("r18 unimaxAllocation: hand-computed waterfill — capped small " +
       "languages keep full capacity, the rest share theta, the " +
       "allocations sum to the budget exactly") {
