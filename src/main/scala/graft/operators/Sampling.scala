@@ -374,7 +374,10 @@ object Sampling {
     * Scale (100 TB): ONE map-side-combinable per-language roll-up;
     * everything after runs on the n_languages-row frame — the
     * budgetSelect |bands|-window posture, bounded by construction
-    * (a corpus has hundreds of languages, not billions). Output:
+    * (a corpus has hundreds of languages, not billions). Like
+    * [[budgetSelect]], this is a GLOBAL release-time law (the level θ
+    * depends on every language's total) — recompute per release cut,
+    * never per streaming trigger. Output:
     * (langCol, n_tokens, capacity, allocation, epochs) — epochs =
     * allocation/Nₗ (NULL for an empty language), both rounded 6. */
   def unimaxAllocation(df: DataFrame, langCol: String,

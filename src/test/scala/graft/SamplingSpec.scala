@@ -382,6 +382,17 @@ class SamplingSpec extends AnyFunSuite {
       4L -> false))
   }
 
+  test("r18 q230/q231 plans: no cartesian anywhere; the q231 budget " +
+      "and band-cum frames broadcast onto the corpus") {
+    for (q <- Seq("q230_unimax_alloc", "q231_multilingual_draw")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      if (q.startsWith("q231"))
+        assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("r18 unimaxAllocation: hand-computed waterfill — capped small " +
       "languages keep full capacity, the rest share theta, the " +
       "allocations sum to the budget exactly") {
