@@ -42,8 +42,6 @@ object SparkEntry {
   /** All tokens (DuckDB) — twin of TextFunctions.allTokens. */
   private val allToksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
-  /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords
-    * (same explicit RE2-safe whitespace class, same NULL coalesce). */
   /** Coalesced all-token count (DuckDB) — the NULL-text-safe twin of
     * size(coalesce(allTokens(text), array())); ONE definition shared
     * by the q224/q228 keep signals (r18 review: the inline copy was
@@ -51,6 +49,8 @@ object SparkEntry {
   private val coalescedTokenCountSql =
     "CAST(len(list_filter(string_split_regex(lower(coalesce(text, " +
       "'')), '[^a-z0-9]+'), t -> len(t) > 0)) AS BIGINT)"
+  /** Raw whitespace words (DuckDB) — twin of QualityFilters.rawWords
+    * (same explicit RE2-safe whitespace class, same NULL coalesce). */
   private val rawWordsSql =
     "list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\f\\r]+'), x -> x <> '')"
   /** Distinct 3-gram shingles (DuckDB) — twin of TextFunctions.shingles. */
@@ -4326,6 +4326,13 @@ object SparkEntry {
         sum(col("n_members")).as("n_docs"))
       .orderBy(col("n_members"))
 
+  /** size(coalesce(arr, [])) AS LONG — the NULL-text-safe count whose
+    * DuckDB twin is [[coalescedTokenCountSql]]/the q229 coalesce(len)
+    * forms; ONE definition for the q224/q228/q229 consumers (r18
+    * simplify pass: the expression was restated inline four times). */
+  private def coalescedCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(coalesce(arr, array().cast("array<string>"))).cast("long")
+
   /** The adversarial NULL-text fixture corpus (r18, making the
     * SparkEntry NULL-text convention EXECUTABLE): a deterministic
     * in-plan mutation of `documents` that plants every text
@@ -4336,13 +4343,6 @@ object SparkEntry {
     * fragment consumers over THIS corpus, so a fragment whose
     * NULL-text arm diverges between the engines trips a gate rather
     * than a comment. */
-  /** size(coalesce(arr, [])) AS LONG — the NULL-text-safe count whose
-    * DuckDB twin is [[coalescedTokenCountSql]]/the q229 coalesce(len)
-    * forms; ONE definition for the q224/q228/q229 consumers (r18
-    * simplify pass: the expression was restated inline four times). */
-  private def coalescedCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(coalesce(arr, array().cast("array<string>"))).cast("long")
-
   private def nullTextCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("lang"),
       when(col("doc_id") % 11 === 0, lit(null).cast("string"))
@@ -8256,7 +8256,10 @@ object SparkEntry {
          |  CASE WHEN bfr + bt <= budget THEN TRUE
          |       WHEN bfr < budget THEN bfr + rn <= budget
          |       ELSE FALSE END AS selected
-         |FROM run""".stripMargin,
+         |FROM run
+         |UNION ALL
+         |SELECT doc_id, lang, band, n_toks, FALSE AS selected
+         |FROM bnd WHERE lang IS NULL""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

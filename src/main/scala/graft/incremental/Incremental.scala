@@ -347,19 +347,38 @@ object Memo {
     // computed/cached result is stable across runs and partition
     // layouts rather than whichever row dropDuplicates kept.
     val payloadCols = inputs.columns.filterNot(_ == "_fp")
+    val payloadOrderable = inputs.schema.fields
+      .filter(f => payloadCols.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(f.dataType))
     val distinctIn =
       if (payloadCols.isEmpty) inputs.distinct()
-      else
+      else if (payloadOrderable)
         // min over ONE struct of the payload columns: map-side
         // combinable (a row_number window here would shuffle every
         // duplicate row to its _fp's partition and sort — strictly
-        // worse for the common contract-honoring caller, r18 review),
-        // same deterministic total order (struct comparison is
-        // field-by-field, nulls first). Payload types must be
-        // orderable — true of every cache-row schema in the library.
+        // worse for the common contract-honoring caller, r18 review);
+        // A deterministic total order (native struct comparison,
+        // field-by-field, nulls first — NOT the r17 string-cast
+        // order: "10" < "2" as strings but not as numbers; either is
+        // a valid deterministic pick, pass 8). Columns re-selected in
+        // the INPUT order — compute() sees the schema it was given.
         inputs.groupBy(col("_fp"))
           .agg(min(struct(payloadCols.map(col): _*)).as("_rep"))
-          .select(col("_fp") +: payloadCols.map(c => col("_rep." + c)): _*)
+          .select(inputs.columns.map(c =>
+            if (c == "_fp") col("_fp") else col("_rep." + c).as(c)): _*)
+      else {
+        // unorderable payload (map-typed column): the aggregate form
+        // would fail analysis — keep the string-cast window for this
+        // arm only (r18 pass 8: the r18 aggregate rewrite silently
+        // narrowed the accepted schemas)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_fp")
+          .orderBy(payloadCols.map(c =>
+            col(c).cast("string").asc_nulls_first): _*)
+        inputs.withColumn("_memo_rn", row_number().over(w))
+          .where(col("_memo_rn") === 1).drop("_memo_rn")
+      }
     val prior = ParquetSink.read(spark, cachePath)
     val misses = prior match {
       case None => distinctIn

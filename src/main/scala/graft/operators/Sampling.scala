@@ -324,7 +324,13 @@ object Sampling {
         toks.as(tokenCol))
       .join(broadcast(cum), Seq(groupCol, bandCol))
       .join(broadcast(budgets.select(col(groupCol),
-        col(budgetCol).cast("double").as("_budget"))),
+        col(budgetCol).cast("double").as("_budget"))
+        // ONE budget row per group (r18 pass 8): a duplicated budget
+        // row would fan out every doc of its group through the join,
+        // silently breaking one-verdict-per-input-row. Exact dups
+        // collapse; CONFLICTING dups resolve to the MINIMUM — the
+        // conservative draw, deterministic
+        .groupBy(col(groupCol)).agg(min(col("_budget")).as("_budget"))),
         Seq(groupCol), "left")
       // an absent budget row reads 0, NEVER null: three-valued
       // comparisons would silently drop the row from BOTH arms

@@ -240,4 +240,28 @@ class IncrementalSpec extends AnyFunSuite {
     val out = Memo.cached(spark, s"$tmp/cache", in, compute)
     assert(out.select($"value").as[String].collect().toSeq === Seq("AA"))
   }
+
+  test("r18 pass 8: Memo.cached preserves the caller's column order " +
+      "(positional compute implementations) and still accepts an " +
+      "UNORDERABLE map-typed payload via the window arm") {
+    val tmp = Files.createTempDirectory("memo-ord").toString
+    // payload BEFORE _fp: compute reads positionally
+    def compute(misses: DataFrame): DataFrame = {
+      assert(misses.columns.toSeq === Seq("payload", "_fp", "extra"),
+        "input column order must survive the dedup")
+      misses.withColumn("value", upper(col("payload"))).select("_fp", "value")
+    }
+    val in = Seq(("x", "f1", 1), ("y", "f2", 2))
+      .toDF("payload", "_fp", "extra")
+    val r = Memo.cached(spark, s"$tmp/c1", in, compute)
+    assert(r.count() === 2)
+    // map payload: min(struct) would throw (maps are unorderable) —
+    // the window arm must carry it
+    val in2 = Seq(("f3", Map("k" -> "v")), ("f3", Map("k" -> "v")))
+      .toDF("_fp", "props")
+    def compute2(m: DataFrame): DataFrame =
+      m.select(col("_fp"), lit("ok").as("value"))
+    val r2 = Memo.cached(spark, s"$tmp/c2", in2, compute2)
+    assert(r2.select($"value").as[String].collect().toSeq === Seq("ok"))
+  }
 }

@@ -393,6 +393,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("r18 pass 8: duplicate budget rows collapse (exact dups) or " +
+      "resolve to the MINIMUM (conflicts) — one verdict per input " +
+      "row either way") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "g", 0, 5L), (2L, "g", 0, 5L))
+      .toDF("doc_id", "grp", "band", "n_toks")
+    // conflicting duplicates: 100 and 6 -> the conservative 6 wins:
+    // band total 10 > 6, boundary prefix keeps doc 1 only
+    val budgets = Seq(("g", 100.0), ("g", 6.0)).toDF("grp", "budget")
+    val out = Sampling.budgetSelectByGroup(docs, "doc_id", "n_toks",
+      "band", "grp", budgets).collect()
+    assert(out.length === 2, "no fan-out from the duplicated budget")
+    val got = out.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
   test("r18 unimaxAllocation: hand-computed waterfill — capped small " +
       "languages keep full capacity, the rest share theta, the " +
       "allocations sum to the budget exactly") {
