@@ -5402,7 +5402,8 @@ object SparkEntry {
     "q61_winnow_fingerprints", "q62_ingest_pipeline",
     "q68_asof_join", "q69_range_join", "q70_kmv_sketch",
     "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
-    "q215_nb_quality", "q219_curation_capstone")
+    "q215_nb_quality", "q219_curation_capstone",
+    "q226_group_sizes")
 
   /** DuckDB twin of the q179 Gopher signal battery (raw whitespace
     * words, 6-place rounding, gaps-and-islands max run; see the

@@ -90,9 +90,10 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(err.contains(""""load_before":[],"load_after":[]"""))
   }
 
-  test("bench card set is pinned: the 21 r6-r15 headline cells plus " +
-      "the round-17 LLM-training-data tier promotion (r16 verdict " +
-      "item 1) — a cell silently dropping off the card is a spec " +
+  test("bench card set is pinned: the 21 r6-r15 headline cells, the " +
+      "round-17 LLM-training-data tier promotion (r16 verdict item 1) " +
+      "and the round-18 q226 group-census promotion (r17 verdict " +
+      "item 3) — a cell silently dropping off the card is a spec " +
       "failure, not a quiet bench narrowing") {
     assert(SparkEntry.benchQueries === Seq(
       "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
@@ -104,7 +105,8 @@ class BenchGuardSpec extends AnyFunSuite {
       "q62_ingest_pipeline", "q68_asof_join", "q69_range_join",
       "q70_kmv_sketch",
       "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
-      "q215_nb_quality", "q219_curation_capstone"))
+      "q215_nb_quality", "q219_curation_capstone",
+      "q226_group_sizes"))
     // every bench cell must be a gate query (the card can never carry
     // a cell Verify doesn't check)
     SparkEntry.benchQueries.foreach(n =>
