@@ -5057,6 +5057,28 @@ object SparkEntry {
     Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
   }
 
+  /** Cross-document paragraph dedup (Dedup.dedupParagraphsAcrossDocs,
+    * the paragraph granularity of the Lee et al. 2022 matrix):
+    * synthesized paragraph layout — every doc leads with its
+    * mod-7-class boilerplate paragraph (shared across ~1/7th of the
+    * corpus, kept only by the class's min doc id), keeps its own text
+    * as the middle paragraph, every third doc trails a second shared
+    * notice, and a whitespace-only paragraph separates — blanks never
+    * convict. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("Shared header "), (col("doc_id") % 7).cast("string"),
+        lit(" about the corpus.\n\n"),
+        col("text"),
+        lit("\n\n   \n\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("Legal notice: all rights reserved."))
+          .otherwise(concat(lit("unique tail "),
+            col("doc_id").cast("string")))).as("text"))
+    Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+  }
+
   /** Release diff (Dedup.releaseDiff): synthetic churn over the
     * corpus — every 7th doc removed, every 5th rewritten ('changed'),
     * every 5th+1 case/whitespace-churned (fingerprint-UNCHANGED by
@@ -5386,7 +5408,8 @@ object SparkEntry {
     "q228_nulltext_keep_best" -> q228 _,
     "q229_nulltext_rank" -> q229 _,
     "q230_unimax_alloc" -> q230 _,
-    "q231_multilingual_draw" -> q231 _)
+    "q231_multilingual_draw" -> q231 _,
+    "q232_paragraph_dedup" -> q232 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8261,6 +8284,35 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, lang, band, n_toks, FALSE AS selected
          |FROM bnd WHERE lang IS NULL""".stripMargin,
+
+    "q232_paragraph_dedup" ->
+      // keep-first paragraph law over the synthesized layout: split
+      // on blank-line runs, trimmed identity, min-doc-id owner keeps,
+      // blanks never convict, survivors string_agg in position order
+      """WITH d AS (SELECT doc_id,
+        |  'Shared header ' || (doc_id % 7) || ' about the corpus.' ||
+        |  chr(10) || chr(10) || text ||
+        |  chr(10) || chr(10) || '   ' || chr(10) || chr(10) ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'Legal notice: all rights reserved.'
+        |    ELSE 'unique tail ' || doc_id END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+        |  unnest(parts) AS para
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(coalesce(text, ''), '\n{2,}') AS parts
+        |    FROM d)),
+        |o AS (SELECT trim(para) AS key, min(doc_id) AS owner
+        |  FROM p WHERE trim(para) <> '' GROUP BY trim(para)),
+        |k AS (SELECT p.doc_id, p.pos, p.para,
+        |  (trim(p.para) = '' OR p.doc_id <= o.owner) AS keep
+        |  FROM p LEFT JOIN o ON trim(p.para) = o.key)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+        |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN keep THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

@@ -1078,6 +1078,52 @@ object Dedup {
         .as("clean_text"))
   }
 
+  /** Cross-document PARAGRAPH dedup, keep-first (the paragraph
+    * granularity of Lee et al. 2022 arXiv:2107.06499 §2 — the paper
+    * deduplicates at both document and substring granularity and
+    * notes paragraph-level removal as the common production middle;
+    * this completes the engine's granularity matrix: document
+    * ([[exact]]/near-dup), paragraph (THIS), line
+    * ([[removeBoilerplateLines]] cross-doc, [[dedupLinesWithinDoc]]
+    * within-doc), token window ([[removeSharedSpans]])). The law:
+    * paragraphs split on blank-line runs ('\n\n+', the universal
+    * prose convention); identity is the TRIMMED paragraph text; a
+    * paragraph occurrence survives iff its doc is the MINIMUM doc id
+    * carrying that paragraph (the first doc keeps ALL its copies,
+    * incl. its own internal repeats — the [[removeSharedSpans]]
+    * keep-first convention at paragraph granularity);
+    * whitespace-only paragraphs never convict and always survive.
+    * Survivors rejoin with '\n\n' in position order.
+    *
+    * Scale (100 TB): one paragraph-keyed map-side-combinable min-id
+    * aggregate (one row per DISTINCT paragraph — no pair term, a
+    * paragraph occurring k times costs k rows, never k²), its join
+    * back keyed by the same hash, then ONE doc-keyed shuffle
+    * re-assembles survivors — the [[removeBoilerplateLines]] plan
+    * shape with an owner law instead of a df threshold.
+    *
+    * Output: (idCol, n_paragraphs, n_removed, clean_text); null text
+    * behaves as '' — one empty paragraph, kept. */
+  def dedupParagraphsAcrossDocs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n{2,}", -1))
+        .as(Seq("_pos", "_para")))
+    val blank = trim(col("_para")) === ""
+    val owners = paras.where(!blank)
+      .groupBy(trim(col("_para")).as("_key"))
+      .agg(min(col(idCol)).as("_owner"))
+    paras.join(owners,
+        trim(col("_para")) === col("_key"), "left")
+      .withColumn("_keep", blank || col(idCol) <= col("_owner"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_paragraphs"),
+        count(when(!col("_keep"), lit(1))).cast("long").as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_keep"), struct(col("_pos"), col("_para"))))),
+          s => s.getField("_para")), "\n\n").as("clean_text"))
+  }
+
   /** Cross-snapshot incremental dedup, exact path: which BATCH
     * documents are NEW against a prior corpus snapshot's fingerprint
     * set — one anti join on the normalized-content fingerprint

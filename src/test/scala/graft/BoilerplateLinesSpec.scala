@@ -141,4 +141,38 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out(1L).getLong(1) === 7L && out(1L).getLong(2) === 3L)
     assert(out(1L).getString(3) === "x\n   \n \n")
   }
+
+  test("r18 dedupParagraphsAcrossDocs: keep-first by min doc id — the " +
+      "owner keeps ALL its copies (incl. internal repeats), later " +
+      "docs lose the paragraph; trimmed identity; blanks survive") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "shared para\n\nown one\n\nshared para"), // owner: keeps both copies
+      (2L, "  shared para  \n\nown two"),            // trimmed identity: drops
+      (3L, "own three\n\n   \n\nshared para"),       // blank kept, shared drops
+      (4L, null.asInstanceOf[String]))               // null -> one empty para, kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 0L, "shared para\n\nown one\n\nshared para")))
+    assert(out(2L) === ((2L, 1L, "own two")))
+    assert(out(3L) === ((3L, 1L, "own three\n\n   ")))
+    assert(out(4L) === ((1L, 0L, "")))
+  }
+
+  test("r18 dedupParagraphsAcrossDocs: a doc losing every paragraph " +
+      "keeps its row with clean_text '' and blank-run splitting " +
+      "handles 3+ newlines as one separator") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "only para"),
+      (2L, "only para\n\n\n\nonly para")) // 4 newlines = one separator
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((1L, 0L, "only para")))
+    assert(out(2L) === ((2L, 2L, "")))
+  }
 }
