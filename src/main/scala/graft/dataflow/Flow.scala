@@ -99,9 +99,22 @@ object Flow {
   /** Stable content-derived UUID (UUIDv5-style shape over md5 of the
     * field fingerprint — memoization.rs:213-233 reuse semantics):
     * identical collected content ⇒ identical id across runs.
-    */
+    *
+    * Fields hash null-flagged and length-prefixed (r18 review pass 9
+    * — the Memo.fingerprint law): concat_ws SKIPS null columns, so
+    * the bare form gave (null, "x") and ("x", null) the SAME uuid —
+    * and a value embedding the separator aliased a column boundary —
+    * and a primary-key merge on that uuid silently collapses distinct
+    * rows. The reference's fingerprinter frames values with
+    * type/length information (utils/fingerprint.rs) and cannot
+    * collide either way. */
   def stableUuid(cols: Column*): Column = {
-    val h = md5(concat_ws("", cols.map(_.cast("string")): _*))
+    val tagged = cols.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("0"))
+        .otherwise(concat(lit("1"), length(s), lit(":"), s))
+    }
+    val h = md5(concat_ws("", tagged: _*))
     concat_ws("-",
       substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
       substring(h, 17, 4), substring(h, 21, 12))

@@ -52,6 +52,26 @@ class FlowSpec extends AnyFunSuite {
     assert(ids1.toSeq === ids2.toSeq)
   }
 
+  test("r18 pass 9: stableUuid cannot collide on shifted nulls or " +
+      "embedded separators (the Memo.fingerprint law)") {
+    import graft.dataflow.Flow
+    val rows = Seq(
+      (Option("x"), Option.empty[String]),
+      (Option.empty[String], Option("x")),
+      (Option("ab"), Option("c")),
+      (Option("a"), Option("bc")),
+      (Option("x"), Option("x")))
+      .toDF("f1", "f2")
+    val ids = rows.select(Flow.stableUuid(col("f1"), col("f2")).as("id"))
+      .as[String].collect()
+    assert(ids.distinct.length === ids.length,
+      s"uuid collision among distinct rows: ${ids.mkString(", ")}")
+    // stability: the same content yields the same id across plans
+    val again = rows.orderBy($"f1").select(
+      Flow.stableUuid(col("f1"), col("f2")).as("id")).as[String].collect()
+    assert(ids.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("transform enforces write-once fields") {
     val docs = Seq((1L, "x")).toDF("doc_id", "content")
     val scope = Flow(spark).importSource(docs, "doc_id")
