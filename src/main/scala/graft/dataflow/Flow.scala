@@ -107,7 +107,12 @@ object Flow {
     * and a primary-key merge on that uuid silently collapses distinct
     * rows. The reference's fingerprinter frames values with
     * type/length information (utils/fingerprint.rs) and cannot
-    * collide either way. */
+    * collide either way. FORMAT BREAK, one-time: auto-UUIDs
+    * persisted by pre-r18 exports re-key on the first re-run at
+    * this version (identical content gets a NEW id once, so a
+    * primary-key merge inserts rather than updates) — rotate or
+    * recreate uuid-keyed sinks across this upgrade, exactly the
+    * Memo "graft-memo-v2" migration note. */
   def stableUuid(cols: Column*): Column = {
     val tagged = cols.map { c =>
       val s = c.cast("string")

@@ -1092,7 +1092,13 @@ object Dedup {
     * carrying that paragraph (the first doc keeps ALL its copies,
     * incl. its own internal repeats — the [[removeSharedSpans]]
     * keep-first convention at paragraph granularity);
-    * whitespace-only paragraphs never convict and always survive.
+    * paragraphs empty after trim never convict and always survive
+    * (ASCII-space trim — the same convention as the line laws; a
+    * tab-only paragraph is content on BOTH engines). A null doc id
+    * cannot be adjudicated: null-id rows never own a paragraph
+    * (min ignores nulls) and never lose one (the conservative arm),
+    * though all null-id rows share one output group — null ids are
+    * a caller contract violation, handled rather than corrupted.
     * Survivors rejoin with '\n\n' in position order.
     *
     * Scale (100 TB): one paragraph-keyed map-side-combinable min-id
@@ -1115,7 +1121,8 @@ object Dedup {
       .agg(min(col(idCol)).as("_owner"))
     paras.join(owners,
         trim(col("_para")) === col("_key"), "left")
-      .withColumn("_keep", blank || col(idCol) <= col("_owner"))
+      .withColumn("_keep", blank || col(idCol).isNull ||
+        col(idCol) <= col("_owner"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_paragraphs"),
         count(when(!col("_keep"), lit(1))).cast("long").as("n_removed"),

@@ -145,7 +145,6 @@ class BoilerplateLinesSpec extends AnyFunSuite {
   test("r18 dedupParagraphsAcrossDocs: keep-first by min doc id — the " +
       "owner keeps ALL its copies (incl. internal repeats), later " +
       "docs lose the paragraph; trimmed identity; blanks survive") {
-    import org.apache.spark.sql.functions.col
     val docs = Seq(
       (1L, "shared para\n\nown one\n\nshared para"), // owner: keeps both copies
       (2L, "  shared para  \n\nown two"),            // trimmed identity: drops
@@ -164,7 +163,6 @@ class BoilerplateLinesSpec extends AnyFunSuite {
   test("r18 dedupParagraphsAcrossDocs: a doc losing every paragraph " +
       "keeps its row with clean_text '' and blank-run splitting " +
       "handles 3+ newlines as one separator") {
-    import org.apache.spark.sql.functions.col
     val docs = Seq(
       (1L, "only para"),
       (2L, "only para\n\n\n\nonly para")) // 4 newlines = one separator
