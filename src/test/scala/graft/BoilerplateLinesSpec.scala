@@ -160,6 +160,22 @@ class BoilerplateLinesSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 0L, "")))
   }
 
+  test("r18 pass 11: a null-id doc keeps its paragraphs (unadjudicable " +
+      "occurrences never convict) and its output row is internally " +
+      "consistent — never vanished-but-uncounted") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "shared\n\nmine"),
+      (null.asInstanceOf[java.lang.Long], "shared\n\nnull own"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, "shared\n\nmine")),
+      "doc 1 owns 'shared' (min ignores null ids)")
+    assert(out(-1L) === ((2L, 0L, "shared\n\nnull own")),
+      "the null-id doc keeps everything, counted consistently")
+  }
+
   test("r18 dedupParagraphsAcrossDocs: a doc losing every paragraph " +
       "keeps its row with clean_text '' and blank-run splitting " +
       "handles 3+ newlines as one separator") {
