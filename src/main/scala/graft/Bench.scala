@@ -101,6 +101,11 @@ object BenchGuard {
     * guard retry exceeded threshold); consumers cross-referencing
     * retimed keys against `queries` must strip the prefix. The bump
     * exists because schema 4 promised retimed keys ⊆ queries keys.
+    * Within ONE card the stripped keys stay unique — the guard fires
+    * at most once per cell per run, so a cell contributes either
+    * "qNN" or "settled:qNN", never both; consumers MERGING retimed
+    * maps across cards must sum counts after stripping (r19 advice:
+    * the same cell can settle on one box and plain-retime on another).
     *
     * bench_schema 4 (round-15 verdict: the r15 card's 19.57 s total
     * was pure machine load, adjudicable only via the indirect JIT-

@@ -68,6 +68,47 @@ object SparkEntry {
       "WHEN doc_id % 11 = 3 THEN 'of the and' " +
       "ELSE text END AS text FROM documents)"
 
+  /** DuckDB twin of [[paragraphLayout]] — the q232/q233 synthesized
+    * paragraph layout as a selectable body over `documents`. */
+  private val paragraphLayoutSql: String =
+    """SELECT doc_id,
+      |  'Shared header ' || (doc_id % 7) || ' about the corpus.' ||
+      |  chr(10) || chr(10) || text ||
+      |  chr(10) || chr(10) || '   ' || chr(10) || chr(10) ||
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN 'Legal notice: all rights reserved.'
+      |    ELSE 'unique tail ' || doc_id END AS text
+      |  FROM documents""".stripMargin
+
+  /** The keep-first paragraph-dedup oracle over a (doc_id, text)
+    * body `dBody` — ONE definition for q232/q233 (twin of
+    * Dedup.dedupParagraphsAcrossDocs). The keep arm carries the
+    * explicit `doc_id IS NULL` clause (r19 advice — without it a
+    * null-id doc's shared paragraphs read NULL keep: excluded from
+    * clean_text AND uncounted in n_removed); the string_agg orders
+    * by (pos, para) — within one doc pos is unique (q232 unchanged),
+    * while q233's null-id group interleaves docs at equal pos and
+    * needs the text tie-break the Spark face's struct sort applies. */
+  private def paragraphDedupOracleSql(dBody: String): String =
+    s"""WITH d AS ($dBody),
+       |p AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+       |  unnest(parts) AS para
+       |  FROM (SELECT doc_id,
+       |    string_split_regex(coalesce(text, ''), '\n{2,}') AS parts
+       |    FROM d)),
+       |o AS (SELECT trim(para) AS key, min(doc_id) AS owner
+       |  FROM p WHERE trim(para) <> '' GROUP BY trim(para)),
+       |k AS (SELECT p.doc_id, p.pos, p.para,
+       |  (trim(p.para) = '' OR p.doc_id IS NULL
+       |    OR p.doc_id <= o.owner) AS keep
+       |  FROM p LEFT JOIN o ON trim(p.para) = o.key)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+       |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+       |    AS n_removed,
+       |  coalesce(string_agg(CASE WHEN keep THEN para END,
+       |    chr(10) || chr(10) ORDER BY pos, para), '') AS clean_text
+       |FROM k GROUP BY doc_id""".stripMargin
+
   private val bm25QueryTerms = Seq("spark", "query", "filter", "join", "data")
 
   /** The artifact-memo key for a corpus: (session, sf directory). */
@@ -5065,17 +5106,43 @@ object SparkEntry {
     * as the middle paragraph, every third doc trails a second shared
     * notice, and a whitespace-only paragraph separates — blanks never
     * convict. */
+  /** The q232/q233 synthesized paragraph layout over `documents` —
+    * ONE definition (r19: q233 replays the same layout under null
+    * ids; an inline copy is the drift class the `...Over` fragments
+    * exist to eliminate). The layout is a function of the ORIGINAL
+    * doc_id, so q233 can null the id after synthesis. */
+  private def paragraphLayout: org.apache.spark.sql.Column =
+    concat(
+      lit("Shared header "), (col("doc_id") % 7).cast("string"),
+      lit(" about the corpus.\n\n"),
+      col("text"),
+      lit("\n\n   \n\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("Legal notice: all rights reserved."))
+        .otherwise(concat(lit("unique tail "),
+          col("doc_id").cast("string")))).as("text")
+
   private def q232(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      concat(
-        lit("Shared header "), (col("doc_id") % 7).cast("string"),
-        lit(" about the corpus.\n\n"),
-        col("text"),
-        lit("\n\n   \n\n"),
-        when(col("doc_id") % 3 === 0,
-          lit("Legal notice: all rights reserved."))
-          .otherwise(concat(lit("unique tail "),
-            col("doc_id").cast("string")))).as("text"))
+    val base = t(s, dir, "documents")
+    val docs = base.select(col("doc_id"), paragraphLayout)
+    Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+  }
+
+  /** The paragraph law under NULL doc ids (r19 advice: the q232 twin's
+    * `doc_id <= owner` alone yields NULL keep on a null-id doc — its
+    * shared paragraphs vanish from clean_text AND stay uncounted in
+    * n_removed, the exact class the Spark face's explicit isNull arm
+    * closes; the gate corpus has non-null ids, so the law was latent).
+    * Every 11th doc's id is nulled AFTER layout synthesis: null-id
+    * docs keep ALL their paragraphs (unadjudicable occurrences never
+    * convict) while still counting as non-owners, and all null-id
+    * rows share one output group on both engines (GROUP BY NULL). */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val docs = base.select(
+      when(col("doc_id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id")).as("doc_id"),
+      paragraphLayout)
     Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
   }
 
@@ -5409,7 +5476,8 @@ object SparkEntry {
     "q229_nulltext_rank" -> q229 _,
     "q230_unimax_alloc" -> q230 _,
     "q231_multilingual_draw" -> q231 _,
-    "q232_paragraph_dedup" -> q232 _)
+    "q232_paragraph_dedup" -> q232 _,
+    "q233_paragraph_dedup_nullid" -> q233 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8285,34 +8353,23 @@ object SparkEntry {
          |SELECT doc_id, lang, band, n_toks, FALSE AS selected
          |FROM bnd WHERE lang IS NULL""".stripMargin,
 
+    // keep-first paragraph law over the synthesized layout: split
+    // on blank-line runs, trimmed identity, min-doc-id owner keeps,
+    // blanks never convict, null-id docs keep everything (r19: the
+    // `doc_id <= owner` comparison alone yields NULL → silently
+    // excluded AND uncounted — the vanished-but-uncounted class the
+    // Spark face's explicit isNull arm closes; q233 makes the arm
+    // executable by nulling every 11th id), survivors string_agg in
+    // (position, text) order — ONE body (paragraphDedupOracleSql)
+    // for both gates, the shared-fragment discipline
     "q232_paragraph_dedup" ->
-      // keep-first paragraph law over the synthesized layout: split
-      // on blank-line runs, trimmed identity, min-doc-id owner keeps,
-      // blanks never convict, survivors string_agg in position order
-      """WITH d AS (SELECT doc_id,
-        |  'Shared header ' || (doc_id % 7) || ' about the corpus.' ||
-        |  chr(10) || chr(10) || text ||
-        |  chr(10) || chr(10) || '   ' || chr(10) || chr(10) ||
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN 'Legal notice: all rights reserved.'
-        |    ELSE 'unique tail ' || doc_id END AS text
-        |  FROM documents),
-        |p AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
-        |  unnest(parts) AS para
-        |  FROM (SELECT doc_id,
-        |    string_split_regex(coalesce(text, ''), '\n{2,}') AS parts
-        |    FROM d)),
-        |o AS (SELECT trim(para) AS key, min(doc_id) AS owner
-        |  FROM p WHERE trim(para) <> '' GROUP BY trim(para)),
-        |k AS (SELECT p.doc_id, p.pos, p.para,
-        |  (trim(p.para) = '' OR p.doc_id <= o.owner) AS keep
-        |  FROM p LEFT JOIN o ON trim(p.para) = o.key)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
-        |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
-        |    AS n_removed,
-        |  coalesce(string_agg(CASE WHEN keep THEN para END,
-        |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text
-        |FROM k GROUP BY doc_id""".stripMargin,
+      paragraphDedupOracleSql(paragraphLayoutSql),
+
+    "q233_paragraph_dedup_nullid" ->
+      paragraphDedupOracleSql(
+        s"""SELECT CASE WHEN doc_id % 11 = 0 THEN NULL
+           |    ELSE doc_id END AS doc_id, text
+           |  FROM ($paragraphLayoutSql)""".stripMargin),
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

@@ -65,13 +65,22 @@ object Incremental {
     * reference's change.data travels with its ordinal). Ordinal ties
     * between upserts are adjudicated by arrival order in the
     * reference; a batch has no arrival order, so the tie-break is a
-    * deterministic total order (content_hash desc nulls last) — under
-    * the hash contract, surviving ties are identical content anyway. */
+    * deterministic total order: (content_hash desc nulls last), then
+    * every remaining payload column string-cast desc nulls last in
+    * name order (r19 advice: two rows tied on ordinal AND hash but
+    * differing in payload are a hash-contract violation, yet the pick
+    * must still be stable across runs/partitionings — the same
+    * instability class Memo.cached closed in r18). Under an honored
+    * hash contract the payload keys never adjudicate anything. */
   private def lastWinsPerKey(batch: DataFrame): DataFrame = {
+    val payloadTieBreak = batch.columns
+      .filterNot(Set("source_key", "ordinal", "content_hash"))
+      .sorted.toSeq
+      .map(c => col(c).cast("string").desc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source_key")
-      .orderBy(col("ordinal").desc_nulls_last,
-        col("content_hash").desc_nulls_last)
+      .orderBy(col("ordinal").desc_nulls_last +:
+        col("content_hash").desc_nulls_last +: payloadTieBreak: _*)
     batch.withColumn("_lw_rn", row_number().over(w))
       .where(col("_lw_rn") === 1).drop("_lw_rn")
   }

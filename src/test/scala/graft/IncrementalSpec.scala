@@ -229,6 +229,32 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(track).count() === 0)
   }
 
+  test("r19 ADVICE: last-wins ties beyond (ordinal, content_hash) pick " +
+      "deterministically across input orderings (the Memo.cached " +
+      "stability law applied to the batch pre-dedup)") {
+    // two rows tied on key+ordinal+hash but differing payload — a
+    // hash-contract violation; the pick must still be stable
+    val rows = Seq(
+      ("a", 100L, "h1", "payload-zzz"),
+      ("a", 100L, "h1", "payload-aaa"))
+    def pick(rs: Seq[(String, Long, String, String)]): String = {
+      val batch = rs.toDF("source_key", "ordinal", "content_hash", "body")
+        .repartition(4)
+      Incremental.diff(batch, Incremental.emptyTracking(spark), "v1")
+        .toEvaluate.select($"body").as[String].head()
+    }
+    val p1 = pick(rows)
+    val p2 = pick(rows.reverse)
+    assert(p1 === p2, "pick must not depend on input order")
+    assert(p1 === "payload-zzz",
+      "string-cast desc nulls-last picks the max payload")
+    // a null payload ranks below any value (nulls last)
+    val withNull = Seq(("a", 100L, "h1", null: String),
+      ("a", 100L, "h1", "payload-aaa"))
+    assert(pick(withNull) === "payload-aaa")
+    assert(pick(withNull.reverse) === "payload-aaa")
+  }
+
   test("memoization: second run computes only misses") {
     val tmp = Files.createTempDirectory("memo").toString
     val cache = s"$tmp/cache"
