@@ -55,7 +55,16 @@ object ChunkCuration {
     * a split point in the same document shifts up by the number of
     * preceding splits. */
   def splitChunks(chunks: DataFrame, splits: DataFrame): DataFrame = {
+    // collapse duplicate requests per chunk (r19 review — the
+    // budgetSelectByGroup duplicate-row class): two split rows for one
+    // chunk would multiply its joined row, emitting DUPLICATE chunk
+    // ids. The reference applied call-by-call splits the first half
+    // again under the SAME id — unrepresentable in one batch; the
+    // deterministic collapse keeps the minimum position (exact dups
+    // collapse; conflicts resolve to the earliest boundary).
     val sp = splits.select(col("chunk_id"), col("split_position").cast("int"))
+      .groupBy(col("chunk_id"))
+      .agg(min(col("split_position")).as("split_position"))
     val j = chunks.join(broadcast(sp), Seq("chunk_id"), "left")
       .withColumn("_valid", col("split_position").isNotNull &&
         col("split_position") > 0 &&
@@ -99,7 +108,13 @@ object ChunkCuration {
     * down by (members - 1). Cross-document groups are the endpoint's
     * 400: their members pass through untouched. */
   def mergeChunks(chunks: DataFrame, groups: DataFrame): DataFrame = {
-    val g = broadcast(groups.select(col("chunk_id"), col("group_key")))
+    // one group per chunk (r19 review): a chunk_id mapped to two
+    // group_keys would join into BOTH groups — each merge consuming
+    // the same member and the member counted twice in the shifts. The
+    // reference can't express this either (the second call 404s on
+    // the consumed id); the deterministic collapse keeps min(group_key).
+    val g = broadcast(groups.select(col("chunk_id"), col("group_key"))
+      .groupBy(col("chunk_id")).agg(min(col("group_key")).as("group_key")))
     val members = chunks.join(g, Seq("chunk_id"))
     val gstats = members.groupBy(col("group_key")).agg(
       countDistinct(col("document_id")).as("_ndocs"),
@@ -217,7 +232,10 @@ object ChunkCuration {
         when(edited, length(col("new_text"))).otherwise(col("chunk_size"))
           .as("chunk_size"),
         col("start_position"), col("end_position"),
-        when(edited, col("chunk_size")).as("old_length"),
+        // len(old_text), NOT the stored chunk_size (chunks.py:204 —
+        // the supabase-twin PUT leaves chunk_size stale, so the two
+        // can disagree; r19 review)
+        when(edited, length(col("chunk_text"))).as("old_length"),
         when(edited, length(col("new_text"))).as("new_length"),
         when(edited, lit(true)).as("manually_edited"),
         when(col("_doc_touched") === 1, lit("pending_review"))
@@ -234,8 +252,11 @@ object ChunkCuration {
     * optional arm). */
   def deleteChunks(chunks: DataFrame, deletes: DataFrame,
       renumber: Boolean = true): DataFrame = {
+    // distinct (r19 review): a duplicated delete row would join the
+    // chunk twice and count TWICE in the renumber window sum —
+    // over-shifting every survivor after it
     val del = broadcast(deletes.select(col("chunk_id"),
-      lit(true).as("_del")))
+      lit(true).as("_del")).distinct())
     val j = chunks.join(del, Seq("chunk_id"), "left")
     val w = Window.partitionBy(col("document_id")).orderBy(col("chunk_number"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -263,7 +284,9 @@ object ChunkCuration {
     * original chunks strictly past the deleted number — including
     * other chunks that a later call will itself delete. */
   def deleteCensus(chunks: DataFrame, deletes: DataFrame): DataFrame = {
-    val del = broadcast(deletes.select(col("chunk_id"), lit(true).as("_del")))
+    // distinct for the same duplicate-request reason as [[deleteChunks]]
+    val del = broadcast(deletes.select(col("chunk_id"), lit(true).as("_del"))
+      .distinct())
     val w = Window.partitionBy(col("document_id")).orderBy(col("chunk_number"))
       .rowsBetween(1, Window.unboundedFollowing)
     chunks.join(del, Seq("chunk_id"), "left")

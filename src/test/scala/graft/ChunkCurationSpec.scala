@@ -210,6 +210,45 @@ class ChunkCurationSpec extends AnyFunSuite {
       .select("chunk_text").as[String].collect().toSeq === Seq("ZZZ"))
   }
 
+  test("r19 review: duplicate delete rows never over-shift survivors; " +
+      "duplicate splits collapse to the min position; a chunk in two " +
+      "merge groups joins ONE group (min key); old_length reads the " +
+      "ACTUAL old text, not a stale chunk_size (chunks.py:204)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // c1 deleted twice: survivors shift by ONE, not two
+    val dupDel = Seq("c1", "c1").toDF("chunk_id")
+    val afterDel = ChunkCuration.deleteChunks(chunksDf, dupDel)
+      .where(col("document_id") === 1).orderBy("chunk_number")
+      .select("chunk_id", "chunk_number").as[(String, Int)].collect().toSeq
+    assert(afterDel === Seq(("c0", 0), ("c2", 1), ("c3", 2)))
+    assert(ChunkCuration.deleteCensus(chunksDf, dupDel).count() === 1)
+    // two split rows for c1: one split at the MIN position, no dup ids
+    val dupSplit = Seq(("c1", 12), ("c1", 6)).toDF("chunk_id", "split_position")
+    val afterSplit = ChunkCuration.splitChunks(chunksDf, dupSplit)
+    assert(afterSplit.count() === 7)
+    assert(afterSplit.where(col("chunk_id") === "c1")
+      .select("chunk_text").as[String].head() === "gamma ")
+    // c1 mapped to two groups: only min(group_key) consumes it
+    val dupGroup = Seq(("c0", "g1"), ("c1", "g1"), ("c1", "g2"), ("c2", "g2"))
+      .toDF("chunk_id", "group_key")
+    val afterMerge = ChunkCuration.mergeChunks(chunksDf, dupGroup)
+    assert(afterMerge.where(col("chunk_id") === "c0")
+      .select("chunk_text").as[String].head() === "alpha beta gamma delta epsilon")
+    // c2's g2 group degenerates to a singleton → passes through untouched
+    assert(afterMerge.where(col("chunk_id") === "c2")
+      .select("chunk_text").as[String].head() === "zeta")
+    assert(afterMerge.count() === 5)
+    // stale-size row: stored size 99, actual text 4 chars — the edit
+    // history's old_length is len(old_text)
+    val stale = chunksDf.withColumn("chunk_size",
+      when(col("chunk_id") === "c2", lit(99)).otherwise(col("chunk_size")))
+    val upd = ChunkCuration.updateChunks(stale,
+      Seq(("c2", "x")).toDF("chunk_id", "new_text"))
+    assert(upd.where(col("chunk_id") === "c2")
+      .select("old_length").as[Int].head() === 4)
+  }
+
   test("supabase twins: falsy text beats existence, no renumber, stale size") {
     val spark2 = spark
     import spark2.implicits._
