@@ -5146,6 +5146,22 @@ object SparkEntry {
     Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
   }
 
+  /** Incremental paragraph-owner law (r19 — the q232 TRAIN face run
+    * as three snapshots, doc_id % 3): per-snapshot owners merge by
+    * per-paragraph MIN, applied to the whole corpus — the oracle
+    * replays the ONE-SHOT law, so the gate IS the merge-equals-
+    * one-shot equality (exact, because min distributes over any
+    * split — the q222 pattern without its append-only assumption). */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val docs = base.select(col("doc_id"), paragraphLayout)
+    val owners = (0 to 2).map(i =>
+        Dedup.paragraphOwners(
+          docs.where(col("doc_id") % 3 === i), "doc_id", "text"))
+      .reduce(Dedup.mergeParagraphOwners)
+    Dedup.dedupParagraphsWithOwners(docs, "doc_id", "text", owners)
+  }
+
   /** Release diff (Dedup.releaseDiff): synthetic churn over the
     * corpus — every 7th doc removed, every 5th rewritten ('changed'),
     * every 5th+1 case/whitespace-churned (fingerprint-UNCHANGED by
@@ -5477,7 +5493,8 @@ object SparkEntry {
     "q230_unimax_alloc" -> q230 _,
     "q231_multilingual_draw" -> q231 _,
     "q232_paragraph_dedup" -> q232 _,
-    "q233_paragraph_dedup_nullid" -> q233 _)
+    "q233_paragraph_dedup_nullid" -> q233 _,
+    "q234_paragraph_owners_merge" -> q234 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8370,6 +8387,11 @@ object SparkEntry {
         s"""SELECT CASE WHEN doc_id % 11 = 0 THEN NULL
            |    ELSE doc_id END AS doc_id, text
            |  FROM ($paragraphLayoutSql)""".stripMargin),
+
+    // the ONE-SHOT q232 law verbatim: the gate passes iff the
+    // three-snapshot merged-owner application equals it
+    "q234_paragraph_owners_merge" ->
+      paragraphDedupOracleSql(paragraphLayoutSql),
 
     "q177_training_mix" -> {
       import operators.Sampling.thresholdHex

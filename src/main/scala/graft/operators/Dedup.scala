@@ -1111,18 +1111,60 @@ object Dedup {
     * Output: (idCol, n_paragraphs, n_removed, clean_text); null text
     * behaves as '' — one empty paragraph, kept. */
   def dedupParagraphsAcrossDocs(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    dedupParagraphsWithOwners(df, idCol, textCol,
+      paragraphOwners(df, idCol, textCol))
+
+  /** TRAIN face of the paragraph law (r19 — the incremental posture
+    * the other granularities already have: exact [[newAgainstSnapshot]],
+    * lines [[boilerplateLineCounts]]): the persistable
+    * (paragraph, owner) table — one row per distinct trimmed
+    * non-blank paragraph with its minimum doc id. Null-id rows never
+    * enter (they can't own; min would ignore them anyway — filtered
+    * here so the artifact carries no all-null groups). */
+  def paragraphOwners(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n{2,}", -1))
+          .as("_para"))
+      .where(trim(col("_para")) =!= "" && col(idCol).isNotNull)
+      .groupBy(trim(col("_para")).as("paragraph"))
+      .agg(min(col(idCol)).as("owner"))
+
+  /** Incremental TRAIN merge: per-paragraph MIN of owners. STRONGER
+    * than the lines family's df-sum merge: min is idempotent and
+    * commutative, so merged-over-any-split equals one-shot EXACTLY —
+    * overlapping or replayed batch ids are safe, no append-only
+    * disjointness assumption (q234 gates merge-equals-one-shot over a
+    * three-way split; the spec additionally pins the overlapping-
+    * batch arm the lines law cannot offer). */
+  def mergeParagraphOwners(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("paragraph"))
+      .agg(min(col("owner")).as("owner"))
+
+  /** APPLY face: the keep-first paragraph law against a persisted
+    * owners snapshot ((paragraph, owner) — [[paragraphOwners]]).
+    * An occurrence keeps iff blank, its doc id is null, its
+    * paragraph is UNKNOWN to the snapshot (unseen paragraphs never
+    * convict — the conservative incremental arm), or its doc IS the
+    * owner (id <= owner). Stateless w.r.t. the input, so it applies
+    * unchanged to a streaming delta via foreachBatch (stream-static
+    * join; StreamingSpec pins the posture). With owners trained on a
+    * superset of `df`, composition equals the one-shot law:
+    * [[dedupParagraphsAcrossDocs]] IS this face over
+    * [[paragraphOwners]] of the same frame. */
+  def dedupParagraphsWithOwners(df: DataFrame, idCol: String,
+      textCol: String, owners: DataFrame): DataFrame = {
     val paras = df.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n{2,}", -1))
         .as(Seq("_pos", "_para")))
     val blank = trim(col("_para")) === ""
-    val owners = paras.where(!blank)
-      .groupBy(trim(col("_para")).as("_key"))
-      .agg(min(col(idCol)).as("_owner"))
-    paras.join(owners,
+    paras.join(
+        owners.select(col("paragraph").as("_key"), col("owner").as("_owner")),
         trim(col("_para")) === col("_key"), "left")
       .withColumn("_keep", blank || col(idCol).isNull ||
-        col(idCol) <= col("_owner"))
+        col("_owner").isNull || col(idCol) <= col("_owner"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_paragraphs"),
         count(when(!col("_keep"), lit(1))).cast("long").as("n_removed"),

@@ -176,6 +176,35 @@ class BoilerplateLinesSpec extends AnyFunSuite {
       "the null-id doc keeps everything, counted consistently")
   }
 
+  test("r19 incremental paragraph owners: merged-over-OVERLAPPING " +
+      "batches equals one-shot (min distributes — stronger than the " +
+      "lines df-sum, which requires disjoint snapshots); unknown " +
+      "paragraphs never convict; composition equals the batch law") {
+    val docs = Seq(
+      (1L, "shared para\n\nown one"),
+      (2L, "shared para\n\nown two"),
+      (3L, "own three\n\nshared para"))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
+    // overlapping split: doc 2 appears in BOTH batches (a replayed
+    // delta) — the lines family's sum would double-count; min doesn't
+    val a = Dedup.paragraphOwners(
+      docs.where(col("doc_id") <= 2), "doc_id", "text")
+    val b = Dedup.paragraphOwners(
+      docs.where(col("doc_id") >= 2), "doc_id", "text")
+    val merged = Dedup.mergeParagraphOwners(a, b)
+    val viaMerge = Dedup.dedupParagraphsWithOwners(docs, "doc_id", "text", merged)
+    assert(viaMerge.collect().toSet === oneShot.collect().toSet)
+    // a batch with a paragraph the snapshot never saw: keeps (the
+    // conservative incremental arm), while the snapshot-owned one drops
+    val delta = Seq((9L, "shared para\n\nbrand new para"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsWithOwners(delta, "doc_id", "text", merged)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(9L) === ((2L, 1L, "brand new para")))
+  }
+
   test("r18 dedupParagraphsAcrossDocs: a doc losing every paragraph " +
       "keeps its row with clean_text '' and blank-run splitting " +
       "handles 3+ newlines as one separator") {

@@ -43,8 +43,13 @@ class NewQueryPlanSpec extends AnyFunSuite {
   test("q103 chunk split: broadcast split requests, one window shuffle") {
     val plan = planOf("q103_chunk_split")
     assert(plan.contains("BroadcastHashJoin"), plan) // splits side
+    // TWO exchanges since r19: the chunk-side window shuffle (the one
+    // that matters at scale) plus the duplicate-request collapse
+    // aggregate on the CURATION-SIZED split frame (bounded by the
+    // human-review request batch, never corpus-sized)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges === 1, s"expected 1 exchange (window), got $exchanges")
+    assert(exchanges === 2, s"expected 2 exchanges (window + " +
+      s"request-side dedup), got $exchanges")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 

@@ -162,6 +162,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map(1L -> "hello\nworld", 2L -> "", 3L -> "fresh\ndoc"))
   }
 
+  test("r19 paragraph dedup streams as a stream-static join: the " +
+      "persisted owner snapshot convicts incoming docs' shared " +
+      "paragraphs; unknown paragraphs never convict — per-batch " +
+      "apply with fixed owners ≡ the batch law") {
+    val tmp = Files.createTempDirectory("spara").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // the corpus-trained owner snapshot (what a pipeline persists)
+    val owners = Seq(("shared header", 1L)).toDF("paragraph", "owner")
+    val q = spark.readStream.schema("id LONG, text STRING").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.dedupParagraphsWithOwners(
+            batch, "id", "text", owners)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    Seq((7L, "shared header\n\nseven's own"),
+        (8L, "shared header"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    Seq((9L, "unseen para\n\nshared header"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(7L -> "seven's own", 8L -> "",
+      9L -> "unseen para"))
+  }
+
   test("cross-snapshot near-dup verdicts stream as foreachBatch over " +
       "PERSISTED prior artifacts (buckets + shingles live with the " +
       "snapshot, never rebuilt per batch): each micro-batch's output " +
