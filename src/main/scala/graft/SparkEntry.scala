@@ -94,7 +94,7 @@ object SparkEntry {
        |p AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
        |  unnest(parts) AS para
        |  FROM (SELECT doc_id,
-       |    string_split_regex(coalesce(text, ''), '\n{2,}') AS parts
+       |    string_split_regex(coalesce(text, ''), '\\n{2,}') AS parts
        |    FROM d)),
        |o AS (SELECT trim(para) AS key, min(doc_id) AS owner
        |  FROM p WHERE trim(para) <> '' GROUP BY trim(para)),
@@ -5098,19 +5098,15 @@ object SparkEntry {
     Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
   }
 
-  /** Cross-document paragraph dedup (Dedup.dedupParagraphsAcrossDocs,
-    * the paragraph granularity of the Lee et al. 2022 matrix):
-    * synthesized paragraph layout — every doc leads with its
-    * mod-7-class boilerplate paragraph (shared across ~1/7th of the
-    * corpus, kept only by the class's min doc id), keeps its own text
-    * as the middle paragraph, every third doc trails a second shared
-    * notice, and a whitespace-only paragraph separates — blanks never
-    * convict. */
-  /** The q232/q233 synthesized paragraph layout over `documents` —
-    * ONE definition (r19: q233 replays the same layout under null
-    * ids; an inline copy is the drift class the `...Over` fragments
-    * exist to eliminate). The layout is a function of the ORIGINAL
-    * doc_id, so q233 can null the id after synthesis. */
+  /** The q232/q233/q234 synthesized paragraph layout over `documents`
+    * — ONE definition (r19: q233/q234 replay the same layout; an
+    * inline copy is the drift class the `...Over` fragments exist to
+    * eliminate): every doc leads with its mod-7-class boilerplate
+    * paragraph (shared across ~1/7th of the corpus), keeps its own
+    * text as the middle paragraph, every third doc trails a second
+    * shared notice, and a whitespace-only paragraph separates. The
+    * layout is a function of the ORIGINAL doc_id, so q233 can null
+    * the id after synthesis. */
   private def paragraphLayout: org.apache.spark.sql.Column =
     concat(
       lit("Shared header "), (col("doc_id") % 7).cast("string"),
@@ -5122,6 +5118,10 @@ object SparkEntry {
         .otherwise(concat(lit("unique tail "),
           col("doc_id").cast("string")))).as("text")
 
+  /** Cross-document paragraph dedup (Dedup.dedupParagraphsAcrossDocs,
+    * the paragraph granularity of the Lee et al. 2022 matrix) over
+    * the synthesized layout: shared headers kept only by each class's
+    * min doc id, blanks never convict. */
   private def q232(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
     val docs = base.select(col("doc_id"), paragraphLayout)

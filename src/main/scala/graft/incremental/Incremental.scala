@@ -76,7 +76,11 @@ object Incremental {
     val payloadTieBreak = batch.columns
       .filterNot(Set("source_key", "ordinal", "content_hash"))
       .sorted.toSeq
-      .map(c => col(c).cast("string").desc_nulls_last)
+      // backtick-quote (r19 review): col() parses a dotted payload
+      // name as nested-field access — a `user.name` column that
+      // previously flowed through diff() untouched would throw here
+      .map(c => col("`" + c.replace("`", "``") + "`")
+        .cast("string").desc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source_key")
       .orderBy(col("ordinal").desc_nulls_last +:

@@ -60,9 +60,15 @@ object ChunkCuration {
     // chunk would multiply its joined row, emitting DUPLICATE chunk
     // ids. The reference applied call-by-call splits the first half
     // again under the SAME id — unrepresentable in one batch; the
-    // deterministic collapse keeps the minimum position (exact dups
-    // collapse; conflicts resolve to the earliest boundary).
+    // deterministic collapse keeps the minimum POSITIVE position
+    // (exact dups collapse; conflicts resolve to the earliest
+    // boundary). Non-positive positions filter BEFORE the min — they
+    // are invalid regardless of the chunk's text, and min would let
+    // one silently cancel a valid sibling request (the too-large
+    // class can't cancel: if the min positive is >= len, every
+    // request was). invalidSplits still censuses the raw frame.
     val sp = splits.select(col("chunk_id"), col("split_position").cast("int"))
+      .where(col("split_position") > 0)
       .groupBy(col("chunk_id"))
       .agg(min(col("split_position")).as("split_position"))
     val j = chunks.join(broadcast(sp), Seq("chunk_id"), "left")
@@ -108,13 +114,26 @@ object ChunkCuration {
     * down by (members - 1). Cross-document groups are the endpoint's
     * 400: their members pass through untouched. */
   def mergeChunks(chunks: DataFrame, groups: DataFrame): DataFrame = {
-    // one group per chunk (r19 review): a chunk_id mapped to two
-    // group_keys would join into BOTH groups — each merge consuming
-    // the same member and the member counted twice in the shifts. The
-    // reference can't express this either (the second call 404s on
-    // the consumed id); the deterministic collapse keeps min(group_key).
-    val g = broadcast(groups.select(col("chunk_id"), col("group_key"))
-      .groupBy(col("chunk_id")).agg(min(col("group_key")).as("group_key")))
+    // contested members invalidate EVERY group they touch (r19 review,
+    // twice): a chunk_id mapped to two group_keys would join into
+    // both groups — consumed twice and double-counted in the shifts.
+    // Assigning it to one group (the first collapse attempt) is also
+    // wrong: the residual group would still merge its remaining
+    // members, an outcome the reference call sequence can never
+    // produce (its second call 404s on the consumed id and the WHOLE
+    // call fails — the batch can't replay which call ran first). The
+    // conservative law: groups sharing ANY member all pass through
+    // untouched, like the cross-document 400 arm.
+    val gRaw = groups.select(col("chunk_id"), col("group_key"))
+    val contested = gRaw.groupBy(col("chunk_id"))
+      .agg(countDistinct(col("group_key")).as("_ng"))
+      .where(col("_ng") > 1).select(col("chunk_id"))
+    val contestedGroups = gRaw
+      .join(contested, Seq("chunk_id"), "left_semi")
+      .select(col("group_key")).distinct()
+    val g = broadcast(gRaw
+      .join(contestedGroups, Seq("group_key"), "left_anti")
+      .distinct())
     val members = chunks.join(g, Seq("chunk_id"))
     val gstats = members.groupBy(col("group_key")).agg(
       countDistinct(col("document_id")).as("_ndocs"),

@@ -229,16 +229,35 @@ class ChunkCurationSpec extends AnyFunSuite {
     assert(afterSplit.count() === 7)
     assert(afterSplit.where(col("chunk_id") === "c1")
       .select("chunk_text").as[String].head() === "gamma ")
-    // c1 mapped to two groups: only min(group_key) consumes it
+    // an INVALID duplicate (position 0) must not cancel its valid
+    // sibling — the reference 400s the 0 and applies the 6
+    val cancelSplit = Seq(("c1", 0), ("c1", 6)).toDF("chunk_id", "split_position")
+    val afterCancel = ChunkCuration.splitChunks(chunksDf, cancelSplit)
+    assert(afterCancel.count() === 7)
+    assert(afterCancel.where(col("chunk_id") === "c1")
+      .select("chunk_text").as[String].head() === "gamma ")
+    // c1 mapped to two groups: BOTH groups are contested and pass
+    // through untouched (the reference sequence 404s mid-call in an
+    // order the batch can't replay — merging either side would invent
+    // an outcome; the conservative law is the cross-document 400 arm)
     val dupGroup = Seq(("c0", "g1"), ("c1", "g1"), ("c1", "g2"), ("c2", "g2"))
       .toDF("chunk_id", "group_key")
     val afterMerge = ChunkCuration.mergeChunks(chunksDf, dupGroup)
+    assert(afterMerge.count() === 6, "nothing merges, nothing drops")
     assert(afterMerge.where(col("chunk_id") === "c0")
-      .select("chunk_text").as[String].head() === "alpha beta gamma delta epsilon")
-    // c2's g2 group degenerates to a singleton → passes through untouched
+      .select("chunk_text").as[String].head() === "alpha beta")
     assert(afterMerge.where(col("chunk_id") === "c2")
       .select("chunk_text").as[String].head() === "zeta")
-    assert(afterMerge.count() === 5)
+    // an uncontested group alongside the contested ones still merges,
+    // and exact duplicate (chunk_id, group_key) rows collapse
+    val mixed = Seq(("c0", "g1"), ("c1", "g1"), ("c1", "g2"), ("c2", "g2"),
+      ("c3", "g3"), ("d0", "g3"), ("c3", "g3"))
+      .toDF("chunk_id", "group_key")
+    val afterMixed = ChunkCuration.mergeChunks(chunksDf, mixed)
+    // g3 is cross-document → the 400 arm; members untouched — but it
+    // was NOT contested, so the invalid-group path (not the contested
+    // path) handles it; everything passes through
+    assert(afterMixed.count() === 6)
     // stale-size row: stored size 99, actual text 4 chars — the edit
     // history's old_length is len(old_text)
     val stale = chunksDf.withColumn("chunk_size",

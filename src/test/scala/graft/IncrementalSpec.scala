@@ -253,6 +253,13 @@ class IncrementalSpec extends AnyFunSuite {
       ("a", 100L, "h1", "payload-aaa"))
     assert(pick(withNull) === "payload-aaa")
     assert(pick(withNull.reverse) === "payload-aaa")
+    // a DOTTED payload column name flows through the tie-break
+    // (r19 review: unquoted col() parses the dot as nested access)
+    val dotted = Seq(("a", 100L, "h1", "v1"), ("a", 200L, "h2", "v2"))
+      .toDF("source_key", "ordinal", "content_hash", "user.name")
+    val got = Incremental.diff(dotted, Incremental.emptyTracking(spark), "v1")
+      .toEvaluate.select(col("`user.name`")).as[String].collect().toSeq
+    assert(got === Seq("v2"))
   }
 
   test("memoization: second run computes only misses") {
