@@ -68,8 +68,9 @@ object SparkEntry {
       "WHEN doc_id % 11 = 3 THEN 'of the and' " +
       "ELSE text END AS text FROM documents)"
 
-  /** DuckDB twin of [[paragraphLayout]] — the q232/q233 synthesized
-    * paragraph layout as a selectable body over `documents`. */
+  /** DuckDB twin of [[paragraphLayout]] — the q232/q233/q234
+    * synthesized paragraph layout as a selectable body over
+    * `documents`. */
   private val paragraphLayoutSql: String =
     """SELECT doc_id,
       |  'Shared header ' || (doc_id % 7) || ' about the corpus.' ||
@@ -81,8 +82,10 @@ object SparkEntry {
       |  FROM documents""".stripMargin
 
   /** The keep-first paragraph-dedup oracle over a (doc_id, text)
-    * body `dBody` — ONE definition for q232/q233 (twin of
-    * Dedup.dedupParagraphsAcrossDocs). The keep arm carries the
+    * body `dBody` — ONE definition for q232/q233/q234 (twin of
+    * Dedup.dedupParagraphsAcrossDocs; q234's merged-owner application
+    * must equal this one-shot law, so it shares the body verbatim).
+    * The keep arm carries the
     * explicit `doc_id IS NULL` clause (r19 advice — without it a
     * null-id doc's shared paragraphs read NULL keep: excluded from
     * clean_text AND uncounted in n_removed); the string_agg orders
@@ -5122,11 +5125,12 @@ object SparkEntry {
     * the paragraph granularity of the Lee et al. 2022 matrix) over
     * the synthesized layout: shared headers kept only by each class's
     * min doc id, blanks never convict. */
-  private def q232(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-    val docs = base.select(col("doc_id"), paragraphLayout)
-    Dedup.dedupParagraphsAcrossDocs(docs, "doc_id", "text")
-  }
+  /** The laid-out (doc_id, text) corpus shared by q232/q234. */
+  private def paragraphDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), paragraphLayout)
+
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupParagraphsAcrossDocs(paragraphDocs(s, dir), "doc_id", "text")
 
   /** The paragraph law under NULL doc ids (r19 advice: the q232 twin's
     * `doc_id <= owner` alone yields NULL keep on a null-id doc — its
@@ -5153,8 +5157,7 @@ object SparkEntry {
     * one-shot equality (exact, because min distributes over any
     * split — the q222 pattern without its append-only assumption). */
   private def q234(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-    val docs = base.select(col("doc_id"), paragraphLayout)
+    val docs = paragraphDocs(s, dir)
     val owners = (0 to 2).map(i =>
         Dedup.paragraphOwners(
           docs.where(col("doc_id") % 3 === i), "doc_id", "text"))
