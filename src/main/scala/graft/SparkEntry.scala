@@ -5121,14 +5121,14 @@ object SparkEntry {
         .otherwise(concat(lit("unique tail "),
           col("doc_id").cast("string")))).as("text")
 
-  /** Cross-document paragraph dedup (Dedup.dedupParagraphsAcrossDocs,
-    * the paragraph granularity of the Lee et al. 2022 matrix) over
-    * the synthesized layout: shared headers kept only by each class's
-    * min doc id, blanks never convict. */
   /** The laid-out (doc_id, text) corpus shared by q232/q234. */
   private def paragraphDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), paragraphLayout)
 
+  /** Cross-document paragraph dedup (Dedup.dedupParagraphsAcrossDocs,
+    * the paragraph granularity of the Lee et al. 2022 matrix) over
+    * the synthesized layout: shared headers kept only by each class's
+    * min doc id, blanks never convict. */
   private def q232(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupParagraphsAcrossDocs(paragraphDocs(s, dir), "doc_id", "text")
 
@@ -5158,9 +5158,15 @@ object SparkEntry {
     * split — the q222 pattern without its append-only assumption). */
   private def q234(s: SparkSession, dir: String): DataFrame = {
     val docs = paragraphDocs(s, dir)
+    // pmod, not % (r19 review pass 8): Spark % returns NEGATIVE
+    // remainders for negative ids, so a negative doc_id would match
+    // no snapshot and silently drop from the merged owners — the
+    // merge-equals-one-shot law must hold over ANY corpus, and the
+    // split must therefore PARTITION it (latent: the gate corpus has
+    // non-negative ids — the q233 null-id class, one column over)
     val owners = (0 to 2).map(i =>
         Dedup.paragraphOwners(
-          docs.where(col("doc_id") % 3 === i), "doc_id", "text"))
+          docs.where(pmod(col("doc_id"), lit(3)) === i), "doc_id", "text"))
       .reduce(Dedup.mergeParagraphOwners)
     Dedup.dedupParagraphsWithOwners(docs, "doc_id", "text", owners)
   }

@@ -37,6 +37,13 @@ object Incremental {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       trackingSchema)
 
+  /** A column reference by LITERAL name — backtick-quoted so a dotted
+    * payload name (`user.name`) is never parsed as nested-field
+    * access (r19 review: the caller-supplied payload columns flow
+    * through tie-break/memo expressions by name). */
+  private[incremental] def quotedCol(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def readTracking(spark: SparkSession, path: String): DataFrame =
     ParquetSink.read(spark, path).getOrElse(emptyTracking(spark))
 
@@ -76,11 +83,10 @@ object Incremental {
     val payloadTieBreak = batch.columns
       .filterNot(Set("source_key", "ordinal", "content_hash"))
       .sorted.toSeq
-      // backtick-quote (r19 review): col() parses a dotted payload
-      // name as nested-field access — a `user.name` column that
-      // previously flowed through diff() untouched would throw here
-      .map(c => col("`" + c.replace("`", "``") + "`")
-        .cast("string").desc_nulls_last)
+      // quotedCol (r19 review): col() parses a dotted payload name as
+      // nested-field access — a `user.name` column that previously
+      // flowed through diff() untouched would throw here
+      .map(c => Incremental.quotedCol(c).cast("string").desc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source_key")
       .orderBy(col("ordinal").desc_nulls_last +:
@@ -376,10 +382,15 @@ object Memo {
         // order: "10" < "2" as strings but not as numbers; either is
         // a valid deterministic pick, pass 8). Columns re-selected in
         // the INPUT order — compute() sees the schema it was given.
+        // quotedCol/getField (r19 review): dotted payload names must
+        // not parse as nested access — the same class the
+        // lastWinsPerKey tie-break was fixed for
         inputs.groupBy(col("_fp"))
-          .agg(min(struct(payloadCols.map(col): _*)).as("_rep"))
+          .agg(min(struct(payloadCols.map(Incremental.quotedCol): _*))
+            .as("_rep"))
           .select(inputs.columns.map(c =>
-            if (c == "_fp") col("_fp") else col("_rep." + c).as(c)): _*)
+            if (c == "_fp") col("_fp")
+            else col("_rep").getField(c).as(c)): _*)
       else {
         // unorderable payload (map-typed column): the aggregate form
         // would fail analysis — keep the string-cast window for this
@@ -388,7 +399,7 @@ object Memo {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("_fp")
           .orderBy(payloadCols.map(c =>
-            col(c).cast("string").asc_nulls_first): _*)
+            Incremental.quotedCol(c).cast("string").asc_nulls_first): _*)
         inputs.withColumn("_memo_rn", row_number().over(w))
           .where(col("_memo_rn") === 1).drop("_memo_rn")
       }

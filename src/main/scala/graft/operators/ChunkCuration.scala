@@ -124,7 +124,15 @@ object ChunkCuration {
     // call fails — the batch can't replay which call ran first). The
     // conservative law: groups sharing ANY member all pass through
     // untouched, like the cross-document 400 arm.
+    // null keys first (r19 review, third pass over this face): a null
+    // group_key identifies no group — countDistinct IGNORES nulls (so
+    // (c,'g1')+(c,null) read uncontested) and a null never matches
+    // the anti-join below, so the null row would ride into `g` and
+    // duplicate its chunk in the output. Null-keyed (or null-chunk)
+    // request rows are malformed — dropped; their chunks pass through
+    // via the non-member path unless another row groups them.
     val gRaw = groups.select(col("chunk_id"), col("group_key"))
+      .where(col("chunk_id").isNotNull && col("group_key").isNotNull)
     val contested = gRaw.groupBy(col("chunk_id"))
       .agg(countDistinct(col("group_key")).as("_ng"))
       .where(col("_ng") > 1).select(col("chunk_id"))

@@ -211,8 +211,8 @@ class ChunkCurationSpec extends AnyFunSuite {
   }
 
   test("r19 review: duplicate delete rows never over-shift survivors; " +
-      "duplicate splits collapse to the min position; a chunk in two " +
-      "merge groups joins ONE group (min key); old_length reads the " +
+      "duplicate splits collapse to the min VALID position; contested " +
+      "merge groups ALL pass through untouched; old_length reads the " +
       "ACTUAL old text, not a stale chunk_size (chunks.py:204)") {
     val spark2 = spark
     import spark2.implicits._
@@ -248,16 +248,30 @@ class ChunkCurationSpec extends AnyFunSuite {
       .select("chunk_text").as[String].head() === "alpha beta")
     assert(afterMerge.where(col("chunk_id") === "c2")
       .select("chunk_text").as[String].head() === "zeta")
-    // an uncontested group alongside the contested ones still merges,
-    // and exact duplicate (chunk_id, group_key) rows collapse
+    // an uncontested group alongside the contested ones still MERGES
+    // (r19 pass 8: the earlier arm's uncontested group was
+    // cross-document, so it couldn't detect an over-broad
+    // invalidation) — g3 is same-document (doc 2), and exact
+    // duplicate (chunk_id, group_key) rows collapse
     val mixed = Seq(("c0", "g1"), ("c1", "g1"), ("c1", "g2"), ("c2", "g2"),
-      ("c3", "g3"), ("d0", "g3"), ("c3", "g3"))
+      ("d0", "g3"), ("d1", "g3"), ("d0", "g3"))
       .toDF("chunk_id", "group_key")
     val afterMixed = ChunkCuration.mergeChunks(chunksDf, mixed)
-    // g3 is cross-document → the 400 arm; members untouched — but it
-    // was NOT contested, so the invalid-group path (not the contested
-    // path) handles it; everything passes through
-    assert(afterMixed.count() === 6)
+    assert(afterMixed.count() === 5, "g3 merges (6 chunks - 1)")
+    assert(afterMixed.where(col("chunk_id") === "d0")
+      .select("chunk_text").as[String].head() === "iota kappa lambda")
+    // a NULL group_key row is malformed noise: it neither contests
+    // its chunk's real group nor duplicates the chunk (r19 pass 8:
+    // countDistinct ignores nulls and the anti-join never matches a
+    // null key — unfiltered, the null row rode into the roster)
+    val withNull = Seq(("c0", "g1"), ("c1", "g1"),
+      ("c0", null.asInstanceOf[String]))
+      .toDF("chunk_id", "group_key")
+    val afterNull = ChunkCuration.mergeChunks(chunksDf, withNull)
+    assert(afterNull.count() === 5, "c0+c1 merge once; no duplicate c0")
+    assert(afterNull.where(col("chunk_id") === "c0")
+      .select("chunk_text").as[String].head()
+      === "alpha beta gamma delta epsilon")
     // stale-size row: stored size 99, actual text 4 chars — the edit
     // history's old_length is len(old_text)
     val stale = chunksDf.withColumn("chunk_size",

@@ -317,4 +317,25 @@ class IncrementalSpec extends AnyFunSuite {
     val r2 = Memo.cached(spark, s"$tmp/c2", in2, compute2)
     assert(r2.select($"value").as[String].collect().toSeq === Seq("ok"))
   }
+
+  test("r19 pass 8: a DOTTED payload column flows through Memo.cached " +
+      "on both the aggregate and the window arms (the lastWinsPerKey " +
+      "quoting class, applied where it was still missing)") {
+    val tmp = Files.createTempDirectory("memo-dot").toString
+    // orderable (string) payload with a dot → the aggregate arm
+    val in = Seq(("zz", "f1"), ("aa", "f1"))
+      .toDF("user.name", "_fp").repartition(2)
+    def compute(m: DataFrame): DataFrame =
+      m.select(col("_fp"), upper(col("`user.name`")).as("value"))
+    val r = Memo.cached(spark, s"$tmp/c1", in, compute)
+    assert(r.select($"value").as[String].collect().toSeq === Seq("AA"))
+    // unorderable (map) payload NEXT TO a dotted column → the window
+    // arm orders over both
+    val in2 = Seq(("f2", Map("k" -> "v"), "x"), ("f2", Map("k" -> "v"), "x"))
+      .toDF("_fp", "props", "a.b")
+    def compute2(m: DataFrame): DataFrame =
+      m.select(col("_fp"), lit("ok").as("value"))
+    val r2 = Memo.cached(spark, s"$tmp/c2", in2, compute2)
+    assert(r2.select($"value").as[String].collect().toSeq === Seq("ok"))
+  }
 }
