@@ -60,9 +60,21 @@ object Jobs {
     */
   def applyUpdates(jobs: DataFrame, updates: DataFrame,
       now: Column): DataFrame = {
+    // collapse duplicate ids BEFORE the join (r19 review — the
+    // curation-tier duplicate-request class): two update rows for one
+    // job would multiply its row. The reference applied call-by-call
+    // keeps the last write; a batch has no call order, so the
+    // deterministic collapse takes the max struct (ONE request's
+    // fields together, never a mix of two).
     val u = updates.select(col("id"), col("to_status"),
       col("message").as("_msg"), col("progress").as("_prog"),
       col("error").as("_err"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("to_status"), col("_msg"), col("_prog"),
+        col("_err"))).as("_u"))
+      .select(col("id"), col("_u.to_status").as("to_status"),
+        col("_u._msg").as("_msg"), col("_u._prog").as("_prog"),
+        col("_u._err").as("_err"))
     val clamped = least(lit(100), greatest(lit(0), col("_prog")))
     jobs.join(u, Seq("id"), "left")
       .withColumn("status", coalesce(col("to_status"), col("status")))
@@ -178,7 +190,10 @@ object Jobs {
     */
   def cancel(jobs: DataFrame, cancelIds: DataFrame,
       now: Column): (DataFrame, DataFrame) = {
-    val ids = cancelIds.select(col("id")).withColumn("_req", lit(true))
+    // distinct (r19 review): a duplicated cancel id would duplicate
+    // the JOB ROW in the updated frame through the left join
+    val ids = cancelIds.select(col("id")).distinct()
+      .withColumn("_req", lit(true))
     val joined = jobs.join(ids, Seq("id"), "left")
     val hit = col("_req").isNotNull &&
       !col("status").isin(Terminal.toSeq: _*)
@@ -216,7 +231,9 @@ object Jobs {
     */
   def retry(jobs: DataFrame, retryIds: DataFrame,
       now: Column): (DataFrame, DataFrame) = {
-    val ids = retryIds.select(col("id")).withColumn("_req", lit(true))
+    // distinct for the same duplicate-request reason as [[cancel]]
+    val ids = retryIds.select(col("id")).distinct()
+      .withColumn("_req", lit(true))
     val joined = jobs.join(ids, Seq("id"), "left")
     val requeue = col("_req").isNotNull && col("status") === Failed
     val updated = joined

@@ -89,6 +89,41 @@ class JobsSpec extends AnyFunSuite {
     assert(u("j3").getAs[String]("status") === "queued")
   }
 
+  test("r19 review: duplicate update/cancel/retry ids never multiply " +
+      "job rows — updates collapse to one deterministic request, " +
+      "cancel/retry rosters dedup") {
+    val jobs = mkJobs("j1" -> "a", "j2" -> "notion_scan")
+    // two updates for j1 in one batch: ONE row out, the max-struct pick
+    val dup = Seq(("j1", "running", "m-aaa"), ("j1", "running", "m-zzz"))
+      .toDF("id", "to_status", "message")
+      .withColumn("progress", lit(null).cast("int"))
+      .withColumn("error", lit(null).cast("string"))
+    val upd = Jobs.applyUpdates(jobs, dup, lit("T1"))
+    assert(upd.count() === 2, "same cardinality as the jobs frame")
+    assert(upd.where(col("id") === "j1")
+      .select("message").as[String].head() === "m-zzz")
+    // duplicated cancel ids: one job row out, one cancel applied
+    val (afterCancel, cOut) = Jobs.cancel(upd,
+      Seq("j1", "j1").toDF("id"), lit("T2"))
+    assert(afterCancel.count() === 2)
+    assert(afterCancel.where(col("id") === "j1")
+      .select("status").as[String].head() === "cancelled")
+    assert(cOut.count() === 1)
+    // duplicated retry ids after a failure: one job row out
+    val failed = Jobs.applyUpdates(upd,
+      Seq(("j2", "failed")).toDF("id", "to_status")
+        .withColumn("message", lit(null).cast("string"))
+        .withColumn("progress", lit(null).cast("int"))
+        .withColumn("error", lit(null).cast("string")),
+      lit("T3"))
+    val (afterRetry, rOut) = Jobs.retry(failed,
+      Seq("j2", "j2").toDF("id"), lit("T4"))
+    assert(afterRetry.count() === 2)
+    assert(afterRetry.where(col("id") === "j2")
+      .select("status").as[String].head() === "queued")
+    assert(rOut.count() === 1)
+  }
+
   test("cleanup drops old terminal jobs; null completed_at survives") {
     val jobs = mkJobs("j1" -> "a", "j2" -> "a", "j3" -> "a", "j4" -> "a")
     val staged = Jobs.applyUpdates(jobs,
