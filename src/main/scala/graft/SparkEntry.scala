@@ -81,6 +81,32 @@ object SparkEntry {
       |    ELSE 'unique tail ' || doc_id END AS text
       |  FROM documents""".stripMargin
 
+  /** DuckDB twin of Dedup.removeSharedSpans — the ExactSubstr
+    * keep-first law; shared verbatim by q200 (one-shot) and q235
+    * (merged owners), so the q235 gate IS merge-equals-one-shot. */
+  private def removeSpansOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $allToksSql AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest(generate_series(0, len(ws) - 8)) AS pos0,
+         |  unnest(list_transform(generate_series(0, len(ws) - 8),
+         |    i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
+         |  FROM t),
+         |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+         |cov AS (SELECT g.doc_id, list(DISTINCT pos0) AS starts
+         |  FROM g JOIN o USING (gram) WHERE g.doc_id > o.owner
+         |  GROUP BY g.doc_id),
+         |r AS (SELECT t.doc_id, ws, coalesce(starts, []) AS starts
+         |  FROM t LEFT JOIN cov USING (doc_id)),
+         |k AS (SELECT doc_id, ws,
+         |  list_filter(generate_series(0, len(ws) - 1),
+         |    p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS kept
+         |  FROM r)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
+         |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
+         |    '') AS clean_text
+         |FROM k""".stripMargin
+
   /** The keep-first paragraph-dedup oracle over a (doc_id, text)
     * body `dBody` — ONE definition for q232/q233/q234 (twin of
     * Dedup.dedupParagraphsAcrossDocs; q234's merged-owner application
@@ -4834,6 +4860,22 @@ object SparkEntry {
   private def q200(s: SparkSession, dir: String): DataFrame =
     Dedup.removeSharedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
 
+  /** Incremental span-owner law (r19 — the q200 TRAIN face run as
+    * three pmod snapshots): per-snapshot gram owners merge by
+    * per-gram MIN, applied to the whole corpus — the oracle replays
+    * the ONE-SHOT law verbatim, so the gate IS the merge-equals-
+    * one-shot equality (exact over any split; the q234 pattern at
+    * token-window granularity, completing the incremental matrix). */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val owners = (0 to 2).map(i =>
+        Dedup.spanGramOwners(
+          docs.where(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", 8))
+      .reduce(Dedup.mergeSpanGramOwners)
+    Dedup.removeSharedSpansWithOwners(docs, "doc_id", "text", 8, owners)
+  }
+
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
     * 12 merges learned over the corpus word-frequency table with the
     * pinned deterministic tie-break — the oracle unrolls the same 12
@@ -5503,7 +5545,8 @@ object SparkEntry {
     "q231_multilingual_draw" -> q231 _,
     "q232_paragraph_dedup" -> q232 _,
     "q233_paragraph_dedup_nullid" -> q233 _,
-    "q234_paragraph_owners_merge" -> q234 _)
+    "q234_paragraph_owners_merge" -> q234 _,
+    "q235_span_owners_merge" -> q235 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8754,32 +8797,15 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
          |       (beat.vec_id IS NULL) AS keep
          |FROM w LEFT JOIN beat ON w.vec_id = beat.vec_id""".stripMargin,
 
-    "q200_remove_spans" ->
-      // ExactSubstr keep-first law: gram → min-id owner, coverage
-      // windows [pos, pos+8) on later docs, survivors re-joined.
-      // Zipped unnests pair each position with its gram; docs
-      // shorter than 8 tokens produce no g rows and pass untouched.
-      s"""WITH t AS (SELECT doc_id, $allToksSql AS ws FROM documents),
-         |g AS (SELECT doc_id,
-         |  unnest(generate_series(0, len(ws) - 8)) AS pos0,
-         |  unnest(list_transform(generate_series(0, len(ws) - 8),
-         |    i -> array_to_string(ws[i+1:i+8], ' '))) AS gram
-         |  FROM t),
-         |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
-         |cov AS (SELECT g.doc_id, list(DISTINCT pos0) AS starts
-         |  FROM g JOIN o USING (gram) WHERE g.doc_id > o.owner
-         |  GROUP BY g.doc_id),
-         |r AS (SELECT t.doc_id, ws, coalesce(starts, []) AS starts
-         |  FROM t LEFT JOIN cov USING (doc_id)),
-         |k AS (SELECT doc_id, ws,
-         |  list_filter(generate_series(0, len(ws) - 1),
-         |    p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS kept
-         |  FROM r)
-         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-         |  CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
-         |  coalesce(array_to_string(list_transform(kept, p -> ws[p+1]), ' '),
-         |    '') AS clean_text
-         |FROM k""".stripMargin,
+    // ExactSubstr keep-first law: gram → min-id owner, coverage
+    // windows [pos, pos+8) on later docs, survivors re-joined.
+    // Zipped unnests pair each position with its gram; docs
+    // shorter than 8 tokens produce no g rows and pass untouched.
+    // ONE definition (removeSpansOracleSql) shared with q235, whose
+    // merged-owner application must equal this one-shot law.
+    "q200_remove_spans" -> removeSpansOracleSql,
+
+    "q235_span_owners_merge" -> removeSpansOracleSql,
 
     "q201_bpe_merges" ->
       (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +

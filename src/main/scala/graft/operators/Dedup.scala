@@ -850,11 +850,70 @@ object Dedup {
     * Output: (idCol, n_tokens, n_dropped, clean_text). */
   def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // the one-shot composition builds toks/grams ONCE and derives the
+    // owner aggregate from the SAME grams value — calling the TRAIN
+    // face here instead would mint fresh alias exprIds, the subtrees
+    // would no longer be structurally equal, and the gram exchange
+    // would NOT reuse (r19 pass 11: the delegation refactor cost a
+    // third scan + a second tokenize pass on this carded cell)
     val toks = tokensFrame(df, idCol, textCol)
     val grams = posGrams(toks, idCol, n)
     val owners = grams.groupBy(col("gram"))
-      .agg(min(col(idCol)).as("_owner"))
-    val cov = grams.join(owners, Seq("gram"))
+      .agg(min(col(idCol)).as("owner"))
+    applySpanOwners(toks, grams, owners, idCol, n)
+  }
+
+  /** TRAIN face of the span law (r19 — completing the incremental
+    * TRAIN/MERGE/APPLY matrix at its last granularity: document
+    * [[newAgainstSnapshot]], paragraph [[paragraphOwners]], line
+    * [[boilerplateLineCounts]], and now the token window): the
+    * persistable (gram, owner) table — one row per distinct n-gram
+    * with its minimum doc id. min IGNORES null ids, so a gram carried
+    * only by null-id docs yields a null owner — which the apply face's
+    * strict `>` can never convict on (null rows kept: harmless, and
+    * filtering them would make this aggregate differ from the
+    * one-shot composition's in-line owner aggregate). */
+  def spanGramOwners(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    posGrams(tokensFrame(df, idCol, textCol), idCol, n)
+      .groupBy(col("gram"))
+      .agg(min(col(idCol)).as("owner"))
+
+  /** Incremental TRAIN merge: per-gram MIN of owners — like
+    * [[mergeParagraphOwners]], EXACT over any split (min is
+    * idempotent and commutative; overlapping or replayed batch ids
+    * are safe, no append-only assumption — q235 gates
+    * merge-equals-one-shot against the q200 oracle verbatim). */
+  def mergeSpanGramOwners(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("gram"))
+      .agg(min(col("owner")).as("owner"))
+
+  /** APPLY face: the ExactSubstr keep-first law against a persisted
+    * owner snapshot ((gram, owner) — [[spanGramOwners]]). An
+    * occurrence convicts iff its gram is KNOWN to the snapshot with
+    * an owner strictly below its doc id (unknown grams never convict
+    * — the conservative incremental arm; a null doc id never
+    * convicts either, `null > owner` is never true). Stateless
+    * w.r.t. the input, so it applies unchanged to a streaming delta
+    * via foreachBatch (stream-static join, the
+    * [[dedupParagraphsWithOwners]] posture — StreamingSpec pins it).
+    * With owners trained on a superset of `df`, composition equals
+    * the one-shot law: [[removeSharedSpans]] IS this face over
+    * [[spanGramOwners]] of the same frame. */
+  def removeSharedSpansWithOwners(df: DataFrame, idCol: String,
+      textCol: String, n: Int, owners: DataFrame): DataFrame = {
+    val toks = tokensFrame(df, idCol, textCol)
+    applySpanOwners(toks, posGrams(toks, idCol, n), owners, idCol, n)
+  }
+
+  /** Shared apply tail of the span-owner faces: conviction join +
+    * coverage aggregate + rebuild, over caller-shared toks/grams. */
+  private def applySpanOwners(toks: DataFrame, grams: DataFrame,
+      owners: DataFrame, idCol: String, n: Int): DataFrame = {
+    val cov = grams
+      .join(owners.select(col("gram"), col("owner").as("_owner")),
+        Seq("gram"))
       .where(col(idCol) > col("_owner"))
       .groupBy(col(idCol))
       .agg(collect_set(col("pos0")).as("starts"))

@@ -88,4 +88,38 @@ class ExactSubstrSpec extends AnyFunSuite {
         .head().getAs[Long]("n_dropped") === 0L)
     } finally out.unpersist()
   }
+
+  test("r19 incremental span owners: merged-over-OVERLAPPING batches " +
+      "equals one-shot (min distributes); unknown grams never " +
+      "convict; null-id docs never convict (strict > on a null id)") {
+    val rows = Seq(
+      1L -> "a b c q r",
+      2L -> "a b c x a b c",
+      3L -> "q r s t u")
+    val docs = rows.toDF("doc_id", "text")
+    val oneShot = Dedup.removeSharedSpans(docs, "doc_id", "text", 3)
+    // overlapping split: doc 2 appears in BOTH batches (replayed delta)
+    val a = Dedup.spanGramOwners(
+      docs.where(col("doc_id") <= 2), "doc_id", "text", 3)
+    val b = Dedup.spanGramOwners(
+      docs.where(col("doc_id") >= 2), "doc_id", "text", 3)
+    val merged = Dedup.mergeSpanGramOwners(a, b)
+    val viaMerge = Dedup.removeSharedSpansWithOwners(
+      docs, "doc_id", "text", 3, merged)
+    assert(viaMerge.collect().toSet === oneShot.collect().toSet)
+    // a delta with an unseen gram keeps it; the snapshot-owned span drops
+    val delta = Seq(9L -> "a b c z z z").toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpansWithOwners(
+        delta, "doc_id", "text", 3, merged)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(9L) === ((6L, 3L, "z z z")))
+    // null-id delta row: nothing convicts (null > owner is never true)
+    val nullDelta = Seq((null.asInstanceOf[java.lang.Long], "a b c q r"))
+      .toDF("doc_id", "text")
+    val outNull = Dedup.removeSharedSpansWithOwners(
+      nullDelta, "doc_id", "text", 3, merged).collect()
+    assert(outNull.length === 1 && outNull(0).getLong(2) === 0L &&
+      outNull(0).getString(3) === "a b c q r")
+  }
 }

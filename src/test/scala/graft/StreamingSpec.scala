@@ -194,6 +194,38 @@ class StreamingSpec extends AnyFunSuite {
       9L -> "unseen para"))
   }
 
+  test("r19 span dedup streams as a stream-static join: the persisted " +
+      "gram-owner snapshot convicts incoming docs' shared windows; " +
+      "unknown grams never convict — per-batch apply with fixed " +
+      "owners ≡ the batch law") {
+    val tmp = Files.createTempDirectory("sspan").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // the corpus-trained owner snapshot: doc 1 owns "a b c"
+    val owners = Seq(("a b c", 1L)).toDF("gram", "owner")
+    val q = spark.readStream.schema("id LONG, text STRING").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.removeSharedSpansWithOwners(
+            batch, "id", "text", 3, owners)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    Seq((7L, "a b c z z z"), (1L, "a b c q r"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    Seq((9L, "u v w"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 7 loses the owned window; the OWNER doc keeps its own span;
+    // doc 9's grams are unknown to the snapshot
+    assert(out === Map(7L -> "z z z", 1L -> "a b c q r", 9L -> "u v w"))
+  }
+
   test("cross-snapshot near-dup verdicts stream as foreachBatch over " +
       "PERSISTED prior artifacts (buckets + shingles live with the " +
       "snapshot, never rebuilt per batch): each micro-batch's output " +
