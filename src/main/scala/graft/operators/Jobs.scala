@@ -65,12 +65,20 @@ object Jobs {
     // job would multiply its row. The reference applied call-by-call
     // keeps the last write; a batch has no call order, so the
     // deterministic collapse takes the max struct (ONE request's
-    // fields together, never a mix of two).
+    // fields together, never a mix of two) — with TERMINAL statuses
+    // leading the ordering (r19 pass 12: a plain lexical max let
+    // 'running' beat 'completed'/'failed'/'cancelled', silently
+    // discarding a lifecycle-ending update that no later batch will
+    // ever re-send; terminal absorbs, matching the tracker's
+    // end-state semantics).
     val u = updates.select(col("id"), col("to_status"),
       col("message").as("_msg"), col("progress").as("_prog"),
       col("error").as("_err"))
       .groupBy(col("id"))
-      .agg(max(struct(col("to_status"), col("_msg"), col("_prog"),
+      .agg(max(struct(
+        col("to_status").isin(Terminal.toSeq.map(x => x: Any): _*)
+          .as("_terminal"),
+        col("to_status"), col("_msg"), col("_prog"),
         col("_err"))).as("_u"))
       .select(col("id"), col("_u.to_status").as("to_status"),
         col("_u._msg").as("_msg"), col("_u._prog").as("_prog"),

@@ -102,6 +102,23 @@ class JobsSpec extends AnyFunSuite {
     assert(upd.count() === 2, "same cardinality as the jobs frame")
     assert(upd.where(col("id") === "j1")
       .select("message").as[String].head() === "m-zzz")
+    // a TERMINAL update in the same batch beats a non-terminal one
+    // (r19 pass 12: lexical max alone let 'running' > 'completed'
+    // discard the lifecycle end, which no later batch re-sends) —
+    // and the winning request's fields travel TOGETHER
+    val mixed = Seq(("j2", "running", "mid-flight"),
+        ("j2", "completed", null.asInstanceOf[String]))
+      .toDF("id", "to_status", "message")
+      .withColumn("progress", when(col("to_status") === "running", 50))
+      .withColumn("error", lit(null).cast("string"))
+    val term = Jobs.applyUpdates(jobs, mixed, lit("T1"))
+      .where(col("id") === "j2")
+    assert(term.select("status").as[String].head() === "completed")
+    assert(term.select("progress").as[Int].head() === 100,
+      "completed forces 100")
+    assert(term.select("completed_at").as[String].head() === "T1")
+    assert(term.select("message").as[String].head() === "Job queued",
+      "the losing request's message must not leak into the winner")
     // duplicated cancel ids: one job row out, one cancel applied
     val (afterCancel, cOut) = Jobs.cancel(upd,
       Seq("j1", "j1").toDF("id"), lit("T2"))
