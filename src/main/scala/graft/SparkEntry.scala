@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Partitioning
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bpe, Chunker, CorpusArtifacts, Dedup, Entities, Search, Sessionize, SimilaritySearch}
+import graft.operators.{Bpe, Chunker, ContrastiveMining, CorpusArtifacts, Dedup, Entities, History, Search, Sessionize, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -4876,6 +4876,55 @@ object SparkEntry {
     Dedup.removeSharedSpansWithOwners(docs, "doc_id", "text", 8, owners)
   }
 
+  /** The contrastive-mining anchor slice: every 50th vector (10
+    * anchors at the 500-vector gate corpus) — the bounded-anchor
+    * posture ContrastiveMining.hardNegatives broadcasts. */
+  private def contrastiveAnchors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(50)) === 0)
+
+  /** Hard-negative mining (ContrastiveMining.hardNegatives): per
+    * anchor, the top-3 most-cosine-similar DIFFERENT-label vectors —
+    * the retrieval-training-data face (DPR-style negatives). Label
+    * law: NULL labels neither mine nor are mined. */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.hardNegatives(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      contrastiveAnchors(s, dir), 64, 3)
+
+  /** Triplet mining (ContrastiveMining.triplets): per anchor, the
+    * hardest positive (same label, self excluded), the hardest
+    * negative (different label), and the margin between the rounded
+    * scores — inner semantics (no triplet without both legs). */
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.triplets(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      contrastiveAnchors(s, dir), 64)
+
+  /** Full-corpus hard negatives through banded hyperplane LSH
+    * (ContrastiveMining.hardNegativesLsh) — every labeled vector is
+    * an anchor, candidates from the q72 signature law (36 bits, 12
+    * bands of 3), so only band-colliding pairs are visible. The
+    * oracle replays the signature/band/bucket pipeline verbatim. */
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.hardNegativesLsh(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)
+
+  /** SCD2 validity-interval history (History.scd2) over the events
+    * change log: per user, one row per event_type CHANGE with
+    * [valid_from, valid_to) intervals, version numbers and the
+    * is_current flag — unchanged-payload rows compact away. */
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    History.scd2(t(s, dir, "events"), "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+      // gate boundary: timestamps as epoch micros (the q68 parity
+      // convention — raw TIMESTAMP columns don't hash cross-engine;
+      // events.ts is TIMESTAMP_NTZ in the parquet, unix_micros needs
+      // LTZ, session tz is UTC so the cast is the identity instant)
+      .select(col("user_id"), col("version"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+        col("is_current"), col("event_type"))
+
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
     * 12 merges learned over the corpus word-frequency table with the
     * pinned deterministic tie-break — the oracle unrolls the same 12
@@ -5546,7 +5595,11 @@ object SparkEntry {
     "q232_paragraph_dedup" -> q232 _,
     "q233_paragraph_dedup_nullid" -> q233 _,
     "q234_paragraph_owners_merge" -> q234 _,
-    "q235_span_owners_merge" -> q235 _)
+    "q235_span_owners_merge" -> q235 _,
+    "q236_hard_negatives" -> q236 _,
+    "q237_triplets" -> q237 _,
+    "q238_hard_negatives_lsh" -> q238 _,
+    "q239_scd2_history" -> q239 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8806,6 +8859,95 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     "q200_remove_spans" -> removeSpansOracleSql,
 
     "q235_span_owners_merge" -> removeSpansOracleSql,
+
+    // Contrastive-mining tier (q236-q238): labeled-embedding hard
+    // negatives / triplets. Label law on BOTH sides: NULL labels and
+    // non-64-wide vectors are out of the mining corpus entirely.
+    "q236_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+        |  FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND label IS NOT NULL AND len(embedding) = 64),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl
+        |  FROM embeddings WHERE label IS NOT NULL AND len(embedding) = 64),
+        |s AS (SELECT anchor_id, neighbor_id, ${cosSql("av", "nv")} AS cos
+        |  FROM c CROSS JOIN a WHERE al <> nl),
+        |r AS (SELECT anchor_id, neighbor_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT anchor_id, neighbor_id, round(cos, 6) AS score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q237_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+        |  FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND label IS NOT NULL AND len(embedding) = 64),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl
+        |  FROM embeddings WHERE label IS NOT NULL AND len(embedding) = 64),
+        |s AS (SELECT anchor_id, neighbor_id, (al = nl) AS is_pos,
+        |  ${cosSql("av", "nv")} AS cos
+        |  FROM c CROSS JOIN a WHERE anchor_id IS DISTINCT FROM neighbor_id),
+        |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s),
+        |b AS (SELECT anchor_id,
+        |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+        |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+        |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+        |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+        |  FROM r WHERE rnk = 1 GROUP BY anchor_id)
+        |SELECT anchor_id, pos_id, round(pos_cos, 6) AS pos_score,
+        |  neg_id, round(neg_cos, 6) AS neg_score,
+        |  round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
+        |FROM b WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL""".stripMargin,
+
+    // Replays the q72 hyperplane signature law (36 bits, 12 bands of
+    // 3, dyadic-rational LCG planes) over the LABELED corpus, then
+    // symmetrizes each a<b collision into both mining directions.
+    "q238_hard_negatives_lsh" ->
+      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE label IS NOT NULL AND len(embedding) = 64),
+        |proj AS (SELECT vec_id, b,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> CAST(embedding[d] AS DOUBLE) *
+        |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+        |        / 1024.0)) AS s
+        |  FROM base CROSS JOIN generate_series(0, 35) t(b)),
+        |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
+        |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+        |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
+        |  WHERE a.vec_id < b2.vec_id),
+        |dir AS (SELECT id_a AS anchor_id, id_b AS neighbor_id FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand),
+        |sc AS (SELECT anchor_id, neighbor_id,
+        |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        |  FROM dir JOIN base ea ON dir.anchor_id = ea.vec_id
+        |           JOIN base eb ON dir.neighbor_id = eb.vec_id
+        |  WHERE ea.label <> eb.label),
+        |r AS (SELECT anchor_id, neighbor_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM sc)
+        |SELECT anchor_id, neighbor_id, round(cos, 6) AS score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // SCD2 history over the events change log: total order per user =
+    // (ts, event_id); unchanged event_type compacts (null-safe);
+    // timestamps cross the gate as epoch micros (q68 convention).
+    "q239_scd2_history" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev)),
+        |v AS (SELECT user_id, event_type, ts,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM s)
+        |SELECT user_id, version, epoch_us(ts) AS valid_from_us,
+        |  epoch_us(next_ts) AS valid_to_us,
+        |  (next_ts IS NULL) AS is_current, event_type FROM v""".stripMargin,
 
     "q201_bpe_merges" ->
       (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +

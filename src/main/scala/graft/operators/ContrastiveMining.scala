@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Contrastive-training-data mining over a labeled embedding corpus:
+  * hard negatives and anchor/positive/negative triplets, the
+  * retrieval/embedding-training face of the LLM data pipeline (DPR /
+  * Contriever-style hard-negative selection). Beyond-reference tier —
+  * the reference's nearest surface is plain vector search
+  * (search_service.py:56-117); it has no labeled-pair mining.
+  *
+  * Label law (shared by every face here, oracle-pinned by the
+  * q236-q238 gates): a NULL label is UNLABELED — it never forms a
+  * positive and never forms a negative. Both sides of the label
+  * comparison must be non-null, so null-label rows neither mine nor
+  * are mined. This is the standard convention (unlabeled rows carry
+  * no supervision either way), and it doubles as the degenerate-row
+  * guard the LSH faces need (a null row can't land in a bucket).
+  *
+  * Scale design:
+  *  - [[hardNegatives]] / [[triplets]]: the anchor set is the small
+  *    side of a broadcast nested-loop — the bounded-anchor mining job
+  *    (a training run mines negatives for its query set, not for the
+  *    whole corpus). Corpus stays partitioned; per-partition local
+  *    scoring; one shuffle for the per-anchor top-k window keyed on
+  *    anchor_id (cardinality = |anchors|, never the corpus).
+  *  - [[hardNegativesLsh]]: the full-corpus-anchors posture. A
+  *    corpus-sized anchor side cannot broadcast, so candidates come
+  *    from the SAME banded hyperplane-LSH pipeline the embedding
+  *    dedup faces use ([[Dedup.embeddingNearDupLsh]]'s
+  *    bandedCandidatePairs): signature → band explode → equi-join on
+  *    (band, bucket). Cost is Σ bucket² instead of n²; recall for a
+  *    pair at cosine s is 1−(1−p^bandBits)^bands with
+  *    p = 1 − arccos(s)/π — the high-cosine pairs hard-negative
+  *    mining wants are exactly the pairs LSH keeps. Approximate by
+  *    design; the gate pins the law, the spec pins exact-recall on
+  *    the fixture corpus.
+  */
+object ContrastiveMining {
+
+  /** Select (id, vec, label) with the label law applied: null-label
+    * rows are out, and rows whose vector is null or not `dim` wide
+    * are out (they carry no usable geometry; on the LSH path they
+    * would otherwise collapse into the zero-signature bucket). */
+  private def labeled(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, as: String): DataFrame =
+    df.select(col(idCol).as(s"${as}_id"), col(vecCol).as(s"${as}_vec"),
+        col(labelCol).as(s"${as}_label"))
+      .where(col(s"${as}_label").isNotNull &&
+        size(col(s"${as}_vec")) === dim)
+
+  /** Per anchor, the top-k most-similar DIFFERENT-label corpus rows
+    * by exact cosine (the hard negatives of a contrastive batch).
+    * Anchors broadcast (bounded anchor set); ties broken by
+    * neighbor_id ascending on the unrounded score, scores rounded to
+    * 6 places on output — the repo's cross-engine convention.
+    * Output: (anchor_id, neighbor_id, score, rnk). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, dim: Int, k: Int): DataFrame = {
+    val a = labeled(anchors, idCol, vecCol, labelCol, dim, "anchor")
+    val c = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("score",
+        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("anchor_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+
+  /** Per anchor, ONE (hardest-positive, hardest-negative) triplet:
+    * the same-label corpus row of highest cosine (self excluded,
+    * null-safe — a null-id anchor still excludes nothing but
+    * itself-by-id never matches) and the different-label row of
+    * highest cosine, plus the margin. Anchors with no positive or no
+    * negative candidate produce no triplet (inner semantics — a
+    * triplet needs all three legs). margin =
+    * round(round(pos,6) − round(neg,6), 6): both engines subtract
+    * the same IEEE doubles, so the gate hash-matches.
+    * Output: (anchor_id, pos_id, pos_score, neg_id, neg_score,
+    * margin). */
+  def triplets(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, dim: Int): DataFrame = {
+    val a = labeled(anchors, idCol, vecCol, labelCol, dim, "anchor")
+    val c = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
+    val scored = c.crossJoin(broadcast(a))
+      .where(!(col("anchor_id") <=> col("neighbor_id")))
+      .withColumn("is_pos", col("anchor_label") === col("neighbor_label"))
+      .withColumn("score",
+        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+    bestPairs(scored)
+  }
+
+  /** Shared tail of [[triplets]] / [[tripletsLsh]]: rank within
+    * (anchor, leg), keep rank 1 of each leg, fold the two ≤1-row legs
+    * into one row per anchor with a conditional-max aggregate (no
+    * self-join — the scored frame is scanned once). */
+  private def bestPairs(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("is_pos"), col("neighbor_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("score"))).as("pos_score"),
+        max(when(!col("is_pos"), col("neighbor_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("score"))).as("neg_score"))
+      .where(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("pos_score"), 6).as("pos_score"),
+        col("neg_id"),
+        round(col("neg_score"), 6).as("neg_score"),
+        round(round(col("pos_score"), 6) - round(col("neg_score"), 6), 6)
+          .as("margin"))
+  }
+
+  /** Full-corpus hard negatives: EVERY labeled row is an anchor, so
+    * candidates come from banded hyperplane LSH instead of a
+    * broadcast (see object doc). A candidate pair mines in BOTH
+    * directions (the band join emits a<b once; each side is the
+    * other's candidate), then the label law and per-anchor top-k
+    * apply as in [[hardNegatives]]. Only pairs that collide in ≥1
+    * band are visible — the documented recall trade.
+    * Output: (anchor_id, neighbor_id, score, rnk). */
+  def hardNegativesLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, k: Int,
+      bandBits: Int = 3, bands: Int = 12): DataFrame = {
+    val base = labeled(corpus, idCol, vecCol, labelCol, dim, "n")
+    val cand = Dedup.bandedCandidatePairs(
+      base.select(col("n_id"), col("n_vec")), "n_id", "n_vec",
+      dim, bandBits, bands)
+    // symmetrize: (a,b) mines as anchor=a,neighbor=b AND anchor=b,neighbor=a
+    val dir = cand.select(col("_id_a").as("anchor_id"), col("_id_b").as("neighbor_id"))
+      .unionAll(cand.select(col("_id_b").as("anchor_id"), col("_id_a").as("neighbor_id")))
+    val av = base.select(col("n_id").as("anchor_id"),
+      col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"))
+    val nv = base.select(col("n_id").as("neighbor_id"),
+      col("n_vec").as("neighbor_vec"), col("n_label").as("neighbor_label"))
+    val scored = dir.join(av, Seq("anchor_id")).join(nv, Seq("neighbor_id"))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("score",
+        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("anchor_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+  }
+}

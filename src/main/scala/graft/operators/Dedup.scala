@@ -507,11 +507,13 @@ object Dedup {
     * (8, 12).
     */
   /** THE banded hyperplane-LSH candidate pipeline — one home for the
-    * signature/band/bucket law shared by [[embeddingNearDupLsh]] and
+    * signature/band/bucket law shared by [[embeddingNearDupLsh]],
     * [[semDedupVerdictsLsh]] (which threads its cluster key into the
-    * bucket join via `extraKeys`, scoping candidates to the
-    * cluster). Output: distinct (_id_a, _id_b), _id_a < _id_b. */
-  private def bandedCandidatePairs(base: DataFrame, idCol: String,
+    * bucket join via `extraKeys`, scoping candidates to the cluster)
+    * and [[ContrastiveMining.hardNegativesLsh]] (which symmetrizes
+    * the pairs into per-anchor candidates).
+    * Output: distinct (_id_a, _id_b), _id_a < _id_b. */
+  private[operators] def bandedCandidatePairs(base: DataFrame, idCol: String,
       vecCol: String, dim: Int, bandBits: Int, bands: Int,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = extraKeys.map(col)

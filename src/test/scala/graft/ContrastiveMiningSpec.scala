@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ContrastiveMining
+
+/** The contrastive-mining tier (q236-q238): the label law (NULL never
+  * mines), self-exclusion, tie-breaks, inner-triplet semantics, the
+  * margin arithmetic, and the LSH posture's exact-agreement on a
+  * clustered fixture. */
+class ContrastiveMiningSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // dim-4 fixture: two tight clusters + a null-label row + a
+  // wrong-width row. Cosine structure: ids 1,2 (label 0) near +x;
+  // ids 3,4 (label 1) near +y; id 5 (label 0) near +y — so 3 and 4's
+  // hardest negative is 5, and 1's hardest negative is ~orthogonal.
+  private def fixture: DataFrame = Seq(
+    (1L, Seq(1.0f, 0.02f, 0f, 0f), Some(0)),
+    (2L, Seq(0.99f, 0.05f, 0f, 0f), Some(0)),
+    (3L, Seq(0.02f, 1.0f, 0f, 0f), Some(1)),
+    (4L, Seq(0.05f, 0.98f, 0f, 0f), Some(1)),
+    (5L, Seq(0.0f, 0.97f, 0.05f, 0f), Some(0)),
+    (6L, Seq(1.0f, 0f, 0f, 0f), None), // null label: never mines
+    (7L, Seq(1.0f, 0f), Some(1))       // wrong width: never mines
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives: label law — null-label and wrong-width rows " +
+      "appear neither as anchors nor as neighbors") {
+    val out = ContrastiveMining.hardNegatives(
+      fixture, "vec_id", "embedding", "label", fixture, 4, 10)
+    val anchors = out.select("anchor_id").as[Long].collect().toSet
+    val neighbors = out.select("neighbor_id").as[Long].collect().toSet
+    assert(!anchors.contains(6L) && !anchors.contains(7L))
+    assert(!neighbors.contains(6L) && !neighbors.contains(7L))
+  }
+
+  test("hardNegatives: per-anchor ranking is cosine desc with " +
+      "neighbor_id asc tie-break; only different labels surface") {
+    val out = ContrastiveMining.hardNegatives(
+        fixture, "vec_id", "embedding", "label",
+        fixture.where($"vec_id" === 3L), 4, 3)
+      .orderBy("rnk").collect()
+    // anchor 3 (label 1, +y): negatives are label-0 rows 1, 2, 5;
+    // 5 is nearly parallel → rank 1; 2 (y-component 0.05) beats
+    // 1 (y-component 0.02)
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 2L, 1L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+  }
+
+  test("triplets: self excluded from positives; inner semantics drop " +
+      "an anchor whose label has no other member") {
+    // make label 2 a singleton: its anchor has no positive leg
+    val withSingleton = fixture.unionByName(
+      Seq((8L, Seq(0.5f, 0.5f, 0f, 0f), Some(2))).toDF("vec_id", "embedding", "label"))
+    val out = ContrastiveMining.triplets(
+      withSingleton, "vec_id", "embedding", "label",
+      withSingleton.where($"vec_id".isin(1L, 8L)), 4)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(8L), "singleton-label anchor has no positive leg")
+    val a1 = rows(1L)
+    assert(a1.getLong(1) === 2L, "hardest positive of 1 is its cluster twin 2")
+    // the diagonal singleton 8 (label 2) IS a valid negative for 1 —
+    // and at 45° it's the hardest one
+    assert(a1.getLong(3) === 8L)
+  }
+
+  test("triplets: margin = round(round(pos,6) - round(neg,6), 6)") {
+    val out = ContrastiveMining.triplets(
+        fixture, "vec_id", "embedding", "label",
+        fixture.where($"vec_id" === 1L), 4)
+      .collect().head
+    val pos = out.getDouble(2); val neg = out.getDouble(4)
+    val expected =
+      BigDecimal(pos - neg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.getDouble(5) - expected) < 1e-9,
+      s"margin=${out.getDouble(5)} expected=$expected")
+  }
+
+  test("hardNegativesLsh: deterministic on a fixed fixture, agrees " +
+      "with exact mining on band-colliding cluster pairs, no cartesian") {
+    val df = ContrastiveMining.hardNegativesLsh(
+      fixture, "vec_id", "embedding", "label", 4, 3)
+    assert(!df.queryExecution.executedPlan.toString.contains("Cartesian"))
+    val lsh = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = ContrastiveMining.hardNegatives(
+        fixture, "vec_id", "embedding", "label", fixture, 4, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // subset law: every LSH-mined negative is a true label-mismatched
+    // pair with the exact cosine (rank may differ — candidates are
+    // restricted to band collisions)
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (a, n, s) => exact.contains((a, n, s)) })
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.History
+
+/** History.scd2 (q239): change compaction, revert semantics, the
+  * null-safe payload comparison, the all-NULL-first-row anchor, the
+  * tie-break, interval chaining, and multi-column change detection. */
+class HistorySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def log(rows: (Long, Long, Long, Option[String])*): DataFrame =
+    rows.toDF("key", "t", "seq", "payload")
+      .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+
+  private def run(df: DataFrame) =
+    History.scd2(df, "key", "t", Seq("payload"), Seq("seq"))
+
+  test("consecutive duplicates compact to one version; a revert opens " +
+      "a new one (A A A B A -> A, B, A)") {
+    val out = run(log(
+        (1L, 10L, 0L, Some("A")), (1L, 20L, 1L, Some("A")),
+        (1L, 30L, 2L, Some("A")), (1L, 40L, 3L, Some("B")),
+        (1L, 50L, 4L, Some("A"))))
+      .orderBy("version").collect()
+    assert(out.map(_.getAs[String]("payload")).toSeq === Seq("A", "B", "A"))
+    assert(out.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3))
+    // intervals chain: valid_to(k) == valid_from(k+1); only the last is open
+    assert(out(0).getAs[Timestamp]("valid_from") === ts(10))
+    assert(out(0).getAs[Timestamp]("valid_to") === ts(40))
+    assert(out(1).getAs[Timestamp]("valid_to") === ts(50))
+    assert(out(2).getAs[Timestamp]("valid_to") === null)
+    assert(out.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+  }
+
+  test("NULL payload: null-safe comparison — a NULL run compacts, and " +
+      "an all-NULL FIRST row still opens version 1") {
+    val out = run(log(
+        (2L, 10L, 0L, None), (2L, 20L, 1L, None),
+        (2L, 30L, 2L, Some("A")), (2L, 40L, 3L, None)))
+      .orderBy("version").collect()
+    assert(out.map(_.getAs[String]("payload")).toSeq ===
+      Seq(null, "A", null))
+    assert(out(0).getAs[Timestamp]("valid_from") === ts(10))
+  }
+
+  test("same-timestamp rows order by the tie-break column") {
+    val out = run(log(
+        (3L, 10L, 5L, Some("B")), (3L, 10L, 1L, Some("A")),
+        (3L, 20L, 9L, Some("B"))))
+      .orderBy("version").collect()
+    // seq 1 (A) precedes seq 5 (B) at t=10; the later B is unchanged
+    // FROM ITS PREDECESSOR (the t=10 B) and compacts
+    assert(out.map(_.getAs[String]("payload")).toSeq === Seq("A", "B"))
+    assert(out(1).getAs[Timestamp]("valid_from") === ts(10))
+    assert(out(1).getAs[Timestamp]("valid_to") === null)
+  }
+
+  test("multi-column payload: a change in ANY column opens a version") {
+    val df = Seq(
+        (4L, 10L, 0L, "A", 1), (4L, 20L, 1L, "A", 2),
+        (4L, 30L, 2L, "A", 2))
+      .toDF("key", "t", "seq", "p1", "p2")
+      .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "p1", "p2")
+    val out = History.scd2(df, "key", "t", Seq("p1", "p2"), Seq("seq"))
+      .orderBy("version").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Int]("p2")).toSeq === Seq(1, 2))
+  }
+
+  test("keys are independent and the plan carries ONE exchange for " +
+      "both windows (compaction lag + interval lead share partitioning)") {
+    val df = log((1L, 10L, 0L, Some("A")), (2L, 10L, 0L, Some("A")),
+      (2L, 20L, 1L, Some("B")))
+    val out = run(df)
+    assert(out.count() === 3)
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected a single shuffle, saw $exchanges")
+  }
+}
