@@ -176,6 +176,9 @@ object SparkEntry {
     nbScoresEnZh(s, dir).count()
     decontaminatedMod5(s, dir).count()
     nbScoresClean(s, dir).count()
+    // the near-dup component labels q176/q224/q226 share (the carded
+    // q226 census reads these; the MinHash walk is ingest work)
+    neardupComponentsOf(s, dir).count()
   }
 
   // ------------------------------------------------------------------
@@ -4346,12 +4349,22 @@ object SparkEntry {
     Dedup.minhashCandidates(t(s, dir, "documents"),
       "doc_id", "text", 3, 16, 4)
 
+  /** The q176 component labels as a shared ingest artifact — ONE
+    * MinHash walk per corpus for q176 and its group post-processing
+    * consumers (q224 keep-best, q226 census); the key pins the
+    * candidate-generation parameters (3-shingles, 16 hashes, 4
+    * bands). q223 deliberately does NOT read this: it gates the
+    * OTHER component algorithm against the same oracle. */
+  private def neardupComponentsOf(s: SparkSession, dir: String): DataFrame =
+    CorpusArtifacts.neardupComponents(s"${corpusKey(s, dir)}#cc:3-16-4",
+      Dedup.connectedComponents(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          neardupPairs(s, dir), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          col("is_representative")))
+
   private def q176(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id",
-        neardupPairs(s, dir), "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component"),
-        col("is_representative"))
+    neardupComponentsOf(s, dir)
 
   /** q176's grouping law computed by the OTHER component algorithm —
     * large-star/small-star contraction (Dedup.connectedComponentsStar

@@ -86,6 +86,21 @@ object CorpusArtifacts {
 
   private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Near-dup component labels ((doc_id, component,
+    * is_representative) — the q176 law), persisted. The dedup
+    * section's group post-processing (keep-best representative,
+    * group-size census) re-reads these labels per report; computing
+    * the MinHash walk once at ingest and memoizing is the same
+    * "persist the scored frame once" posture as [[nbScores]].
+    * `key` must pin corpus AND candidate-generation parameters — a
+    * shingle/band change under the same key would serve stale
+    * groups. */
+  def neardupComponents(key: String, build: => DataFrame): DataFrame =
+    componentCache.computeIfAbsent(key, _ =>
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val componentCache = new ConcurrentHashMap[String, DataFrame]()
+
   /** NB-quality scored frame ([[LmQuality.nbQualityScore]] output:
     * (idCol, n_tokens, avg_llr, keep)), persisted — the "persist the
     * scored frame once" posture the round-16 SCALING addenda held as
