@@ -4938,6 +4938,28 @@ object SparkEntry {
         unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
         col("is_current"), col("event_type"))
 
+  /** Incremental SCD2 (History.scd2Append): the events log folded in
+    * THREE append-only batches (event_id terciles — ts is globally
+    * monotone in event_id in this corpus, so the split preserves
+    * every key's (ts, tie) order), gated against the ONE-SHOT q239
+    * oracle verbatim — the gate IS merge-equals-one-shot. The
+    * max-id read is setup-time split harness, not operator cost. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val n = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val Seq(b1, b2, b3) = Seq(
+      ev.where(col("event_id") < lit(n / 3)),
+      ev.where(col("event_id") >= lit(n / 3) && col("event_id") < lit(2 * n / 3)),
+      ev.where(col("event_id") >= lit(2 * n / 3)))
+    val h1 = History.scd2(b1, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+    val h3 = Seq(b2, b3).foldLeft(h1)((h, b) =>
+      History.scd2Append(h, b, "user_id", "ts", Seq("event_type"), Seq("event_id")))
+    h3.select(col("user_id"), col("version"),
+      unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+      unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+      col("is_current"), col("event_type"))
+  }
+
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
     * 12 merges learned over the corpus word-frequency table with the
     * pinned deterministic tie-break — the oracle unrolls the same 12
@@ -5612,7 +5634,8 @@ object SparkEntry {
     "q236_hard_negatives" -> q236 _,
     "q237_triplets" -> q237 _,
     "q238_hard_negatives_lsh" -> q238 _,
-    "q239_scd2_history" -> q239 _)
+    "q239_scd2_history" -> q239 _,
+    "q240_scd2_append" -> q240 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8947,20 +8970,12 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // SCD2 history over the events change log: total order per user =
     // (ts, event_id); unchanged event_type compacts (null-safe);
     // timestamps cross the gate as epoch micros (q68 convention).
-    "q239_scd2_history" ->
-      """WITH o AS (SELECT user_id, ts, event_id, event_type,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |s AS (SELECT user_id, ts, event_id, event_type FROM o
-        |  WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev)),
-        |v AS (SELECT user_id, event_type, ts,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
-        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-        |  FROM s)
-        |SELECT user_id, version, epoch_us(ts) AS valid_from_us,
-        |  epoch_us(next_ts) AS valid_to_us,
-        |  (next_ts IS NULL) AS is_current, event_type FROM v""".stripMargin,
+    "q239_scd2_history" -> scd2OracleSql,
+
+    // Incremental fold of the SAME log in three append-only batches —
+    // the gate IS merge-equals-one-shot, so the one-shot oracle
+    // serves verbatim (the q234/q235 pattern).
+    "q240_scd2_append" -> scd2OracleSql,
 
     "q201_bpe_merges" ->
       (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +
@@ -9682,6 +9697,26 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin
+
+  /** ONE SCD2 oracle body for the one-shot gate (q239) and the
+    * append-only incremental fold (q240, whose law IS
+    * merge-equals-one-shot): per-user event_type validity intervals
+    * over the events change log, (ts, event_id) total order,
+    * null-safe compaction, epoch-micros boundary. */
+  private def scd2OracleSql: String =
+    """WITH o AS (SELECT user_id, ts, event_id, event_type,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE rn = 1 OR NOT (event_type IS NOT DISTINCT FROM prev)),
+      |v AS (SELECT user_id, event_type, ts,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM s)
+      |SELECT user_id, version, epoch_us(ts) AS valid_from_us,
+      |  epoch_us(next_ts) AS valid_to_us,
+      |  (next_ts IS NULL) AS is_current, event_type FROM v""".stripMargin
 
   /** q72 (and q153's auto twin at the 500-vector gate corpus): 36-bit
     * hyperplane signatures in 12 bands of 3, candidates verified with

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Change-log → validity-interval history (SCD type 2): turn an
   * append-only event/change log into one row per (key, version) with
@@ -64,5 +65,93 @@ object History {
       .select((col(keyCol) +: col("version") +: col("valid_from") +:
         col("valid_to") +: col("is_current") +:
         payloadCols.map(col)): _*)
+  }
+
+  /** Incremental SCD2 (the streaming foreachBatch posture): fold an
+    * APPEND-ONLY micro-batch of change-log rows into an existing
+    * [[scd2]] history, touching only the keys the batch carries.
+    *
+    * Append-only contract (the lines family's df-sum analogue —
+    * weaker than the owner-table merges, which is inherent: change
+    * compaction is order-dependent, so a batch may not interleave
+    * BEFORE rows already folded): every batch row for an existing
+    * key must sit at-or-after the key's open version's valid_from in
+    * the (ts, tie-break) total order; rows strictly earlier are LATE
+    * and are dropped (the watermark discipline — count them upstream
+    * if they must be audited). Under that contract, folding any
+    * batch split equals the one-shot [[scd2]] of the whole log —
+    * the q240 gate replays a 3-way split against the one-shot
+    * oracle verbatim.
+    *
+    * Mechanics: closed versions of touched keys pass through
+    * untouched (their intervals ended before the open version
+    * began); the OPEN version is re-opened as a seed log row (its
+    * valid_from + payload, ordered before any equal-ts batch row),
+    * the compaction law reruns over seed ∪ batch, and the recomputed
+    * segment renumbers from the open version's number. A batch that
+    * only repeats the open payload therefore reproduces the open
+    * version verbatim — the idle fast path costs one compaction
+    * window over the touched segment, never a history rewrite.
+    *
+    * Scale: untouched keys move via one anti-join (no window);
+    * the windows run over |touched segment| = open versions + batch
+    * rows, not the history. */
+  def scd2Append(history: DataFrame, batch: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2Append needs at least one payload column")
+    val outCols: Seq[String] =
+      Seq(keyCol, "version", "valid_from", "valid_to", "is_current") ++ payloadCols
+    def tieType(c: String): DataType = batch.schema(c).dataType
+    val affected = batch.select(col(keyCol)).distinct()
+      .withColumn("_aff", lit(true))
+    // ONE history scan classifies every row via a BROADCAST of the
+    // batch's key set (a micro-batch is small relative to the
+    // history — the knnJoin probe-side posture): untouched keys and
+    // the touched keys' CLOSED versions pass through together (their
+    // intervals ended before the open version began), so history is
+    // never shuffled — only the seed ∪ batch segment is. The
+    // broadcast is also what keeps the nested fold plannable: with
+    // shuffle joins here, AQE's reused-exchange coalescing handed the
+    // q240 fold SMJ children with unequal partition counts.
+    val flagged = history.join(broadcast(affected), Seq(keyCol), "left")
+    val isOpen = coalesce(col("_aff"), lit(false)) && col("is_current")
+    val passThrough = flagged.where(!isOpen).select(outCols.map(col): _*)
+    val open = flagged.where(isOpen)
+    val openMeta = open.select(col(keyCol),
+      col("version").as("_base_version"), col("valid_from").as("_open_from"))
+    // seed: the open version as a log row; _src 0 orders it before
+    // any equal-ts batch row (its tie-break values are not retained
+    // in the history — the append-only contract makes them moot)
+    val seedLog = open.select((col(keyCol) +: col("valid_from").as("_t") +:
+      lit(0).as("_src") +: payloadCols.map(col)) ++
+      tieBreakCols.map(c => lit(null).cast(tieType(c)).as(c)): _*)
+    val batchLog = batch
+      .join(broadcast(openMeta.select(col(keyCol), col("_open_from"))),
+        Seq(keyCol), "left")
+      .where(col("_open_from").isNull || col(tsCol) >= col("_open_from"))
+      .select((col(keyCol) +: col(tsCol).as("_t") +:
+        lit(1).as("_src") +: payloadCols.map(col)) ++ tieBreakCols.map(col): _*)
+    val log = seedLog.unionByName(batchLog)
+    val ord = col("_t").asc +: col("_src").asc +: tieBreakCols.map(col(_).asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val unchanged = payloadCols
+      .map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduce(_ && _)
+    val survivors = log
+      .withColumn("_chg", row_number().over(w) === 1 || !unchanged)
+      .where(col("_chg"))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val recomputed = survivors
+      .withColumn("_seg", row_number().over(w2))
+      .withColumn("valid_from", col("_t"))
+      .withColumn("valid_to", lead(col("_t"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .join(broadcast(openMeta.select(col(keyCol), col("_base_version"))),
+        Seq(keyCol), "left")
+      .withColumn("version",
+        (coalesce(col("_base_version"), lit(1)) - 1 + col("_seg")).cast("int"))
+      .select(outCols.map(col): _*)
+    passThrough.unionByName(recomputed)
   }
 }

@@ -76,6 +76,59 @@ class HistorySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("p2")).toSeq === Seq(1, 2))
   }
 
+  test("scd2Append: folding any append-only split equals the one-shot " +
+      "history (2-way and 3-way, compaction crossing batch boundaries)") {
+    val rows = Seq(
+      (1L, 10L, 0L, Some("A")), (1L, 20L, 1L, Some("A")), // compacts ACROSS the split
+      (1L, 30L, 2L, Some("B")), (1L, 40L, 3L, Some("B")),
+      (2L, 15L, 4L, Some("X")), (2L, 25L, 5L, None),
+      (3L, 35L, 6L, Some("Z"))) // key 3 first appears in a later batch
+    def fold(splits: Seq[Seq[(Long, Long, Long, Option[String])]]) = {
+      val h1 = run(log(splits.head: _*))
+      splits.tail.foldLeft(h1)((h, b) =>
+        History.scd2Append(h, log(b: _*), "key", "t", Seq("payload"), Seq("seq")))
+    }
+    val oneShot = run(log(rows: _*)).collect().map(_.toString).sorted.toSeq
+    val bySeq = rows.sortBy(_._3)
+    assert(fold(Seq(bySeq.take(2), bySeq.drop(2)))
+      .collect().map(_.toString).sorted.toSeq === oneShot)
+    assert(fold(Seq(bySeq.take(3), bySeq.slice(3, 5), bySeq.drop(5)))
+      .collect().map(_.toString).sorted.toSeq === oneShot)
+  }
+
+  test("scd2Append: a batch repeating the open payload reproduces the " +
+      "open version verbatim; a LATE row (before the open valid_from) " +
+      "is dropped; untouched keys pass through") {
+    val h = run(log((1L, 10L, 0L, Some("A")), (2L, 10L, 1L, Some("X"))))
+    val out = History.scd2Append(h,
+      log((1L, 20L, 2L, Some("A")), // repeat → compacts into the open version
+          (1L, 5L, 3L, Some("Z"))), // late → dropped
+      "key", "t", Seq("payload"), Seq("seq")).collect()
+    assert(out.length === 2)
+    val k1 = out.find(_.getLong(0) == 1L).get
+    assert(k1.getAs[String]("payload") === "A")
+    assert(k1.getAs[Int]("version") === 1)
+    assert(k1.getAs[Timestamp]("valid_from") === ts(10))
+    assert(k1.getAs[Boolean]("is_current"))
+    val k2 = out.find(_.getLong(0) == 2L).get
+    assert(k2.getAs[String]("payload") === "X" && k2.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2Append: an equal-ts batch row orders AFTER the seed (a " +
+      "replayed opening row is absorbed; a different payload at the " +
+      "same ts opens the next version)") {
+    val h = run(log((1L, 10L, 0L, Some("A"))))
+    val replay = History.scd2Append(h, log((1L, 10L, 9L, Some("A"))),
+      "key", "t", Seq("payload"), Seq("seq")).collect()
+    assert(replay.length === 1 && replay.head.getAs[Int]("version") === 1)
+    val diff = History.scd2Append(h, log((1L, 10L, 9L, Some("B"))),
+        "key", "t", Seq("payload"), Seq("seq"))
+      .orderBy("version").collect()
+    assert(diff.map(_.getAs[String]("payload")).toSeq === Seq("A", "B"))
+    assert(diff(0).getAs[Timestamp]("valid_to") === ts(10),
+      "the old version closes at the same instant (zero-length interval)")
+  }
+
   test("keys are independent and the plan carries ONE exchange for " +
       "both windows (compaction lag + interval lead share partitioning)") {
     val df = log((1L, 10L, 0L, Some("A")), (2L, 10L, 0L, Some("A")),
