@@ -4960,6 +4960,23 @@ object SparkEntry {
       col("is_current"), col("event_type"))
   }
 
+  /** Point-in-time snapshot (History.asOf over the q239 history):
+    * the per-user event_type state live at noon of day one — the
+    * "corpus at cut time T" read of a release. Pure interval filter
+    * over the history; the oracle filters the shared SCD2 body the
+    * same way on the micros columns (epoch_us is monotone, so the
+    * two boundary forms are the same law). */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-01 12:00:00").cast("timestamp_ntz")
+    History.asOf(
+        History.scd2(t(s, dir, "events"), "user_id", "ts",
+          Seq("event_type"), Seq("event_id")), cut)
+      .select(col("user_id"), col("version"),
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+        col("is_current"), col("event_type"))
+  }
+
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
     * 12 merges learned over the corpus word-frequency table with the
     * pinned deterministic tie-break — the oracle unrolls the same 12
@@ -5635,7 +5652,8 @@ object SparkEntry {
     "q237_triplets" -> q237 _,
     "q238_hard_negatives_lsh" -> q238 _,
     "q239_scd2_history" -> q239 _,
-    "q240_scd2_append" -> q240 _)
+    "q240_scd2_append" -> q240 _,
+    "q241_asof_snapshot" -> q241 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8976,6 +8994,13 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // the gate IS merge-equals-one-shot, so the one-shot oracle
     // serves verbatim (the q234/q235 pattern).
     "q240_scd2_append" -> scd2OracleSql,
+
+    // Half-open [valid_from, valid_to) containment at the cut
+    // instant, filtered on the shared SCD2 body's micros columns
+    // (epoch_us(2024-01-01T12:00) = 1704110400000000).
+    "q241_asof_snapshot" ->
+      (s"SELECT * FROM ($scd2OracleSql) WHERE valid_from_us <= 1704110400000000" +
+        " AND (valid_to_us IS NULL OR valid_to_us > 1704110400000000)"),
 
     "q201_bpe_merges" ->
       (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +

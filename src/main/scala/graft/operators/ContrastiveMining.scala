@@ -98,10 +98,11 @@ object ContrastiveMining {
     bestPairs(scored)
   }
 
-  /** Shared tail of [[triplets]] / [[tripletsLsh]]: rank within
-    * (anchor, leg), keep rank 1 of each leg, fold the two ≤1-row legs
-    * into one row per anchor with a conditional-max aggregate (no
-    * self-join — the scored frame is scanned once). */
+  /** Tail of [[triplets]]: rank within (anchor, leg), keep rank 1 of
+    * each leg, fold the two ≤1-row legs into one row per anchor with
+    * a conditional-max aggregate (no self-join — the scored frame is
+    * scanned once). Factored so an LSH-candidates triplet face can
+    * reuse it if one is ever needed. */
   private def bestPairs(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

@@ -154,4 +154,17 @@ object History {
       .select(outCols.map(col): _*)
     passThrough.unionByName(recomputed)
   }
+
+  /** Point-in-time snapshot: the rows live at instant `at` — one row
+    * per key whose [valid_from, valid_to) interval contains it
+    * (half-open, so a version closing exactly at `at` has already
+    * been replaced by its successor). Keys whose history starts
+    * after `at` are absent — the corpus didn't carry them yet. This
+    * is the "what did the corpus look like at cut time T" read the
+    * object doc promises; a pure filter (partition-prunable when the
+    * history is stored partitioned/z-ordered on the interval), no
+    * shuffle, no window. */
+  def asOf(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
+    history.where(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
 }

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.operators.History
 
@@ -127,6 +128,19 @@ class HistorySpec extends AnyFunSuite {
     assert(diff.map(_.getAs[String]("payload")).toSeq === Seq("A", "B"))
     assert(diff(0).getAs[Timestamp]("valid_to") === ts(10),
       "the old version closes at the same instant (zero-length interval)")
+  }
+
+  test("asOf: half-open containment — a version closing exactly at the " +
+      "cut is replaced by its successor; future-only keys are absent") {
+    val h = run(log(
+      (1L, 10L, 0L, Some("A")), (1L, 20L, 1L, Some("B")), // A: [10,20)
+      (2L, 30L, 2L, Some("X")))) // key 2 starts after the cut
+    val out = History.asOf(h, lit("1970-01-01 00:00:20").cast("timestamp"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L &&
+      out.head.getAs[String]("payload") === "B",
+      "at t=20 version A [10,20) has ended; B [20,∞) is live; key 2 not yet")
   }
 
   test("keys are independent and the plan carries ONE exchange for " +
