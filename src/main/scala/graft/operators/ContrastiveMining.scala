@@ -138,9 +138,16 @@ object ContrastiveMining {
     val cand = Dedup.bandedCandidatePairs(
       base.select(col("n_id"), col("n_vec")), "n_id", "n_vec",
       dim, bandBits, bands)
-    // symmetrize: (a,b) mines as anchor=a,neighbor=b AND anchor=b,neighbor=a
-    val dir = cand.select(col("_id_a").as("anchor_id"), col("_id_b").as("neighbor_id"))
-      .unionAll(cand.select(col("_id_b").as("anchor_id"), col("_id_a").as("neighbor_id")))
+    // symmetrize: (a,b) mines as anchor=a,neighbor=b AND anchor=b,
+    // neighbor=a — via explode, NOT a self-union: a union's two
+    // branches each re-plan the whole candidate pipeline (signature,
+    // band join, distinct), doubling the dominant cost; the explode
+    // keeps ONE candidate subtree and just doubles its rows
+    val dir = cand.select(explode(array(
+        struct(col("_id_a").as("anchor_id"), col("_id_b").as("neighbor_id")),
+        struct(col("_id_b").as("anchor_id"), col("_id_a").as("neighbor_id"))))
+        .as("_p"))
+      .select(col("_p.anchor_id"), col("_p.neighbor_id"))
     val av = base.select(col("n_id").as("anchor_id"),
       col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"))
     val nv = base.select(col("n_id").as("neighbor_id"),

@@ -487,6 +487,48 @@ class StreamingSpec extends AnyFunSuite {
     bounds.unpersist()
   }
 
+  test("r19 SCD2 history maintains under foreachBatch: each micro-batch " +
+      "folds via scd2Append into the persisted history (batch-id " +
+      "versioned writes — never overwrite what you read); the final " +
+      "table equals the one-shot scd2 of the full log") {
+    val tmp = Files.createTempDirectory("scd2s").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val histDir = s"$tmp/hist"
+    def chlog(rows: (Long, Long, Long, String)*): DataFrame =
+      rows.toDF("key", "t", "seq", "payload")
+        .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+    val q = spark.readStream
+      .schema("key LONG, t TIMESTAMP, seq LONG, payload STRING").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val hist =
+          if (id == 0L) graft.operators.History.scd2(
+            batch, "key", "t", Seq("payload"), Seq("seq"))
+          else graft.operators.History.scd2Append(
+            spark.read.parquet(s"$histDir/${id - 1}"), batch,
+            "key", "t", Seq("payload"), Seq("seq"))
+        hist.write.mode("overwrite").parquet(s"$histDir/$id")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val all = Seq(
+      (1L, 10L, 0L, "A"), (1L, 20L, 1L, "A"), // compacts across batches
+      (2L, 15L, 2L, "X"),
+      (1L, 30L, 3L, "B"), (3L, 35L, 4L, "Z")) // key 3 appears late
+    chlog(all.take(3): _*).coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    chlog(all.drop(3): _*).coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val streamed = spark.read.parquet(s"$histDir/1")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.operators.History.scd2(
+        chlog(all: _*), "key", "t", Seq("payload"), Seq("seq"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === oneShot)
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
