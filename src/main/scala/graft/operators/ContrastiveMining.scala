@@ -67,6 +67,14 @@ object ContrastiveMining {
       .where(col("anchor_label") =!= col("neighbor_label"))
       .withColumn("score",
         VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+    topKPerAnchor(scored, k)
+  }
+
+  /** THE per-anchor top-k tail — one definition of the ranking
+    * convention (cosine desc, neighbor_id asc tie-break on the
+    * unrounded score, 6-dp rounding at the output boundary) for
+    * [[hardNegatives]] and [[hardNegativesLsh]]. */
+  private def topKPerAnchor(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -156,11 +164,6 @@ object ContrastiveMining {
       .where(col("anchor_label") =!= col("neighbor_label"))
       .withColumn("score",
         VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("anchor_id"), col("neighbor_id"),
-        round(col("score"), 6).as("score"), col("rnk"))
+    topKPerAnchor(scored, k)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.DataType
   * Laws (oracle-pinned by the q239 gate, spec-pinned edge cases):
   *  - Total order per key: (tsCol, tieBreakCols...) ascending — the
   *    tie-break makes same-timestamp rows deterministic, the same
-  *    requirement lastWinsPerKey documents.
+  *    requirement lastWinsPerKey documents. A NULL key is a key like
+  *    any other (windows and the incremental fold group nulls
+  *    together — the q233 null-id convention).
   *  - Change compaction: a row whose payload is unchanged from its
   *    predecessor (null-safe, column-wise — NULL equals NULL, the
   *    <=> convention) opens no new version; equality is transitive,
@@ -39,25 +41,30 @@ import org.apache.spark.sql.types.DataType
   */
 object History {
 
+  /** THE compaction law — one definition for [[scd2]] and
+    * [[scd2Append]] (which differ only in the window's ordering):
+    * null-safe column-wise lag comparison, reduced with AND, anchored
+    * on row_number so an all-NULL FIRST row (which would null-safe-
+    * equal the lag's null defaults) still opens version 1. */
+  private def compacted(log: DataFrame, keyCol: String,
+      ord: Seq[Column], payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val unchanged = payloadCols
+      .map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduce(_ && _)
+    log.withColumn("_chg", row_number().over(w) === 1 || !unchanged)
+      .where(col("_chg"))
+      .drop("_chg")
+  }
+
   /** See object doc. Output: key, version, valid_from, valid_to,
     * is_current, followed by the payload columns. */
   def scd2(df: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String], tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(payloadCols.nonEmpty, "scd2 needs at least one payload column")
     val ord = col(tsCol).asc +: tieBreakCols.map(col(_).asc)
-    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val unchanged = payloadCols
-      .map(c => col(c) <=> lag(col(c), 1).over(w))
-      .reduce(_ && _)
-    // first row per key: lag is null on every column; a payload of
-    // all-NULLs would null-safe-equal it, so anchor on row_number
-    val changed = row_number().over(w) === 1 || !unchanged
-    val survivors = df
-      .withColumn("_chg", changed)
-      .where(col("_chg"))
-      .drop("_chg")
     val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    survivors
+    compacted(df, keyCol, ord, payloadCols)
       .withColumn("version", row_number().over(w2))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
@@ -76,12 +83,17 @@ object History {
     * compaction is order-dependent, so a batch may not interleave
     * BEFORE rows already folded): every batch row for an existing
     * key must sit at-or-after the key's open version's valid_from in
-    * the (ts, tie-break) total order; rows strictly earlier are LATE
-    * and are dropped (the watermark discipline — count them upstream
-    * if they must be audited). Under that contract, folding any
-    * batch split equals the one-shot [[scd2]] of the whole log —
-    * the q240 gate replays a 3-way split against the one-shot
-    * oracle verbatim.
+    * the (ts, tie-break) total order. Rows with a STRICTLY earlier ts
+    * are LATE and are dropped (the watermark discipline — count them
+    * upstream if they must be audited). Rows at ts EQUAL to the open
+    * valid_from are accepted and ordered after the seed — under the
+    * contract their tie-break is later than the opening row's; a
+    * contract-violating equal-ts row (earlier tie-break) is
+    * UNDETECTABLE once the history has discarded the opener's
+    * tie-break values, and folds in seed-first order rather than
+    * being dropped. Under the contract, folding any batch split
+    * equals the one-shot [[scd2]] of the whole log — the q240 gate
+    * replays a 3-way split against the one-shot oracle verbatim.
     *
     * Mechanics: closed versions of touched keys pass through
     * untouched (their intervals ended before the open version
@@ -91,11 +103,21 @@ object History {
     * segment renumbers from the open version's number. A batch that
     * only repeats the open payload therefore reproduces the open
     * version verbatim — the idle fast path costs one compaction
-    * window over the touched segment, never a history rewrite.
+    * window over the touched segment, never a history rewrite. All
+    * key joins are null-safe (`<=>`): a null-key chain folds exactly
+    * like any other key's, matching the one-shot windows.
     *
-    * Scale: untouched keys move via one anti-join (no window);
-    * the windows run over |touched segment| = open versions + batch
-    * rows, not the history. */
+    * Scale: history is never shuffled — the batch's key set and the
+    * open-version metadata broadcast (a micro-batch is small relative
+    * to the history; the broadcast is also what keeps the nested fold
+    * plannable: with shuffle joins here, AQE's reused-exchange
+    * coalescing handed the q240 fold SMJ children with unequal
+    * partition counts). The history subtree is still EVALUATED more
+    * than once per fold (pass-through + seed + the openMeta
+    * broadcast); in the production loop each evaluation is a scan of
+    * the stored history table — a caller folding against an
+    * expensive lineage persists it first (the library never hides a
+    * persist). */
   def scd2Append(history: DataFrame, batch: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
       tieBreakCols: Seq[String] = Nil): DataFrame = {
@@ -103,55 +125,45 @@ object History {
     val outCols: Seq[String] =
       Seq(keyCol, "version", "valid_from", "valid_to", "is_current") ++ payloadCols
     def tieType(c: String): DataType = batch.schema(c).dataType
-    val affected = batch.select(col(keyCol)).distinct()
+    val affected = batch.select(col(keyCol).as("_akey")).distinct()
       .withColumn("_aff", lit(true))
-    // ONE history scan classifies every row via a BROADCAST of the
-    // batch's key set (a micro-batch is small relative to the
-    // history — the knnJoin probe-side posture): untouched keys and
-    // the touched keys' CLOSED versions pass through together (their
-    // intervals ended before the open version began), so history is
-    // never shuffled — only the seed ∪ batch segment is. The
-    // broadcast is also what keeps the nested fold plannable: with
-    // shuffle joins here, AQE's reused-exchange coalescing handed the
-    // q240 fold SMJ children with unequal partition counts.
-    val flagged = history.join(broadcast(affected), Seq(keyCol), "left")
+    // one flagged classification of every history row via a BROADCAST
+    // of the batch's key set; untouched keys and the touched keys'
+    // CLOSED versions pass through together (their intervals ended
+    // before the open version began). The explicit _aff flag (not
+    // _akey null-ness) distinguishes no-match from a matched NULL key.
+    val flagged = history
+      .join(broadcast(affected), col(keyCol) <=> col("_akey"), "left")
+      .drop("_akey")
     val isOpen = coalesce(col("_aff"), lit(false)) && col("is_current")
     val passThrough = flagged.where(!isOpen).select(outCols.map(col): _*)
     val open = flagged.where(isOpen)
-    val openMeta = open.select(col(keyCol),
-      col("version").as("_base_version"), col("valid_from").as("_open_from"))
+    // ONE broadcast frame carries both open-version fields; its two
+    // consumers join the same subtree, so the exchange is built once
+    val openMeta = broadcast(open.select(col(keyCol).as("_okey"),
+      col("version").as("_base_version"), col("valid_from").as("_open_from")))
     // seed: the open version as a log row; _src 0 orders it before
-    // any equal-ts batch row (its tie-break values are not retained
-    // in the history — the append-only contract makes them moot)
+    // any equal-ts batch row (see the contract note above)
     val seedLog = open.select((col(keyCol) +: col("valid_from").as("_t") +:
       lit(0).as("_src") +: payloadCols.map(col)) ++
       tieBreakCols.map(c => lit(null).cast(tieType(c)).as(c)): _*)
     val batchLog = batch
-      .join(broadcast(openMeta.select(col(keyCol), col("_open_from"))),
-        Seq(keyCol), "left")
+      .join(openMeta, col(keyCol) <=> col("_okey"), "left")
       .where(col("_open_from").isNull || col(tsCol) >= col("_open_from"))
       .select((col(keyCol) +: col(tsCol).as("_t") +:
         lit(1).as("_src") +: payloadCols.map(col)) ++ tieBreakCols.map(col): _*)
-    val log = seedLog.unionByName(batchLog)
     val ord = col("_t").asc +: col("_src").asc +: tieBreakCols.map(col(_).asc)
-    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val unchanged = payloadCols
-      .map(c => col(c) <=> lag(col(c), 1).over(w))
-      .reduce(_ && _)
-    val survivors = log
-      .withColumn("_chg", row_number().over(w) === 1 || !unchanged)
-      .where(col("_chg"))
     val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val recomputed = survivors
-      .withColumn("_seg", row_number().over(w2))
-      .withColumn("valid_from", col("_t"))
-      .withColumn("valid_to", lead(col("_t"), 1).over(w2))
-      .withColumn("is_current", col("valid_to").isNull)
-      .join(broadcast(openMeta.select(col(keyCol), col("_base_version"))),
-        Seq(keyCol), "left")
-      .withColumn("version",
-        (coalesce(col("_base_version"), lit(1)) - 1 + col("_seg")).cast("int"))
-      .select(outCols.map(col): _*)
+    val recomputed =
+      compacted(seedLog.unionByName(batchLog), keyCol, ord, payloadCols)
+        .withColumn("_seg", row_number().over(w2))
+        .withColumn("valid_from", col("_t"))
+        .withColumn("valid_to", lead(col("_t"), 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull)
+        .join(openMeta, col(keyCol) <=> col("_okey"), "left")
+        .withColumn("version",
+          (coalesce(col("_base_version"), lit(1)) - 1 + col("_seg")).cast("int"))
+        .select(outCols.map(col): _*)
     passThrough.unionByName(recomputed)
   }
 
@@ -164,7 +176,7 @@ object History {
     * object doc promises; a pure filter (partition-prunable when the
     * history is stored partitioned/z-ordered on the interval), no
     * shuffle, no window. */
-  def asOf(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
+  def asOf(history: DataFrame, at: Column): DataFrame =
     history.where(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
 }

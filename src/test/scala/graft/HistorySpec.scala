@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.operators.History
 
@@ -128,6 +128,31 @@ class HistorySpec extends AnyFunSuite {
     assert(diff.map(_.getAs[String]("payload")).toSeq === Seq("A", "B"))
     assert(diff(0).getAs[Timestamp]("valid_to") === ts(10),
       "the old version closes at the same instant (zero-length interval)")
+  }
+
+  test("scd2Append: a NULL key folds exactly like any other key (the " +
+      "joins are null-safe; no duplicate open versions, numbering " +
+      "continues) — fold ≡ one-shot on a null-key chain") {
+    def nlog(rows: (Option[Long], Long, Long, Option[String])*): DataFrame =
+      rows.toDF("key", "t", "seq", "payload")
+        .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+    val all = Seq(
+      (None: Option[Long], 10L, 0L, Some("A")),
+      (Some(1L), 15L, 1L, Some("X")),
+      (None: Option[Long], 20L, 2L, Some("B")),
+      (None: Option[Long], 30L, 3L, Some("B"))) // compacts across the split
+    val h1 = History.scd2(nlog(all.take(2): _*), "key", "t",
+      Seq("payload"), Seq("seq"))
+    val folded = History.scd2Append(h1, nlog(all.drop(2): _*),
+      "key", "t", Seq("payload"), Seq("seq"))
+    val oneShot = History.scd2(nlog(all: _*), "key", "t",
+      Seq("payload"), Seq("seq"))
+    assert(folded.collect().map(_.toString).sorted.toSeq ===
+      oneShot.collect().map(_.toString).sorted.toSeq)
+    val nullRows = folded.where(col("key").isNull).collect()
+    assert(nullRows.length === 2 &&
+      nullRows.count(_.getAs[Boolean]("is_current")) === 1,
+      "one open version on the null-key chain, versions 1 and 2")
   }
 
   test("asOf: half-open containment — a version closing exactly at the " +
