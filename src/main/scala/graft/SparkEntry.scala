@@ -4922,6 +4922,16 @@ object SparkEntry {
     ContrastiveMining.hardNegativesLsh(
       t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)
 
+  /** The auto-sized twin of q238 (ContrastiveMining.
+    * hardNegativesLshAuto): lshSizing lands on the fixed face's
+    * (3, 12) at the 500-vector gate corpus, so the q238 oracle
+    * serves verbatim — the gate pins that the auto face IS the
+    * fixed law here (the q153/q154 pattern). At the sf1 decade the
+    * law picks 8-bit bands (46 s → ~4 s). */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.hardNegativesLshAuto(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)
+
   /** SCD2 validity-interval history (History.scd2) over the events
     * change log: per user, one row per event_type CHANGE with
     * [valid_from, valid_to) intervals, version numbers and the
@@ -5653,7 +5663,8 @@ object SparkEntry {
     "q238_hard_negatives_lsh" -> q238 _,
     "q239_scd2_history" -> q239 _,
     "q240_scd2_append" -> q240 _,
-    "q241_asof_snapshot" -> q241 _)
+    "q241_asof_snapshot" -> q241 _,
+    "q242_hard_negatives_lsh_auto" -> q242 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8957,33 +8968,12 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // Replays the q72 hyperplane signature law (36 bits, 12 bands of
     // 3, dyadic-rational LCG planes) over the LABELED corpus, then
     // symmetrizes each a<b collision into both mining directions.
-    "q238_hard_negatives_lsh" ->
-      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE label IS NOT NULL AND len(embedding) = 64),
-        |proj AS (SELECT vec_id, b,
-        |  list_sum(list_transform(generate_series(1, 64),
-        |   d -> CAST(embedding[d] AS DOUBLE) *
-        |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
-        |        / 1024.0)) AS s
-        |  FROM base CROSS JOIN generate_series(0, 35) t(b)),
-        |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
-        |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
-        |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-        |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
-        |  WHERE a.vec_id < b2.vec_id),
-        |dir AS (SELECT id_a AS anchor_id, id_b AS neighbor_id FROM cand
-        |  UNION ALL SELECT id_b, id_a FROM cand),
-        |sc AS (SELECT anchor_id, neighbor_id,
-        |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
-        |  FROM dir JOIN base ea ON dir.anchor_id = ea.vec_id
-        |           JOIN base eb ON dir.neighbor_id = eb.vec_id
-        |  WHERE ea.label <> eb.label),
-        |r AS (SELECT anchor_id, neighbor_id, cos,
-        |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM sc)
-        |SELECT anchor_id, neighbor_id, round(cos, 6) AS score, rnk
-        |FROM r WHERE rnk <= 3""".stripMargin,
+    "q238_hard_negatives_lsh" -> hardNegLshOracleSql,
+
+    // The auto face: lshSizing(500, 12, 0.5) = 3 — the sizing law
+    // lands on the fixed face's bands at the gate corpus, so ONE
+    // oracle pins both (the q153/q154 pattern).
+    "q242_hard_negatives_lsh_auto" -> hardNegLshOracleSql,
 
     // SCD2 history over the events change log: total order per user =
     // (ts, event_id); unchanged event_type compacts (null-safe);
@@ -9722,6 +9712,40 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin
+
+  /** ONE LSH hard-negatives oracle body for the fixed face (q238)
+    * and its auto-sized twin (q242, whose lshSizing lands on (3, 12)
+    * at the 500-vector gate corpus): the q72 hyperplane signature
+    * law over the LABELED corpus, each a<b band collision
+    * symmetrized into both mining directions, label law applied,
+    * per-anchor top-3. */
+  private def hardNegLshOracleSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE label IS NOT NULL AND len(embedding) = 64),
+      |proj AS (SELECT vec_id, b,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |   d -> CAST(embedding[d] AS DOUBLE) *
+      |        CAST((1103515245 * (b * 64 + (d - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)
+      |        / 1024.0)) AS s
+      |  FROM base CROSS JOIN generate_series(0, 35) t(b)),
+      |bandsig AS (SELECT vec_id, CAST(floor(b / 3) AS INT) AS band,
+      |  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+      |  FROM proj GROUP BY vec_id, CAST(floor(b / 3) AS INT)),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
+      |  WHERE a.vec_id < b2.vec_id),
+      |dir AS (SELECT id_a AS anchor_id, id_b AS neighbor_id FROM cand
+      |  UNION ALL SELECT id_b, id_a FROM cand),
+      |sc AS (SELECT anchor_id, neighbor_id,
+      |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+      |  FROM dir JOIN base ea ON dir.anchor_id = ea.vec_id
+      |           JOIN base eb ON dir.neighbor_id = eb.vec_id
+      |  WHERE ea.label <> eb.label),
+      |r AS (SELECT anchor_id, neighbor_id, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM sc)
+      |SELECT anchor_id, neighbor_id, round(cos, 6) AS score, rnk
+      |FROM r WHERE rnk <= 3""".stripMargin
 
   /** ONE SCD2 oracle body for the one-shot gate (q239) and the
     * append-only incremental fold (q240, whose law IS

@@ -80,6 +80,20 @@ class ContrastiveMiningSpec extends AnyFunSuite {
       s"margin=${out.getDouble(5)} expected=$expected")
   }
 
+  test("hardNegativesLshAuto: the sizing law lands on the fixed face " +
+      "at gate-corpus scale (500 -> 3 bits) and grows at the decades " +
+      "(20k -> 8 bits) — the q242/q238 shared-oracle premise") {
+    assert(graft.operators.Dedup.lshSizing(500L, 12, 0.5) === 3)
+    assert(graft.operators.Dedup.lshSizing(20000L, 12, 0.5) === 8)
+    val auto = ContrastiveMining.hardNegativesLshAuto(
+      fixture, "vec_id", "embedding", "label", 4, 3,
+      rowCount = Some(500L))
+    val fixed = ContrastiveMining.hardNegativesLsh(
+      fixture, "vec_id", "embedding", "label", 4, 3)
+    assert(auto.collect().map(_.toString).sorted.toSeq ===
+      fixed.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("hardNegativesLsh: deterministic on a fixed fixture, agrees " +
       "with exact mining on band-colliding cluster pairs, no cartesian") {
     val df = ContrastiveMining.hardNegativesLsh(
