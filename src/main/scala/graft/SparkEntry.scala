@@ -5681,7 +5681,10 @@ object SparkEntry {
     "q68_asof_join", "q69_range_join", "q70_kmv_sketch",
     "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
     "q215_nb_quality", "q219_curation_capstone",
-    "q226_group_sizes")
+    "q226_group_sizes",
+    // r19 continuation: the new tier's two scale representatives —
+    // the events-scale SCD2 window op and the self-sizing LSH miner
+    "q239_scd2_history", "q242_hard_negatives_lsh_auto")
 
   /** DuckDB twin of the q179 Gopher signal battery (raw whitespace
     * words, 6-place rounding, gaps-and-islands max run; see the

@@ -91,10 +91,11 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("bench card set is pinned: the 21 r6-r15 headline cells, the " +
-      "round-17 LLM-training-data tier promotion (r16 verdict item 1) " +
-      "and the round-18 q226 group-census promotion (r17 verdict " +
-      "item 3) — a cell silently dropping off the card is a spec " +
-      "failure, not a quiet bench narrowing") {
+      "round-17 LLM-training-data tier promotion (r16 verdict item 1), " +
+      "the round-18 q226 group-census promotion (r17 verdict " +
+      "item 3) and the r19-continuation q239/q242 promotions — a cell " +
+      "silently dropping off the card is a spec failure, not a quiet " +
+      "bench narrowing") {
     assert(SparkEntry.benchQueries === Seq(
       "q01_pricing_summary", "q03_revenue_by_nation", "q08_sessionize",
       "q09_bm25_tokens", "q15_dedup_exact", "q17_jaccard_pairs",
@@ -106,7 +107,8 @@ class BenchGuardSpec extends AnyFunSuite {
       "q70_kmv_sketch",
       "q187_training_pipeline", "q192_semdedup", "q200_remove_spans",
       "q215_nb_quality", "q219_curation_capstone",
-      "q226_group_sizes"))
+      "q226_group_sizes",
+      "q239_scd2_history", "q242_hard_negatives_lsh_auto"))
     // every bench cell must be a gate query (the card can never carry
     // a cell Verify doesn't check)
     SparkEntry.benchQueries.foreach(n =>
