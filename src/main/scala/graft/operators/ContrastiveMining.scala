@@ -139,23 +139,6 @@ object ContrastiveMining {
     * apply as in [[hardNegatives]]. Only pairs that collide in ≥1
     * band are visible — the documented recall trade.
     * Output: (anchor_id, neighbor_id, score, rnk). */
-  /** [[hardNegativesLsh]] with bandBits sized to the corpus by
-    * [[Dedup.lshSizing]] — the self-applying 100 TB path (fixed
-    * 3-bit bands measured 36× at 10× data on the sf1 decade: bucket
-    * populations grow with n, so the band join's Σ bucket² grows
-    * n²; the sizing law holds collision mass constant, bits growing
-    * with ln n). At the 500-vector gate corpus the law lands exactly
-    * on the fixed face's (3, 12) — the q242 gate shares q238's
-    * oracle verbatim, the q153/q154 pattern. `bands` stays the
-    * recall knob; callers at scale pass `rowCount` from catalog
-    * stats to skip the sizing count() scan. */
-  def hardNegativesLshAuto(corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, dim: Int, k: Int, bands: Int = 12,
-      budget: Double = 1000.0, rowCount: Option[Long] = None): DataFrame = {
-    val bits = Dedup.lshSizing(rowCount.getOrElse(corpus.count()), bands, 0.5, budget)
-    hardNegativesLsh(corpus, idCol, vecCol, labelCol, dim, k, bits, bands)
-  }
-
   def hardNegativesLsh(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, dim: Int, k: Int,
       bandBits: Int = 3, bands: Int = 12): DataFrame = {
@@ -182,5 +165,28 @@ object ContrastiveMining {
       .withColumn("score",
         VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
     topKPerAnchor(scored, k)
+  }
+
+  /** [[hardNegativesLsh]] with bandBits sized by [[Dedup.lshSizing]]
+    * over the MINING population — the labeled, dim-valid subset, not
+    * the raw corpus (the label law filters before the band join; on
+    * a mostly-unlabeled corpus a raw-count sizing would over-pick
+    * bits and silently halve recall). The self-applying 100 TB path:
+    * fixed 3-bit bands measured 36× at 10× data on the sf1 decade
+    * (bucket populations grow with n, so the band join's Σ bucket²
+    * grows n²; the sizing law holds collision mass constant, bits
+    * growing with ln n). At the 500-vector gate corpus the law lands
+    * exactly on the fixed face's (3, 12) — the q242 gate shares
+    * q238's oracle verbatim, the q153/q154 pattern. `bands` stays
+    * the recall knob; callers at scale pass `rowCount` (the LABELED
+    * count, from catalog stats or the ingest census) to skip the
+    * sizing count() scan. */
+  def hardNegativesLshAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, k: Int, bands: Int = 12,
+      budget: Double = 1000.0, rowCount: Option[Long] = None): DataFrame = {
+    val n = rowCount.getOrElse(
+      labeled(corpus, idCol, vecCol, labelCol, dim, "n").count())
+    val bits = Dedup.lshSizing(n, bands, 0.5, budget)
+    hardNegativesLsh(corpus, idCol, vecCol, labelCol, dim, k, bits, bands)
   }
 }

@@ -94,6 +94,33 @@ class ContrastiveMiningSpec extends AnyFunSuite {
       fixed.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("hardNegativesLshAuto sizes on the MINING population (labeled, " +
+      "dim-valid), not the raw corpus — a mostly-unlabeled corpus " +
+      "keeps the small-population band width") {
+    // 2 labeled rows + 698 null-label fillers: raw-count sizing gives
+    // lshSizing(700)=4 bits, labeled-count sizing gives floor 1 bit
+    // pair chosen (searched against the plane law) to collide under
+    // 1-bit bands but share NO full 4-bit band — so the two widths
+    // produce different candidate sets and the arm can't go vacuous
+    val labeled2 = Seq(
+      (1L, Seq(1.0f, 0.1f, 0f, 0f), Some(0)),
+      (2L, Seq(-0.64f, 0.16f, 0.28f, -0.26f), Some(1)))
+    val fillers = (100L until 798L).map(i =>
+      (i, Seq(1.0f, 0f, 0f, 0f), None: Option[Int]))
+    val corpus = (labeled2 ++ fillers).toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val auto = rows(ContrastiveMining.hardNegativesLshAuto(
+      corpus, "vec_id", "embedding", "label", 4, 3))
+    val oneBit = rows(ContrastiveMining.hardNegativesLsh(
+      corpus, "vec_id", "embedding", "label", 4, 3, bandBits = 1))
+    val fourBit = rows(ContrastiveMining.hardNegativesLsh(
+      corpus, "vec_id", "embedding", "label", 4, 3, bandBits = 4))
+    assert(auto === oneBit)
+    assert(oneBit !== fourBit,
+      "fixture must distinguish the widths or the arm is vacuous")
+  }
+
   test("hardNegativesLsh: deterministic on a fixed fixture, agrees " +
       "with exact mining on band-colliding cluster pairs, no cartesian") {
     val df = ContrastiveMining.hardNegativesLsh(
