@@ -4932,6 +4932,15 @@ object SparkEntry {
     ContrastiveMining.hardNegativesLshAuto(
       t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)
 
+  /** Seeded uniform negative sampling (ContrastiveMining.
+    * sampledNegatives): the random half of a contrastive batch —
+    * per anchor, 5 different-label rows drawn by the md5 rank both
+    * engines replay verbatim. */
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.sampledNegatives(
+      t(s, dir, "embeddings"), "vec_id", "label",
+      contrastiveAnchors(s, dir), 5, "q244")
+
   /** SCD2 validity-interval history (History.scd2) over the events
     * change log: per user, one row per event_type CHANGE with
     * [valid_from, valid_to) intervals, version numbers and the
@@ -4985,6 +4994,22 @@ object SparkEntry {
         unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
         unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
         col("is_current"), col("event_type"))
+  }
+
+  /** Snapshot diff (History.diffSnapshots): which users' live
+    * event_type changed between noon day 1 and noon day 2 — the
+    * release-notes read over the SCD2 history (added = first seen
+    * between the cuts; changed = live at both with different
+    * payload; a key never leaves an SCD2 history going forward, so
+    * no removed rows here). The oracle filters the shared SCD2 body
+    * at both cuts and full-outer-joins. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val h = History.scd2(t(s, dir, "events"), "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    History.diffSnapshots(h,
+      lit("2024-01-01 12:00:00").cast("timestamp_ntz"),
+      lit("2024-01-02 12:00:00").cast("timestamp_ntz"),
+      "user_id", Seq("event_type"))
   }
 
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
@@ -5664,7 +5689,9 @@ object SparkEntry {
     "q239_scd2_history" -> q239 _,
     "q240_scd2_append" -> q240 _,
     "q241_asof_snapshot" -> q241 _,
-    "q242_hard_negatives_lsh_auto" -> q242 _)
+    "q242_hard_negatives_lsh_auto" -> q242 _,
+    "q243_snapshot_diff" -> q243 _,
+    "q244_sampled_negatives" -> q244 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -8978,6 +9005,23 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // oracle pins both (the q153/q154 pattern).
     "q242_hard_negatives_lsh_auto" -> hardNegLshOracleSql,
 
+    // Seeded uniform draw: md5(anchor ‖ ":" ‖ neighbor ‖ ":" ‖ seed)
+    // rank replayed verbatim (the MinHash md5-permutation trick
+    // applied to sampling). Anchors = vec_id % 50 = 0; labels
+    // non-null on both sides; no vector columns touched.
+    "q244_sampled_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS al FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND label IS NOT NULL),
+        |c AS (SELECT vec_id AS neighbor_id, label AS nl FROM embeddings
+        |  WHERE label IS NOT NULL),
+        |d AS (SELECT anchor_id, neighbor_id,
+        |  md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR) || ':' || 'q244') AS draw
+        |  FROM c CROSS JOIN a WHERE al <> nl),
+        |r AS (SELECT anchor_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY draw, neighbor_id) AS rnk
+        |  FROM d)
+        |SELECT anchor_id, neighbor_id, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
     // SCD2 history over the events change log: total order per user =
     // (ts, event_id); unchanged event_type compacts (null-safe);
     // timestamps cross the gate as epoch micros (q68 convention).
@@ -8994,6 +9038,26 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     "q241_asof_snapshot" ->
       (s"SELECT * FROM ($scd2OracleSql) WHERE valid_from_us <= 1704110400000000" +
         " AND (valid_to_us IS NULL OR valid_to_us > 1704110400000000)"),
+
+    // The SAME body filtered at both cuts (noon day 1 / noon day 2),
+    // full-outer-joined null-safely; the change classification
+    // mirrors diffSnapshots' when-ladder.
+    "q243_snapshot_diff" ->
+      s"""WITH h AS ($scd2OracleSql),
+        |b AS (SELECT user_id, 1 AS _b, event_type AS event_type_before FROM h
+        |  WHERE valid_from_us <= 1704110400000000
+        |    AND (valid_to_us IS NULL OR valid_to_us > 1704110400000000)),
+        |a AS (SELECT user_id AS _k2, 1 AS _a, event_type AS event_type_after FROM h
+        |  WHERE valid_from_us <= 1704196800000000
+        |    AND (valid_to_us IS NULL OR valid_to_us > 1704196800000000)),
+        |j AS (SELECT COALESCE(b.user_id, a._k2) AS user_id,
+        |  CASE WHEN b._b IS NULL THEN 'added'
+        |       WHEN a._a IS NULL THEN 'removed'
+        |       WHEN NOT (b.event_type_before IS NOT DISTINCT FROM a.event_type_after)
+        |         THEN 'changed' END AS change,
+        |  b.event_type_before, a.event_type_after
+        |  FROM b FULL OUTER JOIN a ON b.user_id IS NOT DISTINCT FROM a._k2)
+        |SELECT * FROM j WHERE change IS NOT NULL""".stripMargin,
 
     "q201_bpe_merges" ->
       (s"WITH RECURSIVE ${bpeOracleCtes(12)}\n" +

@@ -167,6 +167,37 @@ object ContrastiveMining {
     topKPerAnchor(scored, k)
   }
 
+  /** Seeded UNIFORM negative sampling — the random half of a
+    * contrastive batch (training mixes hard negatives with uniform
+    * ones so the model sees both boundary and background contrast):
+    * per anchor, the k different-label rows ranked by
+    * md5(anchor_id ‖ ":" ‖ neighbor_id ‖ ":" ‖ seed) — a
+    * deterministic uniform draw both engines reproduce (the MinHash
+    * md5-permutation trick applied to sampling), tie-broken by
+    * neighbor_id. No vectors touched — the draw is label-driven, so
+    * the scan prunes to two columns. Label law as everywhere: NULL
+    * labels neither sample nor are sampled. Anchors broadcast; the
+    * only shuffle is the per-anchor top-k window. */
+  def sampledNegatives(corpus: DataFrame, idCol: String, labelCol: String,
+      anchors: DataFrame, k: Int, seed: String): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"))
+      .where(col("anchor_label").isNotNull)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label"))
+      .where(col("neighbor_label").isNotNull)
+    val drawn = c.crossJoin(broadcast(a))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("draw", md5(concat_ws(":",
+        col("anchor_id").cast("string"),
+        col("neighbor_id").cast("string"), lit(seed))))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("draw").asc, col("neighbor_id").asc)
+    drawn.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("anchor_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** [[hardNegativesLsh]] with bandBits sized by [[Dedup.lshSizing]]
     * over the MINING population — the labeled, dim-valid subset, not
     * the raw corpus (the label law filters before the band join; on

@@ -179,4 +179,41 @@ object History {
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.where(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** What changed between two cuts: one row per key whose live
+    * payload differs between [[asOf]](t1) and [[asOf]](t2) —
+    * `change` ∈ added (absent at t1), removed (absent at t2; only
+    * possible when the history itself starts after t1... a key never
+    * leaves an SCD2 history, so removed appears exactly when t2 <
+    * t1-side first version — callers diffing backwards), changed
+    * (both live, payload differs column-wise null-safely). Keys live
+    * at both cuts with equal payload are silent — the diff is the
+    * release-notes read, not a census. Payloads travel as
+    * `<col>_before` / `<col>_after`.
+    *
+    * Scale: the two asOf filters scan the history (prunable) and
+    * meet in ONE full-outer equi-join on the key — no window. */
+  def diffSnapshots(history: DataFrame, t1: Column, t2: Column,
+      keyCol: String, payloadCols: Seq[String]): DataFrame = {
+    val before = asOf(history, t1).select(
+      col(keyCol) +: lit(true).as("_b") +:
+        payloadCols.map(c => col(c).as(s"${c}_before")): _*)
+    val after = asOf(history, t2).select(
+      col(keyCol).as("_k2") +: lit(true).as("_a") +:
+        payloadCols.map(c => col(c).as(s"${c}_after")): _*)
+    val joined = before.join(after, col(keyCol) <=> col("_k2"), "full_outer")
+    val samePayload = payloadCols
+      .map(c => col(s"${c}_before") <=> col(s"${c}_after"))
+      .reduce(_ && _)
+    joined
+      .withColumn("change",
+        when(col("_b").isNull, lit("added"))
+          .when(col("_a").isNull, lit("removed"))
+          .when(!samePayload, lit("changed")))
+      .where(col("change").isNotNull)
+      .select(coalesce(col(keyCol), col("_k2")).as(keyCol) +:
+        col("change") +:
+        payloadCols.flatMap(c =>
+          Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
+  }
 }

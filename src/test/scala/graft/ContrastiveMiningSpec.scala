@@ -94,6 +94,24 @@ class ContrastiveMiningSpec extends AnyFunSuite {
       fixed.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("sampledNegatives: seeded md5 draw is deterministic, respects " +
+      "the label law, changes with the seed, and never repeats a " +
+      "neighbor within an anchor") {
+    val anchors = fixture.where($"vec_id".isin(1L, 3L))
+    def draw(seed: String) = ContrastiveMining.sampledNegatives(
+        fixture, "vec_id", "label", anchors, 2, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val s1 = draw("s1"); val s1again = draw("s1"); val s2 = draw("s2")
+    assert(s1 === s1again, "same seed, same sample")
+    assert(s1 !== s2, "different seed must reshuffle some rank")
+    assert(s1.forall { case (_, n, _) => n != 6L },
+      "null-label never sampled; note 7L (labeled, wrong-width) IS " +
+        "samplable — sampling is label-driven, width-independent")
+    val perAnchor = s1.groupBy(_._1).values
+    assert(perAnchor.forall(g => g.map(_._2).size === g.size),
+      "no repeated neighbor within an anchor")
+  }
+
   test("hardNegativesLshAuto sizes on the MINING population (labeled, " +
       "dim-valid), not the raw corpus — a mostly-unlabeled corpus " +
       "keeps the small-population band width") {

@@ -168,6 +168,27 @@ class HistorySpec extends AnyFunSuite {
       "at t=20 version A [10,20) has ended; B [20,∞) is live; key 2 not yet")
   }
 
+  test("diffSnapshots: added / changed / silent-equal / removed-on-" +
+      "backwards-diff, null-safe on payload and key") {
+    val h = run(log(
+      (1L, 10L, 0L, Some("A")), (1L, 30L, 1L, Some("B")), // changed A->B
+      (2L, 10L, 2L, Some("X")),                           // equal at both cuts
+      (3L, 25L, 3L, Some("Z")),                           // added between cuts
+      (4L, 10L, 4L, None), (4L, 30L, 5L, Some("P"))))     // null->P: changed
+    def cut(sec: Long) = lit(new Timestamp(sec * 1000L))
+    val d = History.diffSnapshots(h, cut(20), cut(40), "key", Seq("payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(d === Map(
+      1L -> (("changed", "A", "B")),
+      3L -> (("added", null, "Z")),
+      4L -> (("changed", null, "P"))))
+    // backwards diff: key 3 is live at t=40 but absent at t=25's past
+    val back = History.diffSnapshots(h, cut(40), cut(20), "key", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(3L) === "removed")
+  }
+
   test("keys are independent and the plan carries ONE exchange for " +
       "both windows (compaction lag + interval lead share partitioning)") {
     val df = log((1L, 10L, 0L, Some("A")), (2L, 10L, 0L, Some("A")),
