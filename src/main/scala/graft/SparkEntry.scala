@@ -4941,6 +4941,22 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "label",
       contrastiveAnchors(s, dir), 5, "q244")
 
+  /** Recall@k audit of the self-sized LSH miner against the exact
+    * full-corpus law (ContrastiveMining.recallAudit) — the QA
+    * aggregate the mining section of a release reports. The exact
+    * side broadcasts the whole corpus as anchors: the labeled
+    * correctness-baseline posture (fine at gate scale; production
+    * audits a sampled anchor slice). */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ContrastiveMining.recallAudit(
+      ContrastiveMining.hardNegatives(
+        emb, "vec_id", "embedding", "label", emb, 64, 3),
+      ContrastiveMining.hardNegativesLshAuto(
+        emb, "vec_id", "embedding", "label", 64, 3),
+      3)
+  }
+
   /** SCD2 validity-interval history (History.scd2) over the events
     * change log: per user, one row per event_type CHANGE with
     * [valid_from, valid_to) intervals, version numbers and the
@@ -5691,7 +5707,8 @@ object SparkEntry {
     "q241_asof_snapshot" -> q241 _,
     "q242_hard_negatives_lsh_auto" -> q242 _,
     "q243_snapshot_diff" -> q243 _,
-    "q244_sampled_negatives" -> q244 _)
+    "q244_sampled_negatives" -> q244 _,
+    "q245_lsh_recall_audit" -> q245 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -9004,6 +9021,31 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // lands on the fixed face's bands at the gate corpus, so ONE
     // oracle pins both (the q153/q154 pattern).
     "q242_hard_negatives_lsh_auto" -> hardNegLshOracleSql,
+
+    // Recall@k of the LSH miner vs the exact full-corpus law: the
+    // exact side is the q236 cosine rank without the anchor filter;
+    // the approx side is the shared LSH body; a pair at exact rank r
+    // is in the exact top-k for k in [r, 3], found iff its approx
+    // rank ≤ k.
+    "q245_lsh_recall_audit" ->
+      s"""WITH ex0 AS (SELECT anchor_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("a.embedding", "c.embedding")} AS cos
+        |    FROM embeddings a JOIN embeddings c
+        |    ON a.label IS NOT NULL AND c.label IS NOT NULL
+        |      AND len(a.embedding) = 64 AND len(c.embedding) = 64
+        |      AND a.label <> c.label)),
+        |ex AS (SELECT anchor_id, neighbor_id,
+        |  unnest(generate_series(rnk, 3)) AS k FROM ex0 WHERE rnk <= 3),
+        |ap AS (SELECT anchor_id, neighbor_id, rnk AS _arnk
+        |  FROM ($hardNegLshOracleSql)),
+        |j AS (SELECT k, _arnk FROM ex LEFT JOIN ap USING (anchor_id, neighbor_id))
+        |SELECT k, COUNT(*) AS n_exact,
+        |  COUNT(CASE WHEN _arnk <= k THEN 1 END) AS n_found,
+        |  round(CAST(COUNT(CASE WHEN _arnk <= k THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS recall
+        |FROM j GROUP BY k""".stripMargin,
 
     // Seeded uniform draw: md5(anchor ‖ ":" ‖ neighbor ‖ ":" ‖ seed)
     // rank replayed verbatim (the MinHash md5-permutation trick

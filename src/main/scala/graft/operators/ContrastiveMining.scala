@@ -167,6 +167,35 @@ object ContrastiveMining {
     topKPerAnchor(scored, k)
   }
 
+  /** Recall@k audit of an approximate miner against the exact law —
+    * the QA aggregate a release's mining section reports. For each
+    * k ≤ maxK: |approx ∩ exact| / |exact| over (anchor, neighbor)
+    * pairs at rank ≤ k. Both inputs are (anchor_id, neighbor_id,
+    * score, rnk) frames ([[hardNegatives]] / [[hardNegativesLsh]]
+    * shapes). Exact integer counts; the ratio rounds at the
+    * boundary. Output: (k, n_exact, n_found, recall), k-ascending.
+    *
+    * Scale: one equi-join on (anchor, neighbor) + one k-explode of
+    * rank-bounded rows — both sides are top-k frames (|anchors|·k
+    * rows), never the corpus. */
+  def recallAudit(exact: DataFrame, approx: DataFrame, maxK: Int): DataFrame = {
+    // exact pair at rank r is in the exact top-k for every k in
+    // [r, maxK] — explode those k; the approx side joins ONCE per
+    // pair carrying its own rank, found at k iff that rank ≤ k
+    val ex = exact.where(col("rnk") <= maxK)
+      .select(col("anchor_id"), col("neighbor_id"),
+        explode(sequence(col("rnk"), lit(maxK))).as("k"))
+    val ap = approx.where(col("rnk") <= maxK)
+      .select(col("anchor_id"), col("neighbor_id"), col("rnk").as("_arnk"))
+    ex.join(ap, Seq("anchor_id", "neighbor_id"), "left")
+      .groupBy(col("k"))
+      .agg(count(lit(1L)).as("n_exact"),
+        count(when(col("_arnk") <= col("k"), lit(1L))).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_exact"), 6))
+      .orderBy(col("k"))
+  }
+
   /** Seeded UNIFORM negative sampling — the random half of a
     * contrastive batch (training mixes hard negatives with uniform
     * ones so the model sees both boundary and background contrast):

@@ -94,6 +94,24 @@ class ContrastiveMiningSpec extends AnyFunSuite {
       fixed.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("recallAudit: standard recall@k — a pair found at approx rank r " +
+      "counts for every k >= r; denominators grow with k") {
+    val exact = ContrastiveMining.hardNegatives(
+      fixture, "vec_id", "embedding", "label", fixture, 4, 3)
+    // approx = only each anchor's rank-1 negative
+    val approx = exact.where($"rnk" === 1)
+    val out = ContrastiveMining.recallAudit(exact, approx, 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nAnchors = exact.where($"rnk" === 1).count()
+    assert(out(1) === ((nAnchors, nAnchors, 1.0)),
+      "every rank-1 pair is found at k=1")
+    assert(out(2)._2 === nAnchors && out(2)._1 > nAnchors,
+      "at k=2 only the rank-1 pairs are found; denominator grows")
+    assert(out(3)._3 < out(2)._3 && out(2)._3 < out(1)._3,
+      "recall strictly falls as k grows when approx carries only rank 1")
+  }
+
   test("sampledNegatives: seeded md5 draw is deterministic, respects " +
       "the label law, changes with the seed, and never repeats a " +
       "neighbor within an anchor") {
