@@ -4957,21 +4957,31 @@ object SparkEntry {
       3)
   }
 
+  /** The per-user event_type SCD2 history — ONE construction for its
+    * four gate consumers (q239 one-shot, q240's one-shot twin law,
+    * q241 asOf, q243 diff), so the key/ts/payload/tie arguments can
+    * never drift between them. */
+  private def eventsHistory(s: SparkSession, dir: String): DataFrame =
+    History.scd2(t(s, dir, "events"), "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+
+  /** Gate boundary shared by q239/q240/q241: timestamps as epoch
+    * micros (the q68 parity convention — raw TIMESTAMP columns don't
+    * hash cross-engine; events.ts is TIMESTAMP_NTZ in the parquet,
+    * unix_micros needs LTZ, session tz is UTC so the cast is the
+    * identity instant). */
+  private def scd2GateBoundary(h: DataFrame): DataFrame =
+    h.select(col("user_id"), col("version"),
+      unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+      unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+      col("is_current"), col("event_type"))
+
   /** SCD2 validity-interval history (History.scd2) over the events
     * change log: per user, one row per event_type CHANGE with
     * [valid_from, valid_to) intervals, version numbers and the
     * is_current flag — unchanged-payload rows compact away. */
   private def q239(s: SparkSession, dir: String): DataFrame =
-    History.scd2(t(s, dir, "events"), "user_id", "ts",
-        Seq("event_type"), Seq("event_id"))
-      // gate boundary: timestamps as epoch micros (the q68 parity
-      // convention — raw TIMESTAMP columns don't hash cross-engine;
-      // events.ts is TIMESTAMP_NTZ in the parquet, unix_micros needs
-      // LTZ, session tz is UTC so the cast is the identity instant)
-      .select(col("user_id"), col("version"),
-        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
-        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
-        col("is_current"), col("event_type"))
+    scd2GateBoundary(eventsHistory(s, dir))
 
   /** Incremental SCD2 (History.scd2Append): the events log folded in
     * THREE append-only batches (event_id terciles — ts is globally
@@ -4989,10 +4999,7 @@ object SparkEntry {
     val h1 = History.scd2(b1, "user_id", "ts", Seq("event_type"), Seq("event_id"))
     val h3 = Seq(b2, b3).foldLeft(h1)((h, b) =>
       History.scd2Append(h, b, "user_id", "ts", Seq("event_type"), Seq("event_id")))
-    h3.select(col("user_id"), col("version"),
-      unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
-      unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
-      col("is_current"), col("event_type"))
+    scd2GateBoundary(h3)
   }
 
   /** Point-in-time snapshot (History.asOf over the q239 history):
@@ -5001,16 +5008,9 @@ object SparkEntry {
     * over the history; the oracle filters the shared SCD2 body the
     * same way on the micros columns (epoch_us is monotone, so the
     * two boundary forms are the same law). */
-  private def q241(s: SparkSession, dir: String): DataFrame = {
-    val cut = lit("2024-01-01 12:00:00").cast("timestamp_ntz")
-    History.asOf(
-        History.scd2(t(s, dir, "events"), "user_id", "ts",
-          Seq("event_type"), Seq("event_id")), cut)
-      .select(col("user_id"), col("version"),
-        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
-        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
-        col("is_current"), col("event_type"))
-  }
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    scd2GateBoundary(History.asOf(eventsHistory(s, dir),
+      lit("2024-01-01 12:00:00").cast("timestamp_ntz")))
 
   /** Snapshot diff (History.diffSnapshots): which users' live
     * event_type changed between noon day 1 and noon day 2 — the
@@ -5019,14 +5019,11 @@ object SparkEntry {
     * payload; a key never leaves an SCD2 history going forward, so
     * no removed rows here). The oracle filters the shared SCD2 body
     * at both cuts and full-outer-joins. */
-  private def q243(s: SparkSession, dir: String): DataFrame = {
-    val h = History.scd2(t(s, dir, "events"), "user_id", "ts",
-      Seq("event_type"), Seq("event_id"))
-    History.diffSnapshots(h,
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    History.diffSnapshots(eventsHistory(s, dir),
       lit("2024-01-01 12:00:00").cast("timestamp_ntz"),
       lit("2024-01-02 12:00:00").cast("timestamp_ntz"),
       "user_id", Seq("event_type"))
-  }
 
   /** BPE tokenizer training (operators.Bpe, Sennrich et al. 2016):
     * 12 merges learned over the corpus word-frequency table with the

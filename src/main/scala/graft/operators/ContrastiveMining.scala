@@ -60,14 +60,25 @@ object ContrastiveMining {
     * 6 places on output — the repo's cross-engine convention.
     * Output: (anchor_id, neighbor_id, score, rnk). */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, anchors: DataFrame, dim: Int, k: Int): DataFrame = {
+      labelCol: String, anchors: DataFrame, dim: Int, k: Int): DataFrame =
+    topKPerAnchor(
+      scoredBroadcast(corpus, idCol, vecCol, labelCol, anchors, dim,
+        keep = col("anchor_label") =!= col("neighbor_label")),
+      k)
+
+  /** Shared scoring recipe of the broadcast-anchor faces
+    * ([[hardNegatives]] / [[triplets]]): label-law projection of both
+    * sides, corpus × broadcast(anchors), `keep` predicate applied
+    * BEFORE the cosine so pruned pairs never pay for it. */
+  private def scoredBroadcast(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, anchors: DataFrame, dim: Int,
+      keep: org.apache.spark.sql.Column): DataFrame = {
     val a = labeled(anchors, idCol, vecCol, labelCol, dim, "anchor")
     val c = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
-    val scored = c.crossJoin(broadcast(a))
-      .where(col("anchor_label") =!= col("neighbor_label"))
+    c.crossJoin(broadcast(a))
+      .where(keep)
       .withColumn("score",
         VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
-    topKPerAnchor(scored, k)
   }
 
   /** THE per-anchor top-k tail — one definition of the ranking
@@ -95,16 +106,12 @@ object ContrastiveMining {
     * Output: (anchor_id, pos_id, pos_score, neg_id, neg_score,
     * margin). */
   def triplets(corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, anchors: DataFrame, dim: Int): DataFrame = {
-    val a = labeled(anchors, idCol, vecCol, labelCol, dim, "anchor")
-    val c = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
-    val scored = c.crossJoin(broadcast(a))
-      .where(!(col("anchor_id") <=> col("neighbor_id")))
-      .withColumn("is_pos", col("anchor_label") === col("neighbor_label"))
-      .withColumn("score",
-        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
-    bestPairs(scored)
-  }
+      labelCol: String, anchors: DataFrame, dim: Int): DataFrame =
+    bestPairs(
+      scoredBroadcast(corpus, idCol, vecCol, labelCol, anchors, dim,
+          keep = !(col("anchor_id") <=> col("neighbor_id")))
+        .withColumn("is_pos",
+          col("anchor_label") === col("neighbor_label")))
 
   /** Tail of [[triplets]]: rank within (anchor, leg), keep rank 1 of
     * each leg, fold the two ≤1-row legs into one row per anchor with
