@@ -529,6 +529,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("r19 hard-negative mining streams as a stream-static cross: " +
+      "each micro-batch of query embeddings mines against the static " +
+      "labeled corpus — per-batch anchors ≡ the batch law (the miner " +
+      "is anchor-local: an anchor's row set never depends on other " +
+      "anchors)") {
+    val tmp = Files.createTempDirectory("cmine").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.02f, 0f, 0f), Some(0)),
+      (2L, Seq(0.99f, 0.05f, 0f, 0f), Some(0)),
+      (3L, Seq(0.02f, 1.0f, 0f, 0f), Some(1)),
+      (4L, Seq(0.05f, 0.98f, 0f, 0f), Some(1)))
+      .toDF("vec_id", "embedding", "label")
+    val q = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.ContrastiveMining.hardNegatives(
+            corpus, "vec_id", "embedding", "label", batch, 4, 2)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val anchors = Seq(
+      (1L, Seq(1.0f, 0.02f, 0f, 0f), Some(0)),
+      (3L, Seq(0.02f, 1.0f, 0f, 0f), Some(1)))
+    anchors.take(1).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    anchors.drop(1).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.operators.ContrastiveMining.hardNegatives(
+        corpus, "vec_id", "embedding", "label",
+        anchors.toDF("vec_id", "embedding", "label"), 4, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === oneShot)
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
