@@ -9050,9 +9050,9 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // non-null on both sides; no vector columns touched.
     "q244_sampled_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, label AS al FROM embeddings
-        |  WHERE vec_id % 50 = 0 AND label IS NOT NULL),
+        |  WHERE vec_id % 50 = 0 AND label IS NOT NULL AND vec_id IS NOT NULL),
         |c AS (SELECT vec_id AS neighbor_id, label AS nl FROM embeddings
-        |  WHERE label IS NOT NULL),
+        |  WHERE label IS NOT NULL AND vec_id IS NOT NULL),
         |d AS (SELECT anchor_id, neighbor_id,
         |  md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR) || ':' || 'q244') AS draw
         |  FROM c CROSS JOIN a WHERE al <> nl),

@@ -216,12 +216,17 @@ object ContrastiveMining {
     * only shuffle is the per-anchor top-k window. */
   def sampledNegatives(corpus: DataFrame, idCol: String, labelCol: String,
       anchors: DataFrame, k: Int, seed: String): DataFrame = {
+    // null-id rows are out on BOTH sides: a pair without ids can't be
+    // cited as a training example, and concat_ws would silently SKIP
+    // the null component while a SQL `||` twin propagates NULL — the
+    // exclusion keeps the draw engine-reproducible (r19 continuation
+    // review pass 3)
     val a = anchors.select(col(idCol).as("anchor_id"),
         col(labelCol).as("anchor_label"))
-      .where(col("anchor_label").isNotNull)
+      .where(col("anchor_label").isNotNull && col("anchor_id").isNotNull)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("neighbor_label"))
-      .where(col("neighbor_label").isNotNull)
+      .where(col("neighbor_label").isNotNull && col("neighbor_id").isNotNull)
     val drawn = c.crossJoin(broadcast(a))
       .where(col("anchor_label") =!= col("neighbor_label"))
       .withColumn("draw", md5(concat_ws(":",

@@ -125,6 +125,17 @@ class ContrastiveMiningSpec extends AnyFunSuite {
     assert(s1.forall { case (_, n, _) => n != 6L },
       "null-label never sampled; note 7L (labeled, wrong-width) IS " +
         "samplable — sampling is label-driven, width-independent")
+    // null-ID rows are out on both sides: a pair without ids can't
+    // be cited, and the engines' concat semantics diverge on NULL
+    val withNullId = fixture.unionByName(
+      Seq((Option.empty[Long], Seq(9f, 9f, 9f, 9f), Some(0)))
+        .toDF("vec_id", "embedding", "label"))
+    val s3 = ContrastiveMining.sampledNegatives(
+        withNullId, "vec_id", "label",
+        withNullId.where($"vec_id".isin(3L) || $"vec_id".isNull), 10, "s1")
+      .collect()
+    assert(s3.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "null-id rows neither sample nor are sampled")
     val perAnchor = s1.groupBy(_._1).values
     assert(perAnchor.forall(g => g.map(_._2).size === g.size),
       "no repeated neighbor within an anchor")
