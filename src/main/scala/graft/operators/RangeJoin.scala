@@ -30,10 +30,17 @@ object RangeJoin {
       floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
     val i = intervals
       .withColumn("_blo", floor(col(loCol).cast("double") / bucketWidth).cast("long"))
-      // hi is exclusive: the hi-boundary bucket is included only when
-      // the interval actually reaches into it
+      // hi is exclusive, but the hi-boundary bucket is ALWAYS
+      // included: candidate buckets must be a SUPERSET of the true
+      // reach (the residual filter only prunes, it can't recover a
+      // missed bucket). The former `hi - 1e-12` trim dropped the
+      // boundary bucket, which silently LOST pairs whenever hi sat
+      // within 1e-12 above a boundary on a floating domain (r19
+      // continuation fresh-eyes pass); the cost of keeping it is one
+      // extra replica per exactly-on-boundary interval, removed by
+      // the residual filter.
       .withColumn("_bhi",
-        floor((col(hiCol).cast("double") - 1e-12) / bucketWidth).cast("long"))
+        floor(col(hiCol).cast("double") / bucketWidth).cast("long"))
       .withColumn("_bucket", explode(sequence(col("_blo"), greatest(col("_blo"), col("_bhi")))))
       .drop("_blo", "_bhi")
     p.join(i, Seq("_bucket"))

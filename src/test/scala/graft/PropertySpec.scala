@@ -195,6 +195,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval join: boundary adversary — hi within 1e-12 above a " +
+      "bucket boundary still reaches the boundary bucket (the trimmed " +
+      "candidate-bucket bug), exact-boundary hi stays exclusive") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 10.0), (2L, 9.999999999999)).toDF("pid", "v")
+    val intervals = Seq(
+      (1L, 5.0, 10.0 + 5e-13), // reaches INTO bucket 2: point at 10.0 matches
+      (2L, 5.0, 10.0))         // exclusive at exactly 10.0: point 10.0 does NOT
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(points, "v", intervals, "lo", "hi", 5.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (2L, 2L)),
+      "pair (1,1) is the one the hi-1e-12 candidate trim silently lost")
+  }
+
   test("heading blocks agree with an independent reimplementation") {
     import graft.functions.HeadingBlocks.headingBlocksOf
     import org.apache.spark.sql.Row
