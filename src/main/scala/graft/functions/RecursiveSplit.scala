@@ -23,8 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `chunkSize` is re-split at the next level — the universal
   *    fallback below both syntax and language-regex tiers.
   *  - bottom-up merge (:597-743): adjacent atoms pack greedily into
-  *    chunks of at most `chunkSize` chars; a chunk is not closed
-  *    before `minChunkSize` unless input is exhausted.
+  *    chunks of at most `chunkSize` chars. The reference's packer is
+  *    a cost-minimizing DP where `min_chunk_size` is a soft penalty
+  *    (TOO_SMALL_CHUNK_COST, :659); this greedy twin does NOT weigh
+  *    it — `minChunkSize` is retained for API parity and validation
+  *    only, and small trailing chunks can occur (the q47 oracle pins
+  *    the greedy law).
   *  - overlap: the next chunk re-includes the largest whole-atom
   *    suffix of the previous chunk totalling <= `overlap` chars.
   *  - offset fidelity (:818-866): each chunk carries (start, end) char
@@ -227,14 +231,22 @@ case class RecursiveSplitExpr(child: Expression, chunkSize: Int,
     val text = input.asInstanceOf[UTF8String].toString
     val offsets = RecursiveSplit.chunkOffsets(text, chunkSize, minChunkSize,
       overlap, language)
-    // line/column of each chunk start via one newline scan
+    // line/column of each chunk start via ONE incremental newline
+    // scan: chunk starts are non-decreasing (overlap rewinds within
+    // the previous chunk, never before its start), so the scan
+    // resumes where it left off — the per-chunk restart-from-zero
+    // form was O(len·chunks) on long documents (r19 continuation
+    // fresh-eyes pass)
     val rows = new Array[Any](offsets.length)
+    var line = 1
+    var lastNl = -1
+    var p = 0
     var k = 0
     while (k < offsets.length) {
       val (s, e) = offsets(k)
-      var line = 1
-      var lastNl = -1
-      var p = 0
+      if (s < p) { // overlap rewound the start: rescan the tail only
+        line = 1; lastNl = -1; p = 0
+      }
       while (p < s) {
         if (text.charAt(p) == '\n') { line += 1; lastNl = p }
         p += 1

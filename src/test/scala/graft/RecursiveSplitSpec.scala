@@ -443,6 +443,24 @@ class RecursiveSplitSpec extends AnyFunSuite {
     rows.foreach { case (s, e, txt) => assert(py.substring(s, e) === txt) }
   }
 
+  test("line/column stay correct across MANY chunks with overlap — " +
+      "the incremental newline scan agrees with a per-chunk brute " +
+      "recompute on a long multi-line document") {
+    val text = (1 to 120).map(i => s"para $i line a\npara $i line b")
+      .mkString("\n\n")
+    val rows = chunksOf(text, 60, overlap = 20)
+    assert(rows.length > 50, s"fixture must produce many chunks: ${rows.length}")
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      val brute = text.substring(0, s)
+      val line = 1 + brute.count(_ == '\n')
+      val colFrom = brute.lastIndexOf('\n')
+      assert(r.getInt(2) === line, s"line at start $s")
+      assert(r.getInt(3) === s - colFrom, s"column at start $s")
+      assert(text.substring(s, r.getInt(1)) === r.getString(4))
+    }
+  }
+
   test("toml tier splits at table headers; css after rule close") {
     val toml = "[server]\nhost = \"a\"\nport = 1\n[client]\nhost = \"b\"\n[misc]\nflag = true"
     val tcs = langChunks(toml, 30, "toml")
