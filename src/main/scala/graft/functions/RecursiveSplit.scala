@@ -244,7 +244,11 @@ case class RecursiveSplitExpr(child: Expression, chunkSize: Int,
     var k = 0
     while (k < offsets.length) {
       val (s, e) = offsets(k)
-      if (s < p) { // overlap rewound the start: rescan the tail only
+      if (s < p) {
+        // correctness backstop, unreachable under the monotonic-start
+        // invariant above: restart the scan from zero (NOT a tail
+        // rescan — a future packer that rewinds starts would reopen
+        // the quadratic path and should revisit this)
         line = 1; lastNl = -1; p = 0
       }
       while (p < s) {

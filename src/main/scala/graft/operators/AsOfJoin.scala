@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   * right payload can never mix rows), keep left rows. One shuffle on
   * the key, linear work, no join explosion — survives arbitrary key
   * fan-in. Ties (right.ts == left.ts) match, as-of convention.
-  * NULL-ts rows sort first (Spark ASC NULLS FIRST): a null-ts LEFT
-  * row matches nothing unless the key also carries a null-ts RIGHT
-  * row (which then matches it, side-ordering) — null timestamps are
-  * garbage-in and should be filtered upstream; the behavior here is
-  * merely deterministic, not meaningful.
+  * NULL-ts rows sort first (Spark ASC NULLS FIRST) and are NOT
+  * inert: a null-ts LEFT row matches only a null-ts RIGHT row, and a
+  * null-ts RIGHT row acts as a minus-infinity match — it carries to
+  * EVERY left row of its key until a later right row supersedes it.
+  * Null timestamps are garbage-in: filter them upstream on BOTH
+  * sides; the behavior here is merely deterministic, not meaningful.
   */
 object AsOfJoin {
 
