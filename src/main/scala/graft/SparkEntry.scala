@@ -4976,6 +4976,40 @@ object SparkEntry {
       unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
       col("is_current"), col("event_type"))
 
+  /** Contrastive-release capstone (q246): the new tier composed
+    * end-to-end the way a release job runs it — embedding near-dups
+    * (q72 law) → connected components (q176 law) → component
+    * representatives as the anchor pool (every 25th) → triplets over
+    * the full labeled corpus → ONE release-report row
+    * (n_vectors, n_components, n_singletons, n_anchors, n_triplets,
+    * mean_margin). The margin mean goes through DECIMAL (the q01
+    * float-parity rule); every cross join is a broadcast 1-row
+    * frame. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDupLsh(
+        emb, "vec_id", "embedding", 64, 0.4, 3, 12)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+      emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+    val anchors = emb
+      .join(comps.where(col("is_representative"))
+        .select(col("id").as("vec_id")), Seq("vec_id"))
+      .where(pmod(col("vec_id"), lit(25)) === 0)
+    val tri = ContrastiveMining.triplets(
+      emb, "vec_id", "embedding", "label", anchors, 64)
+    val nVectors = emb.agg(count(lit(1L)).as("n_vectors"))
+    val compStats = comps.groupBy(col("component"))
+      .agg(count(lit(1L)).as("m"))
+      .agg(count(lit(1L)).as("n_components"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    val nAnchors = anchors.agg(count(lit(1L)).as("n_anchors"))
+    val triStats = tri.agg(count(lit(1L)).as("n_triplets"),
+      round(expr("CAST(SUM(CAST(margin AS DECIMAL(20,6))) AS DOUBLE)")
+        / count(lit(1L)), 6).as("mean_margin"))
+    nVectors.crossJoin(compStats).crossJoin(nAnchors).crossJoin(triStats)
+  }
+
   /** SCD2 validity-interval history (History.scd2) over the events
     * change log: per user, one row per event_type CHANGE with
     * [valid_from, valid_to) intervals, version numbers and the
@@ -5705,7 +5739,8 @@ object SparkEntry {
     "q242_hard_negatives_lsh_auto" -> q242 _,
     "q243_snapshot_diff" -> q243 _,
     "q244_sampled_negatives" -> q244 _,
-    "q245_lsh_recall_audit" -> q245 _)
+    "q245_lsh_recall_audit" -> q245 _,
+    "q246_contrastive_capstone" -> q246 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -9043,6 +9078,51 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |  round(CAST(COUNT(CASE WHEN _arnk <= k THEN 1 END) AS DOUBLE)
         |    / COUNT(*), 6) AS recall
         |FROM j GROUP BY k""".stripMargin,
+
+    // The capstone composes three pinned laws verbatim: the q72 LSH
+    // pair body, the q176 min-label walk (over vec_ids), and the
+    // q237 triplet rank/fold — then folds to one release-report row.
+    // Margin mean goes through DECIMAL (the q01 float-parity rule).
+    "q246_contrastive_capstone" ->
+      s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ($embedDedupLshOracleSql)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |walk(id, comp) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w
+        |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst),
+        |comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+        |anchors AS (SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+        |  JOIN comp ON comp.id = e.vec_id AND comp.component = e.vec_id
+        |  WHERE e.vec_id % 25 = 0 AND e.label IS NOT NULL AND len(e.embedding) = 64),
+        |corpus AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE label IS NOT NULL AND len(embedding) = 64),
+        |sc AS (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |  (a.label = c.label) AS is_pos,
+        |  ${cosSql("a.embedding", "c.embedding")} AS cos
+        |  FROM corpus c CROSS JOIN anchors a
+        |  WHERE a.vec_id IS DISTINCT FROM c.vec_id),
+        |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM sc),
+        |b AS (SELECT anchor_id,
+        |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+        |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos,
+        |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+        |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id
+        |  FROM r WHERE rnk = 1 GROUP BY anchor_id),
+        |tri AS (SELECT round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
+        |  FROM b WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(DISTINCT component) FROM comp) AS n_components,
+        |  (SELECT count(*) FROM (SELECT component FROM comp
+        |     GROUP BY component HAVING count(*) = 1)) AS n_singletons,
+        |  (SELECT count(*) FROM anchors) AS n_anchors,
+        |  (SELECT count(*) FROM tri) AS n_triplets,
+        |  (SELECT round(CAST(SUM(CAST(margin AS DECIMAL(20,6))) AS DOUBLE)
+        |     / count(*), 6) FROM tri) AS mean_margin""".stripMargin,
 
     // Seeded uniform draw: md5(anchor ‖ ":" ‖ neighbor ‖ ":" ‖ seed)
     // rank replayed verbatim (the MinHash md5-permutation trick

@@ -439,4 +439,17 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(lang"), plan)
     assert(plan.contains("hashpartitioning(band"), plan)
   }
+
+  test("q246 contrastive capstone: no cartesian; every nested loop is " +
+      "a benign broadcast cross (the bounded anchor pool and the " +
+      "1-row report aggregates) — LSH candidates stay an equi-join") {
+    val plan = planOf("q246_contrastive_capstone")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // build side may be either (the 1-row report frames cross in both
+    // directions; the anchor cross carries the self-exclusion cond)
+    val benign = "BroadcastNestedLoopJoin Build(Left|Right), Cross"
+      .r.findAllIn(plan).size
+    assert(benign === "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
+      s"every nested loop must be a benign broadcast cross:\n$plan")
+  }
 }
