@@ -4995,14 +4995,22 @@ object SparkEntry {
     val anchors = emb
       .join(comps.where(col("is_representative"))
         .select(col("id").as("vec_id")), Seq("vec_id"))
-      .where(pmod(col("vec_id"), lit(25)) === 0)
+      // label law applied HERE, not just inside triplets: the report's
+      // n_anchors must count the MINABLE pool (the oracle's anchors
+      // CTE filters identically; a null-label representative would
+      // otherwise inflate the Spark count only — r19 continuation
+      // review pass 5)
+      .where(pmod(col("vec_id"), lit(25)) === 0 &&
+        col("label").isNotNull && size(col("embedding")) === 64)
     val tri = ContrastiveMining.triplets(
       emb, "vec_id", "embedding", "label", anchors, 64)
     val nVectors = emb.agg(count(lit(1L)).as("n_vectors"))
     val compStats = comps.groupBy(col("component"))
       .agg(count(lit(1L)).as("m"))
       .agg(count(lit(1L)).as("n_components"),
-        sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        // count(when(...)) not sum(when(...)): sum over an empty
+        // frame is NULL where the oracle's count(*) is 0
+        count(when(col("m") === 1, true)).as("n_singletons"))
     val nAnchors = anchors.agg(count(lit(1L)).as("n_anchors"))
     val triStats = tri.agg(count(lit(1L)).as("n_triplets"),
       round(expr("CAST(SUM(CAST(margin AS DECIMAL(20,6))) AS DOUBLE)")
@@ -9025,20 +9033,8 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
         |  FROM embeddings
         |  WHERE vec_id % 50 = 0 AND label IS NOT NULL AND len(embedding) = 64),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl
-        |  FROM embeddings WHERE label IS NOT NULL AND len(embedding) = 64),
-        |s AS (SELECT anchor_id, neighbor_id, (al = nl) AS is_pos,
-        |  ${cosSql("av", "nv")} AS cos
-        |  FROM c CROSS JOIN a WHERE anchor_id IS DISTINCT FROM neighbor_id),
-        |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
-        |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM s),
-        |b AS (SELECT anchor_id,
-        |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
-        |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
-        |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
-        |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
-        |  FROM r WHERE rnk = 1 GROUP BY anchor_id)
+        |$labeledCorpusCteSql,
+        |$tripletFoldCtesSql
         |SELECT anchor_id, pos_id, round(pos_cos, 6) AS pos_score,
         |  neg_id, round(neg_cos, 6) AS neg_score,
         |  round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
@@ -9079,39 +9075,22 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |    / COUNT(*), 6) AS recall
         |FROM j GROUP BY k""".stripMargin,
 
-    // The capstone composes three pinned laws verbatim: the q72 LSH
-    // pair body, the q176 min-label walk (over vec_ids), and the
-    // q237 triplet rank/fold — then folds to one release-report row.
+    // The capstone composes three pinned laws from ONE definition
+    // each: the q72 LSH pair body, the q176 min-label walk
+    // (minWalkCtesSql, over vec_ids), and the q237 triplet rank/fold
+    // (tripletFoldCtesSql) — then folds to one release-report row.
     // Margin mean goes through DECIMAL (the q01 float-parity rule).
     "q246_contrastive_capstone" ->
-      s"""WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ($embedDedupLshOracleSql)),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-        |  UNION SELECT id_b, id_a FROM pr),
-        |walk(id, comp) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT e.dst, w.comp FROM walk w
-        |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst),
+      s"""WITH RECURSIVE ${minWalkCtesSql(
+             s"SELECT id_a, id_b FROM ($embedDedupLshOracleSql)",
+             "embeddings", "vec_id")},
         |comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
-        |anchors AS (SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+        |a AS (SELECT e.vec_id AS anchor_id, e.embedding AS av, e.label AS al
+        |  FROM embeddings e
         |  JOIN comp ON comp.id = e.vec_id AND comp.component = e.vec_id
         |  WHERE e.vec_id % 25 = 0 AND e.label IS NOT NULL AND len(e.embedding) = 64),
-        |corpus AS (SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE label IS NOT NULL AND len(embedding) = 64),
-        |sc AS (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
-        |  (a.label = c.label) AS is_pos,
-        |  ${cosSql("a.embedding", "c.embedding")} AS cos
-        |  FROM corpus c CROSS JOIN anchors a
-        |  WHERE a.vec_id IS DISTINCT FROM c.vec_id),
-        |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
-        |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM sc),
-        |b AS (SELECT anchor_id,
-        |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
-        |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos,
-        |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
-        |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id
-        |  FROM r WHERE rnk = 1 GROUP BY anchor_id),
+        |$labeledCorpusCteSql,
+        |$tripletFoldCtesSql,
         |tri AS (SELECT round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
         |  FROM b WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL)
         |SELECT
@@ -9119,7 +9098,7 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |  (SELECT count(DISTINCT component) FROM comp) AS n_components,
         |  (SELECT count(*) FROM (SELECT component FROM comp
         |     GROUP BY component HAVING count(*) = 1)) AS n_singletons,
-        |  (SELECT count(*) FROM anchors) AS n_anchors,
+        |  (SELECT count(*) FROM a) AS n_anchors,
         |  (SELECT count(*) FROM tri) AS n_triplets,
         |  (SELECT round(CAST(SUM(CAST(margin AS DECIMAL(20,6))) AS DOUBLE)
         |     / count(*), 6) FROM tri) AS mean_margin""".stripMargin,
@@ -9854,18 +9833,26 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     * the q176/q223 grouping oracles and q224's best-member law. */
   private def neardupWalkCtesSql: String = neardupWalkCtesSqlOver("documents")
 
+  /** edges + min-label walk CTE pair over ANY symmetric pairs SELECT
+    * (id_a, id_b) and node set — ONE walk definition for the document
+    * graph ([[neardupWalkCtesSqlOver]]: q176/q223/q226 and the
+    * null-text arm) and the embedding graph (the q246 capstone). */
+  private def minWalkCtesSql(pairsSql: String, nodesFrom: String,
+      idCol: String): String =
+    s"""p AS ($pairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |walk(id, comp) AS (
+       |  SELECT $idCol, $idCol FROM $nodesFrom
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w
+       |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)""".stripMargin
+
   /** [[neardupWalkCtesSql]] over any table/CTE exposing (doc_id, text)
     * — the r18 NULL-text fixture arm replays the identical fragment
     * over an adversarial view; default keeps q176/q223 byte-stable. */
   private def neardupWalkCtesSqlOver(from: String): String =
-    s"""WITH RECURSIVE p AS (${minhashLshOracleSqlOver(from)}),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-       |          UNION SELECT id_b, id_a FROM p),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM $from
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w
-       |  JOIN edges e ON w.id = e.src WHERE w.comp < e.dst)""".stripMargin
+    s"WITH RECURSIVE ${minWalkCtesSql(minhashLshOracleSqlOver(from), from, "doc_id")}"
 
   /** Min-reachable-id component labels. Shared VERBATIM by q176
     * (min-label walk) and q223 (large-star/small-star contraction):
@@ -9898,6 +9885,32 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
        |      FROM h GROUP BY doc_id, CAST(floor(k / 4) AS INT))
        |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |FROM b a JOIN b b2 USING (band, bucket) WHERE a.doc_id < b2.doc_id""".stripMargin
+
+  /** The labeled-corpus CTE of the triplet fold (the label law:
+    * non-null label, 64-wide vector) — the `c` side shared by q237
+    * and the q246 capstone. */
+  private def labeledCorpusCteSql: String =
+    """c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl
+      |  FROM embeddings WHERE label IS NOT NULL AND len(embedding) = 64)""".stripMargin
+
+  /** THE q237 triplet rank/fold body over CTEs a(anchor_id, av, al)
+    * and c(neighbor_id, nv, nl) — ONE definition for q237 and the
+    * q246 capstone, so a triplet-law amendment can never leave the
+    * capstone pinning a stale copy (the shared-fragment
+    * discipline). */
+  private def tripletFoldCtesSql: String =
+    s"""s AS (SELECT anchor_id, neighbor_id, (al = nl) AS is_pos,
+       |  ${cosSql("av", "nv")} AS cos
+       |  FROM c CROSS JOIN a WHERE anchor_id IS DISTINCT FROM neighbor_id),
+       |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s),
+       |b AS (SELECT anchor_id,
+       |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+       |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+       |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+       |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+       |  FROM r WHERE rnk = 1 GROUP BY anchor_id)""".stripMargin
 
   /** ONE LSH hard-negatives oracle body for the fixed face (q238)
     * and its auto-sized twin (q242, whose lshSizing lands on (3, 12)
