@@ -261,4 +261,153 @@ object ContrastiveMining {
     val bits = Dedup.lshSizing(n, bands, 0.5, budget)
     hardNegativesLsh(corpus, idCol, vecCol, labelCol, dim, k, bits, bands)
   }
+
+  /** A solved LSH geometry: `bandBits`/`bands` to pass to the banded
+    * faces, the recall the discounted curve predicts at the solve's
+    * cosine floor, the expected random-collision FRACTION of the
+    * corpus each anchor pays (bands · 2^−bandBits — multiply by the
+    * corpus size for the absolute candidate count), and whether the
+    * target was reachable within the caps. */
+  final case class LshRecallPlan(bandBits: Int, bands: Int,
+      predictedRecall: Double, collisionFrac: Double, met: Boolean)
+
+  /** Recall-targeted (bandBits, bands) solve (r19 verdict item 1:
+    * [[hardNegativesLshAuto]]'s default geometry held bands at 12 and
+    * budgeted collisions only — q245 measured recall@3 = 0.61 at the
+    * sf0.1 decade, silently losing 4 of 10 true hard negatives).
+    *
+    * The published curve: a pair at cosine s collides in one
+    * bandBits-wide band with probability p^bandBits,
+    * p = 1 − arccos(s)/π, so recall = 1 − (1 − p^bandBits)^bands.
+    * Applied RAW the curve overpredicts: it assumes every pair's
+    * per-bit collision probability equals p(s), but the realized
+    * per-pair bit agreement over a fixed plane family DISPERSES
+    * around it (structured embeddings are not isotropic relative to
+    * the planes — measured on the gate corpus: mean agreement 0.626
+    * for pairs predicted 0.626, but the 10th–90th percentile spans
+    * 0.47–0.77, and this round's analytic-only solve measured
+    * recall@3 = 0.662 where the curve promised 0.9: wide bands put
+    * the collision sigmoid's threshold above the dispersion's lower
+    * tail). The solve therefore discounts: pEff = p(atCosine) −
+    * `dispersion`, and the curve is evaluated at pEff.
+    *
+    * The solve itself: recall pins, cost minimizes — for each
+    * bandBits b in [1, bitsCap], the SMALLEST bands r ≤ bandsCap
+    * meeting the target at pEff (comparison-walked, not ceil'd, so
+    * the oracle's replay is boundary-stable); among feasible (b, r)
+    * pick the minimum expected collision fraction r · 2^−b, ties to
+    * the smaller b; if nothing is feasible, (1, bandsCap) with
+    * met = false. The corpus size drops out of the argmin (it scales
+    * every candidate's cost equally), so the solve needs NO count
+    * scan. The physics this exposes honestly: pEff < 1/2 (a low
+    * cosine floor) forces 1-bit bands and a collision fraction of
+    * r/2 — near-exhaustive, the true price of high recall at
+    * below-random similarity; the scale path is raising `atCosine`
+    * (mine only high-cosine negatives), where pEff > 1/2 lets wider
+    * bands cut the fraction geometrically.
+    *
+    * Engine parity: the q247 oracle replays the solve verbatim
+    * (costs r · 2^−b are exact doubles in both engines; the recall
+    * values sit ≫ 1 ulp from the threshold at every crossing the
+    * gates exercise; the spec pins the Scala arithmetic). */
+  def lshRecallSizing(targetRecall: Double = 0.9, atCosine: Double = 0.35,
+      dispersion: Double = 0.15, bitsCap: Int = 32,
+      bandsCap: Int = 512): LshRecallPlan = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1): $targetRecall")
+    require(atCosine > -1 && atCosine < 1,
+      s"atCosine must be in (-1,1): $atCosine")
+    val pEff = 1.0 - math.acos(atCosine) / math.Pi - dispersion
+    require(pEff > 0 && pEff < 1,
+      s"discounted collision probability out of range: $pEff " +
+        s"(atCosine $atCosine, dispersion $dispersion)")
+    val feasible = (1 to bitsCap).flatMap { b =>
+      val x = math.pow(pEff, b)
+      (1 to bandsCap)
+        .find(r => 1.0 - math.pow(1.0 - x, r) >= targetRecall)
+        .map(r => (b, r, r * math.pow(0.5, b),
+          1.0 - math.pow(1.0 - x, r)))
+    }
+    feasible.sortBy { case (b, _, cost, _) => (cost, b) }.headOption match {
+      case Some((b, r, cost, rec)) =>
+        LshRecallPlan(b, r, rec, cost, met = true)
+      case None =>
+        val rec = 1.0 - math.pow(1.0 - pEff, bandsCap)
+        LshRecallPlan(1, bandsCap, rec, bandsCap * 0.5, met = false)
+    }
+  }
+
+  /** [[hardNegativesLsh]] with BOTH bands and bandBits solved by
+    * [[lshRecallSizing]] — the recall-aware face the r19 verdict
+    * asked for: callers state the recall they need and the cosine
+    * floor it must hold at, and the cheapest geometry meeting it
+    * follows (no count scan — the solve is corpus-size-free).
+    * `atCosine` should sit at a low quantile of the expected top-k
+    * score distribution — the [[recallAudit]]'s own measurement; the
+    * 0.35 default is calibrated to the gate corpus, whose exact
+    * top-3 hard negatives sit at cosine 0.33–0.43 ([[SparkEntry]]
+    * q247 measures recall@3 = 0.973–0.974 at the sf0.01/sf0.1
+    * decades under the defaults, where the fixed-budget auto face
+    * measured 0.61). Cost is explicit, not hidden: at the default
+    * floor the plan is (1 bit, 4 bands) — a collision fraction of 2
+    * (every anchor verifies ~2n candidates; recall at below-random
+    * similarity IS near-exhaustive search). Callers mining at scale
+    * raise the floor to the cosine their negatives actually carry
+    * and the fraction drops geometrically; the returned
+    * [[LshRecallPlan]] (via [[lshRecallSizing]]) reports both knobs'
+    * consequences before any job runs. */
+  def hardNegativesLshRecall(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int, k: Int,
+      targetRecall: Double = 0.9, atCosine: Double = 0.35,
+      dispersion: Double = 0.15): DataFrame = {
+    val plan = lshRecallSizing(targetRecall, atCosine, dispersion)
+    hardNegativesLsh(corpus, idCol, vecCol, labelCol, dim, k,
+      plan.bandBits, plan.bands)
+  }
+
+  /** Continuous-ingest mining (r19 verdict item 4 — the TRAIN/MERGE/
+    * APPLY posture the dedup family has everywhere): mine a DAILY
+    * ANCHOR BATCH against the snapshot's PERSISTED band-bucket index
+    * ([[Dedup.bandedBuckets]] stored with the corpus, appended per
+    * delta, never rebuilt — the [[Dedup.nearDupAgainstSnapshot]]
+    * pattern for embeddings) instead of re-hashing the corpus. Only
+    * the batch pays signature cost; candidates come from the
+    * (band, bucket) equi-join between the batch's buckets and the
+    * stored index, then the label law, exact cosine and per-anchor
+    * top-k apply as in [[hardNegativesLsh]].
+    *
+    * (dim, bandBits, bands) MUST equal the parameters the stored
+    * index was built with — a mismatch silently empties the bucket
+    * join rather than erroring (the nearDupAgainstSnapshot `n`
+    * caveat). With batch = corpus and the index built over the same
+    * labeled corpus, the output EQUALS [[hardNegativesLsh]] — the
+    * q248 gate pins that against the q238 oracle verbatim; the
+    * streaming posture (foreachBatch, index stream-static) is pinned
+    * by StreamingSpec.
+    *
+    * Output: (anchor_id, neighbor_id, score, rnk). */
+  def hardNegativesAgainstSnapshot(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      priorBuckets: DataFrame, priorIdCol: String, dim: Int, k: Int,
+      bandBits: Int = 3, bands: Int = 12): DataFrame = {
+    val a = labeled(batch, idCol, vecCol, labelCol, dim, "anchor")
+    val bBk = Dedup.bandedBuckets(
+      a.select(col("anchor_id"), col("anchor_vec")),
+      "anchor_id", "anchor_vec", dim, bandBits, bands)
+    // =!= (not <=>-negation): a null-id row can never be cited as a
+    // mining pair, matching the fixed face's a<b candidate law
+    val cand = bBk
+      .join(priorBuckets.select(col(priorIdCol).as("neighbor_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("anchor_id") =!= col("neighbor_id"))
+      .select(col("anchor_id"), col("neighbor_id")).distinct()
+    val nv = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
+    val scored = cand
+      .join(a, Seq("anchor_id"))
+      .join(nv, Seq("neighbor_id"))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("score",
+        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+    topKPerAnchor(scored, k)
+  }
 }

@@ -22,9 +22,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusArtifacts {
 
+  /** Session-aware persisted-DataFrame memo (r19 ADVICE: the plain
+    * JVM-lifetime maps served frames bound to a STOPPED SparkSession
+    * when a new session reused the same corpus key). Entries are
+    * keyed by corpus key but validated against their owning session:
+    * a hit whose session has stopped is rebuilt in place — no
+    * unpersist needed, the dead session's block manager went with it.
+    * `compute` gives per-key build exclusion, same as the old
+    * computeIfAbsent. One definition for all six frame caches. */
+  private final class DfMemo {
+    private val m = new ConcurrentHashMap[String, DataFrame]()
+    def get(key: String, build: => DataFrame): DataFrame =
+      m.compute(key, (_, cur) =>
+        if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
+        else build.persist(StorageLevel.MEMORY_AND_DISK))
+    def alive(key: String): Boolean = {
+      val cur = m.get(key)
+      cur != null && !cur.sparkSession.sparkContext.isStopped
+    }
+    def clear(): Unit = {
+      m.values.forEach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      }
+      m.clear()
+    }
+  }
+
   private val bm25Cache = new ConcurrentHashMap[String, Search.Bm25Index]()
-  private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
-  private val winnowCache = new ConcurrentHashMap[String, DataFrame]()
+  private val shingleCache = new DfMemo
+  private val winnowCache = new DfMemo
 
   /** Explicit ingest-phase entry: build BOTH artifacts for a corpus
     * from ONE persisted tokenization pass (tokenizing dominates both
@@ -34,44 +60,48 @@ object CorpusArtifacts {
   def buildAll(key: String, df: => DataFrame, idCol: String,
       textCol: String, n: Int): Unit = {
     val shKey = s"$key#$n"
-    if (bm25Cache.containsKey(key) && shingleCache.containsKey(shKey)) return
+    if (bm25Alive(key) && shingleCache.alive(shKey)) return
     val base = Search.tokenBase(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    bm25Cache.computeIfAbsent(key, _ =>
-      Search.buildIndexFromTokens(base, idCol, eager = true))
-    shingleCache.computeIfAbsent(shKey, _ => {
+    bm25Compute(key, Search.buildIndexFromTokens(base, idCol, eager = true))
+    shingleCache.get(shKey, {
       val sh = Dedup.shingleIndexFromTokens(base, idCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
       sh.count()
       sh
     })
     base.unpersist()
   }
 
+  /** Bm25Index entries carry four persisted frames, so they get the
+    * same session validation as [[DfMemo]] via the index frame. */
+  private def bm25Alive(key: String): Boolean = {
+    val cur = bm25Cache.get(key)
+    cur != null && !cur.idx.sparkSession.sparkContext.isStopped
+  }
+  private def bm25Compute(key: String, build: => Search.Bm25Index): Search.Bm25Index =
+    bm25Cache.compute(key, (_, cur) =>
+      if (cur != null && !cur.idx.sparkSession.sparkContext.isStopped) cur
+      else build)
+
   /** BM25 index (inverted index, doc lengths, corpus stats), persisted.
     * `key` identifies the corpus version — at cluster scale the ingest
-    * run id; here the sf directory. Per-key computeIfAbsent: cache hits
+    * run id; here the sf directory. Per-key compute: cache hits
     * never block behind another corpus's build. */
   def bm25Index(key: String, df: => DataFrame, idCol: String,
       textCol: String): Search.Bm25Index =
-    bm25Cache.computeIfAbsent(key, _ =>
-      Search.buildIndex(df, idCol, textCol, eager = true))
+    bm25Compute(key, Search.buildIndex(df, idCol, textCol, eager = true))
 
   /** Exploded (id, shingle) inverted index, persisted. */
   def shingleIndex(key: String, df: => DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    shingleCache.computeIfAbsent(s"$key#$n", _ =>
-      Dedup.shingleIndex(df, idCol, textCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    shingleCache.get(s"$key#$n", Dedup.shingleIndex(df, idCol, textCol, n))
 
   /** Exploded (id, fp) winnowed-fingerprint index, persisted — the
     * span-pair analogue of [[shingleIndex]] (the per-row winnowing
     * hash pass dwarfs scan cost; never rebuild it per branch). */
   def winnowIndex(key: String, df: => DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame =
-    winnowCache.computeIfAbsent(s"$key#$k#$w", _ =>
-      Dedup.winnowIndex(df, idCol, textCol, k, w)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    winnowCache.get(s"$key#$k#$w", Dedup.winnowIndex(df, idCol, textCol, k, w))
 
   /** DSIR (id, bucket, cnt) gram histogram, persisted — the shared
     * input the raw distribution AND the scoring join derive from
@@ -80,11 +110,10 @@ object CorpusArtifacts {
     * key instead of one per consumer (7.5 s → 2.4 s at sf1). */
   def dsirCounts(key: String, df: => DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame =
-    dsirCache.computeIfAbsent(s"$key#$buckets", _ =>
-      Dsir.docBucketCounts(df, idCol, textCol, buckets)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    dsirCache.get(s"$key#$buckets",
+      Dsir.docBucketCounts(df, idCol, textCol, buckets))
 
-  private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
+  private val dsirCache = new DfMemo
 
   /** Near-dup component labels ((doc_id, component,
     * is_representative) — the q176 law), persisted. The dedup
@@ -96,10 +125,21 @@ object CorpusArtifacts {
     * shingle/band change under the same key would serve stale
     * groups. */
   def neardupComponents(key: String, build: => DataFrame): DataFrame =
-    componentCache.computeIfAbsent(key, _ =>
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    componentCache.get(key, build)
 
-  private val componentCache = new ConcurrentHashMap[String, DataFrame]()
+  private val componentCache = new DfMemo
+
+  /** LSH band-bucket index ((id, band, bucket) —
+    * [[Dedup.bandedBuckets]] over an embedding corpus), persisted —
+    * the snapshot artifact [[ContrastiveMining.hardNegativesAgainstSnapshot]]
+    * mines a daily anchor delta against (the [[Dedup.nearDupAgainstSnapshot]]
+    * posture for embeddings). `key` must pin corpus AND (dim,
+    * bandBits, bands) — a signature-parameter change under the same
+    * key would serve buckets no batch signature can collide with. */
+  def embeddingBuckets(key: String, build: => DataFrame): DataFrame =
+    bucketCache.get(key, build)
+
+  private val bucketCache = new DfMemo
 
   /** NB-quality scored frame ([[LmQuality.nbQualityScore]] output:
     * (idCol, n_tokens, avg_llr, keep)), persisted — the "persist the
@@ -114,12 +154,11 @@ object CorpusArtifacts {
       textCol: String, pos: => DataFrame, posTextCol: String,
       neg: => DataFrame, negTextCol: String,
       alpha: Double = 0.5): DataFrame =
-    nbCache.computeIfAbsent(s"$key#$alpha", _ =>
+    nbCache.get(s"$key#$alpha",
       LmQuality.nbQualityScore(docs, idCol, textCol,
-          pos, posTextCol, neg, negTextCol, alpha)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        pos, posTextCol, neg, negTextCol, alpha))
 
-  private val nbCache = new ConcurrentHashMap[String, DataFrame]()
+  private val nbCache = new DfMemo
 
   /** Decontaminated-text frame ([[Dedup.removeContaminatedSpans]]
     * output: (idCol, n_tokens, n_dropped, clean_text)), persisted —
@@ -130,25 +169,23 @@ object CorpusArtifacts {
   def decontaminated(key: String, train: => DataFrame, idCol: String,
       textCol: String, evalDf: => DataFrame, evalTextCol: String,
       n: Int): DataFrame =
-    deconCache.computeIfAbsent(s"$key#$n", _ =>
+    deconCache.get(s"$key#$n",
       Dedup.removeContaminatedSpans(train, idCol, textCol,
-          evalDf, evalTextCol, n)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        evalDf, evalTextCol, n))
 
-  private val deconCache = new ConcurrentHashMap[String, DataFrame]()
+  private val deconCache = new DfMemo
 
   /** Drop every memoized artifact (tests / corpus reload). */
   def reset(): Unit = {
     bm25Cache.values.forEach { ix =>
-      ix.idx.unpersist(); ix.dls.unpersist(); ix.stats.unpersist()
-      ix.impacts.unpersist()
+      if (!ix.idx.sparkSession.sparkContext.isStopped) {
+        ix.idx.unpersist(); ix.dls.unpersist(); ix.stats.unpersist()
+        ix.impacts.unpersist()
+      }
     }
-    shingleCache.values.forEach(_.unpersist())
-    winnowCache.values.forEach(_.unpersist())
-    dsirCache.values.forEach(_.unpersist())
-    nbCache.values.forEach(_.unpersist())
-    deconCache.values.forEach(_.unpersist())
-    bm25Cache.clear(); shingleCache.clear(); winnowCache.clear()
-    dsirCache.clear(); nbCache.clear(); deconCache.clear()
+    shingleCache.clear(); winnowCache.clear(); dsirCache.clear()
+    nbCache.clear(); deconCache.clear(); componentCache.clear()
+    bucketCache.clear()
+    bm25Cache.clear()
   }
 }

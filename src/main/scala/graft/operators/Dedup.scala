@@ -517,16 +517,8 @@ object Dedup {
       vecCol: String, dim: Int, bandBits: Int, bands: Int,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = extraKeys.map(col)
-    val sig = Partitioning.spread(base)
-      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
-        col(vecCol), dim, bandBits * bands))
-    val banded = sig.select(keyCols :+ col(idCol) :+ explode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            col("_sig").substr(b * bandBits + lit(1), lit(bandBits))
-              .as("bucket")))).as("bb"): _*)
-      .select(keyCols :+ col(idCol) :+ col("bb.band").as("band") :+
-        col("bb.bucket").as("bucket"): _*)
+    val banded = bandedBuckets(base, idCol, vecCol, dim, bandBits, bands,
+      extraKeys)
     banded.select(keyCols :+ col(idCol).as("_id_a") :+ col("band") :+
         col("bucket"): _*)
       .join(banded.select(keyCols :+ col(idCol).as("_id_b") :+
@@ -534,6 +526,32 @@ object Dedup {
         extraKeys ++ Seq("band", "bucket"))
       .where(col("_id_a") < col("_id_b"))
       .select(col("_id_a"), col("_id_b")).distinct()
+  }
+
+  /** The hyperplane band-bucket index itself — (extraKeys..., id,
+    * band, bucket) — factored from [[bandedCandidatePairs]] so it can
+    * be PERSISTED as a snapshot artifact (the embedding analogue of
+    * [[lshBuckets]]' role in [[nearDupAgainstSnapshot]]):
+    * [[ContrastiveMining.hardNegativesAgainstSnapshot]] joins a
+    * batch's buckets against this stored index instead of re-hashing
+    * the corpus. In steady state the index appends each day's delta
+    * rows — never rebuilt — which is only sound because the signature
+    * planes are deterministic in the plane index (hyperplaneSignature's
+    * dyadic LCG): tomorrow's batch hashes with the SAME planes. */
+  def bandedBuckets(base: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bandBits: Int, bands: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    val sig = Partitioning.spread(base)
+      .withColumn("_sig", SimilaritySearch.hyperplaneSignature(
+        col(vecCol), dim, bandBits * bands))
+    sig.select(keyCols :+ col(idCol) :+ explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            col("_sig").substr(b * bandBits + lit(1), lit(bandBits))
+              .as("bucket")))).as("bb"): _*)
+      .select(keyCols :+ col(idCol) :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket"): _*)
   }
 
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,

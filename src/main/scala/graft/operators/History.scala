@@ -85,7 +85,14 @@ object History {
     * key must sit at-or-after the key's open version's valid_from in
     * the (ts, tie-break) total order. Rows with a STRICTLY earlier ts
     * are LATE and are dropped (the watermark discipline — count them
-    * upstream if they must be audited). Rows at ts EQUAL to the open
+    * upstream if they must be audited). A NULL ts can never satisfy
+    * at-or-after, so null-ts batch rows are dropped for EVERY key —
+    * new keys included (r19 ADVICE: the previous filter dropped them
+    * only for existing keys, so the late-row rule applied
+    * asymmetrically). The one-shot [[scd2]] orders null ts FIRST per
+    * key; a log that carries null timestamps must be cleaned or
+    * defaulted upstream before the incremental posture — fold ≡
+    * one-shot is guaranteed only for non-null-ts logs. Rows at ts EQUAL to the open
     * valid_from are accepted and ordered after the seed — under the
     * contract their tie-break is later than the opening row's; a
     * contract-violating equal-ts row (earlier tie-break) is
@@ -149,7 +156,10 @@ object History {
       tieBreakCols.map(c => lit(null).cast(tieType(c)).as(c)): _*)
     val batchLog = batch
       .join(openMeta, col(keyCol) <=> col("_okey"), "left")
-      .where(col("_open_from").isNull || col(tsCol) >= col("_open_from"))
+      // null-ts rows are unorderable under the append contract: out
+      // for every key, new keys included (see the contract note)
+      .where(col(tsCol).isNotNull &&
+        (col("_open_from").isNull || col(tsCol) >= col("_open_from")))
       .select((col(keyCol) +: col(tsCol).as("_t") +:
         lit(1).as("_src") +: payloadCols.map(col)) ++ tieBreakCols.map(col): _*)
     val ord = col("_t").asc +: col("_src").asc +: tieBreakCols.map(col(_).asc)

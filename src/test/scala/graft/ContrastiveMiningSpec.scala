@@ -184,4 +184,79 @@ class ContrastiveMiningSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     assert(lsh.forall { case (a, n, s) => exact.contains((a, n, s)) })
   }
+
+  test("lshRecallSizing: the defaults solve to (1 bit, 4 bands) — " +
+      "pEff = p(0.35) − 0.15 ≈ 0.464 < 1/2 makes every extra bit a " +
+      "net cost, and 4 half-space bands clear the 0.9 target") {
+    val plan = ContrastiveMining.lshRecallSizing()
+    assert(plan.bandBits === 1 && plan.bands === 4)
+    assert(plan.met)
+    assert(plan.collisionFrac === 4 * 0.5)
+    // recall at pEff: 1 - (1-pEff)^4 with pEff = 1 - acos(0.35)/π - 0.15
+    val pEff = 1.0 - math.acos(0.35) / math.Pi - 0.15
+    assert(plan.predictedRecall === 1.0 - math.pow(1.0 - pEff, 4))
+    assert(plan.predictedRecall >= 0.9 &&
+      1.0 - math.pow(1.0 - pEff, 3) < 0.9,
+      "4 must be the SMALLEST feasible band count at 1 bit")
+  }
+
+  test("lshRecallSizing: a high cosine floor (pEff > 1/2) buys wide " +
+      "bands and a geometrically smaller collision fraction; the " +
+      "plan's fraction is exactly bands·2^-bits") {
+    val plan = ContrastiveMining.lshRecallSizing(
+      targetRecall = 0.9, atCosine = 0.9, dispersion = 0.15)
+    assert(plan.met)
+    assert(plan.bandBits >= 8, s"expected wide bands, got $plan")
+    assert(plan.collisionFrac ===
+      plan.bands * math.pow(0.5, plan.bandBits))
+    assert(plan.collisionFrac < 0.1,
+      s"high-floor mining must be far from exhaustive: $plan")
+    assert(plan.predictedRecall >= 0.9)
+  }
+
+  test("lshRecallSizing: an unreachable target falls back to " +
+      "(1, bandsCap) with met = false instead of silently under-" +
+      "delivering") {
+    // pEff = 1 - acos(-0.9)/π - 0.14 ≈ 0.0036: even 512 half-space
+    // bands can't reach 0.9
+    val plan = ContrastiveMining.lshRecallSizing(
+      targetRecall = 0.9, atCosine = -0.9, dispersion = 0.14)
+    assert(!plan.met)
+    assert(plan.bandBits === 1 && plan.bands === 512)
+    assert(plan.predictedRecall < 0.9)
+  }
+
+  test("hardNegativesLshRecall: the defaults mine with the solved " +
+      "(1, 4) geometry — row-identical to hardNegativesLsh at that " +
+      "geometry") {
+    def rows(df: DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(ContrastiveMining.hardNegativesLshRecall(
+        fixture, "vec_id", "embedding", "label", 4, 3)) ===
+      rows(ContrastiveMining.hardNegativesLsh(
+        fixture, "vec_id", "embedding", "label", 4, 3,
+        bandBits = 1, bands = 4)))
+  }
+
+  test("hardNegativesAgainstSnapshot: with batch = corpus and the " +
+      "persisted bucket index built over the labeled corpus, the " +
+      "output equals the fixed LSH face; a DELTA batch equals the " +
+      "full face filtered to its anchors (the miner is anchor-local)") {
+    import graft.operators.Dedup
+    def rows(df: DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val lab = fixture.where($"label".isNotNull && size($"embedding") === 4)
+    val buckets = Dedup.bandedBuckets(
+      lab.select($"vec_id", $"embedding"), "vec_id", "embedding", 4, 3, 12)
+    val full = ContrastiveMining.hardNegativesLsh(
+      fixture, "vec_id", "embedding", "label", 4, 3)
+    assert(rows(ContrastiveMining.hardNegativesAgainstSnapshot(
+        fixture, fixture, "vec_id", "embedding", "label",
+        buckets, "vec_id", 4, 3)) === rows(full))
+    val delta = fixture.where($"vec_id".isin(3L, 5L))
+    assert(rows(ContrastiveMining.hardNegativesAgainstSnapshot(
+        delta, fixture, "vec_id", "embedding", "label",
+        buckets, "vec_id", 4, 3)) ===
+      rows(full.where($"anchor_id".isin(3L, 5L))))
+  }
 }

@@ -155,6 +155,23 @@ class HistorySpec extends AnyFunSuite {
       "one open version on the null-key chain, versions 1 and 2")
   }
 
+  test("scd2Append: a NULL-ts batch row is dropped for EVERY key — " +
+      "new keys included (r19 ADVICE: the filter previously dropped " +
+      "them only for existing keys, an asymmetric late-row rule)") {
+    def nlog(rows: (Long, Option[Long], Long, Option[String])*): DataFrame =
+      rows.toDF("key", "t", "seq", "payload")
+        .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+    val h = History.scd2(nlog((1L, Some(10L), 0L, Some("A"))), "key", "t",
+      Seq("payload"), Seq("seq"))
+    val out = History.scd2Append(h,
+      nlog((1L, None, 1L, Some("Z")),  // existing key, null ts → dropped
+           (2L, None, 2L, Some("Y")),  // NEW key, null ts → also dropped
+           (2L, Some(20L), 3L, Some("X"))), // new key, real ts → folds
+      "key", "t", Seq("payload"), Seq("seq")).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("payload"))).sorted
+      === Seq((1L, "A"), (2L, "X")))
+  }
+
   test("asOf: half-open containment — a version closing exactly at the " +
       "cut is replaced by its successor; future-only keys are absent") {
     val h = run(log(

@@ -572,6 +572,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("r20 snapshot mining streams as a stream-static join: each " +
+      "micro-batch of anchors mines against the PERSISTED band-bucket " +
+      "index (hardNegativesAgainstSnapshot — the TRAIN/MERGE/APPLY " +
+      "posture: only the batch pays signature cost) — per-batch " +
+      "output ≡ the batch law, anchors being independent") {
+    import graft.operators.{ContrastiveMining, Dedup}
+    val tmp = Files.createTempDirectory("csnap").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.02f, 0f, 0f), Some(0)),
+      (2L, Seq(0.99f, 0.05f, 0f, 0f), Some(0)),
+      (3L, Seq(0.02f, 1.0f, 0f, 0f), Some(1)),
+      (4L, Seq(0.05f, 0.98f, 0f, 0f), Some(1)),
+      (5L, Seq(0.0f, 0.97f, 0.05f, 0f), Some(0)))
+      .toDF("vec_id", "embedding", "label")
+    // the snapshot artifact: built ONCE (at ingest), persisted as
+    // parquet, read back stream-static — never rebuilt per batch
+    Dedup.bandedBuckets(
+        corpus.where($"label".isNotNull && size($"embedding") === 4)
+          .select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 4, 3, 12)
+      .write.parquet(s"$tmp/buckets")
+    val buckets = spark.read.parquet(s"$tmp/buckets")
+    val q = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT").parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ContrastiveMining.hardNegativesAgainstSnapshot(
+            batch, corpus, "vec_id", "embedding", "label",
+            buckets, "vec_id", 4, 2)
+          .write.mode("append").parquet(s"$tmp/out")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val anchors = Seq(
+      (3L, Seq(0.02f, 1.0f, 0f, 0f), Some(1)),
+      (5L, Seq(0.0f, 0.97f, 0.05f, 0f), Some(0)))
+    anchors.take(1).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    anchors.drop(1).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = ContrastiveMining.hardNegativesAgainstSnapshot(
+        anchors.toDF("vec_id", "embedding", "label"), corpus,
+        "vec_id", "embedding", "label", buckets, "vec_id", 4, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === oneShot)
+  }
+
   test("CMS accumulates as a stateful streaming aggregate: counters " +
       "after each micro-batch equal the batch-mode sketch of the " +
       "cumulative stream (state survives restart via the checkpoint)") {
