@@ -23,6 +23,73 @@ import graft.functions.{NativeText, Sketch, TextFunctions, VectorFunctions}
   *    min is a cheap map-side-combinable agg; band buckets shuffle on
   *    the band hash, so skew = duplicate clusters, which is the signal.
   *  - simhash: per-row bit-vote, no shuffle until the final bucket agg.
+  *
+  * ==The dedup operator matrix (granularity × posture)==
+  *
+  * The r19 verdict asked for this index (item 6): ~20 faces span four
+  * granularities and three postures; pick the cell, then the face.
+  * "Gate" names the DuckDB-oracle query pinning the law (specs pin
+  * the rest). Merge semantics matter at the snapshot tier: an
+  * owner/min merge is EXACT OVER ANY SPLIT of the corpus (min is
+  * idempotent-commutative — overlapping or re-ordered deltas still
+  * converge); a count/sum merge is APPEND-ONLY (each row must be
+  * folded exactly once; replays double-count).
+  *
+  * '''Document, exact content''':
+  *  - one-shot: [[exact]] (q15), [[dropExactDuplicates]] (q16),
+  *    [[exactStreaming]] (the watermarked streaming twin).
+  *  - against a stored snapshot: [[newAgainstSnapshot]] (q197's law),
+  *    [[newAgainstSnapshotBloom]] (the Bloom-pruned steady state,
+  *    q197), [[releaseDiff]] (q218). Snapshot artifact: the
+  *    fingerprint set, append-only rows + a MERGEABLE Bloom row.
+  *
+  * '''Document, near-dup''':
+  *  - one-shot candidates: [[jaccardPairs]]/[[jaccardPairsFromIndex]]
+  *    (q17), df-capped [[jaccardPairsCappedFromIndex]] (q152),
+  *    self-sizing [[jaccardPairsAutoFromIndex]] (q151),
+  *    [[minhashCandidates]] (q18) and [[minhashCandidatesAuto]]
+  *    (q154), [[simhashHammingCandidates]] (q216),
+  *    [[embeddingNearDup]] (exact baseline, q26) /
+  *    [[embeddingNearDupLsh]] (q72) / [[embeddingNearDupLshAuto]]
+  *    (q153); SemDeDup [[semDedup]] / [[semDedupVerdicts]] (q192) /
+  *    [[semDedupVerdictsLsh]] / [[semDedupVerdictsLshAuto]] (q199).
+  *  - group post-processing: [[connectedComponents]] (q176) /
+  *    [[connectedComponentsStar]] (q223) / [[connectedComponentsAuto]],
+  *    [[dropNearDuplicates]] (q177), [[keepBestPerGroup]] (q224),
+  *    [[crossGroupPairs]] (q225).
+  *  - against a stored snapshot: [[nearDupAgainstSnapshot]] (q203,
+  *    MinHash buckets + shingle index as persisted artifacts, both
+  *    append-only), [[crossJaccardPairs]] (q204); the embedding twin
+  *    lives in ContrastiveMining.hardNegativesAgainstSnapshot (q248)
+  *    over [[bandedBuckets]].
+  *
+  * '''Paragraph''':
+  *  - one-shot: [[dedupParagraphsAcrossDocs]] (q232; null-id parity
+  *    q233), within-doc [[dedupLinesWithinDoc]] (q217).
+  *  - snapshot (TRAIN/MERGE/APPLY): [[paragraphOwners]] →
+  *    [[mergeParagraphOwners]] → [[dedupParagraphsWithOwners]]
+  *    (q234). Owner merge = min: EXACT over any split.
+  *
+  * '''Line (boilerplate)''':
+  *  - one-shot: [[removeBoilerplateLines]] (q211),
+  *    [[convictedBoilerplateLines]].
+  *  - snapshot: [[boilerplateLineCounts]] →
+  *    [[mergeBoilerplateLineCounts]] → [[convictedFromCounts]] →
+  *    [[removeBoilerplateLinesWithConvicted]] (q222). Count merge =
+  *    SUM: append-only, fold each delta once.
+  *
+  * '''Token-window span''':
+  *  - one-shot: [[removeSharedSpans]] (q200, ExactSubstr),
+  *    [[removeContaminatedSpans]] (q212, decontamination),
+  *    [[winnowIndex]]/[[winnowSpanPairs]] (q188).
+  *  - snapshot: [[spanGramOwners]] → [[mergeSpanGramOwners]] →
+  *    [[removeSharedSpansWithOwners]] (q235). Owner merge = min:
+  *    EXACT over any split.
+  *
+  * Streaming: every snapshot face runs stream-static under
+  * foreachBatch with the artifacts persisted (StreamingSpec pins
+  * each); the artifacts themselves are what the ingest job writes
+  * (CorpusArtifacts is the in-session stand-in).
   */
 object Dedup {
 

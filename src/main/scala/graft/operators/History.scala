@@ -177,6 +177,91 @@ object History {
     passThrough.unionByName(recomputed)
   }
 
+  /** The stored-table posture of [[scd2Append]] (r19 verdict item 3 —
+    * the frame law wired through a sink): returns a foreachBatch
+    * function that folds each micro-batch of change-log rows into a
+    * history table stored at `path`, TOUCHING ONLY THE PARTITIONS THE
+    * BATCH'S KEYS LIVE IN. Layout: hash-bucketed by key (`_kb` =
+    * pmod(hash(key), nBuckets) partition column); per batch the fold
+    * (1) computes the batch's bucket set (≤ nBuckets values — a
+    * driver-safe collect), (2) reads ONLY those partitions of the
+    * stored history (partition-pruned scan), (3) runs the
+    * [[scd2Append]] law, (4) dynamic-partition-overwrites only those
+    * same partitions. Steady-state cost per batch is the touched
+    * buckets' history, never the table; untouched buckets are never
+    * read or written. The first batch (no table yet) is the one-shot
+    * [[scd2]].
+    *
+    * The folded frame is materialized (localCheckpoint) before the
+    * write — both because overwriting partitions that feed the
+    * running plan is read-under-write, and because it is the
+    * documented production posture of the fold ([[scd2Append]]'s
+    * scale note: persist the history per batch rather than
+    * re-evaluating its lineage). Restart replays are idempotent
+    * under the append-only contract: a replayed row is either LATE
+    * (dropped) or equal-ts-equal-payload against the open version it
+    * itself created (absorbed by compaction) — StreamingSpec pins
+    * fold-through-the-sink ≡ one-shot. At cluster scale the same
+    * function body runs against a catalog table (Delta/Iceberg MERGE
+    * keyed on (_kb, key)); the parquet layout here keeps the
+    * identical dataflow shape. */
+  def scd2Sink(path: String, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], tieBreakCols: Seq[String] = Nil,
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
+    val spark = batch.sparkSession
+    val kb = pmod(hash(col(keyCol)), lit(nBuckets))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded =
+      if (!fs.exists(hPath))
+        scd2(batch, keyCol, tsCol, payloadCols, tieBreakCols)
+      else {
+        val touched = batch.select(kb.as("_kb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val hist = spark.read.parquet(path)
+          .where(col("_kb").isin(touched: _*))
+          .drop("_kb")
+        scd2Append(hist, batch, keyCol, tsCol, payloadCols, tieBreakCols)
+      }
+    folded.withColumn("_kb", kb)
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_kb")
+      .parquet(path)
+    ()
+  }
+
+  /** asOf-prunable storage layout: the history partitioned by each
+    * version's CLOSING DAY (`_vt_day` = date of valid_to, 'open' for
+    * current rows). [[asOfStored]] reads over this layout prune every
+    * partition that closed wholly before the cut's day — the
+    * partition-level twin of the [[asOf]] row filter (which still
+    * applies to the survivors: same-day closings are row-filtered).
+    * Day granularity is the crawl-corpus cadence; a table whose
+    * versions churn faster partitions by the finer unit with the
+    * same shape. */
+  def writeForAsOf(history: DataFrame, path: String): Unit =
+    history.withColumn("_vt_day",
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("open")))
+      .write.mode("overwrite").partitionBy("_vt_day").parquet(path)
+
+  /** Partition-pruned point-in-time read over a [[writeForAsOf]]
+    * layout — the [[asOf]] law with the pruning predicate on the
+    * partition column ('open' rows plus days ≥ the cut's day; the
+    * exact half-open row filter applies on top). NewQueryPlanSpec
+    * locks the pruning (the scan reads strictly fewer files than the
+    * table holds once any partition is fully closed before the
+    * cut). */
+  def asOfStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      at: Column): DataFrame =
+    spark.read.parquet(path)
+      .where((col("_vt_day") === "open" ||
+          col("_vt_day") >= date_format(at, "yyyy-MM-dd")) &&
+        col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .drop("_vt_day")
+
   /** Point-in-time snapshot: the rows live at instant `at` — one row
     * per key whose [valid_from, valid_to) interval contains it
     * (half-open, so a version closing exactly at `at` has already

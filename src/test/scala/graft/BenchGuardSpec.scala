@@ -70,15 +70,17 @@ class BenchGuardSpec extends AnyFunSuite {
       prep = Seq("ingest_artifacts" -> 5.0, "jit_warmup" -> 15.0,
         "job_floor" -> 0.09),
       errors = Nil, sfDir = "/root/testdata/sf0.1",
-      loadBefore = Seq(61.2, 48.5, 30.0), loadAfter = Seq(40.1, 45.0, 32.5))
+      loadBefore = Seq(61.2, 48.5, 30.0), loadAfter = Seq(40.1, 45.0, 32.5),
+      loadWaitSec = 45.0, loaded = true)
     assert(card ===
       """{"metric":"total","value":1.5,"unit":"sec",""" +
-      """"value_inclusive":21.5,"bench_schema":5,""" +
+      """"value_inclusive":21.5,"bench_schema":6,""" +
       """"queries":{"q08":1.19,"q09":0.31},""" +
       """"settle":{"q08":0.32,"q09":0.11},""" +
       """"retimed":{"q08":1.0,"settled:q51":1.0},""" +
       """"prep":{"ingest_artifacts":5.0,"jit_warmup":15.0,"job_floor":0.09},""" +
       """"load_before":[61.2,48.5,30.0],"load_after":[40.1,45.0,32.5],""" +
+      """"load_wait_sec":45.0,"loaded":true,""" +
       """"errors":[],"sf":"/root/testdata/sf0.1"}""")
     // the card stays one parseable JSON line with an error arm, and an
     // unreadable loadavg (non-Linux) degrades to [] not a failure
@@ -88,6 +90,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(err.contains(""""errors":["q01"]"""))
     assert(err.contains(""""settle":{}"""))
     assert(err.contains(""""load_before":[],"load_after":[]"""))
+    assert(err.contains(""""load_wait_sec":0.0,"loaded":false"""),
+      "the gate defaults must read as a quiet, ungated run")
+  }
+
+  test("r20 load gate: waits in steps until the 1-min average drops " +
+      "under the threshold; a bound expiry proceeds with loaded=true; " +
+      "an unreadable loadavg gates nothing (r19 verdict item 5)") {
+    def gate(samples: Seq[Seq[Double]], maxWaitMs: Long = 300000) = {
+      val it = samples.iterator
+      var slept = 0L
+      val r = BenchGuard.loadGate(() => it.next(), ms => slept += ms,
+        threshold = 2.0, stepMs = 15000, maxWaitMs = maxWaitMs)
+      (r, slept)
+    }
+    // quiet box: no sleep at all
+    assert(gate(Seq(Seq(1.2, 1.0, 0.9))) === ((0.0, false), 0L))
+    // settles after two steps
+    assert(gate(Seq(Seq(5.0, 4.0, 3.0), Seq(3.1, 3.0, 2.9),
+      Seq(1.5, 2.0, 2.1))) === ((30.0, false), 30000L))
+    // sustained load: bound expires, run proceeds flagged
+    val (expired, sleptLong) = gate(Seq.fill(30)(Seq(7.5, 7.0, 6.0)),
+      maxWaitMs = 60000)
+    assert(expired === ((60.0, true)) && sleptLong === 60000L)
+    // non-Linux degradation: empty sample, no gate
+    assert(gate(Seq(Seq.empty)) === ((0.0, false), 0L))
   }
 
   test("bench card set is pinned: the 21 r6-r15 headline cells, the " +

@@ -452,4 +452,47 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(benign === "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
       s"every nested loop must be a benign broadcast cross:\n$plan")
   }
+
+  test("r20 q248 snapshot mining: candidates only via the (band, " +
+      "bucket) equi-join against the stored index — no cartesian, no " +
+      "corpus re-hash on the snapshot side") {
+    val plan = planOf("q248_mining_snapshot")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("r20 asOfStored over the writeForAsOf layout PRUNES fully-" +
+      "closed-day partitions at the FileIndex level (r19 verdict item " +
+      "3's plan lock) and matches the frame-law asOf row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.History
+    val tmp = java.nio.file.Files.createTempDirectory("asofp").toString
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", 0L, "A"),  // closes on day 2
+      (1L, "2024-01-02 00:00:00", 1L, "B"),  // closes on day 3
+      (1L, "2024-01-03 00:00:00", 2L, "C"),  // open
+      (2L, "2024-01-01 06:00:00", 3L, "X"),  // closes on day 1
+      (2L, "2024-01-01 18:00:00", 4L, "Y"))  // open
+      .toDF("key", "t", "seq", "payload")
+      .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+    val h = History.scd2(log, "key", "t", Seq("payload"), Seq("seq"))
+    History.writeForAsOf(h, s"$tmp/h")
+    // layout: _vt_day ∈ {2024-01-01, 2024-01-02, 2024-01-03, open}
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    val df = History.asOfStored(spark, s"$tmp/h", cut)
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the _vt_day predicate must reach the scan as a partition filter")
+    val kept = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(kept === 3,
+      s"day-01 closed wholly before the cut day and must prune: $kept of 4")
+    // behavioral parity with the frame law (day-02's same-day closing
+    // survives pruning but row-filters out)
+    assert(df.collect().map(_.toString).sorted.toSeq ===
+      History.asOf(h, cut).collect().map(_.toString).sorted.toSeq)
+  }
 }

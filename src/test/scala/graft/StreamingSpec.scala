@@ -529,6 +529,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("r20 SCD2 STORAGE face: History.scd2Sink folds micro-batches " +
+      "into ONE bucket-partitioned parquet table, reading and dynamic-" +
+      "overwriting only the buckets the batch touches — the stored " +
+      "table after the stream equals the one-shot scd2 of the full " +
+      "log (r19 verdict item 3: fold-through-the-SINK ≡ one-shot)") {
+    val tmp = Files.createTempDirectory("scd2sink").toString
+    val in = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val table = s"$tmp/hist_table"
+    def chlog(rows: (Long, Long, Long, String)*): DataFrame =
+      rows.toDF("key", "t", "seq", "payload")
+        .selectExpr("key", "CAST(t AS TIMESTAMP) AS t", "seq", "payload")
+    val q = spark.readStream
+      .schema("key LONG, t TIMESTAMP, seq LONG, payload STRING").parquet(in)
+      .writeStream
+      .foreachBatch(graft.operators.History.scd2Sink(
+        table, "key", "t", Seq("payload"), Seq("seq"), nBuckets = 4))
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val all = Seq(
+      (1L, 10L, 0L, "A"), (1L, 20L, 1L, "A"), // compacts across batches
+      (2L, 15L, 2L, "X"),
+      (1L, 30L, 3L, "B"), (3L, 35L, 4L, "Z")) // key 3 appears late
+    chlog(all.take(3): _*).coalesce(1).write.mode("append").parquet(in)
+    val run1 = q.start(); run1.awaitTermination()
+    chlog(all.drop(3): _*).coalesce(1).write.mode("append").parquet(in)
+    val run2 = q.start(); run2.awaitTermination()
+    val stored = spark.read.parquet(table).drop("_kb")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.operators.History.scd2(
+        chlog(all: _*), "key", "t", Seq("payload"), Seq("seq"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === oneShot)
+    // touched-only writes: a follow-up batch touching ONLY key 2 must
+    // leave every OTHER bucket's part-files untouched on disk (same
+    // names — an overwrite mints fresh UUID names)
+    import org.apache.spark.sql.functions.{hash, pmod, lit}
+    val b2 = Seq(2L).toDF("key")
+      .select(pmod(hash(col("key")), lit(4))).head.getInt(0)
+    def otherBucketFiles(): Seq[String] =
+      new java.io.File(table).listFiles().toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("_kb=") &&
+          d.getName != s"_kb=$b2")
+        .flatMap(_.listFiles().toSeq.map(_.getPath)).sorted
+    val before = otherBucketFiles()
+    assert(before.nonEmpty, "fixture must populate more than key 2's bucket")
+    chlog((2L, 40L, 5L, "Y")).coalesce(1).write.mode("append").parquet(in)
+    val run3 = q.start(); run3.awaitTermination()
+    assert(otherBucketFiles() === before,
+      "buckets not carrying the batch's keys must not be rewritten")
+    val k2 = spark.read.parquet(table).where(col("key") === 2L)
+      .orderBy("version").collect()
+    assert(k2.map(_.getAs[String]("payload")).toSeq === Seq("X", "Y"))
+  }
+
   test("r19 hard-negative mining streams as a stream-static cross: " +
       "each micro-batch of query embeddings mines against the static " +
       "labeled corpus — per-batch anchors ≡ the batch law (the miner " +
