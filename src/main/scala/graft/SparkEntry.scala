@@ -3655,16 +3655,20 @@ object SparkEntry {
       0.2, 64L)
 
   /** The self-sizing embedding near-dup path in the gate
-    * (Dedup.embeddingNearDupLshAuto): at this corpus (500 vectors)
-    * the law must land exactly on q72's (3, 12) — the oracle is
-    * q72's, verbatim. */
+    * (Dedup.embeddingNearDupLshAuto): the oracle COMPUTES the sizing
+    * law over the corpus count (r20 — previously it hardcoded q72's
+    * (3, 12), which only holds at the 500-vector decade), so the
+    * gate is hash-checked at every SF: 3 bits at 500 vectors, 5 at
+    * sf0.1's 2000. */
   private def q153(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupLshAuto(t(s, dir, "embeddings"), "vec_id",
       "embedding", 64, 0.4)
 
   /** The self-sizing MinHash candidate path in the gate
-    * (Dedup.minhashCandidatesAuto): at 500 documents the law floors
-    * at q18's (4 rows × 4 bands) — the oracle is q18's, verbatim. */
+    * (Dedup.minhashCandidatesAuto): the oracle computes the sizing
+    * law (floor 4) over the documents count — q18's (4 rows × 4
+    * bands) at the 500-doc decade, 5 rows at sf0.1's 5000 (r20; the
+    * hardcoded twin diverged there). */
   private def q154(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatesAuto(t(s, dir, "documents"), "doc_id",
       "text")
@@ -4923,11 +4927,11 @@ object SparkEntry {
       t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)
 
   /** The auto-sized twin of q238 (ContrastiveMining.
-    * hardNegativesLshAuto): lshSizing lands on the fixed face's
-    * (3, 12) at the 500-vector gate corpus, so the q238 oracle
-    * serves verbatim — the gate pins that the auto face IS the
-    * fixed law here (the q153/q154 pattern). At the sf1 decade the
-    * law picks 8-bit bands (46 s → ~4 s). */
+    * hardNegativesLshAuto): the oracle computes lshSizing over the
+    * labeled count (r20 — 3 bits at the 500-vector gate decade = the
+    * fixed face's geometry, 5 bits at sf0.1), so the gate holds at
+    * every SF. At the sf1 decade the law picks 8-bit bands
+    * (46 s → ~4 s). */
   private def q242(s: SparkSession, dir: String): DataFrame =
     ContrastiveMining.hardNegativesLshAuto(
       t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 3)

@@ -248,11 +248,15 @@ object ContrastiveMining {
     * (bucket populations grow with n, so the band join's Σ bucket²
     * grows n²; the sizing law holds collision mass constant, bits
     * growing with ln n). At the 500-vector gate corpus the law lands
-    * exactly on the fixed face's (3, 12) — the q242 gate shares
-    * q238's oracle verbatim, the q153/q154 pattern. `bands` stays
-    * the recall knob; callers at scale pass `rowCount` (the LABELED
-    * count, from catalog stats or the ingest census) to skip the
-    * sizing count() scan. */
+    * exactly on the fixed face's (3, 12); the q242 oracle COMPUTES
+    * the law over the labeled count (r20), so the gate holds at
+    * every SF. `bands` stays a knob but recall DEGRADES as the law
+    * widens bits with n (q245 measured recall@3 = 0.61 at sf0.1 vs
+    * 0.90 at the gate decade) — callers who need a recall floor use
+    * [[hardNegativesLshRecall]], which holds recall and pays
+    * collisions instead. Callers at scale pass `rowCount` (the
+    * LABELED count, from catalog stats or the ingest census) to skip
+    * the sizing count() scan. */
   def hardNegativesLshAuto(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, dim: Int, k: Int, bands: Int = 12,
       budget: Double = 1000.0, rowCount: Option[Long] = None): DataFrame = {

@@ -32,10 +32,18 @@ object CorpusArtifacts {
     * computeIfAbsent. One definition for all six frame caches. */
   private final class DfMemo {
     private val m = new ConcurrentHashMap[String, DataFrame]()
-    def get(key: String, build: => DataFrame): DataFrame =
+    // eager = materialize the persisted frame inside the build (the
+    // ingest-phase posture buildAll uses); the count runs under the
+    // key's compute lock, exactly like the pre-r20 computeIfAbsent
+    def get(key: String, build: => DataFrame,
+        eager: Boolean = false): DataFrame =
       m.compute(key, (_, cur) =>
         if (cur != null && !cur.sparkSession.sparkContext.isStopped) cur
-        else build.persist(StorageLevel.MEMORY_AND_DISK))
+        else {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          if (eager) df.count()
+          df
+        })
     def alive(key: String): Boolean = {
       val cur = m.get(key)
       cur != null && !cur.sparkSession.sparkContext.isStopped
@@ -64,11 +72,8 @@ object CorpusArtifacts {
     val base = Search.tokenBase(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     bm25Compute(key, Search.buildIndexFromTokens(base, idCol, eager = true))
-    shingleCache.get(shKey, {
-      val sh = Dedup.shingleIndexFromTokens(base, idCol, n)
-      sh.count()
-      sh
-    })
+    shingleCache.get(shKey,
+      Dedup.shingleIndexFromTokens(base, idCol, n), eager = true)
     base.unpersist()
   }
 

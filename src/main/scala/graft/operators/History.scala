@@ -207,7 +207,11 @@ object History {
     * identical dataflow shape. */
   def scd2Sink(path: String, keyCol: String, tsCol: String,
       payloadCols: Seq[String], tieBreakCols: Seq[String] = Nil,
-      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) => {
+      nBuckets: Int = 64): (DataFrame, Long) => Unit = (batch, _) =>
+    if (batch.isEmpty) () // an empty FIRST batch would otherwise
+    // create a schema-less parquet dir that breaks the next fold's
+    // read; an empty later batch touches no buckets either way
+    else {
     val spark = batch.sparkSession
     val kb = pmod(hash(col(keyCol)), lit(nBuckets))
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -230,7 +234,7 @@ object History {
       .partitionBy("_kb")
       .parquet(path)
     ()
-  }
+    }
 
   /** asOf-prunable storage layout: the history partitioned by each
     * version's CLOSING DAY (`_vt_day` = date of valid_to, 'open' for

@@ -172,6 +172,19 @@ class HistorySpec extends AnyFunSuite {
       === Seq((1L, "A"), (2L, "X")))
   }
 
+  test("scd2Sink: an EMPTY first batch creates nothing (a schema-less " +
+      "parquet dir would break the next fold's read); the next real " +
+      "batch then seeds the table (r20 review)") {
+    val dir = java.nio.file.Files.createTempDirectory("sinkempty").toString
+    val table = s"$dir/hist"
+    val sink = History.scd2Sink(table, "key", "t", Seq("payload"), Seq("seq"))
+    sink(log().limit(0), 0L)
+    assert(!new java.io.File(table).exists())
+    sink(log((1L, 10L, 0L, Some("A"))), 1L)
+    val rows = spark.read.parquet(table).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("payload") === "A")
+  }
+
   test("asOf: half-open containment — a version closing exactly at the " +
       "cut is replaced by its successor; future-only keys are absent") {
     val h = run(log(
