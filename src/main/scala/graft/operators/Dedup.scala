@@ -36,8 +36,9 @@ import graft.functions.{NativeText, Sketch, TextFunctions, VectorFunctions}
   * folded exactly once; replays double-count).
   *
   * '''Document, exact content''':
-  *  - one-shot: [[exact]] (q15), [[dropExactDuplicates]] (q16),
-  *    [[exactStreaming]] (the watermarked streaming twin).
+  *  - one-shot: [[exact]] (q15), [[dropExactDuplicates]] (inside the
+  *    q187 pipeline), [[exactStreaming]] (the watermarked streaming
+  *    twin).
   *  - against a stored snapshot: [[newAgainstSnapshot]] (q197's law),
   *    [[newAgainstSnapshotBloom]] (the Bloom-pruned steady state,
   *    q197), [[releaseDiff]] (q218). Snapshot artifact: the
@@ -49,17 +50,17 @@ import graft.functions.{NativeText, Sketch, TextFunctions, VectorFunctions}
   *    self-sizing [[jaccardPairsAutoFromIndex]] (q151),
   *    [[minhashCandidates]] (q18) and [[minhashCandidatesAuto]]
   *    (q154), [[simhashHammingCandidates]] (q216),
-  *    [[embeddingNearDup]] (exact baseline, q26) /
+  *    [[embeddingNearDup]] (exact baseline, q20) /
   *    [[embeddingNearDupLsh]] (q72) / [[embeddingNearDupLshAuto]]
   *    (q153); SemDeDup [[semDedup]] / [[semDedupVerdicts]] (q192) /
   *    [[semDedupVerdictsLsh]] / [[semDedupVerdictsLshAuto]] (q199).
   *  - group post-processing: [[connectedComponents]] (q176) /
   *    [[connectedComponentsStar]] (q223) / [[connectedComponentsAuto]],
-  *    [[dropNearDuplicates]] (q177), [[keepBestPerGroup]] (q224),
-  *    [[crossGroupPairs]] (q225).
+  *    [[dropNearDuplicates]] (spec-pinned), [[keepBestPerGroup]]
+  *    (q224), [[crossGroupPairs]] (q225).
   *  - against a stored snapshot: [[nearDupAgainstSnapshot]] (q203,
   *    MinHash buckets + shingle index as persisted artifacts, both
-  *    append-only), [[crossJaccardPairs]] (q204); the embedding twin
+  *    append-only), [[crossJaccardPairs]] (q178); the embedding twin
   *    lives in ContrastiveMining.hardNegativesAgainstSnapshot (q248)
   *    over [[bandedBuckets]].
   *
