@@ -44,6 +44,13 @@ object MiningScale {
       ContrastiveMining.hardNegativesLshRecall(
         emb, "vec_id", "embedding", "label", 64, 3, atCosine = 0.8)
     }
+    println(s"MININGSCALE n-aware plan(0.8, n=$n) = " +
+      s"${ContrastiveMining.lshRecallSizing(atCosine = 0.8, rowCount = Some(n))}")
+    time("recall_face_floor_0.8_n_aware") {
+      ContrastiveMining.hardNegativesLshRecall(
+        emb, "vec_id", "embedding", "label", 64, 3, atCosine = 0.8,
+        rowCount = Some(n))
+    }
     time("auto_face_sized") {
       ContrastiveMining.hardNegativesLshAuto(
         emb, "vec_id", "embedding", "label", 64, 3, rowCount = Some(n))

@@ -301,9 +301,16 @@ object ContrastiveMining {
     * the oracle's replay is boundary-stable); among feasible (b, r)
     * pick the minimum expected collision fraction r · 2^−b, ties to
     * the smaller b; if nothing is feasible, (1, bandsCap) with
-    * met = false. The corpus size drops out of the argmin (it scales
-    * every candidate's cost equally), so the solve needs NO count
-    * scan. The physics this exposes honestly: pEff < 1/2 (a low
+    * met = false. By default the corpus size drops out of the argmin
+    * (it scales every candidate's verify cost equally), so the solve
+    * needs NO count scan; passing `rowCount` switches the objective
+    * to total per-anchor dim-dot work, r·b signature dots + r·2^−b·n
+    * verifies — at small corpora the signature term dominates and
+    * the n-aware pick trades narrower bands for fewer of them (the
+    * sf1 decade measured the n-free floor-0.8 pick at 5.3k signature
+    * dots vs 2.2k verifies per row). Recall is pinned by the target
+    * under either objective. The physics this exposes honestly:
+    * pEff < 1/2 (a low
     * cosine floor) forces 1-bit bands and a collision fraction of
     * r/2 — near-exhaustive, the true price of high recall at
     * below-random similarity; the scale path is raising `atCosine`
@@ -316,7 +323,7 @@ object ContrastiveMining {
     * gates exercise; the spec pins the Scala arithmetic). */
   def lshRecallSizing(targetRecall: Double = 0.9, atCosine: Double = 0.35,
       dispersion: Double = 0.15, bitsCap: Int = 32,
-      bandsCap: Int = 512): LshRecallPlan = {
+      bandsCap: Int = 512, rowCount: Option[Long] = None): LshRecallPlan = {
     require(targetRecall > 0 && targetRecall < 1,
       s"targetRecall must be in (0,1): $targetRecall")
     require(atCosine > -1 && atCosine < 1,
@@ -329,12 +336,26 @@ object ContrastiveMining {
       val x = math.pow(pEff, b)
       (1 to bandsCap)
         .find(r => 1.0 - math.pow(1.0 - x, r) >= targetRecall)
-        .map(r => (b, r, r * math.pow(0.5, b),
-          1.0 - math.pow(1.0 - x, r)))
+        .map { r =>
+          val frac = r * math.pow(0.5, b)
+          // objective in per-anchor dim-dot units: candidate verifies
+          // (frac·n — the term that dominates as n → ∞) plus, when
+          // the caller supplies n, the signature dots r·b (which
+          // dominate at small corpora: the sf1 decade MEASURED the
+          // n-free pick at floor 0.8 spending 5.3k signature dots/row
+          // against 2.2k verifies — SCALING addendum 18). Without n
+          // the fraction alone is the objective, the n-free gate law.
+          val cost = rowCount match {
+            case Some(n) => r.toDouble * b + frac * n
+            case None => frac
+          }
+          (b, r, frac, cost, 1.0 - math.pow(1.0 - x, r))
+        }
     }
-    feasible.sortBy { case (b, _, cost, _) => (cost, b) }.headOption match {
-      case Some((b, r, cost, rec)) =>
-        LshRecallPlan(b, r, rec, cost, met = true)
+    feasible.sortBy { case (b, _, _, cost, _) => (cost, b) }
+      .headOption match {
+      case Some((b, r, frac, _, rec)) =>
+        LshRecallPlan(b, r, rec, frac, met = true)
       case None =>
         val rec = 1.0 - math.pow(1.0 - pEff, bandsCap)
         LshRecallPlan(1, bandsCap, rec, bandsCap * 0.5, met = false)
@@ -363,8 +384,12 @@ object ContrastiveMining {
   def hardNegativesLshRecall(corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, dim: Int, k: Int,
       targetRecall: Double = 0.9, atCosine: Double = 0.35,
-      dispersion: Double = 0.15): DataFrame = {
-    val plan = lshRecallSizing(targetRecall, atCosine, dispersion)
+      dispersion: Double = 0.15, rowCount: Option[Long] = None): DataFrame = {
+    // rowCount refines the OBJECTIVE only (signature term weighted
+    // against verifies — see lshRecallSizing); recall is pinned by
+    // the target either way. The q247 gate runs the n-free default.
+    val plan = lshRecallSizing(targetRecall, atCosine, dispersion,
+      rowCount = rowCount)
     hardNegativesLsh(corpus, idCol, vecCol, labelCol, dim, k,
       plan.bandBits, plan.bands)
   }

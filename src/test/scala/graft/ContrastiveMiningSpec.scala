@@ -214,6 +214,30 @@ class ContrastiveMiningSpec extends AnyFunSuite {
     assert(plan.predictedRecall >= 0.9)
   }
 
+  test("lshRecallSizing: the n-aware objective (rowCount) weighs " +
+      "signature dots against verifies and picks narrower bands at " +
+      "small corpora; the n-free default (the q247 gate law) is " +
+      "unchanged; the pick provably minimizes the stated objective") {
+    val free = ContrastiveMining.lshRecallSizing(atCosine = 0.8)
+    val aware = ContrastiveMining.lshRecallSizing(atCosine = 0.8,
+      rowCount = Some(20000L))
+    assert(aware.bandBits < free.bandBits,
+      s"at 20k rows the signature term must bite: $free vs $aware")
+    assert(aware.predictedRecall >= 0.9 && free.predictedRecall >= 0.9)
+    // optimality replay: every feasible (b, smallest-r) scored by the
+    // stated objective — the pick must be its argmin
+    val pEff = 1.0 - math.acos(0.8) / math.Pi - 0.15
+    val costs = (1 to 32).flatMap { b =>
+      val x = math.pow(pEff, b)
+      (1 to 512).find(r => 1.0 - math.pow(1.0 - x, r) >= 0.9)
+        .map(r => (b, r, r.toDouble * b + r * math.pow(0.5, b) * 20000L))
+    }
+    val best = costs.minBy(c => (c._3, c._1))
+    assert((aware.bandBits, aware.bands) === ((best._1, best._2)))
+    assert(ContrastiveMining.lshRecallSizing() ===
+      ContrastiveMining.lshRecallSizing(rowCount = None))
+  }
+
   test("lshRecallSizing: an unreachable target falls back to " +
       "(1, bandsCap) with met = false instead of silently under-" +
       "delivering") {
