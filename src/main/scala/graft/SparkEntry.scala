@@ -4978,6 +4978,21 @@ object SparkEntry {
       3)
   }
 
+  /** The audit's scale posture (ContrastiveMining.recallAuditSampled):
+    * recall of the self-sized miner measured on the seeded 1/8
+    * anchor sample — what a 100 TB release runs, since the
+    * every-anchor exact side is the tier's one remaining corpus²
+    * job. The oracle replays the lexicographic-hex sample draw, the
+    * sampled exact side AND the sized miner. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ContrastiveMining.recallAuditSampled(
+      emb, "vec_id", "embedding", "label",
+      ContrastiveMining.hardNegativesLshAuto(
+        emb, "vec_id", "embedding", "label", 64, 3),
+      64, 3, "q249")
+  }
+
   /** Continuous-ingest mining (ContrastiveMining.
     * hardNegativesAgainstSnapshot, r19 verdict item 4): the anchor
     * batch mines against the snapshot's PERSISTED band-bucket index
@@ -5798,7 +5813,8 @@ object SparkEntry {
     "q245_lsh_recall_audit" -> q245 _,
     "q246_contrastive_capstone" -> q246 _,
     "q247_lsh_recall_face" -> q247 _,
-    "q248_mining_snapshot" -> q248 _)
+    "q248_mining_snapshot" -> q248 _,
+    "q249_recall_audit_sampled" -> q249 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -9123,6 +9139,12 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // oracle, verbatim (the nearDupAgainstSnapshot gate pattern).
     "q248_mining_snapshot" -> hardNegLshOracleSql,
 
+    // The audit at scale: the SAME audit body with the seeded 1/8
+    // anchor draw replayed on both sides (exact side sampled, the
+    // already-mined sized miner semi-joined to the sample).
+    "q249_recall_audit_sampled" ->
+      recallAuditOracleSql(hardNegLshSizedOracleSql, Some("q249")),
+
     // The capstone composes three pinned laws from ONE definition
     // each: the q72 LSH pair body, the q176 min-label walk
     // (minWalkCtesSql, over vec_ids), and the q237 triplet rank/fold
@@ -10067,12 +10089,20 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
 
   /** THE recall@k audit body (ContrastiveMining.recallAudit) over an
     * approximate-miner oracle `apSql` — one definition for q245 (the
-    * fixed-budget auto face) and q247 (the recall-solved face), so
-    * the audit law can never drift between them. Exact side: the
-    * q236 cosine rank without the anchor filter; a pair at exact
-    * rank r is in the exact top-k for k in [r, 3], found iff its
-    * approx rank ≤ k. */
-  private def recallAuditOracleSql(apSql: String): String =
+    * fixed-budget auto face), q247 (the recall-solved face) and q249
+    * (the sampled-anchor scale posture), so the audit law can never
+    * drift between them. Exact side: the q236 cosine rank without
+    * the anchor filter; a pair at exact rank r is in the exact top-k
+    * for k in [r, 3], found iff its approx rank ≤ k. `sampleSeed`
+    * replays recallAuditSampled's lexicographic-hex anchor draw
+    * (md5(id ‖ ":" ‖ seed) < '2') on BOTH sides. */
+  private def recallAuditOracleSql(apSql: String,
+      sampleSeed: Option[String] = None): String = {
+    def cond(idExpr: String): String = sampleSeed match {
+      case Some(seed) =>
+        s"md5(CAST($idExpr AS VARCHAR) || ':' || '$seed') < '2'"
+      case None => "TRUE"
+    }
     s"""WITH ex0 AS (SELECT anchor_id, neighbor_id,
       |  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
@@ -10080,17 +10110,18 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
       |    FROM embeddings a JOIN embeddings c
       |    ON a.label IS NOT NULL AND c.label IS NOT NULL
       |      AND len(a.embedding) = 64 AND len(c.embedding) = 64
-      |      AND a.label <> c.label)),
+      |      AND a.label <> c.label AND ${cond("a.vec_id")})),
       |ex AS (SELECT anchor_id, neighbor_id,
       |  unnest(generate_series(rnk, 3)) AS k FROM ex0 WHERE rnk <= 3),
       |ap AS (SELECT anchor_id, neighbor_id, rnk AS _arnk
-      |  FROM ($apSql)),
+      |  FROM ($apSql) WHERE ${cond("anchor_id")}),
       |j AS (SELECT k, _arnk FROM ex LEFT JOIN ap USING (anchor_id, neighbor_id))
       |SELECT k, COUNT(*) AS n_exact,
       |  COUNT(CASE WHEN _arnk <= k THEN 1 END) AS n_found,
       |  round(CAST(COUNT(CASE WHEN _arnk <= k THEN 1 END) AS DOUBLE)
       |    / COUNT(*), 6) AS recall
       |FROM j GROUP BY k""".stripMargin
+  }
 
   /** ONE SCD2 oracle body for the one-shot gate (q239) and the
     * append-only incremental fold (q240, whose law IS

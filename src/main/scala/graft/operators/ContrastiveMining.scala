@@ -203,6 +203,33 @@ object ContrastiveMining {
       .orderBy(col("k"))
   }
 
+  /** [[recallAudit]]'s scale posture (the audit itself must survive
+    * 100 TB: the exact side is corpus × anchors, so auditing EVERY
+    * anchor is the one corpus² job left in the tier): recall measured
+    * on a SEEDED ANCHOR SAMPLE — anchors whose
+    * md5(id ‖ ":" ‖ seed) sorts below `maxPrefix`, the
+    * lexicographic-hex fraction trick (P = the prefix read as a hex
+    * fraction: "2" ⇒ 2/16; both engines produce the same lowercase
+    * hex, so the sample is bit-identical and the gate hash-checks).
+    * The exact side then costs |sample| × corpus through the same
+    * broadcast-anchor face as [[hardNegatives]]; the approx side is
+    * the caller's ALREADY-MINED frame (any (anchor_id, neighbor_id,
+    * score, rnk) output — the audit never re-mines), semi-joined to
+    * the sampled anchors through a broadcast of the sample's ids.
+    * Null ids never sample (md5 of NULL is NULL). Output:
+    * [[recallAudit]]'s (k, n_exact, n_found, recall), where the
+    * counts now read over the sample. */
+  def recallAuditSampled(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, approx: DataFrame, dim: Int,
+      maxK: Int, seed: String, maxPrefix: String = "2"): DataFrame = {
+    val draw = md5(concat(col(idCol).cast("string"), lit(":"), lit(seed)))
+    val sampled = corpus.where(col(idCol).isNotNull && draw < lit(maxPrefix))
+    val exact = hardNegatives(corpus, idCol, vecCol, labelCol,
+      sampled, dim, maxK)
+    val ids = sampled.select(col(idCol).as("anchor_id")).distinct()
+    recallAudit(exact, approx.join(broadcast(ids), Seq("anchor_id")), maxK)
+  }
+
   /** Seeded UNIFORM negative sampling — the random half of a
     * contrastive batch (training mixes hard negatives with uniform
     * ones so the model sees both boundary and background contrast):

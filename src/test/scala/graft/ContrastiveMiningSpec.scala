@@ -262,6 +262,35 @@ class ContrastiveMiningSpec extends AnyFunSuite {
         bandBits = 1, bands = 4)))
   }
 
+  test("recallAuditSampled: the seeded lexicographic-hex draw is " +
+      "deterministic, audits ONLY the sampled anchors, and equals the " +
+      "manual composition (sampled exact side vs the approx frame " +
+      "semi-joined to the sample)") {
+    import org.apache.spark.sql.functions.{concat, md5, lit => flit}
+    val approx = ContrastiveMining.hardNegativesLsh(
+      fixture, "vec_id", "embedding", "label", 4, 3)
+    // widen the draw so the 5-row fixture keeps some anchors
+    val out = ContrastiveMining.recallAuditSampled(
+      fixture, "vec_id", "embedding", "label", approx, 4, 3,
+      seed = "s1", maxPrefix = "c")
+    val sampledIds = fixture
+      .where($"vec_id".isNotNull &&
+        md5(concat($"vec_id".cast("string"), flit(":"), flit("s1"))) < flit("c"))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sampledIds.nonEmpty && sampledIds.size < 5,
+      s"fixture draw must be a proper subset: $sampledIds")
+    val manualExact = ContrastiveMining.hardNegatives(
+      fixture, "vec_id", "embedding", "label",
+      fixture.where($"vec_id".isin(sampledIds.toSeq: _*)), 4, 3)
+    val manual = ContrastiveMining.recallAudit(
+      manualExact, approx.where($"anchor_id".isin(sampledIds.toSeq: _*)), 3)
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      manual.collect().map(_.toString).sorted.toSeq)
+    // n_exact reads over the sample only
+    val nExact = out.where($"k" === 3).select($"n_exact").as[Long].head()
+    assert(nExact <= sampledIds.size * 3L)
+  }
+
   test("hardNegativesAgainstSnapshot: with batch = corpus and the " +
       "persisted bucket index built over the labeled corpus, the " +
       "output equals the fixed LSH face; a DELTA batch equals the " +
