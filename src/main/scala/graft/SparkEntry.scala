@@ -4993,6 +4993,15 @@ object SparkEntry {
       64, 3, "q249")
   }
 
+  /** In-batch-negative batch composition (ContrastiveMining.
+    * inBatchNegativeBatches, B = 8 over the 10-label corpus): wave =
+    * in-label rank, chunk = wave-partitioned rank / B — no batch
+    * carries a label twice, by construction at any B. The oracle
+    * replays both windows verbatim. */
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.inBatchNegativeBatches(
+      t(s, dir, "embeddings"), "vec_id", "label", 8)
+
   /** Continuous-ingest mining (ContrastiveMining.
     * hardNegativesAgainstSnapshot, r19 verdict item 4): the anchor
     * batch mines against the snapshot's PERSISTED band-bucket index
@@ -5814,7 +5823,8 @@ object SparkEntry {
     "q246_contrastive_capstone" -> q246 _,
     "q247_lsh_recall_face" -> q247 _,
     "q248_mining_snapshot" -> q248 _,
-    "q249_recall_audit_sampled" -> q249 _)
+    "q249_recall_audit_sampled" -> q249 _,
+    "q250_inbatch_batches" -> q250 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -9144,6 +9154,19 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     // already-mined sized miner semi-joined to the sample).
     "q249_recall_audit_sampled" ->
       recallAuditOracleSql(hardNegLshSizedOracleSql, Some("q249")),
+
+    // In-batch-negative composition: wave = in-label rank, chunk =
+    // wave-partitioned rank / 8 — two windows, replayed verbatim.
+    "q250_inbatch_batches" ->
+      """WITH b AS (SELECT vec_id AS anchor_id, label,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS BIGINT) AS wave
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+        |p AS (SELECT anchor_id, label, wave,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY wave ORDER BY label, anchor_id) - 1 AS BIGINT) AS pos
+        |  FROM b)
+        |SELECT anchor_id, label, wave,
+        |  CAST(floor(pos / 8) AS BIGINT) AS chunk,
+        |  CAST(pos % 8 AS BIGINT) AS slot FROM p""".stripMargin,
 
     // The capstone composes three pinned laws from ONE definition
     // each: the q72 LSH pair body, the q176 min-label walk

@@ -230,6 +230,44 @@ object ContrastiveMining {
     recallAudit(exact, approx.join(broadcast(ids), Seq("anchor_id")), maxK)
   }
 
+  /** In-batch-negative batch composition — the training-batch layout
+    * contrastive losses assume (every non-positive row of a batch
+    * serves as a negative for every anchor, so two SAME-label anchors
+    * in one batch poison each other's loss): assign labeled rows to
+    * batches such that NO BATCH CARRIES A LABEL TWICE. The law:
+    * wave = the row's rank within its label (per-label window); a
+    * wave holds at most one row per label by construction, and
+    * chunking each wave into `batchSize` slices (per-wave window,
+    * (label, id) order) preserves that — the guarantee holds for ANY
+    * batchSize, which only caps batch size (batches thin out at the
+    * tail where fewer labels still have wave-many rows; a batchSize
+    * above the label count simply never fills). Batches are emitted
+    * as the COMPOSITE key (wave, chunk) with slot ∈ [0, batchSize):
+    * a dense global batch number would cost a single-partition pass
+    * (the Packing.scala posture — manifests number shards later);
+    * the composite key is already a stable citation.
+    *
+    * Scale: two keyed windows (label-partitioned, then
+    * wave-partitioned), no global exchange, no join. Null ids/labels
+    * are out (a batch row must be citable; the label law as
+    * everywhere). Output: (anchor_id, label, wave, chunk, slot). */
+  def inBatchNegativeBatches(df: DataFrame, idCol: String,
+      labelCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 2, s"a contrastive batch needs >= 2 rows: $batchSize")
+    val base = df
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("label"))
+      .where(col("anchor_id").isNotNull && col("label").isNotNull)
+    val byLabel = Window.partitionBy(col("label")).orderBy(col("anchor_id"))
+    val byWave = Window.partitionBy(col("wave"))
+      .orderBy(col("label"), col("anchor_id"))
+    base
+      .withColumn("wave", (row_number().over(byLabel) - 1).cast("long"))
+      .withColumn("_pos", (row_number().over(byWave) - 1).cast("long"))
+      .withColumn("chunk", floor(col("_pos") / batchSize).cast("long"))
+      .withColumn("slot", pmod(col("_pos"), lit(batchSize.toLong)))
+      .drop("_pos")
+  }
+
   /** Seeded UNIFORM negative sampling — the random half of a
     * contrastive batch (training mixes hard negatives with uniform
     * ones so the model sees both boundary and background contrast):

@@ -291,6 +291,31 @@ class ContrastiveMiningSpec extends AnyFunSuite {
     assert(nExact <= sampledIds.size * 3L)
   }
 
+  test("inBatchNegativeBatches: no batch carries a label twice (at " +
+      "ANY batchSize), slots stay under the cap, every labeled row is " +
+      "assigned exactly once, null ids/labels are out") {
+    val rows = (1L to 37L).map(i => (i, Some((i % 5).toInt))) ++
+      Seq((100L, None), (101L, Some(9)))
+    val df = (rows :+ ((102L, Some(9)))).toDF("vec_id", "label")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], Some(1)))
+        .toDF("vec_id", "label"))
+    for (b <- Seq(2, 3, 8)) {
+      val out = ContrastiveMining.inBatchNegativeBatches(df, "vec_id", "label", b)
+        .collect()
+      assert(out.length === 39, "37 mod-5 rows + 2 label-9 rows; the null-label and null-id rows are out")
+      val byBatch = out.groupBy(r => (r.getLong(2), r.getLong(3)))
+      byBatch.foreach { case (k, rs) =>
+        assert(rs.map(_.getInt(1)).distinct.length === rs.length,
+          s"batch $k repeats a label at B=$b")
+        assert(rs.length <= b, s"batch $k exceeds B=$b")
+        assert(rs.map(_.getLong(4)).sorted.toSeq === (0L until rs.length),
+          s"batch $k slots must be dense from 0")
+      }
+      assert(out.map(_.getLong(0)).distinct.length === 39,
+        "every row assigned exactly once")
+    }
+  }
+
   test("hardNegativesAgainstSnapshot: with batch = corpus and the " +
       "persisted bucket index built over the labeled corpus, the " +
       "output equals the fixed LSH face; a DELTA batch equals the " +
