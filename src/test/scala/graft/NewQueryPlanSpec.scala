@@ -461,6 +461,16 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("r20 q250 batch composition: two keyed window exchanges " +
+      "(label, then wave), NEVER a single-partition pass — the " +
+      "composite-batch-key design's whole point") {
+    val plan = planOf("q250_inbatch_batches")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges\n$plan")
+  }
+
   test("r20 asOfStored over the writeForAsOf layout PRUNES fully-" +
       "closed-day partitions at the FileIndex level (r19 verdict item " +
       "3's plan lock) and matches the frame-law asOf row-for-row") {
