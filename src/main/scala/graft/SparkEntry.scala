@@ -4993,6 +4993,15 @@ object SparkEntry {
       64, 3, "q249")
   }
 
+  /** Full-corpus triplets through banded LSH (ContrastiveMining.
+    * tripletsLsh): every labeled row an anchor, both legs from band
+    * collisions, the q237 rank/fold — the oracle composes the q238
+    * candidate front with the q237 fold verbatim (shared
+    * fragments). */
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    ContrastiveMining.tripletsLsh(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", 64)
+
   /** In-batch-negative batch composition (ContrastiveMining.
     * inBatchNegativeBatches, B = 8 over the 10-label corpus): wave =
     * in-label rank, chunk = wave-partitioned rank / B — no batch
@@ -5824,7 +5833,8 @@ object SparkEntry {
     "q247_lsh_recall_face" -> q247 _,
     "q248_mining_snapshot" -> q248 _,
     "q249_recall_audit_sampled" -> q249 _,
-    "q250_inbatch_batches" -> q250 _)
+    "q250_inbatch_batches" -> q250 _,
+    "q251_triplets_lsh" -> q251 _)
 
   /** Headline subset for Bench. The final block is the round-16
     * LLM-training-data tier (r16-verdict item 1: the tier had zero
@@ -9113,10 +9123,19 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
         |  WHERE vec_id % 50 = 0 AND label IS NOT NULL AND len(embedding) = 64),
         |$labeledCorpusCteSql,
         |$tripletFoldCtesSql
-        |SELECT anchor_id, pos_id, round(pos_cos, 6) AS pos_score,
-        |  neg_id, round(neg_cos, 6) AS neg_score,
-        |  round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
-        |FROM b WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL""".stripMargin,
+        |$tripletSelectSql""".stripMargin,
+
+    // Full-corpus triplets through the SAME candidate front as q238
+    // and the SAME rank/fold as q237 — both legs band-colliding, the
+    // documented approximate-by-design trade.
+    "q251_triplets_lsh" ->
+      s"""WITH ${lshCandCtesSql("SELECT 3 AS bits, 12 AS bands")},
+        |s AS (SELECT anchor_id, neighbor_id, (ea.label = eb.label) AS is_pos,
+        |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        |  FROM dir JOIN base ea ON dir.anchor_id = ea.vec_id
+        |           JOIN base eb ON dir.neighbor_id = eb.vec_id),
+        |$tripletRankFoldCtesSql
+        |$tripletSelectSql""".stripMargin,
 
     // Replays the q72 hyperplane signature law (36 bits, 12 bands of
     // 3, dyadic-rational LCG planes) over the LABELED corpus, then
@@ -10024,15 +10043,31 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     s"""s AS (SELECT anchor_id, neighbor_id, (al = nl) AS is_pos,
        |  ${cosSql("av", "nv")} AS cos
        |  FROM c CROSS JOIN a WHERE anchor_id IS DISTINCT FROM neighbor_id),
-       |r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
-       |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
-       |  FROM s),
-       |b AS (SELECT anchor_id,
-       |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
-       |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
-       |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
-       |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
-       |  FROM r WHERE rnk = 1 GROUP BY anchor_id)""".stripMargin
+       |$tripletRankFoldCtesSql""".stripMargin
+
+  /** The rank/conditional-max tail of the triplet fold over ANY
+    * `s(anchor_id, neighbor_id, is_pos, cos)` CTE — factored (r20) so
+    * the q251 LSH-candidates triplet face replays the IDENTICAL fold
+    * the exact q237 face pins, over its own candidate-scored s. */
+  private def tripletRankFoldCtesSql: String =
+    """r AS (SELECT anchor_id, neighbor_id, is_pos, cos,
+      |  ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM s),
+      |b AS (SELECT anchor_id,
+      |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+      |  MAX(CASE WHEN is_pos THEN cos END) AS pos_cos,
+      |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+      |  MAX(CASE WHEN NOT is_pos THEN cos END) AS neg_cos
+      |  FROM r WHERE rnk = 1 GROUP BY anchor_id)""".stripMargin
+
+  /** The triplet faces' shared final projection over the fold's `b`
+    * CTE (q237 / q246 / q251 — one definition of the margin
+    * arithmetic and the inner-semantics filter). */
+  private def tripletSelectSql: String =
+    """SELECT anchor_id, pos_id, round(pos_cos, 6) AS pos_score,
+      |  neg_id, round(neg_cos, 6) AS neg_score,
+      |  round(round(pos_cos, 6) - round(neg_cos, 6), 6) AS margin
+      |FROM b WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL""".stripMargin
 
   /** The scalar subquery for the mining population (the label law's
     * sizing count): labeled, dim-valid vectors — what the Scala auto
@@ -10048,8 +10083,13 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
     * one row exposing (bits, bands) — the fixed face pins (3, 12),
     * the sized faces COMPUTE the law (r19 verdict item 2), so the
     * gates hold at every SF. */
-  private def hardNegLshOracleSqlWith(szb: String): String =
-    s"""WITH _hnsz AS ($szb),
+  /** The full-corpus LSH candidate front (signature → bands →
+    * symmetrized dir CTE) shared by the hard-negative bodies and the
+    * q251 triplet face — ContrastiveMining.lshLabeledPairs' twin.
+    * Emits CTEs `base` and `dir`; callers append their own scoring
+    * tail. */
+  private def lshCandCtesSql(szb: String): String =
+    s"""_hnsz AS ($szb),
       |base AS (SELECT vec_id, embedding, label FROM embeddings
       |  WHERE label IS NOT NULL AND len(embedding) = 64),
       |pr0 AS (SELECT vec_id, embedding,
@@ -10068,7 +10108,10 @@ ORDER BY g.score DESC, doc_id ASC LIMIT 100"""),
       |  FROM bandsig a JOIN bandsig b2 USING (band, bucket)
       |  WHERE a.vec_id < b2.vec_id),
       |dir AS (SELECT id_a AS anchor_id, id_b AS neighbor_id FROM cand
-      |  UNION ALL SELECT id_b, id_a FROM cand),
+      |  UNION ALL SELECT id_b, id_a FROM cand)""".stripMargin
+
+  private def hardNegLshOracleSqlWith(szb: String): String =
+    s"""WITH ${lshCandCtesSql(szb)},
       |sc AS (SELECT anchor_id, neighbor_id,
       |  ${cosSql("ea.embedding", "eb.embedding")} AS cos
       |  FROM dir JOIN base ea ON dir.anchor_id = ea.vec_id

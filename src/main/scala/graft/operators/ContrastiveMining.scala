@@ -148,7 +148,23 @@ object ContrastiveMining {
     * Output: (anchor_id, neighbor_id, score, rnk). */
   def hardNegativesLsh(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, dim: Int, k: Int,
-      bandBits: Int = 3, bands: Int = 12): DataFrame = {
+      bandBits: Int = 3, bands: Int = 12): DataFrame =
+    topKPerAnchor(
+      lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
+        .where(col("anchor_label") =!= col("neighbor_label"))
+        .withColumn("score",
+          VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec"))),
+      k)
+
+  /** THE full-corpus LSH candidate front shared by [[hardNegativesLsh]]
+    * and [[tripletsLsh]]: label-law projection, banded candidates,
+    * symmetrization, vector/label join-back — everything up to (but
+    * not including) the face's own label predicate and cosine, so the
+    * filter-before-score discipline stays with each face. Output:
+    * (anchor_id, neighbor_id, anchor/neighbor vec + label). */
+  private def lshLabeledPairs(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int,
+      bandBits: Int, bands: Int): DataFrame = {
     val base = labeled(corpus, idCol, vecCol, labelCol, dim, "n")
     val cand = Dedup.bandedCandidatePairs(
       base.select(col("n_id"), col("n_vec")), "n_id", "n_vec",
@@ -167,12 +183,34 @@ object ContrastiveMining {
       col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"))
     val nv = base.select(col("n_id").as("neighbor_id"),
       col("n_vec").as("neighbor_vec"), col("n_label").as("neighbor_label"))
-    val scored = dir.join(av, Seq("anchor_id")).join(nv, Seq("neighbor_id"))
-      .where(col("anchor_label") =!= col("neighbor_label"))
-      .withColumn("score",
-        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
-    topKPerAnchor(scored, k)
+    dir.join(av, Seq("anchor_id")).join(nv, Seq("neighbor_id"))
   }
+
+  /** Full-corpus triplets through banded LSH — [[triplets]]' scale
+    * posture (the broadcast-anchor face needs a bounded anchor set; a
+    * corpus-sized one can't broadcast): every labeled row is an
+    * anchor, BOTH legs come from band collisions (the bucket join is
+    * label-blind, so same-label candidates ride the same pipeline),
+    * and the [[triplets]] rank/conditional-max fold picks the hardest
+    * COLLIDING positive and negative per anchor. Approximate by
+    * design on both legs — an anchor whose hardest true positive
+    * never collides gets its hardest colliding one instead, and an
+    * anchor with no colliding positive (or negative) produces no
+    * triplet (inner semantics, as the exact face). High-cosine pairs
+    * are exactly the pairs LSH keeps, and the positive leg WANTS
+    * high-cosine pairs, so positive recall runs above negative
+    * recall at the same geometry. Sizing as everywhere: pass
+    * [[Dedup.lshSizing]]'d bandBits at scale. Output matches
+    * [[triplets]]. */
+  def tripletsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int,
+      bandBits: Int = 3, bands: Int = 12): DataFrame =
+    bestPairs(
+      lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
+        .withColumn("is_pos",
+          col("anchor_label") === col("neighbor_label"))
+        .withColumn("score",
+          VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec"))))
 
   /** Recall@k audit of an approximate miner against the exact law —
     * the QA aggregate a release's mining section reports. For each

@@ -291,6 +291,33 @@ class ContrastiveMiningSpec extends AnyFunSuite {
     assert(nExact <= sampledIds.size * 3L)
   }
 
+  test("tripletsLsh: both legs come from band collisions — on the " +
+      "clustered fixture (everything collides) it equals the exact " +
+      "face with all labeled rows as anchors; inner semantics hold") {
+    def rows(df: DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val lsh = ContrastiveMining.tripletsLsh(
+      fixture, "vec_id", "embedding", "label", 4, bandBits = 1, bands = 4)
+    val exact = ContrastiveMining.triplets(
+      fixture, "vec_id", "embedding", "label", fixture, 4)
+    // 1-bit bands over a 5-vector fixture: every labeled pair collides
+    // in some band, so the approximate face reproduces the exact law
+    assert(rows(lsh) === rows(exact))
+    assert(lsh.count() > 0)
+    // subset law at the gate geometry: every LSH triplet's legs are
+    // true pairs with the exact cosine (legs may differ where a
+    // harder pair never collides)
+    val g = ContrastiveMining.tripletsLsh(
+      fixture, "vec_id", "embedding", "label", 4)
+    val exactPairs = ContrastiveMining.hardNegatives(
+        fixture, "vec_id", "embedding", "label", fixture, 4, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    g.collect().foreach { r =>
+      assert(exactPairs.contains((r.getLong(0), r.getLong(3), r.getDouble(4))),
+        "the negative leg must be a true different-label pair")
+    }
+  }
+
   test("inBatchNegativeBatches: no batch carries a label twice (at " +
       "ANY batchSize), slots stay under the cap, every labeled row is " +
       "assigned exactly once, null ids/labels are out") {
