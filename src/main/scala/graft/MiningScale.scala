@@ -79,6 +79,10 @@ object MiningScale {
           emb, "vec_id", "embedding", "label", 64, 3, rowCount = Some(n))
         .join(delta.select(col("vec_id").as("anchor_id")), Seq("anchor_id"))
     }
+    time("triplets_lsh_sized") {
+      ContrastiveMining.tripletsLsh(
+        emb, "vec_id", "embedding", "label", 64, sizedBits, 12)
+    }
     time("recall_face_floor_0.35") {
       ContrastiveMining.hardNegativesLshRecall(
         emb, "vec_id", "embedding", "label", 64, 3)
