@@ -12,6 +12,12 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
     val spark = Sessions.local(8)
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_WARM=1: materialize the ingest artifacts
+    // first, so plans show what the WARM bench actually executes
+    // (InMemoryTableScan of the prebuilt indexes) instead of the
+    // ingest-time build subtrees.
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_WARM").contains("1"))
+      SparkEntry.prepareArtifacts(spark, sfDir)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

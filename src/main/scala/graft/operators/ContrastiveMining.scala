@@ -52,6 +52,12 @@ object ContrastiveMining {
         col(labelCol).as(s"${as}_label"))
       .where(col(s"${as}_label").isNotNull &&
         size(col(s"${as}_vec")) === dim)
+      // norm once per ROW: every face downstream scores PAIRS, where
+      // cosineFromNorms (bit-identical to cosine) then pays one dot
+      // per pair instead of three folds; faces that never score (the
+      // sizing count) project it away, so it costs them nothing
+      .withColumn(s"${as}_nrm",
+        VectorFunctions.l2Norm(col(s"${as}_vec")))
 
   /** Per anchor, the top-k most-similar DIFFERENT-label corpus rows
     * by exact cosine (the hard negatives of a contrastive batch).
@@ -77,8 +83,9 @@ object ContrastiveMining {
     val c = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
     c.crossJoin(broadcast(a))
       .where(keep)
-      .withColumn("score",
-        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+      .withColumn("score", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
+        col("anchor_nrm"), col("neighbor_nrm")))
   }
 
   /** THE per-anchor top-k tail — one definition of the ranking
@@ -152,8 +159,9 @@ object ContrastiveMining {
     topKPerAnchor(
       lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
         .where(col("anchor_label") =!= col("neighbor_label"))
-        .withColumn("score",
-          VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec"))),
+        .withColumn("score", VectorFunctions.cosineFromNorms(
+          VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
+          col("anchor_nrm"), col("neighbor_nrm"))),
       k)
 
   /** THE full-corpus LSH candidate front shared by [[hardNegativesLsh]]
@@ -180,9 +188,11 @@ object ContrastiveMining {
         .as("_p"))
       .select(col("_p.anchor_id"), col("_p.neighbor_id"))
     val av = base.select(col("n_id").as("anchor_id"),
-      col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"))
+      col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"),
+      col("n_nrm").as("anchor_nrm"))
     val nv = base.select(col("n_id").as("neighbor_id"),
-      col("n_vec").as("neighbor_vec"), col("n_label").as("neighbor_label"))
+      col("n_vec").as("neighbor_vec"), col("n_label").as("neighbor_label"),
+      col("n_nrm").as("neighbor_nrm"))
     dir.join(av, Seq("anchor_id")).join(nv, Seq("neighbor_id"))
   }
 
@@ -209,8 +219,9 @@ object ContrastiveMining {
       lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
         .withColumn("is_pos",
           col("anchor_label") === col("neighbor_label"))
-        .withColumn("score",
-          VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec"))))
+        .withColumn("score", VectorFunctions.cosineFromNorms(
+          VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
+          col("anchor_nrm"), col("neighbor_nrm"))))
 
   /** Recall@k audit of an approximate miner against the exact law —
     * the QA aggregate a release's mining section reports. For each
@@ -538,8 +549,9 @@ object ContrastiveMining {
       .join(a, Seq("anchor_id"))
       .join(nv, Seq("neighbor_id"))
       .where(col("anchor_label") =!= col("neighbor_label"))
-      .withColumn("score",
-        VectorFunctions.cosine(col("anchor_vec"), col("neighbor_vec")))
+      .withColumn("score", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
+        col("anchor_nrm"), col("neighbor_nrm")))
     topKPerAnchor(scored, k)
   }
 }

@@ -98,7 +98,13 @@ object Dedup {
     * distinct fingerprint with the kept (minimum) id and the group size.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    // spread before the fingerprint projection: normalization+md5 cost
+    // dwarfs scan cost, and a small input arrives as ONE split — the
+    // whole pass would serialize on one core (the shingleIndex
+    // rationale; spread is a no-op on already-parallel inputs and on
+    // streaming plans)
+    Partitioning.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
@@ -175,16 +181,27 @@ object Dedup {
     * the ingest-artifact path ([[CorpusArtifacts.shingleIndex]]). */
   def jaccardPairsFromIndex(idx: DataFrame, idCol: String,
       minSim: Double): DataFrame = {
+    // |A| / |B| attach BEFORE the self-join: riding the counts on the
+    // posting rows (16 bytes/row) lets ONE counts subtree serve both
+    // sides — the post-aggregation form planned the counts aggregate
+    // twice (two subtrees, two broadcast builds) and probed the pair
+    // table twice, and the pair table (Σdf² rows) outweighs the
+    // postings it replaces here. No broadcast hint: the planner
+    // broadcasts doc-cardinality counts while they fit and falls back
+    // to an id-co-partitioned join at corpus scale. n_a/n_b are
+    // constant within an (id_a, id_b) group, folded out of the
+    // aggregate with max(). Same pairs, same counts, same jaccard.
     val counts = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val a = idx.select(col(idCol).as("id_a"), col("shingle"))
-    val b = idx.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val withN = idx.join(counts, Seq(idCol))
+    val a = withN.select(col(idCol).as("id_a"), col("shingle"),
+      col("n_shingles").as("n_a"))
+    val b = withN.select(col(idCol).as("id_b"), col("shingle"),
+      col("n_shingles").as("n_b"))
+    a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.select(col(idCol).as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
-      .join(counts.select(col(idCol).as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -541,10 +558,16 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // norms once per ROW, not per pair (cosineFromNorms — bit-identical;
+    // the n² pair stage then pays one dot instead of three folds)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      VectorFunctions.l2Norm(col(vecCol)).as("_nrm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      VectorFunctions.l2Norm(col(vecCol)).as("_nrm_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("vec_a"), col("vec_b")),
+        col("_nrm_a"), col("_nrm_b")))
       .where(col("cosine") >= minSim)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -628,10 +651,16 @@ object Dedup {
     val cand = bandedCandidatePairs(base, idCol, vecCol, dim,
         bandBits, bands)
       .select(col("_id_a").as("id_a"), col("_id_b").as("id_b"))
-    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // norms once per ROW in the join-back projections (cosineFromNorms
+    // — bit-identical), so the candidate verify pays one dot per pair
+    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      VectorFunctions.l2Norm(col(vecCol)).as("_nrm_a"))
+    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      VectorFunctions.l2Norm(col(vecCol)).as("_nrm_b"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("vec_a"), col("vec_b")),
+        col("_nrm_a"), col("_nrm_b")))
       .where(col("cosine") >= minSim)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -807,7 +836,10 @@ object Dedup {
         Seq(clusterCol))
       .withColumn("cent_cos",
         VectorFunctions.cosine(col(vecCol), col("centroid")))
-      .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"))
+      // row norm rides along so the PAIR stage downstream verifies
+      // with one dot per pair (cosineFromNorms — bit-identical)
+      .select(col(clusterCol), col(idCol), col(vecCol), col("cent_cos"),
+        VectorFunctions.l2Norm(col(vecCol)).as("_vnrm"))
 
   /** The shared verdict render: keep = not in the beaten id set. */
   private def verdictFrame(withCent: DataFrame, beaten: DataFrame,
@@ -849,10 +881,12 @@ object Dedup {
       clusterCol, cents)
     val rival = withCent.select(col(clusterCol),
       col(idCol).as("_id_b"), col(vecCol).as("_vec_b"),
-      col("cent_cos").as("_cc_b"))
+      col("cent_cos").as("_cc_b"), col("_vnrm").as("_vnrm_b"))
     val beaten = withCent.join(rival, Seq(clusterCol))
       .where(col(idCol) =!= col("_id_b"))
-      .where(VectorFunctions.cosine(col(vecCol), col("_vec_b")) >= minSim)
+      .where(VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col(vecCol), col("_vec_b")),
+        col("_vnrm"), col("_vnrm_b")) >= minSim)
       .where(col("_cc_b") < col("cent_cos") ||
         (col("_cc_b") === col("cent_cos") && col("_id_b") < col(idCol)))
       .select(col(idCol)).distinct()
@@ -880,11 +914,15 @@ object Dedup {
     val cand = bandedCandidatePairs(withCent, idCol, vecCol, dim,
       bandBits, bands, Seq(clusterCol))
     val a = withCent.select(col(idCol).as("_id_a"),
-      col(vecCol).as("_vec_a"), col("cent_cos").as("_cc_a"))
+      col(vecCol).as("_vec_a"), col("cent_cos").as("_cc_a"),
+      col("_vnrm").as("_vnrm_a"))
     val b = withCent.select(col(idCol).as("_id_b"),
-      col(vecCol).as("_vec_b"), col("cent_cos").as("_cc_b"))
+      col(vecCol).as("_vec_b"), col("cent_cos").as("_cc_b"),
+      col("_vnrm").as("_vnrm_b"))
     val beaten = cand.join(a, Seq("_id_a")).join(b, Seq("_id_b"))
-      .where(VectorFunctions.cosine(col("_vec_a"), col("_vec_b")) >= minSim)
+      .where(VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("_vec_a"), col("_vec_b")),
+        col("_vnrm_a"), col("_vnrm_b")) >= minSim)
       .select(when(col("_cc_a") > col("_cc_b") ||
           (col("_cc_a") === col("_cc_b") && col("_id_a") > col("_id_b")),
         col("_id_a")).otherwise(col("_id_b")).as(idCol))

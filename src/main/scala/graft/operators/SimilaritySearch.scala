@@ -51,15 +51,22 @@ object SimilaritySearch {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("nvec"))
+    // norms once per probe / corpus ROW (cosineFromNorms is
+    // bit-identical to cosine): the |probes|×|corpus| score stage
+    // then pays one dot per pair instead of three folds
+    val p = probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"),
+      VectorFunctions.l2Norm(col(probeVec)).as("_pnrm"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("nvec"),
+      VectorFunctions.l2Norm(col(corpusVec)).as("_nnrm"))
     val scored = c.crossJoin(broadcast(p))
       // null-SAFE inequality: `=!=` yields SQL null on a null id and
       // the filter drops the row — a null-id probe lost ALL its
       // neighbors under excludeSelf only (r17 review pass 10)
       .where(if (excludeSelf) !(col("probe_id") <=> col("neighbor_id"))
         else lit(true))
-      .withColumn("score", VectorFunctions.cosine(col("probe_vec"), col("nvec")))
+      .withColumn("score", VectorFunctions.cosineFromNorms(
+        VectorFunctions.dot(col("probe_vec"), col("nvec")),
+        col("_pnrm"), col("_nnrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
