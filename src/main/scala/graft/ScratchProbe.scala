@@ -43,6 +43,21 @@ object ScratchProbe {
     time("q17 count-action")(
       graft.operators.Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2).count())
 
+    // spread micro-probes
+    val docsRaw = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    time("scan only")(noop(docsRaw))
+    time("spread only")(noop(graft.Partitioning.spread(docsRaw)))
+    time("scan+md5")(noop(docsRaw.select(col("doc_id"), md5(col("text")))))
+    time("spread+md5")(noop(graft.Partitioning.spread(docsRaw)
+      .select(col("doc_id"), md5(col("text")))))
+    time("spread+fp")(noop(graft.Partitioning.spread(docsRaw)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")))))
+    time("scan+fp")(noop(docsRaw
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")))))
+
     // q62 decomposition
     val raw = graft.Tables.load(spark, sfDir, "documents")
     val parsed = graft.operators.Parse.parse(

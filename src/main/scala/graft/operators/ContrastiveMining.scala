@@ -101,6 +101,31 @@ object ContrastiveMining {
         round(col("score"), 6).as("score"), col("rnk"))
   }
 
+  /** [[topKPerAnchor]] for scored frames that may carry DUPLICATE
+    * (anchor, neighbor) rows — the LSH faces since r21 skip the
+    * pair-level distinct (its exchange carried every band collision,
+    * the largest shuffle of the plan) and rank the raw multi-band
+    * rows instead. Duplicates of a pair are identical in every
+    * ranked column (the exact cosine is deterministic per pair), so
+    * under the ranking order (score desc, neighbor_id asc) a tie IS
+    * a duplicate: dense_rank over the dup-carrying frame equals
+    * row_number over the distinct frame, rank-≤-k duplicates emit
+    * identical output rows, and the final distinct — on the
+    * |anchors|·k-bounded OUTPUT, not the candidate mass — collapses
+    * them. (A corpus with two rows under one id and equal-cosine
+    * different vectors would tie two true neighbors into one rank;
+    * gate corpora have unique ids, and the exact faces keep the
+    * row_number law.) */
+  private def topKPerAnchorDups(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", dense_rank().over(w))
+      .where(col("rnk") <= k)
+      .select(col("anchor_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rnk"))
+      .distinct()
+  }
+
   /** Per anchor, ONE (hardest-positive, hardest-negative) triplet:
     * the same-label corpus row of highest cosine (self excluded,
     * null-safe — a null-id anchor still excludes nothing but
@@ -123,12 +148,21 @@ object ContrastiveMining {
   /** Tail of [[triplets]]: rank within (anchor, leg), keep rank 1 of
     * each leg, fold the two ≤1-row legs into one row per anchor with
     * a conditional-max aggregate (no self-join — the scored frame is
-    * scanned once). Factored so an LSH-candidates triplet face can
-    * reuse it if one is ever needed. */
+    * scanned once). Shared with [[tripletsLsh]], whose scored frame
+    * may carry DUPLICATE (anchor, neighbor) rows since r21 (the
+    * candidate front skips its pair-level distinct): dense_rank makes
+    * every duplicate of the leg winner rank 1 — duplicates are
+    * identical in (neighbor_id, score, is_pos), an exact cosine being
+    * deterministic per pair — and the conditional-max fold is
+    * invariant to repeated identical values, so the output equals the
+    * distinct-candidates law. (Under dup-free input a rank-1 tie
+    * needs equal (score, neighbor_id) within the (anchor, is_pos)
+    * leg, i.e. the same fold inputs again — dense_rank ≡ row_number
+    * for the fold's purposes there too.) */
   private def bestPairs(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", dense_rank().over(w))
       .where(col("rnk") === 1)
       .groupBy(col("anchor_id"))
       .agg(
@@ -156,44 +190,63 @@ object ContrastiveMining {
   def hardNegativesLsh(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, dim: Int, k: Int,
       bandBits: Int = 3, bands: Int = 12): DataFrame =
-    topKPerAnchor(
-      lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
-        .where(col("anchor_label") =!= col("neighbor_label"))
-        .withColumn("score", VectorFunctions.cosineFromNorms(
-          VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
-          col("anchor_nrm"), col("neighbor_nrm"))),
+    topKPerAnchorDups(
+      lshScoredDirected(corpus, idCol, vecCol, labelCol, dim,
+        bandBits, bands, mixedOnly = true),
       k)
 
   /** THE full-corpus LSH candidate front shared by [[hardNegativesLsh]]
     * and [[tripletsLsh]]: label-law projection, banded candidates,
-    * symmetrization, vector/label join-back — everything up to (but
-    * not including) the face's own label predicate and cosine, so the
-    * filter-before-score discipline stays with each face. Output:
-    * (anchor_id, neighbor_id, anchor/neighbor vec + label). */
-  private def lshLabeledPairs(corpus: DataFrame, idCol: String,
+    * vector/label join-back, the face's pair predicate, ONE exact
+    * cosine per undirected pair, THEN symmetrization. Output:
+    * (anchor_id, neighbor_id, is_pos, score), each surviving pair in
+    * both directions.
+    *
+    * Scoring BEFORE the direction explode (r21) halves the join and
+    * dot work of the old directed form — both faces' pair predicates
+    * are symmetric (a label comparison) and dot/cosineFromNorms are
+    * bitwise symmetric (aᵢ·bᵢ = bᵢ·aᵢ term by term, same fold
+    * order), so one undirected score IS both directed scores. The
+    * filter-before-score discipline survives as `mixedOnly`: the
+    * hard-negative face prunes same-label pairs before any dot.
+    * Symmetrize via explode, NOT a self-union: a union's two
+    * branches each re-plan the whole candidate pipeline (signature,
+    * band join), doubling the dominant cost; the explode keeps ONE
+    * candidate subtree and just doubles its (small, vector-free)
+    * rows. Raw multi-band candidates ride through (dedup = false):
+    * the faces' tails absorb duplicates (topKPerAnchorDups'
+    * dense_rank law / bestPairs' conditional-max fold), so the
+    * pair-level distinct exchange — the largest shuffle of the old
+    * plan — is gone. */
+  private def lshScoredDirected(corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, dim: Int,
-      bandBits: Int, bands: Int): DataFrame = {
+      bandBits: Int, bands: Int, mixedOnly: Boolean): DataFrame = {
     val base = labeled(corpus, idCol, vecCol, labelCol, dim, "n")
     val cand = Dedup.bandedCandidatePairs(
       base.select(col("n_id"), col("n_vec")), "n_id", "n_vec",
-      dim, bandBits, bands)
-    // symmetrize: (a,b) mines as anchor=a,neighbor=b AND anchor=b,
-    // neighbor=a — via explode, NOT a self-union: a union's two
-    // branches each re-plan the whole candidate pipeline (signature,
-    // band join, distinct), doubling the dominant cost; the explode
-    // keeps ONE candidate subtree and just doubles its rows
-    val dir = cand.select(explode(array(
-        struct(col("_id_a").as("anchor_id"), col("_id_b").as("neighbor_id")),
-        struct(col("_id_b").as("anchor_id"), col("_id_a").as("neighbor_id"))))
-        .as("_p"))
-      .select(col("_p.anchor_id"), col("_p.neighbor_id"))
-    val av = base.select(col("n_id").as("anchor_id"),
-      col("n_vec").as("anchor_vec"), col("n_label").as("anchor_label"),
-      col("n_nrm").as("anchor_nrm"))
-    val nv = base.select(col("n_id").as("neighbor_id"),
-      col("n_vec").as("neighbor_vec"), col("n_label").as("neighbor_label"),
-      col("n_nrm").as("neighbor_nrm"))
-    dir.join(av, Seq("anchor_id")).join(nv, Seq("neighbor_id"))
+      dim, bandBits, bands, dedup = false)
+    val av = base.select(col("n_id").as("_id_a"),
+      col("n_vec").as("_vec_a"), col("n_label").as("_label_a"),
+      col("n_nrm").as("_nrm_a"))
+    val nv = base.select(col("n_id").as("_id_b"),
+      col("n_vec").as("_vec_b"), col("n_label").as("_label_b"),
+      col("n_nrm").as("_nrm_b"))
+    val paired = cand.join(av, Seq("_id_a")).join(nv, Seq("_id_b"))
+    val kept = if (mixedOnly)
+      paired.where(col("_label_a") =!= col("_label_b")) else paired
+    kept
+      .select(col("_id_a"), col("_id_b"),
+        (col("_label_a") === col("_label_b")).as("is_pos"),
+        VectorFunctions.cosineFromNorms(
+          VectorFunctions.dot(col("_vec_a"), col("_vec_b")),
+          col("_nrm_a"), col("_nrm_b")).as("score"))
+      .select(explode(array(
+          struct(col("_id_a").as("anchor_id"), col("_id_b").as("neighbor_id")),
+          struct(col("_id_b").as("anchor_id"), col("_id_a").as("neighbor_id"))))
+          .as("_p"),
+        col("is_pos"), col("score"))
+      .select(col("_p.anchor_id"), col("_p.neighbor_id"),
+        col("is_pos"), col("score"))
   }
 
   /** Full-corpus triplets through banded LSH — [[triplets]]' scale
@@ -216,12 +269,8 @@ object ContrastiveMining {
       labelCol: String, dim: Int,
       bandBits: Int = 3, bands: Int = 12): DataFrame =
     bestPairs(
-      lshLabeledPairs(corpus, idCol, vecCol, labelCol, dim, bandBits, bands)
-        .withColumn("is_pos",
-          col("anchor_label") === col("neighbor_label"))
-        .withColumn("score", VectorFunctions.cosineFromNorms(
-          VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
-          col("anchor_nrm"), col("neighbor_nrm"))))
+      lshScoredDirected(corpus, idCol, vecCol, labelCol, dim,
+        bandBits, bands, mixedOnly = false))
 
   /** Recall@k audit of an approximate miner against the exact law —
     * the QA aggregate a release's mining section reports. For each
@@ -538,12 +587,15 @@ object ContrastiveMining {
       a.select(col("anchor_id"), col("anchor_vec")),
       "anchor_id", "anchor_vec", dim, bandBits, bands)
     // =!= (not <=>-negation): a null-id row can never be cited as a
-    // mining pair, matching the fixed face's a<b candidate law
+    // mining pair, matching the fixed face's a<b candidate law.
+    // Raw multi-band candidates (r21): topKPerAnchorDups' dense_rank
+    // law absorbs duplicate collisions, so the pair-level distinct
+    // exchange over the candidate mass is gone
     val cand = bBk
       .join(priorBuckets.select(col(priorIdCol).as("neighbor_id"),
         col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("anchor_id") =!= col("neighbor_id"))
-      .select(col("anchor_id"), col("neighbor_id")).distinct()
+      .select(col("anchor_id"), col("neighbor_id"))
     val nv = labeled(corpus, idCol, vecCol, labelCol, dim, "neighbor")
     val scored = cand
       .join(a, Seq("anchor_id"))
@@ -552,6 +604,6 @@ object ContrastiveMining {
       .withColumn("score", VectorFunctions.cosineFromNorms(
         VectorFunctions.dot(col("anchor_vec"), col("neighbor_vec")),
         col("anchor_nrm"), col("neighbor_nrm")))
-    topKPerAnchor(scored, k)
+    topKPerAnchorDups(scored, k)
   }
 }

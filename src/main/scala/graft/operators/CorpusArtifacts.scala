@@ -64,18 +64,34 @@ object CorpusArtifacts {
     * from ONE persisted tokenization pass (tokenizing dominates both
     * builds; at 100 TB this halves the ingest scans). Lazy per-artifact
     * entries below stay independent — a BM25-only workload never pays
-    * for a shingle index it didn't ask for. */
+    * for a shingle index it didn't ask for.
+    *
+    * The token frame itself STAYS an artifact (r21): the reference
+    * stores `bm25_tokens` on every chunk row — tokens are ingest
+    * output, not per-query work — and the MinHash faces re-derive
+    * their signatures from exactly this frame ([[tokens]]), so
+    * keeping it persisted removes their per-query re-tokenization.
+    * (~tokens-sized memory, the same class as the shingle index.) */
   def buildAll(key: String, df: => DataFrame, idCol: String,
       textCol: String, n: Int): Unit = {
     val shKey = s"$key#$n"
-    if (bm25Alive(key) && shingleCache.alive(shKey)) return
-    val base = Search.tokenBase(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (bm25Alive(key) && shingleCache.alive(shKey) &&
+      tokenCache.alive(key)) return
+    val base = tokens(key, df, idCol, textCol)
     bm25Compute(key, Search.buildIndexFromTokens(base, idCol, eager = true))
     shingleCache.get(shKey,
       Dedup.shingleIndexFromTokens(base, idCol, n), eager = true)
-    base.unpersist()
   }
+
+  /** The tokenized corpus ((id, dl, _toks) — [[Search.tokenBase]]),
+    * persisted: the reference's stored `bm25_tokens` column as a
+    * frame. Every token-consuming artifact/query (BM25 build, shingle
+    * build, MinHash signatures) derives from this one pass. */
+  def tokens(key: String, df: => DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    tokenCache.get(key, Search.tokenBase(df, idCol, textCol), eager = true)
+
+  private val tokenCache = new DfMemo
 
   /** Bm25Index entries carry four persisted frames, so they get the
     * same session validation as [[DfMemo]] via the index frame. */
@@ -190,7 +206,7 @@ object CorpusArtifacts {
     }
     shingleCache.clear(); winnowCache.clear(); dsirCache.clear()
     nbCache.clear(); deconCache.clear(); componentCache.clear()
-    bucketCache.clear()
+    bucketCache.clear(); tokenCache.clear()
     bm25Cache.clear()
   }
 }

@@ -419,13 +419,24 @@ object Dedup {
     * slice). Output: (id, band, bucket).
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshBucketsFromTokens(
+      Partitioning.spread(df.select(col(idCol), col(textCol)))
+        .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol))),
+      idCol, n, numHashes, bands)
+
+  /** [[lshBuckets]] from an existing (id, ..., _toks) token frame —
+    * the [[shingleIndexFromTokens]] pattern: an ingest pipeline that
+    * stores its tokens ([[CorpusArtifacts.tokens]], the reference's
+    * `bm25_tokens` column) derives MinHash signatures from them
+    * without re-tokenizing the corpus per query. */
+  def lshBucketsFromTokens(base: DataFrame, idCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     // each intermediate is a real column: element_at over an attribute
     // is cheap, whereas inlining would re-run the whole minhash per
     // band element (16x tokenizer+md5 blowup, interpreted)
-    val sig = Partitioning.spread(df.select(col(idCol), col(textCol)))
-      .withColumn("_toks", TextFunctions.bm25Tokens(col(textCol)))
+    val sig = base
       .withColumn("_sig", NativeText.minhashOf(col("_toks"), n, numHashes))
       // zero-shingle guard (r18 review): a doc with < n tokens (or
       // NULL text) has an all-null signature, and concat_ws SKIPS
@@ -447,8 +458,19 @@ object Dedup {
 
   /** Near-dup candidate pairs from LSH: ids sharing any band bucket. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val bk = lshBuckets(df, idCol, textCol, n, numHashes, bands)
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatePairs(lshBuckets(df, idCol, textCol, n, numHashes, bands),
+      idCol)
+
+  /** [[minhashCandidates]] from a stored token frame
+    * ([[lshBucketsFromTokens]]' contract): identical output, no
+    * per-query re-tokenization. */
+  def minhashCandidatesFromTokens(base: DataFrame, idCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatePairs(
+      lshBucketsFromTokens(base, idCol, n, numHashes, bands), idCol)
+
+  private def minhashCandidatePairs(bk: DataFrame, idCol: String): DataFrame = {
     val a = bk.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bk.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -603,20 +625,34 @@ object Dedup {
     * bucket join via `extraKeys`, scoping candidates to the cluster)
     * and [[ContrastiveMining.hardNegativesLsh]] (which symmetrizes
     * the pairs into per-anchor candidates).
-    * Output: distinct (_id_a, _id_b), _id_a < _id_b. */
+    * Output: (_id_a, _id_b), _id_a < _id_b — distinct when `dedup`.
+    *
+    * `dedup = false` skips the pair-level `distinct()`: a pair
+    * colliding in m bands then flows downstream m times. Every
+    * consumer whose verify/rank stage ABSORBS duplicates (an exact
+    * cosine is deterministic per pair, so dup rows are identical;
+    * a post-filter `distinct` on the tiny survivor set, a beaten-id
+    * set, or a dense_rank fold all collapse them) should pass false:
+    * the full-width candidate exchange (the largest intermediate of
+    * the whole pipeline — Σ collisions rows) disappears, replaced by
+    * re-verifying the ≤ bands−1 duplicate collisions of a pair (one
+    * dot each) and a distinct on rows that SURVIVED the verify
+    * threshold (r21, guide §2.3/§2.4: shuffle survivors, not
+    * candidates). */
   private[operators] def bandedCandidatePairs(base: DataFrame, idCol: String,
       vecCol: String, dim: Int, bandBits: Int, bands: Int,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      extraKeys: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
     val keyCols = extraKeys.map(col)
     val banded = bandedBuckets(base, idCol, vecCol, dim, bandBits, bands,
       extraKeys)
-    banded.select(keyCols :+ col(idCol).as("_id_a") :+ col("band") :+
-        col("bucket"): _*)
+    val pairs = banded.select(keyCols :+ col(idCol).as("_id_a") :+
+        col("band") :+ col("bucket"): _*)
       .join(banded.select(keyCols :+ col(idCol).as("_id_b") :+
         col("band") :+ col("bucket"): _*),
         extraKeys ++ Seq("band", "bucket"))
       .where(col("_id_a") < col("_id_b"))
-      .select(col("_id_a"), col("_id_b")).distinct()
+      .select(col("_id_a"), col("_id_b"))
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** The hyperplane band-bucket index itself — (extraKeys..., id,
@@ -648,8 +684,14 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minSim: Double, bandBits: Int = 3, bands: Int = 12): DataFrame = {
     val base = df.select(col(idCol), col(vecCol))
+    // dedup AFTER the verify (r21): the raw multi-band pairs go
+    // straight to the cosine — duplicate collisions of a pair verify
+    // to IDENTICAL rows, so the output distinct collapses them — and
+    // the pair-level distinct exchange (Σ collisions rows, the
+    // biggest shuffle of the old plan) is replaced by a distinct on
+    // the threshold SURVIVORS only
     val cand = bandedCandidatePairs(base, idCol, vecCol, dim,
-        bandBits, bands)
+        bandBits, bands, dedup = false)
       .select(col("_id_a").as("id_a"), col("_id_b").as("id_b"))
     // norms once per ROW in the join-back projections (cosineFromNorms
     // — bit-identical), so the candidate verify pays one dot per pair
@@ -663,6 +705,7 @@ object Dedup {
         col("_nrm_a"), col("_nrm_b")))
       .where(col("cosine") >= minSim)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
   }
 
   /** Near-dup GROUPS from candidate pairs: every document's component
@@ -911,8 +954,12 @@ object Dedup {
       bands: Int = 12): DataFrame = {
     val withCent = withCentroidCos(assigned, idCol, vecCol,
       clusterCol, cents)
+    // raw multi-band pairs (dedup = false, r21): duplicate collisions
+    // verify to identical beaten-id rows, which the beaten-set
+    // distinct below already collapses — the pair-level distinct
+    // exchange was pure overhead here
     val cand = bandedCandidatePairs(withCent, idCol, vecCol, dim,
-      bandBits, bands, Seq(clusterCol))
+      bandBits, bands, Seq(clusterCol), dedup = false)
     val a = withCent.select(col(idCol).as("_id_a"),
       col(vecCol).as("_vec_a"), col("cent_cos").as("_cc_a"),
       col("_vnrm").as("_vnrm_a"))

@@ -42,7 +42,16 @@ object Entities {
       maxDf: Int): DataFrame = {
     // ONE tokenize pass: tf and df both derive from the occurrence
     // stream itself (tf = per-(doc, token) count, df = distinct docs
-    // per token) — no second scan through the inverted index
+    // per token) — no second scan through the inverted index.
+    // Offsets RIDE THE tf AGGREGATE as a collected list (r21): the
+    // old shape joined the raw occurrence stream back against the
+    // (id, token)-level stats — re-shuffling every occurrence row by
+    // (id, token) — where collecting the offsets into the aggregate
+    // and exploding them after the df join emits the identical row
+    // multiset with the occurrence stream read ONCE and only
+    // (id, token)-level rows ever joined. dfreq's countDistinct also
+    // collapses to count(1) (toks is unique per (id, token) by
+    // construction), dropping the Expand double-shuffle.
     val occurrences = Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(graft.functions.NativeText.bm25TokenOffsetsOf(col(textCol))).as("m"))
@@ -50,15 +59,19 @@ object Entities {
         col("m.start_offset").as("start_offset"),
         col("m.end_offset").as("end_offset"))
     val toks = occurrences.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        collect_list(struct(col("start_offset"), col("end_offset")))
+          .as("_offs"))
     val dfreq = toks.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    occurrences
-      .join(toks.join(dfreq, Seq("token")), Seq(idCol, "token"))
+    toks.join(dfreq, Seq("token"))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        explode(col("_offs")).as("_o"))
       .select(col(idCol),
         col("token").as("mention_text"),
-        col("start_offset"), col("end_offset"),
+        col("_o.start_offset").as("start_offset"),
+        col("_o.end_offset").as("end_offset"),
         col("tf"), col("df"))
   }
 

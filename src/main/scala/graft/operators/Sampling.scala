@@ -90,6 +90,12 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
     val exp = 1.0 - alpha
     val counts = df.groupBy(strataCol).agg(count(lit(1L)).as("n"))
+    // agg + crossJoin(broadcast), NOT a global window over counts:
+    // an r21 experiment swapped in the empty-partition window (fewer
+    // jobs on paper) and the q187 bench cell regressed 1.40 → 1.77 s
+    // — the broadcast form's duplicated counts subtree is deduplicated
+    // by AQE exchange reuse at runtime, while the window adds a real
+    // SinglePartition stage on the critical path. Measured, kept.
     val nmin = counts.agg(min(col("n")).as("n_min"))
     val ratio = col("n_min").cast("double") / col("n").cast("double")
     val f = if (exp == 0.5) sqrt(ratio) else pow(ratio, exp)
