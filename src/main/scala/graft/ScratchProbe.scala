@@ -4,7 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Temporary decomposition probe (not part of the bench contract):
-  * times sub-plans of hot queries with the noop sink. */
+  * times sub-plans of hot queries with the noop sink. Rewritten per
+  * round for whatever decomposition the round needs (r22: the q17
+  * Σdf² self-join — df histogram, doc-length spread, and the exact
+  * prefilter variants). */
 object ScratchProbe {
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -23,42 +26,93 @@ object ScratchProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // q17 decomposition
     val idx = graft.operators.CorpusArtifacts.shingleIndex(
       "probe:" + sfDir, graft.Tables.load(spark, sfDir, "documents"),
       "doc_id", "text", 3)
     idx.count()
-    time("idx scan")(noop(idx))
-    val a = idx.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = idx.select(col("doc_id").as("id_b"), col("shingle"))
-    val joined = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
-    time("self-join only")(noop(joined))
-    val inter = joined.groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    time("join+agg")(noop(inter))
-    val counts = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    time("counts")(noop(counts))
-    time("q17 full")(noop(
+
+    // --- df statistics: how much of the posting/join mass is df==1,
+    // and what the join mass Σdf² looks like with/without it ---
+    val dfc = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    dfc.persist(); dfc.count()
+    println("=== df histogram (sf0.1) ===")
+    dfc.groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+      .withColumn("postings", col("df") * col("n_shingles"))
+      .withColumn("join_mass", col("df") * col("df") * col("n_shingles"))
+      .orderBy(col("df"))
+      .show(30, false)
+    dfc.agg(count(lit(1)).as("vocab"),
+      sum(col("df")).as("postings"),
+      sum(col("df") * col("df")).as("join_mass_df2"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("df1_vocab"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("df1_postings"),
+      max(col("df")).as("max_df")).show(false)
+
+    // --- doc shingle-count spread: how selective is the exact
+    // length-ratio filter (jaccard>=0.2 needs min >= 0.2*max)? ---
+    val counts = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    counts.agg(min(col("n")), expr("percentile(n, 0.5)"), max(col("n"))).show(false)
+
+    // --- timing: current form vs df>=2 prefilter vs +length filter ---
+    time("q17 current")(noop(
       graft.operators.Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2)))
-    time("q17 count-action")(
-      graft.operators.Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2).count())
 
-    // spread micro-probes
-    val docsRaw = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    time("scan only")(noop(docsRaw))
-    time("spread only")(noop(graft.Partitioning.spread(docsRaw)))
-    time("scan+md5")(noop(docsRaw.select(col("doc_id"), md5(col("text")))))
-    time("spread+md5")(noop(graft.Partitioning.spread(docsRaw)
-      .select(col("doc_id"), md5(col("text")))))
-    time("spread+fp")(noop(graft.Partitioning.spread(docsRaw)
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.fingerprint(col("text")))))
-    time("scan+fp")(noop(docsRaw
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.fingerprint(col("text")))))
+    def variant(dropDf1: Boolean, lenFilter: Boolean): DataFrame = {
+      val base = idx
+      val withN = base.join(counts.withColumnRenamed("n", "n_shingles"), Seq("doc_id"))
+      val kept = if (dropDf1)
+        withN.join(broadcast(dfc.where(col("df") > 1).select(col("shingle"))), Seq("shingle"))
+      else withN
+      val a = kept.select(col("doc_id").as("id_a"), col("shingle"),
+        col("n_shingles").as("n_a"))
+      val b = kept.select(col("doc_id").as("id_b"), col("shingle"),
+        col("n_shingles").as("n_b"))
+      val joinCond = if (lenFilter)
+        col("id_a") < col("id_b") &&
+          col("n_a") * lit(0.2) <= col("n_b") && col("n_b") * lit(0.2) <= col("n_a")
+      else col("id_a") < col("id_b")
+      a.join(b, Seq("shingle"))
+        .where(joinCond)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .where(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("n_common"), round(col("jaccard"), 6).as("jaccard"))
+    }
+    time("q17 +df>=2")(noop(variant(dropDf1 = true, lenFilter = false)))
+    time("q17 +lenfilter")(noop(variant(dropDf1 = false, lenFilter = true)))
+    time("q17 +both")(noop(variant(dropDf1 = true, lenFilter = true)))
 
-    // q62 decomposition
+    // --- q15 artifact cache behavior ---
+    val fps = graft.operators.CorpusArtifacts.fingerprints(
+      "probe:" + sfDir, graft.Tables.load(spark, sfDir, "documents"),
+      "doc_id", "text")
+    time("fps count")(fps.count())
+    time("q15 over artifact")(noop(
+      graft.operators.Dedup.exactFromFingerprints(fps, "doc_id")))
+    // listener: is the artifact scan serving cached blocks or
+    // recomputing the md5 pass?
+    @volatile var taskMs = 0L
+    @volatile var tasks = 0
+    val lsn = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        taskMs += sc.stageInfo.taskMetrics.executorRunTime
+        tasks += sc.stageInfo.numTasks
+      }
+    }
+    spark.sparkContext.addSparkListener(lsn)
+    graft.operators.Dedup.exactFromFingerprints(fps, "doc_id").count()
+    Thread.sleep(300)
+    spark.sparkContext.removeSparkListener(lsn)
+    println(s"SCRATCH q15-artifact-agg tasks=$tasks taskMs=$taskMs")
+    spark.sparkContext.getRDDStorageInfo.foreach(i =>
+      println(s"SCRATCH rddinfo id=${i.id} cached=${i.numCachedPartitions}/${i.numPartitions} mem=${i.memSize} name=${i.name}"))
+
+    // --- q62 decomposition ---
     val raw = graft.Tables.load(spark, sfDir, "documents")
     val parsed = graft.operators.Parse.parse(
       raw.select(col("doc_id"),
@@ -73,6 +127,9 @@ object ScratchProbe {
     time("q62 parse")(noop(docs))
     val chunks = graft.operators.TwoTier.chunk(docs, "doc_id", "text", 100, 20, 25)
     time("q62 chunks")(noop(chunks))
+    val e0 = expr(
+      "CAST(CONV(SUBSTRING(md5(CONCAT(chunk_text, CHAR(48))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0")
+    time("q62 chunks+md5")(noop(chunks.withColumn("_e0", e0)))
     val mentions = graft.operators.Entities.extractMentions(docs, "doc_id", "text", 2)
     time("q62 mentions")(noop(mentions))
 

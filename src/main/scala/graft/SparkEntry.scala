@@ -163,6 +163,13 @@ object SparkEntry {
     CorpusArtifacts.tokens(corpusKey(s, dir),
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** The stored (doc_id, fingerprint) content-hash artifact (the
+    * reference stores exactly this per row — built by buildAll,
+    * read by q15 the way q17 reads the shingle index). */
+  private def docsFingerprints(s: SparkSession, dir: String): DataFrame =
+    CorpusArtifacts.fingerprints(corpusKey(s, dir),
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** BM25 scores of the canned query over the shared index. */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame =
     Search.scoreWith(docsBm25(s, dir), bm25QueryTerms)
@@ -336,9 +343,11 @@ object SparkEntry {
       TextFunctions.langIdOfTokens(col("_toks")).as("lang_pred"))
 
   /** Exact dedup on normalized-content fingerprint
-    * (notion_connector.py:624-634 / row_indexer.rs:506-589). */
+    * (notion_connector.py:624-634 / row_indexer.rs:506-589) — over
+    * the stored fingerprint artifact (r22; the reference's stored
+    * content_hash column, same output as recomputing). */
   private def q15(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.exactFromFingerprints(docsFingerprints(s, dir), "doc_id")
 
   /** Shingle stats per doc (MinHash tier 0). */
   private def q16(s: SparkSession, dir: String): DataFrame =
@@ -818,9 +827,14 @@ object SparkEntry {
       .orderBy(col("vscore").desc, col("id").asc).limit(20)
       .join(docs.select(col("doc_id"), col("text")),
         col("id") === col("doc_id"))
-    val rr = operators.Rerank.rerank(candidates, "id", "text", ctxQuery,
-      () => operators.StubReranker()).toDF()
-    rr.join(candidates.select(col("id"), col("vscore")), Seq("id"))
+    // vscore rides through the rerank boundary (r22): the old
+    // rerank + join-back planned `candidates` twice, and with no
+    // exchange between the embed mapPartitions and the top-20 cut,
+    // exchange reuse could not dedup it — the corpus was stub-embedded
+    // twice per run (StageProfile: taskSec 2.77 -> 1.02, jobs 8 -> 4,
+    // tasks 72 -> 36). Same rows, same scores, oracle-checked.
+    operators.Rerank.rerankWithScore(candidates, "id", "vscore", "text",
+        ctxQuery, () => operators.StubReranker()).toDF()
       .orderBy(col("rerank_score").desc, col("vscore").desc, col("id").asc)
       .select(col("id").as("doc_id"), round(col("vscore"), 6).as("vscore"),
         col("rerank_score"))
@@ -4727,11 +4741,13 @@ object SparkEntry {
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import operators.{Dedup, Packing, QualityFilters, Sampling}
     import functions.TextFunctions
-    // spread BEFORE the battery (r21, guide §2.5 input skew): the
-    // sf corpus arrives as ONE split, serializing the gopher HOF
-    // battery + fingerprint md5 + tokenCount on one core (StageProfile:
-    // 9 single-task stages); a no-op at cluster scale where the scan
-    // has many splits
+    // early column prune only — NO Partitioning.spread here: the r21
+    // spread experiment regressed taskSec 0.75 -> 10+ CPU-s because
+    // the RoundRobin exchange broke AQE's exchange-reuse dedup of the
+    // triple-planned battery subtree (the thresholds branch re-ran the
+    // battery instead of reusing the map output); the single-task
+    // stages this leaves at sf scale are AQE coalescing, not an
+    // input-split defect (finding recorded in OPTIMIZATION_r21.md)
     val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
     // single-expression keep directly on the scan (gopherKeepOf —
     // the aliased-signal form re-runs the battery per predicate

@@ -76,11 +76,12 @@ object CorpusArtifacts {
       textCol: String, n: Int): Unit = {
     val shKey = s"$key#$n"
     if (bm25Alive(key) && shingleCache.alive(shKey) &&
-      tokenCache.alive(key)) return
+      tokenCache.alive(key) && fingerprintCache.alive(key)) return
     val base = tokens(key, df, idCol, textCol)
     bm25Compute(key, Search.buildIndexFromTokens(base, idCol, eager = true))
     shingleCache.get(shKey,
       Dedup.shingleIndexFromTokens(base, idCol, n), eager = true)
+    fingerprints(key, df, idCol, textCol)
   }
 
   /** The tokenized corpus ((id, dl, _toks) — [[Search.tokenBase]]),
@@ -92,6 +93,20 @@ object CorpusArtifacts {
     tokenCache.get(key, Search.tokenBase(df, idCol, textCol), eager = true)
 
   private val tokenCache = new DfMemo
+
+  /** The (id, fingerprint) content-hash frame
+    * ([[Dedup.fingerprintFrame]]), persisted — the reference's stored
+    * per-row content hash (notion_connector content_hash /
+    * row_indexer's fingerprint skip): exact-dedup's md5+normalize
+    * pass is ingest output, not per-query work (r22; the q15 face
+    * reads this like q17 reads the shingle index). Compact: two
+    * narrow columns per document. */
+  def fingerprints(key: String, df: => DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    fingerprintCache.get(key,
+      Dedup.fingerprintFrame(df, idCol, textCol), eager = true)
+
+  private val fingerprintCache = new DfMemo
 
   /** Bm25Index entries carry four persisted frames, so they get the
     * same session validation as [[DfMemo]] via the index frame. */
@@ -206,7 +221,7 @@ object CorpusArtifacts {
     }
     shingleCache.clear(); winnowCache.clear(); dsirCache.clear()
     nbCache.clear(); deconCache.clear(); componentCache.clear()
-    bucketCache.clear(); tokenCache.clear()
+    bucketCache.clear(); tokenCache.clear(); fingerprintCache.clear()
     bm25Cache.clear()
   }
 }

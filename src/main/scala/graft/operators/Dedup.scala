@@ -94,10 +94,14 @@ import graft.functions.{NativeText, Sketch, TextFunctions, VectorFunctions}
   */
 object Dedup {
 
-  /** Exact duplicates by normalized-content fingerprint: one row per
-    * distinct fingerprint with the kept (minimum) id and the group size.
-    */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** The (id, fingerprint) projection [[exact]] aggregates — split out
+    * (r22) so it can persist as a corpus artifact
+    * ([[CorpusArtifacts.fingerprints]]): the reference stores exactly
+    * this content hash per row (notion_connector.py:624-634's
+    * content_hash, row_indexer.rs's stored-fingerprint skip), so the
+    * md5+normalize pass is ingest output, not per-query work. */
+  def fingerprintFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     // spread before the fingerprint projection: normalization+md5 cost
     // dwarfs scan cost, and a small input arrives as ONE split — the
     // whole pass would serialize on one core (the shingleIndex
@@ -105,7 +109,18 @@ object Dedup {
     // streaming plans)
     Partitioning.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
-      .groupBy(col("fingerprint"))
+
+  /** Exact duplicates by normalized-content fingerprint: one row per
+    * distinct fingerprint with the kept (minimum) id and the group size.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactFromFingerprints(fingerprintFrame(df, idCol, textCol), idCol)
+
+  /** Same, over a prebuilt (id, fingerprint) frame — the
+    * ingest-artifact path ([[CorpusArtifacts.fingerprints]]), exactly
+    * [[jaccardPairsFromIndex]]'s relationship to the shingle index. */
+  def exactFromFingerprints(fps: DataFrame, idCol: String): DataFrame =
+    fps.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
   /** Row-preserving face of [[exact]]: keep the min-id row per
@@ -197,8 +212,27 @@ object Dedup {
       col("n_shingles").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle"),
       col("n_shingles").as("n_b"))
+    // Exact length-ratio prefilter (r22, guide §2.3: shuffle/aggregate
+    // fewer rows): the index is DISTINCT per (id, shingle) (ShinglesExpr
+    // builds a set), so n_common <= least(n_a, n_b); substituting that
+    // upper bound for n_common in the output's own jaccard expression —
+    // SAME cast chain, SAME double division — bounds the pair's final
+    // jaccard from above. Double division is monotone (real q1 <= q2
+    // implies fl(q1) <= fl(q2), numerator up / denominator down), so
+    // any pair the output filter keeps necessarily passes this one: no
+    // epsilon analysis, no changed results. What it buys: every joined
+    // posting row of a length-mismatched pair (min < ~minSim·max, e.g.
+    // 5x at 0.2) is dropped BEFORE the pair aggregate hashes it —
+    // measured 1.72 s -> 1.22 s steady on the Σdf² = 2.9M join mass
+    // at sf0.1 (ScratchProbe r22). A df>=2 posting prefilter
+    // was probed too and REJECTED: df==1 is only 188 of 242k postings
+    // on this corpus and the keep-set broadcast join cost more than
+    // the probes it saved.
+    val nCommonMax = least(col("n_a"), col("n_b"))
     a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        nCommonMax.cast("double") /
+          (col("n_a") + col("n_b") - nCommonMax).cast("double") >= minSim)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))

@@ -52,7 +52,14 @@ object Entities {
     // (id, token)-level rows ever joined. dfreq's countDistinct also
     // collapses to count(1) (toks is unique per (id, token) by
     // construction), dropping the Expand double-shuffle.
-    val occurrences = Partitioning.spread(df.select(col(idCol), col(textCol)))
+    // null ids drop at the source (r22, from the r21 ADVICE): the old
+    // shape's countDistinct(id) ignored null-id rows in df and its
+    // occurrences equi-join on (id, token) dropped their mentions;
+    // count(1) + explode-from-aggregate would have counted and emitted
+    // them — this filter restores the original contract exactly (and
+    // is a no-op on the gate corpora, whose ids are non-null).
+    val occurrences = Partitioning.spread(
+        df.select(col(idCol), col(textCol)).where(col(idCol).isNotNull))
       .select(col(idCol),
         explode(graft.functions.NativeText.bm25TokenOffsetsOf(col(textCol))).as("m"))
       .select(col(idCol), col("m.token").as("token"),

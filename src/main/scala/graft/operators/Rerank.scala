@@ -51,4 +51,36 @@ object Rerank {
         }
       }
   }
+
+  case class RerankedWithScore(id: Long, vscore: Double,
+    rerank_score: Double)
+
+  /** [[rerank]] with the retrieval score carried THROUGH the
+    * mapPartitions boundary (r22, guide §1.2 step 1: don't compute
+    * things twice). The join-back form — rerank(candidates) joined
+    * against candidates for the retrieval score — plans the candidate
+    * subtree twice, and when that subtree is an embed pass over the
+    * corpus with no exchange between the scan and the top-k cut
+    * (q52's shape: mapPartitions embed → TakeOrderedAndProject),
+    * AQE's exchange reuse has nothing to dedup and the whole corpus
+    * is embedded twice. Same rows, same scores: the carry is the
+    * identical deterministic value the join re-derived. */
+  def rerankWithScore(candidates: DataFrame, idCol: String,
+      scoreCol: String, textCol: String, query: String,
+      mkClient: () => RerankClient): Dataset[RerankedWithScore] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.select(col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(textCol))
+      .as[(Long, Double, String)]
+      .mapPartitions { it =>
+        val client = mkClient()
+        it.grouped(64).flatMap { batch =>
+          val scores = client.scoreBatch(query, batch.map(_._3))
+          batch.zip(scores).map { case ((id, v, _), s) =>
+            RerankedWithScore(id, v, s)
+          }
+        }
+      }
+  }
 }

@@ -144,6 +144,25 @@ class EntitiesSpec extends AnyFunSuite {
     assert(got.count(r => r._1 == 1L && r._2 == "rareterm") === 2)
   }
 
+  test("extractMentions drops null-id rows: no null-id mentions, and " +
+      "df counts only real documents (the pre-r21 countDistinct law)") {
+    val df = Seq(
+      (Some(1L), "common rareterm common"),
+      (Some(2L), "common words only here"),
+      (None, "rareterm rides a ghost document"))
+      .toDF("doc_id", "text")
+    // maxDf 1: rareterm appears in doc 1 and the null doc; under the
+    // null-id contract df("rareterm") = 1 (the null doc is invisible),
+    // so the doc-1 mention survives and carries df = 1
+    val got = Entities.extractMentions(df, "doc_id", "text", 1)
+      .select($"doc_id", $"mention_text", $"df")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getLong(2)))
+    assert(got.forall(_._1.isDefined), "no null-id mention rows")
+    val rare = got.filter(_._2 == "rareterm")
+    assert(rare.map(_._1).toSeq === Seq(Some(1L)))
+    assert(rare.head._3 === 1L)
+  }
+
   test("lexical bias forces cloth/wipe terms to MATERIAL, tools resist") {
     val rows = Seq(
       ("cleaning cloth", "PRODUCT"),     // biased

@@ -93,6 +93,22 @@ class RerankSpec extends AnyFunSuite {
     assert(got(2L) === 0.5)
     assert(got(3L) === 0.0)
   }
+
+  test("rerankWithScore carries the retrieval score through the " +
+      "boundary and scores exactly like rerank") {
+    val cands = Seq(
+      (1L, 0.91, "spark query plans optimized"),
+      (2L, 0.72, "spark only"),
+      (3L, 0.13, "nothing relevant at all")).toDF("id", "vscore", "text")
+    val got = Rerank.rerankWithScore(cands, "id", "vscore", "text",
+        "spark query", () => StubReranker())
+      .collect().map(r => r.id -> ((r.vscore, r.rerank_score))).toMap
+    val plain = Rerank.rerank(cands, "id", "text", "spark query",
+        () => StubReranker())
+      .collect().map(r => r.id -> r.rerank_score).toMap
+    assert(got.view.mapValues(_._2).toMap === plain)
+    assert(got(1L)._1 === 0.91 && got(2L)._1 === 0.72 && got(3L)._1 === 0.13)
+  }
 }
 
 class LayoutSpec extends AnyFunSuite {

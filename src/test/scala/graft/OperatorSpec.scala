@@ -171,6 +171,61 @@ class DedupSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("exactFromFingerprints over the artifact frame equals exact") {
+    val df = Seq(
+      (2L, "hello world"), (1L, "Hello   World"), (3L, "unique doc here"),
+      (4L, "HELLO world"), (5L, "another one-off text body"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.exact(df, "doc_id", "text")
+      .orderBy("fingerprint").collect().toSeq
+    val viaArtifact = Dedup.exactFromFingerprints(
+        Dedup.fingerprintFrame(df, "doc_id", "text"), "doc_id")
+      .orderBy("fingerprint").collect().toSeq
+    assert(viaArtifact === direct)
+  }
+
+  test("jaccard length-ratio prefilter is invisible in the output: " +
+      "mismatched-length pairs below threshold drop either way, and a " +
+      "pair at the ratio boundary keeps its exact jaccard") {
+    // d1/d2: near-dups of equal length (survive). d3: d1's shingles
+    // plus 6x more — length ratio far past 5x at minSim 0.2, so the
+    // prefilter rejects (d1, d3) posting rows; the pair's true
+    // jaccard is also < 0.2, so the output is identical with or
+    // without the prefilter (the filter can only drop pairs the
+    // jaccard threshold drops). d4/d5: EXACTLY at the boundary
+    // (|d4| = 6 shingles, |d5| = 30, all of d4 shared -> jaccard
+    // 6/30 = 0.2 = minSim, and the prefilter bound least/(sum-least)
+    // evaluates to the same 0.2) — must SURVIVE with the exact count.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = "alpha beta gamma delta epsilon zeta eta iota"
+    val long = (Seq(base) ++ (1 to 8).map(i =>
+      s"filler$i pad$i word$i more$i junk$i noise$i extra$i tail$i")).mkString(" ")
+    val d4 = "one two three four five six seven eight"   // 6 shingles
+    val d5 = d4 + " " + (1 to 24).map(i => s"u$i").mkString(" ") // 30 shingles
+    val df = Seq((1L, base), (2L, near), (3L, long), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(df, "doc_id", "text", 3)
+    val got = Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // reference computation: exact set jaccard per pair, no prefilter
+    val sets = idx.as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.2
+    } yield (a, b, inter,
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === want)
+    // the boundary pair is present (the prefilter must not eat it)
+    assert(got.exists(p => p._1 == 4L && p._2 == 5L))
+    // the mismatched-length pair is absent (dropped by threshold and
+    // prefilter alike)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
   test("jaccardPairs finds near-duplicates, not unrelated docs") {
     val a = "alpha beta gamma delta epsilon zeta eta theta"
     val b = "alpha beta gamma delta epsilon zeta eta iota" // 1 token differs
