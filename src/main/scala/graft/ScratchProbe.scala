@@ -52,10 +52,17 @@ object ScratchProbe {
     // length-ratio filter (jaccard>=0.2 needs min >= 0.2*max)? ---
     val counts = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     counts.agg(min(col("n")), expr("percentile(n, 0.5)"), max(col("n"))).show(false)
+    // join-row selectivity of the length-ratio prefilter
+    val withN2 = idx.join(counts.withColumnRenamed("n", "ns"), Seq("doc_id"))
+    val aa = withN2.select(col("doc_id").as("id_a"), col("shingle"), col("ns").as("n_a"))
+    val bb = withN2.select(col("doc_id").as("id_b"), col("shingle"), col("ns").as("n_b"))
+    val j = aa.join(bb, Seq("shingle")).where(col("id_a") < col("id_b"))
+    val nmax2 = least(col("n_a"), col("n_b"))
+    val passed = j.where(nmax2.cast("double") /
+      (col("n_a") + col("n_b") - nmax2).cast("double") >= 0.2)
+    println(s"SCRATCH joinrows total=${j.count()} pass_filter=${passed.count()}")
 
     // --- timing: current form vs df>=2 prefilter vs +length filter ---
-    time("q17 current")(noop(
-      graft.operators.Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2)))
 
     def variant(dropDf1: Boolean, lenFilter: Boolean): DataFrame = {
       val base = idx
@@ -82,9 +89,11 @@ object ScratchProbe {
         .where(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"), col("n_common"), round(col("jaccard"), 6).as("jaccard"))
     }
-    time("q17 +df>=2")(noop(variant(dropDf1 = true, lenFilter = false)))
+    time("q17 old (no filter)")(noop(variant(dropDf1 = false, lenFilter = false)))
     time("q17 +lenfilter")(noop(variant(dropDf1 = false, lenFilter = true)))
-    time("q17 +both")(noop(variant(dropDf1 = true, lenFilter = true)))
+    time("q17 current")(noop(
+      graft.operators.Dedup.jaccardPairsFromIndex(idx, "doc_id", 0.2)))
+    time("q17 old again")(noop(variant(dropDf1 = false, lenFilter = false)))
 
     // --- q15 artifact cache behavior ---
     val fps = graft.operators.CorpusArtifacts.fingerprints(

@@ -212,27 +212,27 @@ object Dedup {
       col("n_shingles").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("shingle"),
       col("n_shingles").as("n_b"))
-    // Exact length-ratio prefilter (r22, guide §2.3: shuffle/aggregate
-    // fewer rows): the index is DISTINCT per (id, shingle) (ShinglesExpr
-    // builds a set), so n_common <= least(n_a, n_b); substituting that
-    // upper bound for n_common in the output's own jaccard expression —
-    // SAME cast chain, SAME double division — bounds the pair's final
-    // jaccard from above. Double division is monotone (real q1 <= q2
-    // implies fl(q1) <= fl(q2), numerator up / denominator down), so
-    // any pair the output filter keeps necessarily passes this one: no
-    // epsilon analysis, no changed results. What it buys: every joined
-    // posting row of a length-mismatched pair (min < ~minSim·max, e.g.
-    // 5x at 0.2) is dropped BEFORE the pair aggregate hashes it —
-    // measured 1.72 s -> 1.22 s steady on the Σdf² = 2.9M join mass
-    // at sf0.1 (ScratchProbe r22). A df>=2 posting prefilter
-    // was probed too and REJECTED: df==1 is only 188 of 242k postings
-    // on this corpus and the keep-set broadcast join cost more than
-    // the probes it saved.
-    val nCommonMax = least(col("n_a"), col("n_b"))
+    // Two r22 prefilter experiments on the join, both measured and
+    // REVERTED (negative results, kept honest):
+    //  - length-ratio prefilter (jaccard >= t needs min(n_a,n_b) >=
+    //    t*max — provably exact by substituting least(n_a,n_b) for
+    //    n_common in the output's own cast chain, double division
+    //    being monotone): prunes only 2.7% of the 1.35M ordered join
+    //    rows at sf0.1 (doc lengths are near-uniform on this corpus),
+    //    so the per-row division cost exceeded the aggregate savings
+    //    — warm steady 1.0-1.1 s (plain) vs 1.3-1.4 s (filtered), and
+    //    the same-box A/B bench card read 0.93x. An earlier probe
+    //    that showed the filter winning was a JIT run-order artifact
+    //    (first-timed variant pays cold codegen); re-measured with
+    //    the plain form LAST, it wins.
+    //  - df >= 2 posting prefilter (df==1 keys can't pair): only 188
+    //    of 242k postings at sf0.1 — the keep-set broadcast join cost
+    //    more than the probes it saved.
+    // On a corpus with genuinely mixed document lengths the ratio
+    // filter's math stands (it can only drop rows the jaccard
+    // threshold drops) — re-probe selectivity before re-adding.
     a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b") &&
-        nCommonMax.cast("double") /
-          (col("n_a") + col("n_b") - nCommonMax).cast("double") >= minSim)
+      .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
@@ -882,21 +882,26 @@ object Dedup {
   def crossJaccardPairs(trainIdx: DataFrame, trainIdCol: String,
       benchIdx: DataFrame, benchIdCol: String,
       minSim: Double): DataFrame = {
+    // r22: the [[jaccardPairsFromIndex]] reshape applied to the cross
+    // face — per-doc counts attach to the POSTING rows before the
+    // shingle join (one counts subtree per side; the pair table is
+    // probed once, not re-joined twice). Identical output: n_t/n_b
+    // are constant per (train, bench) pair, folded out with max().
+    // (The length-ratio prefilter probed on the self-join face was
+    // measured out there — see jaccardPairsFromIndex — and is not
+    // added here either.)
     val tc = trainIdx.groupBy(col(trainIdCol))
       .agg(count(lit(1)).as("n_t"))
     val bc = benchIdx.groupBy(col(benchIdCol))
       .agg(count(lit(1)).as("n_b"))
-    val inter = trainIdx.select(col(trainIdCol).as("train_id"),
-        col("shingle"))
-      .join(benchIdx.select(col(benchIdCol).as("bench_id"),
-        col("shingle")), Seq("shingle"))
+    val t = trainIdx.join(tc, Seq(trainIdCol))
+      .select(col(trainIdCol).as("train_id"), col("shingle"), col("n_t"))
+    val b = benchIdx.join(bc, Seq(benchIdCol))
+      .select(col(benchIdCol).as("bench_id"), col("shingle"), col("n_b"))
+    t.join(b, Seq("shingle"))
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(tc.select(col(trainIdCol).as("train_id"),
-        col("n_t")), Seq("train_id"))
-      .join(bc.select(col(benchIdCol).as("bench_id"),
-        col("n_b")), Seq("bench_id"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("n_t")).as("n_t"), max(col("n_b")).as("n_b"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_t") + col("n_b") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minSim)

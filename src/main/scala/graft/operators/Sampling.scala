@@ -90,17 +90,28 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
     val exp = 1.0 - alpha
     val counts = df.groupBy(strataCol).agg(count(lit(1L)).as("n"))
-    // agg + crossJoin(broadcast), NOT a global window over counts:
-    // an r21 experiment swapped in the empty-partition window (fewer
-    // jobs on paper) and the q187 bench cell regressed 1.40 → 1.77 s
-    // — the broadcast form's duplicated counts subtree is deduplicated
-    // by AQE exchange reuse at runtime, while the window adds a real
-    // SinglePartition stage on the critical path. Measured, kept.
-    val nmin = counts.agg(min(col("n")).as("n_min"))
+    // ONE single-partition collect of the k-row counts frame (r22):
+    // n_min rides as array_min over the collected counts, so the
+    // separate min-aggregate chain (its own SinglePartition exchange)
+    // AND the crossJoin(broadcast(n_min)) hop — two sequential
+    // broadcast builds on the critical path once the thresholds
+    // themselves broadcast — collapse into one k-row stage. k is the
+    // stratum count (languages/sources — bounded, the same
+    // cardinality the downstream broadcast already assumes).
+    // Exact-identical values: array_min over the collected longs IS
+    // the integer min, and fraction keeps the same IEEE expression.
+    // (The r21 alternative — a global WINDOW over counts — measured
+    // 1.40 → 1.77 s on q187 and was reverted; this form differs: it
+    // replaces the min+crossJoin subtree instead of adding a window
+    // sort, and is measured in OPTIMIZATION_r22.md.)
     val ratio = col("n_min").cast("double") / col("n").cast("double")
     val f = if (exp == 0.5) sqrt(ratio) else pow(ratio, exp)
-    counts.crossJoin(broadcast(nmin))
-      .select(col(strataCol), col("n"), round(f, 6).as("fraction"))
+    counts
+      .agg(collect_list(struct(col(strataCol), col("n"))).as("_cs"))
+      .select(explode(col("_cs")).as("_c"),
+        array_min(transform(col("_cs"), c => c.getField("n"))).as("n_min"))
+      .select(col("_c").getField(strataCol).as(strataCol),
+        col("_c").getField("n").as("n"), round(f, 6).as("fraction"))
   }
 
   /** The full temperature mix: compute the per-stratum fractions,

@@ -184,18 +184,18 @@ class DedupSpec extends AnyFunSuite {
     assert(viaArtifact === direct)
   }
 
-  test("jaccard length-ratio prefilter is invisible in the output: " +
-      "mismatched-length pairs below threshold drop either way, and a " +
-      "pair at the ratio boundary keeps its exact jaccard") {
-    // d1/d2: near-dups of equal length (survive). d3: d1's shingles
-    // plus 6x more — length ratio far past 5x at minSim 0.2, so the
-    // prefilter rejects (d1, d3) posting rows; the pair's true
-    // jaccard is also < 0.2, so the output is identical with or
-    // without the prefilter (the filter can only drop pairs the
-    // jaccard threshold drops). d4/d5: EXACTLY at the boundary
-    // (|d4| = 6 shingles, |d5| = 30, all of d4 shared -> jaccard
-    // 6/30 = 0.2 = minSim, and the prefilter bound least/(sum-least)
-    // evaluates to the same 0.2) — must SURVIVE with the exact count.
+  test("jaccardPairsFromIndex on mixed-length docs: containment pairs " +
+      "below threshold drop, a pair exactly at the threshold boundary " +
+      "survives with its exact count (vs an independent reference)") {
+    // Pins the exact-pair-join law on a corpus with a 9x length
+    // spread — the r22 length-ratio prefilter experiment's regression
+    // corpus (the filter itself was measured out; this keeps the
+    // boundary behavior pinned regardless): d1/d2 near-dups of equal
+    // length (survive); d3 = d1's shingles plus 8 filler sentences
+    // (containment pair, true jaccard < 0.2, must drop); d4/d5
+    // EXACTLY at the boundary (|d4| = 6 shingles, |d5| = 30, all of
+    // d4 shared -> jaccard 6/30 = 0.2 = minSim) — must survive with
+    // the exact count.
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val near = "alpha beta gamma delta epsilon zeta eta iota"
     val long = (Seq(base) ++ (1 to 8).map(i =>
