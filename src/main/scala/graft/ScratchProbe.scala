@@ -141,6 +141,45 @@ object ScratchProbe {
     time("q62 chunks+md5")(noop(chunks.withColumn("_e0", e0)))
     val mentions = graft.operators.Entities.extractMentions(docs, "doc_id", "text", 2)
     time("q62 mentions")(noop(mentions))
+    // split the mentions cost: tokenize-with-offsets explode vs the
+    // (id, token) collect_list aggregate vs the df join tail
+    val occ = graft.Partitioning.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.NativeText.bm25TokenOffsetsOf(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.token").as("token"),
+        col("m.start_offset").as("start_offset"), col("m.end_offset").as("end_offset"))
+    time("q62 occurrences only")(noop(occ))
+    val toksAgg = occ.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"),
+        collect_list(struct(col("start_offset"), col("end_offset"))).as("_offs"))
+    time("q62 occ+tf-agg")(noop(toksAgg))
+
+    // --- q24-class RRF: current per-source rank (2x sort+zip) vs a
+    // fused single-sort variant (union tagged, one global sort+zip,
+    // per-source offsets re-derived by a tiny agg + broadcast join) ---
+    val embT = graft.Tables.load(spark, sfDir, "embeddings")
+    val s1 = embT.select(col("vec_id").as("doc_id"),
+      element_at(col("embedding"), 1).cast("double").as("score"))
+    val s2 = embT.select(col("vec_id").as("doc_id"),
+      element_at(col("embedding"), 2).cast("double").as("score"))
+    time("rrf current")(noop(
+      graft.operators.Search.rrfRaw(Seq(s1, s2), "doc_id", "score", 60)))
+    def rrfFused(sources: Seq[DataFrame]): DataFrame = {
+      val tagged = sources.zipWithIndex.map { case (s, i) =>
+        s.select(lit(i).as("_src"), col("doc_id"), col("score")) }
+      val ranked = graft.operators.Ranking.withGlobalRank(
+        tagged.reduce(_ unionByName _), "gidx",
+        col("_src").asc, col("score").desc, col("doc_id").asc)
+      val offsets = ranked.groupBy(col("_src"))
+        .agg(min(col("gidx")).as("_off"))
+      ranked.join(broadcast(offsets), Seq("_src"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(60) + col("gidx") - col("_off") + lit(1))).as("contrib"))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("rrf_raw"))
+    }
+    time("rrf fused")(noop(rrfFused(Seq(s1, s2))))
+    time("rrf current again")(noop(
+      graft.operators.Search.rrfRaw(Seq(s1, s2), "doc_id", "score", 60)))
 
     spark.stop()
   }
